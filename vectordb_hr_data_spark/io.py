@@ -1,0 +1,78 @@
+"""Sources and sinks.
+
+The driver testdata is parquet (TESTDATA.md); the reference's native
+source is one multi-line nested JSON file (reference ``data_loader.py:28-29``)
+and its sink is a ChromaDB collection upsert (reference
+``vector_db.py:163-168``) — here the "collection" is a parquet dataset
+partitioned by ``doc_type`` so doc_type predicates become partition pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan — Catalyst pushes filters/projections into it."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> None:
+    """Register every testdata table as a temp view for the SQL API."""
+    for name in tables:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_hr_json(spark: SparkSession, path: str, key: str, schema) -> DataFrame:
+    """Entity extraction from the reference's single nested JSON file.
+
+    Mirrors ``_load_specific_data_from_integrated_file`` (reference
+    ``data_loader.py:15-49``): pull ``data[key]`` (a JSON array of records)
+    and tolerate a missing key / malformed file by returning an empty frame
+    rather than raising.
+    """
+    from pyspark.sql import types as T
+
+    wrapper = T.StructType([T.StructField(key, T.ArrayType(schema), True)])
+    try:
+        raw = spark.read.schema(wrapper).option("multiLine", True).option("mode", "PERMISSIVE").json(path)
+        out = raw.select(F.explode_outer(F.col(key)).alias("rec")).select("rec.*")
+        return out.filter(F.col("id").isNotNull())
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
+def write_index(df: DataFrame, path: str, partition_by: str = "doc_type") -> None:
+    """Index sink: last-wins-by-id dedup then partitioned parquet overwrite.
+
+    The reference upserts with last-wins semantics per id (reference
+    ``vector_db.py:163-168``); without Delta on the classpath the idiomatic
+    batch equivalent is a deterministic full overwrite of a dataset that is
+    already deduplicated by key. Partitioning by ``doc_type`` makes the
+    reference's ``where={'doc_type': t}`` pre-filter (reference
+    ``talent_recommender.py:31-40``) a partition-pruned scan at any scale.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("_ingest_order").desc())
+    if "_ingest_order" in df.columns:
+        deduped = (
+            df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn", "_ingest_order")
+        )
+    else:
+        deduped = df.dropDuplicates(["id"])
+    deduped.write.mode("overwrite").partitionBy(partition_by).parquet(path)

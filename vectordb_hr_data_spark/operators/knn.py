@@ -1,0 +1,71 @@
+"""k-NN top-k vector search — the reference's core query operator.
+
+Reference behavior (``talent_recommender.py:26-42``): embed the query, ask
+ChromaDB's HNSW index for the top ``n_results`` nearest neighbours by
+squared-L2 (collection default space, ``vector_db.py:100,107``), optionally
+under a ``doc_type`` metadata pre-filter, with candidate over-fetch
+``max(k*5, 20)`` before the refinement stages.
+
+Spark-first form: brute-force exact scoring as a single narrow projection
+over a columnar scan (whole-stage codegen) followed by a global top-k,
+which Catalyst lowers to ``TakeOrderedAndProject`` — per-partition heaps +
+a driver merge of k rows; NO full sort, NO shuffle of the data. At cluster
+scale this reads N/1000 rows per executor and moves only k rows per
+partition, which is the optimal exact plan. The approximate path for
+100 TB is operators/ivf.py (cluster-pruned) and MLlib LSH
+(operators/lsh.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+
+def knn_topk(
+    index: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_cols: Sequence[str] = ("vec_id",),
+    pre_filter: Column | None = None,
+    metric: str = "l2sq",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact top-k nearest rows to ``query_vec``.
+
+    ``pre_filter`` is applied BEFORE scoring so Catalyst pushes it into the
+    parquet scan (partition pruning when the index is partitioned on the
+    filter column) — the Spark form of the reference's ``where=`` pushdown
+    (``talent_recommender.py:31-40``).
+    """
+    df = index
+    if pre_filter is not None:
+        df = df.filter(pre_filter)
+    q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    if metric == "l2sq":
+        dist = V.l2sq(F.col(vec_col), q)
+    elif metric == "cosine":
+        dist = F.lit(1.0) - V.cosine_sim(F.col(vec_col), q)
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+    scored = df.select(*id_cols, dist.alias("distance"))
+    # deterministic tie-break on the first id column (SURVEY.md §7.4 #4)
+    return scored.orderBy(F.col("distance").asc(), F.col(id_cols[0]).asc()).limit(k)
+
+
+def overfetch_count(k: int) -> int:
+    """Reference over-fetch width: ``k*5 if k*5 > 10 else 20``
+    (``talent_recommender.py:28``)."""
+    return k * 5 if k * 5 > 10 else 20
+
+
+def with_similarity(df: DataFrame, distance_col: str = "distance") -> DataFrame:
+    """Derived ``similarity = 1 - distance`` (``main.py:118-119``)."""
+    return df.withColumn("similarity", V.similarity_from_distance(distance_col))

@@ -1,0 +1,150 @@
+"""Vector search queries over the ``embeddings`` table (dim-64 float32).
+
+These are the testdata re-expression of the reference's ANN query path
+(SURVEY.md A18-A21, A29-A30): squared-L2 (Chroma default space), metadata
+pre-filter, over-fetch width, top-k with deterministic tie-break, and the
+``1 - distance`` similarity derivation.
+
+The query vector is the stored embedding of ``vec_id = 0`` — fully
+reproducible on the oracle side as a scalar subquery, no model inference.
+Distances are rounded to 4 decimals on BOTH sides so double-precision
+summation-order jitter cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+from ..io import read_table
+from ..operators.knn import knn_topk, overfetch_count
+from ..queries import register
+
+_ROUND = 4
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    """Driver-side fetch of the 1-row query vector — the reference also
+    embeds the query on the driver (``talent_recommender.py:26``); a 64-float
+    scalar is broadcast as a literal, never a shuffle."""
+    row = read_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == vec_id).select("embedding").first()
+    return list(row[0])
+
+
+def _l2sq_oracle(where: str = "", k: int = 10) -> str:
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_sum(list_transform(range(1, len(e.embedding)+1),
+             i -> power(CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE), 2))), {_ROUND}) AS distance
+FROM embeddings e, q
+{where}
+ORDER BY distance, e.vec_id
+LIMIT {k}
+"""
+
+
+@register("knn_topk_l2sq", _l2sq_oracle())
+def knn_topk_l2sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19/A29: exact squared-L2 top-10 → TakeOrderedAndProject."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return knn_topk(emb, _query_vec(spark, sf_dir), k=10, round_to=_ROUND)
+
+
+@register("knn_topk_prefiltered", _l2sq_oracle(where="WHERE e.label = 3", k=10))
+def knn_topk_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21: metadata equality pre-filter pushed below scoring (the
+    reference's ``where={'doc_type': t}``, here ``label = 3``)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return knn_topk(emb, _query_vec(spark, sf_dir), k=10, pre_filter=F.col("label") == 3, round_to=_ROUND)
+
+
+@register(
+    "knn_overfetch_similarity",
+    f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         round(list_sum(list_transform(range(1, len(e.embedding)+1),
+               i -> power(CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE), 2))), {_ROUND}) AS distance
+  FROM embeddings e, q
+  ORDER BY distance, e.vec_id
+  LIMIT {overfetch_count(5)}
+)
+SELECT vec_id, distance, round(1.0 - distance, {_ROUND}) AS similarity
+FROM scored ORDER BY distance, vec_id LIMIT 5
+""",
+)
+def knn_overfetch_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20+A29+A30: two-phase over-fetch (k*5 ∨ 20) then final limit, with
+    the reference's possibly-negative ``1 - distance`` similarity."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cand = knn_topk(emb, _query_vec(spark, sf_dir), k=overfetch_count(5), round_to=_ROUND)
+    return (
+        cand.withColumn("similarity", F.round(V.similarity_from_distance("distance"), _ROUND))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+@register(
+    "knn_topk_cosine",
+    f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(1.0 - (
+         list_sum(list_transform(range(1, len(e.embedding)+1),
+             i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(q.qv,       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+       ), {_ROUND}) AS distance
+FROM embeddings e, q
+ORDER BY distance, e.vec_id
+LIMIT 10
+""",
+)
+def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-distance top-10 — the baseline metric for embedding near-dup
+    (Layer B); brute-force exact, same TakeOrderedAndProject shape."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return knn_topk(emb, _query_vec(spark, sf_dir), k=10, metric="cosine", round_to=_ROUND)
+
+
+@register(
+    "knn_batch_topk_per_label",
+    f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.label,
+         e.vec_id,
+         round(list_sum(list_transform(range(1, len(e.embedding)+1),
+               i -> power(CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE), 2))), {_ROUND}) AS distance
+  FROM embeddings e, q
+),
+ranked AS (
+  SELECT label, vec_id, distance,
+         row_number() OVER (PARTITION BY label ORDER BY distance, vec_id) AS rn
+  FROM scored
+)
+SELECT label, vec_id, distance FROM ranked WHERE rn <= 3
+ORDER BY label, distance, vec_id
+""",
+)
+def knn_batch_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 shape: top-k per group via window rank — the scale pattern for
+    many-query batch kNN (partition by query/group, no global sort)."""
+    from pyspark.sql import Window
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = F.array(*[F.lit(float(x)).cast("double") for x in _query_vec(spark, sf_dir)])
+    scored = emb.select(
+        "label", "vec_id", F.round(V.l2sq(F.col("embedding"), q), _ROUND).alias("distance")
+    )
+    w = Window.partitionBy("label").orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+        .orderBy("label", "distance", "vec_id")
+    )
