@@ -21,6 +21,8 @@ def main() -> None:
     import vectordb_hr_data_spark.queries as Q
 
     spark = get_spark("bench", cpus=cpus)
+    # JVM/codegen warm-up so the first measured query isn't charged for it
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).count()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -1,0 +1,100 @@
+"""Scalable all-pairs similarity: blocked-GEMM cosine join.
+
+The naive plan (self cross-join + per-pair array expressions) materializes
+N²/2 pair rows through codegen — 26 s at N=2000 locally, hopeless at scale.
+The standard distributed formulation blocks the matrix: split rows into B
+blocks, replicate each row to the B block-pairs it participates in, and
+compute each block-pair's similarity sub-matrix with one vectorized numpy
+matmul inside ``applyInPandas``. Shuffle volume is B× the input (choose
+B ≈ √executors); compute is dense GEMM, ~100× the scalar-expression
+throughput; only pairs ≥ threshold survive the Arrow boundary back.
+
+Arithmetic is float64, matching the expression/oracle form to ~1e-14;
+results are rounded before comparison.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def all_pairs_cosine(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    n_blocks: int = 8,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """All (id1 < id2) pairs with cosine ≥ threshold.
+
+    Replication: a row in block k joins block-pair (i, j), i ≤ j, as side
+    'a' when k = i and side 'b' when k = j; the diagonal pair (k, k) uses
+    side 'a' only. Every unordered pair is produced exactly once.
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).alias("vec"),
+    ).withColumn("blk", (F.col("id") % n_blocks).cast("int"))
+
+    side_a = base.select(
+        F.col("blk").alias("pi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("pj"),
+        "id",
+        "vec",
+        F.lit("a").alias("side"),
+    )
+    # blk=0 has no lower block-pairs; filter first (sequence(0,-1) would
+    # otherwise produce a spurious descending [0,-1] range)
+    side_b = base.filter(F.col("blk") > 0).select(
+        F.explode(F.sequence(F.lit(0), F.col("blk") - 1)).alias("pi"),
+        F.col("blk").alias("pj"),
+        "id",
+        "vec",
+        F.lit("b").alias("side"),
+    )
+    rep = side_a.unionByName(side_b)
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        same_block = pdf["pi"].iat[0] == pdf["pj"].iat[0]
+        a = pdf[pdf["side"] == "a"]
+        b = a if same_block else pdf[pdf["side"] == "b"]
+        if a.empty or b.empty:
+            return pd.DataFrame({"id1": [], "id2": [], "cosine": []})
+        ma = np.stack(a["vec"].to_numpy()).astype(np.float64)
+        mb = np.stack(b["vec"].to_numpy()).astype(np.float64)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        sims = (ma @ mb.T) / np.outer(na, nb)
+        ia, ib = np.nonzero(sims >= threshold)
+        id_a = a["id"].to_numpy()[ia]
+        id_b = b["id"].to_numpy()[ib]
+        cos = sims[ia, ib]
+        if same_block:
+            # each unordered pair appears twice in the square matrix (and the
+            # diagonal once) — keep the ordered half only
+            keep = id_a < id_b
+            id_a, id_b, cos = id_a[keep], id_b[keep], cos[keep]
+        else:
+            # cross-block ids are in arbitrary order: normalize, don't filter
+            id_a, id_b = np.minimum(id_a, id_b), np.maximum(id_a, id_b)
+        return pd.DataFrame({"id1": id_a, "id2": id_b, "cosine": cos})
+
+    pairs = rep.groupBy("pi", "pj").applyInPandas(
+        score_block, schema="id1 long, id2 long, cosine double"
+    )
+    if round_to is not None:
+        pairs = pairs.withColumn("cosine", F.round("cosine", round_to))
+    return pairs
+
+
+def recommended_blocks(n_rows: int, target_block: int = 4096) -> int:
+    """B such that blocks are ~target_block rows (GEMM-friendly tiles)."""
+    return max(1, math.ceil(n_rows / target_block))

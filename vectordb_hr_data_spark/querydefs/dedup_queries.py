@@ -1,0 +1,233 @@
+"""Deduplication family over ``documents`` / ``embeddings`` (SURVEY.md §2.B
+B1/B2 + training-pipeline ops): exact hash dedup, n-gram Jaccard near-dup,
+MinHash-LSH near-dup, SimHash, embedding-cosine near-dup.
+
+Scale design notes (the part that must survive 100 TB):
+- Exact dedup is a hash groupBy — one shuffle on the content hash, map-side
+  partial aggregation, no skew (md5 keys are uniform).
+- Near-dup NEVER does an unblocked all-pairs join. The exact-Jaccard query
+  blocks on the minimum shingle (a 1-row MinHash: P[block match] =
+  Jaccard, so recall ≈ j of each pair — fine for j ≥ 0.5 verification
+  work); the LSH query uses the classic banded signature → explode bands →
+  equi-join on (band, key) — both are equi-joins Catalyst shuffles on a
+  uniform key, candidates verified with exact Jaccard afterwards.
+- All hashes are portable integer arithmetic (functions/texthash.py), so
+  the DuckDB oracle reproduces signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import texthash as H
+from ..functions import vector as V
+from ..io import read_table
+from ..queries import register
+
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.45
+
+
+# --------------------------------------------------------------------------
+# B1: exact dedup by content hash (keep lowest doc_id per group)
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY keep_doc_id
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup with min-shingle blocking
+# --------------------------------------------------------------------------
+@register(
+    "neardup_ngram_jaccard",
+    f"""
+WITH sh AS (
+  SELECT doc_id, {H.ddb_shingles('text')} AS shingles FROM documents
+), blocked AS (
+  SELECT doc_id, shingles, list_min(shingles) AS block_key FROM sh
+)
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       round({H.jaccard_sql_ddb('a.shingles', 'b.shingles')}, 4) AS jaccard
+FROM blocked a JOIN blocked b
+  ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+WHERE {H.jaccard_sql_ddb('a.shingles', 'b.shingles')} >= {JACCARD_THRESHOLD}
+ORDER BY doc_id_1, doc_id_2
+""",
+)
+def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard ≥ 0.5 pairs, blocked on the lexicographic-min
+    shingle (single-hash MinHash blocking) — an equi-join, not a cross join."""
+    d = read_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.expr(H.spark_shingles("text")).alias("shingles"))
+    blocked = sh.withColumn("block_key", F.array_min("shingles"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    jac = F.expr(H.jaccard_sql_spark("a.shingles", "b.shingles"))
+    return (
+        a.join(b, (F.col("a.block_key") == F.col("b.block_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
+# --------------------------------------------------------------------------
+# B2: MinHash-LSH near-dup (banded signatures → candidate join → verify)
+# --------------------------------------------------------------------------
+def _minhash_lsh_oracle() -> str:
+    sig_exprs = H.ddb_minhash_sig("hashes")
+    sig_cols = ", ".join(f"{e} AS m{j}" for j, e in enumerate(sig_exprs))
+    band_keys = [
+        " || ':' || ".join(
+            f"CAST(m{b * H.ROWS_PER_BAND + r} AS VARCHAR)" for r in range(H.ROWS_PER_BAND)
+        )
+        for b in range(H.N_BANDS)
+    ]
+    band_cols = ", ".join(f"{k} AS band{b}" for b, k in enumerate(band_keys))
+    band_match = " OR ".join(f"a.band{b} = b.band{b}" for b in range(H.N_BANDS))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {H.ddb_shingles('text')} AS shingles FROM documents
+), hashed AS (
+  SELECT doc_id, shingles, {H.ddb_hash_array('shingles')} AS hashes FROM sh
+), sig AS (
+  SELECT doc_id, shingles, {sig_cols} FROM hashed
+), banded AS (
+  SELECT doc_id, shingles, {band_cols} FROM sig
+)
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       round({H.jaccard_sql_ddb('a.shingles', 'b.shingles')}, 4) AS jaccard
+FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ({band_match})
+WHERE {H.jaccard_sql_ddb('a.shingles', 'b.shingles')} >= {JACCARD_THRESHOLD}
+ORDER BY doc_id_1, doc_id_2
+"""
+
+
+@register("neardup_minhash_lsh", _minhash_lsh_oracle())
+def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16 portable min-hashes in 4 bands of 4; pairs sharing ≥1 band are
+    candidates (explode bands → equi-join on (band_id, key) — the scalable
+    plan), then exact-Jaccard verified at ≥ 0.5."""
+    d = read_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.expr(H.spark_shingles("text")).alias("shingles"))
+    hashed = sh.withColumn("hashes", F.expr(H.spark_hash_array("shingles")))
+    sig = hashed.select(
+        "doc_id",
+        "shingles",
+        *[F.expr(e).alias(f"m{j}") for j, e in enumerate(H.spark_minhash_sig("hashes"))],
+    )
+    band_keys = [
+        F.concat_ws(":", *[F.col(f"m{b * H.ROWS_PER_BAND + r}").cast("string") for r in range(H.ROWS_PER_BAND)])
+        for b in range(H.N_BANDS)
+    ]
+    banded = sig.select("doc_id", "shingles", F.posexplode(F.array(*band_keys)).alias("band_id", "band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            F.col("a.shingles").alias("sh1"),
+            F.col("b.shingles").alias("sh2"),
+        )
+        .dropDuplicates(["doc_id_1", "doc_id_2"])  # pairs can share several bands
+    )
+    jac = F.expr(H.jaccard_sql_spark("sh1", "sh2"))
+    return (
+        cand.filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_id_1", "doc_id_2", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash: per-document 32-bit signature
+# --------------------------------------------------------------------------
+@register(
+    "doc_simhash",
+    f"""
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), hashed AS (
+  SELECT doc_id, {H.ddb_hash_array('toks')} AS hashes FROM t
+)
+SELECT doc_id, {H.ddb_simhash('hashes')} AS simhash
+FROM hashed
+ORDER BY doc_id
+""",
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over distinct-token polynomial hashes; near-dups land
+    within small Hamming distance, so at scale pairing blocks on 16-bit
+    halves (a pair within Hamming ≤ k collides on ≥1 half for k ≤ 1 per
+    half — the standard pigeonhole blocking)."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks"))
+    hashed = t.select("doc_id", F.expr(H.spark_hash_array("toks")).alias("hashes"))
+    return hashed.select("doc_id", F.expr(H.spark_simhash("hashes")).alias("simhash")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup over the embeddings table
+# --------------------------------------------------------------------------
+@register(
+    "neardup_embedding_cosine",
+    f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+       round(list_sum(list_transform(range(1, len(a.embedding)+1),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm),
+             4) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, len(a.embedding)+1),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm)
+      >= {COSINE_THRESHOLD}
+ORDER BY vec_id_1, vec_id_2
+""",
+)
+def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: cosine ≥ 0.45 pairs, computed by the blocked-GEMM
+    all-pairs operator (operators/similarity.py) — replicate rows to block
+    pairs, numpy matmul per block, emit only passing pairs. The oracle is
+    the exact all-pairs SQL; results agree to 4 decimals."""
+    from ..operators.similarity import all_pairs_cosine
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return (
+        all_pairs_cosine(e, "vec_id", "embedding", threshold=COSINE_THRESHOLD, n_blocks=8)
+        .select(
+            F.col("id1").alias("vec_id_1"),
+            F.col("id2").alias("vec_id_2"),
+            "cosine",
+        )
+        .orderBy("vec_id_1", "vec_id_2")
+    )

@@ -1,0 +1,380 @@
+"""Relational operator coverage over the TPC-H-ish testdata: scans with
+pushdown, group-by aggregation, multi-way joins (broadcast + shuffle),
+windows, rollup, pivot, set ops, semi/anti joins, top-k.
+
+The reference itself has no joins/group-bys (SURVEY.md §2 checklist) — this
+family exists because a complete engine needs them; shapes follow public
+TPC-H query patterns.
+
+Hash-stability rule: every monetary aggregate is computed over
+DECIMAL-cast inputs (the data is 2-dp, so the cast is exact), making sums
+bit-identical between Spark and DuckDB regardless of partition/summation
+order; ratios divide the exact decimal sum as double. Floating sums of
+doubles are never exposed directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from ..queries import register
+
+D = "decimal(18,2)"  # exact for 2-dp source doubles
+
+
+def _dec(c: str):
+    return F.col(c).cast(D)
+
+
+# --------------------------------------------------------------------------
+# q1: pricing summary — groupBy + 8 aggregates + sort (TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    filtered = li.filter(F.col("l_shipdate") <= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+    return (
+        filtered.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) * (F.lit(1) + _dec("l_tax")))
+            .cast("decimal(38,6)")
+            .alias("sum_charge"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"), 6).alias("avg_price"),
+            F.round(F.sum(_dec("l_discount")).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q3: shipping priority — 3-way join with broadcast dim, agg, top-10
+# --------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    """
+SELECT l.l_orderkey,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer is the small dim → explicit broadcast so the probe side
+    (lineitem, the 100 TB table) never shuffles for this join."""
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    c = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)), li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("decimal(38,4)")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q5: local supplier volume — 6-way join through region/nation
+# --------------------------------------------------------------------------
+@register(
+    "q5_local_supplier_volume",
+    """
+SELECT n.n_name,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All dims (region/nation/supplier/customer) broadcast; lineitem⨝orders
+    is the only shuffle pair — at scale both are huge, so Catalyst gets a
+    sort-merge join on the orderkey, which bucketing would co-locate."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("decimal(38,4)")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+# --------------------------------------------------------------------------
+# q6: revenue forecast — pushdown-friendly single-row filter+agg
+# --------------------------------------------------------------------------
+@register(
+    "q6_forecast_revenue",
+    """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# window: top-3 orders per market segment
+# --------------------------------------------------------------------------
+@register(
+    "top3_orders_per_segment",
+    """
+WITH ranked AS (
+  SELECT c.c_mktsegment, o.o_orderkey, CAST(o.o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+         row_number() OVER (PARTITION BY c.c_mktsegment ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+FROM ranked WHERE rn <= 3
+ORDER BY c_mktsegment, rn
+""",
+)
+def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", _dec("o_totalprice").alias("o_totalprice"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# window: per-customer running revenue (cumulative frame)
+# --------------------------------------------------------------------------
+@register(
+    "customer_running_total",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_total
+FROM orders
+WHERE o_custkey <= 20
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 20)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(_dec("o_totalprice")).over(w).cast("decimal(38,2)").alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# rollup: region → nation subtotal hierarchy
+# --------------------------------------------------------------------------
+@register(
+    "acctbal_rollup",
+    """
+SELECT r.r_name, n.n_name,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal,
+       count(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+""",
+)
+def acctbal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(_dec("c_acctbal")).cast("decimal(38,2)").alias("total_acctbal"),
+            F.count("*").alias("n_customers"),
+        )
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------------
+# pivot: order counts, status × segment
+# --------------------------------------------------------------------------
+@register(
+    "orders_pivot_status",
+    """
+SELECT c.c_mktsegment,
+       count(*) FILTER (WHERE o.o_orderstatus = 'F') AS "F",
+       count(*) FILTER (WHERE o.o_orderstatus = 'O') AS "O",
+       count(*) FILTER (WHERE o.o_orderstatus = 'P') AS "P"
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def orders_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# set ops: INTERSECT / EXCEPT over customer key sets
+# --------------------------------------------------------------------------
+@register(
+    "custkeys_intersect_except",
+    """
+WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+     o AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+     both_k AS (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM o),
+     only_f AS (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM o)
+SELECT 'both' AS bucket, count(*) AS n FROM both_k
+UNION ALL
+SELECT 'only_f' AS bucket, count(*) AS n FROM only_f
+ORDER BY bucket
+""",
+)
+def custkeys_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    f_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    both_n = f_keys.intersect(o_keys).agg(F.count("*").alias("n")).withColumn("bucket", F.lit("both"))
+    only_f_n = f_keys.exceptAll(o_keys).agg(F.count("*").alias("n")).withColumn("bucket", F.lit("only_f"))
+    return both_n.unionByName(only_f_n).select("bucket", "n").orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
+# semi/anti join: parts never ordered vs ordered
+# --------------------------------------------------------------------------
+@register(
+    "parts_never_ordered",
+    """
+SELECT p.p_partkey, p.p_name
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+ORDER BY p.p_partkey
+""",
+)
+def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti = NOT EXISTS; at scale the part side streams and lineitem's
+    distinct partkeys aggregate map-side before the join."""
+    p = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# distinct aggregation: exact countDistinct per group
+# --------------------------------------------------------------------------
+@register(
+    "supplier_part_distincts",
+    """
+SELECT l_suppkey,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_orderkey) AS n_orders,
+       count(*) AS n_lines
+FROM lineitem
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+""",
+)
+def supplier_part_distincts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("l_suppkey")
+    )

@@ -1,0 +1,182 @@
+"""Text-analysis operators over ``documents`` (SURVEY.md §2.B B6 + the
+training-data-pipeline text ops): token counting, language-ID heuristic,
+quality scoring, content fingerprinting.
+
+All are pure column expressions (whole-stage codegen, no UDF, no shuffle
+except the final presentation sort) — at 100 TB these are map-only passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import texthash as H
+from ..io import read_table
+from ..queries import register
+
+# language marker tokens for the n-gram/stopword language-ID heuristic.
+# (The synthetic corpus shares one vocabulary, so the heuristic's value here
+# is determinism, not accuracy — the operator shape is what scales.)
+LANG_MARKERS = {
+    "en": ["the", "a", "value", "fast"],
+    "fr": ["le", "la", "et", "un"],
+    "es": ["el", "la", "y", "un"],
+    "de": ["der", "die", "und", "ein"],
+    "zh": ["de", "shi", "le", "he"],
+}
+
+
+@register(
+    "doc_token_count",
+    """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct_tokens,
+       n_chars
+FROM documents
+ORDER BY doc_id
+""",
+)
+def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization + distinct-token count (B6; generalizes the
+    reference's query tokenizer, ``talent_recommender.py:108``)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+            "n_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_score_spark(markers: list[str]) -> F.Column:
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.array_intersect(toks, arr))
+
+
+def _lang_id_oracle() -> str:
+    score = lambda ms: (
+        "len(list_intersect(list_distinct(string_split(text, ' ')), "
+        + "[" + ", ".join(f"'{m}'" for m in ms) + "]))"
+    )
+    cases = " ".join(
+        f"WHEN {score(ms)} >= GREATEST({', '.join(score(m2) for m2 in LANG_MARKERS.values())}) "
+        f"AND {score(ms)} > 0 THEN '{lang}'"
+        for lang, ms in LANG_MARKERS.items()
+    )
+    sel = ", ".join(f"{score(ms)} AS score_{lang}" for lang, ms in LANG_MARKERS.items())
+    return f"""
+SELECT doc_id, {sel},
+       CASE {cases} ELSE 'unknown' END AS predicted_lang,
+       lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("doc_lang_id", _lang_id_oracle())
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic: score per language, first-wins
+    argmax in declaration order (en, fr, es, de, zh), 'unknown' on all-zero."""
+    d = read_table(spark, sf_dir, "documents")
+    scores = {lang: _lang_score_spark(ms) for lang, ms in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit("unknown")
+    for lang in reversed(list(LANG_MARKERS)):  # build CASE chain, first lang wins
+        pred = F.when((scores[lang] >= best) & (scores[lang] > 0), F.lit(lang)).otherwise(pred)
+    return (
+        d.select(
+            "doc_id",
+            *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+            pred.alias("predicted_lang"),
+            "lang",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_STOPWORDS = ["the", "a", "of", "and"]
+
+
+@register(
+    "doc_quality_score",
+    f"""
+WITH t AS (
+  SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id, n_chars,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         len(list_filter(toks, x -> list_contains({_STOPWORDS!r}, x))) AS n_stop,
+         list_sum(list_transform(toks, x -> len(x))) AS sum_len
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+       round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       round(CAST(sum_len AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+       round(0.4 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+           + 0.3 * least(n_tokens / 100.0, 1.0)
+           + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens), 6) AS quality_score
+FROM m
+ORDER BY doc_id
+""",
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring from length/diversity/stopword signals — the standard
+    cheap pre-filter in LLM training-data pipelines."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    m = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
+        F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, v: a + v).alias("sum_len"),
+    )
+    dr = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    sr = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return (
+        m.select(
+            "doc_id",
+            "n_tokens",
+            F.round(dr, 6).alias("distinct_ratio"),
+            F.round(sr, 6).alias("stopword_ratio"),
+            F.round(F.col("sum_len").cast("double") / F.col("n_tokens"), 6).alias("avg_token_len"),
+            F.round(
+                0.4 * dr + 0.3 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) + 0.3 * (1.0 - sr), 6
+            ).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+SELECT doc_id,
+       md5(text) AS md5_fp,
+       {H.ddb_str_hash('text')} AS poly_fp
+FROM documents
+ORDER BY doc_id
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 (exact-dedup key) + 31-polynomial rolling
+    hash (engine-portable integer hash, basis of the MinHash family)."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.md5(F.col("text")).alias("md5_fp"),
+            F.expr(H.spark_str_hash("text")).alias("poly_fp"),
+        )
+        .orderBy("doc_id")
+    )
