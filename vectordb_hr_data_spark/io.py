@@ -27,8 +27,19 @@ TESTDATA_TABLES = (
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar parquet scan — Catalyst pushes filters/projections into it."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Columnar parquet scan — Catalyst pushes filters/projections into it.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); Spark surfaces it
+    as int64 nanos (``spark.sql.legacy.parquet.nanosAsLong``) and we convert
+    with exact integer division (ns epoch exceeds double precision, so no
+    float math here).
+    """
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> None:

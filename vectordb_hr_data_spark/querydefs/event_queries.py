@@ -1,0 +1,202 @@
+"""Event-stream operators over ``events`` in batch form (SURVEY.md B7):
+tumbling/sliding time windows, sessionization, JSON property extraction.
+
+Every query here is watermark-ready: the same expressions run under
+Structured Streaming by swapping ``read`` for ``readStream`` and adding
+``withWatermark`` (see streaming/stream_ops.py, which reuses these
+builders) — batch-first is how the operators stay oracle-checkable.
+
+Time parity notes: the session pins ``spark.sql.session.timeZone=UTC`` so
+Spark and DuckDB agree on naive timestamps; gap comparisons cast timestamps
+to double seconds (microsecond-exact in both engines); DuckDB
+``time_bucket`` and Spark ``window()`` share epoch alignment for the
+minute/hour intervals used here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from ..queries import register
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts/sums per event_type — the batch twin of the
+    streaming groupBy(window(...)) aggregation."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@register(
+    "events_tumbling_1h",
+    """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return tumbling_agg(ev, "1 hour").orderBy("window_start", "event_type")
+
+
+@register(
+    "events_sliding_1h_30m",
+    """
+WITH b AS (
+  SELECT event_type, value,
+         unnest([time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+                 time_bucket(INTERVAL '30 minutes', ts)]) AS window_start
+  FROM events
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+FROM b
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+)
+def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 30 min slide): each event lands in two
+    windows; Spark's window() enumerates them, the oracle unnests the two
+    epoch-aligned starts."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+SESSION_GAP_SEC = 1800
+
+
+@register(
+    "events_sessionize",
+    f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > {SESSION_GAP_SEC}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM o
+), sessions AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap via lag + cumulative-sum — the
+    batch equivalent of streaming ``session_window``; partitions by user so
+    the shuffle key is the natural one at scale."""
+    ev = read_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.col("prev_ts").cast("double")
+    flagged = ev.withColumn("prev_ts", F.lag("ts").over(order)).withColumn(
+        "is_new",
+        F.when(F.col("prev_ts").isNull() | (gap > SESSION_GAP_SEC), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("is_new").over(order.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "events_json_props",
+    """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       round(CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE) / count(*), 6) AS avg_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: get_json_object over the props JSON
+    column, integer-exact aggregation."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.sum("k").cast("double") / F.count("*"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_user_daily_activity",
+    """
+WITH d AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, value FROM events
+)
+SELECT user_id, day,
+       count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+FROM d
+WHERE user_id <= 50
+GROUP BY user_id, day
+ORDER BY user_id, day
+""",
+)
+def events_user_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily rollup with conditional counts — the pre-aggregation
+    shape that feeds incremental (streaming) materialization."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    return (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+        )
+        .orderBy("user_id", "day")
+    )

@@ -33,6 +33,9 @@ def get_spark(app_name: str = "vectordb_hr_data_spark", cpus: int | None = None)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # the driver's events.parquet stores ts as TIMESTAMP(NANOS), which
+        # Spark only reads as raw int64; io.read_table converts to micros
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
