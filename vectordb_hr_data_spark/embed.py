@@ -1,0 +1,78 @@
+"""Embedding encoders (SURVEY.md A11-A12, B5).
+
+Two encoders behind one interface:
+
+- ``deterministic_embedder`` — seeded hash-based text → float32[dim]
+  (per-dimension sha256 of ``text:i`` scaled to [-1, 1], FIXTURES.md §3).
+  Used by all tests and oracle-adjacent paths: reproducible everywhere,
+  no model download, no nondeterminism across library versions
+  (SURVEY.md §7.4 #5).
+- ``sentence_transformer_embedder`` — the reference's real model
+  (``all-MiniLM-L6-v2``, reference ``config.py:16``) behind an import-try;
+  lazily loaded once per executor (the broadcast-once pattern for model
+  weights), Arrow-batched.
+
+Both are pandas UDFs: the Spark-idiomatic form of the reference's batched
+``model.encode(batch)`` loop (reference ``vector_db.py:145-160``) — batch
+size governed by ``spark.sql.execution.arrow.maxRecordsPerBatch`` instead
+of the reference's hand-rolled 5000-row slicing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _hash_vec(text: str, dim: int) -> list[float]:
+    """Per-dimension: first 4 bytes of sha256(f"{text}:{i}") as uint32,
+    scaled to [-1, 1]. Pure function of the text — rebuilding the index is
+    idempotent (the property the reference's freshness check approximates,
+    reference ``vector_db.py:85-103``)."""
+    out = []
+    for i in range(dim):
+        h = hashlib.sha256(f"{text}:{i}".encode("utf-8")).digest()
+        (u,) = struct.unpack(">I", h[:4])
+        out.append((u / 2147483647.5) - 1.0)
+    return out
+
+
+def deterministic_embedder(dim: int = 64):
+    """pandas_udf: pd.Series[str] -> pd.Series[list[float]] (dim-d)."""
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def embed(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: _hash_vec(t if t is not None else "", dim))
+
+    return embed
+
+
+def sentence_transformer_embedder(model_name: str = "all-MiniLM-L6-v2"):
+    """Real-model encoder (384-dim for the reference model). The model
+    loads lazily once per Python worker; raises cleanly if
+    sentence-transformers isn't installed (it is not in this container)."""
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def embed(texts: pd.Series) -> pd.Series:
+        global _ST_MODEL  # one load per executor process
+        try:
+            model = globals().get("_ST_MODEL")
+            if model is None:
+                from sentence_transformers import SentenceTransformer
+
+                model = SentenceTransformer(model_name)
+                globals()["_ST_MODEL"] = model
+        except ImportError as e:  # pragma: no cover - not installed here
+            raise NotImplementedError(
+                "sentence-transformers is not available in this environment; "
+                "use deterministic_embedder for tests"
+            ) from e
+        vecs = model.encode(texts.fillna("").tolist(), convert_to_tensor=False)
+        return pd.Series([list(map(float, v)) for v in vecs])
+
+    return embed
