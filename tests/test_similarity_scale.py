@@ -1,0 +1,99 @@
+"""Scale-path similarity operators: IVF recall vs exact, MLlib LSH recall
+vs exact, multimodal mapInPandas plumbing, embedder pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _exact_topk_ids(spark, sf_dir, k=10):
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.operators.knn import knn_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    return [r["vec_id"] for r in knn_topk(emb, q, k=k).collect()], emb, q
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """Probing 4/16 buckets must still find most true neighbours (the
+    planted structure is mild, so demand ≥ 0.5 recall@10 and exact
+    containment of the query vector itself)."""
+    from vectordb_hr_data_spark.querydefs.similarity_queries import ivf_topk_l2sq
+
+    exact_ids, _, _ = _exact_topk_ids(spark, sf_dir)
+    ivf_ids = [r["vec_id"] for r in ivf_topk_l2sq(spark, sf_dir).collect()]
+    recall = len(set(exact_ids) & set(ivf_ids)) / len(exact_ids)
+    assert 0 in ivf_ids  # the query vector itself (distance 0) must appear
+    assert recall >= 0.5, f"IVF recall@10 too low: {recall}"
+
+
+def test_brp_ann_recall(spark, sf_dir):
+    from vectordb_hr_data_spark.operators.lsh import brp_ann
+
+    exact_ids, emb, q = _exact_topk_ids(spark, sf_dir)
+    got = [r["vec_id"] for r in brp_ann(emb, q, k=10).collect()]
+    recall = len(set(exact_ids) & set(got)) / len(exact_ids)
+    assert recall >= 0.5, f"BRP-LSH recall@10 too low: {recall}"
+
+
+def test_minhash_lsh_finds_planted_neardups(spark, sf_dir):
+    """MLlib MinHashLSH must find the same high-similarity pairs the exact
+    n-gram Jaccard query verifies (token-level Jaccard ≥ 0.5 pairs)."""
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.operators.lsh import minhash_similarity_join
+    from vectordb_hr_data_spark.querydefs.dedup_queries import neardup_ngram_jaccard
+
+    exact_pairs = {
+        (r["doc_id_1"], r["doc_id_2"]) for r in neardup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    docs = read_table(spark, sf_dir, "documents")
+    got = minhash_similarity_join(docs, threshold=0.6)
+    got_pairs = {(r["id_1"], r["id_2"]) for r in got.collect()}
+    missing = exact_pairs - got_pairs
+    assert len(missing) <= max(1, len(exact_pairs) // 5), f"LSH missed too many: {missing}"
+
+
+def test_multimodal_feature_extraction(spark):
+    from vectordb_hr_data_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        extract_features,
+        resize_metadata,
+    )
+
+    rows = [
+        (1, "image", b"\x89PNG...fake", "image/png", 1024, 768, None),
+        (2, "video", b"\x00\x00ftyp...fake", "video/mp4", 1920, 1080, 45_000),
+        (3, "audio", b"RIFF...fake", "audio/wav", None, None, 12_000),
+        (4, "image", None, "image/png", 10, 10, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = extract_features(media, frame_stride=10).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert len(by_id[1]["feature"]) == 16
+    assert by_id[2]["n_frames"] == 5  # 45s video, 10s stride -> frames at 0,10,20,30,40
+    assert by_id[1]["payload_sha256"] != by_id[2]["payload_sha256"]
+    assert by_id[4]["payload_bytes"] == 0  # null payload tolerated
+
+    # deterministic fake decode: same payload -> same features
+    assert decode_image(b"abc", fake=True) == decode_image(b"abc", fake=True)
+    # real decode is an explicit stub in this environment
+    with pytest.raises(NotImplementedError):
+        decode_image(b"abc", fake=False)
+
+    resized = {r["media_id"]: r for r in resize_metadata(media, max_side=256).collect()}
+    assert (resized[1]["target_width"], resized[1]["target_height"]) == (256, 192)
+    assert (resized[4]["target_width"], resized[4]["target_height"]) == (10, 10)
+
+
+def test_deterministic_embedder_udf(spark):
+    from vectordb_hr_data_spark.embed import _hash_vec, deterministic_embedder
+
+    df = spark.createDataFrame([("a", "hello"), ("b", "world"), ("c", None)], "id string, text string")
+    out = {r["id"]: r["emb"] for r in df.select("id", deterministic_embedder(8)("text").alias("emb")).collect()}
+    assert out["a"] == pytest.approx(_hash_vec("hello", 8), rel=1e-6)
+    assert out["c"] == pytest.approx(_hash_vec("", 8), rel=1e-6)  # null-tolerant
+    assert len(out["b"]) == 8

@@ -54,7 +54,14 @@ from .querydefs import vector_queries  # noqa: E402,F401
 
 _MODULES = [vector_queries]
 
-for _mod_name in ("relational_queries", "text_queries", "dedup_queries", "event_queries", "hr_queries"):
+for _mod_name in (
+    "relational_queries",
+    "text_queries",
+    "dedup_queries",
+    "event_queries",
+    "hr_queries",
+    "similarity_queries",
+):
     try:
         _m = __import__(f"vectordb_hr_data_spark.querydefs.{_mod_name}", fromlist=[_mod_name])
         _MODULES.append(_m)

@@ -1,0 +1,188 @@
+"""Scale-path similarity queries (SURVEY.md §2.B B3-B5): IVF-bucketed ANN,
+many-query batch top-k, and a SQL-expressible embedding pipeline — each
+with a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import texthash as H
+from ..functions import vector as V
+from ..io import read_table
+from ..queries import register
+
+_ROUND = 4
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def _l2sq_ddb(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a})+1),"
+        f" i -> power(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE), 2)))"
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF ANN: deterministic centroids (first N_CENTROIDS corpus vectors)
+# --------------------------------------------------------------------------
+@register(
+    "ivf_topk_l2sq",
+    f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cent AS (
+  SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_l2sq_ddb('e.embedding', 'c.cvec')}, c.cid) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+probe AS (
+  SELECT c.cid FROM cent c, q
+  ORDER BY {_l2sq_ddb('c.cvec', 'q.qv')}, c.cid
+  LIMIT {N_PROBE}
+)
+SELECT a.vec_id, round({_l2sq_ddb('a.embedding', 'q.qv')}, {_ROUND}) AS distance
+FROM assigned a JOIN probe p ON a.cid = p.cid, q
+WHERE a.rn = 1
+ORDER BY distance, a.vec_id
+LIMIT 10
+""",
+)
+def ivf_topk_l2sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via IVF: assign to nearest of 16 deterministic centroids,
+    probe the 4 closest buckets — the partition-pruned scale path whose
+    recall the exact knn_topk_l2sq query baselines."""
+    from ..operators.ivf import ivf_assign, ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    assigned = ivf_assign(emb, centroids)
+    return ivf_topk(assigned, centroids, qvec, k=10, n_probe=N_PROBE, round_to=_ROUND)
+
+
+# --------------------------------------------------------------------------
+# B3: many-query batch top-k (broadcast queries, per-query window rank)
+# --------------------------------------------------------------------------
+N_QUERIES = 10
+TOPK_PER_QUERY = 3
+
+
+@register(
+    "batch_topk_many_queries",
+    f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT qs.query_id, e.vec_id,
+         round({_l2sq_ddb('e.embedding', 'qs.qv')}, {_ROUND}) AS distance,
+         row_number() OVER (PARTITION BY qs.query_id
+                            ORDER BY round({_l2sq_ddb('e.embedding', 'qs.qv')}, {_ROUND}), e.vec_id) AS rn
+  FROM embeddings e CROSS JOIN qs
+  WHERE e.vec_id != qs.query_id
+)
+SELECT query_id, vec_id, distance, rn
+FROM scored WHERE rn <= {TOPK_PER_QUERY}
+ORDER BY query_id, rn
+""",
+)
+def batch_topk_many_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbours for each of 10 query vectors in ONE pass: broadcast
+    the query set, score every (row, query) pair map-side, window-rank per
+    query. The corpus is read once regardless of query count — the batch
+    form that replaces per-query index probes at 100 TB."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(V.l2sq(F.col("embedding"), F.col("qv")), _ROUND).alias("distance"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK_PER_QUERY)
+        .orderBy("query_id", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# B5: embedding pipeline with a portable (SQL-expressible) encoder
+# --------------------------------------------------------------------------
+EMBED_DIM = 8
+
+
+def _poly_embed_oracle() -> str:
+    dims = ", ".join(
+        f"round((CAST((h * {a} + {b}) % {H.P} AS DOUBLE) / {H.P}) * 2 - 1, 6) AS dim_{j}"
+        for j, (a, b) in enumerate(zip(H.MINHASH_A[:EMBED_DIM], H.MINHASH_B[:EMBED_DIM]))
+    )
+    return f"""
+WITH h AS (SELECT doc_id, {H.ddb_str_hash('text')} AS h FROM documents)
+SELECT doc_id, {dims}
+FROM h
+ORDER BY doc_id
+"""
+
+
+@register("embed_documents_poly", _poly_embed_oracle())
+def embed_documents_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document → fixed-dim embedding as a pure-expression pipeline (the
+    oracle-checkable twin of the sha256 pandas_udf embedder in embed.py:
+    same plumbing — text in, per-dimension floats out — with portable
+    integer arithmetic so DuckDB reproduces every value)."""
+    d = read_table(spark, sf_dir, "documents")
+    h = d.select("doc_id", F.expr(H.spark_str_hash("text")).alias("h"))
+    dims = [
+        F.round(
+            (((F.col("h") * a + b) % H.P).cast("double") / H.P) * 2 - 1, 6
+        ).alias(f"dim_{j}")
+        for j, (a, b) in enumerate(zip(H.MINHASH_A[:EMBED_DIM], H.MINHASH_B[:EMBED_DIM]))
+    ]
+    return h.select("doc_id", *dims).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing: binary payload + typed metadata (B8)
+# --------------------------------------------------------------------------
+@register(
+    "multimodal_binary_metadata",
+    """
+SELECT doc_id,
+       octet_length(CAST(text AS BLOB)) AS payload_bytes,
+       md5(text) AS payload_md5,
+       lang AS modality_tag
+FROM documents
+ORDER BY doc_id
+""",
+)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column pattern (B8): payload as binary + typed
+    metadata columns; the decode/feature UDF plumbing over such columns
+    lives in sources/multimodal.py (tested in pytest — real codecs are
+    stubbed per environment constraints)."""
+    d = read_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return (
+        d.select(
+            "doc_id",
+            F.length(payload).alias("payload_bytes"),
+            F.md5(F.col("text")).alias("payload_md5"),
+            F.col("lang").alias("modality_tag"),
+        )
+        .orderBy("doc_id")
+    )
