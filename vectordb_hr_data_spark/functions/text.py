@@ -105,6 +105,12 @@ def keyword_match_count(search_text: Column, keywords: list[str]) -> Column:
     return F.size(F.filter(kw_arr, lambda kw: F.instr(lowered, kw) > 0))
 
 
+def parse_list_input(raw: str) -> list[str]:
+    """Comma-split of user list input, dropping blanks (reference
+    ``main.py:87-88``, SURVEY.md A31) — driver-side scalar parsing."""
+    return [p.strip() for p in raw.split(",") if p.strip()]
+
+
 def contains_all(haystack: Column, needles: list[str]) -> Column:
     """``forall`` substring containment — the reference's conjunctive
     language filter (``talent_recommender.py:123-139``)."""

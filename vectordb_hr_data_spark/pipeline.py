@@ -43,6 +43,23 @@ def build_index(
     return unified
 
 
+def needs_rebuild(spark, index_path: str, employees: DataFrame, jobs: DataFrame) -> bool:
+    """The reference's freshness check (``vector_db.py:75-103``): rebuild
+    iff the stored row count differs from the distinct source-id count
+    (reference explicitly simplifies to count-compare, no id-set diff).
+    A missing/unreadable index always rebuilds."""
+    from pyspark.sql import functions as F
+
+    try:
+        stored = spark.read.parquet(index_path).count()
+    except Exception:
+        return True
+    src_ids = (
+        employees.select("id").unionByName(jobs.select("id")).filter(F.col("id").isNotNull())
+    )
+    return stored != src_ids.distinct().count()
+
+
 def score_index(index: DataFrame, query_vec: Sequence[float]) -> DataFrame:
     q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
     return index.withColumn("distance", V.l2sq(F.col("embedding"), q))

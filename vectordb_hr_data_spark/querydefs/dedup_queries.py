@@ -58,8 +58,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "neardup_ngram_jaccard",
     f"""
-WITH sh AS (
-  SELECT doc_id, {H.ddb_shingles('text')} AS shingles FROM documents
+WITH t AS (
+  SELECT doc_id, {H.ddb_tokens('text')} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {H.ddb_shingles('toks')} AS shingles FROM t
 ), blocked AS (
   SELECT doc_id, shingles, list_min(shingles) AS block_key FROM sh
 )
@@ -73,20 +75,28 @@ ORDER BY doc_id_1, doc_id_2
 )
 def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard ≥ 0.5 pairs, blocked on the lexicographic-min
-    shingle (single-hash MinHash blocking) — an equi-join, not a cross join."""
+    shingle (single-hash MinHash blocking) — an equi-join, not a cross join.
+
+    Shuffle discipline: the blocking self-join moves only (doc_id,
+    block_key) pairs; the (large) shingle arrays are re-attached to the few
+    surviving candidate pairs by id — each document's shingles cross the
+    wire per candidate reference, never per block row."""
     d = read_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.expr(H.spark_shingles("text")).alias("shingles"))
-    blocked = sh.withColumn("block_key", F.array_min("shingles"))
-    a, b = blocked.alias("a"), blocked.alias("b")
-    jac = F.expr(H.jaccard_sql_spark("a.shingles", "b.shingles"))
+    toks = d.select("doc_id", F.expr(H.spark_tokens("text")).alias("toks"))
+    sh = toks.select("doc_id", F.expr(H.spark_shingles("toks")).alias("shingles")).cache()
+    keys = sh.select("doc_id", F.array_min("shingles").alias("block_key"))
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = a.join(
+        b, (F.col("a.block_key") == F.col("b.block_key")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
+    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("shingles").alias("sh2"))
+    jac = F.expr(H.jaccard_sql_spark("sh1", "sh2"))
     return (
-        a.join(b, (F.col("a.block_key") == F.col("b.block_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        cand.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
         .filter(jac >= JACCARD_THRESHOLD)
-        .select(
-            F.col("a.doc_id").alias("doc_id_1"),
-            F.col("b.doc_id").alias("doc_id_2"),
-            F.round(jac, 4).alias("jaccard"),
-        )
+        .select("doc_id_1", "doc_id_2", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_id_1", "doc_id_2")
     )
 
@@ -106,8 +116,10 @@ def _minhash_lsh_oracle() -> str:
     band_cols = ", ".join(f"{k} AS band{b}" for b, k in enumerate(band_keys))
     band_match = " OR ".join(f"a.band{b} = b.band{b}" for b in range(H.N_BANDS))
     return f"""
-WITH sh AS (
-  SELECT doc_id, {H.ddb_shingles('text')} AS shingles FROM documents
+WITH t AS (
+  SELECT doc_id, {H.ddb_tokens('text')} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {H.ddb_shingles('toks')} AS shingles FROM t
 ), hashed AS (
   SELECT doc_id, shingles, {H.ddb_hash_array('shingles')} AS hashes FROM sh
 ), sig AS (
@@ -129,18 +141,21 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (explode bands → equi-join on (band_id, key) — the scalable
     plan), then exact-Jaccard verified at ≥ 0.5."""
     d = read_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.expr(H.spark_shingles("text")).alias("shingles"))
+    toks = d.select("doc_id", F.expr(H.spark_tokens("text")).alias("toks"))
+    sh = toks.select("doc_id", F.expr(H.spark_shingles("toks")).alias("shingles")).cache()
     hashed = sh.withColumn("hashes", F.expr(H.spark_hash_array("shingles")))
     sig = hashed.select(
         "doc_id",
-        "shingles",
         *[F.expr(e).alias(f"m{j}") for j, e in enumerate(H.spark_minhash_sig("hashes"))],
     )
     band_keys = [
         F.concat_ws(":", *[F.col(f"m{b * H.ROWS_PER_BAND + r}").cast("string") for r in range(H.ROWS_PER_BAND)])
         for b in range(H.N_BANDS)
     ]
-    banded = sig.select("doc_id", "shingles", F.posexplode(F.array(*band_keys)).alias("band_id", "band_key"))
+    # bands shuffle as small (doc_id, band_id, key) rows — shingle arrays
+    # rejoin only the surviving candidate pairs (same discipline as the
+    # jaccard query above)
+    banded = sig.select("doc_id", F.posexplode(F.array(*band_keys)).alias("band_id", "band_key"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -149,17 +164,16 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_id_1"),
-            F.col("b.doc_id").alias("doc_id_2"),
-            F.col("a.shingles").alias("sh1"),
-            F.col("b.shingles").alias("sh2"),
-        )
+        .select(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
         .dropDuplicates(["doc_id_1", "doc_id_2"])  # pairs can share several bands
     )
+    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("shingles").alias("sh2"))
     jac = F.expr(H.jaccard_sql_spark("sh1", "sh2"))
     return (
-        cand.filter(jac >= JACCARD_THRESHOLD)
+        cand.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_id_1", "doc_id_2", F.round(jac, 4).alias("jaccard"))
         .orderBy("doc_id_1", "doc_id_2")
     )

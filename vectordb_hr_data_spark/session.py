@@ -32,6 +32,9 @@ def get_spark(app_name: str = "vectordb_hr_data_spark", cpus: int | None = None)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # UDF batch width — the Spark knob behind the reference's 5000-row
+        # encode+upsert batching (reference config.py:24, SURVEY.md A13)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
         .config("spark.sql.parquet.filterPushdown", "true")
         # the driver's events.parquet stores ts as TIMESTAMP(NANOS), which
         # Spark only reads as raw int64; io.read_table converts to micros
