@@ -20,11 +20,12 @@ from vectordb_hr_data_spark import queries as _q
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the reference's core path —
-    exact squared-L2 top-k with over-fetch and 1-distance similarity."""
-    from vectordb_hr_data_spark.querydefs.vector_queries import knn_overfetch_similarity
+    """Flagship query on /root/testdata/sf0.001: the reference's whole query
+    path — text → embedding → exact top-k → 1-distance similarity — as one
+    declarative pipeline (ann_text_search)."""
+    from vectordb_hr_data_spark.querydefs.similarity_queries import ann_text_search
 
-    return knn_overfetch_similarity(spark, "/root/testdata/sf0.001")
+    return ann_text_search(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,78 @@
+"""Physical-plan audits: the properties that keep these queries viable at
+100 TB must be visible in the executed plan, not assumed.
+
+- filters reach the parquet scan (PushedFilters)
+- small dims broadcast (BroadcastHashJoin), the probe side never shuffles
+  for them
+- global top-k lowers to TakeOrderedAndProject (per-partition heaps, no
+  full sort)
+- a doc_type-partitioned index prunes partitions on the doc_type filter
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    from vectordb_hr_data_spark.querydefs.relational_queries import q6_forecast_revenue
+
+    plan = _plan(q6_forecast_revenue(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir):
+    from vectordb_hr_data_spark.querydefs.relational_queries import q3_shipping_priority
+
+    plan = _plan(q3_shipping_priority(spark, sf_dir))
+    # both joins broadcast the dim side; the fact side (lineitem) must
+    # never be shuffled for a join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    from vectordb_hr_data_spark.querydefs.similarity_queries import ann_text_search
+
+    plan = _plan(ann_text_search(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no standalone global sort node
+
+
+def test_column_pruning_reads_needed_columns_only(spark, sf_dir):
+    from vectordb_hr_data_spark.querydefs.vector_queries import knn_topk_l2sq
+
+    plan = _plan(knn_topk_l2sq(spark, sf_dir))
+    scan = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "embedding" in scan and "vec_id" in scan
+    assert "label" not in scan  # unused column must be pruned
+
+
+def test_doc_type_partition_pruning(spark, tmp_path):
+    """The written index is partitioned by doc_type; a doc_type equality
+    filter must prune at the source (the Spark form of the reference's
+    where={'doc_type': t} index-side filter)."""
+    from tests.test_hr_pipeline import _mk_corpus
+    from vectordb_hr_data_spark.pipeline import build_index
+    from vectordb_hr_data_spark.schemas import EMPLOYEE_SCHEMA, JOB_SCHEMA
+
+    emps, jobs = _mk_corpus()
+    out = str(tmp_path / "idx")
+    build_index(
+        spark.createDataFrame(emps, EMPLOYEE_SCHEMA),
+        spark.createDataFrame(jobs, JOB_SCHEMA),
+        out_path=out,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(out).filter(F.col("doc_type") == "employee").select("id")
+    plan = _plan(df)
+    # partition filter shows up as PartitionFilters on the scan
+    assert "PartitionFilters" in plan
+    section = plan.split("PartitionFilters:")[1][:200]
+    assert "doc_type" in section

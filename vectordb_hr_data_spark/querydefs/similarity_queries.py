@@ -157,6 +157,71 @@ def embed_documents_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# flagship composite: text query → portable embedding → kNN over embedded
+# documents — the reference's whole query path (A9→A12→A18→A19→A29→A30) as
+# one oracle-checked pipeline
+# --------------------------------------------------------------------------
+QUERY_TEXT = "spark join query stream"
+
+
+def _poly_hash_py(text: str) -> int:
+    acc = 0
+    for ch in text:
+        acc = (acc * 31 + ord(ch)) % H.P
+    return acc
+
+
+def _poly_dims_py(text: str) -> list[float]:
+    h = _poly_hash_py(text)
+    return [
+        (((h * a + b) % H.P) / H.P) * 2 - 1
+        for a, b in zip(H.MINHASH_A[:EMBED_DIM], H.MINHASH_B[:EMBED_DIM])
+    ]
+
+
+def _ann_text_oracle() -> str:
+    q = _poly_dims_py(QUERY_TEXT)
+    terms = " + ".join(
+        f"power((CAST((h * {a} + {b}) % {H.P} AS DOUBLE) / {H.P}) * 2 - 1 - ({qj!r}), 2)"
+        for (a, b), qj in zip(zip(H.MINHASH_A[:EMBED_DIM], H.MINHASH_B[:EMBED_DIM]), q)
+    )
+    return f"""
+WITH h AS (SELECT doc_id, {H.ddb_str_hash('text')} AS h FROM documents)
+SELECT doc_id, round({terms}, {_ROUND}) AS distance,
+       round(1.0 - ({terms}), {_ROUND}) AS similarity
+FROM h
+ORDER BY distance, doc_id
+LIMIT 10
+"""
+
+
+@register("ann_text_search", _ann_text_oracle())
+def ann_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end text similarity search: embed the corpus (portable
+    text→vector pipeline), embed the query driver-side with the identical
+    arithmetic (the reference also encodes the query on the driver,
+    talent_recommender.py:26), exact top-10 + the reference's 1-distance
+    similarity. One narrow map over the scan + TakeOrderedAndProject."""
+    d = read_table(spark, sf_dir, "documents")
+    h = d.select("doc_id", F.expr(H.spark_str_hash("text")).alias("h"))
+    q = _poly_dims_py(QUERY_TEXT)
+    dist = None
+    for (a, b), qj in zip(zip(H.MINHASH_A[:EMBED_DIM], H.MINHASH_B[:EMBED_DIM]), q):
+        dim = (((F.col("h") * a + b) % H.P).cast("double") / H.P) * 2 - 1
+        term = F.pow(dim - qj, F.lit(2))
+        dist = term if dist is None else dist + term
+    return (
+        h.select(
+            "doc_id",
+            F.round(dist, _ROUND).alias("distance"),
+            F.round(F.lit(1.0) - dist, _ROUND).alias("similarity"),
+        )
+        .orderBy(F.col("distance").asc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
 # multimodal plumbing: binary payload + typed metadata (B8)
 # --------------------------------------------------------------------------
 @register(
