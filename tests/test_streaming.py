@@ -39,6 +39,40 @@ def test_streaming_tumbling_matches_batch(spark, events_dir):
     assert got == want and len(got) > 0
 
 
+def test_stateful_running_totals(spark, events_dir):
+    """applyInPandasWithState carries per-user state across micro-batches;
+    the LAST emitted row per user must equal the batch per-user totals."""
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        read_events_stream,
+        run_to_completion,
+        running_user_totals_stream,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    out = run_to_completion(running_user_totals_stream(stream), "stateful_smoke", output_mode="update")
+    # in update mode the sink accumulates one row per user per micro-batch
+    # that touched them; the final state is the row with the max n_events
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    final = (
+        out.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in final.collect()}
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("t"))
+    )
+    want = {r["user_id"]: (r["n"], r["t"]) for r in batch.collect()}
+    assert set(got) == set(want)
+    for uid in want:
+        assert got[uid][0] == want[uid][0]
+        assert abs(got[uid][1] - want[uid][1]) < 0.05  # float accumulation tolerance
+
+
 def test_streaming_sessionize_runs(spark, events_dir):
     from vectordb_hr_data_spark.streaming.stream_ops import (
         read_events_stream,

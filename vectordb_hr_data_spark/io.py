@@ -67,6 +67,17 @@ def read_hr_json(spark: SparkSession, path: str, key: str, schema) -> DataFrame:
         return spark.createDataFrame([], schema)
 
 
+def register_index_table(spark: SparkSession, name: str, path: str) -> None:
+    """Collection DDL (SURVEY.md A15): expose a stored index as a catalog
+    table/view — the Spark analogue of get_or_create_collection."""
+    spark.read.parquet(path).createOrReplaceTempView(name)
+
+
+def drop_index_table(spark: SparkSession, name: str) -> bool:
+    """delete_collection analogue; True if the view existed."""
+    return spark.catalog.dropTempView(name)
+
+
 def write_index(df: DataFrame, path: str, partition_by: str = "doc_type") -> None:
     """Index sink: last-wins-by-id dedup then partitioned parquet overwrite.
 

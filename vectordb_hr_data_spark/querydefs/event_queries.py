@@ -170,6 +170,48 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_type_counts_salted",
+    """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
+       CAST(max(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_type_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient aggregation (operators/skew.py): event_type is a
+    5-value hot-key domain — the salted two-phase plan scatters each key
+    over 16 sub-keys before combining, and must produce EXACTLY the plain
+    groupBy result (the oracle is the plain SQL)."""
+    from ..operators.skew import salted_agg
+
+    ev = read_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": (F.count("*"), F.sum("n_events")),
+            "total_value": (F.sum(dec), F.sum("total_value")),
+            "max_value": (F.max(dec), F.max("max_value")),
+        },
+        n_salts=16,
+    )
+    return (
+        out.select(
+            "event_type",
+            "n_events",
+            F.col("total_value").cast("decimal(38,2)").alias("total_value"),
+            F.col("max_value").cast("decimal(18,2)").alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "events_user_daily_activity",
     """
 WITH d AS (

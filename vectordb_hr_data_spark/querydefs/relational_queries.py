@@ -353,6 +353,83 @@ def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# scalar-function breadth: string expression showcase over part
+# --------------------------------------------------------------------------
+@register(
+    "string_functions_showcase",
+    """
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       lower(p_type) AS type_lower,
+       length(p_name) AS name_len,
+       substr(p_name, 1, 10) AS name_prefix,
+       replace(p_type, ' ', '_') AS type_snake,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+       strpos(p_type, 'BRUSHED') AS brushed_pos,
+       CASE WHEN p_type LIKE '%STEEL%' THEN 'steel' ELSE 'other' END AS material,
+       split_part(p_type, ' ', 1) AS type_head,
+       reverse(p_brand) AS brand_rev,
+       trim(concat('  ', p_name, '  ')) AS name_trimmed
+FROM part
+ORDER BY p_partkey
+""",
+)
+def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function coverage (upper/lower/length/substr/replace/
+    lpad/instr/like/split/reverse/trim) — the §2 checklist's scalar family
+    on one shared table."""
+    p = read_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.lower("p_type").alias("type_lower"),
+            F.length("p_name").alias("name_len"),
+            F.substring("p_name", 1, 10).alias("name_prefix"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+            F.instr(F.col("p_type"), "BRUSHED").alias("brushed_pos"),
+            F.when(F.col("p_type").like("%STEEL%"), F.lit("steel")).otherwise("other").alias("material"),
+            F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+            F.reverse(F.col("p_brand")).alias("brand_rev"),
+            F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trimmed"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# date/time extraction aggregation
+# --------------------------------------------------------------------------
+@register(
+    "orders_by_year_month",
+    """
+SELECT CAST(date_part('year', o_orderdate) AS INT) AS order_year,
+       CAST(date_part('month', o_orderdate) AS INT) AS order_month,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_revenue
+FROM orders
+GROUP BY 1, 2
+ORDER BY order_year, order_month
+""",
+)
+def orders_by_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + grouped aggregation (year/month rollup)."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("decimal(38,2)").alias("total_revenue"),
+        )
+        .orderBy("order_year", "order_month")
+    )
+
+
+# --------------------------------------------------------------------------
 # distinct aggregation: exact countDistinct per group
 # --------------------------------------------------------------------------
 @register(

@@ -159,6 +159,58 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "top_bigrams_per_lang",
+    """
+WITH t AS (
+  SELECT lang, string_split(text, ' ') AS toks FROM documents
+), grams AS (
+  SELECT lang, unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+         i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])) AS bigram
+  FROM t
+), counted AS (
+  SELECT lang, bigram, count(*) AS n FROM grams WHERE bigram IS NOT NULL GROUP BY lang, bigram
+), ranked AS (
+  SELECT lang, bigram, n, row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rn
+  FROM counted
+)
+SELECT lang, bigram, n, rn FROM ranked WHERE rn <= 5
+ORDER BY lang, rn
+""",
+)
+def top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 n-gram analytics: explode word bigrams, count per (lang, bigram),
+    top-5 per language via window rank. At scale the groupBy is a uniform
+    hash shuffle with map-side partial counts; the window works on the
+    already-tiny counted relation.
+
+    Dialect note: Spark's try_element_at past the end yields NULL and
+    concat_ws('x', NULL, NULL) = 'x'-joined non-nulls, while DuckDB's ||
+    propagates NULL — so the last-position bigram is built with explicit
+    concat semantics (NULL when either side is NULL) to agree with the
+    oracle."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.split(F.col("text"), " ").alias("toks"))
+    grams = toks.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 1, 1)),"
+                " i -> concat(try_element_at(toks, i), ' ', try_element_at(toks, i + 1)))"
+            )
+        ).alias("bigram"),
+    ).filter(F.col("bigram").isNotNull())
+    counted = grams.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("lang", "rn")
+    )
+
+
+@register(
     "doc_fingerprint",
     f"""
 SELECT doc_id,
