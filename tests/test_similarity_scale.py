@@ -49,10 +49,14 @@ def test_minhash_lsh_finds_planted_neardups(spark, sf_dir):
         (r["doc_id_1"], r["doc_id_2"]) for r in neardup_ngram_jaccard(spark, sf_dir).collect()
     }
     docs = read_table(spark, sf_dir, "documents")
-    got = minhash_similarity_join(docs, threshold=0.6)
+    got = minhash_similarity_join(docs, threshold=0.5)
     got_pairs = {(r["id_1"], r["id_2"]) for r in got.collect()}
     missing = exact_pairs - got_pairs
     assert len(missing) <= max(1, len(exact_pairs) // 5), f"LSH missed too many: {missing}"
+    # shingle-set granularity: the join must not degenerate into
+    # "everything matches everything" (the token-set failure mode)
+    n_docs = docs.count()
+    assert len(got_pairs) < n_docs * 5
 
 
 def test_multimodal_feature_extraction(spark):

@@ -12,7 +12,7 @@ these are the throughput path when even IVF's probe cost is too high.
 
 from __future__ import annotations
 
-from pyspark.ml.feature import BucketedRandomProjectionLSH, CountVectorizer, MinHashLSH
+from pyspark.ml.feature import BucketedRandomProjectionLSH, CountVectorizer, MinHashLSH, NGram
 from pyspark.ml.functions import array_to_vector
 
 from pyspark.sql import DataFrame
@@ -75,14 +75,21 @@ def minhash_similarity_join(
     text_col: str = "text",
     threshold: float = 0.5,
     num_tables: int = 8,
-    vocab_size: int = 1 << 16,
+    vocab_size: int = 1 << 18,
+    shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHashLSH Jaccard join over token-count vectors (binary=True makes
-    them set-semantics). Returns (id_1, id_2, jaccard_dist) pairs with
-    distance ≤ threshold."""
+    """MinHashLSH Jaccard join over word n-gram SHINGLE sets (binary
+    CountVectorizer = set semantics). Token-level sets are far too coarse
+    for near-dup on small-vocabulary corpora (nearly every pair shares the
+    token set); shingles carry word order, matching the exact
+    neardup_ngram_jaccard operator. Returns (id_1, id_2, jaccard_dist)
+    pairs with distance ≤ threshold."""
     toks = docs.select(id_col, F.split(F.col(text_col), " ").alias("toks"))
-    cv = CountVectorizer(inputCol="toks", outputCol="features", vocabSize=vocab_size, binary=True).fit(toks)
-    vecs = cv.transform(toks)
+    sh = NGram(n=shingle_n, inputCol="toks", outputCol="shingles").transform(toks)
+    cv = CountVectorizer(
+        inputCol="shingles", outputCol="features", vocabSize=vocab_size, binary=True
+    ).fit(sh)
+    vecs = cv.transform(sh)
     model = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=42).fit(vecs)
     joined = model.approxSimilarityJoin(vecs, vecs, threshold, distCol="jaccard_dist")
     return (

@@ -132,7 +132,7 @@ def _poly_embed_oracle() -> str:
         for j, (a, b) in enumerate(zip(H.MINHASH_A[:EMBED_DIM], H.MINHASH_B[:EMBED_DIM]))
     )
     return f"""
-WITH h AS (SELECT doc_id, {H.ddb_str_hash('text')} AS h FROM documents)
+WITH h AS (SELECT doc_id, {H.ddb_str_hash_fast('text')} AS h FROM documents)
 SELECT doc_id, {dims}
 FROM h
 ORDER BY doc_id
@@ -146,7 +146,7 @@ def embed_documents_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     same plumbing — text in, per-dimension floats out — with portable
     integer arithmetic so DuckDB reproduces every value)."""
     d = read_table(spark, sf_dir, "documents")
-    h = d.select("doc_id", F.expr(H.spark_str_hash("text")).alias("h"))
+    h = d.select("doc_id", F.expr(H.spark_str_hash_fast("text")).alias("h"))
     dims = [
         F.round(
             (((F.col("h") * a + b) % H.P).cast("double") / H.P) * 2 - 1, 6
@@ -165,10 +165,10 @@ QUERY_TEXT = "spark join query stream"
 
 
 def _poly_hash_py(text: str) -> int:
-    acc = 0
-    for ch in text:
-        acc = (acc * 31 + ord(ch)) % H.P
-    return acc
+    """Driver-side twin of texthash's fast md5-prefix hash."""
+    import hashlib
+
+    return int(hashlib.md5(text.encode("utf-8")).hexdigest()[:8], 16)
 
 
 def _poly_dims_py(text: str) -> list[float]:
@@ -186,7 +186,7 @@ def _ann_text_oracle() -> str:
         for (a, b), qj in zip(zip(H.MINHASH_A[:EMBED_DIM], H.MINHASH_B[:EMBED_DIM]), q)
     )
     return f"""
-WITH h AS (SELECT doc_id, {H.ddb_str_hash('text')} AS h FROM documents)
+WITH h AS (SELECT doc_id, {H.ddb_str_hash_fast('text')} AS h FROM documents)
 SELECT doc_id, round({terms}, {_ROUND}) AS distance,
        round(1.0 - ({terms}), {_ROUND}) AS similarity
 FROM h
@@ -203,7 +203,7 @@ def ann_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     talent_recommender.py:26), exact top-10 + the reference's 1-distance
     similarity. One narrow map over the scan + TakeOrderedAndProject."""
     d = read_table(spark, sf_dir, "documents")
-    h = d.select("doc_id", F.expr(H.spark_str_hash("text")).alias("h"))
+    h = d.select("doc_id", F.expr(H.spark_str_hash_fast("text")).alias("h"))
     q = _poly_dims_py(QUERY_TEXT)
     dist = None
     for (a, b), qj in zip(zip(H.MINHASH_A[:EMBED_DIM], H.MINHASH_B[:EMBED_DIM]), q):
