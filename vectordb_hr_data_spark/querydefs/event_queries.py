@@ -170,6 +170,54 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_last_purchase",
+    """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         last_value(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END IGNORE NULLS)
+             OVER w AS last_purchase_value,
+         last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+             OVER w AS last_purchase_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, ts, last_purchase_ts, last_purchase_value
+FROM ordered
+WHERE event_type = 'click' AND user_id <= 30
+ORDER BY user_id, event_id
+""",
+)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — guide: 'bucketize or window'):
+    for every click, the user's most recent purchase at-or-before it,
+    expressed as last_value(... IGNORE NULLS) over the interleaved event
+    stream — one shuffle on user_id, no join at all. The classic
+    time-series enrichment at scale."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("user_id") <= 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value").cast("decimal(18,2)"))
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    enriched = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
+        F.last(purchase_ts, ignorenulls=True).over(w).alias("last_purchase_ts"),
+    )
+    return (
+        enriched.filter(F.col("event_type") == "click")
+        .select("user_id", "event_id", "ts", "last_purchase_ts", "last_purchase_value")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
     "events_type_counts_salted",
     """
 SELECT event_type,

@@ -211,6 +211,48 @@ def top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_hash_split",
+    """
+WITH s AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM s
+GROUP BY 1
+ORDER BY split
+""",
+)
+def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test splitting by content-stable hash
+    (80/10/10) — the reproducible-split primitive every training-data
+    pipeline needs; rows never migrate between splits as the corpus grows
+    because the bucket depends only on the row key."""
+    d = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.expr("cast(conv(substring(md5(concat(cast(doc_id as string), ':split')), 1, 8), 16, 10) as bigint)")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test").alias("split")
+    )
+    return (
+        d.select(split, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
     "doc_fingerprint",
     f"""
 SELECT doc_id,
