@@ -67,6 +67,42 @@ def read_hr_json(spark: SparkSession, path: str, key: str, schema) -> DataFrame:
         return spark.createDataFrame([], schema)
 
 
+def merge_upsert(spark: SparkSession, path: str, updates: DataFrame, key: str = "id") -> None:
+    """Incremental last-wins upsert into a parquet dataset without Delta
+    (guide: 'MERGE INTO … emulate with anti-join + union'): keep existing
+    rows whose key is NOT in the update set (left_anti), union the updates,
+    rewrite. Matches the reference's ``collection.upsert`` semantics
+    (``vector_db.py:163-168``) — new keys insert, existing keys are
+    replaced by the update row. With Delta on the classpath this becomes a
+    real MERGE INTO and avoids the full rewrite."""
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        updates.write.mode("overwrite").parquet(path)
+        return
+    kept = existing.join(updates.select(key).distinct(), key, "left_anti")
+    merged = kept.unionByName(updates, allowMissingColumns=True)
+    # self-overwrite requires a materialization barrier with plain parquet
+    staging = path.rstrip("/") + "._staging"
+    merged.write.mode("overwrite").parquet(staging)
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.move(staging, path)
+
+
+def write_bucketed_table(
+    df: DataFrame, name: str, bucket_col: str, n_buckets: int = 8, sort_col: str | None = None
+) -> None:
+    """Bucketed managed table: pre-shuffles once at write so later joins /
+    aggregations on ``bucket_col`` between co-bucketed tables need NO
+    exchange (the cluster-scale answer to repeated fact-fact joins)."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(name)
+
+
 def register_index_table(spark: SparkSession, name: str, path: str) -> None:
     """Collection DDL (SURVEY.md A15): expose a stored index as a catalog
     table/view — the Spark analogue of get_or_create_collection."""
