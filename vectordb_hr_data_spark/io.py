@@ -42,6 +42,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """CSV source with an explicit schema (never inferSchema in production —
+    inference is a second full scan and type-unstable)."""
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (columnar, pushdown-capable like parquet)."""
+    return spark.read.orc(path)
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> None:
     """Register every testdata table as a temp view for the SQL API."""
     for name in tables:
