@@ -86,8 +86,11 @@ def minhash_similarity_join(
     pairs with distance ≤ threshold."""
     toks = docs.select(id_col, F.split(F.col(text_col), " ").alias("toks"))
     sh = NGram(n=shingle_n, inputCol="toks", outputCol="shingles").transform(toks)
+    # minDF=2: a shingle seen in one document can never produce a candidate
+    # pair, so pruning singletons shrinks the vocab/vectors for free (it
+    # only nudges pair distances by removing per-doc-unique union mass)
     cv = CountVectorizer(
-        inputCol="shingles", outputCol="features", vocabSize=vocab_size, binary=True
+        inputCol="shingles", outputCol="features", vocabSize=vocab_size, binary=True, minDF=2.0
     ).fit(sh)
     vecs = cv.transform(sh)
     model = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=42).fit(vecs)
