@@ -93,6 +93,55 @@ def test_multimodal_feature_extraction(spark):
     assert (resized[4]["target_width"], resized[4]["target_height"]) == (10, 10)
 
 
+def test_frame_sampling(spark):
+    from vectordb_hr_data_spark.sources.multimodal import MEDIA_SCHEMA, sample_frames
+
+    rows = [
+        (1, "video", b"vid-a", "video/mp4", 1920, 1080, 45_000),
+        (2, "image", b"img-b", "image/png", 100, 100, None),
+        (3, "video", b"vid-c", "video/mp4", 640, 480, 9_999),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sample_frames(media, stride_ms=10_000).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert len(by_media[1]) == 5  # 0,10,20,30,40s
+    assert [r["frame_ts_ms"] for r in sorted(by_media[1], key=lambda r: r["frame_idx"])] == [
+        0, 10_000, 20_000, 30_000, 40_000,
+    ]
+    assert len(by_media[2]) == 1 and by_media[2][0]["frame_ts_ms"] == 0
+    assert len(by_media[3]) == 1  # sub-stride video → single frame
+    # distinct frames of the same video get distinct features
+    f1 = sorted(by_media[1], key=lambda r: r["frame_idx"])
+    assert f1[0]["frame_feature"] != f1[1]["frame_feature"]
+    assert all(len(r["frame_feature"]) == 16 for r in frames)
+
+
+def test_dedup_keep_canonical(spark, sf_dir):
+    """End-to-end dedup: pairs → components → canonical survivors; losers
+    are exactly the non-canonical members of each component."""
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.operators.components import dedup_keep_canonical
+    from vectordb_hr_data_spark.querydefs.dedup_queries import neardup_ngram_jaccard
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = neardup_ngram_jaccard(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    kept = dedup_keep_canonical(docs, pairs)
+    n_docs, n_kept = docs.count(), kept.count()
+    comps = {}
+    from vectordb_hr_data_spark.operators.components import connected_components
+
+    for r in connected_components(pairs, "doc_id_1", "doc_id_2").collect():
+        comps.setdefault(r["comp"], []).append(r["node"])
+    n_losers = sum(len(v) - 1 for v in comps.values())
+    assert n_kept == n_docs - n_losers
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    for comp, members in comps.items():
+        assert min(members) in kept_ids
+        assert all(m not in kept_ids for m in members if m != min(members))
+
+
 def test_deterministic_embedder_udf(spark):
     from vectordb_hr_data_spark.embed import _hash_vec, deterministic_embedder
 

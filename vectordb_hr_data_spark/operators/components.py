@@ -1,0 +1,68 @@
+"""Connected components over a pair/edge relation — the clustering step of
+an LLM-corpus dedup pipeline (SURVEY.md B2: "MinHash-LSH +
+approxSimilarityJoin + connected components"): near-dup PAIRS become
+duplicate GROUPS, and each group keeps one canonical document.
+
+Algorithm: iterative min-label propagation on DataFrames. Each round every
+node takes the minimum label among itself and its neighbours; convergence
+in O(component diameter) rounds. Near-dup graphs are overwhelmingly tiny
+cliques/chains (diameter ≤ ~3), so a handful of rounds suffice even at
+corpus scale; each round is one shuffle on the edge key. (GraphFrames'
+big-graph CC is the same idea with large-diameter optimizations — not on
+this classpath, and unnecessary for dedup graphs.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component id = the
+    minimum node id reachable (deterministic canonical representative)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
+
+    for _ in range(max_iter):
+        # each node's candidate label: min over neighbours' current labels
+        neighbor_min = (
+            sym.join(labels, sym.a == labels.node)
+            .groupBy(F.col("b").alias("node2"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.comp") != F.col("l.comp"))
+            .count()
+        )
+        labels = updated.localCheckpoint(eager=True)  # cut the growing lineage
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Full dedup: docs in a component keep only the canonical (min-id) row;
+    docs in no pair survive untouched. The anti-join + union shape keeps
+    the untouched majority of a 100 TB corpus entirely shuffle-free."""
+    comps = connected_components(pairs, "doc_id_1", "doc_id_2")
+    losers = comps.filter(F.col("node") != F.col("comp")).select(F.col("node").alias(id_col))
+    return docs.join(losers, id_col, "left_anti")

@@ -180,6 +180,56 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# connected components over the near-dup pair graph → dedup groups
+# --------------------------------------------------------------------------
+def _components_oracle() -> str:
+    pairs_sql = f"""
+WITH t AS (
+  SELECT doc_id, {H.ddb_tokens('text')} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {H.ddb_shingles('toks')} AS shingles FROM t
+), blocked AS (
+  SELECT doc_id, shingles, list_min(shingles) AS block_key FROM sh
+), pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM blocked a JOIN blocked b
+    ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+  WHERE {H.jaccard_sql_ddb('a.shingles', 'b.shingles')} >= {JACCARD_THRESHOLD}
+)"""
+    return f"""
+{pairs_sql},
+sym AS (
+  SELECT src AS a, dst AS b FROM pairs UNION SELECT dst, src FROM pairs
+),
+reach AS (
+  SELECT a, a AS b FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT a AS doc_id, min(b) AS component_id
+FROM reach
+GROUP BY a
+ORDER BY doc_id
+"""
+
+
+@register("neardup_components", "WITH RECURSIVE " + _components_oracle().lstrip().removeprefix("WITH "))
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2's final step: near-dup pairs → duplicate groups via iterative
+    min-label propagation (operators/components.py); component_id is the
+    canonical (minimum) doc_id. The oracle computes the same closure with
+    a recursive CTE."""
+    from ..operators.components import connected_components
+
+    pairs = neardup_ngram_jaccard(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    comps = connected_components(pairs, "doc_id_1", "doc_id_2")
+    return (
+        comps.select(F.col("node").alias("doc_id"), F.col("comp").alias("component_id"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash: per-document 32-bit signature
 # --------------------------------------------------------------------------
 @register(

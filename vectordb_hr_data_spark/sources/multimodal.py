@@ -86,6 +86,44 @@ def extract_features(media: DataFrame, frame_stride: int = 10, fake_decode: bool
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = "media_id long, frame_idx int, frame_ts_ms int, frame_feature array<float>"
+
+
+def sample_frames(media: DataFrame, stride_ms: int = 10_000, fake_decode: bool = True) -> DataFrame:
+    """Frame sampling: explode each video row into one row per sampled
+    frame (every ``stride_ms``) with a per-frame feature — the
+    one-media-row → many-frame-rows shape a video training pipeline feeds
+    to a frame encoder. Non-video rows emit a single frame at t=0.
+
+    The per-frame "decode" hashes (payload, frame_ts) through the
+    deterministic stub; a real decoder seeks the container instead — the
+    batch plumbing (Arrow in, exploded Arrow out) is identical.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_ts, out_feat = [], [], [], []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                duration = int(r["duration_ms"] or 0) if r["modality"] == "video" else 0
+                ts_points = list(range(0, duration + 1, stride_ms)) if duration else [0]
+                for i, ts in enumerate(ts_points):
+                    out_id.append(r["media_id"])
+                    out_idx.append(i)
+                    out_ts.append(ts)
+                    out_feat.append(decode_image(payload + ts.to_bytes(4, "big"), fake=fake_decode))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out_id, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "frame_ts_ms": pd.Series(out_ts, dtype="int32"),
+                    "frame_feature": out_feat,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def resize_metadata(media: DataFrame, max_side: int = 256) -> DataFrame:
     """Pure-expression resize bookkeeping: target dimensions preserving
     aspect ratio — the catalog-side half of a resize stage (the pixel op
