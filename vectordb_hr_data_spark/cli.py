@@ -16,14 +16,18 @@ import argparse
 
 
 def main(argv: list[str] | None = None) -> int:
+    from . import config
+
     ap = argparse.ArgumentParser(description="HR talent / job recommender (Spark)")
     ap.add_argument("--data", required=True, help="integrated hr_data.json path")
-    ap.add_argument("--index", default="/tmp/hr_index_parquet", help="index dataset path")
-    ap.add_argument("--query", default="소프트웨어 개발 프로젝트")
+    ap.add_argument(
+        "--index", default=f"/tmp/{config.DEFAULT_INDEX_NAME}", help="index dataset path"
+    )
+    ap.add_argument("--query", default="소프트웨어 개발 프로젝트")  # reference default, main.py:80
     ap.add_argument("--department", default=None)
     ap.add_argument("--languages", default=None, help='comma list, e.g. "영어, 일본어"')
     ap.add_argument("--type", dest="doc_type", choices=["employee", "job"], default=None)
-    ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--k", type=int, default=config.DEFAULT_NUM_RESULTS)
     ap.add_argument("--dim", type=int, default=64, help="embedding dim (hash embedder)")
     args = ap.parse_args(argv)
 
