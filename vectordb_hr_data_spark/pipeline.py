@@ -60,7 +60,14 @@ def needs_rebuild(spark, index_path: str, employees: DataFrame, jobs: DataFrame)
     return stored != src_ids.distinct().count()
 
 
-def score_index(index: DataFrame, query_vec: Sequence[float]) -> DataFrame:
+def score_index(index: DataFrame, query_vec: Sequence[float], arrow: bool | None = None) -> DataFrame:
+    """Distance column over the index. High dimensions (≥128) default to
+    the Arrow/numpy scorer (~10× the expression form at dim 384); low
+    dimensions stay JVM-side where the Python boundary isn't worth it."""
+    if arrow is None:
+        arrow = len(list(query_vec)) >= 128
+    if arrow:
+        return index.withColumn("distance", V.l2sq_arrow(query_vec)(F.col("embedding")))
     q = F.lit([float(x) for x in query_vec])  # single array literal: ~4x faster to analyze/codegen than a wide F.array(...) tree
     return index.withColumn("distance", V.l2sq(F.col("embedding"), q))
 
