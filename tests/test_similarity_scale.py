@@ -142,6 +142,28 @@ def test_dedup_keep_canonical(spark, sf_dir):
         assert all(m not in kept_ids for m in members if m != min(members))
 
 
+def test_tfidf_top_terms(spark, sf_dir):
+    """MLlib TF-IDF pipeline: k terms max per doc, weights positive and
+    descending, terms drawn from the document itself."""
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.operators.textml import fit_tfidf, top_terms_per_doc
+    from pyspark.sql import functions as F
+
+    d = read_table(spark, sf_dir, "documents")
+    model = fit_tfidf(d)
+    out = top_terms_per_doc(d.filter(F.col("doc_id") < 20), model, k=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    texts = {r["doc_id"]: r["text"] for r in d.filter(F.col("doc_id") < 20).collect()}
+    assert 0 < len(by_doc) <= 20
+    for doc_id, rows in by_doc.items():
+        assert len(rows) <= 3
+        assert all(r["tfidf"] > 0 for r in rows)
+        for r in rows:
+            assert r["term"] in texts[doc_id].split()
+
+
 def test_deterministic_embedder_udf(spark):
     from vectordb_hr_data_spark.embed import _hash_vec, deterministic_embedder
 

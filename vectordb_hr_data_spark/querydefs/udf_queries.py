@@ -77,6 +77,21 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media, fake_decode=True).orderBy("media_id")
 
 
+@register("tfidf_top_terms", None)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6: MLlib TF-IDF pipeline (RegexTokenizer → StopWordsRemover →
+    CountVectorizer → IDF) + top-3 weighted terms per document for the
+    first 50 docs (deterministic — no sampling anywhere)."""
+    from ..operators.textml import fit_tfidf, top_terms_per_doc
+
+    d = read_table(spark, sf_dir, "documents")
+    model = fit_tfidf(d)
+    return (
+        top_terms_per_doc(d.filter(F.col("doc_id") < 50), model, k=3)
+        .orderBy("doc_id", F.col("tfidf").desc(), "term")
+    )
+
+
 @register(
     "q1_pricing_summary_sql",
     """
