@@ -142,6 +142,25 @@ def test_dedup_keep_canonical(spark, sf_dir):
         assert all(m not in kept_ids for m in members if m != min(members))
 
 
+def test_cc_distributed_equals_driver_path(spark):
+    """The distributed min-label propagation and the driver union-find must
+    produce identical labelings (chain, clique, singleton-pair mix)."""
+    from vectordb_hr_data_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (20, 21), (21, 22), (20, 22), (30, 31)],
+        "src long, dst long",
+    )
+    drv = {(r["node"], r["comp"]) for r in connected_components(edges).collect()}
+    dist = {
+        (r["node"], r["comp"])
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert drv == dist
+    comp_of = dict(drv)
+    assert comp_of[4] == 1 and comp_of[22] == 20 and comp_of[11] == 10 and comp_of[31] == 30
+
+
 def test_tfidf_top_terms(spark, sf_dir):
     """MLlib TF-IDF pipeline: k terms max per doc, weights positive and
     descending, terms drawn from the document itself."""

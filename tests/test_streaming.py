@@ -73,6 +73,35 @@ def test_stateful_running_totals(spark, events_dir):
         assert abs(got[uid][1] - want[uid][1]) < 0.05  # float accumulation tolerance
 
 
+def test_stream_merge_into_parquet(spark, events_dir, tmp_path):
+    """foreachBatch MERGE sink: the final dataset equals the batch per-user
+    running totals — each micro-batch's update overwrote the previous one
+    (last-wins upsert), with no duplicate keys."""
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        read_events_stream,
+        running_user_totals_stream,
+        stream_merge_into,
+    )
+
+    target = str(tmp_path / "user_totals")
+    stream = read_events_stream(spark, events_dir)
+    stream_merge_into(running_user_totals_stream(stream), target, key="user_id")
+
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in spark.read.parquet(target).collect()}
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("t"))
+    )
+    want = {r["user_id"]: (r["n"], r["t"]) for r in batch.collect()}
+    assert set(got) == set(want)
+    for uid in want:
+        assert got[uid][0] == want[uid][0]
+        assert abs(got[uid][1] - want[uid][1]) < 0.05
+
+
 def test_streaming_sessionize_runs(spark, events_dir):
     from vectordb_hr_data_spark.streaming.stream_ops import (
         read_events_stream,

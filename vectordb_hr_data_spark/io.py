@@ -148,4 +148,8 @@ def write_index(df: DataFrame, path: str, partition_by: str = "doc_type") -> Non
         )
     else:
         deduped = df.dropDuplicates(["id"])
-    deduped.write.mode("overwrite").partitionBy(partition_by).parquet(path)
+    # sort by id within each doc_type partition: parquet row-group min/max
+    # stats then prune id point-lookups inside a partition
+    deduped.sortWithinPartitions(partition_by, "id").write.mode("overwrite").partitionBy(
+        partition_by
+    ).parquet(path)

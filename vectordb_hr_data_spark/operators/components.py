@@ -23,9 +23,38 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component id = the
-    minimum node id reachable (deterministic canonical representative)."""
+    minimum node id reachable (deterministic canonical representative).
+
+    Near-dup edge sets are usually tiny relative to the corpus (they are
+    the OUTPUT of LSH verification, not the corpus) — below
+    ``driver_threshold`` edges we collect and union-find on the driver in
+    one pass, exactly like collecting a top-k result; past it, the
+    distributed min-label propagation below takes over. Both produce the
+    identical min-id labeling."""
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        pairs = [(r[0], r[1]) for r in edges.select(src, dst).collect()]
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min so the root IS the canonical label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        return edges.sparkSession.createDataFrame(rows, "node long, comp long")
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

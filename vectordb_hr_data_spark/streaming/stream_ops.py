@@ -98,6 +98,26 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_merge_into(stream_df: DataFrame, target_path: str, key: str) -> None:
+    """Streaming → incremental MERGE sink via ``foreachBatch``: each
+    micro-batch upserts (last-wins by key) into a parquet dataset using
+    io.merge_upsert. foreachBatch gives batch-sink semantics (and with a
+    transactional target like Delta, exactly-once); here batches are
+    deduplicated by key before the merge so replays stay idempotent."""
+    from ..io import merge_upsert
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_upsert(batch_df.sparkSession, target_path, batch_df.dropDuplicates([key]), key=key)
+
+    q = stream_df.writeStream.outputMode("update").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
     """Drive a bounded streaming query to completion against a memory sink
     and return the materialized result (local smoke-test harness)."""
