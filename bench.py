@@ -21,8 +21,20 @@ def main() -> None:
     import vectordb_hr_data_spark.queries as Q
 
     spark = get_spark("bench", cpus=cpus)
-    # JVM/codegen warm-up so the first measured query isn't charged for it
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).count()
+    # JVM/codegen warm-up covering the machinery the first queries would
+    # otherwise absorb: scan, broadcast join, shuffle agg, sort
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(20000)
+    ss = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    (
+        li.join(F.broadcast(ss), li.l_suppkey == ss.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("l_quantity").alias("q"))
+        .orderBy(F.col("q").desc())
+        .limit(5)
+        .count()
+    )
 
     timings: dict[str, float] = {}
     total = 0.0
