@@ -63,6 +63,7 @@ for _mod_name in (
     "similarity_queries",
     "udf_queries",
     "subquery_queries",
+    "tpch_more_queries",
 ):
     try:
         _m = __import__(f"vectordb_hr_data_spark.querydefs.{_mod_name}", fromlist=[_mod_name])
