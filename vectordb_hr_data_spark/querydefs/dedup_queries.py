@@ -240,7 +240,7 @@ WITH t AS (
 ), hashed AS (
   SELECT doc_id, {H.ddb_hash_array('toks')} AS hashes FROM t
 )
-SELECT doc_id, {H.ddb_simhash('hashes')} AS simhash
+SELECT doc_id, CAST({H.ddb_simhash('hashes')} AS BIGINT) AS simhash
 FROM hashed
 ORDER BY doc_id
 """,

@@ -29,7 +29,7 @@ def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
         events.groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
@@ -41,7 +41,7 @@ def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2
 ORDER BY window_start, event_type
@@ -62,7 +62,7 @@ WITH b AS (
   FROM events
 )
 SELECT window_start, event_type, count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM b
 GROUP BY 1, 2
 ORDER BY window_start, event_type
@@ -77,7 +77,7 @@ def events_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
         .orderBy("window_start", "event_type")
@@ -99,14 +99,14 @@ WITH o AS (
                  THEN 1 ELSE 0 END AS is_new
   FROM o
 ), sessions AS (
-  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
        min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM sessions
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id
@@ -132,7 +132,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .orderBy("user_id", "session_id")
     )
@@ -143,7 +143,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        round(CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE) / count(*), 6) AS avg_k
 FROM events
 WHERE CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
@@ -174,8 +174,8 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH ordered AS (
   SELECT user_id, event_id, ts, event_type, value,
-         last_value(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END IGNORE NULLS)
-             OVER w AS last_purchase_value,
+         CAST(last_value(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END IGNORE NULLS)
+             OVER w AS DOUBLE) AS last_purchase_value,
          last_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
              OVER w AS last_purchase_ts
   FROM events
@@ -207,7 +207,7 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         "event_type",
-        F.last(purchase_val, ignorenulls=True).over(w).alias("last_purchase_value"),
+        F.last(purchase_val, ignorenulls=True).over(w).cast("double").alias("last_purchase_value"),
         F.last(purchase_ts, ignorenulls=True).over(w).alias("last_purchase_ts"),
     )
     return (
@@ -222,8 +222,8 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT event_type,
        count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
-       CAST(max(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -252,8 +252,8 @@ def events_type_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.select(
             "event_type",
             "n_events",
-            F.col("total_value").cast("decimal(38,2)").alias("total_value"),
-            F.col("max_value").cast("decimal(18,2)").alias("max_value"),
+            F.col("total_value").cast("double").alias("total_value"),
+            F.col("max_value").cast("double").alias("max_value"),
         )
         .orderBy("event_type")
     )
@@ -269,7 +269,7 @@ SELECT user_id, day,
        count(*) AS n_events,
        count(DISTINCT event_type) AS n_types,
        count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM d
 WHERE user_id <= 50
 GROUP BY user_id, day
@@ -286,7 +286,7 @@ def events_user_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.countDistinct("event_type").alias("n_types"),
             F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .orderBy("user_id", "day")
     )

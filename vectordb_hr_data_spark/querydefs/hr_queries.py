@@ -125,7 +125,7 @@ def hr_keyword_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select(
             "doc_id",
-            n.alias("n_matched"),
+            n.cast("long").alias("n_matched"),
             F.when(
                 n > 0,
                 F.concat(F.lit("프로젝트/업무 관련 키워드 "), n.cast("string"), F.lit("개 매칭")),

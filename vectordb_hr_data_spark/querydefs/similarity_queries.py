@@ -114,7 +114,7 @@ def batch_topk_many_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= TOPK_PER_QUERY)
         .orderBy("query_id", "rn")
     )
@@ -245,7 +245,7 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select(
             "doc_id",
-            F.length(payload).alias("payload_bytes"),
+            F.length(payload).cast("long").alias("payload_bytes"),
             F.md5(F.col("text")).alias("payload_md5"),
             F.col("lang").alias("modality_tag"),
         )

@@ -22,7 +22,7 @@ def _view(spark: SparkSession, sf_dir: str, name: str) -> str:
 @register(
     "q17_small_quantity_revenue",
     """
-SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 7.0 AS DECIMAL(38,6)) AS avg_yearly
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#1'
   AND l.l_quantity < (
@@ -37,7 +37,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, p = _view(spark, sf_dir, "lineitem"), _view(spark, sf_dir, "part")
     return spark.sql(
         f"""
-        SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 7.0 AS DECIMAL(38,6)) AS avg_yearly
+        SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
         FROM {li} l JOIN {p} p ON p.p_partkey = l.l_partkey
         WHERE p.p_brand = 'Brand#1'
           AND l.l_quantity < (
@@ -51,8 +51,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_volume_customers",
     """
 SELECT c.c_name, o.o_orderkey, o.o_orderdate,
-       CAST(o.o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
-       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+       o.o_totalprice,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE o.o_orderkey IN (
@@ -60,7 +60,7 @@ WHERE o.o_orderkey IN (
   HAVING sum(l_quantity) > 250
 )
 GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
-ORDER BY o_totalprice DESC, o_orderkey
+ORDER BY o.o_totalprice DESC, o_orderkey
 LIMIT 20
 """,
 )
@@ -74,8 +74,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT c.c_name, o.o_orderkey, o.o_orderdate,
-               CAST(o.o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
-               CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+               o.o_totalprice,
+               CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
         FROM {c} c JOIN {o} o ON c.c_custkey = o.o_custkey
         JOIN {li} l ON o.o_orderkey = l.l_orderkey
         WHERE o.o_orderkey IN (
@@ -83,7 +83,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
           HAVING sum(l_quantity) > 250
         )
         GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
-        ORDER BY o_totalprice DESC, o_orderkey
+        ORDER BY o.o_totalprice DESC, o_orderkey
         LIMIT 20
         """
     )
@@ -232,7 +232,7 @@ def q20_part_supply_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q2_cheapest_supplier_per_part",
     """
 SELECT p.p_partkey, s.s_name,
-       CAST(s.s_acctbal AS DECIMAL(18,2)) AS s_acctbal
+       s.s_acctbal
 FROM part p
 JOIN lineitem l ON l.l_partkey = p.p_partkey
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -255,7 +255,7 @@ def q2_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.sql(
         f"""
         SELECT p.p_partkey, s.s_name,
-               CAST(s.s_acctbal AS DECIMAL(18,2)) AS s_acctbal
+               s.s_acctbal
         FROM {p} p
         JOIN {li} l ON l.l_partkey = p.p_partkey
         JOIN {s} s ON s.s_suppkey = l.l_suppkey

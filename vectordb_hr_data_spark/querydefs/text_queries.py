@@ -46,8 +46,8 @@ def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select(
             "doc_id",
-            F.size(toks).alias("n_tokens"),
-            F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
             "n_chars",
         )
         .orderBy("doc_id")
@@ -93,7 +93,7 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select(
             "doc_id",
-            *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+            *[scores[lang].cast("long").alias(f"score_{lang}") for lang in LANG_MARKERS],
             pred.alias("predicted_lang"),
             "lang",
         )
@@ -136,7 +136,7 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
     m = d.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
         F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
         F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, v: a + v).alias("sum_len"),
@@ -204,7 +204,7 @@ def top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
     return (
-        counted.withColumn("rn", F.row_number().over(w))
+        counted.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
         .orderBy("lang", "rn")
     )

@@ -25,7 +25,7 @@ def _dec(c: str):
     """
 SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
        CAST(date_part('year', l.l_shipdate) AS INT) AS l_year,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
 JOIN nation ns ON ns.n_nationkey = s.s_nationkey
@@ -62,7 +62,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
             F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
-            .cast("decimal(38,4)")
+            .cast("double")
             .alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
@@ -73,8 +73,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_case_agg",
     """
 SELECT l.l_returnflag,
-       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
   AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
@@ -139,7 +139,7 @@ def q14_ratio_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_predicates",
     """
-SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 10)
    OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity >= 20)
@@ -159,7 +159,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.filter(cond).agg(
         F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
-        .cast("decimal(38,4)")
+        .cast("double")
         .alias("revenue")
     )
 
@@ -168,7 +168,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_rich_customers",
     """
 SELECT c.c_mktsegment, count(*) AS n_customers,
-       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
 FROM customer c
 WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -188,7 +188,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_customers"),
-            F.sum(_dec("c_acctbal")).cast("decimal(38,2)").alias("total_acctbal"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -198,7 +198,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items_top_customers",
     """
 SELECT c.c_custkey, c.c_name,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
        n.n_name
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -224,7 +224,7 @@ def q10_returned_items_top_customers(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
             F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
-            .cast("decimal(38,4)")
+            .cast("double")
             .alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "n_name")

@@ -98,7 +98,7 @@ SELECT e.vec_id,
              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
          / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
           * sqrt(list_sum(list_transform(q.qv,       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-       ), {_ROUND}) AS distance
+       ), {_ROUND}) + 0.0 AS distance
 FROM embeddings e, q
 ORDER BY distance, e.vec_id
 LIMIT 10
@@ -106,9 +106,14 @@ LIMIT 10
 )
 def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine-distance top-10 — the baseline metric for embedding near-dup
-    (Layer B); brute-force exact, same TakeOrderedAndProject shape."""
+    (Layer B); brute-force exact, same TakeOrderedAndProject shape.
+
+    The self-match distance is canonicalized with ``+ 0.0`` on BOTH sides:
+    DuckDB's ``round(1.0 - 1.0, 4)`` yields ``-0.0`` while Spark yields
+    ``0.0`` — same value, different bytes/str, hash mismatch (VERDICT r01)."""
     emb = read_table(spark, sf_dir, "embeddings")
-    return knn_topk(emb, _query_vec(spark, sf_dir), k=10, metric="cosine", round_to=_ROUND)
+    out = knn_topk(emb, _query_vec(spark, sf_dir), k=10, metric="cosine", round_to=_ROUND)
+    return out.withColumn("distance", F.col("distance") + F.lit(0.0))
 
 
 @register(

@@ -40,7 +40,9 @@ def windowed_counts_stream(events: DataFrame, width: str = "1 hour", watermark: 
         .groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+            # decimal-exact sum, DOUBLE at the output boundary — same rule as
+            # the batch twin (querydefs/event_queries.py, VERDICT r01 fix)
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
