@@ -189,6 +189,47 @@ def hr_overfetch_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hr_metadata_flatten",
+    """
+SELECT doc_id,
+       lang AS education_degree,
+       substr(text, 1, 10) AS education_school,
+       CAST(n_chars AS VARCHAR) AS education_graduation_year,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE array_to_string(string_split(text, ' '), ', ') END AS skills,
+       n_chars AS len_chars,
+       lang
+FROM documents
+ORDER BY doc_id
+""",
+)
+def hr_metadata_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6+A7+A8 through the REAL ``operators.hr.flatten_metadata``
+    (reference ``vector_db.py:29-42``): an hr-shaped frame is built from the
+    shared ``documents`` table — a struct ``education`` column (flattened to
+    prefixed strings incl. ``str(graduation_year)``), an array column with
+    NULL rows (", "-joined, NULL preserved), and scalar passthrough — so the
+    flatten rules get a full oracle hash check, not just pytest."""
+    from ..operators.hr import flatten_metadata
+
+    d = read_table(spark, sf_dir, "documents")
+    hr_shaped = d.select(
+        "doc_id",
+        F.struct(
+            F.col("lang").alias("degree"),
+            F.substring("text", 1, 10).alias("school"),
+            F.col("n_chars").alias("graduation_year"),
+        ).alias("education"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("array<string>"))
+        .otherwise(F.split(F.col("text"), " "))
+        .alias("skills"),
+        F.col("n_chars").alias("len_chars"),
+        "lang",
+    )
+    return flatten_metadata(hr_shaped).orderBy("doc_id")
+
+
+@register(
     "hr_doc_text_construction",
     """
 SELECT CAST(c_custkey AS VARCHAR) AS id,

@@ -90,34 +90,3 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_terms_per_doc(d.filter(F.col("doc_id") < 50), model, k=3)
         .orderBy("doc_id", F.col("tfidf").desc(), "term")
     )
-
-
-@register(
-    "q1_pricing_summary_sql",
-    """
-SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
-GROUP BY l_returnflag, l_linestatus
-ORDER BY l_returnflag, l_linestatus
-""",
-)
-def q1_pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SQL-API surface: identical Catalyst plan as the DataFrame form —
-    registered views + spark.sql (SURVEY.md §3.4)."""
-    from ..io import read_table
-
-    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-               count(*) AS count_order
-        FROM lineitem_v
-        WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
-        GROUP BY l_returnflag, l_linestatus
-        ORDER BY l_returnflag, l_linestatus
-        """
-    )
