@@ -1,0 +1,79 @@
+"""Regression tests for the ADVICE r01 robustness fixes: crash-safe
+merge_upsert swap, connected-components convergence guard, short-document
+shingle parity, zero-norm cosine guard."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from vectordb_hr_data_spark import io
+from vectordb_hr_data_spark.functions import texthash as H
+from vectordb_hr_data_spark.operators.components import ConvergenceError, connected_components
+from vectordb_hr_data_spark.operators.similarity import all_pairs_cosine
+
+
+def test_merge_upsert_recovers_from_leftover_old(spark, tmp_path):
+    """A crash between the two renames leaves path._old and no live dir; the
+    next merge must restore it and proceed (no data loss)."""
+    path = str(tmp_path / "ds")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").write.parquet(path)
+    # simulate a crash mid-swap: live dir renamed aside, staging never landed
+    os.rename(path, path + "._old")
+    updates = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    io.merge_upsert(spark, path, updates)
+    got = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    assert not os.path.exists(path + "._old")
+
+
+def test_merge_upsert_discards_stale_old_backup(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    spark.createDataFrame([(1, "new")], "id long, v string").write.parquet(path)
+    spark.createDataFrame([(1, "stale")], "id long, v string").write.parquet(path + "._old")
+    io.merge_upsert(spark, path, spark.createDataFrame([(2, "x")], "id long, v string"))
+    got = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "new"), (2, "x")}
+    assert not os.path.exists(path + "._old")
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A path graph of diameter 6 cannot converge in 2 rounds — the
+    distributed path must raise instead of returning partial labels."""
+    edges = spark.createDataFrame([(i, i + 1) for i in range(7)], "src long, dst long")
+    with pytest.raises(ConvergenceError):
+        connected_components(edges, max_iter=2, driver_threshold=0)
+
+
+def test_connected_components_distributed_converges_on_chain(spark):
+    edges = spark.createDataFrame([(i, i + 1) for i in range(7)], "src long, dst long")
+    out = connected_components(edges, max_iter=10, driver_threshold=0)
+    assert {(r.node, r.comp) for r in out.collect()} == {(i, 0) for i in range(8)}
+
+
+@pytest.mark.parametrize("text", ["one two", "one", "a b c", "a b c d"])
+def test_shingles_short_document_parity(spark, text):
+    """Spark and DuckDB shingle expressions agree even below n tokens
+    (whole document as the single shingle on both sides)."""
+    sdf = spark.createDataFrame([(text,)], "text string")
+    toks = sdf.select(F.expr(H.spark_tokens("text")).alias("toks"))
+    got = toks.select(F.expr(H.spark_shingles("toks")).alias("sh")).first()[0]
+    want = duckdb.sql(
+        f"WITH t AS (SELECT {H.ddb_tokens(repr(text))} AS toks)"
+        f" SELECT {H.ddb_shingles('toks')} FROM t"
+    ).fetchone()[0]
+    assert sorted(got) == sorted(want)
+    if len(text.split(" ")) < 3:
+        assert got == [text]
+
+
+def test_all_pairs_cosine_zero_norm_vector_is_dropped_not_nan(spark):
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = all_pairs_cosine(df, threshold=0.5, n_blocks=2).collect()
+    pairs = {(r.id1, r.id2): r.cosine for r in out}
+    assert pairs == {(0, 2): 1.0}  # zero vector pairs score 0.0, below threshold

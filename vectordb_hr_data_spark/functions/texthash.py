@@ -57,11 +57,18 @@ def spark_shingles(tok_col: str, n: int = 3) -> str:
     embedding the split expression here would re-evaluate it per lambda
     element. Indexed ``try_element_at`` is O(1) per token; the earlier
     ``slice``-per-position form was O(len²) per document (measured 3×
-    slower at sf0.1). Defined for documents with ≥ n tokens."""
+    slower at sf0.1).
+
+    Documents with < n tokens emit their whole text as the single shingle
+    — an explicit CASE mirrored in ``ddb_shingles``, because the engines'
+    NULL-concat semantics diverge (Spark concat_ws skips NULLs, DuckDB
+    ``||`` nulls the shingle) and must never be reached (ADVICE r01)."""
     parts = ", ".join(f"try_element_at({tok_col}, i + {k})" for k in range(n))
     return (
-        f"array_distinct(transform(sequence(1, greatest(size({tok_col}) - {n - 1}, 1)),"
+        f"CASE WHEN size({tok_col}) >= {n} THEN"
+        f" array_distinct(transform(sequence(1, size({tok_col}) - {n - 1}),"
         f" i -> concat_ws(' ', {parts})))"
+        f" ELSE array(concat_ws(' ', {tok_col})) END"
     )
 
 
@@ -113,11 +120,14 @@ def ddb_tokens(col_sql: str) -> str:
 
 def ddb_shingles(tok_col: str, n: int = 3) -> str:
     """DuckDB twin over a materialized token-list column (use a CTE that
-    computes ``string_split`` first)."""
+    computes ``string_split`` first). Same short-document CASE as
+    ``spark_shingles`` — whole text as the single shingle below n tokens."""
     parts = " || ' ' || ".join(f"{tok_col}[CAST(i AS INT) + {k}]" for k in range(n))
     return (
-        f"list_distinct(list_transform(range(1, greatest(len({tok_col}) - {n - 1}, 1) + 1),"
+        f"CASE WHEN len({tok_col}) >= {n} THEN"
+        f" list_distinct(list_transform(range(1, len({tok_col}) - {n - 1} + 1),"
         f" i -> {parts}))"
+        f" ELSE [array_to_string({tok_col}, ' ')] END"
     )
 
 

@@ -82,6 +82,16 @@ def read_hr_json(spark: SparkSession, path: str, key: str, schema) -> DataFrame:
         return spark.createDataFrame([], schema)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem + Path for ``path`` via the JVM gateway — works for
+    file://, hdfs://, s3a://, any scheme on the classpath (shutil is
+    local-only and would silently break remote URIs)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
 def merge_upsert(spark: SparkSession, path: str, updates: DataFrame, key: str = "id") -> None:
     """Incremental last-wins upsert into a parquet dataset without Delta
     (guide: 'MERGE INTO … emulate with anti-join + union'): keep existing
@@ -89,7 +99,22 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame, key: str = 
     rewrite. Matches the reference's ``collection.upsert`` semantics
     (``vector_db.py:163-168``) — new keys insert, existing keys are
     replaced by the update row. With Delta on the classpath this becomes a
-    real MERGE INTO and avoids the full rewrite."""
+    real MERGE INTO and avoids the full rewrite.
+
+    Crash-safety: the swap is rename-aside (path → path._old, staging →
+    path, delete ._old) through the Hadoop FileSystem API, so every
+    intermediate state keeps a complete copy of either the old or the new
+    dataset, and non-local URIs (hdfs://, s3a://) work. A leftover ._old
+    from a previous crash is recovered (restored if the live dir vanished,
+    else discarded) before merging.
+    """
+    fs, live, jvm = _hadoop_fs(spark, path)
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._old")
+    if fs.exists(old):
+        if fs.exists(live):
+            fs.delete(old, True)  # previous swap completed; stale backup
+        else:
+            fs.rename(old, live)  # previous swap died mid-way; roll back
     try:
         existing = spark.read.parquet(path)
     except Exception:
@@ -98,12 +123,15 @@ def merge_upsert(spark: SparkSession, path: str, updates: DataFrame, key: str = 
     kept = existing.join(updates.select(key).distinct(), key, "left_anti")
     merged = kept.unionByName(updates, allowMissingColumns=True)
     # self-overwrite requires a materialization barrier with plain parquet
-    staging = path.rstrip("/") + "._staging"
-    merged.write.mode("overwrite").parquet(staging)
-    import shutil
-
-    shutil.rmtree(path, ignore_errors=True)
-    shutil.move(staging, path)
+    staging_str = path.rstrip("/") + "._staging"
+    merged.write.mode("overwrite").parquet(staging_str)
+    staging = jvm.org.apache.hadoop.fs.Path(staging_str)
+    if not fs.rename(live, old):
+        raise IOError(f"merge_upsert: failed to rename {path} aside")
+    if not fs.rename(staging, live):
+        fs.rename(old, live)  # restore — the old dataset is still intact
+        raise IOError(f"merge_upsert: failed to move staging into {path}")
+    fs.delete(old, True)
 
 
 def write_bucketed_table(

@@ -14,8 +14,15 @@ this classpath, and unnecessary for dedup graphs.)
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class ConvergenceError(RuntimeError):
+    """Min-label propagation exhausted max_iter without converging — labels
+    would be partially-propagated minima, i.e. silently wrong components."""
 
 
 def connected_components(
@@ -24,6 +31,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 20,
     driver_threshold: int = 100_000,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component id = the
     minimum node id reachable (deterministic canonical representative).
@@ -33,10 +41,28 @@ def connected_components(
     ``driver_threshold`` edges we collect and union-find on the driver in
     one pass, exactly like collecting a top-k result; past it, the
     distributed min-label propagation below takes over. Both produce the
-    identical min-id labeling."""
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
-        pairs = [(r[0], r[1]) for r in edges.select(src, dst).collect()]
+    identical min-id labeling.
+
+    Eager-job discipline (VERDICT/ADVICE r01): the path choice probes
+    ``limit(threshold+1).count()`` on a localCheckpointed edge set rather
+    than a full ``count()``, so the upstream candidate-pair pipeline runs
+    exactly once regardless of path or round count; the per-round
+    convergence check rides on the same cached frames.
+
+    If the loop exhausts ``max_iter`` while labels are still changing the
+    result would be silently wrong (partially propagated minima): with
+    ``on_nonconverged="raise"`` (default) a ConvergenceError is raised;
+    ``"warn"`` keeps the partial labels but emits a loud warning.
+    """
+    # One pass over the upstream pipeline: checkpoint the edge list first,
+    # then every later job (gate probe, collect, or propagation rounds)
+    # reads the materialized edges instead of re-running LSH verification.
+    edges = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst")).localCheckpoint(
+        eager=True
+    )
+    small = edges.limit(driver_threshold + 1).count() <= driver_threshold
+    if small:
+        pairs = [(r[0], r[1]) for r in edges.collect()]
         parent: dict = {}
 
         def find(x):
@@ -56,12 +82,14 @@ def connected_components(
         rows = [(n, find(n)) for n in parent]
         return edges.sparkSession.createDataFrame(rows, "node long, comp long")
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(F.col("_src").alias("a"), F.col("_dst").alias("b"))
+        .unionByName(edges.select(F.col("_dst").alias("a"), F.col("_src").alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)  # reused every round — never recompute
     )
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
 
+    converged = False
     for _ in range(max_iter):
         # each node's candidate label: min over neighbours' current labels
         neighbor_min = (
@@ -76,15 +104,28 @@ def connected_components(
                 F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
             )
         )
-        changed = (
+        updated = updated.localCheckpoint(eager=True)  # cut the growing lineage
+        # existence probe, not a full count: stops at the first changed row
+        still_changing = (
             updated.alias("u")
             .join(labels.alias("l"), "node")
             .filter(F.col("u.comp") != F.col("l.comp"))
+            .limit(1)
             .count()
+            > 0
         )
-        labels = updated.localCheckpoint(eager=True)  # cut the growing lineage
-        if changed == 0:
+        labels = updated
+        if not still_changing:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"connected_components: not converged after {max_iter} rounds "
+            f"(component diameter > max_iter); labels would be partial minima"
+        )
+        if on_nonconverged == "raise":
+            raise ConvergenceError(msg)
+        warnings.warn(msg, stacklevel=2)
     return labels
 
 

@@ -72,7 +72,12 @@ def all_pairs_cosine(
         mb = np.stack(b["vec"].to_numpy()).astype(np.float64)
         na = np.linalg.norm(ma, axis=1)
         nb = np.linalg.norm(mb, axis=1)
-        sims = (ma @ mb.T) / np.outer(na, nb)
+        # zero-norm guard: denom=inf -> sim 0.0 deterministically, matching
+        # the expression-form cosine_sim (0/0 would NaN and silently drop
+        # such rows from the >= threshold mask — ADVICE r01)
+        denom = np.outer(na, nb)
+        denom[denom == 0.0] = np.inf
+        sims = (ma @ mb.T) / denom
         ia, ib = np.nonzero(sims >= threshold)
         id_a = a["id"].to_numpy()[ia]
         id_b = b["id"].to_numpy()[ib]
