@@ -74,36 +74,70 @@ def minhash_similarity_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
-    num_tables: int = 4,
+    num_hashes: int = 16,
+    n_bands: int = 8,
     vocab_size: int = 1 << 18,
     shingle_n: int = 3,
 ) -> DataFrame:
-    # num_tables trades recall at the threshold boundary for hashing cost:
-    # miss probability for a pair at exactly j=0.5 is (1-j)^tables ≈ 6%
-    # with 4 tables (0.4% with 8), while true near-dups (j ≥ 0.9) are
-    # effectively never missed; 4 tables measured ~35% faster end to end.
-    """MinHashLSH Jaccard join over word n-gram SHINGLE sets (binary
-    CountVectorizer = set semantics). Token-level sets are far too coarse
-    for near-dup on small-vocabulary corpora (nearly every pair shares the
-    token set); shingles carry word order, matching the exact
-    neardup_ngram_jaccard operator. Returns (id_1, id_2, jaccard_dist)
-    pairs with distance ≤ threshold."""
+    """MinHash near-dup join with MLlib signatures and BANDED
+    AND-amplification (VERDICT r01: the raw ``approxSimilarityJoin`` is
+    OR-amplified — one single-hash key per table, so candidate volume grows
+    ~tables·j for every low-similarity pair and the join degrades
+    superlinearly on big corpora).
+
+    Pipeline: word n-gram shingles (set semantics via binary
+    CountVectorizer; minDF=2 prunes singleton shingles, which can never
+    produce a candidate) → MLlib ``MinHashLSH`` signatures (seeded) →
+    ``n_bands`` bands of ``num_hashes/n_bands`` rows, candidate iff ALL rows
+    in some band agree → exact shingle-set Jaccard verification, the same
+    definition as ``neardup_ngram_jaccard``. With b=8, r=2: recall at the
+    j=0.5 boundary is 1-(1-j²)^8 ≈ 0.90 (≈1 for j ≥ 0.8) while random
+    j≈0.1 pairs collide with p ≈ 0.08 vs 0.34 for the 4-table OR join —
+    ~4× fewer false candidates, and the shuffle moves only (id, band_key)
+    rows, shingle arrays rejoining the few survivors.
+
+    Returns (id_1, id_2, jaccard_dist ≤ threshold) with jaccard_dist the
+    exact 1 − |∩|/|∪| over distinct shingle sets."""
+    from pyspark.ml.functions import vector_to_array
+
+    rows_per_band = num_hashes // n_bands
     toks = docs.select(id_col, F.split(F.col(text_col), " ").alias("toks"))
-    sh = NGram(n=shingle_n, inputCol="toks", outputCol="shingles").transform(toks)
-    # minDF=2: a shingle seen in one document can never produce a candidate
-    # pair, so pruning singletons shrinks the vocab/vectors for free (it
-    # only nudges pair distances by removing per-doc-unique union mass)
+    # the shingle frame feeds three consumers (CV fit, signature transform,
+    # exact verify) — cache it so tokenize+NGram runs once per call
+    sh = NGram(n=shingle_n, inputCol="toks", outputCol="shingles").transform(toks).cache()
     cv = CountVectorizer(
         inputCol="shingles", outputCol="features", vocabSize=vocab_size, binary=True, minDF=2.0
     ).fit(sh)
     vecs = cv.transform(sh)
-    model = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_tables, seed=42).fit(vecs)
-    joined = model.approxSimilarityJoin(vecs, vecs, threshold, distCol="jaccard_dist")
-    return (
-        joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
-        .select(
-            F.col(f"datasetA.{id_col}").alias("id_1"),
-            F.col(f"datasetB.{id_col}").alias("id_2"),
-            "jaccard_dist",
+    model = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=42).fit(vecs)
+    hashed = model.transform(vecs)
+    hvals = [vector_to_array(F.col("hashes")[i])[0].cast("long").cast("string") for i in range(num_hashes)]
+    band_keys = [
+        F.concat_ws(":", *hvals[b * rows_per_band : (b + 1) * rows_per_band]) for b in range(n_bands)
+    ]
+    keys = hashed.select(
+        id_col, F.posexplode(F.array(*band_keys)).alias("band_id", "band_key")
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .select(F.col(f"a.{id_col}").alias("id_1"), F.col(f"b.{id_col}").alias("id_2"))
+        .dropDuplicates(["id_1", "id_2"])  # a pair can collide in several bands
+    )
+    s = sh.select(F.col(id_col), F.array_distinct("shingles").alias("sset"))
+    s1 = s.select(F.col(id_col).alias("id_1"), F.col("sset").alias("s1"))
+    s2 = s.select(F.col(id_col).alias("id_2"), F.col("sset").alias("s2"))
+    inter = F.size(F.array_intersect("s1", "s2"))
+    jdist = F.lit(1.0) - inter.cast("double") / (F.size("s1") + F.size("s2") - inter)
+    return (
+        cand.join(s1, "id_1")
+        .join(s2, "id_2")
+        .withColumn("jaccard_dist", jdist)
+        .filter(F.col("jaccard_dist") <= threshold)
+        .select("id_1", "id_2", "jaccard_dist")
     )
