@@ -1,0 +1,96 @@
+"""Semantic properties of the training-data-pipeline operators (oracle
+parity itself is covered by the parametrized test in test_vector_queries)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+import vectordb_hr_data_spark.queries as Q
+
+
+def _run(spark, sf_dir, name):
+    return Q.REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_decontaminate_only_train_docs_with_real_overlap(spark, sf_dir):
+    rows = _run(spark, sf_dir, "doc_decontaminate").collect()
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import _BUCKET_SPARK
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train_ids = {
+        r.doc_id
+        for r in d.select("doc_id", F.expr(_BUCKET_SPARK).alias("b")).collect()
+        if r.b < 80
+    }
+    for r in rows:
+        assert r.doc_id in train_ids
+        assert 1 <= r.n_overlap <= r.n_shingles
+        assert 0.0 < r.overlap_frac <= 1.0
+
+
+def test_repetition_ratio_bounds_and_total_coverage(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = _run(spark, sf_dir, "doc_repetition_ratio").collect()
+    assert len(rows) == d.count()  # every doc is scored, none dropped
+    for r in rows:
+        assert 0.0 <= r.dup_token_frac < 1.0
+        assert 0.0 < r.top_bigram_frac <= 1.0
+        assert isinstance(r.flagged, bool)
+
+
+def test_stratified_sample_exact_fraction_per_stratum(spark, sf_dir):
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import SAMPLE_FRAC
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_lang = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = _run(spark, sf_dir, "stratified_sample_by_lang").groupBy("lang").count().collect()
+    for r in got:
+        assert r["count"] == math.ceil(SAMPLE_FRAC * per_lang[r.lang])
+
+
+def test_stratified_sample_is_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, _run(spark, sf_dir, "stratified_sample_by_lang").collect()))
+    b = sorted(map(tuple, _run(spark, sf_dir, "stratified_sample_by_lang").collect()))
+    assert a == b
+
+
+def test_pack_sequences_conserves_tokens_and_bins_are_dense(spark, sf_dir):
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import PACK_BUDGET
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total = d.select(F.sum(F.size(F.split("text", " ")))).first()[0]
+    rows = _run(spark, sf_dir, "pack_sequences").collect()
+    assert sum(r.sum_tokens for r in rows) == total  # no doc lost or split
+    for shard in {r.shard for r in rows}:
+        bins = sorted(r.bin for r in rows if r.shard == shard)
+        assert bins == list(range(len(bins)))  # contiguous bin ids from 0
+    # every full (non-terminal) bin ends within one doc of the budget
+    for r in rows:
+        assert r.sum_tokens <= PACK_BUDGET or r.n_docs >= 1
+
+
+def test_semantic_dedup_pairs_are_subset_of_exact_allpairs(spark, sf_dir):
+    exact = {
+        (r.vec_id_1, r.vec_id_2)
+        for r in _run(spark, sf_dir, "neardup_embedding_cosine").collect()
+    }
+    blocked = _run(spark, sf_dir, "semantic_dedup_clusters").collect()
+    for r in blocked:
+        assert (r.vec_id_1, r.vec_id_2) in exact  # cluster-blocking only prunes
+
+
+def test_tfidf_topk_rank_and_formula(spark, sf_dir):
+    from vectordb_hr_data_spark.querydefs.text_queries import TFIDF_TOPK
+
+    rows = _run(spark, sf_dir, "doc_tfidf_top_terms").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rs in by_doc.items():
+        rs.sort(key=lambda r: r.rn)
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TFIDF_TOPK
+        weights = [r.tfidf for r in rs]
+        assert weights == sorted(weights, reverse=True)

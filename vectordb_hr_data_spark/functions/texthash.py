@@ -72,6 +72,45 @@ def spark_shingles(tok_col: str, n: int = 3) -> str:
     )
 
 
+def spark_shingle_keys(th_col: str, n: int) -> str:
+    """Distinct word n-gram shingle KEYS as bigints over a MATERIALIZED
+    token-hash array column (``spark_hash_array`` of the tokens, evaluated
+    into its own column first — the same bound-attribute discipline as
+    ``spark_shingles``): fold n consecutive token hashes with the 31-poly
+    combine ``acc = (acc*31 + h) % P``. Equality-only shingling for
+    join-heavy ops (decontamination): building no strings is ~10× cheaper
+    than ``spark_shingles`` and the join key is 8 bytes instead of a
+    ~50-char string. Max intermediate is P·31 + 2³² < 2³⁷ — safely int64.
+    Documents with < n tokens fold ALL their token hashes into one key
+    (same short-document CASE discipline as ``spark_shingles``)."""
+    fold = f"try_element_at({th_col}, i + 0)"
+    for k in range(1, n):
+        fold = f"(({fold}) * 31 + try_element_at({th_col}, i + {k})) % {P}"
+    whole = f"aggregate({th_col}, cast(0 as bigint), (acc, h) -> (acc * 31 + h) % {P})"
+    return (
+        f"CASE WHEN size({th_col}) >= {n} THEN"
+        f" array_distinct(transform(sequence(1, size({th_col}) - {n - 1}), i -> {fold}))"
+        f" ELSE array({whole}) END"
+    )
+
+
+def ddb_shingle_keys(th_col: str, n: int) -> str:
+    """DuckDB twin of ``spark_shingle_keys`` — identical integer results
+    over a token-hash list column materialized in a prior CTE."""
+    fold = f"{th_col}[CAST(i AS INT) + 0]"
+    for k in range(1, n):
+        fold = f"(({fold}) * 31 + {th_col}[CAST(i AS INT) + {k}]) % {P}"
+    whole = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {th_col}),"
+        f" (acc, h) -> (acc * 31 + h) % {P})"
+    )
+    return (
+        f"CASE WHEN len({th_col}) >= {n} THEN"
+        f" list_distinct(list_transform(range(1, len({th_col}) - {n - 1} + 1), i -> {fold}))"
+        f" ELSE [{whole}] END"
+    )
+
+
 def spark_hash_array(arr_sql: str) -> str:
     """Hash every element of a string array (fast md5-prefix hash)."""
     return f"transform({arr_sql}, t -> {spark_str_hash_fast('t')})"

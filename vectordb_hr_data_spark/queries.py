@@ -59,20 +59,28 @@ PRIORITY: list[str] = [
     "doc_simhash", "neardup_embedding_cosine",
     # text analysis (B6)
     "doc_token_count", "doc_lang_id", "doc_quality_score", "top_bigrams_per_lang",
-    "doc_hash_split", "doc_fingerprint",
+    "doc_hash_split", "doc_fingerprint", "doc_tfidf_top_terms",
+    # training-data pipeline ops (decontamination, quality, sampling, packing,
+    # corpus stats, semantic dedup)
+    "doc_decontaminate", "doc_repetition_ratio", "stratified_sample_by_lang",
+    "pack_sequences", "doc_length_percentiles", "semantic_dedup_clusters",
     # events / time ops (B7)
     "events_tumbling_1h", "events_sessionize", "events_json_props",
     "events_asof_last_purchase", "events_type_counts_salted",
     # relational core
-    "q1_pricing_summary", "customer_running_total", "acctbal_rollup", "orders_pivot_status",
-    "custkeys_intersect_except", "lineitem_cube", "string_functions_showcase",
+    "q1_pricing_summary", "customer_running_total", "acctbal_rollup",
+    "custkeys_intersect_except", "lineitem_cube",
     # subquery shapes
     "q17_small_quantity_revenue", "q4_order_priority_exists", "q13_customer_order_distribution",
-    "q16_suppliers_not_in", "q20_part_supply_nested",
+    "q16_suppliers_not_in",
     # TPC-H join shapes
-    "q7_nation_volume", "q14_ratio_aggregate", "q19_disjunctive_predicates",
+    "q7_nation_volume",
+    # --- position 51+: shapes proven above by a sibling or by a prior
+    # round's CORRECTNESS artifact (orders_pivot_status and
+    # string_functions_showcase hash-passed r01) ---
+    "orders_pivot_status", "string_functions_showcase", "q20_part_supply_nested",
+    "q14_ratio_aggregate", "q19_disjunctive_predicates",
     "q22_idle_rich_customers", "q10_returned_items_top_customers",
-    # --- position 51+: shapes proven above by a sibling ---
     "knn_topk_l2sq", "knn_batch_topk_per_label", "q3_shipping_priority",
     "q5_local_supplier_volume", "q6_forecast_revenue", "top3_orders_per_segment",
     "orders_by_year_month", "supplier_part_distincts", "parts_never_ordered",
@@ -120,6 +128,7 @@ for _mod_name in (
     "udf_queries",
     "subquery_queries",
     "tpch_more_queries",
+    "pipeline_queries",
 ):
     try:
         _m = __import__(f"vectordb_hr_data_spark.querydefs.{_mod_name}", fromlist=[_mod_name])

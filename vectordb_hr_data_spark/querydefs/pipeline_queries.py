@@ -1,0 +1,432 @@
+"""Training-data-pipeline operators beyond the reference's surface: eval-set
+decontamination, repetition-based quality filtering, deterministic stratified
+sampling, sequence packing, corpus length percentiles, and cluster-blocked
+semantic dedup. Each is the standard large-corpus preprocessing step
+re-expressed as declarative Spark with a bit-exact DuckDB oracle.
+
+Scale notes are per-operator; the common theme is that every candidate set is
+bucketed (hash split, lang stratum, shard, centroid cluster) before any
+pairwise or ranked work, so no step is O(corpus²) and every shuffle key is
+chosen for uniformity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import texthash as H
+from ..functions import vector as V
+from ..io import read_table
+from ..queries import register
+
+# ---------------------------------------------------------------------------
+# decontamination: train docs sharing any 8-gram with the held-out test split
+# ---------------------------------------------------------------------------
+DECON_N = 8  # word n-gram size; 8 is the published PaLM/Llama-style choice
+
+_BUCKET_DDB = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8)) AS BIGINT) % 100"
+)
+_BUCKET_SPARK = (
+    "cast(conv(substring(md5(concat(cast(doc_id as string), ':split')), 1, 8), 16, 10) as bigint) % 100"
+)
+
+
+@register(
+    "doc_decontaminate",
+    f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, {_BUCKET_DDB} AS bucket
+  FROM documents
+), h AS (
+  SELECT doc_id, bucket, {H.ddb_hash_array('toks')} AS th FROM t
+), s AS (
+  SELECT doc_id, bucket, {H.ddb_shingle_keys('th', DECON_N)} AS sk FROM h
+), ex AS (
+  SELECT doc_id, bucket, unnest(sk) AS k FROM s
+), test_sh AS (
+  SELECT DISTINCT k FROM ex WHERE bucket >= 90
+), hits AS (
+  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM ex e JOIN test_sh USING (k)
+  WHERE e.bucket < 80
+  GROUP BY e.doc_id
+), sizes AS (
+  SELECT doc_id, CAST(len(sk) AS BIGINT) AS n_shingles FROM s
+)
+SELECT hits.doc_id, n_overlap, n_shingles,
+       round(CAST(n_overlap AS DOUBLE) / n_shingles, 6) AS overlap_frac
+FROM hits JOIN sizes USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag TRAIN-split documents that share any
+    distinct word 8-gram with the TEST split (the deterministic hash split
+    of ``doc_hash_split``). The published pipeline step (GPT-3 13-gram,
+    PaLM/Llama 8-gram) as a shingle equi-join.
+
+    Scale shape: test sets are orders of magnitude smaller than train, so
+    the distinct test-shingle set broadcasts; the train side is a map-only
+    explode → broadcast-hash semi-match → per-doc count. Nothing is ever
+    joined all-pairs, and with a huge eval set the same plan degrades
+    gracefully to a uniform hash-shuffle join on the shingle string.
+
+    Two engineering rules keep it fast (both measured, both generalize):
+    shingles are integer KEYS, not strings — per-token md5-prefix hashes
+    folded 8-at-a-time with 31-poly arithmetic (``texthash.spark_shingle_
+    keys``), so no ~50-char join keys are ever built (string shingling
+    cost 5 s at sf0.1; hashed keys ~0.5 s) — and the shingle frame is
+    cached before the explode because it feeds two consumers and nothing
+    expensive may be projected past a Generate (Spark re-evaluates
+    generator-adjacent expressions per OUTPUT row: carrying ``size(sh)``
+    through the explode measured 43 s vs 0.3 s). The per-doc shingle count
+    joins onto the (tiny) contaminated set at the end instead.
+
+    Hashed keys admit ~|shingles|²/2P false-positive collisions (a dozen
+    docs per few hundred thousand shingles at P = 2³¹−1) — benign for
+    contamination FLAGGING, where false positives only send a doc to
+    review; the DuckDB oracle uses the identical arithmetic, so results
+    stay bit-equal."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.expr(H.spark_tokens("text")).alias("toks"),
+        F.expr(_BUCKET_SPARK).alias("bucket"),
+    )
+    h = t.select("doc_id", "bucket", F.expr(H.spark_hash_array("toks")).alias("th"))
+    s = h.select(
+        "doc_id", "bucket", F.expr(H.spark_shingle_keys("th", DECON_N)).alias("sk")
+    ).cache()
+    ex = s.select("doc_id", "bucket", F.explode("sk").alias("k"))
+    test_sh = ex.filter(F.col("bucket") >= 90).select("k").distinct()
+    hits = (
+        ex.filter(F.col("bucket") < 80)
+        .join(F.broadcast(test_sh), "k")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    sizes = s.select("doc_id", F.size("sk").cast("long").alias("n_shingles"))
+    return (
+        hits.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_overlap",
+            "n_shingles",
+            F.round(
+                F.col("n_overlap").cast("double") / F.col("n_shingles"), 6
+            ).alias("overlap_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition-ratio quality filter (Gopher-style repetition rules)
+# ---------------------------------------------------------------------------
+DUP_TOKEN_MAX = 0.60  # flag when > 60% of tokens are repeats
+TOP_BIGRAM_MAX = 0.08  # flag when the most common bigram is > 8% of bigrams
+
+
+@register(
+    "doc_repetition_ratio",
+    f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), stats AS (
+  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct FROM t
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])) AS b
+  FROM t
+), topbg AS (
+  SELECT doc_id, max(n) AS max_bg FROM (
+    SELECT doc_id, b, count(*) AS n FROM bg WHERE b IS NOT NULL GROUP BY doc_id, b
+  ) GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       round(1.0 - CAST(s.n_distinct AS DOUBLE) / s.n_tokens, 6) AS dup_token_frac,
+       round(CAST(t.max_bg AS DOUBLE) / greatest(s.n_tokens - 1, 1), 6) AS top_bigram_frac,
+       (1.0 - CAST(s.n_distinct AS DOUBLE) / s.n_tokens > {DUP_TOKEN_MAX}
+        OR CAST(t.max_bg AS DOUBLE) / greatest(s.n_tokens - 1, 1) > {TOP_BIGRAM_MAX}) AS flagged
+FROM stats s JOIN topbg t USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-token fraction and
+    the mass of the single most frequent bigram, plus the boolean filter
+    verdict. Two map-side passes (token stats are per-row expressions; the
+    bigram mode is explode → two-level partial-agg groupBy keyed by doc_id,
+    a uniform key) — no cross-document work at all, so the operator is
+    embarrassingly parallel at any corpus size."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    stats = t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+    bg = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 1, 1)),"
+                " i -> concat(try_element_at(toks, i), ' ', try_element_at(toks, i + 1)))"
+            )
+        ).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    topbg = (
+        bg.groupBy("doc_id", "b").agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("max_bg"))
+    )
+    dup = 1.0 - F.col("n_distinct").cast("double") / F.col("n_tokens")
+    top = F.col("max_bg").cast("double") / F.greatest(F.col("n_tokens") - 1, F.lit(1))
+    return (
+        stats.join(topbg, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(dup, 6).alias("dup_token_frac"),
+            F.round(top, 6).alias("top_bigram_frac"),
+            ((dup > DUP_TOKEN_MAX) | (top > TOP_BIGRAM_MAX)).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling (per-language exact-fraction)
+# ---------------------------------------------------------------------------
+SAMPLE_FRAC = 0.2
+
+
+@register(
+    "stratified_sample_by_lang",
+    f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strat'), doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n_lang
+  FROM documents
+)
+SELECT lang, doc_id, rn, n_lang
+FROM r
+WHERE rn <= ceil({SAMPLE_FRAC} * n_lang)
+ORDER BY lang, rn
+""",
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly ⌈20%⌉ of every language
+    stratum, chosen by ranking on a content-stable md5 key — reproducible
+    across runs and engines (``df.sample`` is seed- and partitioning-
+    dependent, so it can never be oracle-checked; rank-on-hash is the
+    portable form). One shuffle keyed by the stratum column; skewed strata
+    cost only their own partition's sort, and the same pattern extends to
+    weighted per-source mixing by swapping the constant fraction for a
+    per-stratum weight column."""
+    d = read_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":strat")))
+    w = Window.partitionBy("lang")
+    r = d.select(
+        "lang",
+        "doc_id",
+        F.row_number().over(w.orderBy(key.asc(), F.col("doc_id").asc())).cast("long").alias("rn"),
+        F.count("*").over(w).alias("n_lang"),
+    )
+    return (
+        r.filter(F.col("rn") <= F.ceil(SAMPLE_FRAC * F.col("n_lang")))
+        .orderBy("lang", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: fill fixed token-budget bins shard-by-shard
+# ---------------------------------------------------------------------------
+PACK_BUDGET = 2048
+PACK_SHARDS = 8
+
+
+@register(
+    "pack_sequences",
+    f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT shard, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT shard,
+       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / {PACK_BUDGET}) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       round(CAST(sum(n_tokens) AS DOUBLE) / {PACK_BUDGET}, 6) AS utilization
+FROM c
+GROUP BY shard, bin
+ORDER BY shard, bin
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: assign documents to
+    fixed-token-budget bins (2048 tokens) by contiguous prefix-sum order
+    within a hash shard — the streaming "chunked" packing used in practice
+    (a doc starts in the bin its running total falls in; boundary docs
+    overflow rather than split, so utilization can exceed 1.0 by at most
+    one document).
+
+    Sharding first is what makes this scale: packing is inherently
+    sequential (a running total), but only *within* a bin stream — so the
+    corpus hash-partitions into independent shards and each shard packs in
+    parallel with one window cumsum. 1000 executors ⇒ ≥1000 shards, zero
+    coordination."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.groupBy(
+            "shard",
+            F.floor((F.col("cum") - F.col("n_tokens")).cast("double") / PACK_BUDGET)
+            .cast("long")
+            .alias("bin"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.round(F.sum("n_tokens").cast("double") / PACK_BUDGET, 6).alias("utilization"),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus length percentiles (exact, per stratum)
+# ---------------------------------------------------------------------------
+@register(
+    "doc_length_percentiles",
+    """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(len(string_split(text, ' ')), 0.5), 4) AS p50,
+       round(quantile_cont(len(string_split(text, ' ')), 0.9), 4) AS p90,
+       round(quantile_cont(len(string_split(text, ' ')), 0.99), 4) AS p99
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language token-length percentiles (linear interpolation —
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    definition). Exact percentiles sort each group; at 100 TB swap in
+    ``percentile_approx`` (t-digest, mergeable partial aggs, no sort) —
+    the operator signature and plan shape stay identical, which is why the
+    exact form is the oracle here."""
+    d = read_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " "))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.percentile(n, F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile(n, F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile(n, F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup: centroid-blocked within-cluster cosine pairs
+# ---------------------------------------------------------------------------
+SEM_CENTROIDS = 16
+SEM_THRESHOLD = 0.45
+
+_L2SQ_DDB = (
+    "list_sum(list_transform(range(1, len({a})+1),"
+    " i -> power(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE), 2)))"
+)
+_DOT_DDB = (
+    "list_sum(list_transform(range(1, len({a})+1),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@register(
+    "semantic_dedup_clusters",
+    f"""
+WITH cent AS (
+  SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec
+  FROM embeddings WHERE vec_id < {SEM_CENTROIDS}
+), asg AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_L2SQ_DDB.format(a='e.embedding', b='c.cvec')}, c.cid) AS rn
+  FROM embeddings e CROSS JOIN cent c
+), a AS (
+  SELECT vec_id, embedding, cid,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM asg WHERE rn = 1
+)
+SELECT x.cid AS cid, x.vec_id AS vec_id_1, y.vec_id AS vec_id_2,
+       round({_DOT_DDB.format(a='x.embedding', b='y.embedding')} / (x.nrm * y.nrm), 4) AS cosine
+FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+WHERE {_DOT_DDB.format(a='x.embedding', b='y.embedding')} / (x.nrm * y.nrm) >= {SEM_THRESHOLD}
+ORDER BY cid, vec_id_1, vec_id_2
+""",
+)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup, cluster-blocked: assign every
+    vector to its nearest of 16 deterministic centroids (broadcast join —
+    same build as the IVF index), then emit cosine ≥ 0.45 pairs WITHIN each
+    cluster only. The SemDeDup-style recipe: clustering caps the candidate
+    set at Σ|cluster|² instead of N², trading the few cross-cluster dup
+    pairs (recall baselined by the exact ``neardup_embedding_cosine``) for
+    a candidate volume that stays linear when centroids scale with corpus
+    size. The pair join shuffles on cid; with real K-means (K ~ N/10k,
+    MLlib ``KMeans`` drop-in for the deterministic centroids) cluster sizes
+    are bounded and no key is hot."""
+    from ..operators.ivf import ivf_assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < SEM_CENTROIDS).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    a = ivf_assign(emb, centroids).withColumn("nrm", V.norm("embedding"))
+    x = a.select(
+        "cid",
+        F.col("vec_id").alias("vec_id_1"),
+        F.col("embedding").alias("e1"),
+        F.col("nrm").alias("n1"),
+    )
+    y = a.select(
+        "cid",
+        F.col("vec_id").alias("vec_id_2"),
+        F.col("embedding").alias("e2"),
+        F.col("nrm").alias("n2"),
+    )
+    cos = V.dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
+    return (
+        x.join(y, "cid")
+        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
+        .filter(cos >= SEM_THRESHOLD)
+        .select("cid", "vec_id_1", "vec_id_2", F.round(cos, 4).alias("cosine"))
+        .orderBy("cid", "vec_id_1", "vec_id_2")
+    )

@@ -8,7 +8,7 @@ except the final presentation sort) — at 100 TB these are map-only passes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import texthash as H
@@ -249,6 +249,74 @@ def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
         .orderBy("split")
+    )
+
+
+TFIDF_TOPK = 3
+
+
+@register(
+    "doc_tfidf_top_terms",
+    f"""
+WITH tf AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tfc AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tf GROUP BY doc_id, term
+), dfc AS (
+  SELECT term, count(*) AS df FROM tfc GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf,
+         round(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS tfidf
+  FROM tfc t JOIN dfc d USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, rn FROM ranked WHERE rn <= {TFIDF_TOPK}
+ORDER BY doc_id, rn
+""",
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top terms per document as pure DataFrame algebra (the
+    oracle-checkable twin of the MLlib pipeline in operators/textml.py,
+    which stays registered rows-only as the feature-engineering path).
+
+    idf = ln((N+1)/(df+1)) — MLlib's ``IDF`` formula — so the two paths
+    rank identically. Scale shape: explode → per-(doc,term) count (uniform
+    shuffle key with map-side partial counts) → per-term doc-freq (the term
+    relation is vocabulary-sized, tiny) joined back BROADCAST → per-doc
+    window for top-k. No driver-side vocabulary fit, no vector
+    materialization, no size cap: where the MLlib path collects a
+    vocabSize-bounded vocabulary to the driver, this never leaves the
+    cluster — the better 100 TB form."""
+    d = read_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TFIDF_TOPK)
+        .orderBy("doc_id", "rn")
     )
 
 
