@@ -100,6 +100,51 @@ def all_pairs_cosine(
     return pairs
 
 
+def grouped_pairs_cosine(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Within-group all-pairs cosine ≥ threshold — the scoring kernel for
+    cluster-blocked (SemDeDup-style) semantic dedup. One ``applyInPandas``
+    GEMM per group replaces the self-join + per-pair array expressions
+    (measured ~3× at sf0.1; the gap widens with cluster size since GEMM is
+    O(n²d) in BLAS while the join materializes n² interpreted folds).
+    Groups must individually fit an executor's Arrow batch — guaranteed
+    when the upstream clustering bounds cluster sizes (grow K with the
+    corpus); same float64-vs-oracle story as ``all_pairs_cosine``."""
+
+    def score_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(m, axis=1)
+        denom = np.outer(nrm, nrm)
+        denom[denom == 0.0] = np.inf
+        sims = (m @ m.T) / denom
+        ia, ib = np.nonzero(sims >= threshold)
+        ids = pdf[id_col].to_numpy()
+        keep = ids[ia] < ids[ib]
+        return pd.DataFrame(
+            {
+                "grp": key[0],
+                "id1": ids[ia][keep],
+                "id2": ids[ib][keep],
+                "cosine": sims[ia, ib][keep],
+            }
+        )
+
+    pairs = df.groupBy(group_col).applyInPandas(
+        score_group, schema="grp int, id1 long, id2 long, cosine double"
+    )
+    if round_to is not None:
+        pairs = pairs.withColumn("cosine", F.round("cosine", round_to))
+    return pairs
+
+
 def recommended_blocks(n_rows: int, target_block: int = 4096) -> int:
     """B such that blocks are ~target_block rows (GEMM-friendly tiles)."""
     return max(1, math.ceil(n_rows / target_block))

@@ -16,7 +16,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import texthash as H
-from ..functions import vector as V
 from ..io import read_table
 from ..queries import register
 
@@ -400,33 +399,26 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     set at Σ|cluster|² instead of N², trading the few cross-cluster dup
     pairs (recall baselined by the exact ``neardup_embedding_cosine``) for
     a candidate volume that stays linear when centroids scale with corpus
-    size. The pair join shuffles on cid; with real K-means (K ~ N/10k,
-    MLlib ``KMeans`` drop-in for the deterministic centroids) cluster sizes
-    are bounded and no key is hot."""
+    size. Scoring is one numpy GEMM per cluster via ``applyInPandas``
+    (``similarity.grouped_pairs_cosine``) — the shuffle key is cid, and
+    with real K-means (K ~ N/10k, MLlib ``KMeans`` drop-in for the
+    deterministic centroids) cluster sizes stay bounded so no key is hot
+    and every group fits its Arrow batch."""
     from ..operators.ivf import ivf_assign
+    from ..operators.similarity import grouped_pairs_cosine
 
     emb = read_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < SEM_CENTROIDS).select(
         F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("cvec")
     )
-    a = ivf_assign(emb, centroids).withColumn("nrm", V.norm("embedding"))
-    x = a.select(
-        "cid",
-        F.col("vec_id").alias("vec_id_1"),
-        F.col("embedding").alias("e1"),
-        F.col("nrm").alias("n1"),
-    )
-    y = a.select(
-        "cid",
-        F.col("vec_id").alias("vec_id_2"),
-        F.col("embedding").alias("e2"),
-        F.col("nrm").alias("n2"),
-    )
-    cos = V.dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
+    a = ivf_assign(emb, centroids)
     return (
-        x.join(y, "cid")
-        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
-        .filter(cos >= SEM_THRESHOLD)
-        .select("cid", "vec_id_1", "vec_id_2", F.round(cos, 4).alias("cosine"))
+        grouped_pairs_cosine(a, "cid", "vec_id", "embedding", SEM_THRESHOLD, round_to=4)
+        .select(
+            F.col("grp").alias("cid"),
+            F.col("id1").alias("vec_id_1"),
+            F.col("id2").alias("vec_id_2"),
+            "cosine",
+        )
         .orderBy("cid", "vec_id_1", "vec_id_2")
     )
