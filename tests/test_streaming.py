@@ -102,6 +102,48 @@ def test_stream_merge_into_parquet(spark, events_dir, tmp_path):
         assert abs(got[uid][1] - want[uid][1]) < 0.05
 
 
+def test_streaming_dedup_drops_within_watermark_duplicates(spark, sf_dir, tmp_path):
+    """Write the same events twice (two files → two micro-batches); the
+    deduped stream must contain each event_id exactly once."""
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        dedup_stream,
+        read_events_stream,
+        run_to_completion,
+    )
+
+    src = str(tmp_path / "dup_src")
+    ev = read_table(spark, sf_dir, "events").limit(500)
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)  # exact replay
+
+    stream = read_events_stream(spark, src)
+    out = run_to_completion(dedup_stream(stream), "dedup_smoke", output_mode="append")
+    ids = [r.event_id for r in out.select("event_id").collect()]
+    assert len(ids) == len(set(ids)) == ev.count()
+
+
+def test_rate_source_windowed_counts_unbounded(spark):
+    """The watermark/window builder must run against a source that never
+    ends: drive a few rate-micro-batch triggers, then stop."""
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        read_rate_stream,
+        run_n_batches,
+        windowed_counts_stream,
+    )
+
+    stream = read_rate_stream(spark, rows_per_batch=100)
+    out = run_n_batches(
+        windowed_counts_stream(stream, width="1 minute", watermark="0 seconds"),
+        "rate_smoke",
+        n_batches=3,
+        output_mode="update",
+    )
+    rows = out.collect()
+    assert set(out.columns) == {"window_start", "event_type", "n_events", "total_value"}
+    assert sum(r.n_events for r in rows) > 0
+
+
 def test_streaming_sessionize_runs(spark, events_dir):
     from vectordb_hr_data_spark.streaming.stream_ops import (
         read_events_stream,

@@ -100,6 +100,70 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame, key_cols: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup — B1's dedup-on-ingest twin: keep the first
+    occurrence of each key, with dedup state BOUNDED by the event-time
+    watermark (``dropDuplicatesWithinWatermark``): a duplicate arriving
+    within the watermark window is dropped, state for keys older than the
+    watermark is evicted. That bound is what makes dedup-on-ingest viable
+    on an unbounded 100 TB/day stream — plain ``dropDuplicates`` on a
+    stream keeps ALL keys forever. Exactly-once ingest dedup composes with
+    the content-hash batch dedup (``dedup_exact``) downstream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols or ["event_id"]
+    )
+
+
+def read_rate_stream(spark: SparkSession, rows_per_batch: int = 200) -> DataFrame:
+    """A genuinely unbounded source mapped into the events shape: the
+    ``rate-micro-batch`` source emits ``rows_per_batch`` rows per trigger
+    deterministically (value = monotonically increasing long). Used by the
+    smoke test to prove the watermark/window builders run against a source
+    that never ends (parquet-directory streams are bounded); swap for
+    ``format('kafka')`` in production — every builder here is
+    source-agnostic."""
+    rate = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .load()
+    )
+    return rate.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 10).alias("user_id"),
+        F.concat(F.lit("type"), (F.col("value") % 3).cast("string")).alias("event_type"),
+        (F.col("value") % 100).cast("double").alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+
+
+def run_n_batches(stream_df: DataFrame, query_name: str, n_batches: int = 3,
+                  output_mode: str = "append") -> DataFrame:
+    """Drive an UNBOUNDED streaming query for a fixed number of micro-
+    batches against a memory sink, then stop and return the materialized
+    rows (processAllAvailable would never return on an endless source)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            progress = q.recentProgress
+            if len(progress) >= n_batches:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
 def stream_merge_into(stream_df: DataFrame, target_path: str, key: str) -> None:
     """Streaming → incremental MERGE sink via ``foreachBatch``: each
     micro-batch upserts (last-wins by key) into a parquet dataset using
