@@ -29,6 +29,36 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall@10 too low: {recall}"
 
 
+def test_learned_ivf_index_prunes_partitions_and_recalls(spark, sf_dir, tmp_path):
+    """The production IVF path: KMeans-learned centroids → persisted
+    partitionBy(cid) index → probe-time partition pruning. Asserts (a) the
+    scan plan prunes on cid, (b) the index is physically laid out as cid=*
+    directories, (c) recall vs the exact top-k, (d) the self-match."""
+    import os
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.operators.ivf import (
+        build_ivf_index,
+        fit_centroids,
+        ivf_topk_indexed,
+    )
+
+    exact_ids, emb, q = _exact_topk_ids(spark, sf_dir)
+    cents = fit_centroids(emb, k=8)
+    assert cents.count() == 8
+    idx = str(tmp_path / "ivf_idx")
+    build_ivf_index(emb, cents, idx)
+    assert any(d.startswith("cid=") for d in os.listdir(idx))
+
+    res = ivf_topk_indexed(spark, idx, cents, q, k=10, n_probe=3)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters:")[1][:200]
+    got = [r["vec_id"] for r in res.collect()]
+    assert 0 in got
+    recall = len(set(exact_ids) & set(got)) / len(exact_ids)
+    assert recall >= 0.5, f"learned-IVF recall@10 too low: {recall}"
+
+
 def test_brp_ann_recall(spark, sf_dir):
     from vectordb_hr_data_spark.operators.lsh import brp_ann
 

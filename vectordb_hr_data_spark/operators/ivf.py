@@ -18,10 +18,87 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
+
+
+def fit_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Learn IVF centroids with MLlib KMeans (the production path; the
+    deterministic first-k-rows centroids remain the oracle path, since
+    KMeans init is seeded but its float reductions are not bit-portable to
+    DuckDB). Returns (cid int, cvec array<double>) — tiny, broadcastable.
+    KMeans training is a bounded number of map-reduce passes; the k
+    centers themselves live on the driver, which is exactly the broadcast
+    table the assignment join needs."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = vectors.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cid int, cvec array<double>",
+    )
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index as parquet PARTITIONED BY cid: each centroid's
+    bucket is its own directory, so a probe-time cid filter becomes
+    partition PRUNING — the 100 TB scan shrinks to n_probe/k of the data
+    before a single row is read (asserted in tests/test_plans.py)."""
+    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    assigned.write.partitionBy("cid").mode("overwrite").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    index_path: str,
+    centroids: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Query the persisted IVF index: rank centroids driver-side (they are
+    k rows — the one collect that is always safe), read ONLY the probed
+    cid partitions, exact-score the survivors, TakeOrderedAndProject."""
+    q = [float(x) for x in query_vec]
+    qlit = F.lit(q)
+    probe = [
+        r.cid
+        for r in centroids.select("cid", V.l2sq(F.col("cvec"), qlit).alias("d"))
+        .orderBy(F.col("d").asc(), F.col("cid").asc())
+        .limit(n_probe)
+        .collect()
+    ]
+    bucket = spark.read.parquet(index_path).filter(F.col("cid").isin(probe))
+    dist = V.l2sq(F.col(vec_col), qlit)
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+    return (
+        bucket.select(id_col, dist.alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
 
 
 def ivf_assign(
