@@ -53,6 +53,41 @@ def test_column_pruning_reads_needed_columns_only(spark, sf_dir):
     assert "label" not in scan  # unused column must be pruned
 
 
+def test_ivf_assign_is_map_side(spark, sf_dir):
+    """The IVF centroid assignment must be a pure projection: no Exchange
+    at all (the r2 form cross-joined then windowed on vec_id, shuffling the
+    k-times-replicated corpus — VERDICT r2 item 1)."""
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.operators.ivf import ivf_assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    plan = _plan(ivf_assign(emb, cents))
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+
+
+def test_ivf_assign_gemm_matches_expression(spark, sf_dir):
+    """The BLAS argmin fast path must produce the identical assignment as
+    the oracle-exact expression form, ties included."""
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.operators.ivf import ivf_assign, ivf_assign_gemm
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    expr = {r.vec_id: r.cid for r in ivf_assign(emb, cents).select("vec_id", "cid").collect()}
+    gemm = {r.vec_id: r.cid for r in ivf_assign_gemm(emb, cents).select("vec_id", "cid").collect()}
+    assert expr == gemm
+
+
 def test_doc_type_partition_pruning(spark, tmp_path):
     """The written index is partitioned by doc_type; a doc_type equality
     filter must prune at the source (the Spark form of the reference's

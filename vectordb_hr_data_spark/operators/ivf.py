@@ -2,8 +2,9 @@
 scale path for kNN (SURVEY.md A19's approximate form; BASELINE.json: Spark
 batch-builds the index, online serving is external).
 
-Shape: assign every vector to its nearest centroid (one broadcast join —
-centroids are tiny), partition the index by centroid id, and at query time
+Shape: assign every vector to its nearest centroid map-side (centroids are
+tiny — inlined as a literal, no join, no shuffle), partition the index by
+centroid id, and at query time
 probe only the ``n_probe`` centroids closest to the query. At 100 TB this
 converts a full-corpus scan into a partition-pruned scan of
 ``n_probe / n_centroids`` of the data; the centroid assignment is the
@@ -18,8 +19,12 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import vector as V
 
@@ -109,19 +114,61 @@ def ivf_assign(
 ) -> DataFrame:
     """Add ``cid`` = nearest centroid (squared-L2, centroid-id tie-break).
 
-    centroids: (cid int, cvec array) — small, broadcast; the argmin is a
-    per-row window over the broadcast-joined candidates, so the plan is
-    scan → broadcast join → window, no shuffle of the big side beyond the
-    window's local sort.
+    Map-side argmin: the centroid table is k rows, so it is collected once
+    at plan-build time (the same always-safe collect ``ivf_topk_indexed``
+    does) and inlined as an array-of-struct literal. Each row evaluates
+    ``array_min(transform(centroids, c -> struct(l2sq(vec, c.cvec), c.cid)))``
+    — struct comparison is lexicographic, so the min is (lowest distance,
+    lowest cid), exactly the old window's tie-break. The plan is a pure
+    Project over the scan: NO exchange, NO replication of the corpus
+    (the previous form cross-joined then windowed on the unique ``id_col``,
+    which shuffled N×k rows — asserted gone in tests/test_plans.py).
     """
-    joined = vectors.crossJoin(F.broadcast(centroids))
-    dist = V.l2sq(F.col(vec_col), F.col("cvec"))
-    w = Window.partitionBy(id_col).orderBy(dist.asc(), F.col("cid").asc())
-    return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "cvec")
+    rows = sorted(centroids.select("cid", "cvec").collect(), key=lambda r: r.cid)
+    cand = F.array(
+        *[
+            F.struct(
+                F.lit([float(x) for x in r.cvec]).alias("cvec"),
+                F.lit(int(r.cid)).alias("cid"),
+            )
+            for r in rows
+        ]
     )
+    scored = F.transform(
+        cand,
+        lambda c: F.struct(
+            V.l2sq(F.col(vec_col), c["cvec"]).alias("d"), c["cid"].alias("cid")
+        ),
+    )
+    return vectors.withColumn("cid", F.array_min(scored)["cid"])
+
+
+def ivf_assign_gemm(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """GEMM fast path for the same assignment: one numpy matmul per Arrow
+    batch computes all N×k distances and the argmin in BLAS — still
+    map-only, ~10× the expression form at dim 384 / large k. Float64
+    arithmetic; ties broken toward the lowest cid (np.argmin returns the
+    first minimum and centroids are sorted by cid). Use the expression form
+    when bit-exact oracle parity is required; a pytest pins the two to
+    identical assignments on the test corpus."""
+    rows = sorted(centroids.select("cid", "cvec").collect(), key=lambda r: r.cid)
+    cmat = np.stack([np.asarray(r.cvec, dtype=np.float64) for r in rows])
+    cids = np.asarray([int(r.cid) for r in rows])
+    csq = np.einsum("ij,ij->i", cmat, cmat)
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; ||v||^2 is constant per row
+        d = csq[None, :] - 2.0 * (m @ cmat.T)
+        return pd.Series(cids[np.argmin(d, axis=1)]).astype("int32")
+
+    return vectors.withColumn("cid", nearest(F.col(vec_col)))
 
 
 def ivf_topk(

@@ -393,8 +393,9 @@ ORDER BY cid, vec_id_1, vec_id_2
 )
 def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-space) dedup, cluster-blocked: assign every
-    vector to its nearest of 16 deterministic centroids (broadcast join —
-    same build as the IVF index), then emit cosine ≥ 0.45 pairs WITHIN each
+    vector to its nearest of 16 deterministic centroids (map-side BLAS
+    argmin — same build as the IVF index, no shuffle), then emit cosine
+    ≥ 0.45 pairs WITHIN each
     cluster only. The SemDeDup-style recipe: clustering caps the candidate
     set at Σ|cluster|² instead of N², trading the few cross-cluster dup
     pairs (recall baselined by the exact ``neardup_embedding_cosine``) for
@@ -404,14 +405,14 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     with real K-means (K ~ N/10k, MLlib ``KMeans`` drop-in for the
     deterministic centroids) cluster sizes stay bounded so no key is hot
     and every group fits its Arrow batch."""
-    from ..operators.ivf import ivf_assign
+    from ..operators.ivf import ivf_assign_gemm
     from ..operators.similarity import grouped_pairs_cosine
 
     emb = read_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < SEM_CENTROIDS).select(
         F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("cvec")
     )
-    a = ivf_assign(emb, centroids)
+    a = ivf_assign_gemm(emb, centroids)
     return (
         grouped_pairs_cosine(a, "cid", "vec_id", "embedding", SEM_THRESHOLD, round_to=4)
         .select(

@@ -56,15 +56,18 @@ LIMIT 10
 def ivf_topk_l2sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 via IVF: assign to nearest of 16 deterministic centroids,
     probe the 4 closest buckets — the partition-pruned scale path whose
-    recall the exact knn_topk_l2sq query baselines."""
-    from ..operators.ivf import ivf_assign, ivf_topk
+    recall the exact knn_topk_l2sq query baselines. Assignment is the
+    map-side BLAS argmin (``ivf_assign_gemm``, ~4× the expression form at
+    dim 64); ``ivf_assign`` is its bit-exact oracle twin and a pytest pins
+    the two to identical assignments (tests/test_plans.py)."""
+    from ..operators.ivf import ivf_assign_gemm, ivf_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("cvec")
     )
     qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
-    assigned = ivf_assign(emb, centroids)
+    assigned = ivf_assign_gemm(emb, centroids)
     return ivf_topk(assigned, centroids, qvec, k=10, n_probe=N_PROBE, round_to=_ROUND)
 
 
