@@ -56,8 +56,41 @@ def test_stratified_sample_is_deterministic(spark, sf_dir):
     assert a == b
 
 
+def test_threshold_sample_fraction_and_agreement_with_exact(spark, sf_dir):
+    """The map-only threshold sampler must land within binomial tolerance of
+    the target fraction per stratum (3σ) and be deterministic."""
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import SAMPLE_FRAC
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_lang = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {
+        r.lang: r["count"]
+        for r in _run(spark, sf_dir, "stratified_sample_threshold").groupBy("lang").count().collect()
+    }
+    for lang, n in per_lang.items():
+        k = got.get(lang, 0)
+        tol = 3 * math.sqrt(SAMPLE_FRAC * (1 - SAMPLE_FRAC) * n)
+        assert abs(k - SAMPLE_FRAC * n) <= max(tol, 3), (lang, k, n)
+    a = sorted(map(tuple, _run(spark, sf_dir, "stratified_sample_threshold").collect()))
+    b = sorted(map(tuple, _run(spark, sf_dir, "stratified_sample_threshold").collect()))
+    assert a == b
+
+
+def test_threshold_sample_plan_is_map_only(spark, sf_dir):
+    """The scale sampler's plan must contain no per-stratum window and no
+    exchange before the (presentation-only) final sort."""
+    df = _run(spark, sf_dir, "stratified_sample_threshold")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # the only allowed exchange is the rangepartitioning for the output
+    # ORDER BY — the filter itself must sit directly on the scan
+    body = plan.split("rangepartitioning")[-1]
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Filter" in body and "Scan parquet" in body
+
+
 def test_pack_sequences_conserves_tokens_and_bins_are_dense(spark, sf_dir):
-    from vectordb_hr_data_spark.querydefs.pipeline_queries import PACK_BUDGET
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import PACK_BUDGET, PACK_SHARDS
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     total = d.select(F.sum(F.size(F.split("text", " ")))).first()[0]
@@ -66,9 +99,23 @@ def test_pack_sequences_conserves_tokens_and_bins_are_dense(spark, sf_dir):
     for shard in {r.shard for r in rows}:
         bins = sorted(r.bin for r in rows if r.shard == shard)
         assert bins == list(range(len(bins)))  # contiguous bin ids from 0
-    # every full (non-terminal) bin ends within one doc of the budget
-    for r in rows:
-        assert r.sum_tokens <= PACK_BUDGET or r.n_docs >= 1
+    # independent python oracle: replay the chunked-packing rule per shard
+    # (doc starts in the bin its pre-doc running total falls in)
+    toks = {
+        r.doc_id: r.n
+        for r in d.select("doc_id", F.size(F.split("text", " ")).alias("n")).collect()
+    }
+    expect: dict[tuple[int, int], list[int]] = {}
+    cums = {s: 0 for s in range(PACK_SHARDS)}
+    for doc_id in sorted(toks):
+        s = doc_id % PACK_SHARDS
+        b = cums[s] // PACK_BUDGET
+        expect.setdefault((s, b), [0, 0])
+        expect[(s, b)][0] += 1
+        expect[(s, b)][1] += toks[doc_id]
+        cums[s] += toks[doc_id]
+    got = {(r.shard, r.bin): [r.n_docs, r.sum_tokens] for r in rows}
+    assert got == expect
 
 
 def test_semantic_dedup_pairs_are_subset_of_exact_allpairs(spark, sf_dir):

@@ -62,7 +62,7 @@ PRIORITY: list[str] = [
     "doc_hash_split", "doc_fingerprint", "doc_tfidf_top_terms",
     # training-data pipeline ops (decontamination, quality, sampling, packing,
     # corpus stats, semantic dedup)
-    "doc_decontaminate", "doc_repetition_ratio", "stratified_sample_by_lang",
+    "doc_decontaminate", "doc_repetition_ratio", "stratified_sample_threshold",
     "pack_sequences", "doc_length_percentiles", "semantic_dedup_clusters",
     # events / time ops (B7)
     "events_tumbling_1h", "events_sessionize", "events_json_props",
@@ -86,6 +86,7 @@ PRIORITY: list[str] = [
     "orders_by_year_month", "supplier_part_distincts", "parts_never_ordered",
     "events_sliding_1h_30m", "events_user_daily_activity",
     "q2_cheapest_supplier_per_part", "q12_priority_case_agg", "q18_large_volume_customers",
+    "stratified_sample_by_lang",  # exact-rank small-sf twin; hash-passed r02 in-window
     # rows-only MLlib/UDF paths (pytest-pinned; no SQL oracle exists)
     "lsh_minhash_neardup_pairs", "tfidf_top_terms", "lsh_brp_ann_topk",
     "embed_documents_sha256", "multimodal_feature_extract",

@@ -95,6 +95,10 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_BUCKET_SPARK).alias("bucket"),
     )
     h = t.select("doc_id", "bucket", F.expr(H.spark_hash_array("toks")).alias("th"))
+    # two consumers (explode stream + per-doc sizes); CALLERS OWN THE CACHE
+    # LIFETIME — release via result.shingle_cache.unpersist() after
+    # materializing (ADVICE r02: repeated calls in a long-lived session
+    # otherwise accumulate storage memory)
     s = h.select(
         "doc_id", "bucket", F.expr(H.spark_shingle_keys("th", DECON_N)).alias("sk")
     ).cache()
@@ -107,7 +111,7 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_overlap"))
     )
     sizes = s.select("doc_id", F.size("sk").cast("long").alias("n_shingles"))
-    return (
+    out = (
         hits.join(sizes, "doc_id")
         .select(
             "doc_id",
@@ -119,6 +123,8 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+    out.shingle_cache = s  # see cache-lifetime note above
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -225,10 +231,15 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratum, chosen by ranking on a content-stable md5 key — reproducible
     across runs and engines (``df.sample`` is seed- and partitioning-
     dependent, so it can never be oracle-checked; rank-on-hash is the
-    portable form). One shuffle keyed by the stratum column; skewed strata
-    cost only their own partition's sort, and the same pattern extends to
-    weighted per-source mixing by swapping the constant fraction for a
-    per-stratum weight column."""
+    portable form).
+
+    SMALL-SF TWIN ONLY: the per-stratum window funnels each stratum through
+    one task's sort — an English-dominated 100 TB corpus would push ~half
+    the data through a single partition. The scale form is
+    ``stratified_sample_threshold`` below (map-only, no window, exact
+    fraction in expectation); use this exact-⌈frac·n⌉ form when strata are
+    known-small or an exact count is contractually required (then via the
+    two-phase range-partitioned rank, not this single-window one)."""
     d = read_table(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":strat")))
     w = Window.partitionBy("lang")
@@ -241,6 +252,46 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         r.filter(F.col("rn") <= F.ceil(SAMPLE_FRAC * F.col("n_lang")))
         .orderBy("lang", "rn")
+    )
+
+
+# map-only threshold variant: the 100 TB form of the same sampler
+_STRAT_U_DDB = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':strat'), 1, 8)) AS BIGINT)"
+    " / 4294967296.0"
+)
+_STRAT_U_SPARK = (
+    "cast(conv(substring(md5(concat(cast(doc_id as string), ':strat')), 1, 8), 16, 10)"
+    " as double) / 4294967296.0"
+)
+
+
+@register(
+    "stratified_sample_threshold",
+    f"""
+SELECT lang, doc_id, round({_STRAT_U_DDB}, 8) AS u
+FROM documents
+WHERE {_STRAT_U_DDB} < {SAMPLE_FRAC}
+ORDER BY lang, doc_id
+""",
+)
+def stratified_sample_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe stratified sampling: keep a row iff its content-stable
+    hash, mapped to a uniform u ∈ [0,1), is below the stratum's fraction.
+    Map-only — no window, no shuffle, no state; every partition decides its
+    own rows independently, so the plan is a pure Filter over the scan at
+    any corpus size and any stratum skew (the failure mode of the exact-rank
+    twin above). The sample is exact-fraction in expectation per stratum
+    (binomial, |error| ~ 1/√n) and deterministic across runs, engines, and
+    partitionings because u is a pure function of the row key. Per-stratum
+    fractions generalize by joining/mapping a frac column instead of the
+    constant."""
+    d = read_table(spark, sf_dir, "documents")
+    u = F.expr(_STRAT_U_SPARK)
+    return (
+        d.select("lang", "doc_id", F.round(u, 8).alias("u"))
+        .filter(u < SAMPLE_FRAC)
+        .orderBy("lang", "doc_id")
     )
 
 
