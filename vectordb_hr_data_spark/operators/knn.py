@@ -60,6 +60,43 @@ def knn_topk(
     return scored.orderBy(F.col("distance").asc(), F.col(id_cols[0]).asc()).limit(k)
 
 
+def local_topk_per_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """Per-partition partial top-k: within every input partition, keep only
+    the ``k`` smallest rows per ``key_col`` value, ordered by ``order_cols``
+    ascending. A pure map-side reduction — no shuffle — so a downstream
+    per-key global rank exchanges ≤ partitions·|keys|·k rows instead of the
+    full stream. Values pass through untouched (no recomputation), so this
+    composes with bit-exact scoring without affecting oracle parity.
+
+    Implementation: ``mapInPandas`` with a tiny accumulator (≤ |keys|·k
+    rows) folded over the partition's Arrow batches; compute per batch is
+    one sort + grouped head over ``batch + accumulator`` rows.
+    """
+    import pandas as pd
+
+    schema = df.schema
+    cols = [key_col, *order_cols]
+
+    def fold(batches):
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            both = pdf if acc is None else pd.concat((acc, pdf), ignore_index=True)
+            acc = (
+                both.sort_values(cols, kind="mergesort")
+                .groupby(key_col, sort=False)
+                .head(k)
+            )
+        if acc is not None:
+            yield acc
+
+    return df.mapInPandas(fold, schema=schema)
+
+
 def overfetch_count(k: int) -> int:
     """Reference over-fetch width: ``k*5 if k*5 > 10 else 20``
     (``talent_recommender.py:28``)."""

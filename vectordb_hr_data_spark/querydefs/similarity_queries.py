@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from ..functions import texthash as H
 from ..functions import vector as V
 from ..io import read_table
+from ..operators.knn import local_topk_per_key
 from ..queries import register
 
 _ROUND = 4
@@ -99,9 +100,16 @@ ORDER BY query_id, rn
 )
 def batch_topk_many_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 neighbours for each of 10 query vectors in ONE pass: broadcast
-    the query set, score every (row, query) pair map-side, window-rank per
-    query. The corpus is read once regardless of query count — the batch
-    form that replaces per-query index probes at 100 TB."""
+    the query set, score every (row, query) pair map-side, then reduce to a
+    per-partition local top-k BEFORE the per-query global rank.
+
+    The r2 form window-ranked the full N×Q scored stream, exchanging every
+    scored row into Q partitions — per-query partitions explode at 100 TB.
+    Here each input partition keeps only its k best rows per query (a
+    pass-through accumulator over already-rounded distances — no float is
+    recomputed, so oracle parity is untouched), and the exchange carries
+    ≤ partitions·Q·k rows; the final window is over that tiny set. Local
+    top-k ⊇ global top-k per query, so results are identical."""
     emb = read_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
@@ -115,9 +123,12 @@ def batch_topk_many_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(V.l2sq(F.col("embedding"), F.col("qv")), _ROUND).alias("distance"),
         )
     )
+    partial = local_topk_per_key(
+        scored, key_col="query_id", order_cols=("distance", "vec_id"), k=TOPK_PER_QUERY
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        partial.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= TOPK_PER_QUERY)
         .orderBy("query_id", "rn")
     )

@@ -137,15 +137,21 @@ ORDER BY label, distance, vec_id
 """,
 )
 def knn_batch_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B3 shape: top-k per group via window rank — the scale pattern for
-    many-query batch kNN (partition by query/group, no global sort)."""
+    """B3 shape: top-k per group, pre-reduced map-side: each partition keeps
+    its 3 best rows per label (``local_topk_per_key``, no shuffle) so the
+    per-label window rank exchanges ≤ partitions·|labels|·3 rows — the
+    full scored stream never shuffles (VERDICT r2 item 3 applied to the
+    per-label variant too)."""
     from pyspark.sql import Window
+
+    from ..operators.knn import local_topk_per_key
 
     emb = read_table(spark, sf_dir, "embeddings")
     q = F.lit([float(x) for x in _query_vec(spark, sf_dir)])  # single array literal: ~4x faster to analyze/codegen than a wide F.array(...) tree
     scored = emb.select(
         "label", "vec_id", F.round(V.l2sq(F.col("embedding"), q), _ROUND).alias("distance")
     )
+    scored = local_topk_per_key(scored, "label", ("distance", "vec_id"), 3)
     w = Window.partitionBy("label").orderBy(F.col("distance").asc(), F.col("vec_id").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
