@@ -1,0 +1,69 @@
+"""Contract test pinning the real-model UDF (``sentence_transformer_
+embedder``) to the deterministic embedder's observable behavior WITHOUT the
+model present (VERDICT r1 item 6 / r2 "What's missing" #1): identical return
+schema, identical null handling, and genuine Arrow-batch vectorization —
+exercised through the UDF's ``encode_fn`` seam, so every line around the
+model call (fillna, float coercion, Series construction) is the code the
+real model runs through.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vectordb_hr_data_spark.embed import (
+    deterministic_embedder,
+    sentence_transformer_embedder,
+)
+
+DIM = 384
+
+
+def _fake_encode(batch):
+    # vectors that REPORT the batch they were encoded in: dim 384, first
+    # element = batch length, second = position in batch
+    return [[float(len(batch)), float(i)] + [0.0] * (DIM - 2) for i in range(len(batch))]
+
+
+def test_real_udf_schema_matches_deterministic(spark):
+    texts = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)] + [(10, None)], "id long, text string"
+    )
+    det = texts.withColumn("emb", deterministic_embedder(DIM)(F.col("text")))
+    real = texts.withColumn("emb", sentence_transformer_embedder(encode_fn=_fake_encode)(F.col("text")))
+    assert det.schema["emb"].dataType == real.schema["emb"].dataType == T.ArrayType(T.FloatType())
+    det_rows = {r.id: r.emb for r in det.collect()}
+    real_rows = {r.id: r.emb for r in real.collect()}
+    # both tolerate null text (reference loaders never raise — SURVEY §7.4 #6)
+    assert len(det_rows[10]) == DIM and len(real_rows[10]) == DIM
+    assert all(len(v) == DIM for v in real_rows.values())
+
+
+def test_real_udf_is_arrow_batched_not_per_row(spark):
+    """The encode call must receive whole Arrow batches (the reference
+    encodes 5000-row slices, vector_db.py:145-160; Spark's knob is
+    arrow.maxRecordsPerBatch). The fake encoder writes its batch length
+    into each vector: per-row invocation would report 1."""
+    n = 500
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(n)], "id long, text string")
+    out = (
+        df.repartition(2)
+        .withColumn("emb", sentence_transformer_embedder(encode_fn=_fake_encode)(F.col("text")))
+        .select("id", F.element_at("emb", 1).alias("batch_len"))
+        .collect()
+    )
+    batch_lens = {int(r.batch_len) for r in out}
+    max_batch = int(spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch"))
+    assert all(1 < b <= max_batch for b in batch_lens), batch_lens
+    # total rows re-assemble exactly
+    assert len(out) == n
+
+
+def test_real_udf_raises_cleanly_without_model(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with pytest.raises(Exception) as ei:
+        df.withColumn("emb", sentence_transformer_embedder()(F.col("text"))).collect()
+    assert "NotImplementedError" in str(ei.value) or "sentence-transformers" in str(ei.value)

@@ -52,27 +52,37 @@ def deterministic_embedder(dim: int = 64):
     return embed
 
 
-def sentence_transformer_embedder(model_name: str = "all-MiniLM-L6-v2"):
+def sentence_transformer_embedder(model_name: str = "all-MiniLM-L6-v2", encode_fn=None):
     """Real-model encoder (384-dim for the reference model). The model
     loads lazily once per Python worker; raises cleanly if
-    sentence-transformers isn't installed (it is not in this container)."""
+    sentence-transformers isn't installed (it is not in this container).
+
+    ``encode_fn`` (``list[str] -> sequence of float vectors``) replaces the
+    model's ``encode`` when given — the seam the contract test uses to pin
+    this UDF's schema, null handling, and Arrow batching to
+    ``deterministic_embedder`` without the model present (the same seam a
+    GPU-service client would plug into). Everything around the call —
+    fillna, float coercion, batch shape — is the code the real model runs
+    through."""
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def embed(texts: pd.Series) -> pd.Series:
-        global _ST_MODEL  # one load per executor process
-        try:
-            model = globals().get("_ST_MODEL")
-            if model is None:
-                from sentence_transformers import SentenceTransformer
+        fn = encode_fn
+        if fn is None:
+            try:
+                model = globals().get("_ST_MODEL")  # one load per worker
+                if model is None:
+                    from sentence_transformers import SentenceTransformer
 
-                model = SentenceTransformer(model_name)
-                globals()["_ST_MODEL"] = model
-        except ImportError as e:  # pragma: no cover - not installed here
-            raise NotImplementedError(
-                "sentence-transformers is not available in this environment; "
-                "use deterministic_embedder for tests"
-            ) from e
-        vecs = model.encode(texts.fillna("").tolist(), convert_to_tensor=False)
+                    model = SentenceTransformer(model_name)
+                    globals()["_ST_MODEL"] = model
+            except ImportError as e:  # pragma: no cover - not installed here
+                raise NotImplementedError(
+                    "sentence-transformers is not available in this environment; "
+                    "use deterministic_embedder for tests"
+                ) from e
+            fn = lambda batch: model.encode(batch, convert_to_tensor=False)
+        vecs = fn(texts.fillna("").tolist())
         return pd.Series([list(map(float, v)) for v in vecs])
 
     return embed

@@ -97,27 +97,40 @@ def sample_frames(media: DataFrame, stride_ms: int = 10_000, fake_decode: bool =
 
     The per-frame "decode" hashes (payload, frame_ts) through the
     deterministic stub; a real decoder seeks the container instead — the
-    batch plumbing (Arrow in, exploded Arrow out) is identical.
+    batch plumbing (Arrow in, exploded Arrow out) is identical. The
+    frame-point expansion is vectorized (numpy repeat + cumcount index
+    arithmetic) — the only per-row Python left is the decode call itself,
+    which is exactly the part a real codec replaces.
     """
+    import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_id, out_idx, out_ts, out_feat = [], [], [], []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
-                duration = int(r["duration_ms"] or 0) if r["modality"] == "video" else 0
-                ts_points = list(range(0, duration + 1, stride_ms)) if duration else [0]
-                for i, ts in enumerate(ts_points):
-                    out_id.append(r["media_id"])
-                    out_idx.append(i)
-                    out_ts.append(ts)
-                    out_feat.append(decode_image(payload + ts.to_bytes(4, "big"), fake=fake_decode))
+            if not len(pdf):
+                continue
+            payloads = pdf["payload"].map(lambda b: bytes(b) if b is not None else b"")
+            duration = (
+                pdf["duration_ms"].fillna(0).astype("int64")
+                * (pdf["modality"] == "video").astype("int64")
+            ).to_numpy()
+            n_frames = np.where(duration > 0, duration // stride_ms + 1, 1)
+            # explode: row j repeats n_frames[j] times; frame_idx counts
+            # within each row; frame_ts = frame_idx * stride (0 for stills)
+            rep = np.repeat(np.arange(len(pdf)), n_frames)
+            ends = np.cumsum(n_frames)
+            frame_idx = (np.arange(ends[-1]) - np.repeat(ends - n_frames, n_frames)).astype("int32")
+            frame_ts = frame_idx.astype("int64") * stride_ms * (duration[rep] > 0)
+            pl = payloads.to_numpy()
+            feats = [
+                decode_image(pl[j] + int(ts).to_bytes(4, "big"), fake=fake_decode)
+                for j, ts in zip(rep, frame_ts)
+            ]
             yield pd.DataFrame(
                 {
-                    "media_id": pd.Series(out_id, dtype="int64"),
-                    "frame_idx": pd.Series(out_idx, dtype="int32"),
-                    "frame_ts_ms": pd.Series(out_ts, dtype="int32"),
-                    "frame_feature": out_feat,
+                    "media_id": pdf["media_id"].to_numpy()[rep],
+                    "frame_idx": frame_idx,
+                    "frame_ts_ms": frame_ts.astype("int32"),
+                    "frame_feature": feats,
                 }
             )
 
