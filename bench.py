@@ -50,6 +50,10 @@ def main() -> None:
     )
 
     def run_once(fn) -> tuple[float, int]:
+        # cold-cache every run: queries that cache internally (decontaminate,
+        # minhash LSH) must not carry state into the next sample, and the
+        # medians stay comparable with earlier single-shot rounds
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()
         return time.perf_counter() - t0, n

@@ -144,6 +144,56 @@ def test_rate_source_windowed_counts_unbounded(spark):
     assert sum(r.n_events for r in rows) > 0
 
 
+def test_watermark_evicts_late_data(spark, tmp_path):
+    """End-to-end late-data eviction proof (VERDICT r2 item 8): an event
+    arriving AFTER the watermark passed its window must be dropped — the
+    finalized window's count excludes it. Replay-parity tests can't show
+    this; here micro-batch order is forced by writing file 2 only after
+    batch 1 is fully processed."""
+    import datetime as dt
+
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        EVENTS_SCHEMA,
+        read_events_stream,
+        windowed_counts_stream,
+    )
+
+    def ev(eid, hh, mm):
+        return (eid, dt.datetime(2026, 1, 1, hh, mm), 1, "click", 1.0, None)
+
+    src = str(tmp_path / "late_src")
+    # batch 1: three events in the 10:00 window + one at 14:00 that drives
+    # the watermark (2h) to 12:00, past the 10:00 window's 11:00 end
+    b1 = [ev(1, 10, 0), ev(2, 10, 10), ev(3, 10, 20), ev(4, 14, 0)]
+    spark.createDataFrame(b1, EVENTS_SCHEMA).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = read_events_stream(spark, src)
+    q = (
+        windowed_counts_stream(stream, width="1 hour", watermark="2 hours")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_drop_smoke")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1 ingested; watermark now 12:00
+        # batch 2: a LATE event inside the already-closed 10:00 window
+        spark.createDataFrame([ev(5, 10, 30)], EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()  # must drop it and finalize the window
+    finally:
+        q.stop()
+
+    rows = {r.window_start: r.n_events for r in spark.sql("SELECT * FROM late_drop_smoke").collect()}
+    ten = dt.datetime(2026, 1, 1, 10, 0)
+    two_pm = dt.datetime(2026, 1, 1, 14, 0)
+    # the 10:00 window finalized with the 3 on-time events — the late 4th
+    # was evicted, not merged
+    assert rows.get(ten) == 3
+    # the 14:00 window is still open (watermark hasn't passed 15:00), so
+    # append mode must not have emitted it
+    assert two_pm not in rows
+
+
 def test_streaming_sessionize_runs(spark, events_dir):
     from vectordb_hr_data_spark.streaming.stream_ops import (
         read_events_stream,

@@ -41,9 +41,15 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _cell(v) -> str:
-    # None/NaN/NaT unify: Spark None vs DuckDB NaN for SQL NULL
-    if v is None or (isinstance(v, float) and np.isnan(v)) or v is pd.NaT:
+    # SQL NULL canonicalizes to <null>. NaN-vs-NULL (ADVICE r02): inside a
+    # pandas float64 COLUMN both engines surface SQL NULL as np.nan, so
+    # there the unification is forced and documented; but a python float
+    # nan inside an object-dtype cell (e.g. an array element) is a genuine
+    # computed NaN and stays distinct as <nan>.
+    if v is None or v is pd.NaT:
         return "<null>"
+    if isinstance(v, float) and np.isnan(v):
+        return "<nan>" if type(v) is float else "<null>"
     if isinstance(v, (np.ndarray, list)):
         return "[" + ",".join(_cell(x) for x in v) + "]"
     if isinstance(v, np.floating):

@@ -100,10 +100,21 @@ def minhash_similarity_join(
     exact 1 − |∩|/|∪| over distinct shingle sets."""
     from pyspark.ml.functions import vector_to_array
 
+    if num_hashes % n_bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into n_bands "
+            f"({n_bands}); trailing hash functions would be silently dropped, "
+            "changing the advertised recall/precision amplification"
+        )
     rows_per_band = num_hashes // n_bands
     toks = docs.select(id_col, F.split(F.col(text_col), " ").alias("toks"))
     # the shingle frame feeds three consumers (CV fit, signature transform,
-    # exact verify) — cache it so tokenize+NGram runs once per call
+    # exact verify) — cache it so tokenize+NGram runs once per call.
+    # CALLERS OWN THE CACHE LIFETIME: the returned DataFrame is lazy, so the
+    # cache must outlive this function; after materializing, release the
+    # executor storage via the handle attached to the result
+    # (``result.shingle_cache.unpersist()``) — long-lived sessions that skip
+    # this leak storage memory across repeated calls (ADVICE r02).
     sh = NGram(n=shingle_n, inputCol="toks", outputCol="shingles").transform(toks).cache()
     cv = CountVectorizer(
         inputCol="shingles", outputCol="features", vocabSize=vocab_size, binary=True, minDF=2.0
@@ -134,10 +145,12 @@ def minhash_similarity_join(
     s2 = s.select(F.col(id_col).alias("id_2"), F.col("sset").alias("s2"))
     inter = F.size(F.array_intersect("s1", "s2"))
     jdist = F.lit(1.0) - inter.cast("double") / (F.size("s1") + F.size("s2") - inter)
-    return (
+    out = (
         cand.join(s1, "id_1")
         .join(s2, "id_2")
         .withColumn("jaccard_dist", jdist)
         .filter(F.col("jaccard_dist") <= threshold)
         .select("id_1", "id_2", "jaccard_dist")
     )
+    out.shingle_cache = sh  # see cache-lifetime note above
+    return out
