@@ -48,6 +48,12 @@ def main() -> None:
         .limit(5)
         .count()
     )
+    # first-touch every table once (footer/stat reads + OS page cache) so
+    # per-query timings measure the query, not which one read a file first
+    import vectordb_hr_data_spark.io as IO
+
+    for t in IO.TESTDATA_TABLES:
+        IO.read_table(spark, sf_dir, t).count()
 
     def run_once(fn) -> tuple[float, int]:
         # cold-cache every run: queries that cache internally (decontaminate,

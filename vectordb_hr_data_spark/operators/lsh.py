@@ -126,9 +126,11 @@ def minhash_similarity_join(
     band_keys = [
         F.concat_ws(":", *hvals[b * rows_per_band : (b + 1) * rows_per_band]) for b in range(n_bands)
     ]
-    keys = hashed.select(
-        id_col, F.posexplode(F.array(*band_keys)).alias("band_id", "band_key")
-    )
+    # materialize the band-key array before the explode (same Generate
+    # projection-collapse discipline as the portable path: Catalyst would
+    # otherwise re-evaluate the MinHash model expressions per band row)
+    pre = hashed.select(id_col, F.array(*band_keys).alias("bk")).cache()
+    keys = pre.select(id_col, F.posexplode("bk").alias("band_id", "band_key"))
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
         a.join(

@@ -154,8 +154,13 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     # bands shuffle as small (doc_id, band_id, key) rows — shingle arrays
     # rejoin only the surviving candidate pairs (same discipline as the
-    # jaccard query above)
-    banded = sig.select("doc_id", F.posexplode(F.array(*band_keys)).alias("band_id", "band_key"))
+    # jaccard query above). The band-key array MUST materialize (cache)
+    # before the explode: Catalyst collapses projections into the Generate,
+    # re-evaluating the 16 minhash folds per band row — measured 2.3 s vs
+    # 1.0 s here, and a 50× cliff if another projection layer intervenes
+    # (same Generate discipline as doc_decontaminate).
+    pre = sig.select("doc_id", F.array(*band_keys).alias("bk")).cache()
+    banded = pre.select("doc_id", F.posexplode("bk").alias("band_id", "band_key"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
