@@ -87,6 +87,10 @@ PRIORITY: list[str] = [
     "events_sliding_1h_30m", "events_user_daily_activity",
     "q2_cheapest_supplier_per_part", "q12_priority_case_agg", "q18_large_volume_customers",
     "stratified_sample_by_lang",  # exact-rank small-sf twin; hash-passed r02 in-window
+    # r3: the remaining TPC-H shapes — full q1-q22 catalogue now covered
+    "q8_national_market_share", "q9_product_profit_by_nation_year",
+    "q11_important_part_value", "q15_top_revenue_supplier",
+    "q21_suppliers_kept_orders_waiting",
     # rows-only MLlib/UDF paths (pytest-pinned; no SQL oracle exists)
     "lsh_minhash_neardup_pairs", "tfidf_top_terms", "lsh_brp_ann_topk",
     "embed_documents_sha256", "multimodal_feature_extract",
