@@ -118,6 +118,58 @@ def test_pack_sequences_conserves_tokens_and_bins_are_dense(spark, sf_dir):
     assert got == expect
 
 
+def test_chunking_covers_every_token_with_declared_overlap(spark, sf_dir):
+    """Chunk windows must tile each document: starts advance by the stride,
+    every token falls in ≥1 chunk, the last chunk ends exactly at n, and
+    every doc yields ≥1 chunk."""
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_by_doc = {
+        r.doc_id: r.n
+        for r in d.select("doc_id", F.size(F.split("text", " ")).alias("n")).collect()
+    }
+    rows = _run(spark, sf_dir, "doc_chunk_fixed_tokens").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_by_doc)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_idx)
+        n = n_by_doc[doc_id]
+        assert [r.chunk_idx for r in rs] == list(range(len(rs)))
+        assert all(r.start_tok == r.chunk_idx * CHUNK_STRIDE for r in rs)
+        covered_to = 0
+        for r in rs:
+            assert r.start_tok <= covered_to  # no gap
+            covered_to = max(covered_to, r.start_tok + r.n_chunk_tokens)
+            assert r.n_chunk_tokens <= CHUNK_TOKENS
+        assert covered_to == n  # full coverage, last chunk short not padded
+
+
+def test_weighted_mix_respects_per_source_rates(spark, sf_dir):
+    """Each language's kept fraction must track its configured weight
+    within binomial tolerance, in one deterministic map-only pass."""
+    import math
+
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import MIX_WEIGHTS
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_lang = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {
+        r.lang: r["count"]
+        for r in _run(spark, sf_dir, "corpus_weighted_mix").groupBy("lang").count().collect()
+    }
+    for lang, n in per_lang.items():
+        w = MIX_WEIGHTS.get(lang, 0.0)
+        k = got.get(lang, 0)
+        tol = 3 * math.sqrt(w * (1 - w) * n)
+        assert abs(k - w * n) <= max(tol, 3), (lang, k, n, w)
+
+
 def test_semantic_dedup_pairs_are_subset_of_exact_allpairs(spark, sf_dir):
     exact = {
         (r.vec_id_1, r.vec_id_2)

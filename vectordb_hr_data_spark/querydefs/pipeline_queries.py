@@ -366,6 +366,108 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# weighted corpus mixing: per-source sampling rates in one map-only pass
+MIX_WEIGHTS = {"en": 0.5, "fr": 0.3, "es": 0.2, "de": 0.1, "zh": 0.05}
+
+
+def _mix_case_ddb() -> str:
+    arms = " ".join(f"WHEN '{k}' THEN {w}" for k, w in sorted(MIX_WEIGHTS.items()))
+    return f"CASE lang {arms} ELSE 0.0 END"
+
+
+@register(
+    "corpus_weighted_mix",
+    f"""
+SELECT lang, doc_id, round({_STRAT_U_DDB}, 8) AS u
+FROM documents
+WHERE {_STRAT_U_DDB} < ({_mix_case_ddb()})
+ORDER BY lang, doc_id
+""",
+)
+def corpus_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalancing: each source/language keeps its own target
+    fraction (upsample-by-epoch / downsample-by-rate mixing, the per-source
+    weights every LLM data recipe publishes) in ONE map-only pass — the
+    per-stratum generalization of ``stratified_sample_threshold``: same
+    content-stable u, compared against a per-stratum weight instead of a
+    constant. The weight table is a literal CASE (a broadcast join for
+    thousands of sources); plan stays a Filter on the scan — no shuffle,
+    no skew sensitivity, deterministic across engines and runs."""
+    d = read_table(spark, sf_dir, "documents")
+    u = F.expr(_STRAT_U_SPARK)
+    w = None
+    for k, wt in sorted(MIX_WEIGHTS.items()):
+        w = (F.when if w is None else w.when)(F.col("lang") == k, F.lit(wt))
+    w = w.otherwise(F.lit(0.0))
+    return (
+        d.select("lang", "doc_id", F.round(u, 8).alias("u"))
+        .filter(u < w)
+        .orderBy("lang", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# fixed-token chunking with overlap (embedding / context-window prep)
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # = CHUNK_TOKENS - overlap(8)
+
+
+@register(
+    "doc_chunk_fixed_tokens",
+    f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), n AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t
+), c AS (
+  SELECT doc_id, toks, n,
+         unnest(range(0, 1 + CAST(ceil(CAST(greatest(n - {CHUNK_TOKENS}, 0) AS DOUBLE) / {CHUNK_STRIDE}) AS BIGINT))) AS chunk_idx
+  FROM n
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST({CHUNK_STRIDE} * chunk_idx AS BIGINT) AS start_tok,
+       CAST(len(toks[{CHUNK_STRIDE} * CAST(chunk_idx AS INT) + 1 : {CHUNK_STRIDE} * CAST(chunk_idx AS INT) + {CHUNK_TOKENS}]) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(toks[{CHUNK_STRIDE} * CAST(chunk_idx AS INT) + 1 : {CHUNK_STRIDE} * CAST(chunk_idx AS INT) + {CHUNK_TOKENS}], ' ')) AS chunk_md5
+FROM c
+ORDER BY doc_id, chunk_idx
+""",
+)
+def doc_chunk_fixed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window chunking with overlap — the prep step every
+    embedding/RAG/context-window pipeline runs before encoding: chunk i
+    covers tokens [i·stride, i·stride + chunk); the last chunk is short
+    rather than padded; every doc yields ≥ 1 chunk. Map-only explode whose
+    fan-out is ~n/stride per doc — no shuffle, no state, linear at any
+    corpus size; the chunk identity is (doc_id, chunk_idx) and the md5 of
+    the reconstructed chunk text is the content key downstream dedup or
+    caching joins on."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    n = t.withColumn("n", F.size("toks"))
+    n_chunks = 1 + F.ceil(
+        F.greatest(F.col("n") - CHUNK_TOKENS, F.lit(0)).cast("double") / CHUNK_STRIDE
+    ).cast("long")
+    c = n.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+    )
+    ctoks = F.slice(
+        F.col("toks"), F.col("chunk_idx").cast("int") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+    )
+    return (
+        c.select(
+            "doc_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * CHUNK_STRIDE).alias("start_tok"),
+            F.size(ctoks).cast("long").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", ctoks)).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus length percentiles (exact, per stratum)
 # ---------------------------------------------------------------------------

@@ -414,25 +414,38 @@ def q21_suppliers_kept_orders_waiting(spark: SparkSession, sf_dir: str) -> DataF
     """Q21 shape: the hardest subquery topology in TPC-H — for each
     (supplier, finished order): EXISTS another supplier on the order, NOT
     EXISTS another supplier who also failed it. Lateness proxies to
-    l_returnflag='R' (no commit/receipt dates in this schema). Spark form:
-    two self-joins of the distinct (orderkey, suppkey) pair set — a
-    left_semi for EXISTS, a left_anti for NOT EXISTS — both shuffling only
-    the deduplicated pair projection, never full lineitem rows."""
+    l_returnflag='R' (no commit/receipt dates in this schema).
+
+    Spark form is the aggregation decorrelation of the two EXISTS: dedup
+    (order, supplier) pairs once (map-side partial agg) carrying a
+    per-pair late flag, then ONE window over the order key annotates each
+    pair with the order's supplier count and late-supplier count —
+    "another supplier exists" ⟺ n_supp ≥ 2, "no other late supplier" ⟺
+    n_late = 1. Two shuffles total (pair dedup, order window), no pair-set
+    self-join, no countDistinct Expand; the window key is the order key
+    whose group size is bounded by suppliers-per-order, so there is no
+    skew at any corpus size. Results identical to the EXISTS oracle."""
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = read_table(spark, sf_dir, "supplier")
-    pairs = li.select("l_orderkey", "l_suppkey").distinct()
-    late_pairs = (
-        li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").distinct()
+    from pyspark.sql import Window
+
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("is_late")
     )
-    l1 = late_pairs.join(o.select("o_orderkey"), late_pairs.l_orderkey == F.col("o_orderkey")).drop(
-        "o_orderkey"
+    w = Window.partitionBy("l_orderkey")
+    annotated = pairs.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum("is_late").over(w).alias("n_late"),
     )
-    p2 = pairs.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
-    l3 = late_pairs.select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
     waiting = (
-        l1.join(p2, (l1.l_orderkey == p2.o2) & (l1.l_suppkey != p2.s2), "left_semi")
-        .join(l3, (l1.l_orderkey == l3.o3) & (l1.l_suppkey != l3.s3), "left_anti")
+        annotated.filter(
+            (F.col("is_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+        )
+        .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
     )
     return (
         waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
