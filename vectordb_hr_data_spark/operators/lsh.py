@@ -12,7 +12,7 @@ these are the throughput path when even IVF's probe cost is too high.
 
 from __future__ import annotations
 
-from pyspark.ml.feature import BucketedRandomProjectionLSH, CountVectorizer, MinHashLSH, NGram
+from pyspark.ml.feature import BucketedRandomProjectionLSH, HashingTF, MinHashLSH, NGram
 from pyspark.ml.functions import array_to_vector
 
 from pyspark.sql import DataFrame
@@ -86,8 +86,12 @@ def minhash_similarity_join(
     superlinearly on big corpora).
 
     Pipeline: word n-gram shingles (set semantics via binary
-    CountVectorizer; minDF=2 prunes singleton shingles, which can never
-    produce a candidate) → MLlib ``MinHashLSH`` signatures (seeded) →
+    ``HashingTF`` feature hashing — r3: replaces CountVectorizer, whose
+    vocabulary FIT collects every distinct shingle to the driver, an
+    O(vocabulary) driver-memory pass that cannot survive a 100 TB corpus;
+    feature hashing is stateless/map-only, trading ~|shingles|²/2·numFeatures
+    hash collisions, which only ever MERGE shingles and are corrected by
+    the exact verify) → MLlib ``MinHashLSH`` signatures (seeded) →
     ``n_bands`` bands of ``num_hashes/n_bands`` rows, candidate iff ALL rows
     in some band agree → exact shingle-set Jaccard verification, the same
     definition as ``neardup_ngram_jaccard``. With b=8, r=2: recall at the
@@ -116,10 +120,9 @@ def minhash_similarity_join(
     # (``result.shingle_cache.unpersist()``) — long-lived sessions that skip
     # this leak storage memory across repeated calls (ADVICE r02).
     sh = NGram(n=shingle_n, inputCol="toks", outputCol="shingles").transform(toks).cache()
-    cv = CountVectorizer(
-        inputCol="shingles", outputCol="features", vocabSize=vocab_size, binary=True, minDF=2.0
-    ).fit(sh)
-    vecs = cv.transform(sh)
+    vecs = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=vocab_size, binary=True
+    ).transform(sh)
     model = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=42).fit(vecs)
     hashed = model.transform(vecs)
     hvals = [vector_to_array(F.col("hashes")[i])[0].cast("long").cast("string") for i in range(num_hashes)]

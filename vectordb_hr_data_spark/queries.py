@@ -92,7 +92,7 @@ PRIORITY: list[str] = [
     "q11_important_part_value", "q15_top_revenue_supplier",
     "q21_suppliers_kept_orders_waiting",
     # r3: chunking + weighted corpus mixing (training-data pipeline)
-    "doc_chunk_fixed_tokens", "corpus_weighted_mix",
+    "doc_chunk_fixed_tokens", "corpus_weighted_mix", "chunk_ann_search",
     # rows-only MLlib/UDF paths (pytest-pinned; no SQL oracle exists)
     "lsh_minhash_neardup_pairs", "tfidf_top_terms", "lsh_brp_ann_topk",
     "embed_documents_sha256", "multimodal_feature_extract",

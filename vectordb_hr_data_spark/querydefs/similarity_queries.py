@@ -236,6 +236,82 @@ def ann_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# chunk-granular retrieval: chunk → embed → top-k (the RAG indexing shape)
+# --------------------------------------------------------------------------
+def _chunk_ann_oracle() -> str:
+    from .pipeline_queries import CHUNK_STRIDE, CHUNK_TOKENS
+
+    q = _poly_dims_py(QUERY_TEXT)
+    terms = " + ".join(
+        f"power((CAST((h * {a} + {b}) % {H.P} AS DOUBLE) / {H.P}) * 2 - 1 - ({qj!r}), 2)"
+        for (a, b), qj in zip(zip(H.MINHASH_A[:EMBED_DIM], H.MINHASH_B[:EMBED_DIM]), q)
+    )
+    sl = f"toks[{CHUNK_STRIDE} * CAST(chunk_idx AS INT) + 1 : {CHUNK_STRIDE} * CAST(chunk_idx AS INT) + {CHUNK_TOKENS}]"
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), n AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t
+), c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, 1 + CAST(ceil(CAST(greatest(n - {CHUNK_TOKENS}, 0) AS DOUBLE) / {CHUNK_STRIDE}) AS BIGINT))) AS chunk_idx
+  FROM n
+), hashed AS (
+  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         {H.ddb_str_hash_fast(f"array_to_string({sl}, ' ')")} AS h
+  FROM c
+)
+SELECT doc_id, chunk_idx, round({terms}, {_ROUND}) AS distance
+FROM hashed
+ORDER BY distance, doc_id, chunk_idx
+LIMIT 10
+"""
+
+
+@register("chunk_ann_search", _chunk_ann_oracle())
+def chunk_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granular retrieval end to end — the RAG indexing shape: split
+    every document into overlapping fixed-token windows (same rule as
+    ``doc_chunk_fixed_tokens``), embed each chunk with the portable
+    text→vector pipeline, exact top-10 chunks for the query. One map-only
+    explode + narrow projection + TakeOrderedAndProject: no shuffle at any
+    corpus size, and the chunk granularity is what makes long-document
+    retrieval work (a relevant passage is not diluted by its document).
+    The scale path composes the same chunk stream into the IVF index
+    build instead of the exact scorer."""
+    from .pipeline_queries import CHUNK_STRIDE, CHUNK_TOKENS
+
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    n = t.withColumn("n", F.size("toks"))
+    n_chunks = 1 + F.ceil(
+        F.greatest(F.col("n") - CHUNK_TOKENS, F.lit(0)).cast("double") / CHUNK_STRIDE
+    ).cast("long")
+    c = n.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+    )
+    ctext = (
+        f"concat_ws(' ', slice(toks, cast(chunk_idx as int) * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS}))"
+    )
+    hashed = c.select(
+        "doc_id", "chunk_idx", F.expr(H.spark_str_hash_fast(ctext)).alias("h")
+    )
+    q = _poly_dims_py(QUERY_TEXT)
+    dist = None
+    for (a, b), qj in zip(zip(H.MINHASH_A[:EMBED_DIM], H.MINHASH_B[:EMBED_DIM]), q):
+        dim = (((F.col("h") * a + b) % H.P).cast("double") / H.P) * 2 - 1
+        term = F.pow(dim - qj, F.lit(2))
+        dist = term if dist is None else dist + term
+    return (
+        hashed.select("doc_id", "chunk_idx", F.round(dist, _ROUND).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("doc_id").asc(), F.col("chunk_idx").asc())
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
 # multimodal plumbing: binary payload + typed metadata (B8)
 # --------------------------------------------------------------------------
 @register(
