@@ -44,6 +44,17 @@ def test_topk_is_take_ordered(spark, sf_dir):
     assert "Sort " not in plan  # no standalone global sort node
 
 
+def test_chunk_ann_is_generate_plus_take_ordered(spark, sf_dir):
+    """Chunk-granular retrieval must stay shuffle-free: explode + narrow
+    projection + TakeOrderedAndProject, no Exchange besides the top-k."""
+    from vectordb_hr_data_spark.querydefs.similarity_queries import chunk_ann_search
+
+    plan = _plan(chunk_ann_search(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate explode" in plan
+    assert "Exchange" not in plan
+
+
 def test_column_pruning_reads_needed_columns_only(spark, sf_dir):
     from vectordb_hr_data_spark.querydefs.vector_queries import knn_topk_l2sq
 

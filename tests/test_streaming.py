@@ -102,6 +102,41 @@ def test_stream_merge_into_parquet(spark, events_dir, tmp_path):
         assert abs(got[uid][1] - want[uid][1]) < 0.05
 
 
+def test_stream_merge_into_bucketed_parquet(spark, events_dir, tmp_path):
+    """The bucketed streaming MERGE sink must converge to the same final
+    per-user totals as the full-rewrite sink, with the target laid out in
+    key-hash bucket partitions."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        read_events_stream,
+        running_user_totals_stream,
+        stream_merge_into,
+    )
+
+    target = str(tmp_path / "user_totals_bucketed")
+    stream = read_events_stream(spark, events_dir)
+    stream_merge_into(running_user_totals_stream(stream), target, key="user_id", bucketed=True, n_buckets=4)
+
+    assert any(d.startswith("_kb=") for d in os.listdir(target))
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(target).drop("_kb").collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("t"))
+    )
+    want = {r["user_id"]: (r["n"], r["t"]) for r in batch.collect()}
+    assert set(got) == set(want)
+    for uid in want:
+        assert got[uid][0] == want[uid][0]
+        assert abs(got[uid][1] - want[uid][1]) < 0.05
+
+
 def test_streaming_dedup_drops_within_watermark_duplicates(spark, sf_dir, tmp_path):
     """Write the same events twice (two files → two micro-batches); the
     deduped stream must contain each event_id exactly once."""

@@ -164,18 +164,32 @@ def run_n_batches(stream_df: DataFrame, query_name: str, n_batches: int = 3,
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
 
 
-def stream_merge_into(stream_df: DataFrame, target_path: str, key: str) -> None:
+def stream_merge_into(
+    stream_df: DataFrame, target_path: str, key: str, bucketed: bool = False, n_buckets: int = 16
+) -> None:
     """Streaming → incremental MERGE sink via ``foreachBatch``: each
     micro-batch upserts (last-wins by key) into a parquet dataset using
     io.merge_upsert. foreachBatch gives batch-sink semantics (and with a
     transactional target like Delta, exactly-once); here batches are
-    deduplicated by key before the merge so replays stay idempotent."""
-    from ..io import merge_upsert
+    deduplicated by key before the merge so replays stay idempotent.
+
+    ``bucketed=True`` routes through ``io.merge_upsert_bucketed`` instead:
+    the target is key-hash-partitioned and each micro-batch rewrites only
+    the buckets it touches — the sustainable form for a long-lived stream
+    into a large table (the plain merge rewrites the whole target every
+    micro-batch)."""
+    from ..io import merge_upsert, merge_upsert_bucketed
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        merge_upsert(batch_df.sparkSession, target_path, batch_df.dropDuplicates([key]), key=key)
+        batch = batch_df.dropDuplicates([key])
+        if bucketed:
+            merge_upsert_bucketed(
+                batch_df.sparkSession, target_path, batch, key=key, n_buckets=n_buckets
+            )
+        else:
+            merge_upsert(batch_df.sparkSession, target_path, batch, key=key)
 
     q = stream_df.writeStream.outputMode("update").foreachBatch(sink).start()
     try:
