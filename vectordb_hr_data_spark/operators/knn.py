@@ -65,13 +65,16 @@ def local_topk_per_key(
     key_col: str,
     order_cols: Sequence[str],
     k: int,
+    ascending: Sequence[bool] | None = None,
 ) -> DataFrame:
     """Per-partition partial top-k: within every input partition, keep only
-    the ``k`` smallest rows per ``key_col`` value, ordered by ``order_cols``
-    ascending. A pure map-side reduction — no shuffle — so a downstream
-    per-key global rank exchanges ≤ partitions·|keys|·k rows instead of the
-    full stream. Values pass through untouched (no recomputation), so this
-    composes with bit-exact scoring without affecting oracle parity.
+    the ``k`` first rows per ``key_col`` value under the ``order_cols``
+    ordering (ascending by default; pass ``ascending`` flags per column
+    for mixed orders). A pure map-side reduction — no shuffle — so a
+    downstream per-key global rank exchanges ≤ partitions·|keys|·k rows
+    instead of the full stream. Values pass through untouched (no
+    recomputation), so this composes with bit-exact scoring without
+    affecting oracle parity.
 
     Implementation: ``mapInPandas`` with a tiny accumulator (≤ |keys|·k
     rows) folded over the partition's Arrow batches; compute per batch is
@@ -81,13 +84,14 @@ def local_topk_per_key(
 
     schema = df.schema
     cols = [key_col, *order_cols]
+    asc = [True] + list(ascending if ascending is not None else [True] * len(order_cols))
 
     def fold(batches):
         acc: pd.DataFrame | None = None
         for pdf in batches:
             both = pdf if acc is None else pd.concat((acc, pdf), ignore_index=True)
             acc = (
-                both.sort_values(cols, kind="mergesort")
+                both.sort_values(cols, ascending=asc, kind="mergesort")
                 .groupby(key_col, sort=False)
                 .head(k)
             )

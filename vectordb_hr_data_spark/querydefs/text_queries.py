@@ -312,9 +312,17 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+    # pre-reduce map-side: each partition keeps its top-3 terms per doc
+    # (pass-through of already-rounded scores), so the per-doc rank
+    # exchanges ~k/terms-per-doc of the scored stream (r2 item 3 pattern)
+    from ..operators.knn import local_topk_per_key
+
+    partial = local_topk_per_key(
+        scored, "doc_id", ("tfidf", "term"), TFIDF_TOPK, ascending=(False, True)
+    )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        partial.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= TFIDF_TOPK)
         .orderBy("doc_id", "rn")
     )
