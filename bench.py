@@ -95,6 +95,10 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(record))
+    if only:
+        # subset runs are for iteration — don't clobber the full record
+        spark.stop()
+        return
     # durable full record (stdout may be truncated by the harness)
     try:
         local = dict(record, samples=samples, cpus=cpus, sf_dir=sf_dir,

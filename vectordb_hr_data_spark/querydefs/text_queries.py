@@ -200,11 +200,18 @@ def top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bigram"),
     ).filter(F.col("bigram").isNotNull())
     counted = grams.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    # pre-reduce: each partition keeps its 5 best bigrams per lang before
+    # the per-lang rank — with a handful of languages the window exchange
+    # would otherwise funnel the whole counted relation into |langs|
+    # partitions (the same skew cliff as the exact-rank sampler)
     from pyspark.sql import Window
 
+    from ..operators.knn import local_topk_per_key
+
+    partial = local_topk_per_key(counted, "lang", ("n", "bigram"), 5, ascending=(False, True))
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
     return (
-        counted.withColumn("rn", F.row_number().over(w).cast("long"))
+        partial.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
         .orderBy("lang", "rn")
     )
