@@ -77,3 +77,48 @@ def test_all_pairs_cosine_zero_norm_vector_is_dropped_not_nan(spark):
     out = all_pairs_cosine(df, threshold=0.5, n_blocks=2).collect()
     pairs = {(r.id1, r.id2): r.cosine for r in out}
     assert pairs == {(0, 2): 1.0}  # zero vector pairs score 0.0, below threshold
+
+
+def test_star_cc_long_chain_beats_label_propagation_budget(spark):
+    """Alternating large/small-star converges on a diameter-120 path graph
+    in O(log n) rounds — a budget (12) under which min-label propagation
+    would provably still be mid-flight (it needs ~120 rounds)."""
+    from vectordb_hr_data_spark.operators.components import connected_components_star
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(120)], "src long, dst long")
+    out = connected_components_star(edges, max_iter=12)
+    assert {(r.node, r.comp) for r in out.collect()} == {(i, 0) for i in range(121)}
+
+
+def test_star_cc_matches_union_find_on_random_graph(spark):
+    """Star CC must agree with the driver union-find labeling on a mixed
+    random graph (cliques, chains, singleton pairs, shared minima)."""
+    import random
+
+    from vectordb_hr_data_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    pairs = set()
+    # 12 random clusters over a 400-id space, plus a long chain
+    for c in range(12):
+        members = rng.sample(range(c * 30, c * 30 + 30), 8)
+        for m in members[1:]:
+            pairs.add((rng.choice(members), m))
+    pairs |= {(500 + i, 501 + i) for i in range(40)}
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs if a != b], "src long, dst long"
+    )
+    want = {(r.node, r.comp) for r in connected_components(edges).collect()}
+    got = {(r.node, r.comp) for r in connected_components_star(edges).collect()}
+    assert got == want
+
+
+def test_star_cc_nonconvergence_raises(spark):
+    from vectordb_hr_data_spark.operators.components import connected_components_star
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(40)], "src long, dst long")
+    with pytest.raises(ConvergenceError):
+        connected_components_star(edges, max_iter=1)

@@ -221,3 +221,35 @@ def test_deterministic_embedder_udf(spark):
     assert out["a"] == pytest.approx(_hash_vec("hello", 8), rel=1e-6)
     assert out["c"] == pytest.approx(_hash_vec("", 8), rel=1e-6)  # null-tolerant
     assert len(out["b"]) == 8
+
+
+def test_minhash_arrow_bit_identical_to_expression(spark, sf_dir):
+    """The numpy reduceat signature path must produce bit-identical int64
+    signatures to the 16 expression folds on the real documents table
+    (exact integer arithmetic, not float-tolerance parity)."""
+    from vectordb_hr_data_spark.functions import texthash as H
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.operators.minhash import minhash_sig_arrow
+
+    d = read_table(spark, sf_dir, "documents").limit(200)
+    toks = d.select("doc_id", F.expr(H.spark_tokens("text")).alias("toks"))
+    sh = toks.select("doc_id", F.expr(H.spark_shingles("toks")).alias("shingles"))
+    hashed = sh.select("doc_id", F.expr(H.spark_hash_array("shingles")).alias("hashes"))
+    expr_sig = hashed.select(
+        "doc_id",
+        F.array(*[F.expr(e) for e in H.spark_minhash_sig("hashes")]).alias("sig"),
+    )
+    arrow_sig = hashed.select("doc_id", minhash_sig_arrow("hashes").alias("sig"))
+    a = {r.doc_id: list(r.sig) for r in expr_sig.collect()}
+    b = {r.doc_id: list(r.sig) for r in arrow_sig.collect()}
+    assert a == b
+
+
+def test_minhash_arrow_empty_array_yields_null(spark):
+    from vectordb_hr_data_spark.operators.minhash import minhash_sig_arrow
+
+    df = spark.createDataFrame(
+        [(1, [5, 9]), (2, [])], "id long, hashes array<bigint>"
+    )
+    rows = {r.id: r.sig for r in df.select("id", minhash_sig_arrow("hashes").alias("sig")).collect()}
+    assert rows[2] is None and len(rows[1]) == 16
