@@ -67,3 +67,18 @@ def test_real_udf_raises_cleanly_without_model(spark):
     with pytest.raises(Exception) as ei:
         df.withColumn("emb", sentence_transformer_embedder()(F.col("text"))).collect()
     assert "NotImplementedError" in str(ei.value) or "sentence-transformers" in str(ei.value)
+
+
+def test_real_model_parity_harness_importable_and_skips_cleanly():
+    """tools/real_model_parity.py is the swap-in guard for environments
+    with sentence-transformers installed; here it must exit 0 with SKIP
+    (no model in the sandbox) — proving the guard never breaks CI."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "tools/real_model_parity.py"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert out.returncode == 0
+    assert "SKIP" in out.stdout or "PASS" in out.stdout

@@ -9,6 +9,8 @@ from pyspark.sql import functions as F
 
 import vectordb_hr_data_spark.queries as Q
 
+from tests.conftest import assert_matches_oracle
+
 
 def _run(spark, sf_dir, name):
     return Q.REGISTRY[name].fn(spark, sf_dir)
@@ -193,3 +195,40 @@ def test_tfidf_topk_rank_and_formula(spark, sf_dir):
         assert len(rs) <= TFIDF_TOPK
         weights = [r.tfidf for r in rs]
         assert weights == sorted(weights, reverse=True)
+
+
+def test_pii_scrub_redacts_everything(spark, sf_dir, ddb):
+    """After scrubbing, not a single email/phone pattern survives, every
+    doc had exactly one of each injected, and the result oracle-matches."""
+    import re
+
+    from vectordb_hr_data_spark.querydefs.scrub_queries import EMAIL_RE, PHONE_RE
+    import vectordb_hr_data_spark.queries as Q
+
+    rows = _run(spark, sf_dir, "doc_pii_scrub").collect()
+    for r in rows:
+        assert r.n_emails == 1 and r.n_phones == 1
+        assert not re.search(EMAIL_RE, r.scrubbed)
+        assert not re.search(PHONE_RE, r.scrubbed)
+        assert "<EMAIL>" in r.scrubbed and "<PHONE>" in r.scrubbed
+    assert_matches_oracle(
+        _run(spark, sf_dir, "doc_pii_scrub"), ddb, Q.oracle_sql()["doc_pii_scrub"]
+    )
+
+
+def test_url_normalize_dedup_erases_variants(spark, sf_dir, ddb):
+    """Canonical URLs carry no scheme/www/query-string/trailing-slash
+    variance, and every duplicate group's keeper is its minimum doc_id."""
+    import vectordb_hr_data_spark.queries as Q
+
+    rows = _run(spark, sf_dir, "url_normalize_dedup").collect()
+    assert rows, "synthesis must produce duplicate groups"
+    for r in rows:
+        assert r.canonical == r.canonical.lower()
+        assert "://" not in r.canonical and "?" not in r.canonical
+        assert not r.canonical.startswith("www.")
+        assert not r.canonical.endswith("/")
+        assert r.n_docs > 1
+    assert_matches_oracle(
+        _run(spark, sf_dir, "url_normalize_dedup"), ddb, Q.oracle_sql()["url_normalize_dedup"]
+    )

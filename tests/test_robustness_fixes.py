@@ -122,3 +122,24 @@ def test_star_cc_nonconvergence_raises(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(40)], "src long, dst long")
     with pytest.raises(ConvergenceError):
         connected_components_star(edges, max_iter=1)
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """salted_join must be row-identical to the plain equi-join for inner
+    and left joins (replication is keyed — no duplicate or lost matches),
+    including left rows with no match."""
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.operators.skew import salted_join
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = (
+        ev.select("event_type").distinct()
+        .filter(F.col("event_type") != "view")  # leave one type unmatched
+        .withColumn("weight", F.length("event_type"))
+    )
+    for how in ("inner", "left"):
+        plain = ev.join(dim, "event_type", how)
+        salted = salted_join(ev, dim, "event_type", n_salts=8, how=how)
+        a = sorted(map(tuple, plain.collect()))
+        b = sorted(map(tuple, salted.collect()))
+        assert a == b, how

@@ -241,3 +241,14 @@ def test_streaming_sessionize_runs(spark, events_dir):
     rows = result.collect()
     assert len(rows) > 0
     assert {c for c in result.columns} == {"user_id", "session_start", "session_end", "n_events"}
+
+
+def test_kafka_source_raises_clear_error_without_package(spark):
+    """The local image has no Kafka jars: the builder must fail loudly at
+    construction with the package name, not at the first micro-batch. (On
+    a classpath WITH the package this test is vacuous — the builder then
+    returns an events-shaped stream identical to the other sources.)"""
+    from vectordb_hr_data_spark.streaming.stream_ops import read_kafka_stream
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        read_kafka_stream(spark, "localhost:9092", "events")

@@ -34,3 +34,42 @@ def test_prefilter_pushdown(spark, sf_dir):
 
     plan = knn_topk_prefiltered(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "label" in plan
+
+
+def test_sq8_codes_are_bytes_and_recall_holds(spark, sf_dir):
+    """SQ8 codes must be genuine tinyint (1 byte/dim — the 4x scan win is
+    real, not cosmetic) and quantized top-10 must recall >= 8 of the exact
+    top-10 at dim 64."""
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.operators.quantize import fit_ranges, sq8_encode, sq8_reconstruct
+    from vectordb_hr_data_spark.querydefs.vector_queries import knn_topk_l2sq, knn_topk_sq8
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    lo, hi = fit_ranges(emb, "embedding", dim=64)
+    coded = emb.select(sq8_encode("embedding", lo, hi).alias("codes"))
+    assert coded.schema["codes"].dataType.simpleString() == "array<tinyint>"
+
+    exact = [r.vec_id for r in knn_topk_l2sq(spark, sf_dir).collect()]
+    quant = [r.vec_id for r in knn_topk_sq8(spark, sf_dir).collect()]
+    assert len(set(exact) & set(quant)) >= 8
+
+    # reconstruction error is bounded by half a quantization step per dim
+    err = (
+        emb.select(
+            F.aggregate(
+                F.zip_with(
+                    sq8_reconstruct(sq8_encode("embedding", lo, hi), lo, hi),
+                    F.col("embedding"),
+                    lambda a, b: F.abs(a - b.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ).alias("maxerr")
+        )
+        .agg(F.max("maxerr"))
+        .collect()[0][0]
+    )
+    step = max((h - l) for l, h in zip(lo, hi)) / 255.0
+    assert err <= step / 2 + 1e-12

@@ -19,6 +19,36 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str | Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with replicate-broadcast salting — the manual escape hatch
+    for a skewed join key when AQE's skew-join split doesn't apply (e.g.
+    the skewed side feeds from a co-partitioned upstream stage AQE won't
+    re-split, or the engine predates runtime skew handling).
+
+    The big side scatters each row into one of ``n_salts`` sub-keys; the
+    small side replicates every row across ALL salts (explode ×n_salts).
+    The join key becomes (key, salt), so a hot key's rows spread over
+    ``n_salts`` reducers instead of one. Row-for-row identical to the
+    plain equi-join for inner/left joins (replication is keyed, never
+    duplicating matches). Cost: small side grows n_salts× — keep it the
+    dimension side; if it fits in a broadcast, use ``F.broadcast`` instead
+    and skip salting entirely.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    salt = (F.rand(seed=42) * n_salts).cast("int")
+    b = big.withColumn("_salt", salt)
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return b.join(s, [*keys, "_salt"], how).drop("_salt")
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],

@@ -136,6 +136,7 @@ for _mod_name in (
     "subquery_queries",
     "tpch_more_queries",
     "pipeline_queries",
+    "scrub_queries",
 ):
     try:
         _m = __import__(f"vectordb_hr_data_spark.querydefs.{_mod_name}", fromlist=[_mod_name])

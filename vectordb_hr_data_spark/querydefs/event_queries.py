@@ -290,3 +290,46 @@ def events_user_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@register(
+    "events_salted_join_weighted",
+    """
+WITH dim AS (
+  SELECT DISTINCT event_type, length(event_type) AS weight FROM events
+)
+SELECT e.event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(18,2)) * d.weight) AS DOUBLE) AS weighted_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+""",
+)
+def events_salted_join_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient JOIN (operators/skew.salted_join): event_type is a
+    5-value hot-key domain, so a shuffle join on it funnels ~N/5 rows per
+    reducer. The salted plan scatters the fact side over 16 sub-keys and
+    replicates the dim side across them; the oracle is the PLAIN join —
+    salting must be invisible in the result. (At this dim size broadcast
+    is the right physical plan; the query exists to prove the salted
+    escape hatch's semantics for the large-large case.)"""
+    from ..operators.skew import salted_join
+
+    ev = read_table(spark, sf_dir, "events")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type"))
+    )
+    joined = salted_join(ev, dim, "event_type", n_salts=16)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)") * F.col("weight"))
+            .cast("double")
+            .alias("weighted_value"),
+        )
+        .orderBy("event_type")
+    )

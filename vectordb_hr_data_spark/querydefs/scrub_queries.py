@@ -1,0 +1,152 @@
+"""Corpus-hygiene operators: PII scrubbing and URL canonicalization dedup —
+two standard crawl-pipeline preprocessing steps (C4/CCNet-style) expressed
+as pure string algebra so both engines hash-match the scrubbed output
+itself, not a summary of it.
+
+The synthetic documents table carries no natural PII or URLs, so each query
+first SYNTHESIZES the sensitive column deterministically from (doc_id,
+source, lang) — the operator under test is the scrub/normalize expression,
+which is written against any string column; the synthesis is fixture
+construction, identical in both dialects.
+
+Regex dialect note: patterns here use only character classes, anchors, and
+bounded quantifiers that Java (Spark) and RE2 (DuckDB) interpret
+identically; no backreferences, no lookaround.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from ..queries import register
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+# deterministic PII synthesis: one email + one phone per document
+_PII_SPARK = (
+    "concat(text, ' contact user', cast(doc_id as string), '@Mail.Example.com'"
+    ", ' call +1-555-', lpad(cast(doc_id % 10000 as string), 4, '0'))"
+)
+_PII_DDB = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@Mail.Example.com'"
+    " || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@register(
+    "doc_pii_scrub",
+    f"""
+WITH aug AS (
+  SELECT doc_id, {_PII_DDB} AS text FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+       regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+FROM aug
+ORDER BY doc_id
+""",
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: regex-match emails and phone numbers, count them, and
+    replace with typed placeholder tokens. Pure map over the scan — no
+    shuffle, embarrassingly parallel, whole-stage codegen (Java regex is
+    JVM-side; no Python in the path). The count columns are the audit
+    signal a redaction pipeline reports per shard."""
+    d = read_table(spark, sf_dir, "documents")
+    aug = d.select("doc_id", F.expr(_PII_SPARK).alias("text"))
+    return (
+        aug.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
+            F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
+            F.regexp_replace(
+                F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+            ).alias("scrubbed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# messy-URL synthesis: scheme case, WWW prefix, host case, trailing slash
+# variant, and a tracking query string — all of which canonicalization
+# must erase. doc_id % 40 gives ~12.5 docs per (source, slot) at sf0.01.
+_URL_SPARK = (
+    "concat(case when doc_id % 3 = 0 then 'HTTPS://' else 'https://' end,"
+    " case when doc_id % 2 = 0 then 'WWW.' else '' end,"
+    " source, '.Example.COM/docs/', cast(doc_id % 40 as string),"
+    " case when doc_id % 5 = 0 then '/' else '' end,"
+    " '?utm_source=', lang, '&id=', cast(doc_id as string))"
+)
+_URL_DDB = (
+    "(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://' ELSE 'https://' END)"
+    " || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)"
+    " || source || '.Example.COM/docs/' || CAST(doc_id % 40 AS VARCHAR)"
+    " || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)"
+    " || '?utm_source=' || lang || '&id=' || CAST(doc_id AS VARCHAR)"
+)
+
+_CANON_STEPS = [
+    (r"^[A-Za-z]+://", ""),  # scheme
+    (r"\?.*$", ""),          # query string (tracking params)
+    (r"^www\.", ""),         # www prefix (applied after lowercasing)
+    (r"/$", ""),             # trailing slash
+]
+
+
+def canonical_url(col: F.Column | str) -> F.Column:
+    """Lowercase + strip scheme, query string, www. prefix, trailing slash.
+    The standard crawl-dedup canonicalization (strip-tracking variant)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, _CANON_STEPS[0][0], _CANON_STEPS[0][1])
+    c = F.regexp_replace(c, _CANON_STEPS[1][0], _CANON_STEPS[1][1])
+    c = F.lower(c)
+    c = F.regexp_replace(c, _CANON_STEPS[2][0], _CANON_STEPS[2][1])
+    c = F.regexp_replace(c, _CANON_STEPS[3][0], _CANON_STEPS[3][1])
+    return c
+
+
+def _canon_ddb(expr: str) -> str:
+    out = f"regexp_replace({expr}, '^[A-Za-z]+://', '')"
+    out = f"regexp_replace({out}, '\\?.*$', '')"
+    out = f"lower({out})"
+    out = f"regexp_replace({out}, '^www\\.', '')"
+    out = f"regexp_replace({out}, '/$', '')"
+    return out
+
+
+@register(
+    "url_normalize_dedup",
+    f"""
+WITH u AS (
+  SELECT doc_id, {_URL_DDB} AS url FROM documents
+), c AS (
+  SELECT doc_id, {_canon_ddb('url')} AS canonical FROM u
+)
+SELECT canonical, count(*) AS n_docs, min(doc_id) AS keeper_id
+FROM c
+GROUP BY canonical
+HAVING count(*) > 1
+ORDER BY canonical
+""",
+)
+def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup: normalize scheme/case/www/tracking-params/
+    trailing-slash variants to one canonical form, group, keep the min
+    doc_id. The groupBy key is the canonical URL — uniform hash
+    distribution at corpus scale (hot hosts spread across paths); the
+    HAVING>1 filter returns only actual duplicate groups, which is the
+    audit view a crawl-dedup run reports."""
+    d = read_table(spark, sf_dir, "documents")
+    u = d.select("doc_id", F.expr(_URL_SPARK).alias("url"))
+    c = u.select("doc_id", canonical_url("url").alias("canonical"))
+    return (
+        c.groupBy("canonical")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("canonical")
+    )

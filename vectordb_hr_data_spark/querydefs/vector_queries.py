@@ -159,3 +159,56 @@ def knn_batch_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("label", "distance", "vec_id")
     )
+
+
+_SQ8_IDX = "CAST(i AS INT)"
+
+
+@register(
+    "knn_topk_sq8",
+    f"""
+WITH dims AS (
+  SELECT i, min(CAST(embedding[{_SQ8_IDX}] AS DOUBLE)) AS lo,
+            max(CAST(embedding[{_SQ8_IDX}] AS DOUBLE)) AS hi
+  FROM embeddings, range(1, 65) AS t(i)
+  GROUP BY i
+), rng AS (
+  SELECT list(lo ORDER BY i) AS lov, list(hi ORDER BY i) AS hiv FROM dims
+), coded AS (
+  SELECT e.vec_id,
+         list_transform(range(1, 65), i ->
+           CASE WHEN rng.hiv[{_SQ8_IDX}] = rng.lov[{_SQ8_IDX}] THEN -128
+                ELSE CAST(round((CAST(e.embedding[{_SQ8_IDX}] AS DOUBLE) - rng.lov[{_SQ8_IDX}])
+                     / (rng.hiv[{_SQ8_IDX}] - rng.lov[{_SQ8_IDX}]) * 255.0) AS INT) - 128 END) AS codes
+  FROM embeddings e, rng
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT c.vec_id,
+       round(list_sum(list_transform(range(1, 65), i ->
+         power(rng.lov[{_SQ8_IDX}]
+               + (c.codes[{_SQ8_IDX}] + 128.0) / 255.0 * (rng.hiv[{_SQ8_IDX}] - rng.lov[{_SQ8_IDX}])
+               - CAST(q.qv[{_SQ8_IDX}] AS DOUBLE), 2))), {_ROUND}) AS qdistance
+FROM coded c, rng, q
+ORDER BY qdistance, c.vec_id
+LIMIT 10
+""",
+)
+def knn_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8-quantized top-10 (operators/quantize.py): per-dim byte codes
+    learned from one corpus aggregate, distances on the affine
+    reconstruction. The scan side carries 1 byte/dim instead of 4 — the
+    4× IO win that matters when a 100 TB index is scan-bound — and the
+    deterministic integer arithmetic lets the oracle hash-check the
+    quantized result itself, not just its recall."""
+    from ..operators.quantize import fit_ranges, sq8_encode, sq8_reconstruct
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    lo, hi = fit_ranges(emb, "embedding", dim=64)
+    coded = emb.select("vec_id", sq8_encode("embedding", lo, hi).alias("codes"))
+    q = _query_vec(spark, sf_dir)
+    recon = sq8_reconstruct("codes", lo, hi)
+    dist = V.l2sq(recon, F.lit([float(x) for x in q]))
+    return (
+        coded.select("vec_id", F.round(dist, _ROUND).alias("qdistance"))
+        .orderBy(F.col("qdistance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )

@@ -31,6 +31,39 @@ def read_events_stream(spark: SparkSession, dir_path: str) -> DataFrame:
     return spark.readStream.schema(EVENTS_SCHEMA).option("maxFilesPerTrigger", 1).parquet(dir_path)
 
 
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka → events-shaped stream: JSON event payloads in ``value`` are
+    parsed into EVENTS_SCHEMA, so every builder in this module (windowed
+    counts, sessionization, stateful totals, watermark dedup, MERGE sink)
+    runs unchanged on a real broker. Requires the spark-sql-kafka package
+    on the classpath (``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>``);
+    without it Spark raises its standard missing-data-source error at
+    ``load()`` — surfaced here as a RuntimeError naming the package, so the
+    local image (no Kafka jars) fails loudly, not at first micro-batch."""
+    try:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as e:  # AnalysisException: Failed to find data source: kafka
+        raise RuntimeError(
+            "Kafka source unavailable: add org.apache.spark:spark-sql-kafka-0-10 "
+            "to the session's --packages/classpath"
+        ) from e
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), EVENTS_SCHEMA).alias("e")
+    )
+    return parsed.select("e.*")
+
+
 def windowed_counts_stream(events: DataFrame, width: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Tumbling event-time window aggregation with a late-data watermark:
     state for a window is dropped once the watermark passes its end, which
