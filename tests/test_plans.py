@@ -143,6 +143,140 @@ def test_local_topk_per_key_matches_global(spark):
             assert tuple(t) in set(got)
 
 
+def test_topk_per_key_expr_matches_window_and_arrow_twin(spark):
+    """The pure-expression per-key top-k must equal BOTH the window-rank
+    exact answer and the Arrow pre-reduce + window composition, ties
+    included (VERDICT r3 item 5: twins parity-tested, picked per
+    call-site)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.operators.knn import local_topk_per_key, topk_per_key_expr
+
+    rows = [(i % 7, i, float((i * 13) % 23) / 7.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "key int, vid int, d double").repartition(8)
+
+    expr_got = sorted(map(tuple, topk_per_key_expr(df, "key", ("d", "vid"), 4).collect()))
+
+    w = Window.partitionBy("key").orderBy(F.col("d").asc(), F.col("vid").asc())
+    exact = sorted(
+        map(
+            tuple,
+            df.withColumn("rn", F.row_number().over(w)).filter("rn <= 4").drop("rn").collect(),
+        )
+    )
+    arrow_got = sorted(
+        map(
+            tuple,
+            local_topk_per_key(df, "key", ("d", "vid"), 4)
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn <= 4")
+            .drop("rn")
+            .collect(),
+        )
+    )
+    assert expr_got == exact == arrow_got
+
+
+def test_batch_topk_per_label_plan_has_no_python(spark, sf_dir):
+    """knn_batch_topk_per_label must be pure JVM: hash aggregate +
+    explode, no Arrow/Pandas node, no Window (VERDICT r3 item 5)."""
+    from vectordb_hr_data_spark.querydefs.vector_queries import knn_batch_topk_per_label
+
+    plan = _plan(knn_batch_topk_per_label(spark, sf_dir))
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_sq8_plan_codegens_around_arrow_eval(spark, sf_dir):
+    """VERDICT r3 #1: the SQ8 query's plan must contain whole-stage-codegen
+    stages (the ``*(n)`` prefix in the simple plan string) — the quantized
+    math runs in ONE ArrowEvalPython, and the scan/project stages around it
+    stay codegen'd instead of the fully interpreted HOF plan r3 shipped."""
+    from vectordb_hr_data_spark.querydefs.vector_queries import knn_topk_sq8
+
+    plan = _plan(knn_topk_sq8(spark, sf_dir))
+    assert "*(" in plan  # WholeStageCodegen stages present
+    assert "ArrowEvalPython" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "zip_with" not in plan and "aggregate(" not in plan
+
+
+def test_sq8_arrow_twin_is_bit_exact(spark, sf_dir):
+    """``sq8_qdist_arrow`` must equal the expression composition
+    ``l2sq(sq8_reconstruct(sq8_encode(v)))`` EXACTLY (no rounding slack)
+    over the whole corpus — the parity pin that lets the registry query
+    ride the Arrow path while the DuckDB oracle mirrors the expressions."""
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.functions import vector as V
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.operators.quantize import (
+        fit_ranges,
+        sq8_encode,
+        sq8_qdist_arrow,
+        sq8_reconstruct,
+    )
+    from vectordb_hr_data_spark.querydefs.vector_queries import _query_vec
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    lo, hi = fit_ranges(emb, "embedding", 64)
+    q = _query_vec(spark, sf_dir)
+    expr = V.l2sq(sq8_reconstruct(sq8_encode("embedding", lo, hi), lo, hi), F.lit([float(x) for x in q]))
+    arrow = sq8_qdist_arrow("embedding", lo, hi, q)
+    mismatches = emb.select(expr.alias("e"), arrow.alias("a")).filter(F.col("e") != F.col("a")).count()
+    assert mismatches == 0
+
+
+def test_ivf_indexed_probe_prunes_partitions(spark, sf_dir):
+    """The persisted-IVF probe must read only the n_probe cid partitions:
+    PartitionFilters carries `cid IN (...)` with exactly N_PROBE ids
+    (VERDICT r3 item 7 — prune checked on the executed plan of the real
+    registry query, whose RESULT is also oracle-checked)."""
+    import re
+
+    from vectordb_hr_data_spark.querydefs.similarity_queries import (
+        N_PROBE,
+        ivf_topk_indexed_query,
+    )
+
+    plan = _plan(ivf_topk_indexed_query(spark, sf_dir))
+    m = re.search(r"PartitionFilters: \[cid#\d+ IN \(([^)]*)\)\]", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) == N_PROBE
+
+
+def test_chunk_ivf_build_is_map_only_and_probe_prunes(spark, sf_dir):
+    """chunk→embed→IVF (VERDICT r3 item 6): everything up to the
+    partitioned write is map-only (explode + projections, zero Exchange),
+    and the probe read prunes to N_PROBE cid partitions."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.operators.ivf import ivf_assign
+    from vectordb_hr_data_spark.querydefs.similarity_queries import (
+        N_CENTROIDS,
+        N_PROBE,
+        _chunk_embed_df,
+        chunk_embed_ivf_search,
+    )
+
+    chunks = _chunk_embed_df(spark, sf_dir)
+    cents = chunks.filter((F.col("chunk_idx") == 0) & (F.col("doc_id") < N_CENTROIDS)).select(
+        F.col("doc_id").cast("int").alias("cid"), F.col("v").alias("cvec")
+    )
+    build_plan = _plan(ivf_assign(chunks, cents, id_col="doc_id", vec_col="v"))
+    assert "Exchange" not in build_plan
+    assert "Generate explode" in build_plan
+
+    probe_plan = _plan(chunk_embed_ivf_search(spark, sf_dir))
+    m = re.search(r"PartitionFilters: \[cid#\d+ IN \(([^)]*)\)\]", probe_plan)
+    assert m, probe_plan
+    assert len(m.group(1).split(",")) == N_PROBE
+
+
 def test_doc_type_partition_pruning(spark, tmp_path):
     """The written index is partitioned by doc_type; a doc_type equality
     filter must prune at the source (the Spark form of the reference's

@@ -46,13 +46,27 @@ def test_connected_components_nonconvergence_raises(spark):
     distributed path must raise instead of returning partial labels."""
     edges = spark.createDataFrame([(i, i + 1) for i in range(7)], "src long, dst long")
     with pytest.raises(ConvergenceError):
-        connected_components(edges, max_iter=2, driver_threshold=0)
+        connected_components(edges, max_iter=2, driver_threshold=0, method="labelprop")
 
 
 def test_connected_components_distributed_converges_on_chain(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(7)], "src long, dst long")
     out = connected_components(edges, max_iter=10, driver_threshold=0)
     assert {(r.node, r.comp) for r in out.collect()} == {(i, 0) for i in range(8)}
+
+
+def test_auto_routing_survives_chain_that_breaks_labelprop_budget(spark):
+    """VERDICT r3 item 3: above the driver threshold the dispatcher must
+    route to star CC. On a diameter-60 path graph with a 15-round budget,
+    method='labelprop' provably cannot converge (needs ~60 rounds) while
+    the default 'auto' routing finishes and labels every node 0."""
+    from vectordb_hr_data_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(60)], "src long, dst long")
+    with pytest.raises(ConvergenceError):
+        connected_components(edges, max_iter=15, driver_threshold=0, method="labelprop")
+    out = connected_components(edges, max_iter=15, driver_threshold=0)
+    assert {(r.node, r.comp) for r in out.collect()} == {(i, 0) for i in range(61)}
 
 
 @pytest.mark.parametrize("text", ["one two", "one", "a b c", "a b c d"])

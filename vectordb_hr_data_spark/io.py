@@ -29,10 +29,18 @@ TESTDATA_TABLES = (
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/projections into it.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS); Spark surfaces it
-    as int64 nanos (``spark.sql.legacy.parquet.nanosAsLong``) and we convert
-    with exact integer division (ns epoch exceeds double precision, so no
-    float math here).
+    ``events.ts`` has shipped in two physical forms across testdata
+    generations, both normalized here to a session-UTC TIMESTAMP so every
+    downstream query sees one type:
+
+    - TIMESTAMP(NANOS): Spark surfaces it as int64 nanos
+      (``spark.sql.legacy.parquet.nanosAsLong``); converted with exact
+      integer division (ns epoch exceeds double precision, no float math).
+    - timestamp[us] with isAdjustedToUTC=false: Spark 4 infers
+      TIMESTAMP_NTZ, which rejects numeric casts (breaks epoch-seconds
+      arithmetic) and differs from the LTZ semantics the oracles assume;
+      cast to TIMESTAMP — with the session pinned to UTC this maps
+      wall-clock to the same instant DuckDB reads natively.
     """
     from pyspark.sql import types as T
 
@@ -41,8 +49,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # table (the caller may pass a plain session — e.g. the driver's)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -32,6 +32,7 @@ def connected_components(
     max_iter: int = 20,
     driver_threshold: int = 100_000,
     on_nonconverged: str = "raise",
+    method: str = "auto",
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component id = the
     minimum node id reachable (deterministic canonical representative).
@@ -39,8 +40,16 @@ def connected_components(
     Near-dup edge sets are usually tiny relative to the corpus (they are
     the OUTPUT of LSH verification, not the corpus) — below
     ``driver_threshold`` edges we collect and union-find on the driver in
-    one pass, exactly like collecting a top-k result; past it, the
-    distributed min-label propagation below takes over. Both produce the
+    one pass, exactly like collecting a top-k result; past it, a
+    distributed algorithm takes over. ``method`` picks it (VERDICT r3
+    item 3): ``"auto"`` (default) routes to the alternating
+    large-star/small-star form (``connected_components_star``) whose round
+    count is O(log² n) independent of component diameter — the scale-safe
+    default, since a diameter-D chain would cost min-label propagation D
+    shuffle rounds and trip ``max_iter``; ``"labelprop"`` forces the
+    min-label loop (kept for parity testing and for graphs known to be
+    tiny cliques, where its single groupBy+join per round is marginally
+    cheaper); ``"star"`` forces the star form. All paths produce the
     identical min-id labeling.
 
     Eager-job discipline (VERDICT/ADVICE r01): the path choice probes
@@ -81,6 +90,12 @@ def connected_components(
                 parent[hi] = lo
         rows = [(n, find(n)) for n in parent]
         return edges.sparkSession.createDataFrame(rows, "node long, comp long")
+    if method not in ("auto", "star", "labelprop"):
+        raise ValueError(f"unknown method {method!r}")
+    if method in ("auto", "star"):
+        return connected_components_star(
+            edges, "_src", "_dst", max_iter=max_iter, on_nonconverged=on_nonconverged
+        )
     sym = (
         edges.select(F.col("_src").alias("a"), F.col("_dst").alias("b"))
         .unionByName(edges.select(F.col("_dst").alias("a"), F.col("_src").alias("b")))
@@ -219,7 +234,11 @@ def connected_components_star(
 def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Full dedup: docs in a component keep only the canonical (min-id) row;
     docs in no pair survive untouched. The anti-join + union shape keeps
-    the untouched majority of a 100 TB corpus entirely shuffle-free."""
+    the untouched majority of a 100 TB corpus entirely shuffle-free.
+    Component labeling rides ``connected_components``'s auto routing:
+    driver union-find below the edge threshold, alternating-star above it —
+    so a pathological near-dup graph (long chains of borderline pairs)
+    cannot stall the dedup in O(diameter) label-propagation rounds."""
     comps = connected_components(pairs, "doc_id_1", "doc_id_2")
     losers = comps.filter(F.col("node") != F.col("comp")).select(F.col("node").alias(id_col))
     return docs.join(losers, id_col, "left_anti")

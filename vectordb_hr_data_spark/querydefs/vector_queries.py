@@ -137,36 +137,45 @@ ORDER BY label, distance, vec_id
 """,
 )
 def knn_batch_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B3 shape: top-k per group, pre-reduced map-side: each partition keeps
-    its 3 best rows per label (``local_topk_per_key``, no shuffle) so the
-    per-label window rank exchanges ≤ partitions·|labels|·3 rows — the
-    full scored stream never shuffles (VERDICT r2 item 3 applied to the
-    per-label variant too)."""
-    from pyspark.sql import Window
-
-    from ..operators.knn import local_topk_per_key
+    """B3 shape: top-k per group. |labels| is tiny (5), so this rides the
+    pure-JVM expression twin ``topk_per_key_expr`` — one hash aggregate
+    (map-side partial collect_list, slice(sort_array) final), no window, no
+    Arrow boundary. The r3 Arrow pre-reduction regressed this call-site
+    0.50 → 0.69 s at sf0.1 (VERDICT r3 #2/item 5); the bounded-exchange
+    Arrow twin ``local_topk_per_key`` remains the pick where per-key volume
+    is unbounded (see batch_topk_many_queries)."""
+    from ..operators.knn import topk_per_key_expr
 
     emb = read_table(spark, sf_dir, "embeddings")
     q = F.lit([float(x) for x in _query_vec(spark, sf_dir)])  # single array literal: ~4x faster to analyze/codegen than a wide F.array(...) tree
     scored = emb.select(
         "label", "vec_id", F.round(V.l2sq(F.col("embedding"), q), _ROUND).alias("distance")
     )
-    scored = local_topk_per_key(scored, "label", ("distance", "vec_id"), 3)
-    w = Window.partitionBy("label").orderBy(F.col("distance").asc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .drop("rn")
-        .orderBy("label", "distance", "vec_id")
-    )
+    top = topk_per_key_expr(scored, "label", ("distance", "vec_id"), 3)
+    return top.orderBy("label", "distance", "vec_id")
 
 
 _SQ8_IDX = "CAST(i AS INT)"
 
+# Quantizer ranges are INDEX STATE, not per-query work: faiss trains the
+# ScalarQuantizer once at index-build time and every query reuses the
+# trained ranges. Mirror that here — fit once per (corpus, column, dim)
+# per process (VERDICT r3 #1 fix (c): "fit once, pass ranges in").
+_SQ8_RANGE_CACHE: dict[tuple[str, str, int], tuple[list[float], list[float]]] = {}
 
-@register(
-    "knn_topk_sq8",
-    f"""
+
+def _sq8_ranges(spark: SparkSession, sf_dir: str, vec_col: str = "embedding", dim: int = 64):
+    from ..operators.quantize import fit_ranges
+
+    key = (sf_dir, vec_col, dim)
+    if key not in _SQ8_RANGE_CACHE:
+        _SQ8_RANGE_CACHE[key] = fit_ranges(read_table(spark, sf_dir, "embeddings"), vec_col, dim)
+    return _SQ8_RANGE_CACHE[key]
+
+
+# Shared oracle CTEs for the SQ8 family: per-dim ranges, byte codes (the
+# CASE mirrors sq8_encode's span==0 branch), and the query vector.
+_SQ8_CTES = f"""
 WITH dims AS (
   SELECT i, min(CAST(embedding[{_SQ8_IDX}] AS DOUBLE)) AS lo,
             max(CAST(embedding[{_SQ8_IDX}] AS DOUBLE)) AS hi
@@ -175,13 +184,20 @@ WITH dims AS (
 ), rng AS (
   SELECT list(lo ORDER BY i) AS lov, list(hi ORDER BY i) AS hiv FROM dims
 ), coded AS (
-  SELECT e.vec_id,
+  SELECT e.vec_id, e.embedding,
          list_transform(range(1, 65), i ->
            CASE WHEN rng.hiv[{_SQ8_IDX}] = rng.lov[{_SQ8_IDX}] THEN -128
                 ELSE CAST(round((CAST(e.embedding[{_SQ8_IDX}] AS DOUBLE) - rng.lov[{_SQ8_IDX}])
                      / (rng.hiv[{_SQ8_IDX}] - rng.lov[{_SQ8_IDX}]) * 255.0) AS INT) - 128 END) AS codes
   FROM embeddings e, rng
 ), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+"""
+
+
+@register(
+    "knn_topk_sq8",
+    _SQ8_CTES
+    + f"""
 SELECT c.vec_id,
        round(list_sum(list_transform(range(1, 65), i ->
          power(rng.lov[{_SQ8_IDX}]
@@ -198,17 +214,73 @@ def knn_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     reconstruction. The scan side carries 1 byte/dim instead of 4 — the
     4× IO win that matters when a 100 TB index is scan-bound — and the
     deterministic integer arithmetic lets the oracle hash-check the
-    quantized result itself, not just its recall."""
-    from ..operators.quantize import fit_ranges, sq8_encode, sq8_reconstruct
+    quantized result itself, not just its recall.
+
+    Round-4 plan (VERDICT r3 #1): the quantized distance runs as ONE
+    Arrow-batched pandas_udf (``sq8_qdist_arrow``, bit-parity-pinned to
+    the expression twins) so the scan/top-k stages stay inside whole-stage
+    codegen instead of the interpreted HOF path; ranges are fitted once
+    per corpus (``_sq8_ranges``) like a trained faiss quantizer."""
+    from ..operators.quantize import sq8_qdist_arrow
 
     emb = read_table(spark, sf_dir, "embeddings")
-    lo, hi = fit_ranges(emb, "embedding", dim=64)
-    coded = emb.select("vec_id", sq8_encode("embedding", lo, hi).alias("codes"))
+    lo, hi = _sq8_ranges(spark, sf_dir)
     q = _query_vec(spark, sf_dir)
-    recon = sq8_reconstruct("codes", lo, hi)
-    dist = V.l2sq(recon, F.lit([float(x) for x in q]))
+    dist = sq8_qdist_arrow("embedding", lo, hi, q)
     return (
-        coded.select("vec_id", F.round(dist, _ROUND).alias("qdistance"))
+        emb.select("vec_id", F.round(dist, _ROUND).alias("qdistance"))
         .orderBy(F.col("qdistance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "knn_sq8_rerank",
+    _SQ8_CTES
+    + f"""
+, qscored AS (
+  SELECT c.vec_id, c.embedding,
+         round(list_sum(list_transform(range(1, 65), i ->
+           power(rng.lov[{_SQ8_IDX}]
+                 + (c.codes[{_SQ8_IDX}] + 128.0) / 255.0 * (rng.hiv[{_SQ8_IDX}] - rng.lov[{_SQ8_IDX}])
+                 - CAST(q.qv[{_SQ8_IDX}] AS DOUBLE), 2))), {_ROUND}) AS qdistance
+  FROM coded c, rng, q
+), cand AS (
+  SELECT vec_id, embedding FROM qscored ORDER BY qdistance, vec_id LIMIT {overfetch_count(10)}
+)
+SELECT c.vec_id,
+       round(list_sum(list_transform(range(1, len(c.embedding)+1),
+             i -> power(CAST(c.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE), 2))), {_ROUND}) AS distance
+FROM cand c, q
+ORDER BY distance, c.vec_id
+LIMIT 10
+""",
+)
+def knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20's two-phase shape composed with SQ8 (VERDICT r3 item 2, the
+    quantize.py docstring's promise made real): phase 1 over-fetches
+    ``k·5 ∨ 20`` = 50 candidates by the cheap byte-code distance (1 byte/dim
+    scan — at 100 TB the only full-corpus pass), phase 2 re-scores ONLY the
+    50 survivors with the exact float distance. Both phases lower to
+    TakeOrderedAndProject with no Exchange anywhere (plan-tested): phase 1
+    is per-partition heaps over the codegen'd scan + Arrow distance, phase 2
+    is a 50-row projection. Selection ties in phase 1 break on vec_id after
+    4-decimal rounding on BOTH sides, so the candidate set is deterministic
+    and the oracle reproduces it exactly."""
+    from ..operators.quantize import sq8_qdist_arrow
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    lo, hi = _sq8_ranges(spark, sf_dir)
+    q = _query_vec(spark, sf_dir)
+    qdist = F.round(sq8_qdist_arrow("embedding", lo, hi, q), _ROUND)
+    cand = (
+        emb.select("vec_id", "embedding", qdist.alias("qdistance"))
+        .orderBy(F.col("qdistance").asc(), F.col("vec_id").asc())
+        .limit(overfetch_count(10))
+    )
+    exact = F.round(V.l2sq(F.col("embedding"), F.lit([float(x) for x in q])), _ROUND)
+    return (
+        cand.select("vec_id", exact.alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(10)
     )
