@@ -232,3 +232,22 @@ def test_url_normalize_dedup_erases_variants(spark, sf_dir, ddb):
     assert_matches_oracle(
         _run(spark, sf_dir, "url_normalize_dedup"), ddb, Q.oracle_sql()["url_normalize_dedup"]
     )
+
+
+def test_bloom_decontaminate_equals_exact_and_stays_jvm(spark, sf_dir):
+    """The Bloom prune must be result-invariant (no false negatives → the
+    surviving exact join reproduces doc_decontaminate exactly) and the
+    probe must be pure Column arithmetic — no Python eval node anywhere in
+    the plan, shiftright visible in the filter."""
+    import vectordb_hr_data_spark.queries as Q
+
+    exact_df = Q.REGISTRY["doc_decontaminate"].fn(spark, sf_dir)
+    bloom_df = Q.REGISTRY["doc_decontaminate_bloom"].fn(spark, sf_dir)
+    exact = sorted(map(tuple, exact_df.collect()))
+    bloom = sorted(map(tuple, bloom_df.collect()))
+    assert bloom == exact
+    plan = bloom_df._jdf.queryExecution().executedPlan().toString()
+    assert not any(s in plan for s in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"))
+    assert "shiftright" in plan
+    exact_df.shingle_cache.unpersist()
+    bloom_df.shingle_cache.unpersist()

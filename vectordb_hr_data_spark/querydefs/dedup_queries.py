@@ -187,7 +187,10 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # connected components over the near-dup pair graph → dedup groups
 # --------------------------------------------------------------------------
-def _components_oracle() -> str:
+def _cc_ctes() -> str:
+    """Shared recursive-CTE chain (pairs → sym → reach) for the
+    components and keep-canonical oracles; callers prepend
+    ``WITH RECURSIVE`` via the register-site rewrite."""
     pairs_sql = f"""
 WITH t AS (
   SELECT doc_id, {H.ddb_tokens('text')} AS toks FROM documents
@@ -210,7 +213,12 @@ reach AS (
   SELECT a, a AS b FROM (SELECT DISTINCT a FROM sym)
   UNION
   SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
-)
+)"""
+
+
+def _components_oracle() -> str:
+    return f"""
+{_cc_ctes()}
 SELECT a AS doc_id, min(b) AS component_id
 FROM reach
 GROUP BY a
@@ -230,6 +238,37 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = connected_components(pairs, "doc_id_1", "doc_id_2")
     return (
         comps.select(F.col("node").alias("doc_id"), F.col("comp").alias("component_id"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "neardup_dedup_keep",
+    "WITH RECURSIVE "
+    + _cc_ctes().lstrip().removeprefix("WITH ")
+    + """,
+labels AS (SELECT a AS node, min(b) AS comp FROM reach GROUP BY a)
+SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM labels WHERE node <> comp)
+ORDER BY d.doc_id
+""",
+)
+def neardup_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 end-to-end, hash-checked (round 4): near-dup pairs → components →
+    KEEP SET — every doc outside the pair graph plus each component's
+    canonical (min-id) member. This is ``dedup_keep_canonical``
+    (operators/components.py) exercised as a registry query, riding the
+    auto CC routing (driver union-find below threshold, alternating-star
+    above). The untouched-majority anti-join is the shape that matters at
+    100 TB: the corpus never shuffles, only the (tiny) loser set does."""
+    from ..operators.components import dedup_keep_canonical
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = neardup_ngram_jaccard(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    kept = dedup_keep_canonical(docs, pairs, id_col="doc_id")
+    return (
+        kept.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
         .orderBy("doc_id")
     )
 

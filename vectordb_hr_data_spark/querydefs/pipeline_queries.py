@@ -12,7 +12,7 @@ chosen for uniformity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import texthash as H
@@ -124,6 +124,121 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
     out.shingle_cache = s  # see cache-lifetime note above
+    return out
+
+
+def _decon_oracle() -> str:
+    """The exact decontamination oracle, shared verbatim by the join form
+    and the bloom-pruned form (no false negatives → identical results)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, {_BUCKET_DDB} AS bucket
+  FROM documents
+), h AS (
+  SELECT doc_id, bucket, {H.ddb_hash_array('toks')} AS th FROM t
+), s AS (
+  SELECT doc_id, bucket, {H.ddb_shingle_keys('th', DECON_N)} AS sk FROM h
+), ex AS (
+  SELECT doc_id, bucket, unnest(sk) AS k FROM s
+), test_sh AS (
+  SELECT DISTINCT k FROM ex WHERE bucket >= 90
+), hits AS (
+  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM ex e JOIN test_sh USING (k)
+  WHERE e.bucket < 80
+  GROUP BY e.doc_id
+), sizes AS (
+  SELECT doc_id, CAST(len(sk) AS BIGINT) AS n_shingles FROM s
+)
+SELECT hits.doc_id, n_overlap, n_shingles,
+       round(CAST(n_overlap AS DOUBLE) / n_shingles, 6) AS overlap_frac
+FROM hits JOIN sizes USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+_BLOOM_MULT = 2654435761  # Knuth multiplicative constant for the 2nd probe
+
+
+def _bloom_might_contain(key: Column, bits, n_bits: int) -> Column:
+    """Two-probe Bloom membership as a pure Column expression over a
+    literal long array — JVM-side, codegen-able, no Python in the probe.
+    ``bits`` is the packed bitset (list of int64 words)."""
+    arr = F.lit(bits)
+    b1 = F.pmod(key, F.lit(n_bits))
+    b2 = F.pmod(key * _BLOOM_MULT + 104729, F.lit(n_bits))
+    def probe(b: Column) -> Column:
+        word = F.element_at(arr, (b / 64).cast("int") + 1)
+        # call_function: the SQL shiftright accepts a column shift amount
+        # (the PySpark wrapper insists on an int literal)
+        return F.call_function("shiftright", word, (b % 64).cast("int")).bitwiseAND(1) == 1
+    return probe(b1) & probe(b2)
+
+
+@register("doc_decontaminate_bloom", _decon_oracle())
+def doc_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``doc_decontaminate`` with a Bloom-bitset MAP-SIDE PRUNE in front of
+    the exact join — the 100 TB form: when the eval-shingle set outgrows a
+    comfortable broadcast hash relation, a Bloom filter over it stays small
+    (~10 bits/key at 1% fpp vs ~40+ bytes/key for the exact set) and
+    eliminates ~99% of train shingles BEFORE any join machinery touches
+    them. Bloom filters have NO false negatives, so the surviving ~1% still
+    exact-joins against the test set and the result — and therefore the
+    oracle — is IDENTICAL to the exact query (a pytest pins the equality).
+
+    The probe is two multiplicative hashes into a literal long-array bitset
+    evaluated as pure Column arithmetic (shiftright + bitwiseAND) — inside
+    whole-stage codegen, no Python, no extra exchange (plan-tested). The
+    bitset here is built from a driver collect of the (small by
+    construction) test-shingle keys; on a cluster the same bits fall out of
+    ``df.stat.bloomFilter`` (one tree-aggregated pass) without any
+    driver-side key list."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.expr(H.spark_tokens("text")).alias("toks"),
+        F.expr(_BUCKET_SPARK).alias("bucket"),
+    )
+    h = t.select("doc_id", "bucket", F.expr(H.spark_hash_array("toks")).alias("th"))
+    s = h.select(
+        "doc_id", "bucket", F.expr(H.spark_shingle_keys("th", DECON_N)).alias("sk")
+    ).cache()
+    ex = s.select("doc_id", "bucket", F.explode("sk").alias("k"))
+    test_sh = ex.filter(F.col("bucket") >= 90).select("k").distinct()
+
+    keys = [r.k for r in test_sh.collect()]
+    n_bits = 64
+    while n_bits < 16 * max(len(keys), 1):
+        n_bits *= 2
+    words = [0] * (n_bits // 64)
+    for k in keys:
+        for b in (k % n_bits, (k * _BLOOM_MULT + 104729) % n_bits):
+            words[b // 64] |= 1 << (b % 64)
+    # pack to signed int64 (Spark long) — bit patterns preserved
+    bits = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+    pruned = ex.filter(F.col("bucket") < 80).filter(
+        _bloom_might_contain(F.col("k"), bits, n_bits)
+    )
+    hits = (
+        pruned.join(F.broadcast(test_sh), "k")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    sizes = s.select("doc_id", F.size("sk").cast("long").alias("n_shingles"))
+    out = (
+        hits.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_overlap",
+            "n_shingles",
+            F.round(
+                F.col("n_overlap").cast("double") / F.col("n_shingles"), 6
+            ).alias("overlap_frac"),
+        )
+        .orderBy("doc_id")
+    )
+    out.shingle_cache = s
     return out
 
 

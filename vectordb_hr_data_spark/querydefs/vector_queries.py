@@ -173,6 +173,34 @@ def _sq8_ranges(spark: SparkSession, sf_dir: str, vec_col: str = "embedding", di
     return _SQ8_RANGE_CACHE[key]
 
 
+@register(
+    "label_centroids",
+    f"""
+SELECT label, CAST(i - 1 AS INT) AS pos,
+       round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6) AS mean_val
+FROM embeddings, range(1, 65) AS t(i)
+GROUP BY label, i
+ORDER BY label, pos
+""",
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class mean embedding — the declarative "train" step behind
+    centroid-blocked ops (IVF coarse quantizer, semantic-dedup blocking,
+    per-class prototypes). posexplode to (label, pos, val) narrow rows,
+    then one hash aggregate: partial sums run map-side, the exchange
+    carries ≤ partitions·|labels|·dim rows regardless of corpus size —
+    the same narrow-row discipline as ``fit_ranges``. Emitted as
+    (label, pos, mean) rows rather than array columns so the oracle
+    compares scalars."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("mean_val"))
+        .orderBy("label", "pos")
+    )
+
+
 # Shared oracle CTEs for the SQ8 family: per-dim ranges, byte codes (the
 # CASE mirrors sq8_encode's span==0 branch), and the query vector.
 _SQ8_CTES = f"""
