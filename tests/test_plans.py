@@ -277,6 +277,26 @@ def test_chunk_ivf_build_is_map_only_and_probe_prunes(spark, sf_dir):
     assert len(m.group(1).split(",")) == N_PROBE
 
 
+def test_ivf_sq8_index_scans_prune_partitions_and_columns(spark, sf_dir):
+    """The IVF16+SQ8 persisted-index capstone must show BOTH prunings in
+    its executed plan: each of the two FileScans reads only the n_probe
+    cid partitions, phase 1 reads ONLY the byte codes (no float column),
+    phase 2 ONLY the float vectors (no codes) — 1 byte/dim over
+    n_probe/16 of the corpus is the whole point at 100 TB."""
+    import re
+
+    from vectordb_hr_data_spark.querydefs.vector_queries import ivf_sq8_rerank_indexed
+
+    plan = _plan(ivf_sq8_rerank_indexed(spark, sf_dir))
+    pf = re.findall(r"PartitionFilters: \[cid#\d+ IN \(([^)]*)\)\]", plan)
+    assert len(pf) == 2 and all(len(p.split(",")) == 4 for p in pf), plan
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    codes_scans = [s for s in schemas if "codes" in s]
+    vec_scans = [s for s in schemas if "embedding" in s]
+    assert len(codes_scans) == 1 and "embedding" not in codes_scans[0]
+    assert len(vec_scans) == 1 and "codes" not in vec_scans[0]
+
+
 def test_doc_type_partition_pruning(spark, tmp_path):
     """The written index is partitioned by doc_type; a doc_type equality
     filter must prune at the source (the Spark form of the reference's

@@ -143,3 +143,29 @@ def sq8_qdist_arrow(vec_col: str | Column, lo: list[float], hi: list[float], que
         return pd.Series(acc)
 
     return qdist(v)
+
+
+def sq8_qdist_codes_arrow(code_col: str | Column, lo: list[float], hi: list[float], query_vec) -> Column:
+    """Squared-L2 to the query from STORED byte codes (the persisted-index
+    scan path: the parquet carries ``array<tinyint>``, 1 byte/dim, and the
+    float vectors are never touched in phase 1). Same Arrow shape and the
+    same IEEE op order as ``sq8_qdist_arrow``'s decode+distance tail, so it
+    is bit-identical to ``l2sq(sq8_reconstruct(codes), q)``."""
+    c = F.col(code_col) if isinstance(code_col, str) else code_col
+    lo_a = np.asarray([float(x) for x in lo], dtype=np.float64)
+    span_a = np.asarray(_spans(lo, hi), dtype=np.float64)
+    q_a = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    dim = len(lo_a)
+
+    @F.pandas_udf(T.DoubleType())
+    def qdist(codes: pd.Series) -> pd.Series:
+        m = np.stack(codes.to_numpy()).astype(np.float64)
+        recon = lo_a + (m + 128.0) / 255.0 * span_a
+        d = recon - q_a
+        contrib = d * d
+        acc = np.zeros(len(m), dtype=np.float64)
+        for j in range(dim):
+            acc = acc + contrib[:, j]
+        return pd.Series(acc)
+
+    return qdist(c)

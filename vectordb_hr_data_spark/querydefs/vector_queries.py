@@ -262,6 +262,114 @@ def knn_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_CENTROIDS = 16
+_N_PROBE = 4
+_L2 = (
+    "list_sum(list_transform(range(1, len({a})+1),"
+    " i -> power(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE), 2)))"
+)
+_SQ8_IVF_BUILT: set[str] = set()
+
+
+@register(
+    "ivf_sq8_rerank_indexed",
+    _SQ8_CTES
+    + f"""
+, cent AS (
+  SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+), assigned AS (
+  SELECT c.vec_id, c.embedding, c.codes, ct.cid,
+         row_number() OVER (PARTITION BY c.vec_id
+                            ORDER BY {_L2.format(a='c.embedding', b='ct.cvec')}, ct.cid) AS rn
+  FROM coded c CROSS JOIN cent ct
+), probe AS (
+  SELECT ct.cid FROM cent ct, q
+  ORDER BY {_L2.format(a='ct.cvec', b='q.qv')}, ct.cid
+  LIMIT {_N_PROBE}
+), bucket AS (
+  SELECT a.vec_id, a.embedding, a.codes FROM assigned a JOIN probe p ON a.cid = p.cid
+  WHERE a.rn = 1
+), phase1 AS (
+  SELECT b.vec_id, b.embedding,
+         round(list_sum(list_transform(range(1, 65), i ->
+           power(rng.lov[{_SQ8_IDX}]
+                 + (b.codes[{_SQ8_IDX}] + 128.0) / 255.0 * (rng.hiv[{_SQ8_IDX}] - rng.lov[{_SQ8_IDX}])
+                 - CAST(q.qv[{_SQ8_IDX}] AS DOUBLE), 2))), {_ROUND}) AS qdistance
+  FROM bucket b, rng, q
+  ORDER BY qdistance, b.vec_id
+  LIMIT {overfetch_count(10)}
+)
+SELECT p1.vec_id, round({_L2.format(a='p1.embedding', b='q.qv')}, {_ROUND}) AS distance
+FROM phase1 p1, q
+ORDER BY distance, p1.vec_id
+LIMIT 10
+""",
+)
+def ivf_sq8_rerank_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 100 TB index composition — faiss ``IVF16,SQ8`` re-expressed
+    as DataFrame algebra over a PERSISTED parquet index (round 4 capstone):
+
+    - **build** (once per corpus per process, amortized like any index):
+      assign every vector to its nearest of 16 deterministic centroids
+      (map-side expression argmin), SQ8-encode it, write
+      ``PARTITIONED BY (cid)`` with BOTH the byte codes and the float
+      vector as columns.
+    - **phase 1**: rank centroids driver-side, read ONLY the ``n_probe``
+      pruned cid directories AND only the ``codes`` column (partition
+      pruning × column pruning — the scan moves 1 byte/dim over
+      n_probe/16 of the corpus); Arrow byte-code distance; over-fetch
+      ``k·5 ∨ 20`` = 50 candidates via TakeOrderedAndProject.
+    - **phase 2**: broadcast the 50 survivor ids back onto the pruned
+      index (point-lookup join reading the ``embedding`` column this
+      time), exact re-score, final top-10.
+
+    Deterministic end to end (trained ranges + first-k centroids), so the
+    whole composition is hash-checked by the oracle; the two scans'
+    pruning is plan-tested."""
+    from ..operators.ivf import ivf_assign
+    from ..operators.quantize import sq8_encode, sq8_qdist_codes_arrow
+    from .similarity_queries import _ivf_index_path
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    lo, hi = _sq8_ranges(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    path = _ivf_index_path(sf_dir, "sq8")
+    if path not in _SQ8_IVF_BUILT:
+        assigned = ivf_assign(emb, cents)
+        assigned.select(
+            "vec_id", "embedding", sq8_encode("embedding", lo, hi).alias("codes"), "cid"
+        ).write.partitionBy("cid").mode("overwrite").parquet(path)
+        _SQ8_IVF_BUILT.add(path)
+
+    q = _query_vec(spark, sf_dir)
+    qlit = F.lit([float(x) for x in q])
+    probe = [
+        r.cid
+        for r in cents.select("cid", V.l2sq(F.col("cvec"), qlit).alias("d"))
+        .orderBy(F.col("d").asc(), F.col("cid").asc())
+        .limit(_N_PROBE)
+        .collect()
+    ]
+    codes_scan = spark.read.parquet(path).filter(F.col("cid").isin(probe)).select("vec_id", "codes")
+    qd = F.round(sq8_qdist_codes_arrow("codes", lo, hi, q), _ROUND)
+    cand = (
+        codes_scan.select("vec_id", qd.alias("qdistance"))
+        .orderBy(F.col("qdistance").asc(), F.col("vec_id").asc())
+        .limit(overfetch_count(10))
+        .select("vec_id")
+    )
+    vec_scan = spark.read.parquet(path).filter(F.col("cid").isin(probe)).select("vec_id", "embedding")
+    surv = vec_scan.join(F.broadcast(cand), "vec_id")
+    dist = F.round(V.l2sq(F.col("embedding"), qlit), _ROUND)
+    return (
+        surv.select("vec_id", dist.alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 @register(
     "knn_sq8_rerank",
     _SQ8_CTES
