@@ -73,3 +73,24 @@ def test_sq8_codes_are_bytes_and_recall_holds(spark, sf_dir):
     )
     step = max((h - l) for l, h in zip(lo, hi)) / 255.0
     assert err <= step / 2 + 1e-12
+
+
+def test_pq_adc_plan_and_recall_floor(spark, sf_dir):
+    """PQ-ADC: the distance projection must be pure scalar JVM arithmetic
+    (codegen stages present; the only Python node is the one-time encode),
+    both phases lower to TakeOrderedAndProject, and the re-ranked result
+    keeps a sane recall floor vs exact even with the deterministic toy
+    codebook on structure-free synthetic vectors."""
+    from vectordb_hr_data_spark.querydefs.vector_queries import (
+        knn_pq_adc_rerank,
+        knn_topk_l2sq,
+    )
+
+    df = knn_pq_adc_rerank(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert plan.count("ArrowEvalPython") == 1  # encode only; ADC is JVM
+    assert "*(" in plan
+    exact = {r.vec_id for r in knn_topk_l2sq(spark, sf_dir).collect()}
+    pq = {r.vec_id for r in df.collect()}
+    assert len(exact & pq) >= 3

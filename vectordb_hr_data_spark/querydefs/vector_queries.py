@@ -262,6 +262,82 @@ def knn_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_SUBDIST = (
+    "list_sum(list_transform(range(1, 9), d ->"
+    " power(CAST({v}[CAST(j*8+d AS INT)] AS DOUBLE)"
+    " - CAST(cb.cbs[CAST(c+1 AS INT)][CAST(j*8+d AS INT)] AS DOUBLE), 2)))"
+)
+
+
+@register(
+    "knn_pq_adc_rerank",
+    f"""
+WITH cb AS (
+  SELECT list(embedding ORDER BY vec_id) AS cbs FROM embeddings WHERE vec_id < 16
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+dists AS (
+  SELECT e.vec_id, e.embedding,
+         list_transform(range(0, 8), j ->
+           list_transform(range(0, 16), c -> {_PQ_SUBDIST.format(v='e.embedding')})) AS dl
+  FROM embeddings e, cb
+), codes AS (
+  SELECT vec_id, embedding,
+         list_transform(dl, l -> CAST(list_indexof(l, list_min(l)) - 1 AS TINYINT)) AS pqcodes
+  FROM dists
+), lut AS (
+  SELECT list_transform(range(0, 8), j ->
+           list_transform(range(0, 16), c -> {_PQ_SUBDIST.format(v='q.qv')})) AS t
+  FROM cb, q
+), adc AS (
+  SELECT c.vec_id, c.embedding,
+         round(list_sum(list_transform(range(0, 8), j ->
+           lut.t[CAST(j+1 AS INT)][CAST(c.pqcodes[CAST(j+1 AS INT)] AS INT) + 1])), {_ROUND}) AS qdistance
+  FROM codes c, lut
+), cand AS (
+  SELECT vec_id, embedding FROM adc ORDER BY qdistance, vec_id LIMIT {overfetch_count(10)}
+)
+SELECT c.vec_id,
+       round(list_sum(list_transform(range(1, len(c.embedding)+1),
+             i -> power(CAST(c.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE), 2))), {_ROUND}) AS distance
+FROM cand c, q
+ORDER BY distance, c.vec_id
+LIMIT 10
+""",
+)
+def knn_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC retrieval (operators/pq.py): vectors stored
+    as 8 codeword bytes (8× smaller than SQ8, 32× smaller than float32);
+    the query builds one 8×16 lookup table and every row's approximate
+    distance is EIGHT table lookups + adds — zero per-row float math, the
+    Jégou et al. PQ scan that dominates billion-scale ANN. Over-fetch 50 on
+    ADC distance, exact re-score of the survivors, top-10. Codebook =
+    first-16 corpus vectors per subspace (deterministic, k-means drop-in),
+    encode ties break to the lowest codeword id — so codes, LUT, and ADC
+    ranks are all bit-reproducible by the oracle and the composition is
+    hash-checked end to end. The ADC projection is pure JVM scalar
+    arithmetic (plan-tested codegen); only the one-time encode rides
+    Arrow."""
+    from ..operators.pq import pq_adc_distance, pq_adc_lut, pq_codebook, pq_encode_arrow
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb)
+    q = _query_vec(spark, sf_dir)
+    codes = emb.select("vec_id", "embedding", pq_encode_arrow("embedding", cb).alias("pqcodes"))
+    lut = pq_adc_lut(cb, q)
+    adc = F.round(pq_adc_distance("pqcodes", lut), _ROUND)
+    cand = (
+        codes.select("vec_id", "embedding", adc.alias("qdistance"))
+        .orderBy(F.col("qdistance").asc(), F.col("vec_id").asc())
+        .limit(overfetch_count(10))
+    )
+    exact = F.round(V.l2sq(F.col("embedding"), F.lit([float(x) for x in q])), _ROUND)
+    return (
+        cand.select("vec_id", exact.alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 _N_CENTROIDS = 16
 _N_PROBE = 4
 _L2 = (
