@@ -82,12 +82,18 @@ _IVF_BUILT: set[str] = set()
 
 
 def _ivf_index_path(sf_dir: str, name: str) -> str:
+    """Per-corpus, PER-PROCESS index location: the pid component means a
+    concurrently-running driver/bench/test process can never overwrite an
+    index another process is mid-read on (plain parquet has no transaction
+    log to make that safe), at the cost of a rebuild per process — the
+    rebuild is one map-only pass, and the build-once memo (_IVF_BUILT)
+    still amortizes it within a process."""
     import hashlib
     import os
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), "spark_graft_ivf", f"{name}-{tag}")
+    return os.path.join(tempfile.gettempdir(), "spark_graft_ivf", f"{name}-{tag}-{os.getpid()}")
 
 
 @register("ivf_topk_indexed", _IVF_ORACLE)
