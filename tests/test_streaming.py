@@ -252,3 +252,46 @@ def test_kafka_source_raises_clear_error_without_package(spark):
 
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         read_kafka_stream(spark, "localhost:9092", "events")
+
+
+def test_contamination_gate_stream_flags_superset_of_exact(spark, sf_dir, tmp_path):
+    """The streaming Bloom ingest gate must flag every document the exact
+    batch decontamination sweep flags (no false negatives), running as a
+    stateless projection over a genuine unbounded-source API (file stream),
+    with stream output identical to applying the same gate in batch."""
+    import shutil
+
+    import vectordb_hr_data_spark.queries as Q
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import _BLOOM_CACHE
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        contamination_gate_stream,
+        run_n_batches,
+    )
+
+    # build the bloom (and the exact contaminated set) from the corpus
+    bloom_df = Q.REGISTRY["doc_decontaminate_bloom"].fn(spark, sf_dir)
+    exact_ids = {r.doc_id for r in bloom_df.collect()}
+    bloom_df.shingle_cache.unpersist()
+    bits, n_bits = _BLOOM_CACHE[sf_dir]
+
+    docs = read_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_stream_src")
+    shutil.copytree(f"{sf_dir}", src, ignore=shutil.ignore_patterns("*"))
+    shutil.copy(f"{sf_dir}/documents.parquet", src + "/part-0.parquet")
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    gated = contamination_gate_stream(stream, bits, n_bits)
+    out = run_n_batches(gated.select("doc_id", "contaminated"), "contamination_gate", n_batches=1)
+    flagged = {r.doc_id for r in out.collect() if r.contaminated}
+    total = out.count()
+    assert total == docs.count()  # stateless: every row passes through once
+    assert exact_ids <= flagged  # no false negatives vs the exact sweep
+
+    # stream ≡ batch for the same Column logic
+    batch_flagged = {
+        r.doc_id
+        for r in contamination_gate_stream(docs, bits, n_bits).collect()
+        if r.contaminated
+    }
+    assert flagged == batch_flagged

@@ -149,6 +149,52 @@ def dedup_stream(
     )
 
 
+def contamination_gate_stream(
+    docs: DataFrame,
+    bloom_bits: list[int],
+    n_bits: int,
+    text_col: str = "text",
+    flag_col: str = "contaminated",
+) -> DataFrame:
+    """Streaming ingest gate for training data (B9's on-ingest twin): flag
+    every arriving document whose word 8-grams hit the eval-set Bloom
+    bitset — the same hashed-shingle + two-probe bitset Column logic as the
+    batch ``doc_decontaminate_bloom``, applied UNCHANGED to a stream
+    (Structured Streaming's unified model: a stateless projection needs no
+    watermark, no state store, and scales as a pure map over micro-batches).
+    The bitset rides the plan as a literal here (ingest-gate bitsets are
+    sized for the driver; the batch path's broadcast-relation trick is for
+    the multi-GB case), so the stream never joins anything. A flagged doc
+    carries ``True`` and is typically routed to quarantine by the sink;
+    passing docs flow on. No false negatives — anything the exact batch
+    sweep would catch is flagged here too; false positives (~fpp of the
+    bitset) only over-quarantine."""
+    from ..functions import texthash as H
+    from ..querydefs.pipeline_queries import _BLOOM_MULT, DECON_N
+
+    toks = F.expr(H.spark_tokens(text_col))
+    th = F.expr(H.spark_hash_array("__toks"))
+    sk = F.expr(H.spark_shingle_keys("__th", DECON_N))
+    arr = F.lit(bloom_bits)
+
+    def probe(b):
+        word = F.element_at(arr, (b / 64).cast("int") + 1)
+        return F.call_function("shiftright", word, (b % 64).cast("int")).bitwiseAND(1) == 1
+
+    def hit(k):
+        b1 = F.pmod(k, F.lit(n_bits))
+        b2 = F.pmod(k * _BLOOM_MULT + 104729, F.lit(n_bits))
+        return probe(b1) & probe(b2)
+
+    return (
+        docs.withColumn("__toks", toks)
+        .withColumn("__th", th)
+        .withColumn("__sk", sk)
+        .withColumn(flag_col, F.exists(F.col("__sk"), hit))
+        .drop("__toks", "__th", "__sk")
+    )
+
+
 def read_rate_stream(spark: SparkSession, rows_per_batch: int = 200) -> DataFrame:
     """A genuinely unbounded source mapped into the events shape: the
     ``rate-micro-batch`` source emits ``rows_per_batch`` rows per trigger
