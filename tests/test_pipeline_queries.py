@@ -251,3 +251,42 @@ def test_bloom_decontaminate_equals_exact_and_stays_jvm(spark, sf_dir):
     assert "shiftright" in plan
     exact_df.shingle_cache.unpersist()
     bloom_df.shingle_cache.unpersist()
+
+
+def test_approx_percentiles_bounded_by_exact(spark, sf_dir):
+    """percentile_approx at accuracy 10000 must sit within a few tokens of
+    the exact interpolated percentile on every (lang, percentile) cell."""
+    import vectordb_hr_data_spark.queries as Q
+
+    exact = {r.lang: r for r in Q.REGISTRY["doc_length_percentiles"].fn(spark, sf_dir).collect()}
+    approx = {r.lang: r for r in Q.REGISTRY["doc_length_percentiles_approx"].fn(spark, sf_dir).collect()}
+    assert exact.keys() == approx.keys()
+    for lang, a in approx.items():
+        e = exact[lang]
+        assert a.n_docs == e.n_docs
+        for col in ("p50", "p90", "p99"):
+            assert abs(getattr(a, col) - getattr(e, col)) <= 3.0, (lang, col)
+
+
+def test_approx_distinct_users_within_rsd(spark, sf_dir):
+    """HLL++ at rsd=2% must land within 3 sigma (6%) of the exact distinct
+    count for every event type."""
+    from pyspark.sql import functions as F
+
+    import vectordb_hr_data_spark.queries as Q
+    from vectordb_hr_data_spark.io import read_table
+
+    exact = {
+        r.event_type: r.n
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.event_type: r.approx_users
+        for r in Q.REGISTRY["events_distinct_users_approx"].fn(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(0.06 * n, 2), (t, n, approx[t])

@@ -253,3 +253,22 @@ def test_minhash_arrow_empty_array_yields_null(spark):
     )
     rows = {r.id: r.sig for r in df.select("id", minhash_sig_arrow("hashes").alias("sig")).collect()}
     assert rows[2] is None and len(rows[1]) == 16
+
+
+def test_kmeans_ivf_returns_k_and_keeps_recall_floor(spark, sf_dir):
+    """Learned-KMeans IVF sanity: full k results, deterministic across two
+    invocations (seeded fit + per-process centroid cache), recall floor vs
+    exact. NOTE the floor is intentionally NOT "at least the first-k form":
+    on cluster-free uniform data first-k "centroids" produce badly skewed
+    cells — one giant cell swallows much of the corpus, so probing it
+    yields high recall precisely because it barely prunes — while KMeans
+    balances the cells and prunes for real, trading recall at fixed
+    n_probe. That skew-vs-pruning trade is exactly why learned centroids +
+    a recall-targeted n_probe sweep (SCALE.md) is the production recipe."""
+    import vectordb_hr_data_spark.queries as Q
+
+    exact = {r.vec_id for r in Q.REGISTRY["knn_topk_l2sq"].fn(spark, sf_dir).collect()}
+    a = [(r.vec_id, r.distance) for r in Q.REGISTRY["ivf_topk_kmeans"].fn(spark, sf_dir).collect()]
+    b = [(r.vec_id, r.distance) for r in Q.REGISTRY["ivf_topk_kmeans"].fn(spark, sf_dir).collect()]
+    assert a == b and len(a) == 10
+    assert len({v for v, _ in a} & exact) >= 2

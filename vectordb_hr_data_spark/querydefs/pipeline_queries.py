@@ -258,6 +258,44 @@ def doc_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register("doc_length_percentiles_approx", None)
+def doc_length_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``doc_length_percentiles``'s 100 TB form: ``percentile_approx``
+    (t-digest-style mergeable sketch, fixed memory per group, NO per-group
+    sort) instead of the exact interpolating percentile. Same output shape
+    and columns; rows-only by construction (sketch internals aren't
+    portable to DuckDB) — a pytest bounds every approx value against the
+    exact twin. This is the swap the exact query's docstring promises."""
+    d = read_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " "))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.percentile_approx(n, 0.5, 10000).cast("double"), 4).alias("p50"),
+            F.round(F.percentile_approx(n, 0.9, 10000).cast("double"), 4).alias("p90"),
+            F.round(F.percentile_approx(n, 0.99, 10000).cast("double"), 4).alias("p99"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register("events_distinct_users_approx", None)
+def events_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users via HyperLogLog++
+    (``approx_count_distinct``, rsd=2%) — the fixed-memory, mergeable
+    sketch that replaces exact COUNT(DISTINCT)'s full shuffle of every
+    distinct key at 100 TB (partials are ~kB registers regardless of
+    cardinality). Rows-only (HLL internals differ across engines); pytest
+    bounds the relative error against the exact count."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).cast("long").alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # repetition-ratio quality filter (Gopher-style repetition rules)
 # ---------------------------------------------------------------------------

@@ -363,6 +363,41 @@ def chunk_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF with LEARNED centroids (MLlib KMeans) — the production coarse
+# quantizer; rows-only because KMeans' float reductions are not
+# bit-portable to DuckDB (the deterministic first-k form above is the
+# oracle twin of the same plan shape)
+# --------------------------------------------------------------------------
+_KMEANS_CENTS: dict[str, list] = {}
+
+
+@register("ivf_topk_kmeans", None)
+def ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ivf_topk_l2sq`` with centroids LEARNED by seeded MLlib KMeans
+    (``fit_centroids``) instead of the deterministic first-16 rows — the
+    production coarse quantizer. Training is a bounded number of map-reduce
+    passes whose k centers live on the driver (exactly the broadcast table
+    the assignment needs) and is cached per corpus per process like every
+    other trained-index state. Plan shape is identical to the oracle twin:
+    map-side GEMM assignment (zero Exchange), probe top-4 centroids, exact
+    score, TakeOrderedAndProject. Rows-only check by construction; a pytest
+    pins recall@10 vs exact kNN at least as high as the first-k-centroid
+    form on the same data."""
+    from ..operators.ivf import fit_centroids, ivf_assign_gemm, ivf_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _KMEANS_CENTS:
+        _KMEANS_CENTS[sf_dir] = [
+            (int(r.cid), [float(x) for x in r.cvec])
+            for r in fit_centroids(emb, k=N_CENTROIDS).collect()
+        ]
+    cents = spark.createDataFrame(_KMEANS_CENTS[sf_dir], "cid int, cvec array<double>")
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    assigned = ivf_assign_gemm(emb, cents)
+    return ivf_topk(assigned, cents, qvec, k=10, n_probe=N_PROBE, round_to=_ROUND)
+
+
+# --------------------------------------------------------------------------
 # chunk → embed → IVF: the RAG index AT SCALE (VERDICT r3 item 6) — the
 # exact scorer above swapped for a persisted, partition-pruned IVF index
 # --------------------------------------------------------------------------
