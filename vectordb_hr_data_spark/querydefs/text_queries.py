@@ -54,6 +54,43 @@ def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-style pretokenizer (ASCII form of the GPT-2 pattern, lookahead-free
+# so RE2/Java regex agree byte-for-byte): runs of letters, runs of digits,
+# runs of other non-space symbols. Whitespace separates, never tokenizes.
+_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+
+@register(
+    "doc_token_count_bpe",
+    f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_PAT}'))) AS BIGINT) AS n_distinct_bpe,
+       n_chars
+FROM documents
+ORDER BY doc_id
+""",
+)
+def doc_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6's second tokenizer: a BPE-style pretokenization count (the
+    letters/digits/symbol-runs split every GPT-family tokenizer applies
+    before merges — the standard proxy for 'model tokens' when the real
+    vocab isn't in the pipeline). Pure JVM regex over the scan, one narrow
+    projection; the ASCII, lookahead-free pattern evaluates identically
+    under Java regex and DuckDB's RE2, so counts are oracle-exact."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0))
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_bpe_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_bpe"),
+            "n_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _lang_score_spark(markers: list[str]) -> F.Column:
     toks = F.array_distinct(F.split(F.col("text"), " "))
     arr = F.array(*[F.lit(m) for m in markers])
