@@ -295,3 +295,36 @@ def test_contamination_gate_stream_flags_superset_of_exact(spark, sf_dir, tmp_pa
         if r.contaminated
     }
     assert flagged == batch_flagged
+
+
+def test_windowed_topk_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming per-window top-k must emit exactly the rows the identical
+    expression produces in batch over the same events (unified model), with
+    deterministic tie-breaks."""
+    import os
+    import shutil
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        run_to_completion,
+        windowed_topk_stream,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_src")
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", src + "/part-0.parquet")
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    got = run_to_completion(
+        windowed_topk_stream(stream), "windowed_topk", output_mode="complete"
+    )
+    want = windowed_topk_stream(events)
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
+    # every (window, key) group has at most k rows
+    from collections import Counter
+
+    counts = Counter((r[0], r[1]) for r in g)
+    assert max(counts.values()) <= 3

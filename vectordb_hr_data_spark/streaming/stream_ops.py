@@ -149,6 +149,48 @@ def dedup_stream(
     )
 
 
+def windowed_topk_stream(
+    events: DataFrame,
+    key_col: str = "event_type",
+    order_col: str = "value",
+    k: int = 3,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming per-window top-k (the leaderboard shape): for every
+    (event-time window, key) keep the k rows with the highest
+    ``order_col`` — ``slice(sort_array(collect_list(struct(...)), desc),
+    1, k)`` as ONE streaming aggregation, the same pure-JVM expression
+    family as the batch ``topk_per_key_expr`` twin, so stream and batch
+    produce identical rows on identical data (pytest-pinned). Watermark
+    bounds state lifetime to open windows; within a window the
+    collect_list buffer holds that window's rows — fine for
+    human-cardinality windows (leaderboards, per-hour maxima); if a single
+    (window, key) cell can hold millions of rows, swap the buffer for an
+    ``applyInPandasWithState`` heap that caps state at k, same output
+    contract. Ties break by the struct's remaining fields (event_id),
+    deterministically on both stream and batch."""
+    packed = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), F.col(key_col))
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col(order_col), F.col("event_id"))), asc=False
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+    )
+    return packed.select("w", key_col, F.explode("top").alias("r")).select(
+        F.col("w.start").alias("window_start"),
+        key_col,
+        F.col(f"r.{order_col}").alias(order_col),
+        F.col("r.event_id").alias("event_id"),
+    )
+
+
 def contamination_gate_stream(
     docs: DataFrame,
     bloom_bits: list[int],
