@@ -204,9 +204,10 @@ def contamination_gate_stream(
     batch ``doc_decontaminate_bloom``, applied UNCHANGED to a stream
     (Structured Streaming's unified model: a stateless projection needs no
     watermark, no state store, and scales as a pure map over micro-batches).
-    The bitset rides the plan as a literal here (ingest-gate bitsets are
-    sized for the driver; the batch path's broadcast-relation trick is for
-    the multi-GB case), so the stream never joins anything. A flagged doc
+    The bitset rides a 1-row STREAM-STATIC broadcast join — the same
+    broadcast-relation form as the batch query, avoiding the
+    literal-array-rematerialization cliff (a multi-thousand-element
+    literal is rebuilt per evaluation inside codegen). A flagged doc
     carries ``True`` and is typically routed to quarantine by the sink;
     passing docs flow on. No false negatives — anything the exact batch
     sweep would catch is flagged here too; false positives (~fpp of the
@@ -217,7 +218,8 @@ def contamination_gate_stream(
     toks = F.expr(H.spark_tokens(text_col))
     th = F.expr(H.spark_hash_array("__toks"))
     sk = F.expr(H.spark_shingle_keys("__th", DECON_N))
-    arr = F.lit(bloom_bits)
+    bitset = docs.sparkSession.createDataFrame([(bloom_bits,)], "__bloom_bits: array<long>")
+    arr = F.col("__bloom_bits")
 
     def probe(b):
         word = F.element_at(arr, (b / 64).cast("int") + 1)
@@ -232,8 +234,9 @@ def contamination_gate_stream(
         docs.withColumn("__toks", toks)
         .withColumn("__th", th)
         .withColumn("__sk", sk)
+        .crossJoin(F.broadcast(bitset))
         .withColumn(flag_col, F.exists(F.col("__sk"), hit))
-        .drop("__toks", "__th", "__sk")
+        .drop("__toks", "__th", "__sk", "__bloom_bits")
     )
 
 
