@@ -320,3 +320,31 @@ def test_doc_type_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan
     section = plan.split("PartitionFilters:")[1][:200]
     assert "doc_type" in section
+
+
+def test_sq8_encode_arrow_is_bit_exact(spark, sf_dir):
+    """The vectorized build-path encoder must produce byte-identical codes
+    to the expression twin over the whole corpus (span==0 branch included)."""
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.operators.quantize import (
+        fit_ranges,
+        sq8_encode,
+        sq8_encode_arrow,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    lo, hi = fit_ranges(emb, "embedding", 64)
+    # force a span==0 dimension through both paths as well
+    lo2 = list(lo); hi2 = list(hi); hi2[0] = lo2[0]
+    for l, h in ((lo, hi), (lo2, hi2)):
+        bad = (
+            emb.select(
+                sq8_encode("embedding", l, h).alias("e"),
+                sq8_encode_arrow("embedding", l, h).alias("a"),
+            )
+            .filter(F.col("e") != F.col("a"))
+            .count()
+        )
+        assert bad == 0

@@ -149,6 +149,31 @@ def sq8_qdist_arrow(vec_col: str | Column, lo: list[float], hi: list[float], que
     return qdist(v)
 
 
+def sq8_encode_arrow(vec_col: str | Column, lo: list[float], hi: list[float]) -> Column:
+    """array<tinyint> byte codes in one Arrow pass — the vectorized build
+    path for persisted indexes (the expression ``sq8_encode`` is the
+    oracle-documenting twin; HOFs evaluate interpreted, fine for a registry
+    demo but not for a 100 TB one-time encode). Bit-identical to
+    ``sq8_encode``: same float64 op order, ``floor(x+0.5)`` half-up (exact
+    for doubles in [0, 256) — see ``sq8_qdist_arrow``), span==0 dims code
+    to -128; parity is pytest-pinned."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    lo_a = np.asarray([float(x) for x in lo], dtype=np.float64)
+    span_a = np.asarray(_spans(lo, hi), dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.ByteType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        shifted = m - lo_a
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x = shifted / span_a * 255.0
+        rounded = np.floor(x + 0.5)
+        codes = (np.where(span_a == 0.0, 0.0, rounded) - 128.0).astype(np.int8)
+        return pd.Series(list(codes))
+
+    return encode(v)
+
+
 def sq8_qdist_codes_arrow(code_col: str | Column, lo: list[float], hi: list[float], query_vec) -> Column:
     """Squared-L2 to the query from STORED byte codes (the persisted-index
     scan path: the parquet carries ``array<tinyint>``, 1 byte/dim, and the

@@ -407,7 +407,7 @@ def ivf_sq8_rerank_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole composition is hash-checked by the oracle; the two scans'
     pruning is plan-tested."""
     from ..operators.ivf import ivf_assign
-    from ..operators.quantize import sq8_encode, sq8_qdist_codes_arrow
+    from ..operators.quantize import sq8_encode_arrow, sq8_qdist_codes_arrow
     from .similarity_queries import _ivf_index_path
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -419,7 +419,7 @@ def ivf_sq8_rerank_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path not in _SQ8_IVF_BUILT:
         assigned = ivf_assign(emb, cents)
         assigned.select(
-            "vec_id", "embedding", sq8_encode("embedding", lo, hi).alias("codes"), "cid"
+            "vec_id", "embedding", sq8_encode_arrow("embedding", lo, hi).alias("codes"), "cid"
         ).write.partitionBy("cid").mode("overwrite").parquet(path)
         _SQ8_IVF_BUILT.add(path)
 
