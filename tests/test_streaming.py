@@ -328,3 +328,44 @@ def test_windowed_topk_stream_matches_batch(spark, sf_dir, tmp_path):
 
     counts = Counter((r[0], r[1]) for r in g)
     assert max(counts.values()) <= 3
+
+
+def test_running_topk_stream_bounded_state_matches_batch(spark, sf_dir, tmp_path):
+    """The capped-state streaming top-k's FINAL emission per key must equal
+    the batch top-k over all events, regardless of micro-batch arrival
+    order — state never holds more than k rows per key."""
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        run_to_completion,
+        running_topk_stream,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_topk_src")
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", src + "/part-0.parquet")
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = run_to_completion(
+        running_topk_stream(stream), "running_topk", output_mode="update"
+    )
+    # update mode re-emits per batch; keep the LAST emission per (key, rank)
+    latest = {}
+    for r in out.collect():
+        latest[(r.event_type, r.rank)] = (r.value, r.event_id)
+
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    want = {
+        (r.event_type, r.rn): (r.value, r.event_id)
+        for r in events.filter(F.col("value").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .collect()
+    }
+    assert latest == want

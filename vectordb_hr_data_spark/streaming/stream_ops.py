@@ -149,6 +149,62 @@ def dedup_stream(
     )
 
 
+def running_topk_stream(events: DataFrame, key_col: str = "event_type", order_col: str = "value", k: int = 3) -> DataFrame:
+    """Streaming per-key top-k with state CAPPED AT k rows per key —
+    ``applyInPandasWithState`` carrying an explicit (values, ids) heap:
+    each micro-batch merges its rows into the k-row state and re-emits the
+    key's current top-k. This is the bounded-state form the windowed
+    collect_list aggregation can't give you (its buffer grows with the
+    window's row count): state size is O(|keys|·k) FOREVER, independent of
+    stream volume — the property that makes a perpetual leaderboard viable
+    on an unbounded 100 TB/day stream. Ties break on (value DESC, event_id
+    ASC), deterministically across any batch arrival order
+    (pytest-pinned against a batch recompute)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField(order_col, T.DoubleType()),
+            T.StructField("event_id", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("vals", T.ArrayType(T.DoubleType())),
+            T.StructField("ids", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        vals, ids = ([], []) if not state.exists else [list(x) for x in state.get]
+        pairs = list(zip(vals, ids))
+        for pdf in pdfs:
+            pairs.extend(
+                (float(v), int(i))
+                for v, i in zip(pdf[order_col], pdf["event_id"])
+                if v == v  # drop NaN values
+            )
+        pairs.sort(key=lambda p: (-p[0], p[1]))
+        pairs = pairs[:k]
+        state.update(([p[0] for p in pairs], [p[1] for p in pairs]))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(pairs),
+                "rank": list(range(1, len(pairs) + 1)),
+                order_col: [p[0] for p in pairs],
+                "event_id": [p[1] for p in pairs],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update, output_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def windowed_topk_stream(
     events: DataFrame,
     key_col: str = "event_type",
