@@ -348,3 +348,21 @@ def test_sq8_encode_arrow_is_bit_exact(spark, sf_dir):
             .count()
         )
         assert bad == 0
+
+
+def test_ivf_pq_index_scans_prune_partitions_and_columns(spark, sf_dir):
+    """faiss IVF16,PQ8 analogue: both FileScans pruned to n_probe cid
+    partitions; phase 1 reads ONLY the 8-byte pqcodes column, phase 2 ONLY
+    the float vectors."""
+    import re
+
+    from vectordb_hr_data_spark.querydefs.vector_queries import ivf_pq_adc_indexed
+
+    plan = _plan(ivf_pq_adc_indexed(spark, sf_dir))
+    pf = re.findall(r"PartitionFilters: \[cid#\d+ IN \(([^)]*)\)\]", plan)
+    assert len(pf) == 2 and all(len(p.split(",")) == 4 for p in pf), plan
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    codes_scans = [s for s in schemas if "pqcodes" in s]
+    vec_scans = [s for s in schemas if "embedding" in s]
+    assert len(codes_scans) == 1 and "embedding" not in codes_scans[0]
+    assert len(vec_scans) == 1 and "pqcodes" not in vec_scans[0]

@@ -271,9 +271,9 @@ _PQ_SUBDIST = (
 )
 
 
-@register(
-    "knn_pq_adc_rerank",
-    f"""
+# Shared PQ oracle CTEs: codebook, query, per-vector codes, and the
+# query-side ADC lookup table.
+_PQ_CTES = f"""
 WITH cb AS (
   SELECT list(embedding ORDER BY vec_id) AS cbs FROM embeddings WHERE vec_id < 16
 ), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -290,7 +290,19 @@ dists AS (
   SELECT list_transform(range(0, 8), j ->
            list_transform(range(0, 16), c -> {_PQ_SUBDIST.format(v='q.qv')})) AS t
   FROM cb, q
-), adc AS (
+)"""
+
+_PQ_ADC_TERM = (
+    "list_sum(list_transform(range(0, 8), j ->"
+    " lut.t[CAST(j+1 AS INT)][CAST({c}.pqcodes[CAST(j+1 AS INT)] AS INT) + 1]))"
+)
+
+
+@register(
+    "knn_pq_adc_rerank",
+    _PQ_CTES
+    + f"""
+, adc AS (
   SELECT c.vec_id, c.embedding,
          round(list_sum(list_transform(range(0, 8), j ->
            lut.t[CAST(j+1 AS INT)][CAST(c.pqcodes[CAST(j+1 AS INT)] AS INT) + 1])), {_ROUND}) AS qdistance
@@ -497,6 +509,101 @@ def knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = F.round(V.l2sq(F.col("embedding"), F.lit([float(x) for x in q])), _ROUND)
     return (
         cand.select("vec_id", exact.alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+_PQ_IVF_BUILT: set[str] = set()
+
+
+@register(
+    "ivf_pq_adc_indexed",
+    _PQ_CTES
+    + f"""
+, cent AS (
+  SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+), assigned AS (
+  SELECT c.vec_id, c.embedding, c.pqcodes, ct.cid,
+         row_number() OVER (PARTITION BY c.vec_id
+                            ORDER BY {_L2.format(a='c.embedding', b='ct.cvec')}, ct.cid) AS rn
+  FROM codes c CROSS JOIN cent ct
+), probe AS (
+  SELECT ct.cid FROM cent ct, q
+  ORDER BY {_L2.format(a='ct.cvec', b='q.qv')}, ct.cid
+  LIMIT {_N_PROBE}
+), bucket AS (
+  SELECT a.vec_id, a.embedding, a.pqcodes FROM assigned a JOIN probe p ON a.cid = p.cid
+  WHERE a.rn = 1
+), phase1 AS (
+  SELECT b.vec_id, b.embedding,
+         round({_PQ_ADC_TERM.format(c='b')}, {_ROUND}) AS qdistance
+  FROM bucket b, lut
+  ORDER BY qdistance, b.vec_id
+  LIMIT {overfetch_count(10)}
+)
+SELECT p1.vec_id, round({_L2.format(a='p1.embedding', b='q.qv')}, {_ROUND}) AS distance
+FROM phase1 p1, q
+ORDER BY distance, p1.vec_id
+LIMIT 10
+""",
+)
+def ivf_pq_adc_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """faiss ``IVF16,PQ8`` — the complete billion-scale index shape, as
+    DataFrame algebra over a persisted parquet index: coarse quantizer
+    (IVF partition pruning, read n_probe/16 of the corpus) × fine
+    quantizer (PQ codes, 8 bytes/vector) × ADC scan (8 JVM table lookups
+    per row, zero per-row float math) × exact re-rank of the 50
+    survivors. Phase 1 reads ONLY the pqcodes column of the pruned
+    partitions — at 100 TB that is n_probe/16 of the rows × 8 bytes of
+    the 256-byte vectors ≈ 1/800 of the raw index bytes per query. Build
+    (once per corpus per process): map-side centroid assignment + one
+    Arrow PQ-encode pass → ``PARTITIONED BY (cid)``. Deterministic
+    centroids = PQ codebook = first-16 corpus vectors, so the whole
+    composition — codes, assignment, probe set, LUT, ADC ranks, final
+    exact distances — is hash-checked against the oracle."""
+    from ..operators.ivf import ivf_assign
+    from ..operators.pq import pq_adc_distance, pq_adc_lut, pq_codebook, pq_encode_arrow
+    from .similarity_queries import _ivf_index_path
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _PQ_CB_CACHE:
+        _PQ_CB_CACHE[sf_dir] = pq_codebook(emb)
+    cb = _PQ_CB_CACHE[sf_dir]
+    cents = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    path = _ivf_index_path(sf_dir, "pq")
+    if path not in _PQ_IVF_BUILT:
+        assigned = ivf_assign(emb, cents)
+        assigned.select(
+            "vec_id", "embedding", pq_encode_arrow("embedding", cb).alias("pqcodes"), "cid"
+        ).write.partitionBy("cid").mode("overwrite").parquet(path)
+        _PQ_IVF_BUILT.add(path)
+
+    q = _query_vec(spark, sf_dir)
+    qlit = F.lit([float(x) for x in q])
+    probe = [
+        r.cid
+        for r in cents.select("cid", V.l2sq(F.col("cvec"), qlit).alias("d"))
+        .orderBy(F.col("d").asc(), F.col("cid").asc())
+        .limit(_N_PROBE)
+        .collect()
+    ]
+    lut = pq_adc_lut(cb, q)
+    codes_scan = spark.read.parquet(path).filter(F.col("cid").isin(probe)).select("vec_id", "pqcodes")
+    qd = F.round(pq_adc_distance("pqcodes", lut), _ROUND)
+    cand = (
+        codes_scan.select("vec_id", qd.alias("qdistance"))
+        .orderBy(F.col("qdistance").asc(), F.col("vec_id").asc())
+        .limit(overfetch_count(10))
+        .select("vec_id")
+    )
+    vec_scan = spark.read.parquet(path).filter(F.col("cid").isin(probe)).select("vec_id", "embedding")
+    surv = vec_scan.join(F.broadcast(cand), "vec_id")
+    dist = F.round(V.l2sq(F.col("embedding"), qlit), _ROUND)
+    return (
+        surv.select("vec_id", dist.alias("distance"))
         .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(10)
     )
