@@ -369,3 +369,71 @@ def test_running_topk_stream_bounded_state_matches_batch(spark, sf_dir, tmp_path
         .collect()
     }
     assert latest == want
+
+
+def test_stream_ivf_sq8_append_equals_batch_build(spark, sf_dir, tmp_path):
+    """An IVF+SQ8 index grown incrementally from a stream (2 micro-batches)
+    must be row-identical (vec_id, cid, codes) to a from-scratch batch
+    build over the same vectors with the same trained state, and a pruned
+    probe query over either index returns identical top-k."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.operators.ivf import ivf_assign, ivf_topk_indexed
+    from vectordb_hr_data_spark.operators.quantize import fit_ranges, sq8_encode_arrow
+    from vectordb_hr_data_spark.streaming.stream_ops import stream_ivf_sq8_append
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    lo, hi = fit_ranges(emb, "embedding", 64)
+    cents_df = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cvec"),
+    )
+    centroid_rows = [(int(r.cid), [float(x) for x in r.cvec]) for r in cents_df.collect()]
+
+    # batch reference build over ALL vectors
+    ref_path = str(tmp_path / "idx_batch")
+    assigned = ivf_assign(emb, cents_df)
+    assigned.select(
+        "vec_id", "embedding", sq8_encode_arrow("embedding", lo, hi).alias("codes"), "cid"
+    ).write.partitionBy("cid").mode("overwrite").parquet(ref_path)
+
+    # seed the streamed index with the first half, stream the second half
+    # in two micro-batches (two source files, maxFilesPerTrigger=1)
+    stream_path = str(tmp_path / "idx_stream")
+    half = emb.filter(F.col("vec_id") < 250)
+    rest = emb.filter(F.col("vec_id") >= 250)
+    a1 = ivf_assign(half, cents_df)
+    a1.select(
+        "vec_id", "embedding", sq8_encode_arrow("embedding", lo, hi).alias("codes"), "cid"
+    ).write.partitionBy("cid").mode("overwrite").parquet(stream_path)
+
+    src = str(tmp_path / "vec_src")
+    rest.filter(F.col("vec_id") % 2 == 0).write.parquet(src)
+    rest.filter(F.col("vec_id") % 2 == 1).write.mode("append").parquet(src)
+    assert len(glob.glob(src + "/*.parquet")) >= 2
+
+    stream = (
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_ivf_sq8_append(stream, stream_path, centroid_rows, lo, hi)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def snapshot(p):
+        return sorted(
+            (r.vec_id, r.cid, tuple(r.codes))
+            for r in spark.read.parquet(p).select("vec_id", "cid", "codes").collect()
+        )
+
+    assert snapshot(stream_path) == snapshot(ref_path)
+
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    got = sorted(map(tuple, ivf_topk_indexed(spark, stream_path, cents_df, qvec).collect()))
+    want = sorted(map(tuple, ivf_topk_indexed(spark, ref_path, cents_df, qvec).collect()))
+    assert got == want and len(got) == 10

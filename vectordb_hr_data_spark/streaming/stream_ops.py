@@ -149,6 +149,51 @@ def dedup_stream(
     )
 
 
+def stream_ivf_sq8_append(
+    vec_stream: DataFrame,
+    path: str,
+    centroid_rows: list,
+    lo: list[float],
+    hi: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming maintenance of the persisted IVF+SQ8 index: every
+    micro-batch of new vectors is centroid-assigned (map-side expression
+    argmin) + SQ8-encoded (one Arrow pass) and APPENDED into the
+    cid-partitioned parquet index via ``foreachBatch`` — each batch only
+    touches the cid directories its vectors land in, the index stays
+    queryable throughout, and because assignment/encode are deterministic
+    given the trained state (centroids + ranges, both frozen at
+    train time like any faiss index), the incrementally-grown index is
+    row-identical to a from-scratch batch build over the same data
+    (pytest-pinned). This is how a 100 TB index absorbs a firehose without
+    rebuilds; compaction/exactly-once bookkeeping is what Delta's MERGE
+    adds when its jars land (io.py:95 note).
+
+    Returns the StreamingQuery; callers own its lifecycle."""
+    from ..operators.ivf import ivf_assign
+    from ..operators.quantize import sq8_encode_arrow
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cents = batch_df.sparkSession.createDataFrame(
+            centroid_rows, "cid int, cvec array<double>"
+        )
+        assigned = ivf_assign(batch_df, cents, id_col=id_col, vec_col=vec_col)
+        (
+            assigned.select(
+                id_col, vec_col, sq8_encode_arrow(vec_col, lo, hi).alias("codes"), "cid"
+            )
+            .write.partitionBy("cid")
+            .mode("append")
+            .parquet(path)
+        )
+
+    return vec_stream.writeStream.foreachBatch(sink).start()
+
+
 def running_topk_stream(events: DataFrame, key_col: str = "event_type", order_col: str = "value", k: int = 3) -> DataFrame:
     """Streaming per-key top-k with state CAPPED AT k rows per key —
     ``applyInPandasWithState`` carrying an explicit (values, ids) heap:
