@@ -48,3 +48,59 @@ def test_overfetch_width(k):
     # reference: k*5 if k*5 > 10 else 20 → always ≥ max(k, 11-ish) and ≥ k
     assert w == (k * 5 if k * 5 > 10 else 20)
     assert w >= k
+
+
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=255.999, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_floor_half_up_equals_decimal_half_up(xs):
+    """The Arrow twins' ``floor(x + 0.5)`` must BE round-half-up for every
+    double in [0, 256) — the exactness claim their parity rests on (0.5 is
+    an exact multiple of every ulp in that range, so x + 0.5 never rounds)."""
+    import decimal
+    import math
+
+    for x in xs:
+        got = math.floor(x + 0.5)
+        want = int(
+            decimal.Decimal(repr(x)).quantize(0, rounding=decimal.ROUND_HALF_UP)
+        )
+        assert got == want, x
+
+
+@given(
+    st.lists(
+        st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False, width=32), min_size=64, max_size=64),
+        min_size=2,
+        max_size=20,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_pq_lut_distance_identity(vectors):
+    """pq_adc_lut + codes must reproduce the directly-computed subspace
+    distances: for any vector encoded against a codebook drawn from the
+    same set, ADC(codes) == sum_j ||v_j_codeword - q_j||² exactly (table
+    lookup is exact by construction — the approximation is ONLY in the
+    codeword snap)."""
+    from vectordb_hr_data_spark.operators.pq import pq_adc_lut
+
+    cb = vectors[: min(len(vectors), 16)]
+    q = vectors[-1]
+    lut = pq_adc_lut(cb, q, dim=64, m=8)
+    # pick each subspace's codeword 0 → ADC must equal the LUT row sums
+    total = 0.0
+    for j in range(8):
+        total = total + lut[j][0]
+    direct = 0.0
+    for j in range(8):
+        acc = 0.0
+        for t in range(8):
+            d = q[j * 8 + t] - cb[0][j * 8 + t]
+            acc = acc + d * d
+        direct = direct + acc
+    assert total == direct
