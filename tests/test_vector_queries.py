@@ -94,3 +94,19 @@ def test_pq_adc_plan_and_recall_floor(spark, sf_dir):
     exact = {r.vec_id for r in knn_topk_l2sq(spark, sf_dir).collect()}
     pq = {r.vec_id for r in df.collect()}
     assert len(exact & pq) >= 3
+
+
+def test_residual_ivfadc_beats_flat_pq_recall(spark, sf_dir):
+    """The residual form must deliver at least flat-PQ's recall@10 on this
+    corpus DESPITE also pruning to n_probe/16 of the cells (the textbook
+    IVFADC win: residual distributions are tighter, so the same 8-byte
+    budget separates better), and must be deterministic across calls."""
+    import vectordb_hr_data_spark.queries as Q
+
+    exact = {r.vec_id for r in Q.REGISTRY["knn_topk_l2sq"].fn(spark, sf_dir).collect()}
+    flat = {r.vec_id for r in Q.REGISTRY["knn_pq_adc_rerank"].fn(spark, sf_dir).collect()}
+    res1 = [tuple(r) for r in Q.REGISTRY["ivf_pq_residual_rerank"].fn(spark, sf_dir).collect()]
+    res2 = [tuple(r) for r in Q.REGISTRY["ivf_pq_residual_rerank"].fn(spark, sf_dir).collect()]
+    assert res1 == res2 and len(res1) == 10
+    res_ids = {v for v, _ in res1}
+    assert len(res_ids & exact) >= len(flat & exact)

@@ -102,6 +102,93 @@ def pq_adc_lut(codebook: list[list[float]], query_vec, dim: int = 64, m: int = M
     return lut
 
 
+def pq_encode_residual_arrow(
+    vec_col: str | Column,
+    cid_col: str | Column,
+    centroids: dict[int, list[float]],
+    codebook: list[list[float]],
+    dim: int = 64,
+    m: int = M_SUBSPACES,
+) -> Column:
+    """Residual PQ encode (Jégou et al. IVFADC, the form faiss's IVF,PQ
+    actually runs): quantize ``v − centroid(cid)`` instead of ``v`` — the
+    residual distribution is tighter than the raw space, so the same code
+    budget buys materially better recall. One Arrow pass over
+    (vector, cid); first-minimum argmin = lowest-codeword-id tie-break."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    c = F.col(cid_col) if isinstance(cid_col, str) else cid_col
+    cids = sorted(centroids)
+    cmat = np.asarray([centroids[i] for i in cids], dtype=np.float64)
+    cindex = {cid: i for i, cid in enumerate(cids)}
+    cb = np.asarray(codebook, dtype=np.float64)
+    sub = dim // m
+
+    @F.pandas_udf(T.ArrayType(T.ByteType()))
+    def encode(vecs: pd.Series, vcids: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        rows = np.asarray([cindex[int(x)] for x in vcids])
+        res = mat - cmat[rows]
+        n = len(mat)
+        codes = np.empty((n, m), dtype=np.int8)
+        for j in range(m):
+            lo = j * sub
+            d = np.zeros((n, cb.shape[0]), dtype=np.float64)
+            for t in range(sub):
+                diff = res[:, lo + t, None] - cb[None, :, lo + t]
+                d = d + diff * diff
+            codes[:, j] = np.argmin(d, axis=1).astype(np.int8)
+        return pd.Series(list(codes))
+
+    return encode(v, c)
+
+
+def pq_residual_qdist_arrow(
+    codes_col: str | Column,
+    cid_col: str | Column,
+    centroids: dict[int, list[float]],
+    codebook: list[list[float]],
+    query_vec,
+    dim: int = 64,
+    m: int = M_SUBSPACES,
+) -> Column:
+    """Residual-ADC distance: per probed centroid a LUT over the QUERY'S
+    residual ``q − centroid(cid)`` (one 8×16 table per probed cid, built
+    once per batch), per row m lookups into its cid's table. The per-cid
+    tables are the only difference from flat ADC — state is
+    n_probe·m·k doubles, still trivially broadcastable."""
+    ccodes = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    c = F.col(cid_col) if isinstance(cid_col, str) else cid_col
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    cb = np.asarray(codebook, dtype=np.float64)
+    sub = dim // m
+    luts = {}
+    for cid, cvec in centroids.items():
+        qr = q - np.asarray(cvec, dtype=np.float64)
+        t = np.empty((m, cb.shape[0]), dtype=np.float64)
+        for j in range(m):
+            lo = j * sub
+            d = np.zeros(cb.shape[0], dtype=np.float64)
+            for s in range(sub):
+                diff = qr[lo + s] - cb[:, lo + s]
+                d = d + diff * diff
+            t[j] = d
+        luts[cid] = t
+
+    @F.pandas_udf(T.DoubleType())
+    def qdist(codes: pd.Series, vcids: pd.Series) -> pd.Series:
+        cmat = np.stack(codes.to_numpy()).astype(np.int64)
+        out = np.empty(len(cmat), dtype=np.float64)
+        jidx = np.arange(m)
+        for cid, t in luts.items():
+            mask = (vcids == cid).to_numpy()
+            if mask.any():
+                sel = cmat[mask]
+                out[mask] = t[jidx[None, :], sel].sum(axis=1)
+        return pd.Series(out)
+
+    return qdist(ccodes, c)
+
+
 def pq_adc_distance(codes_col: str | Column, lut: list[list[float]], m: int = M_SUBSPACES) -> Column:
     """Approximate distance as m scalar table lookups — an unrolled sum of
     ``element_at(LUT_j, code_j + 1)`` terms over small (k-entry) literal

@@ -607,3 +607,84 @@ def ivf_pq_adc_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@register("ivf_pq_residual_rerank", None)
+def ivf_pq_residual_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (Jégou et al. IVFADC — what faiss ``IVF,PQ``
+    actually computes): vectors are PQ-encoded as residuals against their
+    assigned centroid, and the query builds one ADC table per PROBED
+    centroid from its own residual. The residual distribution is far
+    tighter than the raw space, so the identical 8-byte code budget buys
+    higher recall than the flat-PQ form (pytest pins the lift on this
+    corpus). Deterministic trained state: centroids = first-16 vectors,
+    residual codebook = the residuals of vectors 16..31 w.r.t. their
+    assigned centroids (vectors 0..15 would give all-zero residuals).
+    Rows-only: the per-cid LUT construction is numpy-side; the flat-PQ
+    sibling (`knn_pq_adc_rerank`) and the IVF16,PQ8 index
+    (`ivf_pq_adc_indexed`) carry the hash-checked oracles for this
+    family."""
+    from ..operators.ivf import ivf_assign
+    from ..operators.pq import pq_encode_residual_arrow, pq_residual_qdist_arrow
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    crows = (
+        emb.filter(F.col("vec_id") < 2 * _N_CENTROIDS)
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = {int(r.vec_id): [float(x) for x in r.embedding] for r in crows[:_N_CENTROIDS]}
+
+    def _assign(v):
+        best = None
+        for cid, cv in sorted(centroids.items()):
+            d = 0.0
+            for a, b in zip(v, cv):
+                t = a - b
+                d = d + t * t
+            if best is None or d < best[0]:
+                best = (d, cid)
+        return best[1]
+
+    codebook = []
+    for r in crows[_N_CENTROIDS:]:
+        v = [float(x) for x in r.embedding]
+        cv = centroids[_assign(v)]
+        codebook.append([a - b for a, b in zip(v, cv)])
+
+    cents_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in sorted(centroids.items())], "cid int, cvec array<double>"
+    )
+    q = _query_vec(spark, sf_dir)
+    qlit = F.lit([float(x) for x in q])
+    probe = [
+        r.cid
+        for r in cents_df.select("cid", V.l2sq(F.col("cvec"), qlit).alias("d"))
+        .orderBy(F.col("d").asc(), F.col("cid").asc())
+        .limit(_N_PROBE)
+        .collect()
+    ]
+    probed_cents = {cid: centroids[cid] for cid in probe}
+
+    assigned = ivf_assign(emb, cents_df).filter(F.col("cid").isin(probe))
+    coded = assigned.select(
+        "vec_id",
+        "embedding",
+        "cid",
+        pq_encode_residual_arrow("embedding", "cid", probed_cents, codebook).alias("rcodes"),
+    )
+    qd = F.round(
+        pq_residual_qdist_arrow("rcodes", "cid", probed_cents, codebook, q), _ROUND
+    )
+    cand = (
+        coded.select("vec_id", "embedding", qd.alias("qdistance"))
+        .orderBy(F.col("qdistance").asc(), F.col("vec_id").asc())
+        .limit(overfetch_count(10))
+    )
+    exact = F.round(V.l2sq(F.col("embedding"), qlit), _ROUND)
+    return (
+        cand.select("vec_id", exact.alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
