@@ -437,3 +437,47 @@ def test_stream_ivf_sq8_append_equals_batch_build(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, ivf_topk_indexed(spark, stream_path, cents_df, qvec).collect()))
     want = sorted(map(tuple, ivf_topk_indexed(spark, ref_path, cents_df, qvec).collect()))
     assert got == want and len(got) == 10
+
+
+def test_neardup_gate_stream_covers_lsh_candidates(spark, sf_dir, tmp_path):
+    """The streaming band-key Bloom gate must flag every document that the
+    batch LSH candidate stage pairs with ANOTHER corpus document (no false
+    negatives — both docs of every candidate pair share a band key that is
+    in the corpus set), and stream output must equal applying the gate in
+    batch."""
+    import os
+    import shutil
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.dedup_queries import neardup_minhash_lsh
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        build_band_key_bloom,
+        neardup_gate_stream,
+        run_to_completion,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bits, n_bits = build_band_key_bloom(docs)
+
+    src = str(tmp_path / "gate_src")
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/documents.parquet", src + "/part-0.parquet")
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = run_to_completion(
+        neardup_gate_stream(stream, bits, n_bits).select("doc_id", "near_dup_candidate"),
+        "neardup_gate",
+        output_mode="append",
+    )
+    flagged = {r.doc_id for r in out.collect() if r.near_dup_candidate}
+    assert out.count() == docs.count()
+
+    pairs = neardup_minhash_lsh(spark, sf_dir).collect()
+    in_pairs = {r.doc_id_1 for r in pairs} | {r.doc_id_2 for r in pairs}
+    assert in_pairs <= flagged  # candidates always gate-flagged
+
+    batch_flagged = {
+        r.doc_id
+        for r in neardup_gate_stream(docs, bits, n_bits).collect()
+        if r.near_dup_candidate
+    }
+    assert flagged == batch_flagged

@@ -158,6 +158,7 @@ ORDER BY doc_id
 
 
 _BLOOM_MULT = 2654435761  # Knuth multiplicative constant for the 2nd probe
+_BLOOM_P = 2147483647  # pre-reduce keys below 2^31 so key*MULT can't overflow int64 (ANSI mode throws)
 _BLOOM_CACHE: dict[str, tuple[list[int], int]] = {}
 
 
@@ -170,7 +171,11 @@ def _bloom_might_contain(key: Column, arr: Column, n_bits: int) -> Column:
     probes at 8k words — while a broadcast row materializes once per
     executor and element_at reads it in place)."""
     b1 = F.pmod(key, F.lit(n_bits))
-    b2 = F.pmod(key * _BLOOM_MULT + 104729, F.lit(n_bits))
+    # pmod-reduce before the multiply: full-range int64 keys (xxhash64)
+    # would overflow ANSI long multiplication; for keys already < 2^31
+    # (hashed shingles) the reduction is the identity, so existing bit
+    # layouts are unchanged
+    b2 = F.pmod(F.pmod(key, F.lit(_BLOOM_P)) * _BLOOM_MULT + 104729, F.lit(n_bits))
     def probe(b: Column) -> Column:
         word = F.element_at(arr, (b / 64).cast("int") + 1)
         # call_function: the SQL shiftright accepts a column shift amount
@@ -223,7 +228,7 @@ def doc_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_bits *= 2
         words = [0] * (n_bits // 64)
         for k in keys:
-            for b in (k % n_bits, (k * _BLOOM_MULT + 104729) % n_bits):
+            for b in (k % n_bits, ((k % _BLOOM_P) * _BLOOM_MULT + 104729) % n_bits):
                 words[b // 64] |= 1 << (b % 64)
         # pack to signed int64 (Spark long) — bit patterns preserved
         bits = [w - (1 << 64) if w >= (1 << 63) else w for w in words]

@@ -250,6 +250,96 @@ def running_topk_stream(events: DataFrame, key_col: str = "event_type", order_co
     )
 
 
+def _minhash_band_keys(text_col: str):
+    """(band_id, band_key) pairs for a text column — the same 16-hash /
+    4-band expressions as the batch MinHash-LSH dedup, packaged for
+    stream-side reuse."""
+    from ..functions import texthash as H
+
+    toks = F.expr(H.spark_tokens(text_col))
+    sh = F.expr(H.spark_shingles("__toks"))
+    hashes = F.expr(H.spark_hash_array("__sh"))
+    sigs = [F.expr(e) for e in H.spark_minhash_sig("__hh")]
+    bands = [
+        F.concat_ws(
+            ":", *[s.cast("string") for s in sigs[b * H.ROWS_PER_BAND : (b + 1) * H.ROWS_PER_BAND]]
+        )
+        for b in range(H.N_BANDS)
+    ]
+    return toks, sh, hashes, bands
+
+
+def build_band_key_bloom(corpus: DataFrame, text_col: str = "text") -> tuple[list[int], int]:
+    """Train step for ``neardup_gate_stream``: distinct corpus
+    (band_id-prefixed) MinHash band keys → xxhash64 → packed Bloom bitset
+    (~16 bits/key). Collected driver-side here (band keys are 4 short
+    strings/doc — tiny next to the corpus); at 100 TB the same bits fall
+    out of ``df.stat.bloomFilter`` without a driver key list. The second
+    probe pre-reduces the full-range xxhash64 key below 2^31 exactly like
+    the Column-side probe (ANSI long multiplication would overflow
+    otherwise), so build and probe agree on every bit."""
+    from ..querydefs.pipeline_queries import _BLOOM_MULT, _BLOOM_P
+
+    ctoks, csh, chashes, cbands = _minhash_band_keys(text_col)
+    tagged = [F.concat_ws("|", F.lit(str(b)), cbands[b]) for b in range(len(cbands))]
+    keys = [
+        r.k
+        for r in corpus.withColumn("__toks", ctoks)
+        .withColumn("__sh", csh)
+        .withColumn("__hh", chashes)
+        .select(F.explode(F.array(*[F.xxhash64(t) for t in tagged])).alias("k"))
+        .distinct()
+        .collect()
+    ]
+    n_bits = 64
+    while n_bits < 16 * max(len(keys), 1):
+        n_bits *= 2
+    words = [0] * (n_bits // 64)
+    for k in keys:
+        for b in (k % n_bits, ((k % _BLOOM_P) * _BLOOM_MULT + 104729) % n_bits):
+            words[b // 64] |= 1 << (b % 64)
+    bits = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    return bits, n_bits
+
+
+def neardup_gate_stream(
+    docs: DataFrame,
+    bloom_bits: list[int],
+    n_bits: int,
+    text_col: str = "text",
+    flag_col: str = "near_dup_candidate",
+) -> DataFrame:
+    """Streaming near-dup ingest gate (B2-on-ingest): flag every arriving
+    document that shares ≥1 MinHash band key with the static corpus — the
+    batch LSH dedup's candidate test applied at the door. The stream side
+    computes the same 16-hash / 4-band signature per arriving doc and
+    probes each band key (xxhash64, band-id-prefixed) against the corpus
+    band-key Bloom bitset riding a 1-row stream-static broadcast join:
+    stateless, no watermark, O(1) per probe, 4 probes per document.
+    Bloom ⇒ NO false negatives w.r.t. the batch LSH candidate stage
+    (pytest-pinned); false positives only send extra docs to the exact
+    Jaccard verifier — the same candidates-then-verify discipline as the
+    batch path."""
+    from ..querydefs.pipeline_queries import _BLOOM_MULT, _bloom_might_contain
+
+    toks, sh, hashes, bands = _minhash_band_keys(text_col)
+    tagged = [F.concat_ws("|", F.lit(str(b)), bands[b]) for b in range(len(bands))]
+    bitset = docs.sparkSession.createDataFrame([(bloom_bits,)], "__bloom_bits: array<long>")
+    arr = F.col("__bloom_bits")
+    hit = None
+    for t in tagged:
+        p = _bloom_might_contain(F.xxhash64(t), arr, n_bits)
+        hit = p if hit is None else (hit | p)
+    return (
+        docs.withColumn("__toks", toks)
+        .withColumn("__sh", sh)
+        .withColumn("__hh", hashes)
+        .crossJoin(F.broadcast(bitset))
+        .withColumn(flag_col, hit)
+        .drop("__toks", "__sh", "__hh", "__bloom_bits")
+    )
+
+
 def windowed_topk_stream(
     events: DataFrame,
     key_col: str = "event_type",
