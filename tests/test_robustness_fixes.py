@@ -157,3 +157,45 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         a = sorted(map(tuple, plain.collect()))
         b = sorted(map(tuple, salted.collect()))
         assert a == b, how
+
+
+def test_invalid_cc_method_raises_even_on_tiny_graph(spark):
+    """ADVICE r4: method must be validated at entry — a typo'd method on a
+    graph below driver_threshold used to silently succeed via the driver
+    union-find fast path and only error at scale."""
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="unknown method"):
+        connected_components(edges, method="labelProp")  # small graph, typo'd
+
+
+def test_residual_qdist_unprobed_cid_is_inf(spark):
+    """ADVICE r4: a row whose cid has no LUT entry (outside the probed set)
+    must get +inf — never uninitialized memory that could rank as a
+    candidate."""
+    import math
+
+    from vectordb_hr_data_spark.operators.pq import (
+        pq_codebook,
+        pq_encode_residual_arrow,
+        pq_residual_qdist_arrow,
+    )
+
+    dim, m, k = 8, 2, 4
+    vecs = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(dim)], i % 3) for i in range(8)],
+        "vec_id long, embedding array<double>, cid int",
+    )
+    centroids = {0: [0.0] * dim, 1: [1.0] * dim, 2: [2.0] * dim}
+    cb = pq_codebook(vecs, dim=dim, m=m, k=k)
+    coded = vecs.withColumn(
+        "codes", pq_encode_residual_arrow("embedding", "cid", centroids, cb, dim=dim, m=m)
+    )
+    probed = {0: centroids[0]}  # cid 1 and 2 are NOT probed
+    out = coded.withColumn(
+        "qd", pq_residual_qdist_arrow("codes", "cid", probed, cb, [0.5] * dim, dim=dim, m=m)
+    ).collect()
+    for r in out:
+        if r.cid == 0:
+            assert math.isfinite(r.qd)
+        else:
+            assert math.isinf(r.qd)

@@ -48,6 +48,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # settable at runtime, and required for ANY session reading this
         # table (the caller may pass a plain session — e.g. the driver's)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the NTZ→LTZ cast below is instant-correct only under UTC; pin it
+        # here too so a plain non-UTC caller session can't read shifted
+        # instants that diverge from the DuckDB oracle
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         if isinstance(df.schema["ts"].dataType, T.LongType):

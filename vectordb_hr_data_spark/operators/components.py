@@ -63,6 +63,10 @@ def connected_components(
     ``on_nonconverged="raise"`` (default) a ConvergenceError is raised;
     ``"warn"`` keeps the partial labels but emits a loud warning.
     """
+    # Validate before the size probe: a typo'd method must fail on tiny
+    # graphs too, not only once the distributed path is reached at scale.
+    if method not in ("auto", "star", "labelprop"):
+        raise ValueError(f"unknown method {method!r}")
     # One pass over the upstream pipeline: checkpoint the edge list first,
     # then every later job (gate probe, collect, or propagation rounds)
     # reads the materialized edges instead of re-running LSH verification.
@@ -90,8 +94,6 @@ def connected_components(
                 parent[hi] = lo
         rows = [(n, find(n)) for n in parent]
         return edges.sparkSession.createDataFrame(rows, "node long, comp long")
-    if method not in ("auto", "star", "labelprop"):
-        raise ValueError(f"unknown method {method!r}")
     if method in ("auto", "star"):
         return connected_components_star(
             edges, "_src", "_dst", max_iter=max_iter, on_nonconverged=on_nonconverged

@@ -177,7 +177,9 @@ def pq_residual_qdist_arrow(
     @F.pandas_udf(T.DoubleType())
     def qdist(codes: pd.Series, vcids: pd.Series) -> pd.Series:
         cmat = np.stack(codes.to_numpy()).astype(np.int64)
-        out = np.empty(len(cmat), dtype=np.float64)
+        # +inf, not empty: a row whose cid has no LUT (caller passed rows
+        # outside the probed set) must sort last, never rank as a candidate.
+        out = np.full(len(cmat), np.inf, dtype=np.float64)
         jidx = np.arange(m)
         for cid, t in luts.items():
             mask = (vcids == cid).to_numpy()

@@ -204,7 +204,19 @@ def running_topk_stream(events: DataFrame, key_col: str = "event_type", order_co
     stream volume — the property that makes a perpetual leaderboard viable
     on an unbounded 100 TB/day stream. Ties break on (value DESC, event_id
     ASC), deterministically across any batch arrival order
-    (pytest-pinned against a batch recompute)."""
+    (pytest-pinned against a batch recompute).
+
+    Contract notes (ADVICE r4): NaN values are DROPPED at the door
+    (``v == v``) — under Spark's NaN-greatest sort order a raw window
+    ``row_number() OVER (ORDER BY value DESC)`` recompute would instead
+    rank NaNs first, so any batch twin used for parity must apply the same
+    ``NOT isnan(value)`` pre-filter (the pytest does). And the tie-break
+    direction intentionally differs from ``windowed_topk_stream``: there
+    the descending STRUCT sort implies (value DESC, event_id DESC) — a
+    pure-JVM expression artifact; here the perpetual leaderboard prefers
+    the EARLIEST event on ties (event_id ASC), the more natural
+    first-to-reach-the-score semantics. Both are deterministic; they are
+    different operators, not twins of each other."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
