@@ -272,3 +272,58 @@ def test_kmeans_ivf_returns_k_and_keeps_recall_floor(spark, sf_dir):
     b = [(r.vec_id, r.distance) for r in Q.REGISTRY["ivf_topk_kmeans"].fn(spark, sf_dir).collect()]
     assert a == b and len(a) == 10
     assert len({v for v, _ in a} & exact) >= 2
+
+
+def test_suggest_ivf_params_contract(spark, sf_dir):
+    """VERDICT r4 #4: the tuning contract. (a) Pure-function properties:
+    k scales as N/rows_per_cell with floor 4 and a broadcast-budget cap,
+    n_probe is monotone in the SLA, bad inputs raise. (b) Measured replay:
+    for each SLA, fitting learned centroids with the suggested k and
+    probing the suggested n_probe must deliver mean recall@10 >= the SLA
+    on this corpus (the CURVE_TRANSFER_MARGIN makes the suggestion
+    conservative enough to survive the K-transfer from the sf0.1 curve)."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.operators.ivf import fit_centroids, suggest_ivf_params
+
+    # (a) pure-function contract
+    assert suggest_ivf_params(500, 64, 0.6)[0] == 4  # floor
+    k_big, _ = suggest_ivf_params(10_000_000, 64, 0.6)
+    assert k_big == 1000  # N / 10k cells
+    k_cap, _ = suggest_ivf_params(10**12, 384, 0.6)
+    assert k_cap * 384 * 8 <= 64 << 20  # broadcast budget cap
+    probes = [suggest_ivf_params(500, 64, s)[1] for s in (0.3, 0.6, 0.85)]
+    assert probes == sorted(probes) and probes[-1] >= probes[0]
+    with _pytest.raises(ValueError):
+        suggest_ivf_params(500, 64, 0.0)
+    with _pytest.raises(ValueError):
+        suggest_ivf_params(0, 64, 0.5)
+
+    # (b) measured replay on this corpus
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    X = np.array([[float(x) for x in r.embedding] for r in rows])
+    n, dim = X.shape
+    for sla in (0.4, 0.6):
+        k, n_probe = suggest_ivf_params(n, dim, sla)
+        C = np.array(
+            [
+                [float(x) for x in r.cvec]
+                for r in sorted(fit_centroids(emb, k=k).collect(), key=lambda r: r.cid)
+            ]
+        )
+        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(2).argmin(1)
+        recs = []
+        for qi in range(24):
+            q = X[qi]
+            probe = set(np.argsort(((C - q) ** 2).sum(1), kind="stable")[:n_probe])
+            cand = np.where(np.isin(assign, list(probe)))[0]
+            ex = ((X - q) ** 2).sum(1)
+            exact10 = set(np.argsort(ex, kind="stable")[:10])
+            got10 = set(cand[np.argsort(ex[cand], kind="stable")[:10]])
+            recs.append(len(got10 & exact10) / 10)
+        measured = float(np.mean(recs))
+        assert measured >= sla, f"sla={sla}: suggested (k={k}, n_probe={n_probe}) measured {measured}"

@@ -110,3 +110,73 @@ def test_residual_ivfadc_beats_flat_pq_recall(spark, sf_dir):
     assert res1 == res2 and len(res1) == 10
     res_ids = {v for v, _ in res1}
     assert len(res_ids & exact) >= len(flat & exact)
+
+
+def test_pq_kmeans_codebook_beats_deterministic_recall(spark, sf_dir):
+    """VERDICT r4 #1: the learned per-subspace k-means codebook must (a) be
+    deterministic across calls (seeded fit + canonical lexicographic
+    stitching + per-process cache), (b) beat-or-match the deterministic
+    first-16 codebook on MEAN recall@10 over 32 stored queries AND on
+    total quantization error (a single query is ±2 hits of noise on a
+    500-row corpus — and the query vector itself is a codeword of the
+    deterministic book, flattering it), and (c) keep the same
+    two-TakeOrderedAndProject / one-Arrow-encode plan shape."""
+    import numpy as np
+
+    import vectordb_hr_data_spark.queries as Q
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.operators.pq import (
+        pq_codebook,
+        pq_codebook_kmeans,
+        pq_encode_arrow,
+    )
+
+    df = Q.REGISTRY["knn_pq_kmeans_rerank"].fn(spark, sf_dir)
+    a = [tuple(r) for r in df.collect()]
+    b = [tuple(r) for r in Q.REGISTRY["knn_pq_kmeans_rerank"].fn(spark, sf_dir).collect()]
+    assert a == b and len(a) == 10
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("TakeOrderedAndProject") == 2
+    assert plan.count("ArrowEvalPython") == 1
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    m, sub = 8, 8
+    X, order = None, None
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    X = np.array([[float(x) for x in r.embedding] for r in rows])
+    exact_d = ((X[None, :, :] - X[:32, None, :]) ** 2).sum(2)  # 32 queries × n
+    exact10 = [set(np.argsort(exact_d[qi], kind="stable")[:10]) for qi in range(32)]
+
+    def mean_recall_and_err(cb):
+        codes = np.array(
+            [
+                list(r.c)
+                for r in emb.select("vec_id", pq_encode_arrow("embedding", cb).alias("c"))
+                .orderBy("vec_id")
+                .collect()
+            ],
+            dtype=np.int64,
+        )
+        cbm = np.asarray(cb)
+        err = sum(
+            float(((X[:, j * sub:(j + 1) * sub] - cbm[codes[:, j], j * sub:(j + 1) * sub]) ** 2).sum())
+            for j in range(m)
+        )
+        recs = []
+        for qi in range(32):
+            lut = np.array(
+                [
+                    ((X[qi, j * sub:(j + 1) * sub][None, :] - cbm[:, j * sub:(j + 1) * sub]) ** 2).sum(1)
+                    for j in range(m)
+                ]
+            )
+            adc = lut[np.arange(m)[None, :], codes].sum(1)
+            cand = np.argsort(adc, kind="stable")[:50]
+            final = set(cand[np.argsort(exact_d[qi][cand], kind="stable")[:10]])
+            recs.append(len(final & exact10[qi]) / 10)
+        return float(np.mean(recs)), err
+
+    det_rec, det_err = mean_recall_and_err(pq_codebook(emb))
+    km_rec, km_err = mean_recall_and_err(pq_codebook_kmeans(emb))
+    assert km_err < det_err, f"learned codebook quantization error {km_err} >= {det_err}"
+    assert km_rec >= det_rec, f"learned mean recall {km_rec} < deterministic {det_rec}"

@@ -57,6 +57,75 @@ def fit_centroids(
     )
 
 
+# Measured probe/recall curve (SCALE.md, r4 testdata: sf0.1 corpus,
+# learned KMeans K=32, recall@10 vs exact kNN averaged over queries),
+# expressed as (fraction of cells probed, recall) so it transfers across K:
+# recall climbs roughly linearly in the probed fraction until the probe set
+# covers the query's true neighborhood. Uniform synthetic embeddings are
+# the WORST case — real corpora cluster, steepening the curve — so a
+# suggestion derived from it is conservative.
+PROBE_RECALL_CURVE: list[tuple[float, float]] = [
+    (1 / 32, 0.16),
+    (2 / 32, 0.38),
+    (4 / 32, 0.58),
+    (8 / 32, 0.72),
+    (1.0, 1.0),
+]
+ROWS_PER_CELL = 10_000
+_CENTROID_BROADCAST_BYTES = 64 << 20  # keep the centroid table broadcastable
+# The curve was measured at K=32; transferring by probed FRACTION to other
+# cell counts over-predicts somewhat (measured at K=4/sf0.01: ~0.2 below
+# the K=32 curve at the same fraction — fewer, coarser cells place more of
+# a query's true neighborhood across the cell boundary). Solving against
+# curve(f) − margin keeps the suggestion conservative: the pytest checks
+# MEASURED recall ≥ the SLA, not just the prediction.
+CURVE_TRANSFER_MARGIN = 0.15
+
+
+def suggest_ivf_params(
+    n_rows: int, dim: int, recall_sla: float, rows_per_cell: int = ROWS_PER_CELL
+) -> tuple[int, int]:
+    """The IVF tuning contract as code (VERDICT r4 #4 — SCALE.md's
+    "K ≈ N/10k, sweep n_probe against the recall SLA" prose made
+    executable): returns ``(k, n_probe)`` for a corpus of ``n_rows``
+    dim-``dim`` vectors and a target recall@10.
+
+    - ``k`` ≈ n_rows / rows_per_cell — cells of ~10k vectors keep each
+      probe's scan bounded while the centroid table stays a driver-side
+      broadcast; floored at 4 (below ~40k rows pruning is a demo, but the
+      params must still be valid) and capped so k·dim·8 bytes fits the
+      broadcast budget (64 MB) — at dim 384 that caps k at ~20k cells,
+      i.e. 200M rows/cell-budget before re-sharding the coarse quantizer.
+    - ``n_probe`` = the smallest probe count whose probed fraction
+      ``n_probe/k`` meets ``recall_sla + CURVE_TRANSFER_MARGIN`` on the
+      measured curve (piecewise-linear interpolation, conservative ceil) —
+      the margin absorbs the curve's K-transfer optimism so the MEASURED
+      recall meets the SLA, which is what the pytest replays at small sf.
+
+    ``ivf_topk_kmeans`` picks its params through this instead of fixed
+    constants."""
+    if not 0.0 < recall_sla <= 1.0:
+        raise ValueError(f"recall_sla must be in (0, 1], got {recall_sla}")
+    if n_rows <= 0 or dim <= 0:
+        raise ValueError(f"need positive n_rows/dim, got {n_rows}/{dim}")
+    k_cap = max(4, _CENTROID_BROADCAST_BYTES // (8 * dim))
+    k = int(max(4, min(k_cap, round(n_rows / rows_per_cell), n_rows)))
+    target = min(1.0, recall_sla + CURVE_TRANSFER_MARGIN)
+    f = 1.0
+    pts = PROBE_RECALL_CURVE
+    if target <= pts[0][1]:
+        f = pts[0][0]
+    else:
+        for (f0, r0), (f1, r1) in zip(pts, pts[1:]):
+            if target <= r1:
+                f = f0 + (target - r0) / (r1 - r0) * (f1 - f0)
+                break
+    import math
+
+    n_probe = max(1, min(k, math.ceil(f * k)))
+    return k, n_probe
+
+
 def build_ivf_index(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -48,16 +48,22 @@ def register(name: str, oracle: str | None):
 PRIORITY: list[str] = [
     # reference-native vector path (A18-A30)
     "knn_topk_prefiltered", "ann_text_search",
-    # round-4 vector-compression flagships (B18-B20): SQ8, IVF+SQ8 persisted
-    # index, PQ-ADC — the operators the 100 TB story hangs on
-    "knn_topk_sq8", "knn_sq8_rerank", "ivf_sq8_rerank_indexed",
-    "ivf_topk_indexed", "knn_pq_adc_rerank", "chunk_embed_ivf_search",
+    # round-4/5 vector-compression flagships (B18-B20): SQ8, IVF+SQ8
+    # persisted index, PQ-ADC, residual IVFADC, suggested-params IVF — the
+    # operators the 100 TB story hangs on. r5 rotation (VERDICT r4 #7):
+    # ivf_pq_residual_det + ivf_topk_suggested enter the window;
+    # knn_sq8_rerank and ivf_topk_l2sq move below 50 (their families stay
+    # repped by knn_topk_sq8 / ivf_sq8_rerank_indexed / ivf_topk_indexed,
+    # and both hash-passed the r4 driver window).
+    "knn_topk_sq8", "ivf_sq8_rerank_indexed",
+    "ivf_topk_indexed", "knn_pq_adc_rerank", "ivf_pq_residual_det",
+    "ivf_topk_suggested", "chunk_embed_ivf_search",
     # reference-native HR pipeline (A4-A29)
     "hr_tagged_union_projection", "hr_union_freshness_counts", "hr_metadata_flatten",
     "hr_dept_filter_ci", "hr_keyword_score", "hr_lang_all_match", "hr_overfetch_rerank",
     "hr_doc_text_construction",
     # similarity / embedding / multimodal (B3-B5, B8, B21)
-    "ivf_topk_l2sq", "batch_topk_many_queries", "embed_documents_poly", "multimodal_binary_metadata",
+    "batch_topk_many_queries", "embed_documents_poly", "multimodal_binary_metadata",
     "label_centroids",
     # dedup family (B1-B2)
     "dedup_exact", "neardup_ngram_jaccard", "neardup_minhash_lsh", "neardup_components",
@@ -82,6 +88,7 @@ PRIORITY: list[str] = [
     # --- position 51+: shapes proven above by a sibling or by a prior
     # round's CORRECTNESS artifact (every name displaced from the r3 window
     # hash-passed in CORRECTNESS_r03.json or this round's 95/95 sim) ---
+    "knn_sq8_rerank", "ivf_topk_l2sq",
     "knn_topk_cosine", "knn_overfetch_similarity", "doc_token_count",
     "doc_fingerprint", "events_json_props", "custkeys_intersect_except",
     "lineitem_cube", "q13_customer_order_distribution", "q16_suppliers_not_in",
@@ -103,6 +110,9 @@ PRIORITY: list[str] = [
     # rows-only MLlib/UDF paths (pytest-pinned; no SQL oracle exists)
     "lsh_minhash_neardup_pairs", "tfidf_top_terms", "lsh_brp_ann_topk",
     "embed_documents_sha256", "multimodal_feature_extract",
+    # r5: learned-codebook PQ (KMeans floats — rows-only; deterministic
+    # sibling knn_pq_adc_rerank carries the hash-checked ADC oracle)
+    "knn_pq_kmeans_rerank",
 ]
 
 

@@ -72,6 +72,76 @@ def ivf_topk_l2sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, centroids, qvec, k=10, n_probe=N_PROBE, round_to=_ROUND)
 
 
+# Constants the ivf_topk_suggested oracle bakes in: suggest_ivf_params
+# returns (4, 2) for any corpus under ~45k rows at IVF_RECALL_SLA=0.6 —
+# true for every driver/bench sf (500–2000 rows). The Spark side asserts
+# the live suggestion still matches so a scale change fails loudly instead
+# of hash-mismatching.
+_SUGGESTED_K = 4
+_SUGGESTED_PROBE = 2
+
+_IVF_SUGGESTED_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (SELECT CAST(count(*) // {_SUGGESTED_K} AS BIGINT) AS stride FROM embeddings),
+cent AS (
+  SELECT CAST(vec_id // s.stride AS INT) AS cid, embedding AS cvec
+  FROM embeddings, s
+  WHERE vec_id % s.stride = 0 AND vec_id // s.stride < {_SUGGESTED_K}
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_l2sq_ddb('e.embedding', 'c.cvec')}, c.cid) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+probe AS (
+  SELECT c.cid FROM cent c, q
+  ORDER BY {_l2sq_ddb('c.cvec', 'q.qv')}, c.cid
+  LIMIT {_SUGGESTED_PROBE}
+)
+SELECT a.vec_id, round({_l2sq_ddb('a.embedding', 'q.qv')}, {_ROUND}) AS distance
+FROM assigned a JOIN probe p ON a.cid = p.cid, q
+WHERE a.rn = 1
+ORDER BY distance, a.vec_id
+LIMIT 10
+"""
+
+
+@register("ivf_topk_suggested", _IVF_SUGGESTED_ORACLE)
+def ivf_topk_suggested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 whose (k, n_probe) come from ``suggest_ivf_params``
+    (VERDICT r4 #4+#7): the tuning contract's output drives a HASH-CHECKED
+    query, not just the rows-only KMeans form. Centroids are deterministic
+    but SPREAD — every (n_rows/k)-th vector by id — so unlike the first-16
+    convention the cells are corpus-wide and the probe prunes for real;
+    being id-arithmetic, the same centroid set is reproducible in SQL
+    (stride = count/k), which first-k proved and KMeans never can. Uses the
+    expression-form assignment for bit-parity. The oracle bakes the
+    suggestion's (4, 2) — valid for any corpus under ~45k rows at
+    SLA 0.6; the assert fails loudly if a future scale drifts the
+    suggestion away from the baked constants."""
+    from ..operators.ivf import ivf_assign, ivf_topk, suggest_ivf_params
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n_rows = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    k, n_probe = suggest_ivf_params(n_rows, dim, IVF_RECALL_SLA)
+    assert (k, n_probe) == (_SUGGESTED_K, _SUGGESTED_PROBE), (
+        f"suggest_ivf_params({n_rows}, {dim}, {IVF_RECALL_SLA}) -> ({k}, {n_probe}) "
+        f"no longer matches the oracle's baked ({_SUGGESTED_K}, {_SUGGESTED_PROBE})"
+    )
+    stride = n_rows // k
+    cents = emb.filter(
+        (F.col("vec_id") % stride == 0) & (F.expr(f"vec_id div {stride}") < k)
+    ).select(
+        F.expr(f"vec_id div {stride}").cast("int").alias("cid"),
+        F.col("embedding").alias("cvec"),
+    )
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    assigned = ivf_assign(emb, cents)
+    return ivf_topk(assigned, cents, qvec, k=10, n_probe=n_probe, round_to=_ROUND)
+
+
 # --------------------------------------------------------------------------
 # IVF over a PERSISTED index: build once per process, probe via partition
 # pruning — the on-disk path ivf.build_ivf_index/ivf_topk_indexed implement
@@ -368,7 +438,11 @@ def chunk_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-portable to DuckDB (the deterministic first-k form above is the
 # oracle twin of the same plan shape)
 # --------------------------------------------------------------------------
-_KMEANS_CENTS: dict[str, list] = {}
+_KMEANS_CENTS: dict[str, tuple[int, int, list]] = {}
+
+# The declared retrieval SLA the suggestion is solved against — one knob,
+# visible in one place, instead of two baked-in magic constants.
+IVF_RECALL_SLA = 0.6
 
 
 @register("ivf_topk_kmeans", None)
@@ -378,23 +452,36 @@ def ivf_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     production coarse quantizer. Training is a bounded number of map-reduce
     passes whose k centers live on the driver (exactly the broadcast table
     the assignment needs) and is cached per corpus per process like every
-    other trained-index state. Plan shape is identical to the oracle twin:
-    map-side GEMM assignment (zero Exchange), probe top-4 centroids, exact
-    score, TakeOrderedAndProject. Rows-only check by construction; a pytest
-    pins recall@10 vs exact kNN at least as high as the first-k-centroid
-    form on the same data."""
-    from ..operators.ivf import fit_centroids, ivf_assign_gemm, ivf_topk
+    other trained-index state. (k, n_probe) are no longer fixed constants:
+    they come from ``suggest_ivf_params`` (VERDICT r4 #4) solved for
+    ``IVF_RECALL_SLA`` against the measured probe/recall curve, so the
+    same call-site self-tunes from the sf0.01 demo corpus to a 100 TB
+    index (where K ≈ N/10k and the curve picks the probe budget). Plan
+    shape is identical to the oracle twin: map-side GEMM assignment (zero
+    Exchange), probe the suggested centroids, exact score,
+    TakeOrderedAndProject. Rows-only check by construction; pytests pin
+    recall@10 floors and that the suggestion meets the SLA's curve
+    prediction on this corpus."""
+    from ..operators.ivf import fit_centroids, ivf_assign_gemm, ivf_topk, suggest_ivf_params
 
     emb = read_table(spark, sf_dir, "embeddings")
     if sf_dir not in _KMEANS_CENTS:
-        _KMEANS_CENTS[sf_dir] = [
-            (int(r.cid), [float(x) for x in r.cvec])
-            for r in fit_centroids(emb, k=N_CENTROIDS).collect()
-        ]
-    cents = spark.createDataFrame(_KMEANS_CENTS[sf_dir], "cid int, cvec array<double>")
+        n_rows = emb.count()
+        dim = len(emb.select("embedding").first()[0])
+        k, n_probe = suggest_ivf_params(n_rows, dim, IVF_RECALL_SLA)
+        _KMEANS_CENTS[sf_dir] = (
+            k,
+            n_probe,
+            [
+                (int(r.cid), [float(x) for x in r.cvec])
+                for r in fit_centroids(emb, k=k).collect()
+            ],
+        )
+    k, n_probe, rows = _KMEANS_CENTS[sf_dir]
+    cents = spark.createDataFrame(rows, "cid int, cvec array<double>")
     qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
     assigned = ivf_assign_gemm(emb, cents)
-    return ivf_topk(assigned, cents, qvec, k=10, n_probe=N_PROBE, round_to=_ROUND)
+    return ivf_topk(assigned, cents, qvec, k=10, n_probe=n_probe, round_to=_ROUND)
 
 
 # --------------------------------------------------------------------------
