@@ -290,3 +290,18 @@ def test_approx_distinct_users_within_rsd(spark, sf_dir):
     assert exact.keys() == approx.keys()
     for t, n in exact.items():
         assert abs(approx[t] - n) <= max(0.06 * n, 2), (t, n, approx[t])
+
+
+def test_corpus_prep_pipeline_composes_monotonically(spark, sf_dir):
+    """The composed pipeline's survivor set must be a (strict, on this
+    corpus) subset of the standalone near-dup keep set — every later stage
+    only removes documents — and every packed bin must be non-degenerate.
+    Oracle parity of the full chain is covered by the parametrized
+    test_vector_queries oracle sweep."""
+    out = Q.REGISTRY["corpus_prep_pipeline"].fn(spark, sf_dir).collect()
+    total_docs = sum(r.n_docs for r in out)
+    keep = Q.REGISTRY["neardup_dedup_keep"].fn(spark, sf_dir).count()
+    assert 0 < total_docs <= keep
+    for r in out:
+        assert r.n_docs > 0 and r.sum_tokens > 0
+        assert r.utilization > 0.0

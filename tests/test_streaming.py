@@ -438,6 +438,61 @@ def test_stream_ivf_sq8_append_equals_batch_build(spark, sf_dir, tmp_path):
     want = sorted(map(tuple, ivf_topk_indexed(spark, ref_path, cents_df, qvec).collect()))
     assert got == want and len(got) == 10
 
+    # VERDICT r4 #6: and through the REAL serving path — phase-1 over the
+    # streamed codes column + exact re-rank — the incrementally-grown index
+    # must return byte-identical results to the cold batch rebuild.
+    from vectordb_hr_data_spark.operators.quantize import sq8_qdist_codes_arrow
+
+    def two_phase(p):
+        probe = [
+            r.cid
+            for r in cents_df.select(
+                "cid",
+                F.aggregate(
+                    F.zip_with(
+                        F.col("cvec"), F.lit(qvec), lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+            )
+            .orderBy(F.col("d").asc(), F.col("cid").asc())
+            .limit(4)
+            .collect()
+        ]
+        scan = spark.read.parquet(p).filter(F.col("cid").isin(probe))
+        qd = F.round(sq8_qdist_codes_arrow("codes", lo, hi, qvec), 4)
+        cand = (
+            scan.select("vec_id", qd.alias("qd"))
+            .orderBy(F.col("qd").asc(), F.col("vec_id").asc())
+            .limit(50)
+            .select("vec_id")
+        )
+        surv = scan.join(F.broadcast(cand), "vec_id")
+        dist = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    F.lit(qvec),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        )
+        return sorted(
+            map(
+                tuple,
+                surv.select("vec_id", dist.alias("distance"))
+                .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+                .limit(10)
+                .collect(),
+            )
+        )
+
+    assert two_phase(stream_path) == two_phase(ref_path)
+
 
 def test_neardup_gate_stream_covers_lsh_candidates(spark, sf_dir, tmp_path):
     """The streaming band-key Bloom gate must flag every document that the

@@ -75,7 +75,10 @@ PRIORITY: list[str] = [
     # sampling, packing, corpus stats, semantic dedup)
     "doc_decontaminate", "doc_decontaminate_bloom", "doc_repetition_ratio",
     "stratified_sample_threshold",
-    "pack_sequences", "doc_length_percentiles", "semantic_dedup_clusters",
+    # r5 flagship composition — the whole corpus-prep chain in one query;
+    # pack_sequences (hash-passed r4, and stage 6 of the composition)
+    # moves below 50 to make room
+    "corpus_prep_pipeline", "doc_length_percentiles", "semantic_dedup_clusters",
     # events / time ops (B7)
     "events_tumbling_1h", "events_sessionize",
     "events_asof_last_purchase", "events_type_counts_salted",
@@ -88,7 +91,7 @@ PRIORITY: list[str] = [
     # --- position 51+: shapes proven above by a sibling or by a prior
     # round's CORRECTNESS artifact (every name displaced from the r3 window
     # hash-passed in CORRECTNESS_r03.json or this round's 95/95 sim) ---
-    "knn_sq8_rerank", "ivf_topk_l2sq",
+    "knn_sq8_rerank", "ivf_topk_l2sq", "pack_sequences",
     "knn_topk_cosine", "knn_overfetch_similarity", "doc_token_count",
     "doc_fingerprint", "events_json_props", "custkeys_intersect_except",
     "lineitem_cube", "q13_customer_order_distribution", "q16_suppliers_not_in",

@@ -81,7 +81,14 @@ def neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     block_key) pairs; the (large) shingle arrays are re-attached to the few
     surviving candidate pairs by id — each document's shingles cross the
     wire per candidate reference, never per block row."""
-    d = read_table(spark, sf_dir, "documents")
+    return jaccard_pairs(read_table(spark, sf_dir, "documents"))
+
+
+def jaccard_pairs(d: DataFrame) -> DataFrame:
+    """The pair stage of ``neardup_ngram_jaccard``, parameterized by the
+    document frame so compositions (``corpus_prep_pipeline``) can run it
+    over an already-filtered survivor set instead of the raw table. Same
+    plan, same shuffle discipline, same oracle arithmetic."""
     toks = d.select("doc_id", F.expr(H.spark_tokens("text")).alias("toks"))
     sh = toks.select("doc_id", F.expr(H.spark_shingles("toks")).alias("shingles")).cache()
     keys = sh.select("doc_id", F.array_min("shingles").alias("block_key"))

@@ -750,3 +750,212 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid", "vec_id_1", "vec_id_2")
     )
+
+
+# ---------------------------------------------------------------------------
+# the composed LLM corpus-prep pipeline: every stage above, end to end
+# ---------------------------------------------------------------------------
+def _corpus_prep_oracle() -> str:
+    from .dedup_queries import JACCARD_THRESHOLD
+
+    return f"""
+WITH RECURSIVE
+keep1 AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+d1 AS (
+  SELECT d.* FROM documents d JOIN keep1 USING (doc_id)
+),
+jt AS (SELECT doc_id, {H.ddb_tokens('text')} AS toks FROM d1),
+jsh AS (SELECT doc_id, {H.ddb_shingles('toks')} AS shingles FROM jt),
+blocked AS (SELECT doc_id, shingles, list_min(shingles) AS block_key FROM jsh),
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM blocked a JOIN blocked b
+    ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+  WHERE {H.jaccard_sql_ddb('a.shingles', 'b.shingles')} >= {JACCARD_THRESHOLD}
+),
+sym AS (SELECT src AS a, dst AS b FROM pairs UNION SELECT dst, src FROM pairs),
+reach AS (
+  SELECT a, a AS b FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+labels AS (SELECT a AS node, min(b) AS comp FROM reach GROUP BY a),
+d2 AS (
+  SELECT d.* FROM d1 d
+  WHERE d.doc_id NOT IN (SELECT node FROM labels WHERE node <> comp)
+),
+ft AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, {_BUCKET_DDB} AS bucket
+  FROM documents
+),
+fh AS (SELECT doc_id, bucket, {H.ddb_hash_array('toks')} AS th FROM ft),
+fs AS (SELECT doc_id, bucket, {H.ddb_shingle_keys('th', DECON_N)} AS sk FROM fh),
+fex AS (SELECT doc_id, bucket, unnest(sk) AS k FROM fs),
+test_sh AS (SELECT DISTINCT k FROM fex WHERE bucket >= 90),
+contaminated AS (
+  SELECT DISTINCT e.doc_id FROM fex e JOIN test_sh USING (k) WHERE e.bucket < 80
+),
+d3 AS (
+  SELECT d.doc_id, d.text FROM d2 d JOIN ft USING (doc_id)
+  WHERE ft.bucket < 80 AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+rt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d3),
+rstats AS (
+  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct FROM rt
+),
+rbg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])) AS b
+  FROM rt
+),
+rtop AS (
+  SELECT doc_id, max(n) AS max_bg FROM (
+    SELECT doc_id, b, count(*) AS n FROM rbg WHERE b IS NOT NULL GROUP BY doc_id, b
+  ) GROUP BY doc_id
+),
+d4 AS (
+  SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens
+  FROM rstats s JOIN rtop t USING (doc_id)
+  WHERE NOT (1.0 - CAST(s.n_distinct AS DOUBLE) / s.n_tokens > {DUP_TOKEN_MAX}
+             OR CAST(t.max_bg AS DOUBLE) / greatest(s.n_tokens - 1, 1) > {TOP_BIGRAM_MAX})
+),
+d5 AS (
+  SELECT doc_id, n_tokens FROM d4 WHERE {_STRAT_U_DDB} < {SAMPLE_FRAC}
+),
+c AS (
+  SELECT doc_id % {PACK_SHARDS} AS shard, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY doc_id % {PACK_SHARDS} ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d5
+)
+SELECT shard,
+       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / {PACK_BUDGET}) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       round(CAST(sum(n_tokens) AS DOUBLE) / {PACK_BUDGET}, 6) AS utilization
+FROM c
+GROUP BY shard, bin
+ORDER BY shard, bin
+"""
+
+
+@register("corpus_prep_pipeline", _corpus_prep_oracle())
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end LLM training-corpus preparation pipeline (VERDICT r4
+    #3) — every individually-green stage composed into ONE query, in the
+    published-recipe order:
+
+      exact dedup (md5 keep-min) → near-dup keep-canonical (3-gram
+      Jaccard pairs → connected components → anti-join losers) →
+      eval-set decontamination (train split only, hashed-8-gram hit
+      against the test split) → Gopher repetition filter (dup-token +
+      top-bigram mass) → deterministic stratified sample (hash-threshold
+      u < 0.2) → sequence packing (2048-token bins over 8 hash shards).
+
+    Composed-plan shape (SCALE.md): stages 1-2 shuffle once each on a
+    uniform key (content hash, block key) plus the CC rounds on the tiny
+    pair graph; stage 3 is map-only + one broadcast probe; stage 4 is one
+    uniform groupBy; stage 5 is a pure filter; stage 6 is a window over
+    8 shard streams + final agg. The corpus itself never joins all-pairs
+    anywhere, and the only per-row state (shingle sets, bigram counts)
+    lives behind bucketed keys — so the composition inherits each stage's
+    100 TB story unchanged. Every stage is SQL-expressible; the oracle
+    replays the whole chain (including the CC recursive CTE) bit-exactly."""
+    from ..operators.components import dedup_keep_canonical
+    from .dedup_queries import jaccard_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    # Materialization discipline: the composed DAG fans out at three stage
+    # boundaries (d1 feeds the pair chain AND the keep anti-join; fs feeds
+    # the test-shingle AND the train-probe branches; d3 feeds the two
+    # repetition branches). Without cutting lineage there, Spark recomputes
+    # the ENTIRE upstream chain once per branch — measured 205 s vs ~8 s at
+    # sf0.1 — so each boundary localCheckpoints (eager, like the CC edge
+    # list): same per-stage plans as the standalone queries, paid once.
+    # stage 1: exact dedup — keep the min doc_id of each content-hash group
+    keep1 = d.groupBy(F.md5(F.col("text"))).agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    d1 = d.join(keep1, "doc_id", "left_semi").localCheckpoint(eager=True)
+    # stage 2: near-dup keep-canonical over the exact-dedup survivors
+    pairs = jaccard_pairs(d1).select("doc_id_1", "doc_id_2")
+    d2 = dedup_keep_canonical(d1, pairs, id_col="doc_id")
+    # stage 3: decontamination — test shingles come from the FULL corpus
+    # (the eval split exists regardless of what dedup kept)
+    ft = d.select(
+        "doc_id",
+        F.expr(H.spark_tokens("text")).alias("toks"),
+        F.expr(_BUCKET_SPARK).alias("bucket"),
+    )
+    fh = ft.select("doc_id", "bucket", F.expr(H.spark_hash_array("toks")).alias("th"))
+    fs = fh.select(
+        "doc_id", "bucket", F.expr(H.spark_shingle_keys("th", DECON_N)).alias("sk")
+    ).localCheckpoint(eager=True)  # expensive HOF under a Generate, 2 consumers
+    fex = fs.select("doc_id", "bucket", F.explode("sk").alias("k"))
+    test_sh = fex.filter(F.col("bucket") >= 90).select("k").distinct()
+    contaminated = (
+        fex.filter(F.col("bucket") < 80)
+        .join(F.broadcast(test_sh), "k")
+        .select("doc_id")
+        .distinct()
+    )
+    train_ids = ft.filter(F.col("bucket") < 80).select("doc_id")
+    d3 = (
+        d2.join(train_ids, "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)  # everything upstream, paid exactly once
+    )
+    # stage 4: repetition/quality filter — keep only unflagged docs
+    rt = d3.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    rstats = rt.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+    rbg = rt.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 1, 1)),"
+                " i -> concat(try_element_at(toks, i), ' ', try_element_at(toks, i + 1)))"
+            )
+        ).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    rtop = (
+        rbg.groupBy("doc_id", "b").agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("max_bg"))
+    )
+    dup = 1.0 - F.col("n_distinct").cast("double") / F.col("n_tokens")
+    top = F.col("max_bg").cast("double") / F.greatest(F.col("n_tokens") - 1, F.lit(1))
+    d4 = (
+        rstats.join(rtop, "doc_id")
+        .filter(~((dup > DUP_TOKEN_MAX) | (top > TOP_BIGRAM_MAX)))
+        .select("doc_id", "n_tokens")
+    )
+    # stage 5: deterministic stratified-threshold sample
+    d5 = d4.filter(F.expr(_STRAT_U_SPARK) < SAMPLE_FRAC)
+    # stage 6: pack into fixed-token-budget bins per hash shard
+    t = d5.select("doc_id", (F.col("doc_id") % PACK_SHARDS).alias("shard"), "n_tokens")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.groupBy(
+            "shard",
+            F.floor((F.col("cum") - F.col("n_tokens")).cast("double") / PACK_BUDGET)
+            .cast("long")
+            .alias("bin"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.round(F.sum("n_tokens").cast("double") / PACK_BUDGET, 6).alias("utilization"),
+        )
+        .orderBy("shard", "bin")
+    )
