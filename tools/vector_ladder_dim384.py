@@ -1,0 +1,289 @@
+"""Validate the vector-index compression ladder at the REFERENCE's real
+dimension (VERDICT r4 #2): the reference embeds with all-MiniLM-L6-v2 at
+dim 384 (reference config.py:16; header.bin = 1536 B/vector), while the
+driver testdata is dim 64 — so the ladder's Arrow batch economics, codegen
+width, and PQ geometry had only been measured at 1/6 the production row
+width.
+
+Synthesizes a dim-384 float32 corpus (default 100k rows, ~25× the sf0.1
+row count) and measures every ladder rung with the SAME operators the
+registry queries use — fit_ranges/sq8_* (dim-agnostic), pq_* (explicit
+dim/m/k), persisted IVF with (k, n_probe) from suggest_ivf_params. Two
+PQ geometries are measured side by side: the dim-64 demo constants
+(m=8 → 48-dim subspaces, k=16) and the production geometry the 6× width
+actually demands (m=48 → 8-dim subspaces, k=128; 128 not 256 because
+codes are array<tinyint>). Flat-ADC for wide m rides the residual-ADC
+Arrow kernel with a single zero centroid (q − 0 = q), since the unrolled
+JVM lookup expression would re-materialize an m×k literal per row — the
+measured literal-rematerialization cliff.
+
+Also sweeps spark.sql.execution.arrow.maxRecordsPerBatch over the widest
+Arrow path to check the 5000-row default (sized at dim 64) against 6×
+wider rows.
+
+Usage: python tools/vector_ladder_dim384.py [n_rows] [dim]
+Prints the markdown tables recorded in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+OUT = "/tmp/vector_ladder_dim384"
+N_RECALL_QUERIES = 5
+
+
+def du(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def build_corpus(spark, n_rows: int, dim: int) -> str:
+    path = f"{OUT}/corpus-{n_rows}-{dim}"
+    if os.path.exists(path + "/_SUCCESS"):
+        return path
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def gen(ids: pd.Series) -> pd.Series:
+        rng = np.random.RandomState(12345 + int(ids.iloc[0]) % 999983)
+        m = rng.rand(len(ids), dim).astype(np.float32)
+        return pd.Series(list(m))
+
+    (
+        spark.range(n_rows)
+        .select(F.col("id").alias("vec_id"), gen(F.col("id")).alias("embedding"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def exact_qdist(query: list[float]) -> "F.Column":
+    """Arrow GEMM exact squared-L2 — the scale path for the float32 rung
+    (the expression-HOF scorer is the dim-64 oracle twin; at dim 384 the
+    interpreted fold is ~10× slower, which is itself a finding)."""
+    q = np.asarray(query, dtype=np.float64)
+    qsq = float(q @ q)
+
+    @F.pandas_udf(T.DoubleType())
+    def qd(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series(np.einsum("ij,ij->i", m, m) - 2.0 * (m @ q) + qsq)
+
+    return qd(F.col("embedding"))
+
+
+def topk(df, dist_col, k=10):
+    return (
+        df.select("vec_id", dist_col.alias("d"))
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def timed(fn, warm=1, runs=3):
+    for _ in range(warm):
+        fn()
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        times.append(time.time() - t0)
+    return sorted(times)[len(times) // 2]
+
+
+def main() -> int:
+    from vectordb_hr_data_spark.operators.ivf import ivf_assign_gemm, suggest_ivf_params
+    from vectordb_hr_data_spark.operators.knn import overfetch_count
+    from vectordb_hr_data_spark.operators.pq import (
+        pq_codebook,
+        pq_encode_arrow,
+        pq_encode_residual_arrow,
+        pq_residual_qdist_arrow,
+    )
+    from vectordb_hr_data_spark.operators.quantize import (
+        fit_ranges,
+        sq8_encode_arrow,
+        sq8_qdist_codes_arrow,
+    )
+    from vectordb_hr_data_spark.session import get_spark
+
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 384
+    spark = get_spark("ladder-384", cpus=16)
+    corpus = build_corpus(spark, n_rows, dim)
+    emb = spark.read.parquet(corpus)
+    queries = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id") < N_RECALL_QUERIES).orderBy("vec_id").collect()
+    ]
+
+    # trained state (once, like any index build)
+    t0 = time.time()
+    lo, hi = fit_ranges(emb, "embedding", dim)
+    t_fit = time.time() - t0
+    cb_demo = pq_codebook(emb, dim=dim, m=8, k=16)
+    cb_prod = pq_codebook(emb, dim=dim, m=48, k=128)
+    k_cells, n_probe = suggest_ivf_params(n_rows, dim, 0.6)
+    stride = n_rows // k_cells
+    cents = spark.createDataFrame(
+        [
+            (int(r.vec_id // stride), [float(x) for x in r.embedding])
+            for r in emb.filter(
+                (F.col("vec_id") % stride == 0) & (F.expr(f"vec_id div {stride}") < k_cells)
+            ).collect()
+        ],
+        "cid int, cvec array<double>",
+    )
+    cent_map = {r.cid: list(r.cvec) for r in cents.collect()}
+    ZERO = {0: [0.0] * dim}  # flat ADC = residual ADC against a zero centroid
+
+    # persisted payloads (zstd): what each rung's phase-1 scan READS
+    payloads = {
+        "float32": emb,
+        "sq8": emb.select("vec_id", sq8_encode_arrow("embedding", lo, hi).alias("codes")),
+        "pq-demo": emb.select(
+            "vec_id", pq_encode_arrow("embedding", cb_demo, dim=dim, m=8).alias("rc")
+        ).withColumn("cid", F.lit(0)),
+        "pq-prod": emb.select(
+            "vec_id", pq_encode_arrow("embedding", cb_prod, dim=dim, m=48).alias("rc")
+        ).withColumn("cid", F.lit(0)),
+    }
+    sizes = {}
+    for name, df in payloads.items():
+        p = f"{OUT}/pay-{name}-{n_rows}-{dim}"
+        if not os.path.exists(p + "/_SUCCESS"):
+            df.write.mode("overwrite").option("compression", "zstd").parquet(p)
+        sizes[name] = du(p)
+
+    idx = f"{OUT}/ivfsq8-{n_rows}-{dim}"
+    if not os.path.exists(idx + "/_SUCCESS"):
+        a = ivf_assign_gemm(emb, cents)
+        a.select(
+            "vec_id", "embedding", sq8_encode_arrow("embedding", lo, hi).alias("codes"), "cid"
+        ).write.partitionBy("cid").mode("overwrite").option("compression", "zstd").parquet(idx)
+
+    def pay(name):
+        return spark.read.parquet(f"{OUT}/pay-{name}-{n_rows}-{dim}")
+
+    def rerank(cand, query):
+        surv = emb.join(F.broadcast(cand), "vec_id")
+        return [r.vec_id for r in topk(surv, exact_qdist(query)).collect()]
+
+    def exact_run(query):
+        return [r.vec_id for r in topk(emb, exact_qdist(query)).collect()]
+
+    def sq8_run(query):
+        cand = topk(
+            pay("sq8"), sq8_qdist_codes_arrow("codes", lo, hi, query), overfetch_count(10)
+        ).select("vec_id")
+        return rerank(cand, query)
+
+    def probe_of(query):
+        return sorted(
+            cent_map, key=lambda c: sum((a - b) ** 2 for a, b in zip(query, cent_map[c]))
+        )[:n_probe]
+
+    def ivf_run(query):
+        probe = probe_of(query)
+        scan = spark.read.parquet(idx).filter(F.col("cid").isin(probe))
+        cand = topk(
+            scan.select("vec_id", "codes"),
+            sq8_qdist_codes_arrow("codes", lo, hi, query),
+            overfetch_count(10),
+        ).select("vec_id")
+        surv = scan.join(F.broadcast(cand), "vec_id")
+        return [r.vec_id for r in topk(surv, exact_qdist(query)).collect()]
+
+    def pq_run_factory(name, cbk, m):
+        def run(query):
+            cand = topk(
+                pay(name),
+                pq_residual_qdist_arrow("rc", "cid", ZERO, cbk, query, dim=dim, m=m),
+                overfetch_count(10),
+            ).select("vec_id")
+            return rerank(cand, query)
+
+        return run
+
+    # residual IVFADC at the production geometry: residual codebook from
+    # 128 mid-corpus rows' residuals vs their assigned centroid
+    assigned = ivf_assign_gemm(emb, cents)
+    res_rows = (
+        assigned.filter(F.col("vec_id").between(1000, 1127))
+        .select("vec_id", "embedding", "cid")
+        .orderBy("vec_id")
+        .collect()
+    )
+    res_cb = [
+        [float(a) - cent_map[int(r.cid)][i] for i, a in enumerate(r.embedding)]
+        for r in res_rows
+    ]
+
+    def res_run(query):
+        probe = probe_of(query)
+        pc = {c: cent_map[c] for c in probe}
+        scan = spark.read.parquet(idx).filter(F.col("cid").isin(probe))
+        coded = scan.select(
+            "vec_id",
+            "embedding",
+            "cid",
+            pq_encode_residual_arrow("embedding", "cid", pc, res_cb, dim=dim, m=48).alias("rc"),
+        )
+        cand = topk(
+            coded,
+            pq_residual_qdist_arrow("rc", "cid", pc, res_cb, query, dim=dim, m=48),
+            overfetch_count(10),
+        ).select("vec_id")
+        surv = scan.join(F.broadcast(cand), "vec_id")
+        return [r.vec_id for r in topk(surv, exact_qdist(query)).collect()]
+
+    exact_sets = {}
+    for qi, q in enumerate(queries):
+        exact_sets[qi] = set(exact_run(q))
+
+    rungs = [
+        ("float32 exact (GEMM)", exact_run, sizes["float32"], 1.0),
+        ("SQ8 rerank", sq8_run, sizes["sq8"], 1.0),
+        (f"IVF{k_cells}+SQ8 (probe {n_probe})", ivf_run, sizes["sq8"], n_probe / k_cells),
+        ("PQ m=8,k=16 (demo const)", pq_run_factory("pq-demo", cb_demo, 8), sizes["pq-demo"], 1.0),
+        ("PQ m=48,k=128 (prod)", pq_run_factory("pq-prod", cb_prod, 48), sizes["pq-prod"], 1.0),
+        (f"residual IVFADC m=48 (probe {n_probe})", res_run, sizes["pq-prod"], n_probe / k_cells),
+    ]
+    print(
+        f"\n| rung | scan B/vec (zstd) | × corpus frac read | recall@10 (mean of {N_RECALL_QUERIES}) "
+        f"| warm median s |  (n={n_rows}, dim={dim}; fit_ranges {t_fit:.1f}s)"
+    )
+    print("|---|---|---|---|---|")
+    for name, fn, sz, frac in rungs:
+        recs = [len(set(fn(q)) & exact_sets[qi]) / 10 for qi, q in enumerate(queries)]
+        med = timed(lambda: fn(queries[0]))
+        print(
+            f"| {name} | {sz / n_rows:.0f} | {frac:.2f} | {sum(recs) / len(recs):.2f} | {med:.2f} |"
+        )
+
+    print("\n| maxRecordsPerBatch | SQ8 scan median s | (widest Arrow path)")
+    print("|---|---|")
+    for batch in (1000, 5000, 20000):
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch))
+        med = timed(lambda: sq8_run(queries[0]))
+        print(f"| {batch} | {med:.2f} |")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5000")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
