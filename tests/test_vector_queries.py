@@ -180,3 +180,77 @@ def test_pq_kmeans_codebook_beats_deterministic_recall(spark, sf_dir):
     km_rec, km_err = mean_recall_and_err(pq_codebook_kmeans(emb))
     assert km_err < det_err, f"learned codebook quantization error {km_err} >= {det_err}"
     assert km_rec >= det_rec, f"learned mean recall {km_rec} < deterministic {det_rec}"
+
+
+def test_pq_k256_offset_encoding_roundtrip(spark):
+    """k=256 codebooks (faiss-standard 8-bit PQ, the dim-384 production
+    geometry) store ``code − 128`` in the tinyint column — all paths
+    (flat encode, JVM ADC, residual encode, residual Arrow ADC) derive the
+    offset from the codebook length and must reproduce a numpy reference
+    exactly; k ≤ 128 byte layouts are untouched (their oracles pin that)."""
+    import numpy as np
+
+    from vectordb_hr_data_spark.operators.pq import (
+        pq_adc_distance,
+        pq_adc_lut,
+        pq_encode_arrow,
+        pq_encode_residual_arrow,
+        pq_residual_qdist_arrow,
+    )
+
+    from pyspark.sql import functions as F
+
+    dim, m, k, n = 16, 4, 256, 300
+    sub = dim // m
+    rng = np.random.RandomState(7)
+    X = rng.rand(n, dim)
+    CB = rng.rand(k, dim)
+    q = X[0].tolist()
+
+    df = spark.createDataFrame(
+        [(i, X[i].tolist()) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    cb = [row.tolist() for row in CB]
+    got = {
+        r.vec_id: list(r.c)
+        for r in df.select(
+            "vec_id", pq_encode_arrow("embedding", cb, dim=dim, m=m).alias("c")
+        ).collect()
+    }
+    # numpy reference codes (raw ids) and the offset storage contract
+    ref = np.empty((n, m), dtype=np.int64)
+    for j in range(m):
+        d = ((X[:, None, j * sub:(j + 1) * sub] - CB[None, :, j * sub:(j + 1) * sub]) ** 2).sum(2)
+        ref[:, j] = d.argmin(1)
+    assert ref.max() > 127, "test data must exercise codes above the int8 range"
+    for i in range(n):
+        assert [c + 128 for c in got[i]] == ref[i].tolist()
+
+    # JVM ADC with the 256-entry LUT matches numpy ADC
+    lut = pq_adc_lut(cb, q, dim=dim, m=m)
+    coded = df.select("vec_id", pq_encode_arrow("embedding", cb, dim=dim, m=m).alias("c"))
+    adc = {
+        r.vec_id: r.d
+        for r in coded.select("vec_id", pq_adc_distance("c", lut, m=m).alias("d")).collect()
+    }
+    lut_np = np.asarray(lut)
+    ref_adc = lut_np[np.arange(m)[None, :], ref].sum(1)
+    for i in range(n):
+        assert abs(adc[i] - ref_adc[i]) < 1e-9
+
+    # residual path (zero centroid = flat) agrees with the JVM ADC ranks
+    ZERO = {0: [0.0] * dim}
+    rdf = df.withColumn("cid", F.lit(0)).select(
+        "vec_id",
+        "cid",
+        pq_encode_residual_arrow("embedding", "cid", ZERO, cb, dim=dim, m=m).alias("rc"),
+    )
+    radc = {
+        r.vec_id: r.d
+        for r in rdf.select(
+            "vec_id",
+            pq_residual_qdist_arrow("rc", "cid", ZERO, cb, q, dim=dim, m=m).alias("d"),
+        ).collect()
+    }
+    for i in range(n):
+        assert abs(radc[i] - ref_adc[i]) < 1e-9

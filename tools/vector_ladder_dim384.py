@@ -137,6 +137,7 @@ def main() -> int:
     t_fit = time.time() - t0
     cb_demo = pq_codebook(emb, dim=dim, m=8, k=16)
     cb_prod = pq_codebook(emb, dim=dim, m=48, k=128)
+    cb_prod256 = pq_codebook(emb, dim=dim, m=48, k=256)  # 8-bit codes via the −128 offset
     k_cells, n_probe = suggest_ivf_params(n_rows, dim, 0.6)
     stride = n_rows // k_cells
     cents = spark.createDataFrame(
@@ -160,6 +161,9 @@ def main() -> int:
         ).withColumn("cid", F.lit(0)),
         "pq-prod": emb.select(
             "vec_id", pq_encode_arrow("embedding", cb_prod, dim=dim, m=48).alias("rc")
+        ).withColumn("cid", F.lit(0)),
+        "pq-prod256": emb.select(
+            "vec_id", pq_encode_arrow("embedding", cb_prod256, dim=dim, m=48).alias("rc")
         ).withColumn("cid", F.lit(0)),
     }
     sizes = {}
@@ -261,6 +265,7 @@ def main() -> int:
         (f"IVF{k_cells}+SQ8 (probe {n_probe})", ivf_run, sizes["sq8"], n_probe / k_cells),
         ("PQ m=8,k=16 (demo const)", pq_run_factory("pq-demo", cb_demo, 8), sizes["pq-demo"], 1.0),
         ("PQ m=48,k=128 (prod)", pq_run_factory("pq-prod", cb_prod, 48), sizes["pq-prod"], 1.0),
+        ("PQ m=48,k=256 (8-bit offset)", pq_run_factory("pq-prod256", cb_prod256, 48), sizes["pq-prod256"], 1.0),
         (f"residual IVFADC m=48 (probe {n_probe})", res_run, sizes["pq-prod"], n_probe / k_cells),
     ]
     print(

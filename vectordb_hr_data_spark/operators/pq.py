@@ -33,6 +33,19 @@ M_SUBSPACES = 8
 K_CODEWORDS = 16
 
 
+def _code_offset(k: int) -> int:
+    """Codes are stored as ``array<tinyint>`` (signed int8, 1 B/subspace).
+    Up to k=128 the raw codeword id fits; for the faiss-standard 8-bit
+    codebook (k=256, the dim-384 production geometry — SCALE.md r5) the
+    stored byte is ``code − 128``, the same offset convention SQ8 uses.
+    The offset is derived from the codebook length everywhere (encode and
+    both decode paths), so callers never pass it and k≤128 codebooks —
+    including every hash-checked oracle — are byte-identical to before."""
+    if k > 256:
+        raise ValueError(f"PQ codebook larger than 256 needs >1 byte/code (got k={k})")
+    return 128 if k > 128 else 0
+
+
 def pq_codebook(
     vectors: DataFrame,
     dim: int = 64,
@@ -120,6 +133,7 @@ def pq_encode_arrow(vec_col: str | Column, codebook: list[list[float]], dim: int
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     cb = np.asarray(codebook, dtype=np.float64)  # (k, dim)
     sub = dim // m
+    off = _code_offset(cb.shape[0])
 
     @F.pandas_udf(T.ArrayType(T.ByteType()))
     def encode(vecs: pd.Series) -> pd.Series:
@@ -133,7 +147,7 @@ def pq_encode_arrow(vec_col: str | Column, codebook: list[list[float]], dim: int
             for t in range(sub):
                 diff = mat[:, lo + t, None] - cb[None, :, lo + t]
                 d = d + diff * diff
-            codes[:, j] = np.argmin(d, axis=1).astype(np.int8)  # first min = lowest c
+            codes[:, j] = (np.argmin(d, axis=1) - off).astype(np.int8)  # first min = lowest c
         return pd.Series(list(codes))
 
     return encode(v)
@@ -178,6 +192,7 @@ def pq_encode_residual_arrow(
     cindex = {cid: i for i, cid in enumerate(cids)}
     cb = np.asarray(codebook, dtype=np.float64)
     sub = dim // m
+    off = _code_offset(cb.shape[0])
 
     @F.pandas_udf(T.ArrayType(T.ByteType()))
     def encode(vecs: pd.Series, vcids: pd.Series) -> pd.Series:
@@ -192,7 +207,7 @@ def pq_encode_residual_arrow(
             for t in range(sub):
                 diff = res[:, lo + t, None] - cb[None, :, lo + t]
                 d = d + diff * diff
-            codes[:, j] = np.argmin(d, axis=1).astype(np.int8)
+            codes[:, j] = (np.argmin(d, axis=1) - off).astype(np.int8)
         return pd.Series(list(codes))
 
     return encode(v, c)
@@ -232,7 +247,7 @@ def pq_residual_qdist_arrow(
 
     @F.pandas_udf(T.DoubleType())
     def qdist(codes: pd.Series, vcids: pd.Series) -> pd.Series:
-        cmat = np.stack(codes.to_numpy()).astype(np.int64)
+        cmat = np.stack(codes.to_numpy()).astype(np.int64) + _code_offset(cb.shape[0])
         # +inf, not empty: a row whose cid has no LUT (caller passed rows
         # outside the probed set) must sort last, never rank as a candidate.
         out = np.full(len(cmat), np.inf, dtype=np.float64)
@@ -259,8 +274,9 @@ def pq_adc_distance(codes_col: str | Column, lut: list[list[float]], m: int = M_
     arrays: pure JVM arithmetic inside whole-stage codegen, zero float ops
     per row beyond the m adds."""
     c = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    off = _code_offset(len(lut[0]))
     dist: Column | None = None
     for j in range(m):
-        term = F.element_at(F.lit(lut[j]), F.element_at(c, j + 1).cast("int") + 1)
+        term = F.element_at(F.lit(lut[j]), F.element_at(c, j + 1).cast("int") + (off + 1))
         dist = term if dist is None else dist + term
     return dist
