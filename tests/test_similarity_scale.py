@@ -327,3 +327,19 @@ def test_suggest_ivf_params_contract(spark, sf_dir):
             recs.append(len(got10 & exact10) / 10)
         measured = float(np.mean(recs))
         assert measured >= sla, f"sla={sla}: suggested (k={k}, n_probe={n_probe}) measured {measured}"
+
+
+def test_suggest_ivf_params_cluster_floor(spark):
+    """SCALE.md r5 sensitivity study encoded: an n_clusters estimate floors
+    K (K below the natural cluster count gives recall 0 at any n_probe),
+    and the floor still respects the n_rows cap and probe monotonicity."""
+    from vectordb_hr_data_spark.operators.ivf import suggest_ivf_params
+
+    k_plain, _ = suggest_ivf_params(100_000, 384, 0.6)
+    assert k_plain == 10
+    k_floored, npr = suggest_ivf_params(100_000, 384, 0.6, n_clusters=64)
+    assert k_floored == 64
+    assert 1 <= npr <= 64
+    # floor also raises the probed-cell count proportionally (same fraction)
+    _, npr_plain = suggest_ivf_params(100_000, 384, 0.6)
+    assert npr / 64 <= npr_plain / 10 + 1e-9 or npr >= npr_plain

@@ -51,15 +51,34 @@ def du(path: str) -> int:
     return total
 
 
-def build_corpus(spark, n_rows: int, dim: int) -> str:
-    path = f"{OUT}/corpus-{n_rows}-{dim}"
+def build_corpus(spark, n_rows: int, dim: int, clustered: bool = False) -> str:
+    """``clustered=False``: uniform — adversarial for PQ (concentration of
+    measure; nearest neighbours barely closer than the median point).
+    ``clustered=True``: a 64-component mixture whose within-cluster noise
+    is LOW-RANK (16 latent dims) — the shape real MiniLM-style text
+    embeddings have (intrinsic dimension in the tens). The rank matters:
+    with ISOTROPIC 384-dim noise, within-cluster distances concentrate
+    exactly like the uniform corpus and NO byte-budget sketch can rank
+    them (measured: every PQ variant ≤ 0.34 recall) — it is the low-rank
+    structure, not clustering per se, that PQ exploits."""
+    path = f"{OUT}/corpus-{n_rows}-{dim}{'-mog16' if clustered else ''}"
     if os.path.exists(path + "/_SUCCESS"):
         return path
+
+    n_clusters, latent = 64, 16
+    seed_rng = np.random.RandomState(99)
+    centers = seed_rng.rand(n_clusters, dim).astype(np.float32)
+    basis = (seed_rng.randn(latent, dim) * 0.05).astype(np.float32)
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def gen(ids: pd.Series) -> pd.Series:
         rng = np.random.RandomState(12345 + int(ids.iloc[0]) % 999983)
-        m = rng.rand(len(ids), dim).astype(np.float32)
+        if clustered:
+            which = (ids.to_numpy() % n_clusters).astype(int)
+            z = rng.randn(len(ids), latent).astype(np.float32)
+            m = centers[which] + z @ basis
+        else:
+            m = rng.rand(len(ids), dim).astype(np.float32)
         return pd.Series(list(m))
 
     (
@@ -110,6 +129,7 @@ def main() -> int:
     from vectordb_hr_data_spark.operators.knn import overfetch_count
     from vectordb_hr_data_spark.operators.pq import (
         pq_codebook,
+        pq_codebook_kmeans,
         pq_encode_arrow,
         pq_encode_residual_arrow,
         pq_residual_qdist_arrow,
@@ -123,8 +143,10 @@ def main() -> int:
 
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else 384
+    clustered = "--clustered" in sys.argv
     spark = get_spark("ladder-384", cpus=16)
-    corpus = build_corpus(spark, n_rows, dim)
+    corpus = build_corpus(spark, n_rows, dim, clustered=clustered)
+    tag = f"{n_rows}-{dim}" + ("-mog" if clustered else "")
     emb = spark.read.parquet(corpus)
     queries = [
         [float(x) for x in r.embedding]
@@ -138,6 +160,9 @@ def main() -> int:
     cb_demo = pq_codebook(emb, dim=dim, m=8, k=16)
     cb_prod = pq_codebook(emb, dim=dim, m=48, k=128)
     cb_prod256 = pq_codebook(emb, dim=dim, m=48, k=256)  # 8-bit codes via the −128 offset
+    t0 = time.time()
+    cb_learned = pq_codebook_kmeans(emb, dim=dim, m=48, k=128, sample_fraction=0.05)
+    t_learn = time.time() - t0
     k_cells, n_probe = suggest_ivf_params(n_rows, dim, 0.6)
     stride = n_rows // k_cells
     cents = spark.createDataFrame(
@@ -165,15 +190,18 @@ def main() -> int:
         "pq-prod256": emb.select(
             "vec_id", pq_encode_arrow("embedding", cb_prod256, dim=dim, m=48).alias("rc")
         ).withColumn("cid", F.lit(0)),
+        "pq-learned": emb.select(
+            "vec_id", pq_encode_arrow("embedding", cb_learned, dim=dim, m=48).alias("rc")
+        ).withColumn("cid", F.lit(0)),
     }
     sizes = {}
     for name, df in payloads.items():
-        p = f"{OUT}/pay-{name}-{n_rows}-{dim}"
+        p = f"{OUT}/pay-{name}-{tag}"
         if not os.path.exists(p + "/_SUCCESS"):
             df.write.mode("overwrite").option("compression", "zstd").parquet(p)
         sizes[name] = du(p)
 
-    idx = f"{OUT}/ivfsq8-{n_rows}-{dim}"
+    idx = f"{OUT}/ivfsq8-{tag}"
     if not os.path.exists(idx + "/_SUCCESS"):
         a = ivf_assign_gemm(emb, cents)
         a.select(
@@ -181,7 +209,7 @@ def main() -> int:
         ).write.partitionBy("cid").mode("overwrite").option("compression", "zstd").parquet(idx)
 
     def pay(name):
-        return spark.read.parquet(f"{OUT}/pay-{name}-{n_rows}-{dim}")
+        return spark.read.parquet(f"{OUT}/pay-{name}-{tag}")
 
     def rerank(cand, query):
         surv = emb.join(F.broadcast(cand), "vec_id")
@@ -223,8 +251,10 @@ def main() -> int:
 
         return run
 
-    # residual IVFADC at the production geometry: residual codebook from
-    # 128 mid-corpus rows' residuals vs their assigned centroid
+    # residual IVFADC at the production geometry: deterministic residual
+    # codebook from 128 mid-corpus rows' residuals vs their assigned
+    # centroid, plus the LEARNED residual codebook (per-subspace k-means on
+    # the residual frame — the actual faiss IVF,PQ training recipe)
     assigned = ivf_assign_gemm(emb, cents)
     res_rows = (
         assigned.filter(F.col("vec_id").between(1000, 1127))
@@ -236,24 +266,43 @@ def main() -> int:
         [float(a) - cent_map[int(r.cid)][i] for i, a in enumerate(r.embedding)]
         for r in res_rows
     ]
+    cents_b = assigned.sparkSession.createDataFrame(
+        sorted(cent_map.items()), "cid int, cvec array<double>"
+    )
+    res_frame = assigned.join(F.broadcast(cents_b), "cid").select(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"), F.col("cvec"), lambda a, b: a - b
+        ).alias("resv")
+    )
+    t0 = time.time()
+    res_cb_learned = pq_codebook_kmeans(
+        res_frame, dim=dim, m=48, k=128, vec_col="resv", sample_fraction=0.05
+    )
+    t_rlearn = time.time() - t0
 
-    def res_run(query):
-        probe = probe_of(query)
-        pc = {c: cent_map[c] for c in probe}
-        scan = spark.read.parquet(idx).filter(F.col("cid").isin(probe))
-        coded = scan.select(
-            "vec_id",
-            "embedding",
-            "cid",
-            pq_encode_residual_arrow("embedding", "cid", pc, res_cb, dim=dim, m=48).alias("rc"),
-        )
-        cand = topk(
-            coded,
-            pq_residual_qdist_arrow("rc", "cid", pc, res_cb, query, dim=dim, m=48),
-            overfetch_count(10),
-        ).select("vec_id")
-        surv = scan.join(F.broadcast(cand), "vec_id")
-        return [r.vec_id for r in topk(surv, exact_qdist(query)).collect()]
+    def res_run_factory(cbk):
+        def run(query):
+            probe = probe_of(query)
+            pc = {c: cent_map[c] for c in probe}
+            scan = spark.read.parquet(idx).filter(F.col("cid").isin(probe))
+            coded = scan.select(
+                "vec_id",
+                "embedding",
+                "cid",
+                pq_encode_residual_arrow("embedding", "cid", pc, cbk, dim=dim, m=48).alias("rc"),
+            )
+            cand = topk(
+                coded,
+                pq_residual_qdist_arrow("rc", "cid", pc, cbk, query, dim=dim, m=48),
+                overfetch_count(10),
+            ).select("vec_id")
+            surv = scan.join(F.broadcast(cand), "vec_id")
+            return [r.vec_id for r in topk(surv, exact_qdist(query)).collect()]
+
+        return run
+
+    res_run = res_run_factory(res_cb)
+    res_run_learned = res_run_factory(res_cb_learned)
 
     exact_sets = {}
     for qi, q in enumerate(queries):
@@ -266,7 +315,14 @@ def main() -> int:
         ("PQ m=8,k=16 (demo const)", pq_run_factory("pq-demo", cb_demo, 8), sizes["pq-demo"], 1.0),
         ("PQ m=48,k=128 (prod)", pq_run_factory("pq-prod", cb_prod, 48), sizes["pq-prod"], 1.0),
         ("PQ m=48,k=256 (8-bit offset)", pq_run_factory("pq-prod256", cb_prod256, 48), sizes["pq-prod256"], 1.0),
+        (f"PQ m=48,k=128 LEARNED ({t_learn:.0f}s fit)", pq_run_factory("pq-learned", cb_learned, 48), sizes["pq-learned"], 1.0),
         (f"residual IVFADC m=48 (probe {n_probe})", res_run, sizes["pq-prod"], n_probe / k_cells),
+        (
+            f"residual IVFADC m=48 LEARNED ({t_rlearn:.0f}s fit, probe {n_probe})",
+            res_run_learned,
+            sizes["pq-learned"],
+            n_probe / k_cells,
+        ),
     ]
     print(
         f"\n| rung | scan B/vec (zstd) | × corpus frac read | recall@10 (mean of {N_RECALL_QUERIES}) "

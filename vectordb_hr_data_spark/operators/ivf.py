@@ -83,7 +83,11 @@ CURVE_TRANSFER_MARGIN = 0.15
 
 
 def suggest_ivf_params(
-    n_rows: int, dim: int, recall_sla: float, rows_per_cell: int = ROWS_PER_CELL
+    n_rows: int,
+    dim: int,
+    recall_sla: float,
+    rows_per_cell: int = ROWS_PER_CELL,
+    n_clusters: int | None = None,
 ) -> tuple[int, int]:
     """The IVF tuning contract as code (VERDICT r4 #4 — SCALE.md's
     "K ≈ N/10k, sweep n_probe against the recall SLA" prose made
@@ -102,6 +106,13 @@ def suggest_ivf_params(
       the margin absorbs the curve's K-transfer optimism so the MEASURED
       recall meets the SLA, which is what the pytest replays at small sf.
 
+    ``n_clusters`` (when the caller has an estimate — HLL over coarse
+    hashes, a KMeans elbow on a sample) floors K at the cluster count:
+    measured on a 64-cluster low-rank corpus (SCALE.md r5), K=10 < 64
+    clusters gives recall 0.00 at ANY n_probe (the probe set cannot cover
+    the query's cluster), while K=64 learned centroids give 1.0 reading
+    6.3% of the corpus — K must never be below the natural cluster count.
+
     ``ivf_topk_kmeans`` picks its params through this instead of fixed
     constants."""
     if not 0.0 < recall_sla <= 1.0:
@@ -109,7 +120,8 @@ def suggest_ivf_params(
     if n_rows <= 0 or dim <= 0:
         raise ValueError(f"need positive n_rows/dim, got {n_rows}/{dim}")
     k_cap = max(4, _CENTROID_BROADCAST_BYTES // (8 * dim))
-    k = int(max(4, min(k_cap, round(n_rows / rows_per_cell), n_rows)))
+    k_floor = max(4, n_clusters or 0)
+    k = int(max(k_floor, min(k_cap, round(n_rows / rows_per_cell), n_rows)))
     target = min(1.0, recall_sla + CURVE_TRANSFER_MARGIN)
     f = 1.0
     pts = PROBE_RECALL_CURVE
