@@ -366,3 +366,16 @@ def test_ivf_pq_index_scans_prune_partitions_and_columns(spark, sf_dir):
     vec_scans = [s for s in schemas if "embedding" in s]
     assert len(codes_scans) == 1 and "embedding" not in codes_scans[0]
     assert len(vec_scans) == 1 and "pqcodes" not in vec_scans[0]
+
+
+def test_residual_det_plan_shape(spark, sf_dir):
+    """The hash-checked residual IVFADC twin: both phases lower to
+    TakeOrderedAndProject (per-partition heaps, no global sort), and the
+    only Python boundaries are the two Arrow kernels (residual encode +
+    per-cid ADC) — the assignment argmin stays a JVM expression."""
+    from vectordb_hr_data_spark.querydefs.vector_queries import ivf_pq_residual_det
+
+    plan = _plan(ivf_pq_residual_det(spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") == 2, plan
+    assert plan.count("ArrowEvalPython") == 2, plan
+    assert "CartesianProduct" not in plan
