@@ -379,3 +379,19 @@ def test_residual_det_plan_shape(spark, sf_dir):
     assert plan.count("TakeOrderedAndProject") == 2, plan
     assert plan.count("ArrowEvalPython") == 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_filtered_ivf_prunes_partitions_and_pushes_predicate(spark, sf_dir):
+    """Filtered ANN over the persisted index must do BOTH prunings in one
+    scan: PartitionFilters = the n_probe probed cids AND the metadata
+    equality pushed to the parquet reader — the composition that makes
+    pre-filtering free when the index is a table."""
+    import re
+
+    from vectordb_hr_data_spark.querydefs.similarity_queries import ivf_topk_prefiltered
+
+    plan = _plan(ivf_topk_prefiltered(spark, sf_dir))
+    pf = re.findall(r"PartitionFilters: \[cid#\d+ IN \(([^)]*)\)\]", plan)
+    assert len(pf) == 1 and len(pf[0].split(",")) == 4, plan
+    assert "EqualTo(label,3)" in plan, plan
+    assert "TakeOrderedAndProject" in plan

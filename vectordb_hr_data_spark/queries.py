@@ -46,8 +46,8 @@ def register(name: str, oracle: str | None):
 # operator shape is also proven by a checked sibling come after — they still
 # run in bench.py and pytest, and get driver rows if the cap is ever lifted.
 PRIORITY: list[str] = [
-    # reference-native vector path (A18-A30)
-    "knn_topk_prefiltered", "ann_text_search",
+    # reference-native vector path (A18-A30) + the r5 hybrid fusion
+    "knn_topk_prefiltered", "ann_text_search", "hybrid_rrf_search",
     # round-4/5 vector-compression flagships (B18-B20): SQ8, IVF+SQ8
     # persisted index, PQ-ADC, residual IVFADC, suggested-params IVF — the
     # operators the 100 TB story hangs on. r5 rotation (VERDICT r4 #7):
@@ -57,11 +57,10 @@ PRIORITY: list[str] = [
     # and both hash-passed the r4 driver window).
     "knn_topk_sq8", "ivf_sq8_rerank_indexed",
     "ivf_topk_indexed", "knn_pq_adc_rerank", "ivf_pq_residual_det",
-    "ivf_topk_suggested", "chunk_embed_ivf_search",
+    "ivf_topk_suggested", "ivf_topk_prefiltered", "chunk_embed_ivf_search",
     # reference-native HR pipeline (A4-A29)
     "hr_tagged_union_projection", "hr_union_freshness_counts", "hr_metadata_flatten",
     "hr_dept_filter_ci", "hr_keyword_score", "hr_lang_all_match", "hr_overfetch_rerank",
-    "hr_doc_text_construction",
     # similarity / embedding / multimodal (B3-B5, B8, B21)
     "batch_topk_many_queries", "embed_documents_poly", "multimodal_binary_metadata",
     "label_centroids",
@@ -84,14 +83,16 @@ PRIORITY: list[str] = [
     "events_asof_last_purchase", "events_type_counts_salted",
     # relational core
     "q1_pricing_summary", "customer_running_total", "acctbal_rollup",
-    # subquery shapes
-    "q17_small_quantity_revenue", "q4_order_priority_exists",
+    # subquery shapes (q17 moved below 50 in r5 — hash-passed r2-r4, the
+    # family stays repped by q4)
+    "q4_order_priority_exists",
     # TPC-H join shapes
     "q7_nation_volume",
     # --- position 51+: shapes proven above by a sibling or by a prior
     # round's CORRECTNESS artifact (every name displaced from the r3 window
     # hash-passed in CORRECTNESS_r03.json or this round's 95/95 sim) ---
-    "knn_sq8_rerank", "ivf_topk_l2sq", "pack_sequences",
+    "knn_sq8_rerank", "ivf_topk_l2sq", "pack_sequences", "hr_doc_text_construction",
+    "q17_small_quantity_revenue",
     "knn_topk_cosine", "knn_overfetch_similarity", "doc_token_count",
     "doc_fingerprint", "events_json_props", "custkeys_intersect_except",
     "lineitem_cube", "q13_customer_order_distribution", "q16_suppliers_not_in",

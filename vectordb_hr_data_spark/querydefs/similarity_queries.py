@@ -72,6 +72,85 @@ def ivf_topk_l2sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, centroids, qvec, k=10, n_probe=N_PROBE, round_to=_ROUND)
 
 
+_IVF_FILTERED_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cent AS (
+  SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding, e.label, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_l2sq_ddb('e.embedding', 'c.cvec')}, c.cid) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+probe AS (
+  SELECT c.cid FROM cent c, q
+  ORDER BY {_l2sq_ddb('c.cvec', 'q.qv')}, c.cid
+  LIMIT {N_PROBE}
+)
+SELECT a.vec_id, round({_l2sq_ddb('a.embedding', 'q.qv')}, {_ROUND}) AS distance
+FROM assigned a JOIN probe p ON a.cid = p.cid, q
+WHERE a.rn = 1 AND a.label = 3
+ORDER BY distance, a.vec_id
+LIMIT 10
+"""
+
+
+@register("ivf_topk_prefiltered", _IVF_FILTERED_ORACLE)
+def ivf_topk_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN over the persisted IVF index — the single most common
+    production vector-DB query (the reference's ``where={'doc_type': t}``
+    metadata pre-filter, A21, composed with the partition-pruned index
+    path instead of the brute-force scan): rank centroids driver-side,
+    read only the ``n_probe`` probed cid directories AND only rows passing
+    the metadata predicate — the label equality reaches the parquet
+    row-group level as a pushed filter INSIDE the pruned partitions
+    (PartitionFilters × PushedFilters, plan-tested), so the scan does
+    partition pruning and predicate pushdown simultaneously. Exact score,
+    TakeOrderedAndProject. Post-filtering (the only option an opaque ANN
+    library gives you) would over-fetch and re-filter; expressing the
+    index as a TABLE makes the filter free."""
+    from ..operators.ivf import build_ivf_index
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    path = _ivf_index_path(sf_dir, "embeddings")
+    if path not in _IVF_BUILT:
+        build_ivf_index(emb, centroids, path)
+        _IVF_BUILT.add(path)
+    qvec = F.lit([float(x) for x in _query_vec_emb(spark, sf_dir)])
+    probe = [
+        r.cid
+        for r in centroids.select("cid", V.l2sq(F.col("cvec"), qvec).alias("d"))
+        .orderBy(F.col("d").asc(), F.col("cid").asc())
+        .limit(N_PROBE)
+        .collect()
+    ]
+    bucket = (
+        spark.read.parquet(path)
+        .filter(F.col("cid").isin(probe))
+        .filter(F.col("label") == 3)
+    )
+    dist = F.round(V.l2sq(F.col("embedding"), qvec), _ROUND)
+    return (
+        bucket.select("vec_id", dist.alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def _query_vec_emb(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
 # Constants the ivf_topk_suggested oracle bakes in: suggest_ivf_params
 # returns (4, 2) for any corpus under ~45k rows at IVF_RECALL_SLA=0.6 —
 # true for every driver/bench sf (500–2000 rows). The Spark side asserts
@@ -328,6 +407,104 @@ FROM h
 ORDER BY distance, doc_id
 LIMIT 10
 """
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant (Cormack et al.)
+RRF_DEPTH = 50  # per-side candidate depth (k·5, the reference's over-fetch)
+
+
+def _hybrid_rrf_oracle() -> str:
+    q = _poly_dims_py(QUERY_TEXT)
+    terms = " + ".join(
+        f"power((CAST((h * {a} + {b}) % {H.P} AS DOUBLE) / {H.P}) * 2 - 1 - ({qj!r}), 2)"
+        for (a, b), qj in zip(zip(H.MINHASH_A[:EMBED_DIM], H.MINHASH_B[:EMBED_DIM]), q)
+    )
+    kw_terms = " + ".join(
+        f"CASE WHEN contains(lower(text), '{w}') THEN 1 ELSE 0 END"
+        for w in QUERY_TEXT.split()
+    )
+    return f"""
+WITH kw AS (
+  SELECT doc_id, ({kw_terms}) AS kw_score FROM documents
+), kwr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY kw_score DESC, doc_id) AS kw_rank
+  FROM kw ORDER BY kw_score DESC, doc_id LIMIT {RRF_DEPTH}
+), h AS (
+  SELECT doc_id, {H.ddb_str_hash_fast('text')} AS h FROM documents
+), vd AS (
+  SELECT doc_id, round({terms}, {_ROUND}) AS distance FROM h
+), vr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY distance, doc_id) AS vec_rank
+  FROM vd ORDER BY distance, doc_id LIMIT {RRF_DEPTH}
+)
+SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id,
+       round(COALESCE(1.0 / ({RRF_K} + k.kw_rank), 0.0)
+             + COALESCE(1.0 / ({RRF_K} + v.vec_rank), 0.0), 6) AS rrf_score
+FROM kwr k FULL OUTER JOIN vr v ON k.doc_id = v.doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("hybrid_rrf_search", _hybrid_rrf_oracle())
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID search — keyword matching fused with vector similarity by
+    reciprocal-rank fusion (RRF, the industry-standard fusion in
+    Elasticsearch/Vespa/Qdrant hybrid modes): the modern form of the
+    reference's keyword-score + similarity re-rank combination (A25-A28 +
+    A19). Built the way it scales, not the way it reads in a paper:
+
+    - each side produces its TOP-``RRF_DEPTH`` candidates via
+      ``orderBy().limit()`` → TakeOrderedAndProject (per-partition heaps);
+      a doc's global rank among the top-R IS its rank within that R-row
+      set, so NO global-rank window ever runs over the corpus (a bare
+      ``row_number() OVER (ORDER BY ...)`` funnels 100 TB through one
+      task — the skew cliff this shape exists to avoid);
+    - ranks are assigned by a window over the ≤R-row candidate sets
+      (driver-scale), the two lists FULL-OUTER join on doc_id, and a doc
+      missing from one list contributes only its present term (standard
+      RRF semantics);
+    - rrf = Σ 1/(60 + rank), deterministic end-to-end (integer keyword
+      scores and 4-dec-rounded distances tie-break by doc_id), so the
+      whole fusion is hash-checked against the oracle."""
+    d = read_table(spark, sf_dir, "documents")
+    kw_score = None
+    for w in QUERY_TEXT.split():
+        t = F.when(F.lower(F.col("text")).contains(w), 1).otherwise(0)
+        kw_score = t if kw_score is None else kw_score + t
+    kw_top = (
+        d.select("doc_id", kw_score.alias("kw_score"))
+        .orderBy(F.col("kw_score").desc(), F.col("doc_id").asc())
+        .limit(RRF_DEPTH)
+    )
+    wk = Window.orderBy(F.col("kw_score").desc(), F.col("doc_id").asc())
+    kwr = kw_top.select("doc_id", F.row_number().over(wk).alias("kw_rank"))
+
+    q = _poly_dims_py(QUERY_TEXT)
+    h = d.select("doc_id", F.expr(H.spark_str_hash_fast("text")).alias("h"))
+    dist = None
+    for (a, b), qj in zip(zip(H.MINHASH_A[:EMBED_DIM], H.MINHASH_B[:EMBED_DIM]), q):
+        term = ((((F.col("h") * a + b) % H.P).cast("double") / H.P) * 2 - 1 - qj) ** 2
+        dist = term if dist is None else dist + term
+    vec_top = (
+        h.select("doc_id", F.round(dist, _ROUND).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("doc_id").asc())
+        .limit(RRF_DEPTH)
+    )
+    wv = Window.orderBy(F.col("distance").asc(), F.col("doc_id").asc())
+    vr = vec_top.select("doc_id", F.row_number().over(wv).alias("vec_rank"))
+
+    fused = kwr.join(vr, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (RRF_K + F.col("kw_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (RRF_K + F.col("vec_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select("doc_id", rrf.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
 
 
 @register("ann_text_search", _ann_text_oracle())
