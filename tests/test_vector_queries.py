@@ -254,3 +254,58 @@ def test_pq_k256_offset_encoding_roundtrip(spark):
     }
     for i in range(n):
         assert abs(radc[i] - ref_adc[i]) < 1e-9
+
+
+def test_mmr_select_prefers_diverse_over_near_duplicate():
+    """Unambiguous hand-crafted case (gaps far above float noise): plain
+    relevance ranks the near-duplicate second; MMR must skip it for the
+    diverse candidate, and λ=1 must reduce to plain relevance order."""
+    from vectordb_hr_data_spark.operators.knn import mmr_select
+
+    # NB: the first pick must NOT be the query direction itself — then
+    # sim-to-pick ≡ relevance and λ=0.5 cancels every score (the
+    # degenerate case the registry invariants test documents).
+    cands = [
+        (1, [0.9, 0.1, 0.0]),   # rel .9939 — picked first
+        (2, [0.9, 0.12, 0.0]),  # rel .9912 but near-dup of 1 (sim .9997)
+        (3, [0.8, 0.0, 0.6]),   # rel .8000, diverse (sim to 1 ≈ .795)
+    ]
+    picks = [i for i, _, _ in mmr_select(cands, [1.0, 0.0, 0.0], k=2, lam=0.5)]
+    assert picks == [1, 3]
+    plain = [i for i, _, _ in mmr_select(cands, [1.0, 0.0, 0.0], k=3, lam=1.0)]
+    assert plain == [1, 2, 3]
+
+
+def test_mmr_diversified_invariants(spark, sf_dir):
+    """Registry MMR query: deterministic across calls, first pick = the
+    cosine-nearest candidate (the query's own stored vector), every pick
+    drawn from the cosine top-50 page, no duplicates, relevance column
+    consistent with an independent cosine computation, and the MMR set
+    actually differs from the plain cosine top-10 (diversity bites).
+    (Exact pick-sequence parity vs a reimplementation is NOT asserted:
+    with the query itself in the page, post-first-pick scores tie at
+    float-noise level, where cross-implementation argmax legitimately
+    diverges — mmr_select itself is pinned by the hand-crafted case.)"""
+    import numpy as np
+
+    import vectordb_hr_data_spark.queries as Q
+    from vectordb_hr_data_spark.io import read_table
+
+    out1 = [tuple(r) for r in Q.REGISTRY["knn_mmr_diversified"].fn(spark, sf_dir).collect()]
+    out2 = [tuple(r) for r in Q.REGISTRY["knn_mmr_diversified"].fn(spark, sf_dir).collect()]
+    assert out1 == out2 and len(out1) == 10
+    assert [r[1] for r in out1] == list(range(1, 11))  # rank column
+    assert len({r[0] for r in out1}) == 10  # no duplicate picks
+
+    rows = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.stack([np.array(r.embedding, dtype=np.float64) for r in rows])
+    q = X[ids.tolist().index(0)]
+    rel = (X / np.linalg.norm(X, axis=1)[:, None]) @ (q / np.linalg.norm(q))
+    order = np.lexsort((ids, 1.0 - rel))[:50]
+    top50, relmap = set(ids[order].tolist()), dict(zip(ids.tolist(), rel.tolist()))
+    assert out1[0][0] == int(ids[order][0])  # first pick = most relevant
+    for vec_id, _, relevance, _ in out1:
+        assert vec_id in top50
+        assert abs(relevance - relmap[vec_id]) < 1e-4
+    assert {r[0] for r in out1} != set(ids[order][:10].tolist())  # diversity bites

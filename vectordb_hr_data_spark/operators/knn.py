@@ -138,3 +138,53 @@ def overfetch_count(k: int) -> int:
 def with_similarity(df: DataFrame, distance_col: str = "distance") -> DataFrame:
     """Derived ``similarity = 1 - distance`` (``main.py:118-119``)."""
     return df.withColumn("similarity", V.similarity_from_distance(distance_col))
+
+
+def mmr_select(
+    candidates: list[tuple[int, list[float]]],
+    query_vec,
+    k: int,
+    lam: float = 0.5,
+) -> list[tuple[int, float, float]]:
+    """Maximal marginal relevance over an ALREADY-RETRIEVED candidate page
+    (Carbonell & Goldstein, SIGIR'98): greedily pick the candidate
+    maximizing ``λ·cos(q, d) − (1−λ)·max_{s∈selected} cos(d, s)`` — the
+    standard diversity re-rank every retrieval stack offers.
+
+    Deliberately driver-side over a BOUNDED page: MMR is sequentially
+    greedy (step t depends on the t−1 picks), so it cannot be expressed as
+    a shuffle-parallel plan — and does not need to be: production systems
+    run it over the retrieved top-R (R ≈ k·5), never the corpus. The
+    distributed work is the over-fetch (TakeOrderedAndProject); this is
+    O(R²) driver flops on R ≤ ~100 rows — the same bounded-collect class
+    as the reference's own final re-rank (talent_recommender.py:36-43).
+    Deterministic: candidates arrive sorted (relevance, id); numpy argmax
+    takes the first maximum, so exact ties keep that order.
+
+    Returns [(id, relevance_cos, mmr_score)] in selection order."""
+    import numpy as np
+
+    if not candidates:
+        return []
+    ids = [int(i) for i, _ in candidates]
+    mat = np.stack([np.asarray(v, dtype=np.float64) for _, v in candidates])
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    rel = (mat @ q) / (norms * (np.linalg.norm(q) or 1.0))
+    # pairwise candidate cosines, computed once (R×R)
+    unit = mat / norms[:, None]
+    sims = unit @ unit.T
+    selected: list[tuple[int, float, float]] = []
+    remaining = list(range(len(ids)))
+    max_sim = np.full(len(ids), -np.inf)
+    for _ in range(min(k, len(ids))):
+        if selected:
+            scores = lam * rel[remaining] - (1.0 - lam) * max_sim[remaining]
+        else:
+            scores = lam * rel[remaining]
+        pick_pos = int(np.argmax(scores))
+        pick = remaining.pop(pick_pos)
+        selected.append((ids[pick], float(rel[pick]), float(scores[pick_pos])))
+        max_sim = np.maximum(max_sim, sims[:, pick])
+    return selected

@@ -117,6 +117,9 @@ PRIORITY: list[str] = [
     # r5: learned-codebook PQ (KMeans floats — rows-only; deterministic
     # sibling knn_pq_adc_rerank carries the hash-checked ADC oracle)
     "knn_pq_kmeans_rerank",
+    # r5: MMR diversity re-rank (greedy/iterative — rows-only per the
+    # driver contract; pinned by a hand-crafted unit case + invariants)
+    "knn_mmr_diversified",
 ]
 
 

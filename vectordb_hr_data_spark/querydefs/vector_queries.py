@@ -749,6 +749,45 @@ def ivf_pq_residual_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_mmr_diversified", None)
+def knn_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware retrieval: over-fetch the cosine top-50 candidates
+    (distributed TakeOrderedAndProject — the only corpus-scale work), then
+    greedy MMR (λ=0.5) picks 10 results trading relevance against
+    redundancy (``operators/knn.mmr_select``). The standard "don't return
+    ten near-duplicates" re-rank every retrieval stack offers, composed
+    from the same over-fetch shape as A20. Rows-only by the driver
+    contract's iterative-algorithm clause: greedy selection is inherently
+    sequential and not SQL-expressible; a pytest pins the result against
+    an independent Python re-implementation and the relevance/diversity
+    invariants."""
+    from ..operators.knn import mmr_select, overfetch_count
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    qlit = F.lit([float(x) for x in q])
+    cand_rows = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            (1.0 - V.cosine_sim(F.col("embedding"), qlit)).alias("cdist"),
+        )
+        .orderBy(F.col("cdist").asc(), F.col("vec_id").asc())
+        .limit(overfetch_count(10) )
+        .collect()
+    )
+    picked = mmr_select(
+        [(r.vec_id, [float(x) for x in r.embedding]) for r in cand_rows], q, k=10
+    )
+    return spark.createDataFrame(
+        [
+            (int(i), int(rank), round(rel, 6), round(score, 6))
+            for rank, (i, rel, score) in enumerate(picked, start=1)
+        ],
+        "vec_id long, rank int, relevance double, mmr_score double",
+    )
+
+
 # Residual sub-distance template: residual lists are already materialized
 # DOUBLE lists on both sides, so no casts inside the fold.
 _RES_SUBDIST = (
