@@ -101,13 +101,29 @@ def main() -> None:
         return
     # durable full record (stdout may be truncated by the harness)
     try:
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
         local = dict(record, samples=samples, cpus=cpus, sf_dir=sf_dir,
                      n_queries=len(timings))
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
-        with open(path, "w") as f:
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+            json.dump(local, f, indent=1, sort_keys=True)
+        # per-round untruncated twin (VERDICT r5 #6): the driver's
+        # BENCH_r{N}.json captures stdout/stderr tails and has truncated
+        # three rounds running (parsed: null) — write the same full record
+        # under the round number the driver will stamp next, so the round
+        # artifact set always contains a parseable copy
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        n_round = (max(rounds) + 1) if rounds else 1
+        with open(os.path.join(here, f"BENCH_SUMMARY_r{n_round:02d}.json"), "w") as f:
             json.dump(local, f, indent=1, sort_keys=True)
     except OSError as e:
-        print(f"# BENCH_LOCAL.json not written: {e}", file=sys.stderr)
+        print(f"# bench record not written: {e}", file=sys.stderr)
     spark.stop()
 
 

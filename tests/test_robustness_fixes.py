@@ -218,7 +218,10 @@ def test_star_cc_salted_min_survives_power_law_hub(spark):
     extra = spark.createDataFrame(
         [(n + 10, n + 11), (n + 11, n + 12)], "src long, dst long"
     )
-    out = connected_components_star(edges.unionByName(extra), max_iter=10)
+    # force the salted path: the adaptive probe would pick n_salts=1 for a
+    # graph this small (SALT_EDGE_THRESHOLD), and this test exists to pin
+    # the salted two-phase aggregation itself
+    out = connected_components_star(edges.unionByName(extra), max_iter=10, n_salts=8)
     agg = {
         (r.comp, r.cnt)
         for r in out.groupBy("comp").agg(F.count("*").alias("cnt")).collect()

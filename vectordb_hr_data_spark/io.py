@@ -29,6 +29,14 @@ TESTDATA_TABLES = (
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/projections into it.
 
+    CONTRACT: reading ``events`` sets two session confs on the CALLER's
+    session for the rest of its lifetime — ``nanosAsLong=true`` and
+    ``session.timeZone=UTC``. Sessions built via ``session.get_spark``
+    already carry both (no-op there); for a plain external session (the
+    driver's) the UTC pin changes timestamp rendering/parsing semantics
+    from that point on. That is deliberate: every query and oracle in this
+    repo assumes UTC instants, and a half-UTC session would be worse.
+
     ``events.ts`` has shipped in two physical forms across testdata
     generations, both normalized here to a session-UTC TIMESTAMP so every
     downstream query sees one type:

@@ -119,9 +119,20 @@ def suggest_ivf_params(
         raise ValueError(f"recall_sla must be in (0, 1], got {recall_sla}")
     if n_rows <= 0 or dim <= 0:
         raise ValueError(f"need positive n_rows/dim, got {n_rows}/{dim}")
+    if n_clusters is not None and n_clusters > n_rows:
+        raise ValueError(
+            f"n_clusters={n_clusters} exceeds n_rows={n_rows}: a corpus cannot "
+            f"have more natural clusters than rows, and fit_centroids cannot "
+            f"return more centroids than rows"
+        )
     k_cap = max(4, _CENTROID_BROADCAST_BYTES // (8 * dim))
     k_floor = max(4, n_clusters or 0)
-    k = int(max(k_floor, min(k_cap, round(n_rows / rows_per_cell), n_rows)))
+    # the cluster-count floor must not override the hard bounds: clamp the
+    # floored k back inside the broadcast budget and the row count (an
+    # n_clusters estimate past the budget means re-sharding the coarse
+    # quantizer, not silently blowing the broadcast)
+    k = int(max(k_floor, round(n_rows / rows_per_cell)))
+    k = max(1, min(k, k_cap, n_rows))
     target = min(1.0, recall_sla + CURVE_TRANSFER_MARGIN)
     f = 1.0
     pts = PROBE_RECALL_CURVE
@@ -136,6 +147,38 @@ def suggest_ivf_params(
 
     n_probe = max(1, min(k, math.ceil(f * k)))
     return k, n_probe
+
+
+def needs_retune(
+    n_rows_now: int,
+    built_params: dict,
+    growth_tolerance: float = 2.0,
+) -> bool:
+    """Freshness check for a persisted index's TUNING, not its rows
+    (VERDICT r5 #4): the incremental append path
+    (``streaming.stream_ops.stream_ivf_sq8_append``) keeps K frozen at
+    train time, so a corpus that grows 10× silently degrades to over-full
+    cells — every probe then scans 10× the rows it was budgeted for, and
+    the recall/latency contract the params were suggested against quietly
+    breaks. Mirrors the reference's row-count freshness pattern
+    (``pipeline.needs_rebuild``, reference ``vector_db.py:75-103``) one
+    level up: compare the CURRENT mean cell occupancy against the
+    rows-per-cell budget the index was built with and trigger a
+    re-suggest + rebuild once it exceeds ``growth_tolerance`` × budget.
+
+    ``built_params`` carries what build time knew:
+    ``{"k": int, "rows_per_cell": int (optional, default ROWS_PER_CELL)}``
+    — the dict shape lets callers persist it next to the index like any
+    other trained state. Tolerance 2× by default: occupancy drifts with
+    ingest skew, and a rebuild is a full corpus pass — retune when the
+    geometry is genuinely stale, not on every append."""
+    k = int(built_params["k"])
+    if k <= 0:
+        raise ValueError(f"built_params['k'] must be positive, got {k}")
+    rows_per_cell = int(built_params.get("rows_per_cell", ROWS_PER_CELL))
+    if n_rows_now < 0:
+        raise ValueError(f"n_rows_now must be >= 0, got {n_rows_now}")
+    return n_rows_now > k * rows_per_cell * growth_tolerance
 
 
 def build_ivf_index(

@@ -112,7 +112,18 @@ def pq_codebook_kmeans(
     def _fit(j: int) -> list[list[float]]:
         feats = base.select(array_to_vector(F.slice("v", j * sub + 1, sub)).alias("features"))
         model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(feats)
-        return sorted([float(x) for x in c] for c in model.clusterCenters())
+        centers = sorted([float(x) for x in c] for c in model.clusterCenters())
+        if len(centers) != k:
+            # MLlib can collapse to fewer centers on a degenerate /
+            # low-cardinality corpus; the stitch below indexes [c] for c in
+            # range(k), so fail with a diagnostic instead of an IndexError
+            raise ValueError(
+                f"pq_codebook_kmeans: subspace {j} trained only "
+                f"{len(centers)} distinct centers (need k={k}) — corpus "
+                f"slice has too few distinct values; lower k or widen the "
+                f"training sample"
+            )
+        return centers
 
     # The m fits are independent and each is a chain of tiny jobs dominated
     # by per-job scheduling overhead, not data — submit them concurrently so

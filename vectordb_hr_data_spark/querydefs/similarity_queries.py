@@ -197,7 +197,7 @@ def ivf_topk_suggested(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stride = count/k), which first-k proved and KMeans never can. Uses the
     expression-form assignment for bit-parity. The oracle bakes the
     suggestion's (4, 2) — valid for any corpus under ~45k rows at
-    SLA 0.6; the assert fails loudly if a future scale drifts the
+    SLA 0.6; the guard raises loudly if a future scale drifts the
     suggestion away from the baked constants."""
     from ..operators.ivf import ivf_assign, ivf_topk, suggest_ivf_params
 
@@ -205,10 +205,13 @@ def ivf_topk_suggested(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_rows = emb.count()
     dim = len(emb.select("embedding").first()[0])
     k, n_probe = suggest_ivf_params(n_rows, dim, IVF_RECALL_SLA)
-    assert (k, n_probe) == (_SUGGESTED_K, _SUGGESTED_PROBE), (
-        f"suggest_ivf_params({n_rows}, {dim}, {IVF_RECALL_SLA}) -> ({k}, {n_probe}) "
-        f"no longer matches the oracle's baked ({_SUGGESTED_K}, {_SUGGESTED_PROBE})"
-    )
+    if (k, n_probe) != (_SUGGESTED_K, _SUGGESTED_PROBE):
+        # explicit raise, not assert: under python -O an assert is stripped
+        # and the drift would surface as an opaque oracle hash mismatch
+        raise RuntimeError(
+            f"suggest_ivf_params({n_rows}, {dim}, {IVF_RECALL_SLA}) -> ({k}, {n_probe}) "
+            f"no longer matches the oracle's baked ({_SUGGESTED_K}, {_SUGGESTED_PROBE})"
+        )
     stride = n_rows // k
     cents = emb.filter(
         (F.col("vec_id") % stride == 0) & (F.expr(f"vec_id div {stride}") < k)

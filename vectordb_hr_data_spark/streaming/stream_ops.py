@@ -157,6 +157,9 @@ def stream_ivf_sq8_append(
     hi: list[float],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    base_rows: int = 0,
+    on_retune=None,
+    rows_per_cell: int | None = None,
 ):
     """Streaming maintenance of the persisted IVF+SQ8 index: every
     micro-batch of new vectors is centroid-assigned (map-side expression
@@ -171,9 +174,34 @@ def stream_ivf_sq8_append(
     rebuilds; compaction/exactly-once bookkeeping is what Delta's MERGE
     adds when its jars land (io.py:95 note).
 
+    Index-geometry freshness (VERDICT r5 #4): the append keeps K frozen,
+    so the sink ALSO tracks the grown row count (``base_rows`` + appended,
+    a closure counter — no index re-count per batch) and checks
+    ``ivf.needs_retune`` after every append; when the corpus outgrows the
+    built rows-per-cell budget it calls ``on_retune(n_rows_now)`` ONCE
+    (default: a loud warning). The callback is where production schedules
+    the re-suggest + rebuild — retuning in-line inside a micro-batch would
+    stall the stream for a full corpus pass.
+
     Returns the StreamingQuery; callers own its lifecycle."""
-    from ..operators.ivf import ivf_assign
+    import warnings
+
+    from ..operators.ivf import ivf_assign, needs_retune
     from ..operators.quantize import sq8_encode_arrow
+
+    built_params = {"k": len(centroid_rows)}
+    if rows_per_cell is not None:
+        built_params["rows_per_cell"] = rows_per_cell
+    state = {"n_rows": int(base_rows), "retune_fired": False}
+    if on_retune is None:
+
+        def on_retune(n_now: int) -> None:
+            warnings.warn(
+                f"IVF index at {path} has outgrown its geometry "
+                f"(k={built_params['k']}, rows now {n_now}): re-run "
+                f"suggest_ivf_params and rebuild",
+                stacklevel=2,
+            )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -182,14 +210,14 @@ def stream_ivf_sq8_append(
             centroid_rows, "cid int, cvec array<double>"
         )
         assigned = ivf_assign(batch_df, cents, id_col=id_col, vec_col=vec_col)
-        (
-            assigned.select(
-                id_col, vec_col, sq8_encode_arrow(vec_col, lo, hi).alias("codes"), "cid"
-            )
-            .write.partitionBy("cid")
-            .mode("append")
-            .parquet(path)
-        )
+        enc = assigned.select(
+            id_col, vec_col, sq8_encode_arrow(vec_col, lo, hi).alias("codes"), "cid"
+        ).localCheckpoint(eager=True)  # one compute: the write below reuses it
+        enc.write.partitionBy("cid").mode("append").parquet(path)
+        state["n_rows"] += enc.count()
+        if not state["retune_fired"] and needs_retune(state["n_rows"], built_params):
+            state["retune_fired"] = True
+            on_retune(state["n_rows"])
 
     return vec_stream.writeStream.foreachBatch(sink).start()
 
