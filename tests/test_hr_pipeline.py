@@ -269,3 +269,94 @@ def F_lit0():
     from pyspark.sql import functions as F
 
     return F.lit(0.0)
+
+
+def test_recommend_at_scale_plan_and_parity(spark, tmp_path):
+    """VERDICT r5 #5: the composed 8-stage recommend at 100k rows and the
+    reference's REAL dim (384, config.py:16) — not the ~20-row fixture.
+    Three plan properties a 100 TB run stands on, asserted on the executed
+    plan over a PERSISTED index: (a) the doc_type pre-filter becomes
+    partition PRUNING on the scan (reference where={'doc_type': ...},
+    talent_recommender.py:31-40), (b) the over-fetch top-k is a
+    TakeOrderedAndProject (never a full sort), (c) no row-at-a-time
+    BatchEvalPython anywhere — the only Python boundary is the Arrow
+    scorer. And the ranked output must match the Python reference oracle
+    (talent_recommender.py:12-150 semantics) at this scale, numpy-exact."""
+    import re
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.embed import deterministic_embedder
+    from vectordb_hr_data_spark.operators.hr import project_candidates
+    from vectordb_hr_data_spark.pipeline import build_index, recommend
+    from vectordb_hr_data_spark.sources.hr_synth import synth_employees, synth_jobs
+
+    dim, n_emp, n_job, k = 384, 100_000, 840, 5
+    emp = synth_employees(spark, n_emp)
+    job = synth_jobs(spark, n_job)
+    idx_path = str(tmp_path / "hr_idx_100k")
+    build_index(emp, job, embedder=deterministic_embedder(dim), out_path=idx_path)
+    index = spark.read.parquet(idx_path)
+
+    query = "서비스 개발 데이터 파이프라인"
+    qvec = _hash_vec(query, dim)
+    out = recommend(
+        index,
+        qvec,
+        query,
+        num_results=k,
+        department_filter="it 개발팀",
+        required_languages=["영어"],
+        target_doc_type="employee",
+    )
+    got = out.collect()
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # (a) doc_type reaches the scan as a partition filter (pruning, not a
+    # post-scan Filter over all partitions)
+    m = re.search(r"PartitionFilters: \[([^\]]*doc_type[^\]]*)\]", plan)
+    assert m and "employee" in m.group(1), f"no doc_type partition pruning:\n{plan[:2000]}"
+    # (b) bounded top-k, (c) Arrow-only Python boundary
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+    # Python oracle at full scale: distances vectorized (numpy), then the
+    # reference's exact overfetch -> dept -> keyword -> lang -> re-rank
+    emb_pdf = index.filter(F.col("doc_type") == "employee").select("id", "embedding").toPandas()
+    E = np.array([list(v) for v in emb_pdf["embedding"]], dtype=np.float64)
+    d = ((E - np.asarray(qvec)) ** 2).sum(1)
+    order = sorted(range(len(d)), key=lambda i: (d[i], emb_pdf["id"][i]))
+    n_fetch = k * 5 if k * 5 > 10 else 20
+    cand_ids = [emb_pdf["id"][i] for i in order[:n_fetch]]
+    dist_by_id = {emb_pdf["id"][i]: d[i] for i in order[:n_fetch]}
+
+    meta = {
+        r["id"]: r.asDict()
+        for r in project_candidates(index.withColumn("distance", F.lit(0.0)))
+        .filter(F.col("id").isin(cand_ids))
+        .collect()
+    }
+    rows = [dict(meta[i], distance=dist_by_id[i]) for i in cand_ids]
+    # reference refinement, reusing the oracle's stage logic
+    kept = []
+    for c in rows:
+        c["reasoning"] = []
+        if c["department"].lower() == "it 개발팀":
+            c["reasoning"].append(f"부서 일치: {c['department']}")
+            kept.append(c)
+    keywords = [w.strip().lower() for w in query.split() if len(w.strip()) > 2]
+    for c in kept:
+        n_kw = sum(1 for kw in keywords if kw in c["projects"].lower())
+        if n_kw > 0:
+            c["reasoning"].append(f"프로젝트/업무 관련 키워드 {n_kw}개 매칭")
+    kept = [
+        c
+        for c in kept
+        if all(lg.lower() in c["languages"].lower() for lg in ["영어"])
+        and not c["reasoning"].append("요구 언어 충족: 영어")
+    ]
+    kept.sort(key=lambda c: (-len(c["reasoning"]), c["distance"], c["id"]))
+    want = [(c["id"], len(c["reasoning"])) for c in kept[:k]]
+    assert [(r["id"], len(r["reasoning"])) for r in got] == want
+    assert len(got) > 0  # the filters must not have emptied the page

@@ -51,24 +51,28 @@ def du(path: str) -> int:
     return total
 
 
-def build_corpus(spark, n_rows: int, dim: int, clustered: bool = False) -> str:
+def build_corpus(
+    spark, n_rows: int, dim: int, clustered: bool = False, noise: float = 0.05
+) -> str:
     """``clustered=False``: uniform — adversarial for PQ (concentration of
     measure; nearest neighbours barely closer than the median point).
     ``clustered=True``: a 64-component mixture whose within-cluster noise
     is LOW-RANK (16 latent dims) — the shape real MiniLM-style text
-    embeddings have (intrinsic dimension in the tens). The rank matters:
-    with ISOTROPIC 384-dim noise, within-cluster distances concentrate
-    exactly like the uniform corpus and NO byte-budget sketch can rank
-    them (measured: every PQ variant ≤ 0.34 recall) — it is the low-rank
-    structure, not clustering per se, that PQ exploits."""
-    path = f"{OUT}/corpus-{n_rows}-{dim}{'-mog16' if clustered else ''}"
+    embeddings have (intrinsic dimension in the tens). ``noise`` scales
+    the latent basis: the default 0.05 gives per-dim within-cluster std
+    ≈ 0.05·√16 = 0.2 (the on-distribution case); ~0.005 gives the TIGHT
+    manifold where within-cluster gaps shrink below every ambient-space
+    sketch's quantization noise — the stress bracket (project first /
+    OPQ territory, r6 re-measurement of the r5 low-rank row)."""
+    ntag = "" if noise == 0.05 else f"-n{noise}"
+    path = f"{OUT}/corpus-{n_rows}-{dim}{('-mog16' + ntag) if clustered else ''}"
     if os.path.exists(path + "/_SUCCESS"):
         return path
 
     n_clusters, latent = 64, 16
     seed_rng = np.random.RandomState(99)
     centers = seed_rng.rand(n_clusters, dim).astype(np.float32)
-    basis = (seed_rng.randn(latent, dim) * 0.05).astype(np.float32)
+    basis = (seed_rng.randn(latent, dim) * noise).astype(np.float32)
 
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def gen(ids: pd.Series) -> pd.Series:
@@ -144,9 +148,14 @@ def main() -> int:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else 384
     clustered = "--clustered" in sys.argv
+    noise = 0.05
+    for a in sys.argv:
+        if a.startswith("--noise="):
+            noise = float(a.split("=", 1)[1])
     spark = get_spark("ladder-384", cpus=16)
-    corpus = build_corpus(spark, n_rows, dim, clustered=clustered)
-    tag = f"{n_rows}-{dim}" + ("-mog" if clustered else "")
+    corpus = build_corpus(spark, n_rows, dim, clustered=clustered, noise=noise)
+    ntag = "" if noise == 0.05 else f"-n{noise}"
+    tag = f"{n_rows}-{dim}" + (("-mog" + ntag) if clustered else "")
     emb = spark.read.parquet(corpus)
     queries = [
         [float(x) for x in r.embedding]
@@ -163,17 +172,34 @@ def main() -> int:
     t0 = time.time()
     cb_learned = pq_codebook_kmeans(emb, dim=dim, m=48, k=128, sample_fraction=0.05)
     t_learn = time.time() - t0
-    k_cells, n_probe = suggest_ivf_params(n_rows, dim, 0.6)
-    stride = n_rows // k_cells
-    cents = spark.createDataFrame(
-        [
-            (int(r.vec_id // stride), [float(x) for x in r.embedding])
-            for r in emb.filter(
-                (F.col("vec_id") % stride == 0) & (F.expr(f"vec_id div {stride}") < k_cells)
-            ).collect()
-        ],
-        "cid int, cvec array<double>",
-    )
+    # Coarse quantizer provisioning is the whole game on clustered data
+    # (r5 finding: strided centroids cover 4/64 clusters → IVF recall 0.00,
+    # an artifact of the quantizer, not of PQ). On-distribution runs feed
+    # the known cluster count through the tuning contract
+    # (suggest_ivf_params n_clusters floor) and LEARN the centroids —
+    # exactly what SCALE.md prescribes at 100 TB (estimate cluster count,
+    # K = max(N/10k, ~clusters)). Uniform runs keep the strided demo
+    # centroids so the r5 numbers stay reproducible.
+    if clustered:
+        from vectordb_hr_data_spark.operators.ivf import fit_centroids
+
+        k_cells, n_probe = suggest_ivf_params(n_rows, dim, 0.6, n_clusters=64)
+        t0 = time.time()
+        cents = fit_centroids(emb, k=k_cells).localCheckpoint(eager=True)
+        t_cents = time.time() - t0
+        print(f"# learned {k_cells}-centroid coarse quantizer in {t_cents:.0f}s, probe {n_probe}")
+    else:
+        k_cells, n_probe = suggest_ivf_params(n_rows, dim, 0.6)
+        stride = n_rows // k_cells
+        cents = spark.createDataFrame(
+            [
+                (int(r.vec_id // stride), [float(x) for x in r.embedding])
+                for r in emb.filter(
+                    (F.col("vec_id") % stride == 0) & (F.expr(f"vec_id div {stride}") < k_cells)
+                ).collect()
+            ],
+            "cid int, cvec array<double>",
+        )
     cent_map = {r.cid: list(r.cvec) for r in cents.collect()}
     ZERO = {0: [0.0] * dim}  # flat ADC = residual ADC against a zero centroid
 
