@@ -266,6 +266,39 @@ def main() -> int:
         surv = scan.join(F.broadcast(cand), "vec_id")
         return [r.vec_id for r in topk(surv, exact_qdist(query)).collect()]
 
+    # OPQ rung (r6): eigen-allocated PCA rotation learned from a bounded
+    # sample, applied as one GEMM per Arrow batch, then the SAME learned-
+    # codebook PQ machinery in the rotated space; candidates re-ranked
+    # exactly in the ORIGINAL space (rotation is an isometry). This is the
+    # "project first" escape hatch for the tight-manifold flat-PQ erosion.
+    from vectordb_hr_data_spark.operators.opq import pca_rotation_fit, project_arrow
+
+    t0 = time.time()
+    opq_rot = pca_rotation_fit(emb, dim=dim, m=48, sample_n=min(n_rows, 20_000))
+    rot_frame = emb.select("vec_id", project_arrow("embedding", opq_rot).alias("rotv"))
+    cb_opq = pq_codebook_kmeans(
+        rot_frame, dim=dim, m=48, k=128, vec_col="rotv", sample_fraction=0.05
+    )
+    t_opq = time.time() - t0
+    opq_pay_path = f"{OUT}/pay-opq-{tag}"
+    if not os.path.exists(opq_pay_path + "/_SUCCESS"):
+        rot_frame.select(
+            "vec_id", pq_encode_arrow("rotv", cb_opq, dim=dim, m=48).alias("rc")
+        ).withColumn("cid", F.lit(0)).write.mode("overwrite").option(
+            "compression", "zstd"
+        ).parquet(opq_pay_path)
+    sizes["opq"] = du(opq_pay_path)
+    opq_rmat = np.asarray(opq_rot)
+
+    def opq_run(query):
+        rq = [float(x) for x in opq_rmat @ np.asarray(query, dtype=np.float64)]
+        cand = topk(
+            spark.read.parquet(opq_pay_path),
+            pq_residual_qdist_arrow("rc", "cid", ZERO, cb_opq, rq, dim=dim, m=48),
+            overfetch_count(10),
+        ).select("vec_id")
+        return rerank(cand, query)
+
     def pq_run_factory(name, cbk, m):
         def run(query):
             cand = topk(
@@ -342,6 +375,7 @@ def main() -> int:
         ("PQ m=48,k=128 (prod)", pq_run_factory("pq-prod", cb_prod, 48), sizes["pq-prod"], 1.0),
         ("PQ m=48,k=256 (8-bit offset)", pq_run_factory("pq-prod256", cb_prod256, 48), sizes["pq-prod256"], 1.0),
         (f"PQ m=48,k=128 LEARNED ({t_learn:.0f}s fit)", pq_run_factory("pq-learned", cb_learned, 48), sizes["pq-learned"], 1.0),
+        (f"OPQ(PCA-alloc)+PQ m=48,k=128 ({t_opq:.0f}s fit)", opq_run, sizes["opq"], 1.0),
         (f"residual IVFADC m=48 (probe {n_probe})", res_run, sizes["pq-prod"], n_probe / k_cells),
         (
             f"residual IVFADC m=48 LEARNED ({t_rlearn:.0f}s fit, probe {n_probe})",

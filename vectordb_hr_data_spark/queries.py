@@ -58,6 +58,10 @@ PRIORITY: list[str] = [
     # index forms — persisted PQ-ADC and chunk-level ANN
     "ivf_sq8_rerank_indexed", "ivf_topk_indexed", "ivf_topk_prefiltered",
     "ivf_pq_adc_indexed", "chunk_ann_search",
+    # r6: OPQ rotation before PQ — brand-new, needs its first driver row
+    # (q7_nation_volume, multi-green join anchor, moves below the fold;
+    # join-family representation stays via the 13 in-window TPC-H shapes)
+    "knn_opq_rotated_adc",
     # reference-native HR pipeline (A4-A29)
     "hr_union_freshness_counts", "hr_dept_filter_ci", "hr_keyword_score",
     "hr_lang_all_match", "hr_overfetch_rerank",
@@ -76,7 +80,7 @@ PRIORITY: list[str] = [
     "events_sessionize", "events_asof_last_purchase", "events_salted_join_weighted",
     # relational core + the 13 never-windowed TPC-H shapes (q4/q7 keep the
     # multi-green exists/join anchors)
-    "q1_pricing_summary", "q4_order_priority_exists", "q7_nation_volume",
+    "q1_pricing_summary", "q4_order_priority_exists",
     "q2_cheapest_supplier_per_part", "q8_national_market_share",
     "q9_product_profit_by_nation_year", "q10_returned_items_top_customers",
     "q11_important_part_value", "q12_priority_case_agg", "q14_ratio_aggregate",
@@ -85,6 +89,7 @@ PRIORITY: list[str] = [
     "q21_suppliers_kept_orders_waiting", "q22_idle_rich_customers",
     # --- position 51+: shapes with driver-green rows in prior rounds
     # (rotated out r6) or proven by an in-window sibling ---
+    "q7_nation_volume",
     "knn_topk_sq8", "knn_pq_adc_rerank", "ivf_pq_residual_det",
     "ivf_topk_suggested", "chunk_embed_ivf_search",
     "hr_tagged_union_projection", "hr_metadata_flatten",
@@ -112,6 +117,9 @@ PRIORITY: list[str] = [
     # r5: learned-codebook PQ (KMeans floats — rows-only; deterministic
     # sibling knn_pq_adc_rerank carries the hash-checked ADC oracle)
     "knn_pq_kmeans_rerank",
+    # r6: learned-rotation OPQ (PCA/Procrustes floats — rows-only; seeded
+    # sibling knn_opq_rotated_adc carries the hash-checked rotate+ADC oracle)
+    "knn_opq_pca_rerank",
     # r5: MMR diversity re-rank (greedy/iterative — rows-only per the
     # driver contract; pinned by a hand-crafted unit case + invariants)
     "knn_mmr_diversified",

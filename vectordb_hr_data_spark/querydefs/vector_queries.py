@@ -907,3 +907,159 @@ def ivf_pq_residual_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# --- OPQ: rotation before PQ (operators/opq.py, r6) -----------------------
+# The seeded data-independent rotation anchors the hash contract: the SAME
+# rounded 64×64 orthonormal matrix appears as a literal in the Spark kernel
+# and in the oracle SQL, and every downstream stage (rotate, codes, LUT,
+# ADC) is an IEEE sequential left-fold in float64 on both engines.
+
+from ..operators.opq import rotate_fold_arrow, rotate_fold_driver, seeded_rotation
+
+_OPQ_ROT = seeded_rotation(64, seed=7, decimals=9)
+_OPQ_ROT_SQL = "[" + ", ".join(
+    "[" + ", ".join(repr(x) for x in row) + "]" for row in _OPQ_ROT
+) + "]"
+
+_OPQ_SUBDIST = (
+    "list_sum(list_transform(range(1, 9), d ->"
+    " power({v}[CAST(j*8+d AS INT)]"
+    " - cb.cbs[CAST(c+1 AS INT)][CAST(j*8+d AS INT)], 2)))"
+)
+
+
+@register(
+    "knn_opq_rotated_adc",
+    f"""
+WITH rmat AS (SELECT {_OPQ_ROT_SQL} AS rm),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+rotated AS (
+  SELECT e.vec_id, e.embedding,
+         list_transform(range(0, 64), i ->
+           list_sum(list_transform(range(1, 65), t ->
+             CAST(e.embedding[CAST(t AS INT)] AS DOUBLE)
+             * rmat.rm[CAST(i+1 AS INT)][CAST(t AS INT)]))) AS rot
+  FROM embeddings e, rmat
+), cb AS (
+  SELECT list(rot ORDER BY vec_id) AS cbs FROM rotated WHERE vec_id < 16
+), rq AS (SELECT rot AS rqv FROM rotated WHERE vec_id = 0),
+dists AS (
+  SELECT r.vec_id, r.embedding,
+         list_transform(range(0, 8), j ->
+           list_transform(range(0, 16), c -> {_OPQ_SUBDIST.format(v='r.rot')})) AS dl
+  FROM rotated r, cb
+), codes AS (
+  SELECT vec_id, embedding,
+         list_transform(dl, l -> CAST(list_indexof(l, list_min(l)) - 1 AS TINYINT)) AS pqcodes
+  FROM dists
+), lut AS (
+  SELECT list_transform(range(0, 8), j ->
+           list_transform(range(0, 16), c -> {_OPQ_SUBDIST.format(v='rq.rqv')})) AS t
+  FROM cb, rq
+), adc AS (
+  SELECT c.vec_id, c.embedding,
+         round(list_sum(list_transform(range(0, 8), j ->
+           lut.t[CAST(j+1 AS INT)][CAST(c.pqcodes[CAST(j+1 AS INT)] AS INT) + 1])), {_ROUND}) AS qdistance
+  FROM codes c, lut
+), cand AS (
+  SELECT vec_id, embedding FROM adc ORDER BY qdistance, vec_id LIMIT {overfetch_count(10)}
+)
+SELECT c.vec_id, round({_L2.format(a='c.embedding', b='q.qv')}, {_ROUND}) AS distance
+FROM cand c, q
+ORDER BY distance, c.vec_id
+LIMIT 10
+""",
+)
+def knn_opq_rotated_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-style rotation ahead of the PQ-ADC scan (operators/opq.py, r6 —
+    the "project first" escape hatch SCALE.md's tight-manifold bracket
+    prescribes): rotate every vector by a fixed orthonormal matrix, THEN
+    subspace-split/encode/ADC-rank in the rotated space, re-ranking the
+    over-fetched survivors exactly in the ORIGINAL space (rotations are
+    isometries, so exact distances are untouched and phase 2 is identical
+    to the flat sibling ``knn_pq_adc_rerank``).
+
+    This deterministic anchor uses the data-independent seeded rotation
+    (random orthonormal — the variance-balancing baseline of Ge et al.
+    CVPR'13); the LEARNED eigen-allocated / Procrustes-refined rotations
+    ride the same kernels in the ladder tool and recall pytest, exactly as
+    ``pq_codebook_kmeans`` stands behind ``knn_pq_adc_rerank``. The
+    rotation is one Arrow pass whose matmul folds left-to-right so codes,
+    LUT, ADC ranks, and final distances all reproduce bit-exactly in the
+    DuckDB oracle; at 100 TB the rotate+encode is a build-time map-only
+    pass (state: one 1.2 MB matrix broadcast), and the query-time scan
+    still reads only the m code bytes per row."""
+    from ..operators.pq import pq_adc_distance, pq_adc_lut, pq_encode_arrow
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb_raw = (
+        emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").orderBy("vec_id").collect()
+    )
+    cb = [rotate_fold_driver(r.embedding, _OPQ_ROT) for r in cb_raw]
+    q = _query_vec(spark, sf_dir)
+    rq = rotate_fold_driver(q, _OPQ_ROT)
+    lut = pq_adc_lut(cb, rq)
+    rot = emb.select("vec_id", "embedding", rotate_fold_arrow("embedding", _OPQ_ROT).alias("rot"))
+    codes = rot.select("vec_id", "embedding", pq_encode_arrow("rot", cb).alias("pqcodes"))
+    adc = F.round(pq_adc_distance("pqcodes", lut), _ROUND)
+    cand = (
+        codes.select("vec_id", "embedding", adc.alias("qdistance"))
+        .orderBy(F.col("qdistance").asc(), F.col("vec_id").asc())
+        .limit(overfetch_count(10))
+    )
+    exact = F.round(V.l2sq(F.col("embedding"), F.lit([float(x) for x in q])), _ROUND)
+    return (
+        cand.select("vec_id", exact.alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+_OPQ_LEARNED_CACHE: dict[str, tuple[list[list[float]], list[list[float]]]] = {}
+
+
+@register("knn_opq_pca_rerank", None)
+def knn_opq_pca_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``knn_opq_rotated_adc`` with the LEARNED rotation — PCA on a bounded
+    driver sample, eigenvalue-allocation bucketing, then one alternating
+    codebook/Procrustes refinement pass (``opq_refine``) that also yields
+    the per-subspace learned codebook. Identical retrieval plan to the
+    seeded anchor (one GEMM-per-batch projection, one Arrow encode pass,
+    JVM ADC lookups, over-fetch 50, exact re-rank in the original space);
+    only the trained state differs, cached per corpus per process like
+    ``_PQ_KMEANS_CB_CACHE``. Rows-only: eigendecomposition/SVD float
+    reductions aren't bit-portable to DuckDB; the seeded sibling carries
+    the hash-checked oracle for the rotate+ADC math."""
+    import numpy as np
+
+    from ..operators.opq import opq_refine, pca_rotation_fit, project_arrow
+    from ..operators.pq import pq_adc_distance, pq_adc_lut, pq_encode_arrow
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    if sf_dir not in _OPQ_LEARNED_CACHE:
+        rot0 = pca_rotation_fit(emb, dim=64, m=8, sample_n=2048)
+        _OPQ_LEARNED_CACHE[sf_dir] = opq_refine(
+            emb, rot0, dim=64, m=8, k=16, iters=3, sample_n=2048
+        )
+    rot, cb = _OPQ_LEARNED_CACHE[sf_dir]
+    q = _query_vec(spark, sf_dir)
+    rq = [float(x) for x in np.asarray(rot) @ np.asarray(q, dtype=np.float64)]
+    lut = pq_adc_lut(cb, rq)
+    codes = emb.select(
+        "vec_id",
+        "embedding",
+        pq_encode_arrow(project_arrow("embedding", rot), cb).alias("pqcodes"),
+    )
+    adc = F.round(pq_adc_distance("pqcodes", lut), _ROUND)
+    cand = (
+        codes.select("vec_id", "embedding", adc.alias("qdistance"))
+        .orderBy(F.col("qdistance").asc(), F.col("vec_id").asc())
+        .limit(overfetch_count(10))
+    )
+    exact = F.round(V.l2sq(F.col("embedding"), F.lit([float(x) for x in q])), _ROUND)
+    return (
+        cand.select("vec_id", exact.alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
