@@ -305,3 +305,33 @@ def test_corpus_prep_pipeline_composes_monotonically(spark, sf_dir):
     for r in out:
         assert r.n_docs > 0 and r.sum_tokens > 0
         assert r.utilization > 0.0
+
+
+def test_corpus_shuffle_shards_balanced_deterministic_one_exchange(spark, sf_dir):
+    """Seeded shuffle/shard (r6): (a) every doc appears exactly once with a
+    contiguous 1..n_shard position, (b) shard sizes are hash-balanced
+    (within 4σ of binomial), (c) re-run is identical (the randomness is a
+    hash, not an RNG), (d) the plan carries exactly ONE exchange — the
+    per-shard window — since key and shard are map-side projections."""
+    import math
+
+    from vectordb_hr_data_spark.queries import REGISTRY
+
+    fn = REGISTRY["corpus_shuffle_shards"].fn
+    rows = [(r.doc_id, r.shard, r.pos) for r in fn(spark, sf_dir).collect()]
+    n = len(rows)
+    assert len({d for d, _, _ in rows}) == n  # each doc once
+    by_shard: dict[int, list[int]] = {}
+    for _, s, p in rows:
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), f"shard {s} positions not contiguous"
+    exp = n / 8
+    sigma = math.sqrt(n * (1 / 8) * (7 / 8))
+    for s, ps in by_shard.items():
+        assert abs(len(ps) - exp) < 4 * sigma + 1, f"shard {s} size {len(ps)} vs {exp:.0f}"
+    assert rows == [(r.doc_id, r.shard, r.pos) for r in fn(spark, sf_dir).collect()]
+    plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan

@@ -39,12 +39,29 @@ def main() -> int:
     shutil.rmtree(out, ignore_errors=True)
 
     spark = get_spark("compression-study", cpus=16)
+
+    # Byte-coded index payloads (NEXT: "ZSTD vs Snappy for the byte-coded
+    # index"): SQ8 codes (1 B/dim, near-uniform bytes) and PQ codes
+    # (m bytes/vector, codeword-id distribution) — the columns a 100 TB
+    # quantized index actually scans.
+    from vectordb_hr_data_spark.operators.pq import pq_codebook, pq_encode_arrow
+    from vectordb_hr_data_spark.operators.quantize import fit_ranges, sq8_encode_arrow
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    lo, hi = fit_ranges(emb, "embedding", 64)
+    cb = pq_codebook(emb)
+    sq8_codes = emb.select("vec_id", sq8_encode_arrow("embedding", lo, hi).alias("codes"))
+    pq_codes = emb.select("vec_id", pq_encode_arrow("embedding", cb).alias("codes"))
+
     cases = []
-    for table, agg in (
-        ("embeddings", lambda df: df.select(F.sum(F.element_at("embedding", 1))).collect()),
-        ("documents", lambda df: df.select(F.sum(F.length("text"))).collect()),
+    for table, src, agg in (
+        ("embeddings", None, lambda df: df.select(F.sum(F.element_at("embedding", 1))).collect()),
+        ("documents", None, lambda df: df.select(F.sum(F.length("text"))).collect()),
+        ("sq8-codes", sq8_codes, lambda df: df.select(F.sum(F.element_at("codes", 1).cast("long"))).collect()),
+        ("pq-codes", pq_codes, lambda df: df.select(F.sum(F.element_at("codes", 1).cast("long"))).collect()),
     ):
-        src = read_table(spark, sf_dir, table)
+        if src is None:
+            src = read_table(spark, sf_dir, table)
         src.cache().count()
         for codec, level in (("snappy", None), ("zstd", None), ("zstd", 9)):
             name = codec + (f"-{level}" if level else "")

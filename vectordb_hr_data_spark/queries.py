@@ -89,6 +89,10 @@ PRIORITY: list[str] = [
     "q21_suppliers_kept_orders_waiting", "q22_idle_rich_customers",
     # --- position 51+: shapes with driver-green rows in prior rounds
     # (rotated out r6) or proven by an in-window sibling ---
+    # r6: binary sign-sketch Hamming retrieval and the seeded training
+    # shuffle/shard — first in line for the r7 window rotation (brand-new
+    # oracles, strict-local evidence only)
+    "knn_bitsketch_hamming_rerank", "corpus_shuffle_shards",
     "q7_nation_volume",
     "knn_topk_sq8", "knn_pq_adc_rerank", "ivf_pq_residual_det",
     "ivf_topk_suggested", "chunk_embed_ivf_search",

@@ -959,3 +959,58 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# seeded corpus shuffle + sharding: the data-loader handoff step (r6)
+# ---------------------------------------------------------------------------
+SHUF_SHARDS = 8
+SHUF_SEED = "42"
+
+_SHUF_KEY_DDB = f"md5(CAST(doc_id AS VARCHAR) || ':shuffle:' || '{SHUF_SEED}')"
+_SHUF_SHARD_DDB = (
+    f"CAST(CAST(('0x' || substr({_SHUF_KEY_DDB}, 1, 8)) AS BIGINT) % {SHUF_SHARDS} AS INT)"
+)
+
+
+@register(
+    "corpus_shuffle_shards",
+    f"""
+WITH keyed AS (
+  SELECT doc_id, {_SHUF_KEY_DDB} AS skey, {_SHUF_SHARD_DDB} AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS BIGINT) AS pos
+FROM keyed
+ORDER BY shard, pos
+""",
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global shuffle + sharding — the step between corpus prep and
+    the training data loader: every epoch-0 pipeline (GPT-3 §2.2,
+    Llama-style recipes) randomizes document order and splits the corpus
+    into fixed shards for parallel loaders. Deterministic re-expression:
+    the 'randomness' IS a hash — sort key = md5(doc_id:shuffle:seed),
+    shard = first-8-hex-digits % SHUF_SHARDS, within-shard position =
+    rank on the key. Changing the seed re-deals the whole corpus;
+    re-running never does.
+
+    Scale shape: key+shard are map-only projections; the only exchange is
+    the per-shard window, keyed on a uniform md5-derived shard id (the
+    same uniformity argument as ``doc_hash_split``), so at 100 TB this is
+    one balanced repartition + per-partition sort — exactly the shuffle a
+    sharded tfrecord/webdataset writer performs, with ``.write.
+    partitionBy(shard)`` as the sink. Hash-checked: md5 hex strings and
+    ASCII ordering agree across engines."""
+    docs = read_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":shuffle:{SHUF_SEED}")))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % SHUF_SHARDS
+    ).cast("int")
+    keyed = docs.select("doc_id", key.alias("skey"), shard.alias("shard"))
+    w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    return (
+        keyed.select("doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos"))
+        .orderBy("shard", "pos")
+    )

@@ -1063,3 +1063,88 @@ def knn_opq_pca_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+_BITS_HALF_SQL = (
+    "list_sum(list_transform(range(0, 32), i ->"
+    " CASE WHEN {v}[CAST({off} + i + 1 AS INT)] >= 0"
+    " THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END))"
+)
+
+_BITSKETCH_OVERFETCH = 200  # 1-bit/dim is coarser than PQ — wider page, still O(k)
+
+
+@register(
+    "knn_bitsketch_hamming_rerank",
+    f"""
+WITH rmat AS (SELECT {_OPQ_ROT_SQL} AS rm),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+rotated AS (
+  SELECT e.vec_id, e.embedding,
+         list_transform(range(0, 64), i ->
+           list_sum(list_transform(range(1, 65), t ->
+             CAST(e.embedding[CAST(t AS INT)] AS DOUBLE)
+             * rmat.rm[CAST(i+1 AS INT)][CAST(t AS INT)]))) AS rot
+  FROM embeddings e, rmat
+), sigs AS (
+  SELECT vec_id, embedding,
+         {_BITS_HALF_SQL.format(v='rot', off=0)} AS sig_lo,
+         {_BITS_HALF_SQL.format(v='rot', off=32)} AS sig_hi
+  FROM rotated
+), qsig AS (
+  SELECT {_BITS_HALF_SQL.format(v='rot', off=0)} AS qlo,
+         {_BITS_HALF_SQL.format(v='rot', off=32)} AS qhi
+  FROM rotated WHERE vec_id = 0
+), ranked AS (
+  SELECT s.vec_id, s.embedding,
+         CAST(bit_count(xor(s.sig_lo, qsig.qlo))
+              + bit_count(xor(s.sig_hi, qsig.qhi)) AS INT) AS hamming
+  FROM sigs s, qsig
+), cand AS (
+  SELECT vec_id, embedding FROM ranked ORDER BY hamming, vec_id LIMIT {_BITSKETCH_OVERFETCH}
+)
+SELECT c.vec_id, round({_L2.format(a='c.embedding', b='q.qv')}, {_ROUND}) AS distance
+FROM cand c, q
+ORDER BY distance, c.vec_id
+LIMIT 10
+""",
+)
+def knn_bitsketch_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign-sketch retrieval (operators/bitsketch.py, B30 — the rung
+    BELOW PQ): each vector stored as 64 sign bits of its seeded-rotation
+    projections, packed into two bigint halves; phase-1 ranks the corpus by
+    ``bit_count(xor)`` — two machine-word xors + popcounts per row, pure
+    JVM integer arithmetic inside whole-stage codegen, no LUT, no Arrow,
+    no float math at all (Charikar STOC'02 SimHash over super-bit
+    orthogonal hyperplanes). Over-fetches a wider page (200 — a 1-bit/dim
+    sketch is coarser than PQ's 4-bit subspaces) and exact re-ranks in the
+    original space. At 100 TB the sketch column is 8 B/vector (32× under
+    float32, 4× under PQ8) and the scan does integer ops only — the
+    cheapest candidate generator on the ladder; encode amortizes at build
+    time (one rotate pass shared with the OPQ sketch). The rotated values
+    are bit-identical across engines (left-fold contract), so signatures,
+    Hamming ranks, and the final page are hash-checked end to end."""
+    from ..operators.bitsketch import hamming_distance, signature_half, signature_half_driver
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    rq = rotate_fold_driver(q, _OPQ_ROT)
+    qlo, qhi = signature_half_driver(rq, 0), signature_half_driver(rq, 1)
+    rot = emb.select("vec_id", "embedding", rotate_fold_arrow("embedding", _OPQ_ROT).alias("rot"))
+    sigs = rot.select(
+        "vec_id",
+        "embedding",
+        signature_half("rot", 0).alias("sig_lo"),
+        signature_half("rot", 1).alias("sig_hi"),
+    )
+    cand = (
+        sigs.select("vec_id", "embedding", hamming_distance("sig_lo", "sig_hi", qlo, qhi).alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+        .limit(_BITSKETCH_OVERFETCH)
+    )
+    exact = F.round(V.l2sq(F.col("embedding"), F.lit([float(x) for x in q])), _ROUND)
+    return (
+        cand.select("vec_id", exact.alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
