@@ -104,3 +104,64 @@ def test_pq_lut_distance_identity(vectors):
             acc = acc + d * d
         direct = direct + acc
     assert total == direct
+
+
+@given(
+    st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False), min_size=64, max_size=64),
+    st.floats(min_value=0.001, max_value=1000.0),
+)
+@settings(max_examples=50, deadline=None)
+def test_bitsketch_signature_scale_invariant(vec, scale):
+    """Sign bits depend only on direction: sig(c·v) == sig(v) for any
+    c > 0 — the property that makes the sketch an ANGULAR estimator
+    (Charikar '02), robust to norm drift that breaks L2 sketches."""
+    from vectordb_hr_data_spark.operators.bitsketch import signature_half_driver
+    from vectordb_hr_data_spark.operators.opq import rotate_fold_driver, seeded_rotation
+
+    rot = seeded_rotation(64, seed=7)
+    r1 = rotate_fold_driver(vec, rot)
+    r2 = rotate_fold_driver([x * scale for x in vec], rot)
+    for h in (0, 1):
+        assert signature_half_driver(r1, h) == signature_half_driver(r2, h)
+
+
+@given(
+    st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False), min_size=64, max_size=64),
+    st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False), min_size=64, max_size=64),
+)
+@settings(max_examples=50, deadline=None)
+def test_bitsketch_hamming_symmetric_bounded(a, b):
+    """Driver-side Hamming between two signatures is symmetric, zero on
+    self, and bounded by the bit width."""
+    from vectordb_hr_data_spark.operators.bitsketch import signature_half_driver
+    from vectordb_hr_data_spark.operators.opq import rotate_fold_driver, seeded_rotation
+
+    rot = seeded_rotation(64, seed=7)
+    ra, rb = rotate_fold_driver(a, rot), rotate_fold_driver(b, rot)
+
+    def sig(r):
+        return signature_half_driver(r, 0) | (signature_half_driver(r, 1) << 32)
+
+    d_ab = bin(sig(ra) ^ sig(rb)).count("1")
+    d_ba = bin(sig(rb) ^ sig(ra)).count("1")
+    assert d_ab == d_ba
+    assert 0 <= d_ab <= 64
+    assert bin(sig(ra) ^ sig(ra)).count("1") == 0
+
+
+@given(
+    st.lists(st.floats(min_value=-5, max_value=5, allow_nan=False), min_size=32, max_size=32)
+)
+@settings(max_examples=50, deadline=None)
+def test_rotation_fold_linear(vec):
+    """The left-fold rotation is linear: fold(v + w) folds to the same
+    doubles as fold(v) + fold(w) need NOT hold bitwise (different add
+    orders), but fold(0) == 0 and fold(-v) == -fold(v) DO hold exactly
+    (negation is exact in IEEE)."""
+    from vectordb_hr_data_spark.operators.opq import rotate_fold_driver, seeded_rotation
+
+    rot = seeded_rotation(32, seed=11)
+    assert rotate_fold_driver([0.0] * 32, rot) == [0.0] * 32
+    pos = rotate_fold_driver(vec, rot)
+    neg = rotate_fold_driver([-x for x in vec], rot)
+    assert all(p == -n for p, n in zip(pos, neg))

@@ -335,3 +335,51 @@ def test_corpus_shuffle_shards_balanced_deterministic_one_exchange(spark, sf_dir
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_simhash_banding_complete_and_consistent(spark, sf_dir):
+    """Manku-banded near-dup (r6): (a) SOUND — every reported pair really
+    is within Hamming ≤ 3 on the 32-bit simhash, with Jaccard ≥ 0.5
+    recomputed driver-side from the shingle sets; (b) COMPLETE over the
+    sibling — every min-shingle-blocked n-gram pair whose simhashes are
+    within Hamming ≤ 3 is reported (the 4 × 8-bit pigeonhole guarantee).
+    Note the converse does NOT hold and that is a feature: the banding
+    finds true near-dups the sibling's single-min-shingle blocking can
+    miss (e.g. pair (5, 450) at sf0.001 — shared vocabulary shifts the
+    lexicographic-min shingle while 3-gram overlap stays 0.97)."""
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.functions import texthash as H
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.queries import REGISTRY
+
+    got = {
+        (r.doc_id_1, r.doc_id_2): (r.hamming, r.jaccard)
+        for r in REGISTRY["neardup_simhash_hamming"].fn(spark, sf_dir).collect()
+    }
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(H.spark_tokens("text")).alias("toks"))
+    shf = toks.select("doc_id", F.expr(H.spark_shingles("toks")).alias("sh"))
+    shin = {r.doc_id: set(r.sh) for r in shf.collect()}
+    sims = {
+        r.doc_id: r.s
+        for r in shf.select(
+            "doc_id", F.expr(H.spark_simhash(H.spark_hash_array("sh"))).alias("s")
+        ).collect()
+    }
+
+    def ham(a, b):
+        return bin((sims[a] ^ sims[b]) & 0xFFFFFFFF).count("1")
+    for (a, b), (h, j) in got.items():
+        assert h == ham(a, b) and h <= 3
+        inter = len(shin[a] & shin[b])
+        union = len(shin[a] | shin[b])
+        assert union and inter / union >= 0.5
+        assert abs(round(inter / union, 4) - j) < 1e-9
+    ngram = {
+        (r.doc_id_1, r.doc_id_2): r.jaccard
+        for r in REGISTRY["neardup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    for (a, b), j in ngram.items():
+        if ham(a, b) <= 3:
+            assert (a, b) in got, f"banding missed {(a, b)} at hamming {ham(a, b)}"

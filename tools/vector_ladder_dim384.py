@@ -299,6 +299,42 @@ def main() -> int:
         ).select("vec_id")
         return rerank(cand, query)
 
+    # Bitsketch rung (r6): 1 bit/dim sign sketch over a seeded rotation —
+    # dim/32 packed bigint halves, phase-1 = xor+popcount JVM codegen only.
+    from vectordb_hr_data_spark.operators.bitsketch import (
+        hamming_distance_n,
+        signature_half,
+        signature_half_driver,
+    )
+    from vectordb_hr_data_spark.operators.opq import seeded_rotation
+
+    n_halves = dim // 32
+    bs_rot = seeded_rotation(dim, seed=7)
+    bs_rmat = np.asarray(bs_rot)
+    bs_pay_path = f"{OUT}/pay-bitsketch-{tag}"
+    if not os.path.exists(bs_pay_path + "/_SUCCESS"):
+        brot = emb.select("vec_id", project_arrow("embedding", bs_rot).alias("rotv"))
+        brot.select(
+            "vec_id",
+            *[signature_half("rotv", h).alias(f"sig{h}") for h in range(n_halves)],
+        ).write.mode("overwrite").option("compression", "zstd").parquet(bs_pay_path)
+    sizes["bitsketch"] = du(bs_pay_path)
+
+    def bitsketch_run(query):
+        rq = bs_rmat @ np.asarray(query, dtype=np.float64)
+        qsigs = [signature_half_driver(rq, h) for h in range(n_halves)]
+        cand = (
+            spark.read.parquet(bs_pay_path)
+            .select(
+                "vec_id",
+                hamming_distance_n([f"sig{h}" for h in range(n_halves)], qsigs).alias("hd"),
+            )
+            .orderBy(F.col("hd").asc(), F.col("vec_id").asc())
+            .limit(200)
+            .select("vec_id")
+        )
+        return rerank(cand, query)
+
     def pq_run_factory(name, cbk, m):
         def run(query):
             cand = topk(
@@ -376,6 +412,7 @@ def main() -> int:
         ("PQ m=48,k=256 (8-bit offset)", pq_run_factory("pq-prod256", cb_prod256, 48), sizes["pq-prod256"], 1.0),
         (f"PQ m=48,k=128 LEARNED ({t_learn:.0f}s fit)", pq_run_factory("pq-learned", cb_learned, 48), sizes["pq-learned"], 1.0),
         (f"OPQ(PCA-alloc)+PQ m=48,k=128 ({t_opq:.0f}s fit)", opq_run, sizes["opq"], 1.0),
+        ("bitsketch 1-bit/dim + Hamming (overfetch 200)", bitsketch_run, sizes["bitsketch"], 1.0),
         (f"residual IVFADC m=48 (probe {n_probe})", res_run, sizes["pq-prod"], n_probe / k_cells),
         (
             f"residual IVFADC m=48 LEARNED ({t_rlearn:.0f}s fit, probe {n_probe})",

@@ -93,6 +93,7 @@ PRIORITY: list[str] = [
     # shuffle/shard — first in line for the r7 window rotation (brand-new
     # oracles, strict-local evidence only)
     "knn_bitsketch_hamming_rerank", "corpus_shuffle_shards",
+    "neardup_simhash_hamming",
     "q7_nation_volume",
     "knn_topk_sq8", "knn_pq_adc_rerank", "ivf_pq_residual_det",
     "ivf_topk_suggested", "chunk_embed_ivf_search",

@@ -346,3 +346,139 @@ def neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id_1", "vec_id_2")
     )
+
+
+# --------------------------------------------------------------------------
+# SimHash-banded near-dup: Manku-style Hamming blocking + Jaccard verify (r6)
+# --------------------------------------------------------------------------
+SIMHASH_HAM_T = 3  # pairs within Hamming ≤ 3 of the 32-bit simhash
+SIMHASH_BANDS = 4  # 4 × 8-bit bands: pigeonhole-complete for Hamming ≤ 3
+
+
+@register(
+    "neardup_simhash_hamming",
+    f"""
+WITH t AS (
+  SELECT doc_id, {H.ddb_tokens('text')} AS toks FROM documents
+), shin AS (
+  SELECT doc_id, {H.ddb_shingles('toks')} AS shingles FROM t
+), sim AS (
+  SELECT doc_id,
+         CAST({H.ddb_simhash(H.ddb_hash_array('shingles'))} AS BIGINT) AS sh
+  FROM shin
+), pairs AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+         CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_HAM_T}
+)
+SELECT p.doc_id_1, p.doc_id_2, p.hamming,
+       round({H.jaccard_sql_ddb('s1.shingles', 's2.shingles')}, 4) AS jaccard
+FROM pairs p
+JOIN shin s1 ON s1.doc_id = p.doc_id_1
+JOIN shin s2 ON s2.doc_id = p.doc_id_2
+WHERE {H.jaccard_sql_ddb('s1.shingles', 's2.shingles')} >= {JACCARD_THRESHOLD}
+ORDER BY doc_id_1, doc_id_2
+""",
+)
+def neardup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup, the Manku et al. WWW'07 production shape: pairs
+    whose 32-bit simhash differs in ≤ 3 bits, verified by word-3-gram
+    Jaccard ≥ 0.5. The SEMANTIC (what the oracle replays all-pairs) is the
+    Hamming + Jaccard predicate; the Spark MECHANISM is banded blocking —
+    split the signature into 4 × 8-bit bands, equi-join on (band_id,
+    band_value), and by pigeonhole any pair within Hamming ≤ 3 agrees on
+    at least one band, so the blocked candidate set is provably COMPLETE
+    while never forming the all-pairs product. Verification cost is then
+    ∝ candidates: the cheap integer Hamming filter runs on the banded
+    join output, and the expensive shingle-set Jaccard only on the
+    Hamming survivors (re-attached by id, the same shuffle discipline as
+    ``neardup_ngram_jaccard``). At 100 TB: signatures are one int per
+    doc; band join keys are uniform bytes unless the corpus is
+    pathologically self-similar, and a hot band value degrades to that
+    bucket's pairs only — never O(corpus²).
+
+    The signature hashes the 3-gram SHINGLE set, not the token set —
+    measured on this corpus (shared small vocabulary): token-set simhash
+    concentrates (11.6% of RANDOM pairs within Hamming ≤ 3 → the band
+    join degenerates toward all-pairs, 24 s at sf0.1), while shingle-set
+    simhash separates perfectly (0 background pairs ≤ 6; near-dups ≤ 3;
+    1.5% band-collision rate). Same lesson as MinHash: band over the
+    features whose overlap you are detecting — which also makes the
+    signature and the Jaccard verify agree on what "similar" means."""
+    d = read_table(spark, sf_dir, "documents")
+    # The signature is NOT computed with spark_simhash's array-fold form
+    # here: that expression is 32 interpreted higher-order aggregates per
+    # row, and over SHINGLE arrays (≈ token count per doc, unlike the
+    # small distinct-token arrays `doc_simhash` folds) the interpreter
+    # cost alone measured ~60 s per pass at sf0.1 — ×2 for the self-join
+    # sides. Instead: explode the shingles, hash each ONCE with the
+    # codegen'd md5 fast hash, and take the 32 per-bit votes as plain
+    # SUM aggregates — whole-stage codegen end-to-end, map-side partial
+    # aggregation collapses to one row per doc per partition before the
+    # shuffle, and the shuffle key (doc_id) is uniform. Same integer
+    # arithmetic as the oracle's all-pairs fold, so values hash-match.
+    # Small local files arrive as ONE input split, serializing the (CPU
+    # heavy) shingle build on one core; a 100 TB scan has thousands of
+    # splits and needs no help. Add the narrow doc_id exchange only when
+    # the scan under-parallelizes.
+    cores = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < cores:
+        d = d.repartition(cores, "doc_id")
+    toks0 = d.select("doc_id", F.expr(H.spark_tokens("text")).alias("toks"))
+    shin0 = toks0.select("doc_id", F.expr(H.spark_shingles("toks")).alias("shingles")).cache()
+    hashed = shin0.select("doc_id", F.explode("shingles").alias("t")).select(
+        "doc_id", F.expr(H.spark_str_hash_fast("t")).alias("h")
+    )
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(32)
+        ]
+    )
+    sh_expr = None
+    for b in range(32):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("bigint")
+        sh_expr = bit if sh_expr is None else sh_expr + bit
+    # One bigint per doc; cached because the band self-join and the
+    # Hamming filter both read it (at 100 TB this is the persisted
+    # sketch-index frame, not a luxury).
+    sim = votes.select("doc_id", sh_expr.cast("bigint").alias("sh")).cache()
+    bands = sim.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("sh"), 8 * i).bitwiseAND(F.lit(255)) for i in range(SIMHASH_BANDS)
+            ])
+        ).alias("band_id", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).cast("int")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_HAM_T)
+        .distinct()  # a pair may collide on several bands
+    )
+    s1 = shin0.select(F.col("doc_id").alias("doc_id_1"), F.col("shingles").alias("sh1"))
+    s2 = shin0.select(F.col("doc_id").alias("doc_id_2"), F.col("shingles").alias("sh2"))
+    jac = F.expr(H.jaccard_sql_spark("sh1", "sh2"))
+    return (
+        cand.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_id_1", "doc_id_2", "hamming", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_id_1", "doc_id_2")
+    )
