@@ -383,3 +383,126 @@ def test_simhash_banding_complete_and_consistent(spark, sf_dir):
     for (a, b), j in ngram.items():
         if ham(a, b) <= 3:
             assert (a, b) in got, f"banding missed {(a, b)} at hamming {ham(a, b)}"
+
+
+def _r_up(x, nd):
+    """Spark/DuckDB-compatible HALF_UP rounding (python round() is
+    half-even; BigDecimal.valueOf(double).setScale(nd, HALF_UP) operates
+    on the shortest decimal repr, which Decimal(repr(x)) reproduces)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(Decimal(f"1e-{nd}"), rounding=ROUND_HALF_UP))
+
+
+def test_lm_perplexity_matches_python_lm(spark, sf_dir):
+    """doc_lm_perplexity (r6): recompute the add-alpha bigram LM in plain
+    Python (counts → smoothed -ln p → micro-nat quantization → integer
+    sums) and assert every document's n_bigrams / cross_entropy / ppl
+    match exactly — including the order-independence contract (the python
+    sum is over dict order, Spark's over partition order; the integer
+    quantization makes both exact)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.queries import REGISTRY
+    from vectordb_hr_data_spark.querydefs.text_queries import LM_ALPHA
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in read_table(spark, sf_dir, "documents").collect()
+    }
+    c2, c1, vocab = Counter(), Counter(), set()
+    per_doc = defaultdict(Counter)
+    for doc_id, t in docs.items():
+        vocab.update(t)
+        for w1, w2 in zip(t, t[1:]):
+            c2[(w1, w2)] += 1
+            c1[w1] += 1
+            per_doc[doc_id][(w1, w2)] += 1
+    v = len(vocab)
+
+    got = {r.doc_id: r for r in REGISTRY["doc_lm_perplexity"].fn(spark, sf_dir).collect()}
+    assert set(got) == {d for d, t in docs.items() if len(t) >= 2}
+    for doc_id, grams in per_doc.items():
+        s = sum(
+            n * int(_r_up(-math.log((c2[g] + LM_ALPHA) / (c1[g[0]] + LM_ALPHA * v)) * 1e6, 0))
+            for g, n in grams.items()
+        )
+        n_tot = sum(grams.values())
+        r = got[doc_id]
+        assert r.n_bigrams == n_tot
+        assert r.cross_entropy == _r_up(s / 1e6 / n_tot, 6)
+        assert r.ppl == _r_up(math.exp(s / 1e6 / n_tot), 4)
+
+
+def test_quality_classifier_keep_is_sign_of_integer_sum(spark, sf_dir):
+    """doc_quality_classifier (r6): the keep verdict equals the sign of
+    the exact integer dot product (recomputed in python from the same
+    md5-derived milli-weights), and score is the sigmoid of logit."""
+    import hashlib
+    import math
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.queries import REGISTRY
+    from vectordb_hr_data_spark.querydefs.text_queries import CLF_BUCKETS, CLF_W_SCALE
+
+    def fh(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def weight(tok):
+        b = fh(tok) % CLF_BUCKETS
+        return (fh(f"w:{b}") % (2 * CLF_W_SCALE + 1)) - CLF_W_SCALE
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in read_table(spark, sf_dir, "documents").collect()
+    }
+    got = {r.doc_id: r for r in REGISTRY["doc_quality_classifier"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(docs)
+    for doc_id, toks in docs.items():
+        s = sum(weight(t) for t in toks)
+        r = got[doc_id]
+        assert r.n_tokens == len(toks)
+        logit = s / CLF_W_SCALE / len(toks)
+        assert r.logit == _r_up(logit, 6)
+        assert r.score == _r_up(1.0 / (1.0 + math.exp(-logit)), 4)
+        assert r.keep == (s > 0)
+
+
+def test_dup_ngram_coverage_matches_bruteforce(spark, sf_dir):
+    """doc_dup_ngram_coverage (r6): brute-force the corpus n-gram counts
+    and the per-document covered-position union in python; every row must
+    match, short documents included (0 coverage via the left join), and
+    the planted exact-duplicate docs must report full coverage."""
+    from collections import Counter
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.queries import REGISTRY
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import DUPSPAN_N
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in read_table(spark, sf_dir, "documents").collect()
+    }
+    grams = Counter()
+    for t in docs.values():
+        for i in range(len(t) - DUPSPAN_N + 1):
+            grams[" ".join(t[i : i + DUPSPAN_N])] += 1
+
+    got = {r.doc_id: r for r in REGISTRY["doc_dup_ngram_coverage"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(docs)
+    full_cov = 0
+    for doc_id, t in docs.items():
+        covered = set()
+        for i in range(len(t) - DUPSPAN_N + 1):
+            if grams[" ".join(t[i : i + DUPSPAN_N])] > 1:
+                covered.update(range(i, i + DUPSPAN_N))
+        r = got[doc_id]
+        assert r.n_tokens == len(t)
+        assert r.n_dup_positions == len(covered)
+        assert r.dup_frac == _r_up(len(covered) / len(t), 4)
+        full_cov += r.dup_frac == 1.0
+    texts = Counter(" ".join(t) for t in docs.values())
+    if any(c > 1 for c in texts.values()):
+        assert full_cov > 0

@@ -94,6 +94,10 @@ PRIORITY: list[str] = [
     # oracles, strict-local evidence only)
     "knn_bitsketch_hamming_rerank", "corpus_shuffle_shards",
     "neardup_simhash_hamming",
+    # r6: CCNet-style LM perplexity, hashed linear quality classifier,
+    # cross-doc duplicated-span coverage — queued with the other new
+    # oracles for the r7 window rotation
+    "doc_lm_perplexity", "doc_quality_classifier", "doc_dup_ngram_coverage",
     "q7_nation_volume",
     "knn_topk_sq8", "knn_pq_adc_rerank", "ivf_pq_residual_det",
     "ivf_topk_suggested", "chunk_embed_ivf_search",

@@ -1014,3 +1014,88 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.select("doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos"))
         .orderBy("shard", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# B34: cross-document duplicated n-gram coverage (exact-substring-dedup metric)
+# ---------------------------------------------------------------------------
+# Lee et al. ACL'22 ("Deduplicating Training Data Makes Language Models
+# Better") and RefinedWeb measure, per document, the fraction of content
+# covered by n-gram spans that occur more than once in the corpus — the
+# signal behind exact-substring dedup. doc_repetition_ratio is the
+# WITHIN-document sibling; this is the cross-document one.
+DUPSPAN_N = 8  # span length in tokens; long enough to not saturate
+
+
+@register(
+    "doc_dup_ngram_coverage",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), spans AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         array_to_string(t[CAST(i AS INT):CAST(i AS INT) + {DUPSPAN_N} - 1], ' ') AS g
+  FROM toks, unnest(range(1, len(t) - {DUPSPAN_N} + 2)) AS r(i)
+), dupg AS (
+  SELECT g FROM spans GROUP BY g HAVING count(*) > 1
+), covered AS (
+  SELECT DISTINCT s.doc_id, s.i + CAST(o AS BIGINT) AS pos
+  FROM spans s JOIN dupg USING (g), unnest(range(0, {DUPSPAN_N})) AS u(o)
+), cov AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_positions FROM covered GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       COALESCE(c.n_dup_positions, 0) AS n_dup_positions,
+       round(COALESCE(c.n_dup_positions, 0) / CAST(len(t.t) AS DOUBLE), 4) AS dup_frac
+FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def doc_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each document's token positions covered by {n}-gram
+    spans that occur more than once ANYWHERE in the corpus (self-matches
+    included, per the exact-substring-dedup definition).
+
+    Scale shape: spans reduce to per-gram corpus counts (uniform key —
+    8-gram strings; at 100 TB swap the join key for the 8-byte
+    spark_shingle_keys polynomial to shrink the shuffle), duplicated
+    grams join back to spans (only DUPLICATED spans fan out into covered
+    positions, so the explode factor is bounded by the corpus's actual
+    duplication), and the interval union is a per-document distinct —
+    never cross-document. Documents shorter than the span length have no
+    spans and report 0 coverage via the left join.
+    """.replace("{n}", str(DUPSPAN_N))
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    spans = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(t) - {DUPSPAN_N} + 1, 0)),"
+                f" i -> concat_ws(' ', slice(t, i, {DUPSPAN_N})))"
+            )
+        ).alias("p0", "g"),
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("i"), "g")
+    dupg = spans.groupBy("g").agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 1).select("g")
+    covered = (
+        spans.join(dupg, "g")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {DUPSPAN_N} - 1)")).alias("pos"),
+        )
+        .distinct()
+    )
+    cov = covered.groupBy("doc_id").agg(F.count("*").alias("n_dup_positions"))
+    return (
+        toks.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_dup_positions"), F.lit(0)).cast("long").alias("n_dup_positions"),
+            F.round(
+                F.coalesce(F.col("n_dup_positions"), F.lit(0)) / F.size("t").cast("double"), 4
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

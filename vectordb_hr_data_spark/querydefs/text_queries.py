@@ -394,3 +394,193 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# B33: bigram-LM perplexity quality filter (CCNet-style)
+# ---------------------------------------------------------------------------
+# CCNet (Wenzek et al. LREC'20) ranks web documents by the perplexity of a
+# language model and keeps the low-perplexity head. Here the LM is an
+# add-alpha-smoothed bigram model trained on the corpus itself (the
+# distributed twin of its KenLM stage): training = two groupBy counts,
+# scoring = a join from bigram instances back to the count tables.
+LM_ALPHA = 0.5  # add-alpha smoothing
+
+
+@register(
+    "doc_lm_perplexity",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), uni AS (
+  SELECT count(DISTINCT u) AS v FROM (SELECT unnest(t) AS u FROM toks)
+), bi AS (
+  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+), db AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n_b FROM bi GROUP BY doc_id, w1, w2
+), c2 AS (
+  SELECT w1, w2, CAST(sum(n_b) AS BIGINT) AS c2 FROM db GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(sum(n_b) AS BIGINT) AS c1 FROM db GROUP BY w1
+), scored AS (
+  SELECT d.doc_id, d.n_b,
+         CAST(round(-ln((c2.c2 + {LM_ALPHA}) / (c1.c1 + {LM_ALPHA} * uni.v)) * 1000000.0)
+              AS BIGINT) AS nl
+  FROM db d
+  JOIN c2 ON c2.w1 = d.w1 AND c2.w2 = d.w2
+  JOIN c1 ON c1.w1 = d.w1
+  CROSS JOIN uni
+)
+SELECT doc_id,
+       CAST(sum(n_b) AS BIGINT) AS n_bigrams,
+       round(sum(n_b * nl) / 1000000.0 / sum(n_b), 6) AS cross_entropy,
+       round(exp(sum(n_b * nl) / 1000000.0 / sum(n_b)), 4) AS ppl
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an add-alpha bigram LM trained on the
+    corpus (the CCNet quality-filter signal, Wenzek et al. LREC'20).
+
+    Determinism contract: each distinct bigram's -ln P is quantized ONCE
+    to integer micro-nats (round(-ln p * 1e6)), so the per-document
+    aggregation is an exact integer sum — order-independent across
+    partitions and bit-identical between Spark and DuckDB regardless of
+    how either engine schedules the group aggregation. Only the final
+    cross-entropy/perplexity are floats, derived from the integer sums by
+    the same expression on both engines.
+
+    Scale shape: bigram instances reduce map-side to per-(doc, bigram)
+    counts before any shuffle; the count tables c2/c1 are
+    vocabulary-sized (broadcast here; for a web-scale vocabulary the same
+    plan holds with a shuffle join on the uniform (w1, w2) key). Training
+    and scoring are the same two passes at any corpus size — no driver
+    state, unlike a KenLM fit. Documents with fewer than 2 tokens have no
+    bigrams and drop out (both engines)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    db = bi.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n_b"))
+    c2 = db.groupBy("w1", "w2").agg(F.sum("n_b").alias("c2"))
+    c1 = db.groupBy("w1").agg(F.sum("n_b").alias("c1"))
+    v = (
+        toks.select(F.explode("t").alias("u"))
+        .agg(F.countDistinct("u").alias("v"))
+    )
+    p = (F.col("c2") + LM_ALPHA) / (F.col("c1") + LM_ALPHA * F.col("v"))
+    scored = (
+        db.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), ["w1"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "n_b",
+            F.round(-F.log(p) * 1000000.0, 0).cast("long").alias("nl"),
+        )
+    )
+    ce = F.sum(F.col("n_b") * F.col("nl")) / 1000000.0 / F.sum("n_b")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("n_b").cast("long").alias("n_bigrams"),
+            F.round(ce, 6).alias("cross_entropy"),
+            F.round(F.exp(ce), 4).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B35: hashing-trick linear quality classifier (fastText-style scoring)
+# ---------------------------------------------------------------------------
+# GPT-3/CCNet-style corpora keep documents a linear classifier scores as
+# "high quality". This operator is the SCORING side of that filter as pure
+# DataFrame algebra: bag-of-words → hashing trick into a fixed bucket
+# space (Weinberger et al. ICML'09) → dot product with a weight vector →
+# sigmoid. The weights here are derived deterministically from the bucket
+# id (a seeded stand-in for trained parameters, same plumbing either way:
+# a trained model would broadcast a D-sized weight array instead).
+CLF_BUCKETS = 4096
+CLF_W_SCALE = 1000  # weights are integers in [-1000, 1000] (milli-units)
+
+
+def _clf_weight_ddb(bucket_sql: str) -> str:
+    h = H.ddb_str_hash_fast(f"'w:' || CAST({bucket_sql} AS VARCHAR)")
+    return f"(({h}) % {2 * CLF_W_SCALE + 1}) - {CLF_W_SCALE}"
+
+
+def _clf_weight_spark(bucket_sql: str) -> str:
+    h = H.spark_str_hash_fast(f"concat('w:', cast({bucket_sql} as string))")
+    return f"(({h}) % {2 * CLF_W_SCALE + 1}) - {CLF_W_SCALE}"
+
+
+@register(
+    "doc_quality_classifier",
+    f"""
+WITH tf AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), dtf AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS n FROM tf GROUP BY doc_id, t
+), wt AS (
+  SELECT doc_id, n,
+         {_clf_weight_ddb(H.ddb_str_hash_fast('t') + f" % {CLF_BUCKETS}")} AS wi
+  FROM dtf
+), agg AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens, CAST(sum(n * wi) AS BIGINT) AS s
+  FROM wt GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(s / {CLF_W_SCALE}.0 / n_tokens, 6) AS logit,
+       round(1.0 / (1.0 + exp(-(s / {CLF_W_SCALE}.0 / n_tokens))), 4) AS score,
+       s > 0 AS keep
+FROM agg
+ORDER BY doc_id
+""",
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality score per document: mean hashed-bucket weight
+    over token instances, squashed by a sigmoid; ``keep`` is the
+    score > 0.5 verdict.
+
+    Determinism contract: weights are INTEGERS (milli-units), so the
+    per-document dot product is an exact integer sum — order-independent
+    and engine-portable; only the final logit/score are floats derived
+    from it. The keep verdict compares the integer sum against zero
+    (exactly score > 0.5), never a float against a threshold.
+
+    Scale shape: explode → map-side-reduced per-(doc, token) counts →
+    per-row weight arithmetic (md5 + conv, whole-stage codegen) → one
+    groupBy on the uniform doc_id key. No weight table is materialized
+    because weights derive from the bucket id; a trained model swaps in a
+    broadcast D-sized array lookup — same plan otherwise."""
+    d = read_table(spark, sf_dir, "documents")
+    dtf = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("n"))
+    )
+    bucket = f"({H.spark_str_hash_fast('t')}) % {CLF_BUCKETS}"
+    wt = dtf.select("doc_id", "n", F.expr(_clf_weight_spark(bucket)).alias("wi"))
+    agg = wt.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum(F.col("n") * F.col("wi")).cast("long").alias("s"),
+    )
+    logit = F.col("s") / float(CLF_W_SCALE) / F.col("n_tokens")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.round(logit, 6).alias("logit"),
+        F.round(1.0 / (1.0 + F.exp(-logit)), 4).alias("score"),
+        (F.col("s") > 0).alias("keep"),
+    ).orderBy("doc_id")
