@@ -506,3 +506,104 @@ def test_dup_ngram_coverage_matches_bruteforce(spark, sf_dir):
     texts = Counter(" ".join(t) for t in docs.values())
     if any(c > 1 for c in texts.values()):
         assert full_cov > 0
+
+
+def test_dsir_matches_python_and_enriches_target(spark, sf_dir):
+    """dsir_importance_resample (r6): recompute the hashed-bigram
+    importance weights in python (integer micro-nat contract included)
+    and assert every row matches; then assert the selected head is
+    enriched in the target language versus the base rate — the point of
+    the method."""
+    import hashlib
+    import math
+    from collections import Counter, defaultdict
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.queries import REGISTRY
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import (
+        DSIR_ALPHA,
+        DSIR_BUCKETS,
+        DSIR_KEEP_FRAC,
+    )
+
+    def bucket(w1, w2):
+        return int(hashlib.md5(f"{w1} {w2}".encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+
+    docs = {
+        r.doc_id: (r.lang, r.text.split(" "))
+        for r in read_table(spark, sf_dir, "documents").collect()
+    }
+    tgt, raw = Counter(), Counter()
+    per_doc = defaultdict(Counter)
+    for doc_id, (lang, t) in docs.items():
+        for w1, w2 in zip(t, t[1:]):
+            b = bucket(w1, w2)
+            per_doc[doc_id][b] += 1
+            raw[b] += 1
+            if lang == "en":
+                tgt[b] += 1
+    nt, nr = sum(tgt.values()), sum(raw.values())
+
+    def lw(b):
+        pt = (tgt.get(b, 0) + DSIR_ALPHA) / (nt + DSIR_ALPHA * DSIR_BUCKETS)
+        pr = (raw[b] + DSIR_ALPHA) / (nr + DSIR_ALPHA * DSIR_BUCKETS)
+        return int(_r_up(math.log(pt / pr) * 1e6, 0))
+
+    scores = {
+        doc_id: (sum(n * lw(b) for b, n in bs.items()), sum(bs.values()))
+        for doc_id, bs in per_doc.items()
+    }
+    order = sorted(scores, key=lambda d: (-(scores[d][0] / scores[d][1]), d))
+    ranks = {d: i + 1 for i, d in enumerate(order)}
+    k = math.ceil(DSIR_KEEP_FRAC * len(order))
+
+    got = {r.doc_id: r for r in REGISTRY["dsir_importance_resample"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(scores)
+    for doc_id, (s, n) in scores.items():
+        r = got[doc_id]
+        assert r.n_bigrams == n
+        assert r.log_ratio == _r_up(s / 1e6 / n, 6)
+        assert r.rnk == ranks[doc_id]
+        assert r.selected == (ranks[doc_id] <= k)
+    sel_en = sum(1 for d in order[:k] if docs[d][0] == "en") / k
+    base_en = sum(1 for d in docs if docs[d][0] == "en") / len(docs)
+    assert sel_en > base_en
+
+
+def test_token_budget_sample_prefix_fits_budget(spark, sf_dir):
+    """source_token_budget_sample (r6): per source, the kept rows are
+    exactly the seeded-hash-order prefix whose running token total fits
+    the budget; recomputed in python; kept token mass never exceeds the
+    budget and adding the first dropped doc would exceed it."""
+    import hashlib
+    from collections import defaultdict
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.queries import REGISTRY
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import TOKEN_BUDGET_PER_SOURCE
+
+    docs = [
+        (r.doc_id, r.source, len(r.text.split(" ")))
+        for r in read_table(spark, sf_dir, "documents").collect()
+    ]
+    by_src = defaultdict(list)
+    for doc_id, src, n in docs:
+        key = hashlib.md5(f"{doc_id}:budget".encode()).hexdigest()
+        by_src[src].append((key, doc_id, n))
+    expect = {}
+    for src, rows in by_src.items():
+        cum = 0
+        for key, doc_id, n in sorted(rows):
+            cum += n
+            expect[doc_id] = (n, cum, cum <= TOKEN_BUDGET_PER_SOURCE)
+
+    got = {r.doc_id: r for r in REGISTRY["source_token_budget_sample"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for doc_id, (n, cum, kept) in expect.items():
+        r = got[doc_id]
+        assert (r.n_tokens, r.cum_tokens, r.kept) == (n, cum, kept)
+    kept_mass = defaultdict(int)
+    for r in got.values():
+        if r.kept:
+            kept_mass[r.source] += r.n_tokens
+    assert all(v <= TOKEN_BUDGET_PER_SOURCE for v in kept_mass.values())

@@ -1099,3 +1099,204 @@ def doc_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# B36: DSIR-style hashed-n-gram importance resampling
+# ---------------------------------------------------------------------------
+# Data Selection via Importance Resampling (Xie et al. NeurIPS'23): score
+# every raw document by the log-likelihood ratio of its hashed-bigram
+# features under a TARGET distribution vs the RAW corpus distribution, then
+# keep the highest-ratio head. Here target = the lang='en' slice (stand-in
+# for "looks like Wikipedia"); features = bigrams hashed into a fixed
+# bucket space so both distributions are D-dimensional count vectors.
+DSIR_BUCKETS = 4096
+DSIR_ALPHA = 0.5
+DSIR_KEEP_FRAC = 0.25
+
+
+def _dsir_bucket(w1: str, w2: str, dialect: str) -> str:
+    if dialect == "spark":
+        h = H.spark_str_hash_fast(f"concat({w1}, ' ', {w2})")
+    else:
+        h = H.ddb_str_hash_fast(f"{w1} || ' ' || {w2}")
+    return f"({h}) % {DSIR_BUCKETS}"
+
+
+@register(
+    "dsir_importance_resample",
+    f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+), bi AS (
+  SELECT doc_id, lang,
+         {_dsir_bucket("t[CAST(i AS INT)]", "t[CAST(i AS INT) + 1]", "ddb")} AS b
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+), db AS (
+  SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS n FROM bi GROUP BY doc_id, lang, b
+), tgt AS (
+  SELECT b, CAST(sum(n) AS BIGINT) AS ct FROM db WHERE lang = 'en' GROUP BY b
+), raw AS (
+  SELECT b, CAST(sum(n) AS BIGINT) AS cr FROM db GROUP BY b
+), tot AS (
+  SELECT (SELECT sum(ct) FROM tgt) AS nt, (SELECT sum(cr) FROM raw) AS nr
+), scored AS (
+  SELECT d.doc_id, d.n,
+         CAST(round(ln(((COALESCE(t.ct, 0) + {DSIR_ALPHA}) / (tot.nt + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+                     / ((r.cr + {DSIR_ALPHA}) / (tot.nr + {DSIR_ALPHA} * {DSIR_BUCKETS}))) * 1000000.0)
+              AS BIGINT) AS lw
+  FROM db d
+  LEFT JOIN tgt t ON t.b = d.b
+  JOIN raw r ON r.b = d.b
+  CROSS JOIN tot
+), agg AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams, CAST(sum(n * lw) AS BIGINT) AS s
+  FROM scored GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, n_bigrams,
+         round(s / 1000000.0 / n_bigrams, 6) AS log_ratio,
+         row_number() OVER (ORDER BY CAST(s AS DOUBLE) / n_bigrams DESC, doc_id) AS rnk,
+         count(*) OVER () AS n_total
+  FROM agg
+)
+SELECT doc_id, n_bigrams, log_ratio, CAST(rnk AS BIGINT) AS rnk,
+       rnk <= CAST(ceil({DSIR_KEEP_FRAC} * n_total) AS BIGINT) AS selected
+FROM ranked
+ORDER BY doc_id
+""",
+)
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: per-document mean hashed-bigram importance
+    log-ratio ln(p_target/p_raw), ranked, with the top 25% selected.
+
+    Determinism contract: each bucket's log-ratio is quantized once to
+    integer micro-nats, per-document scores are exact integer sums, and
+    the selection rank breaks ties on doc_id — so the kept set is
+    identical across engines and partitionings. (The rank sorts on the
+    exact ratio s/n rather than the rounded display column.)
+
+    Scale shape: bigram instances reduce map-side to per-(doc, bucket)
+    counts; the target/raw distributions are D-sized (broadcast); the
+    only corpus-wide ordering is the final rank over one row per doc —
+    at 100 TB swap row_number for the approx-quantile threshold form
+    (``stratified_sample_threshold``'s pattern) to avoid the single-key
+    window, selecting by score cutoff instead of exact rank."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.split(F.col("text"), " ").alias("t"))
+    bi = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "lang", F.expr(_dsir_bucket("g.w1", "g.w2", "spark")).alias("b"))
+    db = bi.groupBy("doc_id", "lang", "b").agg(F.count("*").alias("n"))
+    tgt = db.filter(F.col("lang") == "en").groupBy("b").agg(F.sum("n").alias("ct"))
+    raw = db.groupBy("b").agg(F.sum("n").alias("cr"))
+    tot = tgt.agg(F.sum("ct").alias("nt")).crossJoin(raw.agg(F.sum("cr").alias("nr")))
+    pt = (F.coalesce(F.col("ct"), F.lit(0)) + DSIR_ALPHA) / (
+        F.col("nt") + DSIR_ALPHA * DSIR_BUCKETS
+    )
+    pr = (F.col("cr") + DSIR_ALPHA) / (F.col("nr") + DSIR_ALPHA * DSIR_BUCKETS)
+    scored = (
+        db.join(F.broadcast(tgt), "b", "left")
+        .join(F.broadcast(raw), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n",
+            F.round(F.log(pt / pr) * 1000000.0, 0).cast("long").alias("lw"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_bigrams"),
+        F.sum(F.col("n") * F.col("lw")).cast("long").alias("s"),
+    )
+    w = Window.orderBy(
+        (F.col("s").cast("double") / F.col("n_bigrams")).desc(), F.col("doc_id").asc()
+    )
+    ranked = agg.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("s") / 1000000.0 / F.col("n_bigrams"), 6).alias("log_ratio"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.count("*").over(Window.partitionBy()).alias("n_total"),
+    )
+    return ranked.select(
+        "doc_id",
+        "n_bigrams",
+        "log_ratio",
+        "rnk",
+        (F.col("rnk") <= F.ceil(DSIR_KEEP_FRAC * F.col("n_total")).cast("long")).alias(
+            "selected"
+        ),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# B37: per-domain token-budget sampling (data-mixing at token granularity)
+# ---------------------------------------------------------------------------
+# The Pile/Llama-style mixing step: each domain (source) contributes
+# documents until its TOKEN budget is exhausted, selection order seeded so
+# the draw is reproducible. corpus_weighted_mix is the document-count
+# sibling; training recipes budget tokens, not documents.
+TOKEN_BUDGET_PER_SOURCE = 800
+
+
+@register(
+    "source_token_budget_sample",
+    f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR) || ':budget') AS ord_key
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY ord_key, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens,
+       cum_tokens <= {TOKEN_BUDGET_PER_SOURCE} AS kept
+FROM c
+ORDER BY doc_id
+""",
+)
+def source_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget sampling per source domain: documents are
+    drawn in seeded-hash order until the running token total exceeds the
+    domain budget; ``kept`` marks the prefix that fits entirely.
+
+    Scale shape: one window partitioned by source on the seeded key — a
+    single shuffle on the domain key with per-partition running sums.
+    Domains are few and bounded, so the window partitions are the domain
+    sizes; a skewed mega-domain pays exactly its own scan (the running
+    sum is sequential per domain by definition — same bound as any
+    cumulative-budget semantics). The seeded md5 order makes the draw
+    reproducible and re-drawable by changing the seed literal."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":budget"))).alias("ord_key"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("ord_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        )
+        .withColumn("kept", F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
+        .orderBy("doc_id")
+    )
