@@ -432,8 +432,9 @@ def test_lm_perplexity_matches_python_lm(spark, sf_dir):
         n_tot = sum(grams.values())
         r = got[doc_id]
         assert r.n_bigrams == n_tot
-        assert r.cross_entropy == _r_up(s / 1e6 / n_tot, 6)
-        assert r.ppl == _r_up(math.exp(s / 1e6 / n_tot), 4)
+        ce_micro = int(_r_up(s / n_tot, 0))
+        assert r.cross_entropy == ce_micro / 1e6
+        assert r.ppl == _r_up(math.exp(ce_micro / 1e6), 4)
 
 
 def test_quality_classifier_keep_is_sign_of_integer_sum(spark, sf_dir):
@@ -465,7 +466,7 @@ def test_quality_classifier_keep_is_sign_of_integer_sum(spark, sf_dir):
         r = got[doc_id]
         assert r.n_tokens == len(toks)
         logit = s / CLF_W_SCALE / len(toks)
-        assert r.logit == _r_up(logit, 6)
+        assert r.dot_milli == s
         assert r.score == _r_up(1.0 / (1.0 + math.exp(-logit)), 4)
         assert r.keep == (s > 0)
 
@@ -501,7 +502,7 @@ def test_dup_ngram_coverage_matches_bruteforce(spark, sf_dir):
         r = got[doc_id]
         assert r.n_tokens == len(t)
         assert r.n_dup_positions == len(covered)
-        assert r.dup_frac == _r_up(len(covered) / len(t), 4)
+        assert r.dup_frac == int(_r_up(len(covered) * 1e6 / len(t), 0)) / 1e6
         full_cov += r.dup_frac == 1.0
     texts = Counter(" ".join(t) for t in docs.values())
     if any(c > 1 for c in texts.values()):
@@ -562,7 +563,7 @@ def test_dsir_matches_python_and_enriches_target(spark, sf_dir):
     for doc_id, (s, n) in scores.items():
         r = got[doc_id]
         assert r.n_bigrams == n
-        assert r.log_ratio == _r_up(s / 1e6 / n, 6)
+        assert r.log_ratio == int(_r_up(s / n, 0)) / 1e6
         assert r.rnk == ranks[doc_id]
         assert r.selected == (ranks[doc_id] <= k)
     sel_en = sum(1 for d in order[:k] if docs[d][0] == "en") / k

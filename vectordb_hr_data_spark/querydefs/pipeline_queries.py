@@ -1047,7 +1047,7 @@ WITH toks AS (
 SELECT t.doc_id,
        CAST(len(t.t) AS BIGINT) AS n_tokens,
        COALESCE(c.n_dup_positions, 0) AS n_dup_positions,
-       round(COALESCE(c.n_dup_positions, 0) / CAST(len(t.t) AS DOUBLE), 4) AS dup_frac
+       CAST(round(COALESCE(c.n_dup_positions, 0) * 1000000.0 / len(t.t)) AS BIGINT) / 1000000.0 AS dup_frac
 FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id
 ORDER BY t.doc_id
 """,
@@ -1093,8 +1093,16 @@ def doc_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size("t").cast("long").alias("n_tokens"),
             F.coalesce(F.col("n_dup_positions"), F.lit(0)).cast("long").alias("n_dup_positions"),
-            F.round(
-                F.coalesce(F.col("n_dup_positions"), F.lit(0)) / F.size("t").cast("double"), 4
+            # ppm quantization then exact division (midpoint hazard of
+            # rounding exact integer ratios, see doc_quality_classifier)
+            (
+                F.round(
+                    F.coalesce(F.col("n_dup_positions"), F.lit(0))
+                    * 1000000.0
+                    / F.size("t"),
+                    0,
+                ).cast("long")
+                / 1000000.0
             ).alias("dup_frac"),
         )
         .orderBy("doc_id")
@@ -1154,7 +1162,7 @@ WITH toks AS (
   FROM scored GROUP BY doc_id
 ), ranked AS (
   SELECT doc_id, n_bigrams,
-         round(s / 1000000.0 / n_bigrams, 6) AS log_ratio,
+         CAST(round(s * 1.0 / n_bigrams) AS BIGINT) / 1000000.0 AS log_ratio,
          row_number() OVER (ORDER BY CAST(s AS DOUBLE) / n_bigrams DESC, doc_id) AS rnk,
          count(*) OVER () AS n_total
   FROM agg
@@ -1221,7 +1229,12 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = agg.select(
         "doc_id",
         "n_bigrams",
-        F.round(F.col("s") / 1000000.0 / F.col("n_bigrams"), 6).alias("log_ratio"),
+        # micro-nat integer quantization then exact division — never a
+        # float round of an integer ratio (midpoint hazard, see
+        # doc_quality_classifier)
+        (
+            F.round(F.col("s") * 1.0 / F.col("n_bigrams"), 0).cast("long") / 1000000.0
+        ).alias("log_ratio"),
         F.row_number().over(w).cast("long").alias("rnk"),
         F.count("*").over(Window.partitionBy()).alias("n_total"),
     )

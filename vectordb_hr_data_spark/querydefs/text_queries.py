@@ -432,12 +432,15 @@ WITH toks AS (
   JOIN c1 ON c1.w1 = d.w1
   CROSS JOIN uni
 )
-SELECT doc_id,
-       CAST(sum(n_b) AS BIGINT) AS n_bigrams,
-       round(sum(n_b * nl) / 1000000.0 / sum(n_b), 6) AS cross_entropy,
-       round(exp(sum(n_b * nl) / 1000000.0 / sum(n_b)), 4) AS ppl
-FROM scored
-GROUP BY doc_id
+SELECT doc_id, n_bigrams,
+       ce_micro / 1000000.0 AS cross_entropy,
+       round(exp(ce_micro / 1000000.0), 4) AS ppl
+FROM (
+  SELECT doc_id,
+         CAST(sum(n_b) AS BIGINT) AS n_bigrams,
+         CAST(round(sum(n_b * nl) * 1.0 / sum(n_b)) AS BIGINT) AS ce_micro
+  FROM scored GROUP BY doc_id
+)
 ORDER BY doc_id
 """,
 )
@@ -489,13 +492,25 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.log(p) * 1000000.0, 0).cast("long").alias("nl"),
         )
     )
-    ce = F.sum(F.col("n_b") * F.col("nl")) / 1000000.0 / F.sum("n_b")
+    # per-doc cross-entropy is itself quantized to integer micro-nats
+    # (round-to-INTEGER is midpoint-consistent across engines because no
+    # scaling multiply is involved); the display float is derived by an
+    # exact division, never by rounding a float — the same terminating-
+    # decimal midpoint hazard doc_quality_classifier documents
+    ce_micro = F.round(
+        F.sum(F.col("n_b") * F.col("nl")) * 1.0 / F.sum("n_b"), 0
+    ).cast("long")
     return (
         scored.groupBy("doc_id")
         .agg(
             F.sum("n_b").cast("long").alias("n_bigrams"),
-            F.round(ce, 6).alias("cross_entropy"),
-            F.round(F.exp(ce), 4).alias("ppl"),
+            ce_micro.alias("ce_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("ce_micro") / 1000000.0).alias("cross_entropy"),
+            F.round(F.exp(F.col("ce_micro") / 1000000.0), 4).alias("ppl"),
         )
         .orderBy("doc_id")
     )
@@ -540,8 +555,7 @@ WITH tf AS (
   SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens, CAST(sum(n * wi) AS BIGINT) AS s
   FROM wt GROUP BY doc_id
 )
-SELECT doc_id, n_tokens,
-       round(s / {CLF_W_SCALE}.0 / n_tokens, 6) AS logit,
+SELECT doc_id, n_tokens, s AS dot_milli,
        round(1.0 / (1.0 + exp(-(s / {CLF_W_SCALE}.0 / n_tokens))), 4) AS score,
        s > 0 AS keep
 FROM agg
@@ -555,7 +569,7 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism contract: weights are INTEGERS (milli-units), so the
     per-document dot product is an exact integer sum — order-independent
-    and engine-portable; only the final logit/score are floats derived
+    and engine-portable; only the final sigmoid score is a float derived
     from it. The keep verdict compares the integer sum against zero
     (exactly score > 0.5), never a float against a threshold.
 
@@ -580,7 +594,11 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "doc_id",
         "n_tokens",
-        F.round(logit, 6).alias("logit"),
+        # the raw integer dot product, NOT a rounded logit: s/(1000*n) can
+        # terminate exactly on a round-6 midpoint (e.g. 1037/16000 =
+        # 0.0648125), where Java's repr-based HALF_UP and DuckDB's
+        # multiply-based round legitimately disagree — integers can't
+        F.col("s").alias("dot_milli"),
         F.round(1.0 / (1.0 + F.exp(-logit)), 4).alias("score"),
         (F.col("s") > 0).alias("keep"),
     ).orderBy("doc_id")
