@@ -375,7 +375,7 @@ def test_simhash_banding_complete_and_consistent(spark, sf_dir):
         inter = len(shin[a] & shin[b])
         union = len(shin[a] | shin[b])
         assert union and inter / union >= 0.5
-        assert abs(round(inter / union, 4) - j) < 1e-9
+        assert j == int(_r_up(inter * 10000.0 / union, 0)) / 10000.0
     ngram = {
         (r.doc_id_1, r.doc_id_2): r.jaccard
         for r in REGISTRY["neardup_ngram_jaccard"].fn(spark, sf_dir).collect()

@@ -201,3 +201,23 @@ def jaccard_sql_spark(a: str, b: str) -> str:
 def jaccard_sql_ddb(a: str, b: str) -> str:
     inter = f"len(list_intersect({a}, {b}))"
     return f"CAST({inter} AS DOUBLE) / (len({a}) + len({b}) - {inter})"
+
+
+def jaccard_round4_spark(a: str, b: str) -> str:
+    """4-decimal Jaccard via integer quantization: inter*10000/union is
+    rounded to an INTEGER then exactly divided. Rounding the float ratio
+    to 4 decimals instead diverges between engines when inter/union
+    terminates at exactly 5 decimals (e.g. union 160, inter odd): Java
+    rounds the double's shortest decimal repr, DuckDB multiplies by 1e4
+    first, and within an ulp of the midpoint they disagree. A
+    round-to-integer has no scaling multiply, so both engines agree even
+    at exact midpoints."""
+    inter = f"size(array_intersect({a}, {b}))"
+    union = f"(size({a}) + size({b}) - {inter})"
+    return f"cast(round({inter} * 1e4 / {union}) as bigint) / 1e4"
+
+
+def jaccard_round4_ddb(a: str, b: str) -> str:
+    inter = f"len(list_intersect({a}, {b}))"
+    union = f"(len({a}) + len({b}) - {inter})"
+    return f"CAST(round({inter} * 10000.0 / {union}) AS BIGINT) / 10000.0"

@@ -66,7 +66,7 @@ WITH t AS (
   SELECT doc_id, shingles, list_min(shingles) AS block_key FROM sh
 )
 SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-       round({H.jaccard_sql_ddb('a.shingles', 'b.shingles')}, 4) AS jaccard
+       {H.jaccard_round4_ddb('a.shingles', 'b.shingles')} AS jaccard
 FROM blocked a JOIN blocked b
   ON a.block_key = b.block_key AND a.doc_id < b.doc_id
 WHERE {H.jaccard_sql_ddb('a.shingles', 'b.shingles')} >= {JACCARD_THRESHOLD}
@@ -103,7 +103,7 @@ def jaccard_pairs(d: DataFrame) -> DataFrame:
         cand.join(s1, "doc_id_1")
         .join(s2, "doc_id_2")
         .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_id_1", "doc_id_2", F.round(jac, 4).alias("jaccard"))
+        .select("doc_id_1", "doc_id_2", F.expr(H.jaccard_round4_spark("sh1", "sh2")).alias("jaccard"))
         .orderBy("doc_id_1", "doc_id_2")
     )
 
@@ -135,7 +135,7 @@ WITH t AS (
   SELECT doc_id, shingles, {band_cols} FROM sig
 )
 SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
-       round({H.jaccard_sql_ddb('a.shingles', 'b.shingles')}, 4) AS jaccard
+       {H.jaccard_round4_ddb('a.shingles', 'b.shingles')} AS jaccard
 FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ({band_match})
 WHERE {H.jaccard_sql_ddb('a.shingles', 'b.shingles')} >= {JACCARD_THRESHOLD}
 ORDER BY doc_id_1, doc_id_2
@@ -186,7 +186,7 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(s1, "doc_id_1")
         .join(s2, "doc_id_2")
         .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_id_1", "doc_id_2", F.round(jac, 4).alias("jaccard"))
+        .select("doc_id_1", "doc_id_2", F.expr(H.jaccard_round4_spark("sh1", "sh2")).alias("jaccard"))
         .orderBy("doc_id_1", "doc_id_2")
     )
 
@@ -373,7 +373,7 @@ WITH t AS (
   WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_HAM_T}
 )
 SELECT p.doc_id_1, p.doc_id_2, p.hamming,
-       round({H.jaccard_sql_ddb('s1.shingles', 's2.shingles')}, 4) AS jaccard
+       {H.jaccard_round4_ddb('s1.shingles', 's2.shingles')} AS jaccard
 FROM pairs p
 JOIN shin s1 ON s1.doc_id = p.doc_id_1
 JOIN shin s2 ON s2.doc_id = p.doc_id_2
@@ -479,6 +479,6 @@ def neardup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(s1, "doc_id_1")
         .join(s2, "doc_id_2")
         .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_id_1", "doc_id_2", "hamming", F.round(jac, 4).alias("jaccard"))
+        .select("doc_id_1", "doc_id_2", "hamming", F.expr(H.jaccard_round4_spark("sh1", "sh2")).alias("jaccard"))
         .orderBy("doc_id_1", "doc_id_2")
     )
