@@ -608,3 +608,90 @@ def test_token_budget_sample_prefix_fits_budget(spark, sf_dir):
         if r.kept:
             kept_mass[r.source] += r.n_tokens
     assert all(v <= TOKEN_BUDGET_PER_SOURCE for v in kept_mass.values())
+
+
+def test_bpe_train_matches_python_trainer(spark, sf_dir):
+    """bpe_train_merges / bpe_encode_token_counts (r6): replay the exact
+    BPE trainer in python — word-freq vocabulary, weighted adjacent-pair
+    counts, argmax with (count desc, left, right) tie-break, greedy
+    left-to-right merge application — and assert the merge table AND the
+    per-document encoded token counts match row for row."""
+    from collections import Counter
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.queries import REGISTRY
+    from vectordb_hr_data_spark.querydefs.tokenizer_queries import BPE_N_MERGES
+
+    docs = {
+        r.doc_id: [w for w in r.text.split(" ") if w]
+        for r in read_table(spark, sf_dir, "documents").collect()
+    }
+    freq = Counter(w for ws in docs.values() for w in ws)
+    vocab = {w: list(w) for w in freq}
+
+    def merge_word(syms, l, r):
+        out = []
+        for s in syms:
+            if out and out[-1] == l and s == r:
+                out[-1] = l + r
+            else:
+                out.append(s)
+        return out
+
+    merges = []
+    for rank in range(1, BPE_N_MERGES + 1):
+        pairs = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq[w]
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, l + r, cnt))
+        vocab = {w: merge_word(syms, l, r) for w, syms in vocab.items()}
+
+    got = [
+        (r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+        for r in REGISTRY["bpe_train_merges"].fn(spark, sf_dir).collect()
+    ]
+    assert got == merges
+    # encode side: per-doc token counts under the final vocabulary
+    enc = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in REGISTRY["bpe_encode_token_counts"].fn(spark, sf_dir).collect()
+    }
+    assert set(enc) == set(docs)
+    for doc_id, ws in docs.items():
+        assert enc[doc_id] == (len(ws), sum(len(vocab[w]) for w in ws))
+    # merges must actually compress: every doc's BPE count < word-char sum
+    assert all(
+        enc[d][1] < sum(len(w) for w in ws) for d, ws in docs.items() if ws
+    )
+
+
+def test_bpe_distributed_path_matches_driver_path(spark, sf_dir):
+    """The forced-distributed BPE rounds (the 100 TB path) learn the exact
+    same merge table as the auto-routed driver trainer — ties included."""
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.tokenizer_queries import bpe_train
+
+    d = read_table(spark, sf_dir, "documents")
+    m_auto, _ = bpe_train(spark, d, method="auto")
+    m_dist, v_dist = bpe_train(spark, d, method="distributed")
+    assert m_auto == m_dist
+    # and the distributed final vocabulary agrees with re-applying the
+    # merges in python
+    def apply_all(w):
+        syms = list(w)
+        for _, l, r, _, _ in m_auto:
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    for row in v_dist.collect():
+        assert row.syms == apply_all(row.w), row.w

@@ -133,6 +133,9 @@ PRIORITY: list[str] = [
     # r5: MMR diversity re-rank (greedy/iterative — rows-only per the
     # driver contract; pinned by a hand-crafted unit case + invariants)
     "knn_mmr_diversified",
+    # r6: BPE tokenizer training + encode (iterative by definition —
+    # rows-only; pinned by the python-trainer replay pytest)
+    "bpe_train_merges", "bpe_encode_token_counts",
 ]
 
 
@@ -174,6 +177,7 @@ for _mod_name in (
     "tpch_more_queries",
     "pipeline_queries",
     "scrub_queries",
+    "tokenizer_queries",
 ):
     try:
         _m = __import__(f"vectordb_hr_data_spark.querydefs.{_mod_name}", fromlist=[_mod_name])

@@ -1196,8 +1196,10 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(t) - 1),"
+                "CASE WHEN size(t) >= 2 THEN"
+                " transform(sequence(1, size(t) - 1),"
                 " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+                " ELSE array() END"
             )
         ).alias("g"),
     ).select("doc_id", "lang", F.expr(_dsir_bucket("g.w1", "g.w2", "spark")).alias("b"))

@@ -469,8 +469,10 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(t) - 1),"
+                "CASE WHEN size(t) >= 2 THEN"
+                " transform(sequence(1, size(t) - 1),"
                 " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+                " ELSE array() END"
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
