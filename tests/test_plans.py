@@ -395,3 +395,50 @@ def test_filtered_ivf_prunes_partitions_and_pushes_predicate(spark, sf_dir):
     assert len(pf) == 1 and len(pf[0].split(",")) == 4, plan
     assert "EqualTo(label,3)" in plan, plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_r6_quality_ops_broadcast_and_stay_jvm(spark, sf_dir):
+    """The r6 quality/selection operators must keep their 100 TB shape:
+    count-table joins broadcast (never shuffle the corpus-sized side for
+    a vocabulary-sized dim), and no Python/Arrow eval nodes appear — the
+    scoring paths are whole-stage-codegen expression work."""
+    from vectordb_hr_data_spark.queries import REGISTRY
+
+    for name, wants_bhj in [
+        ("doc_lm_perplexity", True),
+        ("dsir_importance_resample", True),
+        ("doc_quality_classifier", False),  # weights derive per-row, no join
+        ("doc_dup_ngram_coverage", True),   # dup-gram set joins back to spans
+    ]:
+        plan = _plan(REGISTRY[name].fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        if wants_bhj:
+            assert "BroadcastHashJoin" in plan, name
+
+
+def test_token_budget_sample_single_domain_exchange(spark, sf_dir):
+    """source_token_budget_sample: exactly one hashpartitioning exchange
+    (the window on the domain key) before the presentation sort — the
+    running sum must not introduce extra shuffles."""
+    import re
+
+    from vectordb_hr_data_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["source_token_budget_sample"].fn(spark, sf_dir))
+    # rangepartitioning for the final orderBy is presentation-only; the
+    # real work shuffles once on source
+    hashes = re.findall(r"Exchange hashpartitioning\(source", plan)
+    assert len(hashes) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_simhash_hamming_band_join_is_hash_join(spark, sf_dir):
+    """neardup_simhash_hamming: the banded candidate join must be a hash
+    join on (band_id, band_val) — never a nested-loop/cartesian — and the
+    Hamming predicate rides as its residual condition."""
+    from vectordb_hr_data_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["neardup_simhash_hamming"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan  # broadcast or shuffled, either is fine
+    assert "band_val" in plan
