@@ -442,3 +442,52 @@ def test_simhash_hamming_band_join_is_hash_join(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan  # broadcast or shuffled, either is fine
     assert "band_val" in plan
+
+
+def test_sq4_pack_arrow_is_bit_exact_and_unpack_roundtrips(spark, sf_dir):
+    """SQ4 (r6): the Arrow build-path encoder must produce byte-identical
+    packed codes to the expression twin (span==0 branch included), the
+    Arrow packed-distance must equal the distance computed from the
+    expression reconstruction, and shift/mask unpack must round-trip the
+    codes exactly."""
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.operators.quantize import (
+        fit_ranges,
+        sq4_codes,
+        sq4_encode_packed_arrow,
+        sq4_pack,
+        sq4_qdist_packed_arrow,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    lo, hi = fit_ranges(emb, "embedding", 64)
+    # force a span==0 dimension through both paths
+    lo2 = list(lo); hi2 = list(hi); hi2[0] = lo2[0]
+    expr = emb.select(
+        "vec_id", sq4_pack(sq4_codes("embedding", lo2, hi2)).alias("pk")
+    )
+    arrow = emb.select("vec_id", sq4_encode_packed_arrow("embedding", lo2, hi2).alias("pk"))
+    a = {r.vec_id: r.pk for r in expr.collect()}
+    b = {r.vec_id: r.pk for r in arrow.collect()}
+    assert a == b
+    # unpack round-trip + distance parity on the real ranges
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    codes = emb.select("vec_id", sq4_codes("embedding", lo, hi).alias("c4"))
+    packed = codes.select("vec_id", "c4", sq4_pack("c4").alias("pk"))
+    rows = packed.withColumn(
+        "qd", sq4_qdist_packed_arrow("pk", lo, hi, q)
+    ).collect()
+    for r in rows:
+        u = [b + 128 for b in r.pk]
+        unpacked = []
+        for byte in u:
+            unpacked.extend([byte >> 4, byte & 15])
+        assert unpacked == list(r.c4), r.vec_id
+        recon = [l + ci / 15.0 * (h - l) for ci, l, h in zip(unpacked, lo, hi)]
+        acc = 0.0
+        for rc, qi in zip(recon, q):
+            d = rc - float(qi)
+            acc = acc + d * d
+        assert abs(acc - r.qd) < 1e-9, r.vec_id

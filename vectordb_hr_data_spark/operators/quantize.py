@@ -198,3 +198,97 @@ def sq8_qdist_codes_arrow(code_col: str | Column, lo: list[float], hi: list[floa
         return pd.Series(acc)
 
     return qdist(c)
+
+
+# ---------------------------------------------------------------------------
+# SQ4: 4-bit scalar quantization, two codes nibble-packed per byte (r6)
+# ---------------------------------------------------------------------------
+# The faiss SQ4 point on the compression ladder: 0.5 byte/dim — an 8× scan
+# win over float32, between the 1-bit sign sketch (needs a wide re-rank
+# page) and SQ8 (4×). Same affine train/encode discipline as SQ8; the new
+# mechanics is the PACKING — code_{2k} and code_{2k+1} share a byte
+# (packed = c0*16 + c1 - 128, a signed tinyint), and the distance path
+# unpacks with shift/mask, never touching the float vectors.
+
+
+def sq4_codes(vec_col: str | Column, lo: list[float], hi: list[float]) -> Column:
+    """array<int> of per-dimension 4-bit codes (0..15) — the expression
+    twin the oracle replays. Constant dimensions code to 0."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    lov = F.lit([float(x) for x in lo])
+    spanv = F.lit(_spans(lo, hi))
+    shifted = F.zip_with(v, lov, lambda x, l: x.cast("double") - l)
+    return F.zip_with(
+        shifted,
+        spanv,
+        lambda s, sp: F.when(sp == 0.0, F.lit(0)).otherwise(
+            F.round(s / sp * 15.0).cast("int")
+        ),
+    )
+
+
+def sq4_pack(codes_col: str | Column) -> Column:
+    """array<tinyint> of dim/2 bytes: byte k packs codes 2k and 2k+1 as
+    ``c0*16 + c1 - 128``. Evaluate ``sq4_codes`` into ITS OWN column
+    first — the packing references the code array twice per element."""
+    c = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    idx = F.sequence(F.lit(1), F.floor(F.size(c) / 2).cast("int"))
+    return F.transform(
+        idx,
+        lambda k: (
+            F.element_at(c, (k * 2 - 1).cast("int")) * 16
+            + F.element_at(c, (k * 2).cast("int"))
+            - 128
+        ).cast("tinyint"),
+    )
+
+
+def sq4_encode_packed_arrow(vec_col: str | Column, lo: list[float], hi: list[float]) -> Column:
+    """Packed SQ4 codes in one Arrow pass — the build path. Bit-identical
+    to ``sq4_pack(sq4_codes(...))`` (same float64 op order, floor(x+0.5)
+    half-up; parity pytest-pinned)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    lo_a = np.asarray([float(x) for x in lo], dtype=np.float64)
+    span_a = np.asarray(_spans(lo, hi), dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.ByteType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x = (m - lo_a) / span_a * 15.0
+        codes = np.where(span_a == 0.0, 0.0, np.floor(x + 0.5)).astype(np.int64)
+        packed = (codes[:, 0::2] * 16 + codes[:, 1::2] - 128).astype(np.int8)
+        return pd.Series(list(packed))
+
+    return encode(v)
+
+
+def sq4_qdist_packed_arrow(
+    code_col: str | Column, lo: list[float], hi: list[float], query_vec
+) -> Column:
+    """Squared-L2 to the query from PACKED nibble codes (the persisted-
+    index scan path: parquet carries 0.5 byte/dim; floats never touched in
+    phase 1). Unpack = shift/mask; reconstruction ``lo + c/15*span``; the
+    accumulation order matches the sequential left-fold the oracle uses."""
+    c = F.col(code_col) if isinstance(code_col, str) else code_col
+    lo_a = np.asarray([float(x) for x in lo], dtype=np.float64)
+    span_a = np.asarray(_spans(lo, hi), dtype=np.float64)
+    q_a = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    dim = len(lo_a)
+
+    @F.pandas_udf(T.DoubleType())
+    def qdist(codes: pd.Series) -> pd.Series:
+        packed = np.stack(codes.to_numpy()).astype(np.int64)
+        u = packed + 128
+        codes_full = np.empty((packed.shape[0], dim), dtype=np.float64)
+        codes_full[:, 0::2] = u >> 4
+        codes_full[:, 1::2] = u & 15
+        recon = lo_a + codes_full / 15.0 * span_a
+        d = recon - q_a
+        contrib = d * d
+        acc = np.zeros(len(packed), dtype=np.float64)
+        for j in range(dim):
+            acc = acc + contrib[:, j]
+        return pd.Series(acc)
+
+    return qdist(c)

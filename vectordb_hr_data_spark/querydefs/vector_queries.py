@@ -514,6 +514,80 @@ def knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SQ4 (r6): nibble-packed 4-bit scalar quantization -------------------
+_SQ4_BYTE = "CAST((i + 1) // 2 AS INT)"  # 1-based byte index for dim i
+_SQ4_UNPACK = (
+    f"CASE WHEN i % 2 = 1 THEN (pk[{_SQ4_BYTE}] + 128) // 16"
+    f" ELSE (pk[{_SQ4_BYTE}] + 128) % 16 END"
+)
+
+
+@register(
+    "knn_sq4_rerank",
+    _SQ8_CTES
+    + f"""
+, codes4 AS (
+  SELECT e.vec_id, e.embedding,
+         list_transform(range(1, 65), i ->
+           CASE WHEN rng.hiv[{_SQ8_IDX}] = rng.lov[{_SQ8_IDX}] THEN 0
+                ELSE CAST(round((CAST(e.embedding[{_SQ8_IDX}] AS DOUBLE) - rng.lov[{_SQ8_IDX}])
+                     / (rng.hiv[{_SQ8_IDX}] - rng.lov[{_SQ8_IDX}]) * 15.0) AS INT) END) AS c4
+  FROM embeddings e, rng
+), packed AS (
+  SELECT vec_id, embedding,
+         list_transform(range(1, 33), k ->
+           c4[CAST(2*k - 1 AS INT)] * 16 + c4[CAST(2*k AS INT)] - 128) AS pk
+  FROM codes4
+), q4scored AS (
+  SELECT p.vec_id, p.embedding,
+         round(list_sum(list_transform(range(1, 65), i ->
+           power(rng.lov[{_SQ8_IDX}]
+                 + ({_SQ4_UNPACK}) / 15.0 * (rng.hiv[{_SQ8_IDX}] - rng.lov[{_SQ8_IDX}])
+                 - CAST(q.qv[{_SQ8_IDX}] AS DOUBLE), 2))), {_ROUND}) AS qdistance
+  FROM packed p, rng, q
+), cand4 AS (
+  SELECT vec_id, embedding FROM q4scored ORDER BY qdistance, vec_id LIMIT {overfetch_count(10)}
+)
+SELECT c.vec_id,
+       round(list_sum(list_transform(range(1, len(c.embedding)+1),
+             i -> power(CAST(c.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE), 2))), {_ROUND}) AS distance
+FROM cand4 c, q
+ORDER BY distance, c.vec_id
+LIMIT 10
+""",
+)
+def knn_sq4_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ4 two-phase retrieval (r6): the faiss-SQ4 point on the ladder —
+    4-bit affine codes, TWO dims nibble-packed per byte (0.5 byte/dim, an
+    8x scan win over float32), phase 1 ranks from the PACKED bytes
+    (shift/mask unpack inside one Arrow pass; the float vectors are never
+    read), phase 2 re-scores the 50 survivors exactly. The pack arithmetic
+    itself is hash-checked: the oracle replays code -> pack -> unpack ->
+    reconstruct -> distance from the same packed representation. Same
+    deterministic discipline as SQ8 (half-up rounds, tie-break on vec_id
+    after 4-decimal rounding); ``sq4_encode_packed_arrow`` is the
+    bit-parity build path for persisted indexes (pytest-pinned)."""
+    from ..operators.quantize import sq4_codes, sq4_pack, sq4_qdist_packed_arrow
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    lo, hi = _sq8_ranges(spark, sf_dir)
+    q = _query_vec(spark, sf_dir)
+    codes = emb.select("vec_id", "embedding", sq4_codes("embedding", lo, hi).alias("c4"))
+    packed = codes.select("vec_id", "embedding", sq4_pack("c4").alias("pk"))
+    qdist = F.round(sq4_qdist_packed_arrow("pk", lo, hi, q), _ROUND)
+    cand = (
+        packed.select("vec_id", "embedding", qdist.alias("qdistance"))
+        .orderBy(F.col("qdistance").asc(), F.col("vec_id").asc())
+        .limit(overfetch_count(10))
+    )
+    exact = F.round(V.l2sq(F.col("embedding"), F.lit([float(x) for x in q])), _ROUND)
+    return (
+        cand.select("vec_id", exact.alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 _PQ_IVF_BUILT: set[str] = set()
 
 
