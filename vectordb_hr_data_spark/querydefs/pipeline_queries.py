@@ -1315,3 +1315,270 @@ def source_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("kept", F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# B40: composed QUALITY pipeline over the r6 signals (one oracle query)
+# ---------------------------------------------------------------------------
+# The model-quality side of corpus prep, composed in published-recipe order
+# (corpus_prep_pipeline is the dedup/decontamination side):
+#   Gopher repetition gate → hashed linear classifier gate → bigram-LM
+#   perplexity trained on the SURVIVORS with a rank cut (keep best 75%) →
+#   DSIR importance selection (top 50% toward the lang='en' target) →
+#   per-source token-budget mix. Every stage reuses the standalone
+#   operator's exact arithmetic (integer micro-nats / milli-weights / ppm),
+#   so the composition is hash-checkable end to end.
+QPP_PPL_KEEP = 0.75
+QPP_DSIR_KEEP = 0.5
+
+
+def _qpp_oracle() -> str:
+    from .text_queries import CLF_BUCKETS, LM_ALPHA, _clf_weight_ddb
+
+    clf_bucket = H.ddb_str_hash_fast("t") + f" % {CLF_BUCKETS}"
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, lang, string_split(text, ' ') AS toks FROM documents
+), rep AS (
+  SELECT b.doc_id,
+         1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dupf,
+         CAST((SELECT max(n) FROM (
+            SELECT count(*) AS n FROM (
+              SELECT unnest(list_transform(range(1, greatest(len(b.toks) - 1, 1) + 1),
+                     i -> b.toks[CAST(i AS INT)] || ' ' || b.toks[CAST(i AS INT) + 1])) AS bg
+            ) GROUP BY bg
+         )) AS DOUBLE) / greatest(len(toks) - 1, 1) AS topbg
+  FROM base b
+), clf AS (
+  SELECT doc_id, CAST(sum(n * wi) AS BIGINT) AS s FROM (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+           {_clf_weight_ddb(clf_bucket)} AS wi
+    FROM (SELECT doc_id, unnest(toks) AS t FROM base)
+    GROUP BY doc_id, t
+  ) GROUP BY doc_id
+), surv1 AS (
+  SELECT b.* FROM base b JOIN rep r ON r.doc_id = b.doc_id JOIN clf c ON c.doc_id = b.doc_id
+  WHERE NOT (r.dupf > {DUP_TOKEN_MAX} OR r.topbg > {TOP_BIGRAM_MAX}) AND c.s > 0
+), uni AS (
+  SELECT count(DISTINCT u) AS v FROM (SELECT unnest(toks) AS u FROM surv1)
+), bi AS (
+  SELECT doc_id, lang, toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+  FROM surv1, unnest(range(1, len(toks))) AS r(i)
+), db AS (
+  SELECT doc_id, lang, w1, w2, CAST(count(*) AS BIGINT) AS n_b FROM bi GROUP BY ALL
+), c2 AS (SELECT w1, w2, CAST(sum(n_b) AS BIGINT) AS c2 FROM db GROUP BY ALL
+), c1 AS (SELECT w1, CAST(sum(n_b) AS BIGINT) AS c1 FROM db GROUP BY w1
+), lm AS (
+  SELECT doc_id, CAST(round(sum(n_b * nl) * 1.0 / sum(n_b)) AS BIGINT) AS ce_micro FROM (
+    SELECT d.doc_id, d.n_b,
+           CAST(round(-ln((c2.c2 + {LM_ALPHA}) / (c1.c1 + {LM_ALPHA} * uni.v)) * 1000000.0)
+                AS BIGINT) AS nl
+    FROM db d JOIN c2 ON c2.w1 = d.w1 AND c2.w2 = d.w2
+    JOIN c1 ON c1.w1 = d.w1 CROSS JOIN uni
+  ) GROUP BY doc_id
+), lmranked AS (
+  SELECT doc_id, ce_micro,
+         row_number() OVER (ORDER BY ce_micro, doc_id) AS rnk,
+         count(*) OVER () AS n FROM lm
+), surv2 AS (
+  SELECT s.*, l.ce_micro FROM surv1 s JOIN lmranked l ON l.doc_id = s.doc_id
+  WHERE l.rnk <= CAST(ceil({QPP_PPL_KEEP} * l.n) AS BIGINT)
+), bib AS (
+  SELECT doc_id, lang,
+         {_dsir_bucket("toks[CAST(i AS INT)]", "toks[CAST(i AS INT) + 1]", "ddb")} AS b
+  FROM surv2, unnest(range(1, len(toks))) AS r(i)
+), dbb AS (
+  SELECT doc_id, lang, b, CAST(count(*) AS BIGINT) AS n FROM bib GROUP BY ALL
+), tgt AS (SELECT b, CAST(sum(n) AS BIGINT) AS ct FROM dbb WHERE lang = 'en' GROUP BY b
+), raw AS (SELECT b, CAST(sum(n) AS BIGINT) AS cr FROM dbb GROUP BY b
+), tot AS (SELECT (SELECT sum(ct) FROM tgt) AS nt, (SELECT sum(cr) FROM raw) AS nr
+), dsir AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS nb, CAST(sum(n * lw) AS BIGINT) AS s FROM (
+    SELECT d.doc_id, d.n,
+           CAST(round(ln(((COALESCE(t.ct, 0) + {DSIR_ALPHA}) / (tot.nt + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+                       / ((r.cr + {DSIR_ALPHA}) / (tot.nr + {DSIR_ALPHA} * {DSIR_BUCKETS}))) * 1000000.0)
+                AS BIGINT) AS lw
+    FROM dbb d LEFT JOIN tgt t ON t.b = d.b JOIN raw r ON r.b = d.b CROSS JOIN tot
+  ) GROUP BY doc_id
+), dsirranked AS (
+  SELECT doc_id, nb, s,
+         row_number() OVER (ORDER BY CAST(s AS DOUBLE) / nb DESC, doc_id) AS rnk,
+         count(*) OVER () AS n FROM dsir
+), surv3 AS (
+  SELECT s2.*, d.s AS dsir_s, d.nb AS dsir_nb FROM surv2 s2 JOIN dsirranked d ON d.doc_id = s2.doc_id
+  WHERE d.rnk <= CAST(ceil({QPP_DSIR_KEEP} * d.n) AS BIGINT)
+), budget AS (
+  SELECT doc_id, source, lang, ce_micro, dsir_s, dsir_nb,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(sum(len(toks)) OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR) || ':budget'), doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM surv3
+)
+SELECT doc_id, source, lang, n_tokens, cum_tokens,
+       round(exp(ce_micro / 1000000.0), 4) AS ppl,
+       CAST(round(dsir_s * 1.0 / dsir_nb) AS BIGINT) / 1000000.0 AS log_ratio
+FROM budget
+WHERE cum_tokens <= {TOKEN_BUDGET_PER_SOURCE}
+ORDER BY doc_id
+"""
+
+
+@register("quality_prep_pipeline", _qpp_oracle())
+def quality_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed quality-selection pipeline (B40): five r6 stages in one
+    query, sharing one tokenization —
+
+      Gopher repetition gate → hashed-classifier gate (integer dot > 0) →
+      bigram LM TRAINED ON THE SURVIVORS, keep the best {p}% by
+      cross-entropy rank → DSIR importance selection toward lang='en'
+      (top {q}%) → per-source token-budget mix (seeded order).
+
+    Composed-plan shape: stages 1-2 are map-only expression work plus two
+    uniform-key groupBys; the LM/DSIR count tables are vocabulary/bucket-
+    sized broadcasts; the only global orderings are the two one-row-per-doc
+    rank windows (threshold form at 100 TB — see SCALE.md) and the final
+    per-source budget window. The corpus never joins all-pairs; the two
+    fan-out boundaries (survivor frames feeding both the count tables and
+    the scoring joins) are localCheckpointed like corpus_prep_pipeline's.
+    All stage arithmetic is the standalone operators' (integer micro-nat /
+    milli-weight / rank tie-breaks on doc_id), so the full composition
+    hash-matches the DuckDB replay.""".replace("{p}", "75").replace("{q}", "50")
+    from .text_queries import CLF_BUCKETS, LM_ALPHA, _clf_weight_spark
+
+    d = read_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", "lang", F.split(F.col("text"), " ").alias("toks"))
+    # stage 1: repetition signals (map-only + one uniform groupBy)
+    stats = base.select(
+        "doc_id",
+        (1.0 - F.size(F.array_distinct("toks")).cast("double") / F.size("toks")).alias("dupf"),
+        F.size("toks").alias("n_toks"),
+    )
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 1, 1)),"
+                " i -> concat(try_element_at(toks, i), ' ', try_element_at(toks, i + 1)))"
+            )
+        ).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    topbg = (
+        bg.groupBy("doc_id", "b").agg(F.count("*").alias("n"))
+        .groupBy("doc_id").agg(F.max("n").alias("max_bg"))
+    )
+    rep = stats.join(topbg, "doc_id").select(
+        "doc_id",
+        "dupf",
+        (F.col("max_bg").cast("double") / F.greatest(F.col("n_toks") - 1, F.lit(1))).alias("topbg"),
+    )
+    # stage 2: classifier integer dot product
+    bucket = f"({H.spark_str_hash_fast('t')}) % {CLF_BUCKETS}"
+    clf = (
+        base.select("doc_id", F.explode("toks").alias("t"))
+        .groupBy("doc_id", "t").agg(F.count("*").alias("n"))
+        .select("doc_id", "n", F.expr(_clf_weight_spark(bucket)).alias("wi"))
+        .groupBy("doc_id").agg(F.sum(F.col("n") * F.col("wi")).cast("long").alias("s"))
+    )
+    surv1 = (
+        base.join(rep, "doc_id").join(clf, "doc_id")
+        .filter(~((F.col("dupf") > DUP_TOKEN_MAX) | (F.col("topbg") > TOP_BIGRAM_MAX)) & (F.col("s") > 0))
+        .select("doc_id", "source", "lang", "toks")
+        .localCheckpoint(eager=True)
+    )
+    # stage 3: bigram LM on survivors, rank-keep best 75%
+    bi = surv1.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN"
+                " transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+                " ELSE array() END"
+            )
+        ).alias("g"),
+    ).select("doc_id", "lang", "g.w1", "g.w2")
+    db = bi.groupBy("doc_id", "lang", "w1", "w2").agg(F.count("*").alias("n_b")).localCheckpoint(
+        eager=True
+    )
+    c2 = db.groupBy("w1", "w2").agg(F.sum("n_b").alias("c2"))
+    c1 = db.groupBy("w1").agg(F.sum("n_b").alias("c1"))
+    v = surv1.select(F.explode("toks").alias("u")).agg(F.countDistinct("u").alias("v"))
+    p = (F.col("c2") + LM_ALPHA) / (F.col("c1") + LM_ALPHA * F.col("v"))
+    lm = (
+        db.join(F.broadcast(c2), ["w1", "w2"]).join(F.broadcast(c1), ["w1"])
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", "n_b", F.round(-F.log(p) * 1000000.0, 0).cast("long").alias("nl"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("n_b") * F.col("nl")) * 1.0 / F.sum("n_b"), 0).cast("long").alias("ce_micro"))
+    )
+    w_lm = Window.orderBy(F.col("ce_micro").asc(), F.col("doc_id").asc())
+    lmranked = lm.select(
+        "doc_id", "ce_micro",
+        F.row_number().over(w_lm).alias("rnk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    surv2 = (
+        surv1.join(
+            lmranked.filter(F.col("rnk") <= F.ceil(QPP_PPL_KEEP * F.col("n")).cast("long")),
+            "doc_id",
+        )
+        .select("doc_id", "source", "lang", "toks", "ce_micro")
+        .localCheckpoint(eager=True)
+    )
+    # stage 4: DSIR selection on the LM survivors
+    bib = surv2.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN"
+                " transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+                " ELSE array() END"
+            )
+        ).alias("g"),
+    ).select("doc_id", "lang", F.expr(_dsir_bucket("g.w1", "g.w2", "spark")).alias("b"))
+    dbb = bib.groupBy("doc_id", "lang", "b").agg(F.count("*").alias("n")).localCheckpoint(
+        eager=True
+    )
+    tgt = dbb.filter(F.col("lang") == "en").groupBy("b").agg(F.sum("n").alias("ct"))
+    raw = dbb.groupBy("b").agg(F.sum("n").alias("cr"))
+    tot = tgt.agg(F.sum("ct").alias("nt")).crossJoin(raw.agg(F.sum("cr").alias("nr")))
+    pt = (F.coalesce(F.col("ct"), F.lit(0)) + DSIR_ALPHA) / (F.col("nt") + DSIR_ALPHA * DSIR_BUCKETS)
+    pr = (F.col("cr") + DSIR_ALPHA) / (F.col("nr") + DSIR_ALPHA * DSIR_BUCKETS)
+    dsir = (
+        dbb.join(F.broadcast(tgt), "b", "left").join(F.broadcast(raw), "b")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "n", F.round(F.log(pt / pr) * 1000000.0, 0).cast("long").alias("lw"))
+        .groupBy("doc_id")
+        .agg(F.sum("n").cast("long").alias("nb"), F.sum(F.col("n") * F.col("lw")).cast("long").alias("s"))
+    )
+    w_ds = Window.orderBy((F.col("s").cast("double") / F.col("nb")).desc(), F.col("doc_id").asc())
+    dsirranked = dsir.select(
+        "doc_id", "nb", "s",
+        F.row_number().over(w_ds).alias("rnk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    surv3 = surv2.join(
+        dsirranked.filter(F.col("rnk") <= F.ceil(QPP_DSIR_KEEP * F.col("n")).cast("long")),
+        "doc_id",
+    ).select("doc_id", "source", "lang", "toks", "ce_micro", "s", "nb")
+    # stage 5: per-source token-budget mix
+    w_b = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":budget"))), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        surv3.select(
+            "doc_id", "source", "lang",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.sum(F.size("toks")).over(w_b).cast("long").alias("cum_tokens"),
+            F.round(F.exp(F.col("ce_micro") / 1000000.0), 4).alias("ppl"),
+            (F.round(F.col("s") * 1.0 / F.col("nb"), 0).cast("long") / 1000000.0).alias("log_ratio"),
+        )
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
+        .orderBy("doc_id")
+    )
