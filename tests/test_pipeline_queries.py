@@ -724,3 +724,47 @@ def test_quality_prep_pipeline_composes_the_standalone_stages(spark, sf_dir):
     assert all(v <= TOKEN_BUDGET_PER_SOURCE for v in mass.values())
     # the composed set is strictly smaller than the classifier-gate set
     assert len(kept) < sum(1 for v in clf.values() if v)
+
+
+def test_hard_negatives_exclude_near_duplicates(spark, sf_dir):
+    """mine_hard_negatives (r6): no mined negative may be a near-duplicate
+    of its query (the false-negative trap the band filter exists for) —
+    checked against the standalone near-dup pair query — and every mined
+    cosine must be the true rank-r value from a brute-force recompute."""
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.queries import REGISTRY
+    from vectordb_hr_data_spark.querydefs.similarity_queries import (
+        HARDNEG_DUP_COSINE,
+        HARDNEG_N_QUERIES,
+        HARDNEG_TOPK,
+    )
+
+    mined = REGISTRY["mine_hard_negatives"].fn(spark, sf_dir).collect()
+    assert mined, "no negatives mined"
+    dups = set()
+    for r in REGISTRY["neardup_embedding_cosine"].fn(spark, sf_dir).collect():
+        dups.add((r.vec_id_1, r.vec_id_2))
+        dups.add((r.vec_id_2, r.vec_id_1))
+    for r in mined:
+        assert (r.query_id, r.vec_id) not in dups
+        assert r.cosine < HARDNEG_DUP_COSINE
+
+    import numpy as np
+
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in read_table(spark, sf_dir, "embeddings").collect()
+    }
+    for qid in range(HARDNEG_N_QUERIES):
+        q = vecs[qid]
+        qn = np.sqrt((q * q).sum())
+        cands = []
+        for vid, v in vecs.items():
+            if vid == qid:
+                continue
+            c = round(float((v @ q) / (np.sqrt((v * v).sum()) * qn)), 4)
+            if c < HARDNEG_DUP_COSINE:
+                cands.append((-c, vid))
+        expect = [(vid, -nc) for nc, vid in sorted(cands)[:HARDNEG_TOPK]]
+        got = [(r.vec_id, r.cosine) for r in mined if r.query_id == qid]
+        assert [g[0] for g in got] == [e[0] for e in expect]

@@ -99,7 +99,7 @@ PRIORITY: list[str] = [
     # oracles for the r7 window rotation
     "doc_lm_perplexity", "doc_quality_classifier", "doc_dup_ngram_coverage",
     "dsir_importance_resample", "source_token_budget_sample",
-    "knn_sq4_rerank", "quality_prep_pipeline",
+    "knn_sq4_rerank", "quality_prep_pipeline", "mine_hard_negatives",
     "q7_nation_volume",
     "knn_topk_sq8", "knn_pq_adc_rerank", "ivf_pq_residual_det",
     "ivf_topk_suggested", "chunk_embed_ivf_search",

@@ -822,3 +822,83 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# B41: hard-negative mining for contrastive training (r6)
+# --------------------------------------------------------------------------
+# The embedding-training data op (DPR / SBERT recipes): for each query
+# vector, the most-similar candidates that are NOT near-duplicates — the
+# "hard negative" band. Near-dups (cosine >= the dedup threshold) would be
+# false negatives; easy negatives (random) teach nothing. Same batched
+# one-pass shape as batch_topk_many_queries: broadcast the query set,
+# score map-side, local top-k per (query) before the per-query rank.
+HARDNEG_N_QUERIES = 5
+HARDNEG_TOPK = 5
+HARDNEG_DUP_COSINE = 0.45  # = dedup_queries.COSINE_THRESHOLD: above -> dup
+
+_COS_DDB = (
+    "list_sum(list_transform(range(1, len({a})+1),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
+@register(
+    "mine_hard_negatives",
+    f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {HARDNEG_N_QUERIES}
+), scored AS (
+  SELECT qs.query_id, e.vec_id,
+         round({_COS_DDB.format(a='e.embedding', b='qs.qv')}, 4) AS cosine
+  FROM embeddings e CROSS JOIN qs
+  WHERE e.vec_id != qs.query_id
+), banded AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored WHERE cosine < {HARDNEG_DUP_COSINE}
+)
+SELECT query_id, vec_id, cosine, rn
+FROM banded WHERE rn <= {HARDNEG_TOPK}
+ORDER BY query_id, rn
+""",
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} hard negatives per query: highest-cosine candidates BELOW
+    the near-dup threshold (ties on vec_id after 4-decimal rounding, so
+    the mined set is deterministic and the oracle replays it).
+
+    Scale shape: queries broadcast; scoring is map-side; the near-dup
+    band filter runs BEFORE the rank so duplicates never occupy top-k
+    slots; local top-k per partition bounds the exchange at
+    partitions x queries x k rows (the batch_topk discipline). At 100 TB
+    with a large query set, the same plan shards the query set and unions
+    — still never an unblocked all-pairs.""".replace("{k}", str(HARDNEG_TOPK))
+    from ..operators.knn import local_topk_per_key
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < HARDNEG_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(V.cosine_sim(F.col("embedding"), F.col("qv")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") < HARDNEG_DUP_COSINE)
+    )
+    partial = local_topk_per_key(
+        scored, key_col="query_id", order_cols=("cosine", "vec_id"), k=HARDNEG_TOPK,
+        ascending=(False, True),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        partial.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= HARDNEG_TOPK)
+        .orderBy("query_id", "rn")
+    )
