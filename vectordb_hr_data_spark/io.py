@@ -256,3 +256,39 @@ def write_index(df: DataFrame, path: str, partition_by: str = "doc_type") -> Non
     deduped.sortWithinPartitions(partition_by, "id").write.mode("overwrite").partitionBy(
         partition_by
     ).parquet(path)
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_path: str,
+    n_shards: int = 8,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The data-loader handoff sink (the write side of B31's seeded
+    shuffle/shard): one balanced exchange on the shard key, per-shard
+    seeded order, ``partitionBy(shard)`` parquet layout (the
+    tfrecord/webdataset shape — a loader streams shard directories
+    independently), plus a ``_manifest`` directory recording per-shard
+    row and token counts (what an epoch scheduler reads; written from the
+    SAME frame so it cannot drift from the data).
+
+    Returns the manifest frame. At 100 TB: the exchange carries each row
+    once on a uniform md5-derived key; the manifest aggregate is
+    shard-count-sized; nothing collects to the driver."""
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":shuffle:{seed}")))
+    shard = (F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % n_shards).cast("int")
+    keyed = docs.withColumn("skey", key).withColumn("shard", shard)
+    ordered = keyed.repartition(n_shards, "shard").sortWithinPartitions("shard", "skey", id_col)
+    ordered.write.mode("overwrite").partitionBy("shard").parquet(out_path)
+    manifest = (
+        keyed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split(F.col(text_col), " "))).cast("long").alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
+    manifest.write.mode("overwrite").parquet(out_path.rstrip("/") + "/_manifest")
+    return manifest
