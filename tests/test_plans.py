@@ -491,3 +491,28 @@ def test_sq4_pack_arrow_is_bit_exact_and_unpack_roundtrips(spark, sf_dir):
             d = rc - float(qi)
             acc = acc + d * d
         assert abs(acc - r.qd) < 1e-9, r.vec_id
+
+
+def test_registry_wide_plan_invariants(spark, sf_dir):
+    """Global guard over EVERY registry query's physical plan: no
+    CartesianProduct (an unbounded all-pairs join would be fatal at
+    100 TB) and no BatchEvalPython (row-at-a-time Python in a hot path —
+    Arrow-batched ArrowEvalPython/MapInPandas are the sanctioned Python
+    escapes). Catches regressions the per-query plan tests don't cover."""
+    from vectordb_hr_data_spark.queries import REGISTRY
+
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        try:
+            plan = _plan(spec.fn(spark, sf_dir))
+        except Exception as e:  # pragma: no cover - surface the real error
+            offenders[name] = f"plan build failed: {e}"
+            continue
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            bad.append("BatchEvalPython")
+        if bad:
+            offenders[name] = ",".join(bad)
+    assert not offenders, offenders

@@ -140,6 +140,8 @@ def main() -> int:
     )
     from vectordb_hr_data_spark.operators.quantize import (
         fit_ranges,
+        sq4_encode_packed_arrow,
+        sq4_qdist_packed_arrow,
         sq8_encode_arrow,
         sq8_qdist_codes_arrow,
     )
@@ -207,6 +209,7 @@ def main() -> int:
     payloads = {
         "float32": emb,
         "sq8": emb.select("vec_id", sq8_encode_arrow("embedding", lo, hi).alias("codes")),
+        "sq4": emb.select("vec_id", sq4_encode_packed_arrow("embedding", lo, hi).alias("pk")),
         "pq-demo": emb.select(
             "vec_id", pq_encode_arrow("embedding", cb_demo, dim=dim, m=8).alias("rc")
         ).withColumn("cid", F.lit(0)),
@@ -247,6 +250,12 @@ def main() -> int:
     def sq8_run(query):
         cand = topk(
             pay("sq8"), sq8_qdist_codes_arrow("codes", lo, hi, query), overfetch_count(10)
+        ).select("vec_id")
+        return rerank(cand, query)
+
+    def sq4_run(query):
+        cand = topk(
+            pay("sq4"), sq4_qdist_packed_arrow("pk", lo, hi, query), overfetch_count(10)
         ).select("vec_id")
         return rerank(cand, query)
 
@@ -406,6 +415,7 @@ def main() -> int:
     rungs = [
         ("float32 exact (GEMM)", exact_run, sizes["float32"], 1.0),
         ("SQ8 rerank", sq8_run, sizes["sq8"], 1.0),
+        ("SQ4 nibble-packed rerank", sq4_run, sizes["sq4"], 1.0),
         (f"IVF{k_cells}+SQ8 (probe {n_probe})", ivf_run, sizes["sq8"], n_probe / k_cells),
         ("PQ m=8,k=16 (demo const)", pq_run_factory("pq-demo", cb_demo, 8), sizes["pq-demo"], 1.0),
         ("PQ m=48,k=128 (prod)", pq_run_factory("pq-prod", cb_prod, 48), sizes["pq-prod"], 1.0),
