@@ -768,3 +768,40 @@ def test_hard_negatives_exclude_near_duplicates(spark, sf_dir):
         expect = [(vid, -nc) for nc, vid in sorted(cands)[:HARDNEG_TOPK]]
         got = [(r.vec_id, r.cosine) for r in mined if r.query_id == qid]
         assert [g[0] for g in got] == [e[0] for e in expect]
+
+
+def test_interval_bucket_join_matches_bruteforce_range(spark, sf_dir):
+    """events_interval_bucket_join (r6): the bucketed equi-join + residual
+    must equal the naive range predicate — recomputed in python over the
+    full events table — including windows' event/user counts and
+    decimal-exact value totals."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.queries import REGISTRY
+    from vectordb_hr_data_spark.querydefs.event_queries import WIN_EVERY_H, WIN_LEN_H
+
+    evs = read_table(spark, sf_dir, "events").collect()
+    t0 = min(r.ts for r in evs).replace(hour=0, minute=0, second=0, microsecond=0)
+    tmax = max(r.ts for r in evs)
+    import datetime as dt
+
+    n_w = int((tmax - t0).total_seconds() // (3600 * WIN_EVERY_H)) + 1
+    expect = defaultdict(lambda: [0, set(), Decimal("0")])
+    for w in range(n_w):
+        ws = t0 + dt.timedelta(hours=w * WIN_EVERY_H)
+        we = ws + dt.timedelta(hours=WIN_LEN_H)
+        for r in evs:
+            if ws <= r.ts < we:
+                e = expect[w]
+                e[0] += 1
+                e[1].add(r.user_id)
+                e[2] += Decimal(str(round(r.value, 2)))
+
+    got = {r.window_id: r for r in REGISTRY["events_interval_bucket_join"].fn(spark, sf_dir).collect()}
+    assert set(got) == {w for w, e in expect.items() if e[0] > 0}
+    for w, r in got.items():
+        assert r.n_events == expect[w][0]
+        assert r.n_users == len(expect[w][1])
+        assert abs(float(expect[w][2]) - r.total_value) < 1e-9

@@ -333,3 +333,101 @@ def events_salted_join_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# B42: interval (range) join via time-bucket equi-join (r6)
+# ---------------------------------------------------------------------------
+# Spark has no native range-join strategy (a raw BETWEEN join plans as a
+# nested-loop); the scalable mechanism is BUCKETING: explode each interval
+# into the fixed-width time buckets it covers, equi-join events on their
+# bucket, and keep the true range predicate as the residual. The join is a
+# HashJoin whatever the table sizes — the shape that survives when BOTH
+# sides are large (billions of events x millions of intervals), unlike
+# broadcasting one side. Windows here are derived from the data (2-hour
+# "maintenance windows" every 8 hours across the corpus span) so the whole
+# query is self-contained and oracle-replayable.
+WIN_EVERY_H = 8
+WIN_LEN_H = 2
+
+
+@register(
+    "events_interval_bucket_join",
+    f"""
+WITH span AS (
+  SELECT date_trunc('day', min(ts)) AS t0, max(ts) AS tmax FROM events
+), wins AS (
+  SELECT CAST(w AS BIGINT) AS window_id,
+         t0 + to_hours(CAST(w * {WIN_EVERY_H} AS BIGINT)) AS w_start,
+         t0 + to_hours(CAST(w * {WIN_EVERY_H} + {WIN_LEN_H} AS BIGINT)) AS w_end
+  FROM span, unnest(range(0, CAST(floor(date_diff('hour', t0, tmax) / {WIN_EVERY_H}) AS BIGINT) + 1)) AS r(w)
+), wbuckets AS (
+  SELECT window_id, w_start, w_end,
+         w_start + to_hours(CAST(h AS BIGINT)) AS bucket
+  FROM wins, unnest(range(0, {WIN_LEN_H})) AS r(h)
+), ev AS (
+  SELECT event_id, user_id, value, ts, date_trunc('hour', ts) AS bucket FROM events
+)
+SELECT b.window_id, b.w_start AS window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM ev e JOIN wbuckets b ON e.bucket = b.bucket
+WHERE e.ts >= b.w_start AND e.ts < b.w_end
+GROUP BY b.window_id, b.w_start
+ORDER BY window_id
+""",
+)
+def events_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events enriched against derived 2-hour windows by bucketed range
+    join: intervals explode into their covering hour buckets, events
+    equi-join on ``date_trunc('hour', ts)``, the exact range rides as the
+    residual predicate. Plan: one HashJoin on the bucket key (the windows
+    side is tiny here and broadcasts; with a large interval table the
+    same plan shuffles both sides on the uniform bucket key — never a
+    nested loop), then one groupBy per window. Value sums go through
+    DECIMAL(18,2) so the per-window totals are order-independent."""
+    ev = read_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("t0"), F.max("ts").alias("tmax")
+    )
+    n_w = (
+        F.floor(
+            (F.unix_timestamp("tmax") - F.unix_timestamp("t0")) / (3600 * WIN_EVERY_H)
+        ).cast("bigint")
+        + 1
+    )
+    wins = span.select(
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_w - 1)).alias("window_id"), "t0"
+    ).select(
+        "window_id",
+        F.expr(f"t0 + make_interval(0, 0, 0, 0, window_id * {WIN_EVERY_H}, 0, 0)").alias(
+            "w_start"
+        ),
+        F.expr(
+            f"t0 + make_interval(0, 0, 0, 0, window_id * {WIN_EVERY_H} + {WIN_LEN_H}, 0, 0)"
+        ).alias("w_end"),
+    )
+    wbuckets = wins.select(
+        "window_id",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {WIN_LEN_H - 1}),"
+                f" h -> w_start + make_interval(0, 0, 0, 0, h, 0, 0))"
+            )
+        ).alias("bucket"),
+    )
+    e = ev.select("event_id", "user_id", "value", "ts", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+    return (
+        e.join(F.broadcast(wbuckets), "bucket")
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .groupBy("window_id", F.col("w_start").alias("window_start"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy("window_id")
+    )
