@@ -805,3 +805,26 @@ def test_interval_bucket_join_matches_bruteforce_range(spark, sf_dir):
         assert r.n_events == expect[w][0]
         assert r.n_users == len(expect[w][1])
         assert abs(float(expect[w][2]) - r.total_value) < 1e-9
+
+
+def test_ppl_threshold_gate_approximates_exact_rank_cut(spark, sf_dir):
+    """doc_lm_perplexity_threshold (r6): the sketch-threshold gate must
+    agree with the exact 75% rank cut up to the approx_percentile
+    accuracy knob — here within 2% of the corpus on either side — and
+    must never pass a doc whose ce exceeds the accepted cut value."""
+    import math
+
+    from vectordb_hr_data_spark.queries import REGISTRY
+
+    exact = sorted(
+        (round(r.cross_entropy * 1e6), r.doc_id)
+        for r in REGISTRY["doc_lm_perplexity"].fn(spark, sf_dir).collect()
+    )
+    n = len(exact)
+    k = math.ceil(0.75 * n)
+    exact_keep = {d for _, d in exact[:k]}
+    got = {r.doc_id: r.ce_micro for r in REGISTRY["doc_lm_perplexity_threshold"].fn(spark, sf_dir).collect()}
+    cut = max(got.values())
+    assert all(ce <= cut for ce in got.values())
+    sym_diff = len(exact_keep ^ set(got))
+    assert sym_diff <= max(2, int(0.02 * n)), (sym_diff, n)

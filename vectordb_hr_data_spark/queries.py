@@ -138,6 +138,9 @@ PRIORITY: list[str] = [
     # r6: BPE tokenizer training + encode (iterative by definition —
     # rows-only; pinned by the python-trainer replay pytest)
     "bpe_train_merges", "bpe_encode_token_counts",
+    # r6: sketch-threshold form of the perplexity gate (approx_percentile
+    # is engine-specific — rows-only; pytest bounds drift vs the exact cut)
+    "doc_lm_perplexity_threshold",
 ]
 
 

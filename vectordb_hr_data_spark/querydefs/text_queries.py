@@ -604,3 +604,28 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 / (1.0 + F.exp(-logit)), 4).alias("score"),
         (F.col("s") > 0).alias("keep"),
     ).orderBy("doc_id")
+
+
+@register("doc_lm_perplexity_threshold", None)
+def doc_lm_perplexity_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of the perplexity gate (the threshold variant
+    SCALE.md prescribes where `quality_prep_pipeline` uses an exact rank):
+    instead of a global row_number window (one task sorts every doc), the
+    cut point is ``approx_percentile(ce_micro, 0.75)`` — a sketch
+    aggregate with map-side partials — and the gate is a map-only filter
+    against that broadcast scalar. Rows-only registry entry
+    (approx_percentile's sketch is engine-specific); the pytest bounds
+    its disagreement with the exact rank cut."""
+    d = read_table(spark, sf_dir, "documents")
+    lm = doc_lm_perplexity(spark, sf_dir).select(
+        "doc_id", (F.col("cross_entropy") * 1000000.0).cast("long").alias("ce_micro")
+    )
+    cut = lm.agg(
+        F.expr("approx_percentile(ce_micro, 0.75, 10000)").alias("cut")
+    )
+    return (
+        lm.crossJoin(F.broadcast(cut))
+        .filter(F.col("ce_micro") <= F.col("cut"))
+        .select("doc_id", "ce_micro")
+        .orderBy("doc_id")
+    )
