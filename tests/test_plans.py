@@ -516,3 +516,22 @@ def test_registry_wide_plan_invariants(spark, sf_dir):
         if bad:
             offenders[name] = ",".join(bad)
     assert not offenders, offenders
+
+
+def test_ivf_sq4_index_scans_prune_partitions_and_columns(spark, sf_dir):
+    """The IVF16+SQ4 composition (r6) must show the same two prunings as
+    its SQ8 sibling: both FileScans read only the n_probe cid partitions,
+    phase 1 reads ONLY the packed nibble codes (0.5 byte/dim — half of
+    SQ8's scan), phase 2 ONLY the float vectors."""
+    import re
+
+    from vectordb_hr_data_spark.querydefs.vector_queries import ivf_sq4_rerank_indexed
+
+    plan = _plan(ivf_sq4_rerank_indexed(spark, sf_dir))
+    pf = re.findall(r"PartitionFilters: \[cid#\d+ IN \(([^)]*)\)\]", plan)
+    assert len(pf) == 2 and all(len(p.split(",")) == 4 for p in pf), plan
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    code_scans = [s for s in schemas if "pk" in s]
+    vec_scans = [s for s in schemas if "embedding" in s]
+    assert len(code_scans) == 1 and "embedding" not in code_scans[0]
+    assert len(vec_scans) == 1 and "pk" not in vec_scans[0]

@@ -360,6 +360,14 @@ _L2 = (
     "list_sum(list_transform(range(1, len({a})+1),"
     " i -> power(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE), 2)))"
 )
+# --- SQ4 (r6): nibble-packed 4-bit scalar quantization -------------------
+_SQ4_BYTE = "CAST((i + 1) // 2 AS INT)"  # 1-based byte index for dim i
+_SQ4_UNPACK = (
+    f"CASE WHEN i % 2 = 1 THEN (pk[{_SQ4_BYTE}] + 128) // 16"
+    f" ELSE (pk[{_SQ4_BYTE}] + 128) % 16 END"
+)
+
+
 _SQ8_IVF_BUILT: set[str] = set()
 
 
@@ -462,6 +470,110 @@ def ivf_sq8_rerank_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQ4_IVF_BUILT: set[str] = set()
+
+
+@register(
+    "ivf_sq4_rerank_indexed",
+    _SQ8_CTES
+    + f"""
+, codes4 AS (
+  SELECT e.vec_id, e.embedding,
+         list_transform(range(1, 65), i ->
+           CASE WHEN rng.hiv[{_SQ8_IDX}] = rng.lov[{_SQ8_IDX}] THEN 0
+                ELSE CAST(round((CAST(e.embedding[{_SQ8_IDX}] AS DOUBLE) - rng.lov[{_SQ8_IDX}])
+                     / (rng.hiv[{_SQ8_IDX}] - rng.lov[{_SQ8_IDX}]) * 15.0) AS INT) END) AS c4
+  FROM embeddings e, rng
+), packed AS (
+  SELECT vec_id, embedding,
+         list_transform(range(1, 33), k ->
+           c4[CAST(2*k - 1 AS INT)] * 16 + c4[CAST(2*k AS INT)] - 128) AS pk
+  FROM codes4
+), cent AS (
+  SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+), assigned AS (
+  SELECT p.vec_id, p.embedding, p.pk, ct.cid,
+         row_number() OVER (PARTITION BY p.vec_id
+                            ORDER BY {_L2.format(a='p.embedding', b='ct.cvec')}, ct.cid) AS rn
+  FROM packed p CROSS JOIN cent ct
+), probe AS (
+  SELECT ct.cid FROM cent ct, q
+  ORDER BY {_L2.format(a='ct.cvec', b='q.qv')}, ct.cid
+  LIMIT {_N_PROBE}
+), bucket AS (
+  SELECT a.vec_id, a.embedding, a.pk FROM assigned a JOIN probe p ON a.cid = p.cid
+  WHERE a.rn = 1
+), phase1 AS (
+  SELECT b.vec_id, b.embedding,
+         round(list_sum(list_transform(range(1, 65), i ->
+           power(rng.lov[{_SQ8_IDX}]
+                 + ({_SQ4_UNPACK}) / 15.0 * (rng.hiv[{_SQ8_IDX}] - rng.lov[{_SQ8_IDX}])
+                 - CAST(q.qv[{_SQ8_IDX}] AS DOUBLE), 2))), {_ROUND}) AS qdistance
+  FROM bucket b, rng, q
+  ORDER BY qdistance, b.vec_id
+  LIMIT {overfetch_count(10)}
+)
+SELECT p1.vec_id, round({_L2.format(a='p1.embedding', b='q.qv')}, {_ROUND}) AS distance
+FROM phase1 p1, q
+ORDER BY distance, p1.vec_id
+LIMIT 10
+""",
+)
+def ivf_sq4_rerank_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """faiss ``IVF16,SQ4`` over a persisted parquet index — the SQ4 point
+    (B39) composed with the cid-partitioned serving surface exactly as
+    ``ivf_sq8_rerank_indexed``: build once (assign + nibble-pack, write
+    PARTITIONED BY cid with codes AND floats), phase 1 reads only the
+    probed cid directories and only the 0.5 byte/dim ``pk`` column
+    (partition pruning × column pruning — the scan moves HALF of SQ8's
+    bytes over n_probe/16 of the corpus), phase 2 point-looks-up the 50
+    survivors' float vectors for the exact re-rank. Deterministic end to
+    end, hash-checked by the oracle replaying the same packed
+    arithmetic."""
+    from ..operators.ivf import ivf_assign
+    from ..operators.quantize import sq4_encode_packed_arrow, sq4_qdist_packed_arrow
+    from .similarity_queries import _ivf_index_path
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    lo, hi = _sq8_ranges(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    path = _ivf_index_path(sf_dir, "sq4")
+    if path not in _SQ4_IVF_BUILT:
+        assigned = ivf_assign(emb, cents)
+        assigned.select(
+            "vec_id", "embedding", sq4_encode_packed_arrow("embedding", lo, hi).alias("pk"), "cid"
+        ).write.partitionBy("cid").mode("overwrite").parquet(path)
+        _SQ4_IVF_BUILT.add(path)
+
+    q = _query_vec(spark, sf_dir)
+    qlit = F.lit([float(x) for x in q])
+    probe = [
+        r.cid
+        for r in cents.select("cid", V.l2sq(F.col("cvec"), qlit).alias("d"))
+        .orderBy(F.col("d").asc(), F.col("cid").asc())
+        .limit(_N_PROBE)
+        .collect()
+    ]
+    codes_scan = spark.read.parquet(path).filter(F.col("cid").isin(probe)).select("vec_id", "pk")
+    qd = F.round(sq4_qdist_packed_arrow("pk", lo, hi, q), _ROUND)
+    cand = (
+        codes_scan.select("vec_id", qd.alias("qdistance"))
+        .orderBy(F.col("qdistance").asc(), F.col("vec_id").asc())
+        .limit(overfetch_count(10))
+        .select("vec_id")
+    )
+    vec_scan = spark.read.parquet(path).filter(F.col("cid").isin(probe)).select("vec_id", "embedding")
+    surv = vec_scan.join(F.broadcast(cand), "vec_id")
+    dist = F.round(V.l2sq(F.col("embedding"), qlit), _ROUND)
+    return (
+        surv.select("vec_id", dist.alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 @register(
     "knn_sq8_rerank",
     _SQ8_CTES
@@ -512,14 +624,6 @@ def knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(10)
     )
-
-
-# --- SQ4 (r6): nibble-packed 4-bit scalar quantization -------------------
-_SQ4_BYTE = "CAST((i + 1) // 2 AS INT)"  # 1-based byte index for dim i
-_SQ4_UNPACK = (
-    f"CASE WHEN i % 2 = 1 THEN (pk[{_SQ4_BYTE}] + 128) // 16"
-    f" ELSE (pk[{_SQ4_BYTE}] + 128) % 16 END"
-)
 
 
 @register(
