@@ -828,3 +828,43 @@ def test_ppl_threshold_gate_approximates_exact_rank_cut(spark, sf_dir):
     assert all(ce <= cut for ce in got.values())
     sym_diff = len(exact_keep ^ set(got))
     assert sym_diff <= max(2, int(0.02 * n)), (sym_diff, n)
+
+
+def test_dup_span_removal_matches_python_keepfirst(spark, sf_dir):
+    """doc_dup_span_removal (r6): python replay of keep-first
+    exact-substring dedup — global first instance per duplicated gram
+    survives, every other instance's positions drop, survivors reassemble
+    in order. Every row must match, and n_removed must be bounded by
+    B34's coverage (which also counts the kept first instances)."""
+    from collections import defaultdict
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.queries import REGISTRY
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import DUPSPAN_N
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in read_table(spark, sf_dir, "documents").collect()
+    }
+    by_gram = defaultdict(list)
+    for doc_id in sorted(docs):
+        t = docs[doc_id]
+        for i in range(len(t) - DUPSPAN_N + 1):
+            by_gram[" ".join(t[i : i + DUPSPAN_N])].append((doc_id, i))
+    removed = defaultdict(set)
+    for g, insts in by_gram.items():
+        if len(insts) > 1:
+            for doc_id, i in sorted(insts)[1:]:
+                removed[doc_id].update(range(i, i + DUPSPAN_N))
+
+    got = {r.doc_id: r for r in REGISTRY["doc_dup_span_removal"].fn(spark, sf_dir).collect()}
+    cov = {r.doc_id: r.n_dup_positions for r in REGISTRY["doc_dup_ngram_coverage"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(docs)
+    for doc_id, t in docs.items():
+        rm = removed[doc_id]
+        cleaned = " ".join(tok for p, tok in enumerate(t) if p not in rm)
+        r = got[doc_id]
+        assert r.n_tokens == len(t)
+        assert r.n_removed == len(rm)
+        assert r.cleaned_text == cleaned
+        assert r.n_removed <= cov[doc_id]

@@ -1582,3 +1582,111 @@ def quality_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# B43: exact-substring dedup REMOVAL (the action to B34's metric)
+# ---------------------------------------------------------------------------
+# Lee et al. ACL'22 exact-substring dedup, keep-first flavor: every
+# instance of a duplicated n-gram span EXCEPT the globally-first one
+# (min (doc_id, position)) is removed; surviving tokens reassemble in
+# order. Deterministic keep rule ⇒ fully SQL-expressible.
+
+
+@register(
+    "doc_dup_span_removal",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), spans AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         array_to_string(t[CAST(i AS INT):CAST(i AS INT) + {DUPSPAN_N} - 1], ' ') AS g
+  FROM toks, unnest(range(1, len(t) - {DUPSPAN_N} + 2)) AS r(i)
+), dupg AS (
+  SELECT g FROM spans GROUP BY g HAVING count(*) > 1
+), inst AS (
+  SELECT s.doc_id, s.i, s.g,
+         row_number() OVER (PARTITION BY s.g ORDER BY s.doc_id, s.i) AS rn
+  FROM spans s JOIN dupg USING (g)
+), removed AS (
+  SELECT DISTINCT doc_id, i + CAST(o AS BIGINT) AS pos
+  FROM inst, unnest(range(0, {DUPSPAN_N})) AS u(o)
+  WHERE rn > 1
+), kepttok AS (
+  SELECT tk.doc_id, tk.pos, tk.tok
+  FROM (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos, t[CAST(i AS INT)] AS tok
+    FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
+  ) tk
+  LEFT JOIN removed rm ON rm.doc_id = tk.doc_id AND rm.pos = tk.pos
+  WHERE rm.doc_id IS NULL
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(k.cleaned, '') AS cleaned_text
+FROM toks t
+LEFT JOIN (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS cleaned
+  FROM kepttok GROUP BY doc_id
+) k ON k.doc_id = t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaned corpus under keep-first exact-substring dedup: tokens
+    covered by a non-first instance of any duplicated {n}-gram are
+    dropped; the rest reassemble in position order (docs losing every
+    token emit the empty string, matching the oracle's COALESCE).
+
+    Scale shape on top of B34's: the extra work is one rank window
+    PARTITIONED BY GRAM (uniform key — a gram with f instances costs
+    f log f within its partition, never corpus-wide), and the reassembly
+    is a per-doc ordered aggregation on the uniform doc_id key. The
+    removed-position frame explodes only DUPLICATED instances, bounded by
+    actual corpus duplication. At 100 TB the gram key again swaps for the
+    8-byte polynomial (`spark_shingle_keys`).""".replace("{n}", str(DUPSPAN_N))
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    spans = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(t) - {DUPSPAN_N} + 1, 0)),"
+                f" i -> concat_ws(' ', slice(t, i, {DUPSPAN_N})))"
+            )
+        ).alias("p0", "g"),
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("i"), "g")
+    dupg = spans.groupBy("g").agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 1).select("g")
+    w = Window.partitionBy("g").orderBy(F.col("doc_id").asc(), F.col("i").asc())
+    inst = spans.join(dupg, "g").withColumn("rn", F.row_number().over(w))
+    removed = (
+        inst.filter(F.col("rn") > 1)
+        .select("doc_id", F.explode(F.expr(f"sequence(i, i + {DUPSPAN_N} - 1)")).alias("pos"))
+        .distinct()
+    )
+    alltok = toks.select(
+        "doc_id", F.posexplode("t").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "tok")
+    kept = alltok.join(removed, ["doc_id", "pos"], "left_anti")
+    reasm = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("tok")))),
+                lambda s: s["tok"],
+            ),
+        ).alias("cleaned"),
+    )
+    return (
+        toks.join(reasm, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            (F.size("t") - F.coalesce(F.col("n_kept"), F.lit(0))).cast("long").alias("n_removed"),
+            F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
