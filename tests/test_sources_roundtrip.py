@@ -69,3 +69,46 @@ def test_training_shards_write_reload_manifest(spark, sf_dir, tmp_path):
     for r in back.select("doc_id", "shard").collect():
         h = int(hashlib.md5(f"{r.doc_id}:shuffle:42".encode()).hexdigest()[:8], 16)
         assert r.shard == h % 4
+
+
+def test_quantizer_state_roundtrip_bit_exact(spark, sf_dir, tmp_path):
+    """save/load_quantizer_state (r6): reloaded SQ ranges, PQ codebook and
+    rotation must be bit-identical to the trained originals, and codes
+    encoded from the RELOADED state must equal codes from the live state
+    (the serving-session contract: no re-fit, no drift)."""
+    from vectordb_hr_data_spark.io import (
+        load_quantizer_state,
+        read_table,
+        save_quantizer_state,
+    )
+    from vectordb_hr_data_spark.operators.opq import seeded_rotation
+    from vectordb_hr_data_spark.operators.pq import pq_codebook
+    from vectordb_hr_data_spark.operators.quantize import (
+        fit_ranges,
+        sq4_encode_packed_arrow,
+        sq8_encode_arrow,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    lo, hi = fit_ranges(emb, "embedding", 64)
+    cb = pq_codebook(emb, dim=64, m=8, k=16)
+    rot = seeded_rotation(16, seed=3)
+    path = str(tmp_path / "qstate")
+    save_quantizer_state(spark, path, sq_ranges=(lo, hi), pq_codebook=cb, rotation=rot)
+    st = load_quantizer_state(spark, path)
+    assert st["sq_ranges"] == (lo, hi)
+    assert st["pq_codebook"] == [list(v) for v in cb]
+    assert st["rotation"] == [list(r) for r in rot]
+
+    live = {r.vec_id: (r.c8, r.c4) for r in emb.select(
+        "vec_id",
+        sq8_encode_arrow("embedding", lo, hi).alias("c8"),
+        sq4_encode_packed_arrow("embedding", lo, hi).alias("c4"),
+    ).collect()}
+    lo2, hi2 = st["sq_ranges"]
+    reloaded = {r.vec_id: (r.c8, r.c4) for r in emb.select(
+        "vec_id",
+        sq8_encode_arrow("embedding", lo2, hi2).alias("c8"),
+        sq4_encode_packed_arrow("embedding", lo2, hi2).alias("c4"),
+    ).collect()}
+    assert live == reloaded

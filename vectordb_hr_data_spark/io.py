@@ -292,3 +292,57 @@ def write_training_shards(
     )
     manifest.write.mode("overwrite").parquet(out_path.rstrip("/") + "/_manifest")
     return manifest
+
+
+# ---------------------------------------------------------------------------
+# Trained quantizer state persistence (r6) — the write_index/read_index
+# analog for the ladder's trained artifacts: SQ ranges, PQ codebooks, OPQ
+# rotations. Everything a serving session needs to encode/score WITHOUT
+# re-fitting: doubles round-trip parquet bit-exactly, so codes produced
+# from reloaded state are hash-identical to the training session's.
+# ---------------------------------------------------------------------------
+def save_quantizer_state(
+    spark: SparkSession,
+    path: str,
+    sq_ranges: tuple[list[float], list[float]] | None = None,
+    pq_codebook: list[list[float]] | None = None,
+    rotation: list[list[float]] | None = None,
+) -> None:
+    """Persist trained quantizer artifacts as one typed parquet frame:
+    (artifact, i, j, vec). Artifacts absent from the call are absent from
+    the frame; ``load_quantizer_state`` returns exactly what was saved."""
+    rows: list[tuple[str, int, int, list[float]]] = []
+    if sq_ranges is not None:
+        lo, hi = sq_ranges
+        rows.append(("sq_lo", 0, 0, [float(x) for x in lo]))
+        rows.append(("sq_hi", 0, 0, [float(x) for x in hi]))
+    if pq_codebook is not None:
+        # repo codebook shape: k full-dim codewords (operators/pq.py —
+        # subspace views slice them at encode time)
+        for c, vec in enumerate(pq_codebook):
+            rows.append(("pq", c, 0, [float(x) for x in vec]))
+    if rotation is not None:
+        for i, row in enumerate(rotation):
+            rows.append(("rot", i, 0, [float(x) for x in row]))
+    if not rows:
+        raise ValueError("nothing to save")
+    spark.createDataFrame(
+        rows, "artifact string, i int, j int, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_quantizer_state(spark: SparkSession, path: str) -> dict:
+    """Reload artifacts saved by ``save_quantizer_state``. Returns a dict
+    with any of 'sq_ranges' (lo, hi), 'pq_codebook', 'rotation'."""
+    rows = spark.read.parquet(path).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.artifact, []).append(r)
+    out: dict = {}
+    if "sq_lo" in by:
+        out["sq_ranges"] = (list(by["sq_lo"][0].vec), list(by["sq_hi"][0].vec))
+    if "pq" in by:
+        out["pq_codebook"] = [list(r.vec) for r in sorted(by["pq"], key=lambda r: r.i)]
+    if "rot" in by:
+        out["rotation"] = [list(r.vec) for r in sorted(by["rot"], key=lambda r: r.i)]
+    return out
