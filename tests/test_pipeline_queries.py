@@ -868,3 +868,38 @@ def test_dup_span_removal_matches_python_keepfirst(spark, sf_dir):
         assert r.n_removed == len(rm)
         assert r.cleaned_text == cleaned
         assert r.n_removed <= cov[doc_id]
+
+
+def test_incremental_q1_state_equals_full_recompute(spark, sf_dir):
+    """operators/incremental (B45): maintaining the q1 partial-aggregate
+    state over arbitrary batch splits must be EXACTLY equal (decimal
+    bit-equality) to the full recompute — three different splits, one of
+    them three-way with an empty batch."""
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.operators.incremental import (
+        merge_q1_state,
+        q1_report,
+        q1_state,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    full = q1_report(q1_state(li)).collect()
+
+    for split_expr in [
+        F.col("l_orderkey") % 2 == 0,
+        F.col("l_orderkey") % 7 < 3,
+    ]:
+        a, b = li.filter(split_expr), li.filter(~split_expr)
+        merged = q1_report(merge_q1_state(q1_state(a), q1_state(b))).collect()
+        assert merged == full
+    # three-way incl. an empty delta
+    a = li.filter(F.col("l_orderkey") % 3 == 0)
+    b = li.filter(F.col("l_orderkey") % 3 == 1)
+    c = li.filter(F.col("l_orderkey") % 3 == 2)
+    empty = li.filter(F.lit(False))
+    state = q1_state(a)
+    for batch in (b, empty, c):
+        state = merge_q1_state(state, q1_state(batch))
+    assert q1_report(state).collect() == full

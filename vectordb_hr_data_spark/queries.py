@@ -101,7 +101,7 @@ PRIORITY: list[str] = [
     "dsir_importance_resample", "source_token_budget_sample",
     "knn_sq4_rerank", "quality_prep_pipeline", "mine_hard_negatives",
     "events_interval_bucket_join", "ivf_sq4_rerank_indexed",
-    "doc_dup_span_removal",
+    "doc_dup_span_removal", "corpus_profile", "q1_incremental_maintenance",
     "q7_nation_volume",
     "knn_topk_sq8", "knn_pq_adc_rerank", "ivf_pq_residual_det",
     "ivf_topk_suggested", "chunk_embed_ivf_search",

@@ -1690,3 +1690,129 @@ def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# B44: corpus profiling — the data-quality report every ingest runs first
+# ---------------------------------------------------------------------------
+@register(
+    "corpus_profile",
+    """
+SELECT 'doc_id' AS column_name,
+       CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+       CAST(min(doc_id) AS VARCHAR) AS min_value,
+       CAST(max(doc_id) AS VARCHAR) AS max_value
+FROM documents
+UNION ALL
+SELECT 'lang', CAST(count(*) - count(lang) AS BIGINT),
+       CAST(count(DISTINCT lang) AS BIGINT), min(lang), max(lang) FROM documents
+UNION ALL
+SELECT 'source', CAST(count(*) - count(source) AS BIGINT),
+       CAST(count(DISTINCT source) AS BIGINT), min(source), max(source) FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(count(*) - count(n_chars) AS BIGINT),
+       CAST(count(DISTINCT n_chars) AS BIGINT),
+       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
+UNION ALL
+SELECT 'text_len', CAST(count(*) - count(text) AS BIGINT),
+       CAST(count(DISTINCT len(text)) AS BIGINT),
+       CAST(min(len(text)) AS VARCHAR), CAST(max(len(text)) AS VARCHAR) FROM documents
+ORDER BY column_name
+""",
+)
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of the documents table (null counts, distincts,
+    min/max) — the ingest-time data-quality report. ONE pass over the
+    scan: all columns' aggregates compute in a single Aggregate node
+    (stringified min/max so heterogeneous columns stack), then unpivot to
+    the (column, stats) report shape. At 100 TB this is the same single
+    scan + map-side partial aggregation any count(*) costs; the exact
+    distincts swap for approx_count_distinct when the report tolerates
+    ±2% (the HLL twin `events_distinct_users_approx` documents that
+    form)."""
+    d = read_table(spark, sf_dir, "documents")
+    cols = {
+        "doc_id": F.col("doc_id").cast("string"),
+        "lang": F.col("lang"),
+        "source": F.col("source"),
+        "n_chars": F.col("n_chars").cast("string"),
+        "text_len": F.length("text").cast("string"),
+    }
+    # numeric min/max must compare numerically, then render as strings
+    order_expr = {
+        "doc_id": F.col("doc_id"),
+        "lang": F.col("lang"),
+        "source": F.col("source"),
+        "n_chars": F.col("n_chars"),
+        "text_len": F.length("text"),
+    }
+    aggs = []
+    for name in cols:
+        aggs += [
+            (F.count("*") - F.count(order_expr[name])).cast("long").alias(f"{name}__nulls"),
+            F.countDistinct(order_expr[name]).cast("long").alias(f"{name}__distinct"),
+            F.min(order_expr[name]).cast("string").alias(f"{name}__min"),
+            F.max(order_expr[name]).cast("string").alias(f"{name}__max"),
+        ]
+    wide = d.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column_name"),
+                F.col(f"{name}__nulls").alias("n_nulls"),
+                F.col(f"{name}__distinct").alias("n_distinct"),
+                F.col(f"{name}__min").alias("min_value"),
+                F.col(f"{name}__max").alias("max_value"),
+            )
+            for name in cols
+        ]
+    )
+    return (
+        wide.select(F.explode(rows).alias("r"))
+        .select("r.column_name", "r.n_nulls", "r.n_distinct", "r.min_value", "r.max_value")
+        .orderBy("column_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B45: incremental aggregate maintenance — registered against q1's OWN oracle
+# ---------------------------------------------------------------------------
+@register(
+    "q1_incremental_maintenance",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q1_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance (operators/incremental.py): the q1
+    pricing summary maintained over THREE deterministic ingest batches —
+    state = per-group decimal partial aggregates, each batch folds in via
+    a group-key-sized full-outer merge that never re-reads prior data —
+    then finalized with q1's exact output expressions. The ORACLE IS
+    PLAIN ONE-SHOT q1: the hash check proves the incremental path is
+    indistinguishable from full recomputation (decimal partials are
+    exact, so split/order cannot move a bit). At 100 TB each refresh
+    costs agg(batch) + a merge of two group-cardinality frames."""
+    from ..operators.incremental import merge_q1_state, q1_report, q1_state
+
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    state = None
+    for k in range(3):
+        batch_state = q1_state(li.filter(F.col("l_orderkey") % 3 == k))
+        state = batch_state if state is None else merge_q1_state(state, batch_state)
+    return q1_report(state)
