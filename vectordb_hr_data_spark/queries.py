@@ -62,25 +62,26 @@ PRIORITY: list[str] = [
     # (q7_nation_volume, multi-green join anchor, moves below the fold;
     # join-family representation stays via the 13 in-window TPC-H shapes)
     "knn_opq_rotated_adc",
-    # reference-native HR pipeline (A4-A29)
-    "hr_union_freshness_counts", "hr_dept_filter_ci", "hr_keyword_score",
-    "hr_lang_all_match", "hr_overfetch_rerank",
+    # reference-native HR pipeline (A4-A29) — keyword/lang_all rotated
+    # below late-r6 (multi-green) for two brand-new quality oracles
+    "hr_union_freshness_counts", "hr_dept_filter_ci", "hr_overfetch_rerank",
+    "neardup_simhash_hamming", "doc_lm_perplexity",
     # embedding / multimodal (B5, B8)
     "embed_documents_poly", "multimodal_binary_metadata",
     # dedup family (B1-B2) + never-windowed URL-canonicalization dedup
-    "dedup_exact", "neardup_ngram_jaccard", "neardup_minhash_lsh",
+    "dedup_exact", "neardup_ngram_jaccard", "dsir_importance_resample",
     "neardup_components", "neardup_dedup_keep", "url_normalize_dedup",
     # text analysis (B6) + never-windowed BPE tokenizer and PII scrub
-    "doc_quality_score", "doc_tfidf_top_terms", "doc_token_count_bpe",
+    "doc_quality_classifier", "doc_tfidf_top_terms", "doc_token_count_bpe",
     "doc_pii_scrub",
     # training-data pipeline ops + never-windowed weighted corpus mixing
     "doc_decontaminate", "doc_repetition_ratio", "corpus_prep_pipeline",
-    "doc_length_percentiles", "semantic_dedup_clusters", "corpus_weighted_mix",
+    "quality_prep_pipeline", "semantic_dedup_clusters", "corpus_weighted_mix",
     # events / time ops (B7) + never-windowed salted weighted join
-    "events_sessionize", "events_asof_last_purchase", "events_salted_join_weighted",
+    "events_sessionize", "knn_sq4_rerank", "events_salted_join_weighted",
     # relational core + the 13 never-windowed TPC-H shapes (q4/q7 keep the
     # multi-green exists/join anchors)
-    "q1_pricing_summary", "q4_order_priority_exists",
+    "q1_incremental_maintenance", "q4_order_priority_exists",
     "q2_cheapest_supplier_per_part", "q8_national_market_share",
     "q9_product_profit_by_nation_year", "q10_returned_items_top_customers",
     "q11_important_part_value", "q12_priority_case_agg", "q14_ratio_aggregate",
@@ -92,16 +93,20 @@ PRIORITY: list[str] = [
     # r6: binary sign-sketch Hamming retrieval and the seeded training
     # shuffle/shard — first in line for the r7 window rotation (brand-new
     # oracles, strict-local evidence only)
+    # late-r6 window swap: these seven multi-green anchors moved below for
+    # seven brand-new r6 oracles (families keep in-window representation;
+    # q1's SEMANTICS stay in-window via the incremental twin whose oracle
+    # IS one-shot q1)
+    "hr_keyword_score", "hr_lang_all_match", "neardup_minhash_lsh",
+    "doc_quality_score", "doc_length_percentiles", "events_asof_last_purchase",
+    "q1_pricing_summary",
     "knn_bitsketch_hamming_rerank", "corpus_shuffle_shards",
-    "neardup_simhash_hamming",
     # r6: CCNet-style LM perplexity, hashed linear quality classifier,
     # cross-doc duplicated-span coverage — queued with the other new
     # oracles for the r7 window rotation
-    "doc_lm_perplexity", "doc_quality_classifier", "doc_dup_ngram_coverage",
-    "dsir_importance_resample", "source_token_budget_sample",
-    "knn_sq4_rerank", "quality_prep_pipeline", "mine_hard_negatives",
-    "events_interval_bucket_join", "ivf_sq4_rerank_indexed",
-    "doc_dup_span_removal", "corpus_profile", "q1_incremental_maintenance",
+    "doc_dup_ngram_coverage", "source_token_budget_sample",
+    "mine_hard_negatives", "events_interval_bucket_join",
+    "ivf_sq4_rerank_indexed", "doc_dup_span_removal", "corpus_profile",
     "q7_nation_volume",
     "knn_topk_sq8", "knn_pq_adc_rerank", "ivf_pq_residual_det",
     "ivf_topk_suggested", "chunk_embed_ivf_search",
