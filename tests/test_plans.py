@@ -535,3 +535,16 @@ def test_ivf_sq4_index_scans_prune_partitions_and_columns(spark, sf_dir):
     vec_scans = [s for s in schemas if "embedding" in s]
     assert len(code_scans) == 1 and "embedding" not in code_scans[0]
     assert len(vec_scans) == 1 and "pk" not in vec_scans[0]
+
+
+def test_quality_prep_pipeline_plan_shape(spark, sf_dir):
+    """quality_prep_pipeline (B40): the VISIBLE composed plan (the
+    localCheckpoint fan-out boundaries truncate earlier stages into RDD
+    leaves) must keep the final stages' shape: the DSIR count tables join
+    BROADCAST, no Python eval nodes, no cartesian products."""
+    from vectordb_hr_data_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["quality_prep_pipeline"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
