@@ -104,3 +104,43 @@ def test_minhash_probability_approximates_jaccard(spark):
     sh = toks.select("doc_id", F.array_min(F.expr(H.spark_shingles("toks"))).alias("mn"))
     got = {r["doc_id"]: r["mn"] for r in sh.collect()}
     assert got[1] == got[2] and got[1] != got[3]
+
+
+def test_simhash_fold_and_vote_mechanisms_agree(spark, sf_dir):
+    """The two simhash MECHANISMS in the repo must compute the same
+    signature from the same feature set: `doc_simhash`'s 32-fold
+    expression (fine for small distinct-token arrays) and
+    `neardup_simhash_hamming`'s explode→codegen-vote-sum form (the shape
+    that scales to shingle arrays). Run both over the same distinct-token
+    features for every document and assert bit-equality."""
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.functions import texthash as H
+    from vectordb_hr_data_spark.io import read_table
+
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("toks"))
+    hashed = t.select("doc_id", F.expr(H.spark_hash_array("toks")).alias("hashes"))
+    fold = {
+        r.doc_id: r.sh
+        for r in hashed.select(
+            "doc_id", F.expr(H.spark_simhash("hashes")).cast("bigint").alias("sh")
+        ).collect()
+    }
+    ex = t.select("doc_id", F.explode("toks").alias("tok")).select(
+        "doc_id", F.expr(H.spark_str_hash_fast("tok")).alias("h")
+    )
+    votes = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(32)
+        ]
+    )
+    sh_expr = None
+    for b in range(32):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("bigint")
+        sh_expr = bit if sh_expr is None else sh_expr + bit
+    vote = {r.doc_id: r.sh for r in votes.select("doc_id", sh_expr.cast("bigint").alias("sh")).collect()}
+    assert fold == vote
