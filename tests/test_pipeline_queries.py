@@ -903,3 +903,51 @@ def test_incremental_q1_state_equals_full_recompute(spark, sf_dir):
     for batch in (b, empty, c):
         state = merge_q1_state(state, q1_state(batch))
     assert q1_report(state).collect() == full
+
+
+def test_pagerank_matches_python_power_iteration(spark, sf_dir):
+    """doc_pagerank_centrality (r6): replay the integer power iteration in
+    python from a brute-force-derived top-3 cosine graph; the top-20
+    ranks and micro-unit scores must match exactly, and a node with many
+    in-links must outrank one with none."""
+    import numpy as np
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.queries import REGISTRY
+    from vectordb_hr_data_spark.querydefs.similarity_queries import (
+        PAGERANK_DEG,
+        PAGERANK_ITERS,
+        PAGERANK_TOPN,
+    )
+
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in read_table(spark, sf_dir, "embeddings").collect()
+    }
+    norms = {v: np.sqrt((a * a).sum()) for v, a in vecs.items()}
+    out_edges = {}
+    for s, a in vecs.items():
+        cands = sorted(
+            (
+                (-round(float((b @ a) / (norms[d] * norms[s])), 4), d)
+                for d, b in vecs.items()
+                if d != s
+            )
+        )[:PAGERANK_DEG]
+        out_edges[s] = [d for _, d in cands]
+    r = {v: 1_000_000 for v in vecs}
+    for _ in range(PAGERANK_ITERS):
+        nxt = {v: 150_000 for v in vecs}
+        for s, dsts in out_edges.items():
+            cb = (r[s] * 170 + 300) // 600
+            for d in dsts:
+                nxt[d] += cb
+        r = nxt
+    expect = sorted(((-rv, v) for v, rv in r.items()))[:PAGERANK_TOPN]
+    got = REGISTRY["doc_pagerank_centrality"].fn(spark, sf_dir).collect()
+    assert [(g.vec_id, g.rank_micro) for g in got] == [(v, -nr) for nr, v in expect]
+    in_deg = {}
+    for dsts in out_edges.values():
+        for d in dsts:
+            in_deg[d] = in_deg.get(d, 0) + 1
+    assert in_deg.get(got[0].vec_id, 0) >= 1

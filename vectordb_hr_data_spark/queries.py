@@ -107,6 +107,7 @@ PRIORITY: list[str] = [
     "doc_dup_ngram_coverage", "source_token_budget_sample",
     "mine_hard_negatives", "events_interval_bucket_join",
     "ivf_sq4_rerank_indexed", "doc_dup_span_removal", "corpus_profile",
+    "doc_pagerank_centrality",
     "q7_nation_volume",
     "knn_topk_sq8", "knn_pq_adc_rerank", "ivf_pq_residual_det",
     "ivf_topk_suggested", "chunk_embed_ivf_search",

@@ -902,3 +902,177 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= HARDNEG_TOPK)
         .orderBy("query_id", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# B46: PageRank centrality over the kNN similarity graph (r6)
+# --------------------------------------------------------------------------
+# Graph-centrality data selection: build the directed top-3 similarity
+# graph over the embedding corpus, run K power-iteration rounds, keep the
+# most central documents (coreset/representative selection). The rank
+# arithmetic is INTEGER micro-units end to end — each node starts at 1e6,
+# every edge forwards round(0.85·r/outdeg) = (r·170 + 300) div 600 (outdeg
+# is fixed at 3), plus a 0.15e6 teleport — so the iteration is exactly
+# deterministic, order-independent, and replayable by a DuckDB RECURSIVE
+# CTE: a FULL oracle for an iterative graph algorithm. Self-loop sentinel
+# edges (weight 0) keep sink-free bookkeeping: every node appears as a
+# destination every round, so the recursive step emits one row per node
+# per iteration with a single reference to the recursive table.
+PAGERANK_ITERS = 8
+PAGERANK_DEG = 3
+PAGERANK_TOPN = 20
+
+
+@register(
+    "doc_pagerank_centrality",
+    f"""
+WITH RECURSIVE scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_COS_DDB.format(a='b.embedding', b='a.embedding')}, 4) DESC,
+                                     b.vec_id) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+), edges AS (
+  SELECT src, dst, 1 AS w FROM scored WHERE rn <= {PAGERANK_DEG}
+  UNION ALL
+  SELECT vec_id, vec_id, 0 FROM embeddings
+), pr AS (
+  SELECT 0 AS iter, vec_id AS node, CAST(1000000 AS BIGINT) AS r FROM embeddings
+  UNION ALL
+  SELECT p.iter + 1, e.dst,
+         CAST(150000 + sum(CASE WHEN e.w = 1 THEN (p.r * 170 + 300) // 600 ELSE 0 END) AS BIGINT)
+  FROM pr p JOIN edges e ON e.src = p.node
+  WHERE p.iter < {PAGERANK_ITERS}
+  GROUP BY p.iter, e.dst
+)
+SELECT node AS vec_id, r AS rank_micro,
+       row_number() OVER (ORDER BY r DESC, node) AS rnk
+FROM pr WHERE iter = {PAGERANK_ITERS}
+ORDER BY rnk LIMIT {PAGERANK_TOPN}
+""",
+)
+def doc_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{n} most central embedding rows after {k} integer power
+    iterations over the directed top-{d} cosine-similarity graph.
+
+    Scale shape: edge build is the batch_topk discipline (broadcast query
+    side, map-side cosine, per-partition local top-k before the per-src
+    rank — never an unblocked cartesian product on the Spark side); each
+    iteration is one join of the rank frame with the edge list on the
+    uniform src key + one groupBy(dst) with map-side partial sums —
+    the Kiveris CC round discipline applied to weighted propagation,
+    localCheckpointed per round. Integer contributions make every round
+    exactly portable: the oracle's recursive CTE replays all {k} rounds
+    bit-for-bit.""".replace("{n}", str(PAGERANK_TOPN)).replace("{k}", str(PAGERANK_ITERS)).replace("{d}", str(PAGERANK_DEG))
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    # Edge build: ONE blocked-GEMM Arrow pass — each batch of rows scores
+    # against the broadcast corpus matrix and emits its own top-3 inside
+    # the kernel (round-4 cosine, ties on id — the oracle's exact rank
+    # semantics), so the N×N score frame never materializes. At real
+    # corpus scale the exact GEMM swaps for the IVF/bitsketch index to
+    # source candidate neighbors; the iteration below is unchanged.
+    # the exact-GEMM edge build needs the corpus matrix as a broadcast
+    # closure — bounded like any trained-state artifact. A corpus too big
+    # for that must source candidate edges from the ANN index instead
+    # (ivf/bitsketch); fail loudly rather than silently collecting it.
+    n_corpus = emb.count()
+    if n_corpus > 1_000_000:
+        raise ValueError(
+            "doc_pagerank_centrality's exact edge build collects the corpus "
+            f"matrix ({n_corpus} rows); plug an ANN candidate source for "
+            "larger corpora (SCALE.md)"
+        )
+    rows = emb.select("vec_id", "embedding").collect()
+    ids_all = np.asarray([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    matn = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+
+    # real annotations set explicitly: `from __future__ import annotations`
+    # stringifies hints, which pandas_udf's signature inference rejects
+    def _top3(vec_ids, vecs):
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        mn = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+        sims = np.round(mn @ matn.T, 4)
+        out = []
+        for i, vid in enumerate(vec_ids.to_numpy()):
+            c = sims[i]
+            order = np.lexsort((ids_all, -c))
+            picks = [int(ids_all[j]) for j in order if ids_all[j] != vid][:PAGERANK_DEG]
+            out.append(picks)
+        return pd.Series(out)
+
+    _top3.__annotations__ = {"vec_ids": pd.Series, "vecs": pd.Series, "return": pd.Series}
+    top3 = F.pandas_udf(_top3, T.ArrayType(T.LongType()))
+
+    real = (
+        emb.select("vec_id", top3("vec_id", "embedding").alias("dsts"))
+        .select(F.col("vec_id").alias("src"), F.explode("dsts").alias("dst"), F.lit(1).alias("w"))
+    )
+    # Iteration routing mirrors connected_components/bpe_train: under
+    # 100k nodes the 3N-edge list collects once and the K integer rounds
+    # run on the driver (a round over dicts is ms; a Spark job is ~0.5 s
+    # of fixed scheduling × 8 rounds); larger graphs run the distributed
+    # rounds — join rank frame with edges on the uniform src key, one
+    # groupBy(dst) with map-side partial sums, localCheckpoint per round.
+    # Both paths are the same exact integer arithmetic (pytest-pinned via
+    # the python replay; the oracle replays it too).
+    n_nodes = len(ids_all)
+    if n_nodes <= 100_000:
+        # the corpus matrix is already driver-side (it IS the GEMM
+        # closure); under the threshold the edge build runs here too —
+        # same lexsort semantics as the Arrow kernel, zero extra jobs
+        sims = np.round(matn @ matn.T, 4)
+        out_edges = {}
+        for i, vid in enumerate(ids_all):
+            order = np.lexsort((ids_all, -sims[i]))
+            out_edges[int(vid)] = [int(ids_all[j]) for j in order if ids_all[j] != vid][:PAGERANK_DEG]
+        r_map = {int(v): 1_000_000 for v in ids_all}
+        for _ in range(PAGERANK_ITERS):
+            nxt = {v: 150_000 for v in r_map}
+            for src, dsts in out_edges.items():
+                cb = (r_map[src] * 170 + 300) // 600
+                for dd in dsts:
+                    nxt[dd] += cb
+            r_map = nxt
+        top = sorted(((-rv, v) for v, rv in r_map.items()))[:PAGERANK_TOPN]
+        return spark.createDataFrame(
+            [(v, -nr, i + 1) for i, (nr, v) in enumerate(top)],
+            "vec_id long, rank_micro long, rnk long",
+        ).orderBy("rnk")
+    sentinel = emb.select(
+        F.col("vec_id").alias("src"), F.col("vec_id").alias("dst"), F.lit(0).alias("w")
+    )
+    edges = real.unionByName(sentinel).localCheckpoint(eager=True)
+    r = emb.select(F.col("vec_id").alias("node"), F.lit(1000000).cast("long").alias("r"))
+    r = r.localCheckpoint(eager=True)
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            edges.join(r, edges.src == r.node)
+            .select(
+                "dst",
+                F.when(
+                    F.col("w") == 1, F.expr("(r * 170 + 300) div 600")
+                ).otherwise(F.lit(0)).alias("cb"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("cb").alias("s"))
+        )
+        r = contrib.select(
+            F.col("dst").alias("node"), (F.lit(150000) + F.col("s")).cast("long").alias("r")
+        ).localCheckpoint(eager=True)
+    return (
+        r.select(
+            F.col("node").alias("vec_id"),
+            F.col("r").alias("rank_micro"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.col("rank_micro").desc(), F.col("vec_id").asc())).cast("long"),
+        )
+        .filter(F.col("rnk") <= PAGERANK_TOPN)
+        .orderBy("rnk")
+    )
