@@ -219,3 +219,30 @@ def test_opq_refine_reduces_sample_quant_error(spark, mixed_lowrank):
     r5 = np.asarray(rot5)
     assert np.abs(r5 @ r5.T - np.eye(32)).max() < 1e-8
     assert quant_err(rot5, cb5) <= quant_err(rot0, cb0) * 1.001
+
+
+def test_opq_refine_returns_consistent_rotation_codebook_pair(spark, mixed_lowrank):
+    """Regression (ADVICE r6): the returned codebook must be the one fit
+    UNDER the returned rotation — the old loop re-solved the Procrustes
+    rotation once more after the final codebook fit, so encoding with the
+    returned pair silently used a stale codebook. Refit the per-subspace
+    kmeans under the returned rotation with the same seeds: the result
+    must be bit-identical to the returned codebook."""
+    from vectordb_hr_data_spark.operators.opq import (
+        _collect_sample,
+        _kmeans_np,
+        opq_refine,
+        pca_rotation_fit,
+    )
+
+    emb, _ = mixed_lowrank
+    m, k, seed = 8, 16, 7
+    rot0 = pca_rotation_fit(emb, dim=32, m=m, sample_n=1024)
+    rot, cb = opq_refine(emb, rot0, dim=32, m=m, k=k, iters=4, sample_n=1024, seed=seed)
+    x = _collect_sample(emb, "embedding", "vec_id", 1024)
+    xr = x @ np.asarray(rot, dtype=np.float64).T
+    sub = 32 // m
+    cbm = np.asarray(cb, dtype=np.float64)
+    for j in range(m):
+        expect = _kmeans_np(xr[:, j * sub : (j + 1) * sub], k, seed + j)
+        assert np.array_equal(cbm[:, j * sub : (j + 1) * sub], expect), j

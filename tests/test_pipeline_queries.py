@@ -824,6 +824,11 @@ def test_ppl_threshold_gate_approximates_exact_rank_cut(spark, sf_dir):
     k = math.ceil(0.75 * n)
     exact_keep = {d for _, d in exact[:k]}
     got = {r.doc_id: r.ce_micro for r in REGISTRY["doc_lm_perplexity_threshold"].fn(spark, sf_dir).collect()}
+    # regression (ADVICE r6): the gate's ce_micro reconstruction from the
+    # display float must be EXACT — the old truncating long cast could be
+    # one micro-nat low, perturbing the percentile cut and the kept set
+    exact_ce = {d: ce for ce, d in exact}
+    assert all(got[d] == exact_ce[d] for d in got)
     cut = max(got.values())
     assert all(ce <= cut for ce in got.values())
     sym_diff = len(exact_keep ^ set(got))
@@ -868,6 +873,33 @@ def test_dup_span_removal_matches_python_keepfirst(spark, sf_dir):
         assert r.n_removed == len(rm)
         assert r.cleaned_text == cleaned
         assert r.n_removed <= cov[doc_id]
+
+
+def test_dup_ngram_ops_handle_short_docs(spark, sf_dir, tmp_path):
+    """Regression (ADVICE r6): Spark's ``sequence(1, 0)`` is DESCENDING
+    [1, 0] (step defaults to -1 when start > stop), so the span builders'
+    old ``greatest(..., 0)`` bound fed ``slice(t, 0, 8)`` and crashed on
+    any document shorter than DUPSPAN_N tokens. Plant docs of 1 and 3
+    tokens next to real corpus rows: both operators must run, report 0
+    coverage / 0 removals for the short docs, and keep their text."""
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.queries import REGISTRY
+
+    d = read_table(spark, sf_dir, "documents").limit(20)
+    extra = spark.createDataFrame(
+        [(900001, "tiny", "en", "web", 4), (900002, "three token doc", "en", "web", 15)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    tiny_dir = str(tmp_path / "short_docs_sf")
+    d.unionByName(extra).write.parquet(f"{tiny_dir}/documents.parquet")
+
+    cov = {r.doc_id: r for r in REGISTRY["doc_dup_ngram_coverage"].fn(spark, tiny_dir).collect()}
+    assert cov[900001].n_tokens == 1 and cov[900001].n_dup_positions == 0
+    assert cov[900002].n_tokens == 3 and cov[900002].dup_frac == 0.0
+
+    rem = {r.doc_id: r for r in REGISTRY["doc_dup_span_removal"].fn(spark, tiny_dir).collect()}
+    assert rem[900001].n_removed == 0 and rem[900001].cleaned_text == "tiny"
+    assert rem[900002].n_removed == 0 and rem[900002].cleaned_text == "three token doc"
 
 
 def test_incremental_q1_state_equals_full_recompute(spark, sf_dir):
@@ -924,12 +956,26 @@ def test_pagerank_matches_python_power_iteration(spark, sf_dir):
         r.vec_id: np.asarray(r.embedding, dtype=np.float64)
         for r in read_table(spark, sf_dir, "embeddings").collect()
     }
-    norms = {v: np.sqrt((a * a).sum()) for v, a in vecs.items()}
+
+    # the engines' shared determinism contract: sequential left-fold dot
+    # and norms, dot-then-divide, half-away-from-zero 4-decimal rounding
+    def fold_sum(xs):
+        acc = 0.0
+        for x in xs:
+            acc = acc + x
+        return acc
+
+    def round4(x):
+        import math
+
+        return math.copysign(math.floor(abs(x) * 1e4 + 0.5), x) / 1e4
+
+    norms = {v: np.sqrt(fold_sum(a * a)) for v, a in vecs.items()}
     out_edges = {}
     for s, a in vecs.items():
         cands = sorted(
             (
-                (-round(float((b @ a) / (norms[d] * norms[s])), 4), d)
+                (-round4(fold_sum(b * a) / (norms[d] * norms[s])), d)
                 for d, b in vecs.items()
                 if d != s
             )

@@ -493,6 +493,41 @@ def test_sq4_pack_arrow_is_bit_exact_and_unpack_roundtrips(spark, sf_dir):
         assert abs(acc - r.qd) < 1e-9, r.vec_id
 
 
+def test_sq4_encode_clamps_out_of_range_vectors(spark, sf_dir):
+    """Regression (ADVICE r6): vectors OUTSIDE the trained [lo, hi] range
+    (new data encoded against persisted quantizer state) must clamp to
+    codes 0..15 like faiss's SQ4 — an unclamped code corrupts BOTH
+    nibbles of the packed byte. Both the expression twin and the Arrow
+    build path must agree and stay well-defined."""
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.operators.quantize import (
+        fit_ranges,
+        sq4_codes,
+        sq4_encode_packed_arrow,
+        sq4_pack,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    lo, hi = fit_ranges(emb, "embedding", 64)
+    # scale the corpus 3x so most dims overshoot hi (and undershoot lo)
+    wild = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> x * 3.0)").alias("embedding")
+    )
+    codes = {r.vec_id: r.c4 for r in wild.select("vec_id", sq4_codes("embedding", lo, hi).alias("c4")).collect()}
+    assert any(c in (0, 15) for c4 in codes.values() for c in c4)  # clamp exercised
+    for c4 in codes.values():
+        assert all(0 <= c <= 15 for c in c4)
+    expr = {r.vec_id: r.pk for r in wild.select("vec_id", sq4_pack(sq4_codes("embedding", lo, hi)).alias("pk")).collect()}
+    arrow = {r.vec_id: r.pk for r in wild.select("vec_id", sq4_encode_packed_arrow("embedding", lo, hi).alias("pk")).collect()}
+    assert expr == arrow
+    for vid, pk in expr.items():
+        for byte, c0, c1 in zip(pk, codes[vid][0::2], codes[vid][1::2]):
+            u = byte + 128
+            assert (u >> 4, u & 15) == (c0, c1)
+
+
 def test_registry_wide_plan_invariants(spark, sf_dir):
     """Global guard over EVERY registry query's physical plan: no
     CartesianProduct (an unbounded all-pairs join would be fatal at

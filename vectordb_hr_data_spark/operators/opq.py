@@ -218,18 +218,23 @@ def opq_refine(
     r = np.asarray(rotation, dtype=np.float64)
     sub = dim // m
     cbs: list[np.ndarray] = []
-    for _ in range(max(1, iters)):
+    # The codebooks must be fit under the rotation that is RETURNED: solve
+    # the Procrustes rotation only between iterations (never after the
+    # final codebook fit), otherwise the returned pair is mismatched — the
+    # codebook would correspond to the previous rotation and encoding with
+    # the pair silently uses a stale codebook (ADVICE r6).
+    for it in range(max(1, iters)):
         xr = x @ r.T
         cbs = [
             _kmeans_np(xr[:, j * sub : (j + 1) * sub], k, seed + j) for j in range(m)
         ]
+        if it == max(1, iters) - 1:
+            break
         recon = np.empty_like(xr)
         for j in range(m):
             seg = xr[:, j * sub : (j + 1) * sub]
             d = ((seg[:, None, :] - cbs[j][None, :, :]) ** 2).sum(axis=2)
             recon[:, j * sub : (j + 1) * sub] = cbs[j][d.argmin(axis=1)]
-        if iters <= 1:
-            break
         u, _, vt = np.linalg.svd(x.T @ recon)
         r = (u @ vt).T  # argmin_R ||X Rᵀ − X̂||_F over orthogonal R
     codebook = [

@@ -213,7 +213,11 @@ def sq8_qdist_codes_arrow(code_col: str | Column, lo: list[float], hi: list[floa
 
 def sq4_codes(vec_col: str | Column, lo: list[float], hi: list[float]) -> Column:
     """array<int> of per-dimension 4-bit codes (0..15) — the expression
-    twin the oracle replays. Constant dimensions code to 0."""
+    twin the oracle replays. Constant dimensions code to 0. Codes are
+    clamped to [0, 15] like faiss's SQ4 encode: a vector outside the
+    trained [lo, hi] range (new data against persisted quantizer state)
+    would otherwise overflow the nibble and corrupt BOTH dims of the
+    packed byte (ADVICE r6)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     lov = F.lit([float(x) for x in lo])
     spanv = F.lit(_spans(lo, hi))
@@ -222,7 +226,7 @@ def sq4_codes(vec_col: str | Column, lo: list[float], hi: list[float]) -> Column
         shifted,
         spanv,
         lambda s, sp: F.when(sp == 0.0, F.lit(0)).otherwise(
-            F.round(s / sp * 15.0).cast("int")
+            F.least(F.greatest(F.round(s / sp * 15.0).cast("int"), F.lit(0)), F.lit(15))
         ),
     )
 
@@ -256,7 +260,9 @@ def sq4_encode_packed_arrow(vec_col: str | Column, lo: list[float], hi: list[flo
         m = np.stack(vecs.to_numpy()).astype(np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
             x = (m - lo_a) / span_a * 15.0
-        codes = np.where(span_a == 0.0, 0.0, np.floor(x + 0.5)).astype(np.int64)
+        codes = np.clip(
+            np.where(span_a == 0.0, 0.0, np.floor(x + 0.5)), 0, 15
+        ).astype(np.int64)
         packed = (codes[:, 0::2] * 16 + codes[:, 1::2] - 128).astype(np.int8)
         return pd.Series(list(packed))
 

@@ -1072,8 +1072,14 @@ def doc_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(
             F.expr(
-                f"transform(sequence(1, greatest(size(t) - {DUPSPAN_N} + 1, 0)),"
+                # sequence(1, 0) is DESCENDING [1, 0] in Spark (step -1
+                # when start > stop), so a greatest(..., 0) bound still
+                # feeds slice() a start of 0 and crashes on short docs —
+                # guard with an explicit CASE like the bigram explodes.
+                f"CASE WHEN size(t) >= {DUPSPAN_N} THEN"
+                f" transform(sequence(1, size(t) - {DUPSPAN_N} + 1),"
                 f" i -> concat_ws(' ', slice(t, i, {DUPSPAN_N})))"
+                f" ELSE array() END"
             )
         ).alias("p0", "g"),
     ).select("doc_id", (F.col("p0") + 1).cast("long").alias("i"), "g")
@@ -1653,8 +1659,14 @@ def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(
             F.expr(
-                f"transform(sequence(1, greatest(size(t) - {DUPSPAN_N} + 1, 0)),"
+                # sequence(1, 0) is DESCENDING [1, 0] in Spark (step -1
+                # when start > stop), so a greatest(..., 0) bound still
+                # feeds slice() a start of 0 and crashes on short docs —
+                # guard with an explicit CASE like the bigram explodes.
+                f"CASE WHEN size(t) >= {DUPSPAN_N} THEN"
+                f" transform(sequence(1, size(t) - {DUPSPAN_N} + 1),"
                 f" i -> concat_ws(' ', slice(t, i, {DUPSPAN_N})))"
+                f" ELSE array() END"
             )
         ).alias("p0", "g"),
     ).select("doc_id", (F.col("p0") + 1).cast("long").alias("i"), "g")

@@ -989,14 +989,36 @@ def doc_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = emb.select("vec_id", "embedding").collect()
     ids_all = np.asarray([r.vec_id for r in rows], dtype=np.int64)
     mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
-    matn = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    # Oracle-parity cosine (ADVICE r6): the DuckDB side is a SEQUENTIAL
+    # left-fold dot divided by left-fold norm products, rounded
+    # half-away-from-zero — never `mn @ matn.T` (BLAS pairwise reduction,
+    # normalize-first op order, banker's np.round), which can flip the
+    # 4th decimal at a rounding boundary and change the edge set. Fold
+    # over dims (vectorized across rows) reproduces list_sum's IEEE
+    # order; one dot-then-divide; copysign-floor is DuckDB's round().
+    dim = mat.shape[1]
+    corpus_sq = np.zeros(len(mat), dtype=np.float64)
+    for _t in range(dim):
+        corpus_sq = corpus_sq + mat[:, _t] * mat[:, _t]
+    corpus_norm = np.sqrt(corpus_sq)
+
+    def _round4(x):
+        return np.copysign(np.floor(np.abs(x) * 1e4 + 0.5), x) / 1e4
+
+    def _fold_cosine(qm, q_norm):
+        dots = np.zeros((len(qm), mat.shape[0]), dtype=np.float64)
+        for t in range(dim):
+            dots = dots + qm[:, t, None] * mat[None, :, t]
+        return _round4(dots / (corpus_norm[None, :] * q_norm[:, None]))
 
     # real annotations set explicitly: `from __future__ import annotations`
     # stringifies hints, which pandas_udf's signature inference rejects
     def _top3(vec_ids, vecs):
         m = np.stack(vecs.to_numpy()).astype(np.float64)
-        mn = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
-        sims = np.round(mn @ matn.T, 4)
+        q_sq = np.zeros(len(m), dtype=np.float64)
+        for t in range(m.shape[1]):
+            q_sq = q_sq + m[:, t] * m[:, t]
+        sims = _fold_cosine(m, np.sqrt(q_sq))
         out = []
         for i, vid in enumerate(vec_ids.to_numpy()):
             c = sims[i]
@@ -1024,8 +1046,8 @@ def doc_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_nodes <= 100_000:
         # the corpus matrix is already driver-side (it IS the GEMM
         # closure); under the threshold the edge build runs here too —
-        # same lexsort semantics as the Arrow kernel, zero extra jobs
-        sims = np.round(matn @ matn.T, 4)
+        # same lexsort AND fold-cosine semantics as the Arrow kernel
+        sims = _fold_cosine(mat, corpus_norm)
         out_edges = {}
         for i, vid in enumerate(ids_all):
             order = np.lexsort((ids_all, -sims[i]))

@@ -618,7 +618,12 @@ def doc_lm_perplexity_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     its disagreement with the exact rank cut."""
     d = read_table(spark, sf_dir, "documents")
     lm = doc_lm_perplexity(spark, sf_dir).select(
-        "doc_id", (F.col("cross_entropy") * 1000000.0).cast("long").alias("ce_micro")
+        "doc_id",
+        # recover the exact integer micro-nats from the display float:
+        # (ce/1e6)*1e6 is within an ulp of the integer but not equal to
+        # it, and a bare long cast truncates toward zero — round first so
+        # the reconstruction is exact (ADVICE r6)
+        F.round(F.col("cross_entropy") * 1000000.0, 0).cast("long").alias("ce_micro"),
     )
     cut = lm.agg(
         F.expr("approx_percentile(ce_micro, 0.75, 10000)").alias("cut")

@@ -481,8 +481,8 @@ _SQ4_IVF_BUILT: set[str] = set()
   SELECT e.vec_id, e.embedding,
          list_transform(range(1, 65), i ->
            CASE WHEN rng.hiv[{_SQ8_IDX}] = rng.lov[{_SQ8_IDX}] THEN 0
-                ELSE CAST(round((CAST(e.embedding[{_SQ8_IDX}] AS DOUBLE) - rng.lov[{_SQ8_IDX}])
-                     / (rng.hiv[{_SQ8_IDX}] - rng.lov[{_SQ8_IDX}]) * 15.0) AS INT) END) AS c4
+                ELSE least(greatest(CAST(round((CAST(e.embedding[{_SQ8_IDX}] AS DOUBLE) - rng.lov[{_SQ8_IDX}])
+                     / (rng.hiv[{_SQ8_IDX}] - rng.lov[{_SQ8_IDX}]) * 15.0) AS INT), 0), 15) END) AS c4
   FROM embeddings e, rng
 ), packed AS (
   SELECT vec_id, embedding,
@@ -634,8 +634,8 @@ def knn_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
   SELECT e.vec_id, e.embedding,
          list_transform(range(1, 65), i ->
            CASE WHEN rng.hiv[{_SQ8_IDX}] = rng.lov[{_SQ8_IDX}] THEN 0
-                ELSE CAST(round((CAST(e.embedding[{_SQ8_IDX}] AS DOUBLE) - rng.lov[{_SQ8_IDX}])
-                     / (rng.hiv[{_SQ8_IDX}] - rng.lov[{_SQ8_IDX}]) * 15.0) AS INT) END) AS c4
+                ELSE least(greatest(CAST(round((CAST(e.embedding[{_SQ8_IDX}] AS DOUBLE) - rng.lov[{_SQ8_IDX}])
+                     / (rng.hiv[{_SQ8_IDX}] - rng.lov[{_SQ8_IDX}]) * 15.0) AS INT), 0), 15) END) AS c4
   FROM embeddings e, rng
 ), packed AS (
   SELECT vec_id, embedding,
