@@ -997,3 +997,37 @@ def test_pagerank_matches_python_power_iteration(spark, sf_dir):
         for d in dsts:
             in_deg[d] = in_deg.get(d, 0) + 1
     assert in_deg.get(got[0].vec_id, 0) >= 1
+
+
+def test_scd2_intervals_partition_each_user_timeline(spark, sf_dir):
+    """events_scd2_user_state (B49, r7): per user, the type-2 rows must
+    chain (valid_to of run i == valid_from of run i+1), have exactly one
+    open is_current interval (the last), collapse only CONSECUTIVE equal
+    states (adjacent runs differ in event_type), and conserve the user's
+    event count."""
+    from collections import defaultdict
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.queries import REGISTRY
+
+    rows = REGISTRY["events_scd2_user_state"].fn(spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    ev_counts = {
+        r.user_id: r.n
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(by_user) == set(ev_counts)
+    for uid, runs in by_user.items():
+        runs.sort(key=lambda r: r.run_id)
+        assert [r.run_id for r in runs] == list(range(1, len(runs) + 1))
+        assert sum(r.n_events for r in runs) == ev_counts[uid]
+        for a, b in zip(runs, runs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.event_type != b.event_type
+            assert not a.is_current
+        assert runs[-1].is_current and runs[-1].valid_to is None

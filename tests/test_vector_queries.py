@@ -423,3 +423,21 @@ def test_residual_beats_flat_pq_on_clustered_lowrank(spark):
     assert fr >= 0.5, f"flat PQ should WORK on-distribution, got {fr}"
     assert rr >= fr, f"residual {rr} < flat {fr} on clustered low-rank data"
     assert rr >= 0.9, f"residual on-distribution recall {rr} below 0.9"
+
+
+def test_matryoshka_prefix_is_lower_bound_and_recall_holds(spark, sf_dir):
+    """knn_matryoshka_rerank (B47, r7): a squared-L2 over the first
+    32 dims can never exceed the full 64-dim distance (sum of squares
+    over a subset), so every returned row must satisfy prefix_distance ≤
+    distance + rounding slack; and the prefix phase must keep enough of
+    the true neighbourhood that the re-ranked top-10 recalls ≥ 0.8 of the
+    exact full-dim top-10 even on uniform vectors (truncation's worst
+    case — every dim carries equal energy)."""
+    import vectordb_hr_data_spark.queries as Q
+
+    got = Q.REGISTRY["knn_matryoshka_rerank"].fn(spark, sf_dir).collect()
+    assert len(got) == 10
+    for r in got:
+        assert r.prefix_distance <= r.distance + 2e-4, r
+    exact = {r.vec_id for r in Q.REGISTRY["knn_topk_l2sq"].fn(spark, sf_dir).collect()}
+    assert len({r.vec_id for r in got} & exact) >= 8

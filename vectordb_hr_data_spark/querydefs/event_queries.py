@@ -431,3 +431,87 @@ def events_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# B49: SCD type-2 state history (change capture → validity intervals) (r7)
+# ---------------------------------------------------------------------------
+# The warehouse-side change-data-capture build: each user's event_type
+# sequence is collapsed into runs of consecutive equal states, and every
+# run becomes one dimension row [valid_from, valid_to) with an is_current
+# flag on the open interval — the slowly-changing-dimension type-2 shape
+# every lakehouse ingest pipeline maintains. Mechanism: lag → change flag
+# → running-sum run id → per-run min(ts) → lead for the closing bound.
+# All four windows/aggregations share ONE partitioning (user_id), so the
+# whole build is a single exchange on the uniform user key; at 100 TB the
+# sort within each user is bounded by per-user activity, and incremental
+# maintenance needs only each user's last open row (the B45 state-merge
+# discipline applied to intervals).
+
+
+@register(
+    "events_scd2_user_state",
+    """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_type IS NULL OR prev_type <> event_type THEN 1 ELSE 0 END AS chg
+  FROM o
+), runs AS (
+  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+  FROM flagged
+), collapsed AS (
+  SELECT user_id, run_id, event_type,
+         min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY user_id, run_id, event_type
+)
+SELECT user_id, run_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL AS is_current,
+       n_events
+FROM collapsed
+ORDER BY user_id, run_id
+""",
+)
+def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 state intervals per user (B49): runs of consecutive equal
+    event_type collapse to [valid_from, valid_to) rows; the latest run per
+    user is the open (is_current) interval. One exchange: every window and
+    the run aggregation partition on user_id."""
+    ev = read_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(wo).isNull()
+            | (F.lag("event_type").over(wo) != F.col("event_type")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("chg"),
+    )
+    runs = flagged.withColumn(
+        "run_id", F.sum("chg").over(wo.rowsBetween(Window.unboundedPreceding, 0)).cast("long")
+    )
+    collapsed = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.min("ts").alias("valid_from"), F.count("*").cast("long").alias("n_events")
+    )
+    wr = Window.partitionBy("user_id").orderBy(F.col("run_id").asc())
+    return (
+        collapsed.select(
+            "user_id",
+            "run_id",
+            "event_type",
+            "valid_from",
+            F.lead("valid_from").over(wr).alias("valid_to"),
+            F.lead("valid_from").over(wr).isNull().alias("is_current"),
+            "n_events",
+        )
+        .orderBy("user_id", "run_id")
+    )

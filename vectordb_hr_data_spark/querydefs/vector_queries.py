@@ -1326,3 +1326,71 @@ def knn_bitsketch_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# B47: Matryoshka prefix-dimension two-phase retrieval (r7)
+# ---------------------------------------------------------------------------
+# Matryoshka Representation Learning (Kusupati et al. NeurIPS'22) trains
+# embeddings whose PREFIX dims carry a usable coarse representation, so a
+# serving stack can rank on the first d' dims and re-rank survivors at
+# full dimension — a compression-ladder rung that needs NO codebook, no
+# quantizer state, no training pass at all: phase 1 is the same l2sq fold
+# over `slice(embedding, 1, 32)` (2× less arithmetic and, with the prefix
+# materialized as its own column in the index layout, 2× less scan IO),
+# phase 2 exact-re-ranks the over-fetch page in full dim-64 space.
+# Geometry note (the PQ/SCALE.md lesson applies verbatim): the testdata's
+# UNIFORM vectors are truncation's worst case — every dim carries equal
+# energy, so a d'-prefix keeps d'/d of the signal (measured recall@10:
+# 0.5 at d'=16/page 50; 0.9-1.0 at d'=32/page 100). MRL-trained
+# embeddings concentrate energy in the prefix by construction, which is
+# what makes d/4 prefixes servable in production; the page width here is
+# provisioned for the uniform worst case.
+MRL_PREFIX = 32
+_MRL_PAGE = 100
+_MRL_K = 10
+
+
+@register(
+    "knn_matryoshka_rerank",
+    f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+p1 AS (
+  SELECT e.vec_id, e.embedding,
+         round(list_sum(list_transform(range(1, {MRL_PREFIX} + 1),
+               i -> power(CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE), 2))), {_ROUND}) AS prefix_distance
+  FROM embeddings e, q
+  ORDER BY prefix_distance, e.vec_id
+  LIMIT {_MRL_PAGE}
+)
+SELECT p.vec_id, p.prefix_distance,
+       round(list_sum(list_transform(range(1, len(p.embedding)+1),
+             i -> power(CAST(p.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE), 2))), {_ROUND}) AS distance
+FROM p1 p, q
+ORDER BY distance, p.vec_id
+LIMIT {_MRL_K}
+""",
+)
+def knn_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-phase retrieval (B47): rank on the first
+    {MRL_PREFIX}-dim prefix, over-fetch a 100-row page, exact re-rank at
+    full dimension — the zero-state point on the compression ladder (the same
+    two-phase discipline as SQ8/SQ4/PQ with the quantizer replaced by
+    truncation). Both phases are the shared left-fold l2sq expression, so
+    prefix distances, the candidate page, and the final ranks all
+    hash-check against the oracle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    qpre = F.lit([float(x) for x in q[:MRL_PREFIX]])
+    pre = F.round(V.l2sq(F.slice(F.col("embedding"), 1, MRL_PREFIX), qpre), _ROUND)
+    cand = (
+        emb.select("vec_id", "embedding", pre.alias("prefix_distance"))
+        .orderBy(F.col("prefix_distance").asc(), F.col("vec_id").asc())
+        .limit(_MRL_PAGE)
+    )
+    exact = F.round(V.l2sq(F.col("embedding"), F.lit([float(x) for x in q])), _ROUND)
+    return (
+        cand.select("vec_id", "prefix_distance", exact.alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(_MRL_K)
+    )
