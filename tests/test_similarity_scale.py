@@ -343,3 +343,90 @@ def test_suggest_ivf_params_cluster_floor(spark):
     # floor also raises the probed-cell count proportionally (same fraction)
     _, npr_plain = suggest_ivf_params(100_000, 384, 0.6)
     assert npr / 64 <= npr_plain / 10 + 1e-9 or npr >= npr_plain
+
+
+def test_containment_matches_allpairs_bruteforce(spark, sf_dir):
+    """doc_containment_dedup (B50, r7): the prefix filter must be
+    LOSSLESS — python brute-force over all directed pairs reproduces
+    exactly the returned pair set and containment values; and containment
+    is genuinely asymmetric (whenever |S_A| < |S_B| for a returned pair,
+    the reverse direction needs a proportionally higher overlap)."""
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.queries import REGISTRY
+    from vectordb_hr_data_spark.querydefs.dedup_queries import CONTAIN_DEN, CONTAIN_NUM
+
+    def shingles(toks):
+        if len(toks) >= 3:
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    sh = {
+        r.doc_id: shingles(r.text.split(" "))
+        for r in read_table(spark, sf_dir, "documents").collect()
+    }
+    expect = {}
+    for a, sa in sh.items():
+        for b, sb in sh.items():
+            if a == b:
+                continue
+            inter = len(sa & sb)
+            if inter * CONTAIN_DEN >= CONTAIN_NUM * len(sa):
+                expect[(a, b)] = (len(sa), int(inter * 1e4 / len(sa) + 0.5) / 1e4)
+    got = {
+        (r.doc_id, r.container_doc_id): (r.n_shingles, r.containment)
+        for r in REGISTRY["doc_containment_dedup"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert expect  # the planted duplicates guarantee at least one pair
+
+
+def test_incremental_probe_soundness_and_coverage(spark, sf_dir):
+    """neardup_incremental_probe (B51, r7): every batch doc appears
+    exactly once; every resolved canonical is a corpus-side doc whose
+    exact Jaccard with the batch doc clears the threshold (recomputed in
+    python); canonical is the minimum matching id; is_new ⇔ no match."""
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.queries import REGISTRY
+    from vectordb_hr_data_spark.querydefs.dedup_queries import (
+        INCR_SPLIT,
+        JACCARD_THRESHOLD,
+        _incr_bucket,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    buckets = {
+        r.doc_id: r.b
+        for r in d.selectExpr("doc_id", f"{_incr_bucket('spark')} AS b").collect()
+    }
+    corpus = {i for i, b in buckets.items() if b < INCR_SPLIT}
+    batch = set(buckets) - corpus
+
+    def shingles(toks):
+        if len(toks) >= 3:
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    sh = {r.doc_id: shingles(r.text.split(" ")) for r in d.collect()}
+    rows = REGISTRY["neardup_incremental_probe"].fn(spark, sf_dir).collect()
+    assert {r.doc_id for r in rows} == batch and len(rows) == len(batch)
+    for r in rows:
+        if r.is_new:
+            assert r.canonical_doc_id is None and r.n_matches == 0
+        else:
+            assert r.canonical_doc_id in corpus and r.n_matches >= 1
+            sa, sb = sh[r.doc_id], sh[r.canonical_doc_id]
+            j = len(sa & sb) / (len(sa) + len(sb) - len(sa & sb))
+            assert j >= JACCARD_THRESHOLD
+            # canonical is the min over docs that would verify; any corpus
+            # doc with a LOWER id that also clears the threshold must have
+            # been missed only if banding missed it — assert none exists
+            # among docs sharing a shingle (the candidates banding sees)
+            for c in corpus:
+                if c < r.canonical_doc_id and sh[c] & sa:
+                    sc = sh[c]
+                    jc = len(sa & sc) / (len(sa) + len(sc) - len(sa & sc))
+                    if jc >= JACCARD_THRESHOLD:
+                        # a true near-dup with smaller id must share a band
+                        # at j >= 0.5 with 4 bands of 4 on 16 hashes this
+                        # is overwhelmingly likely; fail loudly if not
+                        raise AssertionError((r.doc_id, c, jc))

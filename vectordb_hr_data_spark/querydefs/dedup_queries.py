@@ -17,7 +17,7 @@ Scale design notes (the part that must survive 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import texthash as H
@@ -481,4 +481,233 @@ def neardup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_id_1", "doc_id_2", "hamming", F.expr(H.jaccard_round4_spark("sh1", "sh2")).alias("jaccard"))
         .orderBy("doc_id_1", "doc_id_2")
+    )
+
+
+# --------------------------------------------------------------------------
+# B50: asymmetric containment dedup via prefix-filter similarity join (r7)
+# --------------------------------------------------------------------------
+# Jaccard misses SUB-DOCUMENT duplication: a short doc fully embedded in a
+# much longer one has tiny Jaccard but containment |S_A ∩ S_B| / |S_A| ≈ 1
+# (the RefinedWeb/overlap-dedup signal for quotes, mirrors, and wrappers).
+# The scalable mechanism is the SSJoin/PPJoin prefix filter (Chaudhuri
+# ICDE'06, Xiao WWW'08): order the shingle universe rarest-first by corpus
+# document frequency; any B containing ≥ ⌈t·|S_A|⌉ of A's shingles must
+# hit at least one of A's first |S_A| − ⌈t·|S_A|⌉ + 1 rarest shingles —
+# so probing A's PREFIX tokens against the posting lists is LOSSLESS, and
+# prefix tokens are by construction the rarest keys (bounded fanout, no
+# hot-key hazard). Threshold arithmetic is pure integers (10·inter ≥ 8·n:
+# never a float·n ceiling, which drifts an ulp across engines).
+CONTAIN_NUM, CONTAIN_DEN = 8, 10  # t = 0.8
+
+
+@register(
+    "doc_containment_dedup",
+    f"""
+WITH t AS (
+  SELECT doc_id, {H.ddb_tokens('text')} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {H.ddb_shingles('toks')} AS shingles FROM t
+)
+SELECT a.doc_id AS doc_id, b.doc_id AS container_doc_id,
+       CAST(len(a.shingles) AS BIGINT) AS n_shingles,
+       CAST(round(len(list_intersect(a.shingles, b.shingles)) * 10000.0
+                  / len(a.shingles)) AS BIGINT) / 10000.0 AS containment
+FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles)) * {CONTAIN_DEN}
+      >= {CONTAIN_NUM} * len(a.shingles)
+ORDER BY doc_id, container_doc_id
+""",
+)
+def doc_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment pairs (A's shingle set ≥ 80% inside B's) via
+    the lossless prefix filter; the oracle replays the ALL-PAIRS semantic
+    (the blocking is an optimization, not a semantics change — same
+    contract as neardup_simhash_hamming).
+
+    Shuffle discipline: document frequencies are one groupBy on the
+    uniform shingle key; the probe joins A's ≤ (n − ⌈t·n⌉ + 1) rarest
+    shingles against postings PRUNED by a semi-join on the distinct
+    prefix-token set, so the inverted index never materializes for tokens
+    no prefix probes; shingle arrays re-attach to surviving pairs by id."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(H.spark_tokens("text")).alias("toks"))
+    sh = toks.select("doc_id", F.expr(H.spark_shingles("toks")).alias("shingles")).cache()
+    post = sh.select("doc_id", F.explode("shingles").alias("g"))
+    df_counts = post.groupBy("g").agg(F.count("*").alias("df"))
+    # integer ceiling: need = ⌈t·n⌉ = (8n + 9) div 10; prefix = n − need + 1
+    n_sh = F.size("shingles")
+    need = F.floor((F.lit(CONTAIN_NUM) * n_sh + F.lit(CONTAIN_DEN - 1)) / F.lit(CONTAIN_DEN))
+    ranked = (
+        post.join(df_counts, "g")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("g").asc())
+            ),
+        )
+    )
+    prefix = (
+        ranked.join(sh.select("doc_id", (n_sh - need + 1).alias("plen")), "doc_id")
+        .filter(F.col("rn") <= F.col("plen"))
+        .select("doc_id", "g")
+    )
+    pruned_post = post.join(prefix.select("g").distinct(), "g", "left_semi")
+    cand = (
+        prefix.alias("a")
+        .join(pruned_post.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("container_doc_id"))
+        .dropDuplicates(["doc_id", "container_doc_id"])
+    )
+    s1 = sh.select(F.col("doc_id").alias("doc_id"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("container_doc_id"), F.col("shingles").alias("sh2"))
+    inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
+    return (
+        cand.join(s1, "doc_id")
+        .join(s2, "container_doc_id")
+        .filter(inter * CONTAIN_DEN >= CONTAIN_NUM * F.size("sh1"))
+        .select(
+            "doc_id",
+            "container_doc_id",
+            F.size("sh1").cast("long").alias("n_shingles"),
+            (F.round(inter * 10000.0 / F.size("sh1")).cast("long") / 10000.0).alias("containment"),
+        )
+        .orderBy("doc_id", "container_doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# B51: incremental near-dup — probe a new batch against the corpus index (r7)
+# --------------------------------------------------------------------------
+# The maintenance path every production dedup pipeline actually runs: the
+# accepted corpus keeps a persisted banded-MinHash index; each INGEST
+# BATCH computes signatures for its own docs only and probes the index
+# with an equi-join on (band_id, band_key) — new-vs-corpus, never
+# corpus-vs-corpus, so per-batch cost is O(|batch| + matched candidates)
+# regardless of corpus size. Batch docs whose verified Jaccard ≥ 0.5
+# against any corpus doc resolve to that doc's id as their canonical
+# (min matching id — the keep-first convention); unmatched docs are the
+# genuinely-new ones the batch admits. Split here is the doc_id-hash
+# 80/20 the decontamination family uses: corpus = bucket < 80.
+INCR_SPLIT = 80
+
+
+def _incr_bucket(dialect: str) -> str:
+    h = (H.spark_str_hash_fast if dialect == "spark" else H.ddb_str_hash_fast)(
+        "concat('incr:', cast(doc_id as string))" if dialect == "spark" else "'incr:' || CAST(doc_id AS VARCHAR)"
+    )
+    return f"({h}) % 100"
+
+
+def _incremental_probe_oracle() -> str:
+    sig_exprs = H.ddb_minhash_sig("hashes")
+    sig_cols = ", ".join(f"{e} AS m{j}" for j, e in enumerate(sig_exprs))
+    band_keys = [
+        " || ':' || ".join(
+            f"CAST(m{b * H.ROWS_PER_BAND + r} AS VARCHAR)" for r in range(H.ROWS_PER_BAND)
+        )
+        for b in range(H.N_BANDS)
+    ]
+    band_cols = ", ".join(f"{k} AS band{b}" for b, k in enumerate(band_keys))
+    band_match = " OR ".join(f"n.band{b} = c.band{b}" for b in range(H.N_BANDS))
+    return f"""
+WITH t AS (
+  SELECT doc_id, ({_incr_bucket('ddb')}) < {INCR_SPLIT} AS in_corpus,
+         {H.ddb_tokens('text')} AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, in_corpus, {H.ddb_shingles('toks')} AS shingles FROM t
+), hashed AS (
+  SELECT doc_id, in_corpus, shingles, {H.ddb_hash_array('shingles')} AS hashes FROM sh
+), sig AS (
+  SELECT doc_id, in_corpus, shingles, {sig_cols} FROM hashed
+), banded AS (
+  SELECT doc_id, in_corpus, shingles, {band_cols} FROM sig
+), matches AS (
+  SELECT n.doc_id, c.doc_id AS corpus_doc_id, c.shingles AS csh, n.shingles AS nsh
+  FROM banded n JOIN banded c
+    ON NOT n.in_corpus AND c.in_corpus AND ({band_match})
+  WHERE {H.jaccard_sql_ddb('n.shingles', 'c.shingles')} >= {JACCARD_THRESHOLD}
+), resolved AS (
+  SELECT doc_id, min(corpus_doc_id) AS canonical_doc_id, CAST(count(*) AS BIGINT) AS n_matches
+  FROM (SELECT DISTINCT doc_id, corpus_doc_id FROM matches) GROUP BY doc_id
+)
+SELECT b.doc_id, r.canonical_doc_id,
+       COALESCE(r.n_matches, 0) AS n_matches,
+       r.canonical_doc_id IS NULL AS is_new
+FROM banded b LEFT JOIN resolved r USING (doc_id)
+WHERE NOT b.in_corpus
+ORDER BY b.doc_id
+"""
+
+
+@register("neardup_incremental_probe", _incremental_probe_oracle())
+def neardup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-batch near-dup admission against the existing corpus's
+    banded MinHash index (B51). Spark shape: signatures/bands compute for
+    BOTH sides from the shared expression family (in production the
+    corpus side is the PERSISTED band table — `write_index` of the banded
+    frame partitioned by band_id — so only the batch side computes
+    anything); candidates are an equi-join on (band_id, band_key) between
+    the small batch and the index, verified by exact Jaccard, resolved to
+    the min matching corpus id, left-joined back so every batch doc
+    reports (canonical | is_new)."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.expr(_incr_bucket("spark")) < INCR_SPLIT).alias("in_corpus"),
+        F.expr(H.spark_tokens("text")).alias("toks"),
+    )
+    sh = toks.select(
+        "doc_id", "in_corpus", F.expr(H.spark_shingles("toks")).alias("shingles")
+    ).cache()
+    hashed = sh.withColumn("hashes", F.expr(H.spark_hash_array("shingles")))
+    sig = hashed.select(
+        "doc_id",
+        "in_corpus",
+        *[F.expr(e).alias(f"m{j}") for j, e in enumerate(H.spark_minhash_sig("hashes"))],
+    )
+    band_keys = [
+        F.concat_ws(
+            ":",
+            *[F.col(f"m{b * H.ROWS_PER_BAND + r}").cast("string") for r in range(H.ROWS_PER_BAND)],
+        )
+        for b in range(H.N_BANDS)
+    ]
+    pre = sig.select("doc_id", "in_corpus", F.array(*band_keys).alias("bk")).cache()
+    banded = pre.select("doc_id", "in_corpus", F.posexplode("bk").alias("band_id", "band_key"))
+    batch_b = banded.filter(~F.col("in_corpus")).select("doc_id", "band_id", "band_key")
+    corpus_b = banded.filter(F.col("in_corpus")).select(
+        F.col("doc_id").alias("corpus_doc_id"), "band_id", "band_key"
+    )
+    cand = (
+        batch_b.join(corpus_b, ["band_id", "band_key"])
+        .select("doc_id", "corpus_doc_id")
+        .dropDuplicates(["doc_id", "corpus_doc_id"])
+    )
+    s1 = sh.filter(~F.col("in_corpus")).select(F.col("doc_id"), F.col("shingles").alias("nsh"))
+    s2 = sh.filter(F.col("in_corpus")).select(
+        F.col("doc_id").alias("corpus_doc_id"), F.col("shingles").alias("csh")
+    )
+    jac = F.expr(H.jaccard_sql_spark("nsh", "csh"))
+    resolved = (
+        cand.join(s1, "doc_id")
+        .join(s2, "corpus_doc_id")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .groupBy("doc_id")
+        .agg(
+            F.min("corpus_doc_id").alias("canonical_doc_id"),
+            F.count("*").cast("long").alias("n_matches"),
+        )
+    )
+    batch_docs = sh.filter(~F.col("in_corpus")).select("doc_id")
+    return (
+        batch_docs.join(resolved, "doc_id", "left")
+        .select(
+            "doc_id",
+            "canonical_doc_id",
+            F.coalesce(F.col("n_matches"), F.lit(0)).cast("long").alias("n_matches"),
+            F.col("canonical_doc_id").isNull().alias("is_new"),
+        )
+        .orderBy("doc_id")
     )
