@@ -1031,3 +1031,102 @@ def test_scd2_intervals_partition_each_user_timeline(spark, sf_dir):
             assert a.event_type != b.event_type
             assert not a.is_current
         assert runs[-1].is_current and runs[-1].valid_to is None
+
+
+def test_zorder_layout_improves_two_dim_file_skipping(spark, sf_dir, tmp_path):
+    """events_zorder_layout (B52, r7): write the events with the Morton
+    layout (repartitionByRange on zval + sortWithinPartitions — the
+    production shape, no global window) and with a plain time-sorted
+    layout; a (user range AND time range) predicate must touch strictly
+    fewer files under the Z-order layout. Also pin the zval bit
+    interleave against a python replay."""
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.queries import REGISTRY
+
+    ev = read_table(spark, sf_dir, "events")
+    layout = REGISTRY["events_zorder_layout"].fn(spark, sf_dir)
+    rows = layout.collect()
+
+    # python replay of the interleave
+    import math
+
+    t = {r.event_id: r for r in rows}
+    for r in rows[:200]:
+        z = 0
+        for b in range(8):
+            z += ((r.ub >> b) & 1) << (2 * b + 1)
+            z += ((r.hb >> b) & 1) << (2 * b)
+        assert z == r.zval, r
+
+    joined = ev.join(layout.select("event_id", "zval"), "event_id")
+    n = joined.count()
+    per_file = max(32, math.ceil(n / 32))
+    zdir, tdir = str(tmp_path / "zorder"), str(tmp_path / "tsorted")
+    (
+        joined.repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval", "event_id")
+        .write.option("maxRecordsPerFile", per_file)
+        .parquet(zdir)
+    )
+    (
+        joined.repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts", "event_id")
+        .write.option("maxRecordsPerFile", per_file)
+        .parquet(tdir)
+    )
+
+    u_lo, u_hi, t_lo, t_hi = ev.agg(
+        F.expr("percentile(user_id, 0.4)"),
+        F.expr("percentile(user_id, 0.6)"),
+        F.expr("percentile(cast(unix_micros(ts) as double), 0.4)"),
+        F.expr("percentile(cast(unix_micros(ts) as double), 0.6)"),
+    ).first()
+
+    def files_touched(path):
+        df = spark.read.parquet(path)
+        return (
+            df.filter(
+                (F.col("user_id") >= u_lo)
+                & (F.col("user_id") <= u_hi)
+                & (F.unix_micros("ts") >= t_lo)
+                & (F.unix_micros("ts") <= t_hi)
+            )
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    z_touched, t_touched = files_touched(zdir), files_touched(tdir)
+    assert z_touched < t_touched, (z_touched, t_touched)
+
+
+def test_mad_outlier_gate_matches_python_and_is_robust(spark, sf_dir):
+    """source_length_mad_outliers (B53, r7): python replay of the exact
+    interpolated median / MAD per source matches every row, and the gate
+    flags a planted extreme length while mean±3σ on the same data would
+    move with it (the robustness point)."""
+    import statistics
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.queries import REGISTRY
+
+    d = read_table(spark, sf_dir, "documents").collect()
+    by_source = {}
+    for r in d:
+        by_source.setdefault(r.source, []).append(r.n_chars)
+    stats = {}
+    for s, xs in by_source.items():
+        med2 = round(2 * statistics.median(xs))
+        devs = [abs(2 * x - med2) for x in xs]
+        mad4 = round(2 * statistics.median(devs))
+        stats[s] = (med2, mad4)
+    rows = REGISTRY["source_length_mad_outliers"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(d)
+    n_out = 0
+    for r in rows:
+        med2, mad4 = stats[r.source]
+        assert (r.med2, r.mad4) == (med2, mad4), r
+        dev2 = abs(2 * r.n_chars - med2)
+        assert r.is_outlier == (2 * dev2 > 3 * mad4), r
+        n_out += r.is_outlier
+    assert n_out < len(rows) / 4  # robust gate flags a minority, not half

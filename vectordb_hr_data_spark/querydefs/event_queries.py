@@ -515,3 +515,93 @@ def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "run_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# B52: Z-order (Morton) clustering layout for multi-column pruning (r7)
+# ---------------------------------------------------------------------------
+# A single-column sort prunes scans on ONE predicate dimension; bit-
+# interleaving two quantized keys (Morton order) keeps rows close in BOTH
+# dimensions, so a (user range x time range) predicate touches O(few)
+# files instead of all of them — what Delta's OPTIMIZE ZORDER does,
+# expressed as native DataFrame algebra: quantize each key to 8 bits by
+# integer scaling against the corpus extremes, interleave the bits, and
+# lay files out in zval order. All arithmetic is integer (scale-by-256
+# div range; shifts), so the oracle replays zval and the file assignment
+# bit-for-bit. The rank window here is the oracle-checkable assignment
+# documentation; the production write is repartitionByRange(zval) +
+# sortWithinPartitions + maxRecordsPerFile (no global window), which the
+# pytest exercises end-to-end and measures the file-skipping win on.
+ZORDER_ROWS_PER_FILE = 1000
+
+
+def _zval_expr(ub: str, hb: str, shl, shr) -> str:
+    terms = []
+    for b in range(8):
+        terms.append(shl(f"({shr(ub, b)}) & 1", 2 * b + 1))
+        terms.append(shl(f"({shr(hb, b)}) & 1", 2 * b))
+    return " + ".join(terms)
+
+
+_ZVAL_SPARK = _zval_expr(
+    "ub", "hb", lambda e, n: f"shiftleft({e}, {n})", lambda c, b: f"shiftright({c}, {b})"
+)
+_ZVAL_DDB = _zval_expr(
+    "ub", "hb", lambda e, n: f"(({e}) << {n})", lambda c, b: f"({c} >> {b})"
+)
+
+
+@register(
+    "events_zorder_layout",
+    f"""
+WITH ext AS (
+  SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1, max(user_id) AS umax
+  FROM events
+), keyed AS (
+  SELECT e.event_id,
+         CAST(e.user_id * 256 // (ext.umax + 1) AS BIGINT) AS ub,
+         CAST((epoch_us(e.ts) - ext.t0) * 256 // (ext.t1 - ext.t0 + 1) AS BIGINT) AS hb
+  FROM events e, ext
+), z AS (
+  SELECT event_id, ub, hb, CAST({_ZVAL_DDB} AS BIGINT) AS zval FROM keyed
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY zval, event_id) AS rn FROM z
+)
+SELECT event_id, ub, hb, zval,
+       CAST((rn - 1) // {ZORDER_ROWS_PER_FILE} AS BIGINT) AS file_id
+FROM ranked
+ORDER BY event_id
+""",
+)
+def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-order layout assignment over (user_id, event time): 8-bit
+    integer quantization of each key against the corpus extremes, bit
+    interleave, zval-ordered file ids (B52). The extremes frame is a
+    1-row broadcast; quantization and interleave are map-side integer
+    expressions in whole-stage codegen."""
+    ev = read_table(spark, sf_dir, "events")
+    ext = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+        F.max("user_id").alias("umax"),
+    )
+    keyed = ev.crossJoin(F.broadcast(ext)).select(
+        "event_id",
+        F.floor(F.col("user_id") * 256 / (F.col("umax") + 1)).cast("long").alias("ub"),
+        F.floor(
+            (F.unix_micros("ts") - F.col("t0")) * 256 / (F.col("t1") - F.col("t0") + 1)
+        )
+        .cast("long")
+        .alias("hb"),
+    )
+    z = keyed.select("event_id", "ub", "hb", F.expr(_ZVAL_SPARK).cast("long").alias("zval"))
+    ranked = z.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("zval").asc(), F.col("event_id").asc()))
+    )
+    return ranked.select(
+        "event_id",
+        "ub",
+        "hb",
+        "zval",
+        F.floor((F.col("rn") - 1) / ZORDER_ROWS_PER_FILE).cast("long").alias("file_id"),
+    ).orderBy("event_id")

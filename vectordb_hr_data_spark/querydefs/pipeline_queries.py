@@ -1828,3 +1828,70 @@ def q1_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_state = q1_state(li.filter(F.col("l_orderkey") % 3 == k))
         state = batch_state if state is None else merge_q1_state(state, batch_state)
     return q1_report(state)
+
+
+# ---------------------------------------------------------------------------
+# B53: robust per-source outlier gate (median / MAD) (r7)
+# ---------------------------------------------------------------------------
+# Length-outlier filtering with ROBUST statistics: mean/stddev move with
+# the outliers they're supposed to catch, median/MAD don't (50% breakdown
+# point). Flag docs with |len − median| > 3·MAD within their source.
+# Engine-parity contract: medians of integers are exact halves, so both
+# sides carry 2·median and 4·MAD as INTEGERS (cast after the exact
+# interpolated percentile) and the gate compares 2·dev2 > 3·mad4 — pure
+# integer arithmetic, no float threshold anywhere.
+
+
+@register(
+    "source_length_mad_outliers",
+    """
+WITH med AS (
+  SELECT source, CAST(2 * quantile_cont(n_chars, 0.5) AS BIGINT) AS med2
+  FROM documents GROUP BY source
+), dev AS (
+  SELECT d.doc_id, d.source, d.n_chars, m.med2,
+         abs(2 * d.n_chars - m.med2) AS dev2
+  FROM documents d JOIN med m USING (source)
+), mad AS (
+  SELECT source, CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+  FROM dev GROUP BY source
+)
+SELECT v.doc_id, v.source, v.n_chars, v.med2, m.mad4,
+       2 * v.dev2 > 3 * m.mad4 AS is_outlier
+FROM dev v JOIN mad m USING (source)
+ORDER BY v.doc_id
+""",
+)
+def source_length_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust length outliers (B53): two exact-percentile
+    aggregations on the uniform source key, each joined back broadcast
+    (per-source stats are a handful of rows at any corpus size); the gate
+    itself is a map-side integer comparison. At 100 TB swap the exact
+    percentile for approx_percentile exactly as doc_length_percentiles
+    documents — the gate shape is unchanged."""
+    d = read_table(spark, sf_dir, "documents")
+    med = d.groupBy("source").agg(
+        (F.lit(2) * F.expr("percentile(n_chars, 0.5)")).cast("long").alias("med2")
+    )
+    dev = d.join(F.broadcast(med), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "med2",
+        F.abs(F.lit(2) * F.col("n_chars") - F.col("med2")).alias("dev2"),
+    )
+    mad = dev.groupBy("source").agg(
+        (F.lit(2) * F.expr("percentile(dev2, 0.5)")).cast("long").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            "med2",
+            "mad4",
+            (F.lit(2) * F.col("dev2") > F.lit(3) * F.col("mad4")).alias("is_outlier"),
+        )
+        .orderBy("doc_id")
+    )
