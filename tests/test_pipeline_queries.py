@@ -1000,7 +1000,7 @@ def test_pagerank_matches_python_power_iteration(spark, sf_dir):
 
 
 def test_scd2_intervals_partition_each_user_timeline(spark, sf_dir):
-    """events_scd2_user_state (B49, r7): per user, the type-2 rows must
+    """events_scd2_user_state (B48, r7): per user, the type-2 rows must
     chain (valid_to of run i == valid_from of run i+1), have exactly one
     open is_current interval (the last), collapse only CONSECUTIVE equal
     states (adjacent runs differ in event_type), and conserve the user's
@@ -1034,7 +1034,7 @@ def test_scd2_intervals_partition_each_user_timeline(spark, sf_dir):
 
 
 def test_zorder_layout_improves_two_dim_file_skipping(spark, sf_dir, tmp_path):
-    """events_zorder_layout (B52, r7): write the events with the Morton
+    """events_zorder_layout (B51, r7): write the events with the Morton
     layout (repartitionByRange on zval + sortWithinPartitions — the
     production shape, no global window) and with a plain time-sorted
     layout; a (user range AND time range) predicate must touch strictly
@@ -1101,7 +1101,7 @@ def test_zorder_layout_improves_two_dim_file_skipping(spark, sf_dir, tmp_path):
 
 
 def test_mad_outlier_gate_matches_python_and_is_robust(spark, sf_dir):
-    """source_length_mad_outliers (B53, r7): python replay of the exact
+    """source_length_mad_outliers (B52, r7): python replay of the exact
     interpolated median / MAD per source matches every row, and the gate
     flags a planted extreme length while mean±3σ on the same data would
     move with it (the robustness point)."""

@@ -583,3 +583,33 @@ def test_quality_prep_pipeline_plan_shape(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_scd2_build_shares_one_user_partitioning(spark, sf_dir):
+    """events_scd2_user_state (B48, r7): every window and the run
+    aggregation partition on user_id, so the physical plan must contain
+    exactly ONE hashpartitioning exchange on user_id (plus only the
+    presentation ORDER BY's range exchange) — the single-shuffle claim in
+    the docstring, pinned."""
+    from vectordb_hr_data_spark.queries import REGISTRY
+
+    plan = _plan(REGISTRY["events_scd2_user_state"].fn(spark, sf_dir))
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash == 1, plan
+    assert "user_id" in plan.split("Exchange hashpartitioning", 1)[1].split("\n", 1)[0]
+
+
+def test_zorder_and_matryoshka_plans_are_clean(spark, sf_dir):
+    """r7 plan hygiene: the Z-order assignment's only exchanges are the
+    1-row extremes broadcast and the rank/order windows (no Python nodes
+    at all — the interleave is integer codegen); matryoshka's two phases
+    both lower to TakeOrderedAndProject with no Exchange or Python."""
+    from vectordb_hr_data_spark.queries import REGISTRY
+
+    zplan = _plan(REGISTRY["events_zorder_layout"].fn(spark, sf_dir))
+    assert "EvalPython" not in zplan and "MapInPandas" not in zplan
+    assert "BroadcastExchange" in zplan  # the extremes frame
+
+    mplan = _plan(REGISTRY["knn_matryoshka_rerank"].fn(spark, sf_dir))
+    assert mplan.count("TakeOrderedAndProject") == 2, mplan
+    assert "EvalPython" not in mplan and "Exchange hashpartitioning" not in mplan

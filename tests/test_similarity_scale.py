@@ -346,7 +346,7 @@ def test_suggest_ivf_params_cluster_floor(spark):
 
 
 def test_containment_matches_allpairs_bruteforce(spark, sf_dir):
-    """doc_containment_dedup (B50, r7): the prefix filter must be
+    """doc_containment_dedup (B49, r7): the prefix filter must be
     LOSSLESS — python brute-force over all directed pairs reproduces
     exactly the returned pair set and containment values; and containment
     is genuinely asymmetric (whenever |S_A| < |S_B| for a returned pair,
@@ -381,7 +381,7 @@ def test_containment_matches_allpairs_bruteforce(spark, sf_dir):
 
 
 def test_incremental_probe_soundness_and_coverage(spark, sf_dir):
-    """neardup_incremental_probe (B51, r7): every batch doc appears
+    """neardup_incremental_probe (B50, r7): every batch doc appears
     exactly once; every resolved canonical is a corpus-side doc whose
     exact Jaccard with the batch doc clears the threshold (recomputed in
     python); canonical is the minimum matching id; is_new ⇔ no match."""

@@ -46,42 +46,46 @@ def register(name: str, oracle: str | None):
 # operator shape is also proven by a checked sibling come after — they still
 # run in bench.py and pytest, and get driver rows if the cap is ever lifted.
 PRIORITY: list[str] = [
-    # --- r6 rotation (VERDICT r5 #2): the 20 oracle queries that had
-    # strict-local passes but ZERO driver-window evidence across r1-r5
-    # (13 TPC-H shapes + 7 pipeline/text/vector ops) enter positions 1-50;
-    # 20 multi-round-green siblings move below 50. Every operator family
-    # keeps at least one in-window representative. ---
-    # reference-native vector path (A18-A30) + r5 hybrid fusion
-    "knn_topk_prefiltered", "ann_text_search", "hybrid_rrf_search",
-    # vector-compression serving surface (B18-B20): persisted IVF+SQ8,
-    # partition-pruned probe, filtered ANN, and the two never-windowed
-    # index forms — persisted PQ-ADC and chunk-level ANN
-    "ivf_sq8_rerank_indexed", "ivf_topk_indexed", "ivf_topk_prefiltered",
-    "ivf_pq_adc_indexed", "chunk_ann_search",
-    # r6: OPQ rotation before PQ — brand-new, needs its first driver row
-    # (q7_nation_volume, multi-green join anchor, moves below the fold;
-    # join-family representation stays via the 13 in-window TPC-H shapes)
-    "knn_opq_rotated_adc",
-    # reference-native HR pipeline (A4-A29) — keyword/lang_all rotated
-    # below late-r6 (multi-green) for two brand-new quality oracles
-    "hr_union_freshness_counts", "hr_dept_filter_ci", "hr_overfetch_rerank",
-    "neardup_simhash_hamming", "doc_lm_perplexity",
+    # --- r7 rotation (VERDICT r5 #2 discipline, round 3 of it): the 10
+    # r6-authored oracles that have only strict-local evidence
+    # (bitsketch, shuffle-shards, dup-ngram coverage+removal, token-budget
+    # mix, hard negatives, interval join, SQ4 index, corpus profile,
+    # PageRank) enter positions 1-50 together with the 6 brand-new r7
+    # oracles (matryoshka, SCD2, containment, incremental probe, Z-order,
+    # MAD gate); 16 multi-green anchors move below the fold. Every
+    # operator family keeps at least one in-window representative. ---
+    # reference-native vector path (A18-A30) + the r7 truncation rung
+    "knn_topk_prefiltered", "ann_text_search", "knn_matryoshka_rerank",
+    # vector-compression serving surface: persisted PQ-ADC and chunk ANN
+    # (single r6 row each), the never-windowed SQ4 index, the r6-new OPQ
+    # and SQ4/bitsketch forms
+    "ivf_pq_adc_indexed", "chunk_ann_search", "ivf_sq4_rerank_indexed",
+    "knn_opq_rotated_adc", "knn_sq4_rerank", "knn_bitsketch_hamming_rerank",
+    # reference-native HR pipeline (A4-A29) representative
+    "hr_overfetch_rerank",
+    # dedup family (B1-B2 + r7 B49/B50): simhash-banded, containment
+    # prefix-filter, incremental index probe, URL canonicalization,
+    # DSIR selection
+    "neardup_simhash_hamming", "doc_containment_dedup",
+    "neardup_incremental_probe", "url_normalize_dedup",
+    "dsir_importance_resample",
     # embedding / multimodal (B5, B8)
     "embed_documents_poly", "multimodal_binary_metadata",
-    # dedup family (B1-B2) + never-windowed URL-canonicalization dedup
-    "dedup_exact", "neardup_ngram_jaccard", "dsir_importance_resample",
-    "neardup_components", "neardup_dedup_keep", "url_normalize_dedup",
-    # text analysis (B6) + never-windowed BPE tokenizer and PII scrub
-    "doc_quality_classifier", "doc_tfidf_top_terms", "doc_token_count_bpe",
-    "doc_pii_scrub",
-    # training-data pipeline ops + never-windowed weighted corpus mixing
-    "doc_decontaminate", "doc_repetition_ratio", "corpus_prep_pipeline",
-    "quality_prep_pipeline", "semantic_dedup_clusters", "corpus_weighted_mix",
-    # events / time ops (B7) + never-windowed salted weighted join
-    "events_sessionize", "knn_sq4_rerank", "events_salted_join_weighted",
-    # relational core + the 13 never-windowed TPC-H shapes (q4/q7 keep the
-    # multi-green exists/join anchors)
-    "q1_incremental_maintenance", "q4_order_priority_exists",
+    # text analysis + quality gates (B6, B33-B36, r7 B52)
+    "doc_lm_perplexity", "doc_quality_classifier", "doc_token_count_bpe",
+    "doc_pii_scrub", "source_length_mad_outliers",
+    # training-data pipeline ops (B22/B40 composition + r6 singles)
+    "quality_prep_pipeline", "corpus_weighted_mix",
+    "doc_dup_ngram_coverage", "doc_dup_span_removal",
+    "source_token_budget_sample", "corpus_shuffle_shards", "corpus_profile",
+    "mine_hard_negatives", "doc_pagerank_centrality",
+    # events / time ops (B7 + r6 interval join + r7 SCD2/Z-order)
+    "events_sessionize", "events_salted_join_weighted",
+    "events_interval_bucket_join", "events_scd2_user_state",
+    "events_zorder_layout",
+    # relational core: incremental q1 + the 13 TPC-H shapes with single
+    # r6 rows (q4/q7 multi-green anchors sit below the fold)
+    "q1_incremental_maintenance",
     "q2_cheapest_supplier_per_part", "q8_national_market_share",
     "q9_product_profit_by_nation_year", "q10_returned_items_top_customers",
     "q11_important_part_value", "q12_priority_case_agg", "q14_ratio_aggregate",
@@ -89,25 +93,20 @@ PRIORITY: list[str] = [
     "q19_disjunctive_predicates", "q20_part_supply_nested",
     "q21_suppliers_kept_orders_waiting", "q22_idle_rich_customers",
     # --- position 51+: shapes with driver-green rows in prior rounds
-    # (rotated out r6) or proven by an in-window sibling ---
-    # r6: binary sign-sketch Hamming retrieval and the seeded training
-    # shuffle/shard — first in line for the r7 window rotation (brand-new
-    # oracles, strict-local evidence only)
-    # late-r6 window swap: these seven multi-green anchors moved below for
-    # seven brand-new r6 oracles (families keep in-window representation;
-    # q1's SEMANTICS stay in-window via the incremental twin whose oracle
-    # IS one-shot q1)
+    # (rotated out r6/r7) or proven by an in-window sibling ---
+    # r7 window swap: these 16 multi-green anchors moved below for the 16
+    # entries above (families keep in-window representation; q1's
+    # SEMANTICS stay in-window via the incremental twin whose oracle IS
+    # one-shot q1)
+    "hybrid_rrf_search", "ivf_sq8_rerank_indexed", "ivf_topk_indexed",
+    "ivf_topk_prefiltered", "hr_union_freshness_counts", "hr_dept_filter_ci",
+    "dedup_exact", "neardup_ngram_jaccard", "neardup_components",
+    "neardup_dedup_keep", "doc_tfidf_top_terms", "doc_decontaminate",
+    "doc_repetition_ratio", "semantic_dedup_clusters", "corpus_prep_pipeline",
+    "q4_order_priority_exists",
     "hr_keyword_score", "hr_lang_all_match", "neardup_minhash_lsh",
     "doc_quality_score", "doc_length_percentiles", "events_asof_last_purchase",
     "q1_pricing_summary",
-    "knn_bitsketch_hamming_rerank", "corpus_shuffle_shards",
-    # r6: CCNet-style LM perplexity, hashed linear quality classifier,
-    # cross-doc duplicated-span coverage — queued with the other new
-    # oracles for the r7 window rotation
-    "doc_dup_ngram_coverage", "source_token_budget_sample",
-    "mine_hard_negatives", "events_interval_bucket_join",
-    "ivf_sq4_rerank_indexed", "doc_dup_span_removal", "corpus_profile",
-    "doc_pagerank_centrality",
     "q7_nation_volume",
     "knn_topk_sq8", "knn_pq_adc_rerank", "ivf_pq_residual_det",
     "ivf_topk_suggested", "chunk_embed_ivf_search",

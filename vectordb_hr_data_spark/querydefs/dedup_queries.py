@@ -485,7 +485,7 @@ def neardup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# B50: asymmetric containment dedup via prefix-filter similarity join (r7)
+# B49: asymmetric containment dedup via prefix-filter similarity join (r7)
 # --------------------------------------------------------------------------
 # Jaccard misses SUB-DOCUMENT duplication: a short doc fully embedded in a
 # much longer one has tiny Jaccard but containment |S_A ∩ S_B| / |S_A| ≈ 1
@@ -577,7 +577,7 @@ def doc_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# B51: incremental near-dup — probe a new batch against the corpus index (r7)
+# B50: incremental near-dup — probe a new batch against the corpus index (r7)
 # --------------------------------------------------------------------------
 # The maintenance path every production dedup pipeline actually runs: the
 # accepted corpus keeps a persisted banded-MinHash index; each INGEST
@@ -644,7 +644,7 @@ ORDER BY b.doc_id
 @register("neardup_incremental_probe", _incremental_probe_oracle())
 def neardup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-batch near-dup admission against the existing corpus's
-    banded MinHash index (B51). Spark shape: signatures/bands compute for
+    banded MinHash index (B50). Spark shape: signatures/bands compute for
     BOTH sides from the shared expression family (in production the
     corpus side is the PERSISTED band table — `write_index` of the banded
     frame partitioned by band_id — so only the batch side computes

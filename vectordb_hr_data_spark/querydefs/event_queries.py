@@ -434,7 +434,7 @@ def events_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# B49: SCD type-2 state history (change capture → validity intervals) (r7)
+# B48: SCD type-2 state history (change capture → validity intervals) (r7)
 # ---------------------------------------------------------------------------
 # The warehouse-side change-data-capture build: each user's event_type
 # sequence is collapsed into runs of consecutive equal states, and every
@@ -477,7 +477,7 @@ ORDER BY user_id, run_id
 """,
 )
 def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 state intervals per user (B49): runs of consecutive equal
+    """SCD2 state intervals per user (B48): runs of consecutive equal
     event_type collapse to [valid_from, valid_to) rows; the latest run per
     user is the open (is_current) interval. One exchange: every window and
     the run aggregation partition on user_id."""
@@ -518,7 +518,7 @@ def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# B52: Z-order (Morton) clustering layout for multi-column pruning (r7)
+# B51: Z-order (Morton) clustering layout for multi-column pruning (r7)
 # ---------------------------------------------------------------------------
 # A single-column sort prunes scans on ONE predicate dimension; bit-
 # interleaving two quantized keys (Morton order) keeps rows close in BOTH
@@ -576,7 +576,7 @@ ORDER BY event_id
 def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton-order layout assignment over (user_id, event time): 8-bit
     integer quantization of each key against the corpus extremes, bit
-    interleave, zval-ordered file ids (B52). The extremes frame is a
+    interleave, zval-ordered file ids (B51). The extremes frame is a
     1-row broadcast; quantization and interleave are map-side integer
     expressions in whole-stage codegen."""
     ev = read_table(spark, sf_dir, "events")

@@ -1831,7 +1831,7 @@ def q1_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# B53: robust per-source outlier gate (median / MAD) (r7)
+# B52: robust per-source outlier gate (median / MAD) (r7)
 # ---------------------------------------------------------------------------
 # Length-outlier filtering with ROBUST statistics: mean/stddev move with
 # the outliers they're supposed to catch, median/MAD don't (50% breakdown
@@ -1863,7 +1863,7 @@ ORDER BY v.doc_id
 """,
 )
 def source_length_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source robust length outliers (B53): two exact-percentile
+    """Per-source robust length outliers (B52): two exact-percentile
     aggregations on the uniform source key, each joined back broadcast
     (per-source stats are a handful of rows at any corpus size); the gate
     itself is a map-side integer comparison. At 100 TB swap the exact
