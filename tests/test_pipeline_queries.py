@@ -1130,3 +1130,85 @@ def test_mad_outlier_gate_matches_python_and_is_robust(spark, sf_dir):
         assert r.is_outlier == (2 * dev2 > 3 * mad4), r
         n_out += r.is_outlier
     assert n_out < len(rows) / 4  # robust gate flags a minority, not half
+
+
+def test_label_communities_match_python_propagation(spark, sf_dir):
+    """doc_label_communities (B54, r7): replay the synchronous min-tie
+    label propagation in python from a brute-force undirected top-3
+    cosine graph (same fold-cosine rounding contract); every node's final
+    community must match, and propagation must actually merge nodes
+    (fewer communities than nodes)."""
+    import math
+
+    import numpy as np
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.queries import REGISTRY
+    from vectordb_hr_data_spark.querydefs.similarity_queries import LP_DEG, LP_ITERS
+
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in read_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def fold_sum(xs):
+        acc = 0.0
+        for x in xs:
+            acc = acc + x
+        return acc
+
+    def round4(x):
+        return math.copysign(math.floor(abs(x) * 1e4 + 0.5), x) / 1e4
+
+    norms = {v: np.sqrt(fold_sum(a * a)) for v, a in vecs.items()}
+    nbrs = {v: set() for v in vecs}
+    for s, a in vecs.items():
+        cands = sorted(
+            (
+                (-round4(fold_sum(b * a) / (norms[d] * norms[s])), d)
+                for d, b in vecs.items()
+                if d != s
+            )
+        )[:LP_DEG]
+        for _, d in cands:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    lab = {v: v for v in vecs}
+    for _ in range(LP_ITERS):
+        nxt = {}
+        for v, ns in nbrs.items():
+            cnt = {}
+            for u in ns:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            nxt[v] = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))[0] if ns else lab[v]
+        lab = nxt
+    got = {r.vec_id: r.community_id for r in REGISTRY["doc_label_communities"].fn(spark, sf_dir).collect()}
+    assert got == lab
+    assert len(set(got.values())) < len(got)  # propagation merged something
+
+
+def test_scd2_incremental_merge_equals_full_build(spark, sf_dir):
+    """merge_scd2 (r7): folding ts-ordered batches into the SCD2 dimension
+    must be EXACTLY equal to the full rebuild — three splits including a
+    type-continuing seam (open-row extension), a type-changing seam, an
+    empty batch, and brand-new users appearing mid-stream."""
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import merge_scd2, scd2_build
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    full = sorted(map(tuple, scd2_build(ev).collect()))
+
+    # pick two strict ts cut points so equal-ts rows never split
+    ts_sorted = [r.ts for r in ev.select("ts").distinct().orderBy("ts").collect()]
+    c1, c2 = ts_sorted[len(ts_sorted) // 3], ts_sorted[2 * len(ts_sorted) // 3]
+    b1 = ev.filter(F.col("ts") <= c1)
+    b2 = ev.filter((F.col("ts") > c1) & (F.col("ts") <= c2))
+    empty = ev.filter(F.lit(False))
+    b3 = ev.filter(F.col("ts") > c2)
+
+    state = scd2_build(b1)
+    for batch in (b2, empty, b3):
+        state = merge_scd2(state, batch)
+        state = spark.createDataFrame(state.collect(), state.schema)  # materialize like a real dim table
+    got = sorted(map(tuple, state.collect()))
+    assert got == full

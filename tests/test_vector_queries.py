@@ -441,3 +441,49 @@ def test_matryoshka_prefix_is_lower_bound_and_recall_holds(spark, sf_dir):
         assert r.prefix_distance <= r.distance + 2e-4, r
     exact = {r.vec_id for r in Q.REGISTRY["knn_topk_l2sq"].fn(spark, sf_dir).collect()}
     assert len({r.vec_id for r in got} & exact) >= 8
+
+
+def test_ivf_batch_probe_equals_single_query_probes(spark, sf_dir):
+    """ivf_batch_topk_indexed (B53, r7): the one-scan batched form must
+    return, for every query, exactly what the single-query persisted-index
+    probe returns (same centroids, same n_probe, same k) minus the query
+    row itself — consistency of the amortized path with the serving
+    path."""
+    from pyspark.sql import functions as F
+
+    import vectordb_hr_data_spark.queries as Q
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.operators.ivf import build_ivf_index, ivf_topk_indexed
+    from vectordb_hr_data_spark.querydefs.similarity_queries import (
+        _IVF_BUILT,
+        _ivf_index_path,
+        IVF_BATCH_K,
+        IVF_BATCH_QUERIES,
+        N_CENTROIDS,
+        N_PROBE,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    path = _ivf_index_path(sf_dir, "embeddings")
+    if path not in _IVF_BUILT:
+        build_ivf_index(emb, cents, path)
+        _IVF_BUILT.add(path)
+
+    got = {}
+    for r in Q.REGISTRY["ivf_batch_topk_indexed"].fn(spark, sf_dir).collect():
+        got.setdefault(r.query_id, []).append((r.vec_id, r.distance))
+
+    assert set(got) == set(range(IVF_BATCH_QUERIES))
+    for qid in range(IVF_BATCH_QUERIES):
+        qv = list(emb.filter(F.col("vec_id") == qid).select("embedding").first()[0])
+        single = [
+            (r.vec_id, r.distance)
+            for r in ivf_topk_indexed(
+                spark, path, cents, qv, k=IVF_BATCH_K + 1, n_probe=N_PROBE, round_to=4
+            ).collect()
+            if r.vec_id != qid
+        ][:IVF_BATCH_K]
+        assert got[qid] == single, qid

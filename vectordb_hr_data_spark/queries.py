@@ -55,7 +55,9 @@ PRIORITY: list[str] = [
     # MAD gate); 16 multi-green anchors move below the fold. Every
     # operator family keeps at least one in-window representative. ---
     # reference-native vector path (A18-A30) + the r7 truncation rung
-    "knn_topk_prefiltered", "ann_text_search", "knn_matryoshka_rerank",
+    # and the r7 batched-probe serving shape (knn_topk_prefiltered's A21
+    # prefilter semantics, 3x driver-green, moves below the fold)
+    "ann_text_search", "knn_matryoshka_rerank", "ivf_batch_topk_indexed",
     # vector-compression serving surface: persisted PQ-ADC and chunk ANN
     # (single r6 row each), the never-windowed SQ4 index, the r6-new OPQ
     # and SQ4/bitsketch forms
@@ -74,13 +76,16 @@ PRIORITY: list[str] = [
     # text analysis + quality gates (B6, B33-B36, r7 B52)
     "doc_lm_perplexity", "doc_quality_classifier", "doc_token_count_bpe",
     "doc_pii_scrub", "source_length_mad_outliers",
-    # training-data pipeline ops (B22/B40 composition + r6 singles)
+    # training-data pipeline ops (B22/B40 composition + r6 singles) and
+    # the r7 label-propagation communities
+    "doc_label_communities",
     "quality_prep_pipeline", "corpus_weighted_mix",
     "doc_dup_ngram_coverage", "doc_dup_span_removal",
     "source_token_budget_sample", "corpus_shuffle_shards", "corpus_profile",
     "mine_hard_negatives", "doc_pagerank_centrality",
-    # events / time ops (B7 + r6 interval join + r7 SCD2/Z-order)
-    "events_sessionize", "events_salted_join_weighted",
+    # events / time ops (B7 + r6 interval join + r7 SCD2/Z-order;
+    # events_sessionize, multi-green, moves below the fold)
+    "events_salted_join_weighted",
     "events_interval_bucket_join", "events_scd2_user_state",
     "events_zorder_layout",
     # relational core: incremental q1 + the 13 TPC-H shapes with single
@@ -98,6 +103,7 @@ PRIORITY: list[str] = [
     # entries above (families keep in-window representation; q1's
     # SEMANTICS stay in-window via the incremental twin whose oracle IS
     # one-shot q1)
+    "knn_topk_prefiltered", "events_sessionize",
     "hybrid_rrf_search", "ivf_sq8_rerank_indexed", "ivf_topk_indexed",
     "ivf_topk_prefiltered", "hr_union_freshness_counts", "hr_dept_filter_ci",
     "dedup_exact", "neardup_ngram_jaccard", "neardup_components",

@@ -481,9 +481,16 @@ def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type collapse to [valid_from, valid_to) rows; the latest run per
     user is the open (is_current) interval. One exchange: every window and
     the run aggregation partition on user_id."""
-    ev = read_table(spark, sf_dir, "events")
+    return scd2_build(read_table(spark, sf_dir, "events"))
+
+
+def scd2_runs(events: DataFrame) -> DataFrame:
+    """Collapse an event frame into per-user runs of consecutive equal
+    event_type: (user_id, run_id 1-based, event_type, valid_from,
+    n_events). The shared stage of the full build and the incremental
+    merge."""
     wo = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    flagged = ev.select(
+    flagged = events.select(
         "user_id",
         "event_id",
         "ts",
@@ -499,9 +506,13 @@ def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs = flagged.withColumn(
         "run_id", F.sum("chg").over(wo.rowsBetween(Window.unboundedPreceding, 0)).cast("long")
     )
-    collapsed = runs.groupBy("user_id", "run_id", "event_type").agg(
+    return runs.groupBy("user_id", "run_id", "event_type").agg(
         F.min("ts").alias("valid_from"), F.count("*").cast("long").alias("n_events")
     )
+
+
+def scd2_finalize(collapsed: DataFrame) -> DataFrame:
+    """Derive the closing bound and the open flag from ordered runs."""
     wr = Window.partitionBy("user_id").orderBy(F.col("run_id").asc())
     return (
         collapsed.select(
@@ -515,6 +526,75 @@ def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "run_id")
     )
+
+
+def scd2_build(events: DataFrame) -> DataFrame:
+    """Full SCD2 build over an event frame."""
+    return scd2_finalize(scd2_runs(events))
+
+
+def merge_scd2(dim: DataFrame, batch: DataFrame) -> DataFrame:
+    """Incremental SCD2 maintenance (the B45 state discipline applied to
+    intervals): fold an APPEND-ONLY event batch into an existing type-2
+    dimension touching only the affected users — their open row is the
+    whole state; closed rows and untouched users pass through untouched.
+
+    Cost shape: the batch collapses to runs with the shared one-exchange
+    stage; the seam logic joins the batch's ≤|affected users| first runs
+    against the ≤|affected users| open rows; the lead/is_current rebuild
+    windows over affected-user rows only. Nothing rescans prior events.
+
+    Contract (pytest-pinned): result ≡ scd2_build(all events) for any
+    split of the stream into ts-ordered batches (ties on ts never split
+    across batches), including empty batches.
+    """
+    busers = batch.select("user_id").distinct()
+    untouched = dim.join(busers, "user_id", "left_anti")
+    affected = dim.join(busers, "user_id", "left_semi")
+    closed = affected.filter(~F.col("is_current"))
+    seed = affected.filter(F.col("is_current")).select(
+        "user_id",
+        F.col("run_id").alias("s_run"),
+        F.col("event_type").alias("s_type"),
+        F.col("valid_from").alias("s_from"),
+        F.col("n_events").alias("s_n"),
+    )
+    bruns = scd2_runs(batch)  # (user_id, run_id 1-based, event_type, valid_from, n_events)
+    joined = bruns.join(seed, "user_id", "left")
+    merge_first = (F.col("run_id") == 1) & F.col("s_type").isNotNull() & (
+        F.col("s_type") == F.col("event_type")
+    )
+    # does this user's first batch run merge into the open row?
+    merged_users = joined.filter(merge_first).select("user_id", F.col("n_events").alias("m_n"))
+    # the continuing/open seed row (absent for brand-new users)
+    seed_out = (
+        seed.join(merged_users, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("s_run").alias("run_id"),
+            F.col("s_type").alias("event_type"),
+            F.col("s_from").alias("valid_from"),
+            (F.col("s_n") + F.coalesce(F.col("m_n"), F.lit(0))).cast("long").alias("n_events"),
+        )
+    )
+    batch_out = (
+        joined.withColumn("m", merge_first)
+        .withColumn("u_merged", F.max(F.when(merge_first, 1).otherwise(0)).over(
+            Window.partitionBy("user_id")
+        ))
+        .filter(~F.col("m"))
+        .select(
+            "user_id",
+            (F.col("run_id") + F.coalesce(F.col("s_run"), F.lit(0)) - F.col("u_merged"))
+            .cast("long")
+            .alias("run_id"),
+            "event_type",
+            "valid_from",
+            "n_events",
+        )
+    )
+    tail = scd2_finalize(seed_out.unionByName(batch_out))
+    return untouched.unionByName(closed).unionByName(tail).orderBy("user_id", "run_id")
 
 
 # ---------------------------------------------------------------------------

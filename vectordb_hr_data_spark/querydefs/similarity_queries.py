@@ -1098,3 +1098,285 @@ def doc_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= PAGERANK_TOPN)
         .orderBy("rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# B53: batched multi-query probe over the persisted IVF index (r7)
+# --------------------------------------------------------------------------
+# The serving-shape composition of B3 (batch top-k) with B19 (persisted
+# partition-pruned index): Q queries rank the centroid table once each
+# (k rows — driver scalars), their probe sets UNION into one partition
+# filter, and the index is read in a SINGLE scan that touches only
+# ∪ probed cids; each surviving row fans out in memory to just the
+# queries that probed its cell (a broadcast equi-join on cid), is scored
+# map-side, locally pre-reduced, then ranked per query. Q queries cost
+# one pruned scan + one bounded exchange — not Q scans, not a corpus
+# shuffle. At 100 TB this is how an offline batch-inference job (embed a
+# request log, retrieve neighbors for training) amortizes index IO.
+IVF_BATCH_QUERIES = 8
+IVF_BATCH_K = 3
+
+
+@register(
+    "ivf_batch_topk_indexed",
+    f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {IVF_BATCH_QUERIES}
+),
+cent AS (
+  SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_l2sq_ddb('e.embedding', 'c.cvec')}, c.cid) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+probe AS (
+  SELECT qs.query_id, c.cid,
+         row_number() OVER (PARTITION BY qs.query_id
+                            ORDER BY {_l2sq_ddb('c.cvec', 'qs.qv')}, c.cid) AS prn
+  FROM cent c CROSS JOIN qs
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round({_l2sq_ddb('a.embedding', 'qs.qv')}, {_ROUND}) AS distance,
+         row_number() OVER (PARTITION BY p.query_id
+                            ORDER BY round({_l2sq_ddb('a.embedding', 'qs.qv')}, {_ROUND}), a.vec_id) AS rn
+  FROM assigned a
+  JOIN (SELECT query_id, cid FROM probe WHERE prn <= {N_PROBE}) p ON a.cid = p.cid
+  JOIN qs ON qs.query_id = p.query_id
+  WHERE a.rn = 1 AND a.vec_id != p.query_id
+)
+SELECT query_id, vec_id, distance, rn
+FROM scored WHERE rn <= {IVF_BATCH_K}
+ORDER BY query_id, rn
+""",
+)
+def ivf_batch_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} ANN neighbours for {q} queries in ONE pruned index scan
+    (B53): per-query probe sets come from one tiny queries×centroids
+    rank, the scan filter is their union (partition pruning still
+    applies — only probed cid directories are read), the per-(row,query)
+    fanout is a broadcast join on cid, and the per-query rank consumes a
+    local pre-reduce, never the full scored stream.""".replace(
+        "{k}", str(IVF_BATCH_K)
+    ).replace("{q}", str(IVF_BATCH_QUERIES))
+    from ..operators.ivf import build_ivf_index
+    from ..operators.knn import local_topk_per_key
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    path = _ivf_index_path(sf_dir, "embeddings")
+    if path not in _IVF_BUILT:
+        build_ivf_index(emb, centroids, path)
+        _IVF_BUILT.add(path)
+    qs = emb.filter(F.col("vec_id") < IVF_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cd").asc(), F.col("cid").asc())
+    probe_pairs = (
+        centroids.crossJoin(F.broadcast(qs))
+        .select("query_id", "cid", V.l2sq(F.col("cvec"), F.col("qv")).alias("cd"))
+        .withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= N_PROBE)
+        .select("query_id", "cid")
+    )
+    pairs = probe_pairs.collect()  # Q·n_probe rows — bounded driver state
+    union_cids = sorted({r.cid for r in pairs})
+    pair_df = spark.createDataFrame(pairs, "query_id long, cid int")
+    bucket = spark.read.parquet(path).filter(F.col("cid").isin(union_cids))
+    scored = (
+        bucket.join(F.broadcast(pair_df), "cid")
+        .join(F.broadcast(qs), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(V.l2sq(F.col("embedding"), F.col("qv")), _ROUND).alias("distance"),
+        )
+    )
+    partial = local_topk_per_key(
+        scored, key_col="query_id", order_cols=("distance", "vec_id"), k=IVF_BATCH_K
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+    return (
+        partial.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= IVF_BATCH_K)
+        .orderBy("query_id", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# B54: label-propagation communities over the kNN graph (r7)
+# --------------------------------------------------------------------------
+# Community detection for corpus organization / diversity sampling
+# (Raghavan et al. PRE'07), made EXACTLY portable the way B46 made
+# PageRank portable: synchronous rounds, and the per-node update is an
+# integer ARGMAX — each node adopts the most frequent label among its
+# (undirected) kNN neighbours, ties to the smallest label; isolated-vote
+# bookkeeping via weight-0 self-loops so every node appears as a
+# destination every round. The argmax itself is encoded as one integer
+# max — enc = cnt·2³² + (2³²−1−lab), max(enc) ⇔ (max cnt, min lab) — so
+# each round is join + two groupBys with NO window, and a DuckDB
+# recursive CTE replays all rounds bit-for-bit: a full oracle for a
+# second iterative graph algorithm. Same CC/BPE/PageRank auto-routing:
+# driver rounds under 100k nodes, distributed join+groupBy rounds above.
+LP_ITERS = 5
+LP_DEG = PAGERANK_DEG
+_LP_ENC = 4294967296  # 2^32; labels are vec_ids < 2^32
+
+
+@register(
+    "doc_label_communities",
+    f"""
+WITH RECURSIVE scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_COS_DDB.format(a='b.embedding', b='a.embedding')}, 4) DESC,
+                                     b.vec_id) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+), dir AS (
+  SELECT src, dst FROM scored WHERE rn <= {LP_DEG}
+), edges AS (
+  SELECT src, dst, 1 AS w FROM (SELECT src, dst FROM dir UNION SELECT dst, src FROM dir)
+  UNION ALL
+  SELECT vec_id, vec_id, 0 FROM embeddings
+), lp AS (
+  SELECT 0 AS iter, vec_id AS node, CAST(vec_id AS BIGINT) AS lab FROM embeddings
+  UNION ALL
+  SELECT iter1, dst, CAST({_LP_ENC - 1} - (max(enc) % {_LP_ENC}) AS BIGINT)
+  FROM (
+    SELECT p.iter + 1 AS iter1, e.dst, p.lab,
+           sum(e.w) * {_LP_ENC} + ({_LP_ENC - 1} - p.lab) AS enc
+    FROM lp p JOIN edges e ON e.src = p.node
+    WHERE p.iter < {LP_ITERS}
+    GROUP BY p.iter + 1, e.dst, p.lab
+  ) agg
+  GROUP BY iter1, dst
+)
+SELECT node AS vec_id, lab AS community_id
+FROM lp WHERE iter = {LP_ITERS}
+ORDER BY vec_id
+""",
+)
+def doc_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous min-tie label propagation, {k} rounds, over the
+    undirected top-{d} cosine kNN graph (B54). Edge build shares B46's
+    fold-cosine determinism contract (sequential left-fold dot,
+    dot-then-divide, half-away-from-zero round-4) so the oracle's edge
+    set is bit-identical; each round is one join on the uniform src key
+    plus two groupBys (label counts, then the integer-encoded argmax) —
+    map-side partials on both, no window, no skewed key (a hub's votes
+    spread across its label groups).""".replace("{k}", str(LP_ITERS)).replace(
+        "{d}", str(LP_DEG)
+    )
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()
+    if n_corpus > 1_000_000:
+        raise ValueError(
+            "doc_label_communities' exact edge build collects the corpus "
+            f"matrix ({n_corpus} rows); plug an ANN candidate source for "
+            "larger corpora (SCALE.md)"
+        )
+    rows = emb.select("vec_id", "embedding").collect()
+    ids_all = np.asarray([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    dim = mat.shape[1]
+    corpus_sq = np.zeros(len(mat), dtype=np.float64)
+    for _t in range(dim):
+        corpus_sq = corpus_sq + mat[:, _t] * mat[:, _t]
+    corpus_norm = np.sqrt(corpus_sq)
+
+    def _round4(x):
+        return np.copysign(np.floor(np.abs(x) * 1e4 + 0.5), x) / 1e4
+
+    def _fold_cosine(qm, q_norm):
+        dots = np.zeros((len(qm), mat.shape[0]), dtype=np.float64)
+        for t in range(dim):
+            dots = dots + qm[:, t, None] * mat[None, :, t]
+        return _round4(dots / (corpus_norm[None, :] * q_norm[:, None]))
+
+    n_nodes = len(ids_all)
+    if n_nodes <= 100_000:
+        sims = _fold_cosine(mat, corpus_norm)
+        nbrs: dict[int, set[int]] = {int(v): set() for v in ids_all}
+        for i, vid in enumerate(ids_all):
+            order = np.lexsort((ids_all, -sims[i]))
+            picks = [int(ids_all[j]) for j in order if ids_all[j] != vid][:LP_DEG]
+            for d in picks:
+                nbrs[int(vid)].add(d)
+                nbrs[d].add(int(vid))
+        lab = {int(v): int(v) for v in ids_all}
+        for _ in range(LP_ITERS):
+            nxt = {}
+            for v, ns in nbrs.items():
+                if not ns:
+                    nxt[v] = lab[v]
+                    continue
+                cnt: dict[int, int] = {}
+                for u in ns:
+                    cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+                best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+                nxt[v] = best[0]
+            lab = nxt
+        return spark.createDataFrame(
+            sorted(lab.items()), "vec_id long, community_id long"
+        ).orderBy("vec_id")
+
+    def _topd(vec_ids, vecs):
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        q_sq = np.zeros(len(m), dtype=np.float64)
+        for t in range(m.shape[1]):
+            q_sq = q_sq + m[:, t] * m[:, t]
+        sims = _fold_cosine(m, np.sqrt(q_sq))
+        out = []
+        for i, vid in enumerate(vec_ids.to_numpy()):
+            order = np.lexsort((ids_all, -sims[i]))
+            out.append([int(ids_all[j]) for j in order if ids_all[j] != vid][:LP_DEG])
+        return pd.Series(out)
+
+    _topd.__annotations__ = {"vec_ids": pd.Series, "vecs": pd.Series, "return": pd.Series}
+    topd = F.pandas_udf(_topd, T.ArrayType(T.LongType()))
+    dir_e = (
+        emb.select("vec_id", topd("vec_id", "embedding").alias("dsts"))
+        .select(F.col("vec_id").alias("src"), F.explode("dsts").alias("dst"))
+    )
+    sym = (
+        dir_e.select("src", "dst")
+        .unionByName(dir_e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .withColumn("w", F.lit(1))
+    )
+    sentinel = emb.select(
+        F.col("vec_id").alias("src"), F.col("vec_id").alias("dst"), F.lit(0).alias("w")
+    )
+    edges = sym.unionByName(sentinel).localCheckpoint(eager=True)
+    labels = emb.select(
+        F.col("vec_id").alias("node"), F.col("vec_id").cast("long").alias("lab")
+    ).localCheckpoint(eager=True)
+    for _ in range(LP_ITERS):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst", "lab")
+            .agg(F.sum("w").alias("cnt"))
+            .select(
+                "dst",
+                (F.col("cnt") * _LP_ENC + (F.lit(_LP_ENC - 1) - F.col("lab"))).alias("enc"),
+            )
+            .groupBy("dst")
+            .agg(F.max("enc").alias("me"))
+        )
+        labels = votes.select(
+            F.col("dst").alias("node"),
+            (F.lit(_LP_ENC - 1) - (F.col("me") % _LP_ENC)).cast("long").alias("lab"),
+        ).localCheckpoint(eager=True)
+    return labels.select(
+        F.col("node").alias("vec_id"), F.col("lab").alias("community_id")
+    ).orderBy("vec_id")
