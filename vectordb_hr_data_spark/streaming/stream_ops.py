@@ -567,3 +567,56 @@ def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str = 
     finally:
         q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_scd2_dim(event_stream: DataFrame, target_path: str) -> None:
+    """Streaming SCD type-2 dimension maintenance (B48's streaming twin):
+    every micro-batch of append-only CDC events folds into the persisted
+    dimension via ``merge_scd2`` — per batch the work is the batch's own
+    run collapse plus joins against only the AFFECTED users' open rows,
+    never a rescan of the dimension's history rows (they pass through).
+
+    In-order contract, enforced loudly: SCD2 folding is only sound when
+    each affected user's batch events are not older than their open
+    interval's start (per-user append order — what a CDC log / Kafka
+    key-partitioned topic provides). A violating batch would silently
+    interleave runs, so it raises instead; true late-data handling needs
+    the user's event history (a reprocess-from-log job), not the
+    dimension alone.
+
+    The rewrite materializes through localCheckpoint before overwriting
+    (plain parquet cannot self-overwrite lazily); a transactional target
+    (Delta MERGE) removes the rewrite entirely — io.py:118 note.
+    """
+    from pyspark.sql import functions as F
+
+    from ..querydefs.event_queries import merge_scd2, scd2_build
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            dim = spark.read.parquet(target_path)
+        except Exception:
+            out = scd2_build(batch_df)
+            out.write.mode("overwrite").parquet(target_path)
+            return
+        viol = (
+            batch_df.groupBy("user_id")
+            .agg(F.min("ts").alias("bmin"))
+            .join(dim.filter(F.col("is_current")), "user_id")
+            .filter(F.col("bmin") < F.col("valid_from"))
+            .count()
+        )
+        if viol:
+            raise ValueError(
+                f"stream_scd2_dim: {viol} user(s) in epoch {epoch_id} have events "
+                "older than their open interval — out-of-order CDC input; "
+                "reprocess those users from the event log"
+            )
+        merged = merge_scd2(dim, batch_df).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(target_path)
+
+    q = event_stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
