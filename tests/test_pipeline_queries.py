@@ -1212,3 +1212,118 @@ def test_scd2_incremental_merge_equals_full_build(spark, sf_dir):
         state = spark.createDataFrame(state.collect(), state.schema)  # materialize like a real dim table
     got = sorted(map(tuple, state.collect()))
     assert got == full
+
+
+def test_compact_zorder_restores_layout_and_skipping(spark, sf_dir, tmp_path):
+    """io.compact_clustered (r7): shred the Z-ordered events into many
+    tiny files (the small-append failure mode), compact on zval, and
+    assert (a) the file count collapses, (b) every row survives
+    byte-identically, (c) the 2-D range predicate touches at most as
+    many files as before — the OPTIMIZE ZORDER contract."""
+    from vectordb_hr_data_spark.io import compact_clustered, read_table
+    from vectordb_hr_data_spark.queries import REGISTRY
+
+    ev = read_table(spark, sf_dir, "events")
+    layout = REGISTRY["events_zorder_layout"].fn(spark, sf_dir).select("event_id", "zval")
+    joined = ev.join(layout, "event_id")
+    path = str(tmp_path / "shredded")
+    # 32 random-ish small files: the post-firehose state with no clustering
+    joined.repartition(32).write.parquet(path)
+
+    u_lo, u_hi, t_lo, t_hi = joined.agg(
+        F.expr("percentile(user_id, 0.4)"),
+        F.expr("percentile(user_id, 0.6)"),
+        F.expr("percentile(cast(unix_micros(ts) as double), 0.4)"),
+        F.expr("percentile(cast(unix_micros(ts) as double), 0.6)"),
+    ).first()
+
+    def files_touched():
+        return (
+            spark.read.parquet(path)
+            .filter(
+                (F.col("user_id") >= u_lo)
+                & (F.col("user_id") <= u_hi)
+                & (F.unix_micros("ts") >= t_lo)
+                & (F.unix_micros("ts") <= t_hi)
+            )
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    before_rows = sorted(map(tuple, spark.read.parquet(path).collect()))
+    touched_before = files_touched()
+    n = len(before_rows)
+    files_before, files_after = compact_clustered(
+        spark, path, ["zval", "event_id"], rows_per_file=max(64, n // 8)
+    )
+    assert files_before >= 32 and files_after < files_before / 2
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before_rows
+    touched_after = files_touched()
+    assert touched_after <= touched_before
+    assert touched_after < files_after  # clustering actually skips files
+
+
+def test_coreset_reps_are_max_rank_within_their_community(spark, sf_dir):
+    """graph_coreset_select (B55, r7): cross-check the composition against
+    its constituents — for every community from doc_label_communities,
+    the selected representative must be the member with the highest
+    integer PageRank (python power-iteration replay over the same
+    fold-cosine graph), ties to the smallest id, and sizes must add up to
+    the corpus."""
+    import math
+
+    import numpy as np
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.queries import REGISTRY
+    from vectordb_hr_data_spark.querydefs.similarity_queries import (
+        PAGERANK_DEG,
+        PAGERANK_ITERS,
+    )
+
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in read_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def fold_sum(xs):
+        acc = 0.0
+        for x in xs:
+            acc = acc + x
+        return acc
+
+    def round4(x):
+        return math.copysign(math.floor(abs(x) * 1e4 + 0.5), x) / 1e4
+
+    norms = {v: np.sqrt(fold_sum(a * a)) for v, a in vecs.items()}
+    out_edges = {}
+    for s, a in vecs.items():
+        cands = sorted(
+            (
+                (-round4(fold_sum(b * a) / (norms[d] * norms[s])), d)
+                for d, b in vecs.items()
+                if d != s
+            )
+        )[:PAGERANK_DEG]
+        out_edges[s] = [d for _, d in cands]
+    r = {v: 1_000_000 for v in vecs}
+    for _ in range(PAGERANK_ITERS):
+        nxt = {v: 150_000 for v in vecs}
+        for s, dsts in out_edges.items():
+            cb = (r[s] * 170 + 300) // 600
+            for d in dsts:
+                nxt[d] += cb
+        r = nxt
+
+    lab = {
+        x.vec_id: x.community_id
+        for x in REGISTRY["doc_label_communities"].fn(spark, sf_dir).collect()
+    }
+    got = {x.community_id: x for x in REGISTRY["graph_coreset_select"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(lab.values())
+    assert sum(x.community_size for x in got.values()) == len(vecs)
+    for c, row in got.items():
+        members = [v for v, l in lab.items() if l == c]
+        best = max(members, key=lambda v: (r[v], -v))
+        assert (row.rep_vec_id, row.rep_rank_micro) == (best, r[best]), c

@@ -346,3 +346,50 @@ def load_quantizer_state(spark: SparkSession, path: str) -> dict:
     if "rot" in by:
         out["rotation"] = [list(r.vec) for r in sorted(by["rot"], key=lambda r: r.i)]
     return out
+
+
+def compact_clustered(
+    spark: SparkSession,
+    path: str,
+    sort_cols: list[str],
+    rows_per_file: int,
+    staging_suffix: str = "._compact",
+) -> tuple[int, int]:
+    """OPTIMIZE-style compaction: rewrite a parquet dataset's many small
+    files into ~rows/rows_per_file files CLUSTERED on ``sort_cols`` —
+    with a Z-order key column (events_zorder_layout's zval) this is the
+    native-Spark form of Delta's OPTIMIZE ZORDER, restoring both the IO
+    amortization a firehose of small appends destroyed AND the
+    multi-column file-skipping locality. Mechanism: repartitionByRange on
+    the sort key (range boundaries from Spark's reservoir sampling — no
+    global sort) + sortWithinPartitions + maxRecordsPerFile; the rewrite
+    goes through a staging dir + rename swap so readers never see a
+    partial dataset. Returns (files_before, files_after)."""
+    import math
+
+    fs, live, jvm = _hadoop_fs(spark, path)
+    df = spark.read.parquet(path)
+    n_rows = df.count()
+    files_before = df.select(F.input_file_name()).distinct().count()
+    n_part = max(1, math.ceil(n_rows / (rows_per_file * 4)))
+    staging_str = path.rstrip("/") + staging_suffix
+    (
+        df.repartitionByRange(n_part, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.option("maxRecordsPerFile", rows_per_file)
+        .mode("overwrite")
+        .parquet(staging_str)
+    )
+    staging = jvm.org.apache.hadoop.fs.Path(staging_str)
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "._old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if not fs.rename(live, old):
+        raise IOError(f"compact_clustered: cannot move {path} aside")
+    if not fs.rename(staging, live):
+        fs.rename(old, live)  # roll back
+        raise IOError(f"compact_clustered: cannot swap staging into {path}")
+    fs.delete(old, True)
+    after = spark.read.parquet(path)
+    files_after = after.select(F.input_file_name()).distinct().count()
+    return files_before, files_after
