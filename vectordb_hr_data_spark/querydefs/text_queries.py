@@ -634,3 +634,87 @@ def doc_lm_perplexity_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "ce_micro")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# B56: exact heavy hitters via bounded-memory candidates (Misra-Gries) (r7)
+# ---------------------------------------------------------------------------
+# "Terms with frequency > N/k" WITHOUT shuffling the full term universe:
+# pass 1 runs a Misra-Gries summary (Misra & Gries '82) with k' = 2k
+# counters INSIDE each partition — O(k') memory, no exchange — whose
+# union is a provable superset of every global heavy hitter (pigeonhole:
+# cnt(x) > N/k ⇒ some partition has local frequency > |P|/k ≥ |P|/(k'+1),
+# which MG always retains); pass 2 exact-counts ONLY the ≤ partitions·k'
+# candidates via a broadcast semi-join, so the single groupBy's key
+# domain is the candidate set, not the vocabulary. At 100 TB the full
+# term groupBy shuffles billions of distinct keys; this shape shuffles
+# thousands. Completeness is pytest-proven against brute force; the
+# oracle replays the exact SEMANTIC (count everything, filter) — the
+# bounded-memory pass is an optimization, not a semantics change.
+HH_K = 200  # heavy = frequency > N/200
+MG_COUNTERS = 2 * HH_K
+
+
+@register(
+    "term_heavy_hitters",
+    f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), n AS (
+  SELECT count(*) AS n FROM toks
+), c AS (
+  SELECT term, count(*) AS cnt FROM toks GROUP BY term
+)
+SELECT c.term, CAST(c.cnt AS BIGINT) AS cnt,
+       CAST(round(c.cnt * 1000000.0 / n.n) AS BIGINT) AS freq_ppm
+FROM c, n
+WHERE c.cnt * {HH_K} > n.n
+ORDER BY cnt DESC, term
+""",
+)
+def term_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact terms above the N/{k} frequency threshold, found with the
+    two-pass bounded-memory mechanism (B56): per-partition Misra-Gries
+    candidates (map-only, {kp} counters), then exact counts of the
+    candidates alone.""".replace("{k}", str(HH_K)).replace("{kp}", str(MG_COUNTERS))
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["term"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < MG_COUNTERS:
+                    counters[t] = 1
+                else:
+                    drop = []
+                    for kk in counters:
+                        counters[kk] -= 1
+                        if counters[kk] == 0:
+                            drop.append(kk)
+                    for kk in drop:
+                        del counters[kk]
+        if counters:
+            yield pd.DataFrame({"term": list(counters.keys())})
+
+    cands = toks.mapInPandas(mg, schema="term string").distinct()
+    n = toks.agg(F.count("*").alias("n"))
+    exact = (
+        toks.join(F.broadcast(cands), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(n))
+        .filter(F.col("cnt") * HH_K > F.col("n"))
+        .select(
+            "term",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") * 1000000.0 / F.col("n"), 0).cast("long").alias("freq_ppm"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+    )
