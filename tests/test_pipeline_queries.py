@@ -1392,3 +1392,53 @@ def test_heavy_hitters_complete_and_candidates_bounded(spark, sf_dir):
             yield pd.DataFrame({"term": list(counters.keys())})
 
     assert "HEAVY" in run_mg(df)
+
+
+def test_frame_sample_features_match_decoder_identity(spark, sf_dir):
+    """multimodal_frame_sample (B57, r7): tie the oracle-checked frame
+    rows back to the Arrow decoder output — for every sampled frame,
+    sample_frames' float32 feature must equal the stub decoder applied to
+    payload || ts_be32 in python; frame counts follow the stride rule."""
+    import hashlib
+
+    import numpy as np
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.queries import REGISTRY
+    from vectordb_hr_data_spark.querydefs.similarity_queries import FRAME_STRIDE_MS
+    from vectordb_hr_data_spark.sources.multimodal import sample_frames
+
+    d = read_table(spark, sf_dir, "documents").limit(60)
+    media = d.selectExpr(
+        "doc_id AS media_id",
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality",
+        "cast(text as binary) AS payload",
+        "'app/octet' AS mime",
+        "cast(null as int) AS width",
+        "cast(null as int) AS height",
+        "CASE WHEN doc_id % 3 = 2 THEN cast(n_chars * 40 as int) ELSE cast(null as int) END AS duration_ms",
+    )
+    texts = {r.doc_id: (r.text, r.n_chars) for r in d.collect()}
+    frames = sample_frames(media, stride_ms=FRAME_STRIDE_MS, fake_decode=True).collect()
+    by_media = {}
+    for fr in frames:
+        by_media.setdefault(fr.media_id, []).append(fr)
+    for mid, frs in by_media.items():
+        text, n_chars = texts[mid]
+        if mid % 3 == 2:
+            expect_n = (n_chars * 40) // FRAME_STRIDE_MS + 1
+        else:
+            expect_n = 1
+        assert len(frs) == expect_n, mid
+        for fr in sorted(frs, key=lambda r: r.frame_idx):
+            payload = text.encode() + int(fr.frame_ts_ms).to_bytes(4, "big")
+            digest = hashlib.sha256(payload).digest()
+            expect = np.asarray([b / 127.5 - 1.0 for b in digest[:16]], dtype=np.float32)
+            got = np.asarray(fr.frame_feature, dtype=np.float32)
+            assert np.array_equal(got, expect), (mid, fr.frame_idx)
+
+    # registry query coverage: one key per (media, frame), video fan-out real
+    rows = REGISTRY["multimodal_frame_sample"].fn(spark, sf_dir).collect()
+    keys = {(r.media_id, r.frame_idx) for r in rows}
+    assert len(keys) == len(rows)
+    assert any(r.frame_idx > 0 for r in rows)  # some video exploded

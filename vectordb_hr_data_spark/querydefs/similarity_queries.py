@@ -1523,3 +1523,90 @@ def _out_edges_memo(sf_dir: str, emb: DataFrame, deg: int, op_name: str) -> dict
         ids_all, mat, corpus_norm = _graph_state_memo(sf_dir, emb, op_name)
         _OUT_EDGES_MEMO[key] = _knn_out_edges_driver(ids_all, mat, corpus_norm, deg)
     return _OUT_EDGES_MEMO[key]
+
+
+# --------------------------------------------------------------------------
+# B57: frame sampling over multimodal media — hash-checked plumbing (r7)
+# --------------------------------------------------------------------------
+# Upgrades B8's frame-sample path from pytest-only to ORACLE-CHECKED: the
+# media frame is synthesized from documents with typed metadata (modality
+# by id, duration only for video), exploded one-row-per-sampled-frame by
+# the REAL Arrow mapInPandas operator (sources/multimodal.sample_frames —
+# the exact batch shape a GPU video decoder consumes), and each frame
+# carries a portable content key sha256(payload ‖ ts_be32) — the same
+# frame's content+timestamp identity (text ‖ ':' ‖ ts — a VARCHAR key,
+# DuckDB's sha256 is string-only). The explode arithmetic (n_frames =
+# duration div stride + 1 for video, 1 otherwise; ts = idx·stride) and
+# the key are replayed bit-for-bit by DuckDB. Floats stay out of the
+# oracle (the float32 feature vector — the stub decoder's digest of
+# payload ‖ ts_be32 — is pytest-pinned instead; engine float32 repr is
+# not a portable hash surface).
+FRAME_STRIDE_MS = 10_000
+
+
+@register(
+    "multimodal_frame_sample",
+    f"""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         CAST(text AS BLOB) AS payload,
+         CASE WHEN doc_id % 3 = 2 THEN CAST(n_chars * 40 AS INT) ELSE NULL END AS duration_ms
+  FROM documents
+), frames AS (
+  SELECT media_id, modality, payload,
+         CAST(u AS INT) AS frame_idx,
+         CAST(u * {FRAME_STRIDE_MS} AS INT) AS frame_ts_ms
+  FROM media, unnest(range(0, CASE WHEN modality = 'video' AND coalesce(duration_ms, 0) > 0
+                                   THEN duration_ms // {FRAME_STRIDE_MS} + 1 ELSE 1 END)) AS t(u)
+)
+SELECT media_id, modality, frame_idx, frame_ts_ms,
+       sha256(CAST(payload AS VARCHAR) || ':' || CAST(frame_ts_ms AS VARCHAR)) AS frame_key
+FROM frames
+ORDER BY media_id, frame_idx
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per sampled frame via the real Arrow frame-explode operator
+    (B57): media synthesized from documents (image/audio/video by id,
+    duration for video only), ``sample_frames`` performs the vectorized
+    repeat/cumcount explode inside the kernel, and the portable
+    sha256(text ‖ ':' ‖ ts) identity key is a JVM expression over the
+    joined payload — plumbing exercised for real, result hash-checked."""
+    from ..sources.multimodal import sample_frames
+
+    d = read_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("modality"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("app/octet").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.when(F.col("doc_id") % 3 == 2, (F.col("n_chars") * 40).cast("int"))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("duration_ms"),
+    )
+    frames = sample_frames(media, stride_ms=FRAME_STRIDE_MS, fake_decode=True)
+    key = F.sha2(
+        F.concat(
+            F.col("payload").cast("string"),
+            F.lit(":"),
+            F.col("frame_ts_ms").cast("string"),
+        ),
+        256,
+    )
+    return (
+        frames.join(media.select("media_id", "modality", "payload"), "media_id")
+        .select(
+            "media_id",
+            "modality",
+            "frame_idx",
+            "frame_ts_ms",
+            key.alias("frame_key"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
