@@ -1442,3 +1442,65 @@ def test_frame_sample_features_match_decoder_identity(spark, sf_dir):
     keys = {(r.media_id, r.frame_idx) for r in rows}
     assert len(keys) == len(rows)
     assert any(r.frame_idx > 0 for r in rows)  # some video exploded
+
+
+def test_fuzzy_pairs_funnel_cohort_match_bruteforce(spark, sf_dir):
+    """B58/B59/B60 (r7): python brute-force replays — the fuzzy pair set
+    over distinct part names (same-block Levenshtein), the strict funnel
+    counts on first occurrences, and the cohort retention matrix must all
+    match exactly."""
+    from collections import Counter, defaultdict
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.queries import REGISTRY
+    from vectordb_hr_data_spark.querydefs.relational_queries import FUZZY_MAX_DIST
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[n]
+
+    parts = read_table(spark, sf_dir, "part").select("p_partkey", "p_name").collect()
+    names = Counter(r.p_name for r in parts)
+    canon = {}
+    for r in parts:
+        canon[r.p_name] = min(canon.get(r.p_name, r.p_partkey), r.p_partkey)
+    expect_pairs = set()
+    for a in names:
+        for b in names:
+            if a < b and a.split(" ")[-1] == b.split(" ")[-1] and lev(a, b) <= FUZZY_MAX_DIST:
+                expect_pairs.add((a, b))
+    got_rows = REGISTRY["part_name_fuzzy_pairs"].fn(spark, sf_dir).collect()
+    assert {(r.name_1, r.name_2) for r in got_rows} == expect_pairs and expect_pairs
+    for r in got_rows:
+        assert r.edit_dist == lev(r.name_1, r.name_2)
+        assert (r.n_parts_1, r.canonical_1) == (names[r.name_1], canon[r.name_1])
+
+    ev = read_table(spark, sf_dir, "events").collect()
+    first = defaultdict(dict)
+    for e in ev:
+        cur = first[e.user_id].get(e.event_type)
+        if cur is None or e.ts < cur:
+            first[e.user_id][e.event_type] = e.ts
+    s1 = {u for u, f in first.items() if "view" in f}
+    s2 = {u for u in s1 if "click" in first[u] and first[u]["click"] > first[u]["view"]}
+    s3 = {u for u in s2 if "purchase" in first[u] and first[u]["purchase"] > first[u]["click"]}
+    fr = {r.stage: r for r in REGISTRY["events_funnel_strict"].fn(spark, sf_dir).collect()}
+    assert (fr[1].n_users, fr[2].n_users, fr[3].n_users) == (len(s1), len(s2), len(s3))
+    assert 0 < fr[3].n_users < fr[1].n_users  # the funnel narrows for real
+
+    cohort = {u: min(t for t in (e.ts for e in ev if e.user_id == u)).date() for u in first}
+    cells = defaultdict(set)
+    for e in ev:
+        cells[(str(cohort[e.user_id]), (e.ts.date() - cohort[e.user_id]).days)].add(e.user_id)
+    got = {
+        (r.cohort_day, r.days_since): r.n_active_users
+        for r in REGISTRY["events_cohort_retention"].fn(spark, sf_dir).collect()
+    }
+    assert got == {k: len(v) for k, v in cells.items()}

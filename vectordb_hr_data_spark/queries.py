@@ -99,11 +99,13 @@ PRIORITY: list[str] = [
     "q21_suppliers_kept_orders_waiting", "q22_idle_rich_customers",
     # --- position 51+: shapes with driver-green rows in prior rounds
     # (rotated out r6/r7) or proven by an in-window sibling ---
-    # late-r7: the composed graph coreset (B55), the bounded-memory heavy
-    # hitters (B56), and the hash-checked frame-sample plumbing (B57) —
-    # brand-new oracles, first in line for the r8 window rotation; their
-    # constituent mechanisms are in-window above
+    # late-r7: the composed graph coreset (B55), bounded-memory heavy
+    # hitters (B56), hash-checked frame-sample plumbing (B57), fuzzy
+    # entity resolution (B58), strict funnel (B59), and cohort retention
+    # (B60) — brand-new oracles, first in line for the r8 window
+    # rotation; their constituent mechanisms are in-window above
     "graph_coreset_select", "term_heavy_hitters", "multimodal_frame_sample",
+    "part_name_fuzzy_pairs", "events_funnel_strict", "events_cohort_retention",
     # r7 window swap: these 18 multi-green anchors moved below for the 18
     # entries above (families keep in-window representation; q1's
     # SEMANTICS stay in-window via the incremental twin whose oracle IS

@@ -685,3 +685,120 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zval",
         F.floor((F.col("rn") - 1) / ZORDER_ROWS_PER_FILE).cast("long").alias("file_id"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# B59: strict funnel analysis (first-occurrence ordering) (r7)
+# ---------------------------------------------------------------------------
+# The product-analytics staple: how many users progressed view → click →
+# purchase, where each stage's FIRST occurrence must come strictly after
+# the previous stage's first occurrence. One groupBy(user) computes all
+# three first-occurrence timestamps (conditional min — map-side partials,
+# single exchange on the uniform user key); stage membership is then pure
+# row-local boolean algebra, and the final counts are one tiny aggregate.
+# Conversion ratios follow the integer-ppm quantization contract.
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+@register(
+    "events_funnel_strict",
+    """
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT
+    count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS s1,
+    count(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 END) AS s2,
+    count(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click THEN 1 END) AS s3
+  FROM f
+)
+SELECT stage, stage_name, n_users,
+       CAST(round(n_users * 1000000.0 / s1) AS BIGINT) AS conv_ppm
+FROM (
+  SELECT 1 AS stage, 'view' AS stage_name, CAST(s1 AS BIGINT) AS n_users, s1 FROM m
+  UNION ALL SELECT 2, 'view>click', CAST(s2 AS BIGINT), s1 FROM m
+  UNION ALL SELECT 3, 'view>click>purchase', CAST(s3 AS BIGINT), s1 FROM m
+)
+ORDER BY stage
+""",
+)
+def events_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict three-stage funnel on first occurrences (B59): conditional
+    first-timestamps per user in one aggregation, boolean stage algebra,
+    ppm conversion vs stage 1."""
+    ev = read_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    m = f.agg(
+        F.count(F.when(s1, 1)).alias("s1"),
+        F.count(F.when(s2, 1)).alias("s2"),
+        F.count(F.when(s3, 1)).alias("s3"),
+    )
+    stages = [
+        (1, "view", "s1"),
+        (2, "view>click", "s2"),
+        (3, "view>click>purchase", "s3"),
+    ]
+    rows = None
+    for st, name, col in stages:
+        r = m.select(
+            F.lit(st).alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.col(col).cast("long").alias("n_users"),
+            F.round(F.col(col) * 1000000.0 / F.col("s1"), 0).cast("long").alias("conv_ppm"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# B60: cohort retention matrix (r7)
+# ---------------------------------------------------------------------------
+# The other analytics staple: users grouped by FIRST-SEEN day (their
+# cohort), activity counted per (cohort, days-since-cohort) cell. Two
+# aggregations on the uniform user key (first-seen, then the matrix), the
+# cohort frame joined back broadcast-sized. Date arithmetic is pure
+# integer day diffs; the cohort key is emitted as an ISO date STRING so
+# neither engine's date/timestamp physical type leaks into the hash.
+
+
+@register(
+    "events_cohort_retention",
+    """
+WITH f AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cd FROM events GROUP BY user_id
+)
+SELECT CAST(f.cd AS VARCHAR) AS cohort_day,
+       CAST(date_diff('day', f.cd, CAST(e.ts AS DATE)) AS BIGINT) AS days_since,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active_users
+FROM events e JOIN f USING (user_id)
+GROUP BY f.cd, days_since
+ORDER BY cohort_day, days_since
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-by-day retention matrix (B60): first-seen date per user,
+    distinct active users per (cohort_day, days_since) cell."""
+    ev = read_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("cd"))
+    return (
+        ev.join(f, "user_id")
+        .select(
+            F.col("cd").cast("string").alias("cohort_day"),
+            F.datediff(F.col("ts").cast("date"), F.col("cd")).cast("long").alias("days_since"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "days_since")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active_users"))
+        .orderBy("cohort_day", "days_since")
+    )

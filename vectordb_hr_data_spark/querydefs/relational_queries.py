@@ -488,3 +488,66 @@ def supplier_part_distincts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# B58: fuzzy entity resolution over catalog names (blocked edit distance) (r7)
+# ---------------------------------------------------------------------------
+# The record-linkage family (catalog dedup / supplier-master matching):
+# name VARIANTS of the same entity differ by small edits, so equality
+# joins miss them. Scalable mechanism = blocking + verify, the same
+# discipline as every near-dup op here: collapse to DISTINCT names first
+# (the entity-resolution trick that keeps pair volume off the row count —
+# 2000 rows → 64 names at sf0.01), block on the trailing token (the head
+# noun — a candidate pair must share it), verify with full Levenshtein ≤
+# 3 on the blocked pairs only. Both engines implement classic edit
+# distance identically, so the pair set and distances hash-check.
+FUZZY_MAX_DIST = 3
+
+
+@register(
+    "part_name_fuzzy_pairs",
+    f"""
+WITH d AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(min(p_partkey) AS BIGINT) AS canonical_partkey
+  FROM part GROUP BY p_name
+), n AS (
+  SELECT p_name, n_parts, canonical_partkey, string_split(p_name, ' ') AS w FROM d
+)
+SELECT a.p_name AS name_1, b.p_name AS name_2,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+       a.n_parts AS n_parts_1, b.n_parts AS n_parts_2,
+       a.canonical_partkey AS canonical_1, b.canonical_partkey AS canonical_2
+FROM n a JOIN n b ON a.w[-1] = b.w[-1] AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+ORDER BY name_1, name_2
+""",
+)
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy name-variant pairs over the part catalog (B58): distinct
+    names + per-name stats, blocked on the head noun, Levenshtein-verified
+    — the entity-resolution candidate step whose clusters a CC pass (the
+    dedup family's) would close."""
+    p = read_table(spark, sf_dir, "part")
+    d = p.groupBy("p_name").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.min("p_partkey").cast("long").alias("canonical_partkey"),
+    )
+    n = d.withColumn("block", F.element_at(F.split(F.col("p_name"), " "), -1))
+    a, b = n.alias("a"), n.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.p_name") < F.col("b.p_name")))
+        .filter(dist <= FUZZY_MAX_DIST)
+        .select(
+            F.col("a.p_name").alias("name_1"),
+            F.col("b.p_name").alias("name_2"),
+            dist.cast("long").alias("edit_dist"),
+            F.col("a.n_parts").alias("n_parts_1"),
+            F.col("b.n_parts").alias("n_parts_2"),
+            F.col("a.canonical_partkey").alias("canonical_1"),
+            F.col("b.canonical_partkey").alias("canonical_2"),
+        )
+        .orderBy("name_1", "name_2")
+    )
