@@ -88,24 +88,29 @@ PRIORITY: list[str] = [
     "events_salted_join_weighted",
     "events_interval_bucket_join", "events_scd2_user_state",
     "events_zorder_layout",
-    # relational core: incremental q1 + the 13 TPC-H shapes with single
-    # r6 rows (q4/q7 multi-green anchors sit below the fold)
-    "q1_incremental_maintenance",
-    "q2_cheapest_supplier_per_part", "q8_national_market_share",
-    "q9_product_profit_by_nation_year", "q10_returned_items_top_customers",
-    "q11_important_part_value", "q12_priority_case_agg", "q14_ratio_aggregate",
-    "q15_top_revenue_supplier", "q18_large_volume_customers",
-    "q19_disjunctive_predicates", "q20_part_supply_nested",
-    "q21_suppliers_kept_orders_waiting", "q22_idle_rich_customers",
-    # --- position 51+: shapes with driver-green rows in prior rounds
-    # (rotated out r6/r7) or proven by an in-window sibling ---
-    # late-r7: the composed graph coreset (B55), bounded-memory heavy
-    # hitters (B56), hash-checked frame-sample plumbing (B57), fuzzy
-    # entity resolution (B58), strict funnel (B59), and cohort retention
-    # (B60) — brand-new oracles, first in line for the r8 window
-    # rotation; their constituent mechanisms are in-window above
+    # late-r7 oracles take the last six window slots so EVERY oracle
+    # query holds driver evidence by end of round 7: the graph coreset
+    # composition (B55), bounded-memory heavy hitters (B56), hash-checked
+    # frame sampling (B57), fuzzy entity resolution (B58), strict funnel
+    # (B59), cohort retention (B60)
     "graph_coreset_select", "term_heavy_hitters", "multimodal_frame_sample",
     "part_name_fuzzy_pairs", "events_funnel_strict", "events_cohort_retention",
+    # relational core: incremental q1 + 7 TPC-H shapes (q8/q9/q11/q14/
+    # q15/q19, single r6 rows each, move below the fold for the six
+    # late-r7 entries above; q4/q7 multi-green anchors already below)
+    "q1_incremental_maintenance",
+    "q2_cheapest_supplier_per_part", "q10_returned_items_top_customers",
+    "q12_priority_case_agg", "q18_large_volume_customers",
+    "q20_part_supply_nested", "q21_suppliers_kept_orders_waiting",
+    "q22_idle_rich_customers",
+    # --- position 51+: shapes with driver-green rows in prior rounds
+    # (rotated out r6/r7) or proven by an in-window sibling ---
+    # TPC-H shapes rotated below the fold for the late-r7 entries (each
+    # holds its r6 driver row; family breadth stays via the 8 in-window
+    # relational entries)
+    "q8_national_market_share", "q9_product_profit_by_nation_year",
+    "q11_important_part_value", "q14_ratio_aggregate",
+    "q15_top_revenue_supplier", "q19_disjunctive_predicates",
     # r7 window swap: these 18 multi-green anchors moved below for the 18
     # entries above (families keep in-window representation; q1's
     # SEMANTICS stay in-window via the incremental twin whose oracle IS
