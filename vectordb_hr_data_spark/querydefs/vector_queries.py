@@ -1394,3 +1394,138 @@ def knn_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(_MRL_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# B61: deterministic MMR with a FULL oracle (r7)
+# ---------------------------------------------------------------------------
+# B26 registered greedy MMR rows-only under the "inherently sequential"
+# clause; B46/B54 showed iterative algorithms still get full oracles when
+# every step is integer-deterministic and the state rides a recursive
+# CTE. This variant is that upgrade: relevance and pairwise cosines are
+# quantized ONCE to integer micro-units (the ce_micro discipline —
+# transcendental values, measure-zero midpoints), λ = 1/2 makes the MMR
+# objective a pure integer margin (2·score = rel − max_sim), the
+# candidate page itself is chosen by the INTEGER relevance (no float
+# order anywhere), and each greedy step is an integer argmax-as-max
+# (enc = (margin + 4e6)·2²³ + (2²³−1−id)). The oracle's recursive CTE
+# carries the selected set as a LIST in a single working row and replays
+# all K picks bit-for-bit. The float B26 form stays registered as the
+# production twin (λ tunable there); this one is the correctness anchor.
+MMR_DET_PAGE = 20
+MMR_DET_K = 5
+_MMR_SHIFT = 8388608  # 2^23
+_MMR_BIAS = 4_000_000
+
+
+def _mmr_cos_ddb(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a})+1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+
+
+@register(
+    "knn_mmr_det",
+    f"""
+WITH RECURSIVE q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+), cand AS (
+  SELECT e.vec_id AS id, e.embedding,
+         CAST(round({_mmr_cos_ddb('e.embedding', 'q.qv')} * 1000000.0) AS BIGINT) AS rel
+  FROM embeddings e, q
+  WHERE e.vec_id != 0
+  ORDER BY rel DESC, id
+  LIMIT {MMR_DET_PAGE}
+), sims AS (
+  SELECT a.id AS d1, b.id AS d2,
+         CAST(round({_mmr_cos_ddb('a.embedding', 'b.embedding')} * 1000000.0) AS BIGINT) AS sim
+  FROM cand a JOIN cand b ON a.id != b.id
+), mmr AS (
+  SELECT * FROM (
+    SELECT CAST(1 AS BIGINT) AS rnk, id, rel, rel AS margin, [id] AS sel
+    FROM cand ORDER BY rel DESC, id LIMIT 1
+  )
+  UNION ALL
+  SELECT t.rnk, c2.id, c2.rel,
+         CAST(t.e // {_MMR_SHIFT} - {_MMR_BIAS} AS BIGINT) AS margin,
+         list_append(t.sel, c2.id) AS sel
+  FROM (
+    SELECT m.rnk + 1 AS rnk, any_value(m.sel) AS sel,
+           max((pc.rel - pc.msim + {_MMR_BIAS}) * {_MMR_SHIFT} + ({_MMR_SHIFT - 1} - pc.id)) AS e
+    FROM mmr m, LATERAL (
+      SELECT c.id, c.rel, max(s.sim) AS msim
+      FROM cand c JOIN sims s ON s.d1 = c.id AND list_contains(m.sel, s.d2)
+      WHERE NOT list_contains(m.sel, c.id)
+      GROUP BY c.id, c.rel
+    ) pc
+    WHERE m.rnk < {MMR_DET_K}
+    GROUP BY m.rnk + 1
+  ) t
+  JOIN cand c2 ON c2.id = {_MMR_SHIFT - 1} - (t.e % {_MMR_SHIFT})
+)
+SELECT rnk, id AS vec_id, rel AS rel_micro, margin AS margin_micro
+FROM mmr ORDER BY rnk
+""",
+)
+def knn_mmr_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-deterministic MMR over the integer-relevance top-{r} page
+    (B61): λ = 1/2, margin = rel_micro − max selected sim_micro, greedy
+    argmax with min-id ties, {k} picks. The distributed work is the page
+    over-fetch (TakeOrderedAndProject on the integer relevance); the
+    greedy loop runs on the bounded page driver-side with EXACTLY the
+    oracle's integer arithmetic.""".replace("{r}", str(MMR_DET_PAGE)).replace(
+        "{k}", str(MMR_DET_K)
+    )
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    qlit = F.lit([float(x) for x in q])
+    rel_micro = F.round(V.cosine_sim(F.col("embedding"), qlit) * 1000000.0, 0).cast("long")
+    page = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", rel_micro.alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(MMR_DET_PAGE)
+        .collect()
+    )
+    import math
+
+    def fold_cos_micro(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot = dot + float(x) * float(y)
+        na = 0.0
+        for x in a:
+            na = na + float(x) * float(x)
+        nb = 0.0
+        for y in b:
+            nb = nb + float(y) * float(y)
+        v = dot / (math.sqrt(na) * math.sqrt(nb)) * 1000000.0
+        return int(math.copysign(math.floor(abs(v) + 0.5), v))
+
+    ids = [r.vec_id for r in page]
+    rel = {r.vec_id: r.rel for r in page}
+    vecs = {r.vec_id: list(r.embedding) for r in page}
+    sims = {
+        (a, b): fold_cos_micro(vecs[a], vecs[b]) for a in ids for b in ids if a != b
+    }
+    first = max(ids, key=lambda i: (rel[i], -i))
+    out = [(1, first, rel[first], rel[first])]
+    sel = [first]
+    for rnk in range(2, MMR_DET_K + 1):
+        best = None
+        for c in ids:
+            if c in sel:
+                continue
+            msim = max(sims[(c, s)] for s in sel)
+            margin = rel[c] - msim
+            key = (margin, -c)
+            if best is None or key > best[0]:
+                best = (key, c, margin)
+        out.append((rnk, best[1], rel[best[1]], best[2]))
+        sel.append(best[1])
+    return spark.createDataFrame(
+        out, "rnk long, vec_id long, rel_micro long, margin_micro long"
+    ).orderBy("rnk")
