@@ -1358,18 +1358,12 @@ def test_heavy_hitters_complete_and_candidates_bounded(spark, sf_dir):
     for i in range(MG_COUNTERS * 3):
         stream.append("HEAVY")
         stream.append(f"spacer_{i}")
-    from vectordb_hr_data_spark.querydefs import text_queries as TQ
-
     df = spark.createDataFrame([(t,) for t in stream], "term string").repartition(1)
 
     def run_mg(frame):
-        out = frame.mapInPandas(
-            # reuse the registered query's kernel by rebuilding it: the
-            # kernel is defined inline, so replicate via the public query
-            # on a tiny parquet is overkill — inline the same algorithm
-            _mg_replica,
-            schema="term string",
-        )
+        # the registered query's kernel is defined inline; replicate the
+        # same algorithm here for the adversarial unit stream
+        out = frame.mapInPandas(_mg_replica, schema="term string")
         return {r.term for r in out.collect()}
 
     def _mg_replica(batches):
