@@ -227,3 +227,44 @@ def test_star_cc_salted_min_survives_power_law_hub(spark):
         for r in out.groupBy("comp").agg(F.count("*").alias("cnt")).collect()
     }
     assert agg == {(0, n + 1), (n + 10, 3)}
+
+
+def test_integer_div_decode_exact_past_double_precision(spark):
+    """ADVICE r7: graph_coreset_select's rank decode and the Z-order
+    quantizers must use integer `div`, not double division — at e > 2^53
+    a half-ulp round-up flips floor(e / 2^32) by +1 vs exact integer `//`.
+    Pin Spark's `div` against Python's `//` exactly where float division
+    provably disagrees."""
+    from pyspark.sql import functions as F
+
+    enc = 4294967296  # 2^32, the coreset/label encoder modulus
+    # e = (rank+1)*2^32 - (node+1): high rank_micro + small node id puts e
+    # just BELOW a multiple of 2^32 while e > 2^53 — the advice scenario
+    cases = [
+        (3_000_000 * enc - 1),   # rank 2999999, node 0; e ≈ 2^53.2
+        (2_500_000 * enc - 7),
+        ((1 << 21) * enc - 1),   # first magnitude where the ulp gap bites
+    ]
+    assert any(float(e) / enc != e // enc for e in cases)  # float rounds wrong
+    df = spark.createDataFrame([(e,) for e in cases], "e long")
+    got = [
+        (r.fdiv, r.idiv)
+        for r in df.select(
+            F.floor(F.col("e") / enc).cast("long").alias("fdiv"),
+            F.expr(f"e div {enc}").cast("long").alias("idiv"),
+        ).collect()
+    ]
+    for e, (fdiv, idiv) in zip(cases, got):
+        assert idiv == e // enc  # integer div is exact
+    assert any(fdiv != e // enc for e, (fdiv, _) in zip(cases, got))  # float was not
+
+    # the Z-order shape: (unix_micros - t0) * 256 // span at a 40-year span
+    span = 40 * 365 * 24 * 3600 * 1_000_000  # ≈ 2^50.5 µs
+    us = span - 3  # numerator (us * 256) ≈ 2^58.5
+    df2 = spark.createDataFrame([(us, span)], "us long, span long")
+    row = df2.select(
+        F.expr("us * 256 div span").alias("idiv"),
+        F.floor(F.col("us") * 256 / F.col("span")).cast("long").alias("fdiv"),
+    ).collect()[0]
+    assert row.idiv == (us * 256) // span == 255
+    assert float(us * 256) / span != (us * 256) // span  # the latent float flip

@@ -430,3 +430,50 @@ def test_incremental_probe_soundness_and_coverage(spark, sf_dir):
                         # at j >= 0.5 with 4 bands of 4 on 16 hashes this
                         # is overwhelmingly likely; fail loudly if not
                         raise AssertionError((r.doc_id, c, jc))
+
+
+def test_graph_ann_edge_source_recall_floor(spark, sf_dir):
+    """VERDICT r7 #1: the >GRAPH_EXACT_MAX edge route is the IVF-probe
+    ANN candidate source (multi-assign spill + cell-cogrouped GEMM), not
+    a loud raise. Build the directed kNN edge set both ways on the same
+    corpus: the ANN edge set must hit >= 0.85 of the exact fold-cosine
+    edges (measured 0.94 on both sf corpora — floor leaves noise
+    margin), give every node exactly `deg` out-edges, and emit no self
+    edges."""
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs import similarity_queries as S
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    ids_all, mat, corpus_norm = S._graph_fold_state(emb, "recall-test")
+    exact = S._knn_out_edges_driver(ids_all, mat, corpus_norm, S.PAGERANK_DEG)
+    ann_rows = S._knn_edges_ann_df(emb, S.PAGERANK_DEG, n).collect()
+    got: dict[int, set[int]] = {}
+    for r in ann_rows:
+        assert r.src != r.dst
+        got.setdefault(r.src, set()).add(r.dst)
+    assert len(got) == n
+    assert all(len(v) == S.PAGERANK_DEG for v in got.values())
+    hits = total = 0
+    for src, dsts in exact.items():
+        want = set(dsts)
+        total += len(want)
+        hits += len(want & got.get(src, set()))
+    assert hits / total >= 0.85
+
+
+def test_graph_router_uses_ann_edges_above_exact_max(spark, sf_dir, monkeypatch):
+    """The router swaps in the ANN edge source above GRAPH_EXACT_MAX (the
+    former loud-raise regime) and the distributed PageRank rounds run on
+    it end-to-end: forcing both thresholds to 0 must still produce a full
+    ranking whose top-20 substantially agrees with the exact-edge oracle
+    route (approximate edges, floor 14/20; measured 19-20/20)."""
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs import similarity_queries as S
+
+    exact_top = [r.vec_id for r in S.doc_pagerank_centrality(spark, sf_dir).collect()]
+    monkeypatch.setattr(S, "GRAPH_DRIVER_MAX", 0)
+    monkeypatch.setattr(S, "GRAPH_EXACT_MAX", 0)
+    ann_top = [r.vec_id for r in S.doc_pagerank_centrality(spark, sf_dir).collect()]
+    assert len(ann_top) == S.PAGERANK_TOPN
+    assert len(set(exact_top) & set(ann_top)) >= 14

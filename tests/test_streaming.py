@@ -699,19 +699,69 @@ def test_stream_scd2_dim_converges_to_batch_build(spark, sf_dir, tmp_path):
     )
     target = str(tmp_path / "scd2_dim")
     stream_scd2_dim(stream, target)
-    got = sorted(map(tuple, spark.read.parquet(target).collect()))
+    dim = spark.read.parquet(target)
+    got = sorted(map(tuple, dim.drop("last_ts").collect()))
     want = sorted(map(tuple, scd2_build(ev).collect()))
     assert got == want and len(got) > 0
+
+    # the last_ts bookkeeping column: present on every is_current row,
+    # null on closed rows, and equal to the user's true newest event ts
+    cur = dim.filter(F.col("is_current"))
+    assert dim.filter(~F.col("is_current") & F.col("last_ts").isNotNull()).count() == 0
+    true_last = ev.groupBy("user_id").agg(F.max("ts").alias("t_last"))
+    assert (
+        cur.join(true_last, "user_id")
+        .filter((F.col("last_ts").isNull()) | (F.col("last_ts") != F.col("t_last")))
+        .count()
+        == 0
+    )
 
     # out-of-order input: replaying the FIRST range against the final dim
     # trips the guard condition stream_scd2_dim raises on — assert the
     # scenario is real on this data (the guard predicate fires)
     early = ev.filter(F.col("ts") <= cuts[0])
-    dim = spark.read.parquet(target)
     bmin = early.groupBy("user_id").agg(F.min("ts").alias("bmin"))
-    viol = (
-        bmin.join(dim.filter(F.col("is_current")), "user_id")
+    viol = bmin.join(cur, "user_id").filter(F.col("bmin") < F.col("last_ts")).count()
+    assert viol > 0  # the guard scenario is real on this data
+
+    # the r7-ADVICE hole: an event INSIDE the open run's span (>= valid_from
+    # but older than the newest folded event) slipped past a valid_from-only
+    # guard; the last_ts guard must both FIRE on it and RAISE end-to-end
+    victim = (
+        cur.filter(F.col("last_ts") > F.col("valid_from"))
+        .select("user_id", "valid_from", "last_ts", "event_type")
+        .limit(1)
+        .collect()[0]
+    )
+    late = spark.createDataFrame(
+        [(victim.user_id, 999_999_999, victim.valid_from, victim.event_type)],
+        ev.schema,
+    )
+    old_guard = (
+        late.groupBy("user_id")
+        .agg(F.min("ts").alias("bmin"))
+        .join(cur, "user_id")
         .filter(F.col("bmin") < F.col("valid_from"))
         .count()
     )
-    assert viol > 0  # the guard scenario is real on this data
+    assert old_guard == 0  # valid_from alone would have let this through
+    new_guard = (
+        late.groupBy("user_id")
+        .agg(F.min("ts").alias("bmin"))
+        .join(cur, "user_id")
+        .filter(F.col("bmin") < F.col("last_ts"))
+        .count()
+    )
+    assert new_guard == 1
+    src2 = tmp_path / "scd2_src_late"
+    src2.mkdir()
+    tdir = str(tmp_path / "late_part")
+    late.coalesce(1).write.parquet(tdir)
+    shutil.move(glob.glob(f"{tdir}/part-*.parquet")[0], str(src2 / "late.parquet"))
+    stream2 = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src2))
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="out-of-order"):
+        stream_scd2_dim(stream2, target)

@@ -364,7 +364,12 @@ def compact_clustered(
     the sort key (range boundaries from Spark's reservoir sampling — no
     global sort) + sortWithinPartitions + maxRecordsPerFile; the rewrite
     goes through a staging dir + rename swap so readers never see a
-    partial dataset. Returns (files_before, files_after)."""
+    PARTIALLY WRITTEN dataset. The swap itself is two renames, so a
+    concurrent read in that window can transiently fail with
+    FileNotFound (and on object stores like S3A, rename is a non-atomic
+    copy — production targets there need a transactional table format,
+    e.g. Delta/Iceberg, for a truly atomic swap). Returns
+    (files_before, files_after)."""
     import math
 
     fs, live, jvm = _hadoop_fs(spark, path)

@@ -665,14 +665,14 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.unix_micros("ts")).alias("t1"),
         F.max("user_id").alias("umax"),
     )
+    # Integer `div` end-to-end: double division + floor matches DuckDB's
+    # `//` at sf-test spans, but for multi-year microsecond spans the
+    # numerator approaches 2^53 and a half-ulp in the float quotient can
+    # flip the floor — `div` keeps the documented bit-for-bit contract.
     keyed = ev.crossJoin(F.broadcast(ext)).select(
         "event_id",
-        F.floor(F.col("user_id") * 256 / (F.col("umax") + 1)).cast("long").alias("ub"),
-        F.floor(
-            (F.unix_micros("ts") - F.col("t0")) * 256 / (F.col("t1") - F.col("t0") + 1)
-        )
-        .cast("long")
-        .alias("hb"),
+        F.expr("user_id * 256 div (umax + 1)").cast("long").alias("ub"),
+        F.expr("(unix_micros(ts) - t0) * 256 div (t1 - t0 + 1)").cast("long").alias("hb"),
     )
     z = keyed.select("event_id", "ub", "hb", F.expr(_ZVAL_SPARK).cast("long").alias("zval"))
     ranked = z.withColumn(

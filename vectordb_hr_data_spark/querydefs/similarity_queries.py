@@ -973,8 +973,7 @@ def doc_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # graph_coreset_select. Routing mirrors connected_components /
     # bpe_train: driver integer rounds under 100k nodes, distributed
     # join+groupBy rounds (localCheckpointed) above.
-    ids_all, mat, corpus_norm = _graph_state_memo(sf_dir, emb, "doc_pagerank_centrality")
-    if len(ids_all) <= 100_000:
+    if _corpus_count_memo(sf_dir, emb) <= GRAPH_DRIVER_MAX:
         out_edges = _out_edges_memo(sf_dir, emb, PAGERANK_DEG, "doc_pagerank_centrality")
         r_map = _pagerank_scores_driver(out_edges, PAGERANK_ITERS)
         top = sorted(((-rv, v) for v, rv in r_map.items()))[:PAGERANK_TOPN]
@@ -982,7 +981,7 @@ def doc_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(v, -nr, i + 1) for i, (nr, v) in enumerate(top)],
             "vec_id long, rank_micro long, rnk long",
         ).orderBy("rnk")
-    real = _knn_edges_df(emb, ids_all, mat, corpus_norm, PAGERANK_DEG)
+    real = _graph_dir_edges(sf_dir, emb, PAGERANK_DEG, "doc_pagerank_centrality")
     r = _pagerank_rounds_df(emb, real, PAGERANK_ITERS)
     return (
         r.select(F.col("node").alias("vec_id"), F.col("r").alias("rank_micro"))
@@ -1171,8 +1170,8 @@ def doc_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "{d}", str(LP_DEG)
     )
     emb = read_table(spark, sf_dir, "embeddings")
-    ids_all, mat, corpus_norm = _graph_state_memo(sf_dir, emb, "doc_label_communities")
-    if len(ids_all) <= 100_000:
+    if _corpus_count_memo(sf_dir, emb) <= GRAPH_DRIVER_MAX:
+        ids_all, _, _ = _graph_state_memo(sf_dir, emb, "doc_label_communities")
         out_edges = _out_edges_memo(sf_dir, emb, LP_DEG, "doc_label_communities")
         nbrs: dict[int, set[int]] = {int(v): set() for v in ids_all}
         for src, dsts in out_edges.items():
@@ -1183,7 +1182,7 @@ def doc_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             sorted(lab.items()), "vec_id long, community_id long"
         ).orderBy("vec_id")
-    dir_e = _knn_edges_df(emb, ids_all, mat, corpus_norm, LP_DEG)
+    dir_e = _graph_dir_edges(sf_dir, emb, LP_DEG, "doc_label_communities")
     labels = _lp_rounds_df(emb, dir_e, LP_ITERS)
     return labels.select(
         F.col("node").alias("vec_id"), F.col("lab").alias("community_id")
@@ -1202,18 +1201,22 @@ def doc_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distributed join+groupBy rounds.
 
 
+# Edge-source routing thresholds shared by B46/B54/B55: driver-memory
+# integer rounds below GRAPH_DRIVER_MAX; exact distributed GEMM (oracle-
+# parity fold-cosine edges) up to GRAPH_EXACT_MAX — the corpus matrix is
+# the kernel closure, bounded to ~3 GB at the cap; above that the IVF-
+# probe ANN candidate source (_knn_edges_ann_df) takes over: no full-
+# matrix broadcast anywhere, only a bounded centroid table.
+GRAPH_DRIVER_MAX = 100_000
+GRAPH_EXACT_MAX = 1_000_000
+
+
 def _graph_fold_state(emb: DataFrame, op_name: str):
-    """Collect (ids, matrix, fold-order norms) with the bounded-closure
-    guard every exact-GEMM edge build shares."""
+    """Collect (ids, matrix, fold-order norms) for the exact-GEMM edge
+    builds. Only the ≤GRAPH_EXACT_MAX routes call this (the router
+    _graph_dir_edges switches to the ANN candidate source above it)."""
     import numpy as np
 
-    n_corpus = emb.count()
-    if n_corpus > 1_000_000:
-        raise ValueError(
-            f"{op_name}'s exact edge build collects the corpus matrix "
-            f"({n_corpus} rows); plug an ANN candidate source for larger "
-            "corpora (SCALE.md)"
-        )
     rows = emb.select("vec_id", "embedding").collect()
     ids_all = np.asarray([r.vec_id for r in rows], dtype=np.int64)
     mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
@@ -1279,6 +1282,154 @@ def _knn_edges_df(emb: DataFrame, ids_all, mat, corpus_norm, deg: int) -> DataFr
     return emb.select("vec_id", topd("vec_id", "embedding").alias("dsts")).select(
         F.col("vec_id").alias("src"), F.explode("dsts").alias("dst")
     )
+
+
+# IVF-probe ANN edge source (the >GRAPH_EXACT_MAX route): cells probed per
+# query node, cells each row is INDEXED under (multi-assignment "spill" —
+# a row near a cell boundary appears in its GRAPH_ANN_ASSIGN nearest
+# cells, which recovers the boundary neighbours probing alone misses:
+# measured edge recall 0.65 → 0.94 on the sf corpora for assign 1 → 3 at
+# probe 8, with untrained deterministic centroids and no training pass),
+# and the centroid-count bound. probe > deg so a node whose true
+# neighbours straddle cell boundaries still fills its degree.
+GRAPH_ANN_PROBE = 8
+GRAPH_ANN_ASSIGN = 3
+GRAPH_ANN_MAX_CELLS = 16_384
+
+
+def _knn_edges_ann_df(emb: DataFrame, deg: int, n_corpus: int) -> DataFrame:
+    """Directed top-``deg`` cosine edges via IVF-probe candidate
+    generation — the edge source for corpora too large to broadcast as a
+    matrix (B53's batched-probe discipline with the WHOLE corpus as the
+    query set).
+
+    Shape, built for 100 TB: a bounded centroid table (~√N capped at
+    {cells}, ≤50 MB at the cap) is the ONLY broadcast state; one
+    mapInPandas pass GEMMs each Arrow batch against it and emits every
+    row fanned out to its {probe} nearest cells (the first
+    GRAPH_ANN_ASSIGN of which also index the row as a cell MEMBER — the
+    multi-assignment spill); candidates are then scored cell-locally — a
+    cogrouped applyInPandas on the cell key GEMMs each cell's probing
+    queries against its member matrix and emits only per-(query, cell)
+    top-deg — so the shuffle carries N·probe query rows + N·assign
+    member rows, never candidate PAIRS (the pair work stays inside
+    BLAS); a (src, dst) pair reachable through several shared cells is
+    deduped by one (src, dst) max-agg over the pre-reduced ≤N·probe·deg
+    tiny rows before the global per-src rank. No step's memory grows
+    with corpus size: cell population ~assign·N/√N rows.
+
+    Approximate by construction (recall floored by the pytest recall
+    gate, tunable via GRAPH_ANN_PROBE / GRAPH_ANN_ASSIGN); the exact
+    fold-cosine build remains the oracle-parity source below
+    GRAPH_EXACT_MAX.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    k_cells = int(max(16, min(GRAPH_ANN_MAX_CELLS, math.isqrt(n_corpus))))
+    n_probe = min(GRAPH_ANN_PROBE, k_cells)
+    # deterministic bounded centroid set: the k_cells smallest vec_ids
+    # (a top-K, not a full sort; same convention as the IVF index ops)
+    cent = emb.select("vec_id", "embedding").orderBy("vec_id").limit(k_cells).collect()
+    cmat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in cent])
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    cnorm[cnorm == 0] = 1.0
+    bc = emb.sparkSession.sparkContext.broadcast((cmat, cnorm))
+    elem_t = emb.schema["embedding"].dataType.elementType.simpleString()
+
+    def probe_cells(batches):
+        cm, cn = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            qn = np.sqrt((m * m).sum(axis=1))
+            qn[qn == 0] = 1.0
+            sims = (m @ cm.T) / (cn[None, :] * qn[:, None])
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            rep = np.repeat(np.arange(n), n_probe)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[rep],
+                    "embedding": pdf["embedding"].to_numpy()[rep],
+                    "cell": order.ravel().astype(np.int32),
+                    "prn": np.tile(np.arange(n_probe, dtype=np.int32), n),
+                }
+            )
+
+    probed = emb.select("vec_id", "embedding").mapInPandas(
+        probe_cells, f"vec_id long, embedding array<{elem_t}>, cell int, prn int"
+    )
+    members = probed.filter(F.col("prn") < min(GRAPH_ANN_ASSIGN, n_probe)).select(
+        "cell", F.col("vec_id").alias("dst"), F.col("embedding").alias("dvec")
+    )
+    queries = probed.select("cell", F.col("vec_id").alias("src"), F.col("embedding").alias("svec"))
+
+    def cell_topk(qpdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(mpdf):
+            return pd.DataFrame({"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64"), "sim": pd.Series(dtype="float64")})
+        qm = np.stack(qpdf["svec"].to_numpy()).astype(np.float64)
+        mm = np.stack(mpdf["dvec"].to_numpy()).astype(np.float64)
+        qn = np.sqrt((qm * qm).sum(axis=1))
+        qn[qn == 0] = 1.0
+        mn = np.sqrt((mm * mm).sum(axis=1))
+        mn[mn == 0] = 1.0
+        sims = (qm @ mm.T) / (mn[None, :] * qn[:, None])
+        src_ids = qpdf["src"].to_numpy()
+        dst_ids = mpdf["dst"].to_numpy()
+        sims[src_ids[:, None] == dst_ids[None, :]] = -np.inf  # no self edges
+        kk = min(deg, sims.shape[1])
+        # per query: top-kk by (sim desc, dst asc) — lexsort on the
+        # bounded argpartition slice, not the full cell
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = []
+        for i in range(len(src_ids)):
+            cand = part[i]
+            order = cand[np.lexsort((dst_ids[cand], -sims[i, cand]))]
+            for j in order:
+                if np.isfinite(sims[i, j]):
+                    rows.append((int(src_ids[i]), int(dst_ids[j]), float(sims[i, j])))
+        return pd.DataFrame(rows, columns=["src", "dst", "sim"]) if rows else pd.DataFrame(
+            {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64"), "sim": pd.Series(dtype="float64")}
+        )
+
+    per_cell = (
+        queries.groupby("cell")
+        .cogroup(members.groupby("cell"))
+        .applyInPandas(cell_topk, "src long, dst long, sim double")
+    )
+    # pre-reduce keeps deg·assign rows per src: a (src, dst) pair can
+    # recur via at most `assign` shared cells, so the distinct top-deg
+    # always survives the partial even if duplicates land in one partition
+    partial = local_topk_per_key(
+        per_cell,
+        key_col="src",
+        order_cols=("sim", "dst"),
+        k=deg * min(GRAPH_ANN_ASSIGN, n_probe),
+        ascending=(False, True),
+    )
+    dedup = partial.groupBy("src", "dst").agg(F.max("sim").alias("sim"))
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst").asc())
+    return (
+        dedup.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= deg)
+        .select("src", "dst")
+    )
+
+
+def _graph_dir_edges(sf_dir: str, emb: DataFrame, deg: int, op_name: str) -> DataFrame:
+    """Distributed-route edge source router for B46/B54/B55: exact
+    fold-cosine GEMM (oracle parity, corpus matrix in the kernel closure)
+    up to GRAPH_EXACT_MAX rows, IVF-probe ANN candidates above — no
+    size ceiling, no full-matrix broadcast."""
+    n_corpus = _corpus_count_memo(sf_dir, emb)
+    if n_corpus <= GRAPH_EXACT_MAX:
+        ids_all, mat, corpus_norm = _graph_state_memo(sf_dir, emb, op_name)
+        return _knn_edges_df(emb, ids_all, mat, corpus_norm, deg)
+    return _knn_edges_ann_df(emb, deg, n_corpus)
 
 
 def _pagerank_scores_driver(out_edges: dict, iters: int) -> dict:
@@ -1457,8 +1608,8 @@ def graph_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     (join + groupBy, no windows) consume it, the final pick being one
     groupBy(community) integer argmax."""
     emb = read_table(spark, sf_dir, "embeddings")
-    ids_all, mat, corpus_norm = _graph_state_memo(sf_dir, emb, "graph_coreset_select")
-    if len(ids_all) <= 100_000:
+    if _corpus_count_memo(sf_dir, emb) <= GRAPH_DRIVER_MAX:
+        ids_all, _, _ = _graph_state_memo(sf_dir, emb, "graph_coreset_select")
         out_edges = _out_edges_memo(sf_dir, emb, PAGERANK_DEG, "graph_coreset_select")
         ranks = _pagerank_scores_driver(out_edges, PAGERANK_ITERS)
         nbrs: dict[int, set[int]] = {int(v): set() for v in ids_all}
@@ -1480,7 +1631,7 @@ def graph_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             rows, "community_id long, community_size long, rep_vec_id long, rep_rank_micro long"
         ).orderBy("community_id")
-    dir_e = _knn_edges_df(emb, ids_all, mat, corpus_norm, PAGERANK_DEG).localCheckpoint(
+    dir_e = _graph_dir_edges(sf_dir, emb, PAGERANK_DEG, "graph_coreset_select").localCheckpoint(
         eager=True
     )
     ranks = _pagerank_rounds_df(emb, dir_e, PAGERANK_ITERS)
@@ -1496,7 +1647,7 @@ def graph_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "community_id",
             "community_size",
             (F.lit(_CORESET_ENC - 1) - (F.col("e") % _CORESET_ENC)).cast("long").alias("rep_vec_id"),
-            (F.col("e") / _CORESET_ENC).cast("long").alias("rep_rank_micro"),
+            F.expr(f"e div {_CORESET_ENC}").cast("long").alias("rep_rank_micro"),
         )
         .orderBy("community_id")
     )
@@ -1509,6 +1660,15 @@ def graph_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # immutable per process, the same convention as _IVF_BUILT).
 _GRAPH_STATE_MEMO: dict = {}
 _OUT_EDGES_MEMO: dict = {}
+_CORPUS_COUNT_MEMO: dict = {}
+
+
+def _corpus_count_memo(sf_dir: str, emb: DataFrame) -> int:
+    """Corpus row count for edge-source routing (parquet metadata count —
+    cheap — memoized per sf_dir like the graph state)."""
+    if sf_dir not in _CORPUS_COUNT_MEMO:
+        _CORPUS_COUNT_MEMO[sf_dir] = emb.count()
+    return _CORPUS_COUNT_MEMO[sf_dir]
 
 
 def _graph_state_memo(sf_dir: str, emb: DataFrame, op_name: str):

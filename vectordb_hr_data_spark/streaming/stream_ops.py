@@ -576,13 +576,17 @@ def stream_scd2_dim(event_stream: DataFrame, target_path: str) -> None:
     run collapse plus joins against only the AFFECTED users' open rows,
     never a rescan of the dimension's history rows (they pass through).
 
-    In-order contract, enforced loudly: SCD2 folding is only sound when
-    each affected user's batch events are not older than their open
-    interval's start (per-user append order — what a CDC log / Kafka
-    key-partitioned topic provides). A violating batch would silently
-    interleave runs, so it raises instead; true late-data handling needs
-    the user's event history (a reprocess-from-log job), not the
-    dimension alone.
+    In-order contract, enforced loudly: merge_scd2 is only sound when
+    each affected user's batch events are no older than ANY event already
+    folded (per-user append order — what a CDC log / Kafka key-partitioned
+    topic provides). The open interval's start is NOT enough to check this
+    (a late event can land inside the open run's span, newer than
+    valid_from yet older than events already merged — it would silently
+    interleave runs), so the persisted dimension carries a ``last_ts``
+    bookkeeping column on each is_current row: the newest event timestamp
+    folded for that user. A batch whose per-user min(ts) precedes it
+    raises; true late-data handling needs the user's event history (a
+    reprocess-from-log job), not the dimension alone.
 
     The rewrite materializes through localCheckpoint before overwriting
     (plain parquet cannot self-overwrite lazily); a transactional target
@@ -592,6 +596,22 @@ def stream_scd2_dim(event_stream: DataFrame, target_path: str) -> None:
 
     from ..querydefs.event_queries import merge_scd2, scd2_build
 
+    def _with_last_ts(dim_rows: DataFrame, batch_df: DataFrame, prev_last) -> DataFrame:
+        # last_ts per user = newest folded event: batch max(ts) for users
+        # the batch touched, the prior value for everyone else.
+        bmax = batch_df.groupBy("user_id").agg(F.max("ts").alias("b_last"))
+        if prev_last is not None:
+            last = (
+                prev_last.join(bmax, "user_id", "full")
+                .select("user_id", F.greatest("b_last", "p_last").alias("last_ts"))
+            )
+        else:
+            last = bmax.select("user_id", F.col("b_last").alias("last_ts"))
+        out = dim_rows.join(last, "user_id", "left")
+        return out.withColumn(
+            "last_ts", F.when(F.col("is_current"), F.col("last_ts"))
+        )
+
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -599,23 +619,26 @@ def stream_scd2_dim(event_stream: DataFrame, target_path: str) -> None:
         try:
             dim = spark.read.parquet(target_path)
         except Exception:
-            out = scd2_build(batch_df)
+            out = _with_last_ts(scd2_build(batch_df), batch_df, None)
             out.write.mode("overwrite").parquet(target_path)
             return
+        open_rows = dim.filter(F.col("is_current"))
         viol = (
             batch_df.groupBy("user_id")
             .agg(F.min("ts").alias("bmin"))
-            .join(dim.filter(F.col("is_current")), "user_id")
-            .filter(F.col("bmin") < F.col("valid_from"))
+            .join(open_rows, "user_id")
+            .filter(F.col("bmin") < F.coalesce(F.col("last_ts"), F.col("valid_from")))
             .count()
         )
         if viol:
             raise ValueError(
                 f"stream_scd2_dim: {viol} user(s) in epoch {epoch_id} have events "
-                "older than their open interval — out-of-order CDC input; "
-                "reprocess those users from the event log"
+                "older than their newest already-folded event — out-of-order CDC "
+                "input; reprocess those users from the event log"
             )
-        merged = merge_scd2(dim, batch_df).localCheckpoint(eager=True)
+        prev_last = open_rows.select("user_id", F.col("last_ts").alias("p_last"))
+        merged = merge_scd2(dim.drop("last_ts"), batch_df)
+        merged = _with_last_ts(merged, batch_df, prev_last).localCheckpoint(eager=True)
         merged.write.mode("overwrite").parquet(target_path)
 
     q = event_stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
