@@ -1350,42 +1350,37 @@ def test_heavy_hitters_complete_and_candidates_bounded(spark, sf_dir):
     for r in REGISTRY["term_heavy_hitters"].fn(spark, sf_dir).collect():
         assert r.freq_ppm == int(r.cnt * 1e6 / n + 0.5)
 
-    # adversarial MG kernel unit check: a stream where the heavy item is
-    # interleaved with MG_COUNTERS distinct spacers must still retain it
+    # adversarial MG kernel unit checks against the REAL (vectorized)
+    # kernel: a stream where the heavy item is interleaved with
+    # MG_COUNTERS*3 distinct spacers must still retain it
     import pandas as pd
+
+    from vectordb_hr_data_spark.querydefs.text_queries import _mg_candidates
+
+    def run_mg(frame):
+        out = frame.mapInPandas(_mg_candidates, schema="term string")
+        return {r.term for r in out.collect()}
 
     stream = []
     for i in range(MG_COUNTERS * 3):
         stream.append("HEAVY")
         stream.append(f"spacer_{i}")
     df = spark.createDataFrame([(t,) for t in stream], "term string").repartition(1)
-
-    def run_mg(frame):
-        # the registered query's kernel is defined inline; replicate the
-        # same algorithm here for the adversarial unit stream
-        out = frame.mapInPandas(_mg_replica, schema="term string")
-        return {r.term for r in out.collect()}
-
-    def _mg_replica(batches):
-        counters = {}
-        for pdf in batches:
-            for t in pdf["term"]:
-                if t in counters:
-                    counters[t] += 1
-                elif len(counters) < MG_COUNTERS:
-                    counters[t] = 1
-                else:
-                    drop = []
-                    for kk in counters:
-                        counters[kk] -= 1
-                        if counters[kk] == 0:
-                            drop.append(kk)
-                    for kk in drop:
-                        del counters[kk]
-        if counters:
-            yield pd.DataFrame({"term": list(counters.keys())})
-
     assert "HEAVY" in run_mg(df)
+
+    # cross-batch adversary for the batched (weighted-merge) reduction:
+    # the heavy item's mass arrives one occurrence per Arrow batch while
+    # each batch brings a fresh wave of distinct spacers — retention must
+    # come from the merge arithmetic, not from within-batch value_counts
+    pure = pd.DataFrame  # build batches directly; drive the kernel as a plain generator
+    waves = [
+        pure({"term": ["HEAVY"] * 2 + [f"w{b}_{i}" for i in range(MG_COUNTERS)]})
+        for b in range(5)
+    ]
+    out = list(_mg_candidates(iter(waves)))
+    kept = set(out[0]["term"]) if out else set()
+    assert "HEAVY" in kept
+    assert len(kept) <= MG_COUNTERS  # bounded summary, never the vocabulary
 
 
 def test_frame_sample_features_match_decoder_identity(spark, sf_dir):

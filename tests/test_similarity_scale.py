@@ -477,3 +477,48 @@ def test_graph_router_uses_ann_edges_above_exact_max(spark, sf_dir, monkeypatch)
     ann_top = [r.vec_id for r in S.doc_pagerank_centrality(spark, sf_dir).collect()]
     assert len(ann_top) == S.PAGERANK_TOPN
     assert len(set(exact_top) & set(ann_top)) >= 14
+
+
+def test_containment_probe_matches_oneshot_restriction(spark, sf_dir):
+    """doc_containment_probe (B62, r8): probing the ingest batch against
+    the persisted corpus prefix/postings index must report EXACTLY the
+    one-shot all-pairs containment result restricted to (batch doc →
+    corpus container) pairs — the index and the prefix filter are
+    optimizations, never semantics."""
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.queries import REGISTRY
+    from vectordb_hr_data_spark.querydefs.dedup_queries import (
+        CPROBE_SPLIT,
+        _cprobe_bucket,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    bucket = {
+        r.doc_id: r.in_corpus
+        for r in d.select(
+            "doc_id", (F.expr(_cprobe_bucket("spark")) < CPROBE_SPLIT).alias("in_corpus")
+        ).collect()
+    }
+    batch_ids = {i for i, c in bucket.items() if not c}
+    assert batch_ids and len(batch_ids) < len(bucket)  # split is real
+    pairs = REGISTRY["doc_containment_dedup"].fn(spark, sf_dir).collect()
+    expected: dict[int, list[int]] = {}
+    for r in pairs:
+        if r.doc_id in batch_ids and bucket[r.container_doc_id]:
+            expected.setdefault(r.doc_id, []).append(r.container_doc_id)
+    got = {r.doc_id: r for r in REGISTRY["doc_containment_probe"].fn(spark, sf_dir).collect()}
+    assert set(got) == batch_ids  # every batch doc reports a verdict
+    n_contained = 0
+    for doc_id in batch_ids:
+        r = got[doc_id]
+        exp = expected.get(doc_id)
+        if exp is None:
+            assert r.is_new and r.container_doc_id is None and r.n_containers == 0
+        else:
+            n_contained += 1
+            assert not r.is_new
+            assert r.container_doc_id == min(exp)
+            assert r.n_containers == len(exp)
+    assert n_contained > 0  # the corpus's planted duplication reaches the batch

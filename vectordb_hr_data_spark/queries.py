@@ -46,78 +46,57 @@ def register(name: str, oracle: str | None):
 # operator shape is also proven by a checked sibling come after — they still
 # run in bench.py and pytest, and get driver rows if the cap is ever lifted.
 PRIORITY: list[str] = [
-    # --- r7 rotation (VERDICT r5 #2 discipline, round 3 of it): the 10
-    # r6-authored oracles that have only strict-local evidence
-    # (bitsketch, shuffle-shards, dup-ngram coverage+removal, token-budget
-    # mix, hard negatives, interval join, SQ4 index, corpus profile,
-    # PageRank) enter positions 1-50 together with the 6 brand-new r7
-    # oracles (matryoshka, SCD2, containment, incremental probe, Z-order,
-    # MAD gate); 16 multi-green anchors move below the fold. Every
-    # operator family keeps at least one in-window representative. ---
-    # reference-native vector path (A18-A30) + the r7 truncation rung
-    # and the r7 batched-probe serving shape (knn_topk_prefiltered's A21
-    # prefilter semantics, 3x driver-green, moves below the fold)
-    "ann_text_search", "knn_matryoshka_rerank", "ivf_batch_topk_indexed",
-    # vector-compression serving surface: persisted PQ-ADC and chunk ANN
-    # (single r6 row each), the never-windowed SQ4 index, the r6-new OPQ
-    # and SQ4/bitsketch forms
-    "ivf_pq_adc_indexed", "chunk_ann_search", "ivf_sq4_rerank_indexed",
-    "knn_opq_rotated_adc", "knn_sq4_rerank", "knn_bitsketch_hamming_rerank",
-    # reference-native HR pipeline (A4-A29) representative
-    "hr_overfetch_rerank",
-    # dedup family (B1-B2 + r7 B49/B50): simhash-banded, containment
-    # prefix-filter, incremental index probe, URL canonicalization,
-    # DSIR selection
-    "neardup_simhash_hamming", "doc_containment_dedup",
-    "neardup_incremental_probe", "url_normalize_dedup",
-    "dsir_importance_resample",
-    # embedding / multimodal (B5, B8)
-    "embed_documents_poly", "multimodal_binary_metadata",
-    # text analysis + quality gates (B6, B33-B36, r7 B52)
-    "doc_lm_perplexity", "doc_quality_classifier", "doc_token_count_bpe",
-    "doc_pii_scrub", "source_length_mad_outliers",
-    # training-data pipeline ops (B22/B40 composition + r6 singles) and
-    # the r7 label-propagation communities
-    "doc_label_communities",
-    "quality_prep_pipeline", "corpus_weighted_mix",
-    "doc_dup_ngram_coverage", "doc_dup_span_removal",
-    "source_token_budget_sample", "corpus_shuffle_shards", "corpus_profile",
-    "mine_hard_negatives", "doc_pagerank_centrality",
-    # events / time ops (B7 + r6 interval join + r7 SCD2/Z-order;
-    # events_sessionize, multi-green, moves below the fold)
-    "events_salted_join_weighted",
-    "events_interval_bucket_join", "events_scd2_user_state",
-    "events_zorder_layout",
-    # late-r7 oracles take the last window slots so EVERY oracle
-    # query holds driver evidence by end of round 7: the graph coreset
-    # composition (B55), bounded-memory heavy hitters (B56), hash-checked
-    # frame sampling (B57), fuzzy entity resolution (B58), strict funnel
-    # (B59), cohort retention (B60), and the deterministic-MMR oracle
-    # (B61 — q20, single r6 row, moves below with its six siblings)
-    "graph_coreset_select", "term_heavy_hitters", "multimodal_frame_sample",
-    "part_name_fuzzy_pairs", "events_funnel_strict", "events_cohort_retention",
-    # relational core: incremental q1 + 7 TPC-H shapes (q8/q9/q11/q14/
-    # q15/q19, single r6 rows each, move below the fold for the six
-    # late-r7 entries above; q4/q7 multi-green anchors already below)
-    "knn_mmr_det",
-    "q1_incremental_maintenance",
-    "q2_cheapest_supplier_per_part", "q10_returned_items_top_customers",
-    "q12_priority_case_agg", "q18_large_volume_customers",
-    "q21_suppliers_kept_orders_waiting",
-    "q22_idle_rich_customers",
-    # --- position 51+: shapes with driver-green rows in prior rounds
-    # (rotated out r6/r7) or proven by an in-window sibling ---
-    # TPC-H shapes rotated below the fold for the late-r7 entries (each
-    # holds its r6 driver row; family breadth stays via the 8 in-window
-    # relational entries)
+    # --- r8 rotation (VERDICT r5 #2 discipline, round 4 of it): after
+    # r7, EVERY query's staleness is known exactly (last driver row per
+    # query reconstructed from CORRECTNESS_r01-r07), so the r8 window is
+    # simply the 50 STALEST oracle queries: the one never-windowed query
+    # (doc_chunk_fixed_tokens — VERDICT r7 #2), the 13 r1-only rows, the
+    # r2/r3/r4 cohorts, and 21 of the 28 r5-stale anchors. All 50 r7-
+    # window queries hold fresh r7 rows and move below the fold, as do
+    # the r6-rowed anchors. Family breadth is held ACROSS rounds (every
+    # family's newest driver row is ≤2 rounds old), not within each
+    # window. New r8 oracles displace in-window r5 picks whose family is
+    # doubly covered. The 7 r5 leftovers open the r9 window (NEXT.md). ---
+    # never-windowed (VERDICT r7 #2) + the 13 queries whose only row is r1
+    "doc_chunk_fixed_tokens",
+    "orders_pivot_status", "string_functions_showcase",
+    "knn_topk_l2sq", "knn_batch_topk_per_label", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "top3_orders_per_segment",
+    "orders_by_year_month", "supplier_part_distincts", "parts_never_ordered",
+    "events_sliding_1h_30m", "events_user_daily_activity",
+    # last row r2/r3
+    "stratified_sample_by_lang",
+    "knn_topk_cosine", "knn_overfetch_similarity", "doc_token_count",
+    "doc_fingerprint", "events_json_props", "custkeys_intersect_except",
+    "lineitem_cube", "q13_customer_order_distribution", "q16_suppliers_not_in",
+    # last row r4
+    "knn_sq8_rerank", "ivf_topk_l2sq", "pack_sequences",
+    "hr_doc_text_construction", "q17_small_quantity_revenue",
+    # last row r5 (21 of 28; the other 7 lead the r9 rotation)
+    "hr_keyword_score", "hr_lang_all_match", "neardup_minhash_lsh",
+    "doc_quality_score", "doc_length_percentiles", "events_asof_last_purchase",
+    "q1_pricing_summary", "q7_nation_volume",
+    "knn_topk_sq8", "knn_pq_adc_rerank", "ivf_pq_residual_det",
+    "ivf_topk_suggested", "chunk_embed_ivf_search",
+    "hr_tagged_union_projection", "hr_metadata_flatten",
+    "batch_topk_many_queries", "label_centroids",
+    "doc_simhash", "neardup_embedding_cosine",
+    "doc_lang_id",
+    # new r8 oracles (displacing in-window r5 picks whose family is
+    # doubly covered — top_bigrams_per_lang moved below doc_lang_id)
+    "doc_containment_probe",
+    # --- position 51+: every query below holds an r6 or r7 driver row ---
+    "top_bigrams_per_lang",
+    # r5-stale leftovers (first in line for the r9 window)
+    "doc_hash_split",
+    "doc_decontaminate_bloom", "stratified_sample_threshold",
+    "events_tumbling_1h", "events_type_counts_salted",
+    "customer_running_total", "acctbal_rollup",
+    # r6-rowed anchors
     "q8_national_market_share", "q9_product_profit_by_nation_year",
     "q11_important_part_value", "q14_ratio_aggregate",
     "q15_top_revenue_supplier", "q19_disjunctive_predicates",
     "q20_part_supply_nested",
-    # r7 window swap: these 18 multi-green anchors moved below for the 18
-    # entries above (families keep in-window representation; q1's
-    # SEMANTICS stay in-window via the incremental twin whose oracle IS
-    # one-shot q1)
     "knn_topk_prefiltered", "events_sessionize",
     "hybrid_rrf_search", "ivf_sq8_rerank_indexed", "ivf_topk_indexed",
     "ivf_topk_prefiltered", "hr_union_freshness_counts", "hr_dept_filter_ci",
@@ -125,31 +104,33 @@ PRIORITY: list[str] = [
     "neardup_dedup_keep", "doc_tfidf_top_terms", "doc_decontaminate",
     "doc_repetition_ratio", "semantic_dedup_clusters", "corpus_prep_pipeline",
     "q4_order_priority_exists",
-    "hr_keyword_score", "hr_lang_all_match", "neardup_minhash_lsh",
-    "doc_quality_score", "doc_length_percentiles", "events_asof_last_purchase",
-    "q1_pricing_summary",
-    "q7_nation_volume",
-    "knn_topk_sq8", "knn_pq_adc_rerank", "ivf_pq_residual_det",
-    "ivf_topk_suggested", "chunk_embed_ivf_search",
-    "hr_tagged_union_projection", "hr_metadata_flatten",
-    "batch_topk_many_queries", "label_centroids",
-    "doc_simhash", "neardup_embedding_cosine",
-    "doc_lang_id", "top_bigrams_per_lang", "doc_hash_split",
-    "doc_decontaminate_bloom", "stratified_sample_threshold",
-    "events_tumbling_1h", "events_type_counts_salted",
-    "customer_running_total", "acctbal_rollup",
-    "knn_sq8_rerank", "ivf_topk_l2sq", "pack_sequences", "hr_doc_text_construction",
-    "q17_small_quantity_revenue",
-    "knn_topk_cosine", "knn_overfetch_similarity", "doc_token_count",
-    "doc_fingerprint", "events_json_props", "custkeys_intersect_except",
-    "lineitem_cube", "q13_customer_order_distribution", "q16_suppliers_not_in",
-    "orders_pivot_status", "string_functions_showcase",
-    "knn_topk_l2sq", "knn_batch_topk_per_label", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue", "top3_orders_per_segment",
-    "orders_by_year_month", "supplier_part_distincts", "parts_never_ordered",
-    "events_sliding_1h_30m", "events_user_daily_activity",
-    "stratified_sample_by_lang",  # exact-rank small-sf twin; hash-passed r02 in-window
-    "doc_chunk_fixed_tokens",
+    # r7-window queries (all fresh r7 rows)
+    "ann_text_search", "knn_matryoshka_rerank", "ivf_batch_topk_indexed",
+    "ivf_pq_adc_indexed", "chunk_ann_search", "ivf_sq4_rerank_indexed",
+    "knn_opq_rotated_adc", "knn_sq4_rerank", "knn_bitsketch_hamming_rerank",
+    "hr_overfetch_rerank",
+    "neardup_simhash_hamming", "doc_containment_dedup",
+    "neardup_incremental_probe", "url_normalize_dedup",
+    "dsir_importance_resample",
+    "embed_documents_poly", "multimodal_binary_metadata",
+    "doc_lm_perplexity", "doc_quality_classifier", "doc_token_count_bpe",
+    "doc_pii_scrub", "source_length_mad_outliers",
+    "doc_label_communities",
+    "quality_prep_pipeline", "corpus_weighted_mix",
+    "doc_dup_ngram_coverage", "doc_dup_span_removal",
+    "source_token_budget_sample", "corpus_shuffle_shards", "corpus_profile",
+    "mine_hard_negatives", "doc_pagerank_centrality",
+    "events_salted_join_weighted",
+    "events_interval_bucket_join", "events_scd2_user_state",
+    "events_zorder_layout",
+    "graph_coreset_select", "term_heavy_hitters", "multimodal_frame_sample",
+    "part_name_fuzzy_pairs", "events_funnel_strict", "events_cohort_retention",
+    "knn_mmr_det",
+    "q1_incremental_maintenance",
+    "q2_cheapest_supplier_per_part", "q10_returned_items_top_customers",
+    "q12_priority_case_agg", "q18_large_volume_customers",
+    "q21_suppliers_kept_orders_waiting",
+    "q22_idle_rich_customers",
     # rows-only MLlib/UDF paths (pytest-pinned; no SQL oracle exists)
     "lsh_minhash_neardup_pairs", "tfidf_top_terms", "lsh_brp_ann_topk",
     "embed_documents_sha256", "multimodal_feature_extract",

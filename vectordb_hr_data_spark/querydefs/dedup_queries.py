@@ -711,3 +711,155 @@ def neardup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# B62: cross-corpus containment probe — batch vs persisted prefix index (r8)
+# --------------------------------------------------------------------------
+# B50's maintenance discipline applied to B49's containment semantics
+# (VERDICT r7 #5): the accepted corpus persists a containment INDEX —
+# the shingle postings list, the corpus document frequencies that define
+# the rarest-first prefix order, and the shingle sets for verification —
+# and each ingest batch probes it: the batch's own shingles rank against
+# the CORPUS dfs (a token the corpus never saw has df 0 — rarest — and
+# produces zero candidates by construction), the lossless pigeonhole
+# prefix (any ⌈t·n⌉-containing superset must hit one of the n−⌈t·n⌉+1
+# first tokens, for ANY global token order) probes the postings with an
+# equi-join, and exact set intersection verifies. Per-batch cost is
+# O(|batch| + matched candidates) — independent of corpus size — and
+# the index is append-maintainable (admitted docs append postings and
+# increment dfs; df drift only affects candidate ORDER efficiency, never
+# losslessness). Split is the doc_id-hash 80/20 the B50/decontamination
+# family uses, salted 'cprobe:'.
+CPROBE_SPLIT = 80
+
+
+def _cprobe_bucket(dialect: str) -> str:
+    h = (H.spark_str_hash_fast if dialect == "spark" else H.ddb_str_hash_fast)(
+        "concat('cprobe:', cast(doc_id as string))"
+        if dialect == "spark"
+        else "'cprobe:' || CAST(doc_id AS VARCHAR)"
+    )
+    return f"({h}) % 100"
+
+
+@register(
+    "doc_containment_probe",
+    f"""
+WITH t AS (
+  SELECT doc_id, ({_cprobe_bucket('ddb')}) < {CPROBE_SPLIT} AS in_corpus,
+         {H.ddb_tokens('text')} AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, in_corpus, {H.ddb_shingles('toks')} AS shingles FROM t
+), m AS (
+  SELECT n.doc_id, c.doc_id AS container_doc_id
+  FROM sh n JOIN sh c ON NOT n.in_corpus AND c.in_corpus
+  WHERE len(list_intersect(n.shingles, c.shingles)) * {CONTAIN_DEN}
+        >= {CONTAIN_NUM} * len(n.shingles)
+), resolved AS (
+  SELECT doc_id, min(container_doc_id) AS container_doc_id,
+         CAST(count(*) AS BIGINT) AS n_containers
+  FROM m GROUP BY doc_id
+)
+SELECT b.doc_id, r.container_doc_id,
+       COALESCE(r.n_containers, 0) AS n_containers,
+       r.container_doc_id IS NULL AS is_new
+FROM sh b LEFT JOIN resolved r USING (doc_id)
+WHERE NOT b.in_corpus
+ORDER BY b.doc_id
+""",
+)
+def doc_containment_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-batch containment admission against the corpus's persisted
+    prefix/postings index (B62): for every batch doc, is ≥80% of its
+    shingle set already inside some accepted corpus doc? Reports the min
+    containing corpus id, the container count, and the is_new verdict —
+    the oracle replays the batch-vs-corpus ALL-PAIRS semantic (the
+    persisted index + prefix filter are optimizations, not semantics;
+    same contract as doc_containment_dedup / neardup_incremental_probe).
+
+    Shuffle discipline: the index (postings, dfs, sets) builds ONCE per
+    corpus and persists (one uniform-key groupBy + two map-only writes);
+    the probe ranks ONLY batch shingles (left join onto corpus dfs,
+    unseen → df 0), prunes postings by a semi-join on the distinct
+    prefix-token set before the candidate equi-join, and verifies only
+    surviving pairs — nothing rescans or reshuffles the corpus."""
+    import os
+
+    from .similarity_queries import _ivf_index_path
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.expr(_cprobe_bucket("spark")) < CPROBE_SPLIT).alias("in_corpus"),
+        F.expr(H.spark_tokens("text")).alias("toks"),
+    )
+    sh = toks.select(
+        "doc_id", "in_corpus", F.expr(H.spark_shingles("toks")).alias("shingles")
+    )
+    path = _ivf_index_path(sf_dir, "contain_index")
+    if path not in _CPROBE_BUILT:
+        corpus_sh = sh.filter(F.col("in_corpus")).select("doc_id", "shingles")
+        post = corpus_sh.select(
+            F.col("doc_id").alias("container_doc_id"), F.explode("shingles").alias("g")
+        )
+        post.write.mode("overwrite").parquet(os.path.join(path, "postings"))
+        post.groupBy("g").agg(F.count("*").alias("df")).write.mode("overwrite").parquet(
+            os.path.join(path, "df")
+        )
+        corpus_sh.write.mode("overwrite").parquet(os.path.join(path, "sets"))
+        _CPROBE_BUILT.add(path)
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    dfc = spark.read.parquet(os.path.join(path, "df"))
+    csets = spark.read.parquet(os.path.join(path, "sets")).select(
+        F.col("doc_id").alias("container_doc_id"), F.col("shingles").alias("csh")
+    )
+    batch = sh.filter(~F.col("in_corpus")).select("doc_id", "shingles").cache()
+    bpost = batch.select("doc_id", F.explode("shingles").alias("g"))
+    n_sh = F.size("shingles")
+    need = F.floor((F.lit(CONTAIN_NUM) * n_sh + F.lit(CONTAIN_DEN - 1)) / F.lit(CONTAIN_DEN))
+    ranked = bpost.join(dfc, "g", "left").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.coalesce(F.col("df"), F.lit(0)).asc(), F.col("g").asc()
+            )
+        ),
+    )
+    prefix = (
+        ranked.join(batch.select("doc_id", (n_sh - need + 1).alias("plen")), "doc_id")
+        .filter(F.col("rn") <= F.col("plen"))
+        .select("doc_id", "g")
+    )
+    pruned_post = postings.join(prefix.select("g").distinct(), "g", "left_semi")
+    cand = (
+        prefix.join(pruned_post, "g")
+        .select("doc_id", "container_doc_id")
+        .dropDuplicates(["doc_id", "container_doc_id"])
+    )
+    inter = F.size(F.array_intersect(F.col("shingles"), F.col("csh")))
+    resolved = (
+        cand.join(batch, "doc_id")
+        .join(csets, "container_doc_id")
+        .filter(inter * CONTAIN_DEN >= CONTAIN_NUM * F.size("shingles"))
+        .groupBy("doc_id")
+        .agg(
+            F.min("container_doc_id").alias("container_doc_id"),
+            F.count("*").cast("long").alias("n_containers"),
+        )
+    )
+    return (
+        batch.select("doc_id")
+        .join(resolved, "doc_id", "left")
+        .select(
+            "doc_id",
+            "container_doc_id",
+            F.coalesce(F.col("n_containers"), F.lit(0)).cast("long").alias("n_containers"),
+            F.col("container_doc_id").isNull().alias("is_new"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CPROBE_BUILT: set[str] = set()

@@ -802,3 +802,120 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("long").alias("n_active_users"))
         .orderBy("cohort_day", "days_since")
     )
+
+
+# ---------------------------------------------------------------------------
+# B63: session co-occurrence pair mining (contrastive-pair source) (r8)
+# ---------------------------------------------------------------------------
+# The training-data shape behind co-click / co-view contrastive pairs
+# (word2vec-style PMI over sessions): sessionize the event log (the B7
+# 30-min-gap discipline), reduce each session to its DISTINCT item set
+# (items = the props.k key), emit unordered co-occurring pairs, and score
+# support + lift. Scale shape: sessionization is the one user_id
+# exchange; the (session, item) reduction and the pair self-join key on
+# the uniform (user, session) pair, so per-session fanout is bounded by
+# (items per session)^2 — session length, never corpus size; item
+# marginals are a tiny broadcast. Counts stay integers; lift is one IEEE
+# divide of exact integers rounded to ppm (portable bit-for-bit).
+COPAIR_MIN_SUPPORT = 3
+
+
+@register(
+    "session_copair_mining",
+    f"""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CAST(json_extract_string(props, '$.k') AS INT) AS item,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > {SESSION_GAP_SEC}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM o
+), sessions AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+), si AS (
+  SELECT DISTINCT user_id, session_id, item FROM sessions WHERE item IS NOT NULL
+), s_total AS (
+  SELECT count(DISTINCT (user_id, session_id)) AS s FROM sessions
+), marg AS (
+  SELECT item, count(*) AS c FROM si GROUP BY item
+), pairs AS (
+  SELECT a.item AS item_1, b.item AS item_2, count(*) AS co_sessions
+  FROM si a JOIN si b
+    ON a.user_id = b.user_id AND a.session_id = b.session_id AND a.item < b.item
+  GROUP BY a.item, b.item
+)
+SELECT p.item_1, p.item_2, CAST(p.co_sessions AS BIGINT) AS co_sessions,
+       CAST(round(p.co_sessions * t.s * 1000000.0 / (m1.c * m2.c)) AS BIGINT) AS lift_ppm
+FROM pairs p
+JOIN marg m1 ON m1.item = p.item_1
+JOIN marg m2 ON m2.item = p.item_2
+CROSS JOIN s_total t
+WHERE p.co_sessions >= {COPAIR_MIN_SUPPORT}
+ORDER BY co_sessions DESC, item_1, item_2
+LIMIT 100
+""",
+)
+def session_copair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-occurring item pairs across user sessions with support and
+    lift (B63): the contrastive-pair mining shape — sessionize, distinct
+    items per session, bounded per-session pair fanout, integer support,
+    ppm lift vs the independence baseline."""
+    ev = read_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.col("prev_ts").cast("double")
+    flagged = (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .withColumn("prev_ts", F.lag("ts").over(order))
+        .withColumn(
+            "is_new",
+            F.when(F.col("prev_ts").isNull() | (gap > SESSION_GAP_SEC), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(order.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    si = (
+        sessions.filter(F.col("item").isNotNull())
+        .select("user_id", "session_id", "item")
+        .distinct()
+        .cache()
+    )
+    s_total = sessions.select("user_id", "session_id").distinct().count()  # one scalar
+    marg = si.groupBy("item").agg(F.count("*").alias("c"))
+    a = si.select("user_id", "session_id", F.col("item").alias("item_1"))
+    b = si.select("user_id", "session_id", F.col("item").alias("item_2"))
+    pairs = (
+        a.join(b, ["user_id", "session_id"])
+        .filter(F.col("item_1") < F.col("item_2"))
+        .groupBy("item_1", "item_2")
+        .agg(F.count("*").alias("co_sessions"))
+        .filter(F.col("co_sessions") >= COPAIR_MIN_SUPPORT)
+    )
+    m1 = marg.select(F.col("item").alias("item_1"), F.col("c").alias("c1"))
+    m2 = marg.select(F.col("item").alias("item_2"), F.col("c").alias("c2"))
+    return (
+        pairs.join(F.broadcast(m1), "item_1")
+        .join(F.broadcast(m2), "item_2")
+        .select(
+            "item_1",
+            "item_2",
+            F.col("co_sessions").cast("long").alias("co_sessions"),
+            F.round(F.col("co_sessions") * F.lit(s_total) * 1000000.0 / (F.col("c1") * F.col("c2")))
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+        .orderBy(F.col("co_sessions").desc(), "item_1", "item_2")
+        .limit(100)
+    )
