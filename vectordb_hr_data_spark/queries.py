@@ -79,14 +79,18 @@ PRIORITY: list[str] = [
     "knn_topk_sq8", "knn_pq_adc_rerank", "ivf_pq_residual_det",
     "ivf_topk_suggested", "chunk_embed_ivf_search",
     "hr_tagged_union_projection", "hr_metadata_flatten",
-    "batch_topk_many_queries", "label_centroids",
-    "doc_simhash", "neardup_embedding_cosine",
-    "doc_lang_id",
     # new r8 oracles (displacing in-window r5 picks whose family is
-    # doubly covered — top_bigrams_per_lang moved below doc_lang_id)
-    "doc_containment_probe",
-    # --- position 51+: every query below holds an r6 or r7 driver row ---
-    "top_bigrams_per_lang",
+    # doubly covered — top_bigrams_per_lang, neardup_embedding_cosine,
+    # batch_topk_many_queries, label_centroids, doc_simhash, doc_lang_id
+    # moved just below the fold; the last two hold r5 rows and lead the
+    # r9 rotation with the other r5 leftovers)
+    "doc_containment_probe", "session_copair_mining",
+    "embedding_dim_stats", "doc_popularity_decayed",
+    "events_asof_attribution", "knn_whitened_topk",
+    # --- position 51+: every query below holds a driver row (r5-r7) ---
+    "doc_simhash", "doc_lang_id",
+    "top_bigrams_per_lang", "neardup_embedding_cosine",
+    "batch_topk_many_queries", "label_centroids",
     # r5-stale leftovers (first in line for the r9 window)
     "doc_hash_split",
     "doc_decontaminate_bloom", "stratified_sample_threshold",

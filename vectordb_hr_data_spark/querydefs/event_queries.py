@@ -919,3 +919,96 @@ def session_copair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("co_sessions").desc(), "item_1", "item_2")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# B66: as-of (point-in-time) join — purchase → latest prior engagement (r8)
+# ---------------------------------------------------------------------------
+# The temporal-enrichment primitive Spark has no native operator for
+# (DuckDB: ASOF JOIN; kdb: aj): attach to each left row the single
+# right-side row with the greatest timestamp at-or-before the left
+# timestamp, per key. A naive `l JOIN r ON key AND r.ts <= l.ts` +
+# rank plans as a per-user all-pairs product (and without an equi-key
+# Spark falls back to BroadcastNestedLoop); the scalable mechanism is
+# UNION-TAG + ONE WINDOW: tag both sides, union, and carry the last
+# non-purchase row forward with last(..., ignorenulls) over a single
+# user_id partitioning ordered by (ts, tag, event_id) — one uniform-key
+# exchange, map-side within partitions, cost O(n log n_partition)
+# regardless of how many right rows precede each left row. Ties at the
+# same instant: engagement sorts BEFORE purchase (at-or-before
+# semantics) and the max event_id wins — exactly the oracle's
+# `ORDER BY ts DESC, event_id DESC` pick, so the match is
+# deterministic. The ORACLE is the independent quadratic semantic
+# (join-all-priors + rank), not a window translation. Gap is exact
+# integer microseconds.
+ASOF_ENGAGE_TYPES = ("view", "click")
+
+
+@register(
+    "events_asof_attribution",
+    f"""
+WITH src AS (
+  SELECT event_id, user_id, ts, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+), p AS (
+  SELECT * FROM src WHERE event_type = 'purchase'
+), e AS (
+  SELECT * FROM src WHERE event_type <> 'purchase'
+), m AS (
+  SELECT p.event_id AS peid, e.event_id AS prior_event_id,
+         e.event_type AS prior_event_type, e.ts AS prior_ts,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+  FROM p JOIN e ON e.user_id = p.user_id AND e.ts <= p.ts
+)
+SELECT p.event_id, p.user_id,
+       CAST(m.prior_event_id AS BIGINT) AS prior_event_id,
+       m.prior_event_type,
+       CAST(epoch_us(p.ts) - epoch_us(m.prior_ts) AS BIGINT) AS gap_us
+FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m ON m.peid = p.event_id
+ORDER BY p.event_id
+""",
+)
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase joined as-of to the user's most recent view/click at
+    or before the purchase instant (B66): union-tag + one window instead
+    of the quadratic prior-join the oracle replays; exact integer
+    microsecond gap."""
+    ev = read_table(spark, sf_dir, "events")
+    src = ev.filter(
+        F.col("event_type").isin(list(ASOF_ENGAGE_TYPES) + ["purchase"])
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        (F.col("event_type") == "purchase").cast("int").alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    eng = F.col("tag") == 0
+    carried = src.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "tag",
+        F.last(F.when(eng, F.col("event_id")), ignorenulls=True).over(w).alias("prior_event_id"),
+        F.last(F.when(eng, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("prior_event_type"),
+        F.last(F.when(eng, F.col("ts")), ignorenulls=True).over(w).alias("prior_ts"),
+    )
+    return (
+        carried.filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "prior_event_id",
+            "prior_event_type",
+            (F.unix_micros("ts") - F.unix_micros("prior_ts")).cast("long").alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )

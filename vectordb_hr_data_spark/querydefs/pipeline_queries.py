@@ -1895,3 +1895,82 @@ def source_length_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# B65: recency-decayed document popularity → sampling weights (r8)
+# ---------------------------------------------------------------------------
+# Freshness-weighted sampling for training mixes: engagement events decay
+# with a weekly half-life, documents inherit their item's decayed mass,
+# and the output is a ppm sampling weight — the "prefer what users touch
+# NOW" signal composed with the B11/B36/B37 sampling family. All decay
+# arithmetic is integer (age buckets by integer division from the corpus
+# max instant; halving is a right shift), so the oracle replays it
+# bit-for-bit; the only float op is the final single IEEE divide for the
+# ppm share. Scale shape: the event scan reduces map-side onto ≤100
+# uniform item keys before one tiny exchange; the doc join is a
+# broadcast of that item table; the corpus max instant is a 1-row
+# broadcast — no corpus-sized shuffle anywhere.
+POPULARITY_HALF_LIFE_DAYS = 7
+POPULARITY_TOPN = 100
+_US_PER_DAY = 86_400_000_000
+
+
+@register(
+    "doc_popularity_decayed",
+    f"""
+WITH mx AS (
+  SELECT max(epoch_us(ts)) AS t1 FROM events
+), w AS (
+  SELECT CAST(json_extract_string(e.props, '$.k') AS INT) AS item,
+         1000000 >> CAST(least((mx.t1 - epoch_us(e.ts)) // {_US_PER_DAY}
+                               // {POPULARITY_HALF_LIFE_DAYS}, 62) AS INT) AS wt
+  FROM events e, mx
+  WHERE CAST(json_extract_string(e.props, '$.k') AS INT) IS NOT NULL
+), pop AS (
+  SELECT item, CAST(sum(wt) AS BIGINT) AS pop FROM w GROUP BY item
+), tot AS (
+  SELECT sum(pop) AS tp FROM pop
+)
+SELECT d.doc_id, p.item, p.pop,
+       CAST(round(p.pop * 1000000.0 / t.tp) AS BIGINT) AS weight_ppm
+FROM documents d
+JOIN pop p ON p.item = CAST(d.doc_id % 100 AS INT)
+CROSS JOIN tot t
+ORDER BY p.pop DESC, d.doc_id
+LIMIT {POPULARITY_TOPN}
+""",
+)
+def doc_popularity_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{n} documents by recency-decayed engagement (B65): weekly
+    half-life as an integer right shift from exact day buckets, item mass
+    one 100-key aggregate, docs inherit via broadcast join, ppm weights
+    from one IEEE divide.""".replace("{n}", str(POPULARITY_TOPN))
+    ev = read_table(spark, sf_dir, "events")
+    d = read_table(spark, sf_dir, "documents")
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("t1"))
+    w = (
+        ev.crossJoin(F.broadcast(mx))
+        .select(
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+            F.expr(
+                f"shiftright(cast(1000000 as bigint), cast(least((t1 - unix_micros(ts)) div {_US_PER_DAY} div {POPULARITY_HALF_LIFE_DAYS}, 62) as int))"
+            ).alias("wt"),
+        )
+        .filter(F.col("item").isNotNull())
+    )
+    pop = w.groupBy("item").agg(F.sum("wt").cast("long").alias("pop"))
+    tot = pop.agg(F.sum("pop").alias("tp"))
+    return (
+        d.select("doc_id", (F.col("doc_id") % 100).cast("int").alias("item"))
+        .join(F.broadcast(pop), "item")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "item",
+            "pop",
+            F.round(F.col("pop") * 1000000.0 / F.col("tp"), 0).cast("long").alias("weight_ppm"),
+        )
+        .orderBy(F.col("pop").desc(), F.col("doc_id").asc())
+        .limit(POPULARITY_TOPN)
+    )

@@ -13,7 +13,7 @@ summation-order jitter cannot flip the value hash.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
@@ -1528,4 +1528,170 @@ def knn_mmr_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel.append(best[1])
     return spark.createDataFrame(
         out, "rnk long, vec_id long, rel_micro long, margin_micro long"
+    ).orderBy("rnk")
+
+
+# ---------------------------------------------------------------------------
+# B64: per-dimension embedding statistics — whitening/normalization prep (r8)
+# ---------------------------------------------------------------------------
+# The profiling pass every embedding-normalization step (whitening, mean
+# centering, per-dim scaling for SQ codebooks) runs first: count, mean,
+# and RMS for each of the 384 dimensions over the whole corpus. Scale
+# shape: posexplode is map-side; the groupBy key is the DIMENSION INDEX
+# (384 uniform keys), so Catalyst's partial aggregation reduces each
+# input partition to ≤384 rows before the one tiny exchange — corpus
+# size never crosses the shuffle. Portability: elements quantize ONCE to
+# integer milli-units (round half-away, the ce_micro discipline), all
+# sums are exact integers, and mean/RMS are a single IEEE divide (and
+# one IEEE sqrt — correctly rounded per IEEE-754, so engine-identical)
+# of exact integers, rounded to micro. Long-sum headroom: |e|≈1 ⇒
+# e_milli² ≈ 1e6 ⇒ the sumsq accumulator holds ~9e12 rows per dimension
+# before long overflow; past that, production splits the sum into
+# per-shard partials and a decimal(38) final fold.
+
+
+@register(
+    "embedding_dim_stats",
+    """
+WITH e AS (
+  SELECT CAST(i AS INT) - 1 AS dim,
+         CAST(round(embedding[CAST(i AS INT)] * 1000.0) AS BIGINT) AS e_milli
+  FROM embeddings,
+       unnest(range(1, len(embedding) + 1)) AS t(i)
+)
+SELECT CAST(dim AS INT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(e_milli) AS BIGINT) AS sum_milli,
+       CAST(round(sum(e_milli) * 1000.0 / count(*)) AS BIGINT) AS mean_micro,
+       CAST(round(sqrt(sum(e_milli * e_milli) * 1.0 / count(*)) * 1000.0) AS BIGINT) AS rms_micro
+FROM e
+GROUP BY dim
+ORDER BY dim
+""",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics over the embedding column (B64):
+    exact integer sums of milli-quantized elements, micro-unit mean and
+    RMS — 384 uniform groupBy keys, map-side partials, one tiny
+    exchange."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(F.posexplode("embedding").alias("dim", "ev")).select(
+        "dim", F.round(F.col("ev").cast("double") * 1000.0, 0).cast("long").alias("e_milli")
+    )
+    return (
+        e.groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("e_milli").cast("long").alias("sum_milli"),
+            F.round(F.sum("e_milli") * 1000.0 / F.count("*"), 0).cast("long").alias("mean_micro"),
+            F.round(
+                F.sqrt(F.sum(F.col("e_milli") * F.col("e_milli")) * 1.0 / F.count("*")) * 1000.0,
+                0,
+            )
+            .cast("long")
+            .alias("rms_micro"),
+        )
+        .select(F.col("dim").cast("int").alias("dim"), "n", "sum_milli", "mean_micro", "rms_micro")
+        .orderBy("dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B67: diagonally-whitened retrieval — B64's stats applied to search (r8)
+# ---------------------------------------------------------------------------
+# The normalization step between profiling (B64) and indexing: every
+# dimension is standardized against the CORPUS mean and standard
+# deviation (diagonal whitening — the cheap, embarrassingly-parallel
+# 1/1000th of ZCA that fixes per-dim scale imbalance before SQ/PQ
+# codebooks or cosine retrieval), then exact top-k runs in whitened
+# space. Determinism contract: elements quantize once to integer milli
+# (B64), per-dim sums/sumsq are exact longs, mean/sd derive with pure
+# IEEE arithmetic, and EVERY rounding is floor(x + 0.5) — floor of an
+# IEEE double is engine-identical always, including exact midpoints,
+# unlike decimal-repr HALF_UP vs multiply-based round (the dot_milli
+# lesson at text_queries.py:601) — so z-scores are bit-identical longs
+# and distances are exact integer sums. Scale shape: stats are the B64
+# 384-uniform-key aggregate broadcast back; whiten + partial square-sum
+# collapse each vector map-side, so the ONE exchange carries one row
+# per vector; top-10 is TakeOrderedAndProject. State is O(dim) — no
+# training pass, no codebook.
+
+
+@register(
+    "knn_whitened_topk",
+    """
+WITH el AS (
+  SELECT vec_id, CAST(i AS INT) - 1 AS dim,
+         CAST(round(embedding[CAST(i AS INT)] * 1000.0) AS BIGINT) AS e_milli
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), st AS (
+  SELECT dim,
+         CAST(floor(sum(e_milli) * 1000.0 / count(*) + 0.5) AS BIGINT) AS mean_micro,
+         greatest(CAST(floor(sqrt(sum(e_milli * e_milli) * 1.0 / count(*)
+                                  - (sum(e_milli) * 1.0 / count(*))
+                                    * (sum(e_milli) * 1.0 / count(*))) * 1000.0 + 0.5) AS BIGINT),
+                  1) AS sd_micro
+  FROM el GROUP BY dim
+), z AS (
+  SELECT el.vec_id, el.dim,
+         CAST(floor((el.e_milli * 1000 - st.mean_micro) * 1000.0 / st.sd_micro + 0.5) AS BIGINT) AS z_milli
+  FROM el JOIN st USING (dim)
+), q AS (
+  SELECT dim, z_milli AS qz FROM z WHERE vec_id = 0
+), d AS (
+  SELECT z.vec_id, CAST(sum((z.z_milli - q.qz) * (z.z_milli - q.qz)) AS BIGINT) AS wl2sq
+  FROM z JOIN q USING (dim) GROUP BY z.vec_id
+)
+SELECT vec_id, wl2sq, row_number() OVER (ORDER BY wl2sq, vec_id) AS rnk
+FROM d ORDER BY rnk LIMIT 10
+""",
+)
+def knn_whitened_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 in diagonally-whitened space (B67): per-dim corpus
+    mean/sd standardization (the B64 profiling stats put to work), integer
+    milli z-scores via floor(x+0.5) rounding, exact integer distances."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "ev")
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("ev").cast("double") * 1000.0, 0).cast("long").alias("e_milli"),
+    )
+    n = F.count("*")
+    s = F.sum("e_milli")
+    s2 = F.sum(F.col("e_milli") * F.col("e_milli"))
+    st = el.groupBy("dim").agg(
+        F.floor(s * 1000.0 / n + 0.5).cast("long").alias("mean_micro"),
+        F.greatest(
+            F.floor(
+                F.sqrt(s2 * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n)) * 1000.0 + 0.5
+            ).cast("long"),
+            F.lit(1).cast("long"),
+        ).alias("sd_micro"),
+    )
+    z = el.join(F.broadcast(st), "dim").select(
+        "vec_id",
+        "dim",
+        F.floor(
+            (F.col("e_milli") * 1000 - F.col("mean_micro")) * 1000.0 / F.col("sd_micro") + 0.5
+        )
+        .cast("long")
+        .alias("z_milli"),
+    )
+    q = z.filter(F.col("vec_id") == 0).select("dim", F.col("z_milli").alias("qz"))
+    d = (
+        z.join(F.broadcast(q), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("z_milli") - F.col("qz")) * (F.col("z_milli") - F.col("qz")))
+            .cast("long")
+            .alias("wl2sq")
+        )
+    )
+    top = d.orderBy("wl2sq", "vec_id").limit(10)
+    return top.select(
+        "vec_id",
+        "wl2sq",
+        F.row_number().over(Window.orderBy("wl2sq", "vec_id")).cast("long").alias("rnk"),
     ).orderBy("rnk")
