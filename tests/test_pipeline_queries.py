@@ -1493,3 +1493,38 @@ def test_fuzzy_pairs_funnel_cohort_match_bruteforce(spark, sf_dir):
         for r in REGISTRY["events_cohort_retention"].fn(spark, sf_dir).collect()
     }
     assert got == {k: len(v) for k, v in cells.items()}
+
+
+def test_asof_attribution_matches_bruteforce(spark, sf_dir):
+    """B66: python replay of the independent quadratic semantic — for
+    every purchase, the prior view/click with max (ts, event_id) at or
+    before it — must match the union-tag window route row for row,
+    including the exact microsecond gap and NULLs for no-prior
+    purchases."""
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.queries import REGISTRY
+
+    ev = read_table(spark, sf_dir, "events").collect()
+    eng = sorted(
+        [(r.ts, r.event_id, r.event_type) for r in ev if r.event_type in ("view", "click")]
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        if r.event_type in ("view", "click"):
+            by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    got = {r.event_id: r for r in REGISTRY["events_asof_attribution"].fn(spark, sf_dir).collect()}
+    purchases = [r for r in ev if r.event_type == "purchase"]
+    assert len(got) == len(purchases)
+    for p in purchases:
+        pri = [t for t in by_user.get(p.user_id, []) if t[0] <= p.ts]
+        g = got[p.event_id]
+        if not pri:
+            assert g.prior_event_id is None and g.gap_us is None
+            continue
+        ts, eid, typ = max(pri)
+        assert g.prior_event_id == eid and g.prior_event_type == typ
+        us = int((p.ts - ts).total_seconds() * 1_000_000)
+        # avoid float us drift: recompute exactly from the timedelta parts
+        td = p.ts - ts
+        us = (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds
+        assert g.gap_us == us

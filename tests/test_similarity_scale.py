@@ -522,3 +522,22 @@ def test_containment_probe_matches_oneshot_restriction(spark, sf_dir):
             assert r.container_doc_id == min(exp)
             assert r.n_containers == len(exp)
     assert n_contained > 0  # the corpus's planted duplication reaches the batch
+
+
+def test_triangle_coefficient_routes_agree(spark, sf_dir, monkeypatch):
+    """B68: the distributed node-iterator triangle join over the exact
+    fold-cosine edge frame must reproduce the driver route EXACTLY (same
+    edge set by construction, so counts, degrees, and ppm coefficients
+    are equal row for row)."""
+    from vectordb_hr_data_spark.querydefs import similarity_queries as S
+
+    drv = [tuple(r) for r in S.graph_triangle_coefficient(spark, sf_dir).collect()]
+    monkeypatch.setattr(S, "GRAPH_DRIVER_MAX", 0)
+    dist = [tuple(r) for r in S.graph_triangle_coefficient(spark, sf_dir).collect()]
+    assert drv == dist
+    assert len(drv) > 0
+    # a corner can only be counted with deg >= 2, and 2*tri <= deg*(deg-1)
+    for vec_id, deg, n_tri, coeff in drv:
+        if n_tri > 0:
+            assert deg >= 2 and 2 * n_tri <= deg * (deg - 1)
+            assert 0 < coeff <= 1_000_000

@@ -509,3 +509,16 @@ def test_mmr_det_is_true_greedy_argmax_each_step(spark, sf_dir):
     # distinct and inside the page (top-PAGE by integer relevance).
     ids = [r.vec_id for r in rows]
     assert len(set(ids)) == MMR_DET_K
+
+
+def test_whitened_topk_self_match_and_monotone(spark, sf_dir):
+    """B67: the query vector itself ranks first at distance 0, whitened
+    distances are non-decreasing in rank, and all z-space distances are
+    non-negative integers."""
+    from vectordb_hr_data_spark.queries import REGISTRY
+
+    rows = REGISTRY["knn_whitened_topk"].fn(spark, sf_dir).collect()
+    assert rows[0].vec_id == 0 and rows[0].wl2sq == 0
+    ds = [r.wl2sq for r in rows]
+    assert ds == sorted(ds) and all(d >= 0 for d in ds)
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))

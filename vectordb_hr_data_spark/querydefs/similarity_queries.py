@@ -1770,3 +1770,139 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "frame_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# B68: triangle count + local clustering coefficient over the kNN graph (r8)
+# --------------------------------------------------------------------------
+# The third (non-iterative) member of the graph-analytics family: how
+# CLIQUISH is each document's neighborhood? Nodes whose neighbors are
+# also mutual neighbors sit inside tight semantic clusters (redundant —
+# dedup/coreset candidates); high-degree nodes with coefficient ~0 are
+# hubs bridging topics (high-value diverse picks). Graph = the shared
+# undirected top-3 round-4 fold-cosine build (same memo as B46/B54/B55,
+# so the edge set is bit-identical to their oracles'). Mechanism =
+# node-iterator triangle join: und(a,b) ⋈ und(b,c) ⋈ und(a,c) with
+# a<b<c by canonical-pair construction, so each triangle materializes
+# exactly once and each corner is counted via one union+groupBy. Scale
+# shape: a top-k graph has bounded degree ≤ 2k, so the per-node join
+# fanout is ≤ (2k)² — skew-free by construction — and every join/agg
+# key is a uniform vec_id; no N² product anywhere. Coefficient =
+# 2·tri/(deg·(deg−1)) in ppm via the floor(x+0.5) IEEE contract (B67).
+TRI_DEG = 3
+TRI_TOPN = 50
+
+
+@register(
+    "graph_triangle_coefficient",
+    f"""
+WITH scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_COS_DDB.format(a='b.embedding', b='a.embedding')}, 4) DESC,
+                                     b.vec_id) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+), dir AS (
+  SELECT src, dst FROM scored WHERE rn <= {TRI_DEG}
+), und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM dir
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+  GROUP BY node
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), corner AS (
+  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+), tcnt AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM corner GROUP BY node
+)
+SELECT d.node AS vec_id, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+       CASE WHEN d.deg >= 2
+            THEN CAST(floor(COALESCE(t.n_tri, 0) * 2000000.0 / (d.deg * (d.deg - 1)) + 0.5) AS BIGINT)
+            ELSE 0 END AS coeff_ppm
+FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+ORDER BY n_tri DESC, vec_id
+LIMIT {TRI_TOPN}
+""",
+)
+def graph_triangle_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{n} nodes by triangle count with degree and local clustering
+    coefficient (B68) over the shared undirected top-{d} cosine graph:
+    node-iterator triangle join on canonical pairs (each triangle once),
+    ppm coefficient under the floor(x+0.5) IEEE contract.""".replace(
+        "{n}", str(TRI_TOPN)
+    ).replace("{d}", str(TRI_DEG))
+    emb = read_table(spark, sf_dir, "embeddings")
+    if _corpus_count_memo(sf_dir, emb) <= GRAPH_DRIVER_MAX:
+        import math
+
+        out_edges = _out_edges_memo(sf_dir, emb, TRI_DEG, "graph_triangle_coefficient")
+        und: set[tuple[int, int]] = set()
+        for s, ds in out_edges.items():
+            for d in ds:
+                und.add((min(s, d), max(s, d)))
+        adj: dict[int, set[int]] = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        tri = {v: 0 for v in adj}
+        for a, b in und:
+            for c in adj[a] & adj[b]:
+                tri[c] += 1
+        rows = []
+        for v in adj:
+            dg = len(adj[v])
+            nt = tri[v]
+            coeff = int(math.floor(nt * 2000000.0 / (dg * (dg - 1)) + 0.5)) if dg >= 2 else 0
+            rows.append((v, dg, nt, coeff))
+        rows.sort(key=lambda r: (-r[2], r[0]))
+        return spark.createDataFrame(
+            rows[:TRI_TOPN], "vec_id long, deg long, n_tri long, coeff_ppm long"
+        ).orderBy(F.col("n_tri").desc(), "vec_id")
+    dir_e = _graph_dir_edges(sf_dir, emb, TRI_DEG, "graph_triangle_coefficient")
+    und_df = (
+        dir_e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        ).distinct()
+    ).localCheckpoint()
+    deg = (
+        und_df.select(F.col("a").alias("node"))
+        .unionAll(und_df.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    e1 = und_df.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und_df.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und_df.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    corner = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    tcnt = corner.groupBy("node").agg(F.count("*").cast("long").alias("n_tri"))
+    return (
+        deg.join(tcnt, "node", "left")
+        .select(
+            F.col("node").alias("vec_id"),
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+            F.when(
+                F.col("deg") >= 2,
+                F.floor(
+                    F.coalesce(F.col("n_tri"), F.lit(0))
+                    * 2000000.0
+                    / (F.col("deg") * (F.col("deg") - 1))
+                    + 0.5
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("coeff_ppm"),
+        )
+        .orderBy(F.col("n_tri").desc(), "vec_id")
+        .limit(TRI_TOPN)
+    )
