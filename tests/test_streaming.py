@@ -765,3 +765,81 @@ def test_stream_scd2_dim_converges_to_batch_build(spark, sf_dir, tmp_path):
 
     with _pytest.raises(Exception, match="out-of-order"):
         stream_scd2_dim(stream2, target)
+
+
+def test_stream_zorder_append_compacts_on_trigger(spark, sf_dir, tmp_path):
+    """stream_zorder_append (r8): five single-file micro-batches append
+    Morton-keyed rows (one-plus small file each), the 5th batch trips the
+    compaction trigger exactly once, the compacted dataset holds every
+    input row with zvals equal to the batch layout query's integer
+    contract, and the file count collapses below the append-era count."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import compact_clustered, read_table
+    from vectordb_hr_data_spark.streaming.stream_ops import stream_zorder_append
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ext = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+        F.max("user_id").alias("umax"),
+    ).first()
+    n_in = ev.count()
+    src = tmp_path / "z_src"
+    src.mkdir()
+    for i in range(5):
+        part = ev.filter((F.col("event_id") % 5) == i)
+        tdir = str(tmp_path / f"zpart{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    target = str(tmp_path / "z_target")
+    fired = []
+
+    def on_compact(p: str) -> None:
+        fired.append(compact_clustered(spark, p, ["zval"], 1000))
+
+    q = stream_zorder_append(
+        stream,
+        target,
+        int(ext.t0),
+        int(ext.t1),
+        int(ext.umax),
+        compact_every_batches=5,
+        on_compact=on_compact,
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert len(fired) == 1
+    files_before, files_after = fired[0]
+    assert files_before >= 5 and files_after < files_before
+    out = spark.read.parquet(target)
+    assert out.count() == n_in
+    # zval contract: identical to the batch layout expression at the same
+    # frozen extremes
+    from vectordb_hr_data_spark.querydefs.event_queries import _ZVAL_SPARK
+
+    span = int(ext.t1) - int(ext.t0) + 1
+    want = ev.select(
+        "event_id",
+        F.expr(f"user_id * 256 div ({int(ext.umax)} + 1)").cast("long").alias("ub"),
+        F.expr(f"(unix_micros(ts) - {int(ext.t0)}) * 256 div {span}").cast("long").alias("hb"),
+    ).select("event_id", F.expr(_ZVAL_SPARK).cast("long").alias("zval"))
+    got = out.select("event_id", "zval")
+    assert (
+        got.join(want, "event_id")
+        .filter(got.zval != want.zval)
+        .count()
+        == 0
+    )

@@ -78,17 +78,17 @@ PRIORITY: list[str] = [
     "q1_pricing_summary", "q7_nation_volume",
     "knn_topk_sq8", "knn_pq_adc_rerank", "ivf_pq_residual_det",
     "ivf_topk_suggested", "chunk_embed_ivf_search",
-    "hr_tagged_union_projection",
     # new r8 oracles (displacing in-window r5 picks whose family is
     # doubly covered — top_bigrams_per_lang, neardup_embedding_cosine,
-    # batch_topk_many_queries, label_centroids, doc_simhash, doc_lang_id
-    # moved just below the fold; the last two hold r5 rows and lead the
-    # r9 rotation with the other r5 leftovers)
+    # batch_topk_many_queries, label_centroids, doc_simhash, doc_lang_id,
+    # hr_metadata_flatten, hr_tagged_union_projection moved just below
+    # the fold; the r5-rowed ones lead the r9 rotation)
     "doc_containment_probe", "session_copair_mining",
     "embedding_dim_stats", "doc_popularity_decayed",
     "events_asof_attribution", "knn_whitened_topk",
-    "graph_triangle_coefficient",
+    "graph_triangle_coefficient", "doc_bm25_search",
     # --- position 51+: every query below holds a driver row (r5-r7) ---
+    "hr_tagged_union_projection",
     "hr_metadata_flatten", "doc_simhash", "doc_lang_id",
     "top_bigrams_per_lang", "neardup_embedding_cosine",
     "batch_topk_many_queries", "label_centroids",

@@ -739,3 +739,100 @@ def term_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cnt").desc(), F.col("term").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# B69: BM25 ranked retrieval (Robertson-Walker-Jones Okapi) (r8)
+# ---------------------------------------------------------------------------
+# The lexical-retrieval counterpart to the vector ladder and the keyword
+# half hybrid RRF deserves: full Okapi BM25 (k1 = 1.2, b = 0.75, the
+# ln(1 + (N−df+0.5)/(df+0.5)) idf) over the documents table for a fixed
+# term query. Determinism contract: each (doc, term) CONTRIBUTION is
+# computed from exact-integer inputs (tf, df, dl, N, sum_dl) through an
+# identical double expression on both engines and quantized ONCE to
+# integer micro via floor(x+0.5) (the B67 IEEE contract); the per-doc
+# score is then an exact INTEGER sum — order-independent across
+# partitions, which a raw float sum is not (the B33 micro-nat lesson
+# applied to retrieval scoring). Scale shape: the query-term filter
+# prunes the exploded token stream BEFORE any aggregation, so every
+# shuffle key domain is (docs-with-a-query-term × |q|); df and corpus
+# stats are tiny broadcasts; top-20 is TakeOrderedAndProject. ln parity:
+# Java Math.log and DuckDB ln agree on these inputs (the B33 precedent);
+# micro quantization bounds any ulp wobble away from rank flips.
+BM25_QUERY_TERMS = ("spark", "join", "window", "stream")
+BM25_TOPN = 20
+
+
+@register(
+    "doc_bm25_search",
+    f"""
+WITH toks AS (
+  SELECT doc_id, {H.ddb_tokens('text')} AS toks FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
+), hits AS (
+  SELECT doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks, unnest(toks) AS u(tok)
+  JOIN (SELECT unnest({list(BM25_QUERY_TERMS)!r}) AS term) t ON u.tok = t.term
+  GROUP BY doc_id, t.term
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY term
+), contrib AS (
+  SELECT h.doc_id,
+         CAST(floor(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                    * (h.tf * 2.2 / (h.tf + 1.2 * (0.25 + 0.75 * d.dl / (s.sum_dl * 1.0 / s.n_docs))))
+                    * 1000000.0 + 0.5) AS BIGINT) AS c_micro
+  FROM hits h
+  JOIN df f USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS bm25_micro,
+       row_number() OVER (ORDER BY sum(c_micro) DESC, doc_id) AS rnk
+FROM contrib GROUP BY doc_id
+ORDER BY rnk LIMIT {BM25_TOPN}
+""",
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-{n} for the fixed query {q} (B69): integer-micro
+    per-term contributions (floor(x+0.5)) summed exactly per doc — the
+    order-independent form of float relevance scoring.""".replace(
+        "{n}", str(BM25_TOPN)
+    ).replace("{q}", repr(BM25_QUERY_TERMS))
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(H.spark_tokens("text")).alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"), F.sum("dl").cast("long").alias("sum_dl")
+    )
+    hits = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(list(BM25_QUERY_TERMS)))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_t = hits.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    avgdl = F.col("sum_dl") * 1.0 / F.col("n_docs")
+    tfn = (F.col("tf") * 2.2) / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl))
+    contrib = (
+        hits.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(idf * tfn * 1000000.0 + 0.5).cast("long").alias("c_micro"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(F.sum("c_micro").cast("long").alias("bm25_micro"))
+    top = scored.orderBy(F.col("bm25_micro").desc(), "doc_id").limit(BM25_TOPN)
+    return top.select(
+        "doc_id",
+        "bm25_micro",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25_micro").desc(), "doc_id"))
+        .cast("long")
+        .alias("rnk"),
+    ).orderBy("rnk")

@@ -643,3 +643,74 @@ def stream_scd2_dim(event_stream: DataFrame, target_path: str) -> None:
 
     q = event_stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination()
+
+
+def stream_zorder_append(
+    event_stream: DataFrame,
+    path: str,
+    t0: int,
+    t1: int,
+    umax: int,
+    rows_per_file: int = 1000,
+    compact_every_batches: int = 5,
+    on_compact=None,
+):
+    """Streaming maintenance of the Z-ordered events layout (B51's
+    streaming twin — NEXT.md's 'compact_clustered on a trigger', the
+    needs_retune pattern applied to LAYOUT freshness): every micro-batch
+    is Morton-keyed with the SAME integer `div` quantization as
+    ``events_zorder_layout`` against FROZEN corpus extremes (t0/t1/umax
+    fixed at build time, exactly like IVF centroids or SQ ranges — new
+    out-of-range rows clamp into the edge buckets rather than silently
+    reshaping every prior key) and appended sorted-within-partition on
+    zval. Appends keep the dataset queryable but shred the file layout —
+    a firehose of micro-batches leaves one small file per batch
+    partition, destroying both IO amortization and the 2-D skipping
+    locality — so the sink counts batches and every
+    ``compact_every_batches`` fires ``on_compact(path)`` (default: run
+    ``io.compact_clustered(path, ['zval'], rows_per_file)`` inline;
+    production passes a scheduler hook instead — a full-dataset rewrite
+    inside a micro-batch stalls the stream, the same reasoning as
+    stream_ivf_sq8_append's retune callback).
+
+    Returns the StreamingQuery; callers own its lifecycle."""
+    from ..io import compact_clustered
+    from ..querydefs.event_queries import _ZVAL_SPARK
+
+    if on_compact is None:
+
+        def on_compact(p: str) -> None:
+            compact_clustered(
+                event_stream.sparkSession, p, ["zval"], rows_per_file
+            )
+
+    span = t1 - t0 + 1
+    state = {"batches": 0}
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        keyed = batch_df.select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            F.expr(
+                f"least(greatest(user_id * 256 div ({umax} + 1), 0), 255)"
+            )
+            .cast("long")
+            .alias("ub"),
+            F.expr(
+                f"least(greatest((unix_micros(ts) - {t0}) * 256 div {span}, 0), 255)"
+            )
+            .cast("long")
+            .alias("hb"),
+        )
+        z = keyed.withColumn("zval", F.expr(_ZVAL_SPARK).cast("long"))
+        z.sortWithinPartitions("zval").write.mode("append").parquet(path)
+        state["batches"] += 1
+        if state["batches"] % compact_every_batches == 0:
+            on_compact(path)
+
+    return event_stream.writeStream.foreachBatch(sink).start()
