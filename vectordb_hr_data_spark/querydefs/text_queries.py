@@ -753,10 +753,12 @@ def term_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer micro via floor(x+0.5) (the B67 IEEE contract); the per-doc
 # score is then an exact INTEGER sum — order-independent across
 # partitions, which a raw float sum is not (the B33 micro-nat lesson
-# applied to retrieval scoring). Scale shape: the query-term filter
-# prunes the exploded token stream BEFORE any aggregation, so every
-# shuffle key domain is (docs-with-a-query-term × |q|); df and corpus
-# stats are tiny broadcasts; top-20 is TakeOrderedAndProject. ln parity:
+# applied to retrieval scoring). Scale shape: ZERO shuffles — per-term
+# tf is a row-local size(filter(toks, ...)) (a BM25 query is a handful
+# of terms, so the pivoted-by-term form needs no explode and no
+# (doc, term) groupBy), corpus stats (N, Σdl, per-term df) are ONE
+# 1-row broadcast aggregate, scoring is whole-stage-codegen column
+# algebra, and top-20 is TakeOrderedAndProject. ln parity:
 # Java Math.log and DuckDB ln agree on these inputs (the B33 precedent);
 # micro quantization bounds any ulp wobble away from rank flips.
 BM25_QUERY_TERMS = ("spark", "join", "window", "stream")
@@ -798,36 +800,66 @@ ORDER BY rnk LIMIT {BM25_TOPN}
 def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-{n} for the fixed query {q} (B69): integer-micro
     per-term contributions (floor(x+0.5)) summed exactly per doc — the
-    order-independent form of float relevance scoring.""".replace(
+    order-independent form of float relevance scoring.
+
+    ZERO-SHUFFLE plan: because a BM25 query is a handful of terms, each
+    term's tf is a row-local ``size(filter(toks, ...))`` — no explode,
+    no (doc, term) groupBy at all — and corpus stats (N, Σdl, per-term
+    df) are ONE 1-row aggregate broadcast back. Scoring and the per-doc
+    sum are then pure row-local column algebra in whole-stage codegen,
+    and the only data movement in the whole query is the 1-row stats
+    broadcast plus the top-{n} TakeOrderedAndProject. (A dynamic query
+    SET would bring back the exploded (doc, term ∈ q) form — still
+    pruned before any aggregation.)""".replace(
         "{n}", str(BM25_TOPN)
     ).replace("{q}", repr(BM25_QUERY_TERMS))
     d = read_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.expr(H.spark_tokens("text")).alias("toks"))
-    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
-    stats = dl.agg(
-        F.count("*").cast("long").alias("n_docs"), F.sum("dl").cast("long").alias("sum_dl")
+    base = toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[
+            F.expr(f"size(filter(toks, x -> x = '{t}'))").cast("long").alias(f"tf_{i}")
+            for i, t in enumerate(BM25_QUERY_TERMS)
+        ],
     )
-    hits = (
-        toks.select("doc_id", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(list(BM25_QUERY_TERMS)))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("long").alias("tf"))
+    stats = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).cast("long").alias(f"df_{i}")
+            for i in range(len(BM25_QUERY_TERMS))
+        ],
     )
-    df_t = hits.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     avgdl = F.col("sum_dl") * 1.0 / F.col("n_docs")
-    tfn = (F.col("tf") * 2.2) / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl))
-    contrib = (
-        hits.join(F.broadcast(df_t), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            F.floor(idf * tfn * 1000000.0 + 0.5).cast("long").alias("c_micro"),
+    contribs = []
+    for i in range(len(BM25_QUERY_TERMS)):
+        tf = F.col(f"tf_{i}")
+        df_c = F.col(f"df_{i}")
+        idf = F.log(1.0 + (F.col("n_docs") - df_c + 0.5) / (df_c + 0.5))
+        tfn = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl))
+        contribs.append(
+            F.when(tf > 0, F.floor(idf * tfn * 1000000.0 + 0.5).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    scored = (
+        base.crossJoin(F.broadcast(stats))
+        .withColumn("bm25_micro", score.cast("long"))
+        .filter(
+            sum(
+                (F.col(f"tf_{i}") for i in range(1, len(BM25_QUERY_TERMS))),
+                F.col("tf_0"),
+            )
+            > 0
         )
     )
-    scored = contrib.groupBy("doc_id").agg(F.sum("c_micro").cast("long").alias("bm25_micro"))
-    top = scored.orderBy(F.col("bm25_micro").desc(), "doc_id").limit(BM25_TOPN)
+    top = scored.select("doc_id", "bm25_micro").orderBy(
+        F.col("bm25_micro").desc(), "doc_id"
+    ).limit(BM25_TOPN)
     return top.select(
         "doc_id",
         "bm25_micro",
