@@ -268,3 +268,34 @@ def test_integer_div_decode_exact_past_double_precision(spark):
     ).collect()[0]
     assert row.idiv == (us * 256) // span == 255
     assert float(us * 256) / span != (us * 256) // span  # the latent float flip
+
+
+def test_whitened_topk_zero_variance_dim_degrades_to_floor(spark, tmp_path):
+    """ADVICE r8: a zero-variance dimension's sumsq/n - mean² residue can
+    round to a tiny negative double; unclamped, sqrt gives NaN — Spark
+    casts NaN→null and greatest(...,1) hides it, while DuckDB's
+    CAST(floor(NaN*…) AS BIGINT) ERRORS, so the engines diverge on
+    degenerate input. With greatest(var, 0) both degrade sd_micro to the
+    existing floor of 1 and produce identical top-k."""
+    import duckdb
+
+    from vectordb_hr_data_spark.queries import REGISTRY
+
+    # 8 vectors whose dim-1 is CONSTANT (zero variance); dim-0/2 vary
+    rows = [(i, [float(i % 5), 0.123, float((i * 3) % 7)]) for i in range(8)]
+    d = str(tmp_path / "degenerate")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(
+        str(tmp_path / "degenerate" / "embeddings.parquet")
+    )
+    spec = REGISTRY["knn_whitened_topk"]
+    got = spec.fn(spark, d).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    want = con.execute(spec.oracle).df()  # must not raise
+    con.close()
+    assert len(got) == len(want) == 8
+    gs = got.sort_values(list(got.columns)).reset_index(drop=True)
+    ws = want.sort_values(list(want.columns)).reset_index(drop=True)
+    assert (gs.values.tolist() == ws.values.tolist())

@@ -541,3 +541,75 @@ def test_triangle_coefficient_routes_agree(spark, sf_dir, monkeypatch):
         if n_tri > 0:
             assert deg >= 2 and 2 * n_tri <= deg * (deg - 1)
             assert 0 < coeff <= 1_000_000
+
+
+def test_seeded_centroids_resist_ingestion_order_bias(spark):
+    """VERDICT r8 #3: `_knn_edges_ann_df` centroids are a seeded-hash
+    sample, not the first-k vec_ids. Adversarial corpus: 8 well-separated
+    clusters where the LOW vec_ids all sit in one cluster (crawls arrive
+    by domain — ingestion order correlates with content). First-k
+    centroids then all land in that cluster and the other 7 clusters'
+    rows pile onto whichever centroid happens to point their way
+    (occupancy skew → one giant cell GEMM at scale); the seeded md5-order
+    sample is distribution-fair, so occupancy stays bounded AND the edge
+    build still clears the recall floor on this corpus."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from vectordb_hr_data_spark.querydefs import similarity_queries as S
+
+    n_clusters, per, dim = 8, 48, 16
+    n = n_clusters * per
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(n_clusters, dim)) * 10.0
+    rows = []
+    # vec_ids 0..per-1 are ALL cluster 0; the rest interleave clusters
+    for c in range(n_clusters):
+        pts = centers[c] + rng.normal(size=(per, dim))
+        for i in range(per):
+            vid = i if c == 0 else per + (c - 1) + (n_clusters - 1) * i
+            rows.append((vid, [float(x) for x in pts[i]], c))
+    rows.sort()
+    emb = spark.createDataFrame(
+        [(v, e) for v, e, _ in rows], "vec_id long, embedding array<float>"
+    )
+    cluster_of = {v: c for v, _, c in rows}
+    mat = np.array([e for _, e, _ in rows])
+    k_cells = max(16, math.isqrt(n))
+
+    def max_occupancy(centroid_vids):
+        cm = np.stack([mat[v] for v in centroid_vids])
+        sims = (mat @ cm.T) / (
+            np.linalg.norm(cm, axis=1)[None, :] * np.linalg.norm(mat, axis=1)[:, None]
+        )
+        counts = np.bincount(np.argmax(sims, axis=1), minlength=len(centroid_vids))
+        return counts.max()
+
+    firstk = list(range(k_cells))
+    assert all(cluster_of[v] == 0 for v in firstk)  # the adversarial setup holds
+    seeded = sorted(
+        range(n),
+        key=lambda v: hashlib.md5(f"graph-ann-centroids-v1:{v}".encode()).hexdigest(),
+    )[:k_cells]
+    assert len({cluster_of[v] for v in seeded}) >= 4  # sample spans clusters
+    occ_first, occ_seeded = max_occupancy(firstk), max_occupancy(seeded)
+    # first-k: 7/8 of the corpus collapses onto a handful of cells
+    # (measured 91 vs 55 on this fixed-seed corpus — all inputs are
+    # seeded, so the margin is deterministic)
+    assert occ_first >= 1.5 * occ_seeded, (occ_first, occ_seeded)
+
+    # and the full ANN edge build on this corpus still clears the floor
+    ids_all, fmat, fnorm = S._graph_fold_state(emb, "adversarial-centroids")
+    deg = 6
+    exact = S._knn_out_edges_driver(ids_all, fmat, fnorm, deg)
+    got = {}
+    for r in S._knn_edges_ann_df(emb, deg, n).collect():
+        got.setdefault(r.src, set()).add(r.dst)
+    hits = total = 0
+    for src, dsts in exact.items():
+        want = set(dsts)
+        total += len(want)
+        hits += len(want & got.get(src, set()))
+    assert hits / total >= 0.85, hits / total

@@ -843,3 +843,141 @@ def test_stream_zorder_append_compacts_on_trigger(spark, sf_dir, tmp_path):
         .count()
         == 0
     )
+
+
+def test_stream_zorder_append_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """ADVICE r8: foreachBatch is at-least-once — restarting the stream
+    with a FRESH checkpoint redelivers every file with the same epoch ids.
+    The per-epoch markers (sibling ._epochs dir) must make the replay a
+    no-op: row count and file count unchanged, no duplicate rows, and no
+    spurious compaction (marker count doesn't grow on skipped epochs)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.streaming.stream_ops import stream_zorder_append
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ext = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+        F.max("user_id").alias("umax"),
+    ).first()
+    n_in = ev.count()
+    src = tmp_path / "zr_src"
+    src.mkdir()
+    for i in range(3):
+        part = ev.filter((F.col("event_id") % 3) == i)
+        tdir = str(tmp_path / f"zrpart{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    target = str(tmp_path / "zr_target")
+    compactions = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = stream_zorder_append(
+            stream,
+            target,
+            int(ext.t0),
+            int(ext.t1),
+            int(ext.umax),
+            compact_every_batches=100,  # never fires in this test
+            on_compact=lambda p: compactions.append(p),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    out1 = spark.read.parquet(target)
+    assert out1.count() == n_in
+    files1 = {f for f in os.listdir(target) if f.endswith(".parquet")}
+    def _markers():
+        # Hadoop's checksummed local FS writes .crc sidecars os.listdir
+        # sees (fs.listStatus hides them, so the cadence count is clean)
+        return {
+            f
+            for f in os.listdir(target.rstrip("/") + "._epochs")
+            if f.startswith("epoch-")
+        }
+
+    markers1 = _markers()
+    assert markers1 == {"epoch-0", "epoch-1", "epoch-2"}
+
+    # fresh temp checkpoint → the engine redelivers all 3 files as epochs
+    # 0..2 again; the markers must skip every one
+    run_once()
+    out2 = spark.read.parquet(target)
+    assert out2.count() == n_in  # no duplicates
+    assert {f for f in os.listdir(target) if f.endswith(".parquet")} == files1
+    assert _markers() == markers1
+    assert compactions == []
+    # distinct event_ids still intact (belt and braces on the dedup claim)
+    assert out2.select("event_id").distinct().count() == n_in
+
+
+def test_stream_scd2_dim_backfills_missing_last_ts(spark, sf_dir, tmp_path):
+    """ADVICE r8: a dimension written by the pre-last_ts build has no
+    last_ts column; folding a new batch into it must degrade to the
+    valid_from guard (not raise an unresolved-column error) and the
+    rewrite must carry a correct last_ts from that batch onward."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import scd2_build
+    from vectordb_hr_data_spark.streaming.stream_ops import stream_scd2_dim
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    cut = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    early = ev.filter(F.col("event_id") <= cut)
+    # legacy dim: scd2_build output with NO last_ts column
+    ts_cut = early.agg(F.max("ts")).first()[0]
+    old = ev.filter(F.col("ts") <= ts_cut)
+    new = ev.filter(F.col("ts") > ts_cut)
+    assert new.count() > 0
+    target = str(tmp_path / "legacy_dim")
+    scd2_build(old).write.parquet(target)
+    assert "last_ts" not in spark.read.parquet(target).columns
+
+    src = tmp_path / "scd2_bf_src"
+    src.mkdir()
+    tdir = str(tmp_path / "bf_part")
+    new.coalesce(1).write.parquet(tdir)
+    shutil.move(glob.glob(f"{tdir}/part-*.parquet")[0], str(src / "f0.parquet"))
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    stream_scd2_dim(stream, target)  # must not raise AnalysisException
+    dim = spark.read.parquet(target)
+    assert "last_ts" in dim.columns
+    got = sorted(map(tuple, dim.drop("last_ts").collect()))
+    want = sorted(map(tuple, scd2_build(ev).collect()))
+    assert got == want and len(got) > 0
+    # last_ts on is_current rows reflects the STREAMED batch's max ts for
+    # touched users (prior history had none to contribute)
+    touched = new.groupBy("user_id").agg(F.max("ts").alias("t_last"))
+    cur = dim.filter(F.col("is_current"))
+    assert (
+        cur.join(touched, "user_id")
+        .filter((F.col("last_ts").isNull()) | (F.col("last_ts") != F.col("t_last")))
+        .count()
+        == 0
+    )

@@ -1065,7 +1065,7 @@ def doc_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplication), and the interval union is a per-document distinct —
     never cross-document. Documents shorter than the span length have no
     spans and report 0 coverage via the left join.
-    """.replace("{n}", str(DUPSPAN_N))
+    """
     d = read_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
     spans = toks.select(
@@ -1113,6 +1113,7 @@ def doc_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+doc_dup_ngram_coverage.__doc__ = doc_dup_ngram_coverage.__doc__.replace("{n}", str(DUPSPAN_N))  # template scale constants into the (real) docstring
 
 
 # ---------------------------------------------------------------------------
@@ -1449,7 +1450,7 @@ def quality_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scoring joins) are localCheckpointed like corpus_prep_pipeline's.
     All stage arithmetic is the standalone operators' (integer micro-nat /
     milli-weight / rank tie-breaks on doc_id), so the full composition
-    hash-matches the DuckDB replay.""".replace("{p}", "75").replace("{q}", "50")
+    hash-matches the DuckDB replay."""
     from .text_queries import CLF_BUCKETS, LM_ALPHA, _clf_weight_spark
 
     d = read_table(spark, sf_dir, "documents")
@@ -1588,6 +1589,7 @@ def quality_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
         .orderBy("doc_id")
     )
+quality_prep_pipeline.__doc__ = quality_prep_pipeline.__doc__.replace("{p}", "75").replace("{q}", "50")  # template scale constants into the (real) docstring
 
 
 # ---------------------------------------------------------------------------
@@ -1652,7 +1654,7 @@ def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a per-doc ordered aggregation on the uniform doc_id key. The
     removed-position frame explodes only DUPLICATED instances, bounded by
     actual corpus duplication. At 100 TB the gram key again swaps for the
-    8-byte polynomial (`spark_shingle_keys`).""".replace("{n}", str(DUPSPAN_N))
+    8-byte polynomial (`spark_shingle_keys`)."""
     d = read_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
     spans = toks.select(
@@ -1702,6 +1704,7 @@ def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+doc_dup_span_removal.__doc__ = doc_dup_span_removal.__doc__.replace("{n}", str(DUPSPAN_N))  # template scale constants into the (real) docstring
 
 
 # ---------------------------------------------------------------------------
@@ -1945,7 +1948,7 @@ def doc_popularity_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{n} documents by recency-decayed engagement (B65): weekly
     half-life as an integer right shift from exact day buckets, item mass
     one 100-key aggregate, docs inherit via broadcast join, ppm weights
-    from one IEEE divide.""".replace("{n}", str(POPULARITY_TOPN))
+    from one IEEE divide."""
     ev = read_table(spark, sf_dir, "events")
     d = read_table(spark, sf_dir, "documents")
     mx = ev.agg(F.max(F.unix_micros("ts")).alias("t1"))
@@ -1974,3 +1977,4 @@ def doc_popularity_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pop").desc(), F.col("doc_id").asc())
         .limit(POPULARITY_TOPN)
     )
+doc_popularity_decayed.__doc__ = doc_popularity_decayed.__doc__.replace("{n}", str(POPULARITY_TOPN))  # template scale constants into the (real) docstring

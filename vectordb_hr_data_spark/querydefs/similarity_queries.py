@@ -875,7 +875,7 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     slots; local top-k per partition bounds the exchange at
     partitions x queries x k rows (the batch_topk discipline). At 100 TB
     with a large query set, the same plan shards the query set and unions
-    — still never an unblocked all-pairs.""".replace("{k}", str(HARDNEG_TOPK))
+    — still never an unblocked all-pairs."""
     from ..operators.knn import local_topk_per_key
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -902,6 +902,7 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= HARDNEG_TOPK)
         .orderBy("query_id", "rn")
     )
+mine_hard_negatives.__doc__ = mine_hard_negatives.__doc__.replace("{k}", str(HARDNEG_TOPK))  # template scale constants into the (real) docstring
 
 
 # --------------------------------------------------------------------------
@@ -963,7 +964,7 @@ def doc_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Kiveris CC round discipline applied to weighted propagation,
     localCheckpointed per round. Integer contributions make every round
     exactly portable: the oracle's recursive CTE replays all {k} rounds
-    bit-for-bit.""".replace("{n}", str(PAGERANK_TOPN)).replace("{k}", str(PAGERANK_ITERS)).replace("{d}", str(PAGERANK_DEG))
+    bit-for-bit."""
     emb = read_table(spark, sf_dir, "embeddings")
     # Edge build + iteration via the shared graph helpers (see the
     # "shared kNN-graph machinery" section below): fold-cosine edge
@@ -994,6 +995,7 @@ def doc_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= PAGERANK_TOPN)
         .orderBy("rnk")
     )
+doc_pagerank_centrality.__doc__ = doc_pagerank_centrality.__doc__.replace("{n}", str(PAGERANK_TOPN)).replace("{k}", str(PAGERANK_ITERS)).replace("{d}", str(PAGERANK_DEG))  # template scale constants into the (real) docstring
 
 
 # --------------------------------------------------------------------------
@@ -1055,9 +1057,7 @@ def ivf_batch_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank, the scan filter is their union (partition pruning still
     applies — only probed cid directories are read), the per-(row,query)
     fanout is a broadcast join on cid, and the per-query rank consumes a
-    local pre-reduce, never the full scored stream.""".replace(
-        "{k}", str(IVF_BATCH_K)
-    ).replace("{q}", str(IVF_BATCH_QUERIES))
+    local pre-reduce, never the full scored stream."""
     from ..operators.ivf import build_ivf_index
     from ..operators.knn import local_topk_per_key
 
@@ -1103,6 +1103,7 @@ def ivf_batch_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= IVF_BATCH_K)
         .orderBy("query_id", "rn")
     )
+ivf_batch_topk_indexed.__doc__ = ivf_batch_topk_indexed.__doc__.replace( "{k}", str(IVF_BATCH_K) ).replace("{q}", str(IVF_BATCH_QUERIES))  # template scale constants into the (real) docstring
 
 
 # --------------------------------------------------------------------------
@@ -1166,9 +1167,7 @@ def doc_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is bit-identical; each round is one join on the uniform src key
     plus two groupBys (label counts, then the integer-encoded argmax) —
     map-side partials on both, no window, no skewed key (a hub's votes
-    spread across its label groups).""".replace("{k}", str(LP_ITERS)).replace(
-        "{d}", str(LP_DEG)
-    )
+    spread across its label groups)."""
     emb = read_table(spark, sf_dir, "embeddings")
     if _corpus_count_memo(sf_dir, emb) <= GRAPH_DRIVER_MAX:
         ids_all, _, _ = _graph_state_memo(sf_dir, emb, "doc_label_communities")
@@ -1187,6 +1186,7 @@ def doc_label_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("vec_id"), F.col("lab").alias("community_id")
     ).orderBy("vec_id")
+doc_label_communities.__doc__ = doc_label_communities.__doc__.replace("{k}", str(LP_ITERS)).replace( "{d}", str(LP_DEG) )  # template scale constants into the (real) docstring
 
 
 # --------------------------------------------------------------------------
@@ -1288,12 +1288,17 @@ def _knn_edges_df(emb: DataFrame, ids_all, mat, corpus_norm, deg: int) -> DataFr
 # query node, cells each row is INDEXED under (multi-assignment "spill" —
 # a row near a cell boundary appears in its GRAPH_ANN_ASSIGN nearest
 # cells, which recovers the boundary neighbours probing alone misses:
-# measured edge recall 0.65 → 0.94 on the sf corpora for assign 1 → 3 at
-# probe 8, with untrained deterministic centroids and no training pass),
-# and the centroid-count bound. probe > deg so a node whose true
-# neighbours straddle cell boundaries still fills its degree.
-GRAPH_ANN_PROBE = 8
-GRAPH_ANN_ASSIGN = 3
+# measured edge recall 0.65 → 0.93 → 0.99 on the sf corpora for
+# (probe, assign) = (8,1) → (8,3) → (10,4), with untrained seeded-sample
+# centroids and no training pass), and the centroid-count bound.
+# probe > deg so a node whose true neighbours straddle cell boundaries
+# still fills its degree. The graph route runs HOTTER than one-shot
+# search (probe 10, assign 4): PageRank/communities/triangles COMPOUND
+# edge errors across iterations, so edge recall is held near-exact at a
+# ~30% candidate-row cost the shuffle shape absorbs (still rows, never
+# pairs).
+GRAPH_ANN_PROBE = 10
+GRAPH_ANN_ASSIGN = 4
 GRAPH_ANN_MAX_CELLS = 16_384
 
 
@@ -1330,9 +1335,22 @@ def _knn_edges_ann_df(emb: DataFrame, deg: int, n_corpus: int) -> DataFrame:
 
     k_cells = int(max(16, min(GRAPH_ANN_MAX_CELLS, math.isqrt(n_corpus))))
     n_probe = min(GRAPH_ANN_PROBE, k_cells)
-    # deterministic bounded centroid set: the k_cells smallest vec_ids
-    # (a top-K, not a full sort; same convention as the IVF index ops)
-    cent = emb.select("vec_id", "embedding").orderBy("vec_id").limit(k_cells).collect()
+    # deterministic bounded centroid set: a SEEDED-HASH top-K (B31's
+    # md5-order discipline), not the first-k vec_ids — ingestion order
+    # correlates with content in real corpora (crawls arrive by domain),
+    # so first-k centroids cluster geometrically and skew cell occupancy
+    # at scale; the hash order is a uniform sample yet fully
+    # deterministic. Still a top-K (TakeOrdered), never a full sort.
+    cent = (
+        emb.select("vec_id", "embedding")
+        .withColumn(
+            "_h",
+            F.md5(F.concat_ws(":", F.lit("graph-ann-centroids-v1"), F.col("vec_id").cast("string"))),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(k_cells)
+        .collect()
+    )
     cmat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in cent])
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
     cnorm[cnorm == 0] = 1.0
@@ -1349,6 +1367,10 @@ def _knn_edges_ann_df(emb: DataFrame, deg: int, n_corpus: int) -> DataFrame:
             qn = np.sqrt((m * m).sum(axis=1))
             qn[qn == 0] = 1.0
             sims = (m @ cm.T) / (cn[None, :] * qn[:, None])
+            # quantize before ranking so the probed cell set can't shift
+            # with Arrow batch shape (ulp-level GEMM differences); stable
+            # argsort then tie-breaks by cell index
+            sims = np.copysign(np.floor(np.abs(sims) * 1e4 + 0.5), sims) / 1e4
             order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
             rep = np.repeat(np.arange(n), n_probe)
             yield pd.DataFrame(
@@ -1378,17 +1400,22 @@ def _knn_edges_ann_df(emb: DataFrame, deg: int, n_corpus: int) -> DataFrame:
         mn = np.sqrt((mm * mm).sum(axis=1))
         mn[mn == 0] = 1.0
         sims = (qm @ mm.T) / (mn[None, :] * qn[:, None])
+        # run-determinism (ADVICE r8): the same (src, dst) pair scored in
+        # different cells goes through differently-shaped GEMMs and can
+        # differ by ulps, and argpartition picks arbitrarily among
+        # boundary ties — quantize to 4 decimals (the _fold_cosine_block
+        # convention) and rank each row by (sim desc, dst asc) with a
+        # full lexsort, so the selected edge set is identical across runs
+        # and cells. The row sort is O(m log m) on the cell's member
+        # count — dominated by the O(q·m·d) GEMM it follows.
+        sims = np.copysign(np.floor(np.abs(sims) * 1e4 + 0.5), sims) / 1e4
         src_ids = qpdf["src"].to_numpy()
         dst_ids = mpdf["dst"].to_numpy()
         sims[src_ids[:, None] == dst_ids[None, :]] = -np.inf  # no self edges
         kk = min(deg, sims.shape[1])
-        # per query: top-kk by (sim desc, dst asc) — lexsort on the
-        # bounded argpartition slice, not the full cell
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         rows = []
         for i in range(len(src_ids)):
-            cand = part[i]
-            order = cand[np.lexsort((dst_ids[cand], -sims[i, cand]))]
+            order = np.lexsort((dst_ids, -sims[i]))[:kk]
             for j in order:
                 if np.isfinite(sims[i, j]):
                     rows.append((int(src_ids[i]), int(dst_ids[j]), float(sims[i, j])))
@@ -1833,9 +1860,7 @@ def graph_triangle_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{n} nodes by triangle count with degree and local clustering
     coefficient (B68) over the shared undirected top-{d} cosine graph:
     node-iterator triangle join on canonical pairs (each triangle once),
-    ppm coefficient under the floor(x+0.5) IEEE contract.""".replace(
-        "{n}", str(TRI_TOPN)
-    ).replace("{d}", str(TRI_DEG))
+    ppm coefficient under the floor(x+0.5) IEEE contract."""
     emb = read_table(spark, sf_dir, "embeddings")
     if _corpus_count_memo(sf_dir, emb) <= GRAPH_DRIVER_MAX:
         import math
@@ -1906,3 +1931,4 @@ def graph_triangle_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_tri").desc(), "vec_id")
         .limit(TRI_TOPN)
     )
+graph_triangle_coefficient.__doc__ = graph_triangle_coefficient.__doc__.replace( "{n}", str(TRI_TOPN) ).replace("{d}", str(TRI_DEG))  # template scale constants into the (real) docstring

@@ -719,7 +719,7 @@ def term_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact terms above the N/{k} frequency threshold, found with the
     two-pass bounded-memory mechanism (B56): per-partition Misra-Gries
     candidates (map-only, {kp} counters), then exact counts of the
-    candidates alone.""".replace("{k}", str(HH_K)).replace("{kp}", str(MG_COUNTERS))
+    candidates alone."""
     d = read_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
     cands = toks.mapInPandas(_mg_candidates, schema="term string").distinct()
@@ -739,6 +739,7 @@ def term_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cnt").desc(), F.col("term").asc())
     )
+term_heavy_hitters.__doc__ = term_heavy_hitters.__doc__.replace("{k}", str(HH_K)).replace("{kp}", str(MG_COUNTERS))  # template scale constants into the (real) docstring
 
 
 # ---------------------------------------------------------------------------
@@ -810,9 +811,7 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the only data movement in the whole query is the 1-row stats
     broadcast plus the top-{n} TakeOrderedAndProject. (A dynamic query
     SET would bring back the exploded (doc, term ∈ q) form — still
-    pruned before any aggregation.)""".replace(
-        "{n}", str(BM25_TOPN)
-    ).replace("{q}", repr(BM25_QUERY_TERMS))
+    pruned before any aggregation.)"""
     d = read_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.expr(H.spark_tokens("text")).alias("toks"))
     base = toks.select(
@@ -868,3 +867,4 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rnk"),
     ).orderBy("rnk")
+doc_bm25_search.__doc__ = doc_bm25_search.__doc__.replace( "{n}", str(BM25_TOPN) ).replace("{q}", repr(BM25_QUERY_TERMS))  # template scale constants into the (real) docstring

@@ -622,6 +622,12 @@ def stream_scd2_dim(event_stream: DataFrame, target_path: str) -> None:
             out = _with_last_ts(scd2_build(batch_df), batch_df, None)
             out.write.mode("overwrite").parquet(target_path)
             return
+        if "last_ts" not in dim.columns:
+            # Dimension written by a pre-last_ts build: degrade gracefully
+            # to the valid_from guard (the coalesce below) instead of an
+            # unresolved-column AnalysisException; the rewrite this batch
+            # produces carries the column from here on.
+            dim = dim.withColumn("last_ts", F.lit(None).cast("timestamp"))
         open_rows = dim.filter(F.col("is_current"))
         viol = (
             batch_df.groupBy("user_id")
@@ -673,8 +679,22 @@ def stream_zorder_append(
     inside a micro-batch stalls the stream, the same reasoning as
     stream_ivf_sq8_append's retune callback).
 
+    Replay safety: foreachBatch is AT-LEAST-ONCE — after a failure the
+    engine redelivers the in-flight epoch with the same epoch_id. The
+    sink writes a per-epoch marker (in a ``._epochs`` SIBLING dir, so
+    the compaction dir-swap can't erase it) AFTER the data append and
+    skips any epoch whose marker already exists, which makes the common
+    restart-redelivery path idempotent; the residual window (crash
+    BETWEEN the append and the marker create) still duplicates — plain
+    parquet has no transaction to close it, so exactly-once needs a
+    transactional table format (Delta/Iceberg), mirroring
+    compact_clustered's S3A note. Compaction cadence counts the epoch
+    markers rather than an in-memory counter, so a restart no longer
+    resets the cadence (markers survive restarts; compaction itself
+    leaves the sibling dir untouched).
+
     Returns the StreamingQuery; callers own its lifecycle."""
-    from ..io import compact_clustered
+    from ..io import _hadoop_fs, compact_clustered
     from ..querydefs.event_queries import _ZVAL_SPARK
 
     if on_compact is None:
@@ -685,11 +705,17 @@ def stream_zorder_append(
             )
 
     span = t1 - t0 + 1
-    state = {"batches": 0}
+    marker_dir = path.rstrip("/") + "._epochs"
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        spark = batch_df.sparkSession
+        fs, _live, jvm = _hadoop_fs(spark, path)
+        mdir = jvm.org.apache.hadoop.fs.Path(marker_dir)
+        marker = jvm.org.apache.hadoop.fs.Path(f"{marker_dir}/epoch-{epoch_id}")
+        if fs.exists(marker):
+            return  # redelivered epoch whose append already completed
         keyed = batch_df.select(
             "event_id",
             "ts",
@@ -709,8 +735,10 @@ def stream_zorder_append(
         )
         z = keyed.withColumn("zval", F.expr(_ZVAL_SPARK).cast("long"))
         z.sortWithinPartitions("zval").write.mode("append").parquet(path)
-        state["batches"] += 1
-        if state["batches"] % compact_every_batches == 0:
+        fs.mkdirs(mdir)
+        fs.create(marker, True).close()
+        n_done = len(fs.listStatus(mdir))
+        if n_done % compact_every_batches == 0:
             on_compact(path)
 
     return event_stream.writeStream.foreachBatch(sink).start()
