@@ -1,0 +1,110 @@
+"""Round-9 operators: invariants beyond the DuckDB oracle — plan shapes
+(zero-shuffle retrieval forms), sampling bias direction, distribution
+properties the hash compare can't express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_conjunctive_search_plan_is_zero_shuffle(spark, sf_dir):
+    """B74: boolean AND retrieval must stay one map pass +
+    TakeOrderedAndProject — no Exchange, no postings join."""
+    from vectordb_hr_data_spark.querydefs.text_queries import doc_conjunctive_search
+
+    plan = doc_conjunctive_search(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_reservoir_plan_and_bias(spark, sf_dir):
+    """B76: A-ES selection is zero-Exchange TakeOrdered over a pruned
+    (doc_id, n_chars) scan, and the weight actually biases the sample —
+    the selected docs' mean n_chars exceeds the corpus mean."""
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import (
+        doc_weighted_reservoir_sample,
+    )
+
+    res = doc_weighted_reservoir_sample(spark, sf_dir)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "text" not in plan.split("ReadSchema:")[1][:200]  # column pruning holds
+    sample_mean = res.agg(F.avg("n_chars")).first()[0]
+    corpus_mean = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    assert sample_mean > corpus_mean  # weighted by n_chars -> long docs over-drawn
+
+
+def test_markov_transition_rows_and_mass(spark, sf_dir):
+    """B71: full V x V grid; each from_type's smoothed probabilities sum
+    to ~1e6 ppm (integer-div floor loses < V ppm per row)."""
+    from vectordb_hr_data_spark.querydefs.event_queries import events_markov_transitions
+
+    rows = events_markov_transitions(spark, sf_dir).collect()
+    types = {r.from_type for r in rows} | {r.to_type for r in rows}
+    v = len(types)
+    assert len(rows) == v * v
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r.prob_ppm)
+    for ft, ps in by_from.items():
+        assert len(ps) == v
+        assert 1_000_000 - v <= sum(ps) <= 1_000_000, (ft, sum(ps))
+
+
+def test_hourly_burst_rows_exceed_user_mean(spark, sf_dir):
+    """B73: every flagged bucket's count strictly exceeds that user's own
+    mean hourly count (z >= 2 implies above mean since sd >= 0)."""
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import events_hourly_burst
+
+    bursts = events_hourly_burst(spark, sf_dir)
+    assert bursts.count() > 0
+    ev = read_table(spark, sf_dir, "events")
+    b = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_ts")).agg(
+        F.count("*").alias("c")
+    )
+    umean = b.groupBy("user_id").agg(F.avg("c").alias("m"))
+    viol = (
+        bursts.join(umean, "user_id")
+        .filter(F.col("n_events") * 1.0 <= F.col("m"))
+        .count()
+    )
+    assert viol == 0
+
+
+def test_kl_quality_nonnegative_and_discriminative(spark, sf_dir):
+    """B75: KL(P_doc || P_corpus) >= 0 up to integer-quantization noise,
+    with genuine spread across the corpus (it discriminates)."""
+    from vectordb_hr_data_spark.querydefs.text_queries import doc_unigram_kl_quality
+
+    rows = doc_unigram_kl_quality(spark, sf_dir).collect()
+    assert len(rows) > 0
+    kls = [r.kl_micro for r in rows]
+    assert min(kls) >= -1000  # Gibbs' inequality, quantized at micro-nats
+    assert max(kls) > min(kls)
+
+
+def test_rake_phrases_respect_cap_and_stopwords(spark, sf_dir):
+    """B79: no phrase contains a stopword or exceeds the word cap; the
+    reported n_words matches the phrase string."""
+    from vectordb_hr_data_spark.querydefs.text_queries import (
+        RAKE_MAX_WORDS,
+        RAKE_STOPWORDS,
+        doc_rake_keyphrases,
+    )
+
+    rows = doc_rake_keyphrases(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        words = r.phrase.split(" ")
+        assert 1 <= len(words) <= RAKE_MAX_WORDS
+        assert len(words) == r.n_words
+        assert not (set(words) & set(RAKE_STOPWORDS))
+        assert r.n_occurrences >= 1

@@ -613,3 +613,31 @@ def test_seeded_centroids_resist_ingestion_order_bias(spark):
         total += len(want)
         hits += len(want & got.get(src, set()))
     assert hits / total >= 0.85, hits / total
+
+
+def test_hits_routes_agree(spark, sf_dir, monkeypatch):
+    """B77: the distributed HITS rounds over the exact edge frame must
+    reproduce the driver route exactly (same edges by construction, so
+    the integer half-steps are equal row for row)."""
+    from vectordb_hr_data_spark.querydefs import similarity_queries as S
+
+    drv = [tuple(r) for r in S.graph_hits_scores(spark, sf_dir).collect()]
+    monkeypatch.setattr(S, "GRAPH_DRIVER_MAX", 0)
+    dist = [tuple(r) for r in S.graph_hits_scores(spark, sf_dir).collect()]
+    assert drv == dist and len(drv) > 0
+    # scores are max-normalized micro units
+    for _vid, auth, hub, _rnk in drv:
+        assert 0 <= auth <= 1_000_000 and 0 <= hub <= 1_000_000
+
+
+def test_kcore_routes_agree_and_invariants(spark, sf_dir, monkeypatch):
+    """B78: distributed peel == driver peel; every member's in-core
+    degree >= K (the defining k-core property)."""
+    from vectordb_hr_data_spark.querydefs import similarity_queries as S
+
+    drv = [tuple(r) for r in S.graph_kcore_members(spark, sf_dir).collect()]
+    monkeypatch.setattr(S, "GRAPH_DRIVER_MAX", 0)
+    dist = [tuple(r) for r in S.graph_kcore_members(spark, sf_dir).collect()]
+    assert drv == dist and len(drv) > 0
+    for _vid, core_deg in drv:
+        assert core_deg >= S.KCORE_K

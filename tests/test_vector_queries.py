@@ -77,8 +77,9 @@ def test_sq8_codes_are_bytes_and_recall_holds(spark, sf_dir):
 
 def test_pq_adc_plan_and_recall_floor(spark, sf_dir):
     """PQ-ADC: the distance projection must be pure scalar JVM arithmetic
-    (codegen stages present; the only Python node is the one-time encode),
-    both phases lower to TakeOrderedAndProject, and the re-ranked result
+    (codegen stages present; since r9 the one-time Arrow encode lives in
+    the persisted-index build, so the QUERY plan has no Python node at
+    all), both phases lower to TakeOrderedAndProject, and the re-ranked result
     keeps a sane recall floor vs exact even with the deterministic toy
     codebook on structure-free synthetic vectors."""
     from vectordb_hr_data_spark.querydefs.vector_queries import (
@@ -87,12 +88,15 @@ def test_pq_adc_plan_and_recall_floor(spark, sf_dir):
     )
 
     df = knn_pq_adc_rerank(spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    pq = {r.vec_id for r in df.collect()}  # finalize the AQE plan first
+    full = df._jdf.queryExecution().executedPlan().toString()
+    # the finalized AQE print carries BOTH the final and the initial plan;
+    # assert on the final section only
+    plan = full.split("== Initial Plan ==")[0]
     assert plan.count("TakeOrderedAndProject") == 2
-    assert plan.count("ArrowEvalPython") == 1  # encode only; ADC is JVM
+    assert plan.count("ArrowEvalPython") == 0  # codes pre-encoded in the index; ADC is JVM
     assert "*(" in plan
     exact = {r.vec_id for r in knn_topk_l2sq(spark, sf_dir).collect()}
-    pq = {r.vec_id for r in df.collect()}
     assert len(exact & pq) >= 3
 
 

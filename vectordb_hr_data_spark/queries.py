@@ -46,70 +46,40 @@ def register(name: str, oracle: str | None):
 # operator shape is also proven by a checked sibling come after — they still
 # run in bench.py and pytest, and get driver rows if the cap is ever lifted.
 PRIORITY: list[str] = [
-    # --- r8 rotation (VERDICT r5 #2 discipline, round 4 of it): after
-    # r7, EVERY query's staleness is known exactly (last driver row per
-    # query reconstructed from CORRECTNESS_r01-r07), so the r8 window is
-    # simply the 50 STALEST oracle queries: the one never-windowed query
-    # (doc_chunk_fixed_tokens — VERDICT r7 #2), the 13 r1-only rows, the
-    # r2/r3/r4 cohorts, and 21 of the 28 r5-stale anchors. All 50 r7-
-    # window queries hold fresh r7 rows and move below the fold, as do
-    # the r6-rowed anchors. Family breadth is held ACROSS rounds (every
-    # family's newest driver row is ≤2 rounds old), not within each
-    # window. New r8 oracles displace in-window r5 picks whose family is
-    # doubly covered. The 7 r5 leftovers open the r9 window (NEXT.md). ---
-    # never-windowed (VERDICT r7 #2) + the 13 queries whose only row is r1
-    "doc_chunk_fixed_tokens",
-    "orders_pivot_status", "string_functions_showcase",
-    "knn_topk_l2sq", "knn_batch_topk_per_label", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue", "top3_orders_per_segment",
-    "orders_by_year_month", "supplier_part_distincts", "parts_never_ordered",
-    "events_sliding_1h_30m", "events_user_daily_activity",
-    # last row r2/r3
-    "stratified_sample_by_lang",
-    "knn_topk_cosine", "knn_overfetch_similarity", "doc_token_count",
-    "doc_fingerprint", "events_json_props", "custkeys_intersect_except",
-    "lineitem_cube", "q13_customer_order_distribution", "q16_suppliers_not_in",
-    # last row r4
-    "knn_sq8_rerank", "ivf_topk_l2sq", "pack_sequences",
-    "hr_doc_text_construction", "q17_small_quantity_revenue",
-    # last row r5 (21 of 28; the other 7 lead the r9 rotation)
-    "hr_keyword_score", "hr_lang_all_match", "neardup_minhash_lsh",
-    "doc_quality_score", "doc_length_percentiles", "events_asof_last_purchase",
-    "q1_pricing_summary", "q7_nation_volume",
-    "knn_topk_sq8", "knn_pq_adc_rerank", "ivf_pq_residual_det",
-    "ivf_topk_suggested", "chunk_embed_ivf_search",
-    # new r8 oracles (displacing in-window r5 picks whose family is
-    # doubly covered — top_bigrams_per_lang, neardup_embedding_cosine,
-    # batch_topk_many_queries, label_centroids, doc_simhash, doc_lang_id,
-    # hr_metadata_flatten, hr_tagged_union_projection moved just below
-    # the fold; the r5-rowed ones lead the r9 rotation)
-    "doc_containment_probe", "session_copair_mining",
-    "embedding_dim_stats", "doc_popularity_decayed",
-    "events_asof_attribution", "knn_whitened_topk",
-    "graph_triangle_coefficient", "doc_bm25_search",
-    # --- position 51+: every query below holds a driver row (r5-r7) ---
-    "hr_tagged_union_projection",
-    "hr_metadata_flatten", "doc_simhash", "doc_lang_id",
-    "top_bigrams_per_lang", "neardup_embedding_cosine",
-    "batch_topk_many_queries", "label_centroids",
-    # r5-stale leftovers (first in line for the r9 window)
-    "doc_hash_split",
+    # --- r9 rotation (VERDICT r5 #2 discipline, round 5 of it): after
+    # r8 every oracle's newest driver row is r5+ (r8 closed the
+    # never-windowed debt). The r9 window = the 15 r5-stale oracles
+    # (VERDICT r8 "rotate into the r9 window"), the 25 r6-stale anchors,
+    # and the 10 NEW r9 oracles (B71-B79 + the fused whitened twin) —
+    # so after r9 lands, NO oracle's newest driver row is older than r7.
+    # All 50 r8-window queries and the 50 r7-window queries hold fresh
+    # rows and sit below the fold. ---
+    # r5-stale (15)
+    "hr_tagged_union_projection", "hr_metadata_flatten", "doc_simhash",
+    "doc_lang_id", "top_bigrams_per_lang", "neardup_embedding_cosine",
+    "batch_topk_many_queries", "label_centroids", "doc_hash_split",
     "doc_decontaminate_bloom", "stratified_sample_threshold",
     "events_tumbling_1h", "events_type_counts_salted",
     "customer_running_total", "acctbal_rollup",
-    # r6-rowed anchors
+    # r6-stale anchors (25)
     "q8_national_market_share", "q9_product_profit_by_nation_year",
     "q11_important_part_value", "q14_ratio_aggregate",
     "q15_top_revenue_supplier", "q19_disjunctive_predicates",
-    "q20_part_supply_nested",
+    "q20_part_supply_nested", "q4_order_priority_exists",
     "knn_topk_prefiltered", "events_sessionize",
     "hybrid_rrf_search", "ivf_sq8_rerank_indexed", "ivf_topk_indexed",
     "ivf_topk_prefiltered", "hr_union_freshness_counts", "hr_dept_filter_ci",
     "dedup_exact", "neardup_ngram_jaccard", "neardup_components",
     "neardup_dedup_keep", "doc_tfidf_top_terms", "doc_decontaminate",
     "doc_repetition_ratio", "semantic_dedup_clusters", "corpus_prep_pipeline",
-    "q4_order_priority_exists",
-    # r7-window queries (all fresh r7 rows)
+    # new r9 oracles (10)
+    "knn_whitened_topk_fused", "events_markov_transitions",
+    "events_key_skew_profile", "events_hourly_burst",
+    "doc_conjunctive_search", "doc_unigram_kl_quality",
+    "doc_weighted_reservoir_sample", "doc_rake_keyphrases",
+    "graph_hits_scores", "graph_kcore_members",
+    # --- position 51+: every query below holds an r7 or r8 driver row ---
+    # r7-window queries
     "ann_text_search", "knn_matryoshka_rerank", "ivf_batch_topk_indexed",
     "ivf_pq_adc_indexed", "chunk_ann_search", "ivf_sq4_rerank_indexed",
     "knn_opq_rotated_adc", "knn_sq4_rerank", "knn_bitsketch_hamming_rerank",
@@ -136,6 +106,28 @@ PRIORITY: list[str] = [
     "q12_priority_case_agg", "q18_large_volume_customers",
     "q21_suppliers_kept_orders_waiting",
     "q22_idle_rich_customers",
+    # r8-window queries
+    "doc_chunk_fixed_tokens",
+    "orders_pivot_status", "string_functions_showcase",
+    "knn_topk_l2sq", "knn_batch_topk_per_label", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue", "top3_orders_per_segment",
+    "orders_by_year_month", "supplier_part_distincts", "parts_never_ordered",
+    "events_sliding_1h_30m", "events_user_daily_activity",
+    "stratified_sample_by_lang",
+    "knn_topk_cosine", "knn_overfetch_similarity", "doc_token_count",
+    "doc_fingerprint", "events_json_props", "custkeys_intersect_except",
+    "lineitem_cube", "q13_customer_order_distribution", "q16_suppliers_not_in",
+    "knn_sq8_rerank", "ivf_topk_l2sq", "pack_sequences",
+    "hr_doc_text_construction", "q17_small_quantity_revenue",
+    "hr_keyword_score", "hr_lang_all_match", "neardup_minhash_lsh",
+    "doc_quality_score", "doc_length_percentiles", "events_asof_last_purchase",
+    "q1_pricing_summary", "q7_nation_volume",
+    "knn_topk_sq8", "knn_pq_adc_rerank", "ivf_pq_residual_det",
+    "ivf_topk_suggested", "chunk_embed_ivf_search",
+    "doc_containment_probe", "session_copair_mining",
+    "embedding_dim_stats", "doc_popularity_decayed",
+    "events_asof_attribution", "knn_whitened_topk",
+    "graph_triangle_coefficient", "doc_bm25_search",
     # rows-only MLlib/UDF paths (pytest-pinned; no SQL oracle exists)
     "lsh_minhash_neardup_pairs", "tfidf_top_terms", "lsh_brp_ann_topk",
     "embed_documents_sha256", "multimodal_feature_extract",

@@ -1012,3 +1012,249 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# B71: Markov event-type transition matrix (r9)
+# --------------------------------------------------------------------------
+# The sequence-model prior every behavioural pipeline fits first: order
+# each user's stream, count (prev_type -> type) transitions, and emit the
+# FULL V x V matrix with Laplace-smoothed probabilities in integer ppm —
+# (cnt + 1) * 1e6 div (row_total + V) — so unobserved transitions carry
+# their smoothed mass and the integer div is engine-identical. Scale
+# shape: ONE user_id-partitioned lag window (the sessionize discipline),
+# a uniform-key groupBy on (from, to) with map-side partials, and the
+# V x V grid materialized by crossing the DISTINCT type table with
+# itself — V is the event-type vocabulary (single digits to hundreds),
+# so the grid and the per-row totals broadcast; nothing here grows with
+# the event count except the one windowed pass.
+
+
+@register(
+    "events_markov_transitions",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), trans AS (
+  SELECT prev_type AS from_type, event_type AS to_type, count(*) AS c
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+), types AS (
+  SELECT DISTINCT event_type AS t FROM events
+), grid AS (
+  SELECT a.t AS from_type, b.t AS to_type FROM types a CROSS JOIN types b
+), vocab AS (
+  SELECT count(*) AS v FROM types
+), full_grid AS (
+  SELECT g.from_type, g.to_type, CAST(coalesce(tr.c, 0) AS BIGINT) AS n_trans
+  FROM grid g LEFT JOIN trans tr
+    ON tr.from_type = g.from_type AND tr.to_type = g.to_type
+), tot AS (
+  SELECT from_type, sum(n_trans) AS row_total FROM full_grid GROUP BY from_type
+)
+SELECT f.from_type, f.to_type, f.n_trans,
+       CAST((f.n_trans + 1) * 1000000 // (t.row_total + v.v) AS BIGINT) AS prob_ppm
+FROM full_grid f JOIN tot t ON t.from_type = f.from_type CROSS JOIN vocab v
+ORDER BY f.from_type, f.to_type
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-smoothed first-order Markov transition matrix over each
+    user's time-ordered event stream (B71) — integer ppm probabilities,
+    full V×V grid including unobserved transitions."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count("*").alias("c"))
+    )
+    types = ev.select(F.col("event_type").alias("t")).distinct()
+    v = types.count()  # event-type vocabulary: bounded, collected once
+    grid = types.select(F.col("t").alias("from_type")).crossJoin(
+        types.select(F.col("t").alias("to_type"))
+    )
+    full = grid.join(F.broadcast(trans), ["from_type", "to_type"], "left").select(
+        "from_type", "to_type", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_trans")
+    )
+    wt = Window.partitionBy("from_type")
+    return (
+        full.withColumn("row_total", F.sum("n_trans").over(wt))
+        .select(
+            "from_type",
+            "to_type",
+            "n_trans",
+            F.expr(f"(n_trans + 1) * 1000000 div (row_total + {v})")
+            .cast("long")
+            .alias("prob_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# B72: key-skew audit (r9)
+# --------------------------------------------------------------------------
+# The profiling pass a 100 TB engine runs BEFORE choosing a shuffle
+# strategy: per stream partition key-space (here event_type), how skewed
+# is the join/agg key (user_id)? Emits rows, distinct keys, the top-1 and
+# top-10 key shares in ppm, and max/median per-key multiplicity in milli
+# — exactly the numbers that decide broadcast vs salt vs AQE skew-join
+# (events_salted_join_weighted is the downstream consumer of this
+# decision). Median is the LOWER median by row_number — exact integer
+# rank semantics, no engine-specific percentile interpolation. Scale
+# shape: one uniform (type, key) count with map-side partials, then
+# per-type ranking over the DISTINCT KEY table (bounded by key
+# cardinality, not row count); shares are integer ppm divs.
+
+
+@register(
+    "events_key_skew_profile",
+    """
+WITH kc AS (
+  SELECT event_type, user_id, count(*) AS c FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, user_id, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c DESC, user_id) AS rd,
+         row_number() OVER (PARTITION BY event_type ORDER BY c ASC, user_id) AS ra,
+         count(*) OVER (PARTITION BY event_type) AS n_keys,
+         sum(c) OVER (PARTITION BY event_type) AS n_rows
+  FROM kc
+)
+SELECT event_type,
+       CAST(max(n_rows) AS BIGINT) AS n_rows,
+       CAST(max(n_keys) AS BIGINT) AS n_keys,
+       CAST(max(CASE WHEN rd = 1 THEN c ELSE 0 END) * 1000000 // max(n_rows) AS BIGINT) AS top1_share_ppm,
+       CAST(sum(CASE WHEN rd <= 10 THEN c ELSE 0 END) * 1000000 // max(n_rows) AS BIGINT) AS top10_share_ppm,
+       CAST(max(CASE WHEN rd = 1 THEN c ELSE 0 END) * 1000
+            // max(CASE WHEN ra = (n_keys + 1) // 2 THEN c ELSE 0 END) AS BIGINT) AS max_over_median_milli
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type skew audit of the user_id key space (B72): top-1 /
+    top-10 key shares (ppm) and max/lower-median multiplicity (milli) —
+    the broadcast-vs-salt decision inputs."""
+    ev = read_table(spark, sf_dir, "events")
+    kc = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
+    wd = Window.partitionBy("event_type").orderBy(F.col("c").desc(), F.col("user_id"))
+    wa = Window.partitionBy("event_type").orderBy(F.col("c").asc(), F.col("user_id"))
+    wp = Window.partitionBy("event_type")
+    ranked = kc.select(
+        "event_type",
+        "c",
+        F.row_number().over(wd).alias("rd"),
+        F.row_number().over(wa).alias("ra"),
+        F.count("*").over(wp).alias("n_keys"),
+        F.sum("c").over(wp).alias("n_rows"),
+    )
+    top1 = F.max(F.when(F.col("rd") == 1, F.col("c")).otherwise(F.lit(0)))
+    med = F.max(
+        F.when(F.col("ra") == (F.col("n_keys") + 1) / 2, F.col("c")).otherwise(F.lit(0))
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n_rows").cast("long").alias("n_rows"),
+            F.max("n_keys").cast("long").alias("n_keys"),
+            F.expr(
+                "max(case when rd = 1 then c else 0 end) * 1000000"
+                " div max(n_rows)"
+            )
+            .cast("long")
+            .alias("top1_share_ppm"),
+            F.expr(
+                "sum(case when rd <= 10 then c else 0 end) * 1000000"
+                " div max(n_rows)"
+            )
+            .cast("long")
+            .alias("top10_share_ppm"),
+            F.expr(
+                "max(case when rd = 1 then c else 0 end) * 1000"
+                " div max(case when ra = (n_keys + 1) div 2 then c else 0 end)"
+            )
+            .cast("long")
+            .alias("max_over_median_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# B73: per-user hourly burst detection (r9)
+# --------------------------------------------------------------------------
+# Rate-anomaly gate (abuse/bot filtering before events feed training
+# data): bucket each user's events by hour, z-score every bucket against
+# THAT USER's own hourly distribution, flag buckets with z >= 2. The
+# z arithmetic is the B64/B67 integer discipline — per-user mean in
+# micro-events via floor(x+0.5), sd via the CLAMPED variance residue
+# (greatest(var, 0), the r8-ADVICE lesson) floored to >= 1 so an
+# all-constant user degrades instead of NaN-ing — so both engines emit
+# identical longs. Scale shape: (user, hour) count with map-side
+# partials; user stats are a second uniform-key agg over the BUCKET
+# table (bounded by users x active-hours, far below row count);
+# broadcast-join stats back; the flag filter is map-side.
+
+
+@register(
+    "events_hourly_burst",
+    """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour_ts, count(*) AS c
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT user_id,
+         CAST(floor(sum(c) * 1000000.0 / count(*) + 0.5) AS BIGINT) AS mean_micro,
+         greatest(CAST(floor(sqrt(greatest(sum(c * c) * 1.0 / count(*)
+                                  - (sum(c) * 1.0 / count(*)) * (sum(c) * 1.0 / count(*)), 0.0))
+                             * 1000000.0 + 0.5) AS BIGINT), 1) AS sd_micro
+  FROM b GROUP BY user_id
+)
+SELECT b.user_id, b.hour_ts, CAST(b.c AS BIGINT) AS n_events,
+       CAST(floor((b.c * 1000000 - st.mean_micro) * 1000.0 / st.sd_micro + 0.5) AS BIGINT) AS z_milli
+FROM b JOIN st USING (user_id)
+WHERE floor((b.c * 1000000 - st.mean_micro) * 1000.0 / st.sd_micro + 0.5) >= 2000
+ORDER BY user_id, hour_ts
+""",
+)
+def events_hourly_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly rate bursts (B73): buckets whose event count is
+    >= 2 user-local standard deviations above that user's hourly mean;
+    integer micro/milli z-scores, clamped variance."""
+    ev = read_table(spark, sf_dir, "events")
+    b = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_ts")).agg(
+        F.count("*").alias("c")
+    )
+    n = F.count("*")
+    s = F.sum("c")
+    s2 = F.sum(F.col("c") * F.col("c"))
+    st = b.groupBy("user_id").agg(
+        F.floor(s * 1000000.0 / n + 0.5).cast("long").alias("mean_micro"),
+        F.greatest(
+            F.floor(
+                F.sqrt(F.greatest(s2 * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n), F.lit(0.0)))
+                * 1000000.0
+                + 0.5
+            ).cast("long"),
+            F.lit(1).cast("long"),
+        ).alias("sd_micro"),
+    )
+    z = F.floor(
+        (F.col("c") * 1000000 - F.col("mean_micro")) * 1000.0 / F.col("sd_micro") + 0.5
+    ).cast("long")
+    return (
+        b.join(F.broadcast(st), "user_id")
+        .select(
+            "user_id",
+            "hour_ts",
+            F.col("c").cast("long").alias("n_events"),
+            z.alias("z_milli"),
+        )
+        .filter(F.col("z_milli") >= 2000)
+        .orderBy("user_id", "hour_ts")
+    )

@@ -1978,3 +1978,58 @@ def doc_popularity_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(POPULARITY_TOPN)
     )
 doc_popularity_decayed.__doc__ = doc_popularity_decayed.__doc__.replace("{n}", str(POPULARITY_TOPN))  # template scale constants into the (real) docstring
+
+
+# ---------------------------------------------------------------------------
+# B76: deterministic weighted reservoir sampling (A-ES) (r9)
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement at stream/corpus scale — the
+# Efraimidis-Spirakis exponential-jumps scheme (A-ES): each item draws
+# u ~ U(0,1] and ranks by u^(1/w); the top-k by that key IS an exact
+# weighted sample without replacement. Here u is a SEEDED md5 hash
+# (B31's discipline: u = (h32 + 1) / 2^32, never 0), the rank key is the
+# log form ln(u)/w (monotone in u^(1/w), numerically flat), quantized to
+# integer pico-units with doc_id tie-break — ln is transcendental, so
+# per the repo's rounding contract its quantization boundaries have
+# measure ~0 and both engines agree. Weights = n_chars (sample long docs
+# proportionally more — the token-budget sampling companion to B37).
+# Scale shape: the key is computed map-side from (doc_id, n_chars)
+# alone; selection is one TakeOrderedAndProject — a global top-k, no
+# shuffle of the corpus, no reservoir state; restarting or resharding
+# the corpus cannot change the sample (content-keyed, the B11 property).
+WRS_K = 50
+
+
+@register(
+    "doc_weighted_reservoir_sample",
+    f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         CAST(round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wrs'), 1, 8)) AS BIGINT) + 1)
+                       / 4294967296.0) / n_chars * 1000000000000.0) AS BIGINT) AS key_pico
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, key_pico,
+       row_number() OVER (ORDER BY key_pico DESC, doc_id) AS rnk
+FROM keyed
+ORDER BY rnk LIMIT {WRS_K}
+""",
+)
+def doc_weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted sample without replacement of {k} documents,
+    weight = n_chars (B76, Efraimidis-Spirakis A-ES): seeded-hash
+    uniform, rank by ln(u)/w in integer pico-units, top-k."""
+    d = read_table(spark, sf_dir, "documents")
+    h = F.expr(
+        "cast(conv(substring(md5(concat(cast(doc_id as string), ':wrs')), 1, 8), 16, 10) as bigint)"
+    )
+    key = F.round(F.log((h + 1) / F.lit(4294967296.0)) / F.col("n_chars") * 1e12).cast("long")
+    keyed = d.filter(F.col("n_chars") > 0).select(
+        "doc_id", "n_chars", key.alias("key_pico")
+    )
+    # TakeOrderedAndProject: the top-k is a per-partition heap + one
+    # k-row merge on the driver — no global window over the corpus
+    top = keyed.orderBy(F.col("key_pico").desc(), F.col("doc_id")).limit(WRS_K)
+    w = Window.orderBy(F.col("key_pico").desc(), F.col("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).orderBy("rnk")
+doc_weighted_reservoir_sample.__doc__ = doc_weighted_reservoir_sample.__doc__.replace("{k}", str(WRS_K))  # template scale constants into the (real) docstring

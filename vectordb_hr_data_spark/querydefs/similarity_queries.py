@@ -1932,3 +1932,283 @@ def graph_triangle_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TRI_TOPN)
     )
 graph_triangle_coefficient.__doc__ = graph_triangle_coefficient.__doc__.replace( "{n}", str(TRI_TOPN) ).replace("{d}", str(TRI_DEG))  # template scale constants into the (real) docstring
+
+
+# --------------------------------------------------------------------------
+# B77: HITS hubs & authorities over the kNN graph (r9)
+# --------------------------------------------------------------------------
+# The second classic eigenvector centrality next to PageRank (Kleinberg
+# JACM'99): hubs point AT authorities, authorities are pointed TO — on a
+# kNN similarity graph, high-authority documents are the ones many other
+# documents consider a near neighbour (cluster cores), high-hub rows sit
+# near many cores (bridges). The iteration is integer micro-units end to
+# end: a := A^T h, h := A a, each half-step renormalized by
+# x * 1e6 div max(x) (integer div, max clamped >= 1) — deterministic,
+# order-independent, replayable by the oracle's recursive CTE (nested
+# CTEs give the two half-steps inside one recursive term). Shares the
+# ONE memoized top-3 edge build with PageRank / LP / coreset /
+# triangles; above the driver tier each round is two edge joins + two
+# uniform groupBys + a 1-row max broadcast, localCheckpointed — the
+# _pagerank_rounds_df discipline exactly.
+HITS_ITERS = 5
+HITS_TOPN = 20
+
+
+def _hits_scores_driver(out_edges: dict, iters: int) -> tuple[dict, dict]:
+    """Integer HITS half-steps over ALL nodes, driver route."""
+    h = {v: 1_000_000 for v in out_edges}
+    a = dict(h)
+    for _ in range(iters):
+        a_raw = {v: 0 for v in h}
+        for u, dsts in out_edges.items():
+            for v in dsts:
+                a_raw[v] += h[u]
+        ma = max(max(a_raw.values()), 1)
+        a = {v: x * 1_000_000 // ma for v, x in a_raw.items()}
+        h_raw = {v: sum(a[w] for w in out_edges[v]) for v in h}
+        mh = max(max(h_raw.values()), 1)
+        h = {v: x * 1_000_000 // mh for v, x in h_raw.items()}
+    return h, a
+
+
+def _hits_rounds_df(emb: DataFrame, dir_edges: DataFrame, iters: int) -> DataFrame:
+    """Distributed HITS rounds returning every node's final (h, a)."""
+    edges = dir_edges.localCheckpoint(eager=True)
+    nodes = emb.select(F.col("vec_id").alias("node")).localCheckpoint(eager=True)
+    h = nodes.select("node", F.lit(1_000_000).cast("long").alias("h")).localCheckpoint(
+        eager=True
+    )
+    a = None
+    for _ in range(iters):
+        raw_a = (
+            edges.join(h, edges.src == h.node)
+            .groupBy("dst")
+            .agg(F.sum("h").alias("x"))
+        )
+        a_full = (
+            nodes.join(raw_a, nodes.node == raw_a.dst, "left")
+            .select("node", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+        )
+        ma = a_full.agg(F.greatest(F.max("x"), F.lit(1).cast("long")).alias("m"))
+        a = (
+            a_full.crossJoin(F.broadcast(ma))
+            .select("node", F.expr("x * 1000000 div m").cast("long").alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        raw_h = (
+            edges.join(a, edges.dst == a.node)
+            .groupBy("src")
+            .agg(F.sum("a").alias("x"))
+        )
+        h_full = (
+            nodes.join(raw_h, nodes.node == raw_h.src, "left")
+            .select("node", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+        )
+        mh = h_full.agg(F.greatest(F.max("x"), F.lit(1).cast("long")).alias("m"))
+        h = (
+            h_full.crossJoin(F.broadcast(mh))
+            .select("node", F.expr("x * 1000000 div m").cast("long").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+    return h.join(a, "node")
+
+
+@register(
+    "graph_hits_scores",
+    f"""
+WITH RECURSIVE scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_COS_DDB.format(a='b.embedding', b='a.embedding')}, 4) DESC,
+                                     b.vec_id) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+), edges AS (
+  SELECT src, dst FROM scored WHERE rn <= {PAGERANK_DEG}
+), hits AS (
+  SELECT 0 AS iter, vec_id AS node, CAST(1000000 AS BIGINT) AS h, CAST(1000000 AS BIGINT) AS a
+  FROM embeddings
+  UNION ALL
+  (WITH prev AS (SELECT * FROM hits WHERE iter < {HITS_ITERS}),
+   a_raw AS (
+     SELECT p.iter + 1 AS iter, p.node, CAST(coalesce(s.x, 0) AS BIGINT) AS x
+     FROM prev p LEFT JOIN (
+       SELECT e.dst AS node, sum(p2.h) AS x
+       FROM prev p2 JOIN edges e ON e.src = p2.node
+       GROUP BY e.dst
+     ) s ON s.node = p.node
+   ),
+   a_norm AS (
+     SELECT iter, node,
+            CAST(x * 1000000 // greatest(max(x) OVER (), 1) AS BIGINT) AS a
+     FROM a_raw
+   ),
+   h_raw AS (
+     SELECT q.iter, q.node, CAST(coalesce(s2.x, 0) AS BIGINT) AS x
+     FROM a_norm q LEFT JOIN (
+       SELECT e.src AS node, sum(an2.a) AS x
+       FROM a_norm an2 JOIN edges e ON e.dst = an2.node
+       GROUP BY e.src
+     ) s2 ON s2.node = q.node
+   ),
+   h_norm AS (
+     SELECT iter, node,
+            CAST(x * 1000000 // greatest(max(x) OVER (), 1) AS BIGINT) AS h
+     FROM h_raw
+   )
+   SELECT hn.iter, hn.node, hn.h, an.a
+   FROM h_norm hn JOIN a_norm an ON an.node = hn.node AND an.iter = hn.iter)
+)
+SELECT node AS vec_id, a AS auth_micro, h AS hub_micro,
+       row_number() OVER (ORDER BY a DESC, node) AS rnk
+FROM hits WHERE iter = {HITS_ITERS}
+ORDER BY rnk LIMIT {HITS_TOPN}
+""",
+)
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{n} authorities (with hub scores) after {k} integer HITS
+    half-step pairs over the directed top-{d} cosine graph (B77) —
+    max-normalized micro-unit arithmetic, full recursive-CTE oracle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    if _corpus_count_memo(sf_dir, emb) <= GRAPH_DRIVER_MAX:
+        out_edges = _out_edges_memo(sf_dir, emb, PAGERANK_DEG, "graph_hits_scores")
+        h, a = _hits_scores_driver(out_edges, HITS_ITERS)
+        top = sorted(((-av, v) for v, av in a.items()))[:HITS_TOPN]
+        return spark.createDataFrame(
+            [(v, -na, h[v], i + 1) for i, (na, v) in enumerate(top)],
+            "vec_id long, auth_micro long, hub_micro long, rnk long",
+        ).orderBy("rnk")
+    dir_edges = _graph_dir_edges(sf_dir, emb, PAGERANK_DEG, "graph_hits_scores")
+    ha = _hits_rounds_df(emb, dir_edges, HITS_ITERS)
+    return (
+        ha.select(
+            F.col("node").alias("vec_id"),
+            F.col("a").alias("auth_micro"),
+            F.col("h").alias("hub_micro"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.col("auth_micro").desc(), F.col("vec_id").asc()))
+            .cast("long"),
+        )
+        .filter(F.col("rnk") <= HITS_TOPN)
+        .orderBy("rnk")
+    )
+graph_hits_scores.__doc__ = graph_hits_scores.__doc__.replace("{n}", str(HITS_TOPN)).replace("{k}", str(HITS_ITERS)).replace("{d}", str(PAGERANK_DEG))  # template scale constants into the (real) docstring
+
+
+# --------------------------------------------------------------------------
+# B78: k-core decomposition of the kNN graph (r9)
+# --------------------------------------------------------------------------
+# Density-based selection: the K-core is the maximal subgraph where every
+# node keeps >= K neighbours INSIDE the subgraph — peeling low-degree
+# nodes iteratively strips manifold outliers and leaves the dense
+# regions (the standard coreset/anomaly complement to centrality).
+# Undirected edges = the MUTUAL-kNN graph (u-v kept only when u picks v
+# AND v picks u — the reciprocal filter standard in density clustering;
+# the one-directional top-k graph has min degree pinned at k, which
+# makes every k-core trivial: K<=3 keeps all, K>=4 cascades to empty,
+# while the mutual graph's degrees vary 0..k and K=2 keeps the dense
+# ~58% of this corpus). The peel
+# runs a FIXED {r} rounds on both engines (idempotent once converged, so
+# fixed-round replay is exact whether or not the peel has stabilized —
+# no convergence flag has to cross engines). Scale shape: each round is
+# two semi-joins of the edge frame against the survivor frame (uniform
+# keys, survivors only shrink) + one uniform groupBy; at 100 TB the
+# round count stays the fixed constant and each round's volume is
+# bounded by the remaining edge count — no step holds the graph in one
+# task.
+KCORE_K = 2
+KCORE_ROUNDS = 12
+
+
+def _kcore_driver(out_edges: dict, k: int, rounds: int) -> dict:
+    """Fixed-round peel, driver route: survivor -> in-core degree."""
+    und: dict = {v: set() for v in out_edges}
+    for u, dsts in out_edges.items():
+        for v in dsts:
+            if u in out_edges.get(v, ()):  # mutual-kNN: reciprocal only
+                und[u].add(v)
+                und.setdefault(v, set()).add(u)
+    alive = set(und)
+    for _ in range(rounds):
+        alive = {v for v in alive if len(und[v] & alive) >= k}
+    return {v: len(und[v] & alive) for v in alive}
+
+
+def _kcore_rounds_df(emb: DataFrame, dir_edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Distributed fixed-round peel returning (node, core_deg)."""
+    fwd = dir_edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    rev = dir_edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    # mutual-kNN: keep a-b only when both directions exist (semi-join on
+    # the uniform pair key); result is symmetric by construction
+    und = fwd.join(rev, ["a", "b"], "left_semi").localCheckpoint(eager=True)
+    alive = emb.select(F.col("vec_id").alias("node")).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (
+            und.join(alive.withColumnRenamed("node", "a"), "a")
+            .join(alive.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.count("*").alias("d"))
+        )
+        alive = (
+            deg.filter(F.col("d") >= k).select(F.col("a").alias("node")).localCheckpoint(eager=True)
+        )
+    return (
+        und.join(alive.withColumnRenamed("node", "a"), "a")
+        .join(alive.withColumnRenamed("node", "b"), "b")
+        .groupBy("a")
+        .agg(F.count("*").cast("long").alias("core_deg"))
+        .select(F.col("a").alias("vec_id"), "core_deg")
+    )
+
+
+@register(
+    "graph_kcore_members",
+    f"""
+WITH RECURSIVE scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_COS_DDB.format(a='b.embedding', b='a.embedding')}, 4) DESC,
+                                     b.vec_id) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+), de AS (
+  SELECT src, dst FROM scored WHERE rn <= {PAGERANK_DEG}
+), ue AS (
+  SELECT d1.src AS a, d1.dst AS b
+  FROM de d1 JOIN de d2 ON d2.src = d1.dst AND d2.dst = d1.src
+), core AS (
+  SELECT 0 AS r, vec_id AS node FROM embeddings
+  UNION ALL
+  (WITH prev AS (SELECT * FROM core WHERE r < {KCORE_ROUNDS}),
+   deg AS (
+     SELECT p.r, e.a AS node, count(*) AS d
+     FROM ue e
+     JOIN prev p ON p.node = e.a
+     JOIN prev p2 ON p2.node = e.b AND p2.r = p.r
+     GROUP BY p.r, e.a
+   )
+   SELECT r + 1, node FROM deg WHERE d >= {KCORE_K})
+), surv AS (
+  SELECT node FROM core WHERE r = {KCORE_ROUNDS}
+)
+SELECT s.node AS vec_id, CAST(count(*) AS BIGINT) AS core_deg
+FROM surv s JOIN ue e ON e.a = s.node JOIN surv s2 ON s2.node = e.b
+GROUP BY s.node
+ORDER BY vec_id
+""",
+)
+def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Members of the {k}-core of the MUTUAL-kNN graph (reciprocal top-3
+    edges) with their in-core degree (B78) — fixed {r}-round peel, full
+    recursive-CTE oracle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    if _corpus_count_memo(sf_dir, emb) <= GRAPH_DRIVER_MAX:
+        out_edges = _out_edges_memo(sf_dir, emb, PAGERANK_DEG, "graph_kcore_members")
+        core = _kcore_driver(out_edges, KCORE_K, KCORE_ROUNDS)
+        return spark.createDataFrame(
+            sorted(core.items()), "vec_id long, core_deg long"
+        ).orderBy("vec_id")
+    dir_edges = _graph_dir_edges(sf_dir, emb, PAGERANK_DEG, "graph_kcore_members")
+    return _kcore_rounds_df(emb, dir_edges, KCORE_K, KCORE_ROUNDS).orderBy("vec_id")
+graph_kcore_members.__doc__ = graph_kcore_members.__doc__.replace("{k}", str(KCORE_K)).replace("{r}", str(KCORE_ROUNDS))  # template scale constants into the (real) docstring

@@ -868,3 +868,267 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rnk"),
     ).orderBy("rnk")
 doc_bm25_search.__doc__ = doc_bm25_search.__doc__.replace( "{n}", str(BM25_TOPN) ).replace("{q}", repr(BM25_QUERY_TERMS))  # template scale constants into the (real) docstring
+
+
+# ---------------------------------------------------------------------------
+# B74: conjunctive keyword search (AND-postings intersection) (r9)
+# ---------------------------------------------------------------------------
+# The boolean-retrieval primitive next to BM25's ranked form: documents
+# containing ALL query terms, ranked by total term frequency. Same
+# zero-shuffle shape as doc_bm25_search — per-term tf is row-local
+# `size(filter(tokens, t -> t = term))`, the AND is a conjunction of
+# tf > 0 predicates evaluated in the SAME map pass (a scan + filter +
+# TakeOrderedAndProject plan; no posting-list join materializes), and at
+# 100 TB the filter's selectivity (product of the terms' df ratios) is
+# exactly what a postings-intersection would buy, for free, inside
+# whole-stage codegen. The multi-query/persistent-index form is B15's
+# postings discipline; this is the one-shot serving shape.
+CONJ_TERMS = ("vector", "hash", "merge")
+CONJ_TOPN = 20
+
+
+@register(
+    "doc_conjunctive_search",
+    f"""
+WITH tf AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x = '{CONJ_TERMS[0]}')) AS tf0,
+         len(list_filter(string_split(text, ' '), x -> x = '{CONJ_TERMS[1]}')) AS tf1,
+         len(list_filter(string_split(text, ' '), x -> x = '{CONJ_TERMS[2]}')) AS tf2
+  FROM documents
+)
+SELECT doc_id, CAST(tf0 + tf1 + tf2 AS BIGINT) AS tf_total,
+       row_number() OVER (ORDER BY tf0 + tf1 + tf2 DESC, doc_id) AS rnk
+FROM tf WHERE tf0 > 0 AND tf1 > 0 AND tf2 > 0
+ORDER BY rnk LIMIT {CONJ_TOPN}
+""",
+)
+def doc_conjunctive_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{n} documents containing ALL of {t}, ranked by summed term
+    frequency (B74) — boolean AND retrieval as one map-side pass +
+    TakeOrderedAndProject, no postings join, no shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    tfs = [
+        F.size(F.expr(f"filter(split(text, ' '), x -> x = '{t}')")).alias(f"tf{i}")
+        for i, t in enumerate(CONJ_TERMS)
+    ]
+    tf = d.select("doc_id", *tfs)
+    total = sum(F.col(f"tf{i}") for i in range(len(CONJ_TERMS)))
+    hit = tf.filter(
+        (F.col("tf0") > 0) & (F.col("tf1") > 0) & (F.col("tf2") > 0)
+    ).select("doc_id", total.cast("long").alias("tf_total"))
+    # TakeOrderedAndProject first (no global-window shuffle of the hit
+    # set); the row_number then runs on the <= CONJ_TOPN-row frame
+    top = hit.orderBy(F.col("tf_total").desc(), F.col("doc_id")).limit(CONJ_TOPN)
+    w = Window.orderBy(F.col("tf_total").desc(), F.col("doc_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).orderBy("rnk")
+doc_conjunctive_search.__doc__ = doc_conjunctive_search.__doc__.replace("{n}", str(CONJ_TOPN)).replace("{t}", str(CONJ_TERMS))  # template scale constants into the (real) docstring
+
+
+# ---------------------------------------------------------------------------
+# B75: unigram KL-divergence quality score (r9)
+# ---------------------------------------------------------------------------
+# The distribution-shift quality signal (the unigram core of DSIR's
+# importance weights, Xie et al. NeurIPS'23, and the classic LM-ratio
+# web filter): KL(P_doc || P_corpus) — how far each document's unigram
+# distribution sits from the corpus-wide distribution. Near-zero =
+# corpus-typical text; large = topical outlier or degenerate repetition.
+# Determinism: the B33 micro-nat contract — each distinct (doc, word)'s
+# ln((n_dw * C) / (N_d * C_w)) quantizes ONCE to integer micro-nats,
+# per-doc aggregation is the exact integer sum round(sum(n_dw * t) / N_d)
+# — order-independent and engine-identical; only the display float
+# derives from the integer. Scale shape: per-(doc, word) counts reduce
+# map-side; the corpus count table is vocabulary-sized (broadcast; at
+# web scale the same plan holds with a uniform shuffle join on word);
+# one uniform-key groupBy(doc_id) finishes it.
+
+
+@register(
+    "doc_unigram_kl_quality",
+    """
+WITH dw AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), dcount AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n_dw FROM dw GROUP BY doc_id, w
+), dtot AS (
+  SELECT doc_id, CAST(sum(n_dw) AS BIGINT) AS n_d FROM dcount GROUP BY doc_id
+), ccount AS (
+  SELECT w, CAST(sum(n_dw) AS BIGINT) AS c_w FROM dcount GROUP BY w
+), ctot AS (
+  SELECT CAST(sum(c_w) AS BIGINT) AS c FROM ccount
+), terms AS (
+  SELECT d.doc_id, d.n_dw,
+         CAST(round(ln((d.n_dw * ct.c) * 1.0 / (dt.n_d * cc.c_w)) * 1000000.0) AS BIGINT) AS t_micro
+  FROM dcount d
+  JOIN dtot dt USING (doc_id)
+  JOIN ccount cc USING (w)
+  CROSS JOIN ctot ct
+)
+SELECT t.doc_id, dt.n_d AS n_tokens,
+       CAST(round(sum(t.n_dw * t.t_micro) * 1.0 / dt.n_d) AS BIGINT) AS kl_micro,
+       CAST(round(sum(t.n_dw * t.t_micro) * 1.0 / dt.n_d) AS BIGINT) / 1000000.0 AS kl_nats
+FROM terms t JOIN dtot dt USING (doc_id)
+GROUP BY t.doc_id, dt.n_d
+ORDER BY t.doc_id
+""",
+)
+def doc_unigram_kl_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document KL(P_doc || P_corpus) over unigrams in integer
+    micro-nats (B75) — the distribution-shift quality gate; large values
+    flag topical outliers and degenerate repetition."""
+    d = read_table(spark, sf_dir, "documents")
+    dw = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    dcount = dw.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("n_dw"))
+    dtot = dcount.groupBy("doc_id").agg(F.sum("n_dw").cast("long").alias("n_d"))
+    ccount = dcount.groupBy("w").agg(F.sum("n_dw").cast("long").alias("c_w"))
+    ctot = ccount.agg(F.sum("c_w").cast("long").alias("c"))
+    terms = (
+        dcount.join(F.broadcast(dtot), "doc_id")
+        .join(F.broadcast(ccount), "w")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "doc_id",
+            "n_dw",
+            "n_d",
+            F.round(
+                F.log((F.col("n_dw") * F.col("c")) * 1.0 / (F.col("n_d") * F.col("c_w")))
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("t_micro"),
+        )
+    )
+    agg = terms.groupBy("doc_id", "n_d").agg(
+        F.round(F.sum(F.col("n_dw") * F.col("t_micro")) * 1.0 / F.first("n_d"))
+        .cast("long")
+        .alias("kl_micro")
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_d").alias("n_tokens"),
+        "kl_micro",
+        (F.col("kl_micro") / 1000000.0).alias("kl_nats"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# B79: RAKE keyphrase extraction (r9)
+# ---------------------------------------------------------------------------
+# Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate
+# phrases are the maximal token runs between stopword/delimiter breaks
+# (gaps-and-islands: island id = running count of stopwords), each
+# word scores degree/frequency over the candidate set (degree = summed
+# length of the phrases it appears in — co-occurrence favours words that
+# live inside longer collocations), and a phrase scores the sum of its
+# words' scores. Determinism: word scores quantize ONCE to integer
+# milli (deg * 1000 div freq), phrase scores are exact integer sums,
+# ties break on the phrase string. Phrases longer than {m} words are
+# dropped (the standard practical cap; unbounded RAKE drowns in
+# one-off mega-phrases). Scale shape: positions explode map-side, the
+# island id is ONE per-doc window cumsum (the sessionize discipline),
+# word stats reduce to vocabulary size (broadcast back), and only the
+# bounded candidate set ever shuffles — document count never rides a
+# join.
+RAKE_STOPWORDS = ("a", "the")
+RAKE_MAX_WORDS = 4
+RAKE_TOPN = 20
+
+
+def _rake_stop_sql(col: str) -> str:
+    inlist = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+    return f"CASE WHEN {col} IN ({inlist}) THEN 1 ELSE 0 END"
+
+
+@register(
+    "doc_rake_keyphrases",
+    f"""
+WITH pos AS (
+  SELECT doc_id, t[CAST(i AS INT)] AS w, CAST(i AS INT) AS i,
+         {_rake_stop_sql("t[CAST(i AS INT)]")} AS stop
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       unnest(range(1, len(t) + 1)) AS r(i)
+), isl AS (
+  SELECT doc_id, w, i, stop,
+         sum(stop) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM pos
+), inst AS (
+  SELECT doc_id, island,
+         array_to_string(list(w ORDER BY i), ' ') AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM isl WHERE stop = 0
+  GROUP BY doc_id, island
+  HAVING count(*) <= {RAKE_MAX_WORDS}
+), words AS (
+  SELECT doc_id, island, unnest(string_split(phrase, ' ')) AS w, plen, phrase
+  FROM inst
+), wstat AS (
+  SELECT w, CAST(sum(plen) * 1000 // count(*) AS BIGINT) AS w_score_milli
+  FROM words GROUP BY w
+), pscore AS (
+  SELECT wd.doc_id, wd.island, wd.phrase, wd.plen,
+         CAST(sum(ws.w_score_milli) AS BIGINT) AS score_milli
+  FROM words wd JOIN wstat ws ON ws.w = wd.w
+  GROUP BY wd.doc_id, wd.island, wd.phrase, wd.plen
+)
+SELECT phrase, CAST(max(plen) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       max(score_milli) AS score_milli,
+       row_number() OVER (ORDER BY max(score_milli) DESC, phrase) AS rnk
+FROM pscore
+GROUP BY phrase
+ORDER BY rnk LIMIT {RAKE_TOPN}
+""",
+)
+def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{n} RAKE keyphrases over the corpus (B79): stopword-delimited
+    candidate runs (<= {m} words), degree/frequency word scores in
+    integer milli, summed per phrase."""
+    d = read_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(w) for w in RAKE_STOPWORDS])
+    pos = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("i0", "w")
+    ).select(
+        "doc_id",
+        "w",
+        (F.col("i0") + 1).alias("i"),
+        F.array_contains(stop_arr, F.col("w")).cast("int").alias("stop"),
+    )
+    wi = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = pos.withColumn("island", F.sum("stop").over(wi))
+    inst = (
+        isl.filter(F.col("stop") == 0)
+        .groupBy("doc_id", "island")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr("transform(sort_array(collect_list(struct(i, w))), s -> s.w)"),
+            ).alias("phrase"),
+            F.count("*").cast("long").alias("plen"),
+        )
+        .filter(F.col("plen") <= RAKE_MAX_WORDS)
+    )
+    words = inst.select(
+        "doc_id", "island", "phrase", "plen", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    wstat = words.groupBy("w").agg(
+        F.expr("sum(plen) * 1000 div count(*)").cast("long").alias("w_score_milli")
+    )
+    pscore = (
+        words.join(F.broadcast(wstat), "w")
+        .groupBy("doc_id", "island", "phrase", "plen")
+        .agg(F.sum("w_score_milli").cast("long").alias("score_milli"))
+    )
+    agg = pscore.groupBy("phrase").agg(
+        F.max("plen").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.max("score_milli").alias("score_milli"),
+    )
+    top = agg.orderBy(F.col("score_milli").desc(), F.col("phrase")).limit(RAKE_TOPN)
+    wr = Window.orderBy(F.col("score_milli").desc(), F.col("phrase"))
+    return top.withColumn("rnk", F.row_number().over(wr).cast("long")).orderBy("rnk")
+doc_rake_keyphrases.__doc__ = doc_rake_keyphrases.__doc__.replace("{n}", str(RAKE_TOPN)).replace("{m}", str(RAKE_MAX_WORDS))  # template scale constants into the (real) docstring
