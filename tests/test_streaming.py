@@ -981,3 +981,113 @@ def test_stream_scd2_dim_backfills_missing_last_ts(spark, sf_dir, tmp_path):
         .count()
         == 0
     )
+
+
+def _ts_ordered_stream_files(spark, ev, tmp_path, tag, n_parts=4):
+    """Split events into n ts-range files with ascending mtimes so the
+    file source delivers them in stream order; ties on ts never split."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / f"{tag}_src"
+    src.mkdir()
+    ts_sorted = [r.ts for r in ev.select("ts").distinct().orderBy("ts").collect()]
+    cuts = [ts_sorted[len(ts_sorted) * i // n_parts] for i in range(1, n_parts)]
+    lo = None
+    for i in range(n_parts):
+        hi = cuts[i] if i < n_parts - 1 else None
+        part = ev
+        if lo is not None:
+            part = part.filter(F.col("ts") > lo)
+        if hi is not None:
+            part = part.filter(F.col("ts") <= hi)
+        tdir = str(tmp_path / f"{tag}_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        lo = hi
+    return src
+
+
+def test_stream_burst_state_converges_to_batch(spark, sf_dir, tmp_path):
+    """stream_burst_state (r9): four micro-batches of additive bucket
+    merges + the state-side flag query must equal the one-shot
+    events_hourly_burst over all events — including hour buckets whose
+    events split across batches."""
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import events_hourly_burst
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        burst_flags_from_state,
+        stream_burst_state,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    src = _ts_ordered_stream_files(spark, ev, tmp_path, "burst")
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    state = str(tmp_path / "burst_state")
+    stream_burst_state(stream, state)
+    # at least one hour bucket straddles a batch cut (the merge is tested)
+    got = sorted(map(tuple, burst_flags_from_state(spark, state).collect()))
+    want = sorted(map(tuple, events_hourly_burst(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_stream_markov_state_converges_to_batch(spark, sf_dir, tmp_path):
+    """stream_markov_state (r9): per-batch internal transitions + the
+    carried-last-event boundary stitch must reproduce the one-shot
+    events_markov_transitions matrix exactly; an out-of-order replay
+    must raise."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import events_markov_transitions
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        markov_matrix_from_state,
+        stream_markov_state,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    src = _ts_ordered_stream_files(spark, ev, tmp_path, "markov")
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    state = str(tmp_path / "markov_state")
+    stream_markov_state(stream, state)
+    got = sorted(map(tuple, markov_matrix_from_state(spark, state).collect()))
+    want = sorted(map(tuple, events_markov_transitions(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
+    # boundary stitching did real work: internal-only counts would be
+    # short by (#users with events in 2+ batches) transitions
+    n_total = sum(r[2] for r in got)
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert n_total == n_events - n_users  # every adjacent pair counted once
+
+    # out-of-order replay (the earliest file again) trips the guard
+    early = ev.orderBy("ts").limit(100)
+    src2 = tmp_path / "markov_late_src"
+    src2.mkdir()
+    tdir = str(tmp_path / "markov_late_part")
+    early.coalesce(1).write.parquet(tdir)
+    shutil.move(glob.glob(f"{tdir}/part-*.parquet")[0], str(src2 / "late.parquet"))
+    stream2 = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src2))
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="out-of-order"):
+        stream_markov_state(stream2, state)

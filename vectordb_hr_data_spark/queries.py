@@ -146,6 +146,11 @@ PRIORITY: list[str] = [
     # r6: sketch-threshold form of the perplexity gate (approx_percentile
     # is engine-specific — rows-only; pytest bounds drift vs the exact cut)
     "doc_lm_perplexity_threshold",
+    # below-the-fold siblings whose checked twin carries the oracle
+    # (previously implicit via _ordered()'s append; listed for intent)
+    "ivf_pq_residual_rerank", "hr_recommend_scale",
+    "doc_length_percentiles_approx", "events_distinct_users_approx",
+    "ivf_topk_kmeans",
 ]
 
 

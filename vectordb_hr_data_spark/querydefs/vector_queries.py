@@ -1737,6 +1737,8 @@ def knn_whitened_topk_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    import math
+
     emb = read_table(spark, sf_dir, "embeddings")
     milli = emb.select(
         "vec_id",
@@ -1744,28 +1746,52 @@ def knn_whitened_topk_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(embedding, x -> cast(round(cast(x as double) * 1000.0, 0) as bigint))"
         ).alias("e_milli"),
     )
-    el = milli.select("vec_id", F.posexplode("e_milli").alias("dim", "e_milli"))
-    n = F.count("*")
-    s = F.sum("e_milli")
-    s2 = F.sum(F.col("e_milli") * F.col("e_milli"))
-    st = (
-        el.groupBy("dim")
+
+    def stat_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            em = np.stack(pdf["e_milli"].to_numpy()).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(em)],
+                    "s": [em.sum(axis=0).tolist()],
+                    "s2": [(em * em).sum(axis=0).tolist()],
+                }
+            )
+
+    partials = milli.mapInPandas(stat_partials, "n long, s array<long>, s2 array<long>")
+    agg = (
+        partials.select("n", F.posexplode(F.arrays_zip("s", "s2")).alias("dim", "z"))
+        .groupBy("dim")
         .agg(
-            F.floor(s * 1000.0 / n + 0.5).cast("long").alias("mean_micro"),
-            F.greatest(
-                F.floor(
-                    F.sqrt(F.greatest(s2 * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n), F.lit(0.0)))
-                    * 1000.0
-                    + 0.5
-                ).cast("long"),
-                F.lit(1).cast("long"),
-            ).alias("sd_micro"),
+            F.sum("n").alias("n"),
+            F.sum("z.s").alias("s"),
+            F.sum("z.s2").alias("s2"),
         )
         .orderBy("dim")
         .collect()
     )
-    mean_arr = np.array([r.mean_micro for r in st], dtype=np.int64)
-    sd_arr = np.array([r.sd_micro for r in st], dtype=np.int64)
+    # mean/sd from the exact integer sums, driver-side, with the SAME
+    # IEEE expression as the anchor/oracle (python floats are IEEE-754,
+    # math.sqrt is correctly rounded — engine-identical on equal inputs)
+    mean_arr = np.array(
+        [math.floor(r.s * 1000.0 / r.n + 0.5) for r in agg], dtype=np.int64
+    )
+    sd_arr = np.array(
+        [
+            max(
+                math.floor(
+                    math.sqrt(max(r.s2 * 1.0 / r.n - (r.s * 1.0 / r.n) * (r.s * 1.0 / r.n), 0.0))
+                    * 1000.0
+                    + 0.5
+                ),
+                1,
+            )
+            for r in agg
+        ],
+        dtype=np.int64,
+    )
 
     def _z(em: "np.ndarray") -> "np.ndarray":
         return np.floor(

@@ -742,3 +742,229 @@ def stream_zorder_append(
             on_compact(path)
 
     return event_stream.writeStream.foreachBatch(sink).start()
+
+
+def stream_burst_state(event_stream: DataFrame, state_path: str) -> None:
+    """Streaming maintenance of the B73 burst-detection state: every
+    micro-batch's (user_id, hour) counts MERGE into the persisted bucket
+    table by integer addition (counts are associative, so arrival order
+    and batch boundaries — including an hour bucket split across batches
+    — cannot change the converged state; no in-order contract needed,
+    unlike stream_scd2_dim). The flag computation itself
+    (``events_hourly_burst``'s z-score over the state) is a cheap batch
+    query over the bounded bucket table, run on demand — the split
+    mirrors stream_ivf_sq8_append's append-vs-retune separation: the
+    per-batch work is O(|batch| distinct buckets), the corpus-sized scan
+    never re-runs.
+
+    The rewrite materializes through localCheckpoint before overwriting
+    (plain parquet cannot self-overwrite lazily; a transactional target
+    removes the rewrite — io.py:118 note)."""
+    from pyspark.sql import functions as F
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        inc = batch_df.groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("hour_ts")
+        ).agg(F.count("*").cast("long").alias("c"))
+        try:
+            state = spark.read.parquet(state_path)
+        except Exception:
+            inc.write.mode("overwrite").parquet(state_path)
+            return
+        merged = (
+            state.unionByName(inc)
+            .groupBy("user_id", "hour_ts")
+            .agg(F.sum("c").cast("long").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(state_path)
+
+    q = event_stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def burst_flags_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B73's z-score flags computed from the persisted bucket state —
+    identical arithmetic to ``events_hourly_burst`` (integer micro mean,
+    clamped variance, milli z, z >= 2 flag), so the streamed state
+    converges to the batch query exactly."""
+    from pyspark.sql import functions as F
+
+    b = spark.read.parquet(state_path)
+    n = F.count("*")
+    s = F.sum("c")
+    s2 = F.sum(F.col("c") * F.col("c"))
+    st = b.groupBy("user_id").agg(
+        F.floor(s * 1000000.0 / n + 0.5).cast("long").alias("mean_micro"),
+        F.greatest(
+            F.floor(
+                F.sqrt(F.greatest(s2 * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n), F.lit(0.0)))
+                * 1000000.0
+                + 0.5
+            ).cast("long"),
+            F.lit(1).cast("long"),
+        ).alias("sd_micro"),
+    )
+    z = F.floor(
+        (F.col("c") * 1000000 - F.col("mean_micro")) * 1000.0 / F.col("sd_micro") + 0.5
+    ).cast("long")
+    return (
+        b.join(F.broadcast(st), "user_id")
+        .select(
+            "user_id",
+            "hour_ts",
+            F.col("c").cast("long").alias("n_events"),
+            z.alias("z_milli"),
+        )
+        .filter(F.col("z_milli") >= 2000)
+        .orderBy("user_id", "hour_ts")
+    )
+
+
+def stream_markov_state(event_stream: DataFrame, state_path: str) -> None:
+    """Streaming maintenance of the B71 transition-count state with
+    BOUNDARY STITCHING: a transition whose two events land in different
+    micro-batches must still be counted, so the persisted state carries,
+    per user, the LAST event seen (type + ts + event_id) alongside the
+    (from, to) counts. Each batch: order its own events per user, count
+    its internal transitions, stitch one extra transition from the
+    carried last event to the batch's first event for every user with
+    carried state, then advance the carry — the SCD2 open-row discipline
+    applied to sequence state. In-order contract (same as
+    stream_scd2_dim): each user's batch events must be no older than the
+    carried last event; violated input raises rather than silently
+    interleaving sequences.
+
+    State size: transition counts are V² rows; the carry is one row per
+    user — both bounded far below the event count; per-batch work is the
+    batch's own window pass plus joins against only the AFFECTED users'
+    carry rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    counts_path = state_path.rstrip("/") + "/counts"
+    carry_path = state_path.rstrip("/") + "/carry"
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = batch_df.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.row_number().over(w).alias("rn"),
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+            .alias("rn_last"),
+        )
+        internal = (
+            seq.filter(F.col("prev_type").isNotNull())
+            .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        try:
+            carry = spark.read.parquet(carry_path)
+            have_state = True
+        except Exception:
+            have_state = False
+        if have_state:
+            first = seq.filter(F.col("rn") == 1).select(
+                "user_id", F.col("event_type").alias("first_type"), F.col("ts").alias("first_ts")
+            )
+            viol = (
+                first.join(carry, "user_id")
+                .filter(F.col("first_ts") < F.col("last_ts"))
+                .count()
+            )
+            if viol:
+                raise ValueError(
+                    f"stream_markov_state: {viol} user(s) in epoch {epoch_id} have "
+                    "events older than the carried last event — out-of-order input"
+                )
+            stitched = (
+                first.join(carry, "user_id")
+                .groupBy(
+                    F.col("last_type").alias("from_type"),
+                    F.col("first_type").alias("to_type"),
+                )
+                .agg(F.count("*").cast("long").alias("c"))
+            )
+            inc = internal.unionByName(stitched)
+        else:
+            inc = internal
+        inc = inc.groupBy("from_type", "to_type").agg(F.sum("c").cast("long").alias("c"))
+        try:
+            counts = spark.read.parquet(counts_path)
+            merged = (
+                counts.unionByName(inc)
+                .groupBy("from_type", "to_type")
+                .agg(F.sum("c").cast("long").alias("c"))
+            )
+        except Exception:
+            merged = inc
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(counts_path)
+
+        batch_last = seq.filter(F.col("rn_last") == 1).select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("ts").alias("last_ts"),
+        )
+        if have_state:
+            new_carry = (
+                carry.join(batch_last.select("user_id"), "user_id", "left_anti")
+                .unionByName(batch_last)
+                .localCheckpoint(eager=True)
+            )
+        else:
+            new_carry = batch_last.localCheckpoint(eager=True)
+        new_carry.write.mode("overwrite").parquet(carry_path)
+
+    q = event_stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def markov_matrix_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B71's smoothed V×V matrix computed from the streamed transition
+    counts — identical Laplace-ppm arithmetic to
+    ``events_markov_transitions``, over the full type grid derived from
+    the state (types = every type seen as a from/to endpoint or carried),
+    so the streamed state converges to the batch query exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    counts = spark.read.parquet(state_path.rstrip("/") + "/counts")
+    carry = spark.read.parquet(state_path.rstrip("/") + "/carry")
+    types = (
+        counts.select(F.col("from_type").alias("t"))
+        .unionByName(counts.select(F.col("to_type").alias("t")))
+        .unionByName(carry.select(F.col("last_type").alias("t")))
+        .distinct()
+    )
+    v = types.count()
+    grid = types.select(F.col("t").alias("from_type")).crossJoin(
+        types.select(F.col("t").alias("to_type"))
+    )
+    full = grid.join(F.broadcast(counts), ["from_type", "to_type"], "left").select(
+        "from_type", "to_type", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_trans")
+    )
+    wt = Window.partitionBy("from_type")
+    return (
+        full.withColumn("row_total", F.sum("n_trans").over(wt))
+        .select(
+            "from_type",
+            "to_type",
+            "n_trans",
+            F.expr(f"(n_trans + 1) * 1000000 div (row_total + {v})")
+            .cast("long")
+            .alias("prob_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
