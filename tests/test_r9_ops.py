@@ -108,3 +108,89 @@ def test_rake_phrases_respect_cap_and_stopwords(spark, sf_dir):
         assert len(words) == r.n_words
         assert not (set(words) & set(RAKE_STOPWORDS))
         assert r.n_occurrences >= 1
+
+
+def test_collocations_pmi_beats_independence(spark, sf_dir):
+    """B84: every reported collocation has support >= the floor, and the
+    top collocation's observed bigram count exceeds the independence
+    expectation (positive PMI) or the corpus genuinely lacks one (then
+    the op still returns the least-negative — assert ordering instead)."""
+    from vectordb_hr_data_spark.querydefs.text_queries import (
+        PMI_MIN_SUPPORT,
+        doc_collocations_pmi,
+    )
+
+    rows = doc_collocations_pmi(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.c12 >= PMI_MIN_SUPPORT for r in rows)
+    pmis = [r.pmi_micro for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_more_like_this_excludes_query_and_ranks_by_jaccard(spark, sf_dir):
+    """B85: the query doc never appears, jaccard is in (0, 1e4], and the
+    ranking is non-increasing with doc_id tie-breaks."""
+    from vectordb_hr_data_spark.querydefs.text_queries import (
+        MLT_QUERY_DOC,
+        doc_more_like_this,
+    )
+
+    rows = doc_more_like_this(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.doc_id != MLT_QUERY_DOC for r in rows)
+    assert all(0 < r.jaccard_e4 <= 10_000 for r in rows)
+    js = [(r.jaccard_e4, -r.doc_id) for r in rows]
+    assert js == sorted(js, key=lambda x: (-x[0], -x[1]))
+
+
+def test_equidepth_bins_are_equal_population_and_ordered(spark, sf_dir):
+    """B86: bin populations differ by at most 1, bounds are disjoint and
+    ascending, and the total count equals the corpus."""
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import (
+        DEPTH_BINS,
+        doc_equidepth_bins,
+    )
+
+    rows = doc_equidepth_bins(spark, sf_dir).collect()
+    assert len(rows) == DEPTH_BINS
+    counts = [r.n_docs for r in rows]
+    assert max(counts) - min(counts) <= 1
+    n = read_table(spark, sf_dir, "documents").count()
+    assert sum(counts) == n
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi_chars <= b.lo_chars
+        assert a.lo_chars <= a.mean_chars <= a.hi_chars
+
+
+def test_sequence_trigrams_consistent_with_markov_bigrams(spark, sf_dir):
+    """B87: a trigram's count can never exceed the count of either of its
+    constituent bigram transitions (subsequence monotonicity)."""
+    from vectordb_hr_data_spark.querydefs.event_queries import (
+        events_markov_transitions,
+        events_sequence_trigrams,
+    )
+
+    tri = events_sequence_trigrams(spark, sf_dir).collect()
+    assert len(tri) > 0
+    bi = {
+        (r.from_type, r.to_type): r.n_trans
+        for r in events_markov_transitions(spark, sf_dir).collect()
+    }
+    for r in tri:
+        assert r.n_occ <= bi[(r.t1, r.t2)]
+        assert r.n_occ <= bi[(r.t2, r.t3)]
+
+
+def test_indegree_profile_conserves_nodes_and_edges(spark, sf_dir):
+    """B83: node counts sum to the corpus; sum(degree * nodes) equals the
+    total directed edge count N * deg."""
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs import similarity_queries as S
+
+    rows = S.graph_indegree_profile(spark, sf_dir).collect()
+    n = read_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_nodes for r in rows) == n
+    assert sum(r.indeg * r.n_nodes for r in rows) == n * S.PAGERANK_DEG

@@ -641,3 +641,16 @@ def test_kcore_routes_agree_and_invariants(spark, sf_dir, monkeypatch):
     assert drv == dist and len(drv) > 0
     for _vid, core_deg in drv:
         assert core_deg >= S.KCORE_K
+
+
+def test_closeness_routes_agree(spark, sf_dir, monkeypatch):
+    """B82: distributed truncated BFS == driver BFS row for row; pivots
+    themselves rank high (distance 1-2 to their own neighbourhoods)."""
+    from vectordb_hr_data_spark.querydefs import similarity_queries as S
+
+    drv = [tuple(r) for r in S.graph_closeness_pivots(spark, sf_dir).collect()]
+    monkeypatch.setattr(S, "GRAPH_DRIVER_MAX", 0)
+    dist = [tuple(r) for r in S.graph_closeness_pivots(spark, sf_dir).collect()]
+    assert drv == dist and len(drv) == S.CLOSENESS_TOPN
+    assert all(h >= 0 for _v, h, _r in drv)
+    assert drv[0][1] > 0  # the graph is connected enough to score

@@ -146,6 +146,11 @@ PRIORITY: list[str] = [
     # r6: sketch-threshold form of the perplexity gate (approx_percentile
     # is engine-specific — rows-only; pytest bounds drift vs the exact cut)
     "doc_lm_perplexity_threshold",
+    # new late-r9 oracles (below the fold this round; they LEAD the r10
+    # window together with the 50 r7-stale queries above)
+    "graph_closeness_pivots", "graph_indegree_profile",
+    "doc_collocations_pmi", "doc_more_like_this",
+    "doc_equidepth_bins", "events_sequence_trigrams",
     # below-the-fold siblings whose checked twin carries the oracle
     # (previously implicit via _ordered()'s append; listed for intent)
     "ivf_pq_residual_rerank", "hr_recommend_scale",

@@ -1258,3 +1258,58 @@ def events_hourly_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("z_milli") >= 2000)
         .orderBy("user_id", "hour_ts")
     )
+
+
+# --------------------------------------------------------------------------
+# B84-adjacent — B87: frequent event-sequence trigrams (r9, for r10)
+# --------------------------------------------------------------------------
+# Sequential-pattern mining at the depth the Markov matrix (B71) can't
+# see: adjacent TYPE TRIPLES per user stream with a support floor —
+# the "view → click → purchase" funnels discovered from data rather
+# than declared (B59's funnel asks about a KNOWN sequence; this emits
+# the frequent ones). Two lags in the SAME user window (one pass),
+# uniform (t1,t2,t3) count keys, support filter before the final
+# TakeOrdered.
+SEQ3_MIN_SUPPORT = 10
+SEQ3_TOPN = 20
+
+
+@register(
+    "events_sequence_trigrams",
+    f"""
+WITH seq AS (
+  SELECT user_id, event_type AS t3,
+         lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+         lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1
+  FROM events
+), tri AS (
+  SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_occ
+  FROM seq WHERE t1 IS NOT NULL
+  GROUP BY t1, t2, t3
+)
+SELECT t1, t2, t3, n_occ,
+       row_number() OVER (ORDER BY n_occ DESC, t1, t2, t3) AS rnk
+FROM tri WHERE n_occ >= {SEQ3_MIN_SUPPORT}
+ORDER BY rnk LIMIT {SEQ3_TOPN}
+""",
+)
+def events_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{n} adjacent event-type triples with support >= {s} across
+    user streams (B87) — discovered funnels; one window pass, two lags."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t3"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.lag("event_type", 2).over(w).alias("t1"),
+    )
+    tri = (
+        seq.filter(F.col("t1").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count("*").cast("long").alias("n_occ"))
+        .filter(F.col("n_occ") >= SEQ3_MIN_SUPPORT)
+    )
+    top = tri.orderBy(F.col("n_occ").desc(), "t1", "t2", "t3").limit(SEQ3_TOPN)
+    w2 = Window.orderBy(F.col("n_occ").desc(), "t1", "t2", "t3")
+    return top.withColumn("rnk", F.row_number().over(w2).cast("long")).orderBy("rnk")
+events_sequence_trigrams.__doc__ = events_sequence_trigrams.__doc__.replace("{n}", str(SEQ3_TOPN)).replace("{s}", str(SEQ3_MIN_SUPPORT))  # template scale constants into the (real) docstring

@@ -2033,3 +2033,54 @@ def doc_weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     w = Window.orderBy(F.col("key_pico").desc(), F.col("doc_id"))
     return top.withColumn("rnk", F.row_number().over(w).cast("long")).orderBy("rnk")
 doc_weighted_reservoir_sample.__doc__ = doc_weighted_reservoir_sample.__doc__.replace("{k}", str(WRS_K))  # template scale constants into the (real) docstring
+
+
+# ---------------------------------------------------------------------------
+# B86: equi-depth histogram binning (r9, below-fold for r10)
+# ---------------------------------------------------------------------------
+# The feature-bucketing primitive (quantile binning for feature
+# engineering / curriculum tiers): assign every document to one of K
+# equal-population bins by length and profile each bin. ntile is the
+# SQL-standard equal-split (first n mod K bins take the extra row) and
+# both engines implement exactly that, so with a total order under the
+# window (n_chars, doc_id) the assignment is deterministic — no
+# percentile interpolation anywhere (the B72 median lesson). Scale
+# shape: a global ntile needs a total sort — correct for the ≤million-
+# bin-boundary profile emitted here; at 100 TB the same contract runs
+# as repartitionByRange(n_chars) + per-partition rank arithmetic, which
+# is what Spark's sort does anyway.
+DEPTH_BINS = 10
+
+
+@register(
+    "doc_equidepth_bins",
+    f"""
+WITH binned AS (
+  SELECT doc_id, n_chars,
+         ntile({DEPTH_BINS}) OVER (ORDER BY n_chars, doc_id) AS bin
+  FROM documents
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS lo_chars,
+       CAST(max(n_chars) AS BIGINT) AS hi_chars,
+       CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars
+FROM binned GROUP BY bin ORDER BY bin
+""",
+)
+def doc_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k} equal-population document-length bins with per-bin bounds and
+    integer mean (B86) — deterministic ntile under a total order."""
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    binned = d.select("doc_id", "n_chars", F.ntile(DEPTH_BINS).over(w).cast("long").alias("bin"))
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("lo_chars"),
+            F.max("n_chars").cast("long").alias("hi_chars"),
+            F.expr("sum(n_chars) div count(*)").cast("long").alias("mean_chars"),
+        )
+        .orderBy("bin")
+    )
+doc_equidepth_bins.__doc__ = doc_equidepth_bins.__doc__.replace("{k}", str(DEPTH_BINS))  # template scale constants into the (real) docstring

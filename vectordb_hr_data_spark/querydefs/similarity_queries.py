@@ -2212,3 +2212,239 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     dir_edges = _graph_dir_edges(sf_dir, emb, PAGERANK_DEG, "graph_kcore_members")
     return _kcore_rounds_df(emb, dir_edges, KCORE_K, KCORE_ROUNDS).orderBy("vec_id")
 graph_kcore_members.__doc__ = graph_kcore_members.__doc__.replace("{k}", str(KCORE_K)).replace("{r}", str(KCORE_ROUNDS))  # template scale constants into the (real) docstring
+
+
+# --------------------------------------------------------------------------
+# B82: pivot-sampled harmonic closeness centrality (r9, below-fold for r10)
+# --------------------------------------------------------------------------
+# The third centrality family member (after eigenvector PageRank/HITS):
+# how CLOSE a node sits to the rest of the graph. Exact closeness needs
+# all-pairs shortest paths (O(N·E) — off the table at corpus scale);
+# the standard estimator samples pivots and sums over them only
+# (Eppstein-Wang). Pivots are a seeded-md5 top-K (the B31/B76
+# discipline — deterministic, distribution-fair); distances come from a
+# fixed {r}-round multi-source BFS over the symmetrized top-3 graph
+# (fixed rounds on both engines — the k-core lesson — so truncation at
+# radius {r} is part of the contract, not drift); the score is HARMONIC
+# (sum of 1e6 div d, integer) so unreachable/truncated pairs contribute
+# 0 instead of poisoning a mean. Scale shape: BFS frontier rounds are
+# frontier⋈edges joins on uniform keys with min-dist dedup per round,
+# localCheckpointed; state is (pivot, node, dist) — bounded by
+# |pivots|·N, and |pivots| is a constant.
+CLOSENESS_PIVOTS = 4
+CLOSENESS_ROUNDS = 8
+CLOSENESS_TOPN = 20
+
+
+def _closeness_driver(out_edges: dict, pivots: list, rounds: int) -> dict:
+    """Multi-source truncated BFS + harmonic sum, driver route."""
+    und: dict = {v: set() for v in out_edges}
+    for u, dsts in out_edges.items():
+        for v in dsts:
+            und[u].add(v)
+            und.setdefault(v, set()).add(u)
+    score = {v: 0 for v in und}
+    for p in pivots:
+        dist = {p: 0}
+        frontier = {p}
+        for d in range(1, rounds + 1):
+            nxt = set()
+            for u in frontier:
+                for v in und[u]:
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.add(v)
+            frontier = nxt
+            if not frontier:
+                break
+        for v, d in dist.items():
+            if d > 0:
+                score[v] += 1_000_000 // d
+    return score
+
+
+def _closeness_rounds_df(emb: DataFrame, dir_edges: DataFrame, pivots: list, rounds: int) -> DataFrame:
+    """Distributed truncated multi-source BFS returning (node, harmonic)."""
+    fwd = dir_edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    rev = dir_edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    und = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    spark = emb.sparkSession
+    dist = spark.createDataFrame(
+        [(int(p), int(p), 0) for p in pivots], "pivot long, node long, d int"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for d in range(1, rounds + 1):
+        cand = (
+            frontier.join(und, frontier.node == und.a)
+            .select("pivot", F.col("b").alias("node"), F.lit(d).alias("d"))
+            .distinct()
+        )
+        frontier = cand.join(dist, ["pivot", "node"], "left_anti").localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        dist = dist.unionByName(frontier).localCheckpoint(eager=True)
+    scored = (
+        dist.filter(F.col("d") > 0)
+        .groupBy("node")
+        .agg(F.sum(F.expr("1000000 div d")).cast("long").alias("harmonic_micro"))
+    )
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    return nodes.join(scored, "node", "left").select(
+        "node", F.coalesce("harmonic_micro", F.lit(0)).cast("long").alias("harmonic_micro")
+    )
+
+
+@register(
+    "graph_closeness_pivots",
+    f"""
+WITH RECURSIVE scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_COS_DDB.format(a='b.embedding', b='a.embedding')}, 4) DESC,
+                                     b.vec_id) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+), de AS (
+  SELECT src, dst FROM scored WHERE rn <= {PAGERANK_DEG}
+), ue AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM de UNION ALL SELECT dst, src FROM de
+  )
+), pivots AS (
+  SELECT vec_id AS p FROM embeddings
+  ORDER BY md5('closeness-pivots-v1:' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {CLOSENESS_PIVOTS}
+), bfs AS (
+  SELECT p AS pv, p AS node, 0 AS d FROM pivots
+  UNION
+  SELECT b.pv, e.b AS node, b.d + 1 AS d
+  FROM bfs b JOIN ue e ON e.a = b.node
+  WHERE b.d < {CLOSENESS_ROUNDS}
+), dist AS (
+  SELECT pv, node, min(d) AS d FROM bfs GROUP BY pv, node
+), harm AS (
+  SELECT n.vec_id,
+         CAST(coalesce(sum(CASE WHEN dd.d > 0 THEN 1000000 // dd.d END), 0) AS BIGINT) AS harmonic_micro
+  FROM embeddings n LEFT JOIN dist dd ON dd.node = n.vec_id
+  GROUP BY n.vec_id
+)
+SELECT vec_id, harmonic_micro,
+       row_number() OVER (ORDER BY harmonic_micro DESC, vec_id) AS rnk
+FROM harm ORDER BY rnk LIMIT {CLOSENESS_TOPN}
+""",
+)
+def graph_closeness_pivots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{n} nodes by pivot-sampled harmonic closeness over the
+    symmetrized kNN graph (B82): {p} seeded pivots, {r}-round truncated
+    BFS, integer 1e6 div d harmonic sums."""
+    import hashlib
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    if _corpus_count_memo(sf_dir, emb) <= GRAPH_DRIVER_MAX:
+        out_edges = _out_edges_memo(sf_dir, emb, PAGERANK_DEG, "graph_closeness_pivots")
+        pivots = sorted(
+            out_edges,
+            key=lambda v: (hashlib.md5(f"closeness-pivots-v1:{v}".encode()).hexdigest(), v),
+        )[:CLOSENESS_PIVOTS]
+        score = _closeness_driver(out_edges, pivots, CLOSENESS_ROUNDS)
+        top = sorted(((-sc, v) for v, sc in score.items()))[:CLOSENESS_TOPN]
+        return spark.createDataFrame(
+            [(v, -ns, i + 1) for i, (ns, v) in enumerate(top)],
+            "vec_id long, harmonic_micro long, rnk long",
+        ).orderBy("rnk")
+    dir_edges = _graph_dir_edges(sf_dir, emb, PAGERANK_DEG, "graph_closeness_pivots")
+    pivots = [
+        r.vec_id
+        for r in emb.select("vec_id")
+        .withColumn(
+            "_h",
+            F.md5(F.concat_ws(":", F.lit("closeness-pivots-v1"), F.col("vec_id").cast("string"))),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(CLOSENESS_PIVOTS)
+        .collect()
+    ]
+    harm = _closeness_rounds_df(emb, dir_edges, pivots, CLOSENESS_ROUNDS)
+    return (
+        harm.select(F.col("node").alias("vec_id"), "harmonic_micro")
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.col("harmonic_micro").desc(), F.col("vec_id").asc()))
+            .cast("long"),
+        )
+        .filter(F.col("rnk") <= CLOSENESS_TOPN)
+        .orderBy("rnk")
+    )
+graph_closeness_pivots.__doc__ = graph_closeness_pivots.__doc__.replace("{n}", str(CLOSENESS_TOPN)).replace("{p}", str(CLOSENESS_PIVOTS)).replace("{r}", str(CLOSENESS_ROUNDS))  # template scale constants into the (real) docstring
+
+
+# --------------------------------------------------------------------------
+# B83: degree-distribution profile of the kNN graph (r9, below-fold for r10)
+# --------------------------------------------------------------------------
+# The graph-health audit the other graph ops assume: the in-degree
+# distribution of the directed top-k graph (out-degree is pinned at k by
+# construction; IN-degree is the free quantity — a heavy tail means hub
+# rows that will skew any dst-keyed shuffle, the graph-side analogue of
+# B72's key-skew audit). Emits one row per observed in-degree with node
+# count plus each degree's share in ppm. Zero-in-degree nodes (nobody's
+# neighbour — isolation candidates) are counted via the left join.
+@register(
+    "graph_indegree_profile",
+    f"""
+WITH scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_COS_DDB.format(a='b.embedding', b='a.embedding')}, 4) DESC,
+                                     b.vec_id) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+), de AS (
+  SELECT src, dst FROM scored WHERE rn <= {PAGERANK_DEG}
+), ind AS (
+  SELECT n.vec_id, CAST(coalesce(cnt.c, 0) AS BIGINT) AS indeg
+  FROM embeddings n LEFT JOIN (
+    SELECT dst, count(*) AS c FROM de GROUP BY dst
+  ) cnt ON cnt.dst = n.vec_id
+), tot AS (SELECT count(*) AS n FROM ind)
+SELECT i.indeg, CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(count(*) * 1000000 // t.n AS BIGINT) AS share_ppm
+FROM ind i CROSS JOIN tot t
+GROUP BY i.indeg, t.n
+ORDER BY i.indeg
+""",
+)
+def graph_indegree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree histogram of the directed top-3 kNN graph (B83) with
+    ppm shares — the hub/skew audit the dst-keyed graph shuffles need;
+    zero-in-degree isolates included."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    n_corpus = _corpus_count_memo(sf_dir, emb)
+    if n_corpus <= GRAPH_DRIVER_MAX:
+        # share the memoized driver-route edge build with the rest of the
+        # graph family (PageRank/LP/HITS/... have usually built it already)
+        out_edges = _out_edges_memo(sf_dir, emb, PAGERANK_DEG, "graph_indegree_profile")
+        indeg: dict[int, int] = {v: 0 for v in out_edges}
+        for dsts in out_edges.values():
+            for v in dsts:
+                indeg[v] += 1
+        hist: dict[int, int] = {}
+        for d in indeg.values():
+            hist[d] = hist.get(d, 0) + 1
+        return spark.createDataFrame(
+            [(d, c, c * 1_000_000 // n_corpus) for d, c in sorted(hist.items())],
+            "indeg long, n_nodes long, share_ppm long",
+        ).orderBy("indeg")
+    dir_edges = _graph_dir_edges(sf_dir, emb, PAGERANK_DEG, "graph_indegree_profile")
+    cnt = dir_edges.groupBy("dst").agg(F.count("*").alias("c"))
+    ind = (
+        emb.select(F.col("vec_id"))
+        .join(cnt, emb.vec_id == cnt.dst, "left")
+        .select(F.coalesce("c", F.lit(0)).cast("long").alias("indeg"))
+    )
+    return (
+        ind.groupBy("indeg")
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.expr(f"count(*) * 1000000 div {n_corpus}").cast("long").alias("share_ppm"),
+        )
+        .orderBy("indeg")
+    )

@@ -1132,3 +1132,192 @@ def doc_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.orderBy(F.col("score_milli").desc(), F.col("phrase"))
     return top.withColumn("rnk", F.row_number().over(wr).cast("long")).orderBy("rnk")
 doc_rake_keyphrases.__doc__ = doc_rake_keyphrases.__doc__.replace("{n}", str(RAKE_TOPN)).replace("{m}", str(RAKE_MAX_WORDS))  # template scale constants into the (real) docstring
+
+
+# ---------------------------------------------------------------------------
+# B84: collocation mining by pointwise mutual information (r9, for r10)
+# ---------------------------------------------------------------------------
+# The classic collocation detector (Church & Hanks 1990): adjacent
+# bigrams whose observed frequency beats the independence expectation —
+# PMI = ln(c12 · T_uni² / (T_bi · c1 · c2)) — with a minimum support so
+# rare accidents don't dominate (PMI's known low-frequency bias). The
+# B33 micro-nat contract: each surviving bigram's PMI quantizes once to
+# integer micro-nats from EXACT integer counts; ranking ties break on
+# the words. Scale shape: bigram instances reduce map-side to counts,
+# unigram/bigram totals are two 1-row aggregates broadcast back, the
+# support filter prunes BEFORE the join to unigram counts, and the
+# final rank is TakeOrdered over the bounded survivor set.
+PMI_MIN_SUPPORT = 30
+PMI_TOPN = 20
+
+
+@register(
+    "doc_collocations_pmi",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), uni AS (
+  SELECT u AS w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS u FROM toks) GROUP BY u
+), tu AS (SELECT CAST(sum(c) AS BIGINT) AS t_uni FROM uni),
+bi AS (
+  SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2, CAST(count(*) AS BIGINT) AS c12
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+  GROUP BY 1, 2
+), tb AS (SELECT CAST(sum(c12) AS BIGINT) AS t_bi FROM bi),
+scored AS (
+  SELECT b.w1, b.w2, b.c12,
+         CAST(round(ln(b.c12 * 1.0 * tu.t_uni * tu.t_uni / (tb.t_bi * 1.0 * u1.c * u2.c)) * 1000000.0) AS BIGINT) AS pmi_micro
+  FROM bi b
+  JOIN uni u1 ON u1.w = b.w1
+  JOIN uni u2 ON u2.w = b.w2
+  CROSS JOIN tu CROSS JOIN tb
+  WHERE b.c12 >= {PMI_MIN_SUPPORT}
+)
+SELECT w1, w2, c12, pmi_micro,
+       row_number() OVER (ORDER BY pmi_micro DESC, w1, w2) AS rnk
+FROM scored ORDER BY rnk LIMIT {PMI_TOPN}
+""",
+)
+def doc_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{n} adjacent-bigram collocations by integer micro-nat PMI with
+    support >= {s} (B84) — observed-vs-independence ratio from exact
+    corpus counts."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    t_uni = uni.agg(F.sum("c").cast("long").alias("t_uni"))
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                    " (x, y) -> struct(x as w1, y as w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c12"))
+    )
+    t_bi = bi.agg(F.sum("c12").cast("long").alias("t_bi"))
+    scored = (
+        bi.filter(F.col("c12") >= PMI_MIN_SUPPORT)
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")), "w2")
+        .crossJoin(F.broadcast(t_uni))
+        .crossJoin(F.broadcast(t_bi))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    F.col("c12") * 1.0 * F.col("t_uni") * F.col("t_uni")
+                    / (F.col("t_bi") * 1.0 * F.col("c1") * F.col("c2"))
+                )
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    top = scored.orderBy(F.col("pmi_micro").desc(), "w1", "w2").limit(PMI_TOPN)
+    w = Window.orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).orderBy("rnk")
+doc_collocations_pmi.__doc__ = doc_collocations_pmi.__doc__.replace("{n}", str(PMI_TOPN)).replace("{s}", str(PMI_MIN_SUPPORT))  # template scale constants into the (real) docstring
+
+
+# ---------------------------------------------------------------------------
+# B85: more-like-this — shingle-Jaccard similarity search (r9, for r10)
+# ---------------------------------------------------------------------------
+# The query-time complement to the dedup family: given ONE query
+# document, rank the corpus by exact 3-token-shingle Jaccard. The dedup
+# ops (B2/B32/B49) answer "what is duplicated" corpus-wide; this
+# answers a user's "find me documents like this one" without building
+# pair infrastructure. Mechanism: the query's distinct shingle set
+# broadcasts; intersection counts come from one semi-filtered
+# explode-groupBy (docs sharing zero shingles never aggregate); union =
+# |A| + |B| − inter from per-doc distinct counts; Jaccard quantizes to
+# integer 1e4 units with doc_id tie-break. At 100 TB the broadcast is
+# the query's shingles (KBs) and the scan is map-side — the inverted
+# postings variant (B15's discipline) takes over when the query set is
+# a batch, exactly the B3-vs-A19 split.
+MLT_QUERY_DOC = 0
+MLT_TOPN = 10
+
+
+@register(
+    "doc_more_like_this",
+    f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 1),
+           i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' || t[CAST(i AS INT) + 2])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 3
+), q AS (
+  SELECT s AS qs, len(s) AS qn FROM sh WHERE doc_id = {MLT_QUERY_DOC}
+), scored AS (
+  SELECT sh.doc_id,
+         CAST(len(list_intersect(sh.s, q.qs)) AS BIGINT) AS inter,
+         CAST(len(sh.s) AS BIGINT) AS n_sh
+  FROM sh CROSS JOIN q
+  WHERE sh.doc_id != {MLT_QUERY_DOC}
+)
+SELECT doc_id, inter, n_sh,
+       CAST(inter * 10000 // (n_sh + (SELECT qn FROM q) - inter) AS BIGINT) AS jaccard_e4,
+       row_number() OVER (ORDER BY inter * 10000 // (n_sh + (SELECT qn FROM q) - inter) DESC, doc_id) AS rnk
+FROM scored
+WHERE inter > 0
+ORDER BY rnk LIMIT {MLT_TOPN}
+""",
+)
+def doc_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{n} documents most similar to doc {q} by exact 3-shingle
+    Jaccard (B85) — the query-time more-like-this search; integer 1e4
+    Jaccard, query shingles broadcast, map-side scoring."""
+    d = read_table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            # zip_with over SHIFTED SLICES, not transform with a captured
+            # outer-array index (t[i+1] inside the lambda re-touches the
+            # whole array per element — measured 5x slower at sf0.1)
+            F.array_distinct(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 2),"
+                    " zip_with(slice(t, 2, size(t) - 2), slice(t, 3, size(t) - 2),"
+                    " (a, b) -> concat(a, ' ', b)),"
+                    " (x, y) -> concat(x, ' ', y))"
+                )
+            ).alias("s"),
+        )
+    )
+    qrow = sh.filter(F.col("doc_id") == MLT_QUERY_DOC).select("s").first()
+    qs = list(qrow[0])
+    qn = len(qs)
+    # broadcast the query's shingle set as a RELATION, not a literal array
+    # expression — a multi-thousand-literal array bloats the expression
+    # tree and costs seconds of codegen/eval (measured 2.7 s -> sub-second)
+    qdf = spark.createDataFrame([(x,) for x in qs], "qsh string")
+    ex = sh.filter(F.col("doc_id") != MLT_QUERY_DOC).select(
+        "doc_id", F.size("s").cast("long").alias("n_sh"), F.explode("s").alias("qsh")
+    )
+    scored = (
+        ex.join(F.broadcast(qdf), "qsh")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    j = F.expr(f"inter * 10000 div (n_sh + {qn} - inter)").cast("long")
+    hit = scored.select("doc_id", "inter", "n_sh", j.alias("jaccard_e4"))
+    top = hit.orderBy(F.col("jaccard_e4").desc(), "doc_id").limit(MLT_TOPN)
+    w = Window.orderBy(F.col("jaccard_e4").desc(), "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long")).orderBy("rnk")
+doc_more_like_this.__doc__ = doc_more_like_this.__doc__.replace("{n}", str(MLT_TOPN)).replace("{q}", str(MLT_QUERY_DOC))  # template scale constants into the (real) docstring
