@@ -194,3 +194,64 @@ def test_indegree_profile_conserves_nodes_and_edges(spark, sf_dir):
     n = read_table(spark, sf_dir, "embeddings").count()
     assert sum(r.n_nodes for r in rows) == n
     assert sum(r.indeg * r.n_nodes for r in rows) == n * S.PAGERANK_DEG
+
+
+def test_label_separation_invariants(spark, sf_dir):
+    """B88: one row per label; nearest-other label is never itself;
+    inter_min is symmetric-consistent (d(a,b) appears as d(b,a) too when
+    b's nearest is a)."""
+    from vectordb_hr_data_spark.querydefs.vector_queries import (
+        embedding_label_separation,
+    )
+
+    rows = embedding_label_separation(spark, sf_dir).collect()
+    labels = {r.label for r in rows}
+    assert len(rows) == len(labels) > 1
+    for r in rows:
+        assert r.nn_label != r.label and r.nn_label in labels
+        assert r.intra_mean > 0 and r.inter_min > 0 and r.n_members > 0
+
+
+def test_drift_split_halves_cover_corpus(spark, sf_dir):
+    """B89: 64 dims reported; on a homogeneous synthetic corpus the two
+    seeded halves should differ by far less than the signal scale."""
+    from vectordb_hr_data_spark.querydefs.vector_queries import embedding_drift_split
+
+    rows = embedding_drift_split(spark, sf_dir).collect()
+    assert len(rows) == 64
+    assert [r.dim for r in rows] == list(range(64))
+    # same-distribution halves: drift well under the element scale (1e6 micro = 1.0)
+    assert max(r.drift_micro for r in rows) < 200_000
+
+
+def test_multitouch_linear_credit_conserves_purchases(spark, sf_dir):
+    """B90: linear credit sums to ~1e6 ppm per attributed purchase (the
+    integer div loses < k ppm per purchase), so total linear credit is
+    within ppm-rounding of n_attributed_purchases * 1e6."""
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import (
+        ATTR_WINDOW_DAYS,
+        events_multitouch_attribution,
+    )
+
+    rows = events_multitouch_attribution(spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == {"view", "click"}
+    total_linear = sum(r.linear_credit_ppm for r in rows)
+    total_touches = sum(r.n_touches for r in rows)
+    # count attributed purchases independently (quadratic is fine at test scale)
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", F.col("ts").alias("pts"))
+    e = ev.filter(F.col("event_type").isin("view", "click")).select("user_id", F.col("ts").alias("ets"))
+    n_attr = (
+        p.join(e, "user_id")
+        .filter(
+            (F.col("ets") <= F.col("pts"))
+            & (F.unix_micros("pts") - F.unix_micros("ets") < ATTR_WINDOW_DAYS * 86_400_000_000)
+        )
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    assert n_attr * 1_000_000 - total_touches <= total_linear <= n_attr * 1_000_000

@@ -151,6 +151,8 @@ PRIORITY: list[str] = [
     "graph_closeness_pivots", "graph_indegree_profile",
     "doc_collocations_pmi", "doc_more_like_this",
     "doc_equidepth_bins", "events_sequence_trigrams",
+    "embedding_label_separation", "embedding_drift_split",
+    "events_multitouch_attribution",
     # below-the-fold siblings whose checked twin carries the oracle
     # (previously implicit via _ordered()'s append; listed for intent)
     "ivf_pq_residual_rerank", "hr_recommend_scale",

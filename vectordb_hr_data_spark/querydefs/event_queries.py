@@ -1313,3 +1313,111 @@ def events_sequence_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     w2 = Window.orderBy(F.col("n_occ").desc(), "t1", "t2", "t3")
     return top.withColumn("rnk", F.row_number().over(w2).cast("long")).orderBy("rnk")
 events_sequence_trigrams.__doc__ = events_sequence_trigrams.__doc__.replace("{n}", str(SEQ3_TOPN)).replace("{s}", str(SEQ3_MIN_SUPPORT))  # template scale constants into the (real) docstring
+
+
+# --------------------------------------------------------------------------
+# B90: multi-touch attribution (linear + time-decay) (r9, for r10)
+# --------------------------------------------------------------------------
+# B66's as-of join credits ONE prior touch per purchase (last-touch);
+# real attribution spreads credit across EVERY engagement in the
+# lookback window. Two standard models side by side, both integer:
+# linear = 1e6 div k ppm per touch (k = touches in the window), decay =
+# 1e6 >> age_days (the B65 right-shift — halving per day, exact).
+# Scale shape is the B42 bucketed interval join: each engagement
+# explodes to the {w}+1 day buckets it can serve, the join runs on the
+# UNIFORM (user_id, day) key with the exact ts-range filter applied
+# after — join fanout is (w+1)·|E|, never |E|·|P| per user; the oracle
+# replays the plain quadratic user join independently (the B66
+# discipline: different algorithm, same answer).
+ATTR_WINDOW_DAYS = 7
+_ATTR_US_DAY = 86_400_000_000
+
+
+@register(
+    "events_multitouch_attribution",
+    f"""
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), e AS (
+  SELECT event_id, user_id, ts, event_type FROM events
+  WHERE event_type IN ('view', 'click')
+), pair AS (
+  SELECT p.event_id AS pid, e.event_type,
+         CAST((epoch_us(p.ts) - epoch_us(e.ts)) // {_ATTR_US_DAY} AS INT) AS age_days
+  FROM p JOIN e ON e.user_id = p.user_id
+  WHERE e.ts <= p.ts AND epoch_us(p.ts) - epoch_us(e.ts) < {ATTR_WINDOW_DAYS} * {_ATTR_US_DAY}
+), k AS (
+  SELECT pid, CAST(count(*) AS BIGINT) AS k FROM pair GROUP BY pid
+), credit AS (
+  SELECT pr.event_type,
+         CAST(1000000 // k.k AS BIGINT) AS linear_ppm,
+         CAST(1000000 >> least(pr.age_days, 62) AS BIGINT) AS decay_w
+  FROM pair pr JOIN k ON k.pid = pr.pid
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(linear_ppm) AS BIGINT) AS linear_credit_ppm,
+       CAST(sum(decay_w) AS BIGINT) AS decay_credit
+FROM credit
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear and time-decay multi-touch purchase attribution over a
+    {w}-day lookback (B90), aggregated per engagement type — bucketed
+    interval join on (user, day); integer ppm / right-shift credits."""
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        (F.unix_micros("ts") / _ATTR_US_DAY).cast("long").alias("day"),
+    )
+    e = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        "event_type",
+        (F.unix_micros("ts") / _ATTR_US_DAY).cast("long").alias("eday"),
+    )
+    # each engagement serves purchase-days eday .. eday + W (bounded fanout)
+    e_b = e.select(
+        "user_id",
+        "ets",
+        "event_type",
+        F.explode(F.expr(f"sequence(eday, eday + {ATTR_WINDOW_DAYS})")).alias("day"),
+    )
+    pair = (
+        p.join(e_b, ["user_id", "day"])
+        .filter(
+            (F.col("ets") <= F.col("pts"))
+            & (
+                F.unix_micros("pts") - F.unix_micros("ets")
+                < ATTR_WINDOW_DAYS * _ATTR_US_DAY
+            )
+        )
+        .select(
+            "pid",
+            "event_type",
+            F.expr(f"cast((unix_micros(pts) - unix_micros(ets)) div {_ATTR_US_DAY} as int)").alias(
+                "age_days"
+            ),
+        )
+    )
+    k = pair.groupBy("pid").agg(F.count("*").cast("long").alias("k"))
+    credit = pair.join(k, "pid").select(
+        "event_type",
+        F.expr("1000000 div k").cast("long").alias("linear_ppm"),
+        F.expr("shiftright(1000000, cast(least(age_days, 62) as int))")
+        .cast("long")
+        .alias("decay_w"),
+    )
+    return (
+        credit.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.sum("linear_ppm").cast("long").alias("linear_credit_ppm"),
+            F.sum("decay_w").cast("long").alias("decay_credit"),
+        )
+        .orderBy("event_type")
+    )
+events_multitouch_attribution.__doc__ = events_multitouch_attribution.__doc__.replace("{w}", str(ATTR_WINDOW_DAYS))  # template scale constants into the (real) docstring

@@ -1826,3 +1826,184 @@ def knn_whitened_topk_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wl2sq",
         F.row_number().over(Window.orderBy("wl2sq", "vec_id")).cast("long").alias("rnk"),
     ).orderBy("rnk")
+
+
+# ---------------------------------------------------------------------------
+# B88: per-label separation audit (r9, below-fold for r10)
+# ---------------------------------------------------------------------------
+# The embedding-quality number a retrieval/classification pipeline
+# checks before trusting its vectors: how tight is each label's cluster
+# (mean member→centroid L2²) versus how far away the NEAREST other
+# centroid sits — a Davies-Bouldin-flavoured ratio in pure integers.
+# Everything derives from e_milli longs: centroids are floor(Σe/n + .5)
+# per (label, dim) (one narrow-row aggregate, ≤ labels·dim keys),
+# member distances are exact integer sums against the broadcast
+# centroid table, and the label×label centroid-distance matrix is a
+# |labels|² cross of a tiny frame. separation = inter_min·1000 div
+# intra_mean (higher = cleaner classes).
+@register(
+    "embedding_label_separation",
+    """
+WITH el AS (
+  SELECT vec_id, label, CAST(i AS INT) - 1 AS dim,
+         CAST(round(embedding[CAST(i AS INT)] * 1000.0) AS BIGINT) AS e_milli
+  FROM embeddings, range(1, 65) AS t(i)
+), cent AS (
+  SELECT label, dim, CAST(floor(sum(e_milli) * 1.0 / count(*) + 0.5) AS BIGINT) AS c_milli
+  FROM el GROUP BY label, dim
+), member_d AS (
+  SELECT el.vec_id, el.label,
+         CAST(sum((el.e_milli - c.c_milli) * (el.e_milli - c.c_milli)) AS BIGINT) AS d2
+  FROM el JOIN cent c ON c.label = el.label AND c.dim = el.dim
+  GROUP BY el.vec_id, el.label
+), intra AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(floor(sum(d2) * 1.0 / count(*) + 0.5) AS BIGINT) AS intra_mean
+  FROM member_d GROUP BY label
+), cpair AS (
+  SELECT a.label AS label, b.label AS other,
+         CAST(sum((ca.c_milli - cb.c_milli) * (ca.c_milli - cb.c_milli)) AS BIGINT) AS cd2
+  FROM (SELECT DISTINCT label FROM cent) a
+  JOIN (SELECT DISTINCT label FROM cent) b ON a.label != b.label
+  JOIN cent ca ON ca.label = a.label
+  JOIN cent cb ON cb.label = b.label AND cb.dim = ca.dim
+  GROUP BY a.label, b.label
+), nn AS (
+  SELECT label, other AS nn_label, cd2 AS inter_min,
+         row_number() OVER (PARTITION BY label ORDER BY cd2, other) AS rn
+  FROM cpair
+)
+SELECT i.label, i.n_members, i.intra_mean, n.nn_label, n.inter_min,
+       CAST(n.inter_min * 1000 // i.intra_mean AS BIGINT) AS separation_milli
+FROM intra i JOIN nn n ON n.label = i.label AND n.rn = 1
+ORDER BY i.label
+""",
+)
+def embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cluster tightness vs nearest-other-centroid distance in
+    exact integer milli² units (B88) — the embedding-quality audit
+    (Davies-Bouldin-style separation ratio, higher = cleaner)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "ev")
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(F.col("ev").cast("double") * 1000.0, 0).cast("long").alias("e_milli"),
+    )
+    cent = el.groupBy("label", "dim").agg(
+        F.floor(F.sum("e_milli") * 1.0 / F.count("*") + 0.5).cast("long").alias("c_milli")
+    )
+    member_d = (
+        el.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("e_milli") - F.col("c_milli")) * (F.col("e_milli") - F.col("c_milli")))
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    intra = member_d.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.floor(F.sum("d2") * 1.0 / F.count("*") + 0.5).cast("long").alias("intra_mean"),
+    )
+    ca = cent.select(F.col("label"), "dim", "c_milli")
+    cb = cent.select(
+        F.col("label").alias("other"), F.col("dim").alias("dim2"), F.col("c_milli").alias("c2")
+    )
+    cpair = (
+        ca.join(F.broadcast(cb), (ca.dim == cb.dim2) & (ca.label != cb.other))
+        .groupBy("label", "other")
+        .agg(
+            F.sum((F.col("c_milli") - F.col("c2")) * (F.col("c_milli") - F.col("c2")))
+            .cast("long")
+            .alias("cd2")
+        )
+    )
+    w = Window.partitionBy("label").orderBy("cd2", "other")
+    nn = (
+        cpair.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("other").alias("nn_label"), F.col("cd2").alias("inter_min"))
+    )
+    return (
+        intra.join(nn, "label")
+        .select(
+            "label",
+            "n_members",
+            "intra_mean",
+            "nn_label",
+            "inter_min",
+            F.expr("inter_min * 1000 div intra_mean").cast("long").alias("separation_milli"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B89: embedding drift detector across corpus halves (r9, for r10)
+# ---------------------------------------------------------------------------
+# The pipeline-monitoring op: split the corpus into two deterministic
+# halves (seeded hash — standing in for old-ingest vs new-ingest) and
+# compare per-dimension means; a dimension whose mean moved is an
+# embedding-pipeline regression (model swap, normalization change,
+# upstream tokenizer drift) caught BEFORE an index rebuild bakes it in.
+# Exact integer milli sums per half; drift in micro units derives from
+# the integer means; output is one row per dimension — bounded by dim
+# regardless of corpus size, the B64 shape with a group key.
+@register(
+    "embedding_drift_split",
+    """
+WITH el AS (
+  SELECT vec_id, CAST(i AS INT) - 1 AS dim,
+         CAST(round(embedding[CAST(i AS INT)] * 1000.0) AS BIGINT) AS e_milli,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':drift'), 1, 8)) AS BIGINT) % 2 = 0
+              THEN 'a' ELSE 'b' END AS half
+  FROM embeddings, range(1, 65) AS t(i)
+), st AS (
+  SELECT dim, half,
+         CAST(floor(sum(e_milli) * 1000.0 / count(*) + 0.5) AS BIGINT) AS mean_micro
+  FROM el GROUP BY dim, half
+)
+SELECT a.dim, a.mean_micro AS mean_a_micro, b.mean_micro AS mean_b_micro,
+       abs(a.mean_micro - b.mean_micro) AS drift_micro
+FROM (SELECT dim, mean_micro FROM st WHERE half = 'a') a
+JOIN (SELECT dim, mean_micro FROM st WHERE half = 'b') b USING (dim)
+ORDER BY dim
+""",
+)
+def embedding_drift_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean drift between two seeded-hash corpus halves in
+    integer micro units (B89) — the embedding-pipeline drift monitor."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    half = F.when(
+        F.expr(
+            "cast(conv(substring(md5(concat(cast(vec_id as string), ':drift')), 1, 8), 16, 10) as bigint)"
+        )
+        % 2
+        == 0,
+        F.lit("a"),
+    ).otherwise(F.lit("b"))
+    el = emb.select(
+        half.alias("half"), F.posexplode("embedding").alias("dim", "ev")
+    ).select(
+        "half",
+        "dim",
+        F.round(F.col("ev").cast("double") * 1000.0, 0).cast("long").alias("e_milli"),
+    )
+    st = el.groupBy("dim", "half").agg(
+        F.floor(F.sum("e_milli") * 1000.0 / F.count("*") + 0.5).cast("long").alias("mean_micro")
+    )
+    a = st.filter(F.col("half") == "a").select("dim", F.col("mean_micro").alias("mean_a_micro"))
+    b = st.filter(F.col("half") == "b").select("dim", F.col("mean_micro").alias("mean_b_micro"))
+    return (
+        a.join(b, "dim")
+        .select(
+            "dim",
+            "mean_a_micro",
+            "mean_b_micro",
+            F.abs(F.col("mean_a_micro") - F.col("mean_b_micro")).alias("drift_micro"),
+        )
+        .orderBy("dim")
+    )
