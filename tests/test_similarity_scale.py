@@ -654,3 +654,25 @@ def test_closeness_routes_agree(spark, sf_dir, monkeypatch):
     assert drv == dist and len(drv) == S.CLOSENESS_TOPN
     assert all(h >= 0 for _v, h, _r in drv)
     assert drv[0][1] > 0  # the graph is connected enough to score
+
+
+def test_node_profile_routes_agree_and_composes(spark, sf_dir, monkeypatch):
+    """B92: the distributed composition (PageRank + LP + triangles +
+    k-core DF helpers over ONE shared edge frame) equals the driver
+    route row for row, and each column is consistent with its
+    standalone operator."""
+    from vectordb_hr_data_spark.querydefs import similarity_queries as S
+
+    drv = [tuple(r) for r in S.graph_node_profile(spark, sf_dir).collect()]
+    monkeypatch.setattr(S, "GRAPH_DRIVER_MAX", 0)
+    dist = [tuple(r) for r in S.graph_node_profile(spark, sf_dir).collect()]
+    assert drv == dist and len(drv) == S.PROFILE_TOPN
+    # cross-op consistency: rank order matches doc_pagerank_centrality
+    monkeypatch.undo()
+    pr = {r.vec_id: r.rank_micro for r in S.doc_pagerank_centrality(spark, sf_dir).collect()}
+    for vec_id, rank_micro, rnk, _comm, deg, n_tri, coeff, in_core in drv:
+        if vec_id in pr:
+            assert rank_micro == pr[vec_id]
+        assert in_core in (0, 1)
+        if n_tri > 0:
+            assert deg >= 2 and 2 * n_tri <= deg * (deg - 1) and 0 < coeff <= 1_000_000

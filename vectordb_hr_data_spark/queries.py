@@ -153,6 +153,7 @@ PRIORITY: list[str] = [
     "doc_equidepth_bins", "events_sequence_trigrams",
     "embedding_label_separation", "embedding_drift_split",
     "events_multitouch_attribution",
+    "events_session_intent_summary", "graph_node_profile",
     # below-the-fold siblings whose checked twin carries the oracle
     # (previously implicit via _ordered()'s append; listed for intent)
     "ivf_pq_residual_rerank", "hr_recommend_scale",

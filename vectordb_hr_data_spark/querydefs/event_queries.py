@@ -1421,3 +1421,95 @@ def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy("event_type")
     )
 events_multitouch_attribution.__doc__ = events_multitouch_attribution.__doc__.replace("{w}", str(ATTR_WINDOW_DAYS))  # template scale constants into the (real) docstring
+
+
+# --------------------------------------------------------------------------
+# B91: session-intent conversion summary (r9, for r10) — the events
+# capstone composition (the B22/B40 pipeline discipline applied to the
+# behavioural family): sessionize (B7's lag+cumsum) → per-session facts
+# (length, duration, contains-purchase) → grouped by the session's FIRST
+# event type ("intent": what the user came to do) → conversion and
+# engagement profile per intent. One user window drives everything
+# (session id, first-type, all via the same partition), session facts are
+# one uniform groupBy, the intent rollup is a |types|-key aggregate —
+# three stages, one window pass, no stage rescans the events.
+@register(
+    "events_session_intent_summary",
+    f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > {SESSION_GAP_SEC}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM o
+), sess AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+), facts AS (
+  SELECT user_id, session_id,
+         min(ts) AS t0, max(ts) AS t1,
+         CAST(count(*) AS BIGINT) AS n_events,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+         min(event_id) FILTER (WHERE is_new = 1) AS first_eid
+  FROM sess GROUP BY user_id, session_id
+), intent AS (
+  SELECT f.*, s.event_type AS intent_type
+  FROM facts f JOIN sess s ON s.user_id = f.user_id AND s.event_id = f.first_eid
+)
+SELECT intent_type,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n_events) * 1000 // count(*) AS BIGINT) AS events_per_session_milli,
+       CAST(sum(epoch(t1) - epoch(t0)) // count(*) AS BIGINT) AS mean_duration_sec,
+       CAST(sum(converted) * 1000000 // count(*) AS BIGINT) AS conversion_ppm
+FROM intent
+GROUP BY intent_type
+ORDER BY intent_type
+""",
+)
+def events_session_intent_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per session-intent (first event type) engagement and conversion
+    profile (B91): sessions, events/session (milli), mean duration,
+    purchase-conversion ppm — the composed events capstone."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "event_id", "ts", "event_type", F.lag("ts").over(w).alias("prev_ts")
+    )
+    flagged = o.withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > SESSION_GAP_SEC),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    facts = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+        F.count("*").cast("long").alias("n_events"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted"),
+        F.min(F.when(F.col("is_new") == 1, F.col("event_id"))).alias("first_eid"),
+    )
+    intent = facts.join(
+        sess.select("user_id", F.col("event_id").alias("first_eid"), F.col("event_type").alias("intent_type")),
+        ["user_id", "first_eid"],
+    )
+    return (
+        intent.groupBy("intent_type")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.expr("sum(n_events) * 1000 div count(*)").cast("long").alias("events_per_session_milli"),
+            F.expr("sum(unix_timestamp(t1) - unix_timestamp(t0)) div count(*)")
+            .cast("long")
+            .alias("mean_duration_sec"),
+            F.expr("sum(converted) * 1000000 div count(*)").cast("long").alias("conversion_ppm"),
+        )
+        .orderBy("intent_type")
+    )

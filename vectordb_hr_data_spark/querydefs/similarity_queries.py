@@ -2448,3 +2448,220 @@ def graph_indegree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("indeg")
     )
+
+
+# --------------------------------------------------------------------------
+# B92: graph node profile — the graph-family capstone (r9, for r10)
+# --------------------------------------------------------------------------
+# One row per top-PageRank node joining EVERYTHING the family computes
+# from the ONE shared edge build: eigenvector centrality (B46),
+# community (B54), degree + triangles + clustering coefficient (B68),
+# and mutual-kNN 2-core membership (B78) — the per-document "graph
+# passport" a curation pipeline reads to pick diverse-but-central,
+# dense-region representatives. The oracle is the family's thesis made
+# executable: ONE recursive SQL replays the PageRank rounds, the LP
+# rounds, the triangle join, AND the k-core peel off the SAME edge CTE
+# and joins them — four algorithms, one edge list, bit-for-bit.
+PROFILE_TOPN = 20
+
+
+@register(
+    "graph_node_profile",
+    f"""
+WITH RECURSIVE scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_COS_DDB.format(a='b.embedding', b='a.embedding')}, 4) DESC,
+                                     b.vec_id) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+), dir AS (
+  SELECT src, dst FROM scored WHERE rn <= {PAGERANK_DEG}
+), pr_edges AS (
+  SELECT src, dst, 1 AS w FROM dir
+  UNION ALL
+  SELECT vec_id, vec_id, 0 FROM embeddings
+), pr AS (
+  SELECT 0 AS iter, vec_id AS node, CAST(1000000 AS BIGINT) AS r FROM embeddings
+  UNION ALL
+  SELECT p.iter + 1, e.dst,
+         CAST(150000 + sum(CASE WHEN e.w = 1 THEN (p.r * 170 + 300) // 600 ELSE 0 END) AS BIGINT)
+  FROM pr p JOIN pr_edges e ON e.src = p.node
+  WHERE p.iter < {PAGERANK_ITERS}
+  GROUP BY p.iter, e.dst
+), lp_edges AS (
+  SELECT src, dst, 1 AS w FROM (SELECT src, dst FROM dir UNION SELECT dst, src FROM dir)
+  UNION ALL
+  SELECT vec_id, vec_id, 0 FROM embeddings
+), lp AS (
+  SELECT 0 AS iter, vec_id AS node, CAST(vec_id AS BIGINT) AS lab FROM embeddings
+  UNION ALL
+  SELECT iter1, dst, CAST({_LP_ENC - 1} - (max(enc) % {_LP_ENC}) AS BIGINT)
+  FROM (
+    SELECT p.iter + 1 AS iter1, e.dst, p.lab,
+           sum(e.w) * {_LP_ENC} + ({_LP_ENC - 1} - p.lab) AS enc
+    FROM lp p JOIN lp_edges e ON e.src = p.node
+    WHERE p.iter < {LP_ITERS}
+    GROUP BY p.iter + 1, e.dst, p.lab
+  ) agg
+  GROUP BY iter1, dst
+), und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM dir
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+  GROUP BY node
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), corner AS (
+  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+), tcnt AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM corner GROUP BY node
+), mue AS (
+  SELECT d1.src AS a, d1.dst AS b
+  FROM dir d1 JOIN dir d2 ON d2.src = d1.dst AND d2.dst = d1.src
+), core AS (
+  SELECT 0 AS r, vec_id AS node FROM embeddings
+  UNION ALL
+  (WITH prev AS (SELECT * FROM core WHERE r < {KCORE_ROUNDS}),
+   cdeg AS (
+     SELECT p.r, e.a AS node, count(*) AS d
+     FROM mue e
+     JOIN prev p ON p.node = e.a
+     JOIN prev p2 ON p2.node = e.b AND p2.r = p.r
+     GROUP BY p.r, e.a
+   )
+   SELECT r + 1, node FROM cdeg WHERE d >= {KCORE_K})
+), surv AS (
+  SELECT node FROM core WHERE r = {KCORE_ROUNDS}
+), top AS (
+  SELECT node, r AS rank_micro,
+         row_number() OVER (ORDER BY r DESC, node) AS rnk
+  FROM pr WHERE iter = {PAGERANK_ITERS}
+)
+SELECT t.node AS vec_id, t.rank_micro, t.rnk,
+       l.lab AS community_id,
+       COALESCE(d.deg, 0) AS deg,
+       COALESCE(tc.n_tri, 0) AS n_tri,
+       CASE WHEN COALESCE(d.deg, 0) >= 2
+            THEN CAST(floor(COALESCE(tc.n_tri, 0) * 2000000.0 / (d.deg * (d.deg - 1)) + 0.5) AS BIGINT)
+            ELSE 0 END AS coeff_ppm,
+       CAST(CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core
+FROM top t
+JOIN (SELECT node, lab FROM lp WHERE iter = {LP_ITERS}) l ON l.node = t.node
+LEFT JOIN deg d ON d.node = t.node
+LEFT JOIN tcnt tc ON tc.node = t.node
+LEFT JOIN surv s ON s.node = t.node
+WHERE t.rnk <= {PROFILE_TOPN}
+ORDER BY t.rnk
+""",
+)
+def graph_node_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph passport for the top-{n} PageRank nodes (B92): centrality,
+    community, degree, triangles, clustering coefficient, and mutual-kNN
+    {k}-core membership — every graph-family signal off the ONE shared
+    edge build, with a single recursive-CTE oracle replaying all four
+    algorithms."""
+    import math
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    if _corpus_count_memo(sf_dir, emb) <= GRAPH_DRIVER_MAX:
+        out_edges = _out_edges_memo(sf_dir, emb, PAGERANK_DEG, "graph_node_profile")
+        r_map = _pagerank_scores_driver(out_edges, PAGERANK_ITERS)
+        nbrs: dict[int, set[int]] = {v: set() for v in out_edges}
+        for u, ds in out_edges.items():
+            for v in ds:
+                nbrs[u].add(v)
+                nbrs.setdefault(v, set()).add(u)
+        labels = _lp_labels_driver(nbrs, LP_ITERS)
+        und: set[tuple[int, int]] = set()
+        for u, ds in out_edges.items():
+            for v in ds:
+                und.add((min(u, v), max(u, v)))
+        tri = {v: 0 for v in nbrs}
+        for a, b in und:
+            for c in nbrs[a] & nbrs[b]:
+                tri[c] += 1
+        core = _kcore_driver(out_edges, KCORE_K, KCORE_ROUNDS)
+        top = sorted(((-rv, v) for v, rv in r_map.items()))[:PROFILE_TOPN]
+        rows = []
+        for i, (nr, v) in enumerate(top):
+            dg = len(nbrs[v])
+            nt = tri.get(v, 0)
+            coeff = int(math.floor(nt * 2000000.0 / (dg * (dg - 1)) + 0.5)) if dg >= 2 else 0
+            rows.append((v, -nr, i + 1, labels[v], dg, nt, coeff, 1 if v in core else 0))
+        return spark.createDataFrame(
+            rows,
+            "vec_id long, rank_micro long, rnk long, community_id long,"
+            " deg long, n_tri long, coeff_ppm long, in_core long",
+        ).orderBy("rnk")
+    # distributed route: the family's DF helpers over the SHARED edge frame
+    dir_e = _graph_dir_edges(sf_dir, emb, PAGERANK_DEG, "graph_node_profile")
+    pr = _pagerank_rounds_df(emb, dir_e, PAGERANK_ITERS)
+    lp = _lp_rounds_df(emb, dir_e, LP_ITERS).select(
+        F.col("node"), F.col("lab").alias("community_id")
+    )
+    und_df = dir_e.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct().localCheckpoint(eager=True)
+    deg = (
+        und_df.select(F.col("a").alias("node"))
+        .unionByName(und_df.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    e2 = und_df.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und_df.select(F.col("a").alias("x2"), F.col("b").alias("z2"))
+    tri = (
+        und_df.join(e2, und_df.b == e2.y)
+        .join(e3, (F.col("a") == F.col("x2")) & (F.col("z") == F.col("z2")))
+        .select("a", "b", "z")
+    )
+    corner = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("z").alias("node")))
+    )
+    tcnt = corner.groupBy("node").agg(F.count("*").cast("long").alias("n_tri"))
+    core = _kcore_rounds_df(emb, dir_e, KCORE_K, KCORE_ROUNDS).select(
+        F.col("vec_id").alias("node"), F.lit(1).cast("long").alias("in_core")
+    )
+    top = (
+        pr.select("node", F.col("r").alias("rank_micro"))
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.col("rank_micro").desc(), F.col("node").asc()))
+            .cast("long"),
+        )
+        .filter(F.col("rnk") <= PROFILE_TOPN)
+    )
+    coeff = F.when(
+        F.coalesce(F.col("deg"), F.lit(0)) >= 2,
+        F.floor(
+            F.coalesce(F.col("n_tri"), F.lit(0))
+            * 2000000.0
+            / (F.col("deg") * (F.col("deg") - 1))
+            + 0.5
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        top.join(lp, "node")
+        .join(deg, "node", "left")
+        .join(tcnt, "node", "left")
+        .join(core, "node", "left")
+        .select(
+            F.col("node").alias("vec_id"),
+            "rank_micro",
+            "rnk",
+            "community_id",
+            F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            coeff.alias("coeff_ppm"),
+            F.coalesce("in_core", F.lit(0)).cast("long").alias("in_core"),
+        )
+        .orderBy("rnk")
+    )
+graph_node_profile.__doc__ = graph_node_profile.__doc__.replace("{n}", str(PROFILE_TOPN)).replace("{k}", str(KCORE_K))  # template scale constants into the (real) docstring
