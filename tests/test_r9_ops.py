@@ -255,3 +255,52 @@ def test_multitouch_linear_credit_conserves_purchases(spark, sf_dir):
         .count()
     )
     assert n_attr * 1_000_000 - total_touches <= total_linear <= n_attr * 1_000_000
+
+
+def test_sketch_fidelity_mass_concentrates_near_zero_error(spark, sf_dir):
+    """B93: the MinHash estimator is unbiased with sd ~ sqrt(J(1-J)/16)
+    <= 0.125, so most candidate-pair error mass sits in the first few 5%
+    buckets; also the bucket arithmetic is internally consistent."""
+    from vectordb_hr_data_spark.querydefs.dedup_queries import neardup_sketch_fidelity
+
+    rows = neardup_sketch_fidelity(spark, sf_dir).collect()
+    assert len(rows) > 0
+    total = sum(r.n_pairs for r in rows)
+    near = sum(r.n_pairs for r in rows if r.err_bucket <= 3)  # |err| < 20%
+    assert near / total >= 0.8, (near, total)
+    for r in rows:
+        assert 0 <= r.mean_est_e4 <= 10_000 and 0 <= r.mean_exact_e4 <= 10_000
+
+
+def test_source_duplication_matrix_full_grid(spark, sf_dir):
+    """B94: every source pair appears exactly once (s1 < s2) and overlap
+    never exceeds the smaller side."""
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.dedup_queries import source_duplication_matrix
+
+    rows = source_duplication_matrix(spark, sf_dir).collect()
+    sources = {
+        r.source
+        for r in read_table(spark, sf_dir, "documents").select("source").distinct().collect()
+    }
+    n = len(sources)
+    assert len(rows) == n * (n - 1) // 2
+    for r in rows:
+        assert r.source_1 < r.source_2
+        assert 0 <= r.n_shared <= min(r.n1, r.n2)
+        assert 0 <= r.overlap_ppm <= 1_000_000
+
+
+def test_vocab_coverage_curve_monotone_and_bounded(spark, sf_dir):
+    """B95: cumulative share is strictly increasing in rank and ends
+    below/at 1e6; counts are non-increasing down the head."""
+    from vectordb_hr_data_spark.querydefs.text_queries import doc_vocab_coverage_curve
+
+    rows = doc_vocab_coverage_curve(spark, sf_dir).collect()
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    shares = [r.cum_share_ppm for r in rows]
+    assert shares == sorted(shares) and shares[-1] <= 1_000_000
+    counts = [r.c for r in rows]
+    assert counts == sorted(counts, reverse=True)

@@ -154,6 +154,8 @@ PRIORITY: list[str] = [
     "embedding_label_separation", "embedding_drift_split",
     "events_multitouch_attribution",
     "events_session_intent_summary", "graph_node_profile",
+    "neardup_sketch_fidelity", "source_duplication_matrix",
+    "doc_vocab_coverage_curve",
     # below-the-fold siblings whose checked twin carries the oracle
     # (previously implicit via _ordered()'s append; listed for intent)
     "ivf_pq_residual_rerank", "hr_recommend_scale",

@@ -863,3 +863,197 @@ def doc_containment_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CPROBE_BUILT: set[str] = set()
+
+
+# --------------------------------------------------------------------------
+# B93: MinHash sketch-fidelity audit (r9, below-fold for r10)
+# --------------------------------------------------------------------------
+# The meta-operator that validates the dedup family's own tooling: for
+# every LSH candidate pair (>= 1 shared band — the exact population the
+# production pipeline verifies), compare the MinHash ESTIMATE of Jaccard
+# (matching signature positions / 16) against the EXACT shingle Jaccard,
+# and histogram the absolute error in 5%-wide buckets. This is how you
+# decide whether 16 hashes / 4 bands is enough before trusting the
+# sketch at 100 TB — the theory says E[est] = J with sd ~ sqrt(J(1-J)/k);
+# this measures it on YOUR corpus. Integer 1e4 units end to end
+# (625 per matching position, inter*1e4 div union for exact), so the
+# histogram is engine-identical. Scale shape: candidates come from the
+# SAME banded equi-join as neardup_minhash_lsh (never all-pairs);
+# signatures rejoin by doc_id; the histogram is a bounded-key groupBy.
+def _sketch_fidelity_oracle() -> str:
+    sig_exprs = H.ddb_minhash_sig("hashes")
+    sig_list = "[" + ", ".join(sig_exprs) + "]"
+    band_keys = [
+        " || ':' || ".join(
+            f"CAST(ms[{b * H.ROWS_PER_BAND + r + 1}] AS VARCHAR)" for r in range(H.ROWS_PER_BAND)
+        )
+        for b in range(H.N_BANDS)
+    ]
+    band_cols = ", ".join(f"{k} AS band{b}" for b, k in enumerate(band_keys))
+    band_match = " OR ".join(f"a.band{b} = b.band{b}" for b in range(H.N_BANDS))
+    return f"""
+WITH t AS (
+  SELECT doc_id, {H.ddb_tokens('text')} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {H.ddb_shingles('toks')} AS shingles FROM t
+), hashed AS (
+  SELECT doc_id, shingles, {H.ddb_hash_array('shingles')} AS hashes FROM sh
+), sig AS (
+  SELECT doc_id, shingles, {sig_list} AS ms FROM hashed
+), banded AS (
+  SELECT doc_id, shingles, ms, {band_cols} FROM sig
+), pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         CAST(list_sum(list_transform(range(1, {H.N_HASHES} + 1),
+              i -> CASE WHEN a.ms[CAST(i AS INT)] = b.ms[CAST(i AS INT)] THEN 1 ELSE 0 END))
+              * 10000 // {H.N_HASHES} AS BIGINT) AS est_e4,
+         CAST(len(list_intersect(a.shingles, b.shingles)) * 10000
+              // (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+              AS BIGINT) AS exact_e4
+  FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ({band_match})
+)
+SELECT CAST(abs(est_e4 - exact_e4) // 500 AS BIGINT) AS err_bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(est_e4) // count(*) AS BIGINT) AS mean_est_e4,
+       CAST(sum(exact_e4) // count(*) AS BIGINT) AS mean_exact_e4
+FROM pairs
+GROUP BY err_bucket
+ORDER BY err_bucket
+"""
+
+
+@register("neardup_sketch_fidelity", _sketch_fidelity_oracle())
+def neardup_sketch_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimate vs exact Jaccard over the LSH candidate
+    population (B93): absolute-error histogram in 5% buckets, integer
+    1e4 units — the sketch-parameter validation audit."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(H.spark_tokens("text")).alias("toks"))
+    sh = toks.select("doc_id", F.expr(H.spark_shingles("toks")).alias("shingles")).cache()
+    hashed = sh.withColumn("hashes", F.expr(H.spark_hash_array("shingles")))
+    sig = hashed.select(
+        "doc_id",
+        "shingles",
+        F.array(*[F.expr(e) for e in H.spark_minhash_sig("hashes")]).alias("ms"),
+    ).cache()
+    band_keys = [
+        F.concat_ws(
+            ":",
+            *[
+                F.col("ms").getItem(b * H.ROWS_PER_BAND + r).cast("string")
+                for r in range(H.ROWS_PER_BAND)
+            ],
+        )
+        for b in range(H.N_BANDS)
+    ]
+    pre = sig.select("doc_id", F.array(*band_keys).alias("bk")).cache()
+    banded = pre.select("doc_id", F.posexplode("bk").alias("band_id", "band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .dropDuplicates(["d1", "d2"])
+    )
+    s1 = sig.select(
+        F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"), F.col("ms").alias("ms1")
+    )
+    s2 = sig.select(
+        F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"), F.col("ms").alias("ms2")
+    )
+    est = F.expr(
+        f"size(filter(zip_with(ms1, ms2, (x, y) -> x = y), t -> t)) * 10000 div {H.N_HASHES}"
+    ).cast("long")
+    inter = "size(array_intersect(sh1, sh2))"
+    exact = F.expr(
+        f"{inter} * 10000 div (size(sh1) + size(sh2) - {inter})"
+    ).cast("long")
+    pairs = (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .select(est.alias("est_e4"), exact.alias("exact_e4"))
+    )
+    return (
+        pairs.select(
+            F.expr("abs(est_e4 - exact_e4) div 500").cast("long").alias("err_bucket"),
+            "est_e4",
+            "exact_e4",
+        )
+        .groupBy("err_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.expr("sum(est_e4) div count(*)").cast("long").alias("mean_est_e4"),
+            F.expr("sum(exact_e4) div count(*)").cast("long").alias("mean_exact_e4"),
+        )
+        .orderBy("err_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# B94: cross-source duplication matrix (r9, below-fold for r10)
+# --------------------------------------------------------------------------
+# Mixture design needs to know which SOURCES duplicate each other
+# (mirror crawls, syndicated feeds) before weights are assigned —
+# deduplicating a source pair that is 40% shared silently reweights the
+# mix. For every source pair: how many of the smaller source's distinct
+# content hashes also appear in the other, as a ppm overlap rate. Exact
+# content identity (the B1 md5 discipline); the join runs on the hash
+# key over DISTINCT (source, hash) rows — volume bounded by distinct
+# content, never row pairs; the |sources|² output is tiny.
+@register(
+    "source_duplication_matrix",
+    """
+WITH h AS (
+  SELECT DISTINCT source, md5(text) AS th FROM documents
+), sz AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY source
+), ov AS (
+  SELECT a.source AS source_1, b.source AS source_2, CAST(count(*) AS BIGINT) AS n_shared
+  FROM h a JOIN h b ON a.th = b.th AND a.source < b.source
+  GROUP BY a.source, b.source
+), grid AS (
+  SELECT s1.source AS source_1, s2.source AS source_2, s1.n AS n1, s2.n AS n2
+  FROM sz s1 JOIN sz s2 ON s1.source < s2.source
+)
+SELECT g.source_1, g.source_2, g.n1, g.n2,
+       CAST(coalesce(o.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(coalesce(o.n_shared, 0) * 1000000 // least(g.n1, g.n2) AS BIGINT) AS overlap_ppm
+FROM grid g LEFT JOIN ov o ON o.source_1 = g.source_1 AND o.source_2 = g.source_2
+ORDER BY g.source_1, g.source_2
+""",
+)
+def source_duplication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise exact-content overlap between sources in ppm of the
+    smaller side (B94) — the mixture-design redundancy audit."""
+    d = read_table(spark, sf_dir, "documents")
+    h = d.select("source", F.md5("text").alias("th")).distinct()
+    sz = h.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    a = h.select(F.col("source").alias("source_1"), "th")
+    b = h.select(F.col("source").alias("source_2"), "th")
+    ov = (
+        a.join(b, "th")
+        .filter(F.col("source_1") < F.col("source_2"))
+        .groupBy("source_1", "source_2")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    s1 = sz.select(F.col("source").alias("source_1"), F.col("n").alias("n1"))
+    s2 = sz.select(F.col("source").alias("source_2"), F.col("n").alias("n2"))
+    grid = s1.join(s2, F.col("source_1") < F.col("source_2"))
+    return (
+        grid.join(F.broadcast(ov), ["source_1", "source_2"], "left")
+        .select(
+            "source_1",
+            "source_2",
+            "n1",
+            "n2",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.expr("coalesce(n_shared, 0) * 1000000 div least(n1, n2)")
+            .cast("long")
+            .alias("overlap_ppm"),
+        )
+        .orderBy("source_1", "source_2")
+    )

@@ -1321,3 +1321,60 @@ def doc_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("jaccard_e4").desc(), "doc_id")
     return top.withColumn("rnk", F.row_number().over(w).cast("long")).orderBy("rnk")
 doc_more_like_this.__doc__ = doc_more_like_this.__doc__.replace("{n}", str(MLT_TOPN)).replace("{q}", str(MLT_QUERY_DOC))  # template scale constants into the (real) docstring
+
+
+# ---------------------------------------------------------------------------
+# B95: vocabulary head-coverage curve (r9, below-fold for r10)
+# ---------------------------------------------------------------------------
+# The Zipf audit behind every vocabulary-size decision (tokenizer vocab,
+# embedding table, stopword cut): rank words by frequency and emit the
+# cumulative corpus share at each head rank — "the top k types cover X%
+# of all tokens". Determinism: ties rank by the word; shares are integer
+# ppm of the exact total. Scale shape: one vocabulary-sized aggregate
+# (map-side combined), the ranking runs over TYPES not tokens, and the
+# output is the top-{n} head only.
+VOCAB_CURVE_TOPN = 20
+
+
+@register(
+    "doc_vocab_coverage_curve",
+    f"""
+WITH uni AS (
+  SELECT u AS w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS u FROM documents) GROUP BY u
+), tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni),
+ranked AS (
+  SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rk,
+         sum(c) OVER (ORDER BY c DESC, w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM uni
+)
+SELECT r.rk, r.w, r.c,
+       CAST(r.cum * 1000000 // t.t AS BIGINT) AS cum_share_ppm
+FROM ranked r CROSS JOIN tot t
+WHERE r.rk <= {VOCAB_CURVE_TOPN}
+ORDER BY r.rk
+""",
+)
+def doc_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{n} vocabulary head with cumulative corpus-share ppm (B95) —
+    the Zipf curve behind vocabulary-size decisions."""
+    d = read_table(spark, sf_dir, "documents")
+    uni = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    t = uni.agg(F.sum("c").cast("long").alias("t"))
+    w_rank = Window.orderBy(F.col("c").desc(), F.col("w"))
+    ranked = uni.select(
+        "w",
+        "c",
+        F.row_number().over(w_rank).cast("long").alias("rk"),
+        F.sum("c").over(w_rank.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    ).filter(F.col("rk") <= VOCAB_CURVE_TOPN)
+    return (
+        ranked.crossJoin(F.broadcast(t))
+        .select("rk", "w", "c", F.expr("cum * 1000000 div t").cast("long").alias("cum_share_ppm"))
+        .orderBy("rk")
+    )
+doc_vocab_coverage_curve.__doc__ = doc_vocab_coverage_curve.__doc__.replace("{n}", str(VOCAB_CURVE_TOPN))  # template scale constants into the (real) docstring
