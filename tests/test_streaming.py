@@ -1091,3 +1091,42 @@ def test_stream_markov_state_converges_to_batch(spark, sf_dir, tmp_path):
 
     with _pytest.raises(Exception, match="out-of-order"):
         stream_markov_state(stream2, state)
+
+
+def test_stream_slice_profile_converges_to_batch(spark, sf_dir, tmp_path):
+    """stream_slice_profile (r9): associative-merge state over 4
+    micro-batches of documents must equal the one-shot
+    source_slice_profile — including slices whose docs split across
+    batches and the read-time-derived mean."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import source_slice_profile
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        slice_profile_from_state,
+        stream_slice_profile,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    src = tmp_path / "slice_src"
+    src.mkdir()
+    for i in range(4):
+        part = docs.filter((F.col("doc_id") % 4) == i)
+        tdir = str(tmp_path / f"slice_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    state = str(tmp_path / "slice_state")
+    stream_slice_profile(stream, state)
+    got = sorted(map(tuple, slice_profile_from_state(spark, state).collect()))
+    want = sorted(map(tuple, source_slice_profile(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0

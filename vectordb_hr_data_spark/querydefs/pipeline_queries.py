@@ -2084,3 +2084,45 @@ def doc_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bin")
     )
 doc_equidepth_bins.__doc__ = doc_equidepth_bins.__doc__.replace("{k}", str(DEPTH_BINS))  # template scale constants into the (real) docstring
+
+
+# ---------------------------------------------------------------------------
+# B96: per-slice ingest profile (r9, below-fold for r10)
+# ---------------------------------------------------------------------------
+# The (lang, source) slice report every ingest pipeline tracks: volume,
+# length sum/min/max per slice — ALL associative measures, chosen so the
+# streaming twin (`streaming.stream_ops.stream_slice_profile`) can fold
+# micro-batches into persisted state by pure re-aggregation (sum of
+# sums, min of mins) with no ordering contract and exact convergence to
+# this batch query. One uniform (lang, source) groupBy with map-side
+# partials; output bounded by the slice grid.
+@register(
+    "source_slice_profile",
+    """
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+""",
+)
+def source_slice_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) ingest slice profile (B96): counts and length
+    stats from associative measures only — the streaming twin folds
+    micro-batches into identical state."""
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.expr("sum(n_chars) div count(*)").cast("long").alias("mean_chars"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -968,3 +968,86 @@ def markov_matrix_from_state(spark: SparkSession, state_path: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+def stream_mergeable_agg(
+    stream_df: DataFrame,
+    state_path: str,
+    key_cols: list[str],
+    batch_agg,
+    merge_agg,
+) -> None:
+    """Generic associative-merge streaming sink (the shape behind
+    stream_burst_state, generalized): per micro-batch, reduce the batch
+    with ``batch_agg`` (a list of aggregate Columns over ``key_cols``),
+    then fold into the persisted state by re-aggregating the union with
+    ``merge_agg`` — sound exactly when every measure is associative and
+    commutative (sum of sums, min of mins, count as a summed count), in
+    which case batch boundaries, arrival order, and restarts cannot
+    change the converged state and NO ordering contract is needed.
+    Exactly-once caveat identical to stream_zorder_append's note: plain
+    parquet gives at-least-once on crash-between-write-and-commit; wrap
+    the state in a transactional table for exactly-once."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        inc = batch_df.groupBy(*key_cols).agg(*batch_agg)
+        try:
+            state = spark.read.parquet(state_path)
+        except Exception:
+            inc.write.mode("overwrite").parquet(state_path)
+            return
+        merged = (
+            state.unionByName(inc)
+            .groupBy(*key_cols)
+            .agg(*merge_agg)
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(state_path)
+
+    q = stream_df.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def stream_slice_profile(doc_stream: DataFrame, state_path: str) -> None:
+    """Streaming maintenance of the B96 per-(lang, source) ingest slice
+    profile via ``stream_mergeable_agg`` — counts/sums/min/max fold
+    exactly; the derived mean is computed at READ time
+    (``slice_profile_from_state``) because a mean is NOT associative."""
+    from pyspark.sql import functions as F
+
+    batch_agg = [
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    ]
+    merge_agg = [
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_chars").cast("long").alias("sum_chars"),
+        F.min("min_chars").cast("long").alias("min_chars"),
+        F.max("max_chars").cast("long").alias("max_chars"),
+    ]
+    stream_mergeable_agg(doc_stream, state_path, ["lang", "source"], batch_agg, merge_agg)
+
+
+def slice_profile_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B96's report computed from the streamed state — identical columns
+    and integer arithmetic to ``source_slice_profile``."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(state_path)
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "sum_chars",
+            "min_chars",
+            "max_chars",
+            F.expr("sum_chars div n_docs").cast("long").alias("mean_chars"),
+        )
+        .orderBy("lang", "source")
+    )
