@@ -304,3 +304,55 @@ def test_vocab_coverage_curve_monotone_and_bounded(spark, sf_dir):
     assert shares == sorted(shares) and shares[-1] <= 1_000_000
     counts = [r.c for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_grouped_split_prevents_cluster_straddle(spark, sf_dir):
+    """B97: no near-dup cluster straddles splits, every doc is assigned
+    exactly once, proportions are hash-80/10/10-ish — and the hazard is
+    REAL: the naive doc-hash split (B11) does straddle at least one of
+    the same clusters."""
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.dedup_queries import doc_grouped_split
+
+    rows = doc_grouped_split(spark, sf_dir).collect()
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())  # the guarantee
+    from collections import Counter
+
+    c = Counter(r.split for r in rows)
+    assert 0.6 < c["train"] / n_docs < 0.95 and c["valid"] > 0 and c["test"] > 0
+    # the naive per-DOC hash split straddles a multi-doc cluster
+    naive = {
+        r.doc_id: r.b
+        for r in spark.sql("select 1").sparkSession.createDataFrame(
+            [(r.doc_id,) for r in rows], "doc_id long"
+        )
+        .select(
+            "doc_id",
+            (
+                F.expr(
+                    "cast(conv(substring(md5(concat(cast(doc_id as string), ':split')), 1, 8), 16, 10) as bigint)"
+                )
+                % 100
+            ).alias("b"),
+        )
+        .collect()
+    }
+    def naive_split(b):
+        return "train" if b < 80 else ("valid" if b < 90 else "test")
+
+    cluster_docs = {}
+    for r in rows:
+        cluster_docs.setdefault(r.cluster_id, []).append(r.doc_id)
+    straddled = [
+        cid
+        for cid, docs in cluster_docs.items()
+        if len(docs) > 1 and len({naive_split(naive[d]) for d in docs}) > 1
+    ]
+    assert straddled, "corpus has no multi-doc cluster split by the naive hash — hazard not demonstrated"

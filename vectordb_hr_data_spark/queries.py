@@ -156,6 +156,7 @@ PRIORITY: list[str] = [
     "events_session_intent_summary", "graph_node_profile",
     "neardup_sketch_fidelity", "source_duplication_matrix",
     "doc_vocab_coverage_curve", "source_slice_profile",
+    "doc_grouped_split",
     # below-the-fold siblings whose checked twin carries the oracle
     # (previously implicit via _ordered()'s append; listed for intent)
     "ivf_pq_residual_rerank", "hr_recommend_scale",

@@ -1057,3 +1057,60 @@ def source_duplication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_1", "source_2")
     )
+
+
+# --------------------------------------------------------------------------
+# B97: leakage-safe grouped train/valid/test split (r9, for r10)
+# --------------------------------------------------------------------------
+# The often-botched training-data op B11's doc_hash_split gets wrong by
+# design: hashing DOCUMENTS puts near-duplicates of a training doc into
+# the test set (evaluation leakage). The fix splits by NEAR-DUP CLUSTER:
+# docs map to their connected component (singletons to themselves), the
+# CLUSTER id hashes into 80/10/10 — so an entire duplicate family lands
+# in one split, structurally. Reuses the B2 pair graph + CC closure
+# (shared oracle CTE chain); the assignment adds one hash expression and
+# a left join against the bounded component table. The r9 pytest
+# demonstrates the hazard is real on this corpus: the naive doc-hash
+# split DOES straddle clusters that the grouped split keeps together.
+@register(
+    "doc_grouped_split",
+    "WITH RECURSIVE "
+    + _cc_ctes().lstrip().removeprefix("WITH ")
+    + """,
+labels AS (SELECT a AS node, min(b) AS comp FROM reach GROUP BY a),
+assign AS (
+  SELECT d.doc_id,
+         CAST(coalesce(l.comp, d.doc_id) AS BIGINT) AS cluster_id
+  FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+), bucketed AS (
+  SELECT doc_id, cluster_id,
+         CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || ':gsplit'), 1, 8)) AS BIGINT) % 100 AS b
+  FROM assign
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+FROM bucketed
+ORDER BY doc_id
+""",
+)
+def doc_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document train/valid/test assignment hashed by NEAR-DUP
+    CLUSTER id (B97) — duplicate families never straddle splits, so
+    evaluation can't leak through near-copies."""
+    from ..operators.components import connected_components
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = neardup_ngram_jaccard(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    comps = connected_components(pairs, "doc_id_1", "doc_id_2").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("comp")
+    )
+    assign = d.select("doc_id").join(F.broadcast(comps), "doc_id", "left").select(
+        "doc_id", F.coalesce("comp", "doc_id").cast("long").alias("cluster_id")
+    )
+    b = F.expr(
+        "cast(conv(substring(md5(concat(cast(cluster_id as string), ':gsplit')), 1, 8), 16, 10) as bigint) % 100"
+    )
+    split = (
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("valid")).otherwise(F.lit("test"))
+    )
+    return assign.select("doc_id", "cluster_id", split.alias("split")).orderBy("doc_id")
