@@ -1462,7 +1462,7 @@ WITH o AS (
 SELECT intent_type,
        CAST(count(*) AS BIGINT) AS n_sessions,
        CAST(sum(n_events) * 1000 // count(*) AS BIGINT) AS events_per_session_milli,
-       CAST(sum(epoch(t1) - epoch(t0)) // count(*) AS BIGINT) AS mean_duration_sec,
+       CAST(sum(epoch_us(t1) - epoch_us(t0)) // (1000000 * count(*)) AS BIGINT) AS mean_duration_sec,
        CAST(sum(converted) * 1000000 // count(*) AS BIGINT) AS conversion_ppm
 FROM intent
 GROUP BY intent_type
@@ -1478,13 +1478,13 @@ def events_session_intent_summary(spark: SparkSession, sf_dir: str) -> DataFrame
     o = ev.select(
         "user_id", "event_id", "ts", "event_type", F.lag("ts").over(w).alias("prev_ts")
     )
+    # fractional-second gap via cast(double) — the sessionize/copair
+    # convention matching DuckDB's epoch(); unix_timestamp FLOORS and can
+    # flip the boundary (the mean_duration_sec lesson, same class)
+    gap = F.col("ts").cast("double") - F.col("prev_ts").cast("double")
     flagged = o.withColumn(
         "is_new",
-        F.when(
-            F.col("prev_ts").isNull()
-            | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > SESSION_GAP_SEC),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
+        F.when(F.col("prev_ts").isNull() | (gap > SESSION_GAP_SEC), F.lit(1)).otherwise(F.lit(0)),
     )
     sess = flagged.withColumn(
         "session_id",
@@ -1506,7 +1506,9 @@ def events_session_intent_summary(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(
             F.count("*").cast("long").alias("n_sessions"),
             F.expr("sum(n_events) * 1000 div count(*)").cast("long").alias("events_per_session_milli"),
-            F.expr("sum(unix_timestamp(t1) - unix_timestamp(t0)) div count(*)")
+            # microsecond-exact on BOTH engines: unix_timestamp truncates
+            # subseconds (epoch() doesn't) — off-by-one at some SFs
+            F.expr("sum(unix_micros(t1) - unix_micros(t0)) div (1000000 * count(*))")
             .cast("long")
             .alias("mean_duration_sec"),
             F.expr("sum(converted) * 1000000 div count(*)").cast("long").alias("conversion_ppm"),
