@@ -356,3 +356,137 @@ def test_grouped_split_prevents_cluster_straddle(spark, sf_dir):
         if len(docs) > 1 and len({naive_split(naive[d]) for d in docs}) > 1
     ]
     assert straddled, "corpus has no multi-doc cluster split by the naive hash — hazard not demonstrated"
+
+
+def test_winsorized_mean_between_bounds_and_damps_tail(spark, sf_dir):
+    """B98: the winsorized mean sits inside [lo, hi] and never exceeds
+    the raw mean's distance to the clipped range."""
+    from vectordb_hr_data_spark.querydefs.event_queries import events_value_winsorized
+
+    rows = events_value_winsorized(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.lo_cents <= r.winsorized_mean_cents <= r.hi_cents
+        assert r.lo_cents < r.hi_cents
+
+
+def test_length_gini_bounds(spark, sf_dir):
+    """B99: Gini is in [0, 1e6) and positive on a non-degenerate corpus;
+    a constant-length frame scores ~0."""
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import doc_length_gini
+
+    row = doc_length_gini(spark, sf_dir).first()
+    assert 0 < row.gini_ppm < 1_000_000
+    # degenerate check inline: all-equal lengths -> gini ~ 0
+    import pyspark.sql.functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", F.lit(100).alias("n_chars"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("n_chars", "doc_id")
+    ranked = d.select("n_chars", F.row_number().over(w).alias("i"))
+    g = ranked.agg(
+        F.expr(
+            "(2 * sum(i * n_chars) - (count(*) + 1) * sum(n_chars)) * 1000000"
+            " div (count(*) * sum(n_chars))"
+        ).alias("g")
+    ).first()[0]
+    assert abs(g) <= 2  # integer-div floor noise only
+
+
+def test_sliding_distinct_users_covers_each_event_twice(spark, sf_dir):
+    """B100: every event lands in exactly two 1h/30m windows, all window
+    starts sit on the 1800s grid, and distinct users never exceed events."""
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import (
+        events_sliding_distinct_users,
+    )
+
+    rows = events_sliding_distinct_users(spark, sf_dir).collect()
+    n_events = read_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == 2 * n_events
+    assert all(r.win_start_epoch % 1800 == 0 for r in rows)
+    assert all(0 < r.n_users <= r.n_events for r in rows)
+
+
+def test_cuped_total_adjustment_is_mean_preserving(spark, sf_dir):
+    """B101: theta is pooled (identical across arms) and the adjustment
+    is mean-preserving over the POOLED population — sum_users
+    theta*(x - xbar) is bounded by the xbar floor residue (n users *
+    <1 cent each * theta), so the user-weighted cuped and raw means agree
+    to that tolerance."""
+    from vectordb_hr_data_spark.querydefs.event_queries import events_cuped_adjusted
+
+    rows = events_cuped_adjusted(spark, sf_dir).collect()
+    assert len(rows) == 2
+    assert rows[0].theta_milli == rows[1].theta_milli
+    n = sum(r.n_users for r in rows)
+    pooled_raw = sum(r.raw_mean_milli * r.n_users for r in rows)
+    pooled_cuped = sum(r.cuped_mean_milli * r.n_users for r in rows)
+    tol = abs(rows[0].theta_milli) * n + 2 * n  # xbar floor + div floors
+    assert abs(pooled_raw - pooled_cuped) <= tol
+
+
+def test_curriculum_order_stages_monotone_and_interleaved(spark, sf_dir):
+    """B102: curriculum ranks are contiguous from 1, stages never decrease
+    along the rank order, and within each stage every participating source
+    appears before any source repeats."""
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import (
+        source_curriculum_order,
+    )
+
+    rows = source_curriculum_order(spark, sf_dir).collect()
+    assert [r.curriculum_rank for r in rows] == list(range(1, len(rows) + 1))
+    stages = [r.stage for r in rows]
+    assert stages == sorted(stages)
+    by_stage: dict = {}
+    for r in rows:
+        by_stage.setdefault(r.stage, []).append(r.source)
+    for stage, srcs in by_stage.items():
+        uniq = set(srcs)
+        if len(srcs) >= len(uniq):  # stage fully started in the window
+            head = srcs[: len(uniq)]
+            assert len(set(head)) == len(uniq), f"stage {stage} not interleaved"
+
+
+def test_zipf_slope_negative_and_bounded(spark, sf_dir):
+    """B103: a word corpus has a strictly negative, finite Zipf slope."""
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import doc_zipf_slope
+
+    row = doc_zipf_slope(spark, sf_dir).first()
+    assert row.n_head_terms <= 100
+    assert -5_000_000 < row.zipf_slope_micro < 0
+
+
+def test_ann_recall_eval_bounds_and_floor(spark, sf_dir):
+    """B104: per-query hits are within [0, 10], recall_milli is the exact
+    integer ratio, and the 4/16-probe IVF keeps recall@10 >= 0.5 on this
+    corpus (the gate the harness exists to enforce)."""
+    from vectordb_hr_data_spark.querydefs.similarity_queries import (
+        EVAL_K,
+        ann_recall_eval,
+    )
+
+    rows = ann_recall_eval(spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0 <= r.n_hits <= EVAL_K
+        assert r.recall_milli == r.n_hits * 1000 // EVAL_K
+        assert r.recall_milli >= 500
+    assert sum(r.n_hits for r in rows) / (8 * EVAL_K) >= 0.8
+
+
+def test_ndcg_bounded_and_dcg_le_idcg(spark, sf_dir):
+    """B105: DCG never exceeds the ideal reordering's DCG and the
+    normalized score stays in [0, 1000]."""
+    from vectordb_hr_data_spark.querydefs.similarity_queries import (
+        eval_retrieval_ndcg,
+    )
+
+    rows = eval_retrieval_ndcg(spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r.dcg_micro <= r.idcg_micro
+        assert 0 <= r.ndcg_milli <= 1000

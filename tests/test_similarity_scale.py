@@ -676,3 +676,18 @@ def test_node_profile_routes_agree_and_composes(spark, sf_dir, monkeypatch):
         assert in_core in (0, 1)
         if n_tri > 0:
             assert deg >= 2 and 2 * n_tri <= deg * (deg - 1) and 0 < coeff <= 1_000_000
+
+
+def test_betweenness_routes_agree(spark, sf_dir, monkeypatch):
+    """B106: distributed truncated Brandes (frontier joins + level-local
+    dependency joins) == driver Brandes row for row; scores are
+    non-negative and some interior node actually carries paths."""
+    from vectordb_hr_data_spark.querydefs import similarity_queries as S
+
+    drv = [tuple(r) for r in S.graph_betweenness_pivots(spark, sf_dir).collect()]
+    monkeypatch.setattr(S, "GRAPH_DRIVER_MAX", 0)
+    dist = [tuple(r) for r in S.graph_betweenness_pivots(spark, sf_dir).collect()]
+    assert drv == dist and len(drv) == S.BETWEENNESS_TOPN
+    assert all(b >= 0 for _v, b, _r in drv)
+    assert drv[0][1] > 0  # at least one connector node carries shortest paths
+    assert [r for _v, _b, r in drv] == list(range(1, S.BETWEENNESS_TOPN + 1))

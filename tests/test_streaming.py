@@ -1130,3 +1130,43 @@ def test_stream_slice_profile_converges_to_batch(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, slice_profile_from_state(spark, state).collect()))
     want = sorted(map(tuple, source_slice_profile(spark, sf_dir).collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_sliding_distinct_converges_to_batch(spark, sf_dir, tmp_path):
+    """stream_sliding_distinct (late r9): (window, user)-keyed mergeable
+    state over 4 micro-batches must equal the one-shot
+    events_sliding_distinct_users — including users whose events split
+    across batches (the case a naive per-batch distinct-count would
+    double-count) and windows fed by multiple batches."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import (
+        events_sliding_distinct_users,
+    )
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        sliding_distinct_from_state,
+        stream_sliding_distinct,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    src = tmp_path / "slide_src"
+    src.mkdir()
+    for i in range(4):
+        part = ev.filter((F.col("event_id") % 4) == i)
+        tdir = str(tmp_path / f"slide_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    state = str(tmp_path / "slide_state")
+    stream_sliding_distinct(stream, state)
+    got = sorted(map(tuple, sliding_distinct_from_state(spark, state).collect()))
+    want = sorted(map(tuple, events_sliding_distinct_users(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0

@@ -156,7 +156,10 @@ PRIORITY: list[str] = [
     "events_session_intent_summary", "graph_node_profile",
     "neardup_sketch_fidelity", "source_duplication_matrix",
     "doc_vocab_coverage_curve", "source_slice_profile",
-    "doc_grouped_split",
+    "doc_grouped_split", "events_value_winsorized", "doc_length_gini",
+    "events_sliding_distinct_users", "events_cuped_adjusted",
+    "source_curriculum_order", "doc_zipf_slope",
+    "ann_recall_eval", "eval_retrieval_ndcg", "graph_betweenness_pivots",
     # below-the-fold siblings whose checked twin carries the oracle
     # (previously implicit via _ordered()'s append; listed for intent)
     "ivf_pq_residual_rerank", "hr_recommend_scale",

@@ -1515,3 +1515,228 @@ def events_session_intent_summary(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("intent_type")
     )
+
+
+# --------------------------------------------------------------------------
+# B98: winsorized robust value stats (r9, for r10)
+# --------------------------------------------------------------------------
+# Revenue/metric pipelines clip tails before averaging (a fat-finger
+# refund or test purchase poisons a plain mean). Winsorization bounds
+# come from EXACT rank order statistics — the k-th smallest where
+# k = ceil(0.05 n) / ceil(0.95 n), row_number under a (value, event_id)
+# total order — NOT percentile interpolation (the B72/B86 discipline),
+# so both engines pick the identical boundary rows; values clamp into
+# [lo, hi] and aggregate as exact integer cents. One window per type
+# over the type's own rows + one groupBy.
+@register(
+    "events_value_winsorized",
+    """
+WITH v AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), ranked AS (
+  SELECT event_type, event_id, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+), bounds AS (
+  SELECT event_type,
+         max(CASE WHEN rk = CAST(ceil(n * 0.05) AS BIGINT) THEN cents END) AS lo,
+         max(CASE WHEN rk = CAST(ceil(n * 0.95) AS BIGINT) THEN cents END) AS hi
+  FROM ranked GROUP BY event_type
+)
+SELECT r.event_type, CAST(max(r.n) AS BIGINT) AS n_values,
+       CAST(max(b.lo) AS BIGINT) AS lo_cents, CAST(max(b.hi) AS BIGINT) AS hi_cents,
+       CAST(sum(least(greatest(r.cents, b.lo), b.hi)) // max(r.n) AS BIGINT) AS winsorized_mean_cents,
+       CAST(sum(r.cents) // max(r.n) AS BIGINT) AS raw_mean_cents
+FROM ranked r JOIN bounds b ON b.event_type = r.event_type
+GROUP BY r.event_type
+ORDER BY r.event_type
+""",
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 5/95-winsorized vs raw mean of event value in exact
+    integer cents (B98) — exact-rank boundaries, no percentile
+    interpolation."""
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    wp = Window.partitionBy("event_type")
+    ranked = v.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wp).alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rk") == F.ceil(F.col("n") * 0.05), F.col("cents"))).alias("lo"),
+        F.max(F.when(F.col("rk") == F.ceil(F.col("n") * 0.95), F.col("cents"))).alias("hi"),
+    )
+    return (
+        ranked.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_values"),
+            F.max("lo").cast("long").alias("lo_cents"),
+            F.max("hi").cast("long").alias("hi_cents"),
+            F.expr("sum(least(greatest(cents, lo), hi)) div max(n)")
+            .cast("long")
+            .alias("winsorized_mean_cents"),
+            F.expr("sum(cents) div max(n)").cast("long").alias("raw_mean_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# B100: sliding-window distinct users (exact; the HLL-mergeable audit twin)
+# --------------------------------------------------------------------------
+# Concurrency/reach over sliding windows — each event belongs to exactly
+# two 1h windows on a 30m grid, so the op is a 2x flatMap + one distinct
+# + one groupBy (no self-join, no per-window rescan). Window starts are
+# integer epoch-second arithmetic: floor(epoch/1800) is invariant to the
+# Spark-floors-vs-DuckDB-keeps subsecond difference (floor(floor(x)/k) ==
+# floor(x/k)), the lesson from the r9 timestamp bug. At 100 TB the same
+# shape holds: the distinct shuffles on (win, user) — uniform keys — and
+# the production path swaps exact distinct for per-bucket HLL sketches
+# unioned across the two covering windows (events_distinct_users_approx
+# is the sketch-fidelity baseline).
+@register(
+    "events_sliding_distinct_users",
+    """
+WITH mapped AS (
+  SELECT CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - offs.o AS win_start_epoch,
+         user_id, event_id
+  FROM events, (SELECT unnest([0, 1800]) AS o) offs
+)
+SELECT win_start_epoch,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM mapped
+GROUP BY win_start_epoch
+ORDER BY win_start_epoch
+""",
+)
+def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users + event counts per sliding 1h/30m window
+    (B100) — 2x window-replication flatMap, one (win,user) distinct."""
+    ev = read_table(spark, sf_dir, "events")
+    mapped = (
+        ev.select(F.col("ts").cast("double").alias("sec"), "user_id")
+        .select("sec", "user_id", F.explode(F.array(F.lit(0), F.lit(1800))).alias("o"))
+        .select(
+            (F.floor(F.col("sec") / 1800).cast("long") * 1800 - F.col("o")).alias(
+                "win_start_epoch"
+            ),
+            "user_id",
+        )
+    )
+    return (
+        mapped.groupBy("win_start_epoch")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .orderBy("win_start_epoch")
+    )
+
+
+# --------------------------------------------------------------------------
+# B101: CUPED-adjusted experiment readout
+# --------------------------------------------------------------------------
+# The A/B-test readout a training-data platform's eval loop runs: arms
+# from user_id parity, pre-period covariate X (value before Jan 15) and
+# post-period outcome Y per user, theta = cov(X,Y)/var(X) pooled, and the
+# variance-reduced mean of Y - theta*(X - xbar) per arm. Determinism: the
+# five covariance inputs (n, Sx, Sy, Sxy, Sxx) are EXACT integer-cent
+# sums (order-independent), theta is ONE scalar double expression over
+# them (identical IEEE ops in both engines) quantized once to milli, and
+# the per-user adjustment is pure integer arithmetic after that. A
+# zero-variance X degrades to theta=0 (guarded in both dialects — the
+# knn_whitened_topk NaN lesson). At 100 TB the bigint Sxy/Sxx products
+# would be upgraded to DECIMAL(38,0) sums; one user-keyed shuffle + one
+# single-row broadcast is the whole plan.
+@register(
+    "events_cuped_adjusted",
+    """
+WITH per_user AS (
+  SELECT user_id, user_id % 2 AS arm,
+         CAST(sum(CASE WHEN ts <  TIMESTAMP '2024-01-15 00:00:00'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                       THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+), stats AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM per_user
+), theta AS (
+  SELECT n, sx,
+         CASE WHEN CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n <= 0 THEN 0
+              ELSE CAST(floor((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                              / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                              * 1000 + 0.5) AS BIGINT) END AS theta_milli,
+         sx // n AS xbar_cents
+  FROM stats
+)
+SELECT p.arm,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(max(t.theta_milli) AS BIGINT) AS theta_milli,
+       CAST(sum(p.y) * 1000 // count(*) AS BIGINT) AS raw_mean_milli,
+       CAST(sum(p.y * 1000 - t.theta_milli * (p.x - t.xbar_cents)) // count(*) AS BIGINT)
+         AS cuped_mean_milli
+FROM per_user p, theta t
+GROUP BY p.arm
+ORDER BY p.arm
+""",
+)
+def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced per-arm outcome means (B101) — exact
+    integer covariance inputs, one scalar theta, integer adjustment."""
+    ev = read_table(spark, sf_dir, "events")
+    t0 = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < t0, cents).otherwise(F.lit(0))).alias("x"),
+            F.sum(F.when(F.col("ts") >= t0, cents).otherwise(F.lit(0))).alias("y"),
+        )
+        .select((F.col("user_id") % 2).alias("arm"), "x", "y")
+    )
+    stats = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+    )
+    theta = stats.select(
+        F.expr(
+            "CASE WHEN CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n <= 0"
+            " THEN 0"
+            " ELSE CAST(floor((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)"
+            " / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)"
+            " * 1000 + 0.5) AS BIGINT) END"
+        ).alias("theta_milli"),
+        F.expr("sx div n").alias("xbar_cents"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(theta))
+        .groupBy("arm")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.max("theta_milli").cast("long").alias("theta_milli"),
+            F.expr("sum(y) * 1000 div count(*)").cast("long").alias("raw_mean_milli"),
+            F.expr("sum(y * 1000 - theta_milli * (x - xbar_cents)) div count(*)")
+            .cast("long")
+            .alias("cuped_mean_milli"),
+        )
+        .orderBy("arm")
+    )

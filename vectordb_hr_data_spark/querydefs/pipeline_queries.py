@@ -2126,3 +2126,168 @@ def source_slice_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# B99: corpus length-inequality (Gini) audit (r9, for r10)
+# ---------------------------------------------------------------------------
+# One number for "how unevenly are tokens spread across documents" — the
+# partitioning/packing planner's input (a high-Gini corpus needs
+# length-aware packing (B12) and skew-aware shuffles far more than a
+# uniform one). Exact integer formula over the sorted ranks:
+# G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i), emitted in ppm via integer
+# div; ranks from ONE total-order window (n_chars, doc_id tie-break).
+@register(
+    "doc_length_gini",
+    """
+WITH ranked AS (
+  SELECT n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS i
+  FROM documents
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_chars) AS BIGINT) AS s,
+         CAST(sum(i * n_chars) AS BIGINT) AS si
+  FROM ranked
+)
+SELECT n AS n_docs, s AS total_chars,
+       CAST((2 * si - (n + 1) * s) * 1000000 // (n * s) AS BIGINT) AS gini_ppm
+FROM agg
+""",
+)
+def doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document lengths in integer ppm (B99) — the
+    packing/skew planning input; exact rank formula, one window."""
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    ranked = d.select("n_chars", F.row_number().over(w).alias("i"))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.expr(
+            "(2 * sum(i * n_chars) - (count(*) + 1) * sum(n_chars)) * 1000000"
+            " div (count(*) * sum(n_chars))"
+        )
+        .cast("long")
+        .alias("gini_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B102: curriculum ordering (easy-to-hard, source-interleaved)
+# ---------------------------------------------------------------------------
+# The training-order planner: stage docs easy-to-hard (difficulty proxy =
+# n_chars; any scored column — perplexity, quality — plugs into the same
+# shape), then round-robin sources WITHIN each stage so no stage is a
+# single-source run (curriculum learning + source-mixing in one pass).
+# Three windows over one total order; at 100 TB the global ntile becomes
+# exact-quantile stage boundaries (B72 discipline) + a per-stage
+# repartition, and the round-robin rank keys the final write order.
+@register(
+    "source_curriculum_order",
+    """
+WITH staged AS (
+  SELECT doc_id, source, n_chars,
+         ntile(4) OVER (ORDER BY n_chars, doc_id) AS stage
+  FROM documents
+), rr AS (
+  SELECT doc_id, source, n_chars, stage,
+         row_number() OVER (PARTITION BY stage, source ORDER BY doc_id) AS rank_in_source
+  FROM staged
+)
+SELECT CAST(row_number() OVER (ORDER BY stage, rank_in_source, source, doc_id) AS BIGINT)
+         AS curriculum_rank,
+       doc_id, CAST(stage AS BIGINT) AS stage, source
+FROM rr
+QUALIFY curriculum_rank <= 1000
+ORDER BY curriculum_rank
+""",
+)
+def source_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Easy-to-hard, source-interleaved curriculum order (B102) — ntile
+    stages on the difficulty proxy, round-robin across sources within a
+    stage; first 1000 positions."""
+    d = read_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.ntile(4).over(Window.orderBy("n_chars", "doc_id")).alias("stage"),
+    )
+    rr = staged.withColumn(
+        "rank_in_source",
+        F.row_number().over(Window.partitionBy("stage", "source").orderBy("doc_id")),
+    )
+    return (
+        rr.withColumn(
+            "curriculum_rank",
+            F.row_number()
+            .over(Window.orderBy("stage", "rank_in_source", "source", "doc_id"))
+            .cast("long"),
+        )
+        .filter(F.col("curriculum_rank") <= 1000)
+        .select("curriculum_rank", "doc_id", F.col("stage").cast("long").alias("stage"), "source")
+        .orderBy("curriculum_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B103: Zipf-slope corpus audit
+# ---------------------------------------------------------------------------
+# Does the corpus LOOK like natural language? Natural text follows Zipf
+# (log-log slope ~ -1); a synthetic or template-heavy mix shows up as a
+# flat or cliffed head. One number per corpus: the least-squares slope of
+# ln(count) on ln(rank) over the top-100 terms. Determinism: ln values
+# are micro-quantized PER TERM (exact-int sums are order-independent;
+# transcendental quantization is the accepted measure-0 convention), the
+# slope is one scalar double expression over five exact ints. The top-100
+# head comes from orderBy().limit() (TakeOrderedAndProject — no global
+# window), the r5 rank-column rule.
+@register(
+    "doc_zipf_slope",
+    """
+WITH terms AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term FROM documents
+), counted AS (
+  SELECT term, count(*) AS cnt FROM terms WHERE term <> '' GROUP BY term
+), head AS (
+  SELECT cnt FROM counted ORDER BY cnt DESC, term LIMIT 100
+), ranked AS (
+  SELECT CAST(floor(ln(row_number() OVER (ORDER BY cnt DESC)) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(cnt) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM head
+), s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_head_terms,
+       CAST(floor((CAST(n * sxy - sx * sy AS DOUBLE))
+                  / (CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         AS zipf_slope_micro
+FROM s
+""",
+)
+def doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf log-log slope of the top-100 term head (B103) — the
+    natural-language shape audit for a corpus mix."""
+    d = read_table(spark, sf_dir, "documents")
+    counted = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    head = counted.orderBy(F.col("cnt").desc(), "term").limit(100)
+    ranked = head.select(
+        F.expr("CAST(floor(ln(row_number() OVER (ORDER BY cnt DESC)) * 1000000 + 0.5) AS BIGINT)")
+        .alias("x"),
+        F.expr("CAST(floor(ln(cnt) * 1000000 + 0.5) AS BIGINT)").alias("y"),
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_head_terms"),
+        F.expr(
+            "CAST(floor((CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE))"
+            " / (CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)) * 1000000 + 0.5)"
+            " AS BIGINT)"
+        ).alias("zipf_slope_micro"),
+    )

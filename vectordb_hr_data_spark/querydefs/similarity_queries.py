@@ -2665,3 +2665,504 @@ def graph_node_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rnk")
     )
 graph_node_profile.__doc__ = graph_node_profile.__doc__.replace("{n}", str(PROFILE_TOPN)).replace("{k}", str(KCORE_K))  # template scale constants into the (real) docstring
+
+
+# --------------------------------------------------------------------------
+# B104: ANN recall@k eval harness (index-quality gate)
+# --------------------------------------------------------------------------
+# The number a retrieval platform checks after every index rebuild/retune:
+# recall@10 of the IVF probe path against exact brute force, per query and
+# in one plan. Both sides rank round(d,4) with vec_id tie-breaks (the r4
+# determinism contract), so the comparison is itself exact and fully
+# oracle-able — the eval harness is a first-class operator, not offline
+# tooling. Scale shape: the exact side is the one-pass broadcast-queries
+# scan with per-partition local top-k pre-reduce; the IVF side scores only
+# the probed union (at 100 TB: the partition-pruned index read of
+# ivf_batch_topk_indexed); the final compare joins two Q*k-row sets.
+EVAL_QUERIES = 8
+EVAL_K = 10
+
+
+@register(
+    "ann_recall_eval",
+    f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {EVAL_QUERIES}
+),
+cent AS (
+  SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+exact AS (
+  SELECT qs.query_id, e.vec_id,
+         row_number() OVER (PARTITION BY qs.query_id
+                            ORDER BY round({_l2sq_ddb('e.embedding', 'qs.qv')}, {_ROUND}), e.vec_id) AS rn
+  FROM embeddings e CROSS JOIN qs
+  WHERE e.vec_id != qs.query_id
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_l2sq_ddb('e.embedding', 'c.cvec')}, c.cid) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+probe AS (
+  SELECT qs.query_id, c.cid,
+         row_number() OVER (PARTITION BY qs.query_id
+                            ORDER BY {_l2sq_ddb('c.cvec', 'qs.qv')}, c.cid) AS prn
+  FROM cent c CROSS JOIN qs
+),
+approx AS (
+  SELECT p.query_id, a.vec_id,
+         row_number() OVER (PARTITION BY p.query_id
+                            ORDER BY round({_l2sq_ddb('a.embedding', 'qs.qv')}, {_ROUND}), a.vec_id) AS rn
+  FROM assigned a
+  JOIN (SELECT query_id, cid FROM probe WHERE prn <= {N_PROBE}) p ON a.cid = p.cid
+  JOIN qs ON qs.query_id = p.query_id
+  WHERE a.rn = 1 AND a.vec_id != p.query_id
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * 1000 // {EVAL_K} AS BIGINT) AS recall_milli
+FROM qs q LEFT JOIN (
+  SELECT x.query_id, count(*) AS n_hits
+  FROM (SELECT query_id, vec_id FROM exact WHERE rn <= {EVAL_K}) x
+  JOIN (SELECT query_id, vec_id FROM approx WHERE rn <= {EVAL_K}) a
+    ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+  GROUP BY x.query_id
+) h ON h.query_id = q.query_id
+ORDER BY q.query_id
+""",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF probe path vs exact brute force for 8 queries
+    (B104) — the index-quality gate as one oracle-checked plan."""
+    from ..operators.ivf import ivf_assign_gemm
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < EVAL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+
+    scored_exact = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(V.l2sq(F.col("embedding"), F.col("qv")), _ROUND).alias("distance"),
+        )
+    )
+    exact = (
+        local_topk_per_key(
+            scored_exact, key_col="query_id", order_cols=("distance", "vec_id"), k=EVAL_K
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= EVAL_K)
+        .select("query_id", "vec_id")
+    )
+
+    assigned = ivf_assign_gemm(emb, centroids)
+    wq = Window.partitionBy("query_id").orderBy(F.col("cd").asc(), F.col("cid").asc())
+    probe = (
+        centroids.crossJoin(F.broadcast(qs))
+        .select("query_id", "cid", V.l2sq(F.col("cvec"), F.col("qv")).alias("cd"))
+        .withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= N_PROBE)
+        .select("query_id", "cid")
+    )
+    scored_ivf = (
+        assigned.join(F.broadcast(probe), "cid")
+        .join(F.broadcast(qs), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(V.l2sq(F.col("embedding"), F.col("qv")), _ROUND).alias("distance"),
+        )
+    )
+    approx = (
+        local_topk_per_key(
+            scored_ivf, key_col="query_id", order_cols=("distance", "vec_id"), k=EVAL_K
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= EVAL_K)
+        .select("query_id", "vec_id")
+    )
+
+    hits = exact.join(approx, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        qs.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(f"coalesce(n_hits, 0) * 1000 div {EVAL_K}").cast("long").alias("recall_milli"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# B105: NDCG@10 retrieval-quality eval (graded label relevance)
+# --------------------------------------------------------------------------
+# The ranking-quality twin of B104's set-overlap recall: graded relevance
+# from labels (2 = exact label match, 1 = same label mod 5 "category",
+# 0 = miss), DCG with the standard (2^rel - 1)/log2(rank + 1) gain over
+# the exact top-10, and per-query NDCG against the ideal reordering OF
+# THE RETRIEVED SET (the reranker-gain convention — documented, not
+# hidden). Determinism: each gain term is micro-quantized BEFORE the sum
+# (exact-int adds; transcendental quantization is the measure-0
+# convention), ideal ranks tie-break on retrieval rank, and the final
+# ratio is integer milli division — no float round.
+@register(
+    "eval_retrieval_ndcg",
+    f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < {EVAL_QUERIES}
+),
+exact AS (
+  SELECT qs.query_id, qs.qlabel, e.label,
+         row_number() OVER (PARTITION BY qs.query_id
+                            ORDER BY round({_l2sq_ddb('e.embedding', 'qs.qv')}, {_ROUND}), e.vec_id) AS rn
+  FROM embeddings e CROSS JOIN qs
+  WHERE e.vec_id != qs.query_id
+),
+topk AS (
+  SELECT query_id,
+         CASE WHEN label = qlabel THEN 3
+              WHEN label % 5 = qlabel % 5 THEN 1 ELSE 0 END AS gain,
+         rn
+  FROM exact WHERE rn <= {EVAL_K}
+),
+terms AS (
+  SELECT query_id,
+         CAST(floor(gain / log2(rn + 1) * 1000000 + 0.5) AS BIGINT) AS dcg_term,
+         CAST(floor(gain / log2((row_number() OVER (PARTITION BY query_id
+                                                    ORDER BY gain DESC, rn)) + 1)
+                    * 1000000 + 0.5) AS BIGINT) AS idcg_term
+  FROM topk
+)
+SELECT query_id,
+       CAST(sum(dcg_term) AS BIGINT) AS dcg_micro,
+       CAST(sum(idcg_term) AS BIGINT) AS idcg_micro,
+       CAST(CASE WHEN sum(idcg_term) = 0 THEN 0
+                 ELSE sum(dcg_term) * 1000 // sum(idcg_term) END AS BIGINT) AS ndcg_milli
+FROM terms
+GROUP BY query_id
+ORDER BY query_id
+""",
+)
+def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of exact retrieval under graded label relevance (B105) —
+    per-term micro-quantized DCG vs the ideal reordering of the
+    retrieved set."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < EVAL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "qlabel",
+            "label",
+            F.round(V.l2sq(F.col("embedding"), F.col("qv")), _ROUND).alias("distance"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+    topk = (
+        local_topk_per_key(
+            scored, key_col="query_id", order_cols=("distance", "vec_id"), k=EVAL_K
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= EVAL_K)
+        .select(
+            "query_id",
+            F.expr(
+                "CASE WHEN label = qlabel THEN 3"
+                " WHEN label % 5 = qlabel % 5 THEN 1 ELSE 0 END"
+            ).alias("gain"),
+            "rn",
+        )
+    )
+    wi = Window.partitionBy("query_id").orderBy(F.col("gain").desc(), F.col("rn").asc())
+    terms = topk.select(
+        "query_id",
+        F.expr("CAST(floor(gain / log2(rn + 1) * 1000000 + 0.5) AS BIGINT)").alias("dcg_term"),
+        F.floor(
+            F.col("gain") / F.log2(F.row_number().over(wi) + 1) * 1000000 + 0.5
+        ).cast("long").alias("idcg_term"),
+    )
+    return (
+        terms.groupBy("query_id")
+        .agg(
+            F.sum("dcg_term").cast("long").alias("dcg_micro"),
+            F.sum("idcg_term").cast("long").alias("idcg_micro"),
+            F.expr(
+                "CAST(CASE WHEN sum(idcg_term) = 0 THEN 0"
+                " ELSE sum(dcg_term) * 1000 div sum(idcg_term) END AS BIGINT)"
+            ).alias("ndcg_milli"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# B106: pivot-sampled betweenness centrality (Brandes over the kNN graph)
+# --------------------------------------------------------------------------
+# The bridge-detector the centrality family was missing: closeness (B82)
+# finds nodes NEAR everything, PageRank (B46) finds nodes POINTED AT —
+# betweenness finds nodes PATHS RUN THROUGH (corpus "connector" docs,
+# cut vertices between topic clusters). Brandes (J.Math.Soc. 2001) from
+# K seeded pivots, truncated at R rounds (the B82 pivot/truncation
+# discipline): forward BFS carries EXACT integer shortest-path counts
+# sigma (sum over predecessors — order-independent), the backward pass
+# accumulates dependencies level-by-level with ONE integer-div
+# quantization per (edge, level) step — delta_micro(v) = sum over
+# successors w of (sigma_v * (1e6 + delta_micro_w)) div sigma_w — so
+# both engines replay identical integers (the fixed-round r6 contract;
+# no float ever enters). Oracle = TWO chained recursive CTEs (forward
+# then backward — the B92 multi-CTE replay pattern) with carried state
+# per iteration. Scale shape: per-round frontier⋈edges joins + one
+# groupBy, state bounded by K·N; backward adds R level-local joins; same
+# auto-routing as every graph op (driver loop under 100k nodes, exact
+# GEMM edges under GRAPH_EXACT_MAX, ANN candidates above).
+BETWEENNESS_PIVOTS = 4
+BETWEENNESS_ROUNDS = 8
+BETWEENNESS_TOPN = 20
+
+
+def _betweenness_driver(out_edges: dict, pivots: list, rounds: int) -> dict:
+    """Truncated integer Brandes, driver route — the exact arithmetic of
+    the recursive-CTE oracle."""
+    und: dict = {v: set() for v in out_edges}
+    for u, dsts in out_edges.items():
+        for v in dsts:
+            und[u].add(v)
+            und.setdefault(v, set()).add(u)
+    bw = {v: 0 for v in und}
+    for s in pivots:
+        dist = {s: 0}
+        sigma = {s: 1}
+        frontier = [s]
+        for d in range(1, rounds + 1):
+            nxt = set()
+            for u in frontier:
+                for v in und[u]:
+                    if v not in dist:
+                        nxt.add(v)
+            if not nxt:
+                break
+            for v in nxt:
+                dist[v] = d
+            for v in nxt:
+                sigma[v] = sum(sigma[u] for u in und[v] if dist.get(u) == d - 1)
+            frontier = sorted(nxt)
+        delta = {v: 0 for v in dist}
+        for lvl in range(rounds - 1, -1, -1):
+            for v in dist:
+                if dist[v] != lvl:
+                    continue
+                c = 0
+                hit = False
+                for w in und[v]:
+                    if dist.get(w) == lvl + 1:
+                        hit = True
+                        c += (sigma[v] * (1_000_000 + delta[w])) // sigma[w]
+                if hit:
+                    delta[v] = c
+        for v in dist:
+            if v != s:
+                bw[v] += delta[v]
+    return bw
+
+
+def _betweenness_rounds_df(
+    emb: DataFrame, dir_edges: DataFrame, pivots: list, rounds: int
+) -> DataFrame:
+    """Distributed truncated Brandes returning (node, betweenness_micro)."""
+    spark = emb.sparkSession
+    fwd_e = dir_edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    rev_e = dir_edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    und = fwd_e.unionByName(rev_e).distinct().localCheckpoint(eager=True)
+    state = spark.createDataFrame(
+        [(int(p), int(p), 0, 1) for p in pivots],
+        "pivot long, node long, dist int, sigma long",
+    ).localCheckpoint(eager=True)
+    frontier = state
+    for d in range(1, rounds + 1):
+        cand = (
+            frontier.join(und, frontier.node == und.a)
+            .groupBy("pivot", F.col("b").alias("node"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .select("pivot", "node", F.lit(d).alias("dist"), "sigma")
+        )
+        fresh = cand.join(state, ["pivot", "node"], "left_anti").localCheckpoint(eager=True)
+        if fresh.isEmpty():
+            break
+        state = state.unionByName(fresh).localCheckpoint(eager=True)
+        frontier = fresh
+    cur = state.withColumn("delta", F.lit(0).cast("long"))
+    for lvl in range(rounds - 1, -1, -1):
+        upd = (
+            cur.filter(F.col("dist") == lvl)
+            .alias("v")
+            .join(und.alias("e"), F.col("v.node") == F.col("e.a"))
+            .join(
+                cur.filter(F.col("dist") == lvl + 1).alias("w"),
+                (F.col("w.pivot") == F.col("v.pivot")) & (F.col("w.node") == F.col("e.b")),
+            )
+            .groupBy(F.col("v.pivot").alias("pivot"), F.col("v.node").alias("node"))
+            .agg(
+                F.sum(F.expr("(v.sigma * (1000000 + w.delta)) div w.sigma"))
+                .cast("long")
+                .alias("c")
+            )
+        )
+        cur = (
+            cur.join(upd, ["pivot", "node"], "left")
+            .select(
+                "pivot",
+                "node",
+                "dist",
+                "sigma",
+                F.coalesce("c", "delta").cast("long").alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    scored = (
+        cur.filter(F.col("node") != F.col("pivot"))
+        .groupBy("node")
+        .agg(F.sum("delta").cast("long").alias("betweenness_micro"))
+    )
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    return nodes.join(scored, "node", "left").select(
+        "node",
+        F.coalesce("betweenness_micro", F.lit(0)).cast("long").alias("betweenness_micro"),
+    )
+
+
+@register(
+    "graph_betweenness_pivots",
+    f"""
+WITH RECURSIVE scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_COS_DDB.format(a='b.embedding', b='a.embedding')}, 4) DESC,
+                                     b.vec_id) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+), de AS (
+  SELECT src, dst FROM scored WHERE rn <= {PAGERANK_DEG}
+), ue AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM de UNION ALL SELECT dst, src FROM de
+  )
+), pivots AS (
+  SELECT vec_id AS p FROM embeddings
+  ORDER BY md5('betweenness-pivots-v1:' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {BETWEENNESS_PIVOTS}
+), fwd AS (
+  SELECT 0 AS it, p AS pv, p AS node, 0 AS dist, CAST(1 AS BIGINT) AS sigma FROM pivots
+  UNION ALL
+  (WITH prev AS (SELECT * FROM fwd WHERE it < {BETWEENNESS_ROUNDS}),
+   nxt AS (
+     SELECT v.it + 1 AS it, v.pv, e.b AS node, v.dist + 1 AS dist,
+            CAST(sum(v.sigma) AS BIGINT) AS sigma
+     FROM prev v JOIN ue e ON e.a = v.node
+     WHERE v.dist = v.it
+     GROUP BY v.it + 1, v.pv, e.b, v.dist + 1
+   ),
+   fresh AS (
+     SELECT n.* FROM nxt n ANTI JOIN prev d ON d.pv = n.pv AND d.node = n.node
+   )
+   SELECT p.it + 1, p.pv, p.node, p.dist, p.sigma FROM prev p
+   UNION ALL
+   SELECT * FROM fresh)
+), bwd AS (
+  SELECT 0 AS it, pv, node, dist, sigma, CAST(0 AS BIGINT) AS delta
+  FROM fwd WHERE it = {BETWEENNESS_ROUNDS}
+  UNION ALL
+  (WITH prev AS (SELECT * FROM bwd WHERE it < {BETWEENNESS_ROUNDS}),
+   upd AS (
+     SELECT v.pv, v.node,
+            CAST(sum((v.sigma * (1000000 + w.delta)) // w.sigma) AS BIGINT) AS c
+     FROM prev v
+     JOIN ue e ON e.a = v.node
+     JOIN prev w ON w.pv = v.pv AND w.node = e.b AND w.dist = v.dist + 1
+     WHERE v.dist = {BETWEENNESS_ROUNDS} - (v.it + 1)
+     GROUP BY v.pv, v.node
+   )
+   SELECT p.it + 1 AS it, p.pv, p.node, p.dist, p.sigma,
+          CAST(coalesce(u.c, p.delta) AS BIGINT) AS delta
+   FROM prev p LEFT JOIN upd u ON u.pv = p.pv AND u.node = p.node)
+), bw AS (
+  SELECT node, CAST(sum(delta) AS BIGINT) AS b
+  FROM bwd WHERE it = {BETWEENNESS_ROUNDS} AND node != pv
+  GROUP BY node
+), allnodes AS (
+  SELECT e.vec_id, CAST(coalesce(b.b, 0) AS BIGINT) AS betweenness_micro
+  FROM embeddings e LEFT JOIN bw b ON b.node = e.vec_id
+)
+SELECT vec_id, betweenness_micro,
+       row_number() OVER (ORDER BY betweenness_micro DESC, vec_id) AS rnk
+FROM allnodes ORDER BY rnk LIMIT {BETWEENNESS_TOPN}
+""",
+)
+def graph_betweenness_pivots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{n} nodes by pivot-sampled truncated Brandes betweenness over
+    the symmetrized kNN graph (B106): {p} seeded pivots, {r}-round BFS
+    with exact integer path counts, integer-quantized dependency
+    accumulation."""
+    import hashlib
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    if _corpus_count_memo(sf_dir, emb) <= GRAPH_DRIVER_MAX:
+        out_edges = _out_edges_memo(sf_dir, emb, PAGERANK_DEG, "graph_betweenness_pivots")
+        pivots = sorted(
+            out_edges,
+            key=lambda v: (hashlib.md5(f"betweenness-pivots-v1:{v}".encode()).hexdigest(), v),
+        )[:BETWEENNESS_PIVOTS]
+        bw = _betweenness_driver(out_edges, pivots, BETWEENNESS_ROUNDS)
+        top = sorted(((-sc, v) for v, sc in bw.items()))[:BETWEENNESS_TOPN]
+        return spark.createDataFrame(
+            [(v, -ns, i + 1) for i, (ns, v) in enumerate(top)],
+            "vec_id long, betweenness_micro long, rnk long",
+        ).orderBy("rnk")
+    dir_edges = _graph_dir_edges(sf_dir, emb, PAGERANK_DEG, "graph_betweenness_pivots")
+    pivots = [
+        r.vec_id
+        for r in emb.select("vec_id")
+        .withColumn(
+            "_h",
+            F.md5(
+                F.concat_ws(":", F.lit("betweenness-pivots-v1"), F.col("vec_id").cast("string"))
+            ),
+        )
+        .orderBy("_h", "vec_id")
+        .limit(BETWEENNESS_PIVOTS)
+        .collect()
+    ]
+    bw = _betweenness_rounds_df(emb, dir_edges, pivots, BETWEENNESS_ROUNDS)
+    return (
+        bw.select(F.col("node").alias("vec_id"), "betweenness_micro")
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.col("betweenness_micro").desc(), F.col("vec_id").asc()))
+            .cast("long"),
+        )
+        .filter(F.col("rnk") <= BETWEENNESS_TOPN)
+        .orderBy("rnk")
+    )
+graph_betweenness_pivots.__doc__ = graph_betweenness_pivots.__doc__.replace("{n}", str(BETWEENNESS_TOPN)).replace("{p}", str(BETWEENNESS_PIVOTS)).replace("{r}", str(BETWEENNESS_ROUNDS))  # template scale constants into the (real) docstring

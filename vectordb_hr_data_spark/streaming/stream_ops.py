@@ -1051,3 +1051,51 @@ def slice_profile_from_state(spark: SparkSession, state_path: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+def stream_sliding_distinct(event_stream: DataFrame, state_path: str) -> None:
+    """Streaming maintenance of the B100 sliding 1h/30m reach report via
+    ``stream_mergeable_agg``: the 2x window replication runs per
+    micro-batch (same integer floor(epoch/1800) arithmetic as the batch
+    query), state is keyed (win_start_epoch, user_id) with a SUMMED event
+    count — so the only merged measure is associative, and the exact
+    distinct-user reach falls out at READ time as the per-window KEY
+    count (``sliding_distinct_from_state``). 'Distinct' itself never has
+    to merge — the state key absorbs it, the same trick a 100 TB
+    deployment uses before swapping the key set for per-window HLL
+    sketches."""
+    from pyspark.sql import functions as F
+
+    mapped = (
+        event_stream.select(F.col("ts").cast("double").alias("sec"), "user_id")
+        .select("sec", "user_id", F.explode(F.array(F.lit(0), F.lit(1800))).alias("o"))
+        .select(
+            (F.floor(F.col("sec") / 1800).cast("long") * 1800 - F.col("o")).alias(
+                "win_start_epoch"
+            ),
+            "user_id",
+        )
+    )
+    stream_mergeable_agg(
+        mapped,
+        state_path,
+        ["win_start_epoch", "user_id"],
+        [F.count("*").cast("long").alias("c")],
+        [F.sum("c").cast("long").alias("c")],
+    )
+
+
+def sliding_distinct_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B100's report computed from the streamed state — identical columns
+    and integer arithmetic to ``events_sliding_distinct_users``."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(state_path)
+        .groupBy("win_start_epoch")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("c").cast("long").alias("n_events"),
+        )
+        .orderBy("win_start_epoch")
+    )
