@@ -490,3 +490,147 @@ def test_ndcg_bounded_and_dcg_le_idcg(spark, sf_dir):
     for r in rows:
         assert r.dcg_micro <= r.idcg_micro
         assert 0 <= r.ndcg_milli <= 1000
+
+
+def test_method_agreement_matrix_invariants(spark, sf_dir):
+    """B107: full 3x3 upper triangle, diagonal pair-set Jaccard is
+    exactly 1e6, and intersections never exceed either side."""
+    from vectordb_hr_data_spark.querydefs.dedup_queries import neardup_method_agreement
+
+    rows = neardup_method_agreement(spark, sf_dir).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert 0 <= r.n_common <= min(r.n_pairs_1, r.n_pairs_2)
+        if r.method_1 == r.method_2:
+            assert r.n_common == r.n_pairs_1
+            assert r.pairset_jaccard_ppm == 1_000_000 or r.n_pairs_1 == 0
+
+
+def test_seasonal_anomaly_gate_is_sound(spark, sf_dir):
+    """B108: every flagged row actually violates the 3-MAD gate (with
+    the one-count floor) and the side label matches the deviation
+    direction."""
+    from vectordb_hr_data_spark.querydefs.event_queries import events_seasonal_anomaly
+
+    rows = events_seasonal_anomaly(spark, sf_dir).collect()
+    for r in rows:
+        dev2 = abs(2 * r.n_events - r.med2)
+        assert 2 * dev2 > 3 * max(r.mad4, 4)
+        assert r.side == ("high" if 2 * r.n_events > r.med2 else "low")
+
+
+def test_curriculum_budget_schedule_invariants(spark, sf_dir):
+    """B109: contiguous schedule ranks, monotone stages, every kept doc
+    fits its (source, stage) token budget, and within a cell cum_tokens
+    is a prefix (strictly increasing in rank order)."""
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import (
+        CURRICULUM_STAGE_BUDGET,
+        curriculum_token_budget,
+    )
+
+    rows = curriculum_token_budget(spark, sf_dir).collect()
+    assert [r.schedule_rank for r in rows] == list(range(1, len(rows) + 1))
+    stages = [r.stage for r in rows]
+    assert stages == sorted(stages)
+    cells: dict = {}
+    for r in rows:
+        assert r.cum_tokens <= CURRICULUM_STAGE_BUDGET
+        cells.setdefault((r.stage, r.source), []).append(r.cum_tokens)
+    for cums in cells.values():
+        assert cums == sorted(cums)  # interleave preserves per-cell draw order
+
+
+def test_jl_projection_recall_floor(spark, sf_dir):
+    """B111: the JL page recall is usable — the reranked top-10 overlaps
+    the exact top-10 well above the ~2% chance rate (measured 6/10 at
+    sf0.001, 8/10 at sf0.01 — uniform vectors are the JL worst case per
+    the B47 geometry note; the floor pins 'well above chance', not the
+    measured values), and rerank distances are the true full-dim
+    distances (monotone non-decreasing in rank)."""
+    from vectordb_hr_data_spark.querydefs.vector_queries import knn_jl_projection_rerank
+
+    rows = knn_jl_projection_rerank(spark, sf_dir).collect()
+    assert len(rows) == 10
+    dists = [r.distance for r in rows]
+    assert dists == sorted(dists)
+    from vectordb_hr_data_spark.operators.knn import knn_topk
+
+    # exact top-10 for the same query
+    from vectordb_hr_data_spark.io import read_table
+    import pyspark.sql.functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    from vectordb_hr_data_spark.functions import vector as V
+
+    exact = (
+        emb.select("vec_id", F.round(V.l2sq(F.col("embedding"), F.lit([float(x) for x in q])), 4).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    )
+    overlap = {r.vec_id for r in rows} & {r.vec_id for r in exact}
+    assert len(overlap) >= 4  # chance on this corpus would be ~0-1 of 10
+
+
+def test_countmin_never_undercounts(spark, sf_dir):
+    """B112: CMS estimates dominate exact counts and the audit covers
+    the full probe head."""
+    from vectordb_hr_data_spark.querydefs.text_queries import (
+        CMS_PROBE_TOPN,
+        term_countmin_audit,
+    )
+
+    rows = term_countmin_audit(spark, sf_dir).collect()
+    assert len(rows) == CMS_PROBE_TOPN
+    for r in rows:
+        assert r.cms_cnt >= r.exact_cnt
+        assert r.over_ppm >= 0
+
+
+def test_rfm_scores_are_quintiles(spark, sf_dir):
+    """B113: scores are 1-5, balanced to within one user per bucket, and
+    higher m_score users have higher monetary totals on average."""
+    from collections import Counter
+
+    from vectordb_hr_data_spark.querydefs.event_queries import events_user_rfm
+
+    rows = events_user_rfm(spark, sf_dir).collect()
+    assert rows
+    for col in ("r_score", "f_score", "m_score"):
+        c = Counter(getattr(r, col) for r in rows)
+        assert set(c) <= {1, 2, 3, 4, 5}
+        assert max(c.values()) - min(c.values()) <= 1
+    lo = [r.m_cents for r in rows if r.m_score == 1]
+    hi = [r.m_cents for r in rows if r.m_score == 5]
+    assert max(lo) <= min(hi)
+
+
+def test_label_window_is_leakage_safe(spark, sf_dir):
+    """B114: labels replayed in python from the raw events — strict
+    (t, t+3d] window, anchors never labeled by concurrent or past
+    purchases; at least one positive and one negative exist."""
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import (
+        LABEL_WINDOW_US,
+        events_label_window,
+    )
+
+    rows = events_label_window(spark, sf_dir).collect()
+    ev = read_table(spark, sf_dir, "events").collect()
+    purch: dict = {}
+    anchors = {}
+    for e in ev:
+        us = int(e.ts.timestamp() * 1_000_000)
+        if e.event_type == "purchase":
+            purch.setdefault(e.user_id, []).append(us)
+        elif e.event_type == "view":
+            anchors[e.event_id] = (e.user_id, us)
+    got = {r.event_id: (r.n_purchases_3d, r.label) for r in rows}
+    assert set(got) == set(anchors)
+    labels = set()
+    for eid, (uid, t) in anchors.items():
+        n = sum(1 for p in purch.get(uid, []) if t < p <= t + LABEL_WINDOW_US)
+        assert got[eid] == (n, n > 0), eid
+        labels.add(n > 0)
+    assert labels == {True, False}

@@ -1170,3 +1170,43 @@ def test_stream_sliding_distinct_converges_to_batch(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, sliding_distinct_from_state(spark, state).collect()))
     want = sorted(map(tuple, events_sliding_distinct_users(spark, sf_dir).collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_heavy_hitter_state_retains_true_hitters(spark, sf_dir, tmp_path):
+    """stream_heavy_hitter_state (late r9): after 4 micro-batches the MG
+    summary (a) never exceeds the counter bound, and (b) contains EVERY
+    term the batch term_heavy_hitters op reports — the mergeable-summary
+    pigeonhole guarantee (counters+1 > HH_K, so true hitters cannot be
+    decremented away regardless of batch boundaries)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.text_queries import MG_COUNTERS, term_heavy_hitters
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        heavy_hitters_from_state,
+        stream_heavy_hitter_state,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    src = tmp_path / "hh_src"
+    src.mkdir()
+    for i in range(4):
+        part = docs.filter((F.col("doc_id") % 4) == i)
+        tdir = str(tmp_path / f"hh_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    state = str(tmp_path / "hh_state")
+    stream_heavy_hitter_state(stream, state, counters=MG_COUNTERS)
+    kept = {r.term for r in heavy_hitters_from_state(spark, state).collect()}
+    assert len(kept) <= MG_COUNTERS
+    true_hitters = {r.term for r in term_heavy_hitters(spark, sf_dir).collect()}
+    assert true_hitters, "corpus has no heavy hitters — guarantee not exercised"
+    assert true_hitters <= kept, f"lost hitters: {true_hitters - kept}"

@@ -160,6 +160,9 @@ PRIORITY: list[str] = [
     "events_sliding_distinct_users", "events_cuped_adjusted",
     "source_curriculum_order", "doc_zipf_slope",
     "ann_recall_eval", "eval_retrieval_ndcg", "graph_betweenness_pivots",
+    "neardup_method_agreement", "events_seasonal_anomaly",
+    "curriculum_token_budget", "knn_jl_projection_rerank",
+    "term_countmin_audit", "events_user_rfm", "events_label_window",
     # below-the-fold siblings whose checked twin carries the oracle
     # (previously implicit via _ordered()'s append; listed for intent)
     "ivf_pq_residual_rerank", "hr_recommend_scale",

@@ -1114,3 +1114,128 @@ def doc_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(b < 80, F.lit("train")).when(b < 90, F.lit("valid")).otherwise(F.lit("test"))
     )
     return assign.select("doc_id", "cluster_id", split.alias("split")).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# B107: near-dup METHOD-AGREEMENT matrix (which blocking do you trust?)
+# --------------------------------------------------------------------------
+# The dedup family ships three candidate generators that share ONE
+# verifier (word-3-gram Jaccard >= 0.5): MinHash-LSH banding (B2),
+# min-shingle blocking (B2's cheap form), SimHash Hamming banding (B32).
+# Differences between their verified pair sets are therefore PURE
+# BLOCKING-RECALL differences — exactly the number a platform needs
+# before committing a 100 TB corpus to one of them. This op runs all
+# three and emits the full pairwise agreement matrix: per-method pair
+# counts, intersection size, and pair-set Jaccard in ppm (diagonal =
+# 1e6 by construction — a built-in self-check). The oracle REUSES the
+# three registered oracles verbatim as CTE bodies, so the audit can
+# never drift from the operators it audits. Scale shape: the three
+# generators run their own (already-bounded) plans; the matrix itself
+# joins pair KEYS only — two integers per verified pair, never
+# shingles.
+from ..queries import REGISTRY as _REGISTRY
+
+_AGREE_METHODS = [
+    ("minhash_lsh", "neardup_minhash_lsh"),
+    ("ngram_minshingle", "neardup_ngram_jaccard"),
+    ("simhash_banded", "neardup_simhash_hamming"),
+]
+
+
+def _method_agreement_oracle() -> str:
+    ctes = ",\n".join(
+        f"src_{tag} AS ({_REGISTRY[qname].oracle})" for tag, qname in _AGREE_METHODS
+    )
+    tagged = "\nUNION ALL\n".join(
+        f"SELECT '{tag}' AS m, doc_id_1, doc_id_2 FROM src_{tag}"
+        for tag, _ in _AGREE_METHODS
+    )
+    grid = "\nUNION ALL\n".join(
+        f"SELECT '{m1}' AS method_1, '{m2}' AS method_2"
+        for i, (m1, _) in enumerate(_AGREE_METHODS)
+        for m2, _q in _AGREE_METHODS[i:]
+    )
+    return f"""
+WITH {ctes},
+tagged AS (
+{tagged}
+),
+counts AS (SELECT m, count(*) AS n FROM tagged GROUP BY m),
+grid AS (
+{grid}
+),
+inter AS (
+  SELECT a.m AS method_1, b.m AS method_2, count(*) AS n_common
+  FROM tagged a JOIN tagged b
+    ON a.doc_id_1 = b.doc_id_1 AND a.doc_id_2 = b.doc_id_2 AND a.m <= b.m
+  GROUP BY a.m, b.m
+)
+SELECT g.method_1 AS method_1, g.method_2 AS method_2,
+       CAST(c1.n AS BIGINT) AS n_pairs_1,
+       CAST(c2.n AS BIGINT) AS n_pairs_2,
+       CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+       CAST(coalesce(i.n_common, 0) * 1000000
+            // greatest(c1.n + c2.n - coalesce(i.n_common, 0), 1) AS BIGINT)
+         AS pairset_jaccard_ppm
+FROM grid g
+JOIN counts c1 ON c1.m = g.method_1
+JOIN counts c2 ON c2.m = g.method_2
+LEFT JOIN inter i ON i.method_1 = g.method_1 AND i.method_2 = g.method_2
+ORDER BY method_1, method_2
+"""
+
+
+@register("neardup_method_agreement", _method_agreement_oracle())
+def neardup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise agreement matrix of the three blocked near-dup pair
+    generators (B107) — same Jaccard verifier, so every disagreement is
+    blocking recall; pair-set Jaccard in ppm, diagonal = 1e6."""
+    parts = []
+    for tag, qname in _AGREE_METHODS:
+        parts.append(
+            _REGISTRY[qname]
+            .fn(spark, sf_dir)
+            .select(F.lit(tag).alias("m"), "doc_id_1", "doc_id_2")
+        )
+    tagged = parts[0]
+    for p in parts[1:]:
+        tagged = tagged.unionByName(p)
+    tagged = tagged.localCheckpoint(eager=True)  # run the generators once
+    counts = tagged.groupBy("m").agg(F.count("*").alias("n"))
+    names = [tag for tag, _ in _AGREE_METHODS]
+    grid = spark.createDataFrame(
+        [(m1, m2) for i, m1 in enumerate(names) for m2 in names[i:]],
+        "method_1 string, method_2 string",
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.doc_id_1") == F.col("b.doc_id_1"))
+            & (F.col("a.doc_id_2") == F.col("b.doc_id_2"))
+            & (F.col("a.m") <= F.col("b.m")),
+        )
+        .groupBy(F.col("a.m").alias("method_1"), F.col("b.m").alias("method_2"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    c1 = counts.select(F.col("m").alias("method_1"), F.col("n").alias("n_pairs_1"))
+    c2 = counts.select(F.col("m").alias("method_2"), F.col("n").alias("n_pairs_2"))
+    return (
+        grid.join(F.broadcast(c1), "method_1")
+        .join(F.broadcast(c2), "method_2")
+        .join(F.broadcast(inter), ["method_1", "method_2"], "left")
+        .select(
+            "method_1",
+            "method_2",
+            F.col("n_pairs_1").cast("long").alias("n_pairs_1"),
+            F.col("n_pairs_2").cast("long").alias("n_pairs_2"),
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.expr(
+                "coalesce(n_common, 0) * 1000000"
+                " div greatest(n_pairs_1 + n_pairs_2 - coalesce(n_common, 0), 1)"
+            )
+            .cast("long")
+            .alias("pairset_jaccard_ppm"),
+        )
+        .orderBy("method_1", "method_2")
+    )

@@ -1740,3 +1740,231 @@ def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# --------------------------------------------------------------------------
+# B108: seasonal (hour-of-day) anomaly gate — robust baseline per cell
+# --------------------------------------------------------------------------
+# The ops-side twin of B52's robust outlier gate, time-structured: each
+# (event_type, hour-of-day) cell gets a MEDIAN daily-count baseline and a
+# MAD spread over the observed day span, and hours whose count deviates
+# more than 3 MAD are flagged with their side. Two details that matter:
+# the (type, date, hour) grid is DENSIFIED first (a quiet hour is a zero
+# observation, not a missing one — otherwise the median biases high and
+# real outages can't be flagged), and the MAD gets an integer floor of
+# one count unit (a perfectly regular cell has MAD 0; without the floor
+# every nonzero deviation would flag). Integer-parity contract identical
+# to B52: carry 2*median and 4*MAD as exact integers, compare
+# 2*dev2 > 3*greatest(mad4, 4). Scale shape: the event scan reduces
+# map-side onto (type, date, hour) keys; everything after is per-cell
+# arithmetic over |types|*24 baseline rows, broadcast back.
+@register(
+    "events_seasonal_anomaly",
+    """
+WITH hourly AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(extract(hour FROM ts) AS INT) AS hod,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+), grid AS (
+  SELECT t.event_type, d.day, CAST(h.hod AS INT) AS hod
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d
+  CROSS JOIN (SELECT unnest(range(24)) AS hod) h
+), dense AS (
+  SELECT g.event_type, g.day, g.hod, CAST(coalesce(hh.n, 0) AS BIGINT) AS n
+  FROM grid g LEFT JOIN hourly hh
+    ON hh.event_type = g.event_type AND hh.day = g.day AND hh.hod = g.hod
+), med AS (
+  SELECT event_type, hod, CAST(2 * quantile_cont(n, 0.5) AS BIGINT) AS med2
+  FROM dense GROUP BY event_type, hod
+), dev AS (
+  SELECT d.event_type, d.day, d.hod, d.n, m.med2,
+         abs(2 * d.n - m.med2) AS dev2
+  FROM dense d JOIN med m ON m.event_type = d.event_type AND m.hod = d.hod
+), mad AS (
+  SELECT event_type, hod, CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+  FROM dev GROUP BY event_type, hod
+)
+SELECT v.event_type, CAST(v.day AS VARCHAR) AS day, v.hod, v.n AS n_events, v.med2, m.mad4,
+       CASE WHEN 2 * v.n > v.med2 THEN 'high' ELSE 'low' END AS side
+FROM dev v JOIN mad m ON m.event_type = v.event_type AND m.hod = v.hod
+WHERE 2 * v.dev2 > 3 * greatest(m.mad4, 4)
+ORDER BY v.event_type, v.day, v.hod
+""",
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal anomaly gate (B108): densified (type, day,
+    hour) counts vs an exact 2*median/4*MAD per-cell baseline with a
+    one-count MAD floor."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .groupBy("event_type", "day", "hod")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    types = ev.select("event_type").distinct()
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    hours = spark.range(24).select(F.col("id").cast("int").alias("hod"))
+    grid = types.crossJoin(days).crossJoin(F.broadcast(hours))
+    dense = grid.join(hourly, ["event_type", "day", "hod"], "left").select(
+        "event_type", "day", "hod", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    med = dense.groupBy("event_type", "hod").agg(
+        (F.lit(2) * F.expr("percentile(n, 0.5)")).cast("long").alias("med2")
+    )
+    dev = dense.join(F.broadcast(med), ["event_type", "hod"]).select(
+        "event_type",
+        "day",
+        "hod",
+        "n",
+        "med2",
+        F.abs(F.lit(2) * F.col("n") - F.col("med2")).alias("dev2"),
+    )
+    mad = dev.groupBy("event_type", "hod").agg(
+        (F.lit(2) * F.expr("percentile(dev2, 0.5)")).cast("long").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), ["event_type", "hod"])
+        .filter(F.lit(2) * F.col("dev2") > F.lit(3) * F.greatest("mad4", F.lit(4)))
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "hod",
+            F.col("n").alias("n_events"),
+            "med2",
+            "mad4",
+            F.when(F.lit(2) * F.col("n") > F.col("med2"), "high").otherwise("low").alias("side"),
+        )
+        .orderBy("event_type", "day", "hod")
+    )
+
+
+# --------------------------------------------------------------------------
+# B113: user RFM feature construction (the feature-store staple)
+# --------------------------------------------------------------------------
+# Recency / Frequency / Monetary features per user over valued purchase
+# events, plus 1-5 quintile scores — the canonical behavioral feature
+# block an ML platform materializes before any model sees a user. All
+# three raw features are exact integers (days via epoch-us integer
+# division against the corpus max instant — one 1-row broadcast; cents
+# via the round(value*100) quantization); the quintile scores are ntile
+# under total orders with user_id tie-breaks (deterministic both
+# engines; higher = better, so recency orders DESC). Scale shape: one
+# user-keyed groupBy; the three global ntiles are the B102 note again —
+# exact-quantile boundaries + map-side lookup at 100 TB.
+@register(
+    "events_user_rfm",
+    """
+WITH mx AS (SELECT max(epoch_us(ts)) AS t1 FROM events),
+u AS (
+  SELECT user_id,
+         CAST((max(mx.t1) - max(epoch_us(ts))) // 86400000000 AS BIGINT) AS r_days,
+         CAST(count(*) AS BIGINT) AS f_n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m_cents
+  FROM events, mx
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, r_days, f_n, m_cents,
+       CAST(ntile(5) OVER (ORDER BY r_days DESC, user_id) AS BIGINT) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY f_n, user_id) AS BIGINT) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY m_cents, user_id) AS BIGINT) AS m_score
+FROM u
+ORDER BY user_id
+""",
+)
+def events_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RFM features + quintile scores over valued purchases
+    (B113) — exact integer recency/frequency/monetary, deterministic
+    ntile scores."""
+    ev = read_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("t1"))
+    u = (
+        ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.expr("(max(t1) - max(unix_micros(ts))) div 86400000000")
+            .cast("long")
+            .alias("r_days"),
+            F.count("*").cast("long").alias("f_n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("m_cents"),
+        )
+    )
+    return u.select(
+        "user_id",
+        "r_days",
+        "f_n",
+        "m_cents",
+        F.ntile(5).over(Window.orderBy(F.col("r_days").desc(), "user_id")).cast("long").alias("r_score"),
+        F.ntile(5).over(Window.orderBy("f_n", "user_id")).cast("long").alias("f_score"),
+        F.ntile(5).over(Window.orderBy("m_cents", "user_id")).cast("long").alias("m_score"),
+    ).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# B114: forward-window label construction (leakage-safe training labels)
+# --------------------------------------------------------------------------
+# The supervised-learning prep step where leakage bugs live: for every
+# anchor event (a 'view'), the label is "did this user purchase within
+# the NEXT 3 days" — strictly (t, t+3d], never >= t (an anchor must not
+# label itself or anything concurrent), in exact epoch-microsecond
+# integer arithmetic so the boundary is the same row in both engines.
+# Composes with B97: the grouped split keys by user so anchor and its
+# labeling purchases land in one split. Scale shape: a user-keyed
+# equi-join (per-user event counts are bounded; a hot user salts per
+# B68's discipline) + one anchor-keyed count — at 100 TB the B42
+# time-bucket interval join replaces the raw range predicate.
+LABEL_WINDOW_US = 3 * 86_400_000_000
+
+
+@register(
+    "events_label_window",
+    f"""
+WITH anchors AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'view'
+), purch AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'
+), lab AS (
+  SELECT a.event_id, a.user_id, count(p.t) AS n_pos
+  FROM anchors a LEFT JOIN purch p
+    ON p.user_id = a.user_id AND p.t > a.t AND p.t <= a.t + {LABEL_WINDOW_US}
+  GROUP BY a.event_id, a.user_id
+)
+SELECT event_id, user_id, CAST(n_pos AS BIGINT) AS n_purchases_3d,
+       n_pos > 0 AS label
+FROM lab
+ORDER BY event_id
+""",
+)
+def events_label_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-3d purchase labels for every view anchor (B114) — strict
+    (t, t+3d] integer-microsecond window, leakage-safe by construction."""
+    ev = read_table(spark, sf_dir, "events")
+    anchors = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.unix_micros("ts").alias("p_t")
+    )
+    lab = (
+        anchors.join(
+            purch,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_t") > F.col("t"))
+            & (F.col("p_t") <= F.col("t") + LABEL_WINDOW_US),
+            "left",
+        )
+        .groupBy("event_id", "user_id")
+        .agg(F.count("p_t").alias("n_pos"))
+    )
+    return lab.select(
+        "event_id",
+        "user_id",
+        F.col("n_pos").cast("long").alias("n_purchases_3d"),
+        (F.col("n_pos") > 0).alias("label"),
+    ).orderBy("event_id")

@@ -2291,3 +2291,94 @@ def doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("zipf_slope_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B109: curriculum x token-budget training schedule (B102 ∘ B37)
+# ---------------------------------------------------------------------------
+# The materialized training ORDER a run actually consumes: stage docs
+# easy-to-hard (B102's ntile on the difficulty proxy), give every
+# (source, stage) cell a TOKEN budget drawn in seeded-hash order (B37's
+# reproducible draw, budgets per cell so no stage exhausts a source for
+# the later stages), then round-robin the kept docs across sources
+# within each stage. Three composed disciplines, one plan, no new
+# primitives — the point of building operators as algebra. Scale shape:
+# the stage assignment is the B102 note (exact-quantile boundaries at
+# 100 TB), the budget window shuffles once on the (source) key with
+# per-cell running sums, the final rank orders kept rows only.
+CURRICULUM_STAGE_BUDGET = 400
+
+
+@register(
+    "curriculum_token_budget",
+    f"""
+WITH staged AS (
+  SELECT doc_id, source, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ntile(4) OVER (ORDER BY n_chars, doc_id) AS stage,
+         md5(CAST(doc_id AS VARCHAR) || ':curriculum') AS ord_key
+  FROM documents
+), budgeted AS (
+  SELECT doc_id, source, stage, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source, stage ORDER BY ord_key, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM staged
+), kept AS (
+  SELECT doc_id, source, stage, n_tokens, cum_tokens,
+         row_number() OVER (PARTITION BY stage, source ORDER BY cum_tokens, doc_id)
+           AS rank_in_source
+  FROM budgeted WHERE cum_tokens <= {CURRICULUM_STAGE_BUDGET}
+)
+SELECT CAST(row_number() OVER (ORDER BY stage, rank_in_source, source, doc_id) AS BIGINT)
+         AS schedule_rank,
+       doc_id, CAST(stage AS BIGINT) AS stage, source, n_tokens, cum_tokens
+FROM kept
+ORDER BY schedule_rank
+""",
+)
+def curriculum_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Easy-to-hard, source-interleaved, token-budgeted training schedule
+    (B109 = B102 ∘ B37): per-(source, stage) seeded budget draw, then
+    round-robin interleave of the kept docs."""
+    d = read_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.ntile(4).over(Window.orderBy("n_chars", "doc_id")).alias("stage"),
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":curriculum"))).alias("ord_key"),
+    )
+    wb = (
+        Window.partitionBy("source", "stage")
+        .orderBy("ord_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budgeted = staged.select(
+        "doc_id",
+        "source",
+        "stage",
+        "n_tokens",
+        F.sum("n_tokens").over(wb).cast("long").alias("cum_tokens"),
+    )
+    kept = budgeted.filter(F.col("cum_tokens") <= CURRICULUM_STAGE_BUDGET).withColumn(
+        "rank_in_source",
+        F.row_number().over(Window.partitionBy("stage", "source").orderBy("cum_tokens", "doc_id")),
+    )
+    return (
+        kept.withColumn(
+            "schedule_rank",
+            F.row_number()
+            .over(Window.orderBy("stage", "rank_in_source", "source", "doc_id"))
+            .cast("long"),
+        )
+        .select(
+            "schedule_rank",
+            "doc_id",
+            F.col("stage").cast("long").alias("stage"),
+            "source",
+            "n_tokens",
+            "cum_tokens",
+        )
+        .orderBy("schedule_rank")
+    )

@@ -1378,3 +1378,89 @@ def doc_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rk")
     )
 doc_vocab_coverage_curve.__doc__ = doc_vocab_coverage_curve.__doc__.replace("{n}", str(VOCAB_CURVE_TOPN))  # template scale constants into the (real) docstring
+
+
+# ---------------------------------------------------------------------------
+# B112: count-min sketch audit (the over-estimating sibling of B56's MG)
+# ---------------------------------------------------------------------------
+# The second classic frequency sketch, audited the way B93 audits
+# MinHash: build a 4x64 count-min sketch over the token stream (seeded
+# md5 row hashes — fully deterministic, so the sketch itself is
+# oracle-able), then report estimate vs exact for the top-20 head terms
+# in ppm. CMS guarantees est >= exact (pure overcount from bucket
+# collisions) while B56's Misra-Gries guarantees candidates with
+# residual UNDERcounts — running both brackets the truth, and this audit
+# measures the overcount side on YOUR corpus before trusting width 64 at
+# scale. Scale shape: the sketch is one (depth, bucket) groupBy over
+# 4x-replicated tokens reducing map-side to 256 cells; the probe joins
+# 20x4 rows against those 256 — the audit is free next to the scan.
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+CMS_PROBE_TOPN = 20
+
+
+@register(
+    "term_countmin_audit",
+    f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+), ds AS (
+  SELECT CAST(unnest(range({CMS_DEPTH})) AS INT) AS d
+), cells AS (
+  SELECT ds.d,
+         CAST({H.ddb_str_hash_fast("term || ':cms' || CAST(ds.d AS VARCHAR)")} % {CMS_WIDTH} AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM toks, ds GROUP BY 1, 2
+), head AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY term
+  ORDER BY cnt DESC, term LIMIT {CMS_PROBE_TOPN}
+), probe AS (
+  SELECT h.term, h.cnt, ds.d,
+         CAST({H.ddb_str_hash_fast("h.term || ':cms' || CAST(ds.d AS VARCHAR)")} % {CMS_WIDTH} AS INT) AS bucket
+  FROM head h, ds
+), est AS (
+  SELECT p.term, max(p.cnt) AS exact_cnt, min(c.c) AS cms_cnt
+  FROM probe p JOIN cells c ON c.d = p.d AND c.bucket = p.bucket
+  GROUP BY p.term
+)
+SELECT term, CAST(exact_cnt AS BIGINT) AS exact_cnt, CAST(cms_cnt AS BIGINT) AS cms_cnt,
+       CAST((cms_cnt - exact_cnt) * 1000000 // exact_cnt AS BIGINT) AS over_ppm
+FROM est
+ORDER BY exact_cnt DESC, term
+""",
+)
+def term_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (4x64, seeded rows) estimate-vs-exact audit over
+    the top-20 term head (B112) — overcount in ppm, est >= exact by
+    construction."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+    depth = spark.range(CMS_DEPTH).select(F.col("id").cast("int").alias("d"))
+    _salted = "concat(term, ':cms', CAST(d AS STRING))"
+    bucket_expr = f"CAST(({H.spark_str_hash_fast(_salted)}) % {CMS_WIDTH} AS INT)"
+    # one exact term-frequency pass, then sketch cells from the WEIGHTED
+    # vocab (|vocab| x depth rows through the cell groupBy, not |tokens| x
+    # depth — same counts, 4x less hashed/shuffled volume; measured 2.1 s
+    # -> sub-second at sf0.1)
+    tf = toks.groupBy("term").agg(F.count("*").cast("long").alias("cnt"))
+    cells = (
+        tf.crossJoin(F.broadcast(depth))
+        .select("d", F.expr(bucket_expr).alias("bucket"), "cnt")
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+    )
+    head = tf.orderBy(F.col("cnt").desc(), "term").limit(CMS_PROBE_TOPN)
+    probe = head.crossJoin(F.broadcast(depth)).select(
+        "term", "cnt", "d", F.expr(bucket_expr).alias("bucket")
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("term")
+        .agg(F.max("cnt").alias("exact_cnt"), F.min("c").alias("cms_cnt"))
+    )
+    return est.select(
+        "term",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.col("cms_cnt").cast("long").alias("cms_cnt"),
+        F.expr("(cms_cnt - exact_cnt) * 1000000 div exact_cnt").cast("long").alias("over_ppm"),
+    ).orderBy(F.col("exact_cnt").desc(), "term")

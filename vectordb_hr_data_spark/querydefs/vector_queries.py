@@ -2007,3 +2007,128 @@ def embedding_drift_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# B111: Johnson-Lindenstrauss random-projection two-phase retrieval
+# ---------------------------------------------------------------------------
+# The zero-training compression rung BETWEEN Matryoshka truncation (B47)
+# and learned rotations (B29): a seeded Rademacher (+-1) projection to 16
+# dims (Achlioptas'01 — sign matrices satisfy the JL lemma; no floats in
+# the matrix at all), coarse-rank on the projected distance, exact rerank
+# of the over-fetch page at full dimension. Unlike B47's prefix (worst
+# case on uniform testdata: prefix keeps d'/d of the energy), a random
+# projection MIXES all input dims into every output dim, so its distance
+# estimate is unbiased on ANY embedding geometry — the rung you reach for
+# when embeddings were not MRL-trained. The +-1 signs are derived from
+# md5("jl-v1:j:i") parity at DEFINITION time and baked into both dialects
+# as literals: the projection is a chained +- expression (identical IEEE
+# evaluation order both engines), so projected distances hash-match. At
+# 100 TB the projection becomes one tiny broadcast GEMM in the B29 Arrow
+# kernel; the page/rerank discipline is unchanged.
+JL_DIMS = 16
+JL_IN_DIMS = 64
+_JL_PAGE = 100
+_JL_K = 10
+
+
+def _jl_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"jl-v1:{j}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            for i in range(JL_IN_DIMS)
+        ]
+        for j in range(JL_DIMS)
+    ]
+
+
+_JL_S = _jl_signs()
+
+
+def _jl_proj_cols(vec_sql_1based, prefix: str) -> str:
+    """16 signed-sum projection columns over a 1-based array accessor;
+    vec_sql_1based(i) renders the i-th element (i from 1)."""
+    cols = []
+    for j, row in enumerate(_JL_S):
+        terms = "".join(
+            ("+ " if s > 0 else "- ") + vec_sql_1based(i + 1) + " "
+            for i, s in enumerate(row)
+        )
+        cols.append(f"({terms.lstrip('+ ')}) AS {prefix}{j}")
+    return ", ".join(cols)
+
+
+def _jl_dist(a: str, b: str) -> str:
+    return " + ".join(
+        f"(({a}{j}) - ({b}{j})) * (({a}{j}) - ({b}{j}))" for j in range(JL_DIMS)
+    )
+
+
+@register(
+    "knn_jl_projection_rerank",
+    f"""
+WITH q AS (
+  SELECT {_jl_proj_cols(lambda i: f"CAST(embedding[{i}] AS DOUBLE)", "qp")}
+  FROM embeddings WHERE vec_id = 0
+), pr AS (
+  SELECT vec_id, embedding,
+         {_jl_proj_cols(lambda i: f"CAST(embedding[{i}] AS DOUBLE)", "p")}
+  FROM embeddings
+), p1 AS (
+  SELECT pr.vec_id, pr.embedding,
+         round({_jl_dist("pr.p", "q.qp")}, {_ROUND}) AS proj_distance
+  FROM pr, q
+  ORDER BY proj_distance, pr.vec_id
+  LIMIT {_JL_PAGE}
+), qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT p.vec_id, p.proj_distance,
+       round(list_sum(list_transform(range(1, len(p.embedding)+1),
+             i -> power(CAST(p.embedding[i] AS DOUBLE) - CAST(qq.qv[i] AS DOUBLE), 2))), {_ROUND}) AS distance
+FROM p1 p, qq
+ORDER BY distance, p.vec_id
+LIMIT {_JL_K}
+""",
+)
+def knn_jl_projection_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL Rademacher-projection two-phase retrieval (B111): rank on the
+    seeded 16-dim signed-sum projection, over-fetch a 100-row page, exact
+    re-rank at full dimension."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    qp = [
+        sum(s * float(x) for s, x in zip(row, q[:JL_IN_DIMS]))
+        for row in _JL_S
+    ]
+    # the corpus projection: same chained +- expression (element_at is
+    # 1-based, matching the oracle's 1-based array index)
+    proj_exprs = [
+        F.expr(
+            "("
+            + "".join(
+                ("+ " if s > 0 else "- ")
+                + f"CAST(element_at(embedding, {i + 1}) AS DOUBLE) "
+                for i, s in enumerate(row)
+            ).lstrip("+ ")
+            + ")"
+        ).alias(f"p{j}")
+        for j, row in enumerate(_JL_S)
+    ]
+    pr = emb.select("vec_id", "embedding", *proj_exprs)
+    dist_expr = " + ".join(
+        f"((p{j}) - ({qp[j]!r})) * ((p{j}) - ({qp[j]!r}))" for j in range(JL_DIMS)
+    )
+    cand = (
+        pr.select(
+            "vec_id", "embedding", F.round(F.expr(dist_expr), _ROUND).alias("proj_distance")
+        )
+        .orderBy(F.col("proj_distance").asc(), F.col("vec_id").asc())
+        .limit(_JL_PAGE)
+    )
+    exact = F.round(V.l2sq(F.col("embedding"), F.lit([float(x) for x in q])), _ROUND)
+    return (
+        cand.select("vec_id", "proj_distance", exact.alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(_JL_K)
+    )

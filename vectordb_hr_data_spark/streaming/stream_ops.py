@@ -1099,3 +1099,65 @@ def sliding_distinct_from_state(spark: SparkSession, state_path: str) -> DataFra
         )
         .orderBy("win_start_epoch")
     )
+
+
+def stream_heavy_hitter_state(
+    doc_stream: DataFrame, state_path: str, counters: int | None = None
+) -> None:
+    """Streaming maintenance of a Misra-Gries heavy-hitter summary over
+    the token stream (the streaming twin of ``term_heavy_hitters``'s
+    pass-1). Per micro-batch: exact batch term counts (the batch is
+    bounded), SUM-merge into the persisted summary, then one combined
+    decrement round — subtract the (counters+1)-th largest count and
+    drop non-positives (Agarwal et al., "Mergeable Summaries": MG
+    summaries merge with the pigeonhole retention guarantee intact, so
+    ANY term with true frequency > N/(counters+1) survives arbitrary
+    batching/merge orders — no ordering contract, same reason
+    stream_mergeable_agg needs none). The state is a candidate FILTER
+    with bounded memory (≤ counters rows at rest), exactly what pass-2
+    verifies with exact counts; at 100 TB/day the summary is a few KB
+    regardless of stream volume."""
+    from pyspark.sql import functions as F
+
+    k = counters if counters is not None else _MG_DEFAULT_COUNTERS
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        inc = (
+            batch_df.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        try:
+            state = spark.read.parquet(state_path)
+        except Exception:
+            state = None
+        merged = inc if state is None else (
+            state.unionByName(inc).groupBy("term").agg(F.sum("c").cast("long").alias("c"))
+        )
+        merged = merged.localCheckpoint(eager=True)
+        if merged.count() > k:
+            # (k+1)-th largest count — ONE tiny ordered head, driver scalar
+            thresh = merged.orderBy(F.col("c").desc(), "term").limit(k + 1).collect()[-1].c
+            merged = (
+                merged.select("term", (F.col("c") - F.lit(thresh)).alias("c"))
+                .filter(F.col("c") > 0)
+                .localCheckpoint(eager=True)
+            )
+        merged.write.mode("overwrite").parquet(state_path)
+
+    q = doc_stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+_MG_DEFAULT_COUNTERS = 400  # = text_queries.MG_COUNTERS (2 * HH_K)
+
+
+def heavy_hitters_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The streamed MG summary, largest residual counts first — the
+    candidate set pass-2 verifies with exact counts."""
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(state_path).orderBy(F.col("c").desc(), "term")
