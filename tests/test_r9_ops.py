@@ -512,7 +512,10 @@ def test_seasonal_anomaly_gate_is_sound(spark, sf_dir):
     direction."""
     from vectordb_hr_data_spark.querydefs.event_queries import events_seasonal_anomaly
 
-    rows = events_seasonal_anomaly(spark, sf_dir).collect()
+    # the fixture SF (sf0.001) is too sparse for the gate to fire — run
+    # the content checks where the report is non-empty
+    rows = events_seasonal_anomaly(spark, "/root/testdata/sf0.01").collect()
+    assert rows, "gate never fired at sf0.01 — baseline or gate broken"
     for r in rows:
         dev2 = abs(2 * r.n_events - r.med2)
         assert 2 * dev2 > 3 * max(r.mad4, 4)
@@ -634,3 +637,163 @@ def test_label_window_is_leakage_safe(spark, sf_dir):
         assert got[eid] == (n, n > 0), eid
         labels.add(n > 0)
     assert labels == {True, False}
+
+
+def test_variance_curve_monotone_and_complete(spark, sf_dir):
+    """B115: one row per dim, variances sorted non-increasing, cumulative
+    share monotone to exactly 1e6 at the last rank."""
+    from vectordb_hr_data_spark.querydefs.vector_queries import embedding_variance_curve
+
+    rows = embedding_variance_curve(spark, sf_dir).collect()
+    assert len(rows) == 64
+    assert [r.rnk for r in rows] == list(range(1, 65))
+    vs = [r.var_milli2 for r in rows]
+    assert vs == sorted(vs, reverse=True)
+    shares = [r.cum_share_ppm for r in rows]
+    assert shares == sorted(shares)
+    assert shares[-1] == 1_000_000
+
+
+def test_forecast_backtest_units_and_replay(spark, sf_dir):
+    """B116: per-type MAEs are non-negative, the winner label matches the
+    numbers, and cell counts equal types' (days-1)*24 densified series."""
+    import pyspark.sql.functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import events_forecast_backtest
+
+    rows = events_forecast_backtest(spark, sf_dir).collect()
+    assert rows
+    ev = read_table(spark, sf_dir, "events")
+    n_days = ev.select(F.to_date("ts").alias("d")).distinct().count()
+    for r in rows:
+        assert r.n_cells == (n_days - 1) * 24
+        assert r.mae2_naive_milli >= 0 and r.mae2_seasonal_milli >= 0
+        if r.mae2_naive_milli < r.mae2_seasonal_milli:
+            assert r.winner == "naive"
+        elif r.mae2_naive_milli > r.mae2_seasonal_milli:
+            assert r.winner in ("seasonal", "tie")  # milli rounding can mask a tiny gap
+
+
+def test_bootstrap_ci_brackets_exact_median(spark, sf_dir):
+    """B117: lo <= point <= hi, and the CI covers the exact corpus
+    median (deterministic resamples — this is a pin, not a flake)."""
+    import pyspark.sql.functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import doc_length_median_ci
+
+    r = doc_length_median_ci(spark, sf_dir).first()
+    assert r.n_resamples == 32
+    assert r.ci_lo <= r.point_median <= r.ci_hi
+    exact = (
+        read_table(spark, sf_dir, "documents")
+        .agg(F.expr("percentile(n_chars, 0.5)").alias("m"))
+        .first()
+        .m
+    )
+    assert r.ci_lo <= exact <= r.ci_hi
+
+
+def test_survival_km_python_replay(spark, sf_dir):
+    """B118: full product-limit replay from raw events — durations,
+    at-risk counts, event counts, and the quantized survival curve all
+    match; the curve is non-increasing from <= 1e6."""
+    import math
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import events_survival_km
+
+    rows = events_survival_km(spark, sf_dir).collect()
+    assert rows
+    ev = read_table(spark, sf_dir, "events").collect()
+    us = lambda t: int(t.timestamp() * 1_000_000)  # noqa: E731
+    t1 = max(us(e.ts) for e in ev)
+    t0 = {}
+    for e in ev:
+        if e.event_type == "signup":
+            t0[e.user_id] = min(t0.get(e.user_id, us(e.ts)), us(e.ts))
+    tp = {}
+    for e in ev:
+        if e.event_type == "purchase" and e.user_id in t0 and us(e.ts) > t0[e.user_id]:
+            tp[e.user_id] = min(tp.get(e.user_id, us(e.ts)), us(e.ts))
+    durs = [
+        ((tp[u] - t) // 86_400_000_000, True) if u in tp else ((t1 - t) // 86_400_000_000, False)
+        for u, t in t0.items()
+    ]
+    total = len(durs)
+    byday: dict = {}
+    for d, is_ev in durs:
+        leaving, events = byday.get(d, (0, 0))
+        byday[d] = (leaving + 1, events + int(is_ev))
+    cum_ln = 0
+    left_before = 0
+    expect = []
+    for d in sorted(byday):
+        leaving, events = byday[d]
+        at_risk = total - left_before
+        left_before += leaving
+        if events == 0:
+            continue
+        if events >= at_risk:
+            cum_ln += -30_000_000
+        else:
+            cum_ln += math.floor(math.log((at_risk - events) / at_risk) * 1_000_000 + 0.5)
+        expect.append((d, at_risk, events, math.floor(math.exp(cum_ln / 1_000_000.0) * 1_000_000 + 0.5)))
+    got = [(r.day, r.n_at_risk, r.n_events, r.s_ppm) for r in rows]
+    assert got == expect
+    s = [r.s_ppm for r in rows]
+    assert s == sorted(s, reverse=True) and s[0] <= 1_000_000
+
+
+def test_langid_confusion_shares_sum_per_row(spark, sf_dir):
+    """B119: each true-lang row's shares sum to ~1e6 (integer-div floor
+    deficit < number of cells) and cell counts replay from doc_lang_id."""
+    from collections import Counter
+
+    from vectordb_hr_data_spark.querydefs.text_queries import (
+        doc_lang_id,
+        doc_langid_confusion,
+    )
+
+    rows = doc_langid_confusion(spark, sf_dir).collect()
+    per_true: dict = {}
+    for r in rows:
+        per_true.setdefault(r.true_lang, []).append(r)
+    for cells in per_true.values():
+        s = sum(c.row_share_ppm for c in cells)
+        assert 1_000_000 - len(cells) < s <= 1_000_000
+    want = Counter(
+        (r.lang, r.predicted_lang) for r in doc_lang_id(spark, sf_dir).collect()
+    )
+    got = {(r.true_lang, r.predicted_lang): r.n_docs for r in rows}
+    assert got == dict(want)
+
+
+def test_k_anonymity_flags_and_totals(spark, sf_dir):
+    """B120: class sizes sum to the corpus, flags match k, deciles 1-10."""
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.scrub_queries import (
+        K_ANON,
+        doc_k_anonymity_audit,
+    )
+
+    rows = doc_k_anonymity_audit(spark, sf_dir).collect()
+    n = read_table(spark, sf_dir, "documents").count()
+    assert sum(r.class_size for r in rows) == n
+    for r in rows:
+        assert r.below_k == (r.class_size < K_ANON)
+        assert 1 <= r.len_decile <= 10
+
+
+def test_dp_noise_bounded_and_unbiased_shape(spark, sf_dir):
+    """B121: |noise| is finite and within the eps=1 Laplace 2^-20-grid
+    bound (|noise| <= ln(2^20)*1000 ~ 13,863 milli), and noisy counts
+    reconstruct exactly."""
+    from vectordb_hr_data_spark.querydefs.scrub_queries import events_dp_noisy_counts
+
+    rows = events_dp_noisy_counts(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.noise_milli) <= 14_000
+        assert r.noisy_count_milli == r.true_count * 1000 + r.noise_milli

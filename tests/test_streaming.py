@@ -1210,3 +1210,58 @@ def test_stream_heavy_hitter_state_retains_true_hitters(spark, sf_dir, tmp_path)
     true_hitters = {r.term for r in term_heavy_hitters(spark, sf_dir).collect()}
     assert true_hitters, "corpus has no heavy hitters — guarantee not exercised"
     assert true_hitters <= kept, f"lost hitters: {true_hitters - kept}"
+
+
+def test_stream_seasonal_counts_converges_to_batch(spark, sf_dir, tmp_path):
+    """stream_seasonal_counts (late r9): the streamed (type, day, hour)
+    count grid over 4 micro-batches yields the EXACT batch B108 anomaly
+    report — including cells whose counts accumulate across batches."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import events_seasonal_anomaly
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        seasonal_anomaly_from_state,
+        stream_seasonal_counts,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    src = tmp_path / "seas_src"
+    src.mkdir()
+    for i in range(4):
+        part = ev.filter((F.col("event_id") % 4) == i)
+        tdir = str(tmp_path / f"seas_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    state = str(tmp_path / "seas_state")
+    stream_seasonal_counts(stream, state)
+    # the converged count grid equals the batch grid exactly (non-empty
+    # at every SF)...
+    got_grid = sorted(
+        map(tuple, spark.read.parquet(state).select("event_type", "day", "hod", "n").collect())
+    )
+    want_grid = sorted(
+        map(
+            tuple,
+            ev.select(
+                "event_type", F.to_date("ts").alias("day"), F.hour("ts").cast("int").alias("hod")
+            )
+            .groupBy("event_type", "day", "hod")
+            .agg(F.count("*").cast("long").alias("n"))
+            .collect(),
+        )
+    )
+    assert got_grid == want_grid and len(got_grid) > 0
+    # ...and the derived anomaly report matches the batch op row-for-row
+    # (possibly empty at sf0.001 — the sparse-grid gate fires at sf0.01+)
+    got = sorted(map(tuple, seasonal_anomaly_from_state(spark, state).collect()))
+    want = sorted(map(tuple, events_seasonal_anomaly(spark, sf_dir).collect()))
+    assert got == want

@@ -163,6 +163,9 @@ PRIORITY: list[str] = [
     "neardup_method_agreement", "events_seasonal_anomaly",
     "curriculum_token_budget", "knn_jl_projection_rerank",
     "term_countmin_audit", "events_user_rfm", "events_label_window",
+    "embedding_variance_curve", "events_forecast_backtest",
+    "doc_length_median_ci", "events_survival_km",
+    "doc_langid_confusion", "doc_k_anonymity_audit", "events_dp_noisy_counts",
     # below-the-fold siblings whose checked twin carries the oracle
     # (previously implicit via _ordered()'s append; listed for intent)
     "ivf_pq_residual_rerank", "hr_recommend_scale",

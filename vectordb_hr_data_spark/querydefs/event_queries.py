@@ -1968,3 +1968,245 @@ def events_label_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pos").cast("long").alias("n_purchases_3d"),
         (F.col("n_pos") > 0).alias("label"),
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# B116: forecast-baseline backtest (naive vs seasonal, MAE per type)
+# --------------------------------------------------------------------------
+# Before anyone ships a traffic forecast, the platform answers "which
+# trivial baseline is this beating?": backtest (a) the NAIVE forecast —
+# yesterday's count for the same hour — against (b) the SEASONAL one —
+# the hour-of-day median (B108's baseline, in-sample by construction and
+# documented as such) — over the densified (type, day, hour) grid, and
+# report each one's mean absolute error per event type in comparable
+# integer units (2000x MAE, because the median is an exact half-integer:
+# both errors carry the x2). Cells without a predecessor day are
+# excluded from BOTH baselines so the comparison is apples-to-apples.
+# Determinism: counts/medians are the B108 integers; the lag is a
+# row-lag over the densified per-(type,hod) day series (every day
+# present, so row-lag == calendar-lag); MAE is exact integer division.
+# Scale shape: B108's grid + one lag window over |types|*24 short
+# series + one groupBy(type).
+@register(
+    "events_forecast_backtest",
+    """
+WITH hourly AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(extract(hour FROM ts) AS INT) AS hod,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+), grid AS (
+  SELECT t.event_type, d.day, CAST(h.hod AS INT) AS hod
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d
+  CROSS JOIN (SELECT unnest(range(24)) AS hod) h
+), dense AS (
+  SELECT g.event_type, g.day, g.hod, CAST(coalesce(hh.n, 0) AS BIGINT) AS n
+  FROM grid g LEFT JOIN hourly hh
+    ON hh.event_type = g.event_type AND hh.day = g.day AND hh.hod = g.hod
+), med AS (
+  SELECT event_type, hod, CAST(2 * quantile_cont(n, 0.5) AS BIGINT) AS med2
+  FROM dense GROUP BY event_type, hod
+), lagged AS (
+  SELECT d.event_type, d.hod, d.n, m.med2,
+         lag(d.n) OVER (PARTITION BY d.event_type, d.hod ORDER BY d.day) AS prev_n
+  FROM dense d JOIN med m ON m.event_type = d.event_type AND m.hod = d.hod
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(2 * abs(n - prev_n)) * 1000 // count(*) AS BIGINT) AS mae2_naive_milli,
+       CAST(sum(abs(2 * n - med2)) * 1000 // count(*) AS BIGINT) AS mae2_seasonal_milli,
+       CASE WHEN sum(2 * abs(n - prev_n)) < sum(abs(2 * n - med2)) THEN 'naive'
+            WHEN sum(2 * abs(n - prev_n)) > sum(abs(2 * n - med2)) THEN 'seasonal'
+            ELSE 'tie' END AS winner
+FROM lagged
+WHERE prev_n IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive (yesterday same hour) vs seasonal (hour-of-day median)
+    forecast MAE per event type over the densified grid (B116), in
+    comparable 2000x-MAE integer milli units."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .groupBy("event_type", "day", "hod")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    types = ev.select("event_type").distinct()
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    hours = spark.range(24).select(F.col("id").cast("int").alias("hod"))
+    grid = types.crossJoin(days).crossJoin(F.broadcast(hours))
+    dense = grid.join(hourly, ["event_type", "day", "hod"], "left").select(
+        "event_type", "day", "hod", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    med = dense.groupBy("event_type", "hod").agg(
+        (F.lit(2) * F.expr("percentile(n, 0.5)")).cast("long").alias("med2")
+    )
+    wl = Window.partitionBy("event_type", "hod").orderBy("day")
+    lagged = dense.join(F.broadcast(med), ["event_type", "hod"]).select(
+        "event_type",
+        "hod",
+        "n",
+        "med2",
+        F.lag("n").over(wl).alias("prev_n"),
+    )
+    return (
+        lagged.filter(F.col("prev_n").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.expr("sum(2 * abs(n - prev_n)) * 1000 div count(*)")
+            .cast("long")
+            .alias("mae2_naive_milli"),
+            F.expr("sum(abs(2 * n - med2)) * 1000 div count(*)")
+            .cast("long")
+            .alias("mae2_seasonal_milli"),
+            F.expr(
+                "CASE WHEN sum(2 * abs(n - prev_n)) < sum(abs(2 * n - med2)) THEN 'naive'"
+                " WHEN sum(2 * abs(n - prev_n)) > sum(abs(2 * n - med2)) THEN 'seasonal'"
+                " ELSE 'tie' END"
+            ).alias("winner"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# B118: Kaplan-Meier survival curve (signup -> first purchase, censored)
+# --------------------------------------------------------------------------
+# Time-to-event analytics done RIGHT — the naive "average days to
+# purchase among purchasers" silently drops every user who hasn't
+# purchased YET (survivorship bias); the product-limit estimator
+# (Kaplan & Meier 1958) uses them as right-censored observations: each
+# user contributes duration = days from first signup to first
+# subsequent purchase (event) or to corpus end (censored); at each
+# event day t, S(t) *= (1 - d_t/n_t) with n_t the at-risk count
+# (censored users leave AFTER their day — the standard convention).
+# Determinism: durations are epoch-us integer divisions; the at-risk
+# counts come from one cumulative window over the per-day leave table;
+# the product runs in LOG space with per-step micro quantization
+# (floor(ln((n-d)/n)*1e6+0.5) — exact int sums between steps, the B33
+# transcendental convention) and one exp at read-out; a d=n step pins
+# the term at -30e6 (e^-30 -> 0 ppm) so survival collapses to 0 in both
+# dialects instead of -inf. Scale shape: one user groupBy builds
+# (duration, is_event); everything after is windows over ~|days| rows.
+@register(
+    "events_survival_km",
+    """
+WITH mx AS (SELECT max(epoch_us(ts)) AS t1 FROM events),
+su AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), fp AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS tp
+  FROM events e JOIN su ON su.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > su.t0
+  GROUP BY e.user_id
+), durs AS (
+  SELECT su.user_id,
+         CASE WHEN fp.tp IS NOT NULL
+              THEN CAST((fp.tp - su.t0) // 86400000000 AS BIGINT)
+              ELSE CAST((mx.t1 - su.t0) // 86400000000 AS BIGINT) END AS dur,
+         fp.tp IS NOT NULL AS is_event
+  FROM su LEFT JOIN fp ON fp.user_id = su.user_id, mx
+), byday AS (
+  SELECT dur AS day,
+         CAST(count(*) AS BIGINT) AS n_leaving,
+         CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) AS n_events
+  FROM durs GROUP BY dur
+), risk AS (
+  SELECT day, n_events,
+         CAST((SELECT count(*) FROM durs)
+              - coalesce(sum(n_leaving) OVER (ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_at_risk
+  FROM byday
+), steps AS (
+  SELECT day, n_events, n_at_risk,
+         CASE WHEN n_events >= n_at_risk THEN CAST(-30000000 AS BIGINT)
+              ELSE CAST(floor(ln((n_at_risk - n_events) * 1.0 / n_at_risk) * 1000000 + 0.5)
+                        AS BIGINT) END AS ln_micro
+  FROM risk WHERE n_events > 0
+)
+SELECT day, n_at_risk, n_events,
+       CAST(floor(exp((sum(ln_micro) OVER (ORDER BY day
+                       ROWS UNBOUNDED PRECEDING)) / 1000000.0) * 1000000 + 0.5) AS BIGINT)
+         AS s_ppm
+FROM steps
+ORDER BY day
+""",
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of signup→first-purchase with right
+    censoring at corpus end (B118) — log-space micro-quantized
+    product-limit steps."""
+    ev = read_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("t1"))
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("t0"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("tp"))
+        .join(su, "user_id")
+        .filter(F.col("tp") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("tp"))
+    )
+    durs = (
+        su.join(fp, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(
+                "CASE WHEN tp IS NOT NULL THEN (tp - t0) div 86400000000"
+                " ELSE (t1 - t0) div 86400000000 END"
+            )
+            .cast("long")
+            .alias("dur"),
+            F.col("tp").isNotNull().alias("is_event"),
+        )
+        .localCheckpoint(eager=True)  # two consumers: total + byday
+    )
+    total = durs.count()
+    byday = durs.groupBy(F.col("dur").alias("day")).agg(
+        F.count("*").cast("long").alias("n_leaving"),
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0)).cast("long").alias("n_events"),
+    )
+    wprev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    risk = byday.select(
+        "day",
+        "n_events",
+        (F.lit(total) - F.coalesce(F.sum("n_leaving").over(wprev), F.lit(0)))
+        .cast("long")
+        .alias("n_at_risk"),
+    )
+    steps = risk.filter(F.col("n_events") > 0).select(
+        "day",
+        "n_events",
+        "n_at_risk",
+        F.expr(
+            "CASE WHEN n_events >= n_at_risk THEN CAST(-30000000 AS BIGINT)"
+            " ELSE CAST(floor(ln((n_at_risk - n_events) * 1.0 / n_at_risk) * 1000000 + 0.5)"
+            " AS BIGINT) END"
+        ).alias("ln_micro"),
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        steps.select(
+            "day",
+            "n_at_risk",
+            "n_events",
+            F.floor(F.exp(F.sum("ln_micro").over(wcum) / 1000000.0) * 1000000 + 0.5)
+            .cast("long")
+            .alias("s_ppm"),
+        )
+        .orderBy("day")
+    )

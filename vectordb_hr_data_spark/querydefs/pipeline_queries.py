@@ -2382,3 +2382,98 @@ def curriculum_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("schedule_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# B117: deterministic Poisson-bootstrap CI for the corpus median
+# ---------------------------------------------------------------------------
+# Uncertainty quantification in ONE distributed pass: the classic
+# Poisson bootstrap (each row joins resample b with an independent
+# ~Poisson(1) weight — the only bootstrap that needs no global resample
+# shuffle) made engine-exact by drawing the weight from md5(doc:b) % 16
+# against the integer pmf [0]*6 [1]*6 [2]*3 [3]*1 (≈ .375/.375/.1875/
+# .0625, matching Poisson(1)'s .368/.368/.184/.061 to ~2%). 32 resamples
+# → 32 exact lower weighted medians (cum-weight rank discipline, never
+# interpolation) → the CI is the 2nd/31st order statistic, the point
+# estimate the 16th (lower median of medians). Everything is integer
+# rank arithmetic, so the full bootstrap replays in SQL. Scale shape:
+# docs×32 replicas partition by resample id (32 uniform window
+# partitions); at 100 TB the per-resample median swaps to the exact-rank
+# two-pass like every median here, weights unchanged.
+BOOT_RESAMPLES = 32
+_BOOT_PMF = "CASE WHEN hw < 6 THEN 0 WHEN hw < 12 THEN 1 WHEN hw < 15 THEN 2 ELSE 3 END"
+
+
+@register(
+    "doc_length_median_ci",
+    f"""
+WITH reps AS (
+  SELECT CAST(unnest(range({BOOT_RESAMPLES})) AS INT) AS b
+), weighted AS (
+  SELECT r.b, d.n_chars,
+         {_BOOT_PMF.replace("hw", "CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':boot:' || CAST(r.b AS VARCHAR)), 1, 8)) AS BIGINT) % 16")} AS w
+  FROM documents d, reps r
+), nz AS (
+  SELECT b, n_chars, w,
+         sum(w) OVER (PARTITION BY b ORDER BY n_chars, w
+                      ROWS UNBOUNDED PRECEDING) AS cumw,
+         sum(w) OVER (PARTITION BY b) AS totw
+  FROM weighted WHERE w > 0
+), meds AS (
+  SELECT b, min(n_chars) AS med
+  FROM nz WHERE cumw * 2 >= totw + (totw % 2)
+  GROUP BY b
+), ranked AS (
+  SELECT med, row_number() OVER (ORDER BY med, b) AS rk FROM meds
+)
+SELECT CAST(count(*) AS BIGINT) AS n_resamples,
+       CAST(max(CASE WHEN rk = 2 THEN med END) AS BIGINT) AS ci_lo,
+       CAST(max(CASE WHEN rk = {BOOT_RESAMPLES // 2} THEN med END) AS BIGINT) AS point_median,
+       CAST(max(CASE WHEN rk = {BOOT_RESAMPLES - 1} THEN med END) AS BIGINT) AS ci_hi
+FROM ranked
+""",
+)
+def doc_length_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 32-resample Poisson-bootstrap CI for the corpus
+    median length (B117) — seeded integer weights, exact weighted-median
+    ranks, order-statistic CI."""
+    reps = spark.range(BOOT_RESAMPLES).select(F.col("id").cast("int").alias("b"))
+    d = read_table(spark, sf_dir, "documents")
+    hw = (
+        "cast(conv(substring(md5(concat(cast(doc_id as string), ':boot:',"
+        " cast(b as string))), 1, 8), 16, 10) as bigint) % 16"
+    )
+    weighted = d.crossJoin(F.broadcast(reps)).select(
+        "b", "n_chars", F.expr(_BOOT_PMF.replace("hw", hw)).alias("w")
+    )
+    nz = weighted.filter(F.col("w") > 0)
+    wc = (
+        Window.partitionBy("b")
+        .orderBy("n_chars", "w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("b")
+    cum = nz.select(
+        "b",
+        "n_chars",
+        F.sum("w").over(wc).alias("cumw"),
+        F.sum("w").over(wt).alias("totw"),
+    )
+    meds = (
+        cum.filter(F.col("cumw") * 2 >= F.col("totw") + F.col("totw") % 2)
+        .groupBy("b")
+        .agg(F.min("n_chars").alias("med"))
+    )
+    ranked = meds.select(
+        "med", "b", F.row_number().over(Window.orderBy("med", "b")).alias("rk")
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_resamples"),
+        F.max(F.when(F.col("rk") == 2, F.col("med"))).cast("long").alias("ci_lo"),
+        F.max(F.when(F.col("rk") == BOOT_RESAMPLES // 2, F.col("med")))
+        .cast("long")
+        .alias("point_median"),
+        F.max(F.when(F.col("rk") == BOOT_RESAMPLES - 1, F.col("med")))
+        .cast("long")
+        .alias("ci_hi"),
+    )

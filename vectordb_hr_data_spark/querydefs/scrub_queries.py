@@ -150,3 +150,122 @@ def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("canonical")
     )
+
+
+# ---------------------------------------------------------------------------
+# B120: k-anonymity audit (the privacy gate before a corpus release)
+# ---------------------------------------------------------------------------
+# Before releasing a training corpus, the privacy question is not "did
+# the PII scrub run" (B-scrub) but "can a row be re-identified from its
+# QUASI-IDENTIFIERS": group by the released quasi-identifier tuple
+# (lang, source, length decile) and flag every equivalence class whose
+# size is below k=5 — those rows are re-identifiable by joining public
+# metadata. Deciles come from the deterministic ntile discipline (B86);
+# the audit emits per-class sizes, the flag, and the class share in ppm.
+# Scale shape: one groupBy on the quasi-identifier tuple (bounded
+# cardinality: |langs|·|sources|·10); the decile is the B102 note at
+# 100 TB (exact-quantile cutoffs, map-side assignment).
+K_ANON = 5
+
+
+@register(
+    "doc_k_anonymity_audit",
+    f"""
+WITH binned AS (
+  SELECT lang, source, ntile(10) OVER (ORDER BY n_chars, doc_id) AS len_decile
+  FROM documents
+), classes AS (
+  SELECT lang, source, CAST(len_decile AS BIGINT) AS len_decile,
+         CAST(count(*) AS BIGINT) AS class_size
+  FROM binned GROUP BY lang, source, len_decile
+)
+SELECT lang, source, len_decile, class_size,
+       class_size < {K_ANON} AS below_k,
+       CAST(class_size * 1000000 // sum(class_size) OVER () AS BIGINT) AS share_ppm
+FROM classes
+ORDER BY lang, source, len_decile
+""",
+)
+def doc_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over (lang, source, length-decile) quasi-
+    identifiers (B120) — equivalence-class sizes, below-k flags, shares."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    binned = d.select(
+        "lang",
+        "source",
+        F.ntile(10).over(Window.orderBy("n_chars", "doc_id")).alias("len_decile"),
+    )
+    classes = binned.groupBy(
+        "lang", "source", F.col("len_decile").cast("long").alias("len_decile")
+    ).agg(F.count("*").cast("long").alias("class_size"))
+    return classes.select(
+        "lang",
+        "source",
+        "len_decile",
+        "class_size",
+        (F.col("class_size") < K_ANON).alias("below_k"),
+        F.expr("class_size * 1000000 div sum(class_size) OVER ()")
+        .cast("long")
+        .alias("share_ppm"),
+    ).orderBy("lang", "source", "len_decile")
+
+
+# ---------------------------------------------------------------------------
+# B121: differentially-private release counts (seeded Laplace plumbing)
+# ---------------------------------------------------------------------------
+# The other half of the release gate: B120 audits re-identifiability of
+# the rows you keep, DP noise protects the AGGREGATES you publish. This
+# op implements the epsilon=1 Laplace mechanism over per-type event
+# counts with the noise drawn by inverse-CDF from a SEEDED md5 uniform —
+# u on the half-open 2^20 grid (never exactly 0, 1/2, or 1, so the ln is
+# always finite), noise = -sign(v) * ln(1 - 2|v|) for v = u - 1/2,
+# quantized once to milli. SEEDED noise is deterministic by design here
+# (it is what makes the op oracle-able and replayable); a real DP
+# release swaps the seed for a one-shot secret draw — the mechanism,
+# sensitivity (count queries, sensitivity 1), and quantization are
+# exactly this plumbing. Scale: one groupBy; noise is per-GROUP, free.
+DP_EPSILON_INV_MILLI = 1000  # b = 1/epsilon = 1.0, in milli units
+
+
+@register(
+    "events_dp_noisy_counts",
+    """
+WITH c AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS true_count FROM events GROUP BY event_type
+), u AS (
+  SELECT event_type, true_count,
+         ((CAST(('0x' || substr(md5(event_type || ':dp-v1'), 1, 8)) AS BIGINT) % 1048575) + 0.5)
+           / 1048576.0 - 0.5 AS v
+  FROM c
+)
+SELECT event_type, true_count,
+       CAST(floor((CASE WHEN v >= 0 THEN -1.0 ELSE 1.0 END) * ln(1.0 - 2.0 * abs(v)) * 1000
+                  + 0.5) AS BIGINT) AS noise_milli,
+       CAST(true_count * 1000
+            + floor((CASE WHEN v >= 0 THEN -1.0 ELSE 1.0 END) * ln(1.0 - 2.0 * abs(v)) * 1000
+                    + 0.5) AS BIGINT) AS noisy_count_milli
+FROM u
+ORDER BY event_type
+""",
+)
+def events_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace(1/eps=1) noisy per-type counts via seeded inverse-CDF
+    (B121) — the DP release mechanism's plumbing, oracle-replayable."""
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count("*").cast("long").alias("true_count"))
+    v = (
+        "((cast(conv(substring(md5(concat(event_type, ':dp-v1')), 1, 8), 16, 10) as bigint)"
+        " % 1048575) + 0.5) / 1048576.0 - 0.5"
+    )
+    noise = (
+        f"CAST(floor((CASE WHEN ({v}) >= 0 THEN -1.0 ELSE 1.0 END)"
+        f" * ln(1.0 - 2.0 * abs({v})) * 1000 + 0.5) AS BIGINT)"
+    )
+    return c.select(
+        "event_type",
+        "true_count",
+        F.expr(noise).alias("noise_milli"),
+        (F.col("true_count") * 1000 + F.expr(noise)).cast("long").alias("noisy_count_milli"),
+    ).orderBy("event_type")

@@ -1464,3 +1464,50 @@ def term_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_cnt").cast("long").alias("cms_cnt"),
         F.expr("(cms_cnt - exact_cnt) * 1000000 div exact_cnt").cast("long").alias("over_ppm"),
     ).orderBy(F.col("exact_cnt").desc(), "term")
+
+
+# ---------------------------------------------------------------------------
+# B119: language-ID confusion matrix (eval the heuristic against labels)
+# ---------------------------------------------------------------------------
+# The eval-family treatment for B6's marker-token language ID: the corpus
+# carries ground-truth `lang`, so the classifier gets a real confusion
+# matrix — per (true, predicted) cell count and row share in ppm — the
+# artifact that decides whether the heuristic is safe to gate a 100 TB
+# ingest or needs the fastText upgrade (the seam is the same: any
+# (doc_id, predicted_lang) frame drops in). Oracle reuses the registered
+# doc_lang_id SQL verbatim as a CTE (the B107 cannot-drift pattern).
+# Scale shape: the classifier's map-only pass + one (true, pred) groupBy
+# over |langs|² cells.
+from ..queries import REGISTRY as _TQ_REGISTRY
+
+
+def _langid_confusion_oracle() -> str:
+    return f"""
+WITH pred AS ({_TQ_REGISTRY["doc_lang_id"].oracle})
+SELECT lang AS true_lang, predicted_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) * 1000000 // sum(count(*)) OVER (PARTITION BY lang) AS BIGINT)
+         AS row_share_ppm
+FROM pred
+GROUP BY lang, predicted_lang
+ORDER BY true_lang, predicted_lang
+"""
+
+
+@register("doc_langid_confusion", _langid_confusion_oracle())
+def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the B6 language-ID heuristic vs ground truth
+    (B119) — per (true, predicted) counts and row share ppm."""
+    pred = doc_lang_id(spark, sf_dir).select("lang", "predicted_lang")
+    counts = pred.groupBy(
+        F.col("lang").alias("true_lang"), "predicted_lang"
+    ).agg(F.count("*").cast("long").alias("n_docs"))
+    wr = Window.partitionBy("true_lang")
+    return counts.select(
+        "true_lang",
+        "predicted_lang",
+        "n_docs",
+        F.expr("n_docs * 1000000 div sum(n_docs) OVER (PARTITION BY true_lang)")
+        .cast("long")
+        .alias("row_share_ppm"),
+    ).orderBy("true_lang", "predicted_lang")

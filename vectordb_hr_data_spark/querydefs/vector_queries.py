@@ -2132,3 +2132,87 @@ def knn_jl_projection_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(_JL_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# B115: variance-explained curve (the compression ladder's sizing audit)
+# ---------------------------------------------------------------------------
+# The ONE chart that sizes every rung of the ladder: per-dimension corpus
+# variance (diagonal of the covariance — the B67 whitening stats reused),
+# sorted descending, with the cumulative energy share at each rank in
+# ppm. "How many dims carry 90%" decides the B47 Matryoshka prefix, the
+# B111 JL target dim, PQ's m, and whether B29's rotation is worth the
+# GEMM. Determinism: the B67 discipline verbatim — per-element milli
+# quantization makes the sums exact ints, the per-dim variance is one
+# scalar double from them (clamped at 0 — the r8 NaN lesson), quantized
+# once; the cumulative share is exact integer division over a 64-row
+# window. Scale shape: one explode + a 64-key groupBy reducing map-side;
+# everything after is 64 rows.
+@register(
+    "embedding_variance_curve",
+    """
+WITH el AS (
+  SELECT CAST(i - 1 AS INT) AS dim,
+         CAST(round(embedding[CAST(i AS INT)] * 1000.0) AS BIGINT) AS e_milli
+  FROM embeddings, unnest(range(1, len(embedding)+1)) AS r(i)
+), st AS (
+  SELECT dim,
+         CAST(floor(greatest(sum(e_milli * e_milli) * 1.0 / count(*)
+                             - (sum(e_milli) * 1.0 / count(*)) * (sum(e_milli) * 1.0 / count(*)),
+                             0.0) + 0.5) AS BIGINT) AS var_milli2
+  FROM el GROUP BY dim
+), ranked AS (
+  SELECT dim, var_milli2,
+         CAST(row_number() OVER (ORDER BY var_milli2 DESC, dim) AS BIGINT) AS rnk,
+         CAST(sum(var_milli2) OVER (ORDER BY var_milli2 DESC, dim
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_var,
+         CAST(sum(var_milli2) OVER () AS BIGINT) AS tot_var
+  FROM st
+)
+SELECT rnk, dim, var_milli2,
+       CAST(cum_var * 1000000 // greatest(tot_var, 1) AS BIGINT) AS cum_share_ppm
+FROM ranked
+ORDER BY rnk
+""",
+)
+def embedding_variance_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted per-dim variance + cumulative energy share ppm (B115) —
+    the sizing audit for prefix/projection/PQ compression choices."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    el = emb.select(F.posexplode("embedding").alias("dim", "ev")).select(
+        "dim", F.round(F.col("ev").cast("double") * 1000.0, 0).cast("long").alias("e_milli")
+    )
+    n = F.count("*")
+    s = F.sum("e_milli")
+    s2 = F.sum(F.col("e_milli") * F.col("e_milli"))
+    st = el.groupBy("dim").agg(
+        F.floor(
+            F.greatest(
+                s2 * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n), F.lit(0.0)
+            )
+            + 0.5
+        )
+        .cast("long")
+        .alias("var_milli2")
+    )
+    w = Window.orderBy(F.col("var_milli2").desc(), F.col("dim").asc())
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy()
+    return (
+        st.select(
+            F.row_number().over(w).cast("long").alias("rnk"),
+            "dim",
+            "var_milli2",
+            F.sum("var_milli2").over(wc).cast("long").alias("cum_var"),
+            F.sum("var_milli2").over(wt).cast("long").alias("tot_var"),
+        )
+        .select(
+            "rnk",
+            "dim",
+            "var_milli2",
+            F.expr("cum_var * 1000000 div greatest(tot_var, 1)")
+            .cast("long")
+            .alias("cum_share_ppm"),
+        )
+        .orderBy("rnk")
+    )

@@ -1161,3 +1161,67 @@ def heavy_hitters_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return spark.read.parquet(state_path).orderBy(F.col("c").desc(), "term")
+
+
+def stream_seasonal_counts(event_stream: DataFrame, state_path: str) -> None:
+    """Streaming maintenance of B108/B116's (event_type, day, hour) count
+    grid via ``stream_mergeable_agg`` — counts are the one associative
+    measure the whole seasonal family (anomaly gate, forecast backtest)
+    derives from, so the stream folds micro-batches into the persisted
+    grid and the read path recomputes medians/gates from converged
+    integers (medians are NOT associative; they never enter the state)."""
+    from pyspark.sql import functions as F
+
+    keyed = event_stream.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").cast("int").alias("hod"),
+    )
+    stream_mergeable_agg(
+        keyed,
+        state_path,
+        ["event_type", "day", "hod"],
+        [F.count("*").cast("long").alias("n")],
+        [F.sum("n").cast("long").alias("n")],
+    )
+
+
+def seasonal_anomaly_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B108's anomaly report computed from the streamed count grid —
+    identical densify/median/MAD/gate arithmetic to
+    ``events_seasonal_anomaly``."""
+    from pyspark.sql import Window  # noqa: F401
+    from pyspark.sql import functions as F
+
+    hourly = spark.read.parquet(state_path)
+    types = hourly.select("event_type").distinct()
+    days = hourly.select("day").distinct()
+    hours = spark.range(24).select(F.col("id").cast("int").alias("hod"))
+    grid = types.crossJoin(days).crossJoin(F.broadcast(hours))
+    dense = grid.join(hourly, ["event_type", "day", "hod"], "left").select(
+        "event_type", "day", "hod", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    med = dense.groupBy("event_type", "hod").agg(
+        (F.lit(2) * F.expr("percentile(n, 0.5)")).cast("long").alias("med2")
+    )
+    dev = dense.join(F.broadcast(med), ["event_type", "hod"]).select(
+        "event_type", "day", "hod", "n", "med2",
+        F.abs(F.lit(2) * F.col("n") - F.col("med2")).alias("dev2"),
+    )
+    mad = dev.groupBy("event_type", "hod").agg(
+        (F.lit(2) * F.expr("percentile(dev2, 0.5)")).cast("long").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), ["event_type", "hod"])
+        .filter(F.lit(2) * F.col("dev2") > F.lit(3) * F.greatest("mad4", F.lit(4)))
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "hod",
+            F.col("n").alias("n_events"),
+            "med2",
+            "mad4",
+            F.when(F.lit(2) * F.col("n") > F.col("med2"), "high").otherwise("low").alias("side"),
+        )
+        .orderBy("event_type", "day", "hod")
+    )
