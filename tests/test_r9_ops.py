@@ -797,3 +797,50 @@ def test_dp_noise_bounded_and_unbiased_shape(spark, sf_dir):
     for r in rows:
         assert abs(r.noise_milli) <= 14_000
         assert r.noisy_count_milli == r.true_count * 1000 + r.noise_milli
+
+
+def test_pit_join_never_self_matches_and_replays(spark, sf_dir):
+    """B122: python replay of the ts-1us PIT probe — per-purchase prior
+    state from the raw event stream; purchase totals conserve."""
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import events_scd2_pit_join
+
+    rows = events_scd2_pit_join(spark, sf_dir).collect()
+    ev = sorted(
+        read_table(spark, sf_dir, "events").collect(),
+        key=lambda e: (e.user_id, e.ts, e.event_id),
+    )
+    by_user: dict = {}
+    for e in ev:
+        by_user.setdefault(e.user_id, []).append(e)
+    want: dict = {}
+    total_cents = 0
+    for u, es in by_user.items():
+        for i, e in enumerate(es):
+            if e.event_type != "purchase" or e.value is None:
+                continue
+            # prior state = the run covering ts-1us: the previous event's
+            # run, i.e. the last event strictly before this one
+            prior = es[i - 1].event_type if i > 0 else "none"
+            cents = round(e.value * 100)
+            n, c = want.get(prior, (0, 0))
+            want[prior] = (n + 1, c + cents)
+            total_cents += cents
+    got = {r.prior_state: (r.n_purchases, r.total_cents) for r in rows}
+    assert got == want
+    assert sum(c for _n, c in got.values()) == total_cents
+
+
+def test_new_op_plan_hygiene(spark, sf_dir):
+    """Batch plan audit for the late-r9 ops: zipf's head is
+    TakeOrderedAndProject with a text-only pruned scan; RFM pushes the
+    purchase/value filters into the scan."""
+    from vectordb_hr_data_spark.querydefs.event_queries import events_user_rfm
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import doc_zipf_slope
+
+    p1 = doc_zipf_slope(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p1
+    sched = p1.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in sched and "n_chars" not in sched  # column pruning holds
+    p2 = events_user_rfm(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(event_type,purchase)" in p2 and "IsNotNull(value)" in p2

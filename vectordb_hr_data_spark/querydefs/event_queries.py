@@ -2210,3 +2210,77 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# B122: point-in-time join against the SCD2 dimension (temporal PIT join)
+# --------------------------------------------------------------------------
+# The feature-store join that makes B48's SCD2 history USEFUL: for every
+# purchase, look up the state interval containing ts - 1us — "what was
+# the user doing just before buying" (the minus-one-microsecond probe is
+# the PIT discipline itself: probing AT ts would self-match the
+# purchase's own run, the classic PIT off-by-one that leaks the label
+# into the feature). Purchases opening a user's history match nothing →
+# 'none'. Aggregated to conversion-source states with exact cents. The
+# oracle reuses the registered B48 SQL verbatim as the dimension CTE
+# (the B107 cannot-drift pattern). Scale shape: the dim build is B48's
+# one user-keyed exchange; the probe is a user-keyed equi-join whose
+# interval predicate touches each user's own (bounded) intervals — B42
+# time-bucketing replaces the raw range predicate at 100 TB.
+from ..queries import REGISTRY as _EQ_REGISTRY  # noqa: E402
+
+
+def _pit_oracle() -> str:
+    return f"""
+WITH dim AS ({_EQ_REGISTRY["events_scd2_user_state"].oracle}),
+p AS (
+  SELECT user_id, epoch_us(ts) AS t, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+), probed AS (
+  SELECT coalesce(d.event_type, 'none') AS prior_state, p.cents
+  FROM p LEFT JOIN dim d
+    ON d.user_id = p.user_id
+   AND epoch_us(d.valid_from) <= p.t - 1
+   AND (d.valid_to IS NULL OR epoch_us(d.valid_to) > p.t - 1)
+)
+SELECT prior_state,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM probed
+GROUP BY prior_state
+ORDER BY prior_state
+"""
+
+
+@register("events_scd2_pit_join", _pit_oracle())
+def events_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-source states via a point-in-time join of purchases
+    against the B48 SCD2 dimension at ts - 1us (B122) — the PIT probe
+    that cannot self-match."""
+    ev = read_table(spark, sf_dir, "events")
+    dim = scd2_build(ev).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("prior_state"),
+        F.unix_micros("valid_from").alias("vf"),
+        F.unix_micros("valid_to").alias("vt"),
+    )
+    p = ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull()).select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    probed = p.join(
+        dim,
+        (F.col("d_user") == F.col("user_id"))
+        & (F.col("vf") <= F.col("t") - 1)
+        & (F.col("vt").isNull() | (F.col("vt") > F.col("t") - 1)),
+        "left",
+    ).select(F.coalesce("prior_state", F.lit("none")).alias("prior_state"), "cents")
+    return (
+        probed.groupBy("prior_state")
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("prior_state")
+    )
