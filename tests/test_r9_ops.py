@@ -844,3 +844,18 @@ def test_new_op_plan_hygiene(spark, sf_dir):
     assert "text" in sched and "n_chars" not in sched  # column pruning holds
     p2 = events_user_rfm(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "EqualTo(event_type,purchase)" in p2 and "IsNotNull(value)" in p2
+
+
+def test_sliding_hll_tracks_exact(spark, sf_dir):
+    """B124: the HLL path covers the same windows as the exact twin and
+    every per-window estimate is within 5x the configured 2% rsd."""
+    from vectordb_hr_data_spark.querydefs.event_queries import (
+        events_sliding_distinct_hll,
+        events_sliding_distinct_users,
+    )
+
+    exact = {r.win_start_epoch: r.n_users for r in events_sliding_distinct_users(spark, sf_dir).collect()}
+    approx = {r.win_start_epoch: r.n_users_approx for r in events_sliding_distinct_hll(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for w, n in exact.items():
+        assert abs(approx[w] - n) <= max(1, 0.10 * n), (w, n, approx[w])

@@ -691,3 +691,21 @@ def test_betweenness_routes_agree(spark, sf_dir, monkeypatch):
     assert all(b >= 0 for _v, b, _r in drv)
     assert drv[0][1] > 0  # at least one connector node carries shortest paths
     assert [r for _v, _b, r in drv] == list(range(1, S.BETWEENNESS_TOPN + 1))
+
+
+def test_betweenness_variance_routes_agree_and_invariants(spark, sf_dir, monkeypatch):
+    """B123: the two-seed audit equals itself under the distributed
+    route, pivot sets are disjoint by construction, and the agreement
+    numbers are internally consistent."""
+    from vectordb_hr_data_spark.querydefs import similarity_queries as S
+
+    drv = [tuple(r) for r in S.graph_betweenness_variance(spark, sf_dir).collect()]
+    monkeypatch.setattr(S, "GRAPH_DRIVER_MAX", 0)
+    dist = [tuple(r) for r in S.graph_betweenness_variance(spark, sf_dir).collect()]
+    assert drv == dist and len(drv) == 1
+    n_top, n_common, jacc, shift = drv[0]
+    assert 0 <= n_common <= n_top
+    assert jacc == n_common * 1_000_000 // (2 * n_top - n_common)
+    assert (shift == -1) == (n_common == 0)
+    if n_common:
+        assert 0 <= shift < n_top

@@ -1265,3 +1265,40 @@ def test_stream_seasonal_counts_converges_to_batch(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, seasonal_anomaly_from_state(spark, state).collect()))
     want = sorted(map(tuple, events_seasonal_anomaly(spark, sf_dir).collect()))
     assert got == want
+
+
+def test_stream_user_rfm_converges_to_batch(spark, sf_dir, tmp_path):
+    """stream_user_rfm (late r9): RFM state folded over 4 micro-batches
+    + read-time quintiles equals the one-shot events_user_rfm row for
+    row — including users whose purchases split across batches."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import events_user_rfm
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        rfm_from_state,
+        stream_user_rfm,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    src = tmp_path / "rfm_src"
+    src.mkdir()
+    for i in range(4):
+        part = ev.filter((F.col("event_id") % 4) == i)
+        tdir = str(tmp_path / f"rfm_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    state = str(tmp_path / "rfm_state")
+    stream_user_rfm(stream, state)
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).first()[0]
+    got = sorted(map(tuple, rfm_from_state(spark, state, max_us).collect()))
+    want = sorted(map(tuple, events_user_rfm(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0

@@ -166,7 +166,9 @@ PRIORITY: list[str] = [
     "embedding_variance_curve", "events_forecast_backtest",
     "doc_length_median_ci", "events_survival_km",
     "doc_langid_confusion", "doc_k_anonymity_audit", "events_dp_noisy_counts",
-    "events_scd2_pit_join",
+    "events_scd2_pit_join", "graph_betweenness_variance",
+    # rows-only HLL sketch path of events_sliding_distinct_users (B124)
+    "events_sliding_distinct_hll",
     # below-the-fold siblings whose checked twin carries the oracle
     # (previously implicit via _ordered()'s append; listed for intent)
     "ivf_pq_residual_rerank", "hr_recommend_scale",

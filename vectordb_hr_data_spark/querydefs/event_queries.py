@@ -2284,3 +2284,41 @@ def events_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prior_state")
     )
+
+
+# --------------------------------------------------------------------------
+# B124: sliding-window distinct users, HLL sketch path (rows-only)
+# --------------------------------------------------------------------------
+# The scale path B100's docstring promises: the same 2x window
+# replication, but per-window approx_count_distinct (HyperLogLog++,
+# rsd 2%) instead of the exact distinct — the form that holds when a
+# window's user set no longer fits a shuffle partition. Registered
+# ROWS-ONLY (HLL is engine-specific; there is no cross-engine value
+# oracle) with the exact twin as its accuracy oracle in pytest: per
+# window, |approx - exact| / exact must stay within 5x the configured
+# rsd. At 100 TB the per-window sketches are the mergeable state the
+# B96 sink would persist (HLL union is associative) — the exact/(win,
+# user)-key state of stream_sliding_distinct swaps for sketch bytes.
+@register("events_sliding_distinct_hll", None)
+def events_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (HLL++, rsd 2%) distinct users per sliding 1h/30m
+    window (B124) — the sketch path of events_sliding_distinct_users."""
+    ev = read_table(spark, sf_dir, "events")
+    mapped = (
+        ev.select(F.col("ts").cast("double").alias("sec"), "user_id")
+        .select("sec", "user_id", F.explode(F.array(F.lit(0), F.lit(1800))).alias("o"))
+        .select(
+            (F.floor(F.col("sec") / 1800).cast("long") * 1800 - F.col("o")).alias(
+                "win_start_epoch"
+            ),
+            "user_id",
+        )
+    )
+    return (
+        mapped.groupBy("win_start_epoch")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).cast("long").alias("n_users_approx"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .orderBy("win_start_epoch")
+    )

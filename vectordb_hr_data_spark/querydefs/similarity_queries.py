@@ -3166,3 +3166,169 @@ def graph_betweenness_pivots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rnk")
     )
 graph_betweenness_pivots.__doc__ = graph_betweenness_pivots.__doc__.replace("{n}", str(BETWEENNESS_TOPN)).replace("{p}", str(BETWEENNESS_PIVOTS)).replace("{r}", str(BETWEENNESS_ROUNDS))  # template scale constants into the (real) docstring
+
+
+# --------------------------------------------------------------------------
+# B123: pivot-variance audit for sampled betweenness (is K enough?)
+# --------------------------------------------------------------------------
+# Every pivot-sampled estimate (B82 closeness, B106 betweenness) has a
+# sampling question nobody answers by staring at one run: how much does
+# the TOP-K SET move when you draw a different pivot sample? This audit
+# runs the full B106 machinery under two DISJOINT seeded pivot sets
+# (v1 = B106's own; v2 from an independent md5 stream, minus any v1
+# member) and reports top-20 agreement: intersection size, pair-set
+# Jaccard ppm, and the worst rank displacement among common members.
+# High agreement → K=4 pivots already ranks YOUR graph stably; low →
+# double K before trusting it at 100 TB (the linear-cost knob the B106
+# docstring promises). Oracle: the forward/backward recursive-CTE pair
+# GENERATED TWICE by one builder (prefixed CTE names), so the audited
+# arithmetic and the audit cannot drift. Scale: exactly 2x B106.
+def _bw_cte_pair(p: str, seed: str, exclude_cte: str | None = None) -> str:
+    """Forward+backward Brandes CTE pair over the shared `ue` edges,
+    prefixed `p`, pivots seeded by `seed` (optionally excluding the
+    members of another pivot CTE)."""
+    excl = f"AND vec_id NOT IN (SELECT p FROM {exclude_cte})" if exclude_cte else ""
+    R = BETWEENNESS_ROUNDS
+    return f"""{p}pivots AS (
+  SELECT vec_id AS p FROM embeddings
+  WHERE TRUE {excl}
+  ORDER BY md5('{seed}:' || CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {BETWEENNESS_PIVOTS}
+), {p}fwd AS (
+  SELECT 0 AS it, p AS pv, p AS node, 0 AS dist, CAST(1 AS BIGINT) AS sigma FROM {p}pivots
+  UNION ALL
+  (WITH prev AS (SELECT * FROM {p}fwd WHERE it < {R}),
+   nxt AS (
+     SELECT v.it + 1 AS it, v.pv, e.b AS node, v.dist + 1 AS dist,
+            CAST(sum(v.sigma) AS BIGINT) AS sigma
+     FROM prev v JOIN ue e ON e.a = v.node
+     WHERE v.dist = v.it
+     GROUP BY v.it + 1, v.pv, e.b, v.dist + 1
+   ),
+   fresh AS (
+     SELECT n.* FROM nxt n ANTI JOIN prev d ON d.pv = n.pv AND d.node = n.node
+   )
+   SELECT p.it + 1, p.pv, p.node, p.dist, p.sigma FROM prev p
+   UNION ALL
+   SELECT * FROM fresh)
+), {p}bwd AS (
+  SELECT 0 AS it, pv, node, dist, sigma, CAST(0 AS BIGINT) AS delta
+  FROM {p}fwd WHERE it = {R}
+  UNION ALL
+  (WITH prev AS (SELECT * FROM {p}bwd WHERE it < {R}),
+   upd AS (
+     SELECT v.pv, v.node,
+            CAST(sum((v.sigma * (1000000 + w.delta)) // w.sigma) AS BIGINT) AS c
+     FROM prev v
+     JOIN ue e ON e.a = v.node
+     JOIN prev w ON w.pv = v.pv AND w.node = e.b AND w.dist = v.dist + 1
+     WHERE v.dist = {R} - (v.it + 1)
+     GROUP BY v.pv, v.node
+   )
+   SELECT p.it + 1 AS it, p.pv, p.node, p.dist, p.sigma,
+          CAST(coalesce(u.c, p.delta) AS BIGINT) AS delta
+   FROM prev p LEFT JOIN upd u ON u.pv = p.pv AND u.node = p.node)
+), {p}top AS (
+  SELECT vec_id, betweenness_micro,
+         row_number() OVER (ORDER BY betweenness_micro DESC, vec_id) AS rnk
+  FROM (
+    SELECT e.vec_id, CAST(coalesce(b.bsum, 0) AS BIGINT) AS betweenness_micro
+    FROM embeddings e LEFT JOIN (
+      SELECT node, CAST(sum(delta) AS BIGINT) AS bsum
+      FROM {p}bwd WHERE it = {R} AND node != pv GROUP BY node
+    ) b ON b.node = e.vec_id
+  ) scored_{p}
+  ORDER BY rnk LIMIT {BETWEENNESS_TOPN}
+)"""
+
+
+def _bw_variance_oracle() -> str:
+    return f"""
+WITH RECURSIVE scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_COS_DDB.format(a='b.embedding', b='a.embedding')}, 4) DESC,
+                                     b.vec_id) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+), de AS (
+  SELECT src, dst FROM scored WHERE rn <= {PAGERANK_DEG}
+), ue AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM de UNION ALL SELECT dst, src FROM de
+  )
+), {_bw_cte_pair("x_", "betweenness-pivots-v1")},
+{_bw_cte_pair("y_", "betweenness-pivots-v2", exclude_cte="x_pivots")},
+common AS (
+  SELECT x.vec_id, x.rnk AS rnk_a, y.rnk AS rnk_b
+  FROM x_top x JOIN y_top y ON y.vec_id = x.vec_id
+)
+SELECT CAST({BETWEENNESS_TOPN} AS BIGINT) AS n_top,
+       CAST((SELECT count(*) FROM common) AS BIGINT) AS n_common,
+       CAST((SELECT count(*) FROM common) * 1000000
+            // (2 * {BETWEENNESS_TOPN} - (SELECT count(*) FROM common)) AS BIGINT)
+         AS topk_jaccard_ppm,
+       CAST(coalesce((SELECT max(abs(rnk_a - rnk_b)) FROM common), -1) AS BIGINT)
+         AS max_rank_shift
+"""
+
+
+@register("graph_betweenness_variance", _bw_variance_oracle())
+def graph_betweenness_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 agreement of B106 under two disjoint pivot samples (B123)
+    — the is-K-enough audit: set Jaccard ppm + worst common-member rank
+    displacement."""
+    import hashlib
+
+    emb = read_table(spark, sf_dir, "embeddings")
+
+    def _pivots(seed: str, exclude: set) -> list:
+        if _corpus_count_memo(sf_dir, emb) <= GRAPH_DRIVER_MAX:
+            out_edges = _out_edges_memo(sf_dir, emb, PAGERANK_DEG, "graph_betweenness_variance")
+            pool = [v for v in out_edges if v not in exclude]
+            return sorted(
+                pool,
+                key=lambda v: (hashlib.md5(f"{seed}:{v}".encode()).hexdigest(), v),
+            )[:BETWEENNESS_PIVOTS]
+        df = emb.select("vec_id").filter(~F.col("vec_id").isin(list(exclude)) if exclude else F.lit(True))
+        return [
+            r.vec_id
+            for r in df.withColumn(
+                "_h", F.md5(F.concat_ws(":", F.lit(seed), F.col("vec_id").cast("string")))
+            )
+            .orderBy("_h", "vec_id")
+            .limit(BETWEENNESS_PIVOTS)
+            .collect()
+        ]
+
+    def _top(pivots: list) -> list:
+        if _corpus_count_memo(sf_dir, emb) <= GRAPH_DRIVER_MAX:
+            out_edges = _out_edges_memo(sf_dir, emb, PAGERANK_DEG, "graph_betweenness_variance")
+            bw = _betweenness_driver(out_edges, pivots, BETWEENNESS_ROUNDS)
+            top = sorted(((-sc, v) for v, sc in bw.items()))[:BETWEENNESS_TOPN]
+            return [(v, i + 1) for i, (_ns, v) in enumerate(top)]
+        dir_edges = _graph_dir_edges(sf_dir, emb, PAGERANK_DEG, "graph_betweenness_variance")
+        bw = _betweenness_rounds_df(emb, dir_edges, pivots, BETWEENNESS_ROUNDS)
+        rows = (
+            bw.select(F.col("node").alias("vec_id"), "betweenness_micro")
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.orderBy(F.col("betweenness_micro").desc(), F.col("vec_id").asc())
+                ),
+            )
+            .filter(F.col("rnk") <= BETWEENNESS_TOPN)
+            .collect()
+        )
+        return [(r.vec_id, r.rnk) for r in rows]
+
+    pa = _pivots("betweenness-pivots-v1", set())
+    pb = _pivots("betweenness-pivots-v2", set(pa))
+    ta, tb = dict(_top(pa)), dict(_top(pb))
+    common = set(ta) & set(tb)
+    n_common = len(common)
+    jacc = n_common * 1_000_000 // (2 * BETWEENNESS_TOPN - n_common)
+    shift = max((abs(ta[v] - tb[v]) for v in common), default=-1)
+    return spark.createDataFrame(
+        [(BETWEENNESS_TOPN, n_common, jacc, shift)],
+        "n_top long, n_common long, topk_jaccard_ppm long, max_rank_shift long",
+    )

@@ -1225,3 +1225,63 @@ def seasonal_anomaly_from_state(spark: SparkSession, state_path: str) -> DataFra
         )
         .orderBy("event_type", "day", "hod")
     )
+
+
+def stream_user_rfm(event_stream: DataFrame, state_path: str) -> None:
+    """Streaming maintenance of the B113 RFM feature block via
+    ``stream_mergeable_agg``: per user the raw features are ALL
+    associative — recency = max(epoch_us), frequency = summed count,
+    monetary = summed cents — so the state folds exactly with no
+    ordering contract; the corpus max instant and the ntile quintile
+    scores are read-time derivations (``rfm_from_state``), never state."""
+    from pyspark.sql import functions as F
+
+    keyed = event_stream.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    stream_mergeable_agg(
+        keyed,
+        state_path,
+        ["user_id"],
+        [
+            F.max("t").cast("long").alias("last_t"),
+            F.count("*").cast("long").alias("f_n"),
+            F.sum("cents").cast("long").alias("m_cents"),
+        ],
+        [
+            F.max("last_t").cast("long").alias("last_t"),
+            F.sum("f_n").cast("long").alias("f_n"),
+            F.sum("m_cents").cast("long").alias("m_cents"),
+        ],
+    )
+
+
+def rfm_from_state(spark: SparkSession, state_path: str, corpus_max_us: int) -> DataFrame:
+    """B113's report from the streamed state — identical integer and
+    ntile arithmetic to ``events_user_rfm``. ``corpus_max_us`` is the
+    stream-clock high-water mark (in batch parity tests: max(ts) of the
+    corpus; in production: the watermark)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    u = spark.read.parquet(state_path).select(
+        "user_id",
+        F.expr(f"(CAST({corpus_max_us} AS BIGINT) - last_t) div 86400000000")
+        .cast("long")
+        .alias("r_days"),
+        "f_n",
+        "m_cents",
+    )
+    return u.select(
+        "user_id",
+        "r_days",
+        "f_n",
+        "m_cents",
+        F.ntile(5).over(Window.orderBy(F.col("r_days").desc(), "user_id")).cast("long").alias("r_score"),
+        F.ntile(5).over(Window.orderBy("f_n", "user_id")).cast("long").alias("f_score"),
+        F.ntile(5).over(Window.orderBy("m_cents", "user_id")).cast("long").alias("m_score"),
+    ).orderBy("user_id")
