@@ -167,6 +167,12 @@ PRIORITY: list[str] = [
     "doc_length_median_ci", "events_survival_km",
     "doc_langid_confusion", "doc_k_anonymity_audit", "events_dp_noisy_counts",
     "events_scd2_pit_join", "graph_betweenness_variance",
+    # continued-session late-r9 oracles (B125+): experiment hygiene,
+    # robust trend, revenue curves, change-point detection
+    "events_srm_check", "events_theilsen_trend",
+    "events_cohort_ltv", "events_cusum_changepoint",
+    "erasure_cascade_audit", "lineitem_benford_audit",
+    "lang_tokenizer_fertility", "source_lang_diversity",
     # rows-only HLL sketch path of events_sliding_distinct_users (B124)
     "events_sliding_distinct_hll",
     # below-the-fold siblings whose checked twin carries the oracle

@@ -2322,3 +2322,341 @@ def events_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_start_epoch")
     )
+
+
+# ---------------------------------------------------------------------------
+# B125: sample-ratio-mismatch (SRM) chi-square check (r9)
+# ---------------------------------------------------------------------------
+# The first gate of any A/B readout: users hash into two arms (the B31
+# seeded-md5 discipline — the SAME deterministic assignment an experiment
+# platform would ship), and per event_type the arm sizes are tested for
+# a 50/50 split with the 2-cell chi-square, which collapses to the pure
+# integer form (u0-u1)^2 / n — no doubles anywhere, so the statistic is
+# exact in micro units on both engines. srm_flag fires above the 95th
+# percentile critical value 3.841459 (chi2, 1 dof). Scale shape: arm
+# assignment is a map-side expression on user_id, the distinct is one
+# (event_type, user_id) shuffle on uniform keys, and the final agg is
+# |event_type| rows — at 100 TB nothing here grows beyond the distinct,
+# which is the same reach shuffle events_sliding_distinct_users runs.
+@register(
+    "events_srm_check",
+    """
+WITH ua AS (
+  SELECT DISTINCT event_type, user_id,
+         CAST(('0x' || substr(md5('srm:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS arm
+  FROM events
+), arms AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS users_arm0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS users_arm1
+  FROM ua GROUP BY event_type
+)
+SELECT event_type, users_arm0, users_arm1,
+       CAST((1000000 * (users_arm0 - users_arm1) * (users_arm0 - users_arm1))
+            // (users_arm0 + users_arm1) AS BIGINT) AS chi2_micro,
+       CAST(CASE WHEN (1000000 * (users_arm0 - users_arm1) * (users_arm0 - users_arm1))
+                      // (users_arm0 + users_arm1) > 3841459
+                 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+FROM arms
+ORDER BY event_type
+""",
+)
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type sample-ratio-mismatch chi-square over seeded-md5
+    arm assignment (B125) — exact integer 2-cell statistic in micro
+    units, flagged against the 3.841 critical value."""
+    ev = read_table(spark, sf_dir, "events")
+    ua = ev.select(
+        "event_type",
+        "user_id",
+        F.expr(
+            "cast(conv(substring(md5(concat('srm:', cast(user_id as string))), 1, 8), 16, 10)"
+            " as bigint) % 2"
+        ).alias("arm"),
+    ).distinct()
+    arms = ua.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("users_arm0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("users_arm1"),
+    )
+    chi2 = F.expr(
+        "(1000000 * (users_arm0 - users_arm1) * (users_arm0 - users_arm1))"
+        " div (users_arm0 + users_arm1)"
+    )
+    return (
+        arms.select(
+            "event_type",
+            "users_arm0",
+            "users_arm1",
+            chi2.cast("long").alias("chi2_micro"),
+            F.when(chi2 > 3841459, 1).otherwise(0).cast("long").alias("srm_flag"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B126: Theil-Sen robust daily-count trend (r9)
+# ---------------------------------------------------------------------------
+# Median-of-pairwise-slopes trend per event_type (Theil 1950 / Sen 1968)
+# — the robust alternative to OLS that one crawler outage day cannot
+# drag. The pair join is over DAILY AGGREGATES, so its size is bounded
+# by days^2 per type (30 days -> 435 pairs) and is INDEPENDENT of the
+# event row count — the only full-data pass is the day-count groupBy.
+# Slopes quantize once to floor(1e6 * dc / dd) (floor on both engines —
+# integer `div`/`//` disagree on negative operands), and the median is
+# the exact lower rank (n+1)//2 with (slope, d1, d2) tie-breaks. At
+# 100 TB the daily-count table is ~|types| * |days| rows — driver-tiny —
+# so the quadratic stage never leaves broadcast territory.
+@register(
+    "events_theilsen_trend",
+    """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT)
+), pairs AS (
+  SELECT a.event_type,
+         CAST(floor(1000000.0 * (b.c - a.c) / (b.d - a.d)) AS BIGINT) AS slope_micro,
+         a.d AS d1, b.d AS d2
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.d > a.d
+), ranked AS (
+  SELECT event_type, slope_micro,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY slope_micro, d1, d2) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM pairs
+)
+SELECT r.event_type,
+       CAST(count(DISTINCT dd.d) AS BIGINT) AS n_days,
+       CAST(max(r.n) AS BIGINT) AS n_pairs,
+       CAST(max(CASE WHEN r.rk = (r.n + 1) // 2 THEN r.slope_micro END) AS BIGINT)
+         AS trend_micro_per_day
+FROM ranked r JOIN daily dd ON dd.event_type = r.event_type
+GROUP BY r.event_type
+ORDER BY r.event_type
+""",
+)
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen median-of-slopes daily-count trend per event_type
+    (B126) — pairwise slopes over daily aggregates (days^2, row-count
+    independent), exact lower-median rank in integer micro units."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("d"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.event_type") == F.col("b.event_type")) & (F.col("b.d") > F.col("a.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.floor(1000000.0 * (F.col("b.c") - F.col("a.c")) / (F.col("b.d") - F.col("a.d")))
+        .cast("long")
+        .alias("slope_micro"),
+        F.col("a.d").alias("d1"),
+        F.col("b.d").alias("d2"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope_micro", "d1", "d2")
+    wp = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "slope_micro",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wp).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.max(F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("slope_micro")))
+        .cast("long")
+        .alias("trend_micro_per_day"),
+    )
+    ndays = daily.groupBy("event_type").agg(F.countDistinct("d").cast("long").alias("n_days"))
+    return (
+        med.join(F.broadcast(ndays), "event_type")
+        .select("event_type", "n_days", "n_pairs", "trend_micro_per_day")
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B127: cohort lifetime-value (LTV) curves (r9)
+# ---------------------------------------------------------------------------
+# The revenue twin of events_cohort_retention: users cohort by first-
+# event week, revenue accumulates by cohort age in weeks, and the
+# running sum per cohort is the LTV curve an analyst reads off. All
+# money stays in exact integer cents (round(value*100) once); the
+# cumulative window is per-cohort over <= |weeks| rows, so the only
+# full-data passes are the per-user min(ts) and the (cohort, age)
+# groupBy — both uniform-key shuffles. At 100 TB cohorts are ~52 keys a
+# year and the curve table is cohorts x ages — driver-tiny output from
+# arbitrarily large input, the ideal rollup shape.
+@register(
+    "events_cohort_ltv",
+    """
+WITH firstw AS (
+  SELECT user_id,
+         CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS cohort_week
+  FROM events GROUP BY user_id
+), rev AS (
+  SELECT f.cohort_week,
+         CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - f.cohort_week AS age_weeks,
+         CAST(round(e.value * 100) AS BIGINT) AS cents,
+         e.user_id
+  FROM events e JOIN firstw f ON f.user_id = e.user_id
+  WHERE e.value IS NOT NULL
+), grid AS (
+  SELECT cohort_week, age_weeks,
+         CAST(sum(cents) AS BIGINT) AS revenue_cents,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+  FROM rev GROUP BY cohort_week, age_weeks
+), sized AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+  FROM firstw GROUP BY cohort_week
+)
+SELECT g.cohort_week, g.age_weeks, s.cohort_users, g.n_active_users,
+       g.revenue_cents,
+       CAST(sum(g.revenue_cents) OVER (PARTITION BY g.cohort_week
+                                       ORDER BY g.age_weeks
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_ltv_cents
+FROM grid g JOIN sized s ON s.cohort_week = g.cohort_week
+ORDER BY g.cohort_week, g.age_weeks
+""",
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort-week x age-week revenue and cumulative LTV in exact
+    integer cents (B127) — the revenue twin of the retention matrix."""
+    ev = read_table(spark, sf_dir, "events")
+    firstw = ev.groupBy("user_id").agg(
+        F.floor(F.min(F.col("ts").cast("double")) / 604800).cast("long").alias("cohort_week")
+    )
+    rev = (
+        ev.filter(F.col("value").isNotNull())
+        .join(firstw, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.floor(F.col("ts").cast("double") / 604800).cast("long") - F.col("cohort_week")
+            ).alias("age_weeks"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            "user_id",
+        )
+    )
+    grid = rev.groupBy("cohort_week", "age_weeks").agg(
+        F.sum("cents").cast("long").alias("revenue_cents"),
+        F.countDistinct("user_id").cast("long").alias("n_active_users"),
+    )
+    sized = firstw.groupBy("cohort_week").agg(F.count("*").cast("long").alias("cohort_users"))
+    wc = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(F.broadcast(sized), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "cohort_users",
+            "n_active_users",
+            "revenue_cents",
+            F.sum("revenue_cents").over(wc).cast("long").alias("cum_ltv_cents"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B128: CUSUM change-point detection on the daily count series (r9)
+# ---------------------------------------------------------------------------
+# The classic offline CUSUM scan: residuals against the global daily
+# mean accumulate, and the day where |cusum| peaks is the single best
+# level-shift split (Page 1954's statistic in its exact offline form).
+# Integer trick: scaling residuals by D (r_d = c_d * D - T where T is
+# the total over D days) clears the mean's division entirely — every
+# cusum value is an exact BIGINT on both engines, no epsilon anywhere.
+# The full-data pass is one day groupBy; the window runs over <= |days|
+# rows (a deliberate single-partition window over an already-reduced
+# table, the same shape as the seasonal grid ops). At 100 TB the day
+# table is 365 rows/year — the scan cost lives in the groupBy, which is
+# the minimal pass any daily rollup already pays.
+@register(
+    "events_cusum_changepoint",
+    """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY CAST(floor(epoch(ts) / 86400) AS BIGINT)
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(c) AS BIGINT) AS t FROM daily
+), cs AS (
+  SELECT d.d, d.c,
+         CAST(sum(d.c * tt.nd - tt.t) OVER (ORDER BY d.d
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cusum_scaled
+  FROM daily d CROSS JOIN tot tt
+), mx AS (
+  SELECT max(abs(cusum_scaled)) AS peak FROM cs
+)
+SELECT cs.d AS day_epoch_days, cs.c AS n_events, cs.cusum_scaled,
+       CAST(CASE WHEN abs(cs.cusum_scaled) = mx.peak
+                  AND cs.d = (SELECT min(c2.d) FROM cs c2, mx m2
+                              WHERE abs(c2.cusum_scaled) = m2.peak)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_changepoint
+FROM cs CROSS JOIN mx
+ORDER BY cs.d
+""",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM level-shift scan over daily event counts (B128) —
+    D-scaled integer residuals (no mean division), exact BIGINT cusum,
+    earliest-peak change-point flag."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("d")
+    ).agg(F.count("*").cast("long").alias("c"))
+    tot = daily.agg(
+        F.count("*").cast("long").alias("nd"), F.sum("c").cast("long").alias("t")
+    )
+    # window over the already-reduced day table (<= |days| rows): the
+    # single-partition WindowExec here is deliberate, not a scale bug.
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cs = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "c",
+            F.sum(F.col("c") * F.col("nd") - F.col("t")).over(wc).cast("long").alias(
+                "cusum_scaled"
+            ),
+        )
+    )
+    peak = cs.agg(
+        F.max(F.abs(F.col("cusum_scaled"))).alias("peak")
+    )
+    flagged = cs.crossJoin(F.broadcast(peak))
+    first_peak = (
+        flagged.filter(F.abs(F.col("cusum_scaled")) == F.col("peak"))
+        .agg(F.min("d").alias("cp_day"))
+    )
+    return (
+        flagged.crossJoin(F.broadcast(first_peak))
+        .select(
+            F.col("d").alias("day_epoch_days"),
+            F.col("c").alias("n_events"),
+            "cusum_scaled",
+            F.when(
+                (F.abs(F.col("cusum_scaled")) == F.col("peak"))
+                & (F.col("d") == F.col("cp_day")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("is_changepoint"),
+        )
+        .orderBy("day_epoch_days")
+    )

@@ -551,3 +551,170 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name_1", "name_2")
     )
+
+
+# ---------------------------------------------------------------------------
+# B129: right-to-erasure cascade audit (r9)
+# ---------------------------------------------------------------------------
+# GDPR/CCPA deletion is a first-class training-data operation: a
+# tombstone list of subjects must map to EVERY row that would be purged
+# across the schema before anyone runs the destructive pass. The audit
+# walks the foreign-key cascade customer -> orders -> lineitem with
+# semi-joins only (the tombstone list broadcasts; the orderkey frontier
+# of a real deletion batch is bounded by the batch, not the corpus) and
+# emits a per-table manifest: rows purged, distinct cascade keys, and
+# the exact revenue mass leaving the corpus in integer cents — the
+# number the compliance report needs. At 100 TB this is the same
+# broadcast-semi-join shape per table; nothing rescans more than once,
+# and the manifest is |tables| rows.
+@register(
+    "erasure_cascade_audit",
+    """
+WITH tomb AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+), ords AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM tomb)
+), items AS (
+  SELECT l_orderkey, l_extendedprice FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM ords)
+)
+SELECT * FROM (
+  SELECT 'customer' AS table_name,
+         CAST(count(*) AS BIGINT) AS n_rows_purged,
+         CAST(count(*) AS BIGINT) AS n_cascade_keys,
+         CAST(0 AS BIGINT) AS purged_value_cents
+  FROM tomb
+  UNION ALL
+  SELECT 'orders',
+         CAST(count(*) AS BIGINT),
+         CAST(count(DISTINCT o_custkey) AS BIGINT),
+         CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT)
+  FROM ords
+  UNION ALL
+  SELECT 'lineitem',
+         CAST(count(*) AS BIGINT),
+         CAST(count(DISTINCT l_orderkey) AS BIGINT),
+         CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0) AS BIGINT)
+  FROM items
+)
+ORDER BY table_name
+""",
+)
+def erasure_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table purge manifest for a deterministic tombstone list
+    (B129) — semi-join cascade customer -> orders -> lineitem, exact
+    integer-cent value mass, |tables| output rows."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    tomb = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    ords = orders.join(
+        F.broadcast(tomb), orders.o_custkey == tomb.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+    items = lineitem.join(
+        F.broadcast(ords.select("o_orderkey")),
+        lineitem.l_orderkey == ords.o_orderkey,
+        "left_semi",
+    ).select("l_orderkey", "l_extendedprice")
+    m_cust = tomb.agg(
+        F.lit("customer").alias("table_name"),
+        F.count("*").cast("long").alias("n_rows_purged"),
+        F.count("*").cast("long").alias("n_cascade_keys"),
+        F.lit(0).cast("long").alias("purged_value_cents"),
+    )
+    m_ord = ords.agg(
+        F.lit("orders").alias("table_name"),
+        F.count("*").cast("long").alias("n_rows_purged"),
+        F.countDistinct("o_custkey").cast("long").alias("n_cascade_keys"),
+        F.coalesce(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("purged_value_cents"),
+    )
+    m_item = items.agg(
+        F.lit("lineitem").alias("table_name"),
+        F.count("*").cast("long").alias("n_rows_purged"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_cascade_keys"),
+        F.coalesce(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("purged_value_cents"),
+    )
+    return m_cust.unionByName(m_ord).unionByName(m_item).orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# B130: Benford leading-digit conformance audit (r9)
+# ---------------------------------------------------------------------------
+# Data-quality forensics: naturally-generated monetary amounts follow
+# Benford's law (P(d) = log10(1 + 1/d)); synthetic or tampered feeds do
+# not, and the per-digit chi-square terms localize WHERE the deviation
+# lives. Determinism: the nine Benford probabilities enter as integer
+# micro-unit LITERALS (no cross-engine log10 evaluation at all), the
+# expected count is the exact integer floor (n * p_micro) // 1e6, and
+# each chi-square term is exact integer arithmetic scaled by 1e6. The
+# leading digit comes from the cent-integer's string head — no float
+# formatting in the extraction path. One full-data pass (digit groupBy,
+# 9 uniform keys), then literal-table math: the 100 TB cost is the scan.
+@register(
+    "lineitem_benford_audit",
+    """
+WITH bp(digit, p_micro) AS (
+  VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+         (6, 66947), (7, 57992), (8, 51153), (9, 45757)
+), obs AS (
+  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS observed
+  FROM lineitem
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(observed) AS BIGINT) AS n FROM obs
+)
+SELECT CAST(bp.digit AS BIGINT) AS digit,
+       coalesce(o.observed, 0) AS observed,
+       CAST((t.n * bp.p_micro) // 1000000 AS BIGINT) AS expected,
+       CAST((1000000 * (coalesce(o.observed, 0) - (t.n * bp.p_micro) // 1000000)
+                     * (coalesce(o.observed, 0) - (t.n * bp.p_micro) // 1000000))
+            // ((t.n * bp.p_micro) // 1000000) AS BIGINT) AS chi2_term_micro
+FROM bp LEFT JOIN obs o ON o.digit = bp.digit CROSS JOIN tot t
+ORDER BY bp.digit
+""",
+)
+def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford leading-digit audit of l_extendedprice cents (B130) —
+    literal integer-micro Benford PMF, exact integer chi-square terms,
+    one 9-key groupBy pass."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    bp = spark.createDataFrame(
+        [(1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+         (6, 66947), (7, 57992), (8, 51153), (9, 45757)],
+        "digit long, p_micro long",
+    )
+    obs = (
+        lineitem.select(
+            F.substring(
+                F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("observed"))
+    )
+    tot = obs.agg(F.sum("observed").cast("long").alias("n"))
+    joined = (
+        bp.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("observed"), F.lit(0)).cast("long").alias("observed"),
+            F.expr("(n * p_micro) div 1000000").cast("long").alias("expected"),
+            F.expr(
+                "(1000000 * (coalesce(observed, 0) - (n * p_micro) div 1000000)"
+                "         * (coalesce(observed, 0) - (n * p_micro) div 1000000))"
+                " div ((n * p_micro) div 1000000)"
+            )
+            .cast("long")
+            .alias("chi2_term_micro"),
+        )
+    )
+    return joined.orderBy("digit")

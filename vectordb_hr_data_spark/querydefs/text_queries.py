@@ -1511,3 +1511,147 @@ def doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("row_share_ppm"),
     ).orderBy("true_lang", "predicted_lang")
+
+
+# ---------------------------------------------------------------------------
+# B131: tokenizer fertility audit by language (r9)
+# ---------------------------------------------------------------------------
+# Fertility — model tokens emitted per unit of raw text — is the number
+# that decides how a fixed token budget splits across languages: a lang
+# whose fertility is 2x pays 2x the compute for the same bytes of data,
+# and vocabulary decisions are made off exactly this table. Both
+# tokenizations reuse the corpus's canonical splitters (the \\s+ word
+# split and the GPT-style _BPE_PAT pretokenizer), so the audit stays
+# consistent with doc_token_count / doc_token_count_bpe and the BPE
+# ops. All ratios are integer micro-units (tokens * 1e6 div chars) —
+# no doubles. One map-side tokenize + one |lang|-key groupBy: at 100 TB
+# the cost is the scan, the exchange carries |langs| rows.
+@register(
+    "lang_tokenizer_fertility",
+    f"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT) AS bpe_tokens,
+         n_chars
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       CAST((sum(ws_tokens) * 1000000) // sum(n_chars) AS BIGINT) AS ws_fertility_micro,
+       CAST((sum(bpe_tokens) * 1000000) // sum(n_chars) AS BIGINT) AS bpe_fertility_micro,
+       CAST((sum(bpe_tokens) * 1000000) // sum(ws_tokens) AS BIGINT) AS bpe_per_word_micro
+FROM per_doc
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def lang_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility audit (B131) — whitespace vs
+    BPE-pretokenizer tokens per char in integer micro-units; the table a
+    token-budget split across languages is planned from."""
+    d = read_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0))
+    per_doc = d.select(
+        "lang",
+        F.size(ws).cast("long").alias("ws_tokens"),
+        F.size(bpe).cast("long").alias("bpe_tokens"),
+        "n_chars",
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("ws_tokens").cast("long").alias("total_ws_tokens"),
+            F.sum("bpe_tokens").cast("long").alias("total_bpe_tokens"),
+            F.expr("(sum(ws_tokens) * 1000000) div sum(n_chars)")
+            .cast("long")
+            .alias("ws_fertility_micro"),
+            F.expr("(sum(bpe_tokens) * 1000000) div sum(n_chars)")
+            .cast("long")
+            .alias("bpe_fertility_micro"),
+            F.expr("(sum(bpe_tokens) * 1000000) div sum(ws_tokens)")
+            .cast("long")
+            .alias("bpe_per_word_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B132: per-source diversity indices (r9)
+# ---------------------------------------------------------------------------
+# Corpus-design audit: how concentrated is each source's language mix?
+# Two standard indices side by side — Simpson (probability two random
+# docs share a lang; EXACT rational c*(c-1)/(n*(n-1)) in integer micro
+# units, zero float ops) and Shannon entropy in micro-nats (the one
+# place a log appears, quantized per-term with the B75 KL discipline:
+# round(ln(n/c) * 1e6) BEFORE the weighted sum, so both engines add the
+# same integers). Effective lang count = 1e6^2 // simpson_micro — the
+# "how many equally-sized languages would look like this" readout.
+# Shape: one (source, lang) groupBy, then a |sources|-key rollup — the
+# exchange after the first agg carries sources x langs rows, trivial at
+# any corpus size.
+@register(
+    "source_lang_diversity",
+    """
+WITH sl AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, lang
+), st AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM sl GROUP BY source
+), terms AS (
+  SELECT sl.source, sl.c, st.n,
+         CAST(round(ln(st.n * 1.0 / sl.c) * 1000000.0) AS BIGINT) AS surprise_micro
+  FROM sl JOIN st USING (source)
+)
+SELECT t.source,
+       CAST(max(t.n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       CAST(CASE WHEN max(t.n) > 1
+                 THEN (1000000 * sum(t.c * (t.c - 1))) // (max(t.n) * (max(t.n) - 1))
+                 ELSE 1000000 END AS BIGINT) AS simpson_micro,
+       CAST(round(sum(t.c * t.surprise_micro) * 1.0 / max(t.n)) AS BIGINT) AS shannon_micro_nats
+FROM terms t
+GROUP BY t.source
+ORDER BY t.source
+""",
+)
+def source_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Simpson concentration (exact integer rational) and
+    Shannon entropy (micro-nats, per-term quantized) over the language
+    mix (B132) — the corpus-design diversity audit."""
+    d = read_table(spark, sf_dir, "documents")
+    sl = d.groupBy("source", "lang").agg(F.count("*").cast("long").alias("c"))
+    st = sl.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    terms = sl.join(F.broadcast(st), "source").select(
+        "source",
+        "c",
+        "n",
+        F.round(F.log(F.col("n") * 1.0 / F.col("c")) * 1000000.0)
+        .cast("long")
+        .alias("surprise_micro"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_langs"),
+            F.when(
+                F.max("n") > 1,
+                F.expr("(1000000 * sum(c * (c - 1))) div (max(n) * (max(n) - 1))"),
+            )
+            .otherwise(F.lit(1000000))
+            .cast("long")
+            .alias("simpson_micro"),
+            F.round(F.expr("sum(c * surprise_micro) * 1.0 / max(n)"))
+            .cast("long")
+            .alias("shannon_micro_nats"),
+        )
+        .orderBy("source")
+    )
