@@ -173,6 +173,7 @@ PRIORITY: list[str] = [
     "events_cohort_ltv", "events_cusum_changepoint",
     "erasure_cascade_audit", "lineitem_benford_audit",
     "lang_tokenizer_fertility", "source_lang_diversity",
+    "cross_encoder_rerank", "semantic_decontaminate",
     # rows-only HLL sketch path of events_sliding_distinct_users (B124)
     "events_sliding_distinct_hll",
     # below-the-fold siblings whose checked twin carries the oracle

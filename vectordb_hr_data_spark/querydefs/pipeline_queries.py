@@ -2477,3 +2477,86 @@ def doc_length_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B134: semantic decontamination against a held-out eval set (r9)
+# ---------------------------------------------------------------------------
+# The third rung of the decontamination ladder: doc_decontaminate
+# catches exact matches, the Bloom form scales the membership test,
+# and THIS op catches paraphrases — training docs whose EMBEDDING sits
+# too close to any eval item survive text-level checks but still leak
+# the benchmark (Lee et al.'s deduplication-and-contamination lesson at
+# the semantic level). The eval set (deterministic doc_id % 41 slice
+# here; benchmark embeddings in production) is small by construction,
+# so the scan shape is the ideal one: eval vectors BROADCAST, one
+# map-side cosine per (corpus row x eval row) fused into a per-row max
+# — no shuffle at all until the |corpus| flag rows aggregate, and the
+# 100 TB cost is exactly one pass over the embedding column. Cosines
+# round to 4 decimals before the max/argmax so both engines pick the
+# same nearest eval id (ties break on the smaller eval_id).
+SEM_DECON_MOD = 41
+SEM_DECON_THRESH = 0.95
+
+
+@register(
+    "semantic_decontaminate",
+    f"""
+WITH ev AS (
+  SELECT vec_id AS eval_id, embedding AS ev_emb FROM embeddings
+  WHERE vec_id % {SEM_DECON_MOD} = 0
+), corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % {SEM_DECON_MOD} <> 0
+), sims AS (
+  SELECT c.vec_id, e.eval_id,
+         round(
+           list_sum(list_transform(range(1, len(c.embedding)+1),
+               i -> CAST(c.embedding[i] AS DOUBLE) * CAST(e.ev_emb[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(e.ev_emb,    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           4) AS sim
+  FROM corpus c CROSS JOIN ev e
+), best AS (
+  SELECT vec_id, sim AS max_sim, eval_id AS nearest_eval_id
+  FROM (SELECT vec_id, sim, eval_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, eval_id) AS rn
+        FROM sims)
+  WHERE rn = 1
+)
+SELECT vec_id, max_sim + 0.0 AS max_sim, nearest_eval_id,
+       CAST(CASE WHEN max_sim >= {SEM_DECON_THRESH} THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
+FROM best
+ORDER BY vec_id
+""",
+)
+def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination vs a broadcast eval set (B134) —
+    per-corpus-row max cosine + nearest eval id, flagged at
+    SEM_DECON_THRESH; the paraphrase-catching rung above the exact and
+    Bloom decontaminate ops."""
+    from ..functions import vector as V
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % SEM_DECON_MOD == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ev_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") % SEM_DECON_MOD != 0)
+    sims = corpus.crossJoin(F.broadcast(ev)).select(
+        "vec_id",
+        "eval_id",
+        F.round(V.cosine_sim(F.col("embedding"), F.col("ev_emb")), 4).alias("sim"),
+    )
+    wr = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("eval_id").asc())
+    best = sims.select(
+        "vec_id", "sim", "eval_id", F.row_number().over(wr).alias("rn")
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        "vec_id",
+        (F.col("sim") + F.lit(0.0)).alias("max_sim"),
+        F.col("eval_id").alias("nearest_eval_id"),
+        F.when(F.col("sim") >= SEM_DECON_THRESH, 1).otherwise(0).cast("long").alias(
+            "contaminated"
+        ),
+    ).orderBy("vec_id")

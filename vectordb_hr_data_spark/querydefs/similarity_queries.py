@@ -3332,3 +3332,150 @@ def graph_betweenness_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(BETWEENNESS_TOPN, n_common, jacc, shift)],
         "n_top long, n_common long, topk_jaccard_ppm long, max_rank_shift long",
     )
+
+
+# --------------------------------------------------------------------------
+# B133: two-stage retrieve -> cross-encoder re-rank (r9)
+# --------------------------------------------------------------------------
+# The production RAG ranking stack: a cheap retriever over-fetches
+# CE_DEPTH candidates, then an expensive pairwise (query, doc) scorer
+# re-ranks just those. The deterministic stand-in scorer is IDF-weighted
+# distinct-token overlap — the exact arithmetic a lexical cross-scorer
+# computes, fully SQL-expressible, so the WHOLE two-stage pipeline is
+# oracle-checked end to end (retrieval cutoff, tie-breaks, re-rank
+# order). A real model drops in through the ``scorer`` seam (pandas UDF
+# over the CE_DEPTH candidate texts ONLY — the whole point of the
+# architecture is that model cost is O(depth), not O(corpus)), mirroring
+# embed.py's encode_fn seam; sentence-transformers CrossEncoder is the
+# documented public implementation when the package lands.
+# Scale shape: stage 1 is the ann_text_search map + TakeOrderedAndProject
+# (no shuffle beyond top-k); the IDF table is |query tokens| rows built
+# in one corpus pass and broadcast; stage 2 touches CE_DEPTH rows.
+CE_DEPTH = 50
+
+
+def _cross_encoder_oracle() -> str:
+    q = _poly_dims_py(QUERY_TEXT)
+    terms = " + ".join(
+        f"power((CAST((h * {a} + {b}) % {H.P} AS DOUBLE) / {H.P}) * 2 - 1 - ({qj!r}), 2)"
+        for (a, b), qj in zip(zip(H.MINHASH_A[:EMBED_DIM], H.MINHASH_B[:EMBED_DIM]), q)
+    )
+    toklist = "[" + ", ".join(f"'{w}'" for w in QUERY_TEXT.split()) + "]"
+    return f"""
+WITH h AS (
+  SELECT doc_id, {H.ddb_str_hash_fast('text')} AS h FROM documents
+), cand AS (
+  SELECT doc_id, round({terms}, {_ROUND}) AS retriever_distance
+  FROM h ORDER BY retriever_distance, doc_id LIMIT {CE_DEPTH}
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), dfc AS (
+  SELECT qt.tok, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT unnest({toklist}) AS tok) qt
+  JOIN documents d ON list_contains(string_split(d.text, ' '), qt.tok)
+  GROUP BY qt.tok
+), idf AS (
+  SELECT tok, CAST(round(ln(n.n_docs * 1.0 / df) * 1000000.0) AS BIGINT) AS idf_micro
+  FROM dfc CROSS JOIN n
+), scored AS (
+  SELECT c.doc_id, c.retriever_distance,
+         CAST(coalesce(sum(CASE WHEN list_contains(string_split(d.text, ' '), i.tok)
+                                THEN i.idf_micro END), 0) AS BIGINT) AS ce_score_micro
+  FROM cand c JOIN documents d USING (doc_id) CROSS JOIN idf i
+  GROUP BY c.doc_id, c.retriever_distance
+)
+SELECT doc_id, retriever_distance, ce_score_micro,
+       CAST(row_number() OVER (ORDER BY ce_score_micro DESC, retriever_distance, doc_id)
+            AS BIGINT) AS ce_rank
+FROM scored
+ORDER BY ce_rank
+LIMIT 10
+"""
+
+
+@register("cross_encoder_rerank", _cross_encoder_oracle())
+def cross_encoder_rerank(spark: SparkSession, sf_dir: str, scorer=None) -> DataFrame:
+    """Two-stage retrieval: poly-hash ANN over-fetch (CE_DEPTH) then a
+    cross-scorer re-rank of just the candidates (B133). The default
+    scorer is deterministic IDF-weighted token overlap (oracle-exact);
+    pass ``scorer(query: pd.Series, text: pd.Series) -> pd.Series`` to
+    swap in a real cross-encoder — it sees CE_DEPTH rows, never the
+    corpus."""
+    d = read_table(spark, sf_dir, "documents")
+    h = d.select("doc_id", F.expr(H.spark_str_hash_fast("text")).alias("h"))
+    q = _poly_dims_py(QUERY_TEXT)
+    dist = None
+    for (a, b), qj in zip(zip(H.MINHASH_A[:EMBED_DIM], H.MINHASH_B[:EMBED_DIM]), q):
+        dim = (((F.col("h") * a + b) % H.P).cast("double") / H.P) * 2 - 1
+        term = F.pow(dim - qj, F.lit(2))
+        dist = term if dist is None else dist + term
+    cand = (
+        h.select("doc_id", F.round(dist, _ROUND).alias("retriever_distance"))
+        .orderBy(F.col("retriever_distance").asc(), F.col("doc_id").asc())
+        .limit(CE_DEPTH)
+    )
+    with_text = cand.join(d.select("doc_id", "text"), "doc_id")
+    if scorer is not None:
+        # real-model seam: Arrow-batched pairwise scoring of the
+        # CE_DEPTH candidates only (public cross-encoder drop-in).
+        import pandas as pd  # noqa: F401
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def _score(text):
+            import pandas as pd
+
+            return scorer(pd.Series([QUERY_TEXT] * len(text)), text)
+
+        scored = with_text.select(
+            "doc_id",
+            "retriever_distance",
+            F.round(_score(F.col("text")) * 1000000).cast("long").alias("ce_score_micro"),
+        )
+    else:
+        toks = [w for w in QUERY_TEXT.split()]
+        n_docs = d.count()
+        qt = spark.createDataFrame([(w,) for w in toks], "tok string")
+        dfc = (
+            d.select(F.split(F.col("text"), " ").alias("dt"))
+            .crossJoin(F.broadcast(qt))
+            .filter(F.array_contains(F.col("dt"), F.col("tok")))
+            .groupBy("tok")
+            .agg(F.count("*").cast("long").alias("df"))
+        )
+        idf = dfc.select(
+            "tok",
+            F.round(F.log(F.lit(float(n_docs)) / F.col("df")) * 1000000.0)
+            .cast("long")
+            .alias("idf_micro"),
+        )
+        scored = (
+            with_text.select("doc_id", "retriever_distance", F.split("text", " ").alias("dt"))
+            .crossJoin(F.broadcast(idf))
+            .groupBy("doc_id", "retriever_distance")
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.array_contains(F.col("dt"), F.col("tok")), F.col("idf_micro")
+                        )
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("ce_score_micro")
+            )
+        )
+    wr = Window.orderBy(
+        F.col("ce_score_micro").desc(), F.col("retriever_distance").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "retriever_distance",
+            "ce_score_micro",
+            F.row_number().over(wr).cast("long").alias("ce_rank"),
+        )
+        .orderBy("ce_rank")
+        .limit(10)
+    )
