@@ -174,6 +174,8 @@ PRIORITY: list[str] = [
     "erasure_cascade_audit", "lineitem_benford_audit",
     "lang_tokenizer_fertility", "source_lang_diversity",
     "cross_encoder_rerank", "semantic_decontaminate",
+    "term_prefix_autocomplete", "events_conversion_lag",
+    "events_daily_value_bands", "events_sequence_anomaly",
     # rows-only HLL sketch path of events_sliding_distinct_users (B124)
     "events_sliding_distinct_hll",
     # below-the-fold siblings whose checked twin carries the oracle

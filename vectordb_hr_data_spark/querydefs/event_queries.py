@@ -2660,3 +2660,263 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_epoch_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# B136: signup -> purchase conversion-lag histogram (r9)
+# ---------------------------------------------------------------------------
+# The funnel's missing time axis: not IF users convert (funnel_strict)
+# but HOW LONG they take. Per user, the first signup and the first
+# purchase at-or-after it reduce in ONE user-key aggregate (min +
+# conditional min — no join, no window), the lag buckets into the
+# standard growth-dashboard bands, and non-converters land in an
+# explicit 'never' bucket so shares sum to 1e6. Lags are exact integer
+# microseconds (timestamp casts are microsecond-exact doubles in both
+# engines). Shape at 100 TB: one shuffle on user_id, then a 6-key agg —
+# the same reach pass any per-user rollup pays; output is 6 rows.
+@register(
+    "events_conversion_lag",
+    """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
+  FROM events GROUP BY user_id
+), lagd AS (
+  SELECT p.user_id,
+         CAST(floor(min(CASE WHEN e.event_type = 'purchase' AND e.ts >= p.s_ts
+                             THEN epoch(e.ts) - epoch(p.s_ts) END)) AS BIGINT) AS lag_sec
+  FROM per_user p JOIN events e ON e.user_id = p.user_id
+  WHERE p.s_ts IS NOT NULL
+  GROUP BY p.user_id
+), bucketed AS (
+  SELECT CASE WHEN lag_sec IS NULL THEN 5
+              WHEN lag_sec < 3600 THEN 0
+              WHEN lag_sec < 21600 THEN 1
+              WHEN lag_sec < 86400 THEN 2
+              WHEN lag_sec < 604800 THEN 3
+              ELSE 4 END AS bucket_order
+  FROM lagd
+), counts AS (
+  SELECT bucket_order, CAST(count(*) AS BIGINT) AS n_users FROM bucketed GROUP BY bucket_order
+), tot AS (
+  SELECT CAST(sum(n_users) AS BIGINT) AS t FROM counts
+)
+SELECT b.bucket_order,
+       CASE b.bucket_order WHEN 0 THEN 'lt_1h' WHEN 1 THEN '1h_6h'
+            WHEN 2 THEN '6h_24h' WHEN 3 THEN '1d_7d' WHEN 4 THEN 'ge_7d'
+            ELSE 'never' END AS bucket,
+       coalesce(c.n_users, 0) AS n_users,
+       CAST(coalesce(c.n_users, 0) * 1000000 // t.t AS BIGINT) AS share_micro
+FROM (SELECT unnest([0, 1, 2, 3, 4, 5]) AS bucket_order) b
+LEFT JOIN counts c USING (bucket_order) CROSS JOIN tot t
+ORDER BY b.bucket_order
+""",
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of first-signup -> first-subsequent-purchase lag (B136)
+    — one user-key aggregate, exact integer seconds, explicit 'never'
+    bucket so shares sum to 1e6."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s_ts")
+    )
+    lagd = (
+        ev.join(per_user.filter(F.col("s_ts").isNotNull()), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                F.min(
+                    F.when(
+                        (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("s_ts")),
+                        F.col("ts").cast("double") - F.col("s_ts").cast("double"),
+                    )
+                )
+            )
+            .cast("long")
+            .alias("lag_sec")
+        )
+    )
+    bucketed = lagd.select(
+        F.when(F.col("lag_sec").isNull(), 5)
+        .when(F.col("lag_sec") < 3600, 0)
+        .when(F.col("lag_sec") < 21600, 1)
+        .when(F.col("lag_sec") < 86400, 2)
+        .when(F.col("lag_sec") < 604800, 3)
+        .otherwise(4)
+        .alias("bucket_order")
+    )
+    counts = bucketed.groupBy("bucket_order").agg(F.count("*").cast("long").alias("n_users"))
+    tot = counts.agg(F.sum("n_users").cast("long").alias("t"))
+    grid = spark.createDataFrame([(i,) for i in range(6)], "bucket_order int")
+    labels = F.when(F.col("bucket_order") == 0, "lt_1h") \
+        .when(F.col("bucket_order") == 1, "1h_6h") \
+        .when(F.col("bucket_order") == 2, "6h_24h") \
+        .when(F.col("bucket_order") == 3, "1d_7d") \
+        .when(F.col("bucket_order") == 4, "ge_7d") \
+        .otherwise("never")
+    return (
+        grid.join(F.broadcast(counts), "bucket_order", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket_order").cast("int").alias("bucket_order"),
+            labels.alias("bucket"),
+            F.coalesce(F.col("n_users"), F.lit(0)).cast("long").alias("n_users"),
+            F.expr("coalesce(n_users, 0) * 1000000 div t").cast("long").alias("share_micro"),
+        )
+        .orderBy("bucket_order")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B137: daily P50/P95 value bands per event_type (r9)
+# ---------------------------------------------------------------------------
+# The ops-dashboard percentile ribbon: exact-rank P50/P95 of event
+# value per (event_type, day) in integer cents — the two-level grouped
+# form of the corpus percentile ops, and the exact twin the production
+# approx_percentile sketch would be audited against. Exact ranks use
+# the house ceil(n*q) discipline (no interpolation, engine-identical).
+# Shape: one (type, day, cents) shuffle, ranks via a (type, day)
+# window — uniform keys, ~|types|x|days| output rows; at 100 TB the
+# window state per key is the day's row count, which is exactly the
+# partition a per-day sketch would hold anyway.
+@register(
+    "events_daily_value_bands",
+    """
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         event_id
+  FROM events WHERE value IS NOT NULL
+), ranked AS (
+  SELECT event_type, d, cents,
+         row_number() OVER (PARTITION BY event_type, d ORDER BY cents, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type, d) AS n
+  FROM v
+)
+SELECT event_type, d AS day_epoch_days, CAST(max(n) AS BIGINT) AS n_values,
+       CAST(max(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT) THEN cents END) AS BIGINT) AS p50_cents,
+       CAST(max(CASE WHEN rk = CAST(ceil(n * 0.95) AS BIGINT) THEN cents END) AS BIGINT) AS p95_cents
+FROM ranked
+GROUP BY event_type, d
+ORDER BY event_type, d
+""",
+)
+def events_daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-rank daily P50/P95 value bands per event_type in integer
+    cents (B137) — the grouped percentile ribbon a latency/value
+    dashboard draws."""
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    wr = Window.partitionBy("event_type", "d").orderBy("cents", "event_id")
+    wp = Window.partitionBy("event_type", "d")
+    ranked = v.select(
+        "event_type",
+        "d",
+        "cents",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wp).alias("n"),
+    )
+    return (
+        ranked.groupBy("event_type", F.col("d").alias("day_epoch_days"))
+        .agg(
+            F.max("n").cast("long").alias("n_values"),
+            F.max(F.when(F.col("rk") == F.ceil(F.col("n") * 0.5), F.col("cents")))
+            .cast("long")
+            .alias("p50_cents"),
+            F.max(F.when(F.col("rk") == F.ceil(F.col("n") * 0.95), F.col("cents")))
+            .cast("long")
+            .alias("p95_cents"),
+        )
+        .orderBy("event_type", "day_epoch_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B138: per-user sequence anomaly via a trigram LM over event types (r9)
+# ---------------------------------------------------------------------------
+# The behavioral twin of the CCNet perplexity gate (B33): train an
+# add-one-smoothed trigram model over EVERY user's event-type sequence,
+# then score each user by average surprise — bots and broken clients
+# emit transition patterns the population model finds expensive.
+# Sequences order by (ts, event_id) with '^' boundary padding via lag
+# defaults; V (the smoothing vocabulary) is measured from the data.
+# Per-trigram surprise ln((c2+V)/(c3+1)) quantizes ONCE to micro-nats
+# (the B75/B33 discipline) before the per-user sum, so both engines add
+# identical integers. Shape: two lag windows on user_id (uniform), a
+# trigram-type groupBy whose key space is |types|^3 (tiny — broadcast
+# back), one user-key agg, TakeOrderedAndProject top-10.
+@register(
+    "events_sequence_anomaly",
+    """
+WITH seq AS (
+  SELECT user_id, event_type AS cur,
+         coalesce(lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), '^') AS p1,
+         coalesce(lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id), '^') AS p2
+  FROM events
+), vocab AS (
+  SELECT CAST(count(DISTINCT cur) AS BIGINT) AS v FROM seq
+), c3 AS (
+  SELECT p2, p1, cur, CAST(count(*) AS BIGINT) AS n3 FROM seq GROUP BY p2, p1, cur
+), c2 AS (
+  SELECT p2, p1, CAST(sum(n3) AS BIGINT) AS n2 FROM c3 GROUP BY p2, p1
+), scored AS (
+  SELECT s.user_id,
+         CAST(round(ln((c2.n2 + vv.v) * 1.0 / (c3.n3 + 1)) * 1000000.0) AS BIGINT) AS surprise_micro
+  FROM seq s
+  JOIN c3 ON c3.p2 = s.p2 AND c3.p1 = s.p1 AND c3.cur = s.cur
+  JOIN c2 ON c2.p2 = s.p2 AND c2.p1 = s.p1
+  CROSS JOIN vocab vv
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(round(sum(surprise_micro) * 1.0 / count(*)) AS BIGINT) AS anomaly_micro_nats
+FROM scored
+GROUP BY user_id
+ORDER BY anomaly_micro_nats DESC, user_id
+LIMIT 10
+""",
+)
+def events_sequence_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by average trigram-LM surprise over their event-type
+    sequence (B138) — add-one smoothing, measured vocabulary, micro-nat
+    quantization before the per-user sum."""
+    ev = read_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.coalesce(F.lag("event_type", 1).over(wu), F.lit("^")).alias("p1"),
+        F.coalesce(F.lag("event_type", 2).over(wu), F.lit("^")).alias("p2"),
+    )
+    vocab = seq.agg(F.countDistinct("cur").cast("long").alias("v"))
+    c3 = seq.groupBy("p2", "p1", "cur").agg(F.count("*").cast("long").alias("n3"))
+    c2 = c3.groupBy("p2", "p1").agg(F.sum("n3").cast("long").alias("n2"))
+    scored = (
+        seq.join(F.broadcast(c3), ["p2", "p1", "cur"])
+        .join(F.broadcast(c2), ["p2", "p1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "user_id",
+            F.round(
+                F.log((F.col("n2") + F.col("v")) * 1.0 / (F.col("n3") + 1)) * 1000000.0
+            )
+            .cast("long")
+            .alias("surprise_micro"),
+        )
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("surprise_micro") * 1.0 / F.count("*"))
+            .cast("long")
+            .alias("anomaly_micro_nats"),
+        )
+        .orderBy(F.col("anomaly_micro_nats").desc(), F.col("user_id").asc())
+        .limit(10)
+    )

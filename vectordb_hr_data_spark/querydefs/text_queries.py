@@ -1655,3 +1655,74 @@ def source_lang_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# B135: prefix autocomplete top-k over the corpus vocabulary (r9)
+# ---------------------------------------------------------------------------
+# The serving-side twin of the vocabulary analytics: for every term
+# prefix of length 1-3, the top-3 completions by corpus frequency —
+# the table an autocomplete endpoint loads. Shape: term frequencies
+# are one map-side-combined groupBy over the token explode (the same
+# first pass every vocab op here pays), the prefix explode adds <= 3
+# rows per DISTINCT TERM (vocabulary-sized, not corpus-sized), and the
+# per-prefix top-3 is a window over prefix keys whose fanout is capped
+# by the completion rank. At 100 TB the vocab table is millions of
+# rows against trillions of tokens — the prefix stage costs nothing
+# compared to the count pass, and the output is bounded by
+# 3 x |prefixes|.
+@register(
+    "term_prefix_autocomplete",
+    """
+WITH tf AS (
+  SELECT w AS term, CAST(count(*) AS BIGINT) AS term_count
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+  GROUP BY w
+), pref AS (
+  SELECT substr(term, 1, plen) AS prefix, term, term_count
+  FROM tf CROSS JOIN (SELECT unnest([1, 2, 3]) AS plen) p
+  WHERE len(term) >= plen
+), ranked AS (
+  SELECT prefix, term, term_count,
+         CAST(row_number() OVER (PARTITION BY prefix
+                                 ORDER BY term_count DESC, term) AS BIGINT)
+           AS completion_rank
+  FROM pref
+)
+SELECT prefix, term, term_count, completion_rank
+FROM ranked WHERE completion_rank <= 3
+ORDER BY prefix, completion_rank
+""",
+)
+def term_prefix_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 completions per 1-3 char term prefix by corpus frequency
+    (B135) — vocab-sized prefix explode over the standard token-count
+    pass; the autocomplete serving table."""
+    d = read_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy(F.col("w").alias("term"))
+        .agg(F.count("*").cast("long").alias("term_count"))
+    )
+    pref = (
+        tf.select(
+            "term", "term_count", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("plen")
+        )
+        .filter(F.length("term") >= F.col("plen"))
+        .select(
+            F.expr("substring(term, 1, plen)").alias("prefix"), "term", "term_count"
+        )
+    )
+    wr = Window.partitionBy("prefix").orderBy(F.col("term_count").desc(), F.col("term").asc())
+    return (
+        pref.select(
+            "prefix",
+            "term",
+            "term_count",
+            F.row_number().over(wr).cast("long").alias("completion_rank"),
+        )
+        .filter(F.col("completion_rank") <= 3)
+        .orderBy("prefix", "completion_rank")
+    )

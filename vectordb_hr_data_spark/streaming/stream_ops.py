@@ -1285,3 +1285,61 @@ def rfm_from_state(spark: SparkSession, state_path: str, corpus_max_us: int) -> 
         F.ntile(5).over(Window.orderBy("f_n", "user_id")).cast("long").alias("f_score"),
         F.ntile(5).over(Window.orderBy("m_cents", "user_id")).cast("long").alias("m_score"),
     ).orderBy("user_id")
+
+
+def stream_srm_state(event_stream: DataFrame, state_path: str) -> None:
+    """Streaming maintenance of the B125 sample-ratio-mismatch input via
+    ``stream_mergeable_agg``: arm assignment is the same seeded-md5
+    map-side expression as ``events_srm_check``, state is keyed
+    (event_type, user_id, arm) with a summed event count — 'distinct
+    user per arm' never has to merge because the KEY absorbs it (the
+    stream_sliding_distinct trick), so batch boundaries and replays
+    cannot double-count a user, and the chi-square falls out at READ
+    time over per-type key counts. This is how an experiment platform
+    watches SRM live: the state grows with reach (users), not traffic."""
+    from pyspark.sql import functions as F
+
+    ua = event_stream.select(
+        "event_type",
+        "user_id",
+        F.expr(
+            "cast(conv(substring(md5(concat('srm:', cast(user_id as string))), 1, 8), 16, 10)"
+            " as bigint) % 2"
+        ).alias("arm"),
+    )
+    stream_mergeable_agg(
+        ua,
+        state_path,
+        ["event_type", "user_id", "arm"],
+        [F.count("*").cast("long").alias("c")],
+        [F.sum("c").cast("long").alias("c")],
+    )
+
+
+def srm_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B125's report computed from the streamed state — identical columns
+    and integer chi-square arithmetic to ``events_srm_check``."""
+    from pyspark.sql import functions as F
+
+    arms = (
+        spark.read.parquet(state_path)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("users_arm0"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("users_arm1"),
+        )
+    )
+    chi2 = F.expr(
+        "(1000000 * (users_arm0 - users_arm1) * (users_arm0 - users_arm1))"
+        " div (users_arm0 + users_arm1)"
+    )
+    return (
+        arms.select(
+            "event_type",
+            "users_arm0",
+            "users_arm1",
+            chi2.cast("long").alias("chi2_micro"),
+            F.when(chi2 > 3841459, 1).otherwise(0).cast("long").alias("srm_flag"),
+        )
+        .orderBy("event_type")
+    )
