@@ -176,6 +176,8 @@ PRIORITY: list[str] = [
     "cross_encoder_rerank", "semantic_decontaminate",
     "term_prefix_autocomplete", "events_conversion_lag",
     "events_daily_value_bands", "events_sequence_anomaly",
+    "doc_ngram_novelty", "source_embedding_shift",
+    "events_user_stickiness", "sq8_reconstruction_error",
     # rows-only HLL sketch path of events_sliding_distinct_users (B124)
     "events_sliding_distinct_hll",
     # below-the-fold siblings whose checked twin carries the oracle

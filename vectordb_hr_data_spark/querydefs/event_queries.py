@@ -2920,3 +2920,63 @@ def events_sequence_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("anomaly_micro_nats").desc(), F.col("user_id").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# B141: DAU/MAU stickiness ratio per day (r9)
+# ---------------------------------------------------------------------------
+# The engagement dashboard's headline ratio: daily active users over
+# monthly active users, per day. DAU is a (day, user) distinct; MAU is
+# a calendar-month distinct joined by month — two reach passes of the
+# kind this family already pays, both uniform-key. The ratio is exact
+# integer micro. At 100 TB both distincts swap for the HLL sketches the
+# B96 sink maintains (union across days IS the month sketch — the
+# mergeable-state argument), which is why the exact op keys state by
+# (bucket, user) exactly like stream_sliding_distinct.
+@register(
+    "events_user_stickiness",
+    """
+WITH dau AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY CAST(floor(epoch(ts) / 86400) AS BIGINT)
+), mau AS (
+  SELECT date_trunc('month', ts) AS m,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+  FROM events GROUP BY date_trunc('month', ts)
+)
+SELECT d.d AS day_epoch_days, d.dau, m.mau, d.n_events,
+       CAST(d.dau * 1000000 // m.mau AS BIGINT) AS stickiness_micro
+FROM dau d JOIN mau m
+  ON date_trunc('month', to_timestamp(d.d * 86400)) = m.m
+ORDER BY d.d
+""",
+)
+def events_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day in integer micro units (B141) — two
+    uniform-key reach distincts joined on calendar month."""
+    ev = read_table(spark, sf_dir, "events")
+    dau = ev.groupBy(
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("d")
+    ).agg(
+        F.countDistinct("user_id").cast("long").alias("dau"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    mau = ev.groupBy(F.date_trunc("month", F.col("ts")).alias("m")).agg(
+        F.countDistinct("user_id").cast("long").alias("mau")
+    )
+    return (
+        dau.join(
+            F.broadcast(mau),
+            F.date_trunc("month", F.timestamp_seconds(F.col("d") * 86400)) == F.col("m"),
+        )
+        .select(
+            F.col("d").alias("day_epoch_days"),
+            "dau",
+            "mau",
+            "n_events",
+            F.expr("dau * 1000000 div mau").cast("long").alias("stickiness_micro"),
+        )
+        .orderBy("day_epoch_days")
+    )

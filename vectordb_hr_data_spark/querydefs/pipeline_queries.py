@@ -2560,3 +2560,80 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contaminated"
         ),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# B139: n-gram novelty by ingestion position (r9)
+# ---------------------------------------------------------------------------
+# The memorization-side complement of dup-ngram coverage: instead of
+# "how much of this doc is duplicated anywhere", this measures "how
+# much of this doc was NEW when it arrived" — per document, the share
+# of its distinct trigrams whose first corpus occurrence (min doc_id,
+# doc_id standing in for ingestion order) is this document. Plotted
+# against doc_id this is the novelty-decay curve every crawl exhibits,
+# and the quantity data-mixing decisions weight fresh sources by.
+# Shape: distinct (doc, gram) incidence, one gram-key min-aggregate
+# (uniform keys — trigram strings; swap for the 8-byte polynomial at
+# 100 TB like the dup-coverage op documents), join back on gram, one
+# doc-key count. Nothing quadratic; the gram table is the same one the
+# dedup family already builds.
+NOVELTY_N = 3
+
+
+@register(
+    "doc_ngram_novelty",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[CAST(i AS INT):CAST(i AS INT) + {NOVELTY_N} - 1], ' ') AS g
+  FROM toks, unnest(range(1, len(t) - {NOVELTY_N} + 2)) AS r(i)
+), own AS (
+  SELECT g, CAST(min(doc_id) AS BIGINT) AS first_doc FROM grams GROUP BY g
+)
+SELECT gr.doc_id,
+       CAST(count(*) AS BIGINT) AS n_distinct_grams,
+       CAST(sum(CASE WHEN o.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN o.first_doc = gr.doc_id THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS novelty_micro
+FROM grams gr JOIN own o USING (g)
+GROUP BY gr.doc_id
+ORDER BY gr.doc_id
+""",
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of each doc's distinct trigrams first seen (by min doc_id)
+    in that doc (B139) — the novelty-decay curve by ingestion position;
+    gram-key min-agg + join back, never cross-document pairs."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, greatest(size(t) - {NOVELTY_N}, -1)),"
+                    f" i -> array_join(slice(t, i + 1, {NOVELTY_N}), ' '))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    own = grams.groupBy("g").agg(F.min("doc_id").cast("long").alias("first_doc"))
+    return (
+        grams.join(own, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_distinct_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+            F.expr(
+                "sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000000 div count(*)"
+            )
+            .cast("long")
+            .alias("novelty_micro"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2216,3 +2216,157 @@ def embedding_variance_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# B140: per-source embedding centroid shift (r9)
+# ---------------------------------------------------------------------------
+# Which SOURCE is off-distribution in embedding space? Embeddings join
+# to their documents (vec_id = doc_id, the corpus's alignment contract)
+# for the source slice; per (source, dim) the milli-quantized elements
+# sum exactly (the B64 integer discipline — no order-dependent double
+# sums anywhere), the corpus mean derives from the SAME source sums
+# (sum of sums, still exact), and each source scores the L2 distance
+# between its centroid and the corpus centroid in integer micro units
+# (sqrt of an exact BIGINT — IEEE-identical in both engines). The
+# off-distribution sources this surfaces are the ones curriculum /
+# mixing decisions treat separately. Shape: one posexplode groupBy to
+# sources x dims rows, everything after is arithmetic on a
+# driver-tiny table.
+@register(
+    "source_embedding_shift",
+    """
+WITH sd AS (
+  SELECT d.source, CAST(i AS INT) - 1 AS dim,
+         CAST(sum(CAST(round(e.embedding[CAST(i AS INT)] * 1000.0) AS BIGINT)) AS BIGINT) AS s_milli,
+         CAST(count(*) AS BIGINT) AS n
+  FROM embeddings e
+  JOIN documents d ON d.doc_id = e.vec_id,
+       unnest(range(1, len(e.embedding) + 1)) AS t(i)
+  GROUP BY d.source, CAST(i AS INT) - 1
+), g AS (
+  SELECT dim, CAST(sum(s_milli) AS BIGINT) AS g_milli, CAST(sum(n) AS BIGINT) AS gn
+  FROM sd GROUP BY dim
+), diffs AS (
+  SELECT sd.source, sd.n,
+         CAST(round(sd.s_milli * 1000.0 / sd.n) AS BIGINT)
+           - CAST(round(g.g_milli * 1000.0 / g.gn) AS BIGINT) AS dm
+  FROM sd JOIN g USING (dim)
+)
+SELECT source,
+       CAST(max(n) AS BIGINT) AS n_vecs,
+       CAST(round(sqrt(sum(dm * dm))) AS BIGINT) AS l2_shift_micro,
+       CAST(max(abs(dm)) AS BIGINT) AS max_dim_shift_micro
+FROM diffs
+GROUP BY source
+ORDER BY source
+""",
+)
+def source_embedding_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source centroid L2 shift from the corpus centroid in integer
+    micro units (B140) — milli-quantized exact sums (B64 discipline),
+    corpus mean derived from the same source sums, sqrt of an exact
+    BIGINT at the end."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    docs = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    sd = (
+        emb.join(docs, "vec_id")
+        .select("source", F.posexplode("embedding").alias("dim", "ev"))
+        .select(
+            "source",
+            "dim",
+            F.round(F.col("ev").cast("double") * 1000.0, 0).cast("long").alias("e_milli"),
+        )
+        .groupBy("source", "dim")
+        .agg(
+            F.sum("e_milli").cast("long").alias("s_milli"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    g = sd.groupBy("dim").agg(
+        F.sum("s_milli").cast("long").alias("g_milli"), F.sum("n").cast("long").alias("gn")
+    )
+    diffs = sd.join(F.broadcast(g), "dim").select(
+        "source",
+        "n",
+        (
+            F.round(F.col("s_milli") * 1000.0 / F.col("n"), 0).cast("long")
+            - F.round(F.col("g_milli") * 1000.0 / F.col("gn"), 0).cast("long")
+        ).alias("dm"),
+    )
+    return (
+        diffs.groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_vecs"),
+            F.round(F.sqrt(F.sum(F.col("dm") * F.col("dm"))), 0)
+            .cast("long")
+            .alias("l2_shift_micro"),
+            F.max(F.abs(F.col("dm"))).cast("long").alias("max_dim_shift_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B142: SQ8 reconstruction-error audit per label (r9)
+# ---------------------------------------------------------------------------
+# The observability op for the quantization ladder: per label, the
+# distribution of squared reconstruction error the SQ8 coder introduces
+# — the number that says whether byte codes are safe for a given slice
+# BEFORE a recall regression surfaces in production. Determinism: each
+# vector's total squared error quantizes ONCE to integer nano units
+# (round of a <64-term double sum whose evaluation order is the fixed
+# left-to-right list fold in both engines), then per-label sums/means/
+# maxes are exact integer arithmetic. Shape: map-side encode+
+# reconstruct+error per row (the same fused shape as the SQ8 distance
+# kernels), one |labels|-key aggregate.
+@register(
+    "sq8_reconstruction_error",
+    _SQ8_CTES
+    + f"""
+, errs AS (
+  SELECT c.vec_id,
+         CAST(round(list_sum(list_transform(range(1, 65), i ->
+           power(rng.lov[{_SQ8_IDX}]
+                 + (c.codes[{_SQ8_IDX}] + 128.0) / 255.0 * (rng.hiv[{_SQ8_IDX}] - rng.lov[{_SQ8_IDX}])
+                 - CAST(c.embedding[{_SQ8_IDX}] AS DOUBLE), 2))) * 1000000000.0) AS BIGINT)
+           AS sqerr_nano
+  FROM coded c, rng
+)
+SELECT e.label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(round(sum(er.sqerr_nano) * 1.0 / count(*)) AS BIGINT) AS mean_sqerr_nano,
+       CAST(max(er.sqerr_nano) AS BIGINT) AS max_sqerr_nano
+FROM errs er JOIN embeddings e USING (vec_id)
+GROUP BY e.label
+ORDER BY e.label
+""",
+)
+def sq8_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label SQ8 squared reconstruction error in integer nano units
+    (B142) — per-vector error quantized once, exact label sums; the
+    audit that clears byte codes for a slice before recall regresses."""
+    from ..operators.quantize import sq8_encode, sq8_reconstruct
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    lo, hi = _sq8_ranges(spark, sf_dir)
+    rec = sq8_reconstruct(sq8_encode("embedding", lo, hi), lo, hi)
+    errs = emb.select(
+        "label",
+        F.round(V.l2sq(rec, F.col("embedding")) * 1000000000.0, 0)
+        .cast("long")
+        .alias("sqerr_nano"),
+    )
+    return (
+        errs.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(F.sum("sqerr_nano") * 1.0 / F.count("*"), 0)
+            .cast("long")
+            .alias("mean_sqerr_nano"),
+            F.max("sqerr_nano").cast("long").alias("max_sqerr_nano"),
+        )
+        .orderBy("label")
+    )
