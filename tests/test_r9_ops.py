@@ -943,3 +943,58 @@ def test_semantic_decontaminate_flags_planted_dup(spark, sf_dir):
     # the planted row aside, the synthetic corpus is clean at 0.95
     others = [r for v, r in out.items() if v != 90001]
     assert all(r.contaminated == 0 for r in others)
+
+
+def test_late_r9_batch2_plan_hygiene(spark, sf_dir):
+    """Plan audit for the continued-session ops: the erasure cascade runs
+    broadcast SEMI joins (never inner-materializing purge rows), the
+    Benford audit scans only l_extendedprice, the Theil-Sen pair stage is
+    a broadcast join over daily aggregates, and the expanded-BM25 hit
+    join broadcasts the term list."""
+    from vectordb_hr_data_spark.querydefs.event_queries import events_theilsen_trend
+    from vectordb_hr_data_spark.querydefs.relational_queries import (
+        erasure_cascade_audit,
+        lineitem_benford_audit,
+    )
+    from vectordb_hr_data_spark.querydefs.text_queries import query_expansion_search
+
+    p = erasure_cascade_audit(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in p and "BroadcastHashJoin" in p
+
+    p = lineitem_benford_audit(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    sched = [ln for ln in p.splitlines() if "ReadSchema" in ln and "lineitem" in ln]
+    assert sched and all("l_extendedprice" in ln and "l_partkey" not in ln for ln in sched)
+
+    p = events_theilsen_trend(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+
+    p = query_expansion_search(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+
+
+def test_sq8_reconstruction_error_bounds(spark, sf_dir):
+    """B142: SQ8 max squared reconstruction error must respect the coder's
+    analytic bound sum_i (span_i/255/2 + eps)^2 — the per-dim half-step."""
+    from vectordb_hr_data_spark.querydefs.vector_queries import (
+        _sq8_ranges,
+        sq8_reconstruction_error,
+    )
+
+    lo, hi = _sq8_ranges(spark, sf_dir)
+    bound_nano = sum(((h - l) / 255.0 / 2.0) ** 2 for l, h in zip(lo, hi)) * 1e9
+    out = sq8_reconstruction_error(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0 <= r.mean_sqerr_nano <= r.max_sqerr_nano
+        assert r.max_sqerr_nano <= bound_nano * 1.01 + 1, (r.max_sqerr_nano, bound_nano)
+
+
+def test_ngram_novelty_first_doc_all_novel(spark, sf_dir):
+    """B139: the earliest doc that has any trigram is 100% novel by
+    construction, and every novelty share sits in [0, 1e6]."""
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import doc_ngram_novelty
+
+    rows = doc_ngram_novelty(spark, sf_dir).collect()
+    assert rows[0].novelty_micro == 1000000
+    assert all(0 <= r.novelty_micro <= 1000000 for r in rows)
+    assert all(r.n_novel <= r.n_distinct_grams for r in rows)

@@ -178,6 +178,7 @@ PRIORITY: list[str] = [
     "events_daily_value_bands", "events_sequence_anomaly",
     "doc_ngram_novelty", "source_embedding_shift",
     "events_user_stickiness", "sq8_reconstruction_error",
+    "query_expansion_search",
     # rows-only HLL sketch path of events_sliding_distinct_users (B124)
     "events_sliding_distinct_hll",
     # below-the-fold siblings whose checked twin carries the oracle

@@ -1726,3 +1726,188 @@ def term_prefix_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("completion_rank") <= 3)
         .orderBy("prefix", "completion_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# B143: PMI query expansion -> weighted BM25 (composed capstone, r9)
+# ---------------------------------------------------------------------------
+# The classic pseudo-relevance trick, composed from two disciplines the
+# repo already proves separately: each query term recruits its top-1
+# PMI collocate from doc-level co-occurrence (the B83 collocation
+# arithmetic — micro-nat quantized ln, c_uv >= 2 support floor, ties on
+# the collocate string), then Okapi BM25 (the B69 integer-micro
+# contribution form) scores the UNION of terms with original terms at
+# weight 2 and expansions at weight 1, all in exact integer arithmetic.
+# The expansion set is data-dependent, so the Spark side collects it —
+# O(|query|) rows, the bounded-collect convention centroids already
+# use — and scoring runs the exploded (doc, term) BM25 form that
+# doc_bm25_search documents as the dynamic-set fallback: incidence
+# joins a BROADCAST term list, so the only shuffles are the (doc, term)
+# hit groupBy and the final TakeOrderedAndProject. Expansion stats
+# reduce over doc-level incidence (distinct tok per doc), and the
+# co-occurrence join fans out only from docs CONTAINING a query term.
+QEXP_WEIGHT_ORIG = 2
+QEXP_WEIGHT_EXP = 1
+
+
+def _qexp_oracle() -> str:
+    terms = list(BM25_QUERY_TERMS)
+    toklist = "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+    return f"""
+WITH inc AS (
+  SELECT DISTINCT doc_id, unnest({H.ddb_tokens('text')}) AS tok FROM documents
+  WHERE text <> ''
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), cu AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM inc GROUP BY tok
+), qinc AS (
+  SELECT i.doc_id, i.tok AS q FROM inc i
+  WHERE i.tok IN (SELECT unnest({toklist}))
+), pairs AS (
+  SELECT q.q, i.tok AS v, CAST(count(*) AS BIGINT) AS c_uv
+  FROM qinc q JOIN inc i ON i.doc_id = q.doc_id
+  WHERE i.tok <> q.q AND i.tok NOT IN (SELECT unnest({toklist}))
+  GROUP BY q.q, i.tok HAVING count(*) >= 2
+), pmi AS (
+  SELECT p.q, p.v,
+         CAST(round(ln((n.n_docs * p.c_uv) * 1.0 / (u.c * w.c)) * 1000000.0) AS BIGINT)
+           AS pmi_micro,
+         row_number() OVER (PARTITION BY p.q
+                            ORDER BY round(ln((n.n_docs * p.c_uv) * 1.0 / (u.c * w.c)) * 1000000.0) DESC,
+                                     p.v) AS rn
+  FROM pairs p JOIN cu u ON u.tok = p.q JOIN cu w ON w.tok = p.v CROSS JOIN n
+), termset AS (
+  SELECT tok AS term, CAST({QEXP_WEIGHT_ORIG} AS BIGINT) AS w
+  FROM (SELECT unnest({toklist}) AS tok)
+  UNION
+  SELECT v AS term, CAST({QEXP_WEIGHT_EXP} AS BIGINT) AS w FROM pmi WHERE rn = 1
+), tw AS (
+  SELECT term, CAST(max(w) AS BIGINT) AS w FROM termset GROUP BY term
+), toks AS (
+  SELECT doc_id, {H.ddb_tokens('text')} AS toks FROM documents
+), dl AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl
+), hits AS (
+  SELECT t.doc_id, u.tok AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks t, unnest(t.toks) AS u(tok)
+  WHERE u.tok IN (SELECT term FROM tw)
+  GROUP BY t.doc_id, u.tok
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM hits GROUP BY term
+), contrib AS (
+  SELECT h.doc_id,
+         w.w * CAST(floor(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                    * (h.tf * 2.2 / (h.tf + 1.2 * (0.25 + 0.75 * d.dl / (s.sum_dl * 1.0 / s.n_docs))))
+                    * 1000000.0 + 0.5) AS BIGINT) AS c_micro
+  FROM hits h
+  JOIN tw w ON w.term = h.term
+  JOIN df f ON f.term = h.term
+  JOIN dl d ON d.doc_id = h.doc_id
+  CROSS JOIN stats s
+)
+SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro,
+       CAST(row_number() OVER (ORDER BY sum(c_micro) DESC, doc_id) AS BIGINT) AS rnk
+FROM contrib GROUP BY doc_id
+ORDER BY rnk LIMIT {BM25_TOPN}
+"""
+
+
+@register("query_expansion_search", _qexp_oracle())
+def query_expansion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-expanded weighted BM25 (B143): each query term recruits its
+    top-1 PMI collocate (doc-level co-occurrence, micro-nat quantized),
+    then integer-micro Okapi contributions score the expanded term set
+    with original terms at weight 2, expansions at weight 1."""
+    d = read_table(spark, sf_dir, "documents")
+    qterms = list(BM25_QUERY_TERMS)
+    inc = (
+        d.filter(F.col("text") != "")
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .distinct()
+    )
+    n_docs = d.count()
+    cu = inc.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    qinc = inc.filter(F.col("tok").isin(qterms)).select("doc_id", F.col("tok").alias("q"))
+    pairs = (
+        qinc.join(inc, "doc_id")
+        .filter((F.col("tok") != F.col("q")) & (~F.col("tok").isin(qterms)))
+        .groupBy("q", F.col("tok").alias("v"))
+        .agg(F.count("*").cast("long").alias("c_uv"))
+        .filter(F.col("c_uv") >= 2)
+    )
+    pmi = (
+        pairs.join(F.broadcast(cu.withColumnRenamed("tok", "q")), "q")
+        .withColumnRenamed("c", "c_u")
+        .join(F.broadcast(cu.withColumnRenamed("tok", "v")), "v")
+        .withColumnRenamed("c", "c_v")
+        .select(
+            "q",
+            "v",
+            F.round(
+                F.log((F.lit(n_docs) * F.col("c_uv")) * 1.0 / (F.col("c_u") * F.col("c_v")))
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    wq = Window.partitionBy("q").orderBy(F.col("pmi_micro").desc(), F.col("v").asc())
+    top1 = pmi.select("q", "v", F.row_number().over(wq).alias("rn")).filter(F.col("rn") == 1)
+    # bounded collect: O(|query terms|) expansion rows, the centroid
+    # convention — the term set must become a broadcast literal.
+    expansions = sorted({r.v for r in top1.collect()} - set(qterms))
+    weights = {t: QEXP_WEIGHT_ORIG for t in qterms}
+    for v in expansions:
+        weights[v] = QEXP_WEIGHT_EXP
+    tw = spark.createDataFrame(sorted(weights.items()), "term string, w long")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"), F.sum("dl").cast("long").alias("sum_dl")
+    )
+    hits = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .join(F.broadcast(tw.select("term")), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfc = hits.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    contrib = (
+        hits.join(F.broadcast(tw), "term")
+        .join(F.broadcast(dfc), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.col("w")
+                * F.floor(
+                    F.log(
+                        1.0
+                        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    )
+                    * (
+                        (F.col("tf") * 2.2)
+                        / (
+                            F.col("tf")
+                            + 1.2
+                            * (0.25 + 0.75 * F.col("dl") / (F.col("sum_dl") * 1.0 / F.col("n_docs")))
+                        )
+                    )
+                    * 1000000.0
+                    + 0.5
+                ).cast("long")
+            ).alias("c_micro"),
+        )
+    )
+    wr = Window.orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("c_micro").cast("long").alias("score_micro"))
+        .select("doc_id", "score_micro", F.row_number().over(wr).cast("long").alias("rnk"))
+        .orderBy("rnk")
+        .limit(BM25_TOPN)
+    )
