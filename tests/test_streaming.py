@@ -1339,3 +1339,40 @@ def test_stream_srm_state_converges_to_batch(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, srm_from_state(spark, state).collect()))
     want = sorted(map(tuple, events_srm_check(spark, sf_dir).collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_stickiness_state_converges_to_batch(spark, sf_dir, tmp_path):
+    """stream_stickiness_state (late r9): the two-grain (day + month)
+    reach state over 4 micro-batches must reproduce
+    events_user_stickiness exactly — the month bucket is the union of
+    its day buckets, so batch boundaries cannot shift either distinct."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import events_user_stickiness
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        stickiness_from_state,
+        stream_stickiness_state,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    src = tmp_path / "stick_src"
+    src.mkdir()
+    for i in range(4):
+        part = ev.filter((F.col("event_id") % 4) == i)
+        tdir = str(tmp_path / f"stick_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    state = str(tmp_path / "stick_state")
+    stream_stickiness_state(stream, state)
+    got = sorted(map(tuple, stickiness_from_state(spark, state).collect()))
+    want = sorted(map(tuple, events_user_stickiness(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0

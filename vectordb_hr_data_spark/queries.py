@@ -179,6 +179,8 @@ PRIORITY: list[str] = [
     "doc_ngram_novelty", "source_embedding_shift",
     "events_user_stickiness", "sq8_reconstruction_error",
     "query_expansion_search",
+    "events_interarrival_burstiness", "events_hourly_autocorr24",
+    "doc_langid_margin",
     # rows-only HLL sketch path of events_sliding_distinct_users (B124)
     "events_sliding_distinct_hll",
     # below-the-fold siblings whose checked twin carries the oracle

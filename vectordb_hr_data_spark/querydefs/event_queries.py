@@ -2980,3 +2980,205 @@ def events_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_epoch_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# B144: inter-arrival burstiness per event type (Goh-Barabasi) (r9)
+# ---------------------------------------------------------------------------
+# Bot forensics without a distribution fit: for a Poisson process the
+# inter-arrival CV is exactly 1, machine-regular traffic drives it
+# toward 0, human burst-and-silence drives it above 1 — and the
+# burstiness B = (cv - 1)/(cv + 1) (Goh & Barabasi, EPL 2008) maps that
+# to [-1, 1]. Gaps are integer SECONDS between a user's consecutive
+# events of a type (per-user lag windows — uniform keys; the per-type
+# global sequence would put a whole type in one sort), sums and sums of
+# squares are exact BIGINTs (86400^2 * corpus fits comfortably), and
+# the two doubles at the end (sqrt of an exact integer, one division)
+# follow the CUPED floor(x+0.5) discipline. No exp(), no libm risk.
+@register(
+    "events_interarrival_burstiness",
+    """
+WITH gaps AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id, event_type
+                                                           ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+  FROM events
+), g AS (
+  SELECT event_type, gap_s FROM gaps WHERE gap_s IS NOT NULL
+), stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(gap_s) AS BIGINT) AS s, CAST(sum(gap_s * gap_s) AS BIGINT) AS ssq
+  FROM g GROUP BY event_type
+)
+SELECT event_type, n AS n_gaps,
+       CAST(s // n AS BIGINT) AS mean_gap_sec,
+       CAST(CASE WHEN s = 0 THEN 0
+                 ELSE floor(sqrt(CAST(CAST(n AS HUGEINT) * ssq - CAST(s AS HUGEINT) * s AS DOUBLE)) / s * 1000000 + 0.5) END
+            AS BIGINT) AS cv_micro,
+       CAST(CASE WHEN s = 0 THEN -1000000
+                 ELSE floor((sqrt(CAST(CAST(n AS HUGEINT) * ssq - CAST(s AS HUGEINT) * s AS DOUBLE)) - s)
+                            / (sqrt(CAST(CAST(n AS HUGEINT) * ssq - CAST(s AS HUGEINT) * s AS DOUBLE)) + s) * 1000000 + 0.5) END
+            AS BIGINT) AS burstiness_micro
+FROM stats
+ORDER BY event_type
+""",
+)
+def events_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival CV and Goh-Barabasi burstiness in integer
+    micro units (B144) — per-(user, type) lag gaps in whole seconds,
+    exact BIGINT moment sums, sqrt-of-integer at the end."""
+    ev = read_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.floor(F.col("ts").cast("double"))
+            - F.floor(F.lag("ts").over(wu).cast("double"))
+        )
+        .cast("long")
+        .alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    stats = gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("gap_s").cast("long").alias("s"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("long").alias("ssq"),
+    )
+    # n*ssq exceeds int64 once month-long gaps square into the moment sum;
+    # decimal(38,0) keeps the difference exact (DuckDB side uses HUGEINT),
+    # and exact-decimal -> double is correctly rounded in both engines.
+    dec = "decimal(38,0)"
+    sd_num = F.sqrt(
+        (
+            F.col("n").cast(dec) * F.col("ssq").cast(dec)
+            - F.col("s").cast(dec) * F.col("s").cast(dec)
+        ).cast("double")
+    )
+    return (
+        stats.select(
+            "event_type",
+            F.col("n").alias("n_gaps"),
+            F.expr("s div n").cast("long").alias("mean_gap_sec"),
+            F.when(F.col("s") == 0, F.lit(0))
+            .otherwise(F.floor(sd_num / F.col("s") * 1000000 + 0.5))
+            .cast("long")
+            .alias("cv_micro"),
+            F.when(F.col("s") == 0, F.lit(-1000000))
+            .otherwise(F.floor((sd_num - F.col("s")) / (sd_num + F.col("s")) * 1000000 + 0.5))
+            .cast("long")
+            .alias("burstiness_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B145: lag-24h autocorrelation of hourly counts (r9)
+# ---------------------------------------------------------------------------
+# Does traffic repeat daily? Pearson r between the hourly-count series
+# and itself shifted 24 hours, per event type, on a DENSIFIED hour grid
+# (missing hours are real zeros — skipping them would fabricate
+# correlation, the B108 densify lesson). The grid derives from the
+# global [min, max] hour — one scalar aggregate — so the series join is
+# grid x types rows, tiny against the count pass. Moment sums over the
+# paired series are exact BIGINTs; Pearson evaluates once per type in
+# doubles with the floor(x+0.5) quantization. Near +1 means strong
+# daily seasonality (the seasonal-baseline ops' premise, now measured
+# instead of assumed); near 0 says hour-of-day carries no signal.
+@register(
+    "events_hourly_autocorr24",
+    """
+WITH bounds AS (
+  SELECT CAST(min(floor(epoch(ts) / 3600)) AS BIGINT) AS h0,
+         CAST(max(floor(epoch(ts) / 3600)) AS BIGINT) AS h1
+  FROM events
+), grid AS (
+  SELECT t.event_type, CAST(g.h AS BIGINT) AS h
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       bounds b, unnest(range(b.h0, b.h1 + 1)) AS g(h)
+), counts AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT)
+), series AS (
+  SELECT g.event_type, g.h, coalesce(c.c, 0) AS c
+  FROM grid g LEFT JOIN counts c ON c.event_type = g.event_type AND c.h = g.h
+), paired AS (
+  SELECT a.event_type, a.c AS x, b.c AS y
+  FROM series a JOIN series b ON b.event_type = a.event_type AND b.h = a.h + 24
+), stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+  FROM paired GROUP BY event_type
+)
+SELECT event_type, n AS n_pairs,
+       CAST(CASE WHEN (n * sxx - sx * sx) <= 0 OR (n * syy - sy * sy) <= 0 THEN 0
+                 ELSE floor((CAST(n * sxy - sx * sy AS DOUBLE))
+                            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) * 1000000 + 0.5) END
+            AS BIGINT) AS autocorr24_micro
+FROM stats
+ORDER BY event_type
+""",
+)
+def events_hourly_autocorr24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-24h Pearson autocorrelation of densified hourly counts per
+    event type in integer micro units (B145) — measured daily
+    seasonality; exact integer moment sums, one double formula per
+    type."""
+    ev = read_table(spark, sf_dir, "events")
+    hcol = F.floor(F.col("ts").cast("double") / 3600).cast("long")
+    bounds = ev.agg(
+        F.min(hcol).alias("h0"), F.max(hcol).alias("h1")
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"))
+    )
+    counts = ev.groupBy("event_type", hcol.alias("h")).agg(
+        F.count("*").cast("long").alias("c")
+    )
+    series = grid.join(counts, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    a = series.alias("a")
+    b = series.alias("b")
+    paired = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.h") == F.col("a.h") + 24),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.c").alias("x"),
+        F.col("b.c").alias("y"),
+    )
+    stats = paired.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        stats.select(
+            "event_type",
+            F.col("n").alias("n_pairs"),
+            F.when((vx <= 0) | (vy <= 0), F.lit(0))
+            .otherwise(
+                F.floor(
+                    cov.cast("double") / F.sqrt(vx.cast("double")) / F.sqrt(vy.cast("double"))
+                    * 1000000
+                    + 0.5
+                )
+            )
+            .cast("long")
+            .alias("autocorr24_micro"),
+        )
+        .orderBy("event_type")
+    )

@@ -1911,3 +1911,57 @@ def query_expansion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rnk")
         .limit(BM25_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# B146: language-ID confidence margin (mixed-language detector) (r9)
+# ---------------------------------------------------------------------------
+# doc_lang_id picks an argmax; THIS op reports how contested the pick
+# was. Best and runner-up marker scores come from one sorted 5-element
+# array per doc (no window, no unpivot — a row-local sort of a
+# constant-width array), the margin is their integer difference, and a
+# doc flags ambiguous when nothing scored or two languages tied — the
+# rows a code-switching / mixed-language corpus routes to a heavier
+# classifier. Map-only over the scan; the same shape at any corpus
+# size.
+@register(
+    "doc_langid_margin",
+    f"""
+WITH s AS (
+  SELECT doc_id,
+         list_sort([{", ".join("len(list_intersect(list_distinct(string_split(text, ' ')), ["
+                               + ", ".join(f"''{m}''".replace("''", chr(39)) for m in ms)
+                               + "]))" for ms in LANG_MARKERS.values())}], 'DESC') AS sc
+  FROM documents
+)
+SELECT doc_id,
+       CAST(sc[1] AS BIGINT) AS best_score,
+       CAST(sc[2] AS BIGINT) AS second_score,
+       CAST(sc[1] - sc[2] AS BIGINT) AS margin,
+       CAST(CASE WHEN sc[1] = 0 OR sc[1] = sc[2] THEN 1 ELSE 0 END AS BIGINT) AS ambiguous
+FROM s
+ORDER BY doc_id
+""",
+)
+def doc_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-vs-runner-up language marker scores per doc (B146) — the
+    confidence margin behind doc_lang_id's argmax; ambiguous rows are
+    the mixed-language routing set."""
+    d = read_table(spark, sf_dir, "documents")
+    scores = [
+        _lang_score_spark(ms).cast("long") for ms in LANG_MARKERS.values()
+    ]
+    sc = F.sort_array(F.array(*scores), asc=False)
+    return (
+        d.select(
+            "doc_id",
+            sc.getItem(0).cast("long").alias("best_score"),
+            sc.getItem(1).cast("long").alias("second_score"),
+            (sc.getItem(0) - sc.getItem(1)).cast("long").alias("margin"),
+            F.when((sc.getItem(0) == 0) | (sc.getItem(0) == sc.getItem(1)), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("ambiguous"),
+        )
+        .orderBy("doc_id")
+    )

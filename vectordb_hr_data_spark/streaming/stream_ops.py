@@ -1343,3 +1343,76 @@ def srm_from_state(spark: SparkSession, state_path: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def stream_stickiness_state(event_stream: DataFrame, state_path: str) -> None:
+    """Streaming maintenance of the B141 DAU/MAU input via
+    ``stream_mergeable_agg``: each event lands in TWO reach buckets (its
+    day and its calendar month — an explode, the sliding-window trick at
+    a coarser grain), state is keyed (grain, bucket, user_id) with a
+    summed count, so both distincts fall out at read time as per-bucket
+    KEY counts and a user split across micro-batches counts once per
+    bucket. The month bucket IS the union of its day buckets — the
+    mergeable-state argument the batch op's docstring makes, running."""
+    from pyspark.sql import functions as F
+
+    mapped = (
+        event_stream.select(
+            "user_id",
+            F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day_b"),
+            F.date_trunc("month", F.col("ts")).cast("long").alias("month_b"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("day").alias("grain"), F.col("day_b").alias("bucket")),
+                    F.struct(F.lit("month").alias("grain"), F.col("month_b").alias("bucket")),
+                )
+            ).alias("gb"),
+        )
+        .select(F.col("gb.grain").alias("grain"), F.col("gb.bucket").alias("bucket"), "user_id")
+    )
+    stream_mergeable_agg(
+        mapped,
+        state_path,
+        ["grain", "bucket", "user_id"],
+        [F.count("*").cast("long").alias("c")],
+        [F.sum("c").cast("long").alias("c")],
+    )
+
+
+def stickiness_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B141's report computed from the streamed state — identical columns
+    and integer arithmetic to ``events_user_stickiness``."""
+    from pyspark.sql import functions as F
+
+    st = spark.read.parquet(state_path)
+    dau = (
+        st.filter(F.col("grain") == "day")
+        .groupBy(F.col("bucket").alias("d"))
+        .agg(
+            F.count("*").cast("long").alias("dau"),
+            F.sum("c").cast("long").alias("n_events"),
+        )
+    )
+    mau = (
+        st.filter(F.col("grain") == "month")
+        .groupBy(F.col("bucket").alias("m"))
+        .agg(F.count("*").cast("long").alias("mau"))
+    )
+    return (
+        dau.join(
+            F.broadcast(mau),
+            F.date_trunc("month", F.timestamp_seconds(F.col("d") * 86400)).cast("long")
+            == F.col("m"),
+        )
+        .select(
+            F.col("d").alias("day_epoch_days"),
+            "dau",
+            "mau",
+            "n_events",
+            F.expr("dau * 1000000 div mau").cast("long").alias("stickiness_micro"),
+        )
+        .orderBy("day_epoch_days")
+    )
