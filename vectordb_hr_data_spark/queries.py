@@ -181,6 +181,8 @@ PRIORITY: list[str] = [
     "query_expansion_search",
     "events_interarrival_burstiness", "events_hourly_autocorr24",
     "doc_langid_margin",
+    "events_funnel_windowed", "events_slo_burn_rate",
+    "events_retention_drivers", "source_quality_percentile_gate",
     # rows-only HLL sketch path of events_sliding_distinct_users (B124)
     "events_sliding_distinct_hll",
     # below-the-fold siblings whose checked twin carries the oracle

@@ -3182,3 +3182,263 @@ def events_hourly_autocorr24(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# B147: time-constrained funnel (each step within a max lag) (r9)
+# ---------------------------------------------------------------------------
+# The windowed variant of events_funnel_strict: a click only counts
+# within FUNNEL_LAG of the view, a purchase within FUNNEL_LAG of that
+# click — the "did the journey happen as one intent" question product
+# teams actually ask (unconstrained funnels credit conversions weeks
+# apart). Two-phase reduce: t_view is one user-key aggregate, then the
+# view-anchored conditional mins need the anchor, so a second pass
+# joins it back — two uniform user-key shuffles total, no window over
+# raw events. Timestamps compare as microsecond-exact double seconds.
+FUNNEL_LAG_SEC = 86400
+
+
+@register(
+    "events_funnel_windowed",
+    f"""
+WITH v AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.event_type = 'click' AND e.ts > v.t_view
+                   AND epoch(e.ts) - epoch(v.t_view) <= {FUNNEL_LAG_SEC}
+                  THEN e.ts END) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE v.t_view IS NOT NULL
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts > c.t_click
+                   AND epoch(e.ts) - epoch(c.t_click) <= {FUNNEL_LAG_SEC}
+                  THEN e.ts END) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE c.t_click IS NOT NULL
+  GROUP BY e.user_id
+), m AS (
+  SELECT (SELECT count(*) FROM v WHERE t_view IS NOT NULL) AS s1,
+         (SELECT count(*) FROM c WHERE t_click IS NOT NULL) AS s2,
+         (SELECT count(*) FROM p WHERE t_purchase IS NOT NULL) AS s3
+)
+SELECT stage, stage_name, n_users,
+       CAST(round(n_users * 1000000.0 / s1) AS BIGINT) AS conv_ppm
+FROM (
+  SELECT 1 AS stage, 'view' AS stage_name, CAST(s1 AS BIGINT) AS n_users, s1 FROM m
+  UNION ALL SELECT 2, 'view>click<=24h', CAST(s2 AS BIGINT), s1 FROM m
+  UNION ALL SELECT 3, 'click>purchase<=24h', CAST(s3 AS BIGINT), s1 FROM m
+)
+ORDER BY stage
+""",
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage funnel where each step must land within 24h of its
+    anchor (B147) — two-phase conditional-min reduce, view-anchored then
+    click-anchored; ppm conversion vs stage 1."""
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    sec = lambda c: F.col(c).cast("double")  # noqa: E731
+    c = (
+        ev.join(v.filter(F.col("t_view").isNotNull()), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view"))
+                    & (sec("ts") - sec("t_view") <= FUNNEL_LAG_SEC),
+                    F.col("ts"),
+                )
+            ).alias("t_click")
+        )
+    )
+    p = (
+        ev.join(c.filter(F.col("t_click").isNotNull()), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click"))
+                    & (sec("ts") - sec("t_click") <= FUNNEL_LAG_SEC),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase")
+        )
+    )
+    s1 = v.filter(F.col("t_view").isNotNull()).count()
+    s2 = c.filter(F.col("t_click").isNotNull()).count()
+    s3 = p.filter(F.col("t_purchase").isNotNull()).count()
+    rows = [
+        (1, "view", s1),
+        (2, "view>click<=24h", s2),
+        (3, "click>purchase<=24h", s3),
+    ]
+    out = spark.createDataFrame(rows, "stage int, stage_name string, n_users long")
+    return out.select(
+        "stage",
+        "stage_name",
+        "n_users",
+        F.round(F.col("n_users") * 1000000.0 / F.lit(s1)).cast("long").alias("conv_ppm"),
+    ).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# B148: SLO error-budget burn rate over sliding windows (r9)
+# ---------------------------------------------------------------------------
+# The Google-SRE-workbook alerting shape: error share per sliding
+# 1h/30m window against a 2% SLO, expressed as burn rate (rate/SLO —
+# burn 1.0 spends the budget exactly on schedule) with the standard
+# fast-burn (>= 14.4x) and slow-burn (>= 3x) flags. Pure integer
+# arithmetic (50e6 * errors // total); the window replication is the
+# B100 2x flatMap, so the whole op is one uniform-key groupBy over the
+# scan — and the mergeable-sink twin argument holds verbatim (counts
+# sum associatively; the burn ratio derives at read time).
+@register(
+    "events_slo_burn_rate",
+    """
+WITH mapped AS (
+  SELECT CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - offs.o AS win_start_epoch,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+  FROM events, (SELECT unnest([0, 1800]) AS o) offs
+), w AS (
+  SELECT win_start_epoch,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(is_err) AS BIGINT) AS n_errors
+  FROM mapped GROUP BY win_start_epoch
+)
+SELECT win_start_epoch, n_events, n_errors,
+       CAST(n_errors * 1000000 // n_events AS BIGINT) AS err_ppm,
+       CAST(n_errors * 50000000 // n_events AS BIGINT) AS burn_micro,
+       CAST(CASE WHEN n_errors * 50000000 // n_events >= 14400000 THEN 1 ELSE 0 END AS BIGINT) AS fast_burn,
+       CAST(CASE WHEN n_errors * 50000000 // n_events >= 3000000 THEN 1 ELSE 0 END AS BIGINT) AS slow_burn
+FROM w
+ORDER BY win_start_epoch
+""",
+)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-budget burn per sliding 1h/30m window vs a 2% SLO (B148) —
+    integer burn ratio with SRE fast/slow-burn flags; 2x window
+    replication, one uniform-key groupBy."""
+    ev = read_table(spark, sf_dir, "events")
+    mapped = (
+        ev.select(
+            F.col("ts").cast("double").alias("sec"),
+            F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+        )
+        .select("sec", "is_err", F.explode(F.array(F.lit(0), F.lit(1800))).alias("o"))
+        .select(
+            (F.floor(F.col("sec") / 1800).cast("long") * 1800 - F.col("o")).alias(
+                "win_start_epoch"
+            ),
+            "is_err",
+        )
+    )
+    w = mapped.groupBy("win_start_epoch").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("is_err").cast("long").alias("n_errors"),
+    )
+    burn = F.expr("n_errors * 50000000 div n_events")
+    return (
+        w.select(
+            "win_start_epoch",
+            "n_events",
+            "n_errors",
+            F.expr("n_errors * 1000000 div n_events").cast("long").alias("err_ppm"),
+            burn.cast("long").alias("burn_micro"),
+            F.when(burn >= 14400000, 1).otherwise(0).cast("long").alias("fast_burn"),
+            F.when(burn >= 3000000, 1).otherwise(0).cast("long").alias("slow_burn"),
+        )
+        .orderBy("win_start_epoch")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B149: week-0 retention drivers (aha-moment analysis) (r9)
+# ---------------------------------------------------------------------------
+# Which first-week behavior predicts coming back? For each event type:
+# of the users active in week 0 who did that type in week 0, what share
+# was active again in week 1, and how does it compare to the overall
+# week-0 retention (lift). The classic growth "aha moment" table
+# (correlational, as always — the CUPED/SRM ops are the causal side).
+# Shape: one (user, week) activity distinct + one (user, type) week-0
+# incidence — both uniform-key; everything after is arithmetic over
+# |types| rows with a 1-row baseline broadcast. Integer ppm/micro.
+@register(
+    "events_retention_drivers",
+    """
+WITH w0 AS (
+  SELECT CAST(min(floor(epoch(ts) / 604800)) AS BIGINT) AS wk0 FROM events
+), uw AS (
+  SELECT DISTINCT e.user_id, CAST(floor(epoch(e.ts) / 604800) AS BIGINT) AS wk
+  FROM events e
+), base AS (
+  SELECT u0.user_id,
+         CAST(CASE WHEN u1.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS retained
+  FROM (SELECT user_id FROM uw, w0 WHERE wk = wk0) u0
+  LEFT JOIN (SELECT user_id FROM uw, w0 WHERE wk = wk0 + 1) u1
+    ON u1.user_id = u0.user_id
+), overall AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0, CAST(sum(retained) AS BIGINT) AS r0 FROM base
+), did AS (
+  SELECT DISTINCT e.user_id, e.event_type
+  FROM events e, w0
+  WHERE CAST(floor(epoch(e.ts) / 604800) AS BIGINT) = w0.wk0
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS support,
+       CAST(sum(b.retained) * 1000000 // count(*) AS BIGINT) AS retention_ppm,
+       CAST((sum(b.retained) * o.n0 * 1000000) // (count(*) * o.r0) AS BIGINT) AS lift_micro
+FROM did d JOIN base b ON b.user_id = d.user_id CROSS JOIN overall o
+GROUP BY d.event_type, o.n0, o.r0
+ORDER BY d.event_type
+""",
+)
+def events_retention_drivers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-0 behavior vs week-1 retention per event type with lift over
+    the overall retention baseline (B149) — the aha-moment table; two
+    uniform-key distincts, |types|-row output."""
+    ev = read_table(spark, sf_dir, "events")
+    wk = F.floor(F.col("ts").cast("double") / 604800).cast("long")
+    uw = ev.select("user_id", wk.alias("wk")).distinct()
+    wk0 = uw.agg(F.min("wk").alias("wk0"))
+    u0 = uw.crossJoin(F.broadcast(wk0)).filter(F.col("wk") == F.col("wk0")).select("user_id")
+    u1 = (
+        uw.crossJoin(F.broadcast(wk0))
+        .filter(F.col("wk") == F.col("wk0") + 1)
+        .select(F.col("user_id").alias("u1_id"))
+    )
+    base = u0.join(u1, u0.user_id == u1.u1_id, "left").select(
+        "user_id",
+        F.when(F.col("u1_id").isNotNull(), 1).otherwise(0).cast("long").alias("retained"),
+    )
+    overall = base.agg(
+        F.count("*").cast("long").alias("n0"), F.sum("retained").cast("long").alias("r0")
+    )
+    did = (
+        ev.select("user_id", "event_type", wk.alias("wk"))
+        .crossJoin(F.broadcast(wk0))
+        .filter(F.col("wk") == F.col("wk0"))
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    return (
+        did.join(base, "user_id")
+        .crossJoin(F.broadcast(overall))
+        .groupBy("event_type", "n0", "r0")
+        .agg(
+            F.count("*").cast("long").alias("support"),
+            F.expr("sum(retained) * 1000000 div count(*)").cast("long").alias("retention_ppm"),
+            F.expr("(sum(retained) * n0 * 1000000) div (count(*) * r0)")
+            .cast("long")
+            .alias("lift_micro"),
+        )
+        .select("event_type", "support", "retention_ppm", "lift_micro")
+        .orderBy("event_type")
+    )

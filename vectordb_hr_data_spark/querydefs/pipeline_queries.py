@@ -2637,3 +2637,120 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# B150: per-source percentile-normalized quality gate (r9)
+# ---------------------------------------------------------------------------
+# The curation fix for source bias: a GLOBAL quality threshold lets a
+# verbose source crowd out a terse one because raw scores are not
+# comparable across sources — the standard remedy ranks WITHIN source
+# and gates on the per-source percentile (keep the top half here),
+# then reports how differently the global gate would have treated each
+# source. Scores are the B6 quality signals quantized once to integer
+# e6; ranks are exact with (score desc, doc_id) tie-breaks; both gates
+# use the house ceil(n/2) rank cut. Shape: one map pass for scores,
+# one window per source (uniform keys) and one global-median scalar
+# broadcast — the output is |sources| rows.
+@register(
+    "source_quality_percentile_gate",
+    """
+WITH m AS (
+  SELECT doc_id, source,
+         string_split(text, ' ') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, source,
+         CAST(round((0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+              + 0.3 * least(len(toks) / 100.0, 1.0)
+              + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> list_contains(['the','a','de','le','el'], x))) AS DOUBLE) / len(toks))) * 1000000.0) AS BIGINT) AS q_e6
+  FROM m
+), ranked AS (
+  SELECT doc_id, source, q_e6,
+         row_number() OVER (PARTITION BY source ORDER BY q_e6 DESC, doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM s
+), grank AS (
+  SELECT doc_id, q_e6,
+         row_number() OVER (ORDER BY q_e6 DESC, doc_id) AS grk,
+         count(*) OVER () AS gn
+  FROM s
+), gcut AS (
+  SELECT min(q_e6) AS g_boundary FROM grank WHERE grk <= CAST(ceil(gn * 0.5) AS BIGINT)
+)
+SELECT r.source,
+       CAST(max(r.n) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN r.rk <= CAST(ceil(r.n * 0.5) AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept_source_norm,
+       CAST(sum(CASE WHEN r.q_e6 >= g.g_boundary THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept_global,
+       CAST(min(CASE WHEN r.rk <= CAST(ceil(r.n * 0.5) AS BIGINT) THEN r.q_e6 END) AS BIGINT)
+         AS boundary_q_e6
+FROM ranked r CROSS JOIN gcut g
+GROUP BY r.source
+ORDER BY r.source
+""",
+)
+def source_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-half quality gate vs the global-median gate (B150)
+    — exact percentile ranks within source, integer e6 scores; the
+    table showing how much a global threshold would bias each source."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in ["the", "a", "de", "le", "el"]])
+    s = d.select(
+        "doc_id",
+        "source",
+        F.round(
+            (
+                0.4 * (F.size(F.array_distinct(toks)).cast("double") / F.size(toks))
+                + 0.3 * F.least(F.size(toks) / 100.0, F.lit(1.0))
+                + 0.3
+                * (
+                    1.0
+                    - F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast(
+                        "double"
+                    )
+                    / F.size(toks)
+                )
+            )
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("q_e6"),
+    )
+    wr = Window.partitionBy("source").orderBy(F.col("q_e6").desc(), F.col("doc_id").asc())
+    wp = Window.partitionBy("source")
+    ranked = s.select(
+        "source",
+        "q_e6",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wp).alias("n"),
+    )
+    # global cut: the deliberate single-partition window runs over the
+    # score column only; at 100 TB swap for approx_percentile + the
+    # exact-rank audit (the B13 two-form pattern).
+    wg = Window.orderBy(F.col("q_e6").desc(), F.col("doc_id").asc())
+    grank = s.select(
+        "q_e6", F.row_number().over(wg).alias("grk"), F.count("*").over(Window.partitionBy()).alias("gn")
+    )
+    gcut = grank.filter(F.col("grk") <= F.ceil(F.col("gn") * 0.5)).agg(
+        F.min("q_e6").alias("g_boundary")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(gcut))
+        .groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("rk") <= F.ceil(F.col("n") * 0.5), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept_source_norm"),
+            F.sum(F.when(F.col("q_e6") >= F.col("g_boundary"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept_global"),
+            F.min(F.when(F.col("rk") <= F.ceil(F.col("n") * 0.5), F.col("q_e6")))
+            .cast("long")
+            .alias("boundary_q_e6"),
+        )
+        .orderBy("source")
+    )
