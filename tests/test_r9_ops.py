@@ -998,3 +998,30 @@ def test_ngram_novelty_first_doc_all_novel(spark, sf_dir):
     assert rows[0].novelty_micro == 1000000
     assert all(0 <= r.novelty_micro <= 1000000 for r in rows)
     assert all(r.n_novel <= r.n_distinct_grams for r in rows)
+
+
+def test_degenerate_input_guards_no_divide_by_zero(spark, tmp_path):
+    """The new ratio ops must degrade (not crash or NaN) on degenerate
+    corpora: an events table with no signups exercises the conversion-lag
+    share guard, and one with zero week-1 retention exercises the lift
+    guard — both engines behave because the div is floored at 1."""
+    import pyspark.sql.functions as F
+
+    from vectordb_hr_data_spark.querydefs import event_queries as E
+
+    # no signup events at all -> every user lands in 'never'; shares
+    # divide by greatest(total, 1)
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7, "view", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d = str(tmp_path / "deg1")
+    ev.write.parquet(f"{d}/events.parquet")
+    out = E.events_conversion_lag(spark, d).collect()
+    assert sum(r.n_users for r in out) == 0  # nobody signed up
+    assert all(r.share_micro == 0 for r in out)
+
+    # single week of data -> week-1 retention is zero for everyone;
+    # lift divides by greatest(r0, 1)
+    out2 = E.events_retention_drivers(spark, d).collect()
+    assert len(out2) == 1 and out2[0].retention_ppm == 0 and out2[0].lift_micro == 0

@@ -2706,7 +2706,7 @@ SELECT b.bucket_order,
             WHEN 2 THEN '6h_24h' WHEN 3 THEN '1d_7d' WHEN 4 THEN 'ge_7d'
             ELSE 'never' END AS bucket,
        coalesce(c.n_users, 0) AS n_users,
-       CAST(coalesce(c.n_users, 0) * 1000000 // t.t AS BIGINT) AS share_micro
+       CAST(coalesce(c.n_users, 0) * 1000000 // greatest(t.t, 1) AS BIGINT) AS share_micro
 FROM (SELECT unnest([0, 1, 2, 3, 4, 5]) AS bucket_order) b
 LEFT JOIN counts c USING (bucket_order) CROSS JOIN tot t
 ORDER BY b.bucket_order
@@ -2761,7 +2761,7 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bucket_order").cast("int").alias("bucket_order"),
             labels.alias("bucket"),
             F.coalesce(F.col("n_users"), F.lit(0)).cast("long").alias("n_users"),
-            F.expr("coalesce(n_users, 0) * 1000000 div t").cast("long").alias("share_micro"),
+            F.expr("coalesce(n_users, 0) * 1000000 div greatest(t, 1)").cast("long").alias("share_micro"),
         )
         .orderBy("bucket_order")
     )
@@ -3394,7 +3394,7 @@ WITH w0 AS (
 SELECT d.event_type,
        CAST(count(*) AS BIGINT) AS support,
        CAST(sum(b.retained) * 1000000 // count(*) AS BIGINT) AS retention_ppm,
-       CAST((sum(b.retained) * o.n0 * 1000000) // (count(*) * o.r0) AS BIGINT) AS lift_micro
+       CAST((sum(b.retained) * o.n0 * 1000000) // (count(*) * greatest(o.r0, 1)) AS BIGINT) AS lift_micro
 FROM did d JOIN base b ON b.user_id = d.user_id CROSS JOIN overall o
 GROUP BY d.event_type, o.n0, o.r0
 ORDER BY d.event_type
@@ -3435,7 +3435,7 @@ def events_retention_drivers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("support"),
             F.expr("sum(retained) * 1000000 div count(*)").cast("long").alias("retention_ppm"),
-            F.expr("(sum(retained) * n0 * 1000000) div (count(*) * r0)")
+            F.expr("(sum(retained) * n0 * 1000000) div (count(*) * greatest(r0, 1))")
             .cast("long")
             .alias("lift_micro"),
         )

@@ -674,7 +674,7 @@ SELECT CAST(bp.digit AS BIGINT) AS digit,
        CAST((t.n * bp.p_micro) // 1000000 AS BIGINT) AS expected,
        CAST((1000000 * (coalesce(o.observed, 0) - (t.n * bp.p_micro) // 1000000)
                      * (coalesce(o.observed, 0) - (t.n * bp.p_micro) // 1000000))
-            // ((t.n * bp.p_micro) // 1000000) AS BIGINT) AS chi2_term_micro
+            // greatest((t.n * bp.p_micro) // 1000000, 1) AS BIGINT) AS chi2_term_micro
 FROM bp LEFT JOIN obs o ON o.digit = bp.digit CROSS JOIN tot t
 ORDER BY bp.digit
 """,
@@ -711,7 +711,7 @@ def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "(1000000 * (coalesce(observed, 0) - (n * p_micro) div 1000000)"
                 "         * (coalesce(observed, 0) - (n * p_micro) div 1000000))"
-                " div ((n * p_micro) div 1000000)"
+                " div greatest((n * p_micro) div 1000000, 1)"
             )
             .cast("long")
             .alias("chi2_term_micro"),

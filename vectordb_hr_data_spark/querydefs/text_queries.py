@@ -1541,9 +1541,9 @@ SELECT lang,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
        CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
        CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
-       CAST((sum(ws_tokens) * 1000000) // sum(n_chars) AS BIGINT) AS ws_fertility_micro,
-       CAST((sum(bpe_tokens) * 1000000) // sum(n_chars) AS BIGINT) AS bpe_fertility_micro,
-       CAST((sum(bpe_tokens) * 1000000) // sum(ws_tokens) AS BIGINT) AS bpe_per_word_micro
+       CAST((sum(ws_tokens) * 1000000) // greatest(sum(n_chars), 1) AS BIGINT) AS ws_fertility_micro,
+       CAST((sum(bpe_tokens) * 1000000) // greatest(sum(n_chars), 1) AS BIGINT) AS bpe_fertility_micro,
+       CAST((sum(bpe_tokens) * 1000000) // greatest(sum(ws_tokens), 1) AS BIGINT) AS bpe_per_word_micro
 FROM per_doc
 GROUP BY lang
 ORDER BY lang
@@ -1569,13 +1569,13 @@ def lang_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
             F.sum("ws_tokens").cast("long").alias("total_ws_tokens"),
             F.sum("bpe_tokens").cast("long").alias("total_bpe_tokens"),
-            F.expr("(sum(ws_tokens) * 1000000) div sum(n_chars)")
+            F.expr("(sum(ws_tokens) * 1000000) div greatest(sum(n_chars), 1)")
             .cast("long")
             .alias("ws_fertility_micro"),
-            F.expr("(sum(bpe_tokens) * 1000000) div sum(n_chars)")
+            F.expr("(sum(bpe_tokens) * 1000000) div greatest(sum(n_chars), 1)")
             .cast("long")
             .alias("bpe_fertility_micro"),
-            F.expr("(sum(bpe_tokens) * 1000000) div sum(ws_tokens)")
+            F.expr("(sum(bpe_tokens) * 1000000) div greatest(sum(ws_tokens), 1)")
             .cast("long")
             .alias("bpe_per_word_micro"),
         )
