@@ -3442,3 +3442,110 @@ def events_retention_drivers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "support", "retention_ppm", "lift_micro")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# B151: PSI value-drift monitor over the props payload (r9)
+# ---------------------------------------------------------------------------
+# The ML-monitoring standard: Population Stability Index between the
+# baseline (first day) distribution of the props value and every later
+# day, over 10 fixed-width buckets with +1 Laplace smoothing (so a
+# bucket empty on either side contributes a finite term instead of an
+# infinity — the guard IS part of the published metric's practice).
+# PSI >= 0.2 is the conventional "investigate" threshold. Each bucket
+# term quantizes once to micro ((q-p)*ln(q/p), the per-term ln
+# discipline), and the per-day sum of those integers is exact. Shape:
+# one (day, bucket) groupBy over a JSON-path map expression, baseline
+# row broadcast — the drift table is |days| rows from any volume.
+@register(
+    "events_props_psi_drift",
+    """
+WITH vals AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+         least(greatest(CAST(props::JSON ->> 'k' AS BIGINT), 0), 99) // 10 AS b
+  FROM events WHERE props IS NOT NULL
+), db AS (
+  SELECT d, b, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY d, b
+), grid AS (
+  SELECT dd.d, bb.b, coalesce(db.c, 0) + 1 AS c
+  FROM (SELECT DISTINCT d FROM db) dd
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS b) bb
+  LEFT JOIN db ON db.d = dd.d AND db.b = bb.b
+), tot AS (
+  SELECT d, CAST(sum(c) AS BIGINT) AS n FROM grid GROUP BY d
+), d0 AS (
+  SELECT CAST(min(d) AS BIGINT) AS d0 FROM grid
+), base AS (
+  SELECT g.b, g.c AS c0, t.n AS n0
+  FROM grid g JOIN tot t ON t.d = g.d, d0
+  WHERE g.d = d0.d0
+), terms AS (
+  SELECT g.d, t.n,
+         CAST(round((g.c * 1.0 / t.n - b.c0 * 1.0 / b.n0)
+                    * ln((g.c * b.n0 * 1.0) / (b.c0 * t.n)) * 1000000.0) AS BIGINT)
+           AS term_micro
+  FROM grid g JOIN tot t ON t.d = g.d JOIN base b ON b.b = g.b
+)
+SELECT d AS day_epoch_days,
+       CAST(max(n) - 10 AS BIGINT) AS n_events,
+       CAST(sum(term_micro) AS BIGINT) AS psi_micro,
+       CAST(CASE WHEN sum(term_micro) >= 200000 THEN 1 ELSE 0 END AS BIGINT) AS drift_flag
+FROM terms
+GROUP BY d
+ORDER BY d
+""",
+)
+def events_props_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily PSI of the props value distribution vs the first day (B151)
+    — 10 fixed buckets, +1 smoothing, per-bucket micro-quantized terms,
+    0.2 investigate flag; the |days|-row drift monitor."""
+    ev = read_table(spark, sf_dir, "events")
+    vals = ev.filter(F.col("props").isNotNull()).select(
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("d"),
+        F.expr(
+            "least(greatest(cast(get_json_object(props, '$.k') as bigint), 0), 99) div 10"
+        ).alias("b"),
+    )
+    db = vals.groupBy("d", "b").agg(F.count("*").cast("long").alias("c"))
+    days = db.select("d").distinct()
+    buckets = spark.range(10).select(F.col("id").cast("long").alias("b"))
+    grid = (
+        days.crossJoin(F.broadcast(buckets))
+        .join(db, ["d", "b"], "left")
+        .select("d", "b", (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("long").alias("c"))
+    )
+    tot = grid.groupBy("d").agg(F.sum("c").cast("long").alias("n"))
+    d0 = grid.agg(F.min("d").alias("d0"))
+    base = (
+        grid.join(F.broadcast(tot), "d")
+        .crossJoin(F.broadcast(d0))
+        .filter(F.col("d") == F.col("d0"))
+        .select("b", F.col("c").alias("c0"), F.col("n").alias("n0"))
+    )
+    terms = (
+        grid.join(F.broadcast(tot), "d")
+        .join(F.broadcast(base), "b")
+        .select(
+            "d",
+            "n",
+            F.round(
+                (F.col("c") * 1.0 / F.col("n") - F.col("c0") * 1.0 / F.col("n0"))
+                * F.log((F.col("c") * F.col("n0") * 1.0) / (F.col("c0") * F.col("n")))
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("term_micro"),
+        )
+    )
+    return (
+        terms.groupBy("d")
+        .agg(
+            (F.max("n") - 10).cast("long").alias("n_events"),
+            F.sum("term_micro").cast("long").alias("psi_micro"),
+            F.when(F.sum("term_micro") >= 200000, 1).otherwise(0).cast("long").alias(
+                "drift_flag"
+            ),
+        )
+        .select(F.col("d").alias("day_epoch_days"), "n_events", "psi_micro", "drift_flag")
+        .orderBy("day_epoch_days")
+    )
