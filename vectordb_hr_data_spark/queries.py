@@ -184,6 +184,7 @@ PRIORITY: list[str] = [
     "events_funnel_windowed", "events_slo_burn_rate",
     "events_retention_drivers", "source_quality_percentile_gate",
     "events_props_psi_drift",
+    "referential_integrity_audit", "embedding_health_check",
     # rows-only HLL sketch path of events_sliding_distinct_users (B124)
     "events_sliding_distinct_hll",
     # below-the-fold siblings whose checked twin carries the oracle

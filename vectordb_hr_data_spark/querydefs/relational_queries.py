@@ -718,3 +718,95 @@ def lineitem_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# B152: referential-integrity constraint audit (r9)
+# ---------------------------------------------------------------------------
+# The ingest gate every warehouse runs before publishing a snapshot:
+# orphaned children (lineitem -> orders, orders -> customer, customer
+# -> nation), and null-rate on the business-critical columns — one
+# manifest row per constraint with violation counts and a ppm rate.
+# Every check is a broadcast/shuffle ANTI join or a map-side null
+# count; nothing rescans a table more than once per constraint, and
+# the output is |constraints| rows from any volume. At 100 TB the
+# anti joins ride the same key partitioning the star schema's real
+# joins use — an integrity sweep costs one pass per edge, which is
+# the floor for the guarantee it gives.
+@register(
+    "referential_integrity_audit",
+    """
+WITH checks AS (
+  SELECT 'lineitem.l_orderkey -> orders' AS constraint_name,
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+  UNION ALL
+  SELECT 'orders.o_custkey -> customer',
+         (SELECT CAST(count(*) AS BIGINT) FROM orders),
+         (SELECT CAST(count(*) AS BIGINT) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'customer.c_nationkey -> nation',
+         (SELECT CAST(count(*) AS BIGINT) FROM customer),
+         (SELECT CAST(count(*) AS BIGINT) FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+  UNION ALL
+  SELECT 'orders.o_totalprice NOT NULL',
+         (SELECT CAST(count(*) AS BIGINT) FROM orders),
+         (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_totalprice IS NULL)
+  UNION ALL
+  SELECT 'events.value NOT NULL',
+         (SELECT CAST(count(*) AS BIGINT) FROM events),
+         (SELECT CAST(count(*) AS BIGINT) FROM events WHERE value IS NULL)
+)
+SELECT constraint_name, n_rows, n_violations,
+       CAST(n_violations * 1000000 // greatest(n_rows, 1) AS BIGINT) AS violation_ppm,
+       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+FROM checks
+ORDER BY constraint_name
+""",
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key and null-rate constraint manifest (B152) — one anti
+    join or map-side null count per constraint, |constraints| output
+    rows; the pre-publish ingest gate."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    events = read_table(spark, sf_dir, "events")
+
+    def fk(name, child, key, parent, pkey):
+        viol = child.join(
+            parent.select(pkey), child[key] == parent[pkey], "left_anti"
+        ).count()
+        return (name, child.count(), viol)
+
+    rows = [
+        fk("lineitem.l_orderkey -> orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+        fk("orders.o_custkey -> customer", orders, "o_custkey", customer, "c_custkey"),
+        fk("customer.c_nationkey -> nation", customer, "c_nationkey", nation, "n_nationkey"),
+        (
+            "orders.o_totalprice NOT NULL",
+            orders.count(),
+            orders.filter(F.col("o_totalprice").isNull()).count(),
+        ),
+        (
+            "events.value NOT NULL",
+            events.count(),
+            events.filter(F.col("value").isNull()).count(),
+        ),
+    ]
+    out = spark.createDataFrame(
+        rows, "constraint_name string, n_rows long, n_violations long"
+    )
+    return out.select(
+        "constraint_name",
+        "n_rows",
+        "n_violations",
+        F.expr("n_violations * 1000000 div greatest(n_rows, 1)")
+        .cast("long")
+        .alias("violation_ppm"),
+        F.when(F.col("n_violations") == 0, 1).otherwise(0).cast("long").alias("passed"),
+    ).orderBy("constraint_name")

@@ -2370,3 +2370,92 @@ def sq8_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# B153: embedding health check (vector-pipeline QA gate) (r9)
+# ---------------------------------------------------------------------------
+# Bad vectors break ANN silently: a NaN poisons every distance it
+# touches, a zero-norm vector makes cosine undefined, and a norm
+# outlier dominates unnormalized scores. This gate reports, per label:
+# NaN/null element counts, zero-norm and near-zero-norm vectors, and
+# exact-rank P50/P99 of the milli-quantized norm — the table a vector
+# ingest pipeline gates on before index build. Norms square-sum in
+# exact integer milli^2 (128-bit intermediates per the B144 rule),
+# ranks use the house ceil(n*q) discipline over a per-label window.
+# One map pass + one label-key window; output is |labels| rows.
+@register(
+    "embedding_health_check",
+    """
+WITH per_vec AS (
+  SELECT e.label, e.vec_id,
+         CAST(len(list_filter(e.embedding, x -> x IS NULL OR isnan(CAST(x AS DOUBLE)))) AS BIGINT) AS n_bad_elems,
+         CAST(round(sqrt(list_sum(list_transform(e.embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS DOUBLE)
+                   * CAST(round(CAST(x AS DOUBLE) * 1000.0) AS DOUBLE))))) AS BIGINT) AS norm_milli
+  FROM embeddings e
+), ranked AS (
+  SELECT label, vec_id, n_bad_elems, norm_milli,
+         row_number() OVER (PARTITION BY label ORDER BY norm_milli, vec_id) AS rk,
+         count(*) OVER (PARTITION BY label) AS n
+  FROM per_vec
+)
+SELECT label,
+       CAST(max(n) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN n_bad_elems > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vecs_with_bad_elems,
+       CAST(sum(CASE WHEN norm_milli = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+       CAST(sum(CASE WHEN norm_milli < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_zero_norm,
+       CAST(max(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT) THEN norm_milli END) AS BIGINT) AS p50_norm_milli,
+       CAST(max(CASE WHEN rk = CAST(ceil(n * 0.99) AS BIGINT) THEN norm_milli END) AS BIGINT) AS p99_norm_milli
+FROM ranked
+GROUP BY label
+ORDER BY label
+""",
+)
+def embedding_health_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector QA gate (B153): NaN/null element counts,
+    zero/near-zero norms, exact-rank P50/P99 of the milli-quantized
+    norm — run before every index build."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    milli = "transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as double))"
+    per_vec = emb.select(
+        "label",
+        "vec_id",
+        F.expr(
+            "cast(size(filter(embedding, x -> x is null or isnan(cast(x as double)))) as long)"
+        ).alias("n_bad_elems"),
+        F.expr(
+            f"cast(round(sqrt(aggregate({milli}, cast(0.0 as double), (acc, m) -> acc + m * m))) as bigint)"
+        ).alias("norm_milli"),
+    )
+    wr = Window.partitionBy("label").orderBy("norm_milli", "vec_id")
+    wp = Window.partitionBy("label")
+    ranked = per_vec.select(
+        "label",
+        "n_bad_elems",
+        "norm_milli",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wp).alias("n"),
+    )
+    return (
+        ranked.groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n_vecs"),
+            F.sum(F.when(F.col("n_bad_elems") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_vecs_with_bad_elems"),
+            F.sum(F.when(F.col("norm_milli") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_zero_norm"),
+            F.sum(F.when(F.col("norm_milli") < 100, 1).otherwise(0))
+            .cast("long")
+            .alias("n_near_zero_norm"),
+            F.max(F.when(F.col("rk") == F.ceil(F.col("n") * 0.5), F.col("norm_milli")))
+            .cast("long")
+            .alias("p50_norm_milli"),
+            F.max(F.when(F.col("rk") == F.ceil(F.col("n") * 0.99), F.col("norm_milli")))
+            .cast("long")
+            .alias("p99_norm_milli"),
+        )
+        .orderBy("label")
+    )
