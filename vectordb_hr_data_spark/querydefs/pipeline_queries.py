@@ -2539,14 +2539,31 @@ def semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import vector as V
 
     emb = read_table(spark, sf_dir, "embeddings")
+    # norms factor OUT of the pair loop: cosine = dot/(na*nb) evaluates
+    # the SAME double product whether na/nb are inlined or precomputed
+    # (identical fold, identical multiply order), so hoisting them costs
+    # nothing in parity and cuts the interpreted HOF work per pair from
+    # three folds to one — the dominant cost of a HOF (CodegenFallback)
+    # cross score. Corpus norm: once per row; eval norms: once per eval
+    # inside the broadcast.
     ev = emb.filter(F.col("vec_id") % SEM_DECON_MOD == 0).select(
-        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ev_emb")
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("ev_emb"),
+        V.norm(F.col("embedding")).alias("ev_norm"),
     )
-    corpus = emb.filter(F.col("vec_id") % SEM_DECON_MOD != 0)
+    corpus = emb.filter(F.col("vec_id") % SEM_DECON_MOD != 0).select(
+        "vec_id", "embedding", V.norm(F.col("embedding")).alias("c_norm")
+    )
+    denom = F.col("c_norm") * F.col("ev_norm")
     sims = corpus.crossJoin(F.broadcast(ev)).select(
         "vec_id",
         "eval_id",
-        F.round(V.cosine_sim(F.col("embedding"), F.col("ev_emb")), 4).alias("sim"),
+        F.round(
+            F.when(denom == 0, F.lit(0.0)).otherwise(
+                V.dot(F.col("embedding"), F.col("ev_emb")) / denom
+            ),
+            4,
+        ).alias("sim"),
     )
     wr = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("eval_id").asc())
     best = sims.select(
