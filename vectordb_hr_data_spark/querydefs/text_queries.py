@@ -1868,9 +1868,20 @@ def query_expansion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = dl.agg(
         F.count("*").cast("long").alias("n_docs"), F.sum("dl").cast("long").alias("sum_dl")
     )
+    # prune BEFORE the explode: the expanded term set is a driver-side
+    # literal by this point, so a row-local filter keeps only matching
+    # tokens (multiplicity preserved — array_intersect would dedup and
+    # break tf) and the explode emits hits instead of the whole corpus
+    # token stream. Identical (doc, term, tf) rows, ~|terms|/|vocab| of
+    # the explode volume.
+    term_arr = F.array(*[F.lit(t) for t in sorted(weights)])
     hits = (
-        toks.select("doc_id", F.explode("toks").alias("term"))
-        .join(F.broadcast(tw.select("term")), "term")
+        toks.select(
+            "doc_id",
+            F.explode(F.filter(F.col("toks"), lambda x: F.array_contains(term_arr, x))).alias(
+                "term"
+            ),
+        )
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
