@@ -185,6 +185,8 @@ PRIORITY: list[str] = [
     "events_retention_drivers", "source_quality_percentile_gate",
     "events_props_psi_drift",
     "referential_integrity_audit", "embedding_health_check",
+    "rec_coverage_diversity", "graph_assortativity",
+    "events_peak_concurrency",
     # rows-only HLL sketch path of events_sliding_distinct_users (B124)
     "events_sliding_distinct_hll",
     # below-the-fold siblings whose checked twin carries the oracle

@@ -3549,3 +3549,105 @@ def events_props_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("d").alias("day_epoch_days"), "n_events", "psi_micro", "drift_flag")
         .orderBy("day_epoch_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# B156: peak session concurrency (capacity planning) (r9)
+# ---------------------------------------------------------------------------
+# How many sessions were live at the busiest instant? Sessions are the
+# corpus's standard 30-min-gap sessionization (one user-key window),
+# reduced to [start, end] intervals, then the classic boundary sweep:
+# +1 at each start, -1 just after each end (starts sort before ends at
+# equal timestamps — inclusive overlap), running sum, global max, and
+# the earliest instant achieving it. The sweep window runs over
+# 2x|sessions| boundary rows — already reduced from raw events; at
+# 100 TB shard the sweep by splitting sessions at day boundaries and
+# taking the max of per-day peaks (each day's sweep then partitions).
+# Timestamps stay microsecond-exact integer us throughout.
+@register(
+    "events_peak_concurrency",
+    """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_idx,
+         ts
+  FROM ordered
+), intervals AS (
+  SELECT user_id, sess_idx,
+         CAST(round(epoch(min(ts)) * 1000000) AS BIGINT) AS start_us,
+         CAST(round(epoch(max(ts)) * 1000000) AS BIGINT) AS end_us
+  FROM sess GROUP BY user_id, sess_idx
+), bounds AS (
+  SELECT start_us AS t_us, 1 AS delta FROM intervals
+  UNION ALL
+  SELECT end_us + 1, -1 FROM intervals
+), swept AS (
+  SELECT t_us, delta,
+         sum(delta) OVER (ORDER BY t_us, delta DESC
+                          ROWS UNBOUNDED PRECEDING) AS live
+  FROM bounds
+), peak AS (
+  SELECT max(live) AS p FROM swept
+)
+SELECT CAST((SELECT count(*) FROM intervals) AS BIGINT) AS n_sessions,
+       CAST(p.p AS BIGINT) AS peak_concurrency,
+       CAST((SELECT min(t_us) FROM swept, peak WHERE swept.live = peak.p) AS BIGINT)
+         AS peak_start_us
+FROM peak p
+""",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous 30-min-gap sessions and the earliest instant it
+    is reached (B156) — boundary sweep over reduced session intervals,
+    integer microsecond timestamps."""
+    ev = read_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(wu)
+    ordered = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            prev.isNull()
+            | (F.col("ts").cast("double") - prev.cast("double") > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+        F.row_number().over(wu).alias("_rn"),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("_rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = ordered.select(
+        "user_id", F.sum("new_sess").over(wcum).alias("sess_idx"), "ts"
+    )
+    intervals = sess.groupBy("user_id", "sess_idx").agg(
+        F.round(F.min(F.col("ts").cast("double")) * 1000000).cast("long").alias("start_us"),
+        F.round(F.max(F.col("ts").cast("double")) * 1000000).cast("long").alias("end_us"),
+    )
+    bounds = intervals.select(F.col("start_us").alias("t_us"), F.lit(1).alias("delta")).unionByName(
+        intervals.select((F.col("end_us") + 1).alias("t_us"), F.lit(-1).alias("delta"))
+    )
+    # global sweep over 2x|sessions| boundary rows — deliberately
+    # single-partition, already reduced from raw events (see header).
+    wsweep = Window.orderBy(F.col("t_us").asc(), F.col("delta").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = bounds.select("t_us", F.sum("delta").over(wsweep).alias("live"))
+    n_sessions = intervals.count()
+    peak_row = swept.agg(F.max("live").alias("p")).collect()[0]
+    peak = int(peak_row.p)
+    first = swept.filter(F.col("live") == peak).agg(F.min("t_us").alias("t")).collect()[0]
+    return spark.createDataFrame(
+        [(n_sessions, peak, int(first.t))],
+        "n_sessions long, peak_concurrency long, peak_start_us long",
+    )

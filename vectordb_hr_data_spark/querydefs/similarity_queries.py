@@ -3479,3 +3479,240 @@ def cross_encoder_rerank(spark: SparkSession, sf_dir: str, scorer=None) -> DataF
         .orderBy("ce_rank")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# B155: degree assortativity of the kNN graph (r9)
+# --------------------------------------------------------------------------
+# Do hubs link to hubs? Pearson correlation between total degree
+# (out-degree is k by construction, so total = k + in-degree) of the
+# two endpoints over every directed edge — negative in kNN graphs when
+# popular neighbours attach to sparse regions (Newman 2002's
+# disassortativity). Rides the SAME memoized edge build as the rest of
+# the graph family; moment sums over edge pairs are exact BIGINTs and
+# Pearson evaluates once, floor(x+0.5)-quantized to micro (the B145
+# discipline). Output is one row; the cost is the edge build the other
+# graph ops already paid.
+@register(
+    "graph_assortativity",
+    f"""
+WITH scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_COS_DDB.format(a='b.embedding', b='a.embedding')}, 4) DESC,
+                                     b.vec_id) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+), de AS (
+  SELECT src, dst FROM scored WHERE rn <= {PAGERANK_DEG}
+), deg AS (
+  SELECT n.vec_id,
+         CAST({PAGERANK_DEG} + coalesce(cnt.c, 0) AS BIGINT) AS d
+  FROM embeddings n LEFT JOIN (
+    SELECT dst, count(*) AS c FROM de GROUP BY dst
+  ) cnt ON cnt.dst = n.vec_id
+), pairs AS (
+  SELECT ds.d AS x, dd.d AS y
+  FROM de JOIN deg ds ON ds.vec_id = de.src JOIN deg dd ON dd.vec_id = de.dst
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs
+)
+SELECT n AS n_edges,
+       CAST(CASE WHEN (n * sxx - sx * sx) <= 0 OR (n * syy - sy * sy) <= 0 THEN 0
+                 ELSE floor((CAST(n * sxy - sx * sy AS DOUBLE))
+                            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) * 1000000 + 0.5) END
+            AS BIGINT) AS assortativity_micro
+FROM stats
+""",
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the directed top-k kNN graph
+    (B155) — Pearson over (deg(src), deg(dst)) edge pairs, exact
+    integer moments, one output row; shares the family's memoized edge
+    build."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    n_corpus = _corpus_count_memo(sf_dir, emb)
+    if n_corpus <= GRAPH_DRIVER_MAX:
+        out_edges = _out_edges_memo(sf_dir, emb, PAGERANK_DEG, "graph_assortativity")
+        indeg: dict[int, int] = {v: 0 for v in out_edges}
+        for dsts in out_edges.values():
+            for v in dsts:
+                indeg[v] += 1
+        deg = {v: PAGERANK_DEG + indeg[v] for v in out_edges}
+        n = sx = sy = sxy = sxx = syy = 0
+        for s, dsts in out_edges.items():
+            for t in dsts:
+                x, y = deg[s], deg[t]
+                n += 1
+                sx += x
+                sy += y
+                sxy += x * y
+                sxx += x * x
+                syy += y * y
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        import math
+
+        r = (
+            0
+            if vx <= 0 or vy <= 0
+            else int(math.floor((n * sxy - sx * sy) / math.sqrt(vx) / math.sqrt(vy) * 1000000 + 0.5))
+        )
+        return spark.createDataFrame([(n, r)], "n_edges long, assortativity_micro long")
+    de = _graph_dir_edges(sf_dir, emb, PAGERANK_DEG, "graph_assortativity")
+    cnt = de.groupBy("dst").agg(F.count("*").alias("c"))
+    deg = (
+        emb.select("vec_id")
+        .join(cnt, emb.vec_id == cnt.dst, "left")
+        .select(
+            "vec_id",
+            (F.lit(PAGERANK_DEG) + F.coalesce("c", F.lit(0))).cast("long").alias("d"),
+        )
+    )
+    pairs = (
+        de.join(deg.withColumnRenamed("vec_id", "src").withColumnRenamed("d", "x"), "src")
+        .join(deg.withColumnRenamed("vec_id", "dst").withColumnRenamed("d", "y"), "dst")
+        .select("x", "y")
+    )
+    stats = pairs.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return stats.select(
+        F.col("n").alias("n_edges"),
+        F.when((vx <= 0) | (vy <= 0), F.lit(0))
+        .otherwise(
+            F.floor(
+                cov.cast("double") / F.sqrt(vx.cast("double")) / F.sqrt(vy.cast("double"))
+                * 1000000
+                + 0.5
+            )
+        )
+        .cast("long")
+        .alias("assortativity_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B154: recommendation coverage + intra-list diversity eval (r9)
+# --------------------------------------------------------------------------
+# The third axis of retrieval eval next to recall@k (B104) and NDCG
+# (B105): a recommender that always serves the same popular items has
+# perfect recall on them and zero catalog value. Catalog coverage =
+# distinct items recommended across the query batch over the catalog;
+# intra-list diversity (ILD) = mean pairwise distance WITHIN each
+# top-k list (Ziegler et al. WWW'05), averaged over queries. Lists are
+# exact l2sq top-k (the B3 batch shape); the ILD pair join is k^2 per
+# query — bounded by the RESULT size, never the corpus. Per-list ILD
+# quantizes once to integer micro, the batch mean is exact integer
+# arithmetic. One summary row.
+REC_EVAL_QUERIES = 10
+REC_EVAL_K = 10
+
+
+def _rec_eval_oracle() -> str:
+    l2 = (
+        "list_sum(list_transform(range(1, len({a})+1),"
+        " i -> power(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE), 2)))"
+    )
+    return f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {REC_EVAL_QUERIES}
+), scored AS (
+  SELECT qs.query_id, e.vec_id, e.embedding,
+         row_number() OVER (PARTITION BY qs.query_id
+                            ORDER BY round({l2.format(a='e.embedding', b='qs.qv')}, 4), e.vec_id) AS rn
+  FROM embeddings e JOIN qs ON e.vec_id != qs.query_id
+), recs AS (
+  SELECT query_id, vec_id, embedding FROM scored WHERE rn <= {REC_EVAL_K}
+), ild AS (
+  SELECT a.query_id,
+         CAST(round(avg(round({l2.format(a='a.embedding', b='b.embedding')}, 4)) * 1000000.0) AS BIGINT)
+           AS ild_micro
+  FROM recs a JOIN recs b ON b.query_id = a.query_id AND b.vec_id > a.vec_id
+  GROUP BY a.query_id
+), cat AS (
+  SELECT CAST(count(*) AS BIGINT) AS catalog_size FROM embeddings
+)
+SELECT CAST({REC_EVAL_QUERIES} AS BIGINT) AS n_queries,
+       CAST((SELECT count(*) FROM recs) AS BIGINT) AS n_recs_total,
+       CAST((SELECT count(DISTINCT vec_id) FROM recs) AS BIGINT) AS n_distinct_items,
+       c.catalog_size,
+       CAST((SELECT count(DISTINCT vec_id) FROM recs) * 1000000 // c.catalog_size AS BIGINT)
+         AS coverage_ppm,
+       CAST((SELECT sum(ild_micro) // count(*) FROM ild) AS BIGINT) AS mean_ild_micro
+FROM cat c
+"""
+
+
+@register("rec_coverage_diversity", _rec_eval_oracle())
+def rec_coverage_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog coverage and mean intra-list diversity of exact top-k
+    recommendation lists over a query batch (B154) — the popularity-
+    bias axis of retrieval eval; ILD pair join bounded by k^2 per
+    query."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < REC_EVAL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "embedding",
+            F.round(V.l2sq(F.col("embedding"), F.col("qv")), 4).alias("d"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("vec_id").asc())
+    recs = (
+        scored.select("query_id", "vec_id", "embedding", F.row_number().over(wr).alias("rn"))
+        .filter(F.col("rn") <= REC_EVAL_K)
+        .select("query_id", "vec_id", "embedding")
+    )
+    a = recs.alias("a")
+    b = recs.alias("b")
+    ild = (
+        a.join(
+            b,
+            (F.col("b.query_id") == F.col("a.query_id"))
+            & (F.col("b.vec_id") > F.col("a.vec_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.round(V.l2sq(F.col("a.embedding"), F.col("b.embedding")), 4).alias("pd"),
+        )
+        .groupBy("query_id")
+        .agg(F.round(F.avg("pd") * 1000000.0).cast("long").alias("ild_micro"))
+    )
+    n_total = recs.count()
+    n_distinct = recs.select("vec_id").distinct().count()
+    catalog = emb.count()
+    ild_stats = ild.agg(F.expr("sum(ild_micro) div count(*)").cast("long").alias("m")).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                REC_EVAL_QUERIES,
+                n_total,
+                n_distinct,
+                catalog,
+                n_distinct * 1_000_000 // catalog,
+                int(ild_stats.m),
+            )
+        ],
+        "n_queries long, n_recs_total long, n_distinct_items long, catalog_size long,"
+        " coverage_ppm long, mean_ild_micro long",
+    )
