@@ -187,6 +187,8 @@ PRIORITY: list[str] = [
     "referential_integrity_audit", "embedding_health_check",
     "rec_coverage_diversity", "graph_assortativity",
     "events_peak_concurrency",
+    "graph_personalized_pagerank", "neardup_cluster_labels",
+    "events_markov_backtest", "events_ab_conversion_test",
     # rows-only HLL sketch path of events_sliding_distinct_users (B124)
     "events_sliding_distinct_hll",
     # below-the-fold siblings whose checked twin carries the oracle

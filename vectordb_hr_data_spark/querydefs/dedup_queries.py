@@ -1239,3 +1239,112 @@ def neardup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method_1", "method_2")
     )
+
+
+# --------------------------------------------------------------------------
+# B158: near-dup cluster labeling (what IS this duplicate group?) (r9)
+# --------------------------------------------------------------------------
+# The curation readout after clustering: for every near-dup component
+# with >= 2 members, the top-3 distinguishing terms by cluster-tf x
+# corpus rarity (idf in integer milli-nats) — the label a reviewer
+# reads before deciding keep-one/drop-all. The oracle REUSES the
+# registered neardup_components SQL verbatim as its cluster CTE (the
+# B107 discipline: an audit that can never drift from the operator it
+# audits), then pure counting arithmetic. Scale shape: clusters join
+# their documents' tokens once (explode bounded by cluster member
+# text), df is the corpus vocab pass every text op shares, top-3 per
+# cluster is a bounded window.
+def _cluster_label_oracle() -> str:
+    from ..queries import REGISTRY as _REG
+
+    return f"""
+WITH comp AS ({_REG["neardup_components"].oracle}),
+sized AS (
+  SELECT component_id, CAST(count(*) AS BIGINT) AS n_docs
+  FROM comp GROUP BY component_id HAVING count(*) >= 2
+), ctf AS (
+  SELECT c.component_id, t.tok, CAST(count(*) AS BIGINT) AS tf
+  FROM comp c
+  JOIN sized s ON s.component_id = c.component_id
+  JOIN documents d ON d.doc_id = c.doc_id,
+       unnest(string_split(d.text, ' ')) AS t(tok)
+  WHERE t.tok <> ''
+  GROUP BY c.component_id, t.tok
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), df AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY tok
+), scored AS (
+  SELECT ctf.component_id, ctf.tok AS term,
+         CAST(ctf.tf * CAST(round(ln(n.n_docs * 1.0 / df.df) * 1000.0) AS BIGINT) AS BIGINT)
+           AS score_milli,
+         row_number() OVER (PARTITION BY ctf.component_id
+                            ORDER BY ctf.tf * CAST(round(ln(n.n_docs * 1.0 / df.df) * 1000.0) AS BIGINT) DESC,
+                                     ctf.tok) AS term_rank
+  FROM ctf JOIN df ON df.tok = ctf.tok CROSS JOIN n
+)
+SELECT s.component_id, z.n_docs, s.term, s.score_milli,
+       CAST(s.term_rank AS BIGINT) AS term_rank
+FROM scored s JOIN sized z ON z.component_id = s.component_id
+WHERE s.term_rank <= 3
+ORDER BY s.component_id, s.term_rank
+"""
+
+
+@register("neardup_cluster_labels", _cluster_label_oracle())
+def neardup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinguishing terms (cluster-tf x integer-milli idf) per
+    near-dup component with >= 2 members (B158) — the reviewer-facing
+    label; clusters come from the registered neardup_components op, so
+    the audit cannot drift from the clustering it describes."""
+    comp = _REGISTRY["neardup_components"].fn(spark, sf_dir)
+    d = read_table(spark, sf_dir, "documents")
+    sized = (
+        comp.groupBy("component_id")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    ctf = (
+        comp.join(F.broadcast(sized), "component_id")
+        .join(d.select("doc_id", "text"), "doc_id")
+        .select("component_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("component_id", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    n_docs = d.count()
+    dfc = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    scored = ctf.join(dfc, "tok").select(
+        "component_id",
+        F.col("tok").alias("term"),
+        (
+            F.col("tf")
+            * F.round(F.log(F.lit(float(n_docs)) / F.col("df")) * 1000.0).cast("long")
+        )
+        .cast("long")
+        .alias("score_milli"),
+    )
+    wr = Window.partitionBy("component_id").orderBy(
+        F.col("score_milli").desc(), F.col("term").asc()
+    )
+    return (
+        scored.select(
+            "component_id",
+            "term",
+            "score_milli",
+            F.row_number().over(wr).cast("long").alias("term_rank"),
+        )
+        .filter(F.col("term_rank") <= 3)
+        .join(F.broadcast(sized), "component_id")
+        .select("component_id", "n_docs", "term", "score_milli", "term_rank")
+        .orderBy("component_id", "term_rank")
+    )

@@ -3651,3 +3651,178 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_sessions, peak, int(first.t))],
         "n_sessions long, peak_concurrency long, peak_start_us long",
     )
+
+
+# ---------------------------------------------------------------------------
+# B159: Markov next-event backtest (sequence-model eval) (r9)
+# ---------------------------------------------------------------------------
+# Does the B71 transition matrix actually PREDICT? Train bigram counts
+# on the first three weeks, predict each held-out transition's next
+# type as the train-argmax of its from-state (ties on the type string,
+# so the predictor is deterministic), and score top-1 accuracy per
+# from-state — the sequence twin of the B116 forecast backtest, and
+# the eval that says whether sequence signal exists before anyone
+# ships a sequence model. Train/test transitions come from the same
+# per-user lag pass split on the cur-event timestamp (prev may be in
+# train — that is how deployment sees it). Shape: one lag window, two
+# tiny groupBys, argmax over a |V|^2 table.
+MARKOV_SPLIT = "2024-01-22 00:00:00"
+
+
+@register(
+    "events_markov_backtest",
+    f"""
+WITH seq AS (
+  SELECT user_id, ts, event_type AS cur,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), train AS (
+  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c
+  FROM seq WHERE prev IS NOT NULL AND ts < TIMESTAMP '{MARKOV_SPLIT}'
+  GROUP BY prev, cur
+), pred AS (
+  SELECT prev, cur AS predicted_next
+  FROM (SELECT prev, cur, row_number() OVER (PARTITION BY prev
+                                             ORDER BY c DESC, cur) AS rn
+        FROM train)
+  WHERE rn = 1
+), test AS (
+  SELECT prev, cur FROM seq
+  WHERE prev IS NOT NULL AND ts >= TIMESTAMP '{MARKOV_SPLIT}'
+)
+SELECT t.prev AS from_type, p.predicted_next,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN t.cur = p.predicted_next THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(sum(CASE WHEN t.cur = p.predicted_next THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS top1_accuracy_ppm
+FROM test t JOIN pred p ON p.prev = t.prev
+GROUP BY t.prev, p.predicted_next
+ORDER BY t.prev
+""",
+)
+def events_markov_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 next-event accuracy of the train-window Markov argmax on
+    held-out transitions, per from-state (B159) — the sequence twin of
+    the forecast backtest."""
+    ev = read_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    split = F.lit(MARKOV_SPLIT).cast("timestamp")
+    seq = ev.select(
+        "ts", F.col("event_type").alias("cur"), F.lag("event_type").over(wu).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    train = (
+        seq.filter(F.col("ts") < split)
+        .groupBy("prev", "cur")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wp = Window.partitionBy("prev").orderBy(F.col("c").desc(), F.col("cur").asc())
+    pred = (
+        train.select("prev", "cur", F.row_number().over(wp).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("cur").alias("predicted_next"))
+    )
+    test = seq.filter(F.col("ts") >= split)
+    return (
+        test.join(F.broadcast(pred), "prev")
+        .groupBy(F.col("prev").alias("from_type"), "predicted_next")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(F.when(F.col("cur") == F.col("predicted_next"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+            F.expr(
+                "sum(CASE WHEN cur = predicted_next THEN 1 ELSE 0 END) * 1000000 div count(*)"
+            )
+            .cast("long")
+            .alias("top1_accuracy_ppm"),
+        )
+        .orderBy("from_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B160: two-proportion conversion z-test (the standard A/B readout) (r9)
+# ---------------------------------------------------------------------------
+# The most-run experiment statistic there is: did the treatment arm
+# convert better, and is the difference outside noise? Users hash into
+# arms (the B125 seeded assignment), conversion = did a purchase, and
+# the pooled two-proportion z evaluates once from five exact integers
+# (n1, n2, x1, x2 and their sums) with floor(x+0.5) milli quantization.
+# |z| >= 1.960 flags at the 95% level. One user-key reduce, one row out.
+@register(
+    "events_ab_conversion_test",
+    """
+WITH ua AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5('srm:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS arm,
+         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS converted
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS x0,
+         CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS x1
+  FROM ua
+)
+SELECT n0 AS users_arm0, n1 AS users_arm1, x0 AS conv_arm0, x1 AS conv_arm1,
+       CAST(x0 * 1000000 // greatest(n0, 1) AS BIGINT) AS rate0_ppm,
+       CAST(x1 * 1000000 // greatest(n1, 1) AS BIGINT) AS rate1_ppm,
+       CAST(CASE WHEN x0 + x1 = 0 OR x0 + x1 = n0 + n1 THEN 0
+                 ELSE floor((x1 * 1.0 / n1 - x0 * 1.0 / n0)
+                            / sqrt(((x0 + x1) * 1.0 / (n0 + n1)) * (1.0 - (x0 + x1) * 1.0 / (n0 + n1))
+                                   * (1.0 / n0 + 1.0 / n1)) * 1000 + 0.5) END AS BIGINT) AS z_milli,
+       CAST(CASE WHEN x0 + x1 = 0 OR x0 + x1 = n0 + n1 THEN 0
+                 WHEN abs(floor((x1 * 1.0 / n1 - x0 * 1.0 / n0)
+                            / sqrt(((x0 + x1) * 1.0 / (n0 + n1)) * (1.0 - (x0 + x1) * 1.0 / (n0 + n1))
+                                   * (1.0 / n0 + 1.0 / n1)) * 1000 + 0.5)) >= 1960 THEN 1
+                 ELSE 0 END AS BIGINT) AS significant_95
+FROM s
+""",
+)
+def events_ab_conversion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test of purchase conversion between the
+    seeded md5 arms (B160) — five exact integers in, one milli-quantized
+    z out, 1.960 significance flag."""
+    ev = read_table(spark, sf_dir, "events")
+    ua = ev.groupBy("user_id").agg(
+        F.expr(
+            "cast(conv(substring(md5(concat('srm:', cast(user_id as string))), 1, 8), 16, 10)"
+            " as bigint) % 2"
+        ).alias("arm"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("converted"),
+    )
+    s = ua.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x1"),
+    )
+    p_pool = (F.col("x0") + F.col("x1")) * 1.0 / (F.col("n0") + F.col("n1"))
+    z = F.floor(
+        (F.col("x1") * 1.0 / F.col("n1") - F.col("x0") * 1.0 / F.col("n0"))
+        / F.sqrt(p_pool * (1.0 - p_pool) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+        * 1000
+        + 0.5
+    )
+    degenerate = (F.col("x0") + F.col("x1") == 0) | (
+        F.col("x0") + F.col("x1") == F.col("n0") + F.col("n1")
+    )
+    return s.select(
+        F.col("n0").alias("users_arm0"),
+        F.col("n1").alias("users_arm1"),
+        F.col("x0").alias("conv_arm0"),
+        F.col("x1").alias("conv_arm1"),
+        F.expr("x0 * 1000000 div greatest(n0, 1)").cast("long").alias("rate0_ppm"),
+        F.expr("x1 * 1000000 div greatest(n1, 1)").cast("long").alias("rate1_ppm"),
+        F.when(degenerate, F.lit(0)).otherwise(z).cast("long").alias("z_milli"),
+        F.when(degenerate, F.lit(0))
+        .otherwise(F.when(F.abs(z) >= 1960, 1).otherwise(0))
+        .cast("long")
+        .alias("significant_95"),
+    )

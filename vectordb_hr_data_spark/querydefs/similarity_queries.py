@@ -3716,3 +3716,122 @@ def rec_coverage_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_queries long, n_recs_total long, n_distinct_items long, catalog_size long,"
         " coverage_ppm long, mean_ild_micro long",
     )
+
+
+# --------------------------------------------------------------------------
+# B157: personalized PageRank from a seed set (r9)
+# --------------------------------------------------------------------------
+# Recommendation by graph proximity: the B46 integer power iteration
+# with the teleport redirected to a SEED set (label-0 vectors here; a
+# user's history in production) — the restart mass lands only on
+# seeds, so rank flows outward from them and the top non-seed nodes
+# are the recommendation. Same integer contract as B46 (seeds restart
+# at 150000, edges forward (r*170+300) div 600 over out-degree-3,
+# self-loop sentinels keep sinks visible), so the DuckDB RECURSIVE CTE
+# replays every round bit-for-bit. Routing and the memoized edge build
+# are shared with the rest of the graph family.
+PPR_SEED_LABEL = 0
+
+
+@register(
+    "graph_personalized_pagerank",
+    f"""
+WITH RECURSIVE scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_COS_DDB.format(a='b.embedding', b='a.embedding')}, 4) DESC,
+                                     b.vec_id) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+), edges AS (
+  SELECT src, dst, 1 AS w FROM scored WHERE rn <= {PAGERANK_DEG}
+  UNION ALL
+  SELECT vec_id, vec_id, 0 FROM embeddings
+), seeds AS (
+  SELECT vec_id, CASE WHEN label = {PPR_SEED_LABEL} THEN 1 ELSE 0 END AS is_seed
+  FROM embeddings
+), pr AS (
+  SELECT 0 AS iter, s.vec_id AS node,
+         CAST(CASE WHEN s.is_seed = 1 THEN 1000000 ELSE 0 END AS BIGINT) AS r
+  FROM seeds s
+  UNION ALL
+  SELECT p.iter + 1, e.dst,
+         CAST(max(CASE WHEN sd.is_seed = 1 THEN 150000 ELSE 0 END)
+              + sum(CASE WHEN e.w = 1 THEN (p.r * 170 + 300) // 600 ELSE 0 END) AS BIGINT)
+  FROM pr p
+  JOIN edges e ON e.src = p.node
+  JOIN seeds sd ON sd.vec_id = e.dst
+  WHERE p.iter < {PAGERANK_ITERS}
+  GROUP BY p.iter, e.dst
+)
+SELECT p.node AS vec_id, s.is_seed = 1 AS is_seed, p.r AS rank_micro,
+       row_number() OVER (ORDER BY p.r DESC, p.node) AS rnk
+FROM pr p JOIN seeds s ON s.vec_id = p.node
+WHERE p.iter = {PAGERANK_ITERS}
+ORDER BY rnk LIMIT {PAGERANK_TOPN}
+""",
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nodes by seed-restarted integer PageRank (B157) — the
+    teleport lands only on label-0 seeds, rank flows outward, and the
+    recursive oracle replays all rounds exactly; shares the family's
+    memoized edge build."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    seeds = {
+        int(r.vec_id)
+        for r in emb.filter(F.col("label") == PPR_SEED_LABEL).select("vec_id").collect()
+    }
+    n_corpus = _corpus_count_memo(sf_dir, emb)
+    if n_corpus <= GRAPH_DRIVER_MAX:
+        out_edges = _out_edges_memo(sf_dir, emb, PAGERANK_DEG, "graph_personalized_pagerank")
+        r_map = {v: (1000000 if v in seeds else 0) for v in out_edges}
+        for _ in range(PAGERANK_ITERS):
+            nxt = {v: (150000 if v in seeds else 0) for v in out_edges}
+            for s, dsts in out_edges.items():
+                fwd = (r_map[s] * 170 + 300) // 600
+                for t in dsts:
+                    nxt[t] += fwd
+            r_map = nxt
+        top = sorted(((-rv, v) for v, rv in r_map.items()))[:PAGERANK_TOPN]
+        return spark.createDataFrame(
+            [(v, v in seeds, -nr, i + 1) for i, (nr, v) in enumerate(top)],
+            "vec_id long, is_seed boolean, rank_micro long, rnk long",
+        ).orderBy("rnk")
+    de = _graph_dir_edges(sf_dir, emb, PAGERANK_DEG, "graph_personalized_pagerank")
+    seed_df = emb.select(
+        "vec_id", (F.col("label") == PPR_SEED_LABEL).alias("is_seed")
+    )
+    r = seed_df.select(
+        F.col("vec_id").alias("node"),
+        F.when(F.col("is_seed"), F.lit(1000000)).otherwise(0).cast("long").alias("r"),
+    )
+    bonus = seed_df.select(
+        F.col("vec_id").alias("node"),
+        F.when(F.col("is_seed"), F.lit(150000)).otherwise(0).cast("long").alias("b"),
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            r.join(de, r.node == de.src)
+            .select(F.col("dst").alias("node"), F.expr("(r * 170 + 300) div 600").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("csum"))
+        )
+        r = (
+            bonus.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.col("b") + F.coalesce(F.col("csum"), F.lit(0))).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    wr = Window.orderBy(F.col("r").desc(), F.col("node").asc())
+    return (
+        r.join(seed_df, r.node == seed_df.vec_id)
+        .select(
+            F.col("node").alias("vec_id"),
+            "is_seed",
+            F.col("r").alias("rank_micro"),
+            F.row_number().over(wr).cast("long").alias("rnk"),
+        )
+        .orderBy("rnk")
+        .limit(PAGERANK_TOPN)
+    )
