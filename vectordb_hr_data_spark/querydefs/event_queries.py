@@ -3826,3 +3826,95 @@ def events_ab_conversion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("significant_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B163: duplicate-transaction detector (idempotency audit) (r9)
+# ---------------------------------------------------------------------------
+# Payments/ingest forensics: two events by the same user for the same
+# exact amount within 60 seconds are retry artifacts or double-charges
+# until proven otherwise. The pair join runs INSIDE (user, cents)
+# groups — the only fanout is each group's own size (retry bursts are
+# short), never a cross-user or cross-amount product — and pairs order
+# by (ts, event_id) so each duplicate is counted once. Output per
+# event_type: transaction count, duplicate pairs, affected users, ppm.
+DUP_TXN_WINDOW_SEC = 60
+
+
+@register(
+    "events_dup_transaction_audit",
+    f"""
+WITH txn AS (
+  SELECT event_id, event_type, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), pairs AS (
+  SELECT a.event_type, a.user_id
+  FROM txn a JOIN txn b
+    ON b.user_id = a.user_id AND b.cents = a.cents AND b.event_type = a.event_type
+   AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+   AND epoch(b.ts) - epoch(a.ts) <= {DUP_TXN_WINDOW_SEC}
+), base AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_txn FROM txn GROUP BY event_type
+), agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_dup_pairs,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_affected_users
+  FROM pairs GROUP BY event_type
+)
+SELECT b.event_type, b.n_txn,
+       coalesce(a.n_dup_pairs, 0) AS n_dup_pairs,
+       coalesce(a.n_affected_users, 0) AS n_affected_users,
+       CAST(coalesce(a.n_dup_pairs, 0) * 1000000 // b.n_txn AS BIGINT) AS dup_ppm
+FROM base b LEFT JOIN agg a ON a.event_type = b.event_type
+ORDER BY b.event_type
+""",
+)
+def events_dup_transaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-user same-amount pairs within 60s per event type (B163) —
+    the double-charge/retry audit; the join fans out only within
+    (user, cents, type) groups."""
+    ev = read_table(spark, sf_dir, "events")
+    txn = ev.filter(F.col("value").isNotNull()).select(
+        "event_id",
+        "event_type",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    a = txn.alias("a")
+    b = txn.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.user_id") == F.col("a.user_id"))
+        & (F.col("b.cents") == F.col("a.cents"))
+        & (F.col("b.event_type") == F.col("a.event_type"))
+        & (
+            (F.col("b.ts") > F.col("a.ts"))
+            | ((F.col("b.ts") == F.col("a.ts")) & (F.col("b.event_id") > F.col("a.event_id")))
+        )
+        & (
+            F.col("b.ts").cast("double") - F.col("a.ts").cast("double")
+            <= DUP_TXN_WINDOW_SEC
+        ),
+    ).select(F.col("a.event_type").alias("event_type"), F.col("a.user_id").alias("user_id"))
+    base = txn.groupBy("event_type").agg(F.count("*").cast("long").alias("n_txn"))
+    agg = pairs.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_dup_pairs"),
+        F.countDistinct("user_id").cast("long").alias("n_affected_users"),
+    )
+    return (
+        base.join(agg, "event_type", "left")
+        .select(
+            "event_type",
+            "n_txn",
+            F.coalesce(F.col("n_dup_pairs"), F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce(F.col("n_affected_users"), F.lit(0))
+            .cast("long")
+            .alias("n_affected_users"),
+            F.expr("coalesce(n_dup_pairs, 0) * 1000000 div n_txn")
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+        .orderBy("event_type")
+    )

@@ -810,3 +810,84 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("violation_ppm"),
         F.when(F.col("n_violations") == 0, 1).otherwise(0).cast("long").alias("passed"),
     ).orderBy("constraint_name")
+
+
+# ---------------------------------------------------------------------------
+# B164: market-basket pair mining over order lines (r9)
+# ---------------------------------------------------------------------------
+# The classic association readout ("bought together"): distinct part
+# pairs within an order, support-floored, with confidence and lift in
+# exact integer units. The pair explode is bounded by each order's own
+# line count (avg ~4, max ~13 here — C(13,2) worst case), never a
+# cross-order product, and single-part supports broadcast back. Same
+# arithmetic family as the session co-pair miner (B63) but on the
+# relational star's baskets — the retail shape of the same algebra.
+BASKET_MIN_SUPPORT = 2
+BASKET_TOPN = 20
+
+
+@register(
+    "basket_pair_mining",
+    f"""
+WITH lines AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+), n AS (
+  SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM lines
+), supp1 AS (
+  SELECT pkey, CAST(count(*) AS BIGINT) AS s FROM lines GROUP BY pkey
+), pairs AS (
+  SELECT a.pkey AS p1, b.pkey AS p2, CAST(count(*) AS BIGINT) AS support
+  FROM lines a JOIN lines b ON b.okey = a.okey AND b.pkey > a.pkey
+  GROUP BY a.pkey, b.pkey HAVING count(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT p.p1, p.p2, p.support,
+       CAST(p.support * 1000000 // s1.s AS BIGINT) AS confidence_ppm,
+       CAST((p.support * n.n_orders * 1000000) // (s1.s * s2.s) AS BIGINT) AS lift_micro,
+       CAST(row_number() OVER (ORDER BY p.support DESC, p.p1, p.p2) AS BIGINT) AS rnk
+FROM pairs p
+JOIN supp1 s1 ON s1.pkey = p.p1
+JOIN supp1 s2 ON s2.pkey = p.p2
+CROSS JOIN n
+ORDER BY rnk LIMIT {BASKET_TOPN}
+""",
+)
+def basket_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bought-together part pairs with support/confidence/lift
+    (B164) — pair explode bounded by per-order line count; the retail
+    twin of session co-pair mining."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    lines = lineitem.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    ).distinct()
+    n_orders = lines.select("okey").distinct().count()
+    supp1 = lines.groupBy("pkey").agg(F.count("*").cast("long").alias("s"))
+    a = lines.alias("a")
+    b = lines.alias("b")
+    pairs = (
+        a.join(b, (F.col("b.okey") == F.col("a.okey")) & (F.col("b.pkey") > F.col("a.pkey")))
+        .groupBy(F.col("a.pkey").alias("p1"), F.col("b.pkey").alias("p2"))
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+    joined = (
+        pairs.join(supp1.withColumnRenamed("pkey", "p1").withColumnRenamed("s", "s1"), "p1")
+        .join(supp1.withColumnRenamed("pkey", "p2").withColumnRenamed("s", "s2"), "p2")
+        .select(
+            "p1",
+            "p2",
+            "support",
+            F.expr("support * 1000000 div s1").cast("long").alias("confidence_ppm"),
+            F.expr(f"(support * {n_orders} * 1000000) div (s1 * s2)")
+            .cast("long")
+            .alias("lift_micro"),
+        )
+    )
+    wr = Window.orderBy(F.col("support").desc(), F.col("p1").asc(), F.col("p2").asc())
+    return (
+        joined.select(
+            "p1", "p2", "support", "confidence_ppm", "lift_micro",
+            F.row_number().over(wr).cast("long").alias("rnk"),
+        )
+        .orderBy("rnk")
+        .limit(BASKET_TOPN)
+    )

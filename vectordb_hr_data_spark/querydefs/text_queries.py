@@ -1976,3 +1976,101 @@ def doc_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# B161: TextRank corpus keywords (r9)
+# ---------------------------------------------------------------------------
+# The graph-based sibling of RAKE (Mihalcea & Tarau 2004): words vote
+# for the words they co-occur with. Edges are ADJACENT-token pairs
+# (window 2) with co-occurrence weights; the rank iteration is the B46
+# integer discipline generalized to weighted variable-degree nodes —
+# each round node s forwards (r_s * 17 * w_st) // (20 * W_s) to
+# neighbor t (0.85 damping as 17/20, W_s = s's total edge mass, floor
+# division INSIDE the per-edge term so the recursive CTE replays the
+# exact integers), plus the 150000 teleport. State is VOCABULARY-sized
+# — the corpus pass builds counts once, the iteration never touches
+# documents again; at 100 TB the word graph still fits anywhere.
+TEXTRANK_ITERS = 8
+TEXTRANK_TOPN = 20
+
+
+@register(
+    "doc_textrank_terms",
+    f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), adj AS (
+  SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+  WHERE t[CAST(i AS INT)] <> '' AND t[CAST(i AS INT) + 1] <> ''
+), und AS (
+  SELECT w1 AS s, w2 AS d FROM adj WHERE w1 <> w2
+  UNION ALL
+  SELECT w2, w1 FROM adj WHERE w1 <> w2
+), edges AS (
+  SELECT s, d, CAST(count(*) AS BIGINT) AS w FROM und GROUP BY s, d
+), mass AS (
+  SELECT s, CAST(sum(w) AS BIGINT) AS ws FROM edges GROUP BY s
+), nodes AS (
+  SELECT DISTINCT s AS node FROM edges
+), tr AS (
+  SELECT 0 AS iter, node, CAST(1000000 AS BIGINT) AS r FROM nodes
+  UNION ALL
+  SELECT p.iter + 1, e.d,
+         CAST(150000 + sum((p.r * 17 * e.w) // (20 * m.ws)) AS BIGINT)
+  FROM tr p
+  JOIN edges e ON e.s = p.node
+  JOIN mass m ON m.s = p.node
+  WHERE p.iter < {TEXTRANK_ITERS}
+  GROUP BY p.iter, e.d
+)
+SELECT node AS term, r AS rank_micro,
+       CAST(row_number() OVER (ORDER BY r DESC, node) AS BIGINT) AS rnk
+FROM tr WHERE iter = {TEXTRANK_ITERS}
+ORDER BY rnk LIMIT {TEXTRANK_TOPN}
+""",
+)
+def doc_textrank_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus keywords by weighted integer TextRank over the
+    adjacent-token co-occurrence graph (B161) — vocabulary-sized state,
+    exact recursive-CTE replay of every round."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.col("text"), " ").alias("t"))
+    adj = toks.select(
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(1, greatest(size(t) - 1, 0)),"
+                " i -> struct(t[i-1] as w1, t[i] as w2)),"
+                " p -> p.w1 <> '' AND p.w2 <> '' AND p.w1 <> p.w2)"
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    und = adj.select(F.col("w1").alias("s"), F.col("w2").alias("d")).unionByName(
+        adj.select(F.col("w2").alias("s"), F.col("w1").alias("d"))
+    )
+    edges = und.groupBy("s", "d").agg(F.count("*").cast("long").alias("w"))
+    # vocabulary-sized graph: collect to the driver and iterate exactly
+    # (the graph-family driver route; the distributed join+groupBy loop
+    # from B157 applies verbatim if a vocabulary ever outgrows this).
+    e_rows = edges.collect()
+    ws: dict[str, int] = {}
+    out: dict[str, list] = {}
+    for r0 in e_rows:
+        ws[r0.s] = ws.get(r0.s, 0) + r0.w
+        out.setdefault(r0.s, []).append((r0.d, r0.w))
+    r_map = {v: 1000000 for v in out}
+    for _ in range(TEXTRANK_ITERS):
+        nxt = {v: 150000 for v in out}
+        for s, nbrs in out.items():
+            rs = r_map[s]
+            wsum = ws[s]
+            for t, w in nbrs:
+                if t in nxt:
+                    nxt[t] += (rs * 17 * w) // (20 * wsum)
+        r_map = nxt
+    top = sorted(((-rv, v) for v, rv in r_map.items()))[:TEXTRANK_TOPN]
+    return spark.createDataFrame(
+        [(v, -nr, i + 1) for i, (nr, v) in enumerate(top)],
+        "term string, rank_micro long, rnk long",
+    ).orderBy("rnk")

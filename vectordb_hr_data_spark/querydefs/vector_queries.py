@@ -2459,3 +2459,98 @@ def embedding_health_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# B162: IVF cell silhouette audit (clustering-quality gate) (r9)
+# ---------------------------------------------------------------------------
+# Is the IVF partitioning any good? Simplified silhouette per cell
+# (Rousseeuw 1987's a/b form against CENTROIDS, the O(N*K) variant
+# that scales — full silhouette is O(N^2) and dead at 100 TB): a =
+# distance to own centroid, b = distance to the nearest OTHER
+# centroid, s = (b - a) / max(a, b). Distances quantize to 4 decimals
+# BEFORE the argmin (the IVF ops' own tie discipline, ties on cid),
+# s quantizes once to micro per vector, and cell means are exact
+# integer sums. Low mean-s cells are where probes bleed — exactly the
+# cells the B25 retune contract targets. Map-side vs the broadcast
+# centroid set; one |cells|-key aggregate.
+@register(
+    "ivf_cell_silhouette",
+    f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {16}
+), dists AS (
+  SELECT e.vec_id, c.cid,
+         round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> power(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                        - CAST(c.cv[CAST(i AS INT)] AS DOUBLE), 2))), 4) AS d
+  FROM embeddings e CROSS JOIN cents c
+), ranked AS (
+  SELECT vec_id, cid, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+  FROM dists
+), ab AS (
+  SELECT r1.vec_id,
+         max(CASE WHEN r1.rn = 1 THEN r1.cid END) AS own_cid,
+         max(CASE WHEN r1.rn = 1 THEN r1.d END) AS a,
+         max(CASE WHEN r1.rn = 2 THEN r1.d END) AS b
+  FROM ranked r1 WHERE r1.rn <= 2
+  GROUP BY r1.vec_id
+), s AS (
+  SELECT own_cid AS cid,
+         CAST(round(CASE WHEN greatest(a, b) = 0 THEN 0.0
+                         ELSE (b - a) / greatest(a, b) END * 1000000.0) AS BIGINT)
+           AS s_micro
+  FROM ab
+)
+SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(round(sum(s_micro) * 1.0 / count(*)) AS BIGINT) AS mean_silhouette_micro,
+       CAST(min(s_micro) AS BIGINT) AS min_silhouette_micro
+FROM s
+GROUP BY cid
+ORDER BY cid
+""",
+)
+def ivf_cell_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based, O(N*K)) silhouette per IVF cell
+    (B162) — the clustering-quality gate behind the B25 retune
+    contract; 4-decimal distance quantization before the argmin, exact
+    integer cell means."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    dists = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", F.round(V.l2sq(F.col("embedding"), F.col("cv")), 4).alias("d")
+    )
+    wr = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cid").asc())
+    ranked = dists.select("vec_id", "cid", "d", F.row_number().over(wr).alias("rn")).filter(
+        F.col("rn") <= 2
+    )
+    ab = ranked.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cid"))).alias("own_cid"),
+        F.max(F.when(F.col("rn") == 1, F.col("d"))).alias("a"),
+        F.max(F.when(F.col("rn") == 2, F.col("d"))).alias("b"),
+    )
+    s = ab.select(
+        F.col("own_cid").alias("cid"),
+        F.round(
+            F.when(F.greatest("a", "b") == 0, F.lit(0.0)).otherwise(
+                (F.col("b") - F.col("a")) / F.greatest("a", "b")
+            )
+            * 1000000.0
+        )
+        .cast("long")
+        .alias("s_micro"),
+    )
+    return (
+        s.groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(F.sum("s_micro") * 1.0 / F.count("*"))
+            .cast("long")
+            .alias("mean_silhouette_micro"),
+            F.min("s_micro").cast("long").alias("min_silhouette_micro"),
+        )
+        .orderBy("cid")
+    )
