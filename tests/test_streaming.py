@@ -1376,3 +1376,39 @@ def test_stream_stickiness_state_converges_to_batch(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, stickiness_from_state(spark, state).collect()))
     want = sorted(map(tuple, events_user_stickiness(spark, sf_dir).collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_slo_burn_state_converges_to_batch(spark, sf_dir, tmp_path):
+    """stream_slo_burn_state (late r9): summed window counts over 4
+    micro-batches must reproduce events_slo_burn_rate exactly — counts
+    are associative, the burn ratio derives at read time."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import events_slo_burn_rate
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        slo_burn_from_state,
+        stream_slo_burn_state,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    src = tmp_path / "slo_src"
+    src.mkdir()
+    for i in range(4):
+        part = ev.filter((F.col("event_id") % 4) == i)
+        tdir = str(tmp_path / f"slo_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    state = str(tmp_path / "slo_state")
+    stream_slo_burn_state(stream, state)
+    got = sorted(map(tuple, slo_burn_from_state(spark, state).collect()))
+    want = sorted(map(tuple, events_slo_burn_rate(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0

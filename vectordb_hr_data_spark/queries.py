@@ -191,6 +191,7 @@ PRIORITY: list[str] = [
     "events_markov_backtest", "events_ab_conversion_test",
     "doc_textrank_terms", "ivf_cell_silhouette",
     "events_dup_transaction_audit", "basket_pair_mining",
+    "events_audience_overlap", "corpus_snapshot_diff",
     # rows-only HLL sketch path of events_sliding_distinct_users (B124)
     "events_sliding_distinct_hll",
     # below-the-fold siblings whose checked twin carries the oracle

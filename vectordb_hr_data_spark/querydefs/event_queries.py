@@ -3918,3 +3918,73 @@ def events_dup_transaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# B165: audience-overlap matrix (reach intersection per type pair) (r9)
+# ---------------------------------------------------------------------------
+# Who does BOTH? Exact distinct-user overlap for every event-type pair
+# — |A∩B|, plus Jaccard in ppm — the audience-planning matrix, and the
+# exact twin any HLL inclusion-exclusion estimate (the B124 sketch
+# path's algebra) gets audited against. Shape: ONE (user, type)
+# incidence distinct, self-joined on user within pairs (fanout bounded
+# by each user's own type count, <= |types| = 5), then a |types|^2
+# aggregate. Diagonal = per-type reach, a built-in self-check.
+@register(
+    "events_audience_overlap",
+    """
+WITH inc AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), reach AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS r FROM inc GROUP BY event_type
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM inc a JOIN inc b ON b.user_id = a.user_id
+  GROUP BY a.event_type, b.event_type
+)
+SELECT i.type_a, i.type_b, ra.r AS reach_a, rb.r AS reach_b, i.n_both,
+       CAST(i.n_both * 1000000 // (ra.r + rb.r - i.n_both) AS BIGINT) AS jaccard_ppm
+FROM inter i
+JOIN reach ra ON ra.event_type = i.type_a
+JOIN reach rb ON rb.event_type = i.type_b
+ORDER BY i.type_a, i.type_b
+""",
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user overlap and Jaccard per event-type pair
+    (B165) — the audience-planning matrix and the audit twin of HLL
+    inclusion-exclusion; self-join bounded by per-user type count."""
+    ev = read_table(spark, sf_dir, "events")
+    inc = ev.select("user_id", "event_type").distinct()
+    reach = inc.groupBy("event_type").agg(F.count("*").cast("long").alias("r"))
+    a = inc.alias("a")
+    b = inc.alias("b")
+    inter = (
+        a.join(b, F.col("b.user_id") == F.col("a.user_id"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    return (
+        inter.join(
+            F.broadcast(reach.withColumnRenamed("event_type", "type_a").withColumnRenamed("r", "reach_a")),
+            "type_a",
+        )
+        .join(
+            F.broadcast(reach.withColumnRenamed("event_type", "type_b").withColumnRenamed("r", "reach_b")),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "reach_a",
+            "reach_b",
+            "n_both",
+            F.expr("n_both * 1000000 div (reach_a + reach_b - n_both)")
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -2771,3 +2771,89 @@ def source_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# B166: corpus snapshot diff (release changelog) (r9)
+# ---------------------------------------------------------------------------
+# What changed between corpus releases? The previous snapshot here is
+# the deterministic doc_id % 50 != 0 slice (a stand-in with the exact
+# shape of a real prior release table); the diff is ONE full-outer
+# join on doc_id with md5(text) deciding changed-vs-unchanged, rolled
+# up per source into added/removed/changed/unchanged counts plus a
+# churn rate. This is the release gate a training-data pipeline prints
+# before promoting a snapshot. Shape: one uniform-key full-outer join,
+# |sources| output rows; content hashes compare without moving text.
+SNAPSHOT_MOD = 50
+
+
+@register(
+    "corpus_snapshot_diff",
+    f"""
+WITH prev AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents WHERE doc_id % {SNAPSHOT_MOD} <> 0
+), cur AS (
+  SELECT doc_id, source, md5(text || CASE WHEN doc_id % 7 = 0 THEN ' v2' ELSE '' END) AS h
+  FROM documents
+), d AS (
+  SELECT coalesce(c.source, p.source) AS source,
+         CASE WHEN p.doc_id IS NULL THEN 'added'
+              WHEN c.doc_id IS NULL THEN 'removed'
+              WHEN c.h <> p.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM cur c FULL OUTER JOIN prev p ON p.doc_id = c.doc_id
+)
+SELECT source,
+       CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+       CAST(sum(CASE WHEN status <> 'unchanged' THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS churn_ppm
+FROM d
+GROUP BY source
+ORDER BY source
+""",
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source added/removed/changed/unchanged counts between two
+    corpus snapshots via content-hash full-outer join (B166) — the
+    release changelog gate; a deterministic prior-slice stand-in keeps
+    the op oracle-checked while a real deployment feeds two tables."""
+    d = read_table(spark, sf_dir, "documents")
+    prev = d.filter(F.col("doc_id") % SNAPSHOT_MOD != 0).select(
+        "doc_id", F.col("source").alias("p_source"), F.md5("text").alias("p_h")
+    )
+    cur = d.select(
+        "doc_id",
+        F.col("source").alias("c_source"),
+        F.md5(
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 7 == 0, F.lit(" v2")).otherwise(F.lit("")),
+            )
+        ).alias("c_h"),
+    )
+    diff = cur.join(prev, "doc_id", "full_outer").select(
+        F.coalesce(F.col("c_source"), F.col("p_source")).alias("source"),
+        F.when(F.col("p_h").isNull(), "added")
+        .when(F.col("c_h").isNull(), "removed")
+        .when(F.col("c_h") != F.col("p_h"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return (
+        diff.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("status") == "added", 1).otherwise(0)).cast("long").alias("n_added"),
+            F.sum(F.when(F.col("status") == "removed", 1).otherwise(0)).cast("long").alias("n_removed"),
+            F.sum(F.when(F.col("status") == "changed", 1).otherwise(0)).cast("long").alias("n_changed"),
+            F.sum(F.when(F.col("status") == "unchanged", 1).otherwise(0)).cast("long").alias("n_unchanged"),
+            F.expr(
+                "sum(CASE WHEN status <> 'unchanged' THEN 1 ELSE 0 END) * 1000000 div count(*)"
+            )
+            .cast("long")
+            .alias("churn_ppm"),
+        )
+        .orderBy("source")
+    )

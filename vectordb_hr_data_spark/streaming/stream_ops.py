@@ -1416,3 +1416,62 @@ def stickiness_from_state(spark: SparkSession, state_path: str) -> DataFrame:
         )
         .orderBy("day_epoch_days")
     )
+
+
+def stream_slo_burn_state(event_stream: DataFrame, state_path: str) -> None:
+    """Streaming maintenance of the B148 SLO burn input via
+    ``stream_mergeable_agg``: the 2x window replication runs per
+    micro-batch, state is (win_start_epoch)-keyed total/error counts —
+    both plain summed counts, so the merge is trivially associative and
+    the burn ratio (a division) derives at READ time, never in state.
+    This is the live error-budget dashboard: alerts fire off
+    ``slo_burn_from_state`` between micro-batches."""
+    from pyspark.sql import functions as F
+
+    mapped = (
+        event_stream.select(
+            F.col("ts").cast("double").alias("sec"),
+            F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+        )
+        .select("sec", "is_err", F.explode(F.array(F.lit(0), F.lit(1800))).alias("o"))
+        .select(
+            (F.floor(F.col("sec") / 1800).cast("long") * 1800 - F.col("o")).alias(
+                "win_start_epoch"
+            ),
+            "is_err",
+        )
+    )
+    stream_mergeable_agg(
+        mapped,
+        state_path,
+        ["win_start_epoch"],
+        [
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("is_err").cast("long").alias("n_errors"),
+        ],
+        [
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("n_errors").cast("long").alias("n_errors"),
+        ],
+    )
+
+
+def slo_burn_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B148's report computed from the streamed state — identical columns
+    and integer arithmetic to ``events_slo_burn_rate``."""
+    from pyspark.sql import functions as F
+
+    w = spark.read.parquet(state_path)
+    burn = F.expr("n_errors * 50000000 div n_events")
+    return (
+        w.select(
+            "win_start_epoch",
+            "n_events",
+            "n_errors",
+            F.expr("n_errors * 1000000 div n_events").cast("long").alias("err_ppm"),
+            burn.cast("long").alias("burn_micro"),
+            F.when(burn >= 14400000, 1).otherwise(0).cast("long").alias("fast_burn"),
+            F.when(burn >= 3000000, 1).otherwise(0).cast("long").alias("slow_burn"),
+        )
+        .orderBy("win_start_epoch")
+    )
