@@ -192,6 +192,8 @@ PRIORITY: list[str] = [
     "doc_textrank_terms", "ivf_cell_silhouette",
     "events_dup_transaction_audit", "basket_pair_mining",
     "events_audience_overlap", "corpus_snapshot_diff",
+    "events_stl_decompose", "doc_heaps_law_fit",
+    "part_abc_classes", "lang_source_independence",
     # rows-only HLL sketch path of events_sliding_distinct_users (B124)
     "events_sliding_distinct_hll",
     # below-the-fold siblings whose checked twin carries the oracle

@@ -3988,3 +3988,103 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# B167: STL-lite decomposition of the hourly series (r9)
+# ---------------------------------------------------------------------------
+# The classic additive decomposition, in its exact-arithmetic form:
+# trend = centered 25-hour moving SUM (kept as a sum — dividing by the
+# window width would leave integers; scaled counts c*25 compare
+# against it exactly), seasonal = per-hour-of-day median of the
+# detrended series (exact lower-median rank), residual = the rest.
+# Every component is an exact BIGINT in c*25 units, so the oracle
+# replays the whole decomposition bit-for-bit — no smoothing epsilons.
+# Densified grid (B108 lesson); windows run over the reduced hourly
+# table. The residual column is what the anomaly ops SHOULD be fed at
+# 100 TB — seasonality and trend removed by algebra, not assumption.
+@register(
+    "events_stl_decompose",
+    """
+WITH bounds AS (
+  SELECT CAST(min(floor(epoch(ts) / 3600)) AS BIGINT) AS h0,
+         CAST(max(floor(epoch(ts) / 3600)) AS BIGINT) AS h1
+  FROM events
+), grid AS (
+  SELECT CAST(g.h AS BIGINT) AS h FROM bounds b, unnest(range(b.h0, b.h1 + 1)) AS g(h)
+), counts AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY CAST(floor(epoch(ts) / 3600) AS BIGINT)
+), series AS (
+  SELECT g.h, coalesce(c.c, 0) AS c FROM grid g LEFT JOIN counts c ON c.h = g.h
+), trended AS (
+  SELECT h, c,
+         CAST(sum(c) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS BIGINT) AS trend25,
+         CAST(count(*) OVER (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS BIGINT) AS w
+  FROM series
+), inner25 AS (
+  SELECT h, c, trend25, c * 25 - trend25 AS detr
+  FROM trended WHERE w = 25
+), seas AS (
+  SELECT hod, detr AS seasonal25
+  FROM (SELECT h % 24 AS hod, detr,
+               row_number() OVER (PARTITION BY h % 24 ORDER BY detr, h) AS rk,
+               count(*) OVER (PARTITION BY h % 24) AS n
+        FROM inner25)
+  WHERE rk = (n + 1) // 2
+)
+SELECT i.h AS hour_epoch, i.c AS n_events,
+       i.trend25, s.seasonal25,
+       CAST(i.detr - s.seasonal25 AS BIGINT) AS residual25
+FROM inner25 i JOIN seas s ON s.hod = i.h % 24
+ORDER BY i.h
+""",
+)
+def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact additive trend/seasonal/residual decomposition of the
+    hourly count series in c*25 integer units (B167) — centered
+    25-hour moving sum, per-hour-of-day exact-median seasonal, the
+    residual the anomaly gates should consume."""
+    ev = read_table(spark, sf_dir, "events")
+    hcol = F.floor(F.col("ts").cast("double") / 3600).cast("long")
+    bounds = ev.agg(F.min(hcol).alias("h0"), F.max(hcol).alias("h1"))
+    grid = bounds.select(F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"))
+    counts = ev.groupBy(hcol.alias("h")).agg(F.count("*").cast("long").alias("c"))
+    series = grid.join(counts, "h", "left").select(
+        "h", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    # windows over the reduced hourly grid (<= |hours| rows) — the
+    # deliberate single-partition sweep of the seasonal/CUSUM family.
+    wt = Window.orderBy("h").rowsBetween(-12, 12)
+    trended = series.select(
+        "h",
+        "c",
+        F.sum("c").over(wt).cast("long").alias("trend25"),
+        F.count("*").over(wt).cast("long").alias("w"),
+    )
+    inner = trended.filter(F.col("w") == 25).select(
+        "h", "c", "trend25", (F.col("c") * 25 - F.col("trend25")).cast("long").alias("detr")
+    )
+    wh = Window.partitionBy(F.col("h") % 24).orderBy("detr", "h")
+    wn = Window.partitionBy(F.col("h") % 24)
+    seas = (
+        inner.select(
+            (F.col("h") % 24).alias("hod"),
+            "detr",
+            F.row_number().over(wh).alias("rk"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .filter(F.col("rk") == F.expr("(n + 1) div 2"))
+        .select("hod", F.col("detr").alias("seasonal25"))
+    )
+    return (
+        inner.join(F.broadcast(seas), (F.col("h") % 24) == F.col("hod"))
+        .select(
+            F.col("h").alias("hour_epoch"),
+            F.col("c").alias("n_events"),
+            "trend25",
+            "seasonal25",
+            (F.col("detr") - F.col("seasonal25")).cast("long").alias("residual25"),
+        )
+        .orderBy("hour_epoch")
+    )

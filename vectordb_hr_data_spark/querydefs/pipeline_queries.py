@@ -2857,3 +2857,109 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# B168: Heaps'-law vocabulary growth fit (r9)
+# ---------------------------------------------------------------------------
+# The scaling law data planning actually uses: V(n) ~ K * n^beta —
+# how fast vocabulary grows with corpus size decides tokenizer vocab
+# budgets and dedup dividends at 10x the data. Cumulative token and
+# vocab counts by ingestion order come from the SAME first-occurrence
+# table the novelty curve builds (min doc_id per term), the log-log
+# points quantize once to integer micro (the B103 Zipf discipline),
+# and the OLS slope is beta. Moment sums ride decimal(38,0)/HUGEINT —
+# at 5e3 points of ~1.3e7-micro logs the x*y sum brushes int64 (the
+# B144 128-bit rule, applied proactively). Cumulative windows run
+# over the doc-level table (already reduced from tokens).
+@register(
+    "doc_heaps_law_fit",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), td AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS t FROM toks WHERE term <> '' GROUP BY doc_id
+), firstd AS (
+  SELECT term, CAST(min(doc_id) AS BIGINT) AS fd FROM toks WHERE term <> '' GROUP BY term
+), newv AS (
+  SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS nv FROM firstd GROUP BY fd
+), cum AS (
+  SELECT d.doc_id,
+         CAST(sum(d.t) OVER (ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+         CAST(sum(coalesce(n.nv, 0)) OVER (ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+  FROM td d LEFT JOIN newv n ON n.doc_id = d.doc_id
+), pts AS (
+  SELECT CAST(floor(ln(cum_tokens) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(cum_vocab) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM cum WHERE cum_tokens > 0 AND cum_vocab > 0
+), s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       CAST((SELECT max(cum_tokens) FROM cum) AS BIGINT) AS total_tokens,
+       CAST((SELECT max(cum_vocab) FROM cum) AS BIGINT) AS total_vocab,
+       CAST(floor((CAST(n * sxy - sx * sy AS DOUBLE))
+                  / (CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         AS heaps_beta_micro
+FROM s
+""",
+)
+def doc_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law exponent from cumulative vocab-vs-tokens by ingestion
+    order (B168) — first-occurrence table, micro-quantized log-log
+    points, 128-bit moment sums; the vocabulary-growth planning
+    number."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    td = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("t"))
+    firstd = toks.groupBy("term").agg(F.min("doc_id").cast("long").alias("fd"))
+    newv = firstd.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("nv")
+    )
+    # cumulative window over the doc-level table — already reduced from
+    # the token stream; the deliberate single-partition sweep.
+    wc = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        td.join(newv, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("t").over(wc).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce("nv", F.lit(0))).over(wc).cast("long").alias("cum_vocab"),
+        )
+    )
+    pts = cum.filter((F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0)).select(
+        F.expr("CAST(floor(ln(cum_tokens) * 1000000 + 0.5) AS BIGINT)").alias("x"),
+        F.expr("CAST(floor(ln(cum_vocab) * 1000000 + 0.5) AS BIGINT)").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    s = pts.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+    )
+    tot = cum.agg(
+        F.max("cum_tokens").cast("long").alias("total_tokens"),
+        F.max("cum_vocab").cast("long").alias("total_vocab"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        F.col("n").cast("long").alias("n_points"),
+        "total_tokens",
+        "total_vocab",
+        F.floor(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("heaps_beta_micro"),
+    )

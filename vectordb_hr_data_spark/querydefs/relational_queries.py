@@ -891,3 +891,77 @@ def basket_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rnk")
         .limit(BASKET_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# B169: ABC / Pareto revenue classification (r9)
+# ---------------------------------------------------------------------------
+# The inventory classic: parts ranked by revenue, class A while the
+# running share is within 80%, B within 95%, C after — the 80/20
+# readout purchasing and caching policies key off. Exact integer
+# cents; the running share compares as cum*1e6 <= bound*total (integer
+# cross-multiplication, no ratio doubles). The cumulative window runs
+# over the PART-level rollup (one uniform-key groupBy reduces the
+# scan; the sweep table is |parts| rows — the reduced-table
+# single-partition discipline, and the classic candidate for a
+# range-partitioned sort at extreme part counts).
+@register(
+    "part_abc_classes",
+    """
+WITH rev AS (
+  SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+), tot AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev
+), ranked AS (
+  SELECT r.l_partkey, r.cents,
+         CAST(sum(r.cents) OVER (ORDER BY r.cents DESC, r.l_partkey
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM rev r
+), classed AS (
+  SELECT l_partkey, cents,
+         CASE WHEN cum * 100 <= 80 * t.t THEN 'A'
+              WHEN cum * 100 <= 95 * t.t THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked CROSS JOIN tot t
+)
+SELECT abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       CAST(sum(cents) * 1000000 // t.t AS BIGINT) AS revenue_share_ppm
+FROM classed CROSS JOIN tot t
+GROUP BY abc_class, t.t
+ORDER BY abc_class
+""",
+)
+def part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B/C Pareto classes of parts by revenue at 80/95 running-share
+    cuts (B169) — exact cents, integer cross-multiplied share
+    comparisons, sweep over the part-level rollup."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    rev = lineitem.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("t"))
+    wc = Window.orderBy(F.col("cents").desc(), F.col("l_partkey").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.select("l_partkey", "cents", F.sum("cents").over(wc).cast("long").alias("cum"))
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        F.when(F.col("cum") * 100 <= 80 * F.col("t"), "A")
+        .when(F.col("cum") * 100 <= 95 * F.col("t"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "t",
+    )
+    return (
+        classed.groupBy("abc_class", "t")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.expr("sum(cents) * 1000000 div t").cast("long").alias("revenue_share_ppm"),
+        )
+        .select("abc_class", "n_parts", "revenue_cents", "revenue_share_ppm")
+        .orderBy("abc_class")
+    )

@@ -2074,3 +2074,98 @@ def doc_textrank_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(v, -nr, i + 1) for i, (nr, v) in enumerate(top)],
         "term string, rank_micro long, rnk long",
     ).orderBy("rnk")
+
+
+# ---------------------------------------------------------------------------
+# B170: language x source chi-square independence test (r9)
+# ---------------------------------------------------------------------------
+# Is language independent of source? The formal test behind the B132
+# diversity table: contingency counts, expected under independence,
+# and the chi-square statistic in exact integer arithmetic — each cell
+# term is (c*N - rt*ct)^2 * 1e6 // (rt*ct*N) with 128-bit
+# intermediates (c*N squares brush int64 — the B144 rule). Rejection
+# compares against the 95th-percentile critical value for the
+# measured dof, entered as a micro LITERAL for the (5-1)x(20-1)=76 dof
+# this corpus has (97.351; a general deployment tabulates the same
+# way). One (lang, source) groupBy; everything after is arithmetic on
+# langs x sources rows.
+@register(
+    "lang_source_independence",
+    """
+WITH cont AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY lang, source
+), rt AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS r FROM cont GROUP BY lang
+), ct AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS s FROM cont GROUP BY source
+), n AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM cont
+), grid AS (
+  SELECT rt.lang, ct.source, coalesce(cont.c, 0) AS c, rt.r, ct.s, n.n
+  FROM rt CROSS JOIN ct CROSS JOIN n
+  LEFT JOIN cont ON cont.lang = rt.lang AND cont.source = ct.source
+), terms AS (
+  SELECT CAST((CAST(c AS HUGEINT) * n - CAST(r AS HUGEINT) * s)
+              * (CAST(c AS HUGEINT) * n - CAST(r AS HUGEINT) * s) * 1000000
+              // (CAST(r AS HUGEINT) * s * n) AS BIGINT) AS t_micro
+  FROM grid
+)
+SELECT (SELECT n FROM n) AS n_docs,
+       CAST((SELECT count(*) FROM rt) AS BIGINT) AS n_langs,
+       CAST((SELECT count(*) FROM ct) AS BIGINT) AS n_sources,
+       CAST(((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof,
+       CAST(sum(t_micro) AS BIGINT) AS chi2_micro,
+       CAST(CASE WHEN sum(t_micro) > 97351000 THEN 1 ELSE 0 END AS BIGINT) AS independence_rejected
+FROM terms
+""",
+)
+def lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of language vs source (B170) —
+    exact integer cell terms with 128-bit intermediates, dof measured
+    from the data, 95% critical value for dof=76 as a literal."""
+    d = read_table(spark, sf_dir, "documents")
+    cont = d.groupBy("lang", "source").agg(F.count("*").cast("long").alias("c"))
+    rt = cont.groupBy("lang").agg(F.sum("c").cast("long").alias("r"))
+    ct = cont.groupBy("source").agg(F.sum("c").cast("long").alias("s"))
+    n = cont.agg(F.sum("c").cast("long").alias("n"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(n))
+        .join(cont, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+            "r",
+            "s",
+            "n",
+        )
+    )
+    # decimal `div` gives the exact floor the oracle's HUGEINT // computes
+    # (decimal / would round, not truncate)
+    terms = grid.select(
+        F.expr(
+            "cast((cast(c as decimal(38,0)) * n - cast(r as decimal(38,0)) * s)"
+            " * (cast(c as decimal(38,0)) * n - cast(r as decimal(38,0)) * s) * 1000000"
+            " div (cast(r as decimal(38,0)) * s * n) as long)"
+        ).alias("t_micro")
+    )
+    stats = terms.agg(F.sum("t_micro").cast("long").alias("chi2_micro"))
+    dims = (
+        rt.agg(F.count("*").cast("long").alias("n_langs"))
+        .crossJoin(ct.agg(F.count("*").cast("long").alias("n_sources")))
+        .crossJoin(n)
+    )
+    return (
+        stats.crossJoin(F.broadcast(dims))
+        .select(
+            F.col("n").alias("n_docs"),
+            "n_langs",
+            "n_sources",
+            ((F.col("n_langs") - 1) * (F.col("n_sources") - 1)).cast("long").alias("dof"),
+            "chi2_micro",
+            F.when(F.col("chi2_micro") > 97351000, 1).otherwise(0).cast("long").alias(
+                "independence_rejected"
+            ),
+        )
+    )
