@@ -709,3 +709,37 @@ def test_betweenness_variance_routes_agree_and_invariants(spark, sf_dir, monkeyp
     assert (shift == -1) == (n_common == 0)
     if n_common:
         assert 0 <= shift < n_top
+
+
+def test_personalized_pagerank_routes_agree(spark, sf_dir, monkeypatch):
+    """B157: the distributed join+groupBy PPR loop over the exact edge
+    frame must reproduce the driver route exactly — same integer
+    forwards, same seed teleports, so ranks are equal row for row; the
+    top list must contain seeds AND non-seeds (rank flows outward)."""
+    from vectordb_hr_data_spark.querydefs import similarity_queries as S
+
+    drv = [tuple(r) for r in S.graph_personalized_pagerank(spark, sf_dir).collect()]
+    monkeypatch.setattr(S, "GRAPH_DRIVER_MAX", 0)
+    dist = [tuple(r) for r in S.graph_personalized_pagerank(spark, sf_dir).collect()]
+    assert drv == dist
+    assert len(drv) > 0
+    seeds = {r[0] for r in drv if r[1]}
+    non_seeds = {r[0] for r in drv if not r[1]}
+    assert seeds and non_seeds  # proximity ranking reaches past the seed set
+    # every non-seed's rank is pure inflow (no teleport): must be > 0
+    for vec_id, is_seed, rank_micro, rnk in drv:
+        assert rank_micro > 0
+
+
+def test_assortativity_routes_agree(spark, sf_dir, monkeypatch):
+    """B155: distributed moment sums over the exact edge frame equal the
+    driver loop's integers; the coefficient sits in [-1e6, 1e6]."""
+    from vectordb_hr_data_spark.querydefs import similarity_queries as S
+
+    drv = [tuple(r) for r in S.graph_assortativity(spark, sf_dir).collect()]
+    monkeypatch.setattr(S, "GRAPH_DRIVER_MAX", 0)
+    dist = [tuple(r) for r in S.graph_assortativity(spark, sf_dir).collect()]
+    assert drv == dist
+    (n_edges, r_micro), = [(r[0], r[1]) for r in drv]
+    assert n_edges > 0
+    assert -1_000_000 <= r_micro <= 1_000_000
