@@ -2963,3 +2963,91 @@ def doc_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("heaps_beta_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B172: greedy submodular coverage selection (r9)
+# ---------------------------------------------------------------------------
+# The data-subset-selection classic (facility-location/set-cover form,
+# Wei et al. ICML'15): pick K documents one at a time, each maximizing
+# the count of vocabulary terms NOT yet covered — the greedy that
+# carries the (1 - 1/e) guarantee. Iteration state is the covered-term
+# set (vocabulary-bounded); the argmax packs (gain, doc_id-tiebreak)
+# into one max() integer — the B61 recursive-CTE trick — so the DuckDB
+# oracle replays the greedy loop exactly. Spark side: K rounds of a
+# distributed marginal-gain scan against the broadcast covered set
+# (at 100 TB the set travels as term hashes; the scan per round is the
+# map pass any coverage metric pays), argmax via TakeOrdered(1).
+COVER_K = 5
+_PACK = 8388608  # 2^23 — packs gain*M + (M-1-doc_id) for the argmax trick
+
+
+@register(
+    "doc_greedy_coverage_select",
+    f"""
+WITH RECURSIVE dt AS (
+  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS ts
+  FROM documents
+), sel AS (
+  SELECT * FROM (
+    SELECT CAST(1 AS BIGINT) AS rnk, doc_id,
+           CAST(len(ts) AS BIGINT) AS gain,
+           list_sort(ts) AS covered,
+           [doc_id] AS sel_ids
+    FROM dt ORDER BY len(ts) DESC, doc_id LIMIT 1
+  )
+  UNION ALL
+  SELECT t.rnk, c.doc_id,
+         CAST(t.e // {_PACK} AS BIGINT) AS gain,
+         list_sort(list_distinct(list_concat(t.covered, c.ts))) AS covered,
+         list_append(t.sel_ids, c.doc_id) AS sel_ids
+  FROM (
+    SELECT s.rnk + 1 AS rnk, any_value(s.covered) AS covered,
+           any_value(s.sel_ids) AS sel_ids,
+           max(CAST(len(list_filter(d.ts, x -> NOT list_contains(s.covered, x))) AS BIGINT)
+               * {_PACK} + ({_PACK} - 1 - d.doc_id)) AS e
+    FROM sel s, dt d
+    WHERE s.rnk < {COVER_K} AND NOT list_contains(s.sel_ids, d.doc_id)
+    GROUP BY s.rnk + 1
+  ) t
+  JOIN dt c ON c.doc_id = {_PACK} - 1 - (t.e % {_PACK})
+)
+SELECT rnk, doc_id, gain,
+       CAST(len(covered) AS BIGINT) AS covered_after
+FROM sel ORDER BY rnk
+""",
+)
+def doc_greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy K=5 max-coverage document selection over distinct terms
+    (B172) — the submodular subset-selection classic; packed-argmax
+    recursive oracle, K distributed marginal-gain rounds on the Spark
+    side."""
+    d = read_table(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id",
+        F.expr("array_distinct(filter(split(text, ' '), x -> x <> ''))").alias("ts"),
+    )
+    covered: set[str] = set()
+    picked: list[tuple[int, int, int, int]] = []
+    chosen: set[int] = set()
+    for step in range(1, COVER_K + 1):
+        cov_arr = F.array(*[F.lit(x) for x in sorted(covered)]) if covered else F.array()
+        # the covered set rides as a literal broadcast column
+        gains = (
+            dt.filter(~F.col("doc_id").isin(list(chosen)) if chosen else F.lit(True))
+            .withColumn("cov", cov_arr)
+            .select(
+                "doc_id",
+                F.size(F.filter(F.col("ts"), lambda x: ~F.array_contains(F.col("cov"), x)))
+                .cast("long")
+                .alias("g"),
+                "ts",
+            )
+        )
+        top = gains.orderBy(F.col("g").desc(), F.col("doc_id").asc()).limit(1).collect()[0]
+        covered |= set(top.ts)
+        chosen.add(top.doc_id)
+        picked.append((step, int(top.doc_id), int(top.g), len(covered)))
+    return spark.createDataFrame(
+        picked, "rnk long, doc_id long, gain long, covered_after long"
+    ).orderBy("rnk")

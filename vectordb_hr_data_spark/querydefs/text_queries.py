@@ -2169,3 +2169,123 @@ def lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B171: holdout-split LM perplexity (the CCNet-faithful form) (r9)
+# ---------------------------------------------------------------------------
+# B33 trains and scores on the same corpus — fine as a repetition
+# gate, but CCNet's actual recipe trains the LM on a REFERENCE corpus
+# and scores the candidate one. This op is that shape: the bigram LM
+# trains on the doc_id % 5 != 0 slice, scores the held-out % 5 == 0
+# docs, and bigrams never seen in training fall through the add-alpha
+# smoothing via left joins (c2, then c1, then V — all TRAIN-side
+# quantities; coalesce 0 keeps the probability finite exactly as the
+# smoothing intends). Same per-bigram micro-nat quantization, same
+# two-pass scale shape; held-out scores are what a cross-domain
+# quality gate actually thresholds.
+@register(
+    "doc_lm_holdout_perplexity",
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), train_bi AS (
+  SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+  WHERE doc_id % 5 <> 0
+), uni AS (
+  SELECT CAST(count(DISTINCT u) AS BIGINT) AS v
+  FROM (SELECT unnest(t) AS u FROM toks WHERE doc_id % 5 <> 0)
+), c2 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM train_bi GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM train_bi GROUP BY w1
+), test_bi AS (
+  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+  WHERE doc_id % 5 = 0
+), db AS (
+  SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n_b FROM test_bi GROUP BY doc_id, w1, w2
+), scored AS (
+  SELECT d.doc_id, d.n_b,
+         CAST(round(-ln((coalesce(c2.c2, 0) + {LM_ALPHA})
+                        / (coalesce(c1.c1, 0) + {LM_ALPHA} * uni.v)) * 1000000.0)
+              AS BIGINT) AS nl
+  FROM db d
+  LEFT JOIN c2 ON c2.w1 = d.w1 AND c2.w2 = d.w2
+  LEFT JOIN c1 ON c1.w1 = d.w1
+  CROSS JOIN uni
+)
+SELECT doc_id, n_bigrams,
+       ce_micro / 1000000.0 AS cross_entropy,
+       round(exp(ce_micro / 1000000.0), 4) AS ppl
+FROM (
+  SELECT doc_id,
+         CAST(sum(n_b) AS BIGINT) AS n_bigrams,
+         CAST(round(sum(n_b * nl) * 1.0 / sum(n_b)) AS BIGINT) AS ce_micro
+  FROM scored GROUP BY doc_id
+)
+ORDER BY doc_id
+""",
+)
+def doc_lm_holdout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity: bigram LM trained on the doc_id % 5 != 0
+    slice scores the % 5 == 0 docs (B171) — CCNet's actual
+    reference-model shape; unseen bigrams ride the smoothing through
+    left joins, per-bigram micro-nat quantization unchanged."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    bi_expr = F.explode(
+        F.expr(
+            "CASE WHEN size(t) >= 2 THEN"
+            " transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"
+            " ELSE array() END"
+        )
+    ).alias("b")
+    train_bi = toks.filter(F.col("doc_id") % 5 != 0).select(bi_expr).select(
+        F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    v = (
+        toks.filter(F.col("doc_id") % 5 != 0)
+        .select(F.explode("t").alias("u"))
+        .agg(F.countDistinct("u").cast("long").alias("v"))
+    )
+    c2 = train_bi.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c2"))
+    c1 = train_bi.groupBy("w1").agg(F.count("*").cast("long").alias("c1"))
+    db = (
+        toks.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", bi_expr)
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").cast("long").alias("n_b"))
+    )
+    scored = (
+        db.join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "n_b",
+            F.round(
+                -F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + LM_ALPHA)
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + LM_ALPHA * F.col("v"))
+                )
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("nl"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("n_b").cast("long").alias("n_bigrams"),
+        F.round(F.sum(F.col("n_b") * F.col("nl")) * 1.0 / F.sum("n_b"))
+        .cast("long")
+        .alias("ce_micro"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("ce_micro") / 1000000.0).alias("cross_entropy"),
+        F.round(F.exp(F.col("ce_micro") / 1000000.0), 4).alias("ppl"),
+    ).orderBy("doc_id")
