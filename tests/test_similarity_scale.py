@@ -743,3 +743,18 @@ def test_assortativity_routes_agree(spark, sf_dir, monkeypatch):
     (n_edges, r_micro), = [(r[0], r[1]) for r in drv]
     assert n_edges > 0
     assert -1_000_000 <= r_micro <= 1_000_000
+
+
+def test_reciprocity_routes_agree(spark, sf_dir, monkeypatch):
+    """B174: the distributed reversed-pair self-join equals the driver
+    set arithmetic; reciprocity sits in (0, 1e6] and mutual edges can't
+    exceed the edge count."""
+    from vectordb_hr_data_spark.querydefs import similarity_queries as S
+
+    drv = [tuple(r) for r in S.graph_reciprocity(spark, sf_dir).collect()]
+    monkeypatch.setattr(S, "GRAPH_DRIVER_MAX", 0)
+    dist = [tuple(r) for r in S.graph_reciprocity(spark, sf_dir).collect()]
+    assert drv == dist
+    (n_edges, n_mutual, ppm), = drv
+    assert 0 < n_edges and 0 <= n_mutual <= n_edges
+    assert 0 <= ppm <= 1_000_000

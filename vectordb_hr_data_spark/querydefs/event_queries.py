@@ -4088,3 +4088,111 @@ def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_epoch")
     )
+
+
+# ---------------------------------------------------------------------------
+# B173: delta-method CI for a ratio metric (revenue per active day) (r9)
+# ---------------------------------------------------------------------------
+# Ratio metrics (revenue/session, clicks/view) violate the iid
+# assumption user-level t-tests need — the standard fix is the delta
+# method (Deng et al., KDD'18 practice): var(X̄/Ȳ) ≈ (1/n·Ȳ²)·
+# (S_xx − 2·(X̄/Ȳ)·S_xy + (X̄/Ȳ)²·S_yy). Per seeded arm, per-user
+# revenue (x, cents) and active days (y) reduce to exact integer
+# moment sums (decimal(38,0)/HUGEINT — cents² sums pass int64, the
+# B144 rule); the ratio, its delta-method standard error, and the 95%
+# CI evaluate once per arm in doubles with floor(x+0.5) micro
+# quantization. One user-key reduce, two rows out.
+@register(
+    "events_ratio_delta_method",
+    """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5('srm:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS arm,
+         CAST(sum(CASE WHEN value IS NOT NULL THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+         CAST(count(DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM per_user GROUP BY arm
+), f AS (
+  SELECT arm, n, sx, sy,
+         (CAST(sx AS DOUBLE) / n) AS xbar, (CAST(sy AS DOUBLE) / n) AS ybar,
+         (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS vxx,
+         (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1) AS vxy,
+         (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS vyy
+  FROM s WHERE n > 1
+)
+SELECT arm, n AS n_users,
+       CAST(floor(xbar / ybar * 1000000 + 0.5) AS BIGINT) AS ratio_micro,
+       CAST(floor(sqrt(greatest((vxx - 2 * (xbar / ybar) * vxy
+                                 + (xbar / ybar) * (xbar / ybar) * vyy)
+                                / (n * ybar * ybar), 0)) * 1000000 + 0.5) AS BIGINT)
+         AS se_micro,
+       CAST(floor((xbar / ybar - 1.959964 * sqrt(greatest((vxx - 2 * (xbar / ybar) * vxy
+                                 + (xbar / ybar) * (xbar / ybar) * vyy)
+                                / (n * ybar * ybar), 0))) * 1000000 + 0.5) AS BIGINT) AS ci_lo_micro,
+       CAST(floor((xbar / ybar + 1.959964 * sqrt(greatest((vxx - 2 * (xbar / ybar) * vxy
+                                 + (xbar / ybar) * (xbar / ybar) * vyy)
+                                / (n * ybar * ybar), 0))) * 1000000 + 0.5) AS BIGINT) AS ci_hi_micro
+FROM f
+ORDER BY arm
+""",
+)
+def events_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method mean, SE, and 95% CI for the revenue-per-active-day
+    ratio metric per seeded arm (B173) — exact 128-bit moment sums, one
+    double formula per arm; the correct ratio-metric readout."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.expr(
+            "cast(conv(substring(md5(concat('srm:', cast(user_id as string))), 1, 8), 16, 10)"
+            " as bigint) % 2"
+        ).alias("arm"),
+        F.sum(
+            F.when(
+                F.col("value").isNotNull(), F.round(F.col("value") * 100).cast("long")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("x"),
+        F.countDistinct(F.floor(F.col("ts").cast("double") / 86400).cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+    dec = "decimal(38,0)"
+    s = per_user.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+    ).filter(F.col("n") > 1)
+    xbar = F.col("sx").cast("double") / F.col("n")
+    ybar = F.col("sy").cast("double") / F.col("n")
+    vxx = (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    vxy = (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    vyy = (F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    ratio = xbar / ybar
+    var = F.greatest(
+        (vxx - 2 * ratio * vxy + ratio * ratio * vyy) / (F.col("n") * ybar * ybar), F.lit(0.0)
+    )
+    se = F.sqrt(var)
+    return s.select(
+        "arm",
+        F.col("n").alias("n_users"),
+        F.floor(ratio * 1000000 + 0.5).cast("long").alias("ratio_micro"),
+        F.floor(se * 1000000 + 0.5).cast("long").alias("se_micro"),
+        F.floor((ratio - 1.959964 * se) * 1000000 + 0.5).cast("long").alias("ci_lo_micro"),
+        F.floor((ratio + 1.959964 * se) * 1000000 + 0.5).cast("long").alias("ci_hi_micro"),
+    ).orderBy("arm")

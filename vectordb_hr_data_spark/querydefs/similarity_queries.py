@@ -3835,3 +3835,58 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rnk")
         .limit(PAGERANK_TOPN)
     )
+
+
+# --------------------------------------------------------------------------
+# B174: kNN-graph reciprocity (r9)
+# --------------------------------------------------------------------------
+# What share of "a's neighbor is b" is mutual? Reciprocity separates
+# hub-dominated similarity graphs (low — everyone points AT the hub,
+# it points back at almost nobody) from cluster-dominated ones (high),
+# and it is the quantity the mutual-kNN k-core (B78) implicitly
+# thresholds. One self-join of the edge list on the reversed pair —
+# both sides keyed (src, dst), uniform — over the family's shared
+# memoized edge build; one summary row.
+@register(
+    "graph_reciprocity",
+    f"""
+WITH scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_COS_DDB.format(a='b.embedding', b='a.embedding')}, 4) DESC,
+                                     b.vec_id) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+), de AS (
+  SELECT src, dst FROM scored WHERE rn <= {PAGERANK_DEG}
+)
+SELECT CAST((SELECT count(*) FROM de) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM de e JOIN de r ON r.src = e.dst AND r.dst = e.src) AS BIGINT)
+         AS n_mutual,
+       CAST((SELECT count(*) FROM de e JOIN de r ON r.src = e.dst AND r.dst = e.src) * 1000000
+            // (SELECT count(*) FROM de) AS BIGINT) AS reciprocity_ppm
+""",
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of directed kNN edges whose reverse edge also exists
+    (B174) — the hub-vs-cluster diagnostic the mutual-kNN k-core
+    thresholds; one reversed-pair self-join over the shared edge
+    build."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    n_corpus = _corpus_count_memo(sf_dir, emb)
+    if n_corpus <= GRAPH_DRIVER_MAX:
+        out_edges = _out_edges_memo(sf_dir, emb, PAGERANK_DEG, "graph_reciprocity")
+        eset = {(s, t) for s, dsts in out_edges.items() for t in dsts}
+        n_mutual = sum(1 for (s, t) in eset if (t, s) in eset)
+        n_edges = len(eset)
+        return spark.createDataFrame(
+            [(n_edges, n_mutual, n_mutual * 1_000_000 // n_edges)],
+            "n_edges long, n_mutual long, reciprocity_ppm long",
+        )
+    de = _graph_dir_edges(sf_dir, emb, PAGERANK_DEG, "graph_reciprocity")
+    rev = de.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_edges = de.count()
+    n_mutual = de.join(rev, ["src", "dst"]).count()
+    return spark.createDataFrame(
+        [(n_edges, n_mutual, n_mutual * 1_000_000 // n_edges)],
+        "n_edges long, n_mutual long, reciprocity_ppm long",
+    )
