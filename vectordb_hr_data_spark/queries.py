@@ -196,6 +196,7 @@ PRIORITY: list[str] = [
     "part_abc_classes", "lang_source_independence",
     "doc_lm_holdout_perplexity", "doc_greedy_coverage_select",
     "events_ratio_delta_method", "graph_reciprocity",
+    "doc_canary_detection", "dedup_token_impact",
     # rows-only HLL sketch path of events_sliding_distinct_users (B124)
     "events_sliding_distinct_hll",
     # below-the-fold siblings whose checked twin carries the oracle

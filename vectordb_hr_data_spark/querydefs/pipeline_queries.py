@@ -3051,3 +3051,138 @@ def doc_greedy_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picked, "rnk long, doc_id long, gain long, covered_after long"
     ).orderBy("rnk")
+
+
+# ---------------------------------------------------------------------------
+# B175: canary-string detection (eval-set watermark scan) (r9)
+# ---------------------------------------------------------------------------
+# Benchmark suites embed canary GUIDs precisely so training pipelines
+# can prove they filtered them (the BIG-bench practice); a corpus
+# release that cannot show a canary scan ran is not decontaminated.
+# The scan is a map-side multi-literal containment pass per source —
+# canaries here are deterministic corpus substrings so the op has
+# non-trivial output to hash-check; a real deployment swaps the
+# literal list. Per source: docs scanned, docs flagged, per-canary
+# hit counts as a stable pivoted layout. The 100 TB cost is the scan
+# every release audit already pays; at large canary sets the literal
+# OR-chain swaps for an Aho-Corasick UDF, plumbing unchanged.
+CANARIES = ["spark join", "window batch", "hash merge"]
+
+
+@register(
+    "doc_canary_detection",
+    f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN {" OR ".join(f"contains(text, '{c}')" for c in CANARIES)}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       {", ".join(f"CAST(sum(CASE WHEN contains(text, '{c}') THEN 1 ELSE 0 END) AS BIGINT) AS hits_{i}" for i, c in enumerate(CANARIES))},
+       CAST(sum(CASE WHEN {" OR ".join(f"contains(text, '{c}')" for c in CANARIES)}
+                     THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS flagged_ppm
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def doc_canary_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source canary-substring scan (B175) — the release audit that
+    proves eval watermarks were filtered; map-side multi-literal
+    containment, per-canary hit columns."""
+    d = read_table(spark, sf_dir, "documents")
+    any_hit = None
+    for c in CANARIES:
+        h = F.col("text").contains(c)
+        any_hit = h if any_hit is None else (any_hit | h)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(any_hit, 1).otherwise(0)).cast("long").alias("n_flagged"),
+            *[
+                F.sum(F.when(F.col("text").contains(c), 1).otherwise(0))
+                .cast("long")
+                .alias(f"hits_{i}")
+                for i, c in enumerate(CANARIES)
+            ],
+            F.expr(
+                "sum(CASE WHEN "
+                + " OR ".join(f"contains(text, '{c}')" for c in CANARIES)
+                + " THEN 1 ELSE 0 END) * 1000000 div count(*)"
+            )
+            .cast("long")
+            .alias("flagged_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B176: token-weighted dedup impact (r9)
+# ---------------------------------------------------------------------------
+# Doc-level dedup rates undersell the win: training compute is spent
+# per TOKEN, so the number a pipeline owner needs is "what share of
+# TOKENS sits in redundant copies". Exact-dup groups (md5 text, the B1
+# definition) weight by whitespace token counts; per source: total
+# tokens, redundant tokens (every copy beyond each group's keeper),
+# doc- vs token-level dedup rates side by side — divergence between
+# the two columns means duplication concentrates in long or short
+# docs. One md5 groupBy + one source rollup; token counts ride the
+# same expression as B6.
+@register(
+    "dedup_token_impact",
+    """
+WITH t AS (
+  SELECT doc_id, source, md5(text) AS h,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+), g AS (
+  SELECT source, h,
+         CAST(count(*) AS BIGINT) AS n_copies,
+         CAST(sum(n_tok) AS BIGINT) AS tok_all,
+         CAST(min(n_tok) AS BIGINT) AS tok_keep
+  FROM t GROUP BY source, h
+)
+SELECT source,
+       CAST(sum(n_copies) AS BIGINT) AS n_docs,
+       CAST(sum(n_copies) - count(*) AS BIGINT) AS n_redundant_docs,
+       CAST(sum(tok_all) AS BIGINT) AS total_tokens,
+       CAST(sum(tok_all - tok_keep) AS BIGINT) AS redundant_tokens,
+       CAST((sum(n_copies) - count(*)) * 1000000 // sum(n_copies) AS BIGINT) AS doc_dedup_ppm,
+       CAST(sum(tok_all - tok_keep) * 1000000 // greatest(sum(tok_all), 1) AS BIGINT)
+         AS token_dedup_ppm
+FROM g
+GROUP BY source
+ORDER BY source
+""",
+)
+def dedup_token_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level vs TOKEN-level exact-dup rates per source (B176) — the
+    compute-weighted dedup dividend; every copy beyond each md5 group's
+    keeper counts as redundant tokens."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    g = t.groupBy("source", "h").agg(
+        F.count("*").cast("long").alias("n_copies"),
+        F.sum("n_tok").cast("long").alias("tok_all"),
+        F.min("n_tok").cast("long").alias("tok_keep"),
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.sum("n_copies").cast("long").alias("n_docs"),
+            (F.sum("n_copies") - F.count("*")).cast("long").alias("n_redundant_docs"),
+            F.sum("tok_all").cast("long").alias("total_tokens"),
+            F.sum(F.col("tok_all") - F.col("tok_keep")).cast("long").alias("redundant_tokens"),
+            F.expr("(sum(n_copies) - count(*)) * 1000000 div sum(n_copies)")
+            .cast("long")
+            .alias("doc_dedup_ppm"),
+            F.expr("sum(tok_all - tok_keep) * 1000000 div greatest(sum(tok_all), 1)")
+            .cast("long")
+            .alias("token_dedup_ppm"),
+        )
+        .orderBy("source")
+    )
