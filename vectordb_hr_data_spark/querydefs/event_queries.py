@@ -717,7 +717,7 @@ WITH f AS (
   FROM f
 )
 SELECT stage, stage_name, n_users,
-       CAST(round(n_users * 1000000.0 / s1) AS BIGINT) AS conv_ppm
+       CAST(round(n_users * 1000000.0 / greatest(s1, 1)) AS BIGINT) AS conv_ppm
 FROM (
   SELECT 1 AS stage, 'view' AS stage_name, CAST(s1 AS BIGINT) AS n_users, s1 FROM m
   UNION ALL SELECT 2, 'view>click', CAST(s2 AS BIGINT), s1 FROM m
@@ -755,7 +755,11 @@ def events_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(st).alias("stage"),
             F.lit(name).alias("stage_name"),
             F.col(col).cast("long").alias("n_users"),
-            F.round(F.col(col) * 1000000.0 / F.col("s1"), 0).cast("long").alias("conv_ppm"),
+            # greatest(s1,1): zero-'view' corpora yield 0, not NULL (house
+            # div-zero guard, matching the oracle).
+            F.round(F.col(col) * 1000000.0 / F.greatest(F.col("s1"), F.lit(1)), 0)
+            .cast("long")
+            .alias("conv_ppm"),
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows.orderBy("stage")
@@ -3226,7 +3230,7 @@ WITH v AS (
          (SELECT count(*) FROM p WHERE t_purchase IS NOT NULL) AS s3
 )
 SELECT stage, stage_name, n_users,
-       CAST(round(n_users * 1000000.0 / s1) AS BIGINT) AS conv_ppm
+       CAST(round(n_users * 1000000.0 / greatest(s1, 1)) AS BIGINT) AS conv_ppm
 FROM (
   SELECT 1 AS stage, 'view' AS stage_name, CAST(s1 AS BIGINT) AS n_users, s1 FROM m
   UNION ALL SELECT 2, 'view>click<=24h', CAST(s2 AS BIGINT), s1 FROM m
@@ -3285,7 +3289,9 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage",
         "stage_name",
         "n_users",
-        F.round(F.col("n_users") * 1000000.0 / F.lit(s1)).cast("long").alias("conv_ppm"),
+        # max(s1, 1): a corpus with zero 'view' events must yield conv_ppm 0,
+        # not a divide-by-zero NULL divergence (house greatest(x,1) guard).
+        F.round(F.col("n_users") * 1000000.0 / F.lit(max(s1, 1))).cast("long").alias("conv_ppm"),
     ).orderBy("stage")
 
 

@@ -2628,10 +2628,16 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = (
         toks.select(
             "doc_id",
+            # Docs shorter than N tokens yield no grams. The guard matters:
+            # without it sequence(0, -1) auto-steps DOWN to [0, -1] and
+            # slice(t, 0+1=...start 0) throws INVALID_PARAMETER_VALUE.START;
+            # the oracle's range(1, len-1) simply emits nothing.
             F.explode(
                 F.expr(
-                    f"transform(sequence(0, greatest(size(t) - {NOVELTY_N}, -1)),"
+                    f"CASE WHEN size(t) >= {NOVELTY_N} THEN"
+                    f" transform(sequence(0, size(t) - {NOVELTY_N}),"
                     f" i -> array_join(slice(t, i + 1, {NOVELTY_N}), ' '))"
+                    " ELSE array() END"
                 )
             ).alias("g"),
         )
@@ -2822,10 +2828,10 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the op oracle-checked while a real deployment feeds two tables."""
     d = read_table(spark, sf_dir, "documents")
     prev = d.filter(F.col("doc_id") % SNAPSHOT_MOD != 0).select(
-        "doc_id", F.col("source").alias("p_source"), F.md5("text").alias("p_h")
+        F.col("doc_id").alias("p_id"), F.col("source").alias("p_source"), F.md5("text").alias("p_h")
     )
     cur = d.select(
-        "doc_id",
+        F.col("doc_id").alias("c_id"),
         F.col("source").alias("c_source"),
         F.md5(
             F.concat(
@@ -2834,10 +2840,14 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c_h"),
     )
-    diff = cur.join(prev, "doc_id", "full_outer").select(
+    # Classify on ROW presence (p_id/c_id NULL through the full-outer join),
+    # exactly like the oracle's `p.doc_id IS NULL` — not on hash NULL-ness:
+    # a present row with NULL text hashes to NULL and would otherwise be
+    # misclassified as added/removed on this side only.
+    diff = cur.join(prev, F.col("c_id") == F.col("p_id"), "full_outer").select(
         F.coalesce(F.col("c_source"), F.col("p_source")).alias("source"),
-        F.when(F.col("p_h").isNull(), "added")
-        .when(F.col("c_h").isNull(), "removed")
+        F.when(F.col("p_id").isNull(), "added")
+        .when(F.col("c_id").isNull(), "removed")
         .when(F.col("c_h") != F.col("p_h"), "changed")
         .otherwise("unchanged")
         .alias("status"),

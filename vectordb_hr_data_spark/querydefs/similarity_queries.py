@@ -3702,6 +3702,10 @@ def rec_coverage_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_distinct = recs.select("vec_id").distinct().count()
     catalog = emb.count()
     ild_stats = ild.agg(F.expr("sum(ild_micro) div count(*)").cast("long").alias("m")).collect()[0]
+    # Degenerate catalog (<2 non-query vectors → no intra-list pairs): the
+    # aggregate collects m=None and the oracle's scalar subquery returns
+    # NULL — emit None to match, instead of int(None) raising TypeError.
+    mean_ild = int(ild_stats.m) if ild_stats.m is not None else None
     return spark.createDataFrame(
         [
             (
@@ -3710,7 +3714,7 @@ def rec_coverage_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_distinct,
                 catalog,
                 n_distinct * 1_000_000 // catalog,
-                int(ild_stats.m),
+                mean_ild,
             )
         ],
         "n_queries long, n_recs_total long, n_distinct_items long, catalog_size long,"
