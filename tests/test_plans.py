@@ -613,3 +613,75 @@ def test_zorder_and_matryoshka_plans_are_clean(spark, sf_dir):
     mplan = _plan(REGISTRY["knn_matryoshka_rerank"].fn(spark, sf_dir))
     assert mplan.count("TakeOrderedAndProject") == 2, mplan
     assert "EvalPython" not in mplan and "Exchange hashpartitioning" not in mplan
+
+
+def _unpartitioned_windows(df):
+    """Walk the executed plan; return [(node, has_aggregate_below)] for
+    every WindowExec whose partitionSpec is empty (single-partition sort)."""
+    out = []
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if "WindowExec" in cls or "WindowGroupLimitExec" in cls:
+            try:
+                empty = node.partitionSpec().isEmpty()
+            except Exception:
+                empty = False
+            if empty:
+                agg_below = "HashAggregate" in node.toString()[node.toString().find("\n") :]
+                out.append((cls, agg_below))
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+@pytest.mark.parametrize(
+    "qname", ["doc_k_anonymity_audit", "events_user_rfm", "doc_equidepth_bins"]
+)
+def test_exact_ntile_queries_have_no_global_window_over_base_rows(spark, sf_dir, qname):
+    """r10 scale fix (VERDICT r9 items 2-3): the quantile-bucket queries
+    must not sort the full frame through one task. The ntile is replaced
+    by the exact-rank two-form, so (a) no ntile survives in the plan and
+    (b) any remaining unpartitioned window runs strictly over an
+    AGGREGATED (bounded-cardinality) table — a HashAggregate sits below
+    it — never over base rows."""
+    from vectordb_hr_data_spark.queries import REGISTRY
+
+    df = REGISTRY[qname].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "ntile" not in plan, plan[:1500]
+    for cls, agg_below in _unpartitioned_windows(df):
+        assert agg_below, f"{qname}: unpartitioned {cls} over non-aggregated input"
+
+
+def test_rfm_streaming_read_path_shares_batch_scorer(spark, sf_dir, tmp_path):
+    """VERDICT r9 item 6 (RFM half): the streaming read path must reuse
+    rfm_quintile_scores — scoring parity can't drift — and therefore
+    carries no global ntile window either."""
+    import pyspark.sql.functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import events_user_rfm
+    from vectordb_hr_data_spark.streaming.stream_ops import rfm_from_state
+
+    ev = read_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("t1")).collect()[0].t1
+    state = str(tmp_path / "rfm_state")
+    (
+        ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).cast("long").alias("last_t"),
+            F.count("*").cast("long").alias("f_n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("m_cents"),
+        )
+        .write.parquet(state)
+    )
+    got = rfm_from_state(spark, state, mx)
+    assert "ntile" not in _plan(got)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in events_user_rfm(spark, sf_dir).collect()
+    ]

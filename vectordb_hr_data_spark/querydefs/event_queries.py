@@ -1847,6 +1847,28 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rfm_quintile_scores(u: DataFrame) -> DataFrame:
+    """Quintile R/F/M scores over a (user_id, r_days, f_n, m_cents) frame —
+    the ONE definition shared by the batch query and the streaming read
+    path (`streaming.stream_ops.rfm_from_state`), so batch≡stream parity
+    can't drift when either side is edited.
+
+    Each score is the exact-rank two-form (`with_exact_ntile`) of
+    ``ntile(5) OVER (ORDER BY value [DESC], user_id)``: per-value counts
+    (bounded — day-counts, purchase-counts, cent totals) + a PARTITIONED
+    row_number, never a single-partition sort of the user dimension
+    (the prior shape ran three global ntile windows — 10⁸–10⁹ users
+    through one task, three times, at 100 TB of events)."""
+    from ..operators.quantiles import with_exact_ntile
+
+    u = with_exact_ntile(u, 5, "r_days", "user_id", "r_score", descending=True)
+    u = with_exact_ntile(u, 5, "f_n", "user_id", "f_score")
+    u = with_exact_ntile(u, 5, "m_cents", "user_id", "m_score")
+    return u.select(
+        "user_id", "r_days", "f_n", "m_cents", "r_score", "f_score", "m_score"
+    ).orderBy("user_id")
+
+
 # --------------------------------------------------------------------------
 # B113: user RFM feature construction (the feature-store staple)
 # --------------------------------------------------------------------------
@@ -1858,8 +1880,8 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # via the round(value*100) quantization); the quintile scores are ntile
 # under total orders with user_id tie-breaks (deterministic both
 # engines; higher = better, so recency orders DESC). Scale shape: one
-# user-keyed groupBy; the three global ntiles are the B102 note again —
-# exact-quantile boundaries + map-side lookup at 100 TB.
+# user-keyed groupBy; the three quintiles run the exact-rank two-form
+# (rfm_quintile_scores -> with_exact_ntile), never a global window.
 @register(
     "events_user_rfm",
     """
@@ -1884,7 +1906,7 @@ ORDER BY user_id
 def events_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user RFM features + quintile scores over valued purchases
     (B113) — exact integer recency/frequency/monetary, deterministic
-    ntile scores."""
+    quintiles via the exact-rank two-form (no corpus-global window)."""
     ev = read_table(spark, sf_dir, "events")
     mx = ev.agg(F.max(F.unix_micros("ts")).alias("t1"))
     u = (
@@ -1899,15 +1921,7 @@ def events_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("m_cents"),
         )
     )
-    return u.select(
-        "user_id",
-        "r_days",
-        "f_n",
-        "m_cents",
-        F.ntile(5).over(Window.orderBy(F.col("r_days").desc(), "user_id")).cast("long").alias("r_score"),
-        F.ntile(5).over(Window.orderBy("f_n", "user_id")).cast("long").alias("f_score"),
-        F.ntile(5).over(Window.orderBy("m_cents", "user_id")).cast("long").alias("m_score"),
-    ).orderBy("user_id")
+    return rfm_quintile_scores(u)
 
 
 # --------------------------------------------------------------------------

@@ -2069,10 +2069,15 @@ FROM binned GROUP BY bin ORDER BY bin
 )
 def doc_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{k} equal-population document-length bins with per-bin bounds and
-    integer mean (B86) — deterministic ntile under a total order."""
+    integer mean (B86) — deterministic ntile under a total order, computed
+    with the exact-rank two-form (`with_exact_ntile`: bounded per-length
+    counts + partitioned row_number) so no corpus-global window runs."""
+    from vectordb_hr_data_spark.operators.quantiles import with_exact_ntile
+
     d = read_table(spark, sf_dir, "documents")
-    w = Window.orderBy("n_chars", "doc_id")
-    binned = d.select("doc_id", "n_chars", F.ntile(DEPTH_BINS).over(w).cast("long").alias("bin"))
+    binned = with_exact_ntile(
+        d.select("doc_id", "n_chars"), DEPTH_BINS, "n_chars", "doc_id", "bin"
+    )
     return (
         binned.groupBy("bin")
         .agg(

@@ -188,15 +188,25 @@ ORDER BY lang, source, len_decile
 )
 def doc_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit over (lang, source, length-decile) quasi-
-    identifiers (B120) — equivalence-class sizes, below-k flags, shares."""
-    from pyspark.sql import Window
+    identifiers (B120) — equivalence-class sizes, below-k flags, shares.
+
+    The length decile is the exact-rank two-form (`with_exact_ntile`),
+    NOT a corpus-global ntile window: per-length counts (bounded by
+    |distinct n_chars|) + partitioned row_number give every doc its exact
+    rank map-side, so the oracle keeps the readable ntile form while the
+    Spark plan has no single-partition sort of the corpus. The remaining
+    unbounded-frame window (share_ppm) runs over the |langs|·|sources|·10
+    class table."""
+    from vectordb_hr_data_spark.operators.quantiles import with_exact_ntile
 
     d = read_table(spark, sf_dir, "documents")
-    binned = d.select(
-        "lang",
-        "source",
-        F.ntile(10).over(Window.orderBy("n_chars", "doc_id")).alias("len_decile"),
-    )
+    binned = with_exact_ntile(
+        d.select("lang", "source", "n_chars", "doc_id"),
+        10,
+        "n_chars",
+        "doc_id",
+        "len_decile",
+    ).select("lang", "source", "len_decile")
     classes = binned.groupBy(
         "lang", "source", F.col("len_decile").cast("long").alias("len_decile")
     ).agg(F.count("*").cast("long").alias("class_size"))

@@ -1265,8 +1265,9 @@ def rfm_from_state(spark: SparkSession, state_path: str, corpus_max_us: int) -> 
     ntile arithmetic to ``events_user_rfm``. ``corpus_max_us`` is the
     stream-clock high-water mark (in batch parity tests: max(ts) of the
     corpus; in production: the watermark)."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
+
+    from ..querydefs.event_queries import rfm_quintile_scores
 
     u = spark.read.parquet(state_path).select(
         "user_id",
@@ -1276,15 +1277,7 @@ def rfm_from_state(spark: SparkSession, state_path: str, corpus_max_us: int) -> 
         "f_n",
         "m_cents",
     )
-    return u.select(
-        "user_id",
-        "r_days",
-        "f_n",
-        "m_cents",
-        F.ntile(5).over(Window.orderBy(F.col("r_days").desc(), "user_id")).cast("long").alias("r_score"),
-        F.ntile(5).over(Window.orderBy("f_n", "user_id")).cast("long").alias("f_score"),
-        F.ntile(5).over(Window.orderBy("m_cents", "user_id")).cast("long").alias("m_score"),
-    ).orderBy("user_id")
+    return rfm_quintile_scores(u)
 
 
 def stream_srm_state(event_stream: DataFrame, state_path: str) -> None:
