@@ -46,22 +46,77 @@ def register(name: str, oracle: str | None):
 # operator shape is also proven by a checked sibling come after — they still
 # run in bench.py and pytest, and get driver rows if the cap is ever lifted.
 PRIORITY: list[str] = [
-    # --- r9 rotation (VERDICT r5 #2 discipline, round 5 of it): after
-    # r8 every oracle's newest driver row is r5+ (r8 closed the
-    # never-windowed debt). The r9 window = the 15 r5-stale oracles
-    # (VERDICT r8 "rotate into the r9 window"), the 25 r6-stale anchors,
-    # and the 10 NEW r9 oracles (B71-B79 + the fused whitened twin) —
-    # so after r9 lands, NO oracle's newest driver row is older than r7.
-    # All 50 r8-window queries and the 50 r7-window queries hold fresh
-    # rows and sit below the fold. ---
-    # r5-stale (15)
+    # --- r10 rotation (VERDICT r9 item 1): ~93 late-r9 oracles
+    # (B82-B176 anchors) have strict-pass rows but have NEVER held a
+    # driver CORRECTNESS row. The r10 window = 50 of them, chosen for
+    # family coverage (graph / text / embedding / dedup / eval /
+    # relational / pipeline / events) and leading with the 7 queries
+    # whose implementation changed this round (ADVICE guards + the
+    # exact-ntile scale rewrites) so the driver re-proves exactly what
+    # moved. The remaining 43 never-windowed oracles sit DIRECTLY below
+    # the fold in rotation order — r11's window is a pure cut-and-paste
+    # of positions 51-93 plus the stalest r7 cohort. ---
+    # changed this round (7)
+    "doc_ngram_novelty", "events_funnel_windowed", "rec_coverage_diversity",
+    "corpus_snapshot_diff", "doc_k_anonymity_audit", "events_user_rfm",
+    "doc_equidepth_bins",
+    # graph family (6)
+    "graph_closeness_pivots", "graph_indegree_profile", "graph_node_profile",
+    "graph_betweenness_pivots", "graph_personalized_pagerank",
+    "graph_assortativity",
+    # text family (8)
+    "doc_collocations_pmi", "doc_more_like_this", "doc_vocab_coverage_curve",
+    "doc_zipf_slope", "doc_langid_confusion", "doc_textrank_terms",
+    "doc_heaps_law_fit", "doc_lm_holdout_perplexity",
+    # embedding / vector family (6)
+    "embedding_label_separation", "embedding_drift_split",
+    "embedding_variance_curve", "embedding_health_check",
+    "sq8_reconstruction_error", "knn_jl_projection_rerank",
+    # dedup family (5)
+    "neardup_sketch_fidelity", "source_duplication_matrix",
+    "doc_grouped_split", "neardup_method_agreement", "neardup_cluster_labels",
+    # retrieval-eval family (4)
+    "ann_recall_eval", "eval_retrieval_ndcg", "cross_encoder_rerank",
+    "query_expansion_search",
+    # relational family (4)
+    "erasure_cascade_audit", "lineitem_benford_audit", "part_abc_classes",
+    "basket_pair_mining",
+    # pipeline / source family (4)
+    "source_slice_profile", "source_curriculum_order",
+    "curriculum_token_budget", "source_quality_percentile_gate",
+    # events family (6)
+    "events_multitouch_attribution", "events_survival_km",
+    "events_cohort_ltv", "events_stl_decompose", "events_peak_concurrency",
+    "events_srm_check",
+    # --- position 51+: first the 43 still-never-windowed late-r9 oracles
+    # (r11's window), then queries holding r7-r9 driver rows ---
+    "events_sequence_trigrams", "events_session_intent_summary",
+    "events_value_winsorized", "doc_length_gini",
+    "events_sliding_distinct_users", "events_cuped_adjusted",
+    "events_seasonal_anomaly", "term_countmin_audit", "events_label_window",
+    "events_forecast_backtest", "doc_length_median_ci",
+    "events_dp_noisy_counts", "events_scd2_pit_join",
+    "graph_betweenness_variance", "events_theilsen_trend",
+    "events_cusum_changepoint", "lang_tokenizer_fertility",
+    "source_lang_diversity", "semantic_decontaminate",
+    "term_prefix_autocomplete", "events_conversion_lag",
+    "events_daily_value_bands", "events_sequence_anomaly",
+    "source_embedding_shift", "events_user_stickiness",
+    "events_interarrival_burstiness", "events_hourly_autocorr24",
+    "doc_langid_margin", "events_slo_burn_rate", "events_retention_drivers",
+    "events_props_psi_drift", "referential_integrity_audit",
+    "events_markov_backtest", "events_ab_conversion_test",
+    "ivf_cell_silhouette", "events_dup_transaction_audit",
+    "events_audience_overlap", "lang_source_independence",
+    "doc_greedy_coverage_select", "events_ratio_delta_method",
+    "graph_reciprocity", "doc_canary_detection", "dedup_token_impact",
+    # r9-window queries (fresh driver rows)
     "hr_tagged_union_projection", "hr_metadata_flatten", "doc_simhash",
     "doc_lang_id", "top_bigrams_per_lang", "neardup_embedding_cosine",
     "batch_topk_many_queries", "label_centroids", "doc_hash_split",
     "doc_decontaminate_bloom", "stratified_sample_threshold",
     "events_tumbling_1h", "events_type_counts_salted",
     "customer_running_total", "acctbal_rollup",
-    # r6-stale anchors (25)
     "q8_national_market_share", "q9_product_profit_by_nation_year",
     "q11_important_part_value", "q14_ratio_aggregate",
     "q15_top_revenue_supplier", "q19_disjunctive_predicates",
@@ -72,13 +127,11 @@ PRIORITY: list[str] = [
     "dedup_exact", "neardup_ngram_jaccard", "neardup_components",
     "neardup_dedup_keep", "doc_tfidf_top_terms", "doc_decontaminate",
     "doc_repetition_ratio", "semantic_dedup_clusters", "corpus_prep_pipeline",
-    # new r9 oracles (10)
     "knn_whitened_topk_fused", "events_markov_transitions",
     "events_key_skew_profile", "events_hourly_burst",
     "doc_conjunctive_search", "doc_unigram_kl_quality",
     "doc_weighted_reservoir_sample", "doc_rake_keyphrases",
     "graph_hits_scores", "graph_kcore_members",
-    # --- position 51+: every query below holds an r7 or r8 driver row ---
     # r7-window queries
     "ann_text_search", "knn_matryoshka_rerank", "ivf_batch_topk_indexed",
     "ivf_pq_adc_indexed", "chunk_ann_search", "ivf_sq4_rerank_indexed",
@@ -146,57 +199,6 @@ PRIORITY: list[str] = [
     # r6: sketch-threshold form of the perplexity gate (approx_percentile
     # is engine-specific — rows-only; pytest bounds drift vs the exact cut)
     "doc_lm_perplexity_threshold",
-    # new late-r9 oracles (below the fold this round; they LEAD the r10
-    # window together with the 50 r7-stale queries above)
-    "graph_closeness_pivots", "graph_indegree_profile",
-    "doc_collocations_pmi", "doc_more_like_this",
-    "doc_equidepth_bins", "events_sequence_trigrams",
-    "embedding_label_separation", "embedding_drift_split",
-    "events_multitouch_attribution",
-    "events_session_intent_summary", "graph_node_profile",
-    "neardup_sketch_fidelity", "source_duplication_matrix",
-    "doc_vocab_coverage_curve", "source_slice_profile",
-    "doc_grouped_split", "events_value_winsorized", "doc_length_gini",
-    "events_sliding_distinct_users", "events_cuped_adjusted",
-    "source_curriculum_order", "doc_zipf_slope",
-    "ann_recall_eval", "eval_retrieval_ndcg", "graph_betweenness_pivots",
-    "neardup_method_agreement", "events_seasonal_anomaly",
-    "curriculum_token_budget", "knn_jl_projection_rerank",
-    "term_countmin_audit", "events_user_rfm", "events_label_window",
-    "embedding_variance_curve", "events_forecast_backtest",
-    "doc_length_median_ci", "events_survival_km",
-    "doc_langid_confusion", "doc_k_anonymity_audit", "events_dp_noisy_counts",
-    "events_scd2_pit_join", "graph_betweenness_variance",
-    # continued-session late-r9 oracles (B125+): experiment hygiene,
-    # robust trend, revenue curves, change-point detection
-    "events_srm_check", "events_theilsen_trend",
-    "events_cohort_ltv", "events_cusum_changepoint",
-    "erasure_cascade_audit", "lineitem_benford_audit",
-    "lang_tokenizer_fertility", "source_lang_diversity",
-    "cross_encoder_rerank", "semantic_decontaminate",
-    "term_prefix_autocomplete", "events_conversion_lag",
-    "events_daily_value_bands", "events_sequence_anomaly",
-    "doc_ngram_novelty", "source_embedding_shift",
-    "events_user_stickiness", "sq8_reconstruction_error",
-    "query_expansion_search",
-    "events_interarrival_burstiness", "events_hourly_autocorr24",
-    "doc_langid_margin",
-    "events_funnel_windowed", "events_slo_burn_rate",
-    "events_retention_drivers", "source_quality_percentile_gate",
-    "events_props_psi_drift",
-    "referential_integrity_audit", "embedding_health_check",
-    "rec_coverage_diversity", "graph_assortativity",
-    "events_peak_concurrency",
-    "graph_personalized_pagerank", "neardup_cluster_labels",
-    "events_markov_backtest", "events_ab_conversion_test",
-    "doc_textrank_terms", "ivf_cell_silhouette",
-    "events_dup_transaction_audit", "basket_pair_mining",
-    "events_audience_overlap", "corpus_snapshot_diff",
-    "events_stl_decompose", "doc_heaps_law_fit",
-    "part_abc_classes", "lang_source_independence",
-    "doc_lm_holdout_perplexity", "doc_greedy_coverage_select",
-    "events_ratio_delta_method", "graph_reciprocity",
-    "doc_canary_detection", "dedup_token_impact",
     # rows-only HLL sketch path of events_sliding_distinct_users (B124)
     "events_sliding_distinct_hll",
     # below-the-fold siblings whose checked twin carries the oracle
