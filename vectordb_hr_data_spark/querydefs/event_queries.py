@@ -1746,6 +1746,73 @@ def events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_type_counts(ev: DataFrame) -> DataFrame:
+    """(event_type, day, hod) event counts — the shared input of B108,
+    B116, and the streaming seasonal-count state."""
+    return (
+        ev.select(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .groupBy("event_type", "day", "hod")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def densify_hourly_grid(hourly: DataFrame) -> DataFrame:
+    """Densify an (event_type, day, hod, n) count table onto the full
+    type x day x 24-hour grid with zero-filled cells — the ONE grid
+    builder shared by B108, B116, and the streaming read path
+    (`stream_ops.seasonal_anomaly_from_state`), so the densify contract
+    can't drift between twins. Types/days derive from the count table
+    itself (identical to deriving from raw events: the groupBy drops no
+    key). Bounded output: |types| x |days| x 24."""
+    spark = hourly.sparkSession
+    types = hourly.select("event_type").distinct()
+    days = hourly.select("day").distinct()
+    hours = spark.range(24).select(F.col("id").cast("int").alias("hod"))
+    grid = types.crossJoin(days).crossJoin(F.broadcast(hours))
+    return grid.join(hourly, ["event_type", "day", "hod"], "left").select(
+        "event_type", "day", "hod", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+
+
+def seasonal_anomaly_report(hourly: DataFrame) -> DataFrame:
+    """B108's densify/median/MAD/gate pipeline from an (event_type, day,
+    hod, n) count table — shared verbatim by the batch query and the
+    streaming state read path."""
+    dense = densify_hourly_grid(hourly)
+    med = dense.groupBy("event_type", "hod").agg(
+        (F.lit(2) * F.expr("percentile(n, 0.5)")).cast("long").alias("med2")
+    )
+    dev = dense.join(F.broadcast(med), ["event_type", "hod"]).select(
+        "event_type",
+        "day",
+        "hod",
+        "n",
+        "med2",
+        F.abs(F.lit(2) * F.col("n") - F.col("med2")).alias("dev2"),
+    )
+    mad = dev.groupBy("event_type", "hod").agg(
+        (F.lit(2) * F.expr("percentile(dev2, 0.5)")).cast("long").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), ["event_type", "hod"])
+        .filter(F.lit(2) * F.col("dev2") > F.lit(3) * F.greatest("mad4", F.lit(4)))
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "hod",
+            F.col("n").alias("n_events"),
+            "med2",
+            "mad4",
+            F.when(F.lit(2) * F.col("n") > F.col("med2"), "high").otherwise("low").alias("side"),
+        )
+        .orderBy("event_type", "day", "hod")
+    )
+
+
 # --------------------------------------------------------------------------
 # B108: seasonal (hour-of-day) anomaly gate — robust baseline per cell
 # --------------------------------------------------------------------------
@@ -1801,50 +1868,7 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour) counts vs an exact 2*median/4*MAD per-cell baseline with a
     one-count MAD floor."""
     ev = read_table(spark, sf_dir, "events")
-    hourly = (
-        ev.select(
-            "event_type",
-            F.to_date("ts").alias("day"),
-            F.hour("ts").cast("int").alias("hod"),
-        )
-        .groupBy("event_type", "day", "hod")
-        .agg(F.count("*").cast("long").alias("n"))
-    )
-    types = ev.select("event_type").distinct()
-    days = ev.select(F.to_date("ts").alias("day")).distinct()
-    hours = spark.range(24).select(F.col("id").cast("int").alias("hod"))
-    grid = types.crossJoin(days).crossJoin(F.broadcast(hours))
-    dense = grid.join(hourly, ["event_type", "day", "hod"], "left").select(
-        "event_type", "day", "hod", F.coalesce("n", F.lit(0)).cast("long").alias("n")
-    )
-    med = dense.groupBy("event_type", "hod").agg(
-        (F.lit(2) * F.expr("percentile(n, 0.5)")).cast("long").alias("med2")
-    )
-    dev = dense.join(F.broadcast(med), ["event_type", "hod"]).select(
-        "event_type",
-        "day",
-        "hod",
-        "n",
-        "med2",
-        F.abs(F.lit(2) * F.col("n") - F.col("med2")).alias("dev2"),
-    )
-    mad = dev.groupBy("event_type", "hod").agg(
-        (F.lit(2) * F.expr("percentile(dev2, 0.5)")).cast("long").alias("mad4")
-    )
-    return (
-        dev.join(F.broadcast(mad), ["event_type", "hod"])
-        .filter(F.lit(2) * F.col("dev2") > F.lit(3) * F.greatest("mad4", F.lit(4)))
-        .select(
-            "event_type",
-            F.col("day").cast("string").alias("day"),
-            "hod",
-            F.col("n").alias("n_events"),
-            "med2",
-            "mad4",
-            F.when(F.lit(2) * F.col("n") > F.col("med2"), "high").otherwise("low").alias("side"),
-        )
-        .orderBy("event_type", "day", "hod")
-    )
+    return seasonal_anomaly_report(hourly_type_counts(ev))
 
 
 def rfm_quintile_scores(u: DataFrame) -> DataFrame:
@@ -2047,22 +2071,7 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     forecast MAE per event type over the densified grid (B116), in
     comparable 2000x-MAE integer milli units."""
     ev = read_table(spark, sf_dir, "events")
-    hourly = (
-        ev.select(
-            "event_type",
-            F.to_date("ts").alias("day"),
-            F.hour("ts").cast("int").alias("hod"),
-        )
-        .groupBy("event_type", "day", "hod")
-        .agg(F.count("*").cast("long").alias("n"))
-    )
-    types = ev.select("event_type").distinct()
-    days = ev.select(F.to_date("ts").alias("day")).distinct()
-    hours = spark.range(24).select(F.col("id").cast("int").alias("hod"))
-    grid = types.crossJoin(days).crossJoin(F.broadcast(hours))
-    dense = grid.join(hourly, ["event_type", "day", "hod"], "left").select(
-        "event_type", "day", "hod", F.coalesce("n", F.lit(0)).cast("long").alias("n")
-    )
+    dense = densify_hourly_grid(hourly_type_counts(ev))
     med = dense.groupBy("event_type", "hod").agg(
         (F.lit(2) * F.expr("percentile(n, 0.5)")).cast("long").alias("med2")
     )

@@ -1187,44 +1187,12 @@ def stream_seasonal_counts(event_stream: DataFrame, state_path: str) -> None:
 
 
 def seasonal_anomaly_from_state(spark: SparkSession, state_path: str) -> DataFrame:
-    """B108's anomaly report computed from the streamed count grid —
-    identical densify/median/MAD/gate arithmetic to
-    ``events_seasonal_anomaly``."""
-    from pyspark.sql import Window  # noqa: F401
-    from pyspark.sql import functions as F
+    """B108's anomaly report computed from the streamed count grid — the
+    SAME ``seasonal_anomaly_report`` pipeline the batch query runs (one
+    shared definition; densify/median/MAD/gate parity cannot drift)."""
+    from ..querydefs.event_queries import seasonal_anomaly_report
 
-    hourly = spark.read.parquet(state_path)
-    types = hourly.select("event_type").distinct()
-    days = hourly.select("day").distinct()
-    hours = spark.range(24).select(F.col("id").cast("int").alias("hod"))
-    grid = types.crossJoin(days).crossJoin(F.broadcast(hours))
-    dense = grid.join(hourly, ["event_type", "day", "hod"], "left").select(
-        "event_type", "day", "hod", F.coalesce("n", F.lit(0)).cast("long").alias("n")
-    )
-    med = dense.groupBy("event_type", "hod").agg(
-        (F.lit(2) * F.expr("percentile(n, 0.5)")).cast("long").alias("med2")
-    )
-    dev = dense.join(F.broadcast(med), ["event_type", "hod"]).select(
-        "event_type", "day", "hod", "n", "med2",
-        F.abs(F.lit(2) * F.col("n") - F.col("med2")).alias("dev2"),
-    )
-    mad = dev.groupBy("event_type", "hod").agg(
-        (F.lit(2) * F.expr("percentile(dev2, 0.5)")).cast("long").alias("mad4")
-    )
-    return (
-        dev.join(F.broadcast(mad), ["event_type", "hod"])
-        .filter(F.lit(2) * F.col("dev2") > F.lit(3) * F.greatest("mad4", F.lit(4)))
-        .select(
-            "event_type",
-            F.col("day").cast("string").alias("day"),
-            "hod",
-            F.col("n").alias("n_events"),
-            "med2",
-            "mad4",
-            F.when(F.lit(2) * F.col("n") > F.col("med2"), "high").otherwise("low").alias("side"),
-        )
-        .orderBy("event_type", "day", "hod")
-    )
+    return seasonal_anomaly_report(spark.read.parquet(state_path))
 
 
 def stream_user_rfm(event_stream: DataFrame, state_path: str) -> None:
