@@ -1412,3 +1412,81 @@ def test_stream_slo_burn_state_converges_to_batch(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, slo_burn_from_state(spark, state).collect()))
     want = sorted(map(tuple, events_slo_burn_rate(spark, sf_dir).collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_stl_counts_converges_to_batch(spark, sf_dir, tmp_path):
+    """stream_stl_counts (r10): summed hourly counts over 4 micro-batches
+    must reproduce events_stl_decompose exactly — the count series is the
+    only state; trend/seasonal/residual are read-time algebra through the
+    SAME stl_report_from_counts the batch query runs."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import events_stl_decompose
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        stl_from_state,
+        stream_stl_counts,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    src = tmp_path / "stl_src"
+    src.mkdir()
+    for i in range(4):
+        part = ev.filter((F.col("event_id") % 4) == i)
+        tdir = str(tmp_path / f"stl_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    state = str(tmp_path / "stl_state")
+    stream_stl_counts(stream, state)
+    got = sorted(map(tuple, stl_from_state(spark, state).collect()))
+    want = sorted(map(tuple, events_stl_decompose(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_stream_cohort_ltv_converges_to_batch(spark, sf_dir, tmp_path):
+    """stream_cohort_ltv (r10): the (user_id, week) keyed state must
+    reproduce events_cohort_ltv exactly even though a LATE batch lowers
+    some users' first-seen week — cohort assignment derives at read time,
+    so re-bucketing is automatic. The 4-way split is by event_id, which
+    scatters each user's events across batches (the adversarial case:
+    most users' earliest event does NOT arrive first)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import events_cohort_ltv
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        cohort_ltv_from_state,
+        stream_cohort_ltv,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    src = tmp_path / "ltv_src"
+    src.mkdir()
+    # reversed file order: the batch holding event_id % 4 == 3 (latest ids,
+    # but containing many users' EARLIEST timestamps) lands first
+    for i, tag in enumerate([3, 2, 1, 0]):
+        part = ev.filter((F.col("event_id") % 4) == tag)
+        tdir = str(tmp_path / f"ltv_part{tag}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    state = str(tmp_path / "ltv_state")
+    stream_cohort_ltv(stream, state)
+    got = sorted(map(tuple, cohort_ltv_from_state(spark, state).collect()))
+    want = sorted(map(tuple, events_cohort_ltv(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0

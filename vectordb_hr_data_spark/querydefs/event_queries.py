@@ -4019,6 +4019,54 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stl_report_from_counts(counts: DataFrame) -> DataFrame:
+    """B167's full decomposition from an (h, c) hourly count table — ONE
+    definition shared by the batch query and the streaming read path
+    (`stream_ops.stl_from_state`): the hourly counts are the only state a
+    stream needs (plain summed counts, trivially mergeable); trend /
+    seasonal / residual are read-time algebra over the reduced grid."""
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"))
+    series = grid.join(counts, "h", "left").select(
+        "h", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    # windows over the reduced hourly grid (<= |hours| rows) — the
+    # deliberate single-partition sweep of the seasonal/CUSUM family.
+    wt = Window.orderBy("h").rowsBetween(-12, 12)
+    trended = series.select(
+        "h",
+        "c",
+        F.sum("c").over(wt).cast("long").alias("trend25"),
+        F.count("*").over(wt).cast("long").alias("w"),
+    )
+    inner = trended.filter(F.col("w") == 25).select(
+        "h", "c", "trend25", (F.col("c") * 25 - F.col("trend25")).cast("long").alias("detr")
+    )
+    wh = Window.partitionBy(F.col("h") % 24).orderBy("detr", "h")
+    wn = Window.partitionBy(F.col("h") % 24)
+    seas = (
+        inner.select(
+            (F.col("h") % 24).alias("hod"),
+            "detr",
+            F.row_number().over(wh).alias("rk"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .filter(F.col("rk") == F.expr("(n + 1) div 2"))
+        .select("hod", F.col("detr").alias("seasonal25"))
+    )
+    return (
+        inner.join(F.broadcast(seas), (F.col("h") % 24) == F.col("hod"))
+        .select(
+            F.col("h").alias("hour_epoch"),
+            F.col("c").alias("n_events"),
+            "trend25",
+            "seasonal25",
+            (F.col("detr") - F.col("seasonal25")).cast("long").alias("residual25"),
+        )
+        .orderBy("hour_epoch")
+    )
+
+
 # ---------------------------------------------------------------------------
 # B167: STL-lite decomposition of the hourly series (r9)
 # ---------------------------------------------------------------------------
@@ -4076,47 +4124,8 @@ def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual the anomaly gates should consume."""
     ev = read_table(spark, sf_dir, "events")
     hcol = F.floor(F.col("ts").cast("double") / 3600).cast("long")
-    bounds = ev.agg(F.min(hcol).alias("h0"), F.max(hcol).alias("h1"))
-    grid = bounds.select(F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"))
     counts = ev.groupBy(hcol.alias("h")).agg(F.count("*").cast("long").alias("c"))
-    series = grid.join(counts, "h", "left").select(
-        "h", F.coalesce("c", F.lit(0)).cast("long").alias("c")
-    )
-    # windows over the reduced hourly grid (<= |hours| rows) — the
-    # deliberate single-partition sweep of the seasonal/CUSUM family.
-    wt = Window.orderBy("h").rowsBetween(-12, 12)
-    trended = series.select(
-        "h",
-        "c",
-        F.sum("c").over(wt).cast("long").alias("trend25"),
-        F.count("*").over(wt).cast("long").alias("w"),
-    )
-    inner = trended.filter(F.col("w") == 25).select(
-        "h", "c", "trend25", (F.col("c") * 25 - F.col("trend25")).cast("long").alias("detr")
-    )
-    wh = Window.partitionBy(F.col("h") % 24).orderBy("detr", "h")
-    wn = Window.partitionBy(F.col("h") % 24)
-    seas = (
-        inner.select(
-            (F.col("h") % 24).alias("hod"),
-            "detr",
-            F.row_number().over(wh).alias("rk"),
-            F.count("*").over(wn).alias("n"),
-        )
-        .filter(F.col("rk") == F.expr("(n + 1) div 2"))
-        .select("hod", F.col("detr").alias("seasonal25"))
-    )
-    return (
-        inner.join(F.broadcast(seas), (F.col("h") % 24) == F.col("hod"))
-        .select(
-            F.col("h").alias("hour_epoch"),
-            F.col("c").alias("n_events"),
-            "trend25",
-            "seasonal25",
-            (F.col("detr") - F.col("seasonal25")).cast("long").alias("residual25"),
-        )
-        .orderBy("hour_epoch")
-    )
+    return stl_report_from_counts(counts)
 
 
 # ---------------------------------------------------------------------------

@@ -1436,3 +1436,116 @@ def slo_burn_from_state(spark: SparkSession, state_path: str) -> DataFrame:
         )
         .orderBy("win_start_epoch")
     )
+
+
+def stream_stl_counts(event_stream: DataFrame, state_path: str) -> None:
+    """Streaming maintenance of the B167 STL input via
+    ``stream_mergeable_agg``: state is the hourly count series keyed by
+    epoch-hour — a plain summed count, trivially associative — and the
+    ENTIRE decomposition (centered 25h trend sum, per-hour-of-day
+    exact-median seasonal, residual) is read-time algebra over that
+    reduced grid (``stl_from_state`` calls the SAME
+    ``stl_report_from_counts`` the batch query runs). State grows with
+    |hours elapsed|, not traffic."""
+    from pyspark.sql import functions as F
+
+    keyed = event_stream.select(
+        F.floor(F.col("ts").cast("double") / 3600).cast("long").alias("h")
+    )
+    stream_mergeable_agg(
+        keyed,
+        state_path,
+        ["h"],
+        [F.count("*").cast("long").alias("c")],
+        [F.sum("c").cast("long").alias("c")],
+    )
+
+
+def stl_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B167's decomposition from the streamed hourly-count state — one
+    shared pipeline with ``events_stl_decompose``, so trend/seasonal/
+    residual parity cannot drift."""
+    from ..querydefs.event_queries import stl_report_from_counts
+
+    return stl_report_from_counts(spark.read.parquet(state_path))
+
+
+def stream_cohort_ltv(event_stream: DataFrame, state_path: str) -> None:
+    """Streaming maintenance of the B127 cohort-LTV input via
+    ``stream_mergeable_agg``. The naive state — revenue keyed by
+    (cohort_week, age_weeks) — is NOT mergeable: a late batch can LOWER
+    a user's first-seen week and silently re-bucket every prior revenue
+    row. The associative form keys state by (user_id, week) with three
+    summed measures (all events, valued events, cents); cohort
+    assignment (min week per user), age arithmetic, the activity
+    distinct-count (the key absorbs distinctness: one state row per
+    user-week), and the cumulative LTV window all derive at READ time
+    (``cohort_ltv_from_state``), so batch boundaries, replays, and late
+    cohort corrections converge exactly to the batch answer. State is
+    bounded by |users| x |active weeks|."""
+    from pyspark.sql import functions as F
+
+    keyed = event_stream.select(
+        "user_id",
+        F.floor(F.col("ts").cast("double") / 604800).cast("long").alias("week"),
+        F.when(F.col("value").isNotNull(), 1).otherwise(0).alias("is_valued"),
+        F.coalesce(F.round(F.col("value") * 100).cast("long"), F.lit(0)).alias("cents"),
+    )
+    stream_mergeable_agg(
+        keyed,
+        state_path,
+        ["user_id", "week"],
+        [
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("is_valued").cast("long").alias("n_valued"),
+            F.sum("cents").cast("long").alias("cents"),
+        ],
+        [
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("n_valued").cast("long").alias("n_valued"),
+            F.sum("cents").cast("long").alias("cents"),
+        ],
+    )
+
+
+def cohort_ltv_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B127's cohort-week x age-week revenue/LTV report from the streamed
+    (user_id, week) state — identical columns and integer arithmetic to
+    ``events_cohort_ltv``."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    st = spark.read.parquet(state_path)
+    firstw = st.groupBy("user_id").agg(F.min("week").cast("long").alias("cohort_week"))
+    rev = (
+        st.filter(F.col("n_valued") > 0)
+        .join(firstw, "user_id")
+        .select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("long").alias("age_weeks"),
+            "cents",
+        )
+    )
+    # one state row per (user, week) -> count(*) IS the distinct-user count
+    grid = rev.groupBy("cohort_week", "age_weeks").agg(
+        F.sum("cents").cast("long").alias("revenue_cents"),
+        F.count("*").cast("long").alias("n_active_users"),
+    )
+    sized = firstw.groupBy("cohort_week").agg(F.count("*").cast("long").alias("cohort_users"))
+    wc = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(F.broadcast(sized), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "cohort_users",
+            "n_active_users",
+            "revenue_cents",
+            F.sum("revenue_cents").over(wc).cast("long").alias("cum_ltv_cents"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
