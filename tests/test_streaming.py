@@ -1490,3 +1490,39 @@ def test_stream_cohort_ltv_converges_to_batch(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, cohort_ltv_from_state(spark, state).collect()))
     want = sorted(map(tuple, events_cohort_ltv(spark, sf_dir).collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_source_fingerprint_converges_to_batch(spark, sf_dir, tmp_path):
+    """stream_source_fingerprint (r10): count/xor/mod-sum folded over 4
+    micro-batches must equal source_corpus_fingerprint exactly — the
+    order-independence claim, exercised across batch boundaries."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import source_corpus_fingerprint
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        source_fingerprint_from_state,
+        stream_source_fingerprint,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    src = tmp_path / "fp_src"
+    src.mkdir()
+    for i in range(4):
+        part = d.filter((F.col("doc_id") % 4) == i)
+        tdir = str(tmp_path / f"fp_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    state = str(tmp_path / "fp_state")
+    stream_source_fingerprint(stream, state)
+    got = sorted(map(tuple, source_fingerprint_from_state(spark, state).collect()))
+    want = sorted(map(tuple, source_corpus_fingerprint(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0

@@ -1348,3 +1348,75 @@ def neardup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("component_id", "n_docs", "term", "score_milli", "term_rank")
         .orderBy("component_id", "term_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# B179: MinHash-LSH parameter planner — the S-curve as code
+# ---------------------------------------------------------------------------
+# B25 put IVF tuning contracts in code; this is the dedup family's
+# counterpart: for every (bands, rows) split of the registered
+# N_HASHES=16 signature, the collision probability curve
+# p(s) = 1 − (1 − s^r)^b over a Jaccard grid, the curve's threshold
+# (1/b)^(1/r) (where p crosses ~50%), and — the number that actually
+# drives the choice at 100 TB — the EXPECTED candidate pairs this
+# corpus would generate at each similarity level (C(n,2)·p, the
+# verification workload). Choosing (b, r) is exactly trading recall at
+# the target threshold against that candidate volume; with the curve
+# and the workload in one table the choice is reviewable instead of
+# folklore (Leskovec/Rajaraman/Ullman, MMDS ch.3). Pure bounded-grid
+# compute (5 splits × 10 grid points) + one corpus count broadcast.
+LSH_SPLITS = [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]
+LSH_S_GRID = [5, 15, 25, 35, 45, 55, 65, 75, 85, 95]  # Jaccard, centi
+
+
+def _lsh_planner_oracle() -> str:
+    splits = ", ".join(f"({b}, {r})" for b, r in LSH_SPLITS)
+    grid = ", ".join(f"({s})" for s in LSH_S_GRID)
+    return f"""
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+splits(bands, rows_per_band) AS (VALUES {splits}),
+grid(s_centi) AS (VALUES {grid})
+SELECT CAST(bands AS BIGINT) AS bands,
+       CAST(rows_per_band AS BIGINT) AS rows_per_band,
+       round(power(1.0 / bands, 1.0 / rows_per_band), 4) AS threshold,
+       CAST(s_centi AS BIGINT) AS s_centi,
+       round(1.0 - power(1.0 - power(s_centi / 100.0, rows_per_band), bands), 6)
+         AS p_collide,
+       CAST(floor(n.n_docs * (n.n_docs - 1) / 2.0
+            * round(1.0 - power(1.0 - power(s_centi / 100.0, rows_per_band), bands), 6))
+         AS BIGINT) AS exp_candidate_pairs
+FROM splits, grid, n
+ORDER BY bands, s_centi
+"""
+
+
+@register("lsh_param_planner", _lsh_planner_oracle())
+def lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-curve collision probabilities, thresholds, and expected candidate
+    volume for every (bands, rows) split of the N_HASHES signature on
+    THIS corpus (B179) — LSH tuning as a reviewable table."""
+    d = read_table(spark, sf_dir, "documents")
+    n = d.agg(F.count("*").cast("long").alias("n_docs"))
+    splits = spark.createDataFrame(LSH_SPLITS, "bands long, rows_per_band long")
+    grid = spark.createDataFrame([(s,) for s in LSH_S_GRID], "s_centi long")
+    p = F.round(
+        1.0 - F.pow(1.0 - F.pow(F.col("s_centi") / 100.0, F.col("rows_per_band")), F.col("bands")),
+        6,
+    )
+    return (
+        splits.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bands",
+            "rows_per_band",
+            F.round(F.pow(1.0 / F.col("bands"), 1.0 / F.col("rows_per_band")), 4).alias(
+                "threshold"
+            ),
+            "s_centi",
+            p.alias("p_collide"),
+            F.floor(F.col("n_docs") * (F.col("n_docs") - 1) / 2.0 * p)
+            .cast("long")
+            .alias("exp_candidate_pairs"),
+        )
+        .orderBy("bands", "s_centi")
+    )

@@ -3201,3 +3201,63 @@ def dedup_token_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# B180: order-independent per-source corpus fingerprint (release identity)
+# ---------------------------------------------------------------------------
+# "Is the corpus you trained on the corpus I audited?" needs an identity
+# that is cheap, deterministic, and ORDER-INDEPENDENT — a Merkle chain
+# over file order breaks the moment a shuffle-shard writer reorders
+# rows. This fingerprint is three associative reductions over per-doc
+# 60-bit content hashes (md5 prefix over doc_id||text): count, XOR, and
+# modular sum (mod 2^61−1, summed in decimal(38,0)/HUGEINT so no
+# intermediate overflows int64). Any single changed/added/dropped doc
+# flips the triple with overwhelming probability; any row order or
+# partitioning yields the SAME triple — which also makes it free to
+# maintain under streaming ingest (stream_source_fingerprint folds
+# micro-batches through the same algebra; 4-batch parity pytest).
+FP_MOD = (1 << 61) - 1
+
+
+@register(
+    "source_corpus_fingerprint",
+    f"""
+WITH h AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15)) AS BIGINT)
+           AS h60
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(bit_xor(h60) AS BIGINT) AS fp_xor,
+       CAST(sum(h60) % {FP_MOD} AS BIGINT) AS fp_sum_mod
+FROM h
+GROUP BY source
+ORDER BY source
+""",
+)
+def source_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (count, xor, modular-sum) content fingerprint over
+    60-bit doc hashes (B180) — order/partitioning-independent corpus
+    identity, mergeable under streaming ingest."""
+    d = read_table(spark, sf_dir, "documents")
+    h = d.select(
+        "source",
+        F.expr(
+            "cast(conv(substring(md5(concat(cast(doc_id as string), '|', text)), 1, 15),"
+            " 16, 10) as bigint)"
+        ).alias("h60"),
+    )
+    return (
+        h.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr("bit_xor(h60)").cast("long").alias("fp_xor"),
+            F.expr(f"cast(sum(cast(h60 as decimal(38,0))) % {FP_MOD} as bigint)").alias(
+                "fp_sum_mod"
+            ),
+        )
+        .orderBy("source")
+    )

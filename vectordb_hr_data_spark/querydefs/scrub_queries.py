@@ -279,3 +279,85 @@ def events_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(noise).alias("noise_milli"),
         (F.col("true_count") * 1000 + F.expr(noise)).cast("long").alias("noisy_count_milli"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# B177: per-source PII scrub-coverage audit (the release gate's evidence)
+# ---------------------------------------------------------------------------
+# B-scrub redacts; THIS op proves it, per source: how many documents
+# carried each PII type, how many instances were replaced, and — the
+# actual gate — how many matches REMAIN after the scrub (must be 0 for
+# these pattern classes by construction; a nonzero residual means the
+# redaction regex and the detection regex drifted apart, which is
+# exactly the bug class a privacy review looks for). Same deterministic
+# PII synthesis as doc_pii_scrub (the fixture carries no natural PII).
+# Scale shape: one regex map pass + one bounded groupBy(source).
+@register(
+    "source_pii_coverage",
+    f"""
+WITH aug AS (
+  SELECT doc_id, source, {_PII_DDB} AS text FROM documents
+), m AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{EMAIL_RE}')) AS ne,
+         len(regexp_extract_all(text, '{PHONE_RE}')) AS np,
+         len(regexp_extract_all(
+           regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g'),
+           '{EMAIL_RE}')) +
+         len(regexp_extract_all(
+           regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g'),
+           '{PHONE_RE}')) AS resid
+  FROM aug
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+       CAST(sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+       CAST(sum(ne) AS BIGINT) AS n_emails,
+       CAST(sum(np) AS BIGINT) AS n_phones,
+       CAST(sum(resid) AS BIGINT) AS n_residual,
+       CAST(sum(CASE WHEN ne + np > 0 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS pii_doc_ppm
+FROM m
+GROUP BY source
+ORDER BY source
+""",
+)
+def source_pii_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII detection counts plus the post-scrub residual-match
+    audit (B177) — n_residual must be 0 when the scrub and detector use
+    the same patterns; a nonzero value is the drift bug a privacy review
+    gates on."""
+    d = read_table(spark, sf_dir, "documents")
+    aug = d.select("source", F.expr(_PII_SPARK).alias("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    m = aug.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0))).alias("ne"),
+        F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), F.lit(0))).alias("np"),
+        (
+            F.size(F.regexp_extract_all(scrubbed, F.lit(EMAIL_RE), F.lit(0)))
+            + F.size(F.regexp_extract_all(scrubbed, F.lit(PHONE_RE), F.lit(0)))
+        ).alias("resid"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("ne") > 0, 1).otherwise(0)).cast("long").alias("docs_with_email"),
+            F.sum(F.when(F.col("np") > 0, 1).otherwise(0)).cast("long").alias("docs_with_phone"),
+            F.sum("ne").cast("long").alias("n_emails"),
+            F.sum("np").cast("long").alias("n_phones"),
+            F.sum("resid").cast("long").alias("n_residual"),
+            F.expr(
+                "sum(CASE WHEN ne + np > 0 THEN 1 ELSE 0 END) * 1000000 div count(*)"
+            )
+            .cast("long")
+            .alias("pii_doc_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -3894,3 +3894,101 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_edges, n_mutual, n_mutual * 1_000_000 // n_edges)],
         "n_edges long, n_mutual long, reciprocity_ppm long",
     )
+
+
+# --------------------------------------------------------------------------
+# B181: query performance prediction (QPP) over the top-k score lists
+# --------------------------------------------------------------------------
+# Retrieval systems route queries BEFORE seeing relevance judgments by
+# predicting which will retrieve badly — the classic unsupervised QPP
+# signals are score-list statistics (Cronen-Townsend et al. SIGIR'02
+# clarity; He & Ounis' simplified variants): a query whose best
+# neighbour barely beats its k-th has an ambiguous neighbourhood and is
+# the one to re-rank harder, expand (B143), or escalate to the
+# cross-encoder (B133). Emits, per query: best / k-th / integer-mean
+# distance over the exact top-QPP_K list, the absolute spread, and the
+# relative spread in ppm of the k-th distance — the routing signal.
+# Arithmetic: distances round once to 4 dp, then scale to exact e4
+# integers; every statistic after is integer algebra. Scale: one
+# broadcast-query scored pass with the local-top-k pre-reduce (the B3
+# shape) — the stats add one tiny per-query aggregate.
+QPP_STATS_K = 10
+
+
+def _qpp_stats_oracle() -> str:
+    return f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT qs.query_id,
+         CAST(round(round({_l2sq_ddb('e.embedding', 'qs.qv')}, {_ROUND}) * 10000) AS BIGINT)
+           AS d_e4,
+         row_number() OVER (PARTITION BY qs.query_id
+                            ORDER BY round({_l2sq_ddb('e.embedding', 'qs.qv')}, {_ROUND}),
+                                     e.vec_id) AS rn
+  FROM embeddings e CROSS JOIN qs
+  WHERE e.vec_id != qs.query_id
+), topk AS (
+  SELECT query_id, d_e4, rn FROM scored WHERE rn <= {QPP_STATS_K}
+)
+SELECT query_id,
+       CAST(min(d_e4) AS BIGINT) AS d_best_e4,
+       CAST(max(d_e4) AS BIGINT) AS d_kth_e4,
+       CAST(sum(d_e4) // count(*) AS BIGINT) AS d_mean_e4,
+       CAST(max(d_e4) - min(d_e4) AS BIGINT) AS spread_e4,
+       CAST((max(d_e4) - min(d_e4)) * 1000000 // greatest(max(d_e4), 1) AS BIGINT)
+         AS spread_ppm
+FROM topk
+GROUP BY query_id
+ORDER BY query_id
+"""
+
+
+@register("ann_qpp_stats", _qpp_stats_oracle())
+def ann_qpp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised query-performance-prediction statistics per query
+    (B181): best/k-th/mean distance and absolute+relative spread over the
+    exact top-k list — the ambiguity signal that routes queries to
+    heavier re-ranking."""
+    from vectordb_hr_data_spark.operators.knn import local_topk_per_key
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(V.l2sq(F.col("embedding"), F.col("qv")), _ROUND).alias("distance"),
+        )
+    )
+    partial = local_topk_per_key(
+        scored, key_col="query_id", order_cols=("distance", "vec_id"), k=QPP_STATS_K
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+    topk = (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= QPP_STATS_K)
+        .select(
+            "query_id",
+            F.round(F.col("distance") * 10000).cast("long").alias("d_e4"),
+        )
+    )
+    return (
+        topk.groupBy("query_id")
+        .agg(
+            F.min("d_e4").cast("long").alias("d_best_e4"),
+            F.max("d_e4").cast("long").alias("d_kth_e4"),
+            F.expr("sum(d_e4) div count(*)").cast("long").alias("d_mean_e4"),
+            (F.max("d_e4") - F.min("d_e4")).cast("long").alias("spread_e4"),
+            F.expr(
+                "(max(d_e4) - min(d_e4)) * 1000000 div greatest(max(d_e4), 1)"
+            )
+            .cast("long")
+            .alias("spread_ppm"),
+        )
+        .orderBy("query_id")
+    )

@@ -2289,3 +2289,114 @@ def doc_lm_holdout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ce_micro") / 1000000.0).alias("cross_entropy"),
         F.round(F.exp(F.col("ce_micro") / 1000000.0), 4).alias("ppl"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# B178: classifier calibration audit — reliability bins + ECE
+# ---------------------------------------------------------------------------
+# A quality classifier that gates a corpus must be CALIBRATED, not just
+# discriminative: "score 0.8" should mean ~80% of such docs are actually
+# good, or every downstream threshold is mislabeled. This op bins the
+# B35 classifier's sigmoid scores into 10 confidence bins and compares
+# mean predicted probability against the empirical positive rate per
+# bin (the reliability diagram), then folds the gaps into the standard
+# Expected Calibration Error (Guo et al., ICML'17): ECE = Σ n_b/N ·
+# |acc_b − conf_b|. The outcome label here is a deterministic fixture
+# stand-in (doc length ≥ 200 chars); a production run joins real labels
+# through the same seam. Arithmetic: ONE rounded sigmoid per doc
+# (micro), everything after is integer — both engines replay the bins
+# and the ECE bit-for-bit. Scale: doc-key groupBy → ≤10-row bin table;
+# the ECE window runs over those 10 rows.
+CAL_LABEL_MIN_CHARS = 200
+
+
+@register(
+    "clf_calibration_ece",
+    f"""
+WITH tf AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), dtf AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS n FROM tf GROUP BY doc_id, t
+), wt AS (
+  SELECT doc_id, n,
+         {_clf_weight_ddb(H.ddb_str_hash_fast('t') + f" % {CLF_BUCKETS}")} AS wi
+  FROM dtf
+), agg AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens, CAST(sum(n * wi) AS BIGINT) AS s
+  FROM wt GROUP BY doc_id
+), scored AS (
+  SELECT a.doc_id,
+         CAST(round(1000000.0 / (1.0 + exp(-(a.s / {CLF_W_SCALE}.0 / a.n_tokens)))) AS BIGINT)
+           AS smicro,
+         CASE WHEN d.n_chars >= {CAL_LABEL_MIN_CHARS} THEN 1 ELSE 0 END AS y
+  FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+), bins AS (
+  SELECT least(smicro * 10 // 1000000, 9) AS bin,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(smicro) // count(*) AS BIGINT) AS mean_conf_micro,
+         CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS emp_pos_micro
+  FROM scored GROUP BY bin
+)
+SELECT CAST(bin AS BIGINT) AS bin, n_docs, mean_conf_micro, emp_pos_micro,
+       abs(mean_conf_micro - emp_pos_micro) AS gap_micro,
+       CAST(sum(n_docs * abs(mean_conf_micro - emp_pos_micro)) OVER ()
+            // sum(n_docs) OVER () AS BIGINT) AS ece_micro
+FROM bins
+ORDER BY bin
+""",
+)
+def clf_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins + expected calibration error for the B35 quality
+    classifier (B178) — one rounded sigmoid per doc, integer bins/gaps,
+    the ECE window over the ≤10-row bin table."""
+    d = read_table(spark, sf_dir, "documents")
+    dtf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wt = dtf.select(
+        "doc_id",
+        "n",
+        F.expr(_clf_weight_spark(H.spark_str_hash_fast("t") + f" % {CLF_BUCKETS}")).alias("wi"),
+    )
+    agg = wt.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum(F.col("n") * F.col("wi")).cast("long").alias("s"),
+    )
+    scored = agg.join(d.select("doc_id", "n_chars"), "doc_id").select(
+        F.round(
+            1000000.0 / (1.0 + F.exp(-(F.col("s") / float(CLF_W_SCALE) / F.col("n_tokens"))))
+        )
+        .cast("long")
+        .alias("smicro"),
+        F.when(F.col("n_chars") >= CAL_LABEL_MIN_CHARS, 1).otherwise(0).alias("y"),
+    )
+    bins = (
+        scored.groupBy(
+            F.least(F.expr("smicro * 10 div 1000000"), F.lit(9)).cast("long").alias("bin")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr("sum(smicro) div count(*)").cast("long").alias("mean_conf_micro"),
+            F.expr("sum(y) * 1000000 div count(*)").cast("long").alias("emp_pos_micro"),
+        )
+    )
+    gap = F.abs(F.col("mean_conf_micro") - F.col("emp_pos_micro"))
+    return (
+        bins.select(
+            "bin",
+            "n_docs",
+            "mean_conf_micro",
+            "emp_pos_micro",
+            gap.alias("gap_micro"),
+            # integer div, not float /: bit-parity with the oracle's `//`
+            F.expr(
+                "sum(n_docs * abs(mean_conf_micro - emp_pos_micro)) OVER ()"
+                " div sum(n_docs) OVER ()"
+            )
+            .cast("long")
+            .alias("ece_micro"),
+        )
+        .orderBy("bin")
+    )

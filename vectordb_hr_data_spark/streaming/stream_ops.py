@@ -1549,3 +1549,49 @@ def cohort_ltv_from_state(spark: SparkSession, state_path: str) -> DataFrame:
         )
         .orderBy("cohort_week", "age_weeks")
     )
+
+
+def stream_source_fingerprint(doc_stream: DataFrame, state_path: str) -> None:
+    """Streaming maintenance of the B180 per-source corpus fingerprint via
+    ``stream_mergeable_agg``: count sums, XOR folds through bit_xor, and
+    the modular sum re-reduces as (a + b) mod M — all associative, so the
+    fingerprint of the streamed corpus is bit-identical to the batch
+    fingerprint regardless of batch boundaries or arrival order. The
+    per-key merge sums two residues < M in decimal(38,0) before
+    re-modding, so nothing overflows."""
+    from pyspark.sql import functions as F
+
+    from ..querydefs.pipeline_queries import FP_MOD
+
+    keyed = doc_stream.select(
+        "source",
+        F.expr(
+            "cast(conv(substring(md5(concat(cast(doc_id as string), '|', text)), 1, 15),"
+            " 16, 10) as bigint)"
+        ).alias("h60"),
+    )
+    stream_mergeable_agg(
+        keyed,
+        state_path,
+        ["source"],
+        [
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr("bit_xor(h60)").cast("long").alias("fp_xor"),
+            F.expr(f"cast(sum(cast(h60 as decimal(38,0))) % {FP_MOD} as bigint)").alias(
+                "fp_sum_mod"
+            ),
+        ],
+        [
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.expr("bit_xor(fp_xor)").cast("long").alias("fp_xor"),
+            F.expr(
+                f"cast(sum(cast(fp_sum_mod as decimal(38,0))) % {FP_MOD} as bigint)"
+            ).alias("fp_sum_mod"),
+        ],
+    )
+
+
+def source_fingerprint_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B180's report from the streamed state — already final-form; just
+    ordered for presentation."""
+    return spark.read.parquet(state_path).orderBy("source")
