@@ -685,3 +685,39 @@ def test_rfm_streaming_read_path_shares_batch_scorer(spark, sf_dir, tmp_path):
     assert [tuple(r) for r in got.collect()] == [
         tuple(r) for r in events_user_rfm(spark, sf_dir).collect()
     ]
+
+
+def test_with_exact_ntile_matches_builtin_ntile_exactly(spark):
+    """operators/quantiles.with_exact_ntile claims bit-equality with
+    ntile(n) OVER (ORDER BY value, tie) — pin it on adversarial frames:
+    heavy ties, N < n, N == n, N % n != 0, descending order, and a
+    single-value column (every row ties)."""
+    import random
+
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    from vectordb_hr_data_spark.operators.quantiles import with_exact_ntile
+
+    rng = random.Random(42)
+    cases = [
+        [(i, rng.randint(0, 5)) for i in range(97)],   # heavy ties, N%n != 0
+        [(i, rng.randint(0, 1000)) for i in range(500)],  # mostly unique
+        [(i, 7) for i in range(31)],                   # single value: all tie
+        [(i, i % 3) for i in range(4)],                # N < n
+        [(i, rng.randint(0, 2)) for i in range(10)],   # N == n
+    ]
+    for n in (5, 10):
+        for rows in cases:
+            df = spark.createDataFrame(rows, "tid long, v long")
+            for desc in (False, True):
+                order = [F.col("v").desc() if desc else F.col("v").asc(), F.col("tid").asc()]
+                want = df.select(
+                    "tid", F.ntile(n).over(Window.orderBy(*order)).cast("long").alias("t")
+                )
+                got = with_exact_ntile(df, n, "v", "tid", "t", descending=desc).select(
+                    "tid", "t"
+                )
+                w = {r.tid: r.t for r in want.collect()}
+                g = {r.tid: r.t for r in got.collect()}
+                assert g == w, (n, desc, len(rows))

@@ -1420,3 +1420,82 @@ def lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bands", "s_centi")
     )
+
+
+# ---------------------------------------------------------------------------
+# B185: duplicate-group size histogram (the dedup planning readout)
+# ---------------------------------------------------------------------------
+# Before running dedup at 100 TB you want its shape: are duplicates
+# mostly pairs (cheap, keep-first wins) or mega-clusters (boilerplate /
+# mirror storms that dominate removal and skew any group-key)? This op
+# buckets exact md5-group sizes into power-of-two bands and reports,
+# per band: group count, doc count, docs-removed-if-keep-first, and
+# each band's share of all removals — the table that predicts both the
+# dedup dividend (B176 weights it by tokens) and the skew profile the
+# shuffle planner needs. Scale: the same uniform md5 groupBy as B1,
+# then a ≤~40-row band table.
+@register(
+    "dedup_group_size_histogram",
+    """
+WITH g AS (
+  SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS sz FROM documents GROUP BY h
+), banded AS (
+  SELECT CASE WHEN sz = 1 THEN 0
+              ELSE CAST(floor(ln(sz - 1) / ln(2)) AS BIGINT) + 1 END AS band,
+         sz
+  FROM g
+)
+SELECT band,
+       CAST(CASE WHEN band = 0 THEN 1 ELSE power(2, band - 1) + 1 END AS BIGINT) AS band_lo,
+       CAST(CASE WHEN band = 0 THEN 1 ELSE power(2, band) END AS BIGINT) AS band_hi,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(sum(sz - 1) AS BIGINT) AS n_removed_keep_first,
+       CAST(sum(sz - 1) * 1000000 // greatest(sum(sum(sz - 1)) OVER (), 1) AS BIGINT)
+         AS removal_share_ppm
+FROM banded
+GROUP BY band
+ORDER BY band
+""",
+)
+def dedup_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram of exact duplicate-group sizes (B185):
+    groups/docs/removals per band and each band's share of total
+    removals — the dedup cost/skew forecast."""
+    d = read_table(spark, sf_dir, "documents")
+    g = d.groupBy(F.md5("text").alias("h")).agg(F.count("*").cast("long").alias("sz"))
+    banded = g.select(
+        F.when(F.col("sz") == 1, F.lit(0))
+        .otherwise((F.floor(F.log(2.0, F.col("sz") - 1)) + 1).cast("long"))
+        .alias("band"),
+        "sz",
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.sum(F.col("sz") - 1).cast("long").alias("n_removed_keep_first"),
+        )
+        .select(
+            "band",
+            F.when(F.col("band") == 0, 1)
+            .otherwise(F.pow(F.lit(2.0), F.col("band") - 1).cast("long") + 1)
+            .cast("long")
+            .alias("band_lo"),
+            F.when(F.col("band") == 0, 1)
+            .otherwise(F.pow(F.lit(2.0), F.col("band")).cast("long"))
+            .cast("long")
+            .alias("band_hi"),
+            "n_groups",
+            "n_docs",
+            "n_removed_keep_first",
+            F.expr(
+                "n_removed_keep_first * 1000000"
+                " div greatest(sum(n_removed_keep_first) OVER (), 1)"
+            )
+            .cast("long")
+            .alias("removal_share_ppm"),
+        )
+        .orderBy("band")
+    )

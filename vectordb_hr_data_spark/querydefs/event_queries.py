@@ -4234,3 +4234,134 @@ def events_ratio_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((ratio - 1.959964 * se) * 1000000 + 0.5).cast("long").alias("ci_lo_micro"),
         F.floor((ratio + 1.959964 * se) * 1000000 + 0.5).cast("long").alias("ci_hi_micro"),
     ).orderBy("arm")
+
+
+# ---------------------------------------------------------------------------
+# B183: per-user behavioral entropy (event-type mix diversity)
+# ---------------------------------------------------------------------------
+# The feature-store companion to RFM (B113): HOW a user acts, not just
+# how much — Shannon entropy of their event-type distribution in exact
+# integer micro-nats (0 = one-trick user, ln(#types) = uniform).
+# Integer contract: each type's -ln(p) rounds ONCE to micro-nats, the
+# user entropy is the count-weighted integer mean. Scale: two uniform
+# groupBys ((user, type) then user); output |users| rows like B113.
+@register(
+    "events_user_type_entropy",
+    """
+WITH ut AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+), tot AS (
+  SELECT user_id, CAST(sum(n) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS n_types
+  FROM ut GROUP BY user_id
+)
+SELECT u.user_id, t.nt AS n_events, t.n_types,
+       CAST(sum(u.n * CAST(round(-ln(u.n * 1.0 / t.nt) * 1000000) AS BIGINT)) // t.nt
+            AS BIGINT) AS entropy_micronat
+FROM ut u JOIN tot t ON t.user_id = u.user_id
+GROUP BY u.user_id, t.nt, t.n_types
+ORDER BY u.user_id
+""",
+)
+def events_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix in exact integer
+    micro-nats (B183) — the behavioral-diversity feature beside RFM."""
+    ev = read_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(F.count("*").cast("long").alias("n"))
+    tot = ut.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    return (
+        ut.join(tot, "user_id")
+        .groupBy("user_id", "nt", "n_types")
+        .agg(
+            F.expr(
+                "sum(n * cast(round(-ln(n * 1.0 / nt) * 1000000) as bigint)) div nt"
+            )
+            .cast("long")
+            .alias("entropy_micronat")
+        )
+        .select(
+            "user_id",
+            F.col("nt").alias("n_events"),
+            "n_types",
+            "entropy_micronat",
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B184: inter-event gap percentiles per type (exact-rank form)
+# ---------------------------------------------------------------------------
+# Cadence profiling: per event type, the median and p95 gap between a
+# user's CONSECUTIVE events of that type — the number that separates a
+# heartbeat stream from human traffic and sets sessionization gaps /
+# watermark widths empirically instead of by folklore. Gaps are exact
+# integer microseconds from a user+type-partitioned lag (no global
+# window); percentiles use the B137 exact-rank discipline
+# (rk = ceil(n*q) under a total order), so both engines agree
+# bit-for-bit. Output: one row per event type.
+@register(
+    "events_gap_percentiles",
+    """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us,
+         event_id
+  FROM events
+), gaps AS (
+  SELECT event_type, gap_us, event_id FROM g WHERE gap_us IS NOT NULL
+), ranked AS (
+  SELECT event_type, gap_us,
+         row_number() OVER (PARTITION BY event_type ORDER BY gap_us, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM gaps
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+       CAST(max(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT) THEN gap_us END) AS BIGINT)
+         AS p50_gap_us,
+       CAST(max(CASE WHEN rk = CAST(ceil(n * 0.95) AS BIGINT) THEN gap_us END) AS BIGINT)
+         AS p95_gap_us
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-rank median/p95 inter-event gap per event type (B184) — the
+    cadence profile that grounds sessionization gaps and watermarks."""
+    ev = read_table(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wl)).alias("gap_us"),
+        "event_id",
+    ).filter(F.col("gap_us").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy("gap_us", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = g.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_gaps"),
+            F.max(
+                F.when(F.col("rk") == F.ceil(F.col("n") * 0.5).cast("long"), F.col("gap_us"))
+            )
+            .cast("long")
+            .alias("p50_gap_us"),
+            F.max(
+                F.when(F.col("rk") == F.ceil(F.col("n") * 0.95).cast("long"), F.col("gap_us"))
+            )
+            .cast("long")
+            .alias("p95_gap_us"),
+        )
+        .orderBy("event_type")
+    )

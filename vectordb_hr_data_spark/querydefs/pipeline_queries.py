@@ -3261,3 +3261,94 @@ def source_corpus_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# B182: temperature-scaled mixture weights (the multilingual sampling law)
+# ---------------------------------------------------------------------------
+# B17 APPLIES per-source weights; this op COMPUTES them the way the
+# multilingual-corpus papers do (mT5/XLM-R practice): raw token shares
+# p_i are flattened through a temperature, q_i ∝ p_i^(1/T), so
+# high-resource sources are downsampled and the tail is boosted — T=1
+# is proportional sampling, T→∞ uniform. Emits, per (source, T) over
+# the published temperature grid: the raw share, the scaled weight, and
+# the expected token draw from a fixed per-epoch budget. One bounded
+# groupBy(source) + a literal temperature grid; pow/round(.,6) is the
+# one float step (both engines' IEEE pow agrees, then everything is
+# rounded once).
+MIX_TEMPS_CENTI = [100, 200, 333, 500]  # T = 1.0, 2.0, 3.33, 5.0
+MIX_EPOCH_BUDGET = 1_000_000  # tokens per epoch in the planning readout
+
+
+def _temp_mix_oracle() -> str:
+    temps = ", ".join(f"({t})" for t in MIX_TEMPS_CENTI)
+    return f"""
+WITH tok AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+  GROUP BY source
+), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS nt FROM tok),
+temps(t_centi) AS (VALUES {temps}),
+scaled AS (
+  SELECT k.source, k.n_tokens, tp.t_centi,
+         CAST(round(power(k.n_tokens * 1.0 / tot.nt, 100.0 / tp.t_centi) * 1000000)
+              AS BIGINT) AS q_micro
+  FROM tok k CROSS JOIN tot CROSS JOIN temps tp
+), z AS (
+  SELECT t_centi, CAST(sum(q_micro) AS BIGINT) AS zt FROM scaled GROUP BY t_centi
+)
+SELECT s.source, s.n_tokens, CAST(s.t_centi AS BIGINT) AS t_centi,
+       CAST(round(s.q_micro * 1000000.0 / z.zt) AS BIGINT) AS w_micro,
+       CAST(round(s.q_micro * {MIX_EPOCH_BUDGET}.0 / z.zt) AS BIGINT) AS epoch_tokens
+FROM scaled s JOIN z ON z.t_centi = s.t_centi
+ORDER BY s.source, s.t_centi
+"""
+
+
+@register("corpus_temperature_mix", _temp_mix_oracle())
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled per-source sampling weights q_i ∝ p_i^(1/T)
+    over the published temperature grid (B182) — the mixing weights B17
+    applies, computed instead of assumed, with the per-epoch token draw
+    each (source, T) implies."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("source", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_tokens"))
+    )
+    tot = tok.agg(F.sum("n_tokens").cast("long").alias("nt"))
+    temps = spark.createDataFrame([(t,) for t in MIX_TEMPS_CENTI], "t_centi long")
+    scaled = (
+        tok.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(temps))
+        .select(
+            "source",
+            "n_tokens",
+            "t_centi",
+            # quantize the one float step (pow) to integer micro IMMEDIATELY:
+            # the normalizer is then an exact integer sum, immune to float
+            # addition order across partitions.
+            F.round(
+                F.pow(F.col("n_tokens") / F.col("nt"), 100.0 / F.col("t_centi")) * 1000000
+            )
+            .cast("long")
+            .alias("q_micro"),
+        )
+    )
+    z = scaled.groupBy("t_centi").agg(F.sum("q_micro").cast("long").alias("zt"))
+    return (
+        scaled.join(F.broadcast(z), "t_centi")
+        .select(
+            "source",
+            "n_tokens",
+            "t_centi",
+            F.round(F.col("q_micro") * 1000000.0 / F.col("zt")).cast("long").alias("w_micro"),
+            F.round(F.col("q_micro") * float(MIX_EPOCH_BUDGET) / F.col("zt"))
+            .cast("long")
+            .alias("epoch_tokens"),
+        )
+        .orderBy("source", "t_centi")
+    )
