@@ -115,6 +115,8 @@ PRIORITY: list[str] = [
     "source_corpus_fingerprint", "ann_qpp_stats",
     "corpus_temperature_mix", "events_user_type_entropy",
     "events_gap_percentiles", "dedup_group_size_histogram",
+    "dsar_access_report", "chunk_stitch_audit",
+    "dedup_rate_sampled_estimate", "source_lang_mismatch",
     # r9-window queries (fresh driver rows)
     "hr_tagged_union_projection", "hr_metadata_flatten", "doc_simhash",
     "doc_lang_id", "top_bigrams_per_lang", "neardup_embedding_cosine",

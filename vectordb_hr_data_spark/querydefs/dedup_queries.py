@@ -1499,3 +1499,70 @@ def dedup_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# B188: sampled dedup-rate estimator vs exact (the sampling contract)
+# ---------------------------------------------------------------------------
+# Before paying for exact dedup at 100 TB you estimate the dividend
+# from a hash-mod sample. Sampling GROUPS (not docs) by a hash of the
+# group key keeps every group intact, so the group-sum estimator
+# 16·Σ_sample(sz−1) is unbiased for total removals — doc-level sampling
+# would fragment groups and bias the rate down. This op computes the
+# exact removal rate AND the 1/16 group-sample estimate side by side
+# with the signed estimation error, making the planning contract
+# ("the estimate is trustworthy") itself a checked query. One md5
+# groupBy; the sample filter is a map-side predicate on the group key.
+DEDUP_SAMPLE_MOD = 16
+
+
+@register(
+    "dedup_rate_sampled_estimate",
+    f"""
+WITH g AS (
+  SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS sz FROM documents GROUP BY h
+), agg AS (
+  SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+         CAST(sum(sz - 1) AS BIGINT) AS exact_removed,
+         CAST(sum(CASE WHEN CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % {DEDUP_SAMPLE_MOD} = 0
+                       THEN sz - 1 ELSE 0 END) * {DEDUP_SAMPLE_MOD} AS BIGINT) AS est_removed,
+         CAST(sum(CASE WHEN CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % {DEDUP_SAMPLE_MOD} = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled_groups
+  FROM g
+)
+SELECT n_docs, n_sampled_groups, exact_removed, est_removed,
+       CAST(exact_removed * 1000000 // n_docs AS BIGINT) AS exact_removed_ppm,
+       CAST(est_removed * 1000000 // n_docs AS BIGINT) AS est_removed_ppm,
+       CAST((est_removed - exact_removed) * 1000000 // greatest(n_docs, 1) AS BIGINT)
+         AS est_error_ppm
+FROM agg
+""",
+)
+def dedup_rate_sampled_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vs 1/16 group-hash-sampled duplicate-removal rate with the
+    signed estimation error (B188) — the contract that says the cheap
+    pre-run estimate can be trusted to plan the full dedup."""
+    d = read_table(spark, sf_dir, "documents")
+    g = d.groupBy(F.md5("text").alias("h")).agg(F.count("*").cast("long").alias("sz"))
+    in_sample = (
+        F.expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)") % DEDUP_SAMPLE_MOD == 0
+    )
+    agg = g.agg(
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.sum(F.col("sz") - 1).cast("long").alias("exact_removed"),
+        (F.sum(F.when(in_sample, F.col("sz") - 1).otherwise(0)) * DEDUP_SAMPLE_MOD)
+        .cast("long")
+        .alias("est_removed"),
+        F.sum(F.when(in_sample, 1).otherwise(0)).cast("long").alias("n_sampled_groups"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_sampled_groups",
+        "exact_removed",
+        "est_removed",
+        F.expr("exact_removed * 1000000 div n_docs").cast("long").alias("exact_removed_ppm"),
+        F.expr("est_removed * 1000000 div n_docs").cast("long").alias("est_removed_ppm"),
+        F.expr("(est_removed - exact_removed) * 1000000 div greatest(n_docs, 1)")
+        .cast("long")
+        .alias("est_error_ppm"),
+    )

@@ -3352,3 +3352,102 @@ def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "t_centi")
     )
+
+
+# ---------------------------------------------------------------------------
+# B187: chunk-stitching integrity audit (self-verifying pipeline step)
+# ---------------------------------------------------------------------------
+# If the B16 chunker and a downstream consumer disagree about stride or
+# boundary handling, documents silently lose or duplicate tokens at
+# chunk seams. This audit RECONSTRUCTS each document from its chunks —
+# every chunk contributes its non-overlapping head (first stride
+# tokens), the final chunk contributes everything it has — stitches
+# them in chunk order through a sorted aggregation, and compares the
+# md5 of the reconstruction against the original text's md5. A false
+# stitch_ok is precisely a seam bug. Shape: the B16 explode, one
+# doc-key sorted-list aggregation (fan-in = chunks per doc, bounded by
+# doc length), no global window.
+@register(
+    "chunk_stitch_audit",
+    f"""
+WITH t AS (
+  SELECT doc_id, md5(text) AS orig_md5, string_split(text, ' ') AS toks FROM documents
+), n AS (
+  SELECT doc_id, orig_md5, toks, len(toks) AS n FROM t
+), c AS (
+  SELECT doc_id, orig_md5, toks, n,
+         unnest(range(0, 1 + CAST(ceil(CAST(greatest(n - {CHUNK_TOKENS}, 0) AS DOUBLE)
+                                       / {CHUNK_STRIDE}) AS BIGINT))) AS chunk_idx,
+         1 + CAST(ceil(CAST(greatest(n - {CHUNK_TOKENS}, 0) AS DOUBLE)
+                       / {CHUNK_STRIDE}) AS BIGINT) AS n_chunks
+  FROM n
+), pieces AS (
+  SELECT doc_id, orig_md5, chunk_idx, n_chunks,
+         CASE WHEN chunk_idx = n_chunks - 1
+              THEN array_to_string(toks[{CHUNK_STRIDE} * CAST(chunk_idx AS INT) + 1 :
+                                        {CHUNK_STRIDE} * CAST(chunk_idx AS INT) + {CHUNK_TOKENS}], ' ')
+              ELSE array_to_string(toks[{CHUNK_STRIDE} * CAST(chunk_idx AS INT) + 1 :
+                                        {CHUNK_STRIDE} * CAST(chunk_idx AS INT) + {CHUNK_STRIDE}], ' ')
+         END AS piece
+  FROM c
+), stitched AS (
+  SELECT doc_id, CAST(max(n_chunks) AS BIGINT) AS n_chunks,
+         max(orig_md5) AS orig_md5,
+         md5(string_agg(piece, ' ' ORDER BY chunk_idx)) AS stitched_md5
+  FROM pieces GROUP BY doc_id
+)
+SELECT doc_id, n_chunks, stitched_md5 = orig_md5 AS stitch_ok
+FROM stitched
+ORDER BY doc_id
+""",
+)
+def chunk_stitch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruct every document from its B16 chunks (non-overlapping
+    heads + full final chunk) and hash-compare against the original
+    (B187) — the seam-bug detector chunked pipelines should ship with."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.md5("text").alias("orig_md5"), F.split(F.col("text"), " ").alias("toks")
+    )
+    n = t.withColumn("n", F.size("toks"))
+    n_chunks = (
+        1
+        + F.ceil(
+            F.greatest(F.col("n") - CHUNK_TOKENS, F.lit(0)).cast("double") / CHUNK_STRIDE
+        ).cast("long")
+    )
+    c = n.select(
+        "doc_id",
+        "orig_md5",
+        "toks",
+        n_chunks.alias("n_chunks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    head = F.expr(
+        f"array_join(slice(toks, {CHUNK_STRIDE} * chunk_idx + 1, {CHUNK_STRIDE}), ' ')"
+    )
+    last = F.expr(
+        f"array_join(slice(toks, {CHUNK_STRIDE} * chunk_idx + 1, {CHUNK_TOKENS}), ' ')"
+    )
+    pieces = c.select(
+        "doc_id",
+        "orig_md5",
+        "n_chunks",
+        "chunk_idx",
+        F.when(F.col("chunk_idx") == F.col("n_chunks") - 1, last).otherwise(head).alias("piece"),
+    )
+    stitched = pieces.groupBy("doc_id").agg(
+        F.max("n_chunks").cast("long").alias("n_chunks"),
+        F.max("orig_md5").alias("orig_md5"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr("transform(array_sort(collect_list(struct(chunk_idx, piece))), x -> x.piece)"),
+            )
+        ).alias("stitched_md5"),
+    )
+    return stitched.select(
+        "doc_id",
+        "n_chunks",
+        (F.col("stitched_md5") == F.col("orig_md5")).alias("stitch_ok"),
+    ).orderBy("doc_id")

@@ -965,3 +965,98 @@ def part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("abc_class", "n_parts", "revenue_cents", "revenue_share_ppm")
         .orderBy("abc_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# B186: data-subject access report (the DSAR export manifest)
+# ---------------------------------------------------------------------------
+# The read side of B129's right-to-erasure: a subject-access request
+# must enumerate everything held about a person. For the same
+# deterministic subject sample (c_custkey % 97 = 0), one manifest row
+# per customer: row counts per linked table, total monetary exposure,
+# and the first/last activity dates that bound the retention window.
+# Shape: the tomb keys BROADCAST into orders; lineitems pre-aggregate
+# per order BEFORE joining up (never a per-customer fan-out of raw
+# lineitem); output is |sample| rows.
+@register(
+    "dsar_access_report",
+    """
+WITH tomb AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey % 97 = 0
+), ords AS (
+  SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM tomb)
+), li AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM ords)
+  GROUP BY l_orderkey
+), per AS (
+  SELECT o.o_custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(coalesce(sum(li.n_items), 0) AS BIGINT) AS n_lineitems,
+         CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0) AS BIGINT)
+           AS total_cents,
+         CAST(min(o.o_orderdate) AS VARCHAR) AS first_order_date,
+         CAST(max(o.o_orderdate) AS VARCHAR) AS last_order_date
+  FROM ords o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey
+)
+SELECT t.c_custkey, t.c_name,
+       coalesce(p.n_orders, 0) AS n_orders,
+       coalesce(p.n_lineitems, 0) AS n_lineitems,
+       coalesce(p.total_cents, 0) AS total_cents,
+       p.first_order_date, p.last_order_date
+FROM tomb t LEFT JOIN per p ON p.o_custkey = t.c_custkey
+ORDER BY t.c_custkey
+""",
+)
+def dsar_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subject access-request manifest (B186): linked-row counts,
+    monetary exposure, and activity bounds for every sampled customer —
+    the export the erasure cascade (B129) later deletes."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    tomb = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey", "c_name")
+    ords = orders.join(
+        F.broadcast(tomb.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_semi",
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+    li_per_order = (
+        li.join(
+            F.broadcast(ords.select("o_orderkey")),
+            li.l_orderkey == ords.o_orderkey,
+            "left_semi",
+        )
+        .groupBy("l_orderkey")
+        .agg(F.count("*").cast("long").alias("n_items"))
+    )
+    per = (
+        ords.join(li_per_order, ords.o_orderkey == li_per_order.l_orderkey, "left")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.coalesce(F.sum("n_items"), F.lit(0)).cast("long").alias("n_lineitems"),
+            F.coalesce(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias("total_cents"),
+            F.min("o_orderdate").cast("string").alias("first_order_date"),
+            F.max("o_orderdate").cast("string").alias("last_order_date"),
+        )
+    )
+    return (
+        tomb.join(per, tomb.c_custkey == per.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("n_lineitems", F.lit(0)).cast("long").alias("n_lineitems"),
+            F.coalesce("total_cents", F.lit(0)).cast("long").alias("total_cents"),
+            "first_order_date",
+            "last_order_date",
+        )
+        .orderBy("c_custkey")
+    )

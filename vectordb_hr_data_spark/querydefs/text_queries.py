@@ -2400,3 +2400,58 @@ def clf_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# B189: per-source language-mismatch audit (ingest QA view of B119)
+# ---------------------------------------------------------------------------
+# The global confusion matrix (B119) says how the lang-ID heuristic
+# behaves; an ingest pipeline needs the view per SOURCE: which feed is
+# delivering documents whose detected language disagrees with its
+# declared metadata — the signal that a crawler's lang tag is broken or
+# a source changed underneath you. Reuses the registered B6 predictions
+# verbatim (oracle embeds doc_lang_id's SQL as a CTE — the B107
+# discipline, so this audit cannot drift from the op it audits).
+def _source_lang_mismatch_oracle() -> str:
+    return f"""
+WITH pred AS ({_TQ_REGISTRY["doc_lang_id"].oracle})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN p.predicted_lang <> p.lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_mismatch,
+       CAST(sum(CASE WHEN p.predicted_lang = 'unknown' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unknown,
+       CAST(sum(CASE WHEN p.predicted_lang <> p.lang THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS mismatch_ppm
+FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@register("source_lang_mismatch", _source_lang_mismatch_oracle())
+def source_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source declared-vs-detected language disagreement rate (B189)
+    — the feed-health alarm built on the registered B6 predictions."""
+    d = read_table(spark, sf_dir, "documents")
+    pred = doc_lang_id(spark, sf_dir).select("doc_id", "predicted_lang", "lang")
+    return (
+        pred.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("predicted_lang") != F.col("lang"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_mismatch"),
+            F.sum(F.when(F.col("predicted_lang") == "unknown", 1).otherwise(0))
+            .cast("long")
+            .alias("n_unknown"),
+            F.expr(
+                "sum(CASE WHEN predicted_lang <> lang THEN 1 ELSE 0 END) * 1000000"
+                " div count(*)"
+            )
+            .cast("long")
+            .alias("mismatch_ppm"),
+        )
+        .orderBy("source")
+    )
