@@ -117,6 +117,8 @@ PRIORITY: list[str] = [
     "events_gap_percentiles", "dedup_group_size_histogram",
     "dsar_access_report", "chunk_stitch_audit",
     "dedup_rate_sampled_estimate", "source_lang_mismatch",
+    "kmv_distinct_sketch", "boilerplate_shingle_hotlist",
+    "split_leakage_audit",
     # r9-window queries (fresh driver rows)
     "hr_tagged_union_projection", "hr_metadata_flatten", "doc_simhash",
     "doc_lang_id", "top_bigrams_per_lang", "neardup_embedding_cosine",

@@ -1566,3 +1566,182 @@ def dedup_rate_sampled_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("est_error_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B190: KMV (k-minimum-values) distinct sketch, exact-oracle form
+# ---------------------------------------------------------------------------
+# Most distinct sketches (HLL) are engine-specific and only rows-only
+# checkable (B124); KMV is the exception — "the K smallest hash values
+# of a set" is a DETERMINISTIC function of the data, so the sketch, its
+# estimate (K−1)·M/h_K over hash space M=2^60, and the error against
+# the exact distinct count are all full-oracle checkable. The sketch is
+# also mergeable (union of K-smallest sets → K smallest of the union),
+# which is what makes it the cross-partition distinct-count workhorse
+# (Bar-Yossef et al.; Beyer et al. SIGMOD'07). Per-source token
+# cardinality here; any keyed set plugs in. Scale shape: distinct
+# (source, token) reduce, then the K smallest per source via the local
+# top-k pre-reduce — never a per-source global sort; sketches with
+# fewer than K values report exactly.
+KMV_K = 64
+KMV_M = 1 << 60
+
+
+@register(
+    "kmv_distinct_sketch",
+    f"""
+WITH dt AS (
+  SELECT DISTINCT source, t FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+  ) WHERE t <> ''
+), h AS (
+  SELECT source, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS hv FROM dt
+), ranked AS (
+  SELECT source, hv,
+         row_number() OVER (PARTITION BY source ORDER BY hv) AS rk,
+         count(*) OVER (PARTITION BY source) AS nd
+  FROM h
+)
+SELECT source,
+       CAST(max(nd) AS BIGINT) AS n_distinct_exact,
+       CAST(CASE WHEN max(nd) <= {KMV_K} THEN max(nd)
+                 ELSE floor(({KMV_K} - 1) * {KMV_M} * 1.0
+                            / max(CASE WHEN rk = {KMV_K} THEN hv END))
+            END AS BIGINT) AS n_distinct_est,
+       CAST((CASE WHEN max(nd) <= {KMV_K} THEN max(nd)
+                  ELSE floor(({KMV_K} - 1) * {KMV_M} * 1.0
+                             / max(CASE WHEN rk = {KMV_K} THEN hv END)) END
+             - max(nd)) * 1000000 // max(nd) AS BIGINT) AS est_error_ppm
+FROM ranked
+WHERE rk <= {KMV_K}
+GROUP BY source
+ORDER BY source
+""",
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KMV distinct-token sketch with its (K−1)·M/h_K estimate
+    and signed error vs the exact count (B190) — the deterministic,
+    mergeable, fully oracle-checkable distinct sketch."""
+    from vectordb_hr_data_spark.operators.knn import local_topk_per_key
+
+    d = read_table(spark, sf_dir, "documents")
+    dt = (
+        d.select("source", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .distinct()
+    )
+    h = dt.select(
+        "source",
+        F.expr("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)").alias("hv"),
+    )
+    nd = h.groupBy("source").agg(F.count("*").cast("long").alias("nd"))
+    # K smallest hashes per source: local per-partition top-k pre-reduce,
+    # then the tiny global rank — the mergeable-sketch shape itself.
+    small = local_topk_per_key(
+        h.withColumn("tie", F.col("hv")), key_col="source", order_cols=("hv", "tie"), k=KMV_K
+    )
+    w = Window.partitionBy("source").orderBy("hv")
+    kth = (
+        small.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == KMV_K)
+        .select("source", F.col("hv").alias("hk"))
+    )
+    est = (
+        F.when(F.col("nd") <= KMV_K, F.col("nd"))
+        .otherwise(F.floor((KMV_K - 1) * float(KMV_M) / F.col("hk")))
+        .cast("long")
+    )
+    return (
+        nd.join(kth, "source", "left")
+        .select(
+            "source",
+            F.col("nd").alias("n_distinct_exact"),
+            est.alias("n_distinct_est"),
+            F.expr(
+                f"(CASE WHEN nd <= {KMV_K} THEN nd"
+                f" ELSE cast(floor(({KMV_K} - 1) * {float(KMV_M)} / hk) as bigint) END - nd)"
+                " * 1000000 div nd"
+            )
+            .cast("long")
+            .alias("est_error_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B192: naive-split leakage audit over exact-duplicate groups
+# ---------------------------------------------------------------------------
+# B97 exists because hashing DOCUMENTS into train/test lets duplicate
+# content straddle the boundary and inflate eval; its pytest proves the
+# leak on this corpus. This op registers that evidence as a CHECKED
+# QUERY: assign the naive per-doc hash split (hash(doc_id) % 10 → 8/1/1
+# train/val/test), then count, over md5 content groups with >1 member,
+# how many groups straddle ≥2 splits and how many test/val docs have a
+# train-side twin — the leaked-eval headcount. One md5 groupBy with
+# conditional counts; the split is a map-side expression.
+@register(
+    "split_leakage_audit",
+    """
+WITH s AS (
+  SELECT doc_id, md5(text) AS h,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8
+              THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 8
+              THEN 'val' ELSE 'test' END AS split
+  FROM documents
+), g AS (
+  SELECT h,
+         CAST(count(*) AS BIGINT) AS sz,
+         CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+         CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(sum(CASE WHEN split <> 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_eval
+  FROM s GROUP BY h
+)
+SELECT CAST(count(*) AS BIGINT) AS n_dup_groups,
+       CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling_groups,
+       CAST(sum(CASE WHEN n_splits > 1 AND n_train > 0 THEN n_eval ELSE 0 END) AS BIGINT)
+         AS n_leaked_eval_docs,
+       CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) * 1000000
+            // greatest(count(*), 1) AS BIGINT) AS straddle_ppm
+FROM g
+WHERE sz > 1
+""",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How badly a naive per-doc hash split leaks duplicate content across
+    train/eval (B192) — straddling-group and leaked-eval-doc counts; the
+    registered evidence for the grouped split (B97)."""
+    d = read_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 10"
+    )
+    s = d.select(
+        F.md5("text").alias("h"),
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
+    )
+    g = (
+        s.groupBy("h")
+        .agg(
+            F.count("*").cast("long").alias("sz"),
+            F.countDistinct("split").cast("long").alias("n_splits"),
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).cast("long").alias("n_train"),
+            F.sum(F.when(F.col("split") != "train", 1).otherwise(0)).cast("long").alias("n_eval"),
+        )
+        .filter(F.col("sz") > 1)
+    )
+    return g.agg(
+        F.count("*").cast("long").alias("n_dup_groups"),
+        F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_straddling_groups"),
+        F.sum(F.when((F.col("n_splits") > 1) & (F.col("n_train") > 0), F.col("n_eval")).otherwise(0))
+        .cast("long")
+        .alias("n_leaked_eval_docs"),
+        F.expr(
+            "sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) * 1000000"
+            " div greatest(count(*), 1)"
+        )
+        .cast("long")
+        .alias("straddle_ppm"),
+    )

@@ -2455,3 +2455,78 @@ def source_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# B191: boilerplate shingle hotlist (the crawl-cleaning review queue)
+# ---------------------------------------------------------------------------
+# Headers, footers, cookie banners, licence blurbs — boilerplate shows
+# up as the SAME shingle in an implausible number of documents, and the
+# cleaning recipe starts from exactly this table: the highest-document-
+# frequency trigram shingles, how many sources each spans (one source →
+# a template; many sources → web-wide boilerplate), and their corpus
+# share. Top-20 by document frequency with deterministic tie-breaks.
+# Scale: distinct (doc, shingle) incidence (the B34/B139 gram table),
+# one uniform shingle-key count, global top-20 via TakeOrdered — no
+# full sort.
+HOTLIST_N = 3
+HOTLIST_TOP = 20
+
+
+@register(
+    "boilerplate_shingle_hotlist",
+    f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(t[CAST(i AS INT):CAST(i AS INT) + {HOTLIST_N} - 1], ' ') AS g
+  FROM toks, unnest(range(1, len(t) - {HOTLIST_N} + 2)) AS r(i)
+  WHERE len(t) >= {HOTLIST_N}
+), df AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS doc_freq,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+  FROM grams GROUP BY g
+), tot AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents)
+SELECT g AS shingle, doc_freq, n_sources,
+       CAST(doc_freq * 1000000 // tot.nd AS BIGINT) AS doc_share_ppm
+FROM df CROSS JOIN tot
+ORDER BY doc_freq DESC, shingle
+LIMIT {HOTLIST_TOP}
+""",
+)
+def boilerplate_shingle_hotlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top document-frequency trigram shingles with source spread (B191)
+    — the boilerplate review queue crawl cleaning starts from."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.split("text", " ").alias("t"))
+    grams = (
+        toks.filter(F.size("t") >= HOTLIST_N)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {HOTLIST_N}),"
+                    f" i -> array_join(slice(t, i + 1, {HOTLIST_N}), ' '))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    df_ = grams.groupBy("g").agg(
+        F.count("*").cast("long").alias("doc_freq"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    tot = d.agg(F.count("*").cast("long").alias("nd"))
+    return (
+        df_.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("g").alias("shingle"),
+            "doc_freq",
+            "n_sources",
+            F.expr("doc_freq * 1000000 div nd").cast("long").alias("doc_share_ppm"),
+        )
+        .orderBy(F.col("doc_freq").desc(), "shingle")
+        .limit(HOTLIST_TOP)
+    )
