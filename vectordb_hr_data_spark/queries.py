@@ -119,6 +119,8 @@ PRIORITY: list[str] = [
     "dedup_rate_sampled_estimate", "source_lang_mismatch",
     "kmv_distinct_sketch", "boilerplate_shingle_hotlist",
     "split_leakage_audit",
+    "eval_stratified_fixed_k", "pack_efficiency_audit",
+    "fuzzy_entity_clusters",
     # r9-window queries (fresh driver rows)
     "hr_tagged_union_projection", "hr_metadata_flatten", "doc_simhash",
     "doc_lang_id", "top_bigrams_per_lang", "neardup_embedding_cosine",

@@ -3451,3 +3451,123 @@ def chunk_stitch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chunks",
         (F.col("stitched_md5") == F.col("orig_md5")).alias("stitch_ok"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# B193: fixed-k per-stratum eval sampler (the held-out set builder)
+# ---------------------------------------------------------------------------
+# Eval sets need exactly-k examples per cell of the (lang, source)
+# grid — proportional sampling (B11) starves small cells, global
+# reservoirs (B76) ignore strata entirely. This op ranks docs inside
+# each stratum by the house content-stable uniform (same u as B11/B17,
+# so membership never churns under reordering or re-partitioning) and
+# keeps the k smallest — a deterministic per-stratum reservoir. The
+# window partitions on the stratum key (bounded fan-in per cell), never
+# globally; adding a corpus only changes a cell's sample if a new doc's
+# u beats the k-th — the stability property eval sets require.
+EVAL_SAMPLE_K = 3
+
+
+@register(
+    "eval_stratified_fixed_k",
+    f"""
+WITH u AS (
+  SELECT lang, source, doc_id, round({_STRAT_U_DDB}, 8) AS u FROM documents
+), ranked AS (
+  SELECT lang, source, doc_id, u,
+         row_number() OVER (PARTITION BY lang, source ORDER BY u, doc_id) AS rk
+  FROM u
+)
+SELECT lang, source, CAST(rk AS BIGINT) AS rk, doc_id, u
+FROM ranked WHERE rk <= {EVAL_SAMPLE_K}
+ORDER BY lang, source, rk
+""",
+)
+def eval_stratified_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-(lang, source) deterministic eval sample (B193) —
+    content-stable u ranks inside each stratum; membership is stable
+    under reordering and corpus growth except true k-th displacement."""
+    d = read_table(spark, sf_dir, "documents")
+    u = d.select("lang", "source", "doc_id", F.round(F.expr(_STRAT_U_SPARK), 8).alias("u"))
+    w = Window.partitionBy("lang", "source").orderBy("u", "doc_id")
+    return (
+        u.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= EVAL_SAMPLE_K)
+        .select("lang", "source", "rk", "doc_id", "u")
+        .orderBy("lang", "source", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B194: packing-efficiency audit (how much compute the packer wastes)
+# ---------------------------------------------------------------------------
+# B12 packs; this op grades the packing: bins bucketed into under-full
+# (<0.9), on-target (0.9-1.0], and overflow (>1.0) utilization bands
+# with doc/token counts and each band's share of bins — the number that
+# says whether the token budget, shard count, or ordering needs tuning
+# before a training run burns idle accelerator time on padding. The
+# oracle embeds the REGISTERED B12 SQL verbatim as its CTE (B107
+# discipline: the audit cannot drift from the op it audits); the Spark
+# side composes the registered builder the same way. Utilization
+# quantizes once to micro; the band reduce is a <=3-row table.
+from ..queries import REGISTRY as _PQ_REGISTRY  # noqa: E402
+
+
+def _pack_efficiency_oracle() -> str:
+    return f"""
+WITH bins AS ({_PQ_REGISTRY["pack_sequences"].oracle})
+, banded AS (
+  SELECT CASE WHEN CAST(round(utilization * 1000000) AS BIGINT) < 900000 THEN 'under'
+              WHEN CAST(round(utilization * 1000000) AS BIGINT) <= 1000000 THEN 'target'
+              ELSE 'overflow' END AS band,
+         n_docs, sum_tokens,
+         CAST(round(utilization * 1000000) AS BIGINT) AS util_micro
+  FROM bins
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(sum_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(util_micro) // count(*) AS BIGINT) AS mean_util_micro,
+       CAST(count(*) * 1000000 // sum(count(*)) OVER () AS BIGINT) AS bin_share_ppm
+FROM banded
+GROUP BY band
+ORDER BY band
+"""
+
+
+@register("pack_efficiency_audit", _pack_efficiency_oracle())
+def pack_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Utilization-band readout over the B12 packing (B194): under-full /
+    on-target / overflow bin counts, docs, tokens, mean utilization —
+    the padding-waste gate before a training run."""
+    bins = pack_sequences(spark, sf_dir)
+    banded = bins.select(
+        F.when(F.round(F.col("utilization") * 1000000).cast("long") < 900000, "under")
+        .when(F.round(F.col("utilization") * 1000000).cast("long") <= 1000000, "target")
+        .otherwise("overflow")
+        .alias("band"),
+        "n_docs",
+        "sum_tokens",
+        F.round(F.col("utilization") * 1000000).cast("long").alias("util_micro"),
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_bins"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("sum_tokens").cast("long").alias("sum_tokens"),
+            F.expr("sum(util_micro) div count(*)").cast("long").alias("mean_util_micro"),
+        )
+        .select(
+            "band",
+            "n_bins",
+            "n_docs",
+            "sum_tokens",
+            "mean_util_micro",
+            F.expr("n_bins * 1000000 div sum(n_bins) OVER ()")
+            .cast("long")
+            .alias("bin_share_ppm"),
+        )
+        .orderBy("band")
+    )

@@ -1060,3 +1060,88 @@ def dsar_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# B195: fuzzy-entity clusters (record linkage closed over components)
+# ---------------------------------------------------------------------------
+# B58 emits verified name-variant PAIRS; real record linkage needs the
+# ENTITIES — transitive closure over those pairs ("retro metallic blue"
+# ~ "retro metalic blue" ~ "retro metallic blu" is ONE entity even if
+# the outer pair misses the edit-distance gate). Nodes are each name's
+# canonical_partkey (unique per name: part sets are disjoint across
+# names, so min p_partkey never collides), the closure is the dedup
+# family's CC (auto-routed union-find / salted star on the Spark side,
+# a recursive CTE replaying the same min-label answer in the oracle —
+# the B107 "embed the registered SQL" discipline, on B58's pair SQL
+# verbatim). Per entity: variant count, total parts, and the canonical
+# (minimum) name via a deterministic min-by-key join.
+def _fuzzy_entity_oracle() -> str:
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(min(p_partkey) AS BIGINT) AS ck
+  FROM part GROUP BY p_name
+), n AS (
+  SELECT p_name, n_parts, ck, string_split(p_name, ' ') AS w FROM d
+), pairs AS (
+  SELECT a.ck AS src, b.ck AS dst
+  FROM n a JOIN n b ON a.w[-1] = b.w[-1] AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+), sym AS (
+  SELECT src AS a, dst AS b FROM pairs UNION SELECT dst, src FROM pairs
+), reach AS (
+  SELECT a, a AS b FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), labels AS (
+  SELECT a AS ck, min(b) AS entity_id FROM reach GROUP BY a
+), ent AS (
+  SELECT l.entity_id,
+         CAST(count(*) AS BIGINT) AS n_name_variants,
+         CAST(sum(d2.n_parts) AS BIGINT) AS n_parts_total,
+         min(d2.p_name) AS canonical_name
+  FROM labels l JOIN d d2 ON d2.ck = l.ck
+  GROUP BY l.entity_id
+)
+SELECT entity_id, canonical_name, n_name_variants, n_parts_total
+FROM ent
+WHERE n_name_variants > 1
+ORDER BY entity_id
+"""
+
+
+@register("fuzzy_entity_clusters", _fuzzy_entity_oracle())
+def fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the B58 fuzzy pairs into entities (B195):
+    per multi-variant entity, the canonical name, variant count, and
+    total linked parts — record linkage completed, on the shared CC
+    machinery."""
+    from ..operators.components import connected_components
+
+    p = read_table(spark, sf_dir, "part")
+    d = p.groupBy("p_name").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.min("p_partkey").cast("long").alias("ck"),
+    )
+    n = d.withColumn("block", F.element_at(F.split(F.col("p_name"), " "), -1))
+    a, b = n.alias("a"), n.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.p_name") < F.col("b.p_name")))
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= FUZZY_MAX_DIST)
+        .select(F.col("a.ck").alias("src"), F.col("b.ck").alias("dst"))
+    )
+    comps = connected_components(pairs, "src", "dst")
+    ent = (
+        comps.join(d, comps.node == d.ck)
+        .groupBy(F.col("comp").alias("entity_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_name_variants"),
+            F.sum("n_parts").cast("long").alias("n_parts_total"),
+            F.min("p_name").alias("canonical_name"),
+        )
+        .filter(F.col("n_name_variants") > 1)
+    )
+    return ent.select(
+        "entity_id", "canonical_name", "n_name_variants", "n_parts_total"
+    ).orderBy("entity_id")
