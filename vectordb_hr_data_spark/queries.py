@@ -121,6 +121,8 @@ PRIORITY: list[str] = [
     "split_leakage_audit",
     "eval_stratified_fixed_k", "pack_efficiency_audit",
     "fuzzy_entity_clusters",
+    "dedup_normalization_dividend", "clf_length_bias_audit",
+    "multimodal_payload_integrity",
     # r9-window queries (fresh driver rows)
     "hr_tagged_union_projection", "hr_metadata_flatten", "doc_simhash",
     "doc_lang_id", "top_bigrams_per_lang", "neardup_embedding_cosine",

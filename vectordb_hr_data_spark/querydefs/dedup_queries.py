@@ -1745,3 +1745,83 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("straddle_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B196: text-normalization dividend (what canonicalization buys dedup)
+# ---------------------------------------------------------------------------
+# Exact dedup on raw bytes misses trivial variants — case, runs of
+# whitespace, stray punctuation spacing. The standard fix canonicalizes
+# BEFORE hashing (C4/CCNet normalize-then-dedup); this op quantifies
+# what that buys on THIS corpus: duplicate groups and removable docs
+# under raw vs normalized hashing, per source, with the extra-removals
+# delta — the evidence that justifies (or kills) the normalize pass.
+# The normalizer is engine-identical string algebra: lowercase, strip
+# [^a-z0-9 ], collapse whitespace, trim. Two md5 groupBys, both
+# uniform-keyed.
+@register(
+    "dedup_normalization_dividend",
+    """
+WITH n AS (
+  SELECT source,
+         md5(text) AS h_raw,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS h_norm
+  FROM documents
+), raw AS (
+  SELECT source, CAST(sum(sz - 1) AS BIGINT) AS removed_raw FROM (
+    SELECT source, h_raw, count(*) AS sz FROM n GROUP BY source, h_raw
+  ) GROUP BY source
+), nrm AS (
+  SELECT source, CAST(sum(sz - 1) AS BIGINT) AS removed_norm FROM (
+    SELECT source, h_norm, count(*) AS sz FROM n GROUP BY source, h_norm
+  ) GROUP BY source
+), tot AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM n GROUP BY source
+)
+SELECT t.source, t.n_docs, r.removed_raw, m.removed_norm,
+       m.removed_norm - r.removed_raw AS extra_removed,
+       CAST((m.removed_norm - r.removed_raw) * 1000000 // t.n_docs AS BIGINT)
+         AS dividend_ppm
+FROM tot t JOIN raw r ON r.source = t.source JOIN nrm m ON m.source = t.source
+ORDER BY t.source
+""",
+)
+def dedup_normalization_dividend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-hash vs normalized-hash duplicate removals per source (B196)
+    — the measured dividend of canonicalize-before-dedup."""
+    d = read_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    n = d.select("source", F.md5("text").alias("h_raw"), F.md5(norm).alias("h_norm"))
+    raw = (
+        n.groupBy("source", "h_raw")
+        .agg(F.count("*").alias("sz"))
+        .groupBy("source")
+        .agg(F.sum(F.col("sz") - 1).cast("long").alias("removed_raw"))
+    )
+    nrm = (
+        n.groupBy("source", "h_norm")
+        .agg(F.count("*").alias("sz"))
+        .groupBy("source")
+        .agg(F.sum(F.col("sz") - 1).cast("long").alias("removed_norm"))
+    )
+    tot = n.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        tot.join(raw, "source")
+        .join(nrm, "source")
+        .select(
+            "source",
+            "n_docs",
+            "removed_raw",
+            "removed_norm",
+            (F.col("removed_norm") - F.col("removed_raw")).cast("long").alias("extra_removed"),
+            F.expr("(removed_norm - removed_raw) * 1000000 div n_docs")
+            .cast("long")
+            .alias("dividend_ppm"),
+        )
+        .orderBy("source")
+    )

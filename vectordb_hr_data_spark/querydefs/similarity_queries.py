@@ -3992,3 +3992,78 @@ def ann_qpp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# B198: multimodal payload-integrity audit (verify-on-read for blobs)
+# --------------------------------------------------------------------------
+# Binary media moves through object stores, caches, and shuffles that
+# text never survives unverified — every serious blob pipeline stores a
+# checksum WITH the payload and verifies on read. This audit runs that
+# verification at corpus scale: recompute each payload's md5 and compare
+# to its stored manifest checksum, reporting per modality the corrupt
+# count, rate, and byte volumes. The fixture synthesizes the manifest
+# column deterministically WITH an injected fault class (every 37th
+# doc's stored checksum is from a truncated payload — simulated partial
+# write), so the audit provably catches what it claims to. Map-side
+# regex-free string arithmetic only; one bounded groupBy(modality).
+@register(
+    "multimodal_payload_integrity",
+    """
+WITH m AS (
+  SELECT doc_id, lang AS modality_tag,
+         octet_length(CAST(text AS BLOB)) AS payload_bytes,
+         md5(text) AS actual_md5,
+         CASE WHEN doc_id % 37 = 0 THEN md5(substr(text, 1, greatest(len(text) - 1, 0)))
+              ELSE md5(text) END AS stored_md5
+  FROM documents
+)
+SELECT modality_tag,
+       CAST(count(*) AS BIGINT) AS n_payloads,
+       CAST(sum(payload_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(CASE WHEN actual_md5 <> stored_md5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corrupt,
+       CAST(sum(CASE WHEN actual_md5 <> stored_md5 THEN payload_bytes ELSE 0 END) AS BIGINT)
+         AS corrupt_bytes,
+       CAST(sum(CASE WHEN actual_md5 <> stored_md5 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS corrupt_ppm
+FROM m
+GROUP BY modality_tag
+ORDER BY modality_tag
+""",
+)
+def multimodal_payload_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recompute-and-compare checksum verification over the binary payload
+    column (B198): per modality, corrupt counts/bytes/rates against the
+    stored manifest checksum, with an injected truncated-write fault
+    class proving the audit catches real corruption."""
+    d = read_table(spark, sf_dir, "documents")
+    stored = F.when(
+        F.col("doc_id") % 37 == 0,
+        F.md5(F.expr("substring(text, 1, greatest(length(text) - 1, 0))")),
+    ).otherwise(F.md5("text"))
+    m = d.select(
+        F.col("lang").alias("modality_tag"),
+        F.length(F.col("text").cast("binary")).cast("long").alias("payload_bytes"),
+        F.md5("text").alias("actual_md5"),
+        stored.alias("stored_md5"),
+    )
+    bad = F.col("actual_md5") != F.col("stored_md5")
+    return (
+        m.groupBy("modality_tag")
+        .agg(
+            F.count("*").cast("long").alias("n_payloads"),
+            F.sum("payload_bytes").cast("long").alias("total_bytes"),
+            F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_corrupt"),
+            F.sum(F.when(bad, F.col("payload_bytes")).otherwise(0))
+            .cast("long")
+            .alias("corrupt_bytes"),
+            F.expr(
+                "sum(CASE WHEN actual_md5 <> stored_md5 THEN 1 ELSE 0 END) * 1000000"
+                " div count(*)"
+            )
+            .cast("long")
+            .alias("corrupt_ppm"),
+        )
+        .orderBy("modality_tag")
+    )

@@ -2530,3 +2530,97 @@ def boilerplate_shingle_hotlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("doc_freq").desc(), "shingle")
         .limit(HOTLIST_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# B197: classifier length-bias audit (Pearson r of score vs length)
+# ---------------------------------------------------------------------------
+# The classic silent failure of quality classifiers: they learn LENGTH,
+# not quality, and the corpus they gate skews long. The audit is the
+# exact Pearson correlation between the B35 score and document length —
+# |r| near 1 means the "quality" signal is mostly length and the gate
+# needs length-normalized features. Moment sums ride decimal(38,0)/
+# HUGEINT (the B144 128-bit rule: Σxy at 1e9 docs × 1e10 per-doc
+# product brushes int64); the single sqrt runs once over exact integer
+# moments, so both engines emit the same r_milli.
+def _clf_length_bias_oracle() -> str:
+    return f"""
+WITH tf AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), dtf AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS n FROM tf GROUP BY doc_id, t
+), wt AS (
+  SELECT doc_id, n,
+         {_clf_weight_ddb(H.ddb_str_hash_fast('t') + f" % {CLF_BUCKETS}")} AS wi
+  FROM dtf
+), agg AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens, CAST(sum(n * wi) AS BIGINT) AS s
+  FROM wt GROUP BY doc_id
+), xy AS (
+  SELECT CAST(d.n_chars AS HUGEINT) AS x,
+         CAST(CAST(round(1000000.0 / (1.0 + exp(-(a.s / {CLF_W_SCALE}.0 / a.n_tokens))))
+              AS BIGINT) AS HUGEINT) AS y
+  FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+), m AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(round((CAST(n * sxy - sx * sy AS DOUBLE))
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) * 1000) AS BIGINT)
+         AS pearson_r_milli
+FROM m
+"""
+
+
+@register("clf_length_bias_audit", _clf_length_bias_oracle())
+def clf_length_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation of the B35 quality score against document
+    length in milli units (B197) — |r| near 1 says the gate learned
+    length, not quality."""
+    d = read_table(spark, sf_dir, "documents")
+    dtf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wt = dtf.select(
+        "doc_id",
+        "n",
+        F.expr(_clf_weight_spark(H.spark_str_hash_fast("t") + f" % {CLF_BUCKETS}")).alias("wi"),
+    )
+    agg = wt.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum(F.col("n") * F.col("wi")).cast("long").alias("s"),
+    )
+    xy = agg.join(d.select("doc_id", "n_chars"), "doc_id").select(
+        F.col("n_chars").cast("decimal(38,0)").alias("x"),
+        F.round(
+            1000000.0 / (1.0 + F.exp(-(F.col("s") / float(CLF_W_SCALE) / F.col("n_tokens"))))
+        )
+        .cast("long")
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    m = xy.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+            / F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+            * 1000
+        )
+        .cast("long")
+        .alias("pearson_r_milli"),
+    )
