@@ -123,6 +123,7 @@ PRIORITY: list[str] = [
     "fuzzy_entity_clusters",
     "dedup_normalization_dividend", "clf_length_bias_audit",
     "multimodal_payload_integrity",
+    "orders_reconciliation_audit", "quality_rank_fusion",
     # r9-window queries (fresh driver rows)
     "hr_tagged_union_projection", "hr_metadata_flatten", "doc_simhash",
     "doc_lang_id", "top_bigrams_per_lang", "neardup_embedding_cosine",

@@ -3571,3 +3571,108 @@ def pack_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# B200: quality rank fusion (Borda over decile ranks, scale-safe)
+# ---------------------------------------------------------------------------
+# Curation rarely trusts ONE signal: the robust selector fuses ranks
+# across independent quality axes (Borda count), which is immune to the
+# signals' incomparable scales. The scale trap is that ranking a corpus
+# per signal is a global sort per signal — so this op fuses DECILES
+# instead, each computed with the exact-rank two-form
+# (`with_exact_ntile`: bounded per-value counts + partitioned
+# row_number, no corpus-global window), over three house signals:
+# length (n_chars), the B35 classifier score, and distinct-token ratio
+# (the B10 repetition axis, inverted so higher = better). Fused score =
+# Σ deciles (3..30); top-50 docs by (fused desc, doc_id) via
+# TakeOrdered. The oracle keeps the readable ntile windows — bit-equal
+# by the B120/B113 equivalence.
+FUSION_TOP = 50
+
+
+def _rank_fusion_oracle() -> str:
+    from .text_queries import CLF_BUCKETS
+    from ..functions import texthash as _H
+
+    from .text_queries import _clf_weight_ddb
+
+    w_expr = _clf_weight_ddb(_H.ddb_str_hash_fast("t") + f" % {CLF_BUCKETS}")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, n_chars, string_split(text, ' ') AS tk FROM documents
+), rep AS (
+  SELECT doc_id, n_chars,
+         CAST(len(list_distinct(tk)) * 1000000 // greatest(len(tk), 1) AS BIGINT)
+           AS distinct_micro
+  FROM toks
+), clf AS (
+  SELECT doc_id, CAST(sum(n * wi) AS BIGINT) AS s FROM (
+    SELECT doc_id, t, CAST(count(*) AS BIGINT) AS n, {w_expr} AS wi
+    FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY doc_id, t
+  ) GROUP BY doc_id
+), sig AS (
+  SELECT r.doc_id, r.n_chars, r.distinct_micro, c.s
+  FROM rep r JOIN clf c ON c.doc_id = r.doc_id
+), decs AS (
+  SELECT doc_id,
+         CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS d_len,
+         CAST(ntile(10) OVER (ORDER BY s, doc_id) AS BIGINT) AS d_clf,
+         CAST(ntile(10) OVER (ORDER BY distinct_micro, doc_id) AS BIGINT) AS d_rep
+  FROM sig
+)
+SELECT doc_id, d_len, d_clf, d_rep,
+       d_len + d_clf + d_rep AS fused_score
+FROM decs
+ORDER BY fused_score DESC, doc_id
+LIMIT {FUSION_TOP}
+"""
+
+
+@register("quality_rank_fusion", _rank_fusion_oracle())
+def quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borda fusion of three quality-signal deciles — length, classifier
+    score, distinct-token ratio — via the exact-rank two-form (B200);
+    top-50 docs by fused score with no corpus-global window."""
+    from vectordb_hr_data_spark.functions import texthash as _H
+    from vectordb_hr_data_spark.operators.quantiles import with_exact_ntile
+    from .text_queries import CLF_BUCKETS, _clf_weight_spark
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "n_chars", F.split("text", " ").alias("tk"))
+    rep = toks.select(
+        "doc_id",
+        "n_chars",
+        F.expr("size(array_distinct(tk)) * 1000000 div greatest(size(tk), 1)")
+        .cast("long")
+        .alias("distinct_micro"),
+    )
+    clf = (
+        toks.select("doc_id", F.explode("tk").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            "doc_id",
+            "n",
+            F.expr(_clf_weight_spark(_H.spark_str_hash_fast("t") + f" % {CLF_BUCKETS}")).alias(
+                "wi"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("wi")).cast("long").alias("s"))
+    )
+    sig = rep.join(clf, "doc_id")
+    sig = with_exact_ntile(sig, 10, "n_chars", "doc_id", "d_len")
+    sig = with_exact_ntile(sig, 10, "s", "doc_id", "d_clf")
+    sig = with_exact_ntile(sig, 10, "distinct_micro", "doc_id", "d_rep")
+    return (
+        sig.select(
+            "doc_id",
+            "d_len",
+            "d_clf",
+            "d_rep",
+            (F.col("d_len") + F.col("d_clf") + F.col("d_rep")).cast("long").alias("fused_score"),
+        )
+        .orderBy(F.col("fused_score").desc(), "doc_id")
+        .limit(FUSION_TOP)
+    )

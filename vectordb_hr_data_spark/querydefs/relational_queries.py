@@ -1145,3 +1145,82 @@ def fuzzy_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ent.select(
         "entity_id", "canonical_name", "n_name_variants", "n_parts_total"
     ).orderBy("entity_id")
+
+
+# ---------------------------------------------------------------------------
+# B199: order-total reconciliation audit (do the books balance?)
+# ---------------------------------------------------------------------------
+# The warehouse audit every finance pipeline runs nightly: an order's
+# stored total must equal the sum of its line items under the pricing
+# formula Σ extendedprice·(1+tax)·(1−discount). Any drift is either
+# data corruption or a pricing-logic change that nobody reconciled.
+# Cent-exact integer comparison (each line quantizes ONCE to cents,
+# then integer sums); per order-year: orders checked, mismatches beyond
+# the 1-cent-per-line rounding allowance, worst absolute drift, and
+# drifted value. Shape: one orderkey-sum, one broadcast-free equi-join
+# on the uniform orderkey, one bounded year groupBy.
+@register(
+    "orders_reconciliation_audit",
+    """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CAST(round(l_extendedprice * (1 + l_tax) * (1 - l_discount) * 100)
+                  AS BIGINT)) AS BIGINT) AS items_cents
+  FROM lineitem GROUP BY l_orderkey
+), j AS (
+  SELECT CAST(substr(CAST(o.o_orderdate AS VARCHAR), 1, 4) AS BIGINT) AS order_year,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+         li.items_cents, li.n_lines
+  FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+)
+SELECT order_year,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN abs(total_cents - items_cents) > n_lines THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mismatched,
+       CAST(max(abs(total_cents - items_cents)) AS BIGINT) AS max_drift_cents,
+       CAST(sum(CASE WHEN abs(total_cents - items_cents) > n_lines
+                     THEN abs(total_cents - items_cents) ELSE 0 END) AS BIGINT)
+         AS drifted_cents
+FROM j
+GROUP BY order_year
+ORDER BY order_year
+""",
+)
+def orders_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored order totals vs line-item sums under the pricing formula,
+    cent-exact with a per-line rounding allowance (B199) — the nightly
+    books-balance audit, by order year."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    items = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 + F.col("l_tax")) * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("items_cents"),
+    )
+    j = orders.join(items, orders.o_orderkey == items.l_orderkey).select(
+        F.substring(F.col("o_orderdate").cast("string"), 1, 4).cast("long").alias("order_year"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+        "items_cents",
+        "n_lines",
+    )
+    drift = F.abs(F.col("total_cents") - F.col("items_cents"))
+    return (
+        j.groupBy("order_year")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.when(drift > F.col("n_lines"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_mismatched"),
+            F.max(drift).cast("long").alias("max_drift_cents"),
+            F.sum(F.when(drift > F.col("n_lines"), drift).otherwise(0))
+            .cast("long")
+            .alias("drifted_cents"),
+        )
+        .orderBy("order_year")
+    )
