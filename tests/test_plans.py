@@ -721,3 +721,38 @@ def test_with_exact_ntile_matches_builtin_ntile_exactly(spark):
                 w = {r.tid: r.t for r in want.collect()}
                 g = {r.tid: r.t for r in got.collect()}
                 assert g == w, (n, desc, len(rows))
+
+
+def test_r10_new_op_plans_are_clean(spark, sf_dir):
+    """r10 plan hygiene for the B177-B200 batch: no Python eval nodes, no
+    cartesian products, broadcasts where claimed, top-k lowered."""
+    from vectordb_hr_data_spark.queries import REGISTRY
+
+    # DSAR: tomb keys broadcast, no cartesian
+    p = _plan(REGISTRY["dsar_access_report"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+
+    # fingerprint / integrity / reconciliation: pure JVM map+agg, no Python
+    for q in (
+        "source_corpus_fingerprint",
+        "multimodal_payload_integrity",
+        "orders_reconciliation_audit",
+        "dedup_normalization_dividend",
+    ):
+        p = _plan(REGISTRY[q].fn(spark, sf_dir))
+        assert "EvalPython" not in p and "MapInPandas" not in p, q
+        assert "CartesianProduct" not in p, q
+
+    # hotlist + rank fusion: global top-N lowers to TakeOrderedAndProject
+    for q in ("boilerplate_shingle_hotlist", "quality_rank_fusion"):
+        p = _plan(REGISTRY[q].fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in p, q
+
+    # rank fusion: the three decile rankings carry NO ntile (exact-rank
+    # two-form) and no unpartitioned window over non-aggregated input
+    p = _plan(REGISTRY["quality_rank_fusion"].fn(spark, sf_dir))
+    assert "ntile" not in p
+    for cls, agg_below in _unpartitioned_windows(
+        REGISTRY["quality_rank_fusion"].fn(spark, sf_dir)
+    ):
+        assert agg_below, f"quality_rank_fusion: unpartitioned {cls}"

@@ -1526,3 +1526,43 @@ def test_stream_source_fingerprint_converges_to_batch(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, source_fingerprint_from_state(spark, state).collect()))
     want = sorted(map(tuple, source_corpus_fingerprint(spark, sf_dir).collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_kmv_sketch_converges_to_batch(spark, sf_dir, tmp_path):
+    """stream_kmv_sketch (r10): the K-smallest-hash state folded over 4
+    micro-batches (with heavy cross-batch token duplication) must produce
+    the SAME estimates as the batch kmv_distinct_sketch — K smallest of a
+    union is associative and the merge's re-distinct absorbs cross-batch
+    duplicates."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.dedup_queries import kmv_distinct_sketch
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        kmv_from_state,
+        stream_kmv_sketch,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    src = tmp_path / "kmv_src"
+    src.mkdir()
+    for i in range(4):
+        part = d.filter((F.col("doc_id") % 4) == i)
+        tdir = str(tmp_path / f"kmv_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    state = str(tmp_path / "kmv_state")
+    stream_kmv_sketch(stream, state)
+    got = {r.source: r.n_distinct_est for r in kmv_from_state(spark, state).collect()}
+    want = {
+        r.source: r.n_distinct_est for r in kmv_distinct_sketch(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0

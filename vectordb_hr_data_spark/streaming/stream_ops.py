@@ -1595,3 +1595,65 @@ def source_fingerprint_from_state(spark: SparkSession, state_path: str) -> DataF
     """B180's report from the streamed state — already final-form; just
     ordered for presentation."""
     return spark.read.parquet(state_path).orderBy("source")
+
+
+def stream_kmv_sketch(doc_stream: DataFrame, state_path: str) -> None:
+    """Streaming maintenance of the B190 KMV distinct sketch via
+    ``stream_mergeable_agg`` — the first ARRAY-valued mergeable state:
+    per source the state is the sorted array of the K smallest distinct
+    token hashes. Batch reduce: per-batch distinct (source, token) →
+    K smallest via sort+slice; merge: concatenate the two arrays,
+    re-distinct, re-sort, re-slice — "K smallest of a union" is
+    associative and idempotent, so replays and batch boundaries cannot
+    move the sketch off the batch answer. The estimate derives at READ
+    time (``kmv_from_state``). The in-batch distinct is per micro-batch
+    only; duplicate tokens ACROSS batches are absorbed by the merge's
+    re-distinct, exactly like a production KMV union."""
+    from pyspark.sql import functions as F
+
+    from ..querydefs.dedup_queries import KMV_K
+
+    keyed = (
+        doc_stream.select(
+            "source", F.explode(F.split("text", " ")).alias("t")
+        )
+        .filter(F.col("t") != "")
+        .select(
+            "source",
+            F.expr("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)").alias("hv"),
+        )
+    )
+    k = KMV_K
+    stream_mergeable_agg(
+        keyed,
+        state_path,
+        ["source"],
+        [
+            F.expr(f"slice(array_sort(collect_set(hv)), 1, {k})").alias("ks"),
+            F.count("*").cast("long").alias("n_rows"),
+        ],
+        [
+            F.expr(
+                f"slice(array_sort(array_distinct(flatten(collect_list(ks)))), 1, {k})"
+            ).alias("ks"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+        ],
+    )
+
+
+def kmv_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Distinct-count estimates from the streamed KMV state — the same
+    (K−1)·M/h_K arithmetic as ``kmv_distinct_sketch``; sketches holding
+    fewer than K values report their exact size."""
+    from pyspark.sql import functions as F
+
+    from ..querydefs.dedup_queries import KMV_K, KMV_M
+
+    st = spark.read.parquet(state_path)
+    nk = F.size("ks")
+    est = (
+        F.when(nk < KMV_K, nk.cast("long"))
+        .otherwise(F.floor((KMV_K - 1) * float(KMV_M) / F.element_at("ks", KMV_K)))
+        .cast("long")
+    )
+    return st.select("source", est.alias("n_distinct_est")).orderBy("source")
