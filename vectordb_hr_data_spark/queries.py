@@ -124,6 +124,8 @@ PRIORITY: list[str] = [
     "dedup_normalization_dividend", "clf_length_bias_audit",
     "multimodal_payload_integrity",
     "orders_reconciliation_audit", "quality_rank_fusion",
+    "ivf_nprobe_recall_curve", "neardup_threshold_sensitivity",
+    "neardup_cluster_size_histogram",
     # r9-window queries (fresh driver rows)
     "hr_tagged_union_projection", "hr_metadata_flatten", "doc_simhash",
     "doc_lang_id", "top_bigrams_per_lang", "neardup_embedding_cosine",

@@ -1825,3 +1825,155 @@ def dedup_normalization_dividend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# B202: near-dup threshold sensitivity curve (picking the Jaccard cut)
+# ---------------------------------------------------------------------------
+# The 0.5/0.7/0.8 Jaccard threshold every dedup paper reports is a
+# CHOICE, and the responsible way to make it is the sensitivity curve:
+# how many candidate pairs survive at each cut, from ONE pass over the
+# blocked candidate set. Bands of 0.1 over [0.3, 1.0] (the blocking
+# floor sits below the house 0.5 threshold so the curve shows what a
+# looser cut would admit), with per-band counts and the
+# cumulative-at-or-above count that IS the curve. Same min-shingle
+# blocked join as B-neardup — one extra banding groupBy (<=8 rows).
+SENS_FLOOR = 0.3
+
+
+@register(
+    "neardup_threshold_sensitivity",
+    f"""
+WITH t AS (
+  SELECT doc_id, {H.ddb_tokens('text')} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {H.ddb_shingles('toks')} AS shingles FROM t
+), blocked AS (
+  SELECT doc_id, shingles, list_min(shingles) AS block_key FROM sh
+), pairs AS (
+  SELECT {H.jaccard_round4_ddb('a.shingles', 'b.shingles')} AS j
+  FROM blocked a JOIN blocked b
+    ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+  WHERE {H.jaccard_sql_ddb('a.shingles', 'b.shingles')} >= {SENS_FLOOR}
+), banded AS (
+  SELECT least(CAST(floor(j * 10) AS BIGINT), 9) AS band FROM pairs
+), counts AS (
+  SELECT band, CAST(count(*) AS BIGINT) AS n_pairs FROM banded GROUP BY band
+)
+SELECT band,
+       round(band / 10.0, 1) AS band_lo,
+       n_pairs,
+       CAST(sum(n_pairs) OVER (ORDER BY band DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_pairs_at_or_above
+FROM counts
+ORDER BY band
+""",
+)
+def neardup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair counts per Jaccard band with the cumulative
+    at-or-above curve (B202) — the evidence for choosing the dedup
+    threshold, from one blocked-join pass. The cumulative window runs
+    over the ≤8-row band table."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(H.spark_tokens("text")).alias("toks"))
+    sh = toks.select("doc_id", F.expr(H.spark_shingles("toks")).alias("shingles"))
+    keys = sh.select("doc_id", F.array_min("shingles").alias("block_key"))
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = a.join(
+        b, (F.col("a.block_key") == F.col("b.block_key")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
+    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("shingles").alias("sh2"))
+    jac_exact = F.expr(H.jaccard_sql_spark("sh1", "sh2"))
+    pairs = (
+        cand.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .filter(jac_exact >= SENS_FLOOR)
+        .select(F.expr(H.jaccard_round4_spark("sh1", "sh2")).alias("j"))
+    )
+    counts = pairs.select(
+        F.least(F.floor(F.col("j") * 10).cast("long"), F.lit(9)).alias("band")
+    ).groupBy("band").agg(F.count("*").cast("long").alias("n_pairs"))
+    wcum = Window.orderBy(F.col("band").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        counts.select(
+            "band",
+            F.round(F.col("band") / 10.0, 1).alias("band_lo"),
+            "n_pairs",
+            F.sum("n_pairs").over(wcum).cast("long").alias("n_pairs_at_or_above"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B203: near-dup cluster-size histogram (B185's sibling for NEAR dups)
+# ---------------------------------------------------------------------------
+# B185 profiles EXACT-dup groups; near-dup clusters behave differently
+# (boilerplate families chain into mega-components through transitive
+# links that exact hashing never sees), and the removal/skew forecast
+# for the near-dup pass needs ITS histogram: per power-of-two band of
+# component size, components / docs / keep-one-removals / removal
+# share. Reuses the REGISTERED components closure verbatim — Spark side
+# calls the same `connected_components`; the oracle extends the same
+# recursive CTE chain (B107 discipline). Singleton docs (no near-dup
+# edge) are excluded: the histogram profiles actual clusters.
+@register(
+    "neardup_cluster_size_histogram",
+    "WITH RECURSIVE "
+    + _cc_ctes().lstrip().removeprefix("WITH ")
+    + """,
+labels AS (SELECT a AS node, min(b) AS comp FROM reach GROUP BY a),
+sizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz FROM labels GROUP BY comp),
+banded AS (
+  SELECT CASE WHEN sz = 1 THEN 0
+              ELSE CAST(floor(ln(sz - 1) / ln(2)) AS BIGINT) + 1 END AS band, sz
+  FROM sizes
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(sum(sz - 1) AS BIGINT) AS n_removed_keep_one,
+       CAST(sum(sz - 1) * 1000000 // greatest(sum(sum(sz - 1)) OVER (), 1) AS BIGINT)
+         AS removal_share_ppm
+FROM banded
+GROUP BY band
+ORDER BY band
+""",
+)
+def neardup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram of near-dup component sizes (B203) — the
+    removal and skew forecast for the near-dup pass, over the shared
+    components closure."""
+    from ..operators.components import connected_components
+
+    pairs = neardup_ngram_jaccard(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    comps = connected_components(pairs, "doc_id_1", "doc_id_2")
+    sizes = comps.groupBy("comp").agg(F.count("*").cast("long").alias("sz"))
+    banded = sizes.select(
+        F.when(F.col("sz") == 1, F.lit(0))
+        .otherwise((F.floor(F.log(2.0, F.col("sz") - 1)) + 1).cast("long"))
+        .alias("band"),
+        "sz",
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.sum(F.col("sz") - 1).cast("long").alias("n_removed_keep_one"),
+        )
+        .select(
+            "band",
+            "n_clusters",
+            "n_docs",
+            "n_removed_keep_one",
+            F.expr(
+                "n_removed_keep_one * 1000000 div greatest(sum(n_removed_keep_one) OVER (), 1)"
+            )
+            .cast("long")
+            .alias("removal_share_ppm"),
+        )
+        .orderBy("band")
+    )

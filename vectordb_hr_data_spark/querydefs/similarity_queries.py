@@ -4067,3 +4067,171 @@ def multimodal_payload_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality_tag")
     )
+
+
+# --------------------------------------------------------------------------
+# B201: IVF nprobe-recall curve (the tuning readout behind B25/B104)
+# --------------------------------------------------------------------------
+# B104 checks recall at THE configured probe count; tuning needs the
+# CURVE — recall@10 as nprobe sweeps 1..8 — because the knee of that
+# curve IS the nprobe decision (faiss's standard tuning plot). One
+# scored pass at the maximum probe depth tagged with each cell's probe
+# rank, exploded over the nprobe grid and re-ranked per (query, nprobe);
+# the exact side is computed once and shared. Emits per nprobe the
+# mean/min recall across the query batch — the two numbers that pick
+# the operating point (average quality and worst-case query).
+NPROBE_GRID = [1, 2, 4, 8]
+
+
+def _nprobe_curve_oracle() -> str:
+    grid = ", ".join(f"({p})" for p in NPROBE_GRID)
+    return f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {EVAL_QUERIES}
+),
+cent AS (
+  SELECT CAST(vec_id AS INT) AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {N_CENTROIDS}
+),
+grid(np) AS (VALUES {grid}),
+exact AS (
+  SELECT qs.query_id, e.vec_id,
+         row_number() OVER (PARTITION BY qs.query_id
+                            ORDER BY round({_l2sq_ddb('e.embedding', 'qs.qv')}, {_ROUND}), e.vec_id) AS rn
+  FROM embeddings e CROSS JOIN qs
+  WHERE e.vec_id != qs.query_id
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_l2sq_ddb('e.embedding', 'c.cvec')}, c.cid) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+probe AS (
+  SELECT qs.query_id, c.cid,
+         row_number() OVER (PARTITION BY qs.query_id
+                            ORDER BY {_l2sq_ddb('c.cvec', 'qs.qv')}, c.cid) AS prn
+  FROM cent c CROSS JOIN qs
+),
+approx AS (
+  SELECT g.np, p.query_id, a.vec_id,
+         row_number() OVER (PARTITION BY g.np, p.query_id
+                            ORDER BY round({_l2sq_ddb('a.embedding', 'qs.qv')}, {_ROUND}), a.vec_id) AS rn
+  FROM assigned a
+  JOIN probe p ON a.cid = p.cid
+  JOIN grid g ON p.prn <= g.np
+  JOIN qs ON qs.query_id = p.query_id
+  WHERE a.rn = 1 AND a.vec_id != p.query_id
+),
+hits AS (
+  SELECT a.np, x.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM (SELECT query_id, vec_id FROM exact WHERE rn <= {EVAL_K}) x
+  JOIN (SELECT np, query_id, vec_id FROM approx WHERE rn <= {EVAL_K}) a
+    ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+  GROUP BY a.np, x.query_id
+),
+filled AS (
+  SELECT g.np, q.query_id, coalesce(h.n_hits, 0) AS n_hits
+  FROM grid g CROSS JOIN qs q
+  LEFT JOIN hits h ON h.np = g.np AND h.query_id = q.query_id
+)
+SELECT CAST(np AS BIGINT) AS nprobe,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(n_hits) * 1000 // (count(*) * {EVAL_K}) AS BIGINT) AS mean_recall_milli,
+       CAST(min(n_hits) * 1000 // {EVAL_K} AS BIGINT) AS min_recall_milli
+FROM filled
+GROUP BY np
+ORDER BY nprobe
+"""
+
+
+@register("ivf_nprobe_recall_curve", _nprobe_curve_oracle())
+def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 vs nprobe over the query batch (B201) — the tuning curve
+    whose knee picks the probe count; one scored pass at max depth,
+    exploded over the grid, exact side shared."""
+    from ..operators.ivf import ivf_assign_gemm
+    from ..operators.knn import local_topk_per_key
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < EVAL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+    scored_exact = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(V.l2sq(F.col("embedding"), F.col("qv")), _ROUND).alias("distance"),
+        )
+    )
+    exact = (
+        local_topk_per_key(
+            scored_exact, key_col="query_id", order_cols=("distance", "vec_id"), k=EVAL_K
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= EVAL_K)
+        .select("query_id", "vec_id")
+    )
+    assigned = ivf_assign_gemm(emb, centroids)
+    wq = Window.partitionBy("query_id").orderBy(F.col("cd").asc(), F.col("cid").asc())
+    max_np = max(NPROBE_GRID)
+    probe = (
+        centroids.crossJoin(F.broadcast(qs))
+        .select("query_id", "cid", V.l2sq(F.col("cvec"), F.col("qv")).alias("cd"))
+        .withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= max_np)
+        .select("query_id", "cid", "prn")
+    )
+    grid = spark.createDataFrame([(p,) for p in NPROBE_GRID], "np int")
+    scored_ivf = (
+        assigned.join(F.broadcast(probe), "cid")
+        .join(F.broadcast(qs), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "prn",
+            F.round(V.l2sq(F.col("embedding"), F.col("qv")), _ROUND).alias("distance"),
+        )
+        .join(F.broadcast(grid), F.col("prn") <= F.col("np"))
+    )
+    wnp = Window.partitionBy("np", "query_id").orderBy(
+        F.col("distance").asc(), F.col("vec_id").asc()
+    )
+    approx = (
+        scored_ivf.withColumn("rn", F.row_number().over(wnp))
+        .filter(F.col("rn") <= EVAL_K)
+        .select("np", "query_id", "vec_id")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("np", "query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    full = (
+        grid.crossJoin(qs.select("query_id"))
+        .join(hits, ["np", "query_id"], "left")
+        .select("np", "query_id", F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+    )
+    return (
+        full.groupBy("np")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.expr(f"sum(n_hits) * 1000 div (count(*) * {EVAL_K})")
+            .cast("long")
+            .alias("mean_recall_milli"),
+            F.expr(f"min(n_hits) * 1000 div {EVAL_K}").cast("long").alias("min_recall_milli"),
+        )
+        .select(
+            F.col("np").cast("long").alias("nprobe"),
+            "n_queries",
+            "mean_recall_milli",
+            "min_recall_milli",
+        )
+        .orderBy("nprobe")
+    )
