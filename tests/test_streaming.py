@@ -1566,3 +1566,39 @@ def test_stream_kmv_sketch_converges_to_batch(spark, sf_dir, tmp_path):
         r.source: r.n_distinct_est for r in kmv_distinct_sketch(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_user_type_entropy_converges_to_batch(spark, sf_dir, tmp_path):
+    """stream_user_type_counts (r10): summed (user, type) counts over 4
+    micro-batches must reproduce events_user_type_entropy exactly — the
+    entropy is read-time algebra over associative state."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import events_user_type_entropy
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        stream_user_type_counts,
+        type_entropy_from_state,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    src = tmp_path / "ent_src"
+    src.mkdir()
+    for i in range(4):
+        part = ev.filter((F.col("event_id") % 4) == i)
+        tdir = str(tmp_path / f"ent_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    state = str(tmp_path / "ent_state")
+    stream_user_type_counts(stream, state)
+    got = sorted(map(tuple, type_entropy_from_state(spark, state).collect()))
+    want = sorted(map(tuple, events_user_type_entropy(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0

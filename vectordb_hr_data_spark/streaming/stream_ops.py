@@ -1657,3 +1657,45 @@ def kmv_from_state(spark: SparkSession, state_path: str) -> DataFrame:
         .cast("long")
     )
     return st.select("source", est.alias("n_distinct_est")).orderBy("source")
+
+
+def stream_user_type_counts(event_stream: DataFrame, state_path: str) -> None:
+    """Streaming maintenance of the B183 behavioral-entropy input via
+    ``stream_mergeable_agg``: state is (user_id, event_type) summed
+    counts — trivially associative — and the entropy (a function of the
+    per-user count distribution) derives at READ time
+    (``type_entropy_from_state``), so batch boundaries cannot move it."""
+    from pyspark.sql import functions as F
+
+    stream_mergeable_agg(
+        event_stream.select("user_id", "event_type"),
+        state_path,
+        ["user_id", "event_type"],
+        [F.count("*").cast("long").alias("n")],
+        [F.sum("n").cast("long").alias("n")],
+    )
+
+
+def type_entropy_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B183's report from the streamed counts — identical integer
+    micro-nat arithmetic to ``events_user_type_entropy``."""
+    from pyspark.sql import functions as F
+
+    ut = spark.read.parquet(state_path)
+    tot = ut.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.count("*").cast("long").alias("n_types"),
+    )
+    return (
+        ut.join(tot, "user_id")
+        .groupBy("user_id", "nt", "n_types")
+        .agg(
+            F.expr(
+                "sum(n * cast(round(-ln(n * 1.0 / nt) * 1000000) as bigint)) div nt"
+            )
+            .cast("long")
+            .alias("entropy_micronat")
+        )
+        .select("user_id", F.col("nt").alias("n_events"), "n_types", "entropy_micronat")
+        .orderBy("user_id")
+    )
