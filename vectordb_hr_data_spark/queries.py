@@ -126,6 +126,7 @@ PRIORITY: list[str] = [
     "orders_reconciliation_audit", "quality_rank_fusion",
     "ivf_nprobe_recall_curve", "neardup_threshold_sensitivity",
     "neardup_cluster_size_histogram",
+    "embedding_label_outliers", "doc_code_switch_summary",
     # r9-window queries (fresh driver rows)
     "hr_tagged_union_projection", "hr_metadata_flatten", "doc_simhash",
     "doc_lang_id", "top_bigrams_per_lang", "neardup_embedding_cosine",

@@ -2624,3 +2624,70 @@ def clf_length_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pearson_r_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B205: code-switching (mixed-language) document detector
+# ---------------------------------------------------------------------------
+# Language-ID (B6) gives ONE label per document; mixed-language content
+# — boilerplate in English wrapping body text in another language, or
+# genuine code-switching — is precisely what a single label hides, and
+# it poisons both per-language corpora and tokenizer statistics. A doc
+# counts as mixed when MARKERS FROM 2+ LANGUAGES fire (shared-marker
+# aliasing, e.g. fr/es 'la'/'un' and zh's romanized 'de'/'le', is
+# deliberately visible: the summary is the ingest alarm, the per-doc
+# flags feed a human review). Per source: mixed-doc count/rate and the
+# mean number of firing languages in micro units. One map pass over
+# the same marker scores as B6 + a bounded source groupBy.
+@register(
+    "doc_code_switch_summary",
+    f"""
+WITH s AS (
+  SELECT doc_id, source,
+         { " + ".join(
+             "CASE WHEN len(list_intersect(list_distinct(string_split(text, ' ')), ["
+             + ", ".join(f"''{m}''" for m in ms).replace("''", "'")
+             + "])) > 0 THEN 1 ELSE 0 END"
+             for ms in LANG_MARKERS.values()
+         ) } AS n_langs_hit
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_langs_hit >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+       CAST(sum(CASE WHEN n_langs_hit >= 2 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS mixed_ppm,
+       CAST(sum(n_langs_hit) * 1000000 // count(*) AS BIGINT) AS mean_langs_micro
+FROM s
+GROUP BY source
+ORDER BY source
+""",
+)
+def doc_code_switch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixed-language (code-switching) rates from the B6
+    marker scores (B205) — docs where markers of 2+ languages fire; the
+    single-label blind spot, surfaced."""
+    d = read_table(spark, sf_dir, "documents")
+    hit = None
+    for ms in LANG_MARKERS.values():
+        h = F.when(_lang_score_spark(ms) > 0, 1).otherwise(0)
+        hit = h if hit is None else hit + h
+    s = d.select("source", hit.alias("n_langs_hit"))
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_langs_hit") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_mixed"),
+            F.expr(
+                "sum(CASE WHEN n_langs_hit >= 2 THEN 1 ELSE 0 END) * 1000000 div count(*)"
+            )
+            .cast("long")
+            .alias("mixed_ppm"),
+            F.expr("sum(n_langs_hit) * 1000000 div count(*)")
+            .cast("long")
+            .alias("mean_langs_micro"),
+        )
+        .orderBy("source")
+    )

@@ -2554,3 +2554,76 @@ def ivf_cell_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# B204: label-outlier detection (mislabel candidates by centroid distance)
+# ---------------------------------------------------------------------------
+# The standard first pass of label cleaning (confident-learning lite):
+# vectors FARTHEST from their own class centroid are the mislabel
+# review queue. Reuses the B21 centroid definition exactly (per-dim
+# means rounded once to 6 dp — the train/apply split is honest: the
+# applied centroid is the PUBLISHED one); squared distance accumulates
+# over narrow (label, pos) rows so the exchange stays
+# partitions·|labels|·dim regardless of corpus size, then one
+# TakeOrdered top-20 by (distance desc, vec_id). Also emits each
+# vector's squared distance to the GLOBAL centroid as contrast — an
+# outlier to its class but not globally is the interesting case.
+OUTLIER_TOP = 20
+
+
+@register(
+    "embedding_label_outliers",
+    f"""
+WITH cent AS (
+  SELECT label, CAST(i AS INT) AS pos,
+         round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6) AS mv
+  FROM embeddings, range(1, 65) AS t(i)
+  GROUP BY label, i
+), gcent AS (
+  SELECT CAST(i AS INT) AS pos,
+         round(avg(CAST(embedding[CAST(i AS INT)] AS DOUBLE)), 6) AS gv
+  FROM embeddings, range(1, 65) AS t(i)
+  GROUP BY i
+), d AS (
+  SELECT e.vec_id, e.label,
+         round(sum(power(CAST(e.embedding[c.pos] AS DOUBLE) - c.mv, 2)), 4) AS d_own,
+         round(sum(power(CAST(e.embedding[g.pos] AS DOUBLE) - g.gv, 2)), 4) AS d_global
+  FROM embeddings e
+  JOIN cent c ON c.label = e.label
+  JOIN gcent g ON g.pos = c.pos
+  GROUP BY e.vec_id, e.label
+)
+SELECT vec_id, label, d_own, d_global
+FROM d
+ORDER BY d_own DESC, vec_id
+LIMIT {OUTLIER_TOP}
+""",
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 vectors farthest from their own label centroid, with the
+    global-centroid distance as contrast (B204) — the mislabel review
+    queue; narrow-row distance accumulation + TakeOrdered."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    narrow = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select("vec_id", "label", (F.col("pos0") + 1).cast("int").alias("pos"), "val")
+    cent = (
+        narrow.groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("mv"))
+    )
+    gcent = narrow.groupBy("pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("gv")
+    )
+    d = (
+        narrow.join(F.broadcast(cent), ["label", "pos"])
+        .join(F.broadcast(gcent), "pos")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(F.sum(F.pow(F.col("val").cast("double") - F.col("mv"), 2)), 4).alias("d_own"),
+            F.round(F.sum(F.pow(F.col("val").cast("double") - F.col("gv"), 2)), 4).alias(
+                "d_global"
+            ),
+        )
+    )
+    return d.orderBy(F.col("d_own").desc(), "vec_id").limit(OUTLIER_TOP)
