@@ -1602,3 +1602,38 @@ def test_stream_user_type_entropy_converges_to_batch(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, type_entropy_from_state(spark, state).collect()))
     want = sorted(map(tuple, events_user_type_entropy(spark, sf_dir).collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_value_leaderboard_converges_to_batch(spark, sf_dir, tmp_path):
+    """stream_value_leaderboard (r10): top-k-of-union state folded over 4
+    micro-batches must equal events_value_leaderboard exactly."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import events_value_leaderboard
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        leaderboard_from_state,
+        stream_value_leaderboard,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    src = tmp_path / "lb_src"
+    src.mkdir()
+    for i in range(4):
+        part = ev.filter((F.col("event_id") % 4) == i)
+        tdir = str(tmp_path / f"lb_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    state = str(tmp_path / "lb_state")
+    stream_value_leaderboard(stream, state)
+    got = sorted(map(tuple, leaderboard_from_state(spark, state).collect()))
+    want = sorted(map(tuple, events_value_leaderboard(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0

@@ -127,6 +127,8 @@ PRIORITY: list[str] = [
     "ivf_nprobe_recall_curve", "neardup_threshold_sensitivity",
     "neardup_cluster_size_histogram",
     "embedding_label_outliers", "doc_code_switch_summary",
+    "session_path_mining", "events_value_leaderboard",
+    "events_dup_window_sensitivity",
     # r9-window queries (fresh driver rows)
     "hr_tagged_union_projection", "hr_metadata_flatten", "doc_simhash",
     "doc_lang_id", "top_bigrams_per_lang", "neardup_embedding_cosine",

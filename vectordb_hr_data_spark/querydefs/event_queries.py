@@ -4365,3 +4365,247 @@ def events_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# B206: session path mining (top opening paths, Sankey's data)
+# ---------------------------------------------------------------------------
+# Funnels (B59/B147) check ONE hypothesized path; path mining DISCOVERS
+# them: the first three event types of every session, concatenated in
+# order, counted, top-20. This is the table behind every Sankey/flow
+# diagram and the input to "where do users actually start" product
+# questions. Reuses the registered sessionization rule verbatim (same
+# 30-min gap, same lag+cumsum session ids — B107 discipline); the path
+# string aggregates through a sorted list bounded at 3 elements per
+# session; global top-20 via TakeOrdered. All windows partition on
+# user_id.
+PATH_STEPS = 3
+PATH_TOP = 20
+
+
+@register(
+    "session_path_mining",
+    f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > {SESSION_GAP_SEC}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM o
+), sessions AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+), stepped AS (
+  SELECT user_id, session_id, event_type,
+         row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS step
+  FROM sessions
+), paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY step) AS path,
+         CAST(count(*) AS BIGINT) AS path_len
+  FROM stepped WHERE step <= {PATH_STEPS}
+  GROUP BY user_id, session_id
+)
+SELECT path, path_len,
+       CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths
+GROUP BY path, path_len
+ORDER BY n_sessions DESC, path
+LIMIT {PATH_TOP}
+""",
+)
+def session_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top opening paths — the first three event types per session,
+    counted (B206); the discovery table funnels only verify. Session ids
+    from the registered 30-min-gap rule; user-partitioned windows only;
+    top-20 via TakeOrdered."""
+    ev = read_table(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag("ts").over(wl).isNull()
+            | (F.col("ts").cast("double") - F.lag("ts").over(wl).cast("double") > SESSION_GAP_SEC),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(wl.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    stepped = sessions.withColumn("step", F.row_number().over(ws)).filter(
+        F.col("step") <= PATH_STEPS
+    )
+    paths = stepped.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.expr("transform(array_sort(collect_list(struct(step, event_type))), x -> x.event_type)"),
+        ).alias("path"),
+        F.count("*").cast("long").alias("path_len"),
+    )
+    return (
+        paths.groupBy("path", "path_len")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATH_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B207: per-type value leaderboard (and the mergeable top-k state)
+# ---------------------------------------------------------------------------
+# "Largest transactions per type, live" — the ops dashboard staple. The
+# batch form is a type-partitioned top-10 by (cents desc, event_id);
+# what makes it worth registering is the STATE shape: top-k of a union
+# is associative and idempotent (the KMV argument, B190), so the
+# streaming twin (`stream_ops.stream_value_leaderboard`) maintains an
+# array-of-structs state per type that provably converges to this
+# query. Cents quantize once; NULL values are excluded.
+LEADERBOARD_K = 10
+
+
+@register(
+    "events_value_leaderboard",
+    f"""
+WITH v AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), ranked AS (
+  SELECT event_type, event_id, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents DESC, event_id) AS rk
+  FROM v
+)
+SELECT event_type, CAST(rk AS BIGINT) AS rk, event_id, cents
+FROM ranked WHERE rk <= {LEADERBOARD_K}
+ORDER BY event_type, rk
+""",
+)
+def events_value_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 events by value per type (B207) — the dashboard
+    leaderboard whose top-k-of-union state the streaming twin maintains
+    associatively."""
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("cents").desc(), F.col("event_id"))
+    return (
+        v.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= LEADERBOARD_K)
+        .select("event_type", "rk", "event_id", "cents")
+        .orderBy("event_type", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B208: dup-transaction window sensitivity (tuning the retry window)
+# ---------------------------------------------------------------------------
+# B163 counts duplicate-looking transactions at ONE window; choosing
+# that window is the actual decision (too narrow misses slow retries,
+# too wide flags legitimate repeat purchases), and the sensitivity
+# curve across {1s, 10s, 60s, 300s} is how it gets made. ONE
+# (user, type, cents) self-join at the WIDEST window produces each
+# pair's gap; per-window counts are then map-side CASE sums over the
+# gap — the B201 one-pass-tagged-then-exploded discipline, applied to
+# the join family. Output: one row per (event_type, window).
+DUP_WINDOW_GRID_SEC = [1, 10, 60, 300]
+
+
+def _dup_window_curve_oracle() -> str:
+    grid = ", ".join(f"({w})" for w in DUP_WINDOW_GRID_SEC)
+    return f"""
+WITH txn AS (
+  SELECT event_id, event_type, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), gaps AS (
+  SELECT a.event_type, epoch(b.ts) - epoch(a.ts) AS gap_sec
+  FROM txn a JOIN txn b
+    ON b.user_id = a.user_id AND b.cents = a.cents AND b.event_type = a.event_type
+   AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+   AND epoch(b.ts) - epoch(a.ts) <= {max(DUP_WINDOW_GRID_SEC)}
+), grid(w) AS (VALUES {grid}),
+base AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_txn FROM txn GROUP BY event_type
+), counts AS (
+  SELECT g.event_type, gr.w,
+         CAST(sum(CASE WHEN g.gap_sec <= gr.w THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs
+  FROM gaps g CROSS JOIN grid gr
+  GROUP BY g.event_type, gr.w
+)
+SELECT b.event_type, CAST(gr.w AS BIGINT) AS window_sec, b.n_txn,
+       coalesce(c.n_dup_pairs, 0) AS n_dup_pairs,
+       CAST(coalesce(c.n_dup_pairs, 0) * 1000000 // b.n_txn AS BIGINT) AS dup_ppm
+FROM base b CROSS JOIN grid gr
+LEFT JOIN counts c ON c.event_type = b.event_type AND c.w = gr.w
+ORDER BY b.event_type, window_sec
+"""
+
+
+@register("events_dup_window_sensitivity", _dup_window_curve_oracle())
+def events_dup_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-pair counts per candidate retry window from one widest-
+    window self-join (B208) — the sensitivity curve that tunes the B163
+    audit's window."""
+    ev = read_table(spark, sf_dir, "events")
+    txn = ev.filter(F.col("value").isNotNull()).select(
+        "event_id",
+        "event_type",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    a, b = txn.alias("a"), txn.alias("b")
+    wmax = max(DUP_WINDOW_GRID_SEC)
+    gaps = a.join(
+        b,
+        (F.col("b.user_id") == F.col("a.user_id"))
+        & (F.col("b.cents") == F.col("a.cents"))
+        & (F.col("b.event_type") == F.col("a.event_type"))
+        & (
+            (F.col("b.ts") > F.col("a.ts"))
+            | ((F.col("b.ts") == F.col("a.ts")) & (F.col("b.event_id") > F.col("a.event_id")))
+        )
+        & (F.col("b.ts").cast("double") - F.col("a.ts").cast("double") <= wmax),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.col("b.ts").cast("double") - F.col("a.ts").cast("double")).alias("gap_sec"),
+    )
+    grid = spark.createDataFrame([(w,) for w in DUP_WINDOW_GRID_SEC], "w int")
+    base = txn.groupBy("event_type").agg(F.count("*").cast("long").alias("n_txn"))
+    counts = (
+        gaps.crossJoin(F.broadcast(grid))
+        .groupBy("event_type", "w")
+        .agg(
+            F.sum(F.when(F.col("gap_sec") <= F.col("w"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_pairs")
+        )
+    )
+    return (
+        base.crossJoin(F.broadcast(grid))
+        .join(counts, ["event_type", "w"], "left")
+        .select(
+            "event_type",
+            F.col("w").cast("long").alias("window_sec"),
+            "n_txn",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.expr("coalesce(n_dup_pairs, 0) * 1000000 div n_txn")
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+        .orderBy("event_type", "window_sec")
+    )

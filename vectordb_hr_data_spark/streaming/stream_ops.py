@@ -1699,3 +1699,54 @@ def type_entropy_from_state(spark: SparkSession, state_path: str) -> DataFrame:
         .select("user_id", F.col("nt").alias("n_events"), "n_types", "entropy_micronat")
         .orderBy("user_id")
     )
+
+
+def stream_value_leaderboard(event_stream: DataFrame, state_path: str) -> None:
+    """Streaming maintenance of the B207 leaderboard via
+    ``stream_mergeable_agg``: per event type the state is the top-K
+    (cents desc, event_id asc) structs as a sorted array — top-k of a
+    union is associative/idempotent (the B190 argument), so replays and
+    batch boundaries converge to the batch leaderboard. Sort key: the
+    struct sorts ascending, so rows carry (-cents, event_id) and the
+    read path flips the sign back."""
+    from pyspark.sql import functions as F
+
+    from ..querydefs.event_queries import LEADERBOARD_K
+
+    keyed = event_stream.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.struct(
+            (-F.round(F.col("value") * 100).cast("long")).alias("neg_cents"),
+            F.col("event_id").cast("long").alias("event_id"),
+        ).alias("kv"),
+    )
+    k = LEADERBOARD_K
+    stream_mergeable_agg(
+        keyed,
+        state_path,
+        ["event_type"],
+        [F.expr(f"slice(array_sort(collect_list(kv)), 1, {k})").alias("top")],
+        [
+            F.expr(
+                f"slice(array_sort(array_distinct(flatten(collect_list(top)))), 1, {k})"
+            ).alias("top")
+        ],
+    )
+
+
+def leaderboard_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B207's report from the streamed state — identical columns to
+    ``events_value_leaderboard``."""
+    from pyspark.sql import functions as F
+
+    st = spark.read.parquet(state_path)
+    return (
+        st.select("event_type", F.posexplode("top").alias("i", "kv"))
+        .select(
+            "event_type",
+            (F.col("i") + 1).cast("long").alias("rk"),
+            F.col("kv.event_id").alias("event_id"),
+            (-F.col("kv.neg_cents")).cast("long").alias("cents"),
+        )
+        .orderBy("event_type", "rk")
+    )
