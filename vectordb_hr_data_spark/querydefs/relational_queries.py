@@ -1224,3 +1224,146 @@ def orders_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# B210: open-order backlog aging (the fulfillment ops report)
+# ---------------------------------------------------------------------------
+# The operational question behind every backlog dashboard: how OLD is
+# the open work? Open orders (status 'O' or 'P') bucketed by age bands
+# — days from order date to the corpus's latest order date (the data's
+# own "today", so the report replays identically) — with counts and
+# value. Integer day arithmetic; the reference instant is a 1-row
+# broadcast; one bounded (status, band) groupBy.
+AGING_BANDS_DAYS = [30, 90, 365]  # <=30, 31-90, 91-365, >365
+
+
+@register(
+    "orders_backlog_aging",
+    f"""
+WITH mx AS (SELECT max(o_orderdate) AS today FROM orders),
+aged AS (
+  SELECT o.o_orderstatus AS status,
+         CAST(date_diff('day', o.o_orderdate, mx.today) AS BIGINT) AS age_days,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o CROSS JOIN mx
+  WHERE o.o_orderstatus IN ('O', 'P')
+), banded AS (
+  SELECT status,
+         CASE WHEN age_days <= {AGING_BANDS_DAYS[0]} THEN 0
+              WHEN age_days <= {AGING_BANDS_DAYS[1]} THEN 1
+              WHEN age_days <= {AGING_BANDS_DAYS[2]} THEN 2
+              ELSE 3 END AS band,
+         cents
+  FROM aged
+)
+SELECT status, CAST(band AS BIGINT) AS band,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS backlog_cents,
+       CAST(count(*) * 1000000 // sum(count(*)) OVER (PARTITION BY status) AS BIGINT)
+         AS band_share_ppm
+FROM banded
+GROUP BY status, band
+ORDER BY status, band
+""",
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order counts and value by age band vs the corpus's latest
+    order date (B210) — the backlog aging report; banded map-side, one
+    bounded groupBy."""
+    orders = read_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("today"))
+    aged = (
+        orders.filter(F.col("o_orderstatus").isin("O", "P"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.datediff(F.col("today"), F.col("o_orderdate")).cast("long").alias("age_days"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    band = (
+        F.when(F.col("age_days") <= AGING_BANDS_DAYS[0], 0)
+        .when(F.col("age_days") <= AGING_BANDS_DAYS[1], 1)
+        .when(F.col("age_days") <= AGING_BANDS_DAYS[2], 2)
+        .otherwise(3)
+        .cast("long")
+    )
+    return (
+        aged.select("status", band.alias("band"), "cents")
+        .groupBy("status", "band")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("backlog_cents"),
+        )
+        .select(
+            "status",
+            "band",
+            "n_orders",
+            "backlog_cents",
+            F.expr("n_orders * 1000000 div sum(n_orders) OVER (PARTITION BY status)")
+            .cast("long")
+            .alias("band_share_ppm"),
+        )
+        .orderBy("status", "band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B211: revenue concentration by segment (Herfindahl index)
+# ---------------------------------------------------------------------------
+# Concentration risk in one number per market segment: the Herfindahl-
+# Hirschman index over customer revenue shares — HHI near 1/n means a
+# healthy spread, near 1 means one customer IS the segment. Exact
+# integer arithmetic: per-customer cents sum, then HHI·1e6 =
+# Σ cents_i² · 1e6 / (Σ cents_i)² with the squared sums in
+# decimal(38,0)/HUGEINT (cents² at 1e9-customer scale brushes int64 —
+# the B144 rule). Two uniform groupBys; output |segments| rows.
+@register(
+    "segment_revenue_hhi",
+    """
+WITH rev AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS cents
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_mktsegment, o.o_custkey
+)
+SELECT segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(cents * cents) * 1000000 // (sum(cents) * sum(cents)) AS BIGINT) AS hhi_micro
+FROM rev
+GROUP BY segment
+ORDER BY segment
+""",
+)
+def segment_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl revenue-concentration index per market segment (B211)
+    — exact integer shares, 128-bit squared sums."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    rev = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+                    orders.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("decimal(38,0)")
+            .alias("cents")
+        )
+    )
+    return (
+        rev.groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            # integer floor div on decimals (matches the oracle's `//`),
+            # never float or half-up decimal division
+            F.expr(
+                "(sum(cents * cents) * 1000000) div (sum(cents) * sum(cents))"
+            )
+            .cast("long")
+            .alias("hhi_micro"),
+        )
+        .orderBy("segment")
+    )

@@ -4235,3 +4235,108 @@ def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+# --------------------------------------------------------------------------
+# B209: distance-metric agreement (cosine vs L2 top-k overlap)
+# --------------------------------------------------------------------------
+# "Which metric should this index use" has an empirical answer before it
+# has a philosophical one: if cosine and L2 retrieve nearly the same
+# top-k on YOUR embedding distribution (common when vectors are nearly
+# norm-uniform), the cheaper/better-supported one wins; if they diverge,
+# the choice is load-bearing and needs an eval. Per query: |top-10_cos
+# ∩ top-10_l2| and the overlap in milli, plus the corpus mean. Both
+# rankings come from the same one-pass broadcast-queries scan (two
+# rounded distance columns, two local top-k reduces).
+@register(
+    "metric_agreement_topk",
+    f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {EVAL_QUERIES}
+),
+scored AS (
+  SELECT qs.query_id, e.vec_id,
+         round({_l2sq_ddb('e.embedding', 'qs.qv')}, {_ROUND}) AS d_l2,
+         round(1.0 - list_sum(list_transform(range(1, len(e.embedding)+1),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qs.qv[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+                        i -> power(CAST(e.embedding[i] AS DOUBLE), 2))))
+                  * sqrt(list_sum(list_transform(range(1, len(qs.qv)+1),
+                        i -> power(CAST(qs.qv[i] AS DOUBLE), 2))))), {_ROUND}) AS d_cos
+  FROM embeddings e CROSS JOIN qs
+  WHERE e.vec_id != qs.query_id
+),
+l2 AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY d_l2, vec_id) AS rn
+    FROM scored
+  ) WHERE rn <= {EVAL_K}
+),
+cos AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY d_cos, vec_id) AS rn
+    FROM scored
+  ) WHERE rn <= {EVAL_K}
+)
+SELECT q.query_id,
+       CAST(coalesce(o.n_common, 0) AS BIGINT) AS n_common,
+       CAST(coalesce(o.n_common, 0) * 1000 // {EVAL_K} AS BIGINT) AS overlap_milli
+FROM qs q LEFT JOIN (
+  SELECT l2.query_id, count(*) AS n_common
+  FROM l2 JOIN cos ON cos.query_id = l2.query_id AND cos.vec_id = l2.vec_id
+  GROUP BY l2.query_id
+) o ON o.query_id = q.query_id
+ORDER BY q.query_id
+""",
+)
+def metric_agreement_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 overlap between cosine and L2 rankings per query (B209) —
+    the empirical evidence behind the index's metric choice; one scored
+    pass, two local top-k reduces."""
+    from ..operators.knn import local_topk_per_key
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < EVAL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(V.l2sq(F.col("embedding"), F.col("qv")), _ROUND).alias("d_l2"),
+            F.round(1.0 - V.cosine_sim(F.col("embedding"), F.col("qv")), _ROUND).alias("d_cos"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("d_l2").asc(), F.col("vec_id").asc())
+    wc = Window.partitionBy("query_id").orderBy(F.col("d_cos").asc(), F.col("vec_id").asc())
+    l2 = (
+        local_topk_per_key(scored, key_col="query_id", order_cols=("d_l2", "vec_id"), k=EVAL_K)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= EVAL_K)
+        .select("query_id", "vec_id")
+    )
+    cos = (
+        local_topk_per_key(scored, key_col="query_id", order_cols=("d_cos", "vec_id"), k=EVAL_K)
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= EVAL_K)
+        .select("query_id", "vec_id")
+    )
+    common = l2.join(cos, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").alias("n_common")
+    )
+    return (
+        qs.select("query_id")
+        .join(common, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+            F.expr(f"coalesce(n_common, 0) * 1000 div {EVAL_K}")
+            .cast("long")
+            .alias("overlap_milli"),
+        )
+        .orderBy("query_id")
+    )
