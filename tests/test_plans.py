@@ -639,7 +639,14 @@ def _unpartitioned_windows(df):
 
 
 @pytest.mark.parametrize(
-    "qname", ["doc_k_anonymity_audit", "events_user_rfm", "doc_equidepth_bins"]
+    "qname",
+    [
+        "doc_k_anonymity_audit",
+        "events_user_rfm",
+        "doc_equidepth_bins",
+        "source_curriculum_order",
+        "curriculum_token_budget",
+    ],
 )
 def test_exact_ntile_queries_have_no_global_window_over_base_rows(spark, sf_dir, qname):
     """r10 scale fix (VERDICT r9 items 2-3): the quantile-bucket queries

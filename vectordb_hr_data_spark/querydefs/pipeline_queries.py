@@ -2209,28 +2209,29 @@ ORDER BY curriculum_rank
 """,
 )
 def source_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Easy-to-hard, source-interleaved curriculum order (B102) — ntile
-    stages on the difficulty proxy, round-robin across sources within a
-    stage; first 1000 positions."""
+    """Easy-to-hard, source-interleaved curriculum order (B102) — quartile
+    stages on the difficulty proxy via the exact-rank two-form (no
+    corpus-global ntile window), round-robin across sources within a
+    stage; first 1000 positions via TakeOrdered, with the final rank
+    assigned over that bounded 1000-row frame only."""
+    from vectordb_hr_data_spark.operators.quantiles import with_exact_ntile
+
     d = read_table(spark, sf_dir, "documents")
-    staged = d.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        F.ntile(4).over(Window.orderBy("n_chars", "doc_id")).alias("stage"),
+    staged = with_exact_ntile(
+        d.select("doc_id", "source", "n_chars"), 4, "n_chars", "doc_id", "stage"
     )
     rr = staged.withColumn(
         "rank_in_source",
         F.row_number().over(Window.partitionBy("stage", "source").orderBy("doc_id")),
     )
+    top = rr.orderBy("stage", "rank_in_source", "source", "doc_id").limit(1000)
     return (
-        rr.withColumn(
+        top.withColumn(
             "curriculum_rank",
             F.row_number()
             .over(Window.orderBy("stage", "rank_in_source", "source", "doc_id"))
             .cast("long"),
         )
-        .filter(F.col("curriculum_rank") <= 1000)
         .select("curriculum_rank", "doc_id", F.col("stage").cast("long").alias("stage"), "source")
         .orderBy("curriculum_rank")
     )
@@ -2345,14 +2346,26 @@ def curriculum_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Easy-to-hard, source-interleaved, token-budgeted training schedule
     (B109 = B102 ∘ B37): per-(source, stage) seeded budget draw, then
     round-robin interleave of the kept docs."""
+    from vectordb_hr_data_spark.operators.quantiles import with_exact_ntile
+
     d = read_table(spark, sf_dir, "documents")
-    staged = d.select(
-        "doc_id",
-        "source",
+    # quartile stage via the exact-rank two-form — no corpus-global ntile;
+    # the FINAL schedule_rank window below is bounded by the token budget
+    # (4 stages x |sources| x budget rows), not by corpus size.
+    staged = with_exact_ntile(
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":curriculum"))).alias(
+                "ord_key"
+            ),
+        ),
+        4,
         "n_chars",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
-        F.ntile(4).over(Window.orderBy("n_chars", "doc_id")).alias("stage"),
-        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":curriculum"))).alias("ord_key"),
+        "doc_id",
+        "stage",
     )
     wb = (
         Window.partitionBy("source", "stage")
