@@ -3689,3 +3689,141 @@ def quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("fused_score").desc(), "doc_id")
         .limit(FUSION_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# B212: rank-fusion selection-bias audit (who does the gate favor?)
+# ---------------------------------------------------------------------------
+# Any curation gate reshapes the source mix; the responsible release
+# reports HOW: each source's share among the B200-selected documents vs
+# its corpus share, and the lift between them — the number that shows a
+# "quality" gate quietly down-weighting a source (compare B197, which
+# audits the classifier's length axis; this audits the fused gate's
+# source axis). The oracle embeds the registered B200 SQL verbatim as
+# its selection CTE (B107 discipline). Output is |sources| rows; the
+# selection is already bounded (top-50).
+def _fusion_bias_oracle() -> str:
+    sel = _PQ_REGISTRY["quality_rank_fusion"].oracle
+    return f"""
+WITH RECURSIVE sel AS ({sel})
+, pick AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_sel
+  FROM sel s JOIN documents d ON d.doc_id = s.doc_id
+  GROUP BY d.source
+), corpus AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_sel) AS BIGINT) AS ns FROM pick
+), tot2 AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS nd FROM corpus
+)
+SELECT c.source, c.n_docs, coalesce(p.n_sel, 0) AS n_selected,
+       CAST(coalesce(p.n_sel, 0) * 1000000 // tot.ns AS BIGINT) AS sel_share_ppm,
+       CAST(c.n_docs * 1000000 // tot2.nd AS BIGINT) AS corpus_share_ppm,
+       CAST(coalesce(p.n_sel, 0) * tot2.nd * 1000
+            // (c.n_docs * tot.ns) AS BIGINT) AS lift_milli
+FROM corpus c
+LEFT JOIN pick p ON p.source = c.source
+CROSS JOIN tot CROSS JOIN tot2
+ORDER BY c.source
+"""
+
+
+@register("fusion_source_bias", _fusion_bias_oracle())
+def fusion_source_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source selection share of the B200 fused gate vs corpus share,
+    with the lift (B212) — the source-axis bias report a curation
+    release ships."""
+    d = read_table(spark, sf_dir, "documents")
+    sel = quality_rank_fusion(spark, sf_dir).select("doc_id")
+    pick = (
+        sel.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_sel"))
+    )
+    corpus = d.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    tot = pick.agg(F.sum("n_sel").cast("long").alias("ns"))
+    tot2 = corpus.agg(F.sum("n_docs").cast("long").alias("nd"))
+    return (
+        corpus.join(pick, "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tot2))
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_sel", F.lit(0)).cast("long").alias("n_selected"),
+            F.expr("coalesce(n_sel, 0) * 1000000 div ns").cast("long").alias("sel_share_ppm"),
+            F.expr("n_docs * 1000000 div nd").cast("long").alias("corpus_share_ppm"),
+            F.expr("coalesce(n_sel, 0) * nd * 1000 div (n_docs * ns)")
+            .cast("long")
+            .alias("lift_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B213: per-source length QQ audit (distribution shift, quantile form)
+# ---------------------------------------------------------------------------
+# PSI (B151) monitors drift on event values; corpora drift in SHAPE —
+# a source whose length distribution diverges from the corpus needs
+# different chunking/packing than the rest, and the quantile-quantile
+# table is the diagnosis: per (source, decile), the source's decile
+# boundary vs the corpus's, and the signed gap. Source deciles come
+# from source-PARTITIONED ntile (bounded per-partition); the corpus
+# deciles from the exact-rank two-form (no global window). Output:
+# |sources| x 10 rows.
+@register(
+    "source_length_qq",
+    """
+WITH s AS (
+  SELECT source, n_chars,
+         ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS dec
+  FROM documents
+), g AS (
+  SELECT n_chars,
+         ntile(10) OVER (ORDER BY n_chars, doc_id) AS dec
+  FROM documents
+), sb AS (
+  SELECT source, CAST(dec AS BIGINT) AS decile, CAST(max(n_chars) AS BIGINT) AS src_hi
+  FROM s GROUP BY source, dec
+), gb AS (
+  SELECT CAST(dec AS BIGINT) AS decile, CAST(max(n_chars) AS BIGINT) AS corpus_hi
+  FROM g GROUP BY dec
+)
+SELECT sb.source, sb.decile, sb.src_hi, gb.corpus_hi,
+       sb.src_hi - gb.corpus_hi AS gap_chars
+FROM sb JOIN gb ON gb.decile = sb.decile
+ORDER BY sb.source, sb.decile
+""",
+)
+def source_length_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source decile boundaries of document length vs the corpus's,
+    with signed gaps (B213) — the quantile-quantile shape-drift table;
+    source deciles partition on source, corpus deciles ride the
+    exact-rank two-form."""
+    from vectordb_hr_data_spark.operators.quantiles import with_exact_ntile
+
+    d = read_table(spark, sf_dir, "documents")
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    sb = (
+        d.select("source", "n_chars", F.ntile(10).over(ws).cast("long").alias("decile"))
+        .groupBy("source", "decile")
+        .agg(F.max("n_chars").cast("long").alias("src_hi"))
+    )
+    gb = (
+        with_exact_ntile(d.select("doc_id", "n_chars"), 10, "n_chars", "doc_id", "decile")
+        .groupBy("decile")
+        .agg(F.max("n_chars").cast("long").alias("corpus_hi"))
+    )
+    return (
+        sb.join(F.broadcast(gb), "decile")
+        .select(
+            "source",
+            "decile",
+            "src_hi",
+            "corpus_hi",
+            (F.col("src_hi") - F.col("corpus_hi")).cast("long").alias("gap_chars"),
+        )
+        .orderBy("source", "decile")
+    )
