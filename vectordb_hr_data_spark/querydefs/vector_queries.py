@@ -2627,3 +2627,163 @@ def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return d.orderBy(F.col("d_own").desc(), "vec_id").limit(OUTLIER_TOP)
+
+
+# ---------------------------------------------------------------------------
+# B214: deterministic Lloyd k-means, FULL oracle (the trainable made exact)
+# ---------------------------------------------------------------------------
+# The registry's learned-codebook ops (ivf_topk_kmeans, knn_pq_kmeans_
+# rerank) ride MLlib floats and are rows-only; this op closes that gap
+# in the checked surface: Lloyd's algorithm itself — seeded centroids
+# (vectors 0..7, per-dim rounded to 6 dp), THREE assignment/update
+# rounds, every float quantized at the contract points (distance
+# rounded to 4 dp; new centroid dims to 6 dp; argmin by the integer
+# composite key round(dist·1e4)·100 + cid so ties break identically) —
+# replayed bit-for-bit by a recursive DuckDB CTE. Emits the final
+# per-cluster report: size, inertia in e4 integer units, and the first
+# centroid dimension as a checksum. Scale shape: per round, one
+# broadcast-centroid map-side assignment (k·dim ≈ 512 doubles of
+# driver state — the train step's legitimate bounded state, identical
+# to the seeded-sample IVF trainer) + one narrow-row (cid, pos) mean.
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _kmeans_oracle() -> str:
+    return f"""
+WITH RECURSIVE cent AS (
+  SELECT 0 AS iter, CAST(vec_id AS INT) AS cid,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS mv
+  FROM embeddings WHERE vec_id < {KMEANS_K}
+  UNION ALL
+  SELECT nc.iter, nc.cid, nc.mv FROM (
+    SELECT pp.iter, pp.cid, list(pp.m ORDER BY pp.pos) AS mv
+    FROM (
+      SELECT av.iter, av.cid, CAST(p.i AS INT) AS pos,
+             -- integer-micro sum then ONE division: immune to float
+             -- addition order across engines/partitions
+             round(sum(CAST(round(CAST(e2.embedding[CAST(p.i AS INT)] AS DOUBLE) * 1000000)
+                       AS BIGINT)) / (count(*) * 1000000.0), 6) AS m
+      FROM (
+        SELECT d.iter + 1 AS iter, d.vec_id,
+               CAST(arg_min(d.cid, CAST(round(d.dist * 10000) AS BIGINT) * 100 + d.cid)
+                    AS INT) AS cid
+        FROM (
+          SELECT c.iter, e.vec_id, c.cid,
+                 round(list_sum(list_transform(range(1, len(e.embedding)+1),
+                       i -> power(CAST(e.embedding[i] AS DOUBLE) - c.mv[i], 2))), 4) AS dist
+          FROM cent c, embeddings e
+          WHERE c.iter < {KMEANS_ITERS}
+        ) d
+        GROUP BY d.iter, d.vec_id
+      ) av
+      JOIN embeddings e2 ON e2.vec_id = av.vec_id
+      CROSS JOIN range(1, 65) AS p(i)
+      GROUP BY av.iter, av.cid, p.i
+    ) pp
+    GROUP BY pp.iter, pp.cid
+  ) nc
+), final_cent AS (
+  SELECT cid, mv FROM cent WHERE iter = {KMEANS_ITERS}
+), final_asg AS (
+  SELECT d.vec_id,
+         CAST(arg_min(d.cid, CAST(round(d.dist * 10000) AS BIGINT) * 100 + d.cid) AS INT)
+           AS cid,
+         min(CAST(round(d.dist * 10000) AS BIGINT) * 100 + d.cid) AS mkey
+  FROM (
+    SELECT e.vec_id, c.cid,
+           round(list_sum(list_transform(range(1, len(e.embedding)+1),
+                 i -> power(CAST(e.embedding[i] AS DOUBLE) - c.mv[i], 2))), 4) AS dist
+    FROM final_cent c, embeddings e
+  ) d
+  GROUP BY d.vec_id
+)
+SELECT CAST(a.cid AS BIGINT) AS cid,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(a.mkey // 100) AS BIGINT) AS inertia_e4,
+       round(max(c.mv[1]), 6) AS centroid_dim1
+FROM final_asg a JOIN final_cent c ON c.cid = a.cid
+GROUP BY a.cid
+ORDER BY cid
+"""
+
+
+@register("kmeans_lloyd3_det", _kmeans_oracle())
+def kmeans_lloyd3_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three exact Lloyd rounds from seeded centroids with every float
+    quantized at the contract points (B214) — k-means as a fully
+    oracle-checked operator; final per-cluster size, integer inertia,
+    and a centroid checksum."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.filter(F.col("vec_id") < KMEANS_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents = {int(r.vec_id): [round(float(x), 6) for x in r.embedding] for r in seeds}
+
+    def cent_df(cmap):
+        return spark.createDataFrame(
+            [(cid, mv) for cid, mv in sorted(cmap.items())], "cid int, mv array<double>"
+        )
+
+    def assign(cdf):
+        key = (
+            F.round(F.round(V.l2sq(F.col("embedding"), F.col("mv")), 4) * 10000).cast("long")
+            * 100
+            + F.col("cid")
+        )
+        return (
+            emb.crossJoin(F.broadcast(cdf))
+            .select("vec_id", "embedding", key.alias("key"))
+            .groupBy("vec_id")
+            .agg(F.min("key").alias("mkey"))
+            .select(
+                "vec_id",
+                (F.col("mkey") % 100).cast("int").alias("cid"),
+                F.expr("mkey div 100").cast("long").alias("dist_e4"),
+            )
+        )
+
+    for _ in range(KMEANS_ITERS):
+        asg = assign(cent_df(cents))
+        new_rows = (
+            asg.join(emb, "vec_id")
+            .select("cid", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            # integer-micro sum then ONE division (matches the oracle) —
+            # float-avg order dependence would break parity at scale
+            .agg(
+                F.round(
+                    F.sum(F.round(F.col("val").cast("double") * 1000000).cast("long"))
+                    / (F.count("*") * 1000000.0),
+                    6,
+                ).alias("m")
+            )
+            .collect()
+        )
+        nxt = {}
+        for r in new_rows:
+            nxt.setdefault(int(r.cid), [0.0] * 64)[int(r.pos)] = float(r.m)
+        cents = nxt
+
+    final_cdf = cent_df(cents)
+    asg = assign(final_cdf)
+    report = asg.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("dist_e4").cast("long").alias("inertia_e4"),
+    )
+    chks = spark.createDataFrame(
+        [(cid, round(mv[0], 6)) for cid, mv in sorted(cents.items())],
+        "cid int, centroid_dim1 double",
+    )
+    return (
+        report.join(F.broadcast(chks), "cid")
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            "n_members",
+            "inertia_e4",
+            "centroid_dim1",
+        )
+        .orderBy("cid")
+    )
