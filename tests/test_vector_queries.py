@@ -575,3 +575,20 @@ def test_whitened_fused_twin_parity_and_speed_at_scale(spark, tmp_path):
     # local[16]; soft bound absorbs box noise — the structural row-count
     # win is the cluster-scale argument, asserted above)
     assert t_fused < t_anchor * 1.2, (t_fused, t_anchor)
+
+
+def test_normalized_l2_rank_equals_cosine_rank(spark, sf_dir):
+    """B215's contract: squared-L2 over unit vectors orders EXACTLY like
+    cosine distance (||a-b||^2 = 2 - 2cos on the sphere) — the top-10
+    ids must match the registered cosine query's ids in order."""
+    from vectordb_hr_data_spark.queries import REGISTRY
+
+    norm_ids = [
+        r.vec_id for r in REGISTRY["knn_topk_l2_normalized"].fn(spark, sf_dir).collect()
+    ]
+    cos_ids = [
+        r.vec_id
+        for r in REGISTRY["knn_topk_cosine"].fn(spark, sf_dir).collect()
+        if r.vec_id != 0  # the cosine query keeps the query vector itself
+    ]
+    assert norm_ids[:9] == cos_ids[:9]

@@ -2787,3 +2787,64 @@ def kmeans_lloyd3_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# B215: unit-normalized retrieval (the metric-equivalence completion)
+# ---------------------------------------------------------------------------
+# B209 measures how much cosine and L2 disagree; this op is the
+# standard REMEDY: L2-normalize vectors once at ingest, after which
+# squared-L2 ordering IS cosine ordering (||a−b||² = 2−2·cosθ on the
+# unit sphere) and the cheaper metric serves both. Top-k under
+# normalized vectors, norms rounded once to 6 dp so both engines build
+# the same unit vectors; a pytest pins the rank-equivalence against the
+# registered cosine query. Same TakeOrdered scan shape as knn_topk_l2sq.
+@register(
+    "knn_topk_l2_normalized",
+    f"""
+WITH q AS (
+  SELECT embedding AS qv,
+         round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS qn
+  FROM embeddings WHERE vec_id = 0
+), n AS (
+  SELECT e.vec_id, e.embedding,
+         round(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS en
+  FROM embeddings e WHERE e.vec_id != 0
+)
+SELECT n.vec_id,
+       round(list_sum(list_transform(range(1, len(n.embedding)+1),
+             i -> power(CAST(n.embedding[i] AS DOUBLE) / n.en
+                        - CAST(q.qv[i] AS DOUBLE) / q.qn, 2))), 4) AS distance
+FROM n CROSS JOIN q
+ORDER BY distance, n.vec_id
+LIMIT 10
+""",
+)
+def knn_topk_l2_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by squared L2 over unit-normalized vectors (B215) — after
+    one ingest-time normalization the L2 index answers cosine queries;
+    rank-equivalence vs the cosine query is pytest-pinned."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(
+            F.col("embedding").alias("qv"),
+            F.round(F.sqrt(V.dot(F.col("embedding"), F.col("embedding"))), 6).alias("qn"),
+        )
+    )
+    n = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        "embedding",
+        F.round(F.sqrt(V.dot(F.col("embedding"), F.col("embedding"))), 6).alias("en"),
+    )
+    dist = F.expr(
+        "aggregate(zip_with(embedding, qv, (a, b) ->"
+        " power(cast(a as double) / en - cast(b as double) / qn, 2)),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    return (
+        n.crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(dist, 4).alias("distance"))
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
