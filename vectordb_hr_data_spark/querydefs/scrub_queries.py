@@ -361,3 +361,139 @@ def source_pii_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# B216: release-gate capstone (one checked report over five audits)
+# ---------------------------------------------------------------------------
+# The round's governance operators exist to answer ONE question — "is
+# this corpus safe to ship?" — and this capstone asks it as a single
+# checked query: canary contamination (B175), PII scrub residual
+# (B177), k-anonymity violations (B120), snapshot churn (B166), and
+# split leakage (B192), each summarized to (check, value, threshold,
+# pass). Every number comes from the REGISTERED audit's SQL embedded
+# verbatim (the graph_node_profile capstone discipline applied to the
+# release family), so the gate can never drift from the audits it
+# fronts. The Spark side composes the same registered builders.
+RELEASE_CHURN_MAX_PPM = 200_000
+
+
+def _release_gate_oracle() -> str:
+    from ..queries import REGISTRY as _SQ_REGISTRY
+
+    canary = _SQ_REGISTRY["doc_canary_detection"].oracle
+    pii = _SQ_REGISTRY["source_pii_coverage"].oracle
+    kanon = _SQ_REGISTRY["doc_k_anonymity_audit"].oracle
+    snap = _SQ_REGISTRY["corpus_snapshot_diff"].oracle
+    leak = _SQ_REGISTRY["split_leakage_audit"].oracle
+    return f"""
+SELECT * FROM (
+  SELECT 'canary_flagged_docs' AS check_name,
+         CAST(coalesce(sum(n_flagged), 0) AS BIGINT) AS value,
+         CAST(0 AS BIGINT) AS threshold,
+         coalesce(sum(n_flagged), 0) <= 0 AS pass
+  FROM ({canary})
+  UNION ALL
+  SELECT 'pii_scrub_residual', CAST(coalesce(sum(n_residual), 0) AS BIGINT),
+         CAST(0 AS BIGINT), coalesce(sum(n_residual), 0) <= 0
+  FROM ({pii})
+  UNION ALL
+  SELECT 'k_anonymity_below_k_classes',
+         CAST(coalesce(sum(CASE WHEN below_k THEN 1 ELSE 0 END), 0) AS BIGINT),
+         CAST(0 AS BIGINT),
+         coalesce(sum(CASE WHEN below_k THEN 1 ELSE 0 END), 0) <= 0
+  FROM ({kanon})
+  UNION ALL
+  SELECT 'snapshot_churn_docs_ppm',
+         CAST(sum(n_added + n_removed + n_changed) * 1000000
+              // sum(n_added + n_removed + n_changed + n_unchanged) AS BIGINT),
+         CAST({RELEASE_CHURN_MAX_PPM} AS BIGINT),
+         sum(n_added + n_removed + n_changed) * 1000000
+           // sum(n_added + n_removed + n_changed + n_unchanged)
+           <= {RELEASE_CHURN_MAX_PPM}
+  FROM ({snap})
+  UNION ALL
+  SELECT 'split_leaked_eval_docs', CAST(coalesce(sum(n_leaked_eval_docs), 0) AS BIGINT),
+         CAST(0 AS BIGINT), coalesce(sum(n_leaked_eval_docs), 0) <= 0
+  FROM ({leak})
+)
+ORDER BY check_name
+"""
+
+
+@register("release_gate_report", _release_gate_oracle())
+def release_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five registered release audits summarized to one
+    (check, value, threshold, pass) gate table (B216) — the question the
+    governance family exists to answer, asked as a single checked plan."""
+    from .dedup_queries import split_leakage_audit
+    from .pipeline_queries import corpus_snapshot_diff, doc_canary_detection
+
+    canary = (
+        doc_canary_detection(spark, sf_dir)
+        .agg(F.coalesce(F.sum("n_flagged"), F.lit(0)).cast("long").alias("v"))
+        .select(
+            F.lit("canary_flagged_docs").alias("check_name"),
+            F.col("v").alias("value"),
+            F.lit(0).cast("long").alias("threshold"),
+            (F.col("v") <= 0).alias("pass"),
+        )
+    )
+    pii = (
+        source_pii_coverage(spark, sf_dir)
+        .agg(F.coalesce(F.sum("n_residual"), F.lit(0)).cast("long").alias("v"))
+        .select(
+            F.lit("pii_scrub_residual").alias("check_name"),
+            F.col("v").alias("value"),
+            F.lit(0).cast("long").alias("threshold"),
+            (F.col("v") <= 0).alias("pass"),
+        )
+    )
+    kanon = (
+        doc_k_anonymity_audit(spark, sf_dir)
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("below_k"), 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias("v")
+        )
+        .select(
+            F.lit("k_anonymity_below_k_classes").alias("check_name"),
+            F.col("v").alias("value"),
+            F.lit(0).cast("long").alias("threshold"),
+            (F.col("v") <= 0).alias("pass"),
+        )
+    )
+    snap = (
+        corpus_snapshot_diff(spark, sf_dir)
+        .agg(
+            F.expr(
+                "sum(n_added + n_removed + n_changed) * 1000000"
+                " div sum(n_added + n_removed + n_changed + n_unchanged)"
+            )
+            .cast("long")
+            .alias("v")
+        )
+        .select(
+            F.lit("snapshot_churn_docs_ppm").alias("check_name"),
+            F.col("v").alias("value"),
+            F.lit(RELEASE_CHURN_MAX_PPM).cast("long").alias("threshold"),
+            (F.col("v") <= RELEASE_CHURN_MAX_PPM).alias("pass"),
+        )
+    )
+    leak = (
+        split_leakage_audit(spark, sf_dir)
+        .agg(F.coalesce(F.sum("n_leaked_eval_docs"), F.lit(0)).cast("long").alias("v"))
+        .select(
+            F.lit("split_leaked_eval_docs").alias("check_name"),
+            F.col("v").alias("value"),
+            F.lit(0).cast("long").alias("threshold"),
+            (F.col("v") <= 0).alias("pass"),
+        )
+    )
+    return (
+        canary.unionByName(pii)
+        .unionByName(kanon)
+        .unionByName(snap)
+        .unionByName(leak)
+        .orderBy("check_name")
+    )
