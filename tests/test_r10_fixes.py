@@ -109,3 +109,29 @@ def test_snapshot_diff_null_text_not_misclassified(spark, tmp_path):
     # hash compares NULL <> NULL -> not 'changed' either (oracle semantics).
     assert r.n_added == 0 and r.n_removed == 0
     assert r.n_unchanged == 2 and r.n_changed == 0
+
+
+def test_worker_entry_import_order_survives_partial_registry():
+    """Python UDF workers re-import the package with the UDF's module as
+    the entry point; mid-cycle, sibling querydef modules are partial and
+    the registry incomplete. Entry via text_queries (the
+    term_heavy_hitters worker path) must import cleanly — before the r10
+    guard, scrub_queries' capstone KeyError'd here and crashed every
+    text-module UDF worker."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import vectordb_hr_data_spark.querydefs.text_queries as t;"
+            "print('entry-import ok')",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "entry-import ok" in r.stdout

@@ -381,6 +381,29 @@ RELEASE_CHURN_MAX_PPM = 200_000
 def _release_gate_oracle() -> str:
     from ..queries import REGISTRY as _SQ_REGISTRY
 
+    # Python WORKERS re-import this package with whatever module a UDF
+    # lives in as the entry point; mid-cycle, sibling modules are partial
+    # and the registry may not hold the audits yet (the module loop in
+    # queries.py skips partially-importable siblings via ImportError —
+    # long-standing behavior that is harmless on workers, which only need
+    # the UDF function itself, never an oracle). Degrade to the SAME
+    # skip instead of a KeyError that would crash the worker.
+    missing = [
+        n
+        for n in (
+            "doc_canary_detection",
+            "source_pii_coverage",
+            "doc_k_anonymity_audit",
+            "corpus_snapshot_diff",
+            "split_leakage_audit",
+        )
+        if n not in _SQ_REGISTRY
+    ]
+    if missing:
+        raise ImportError(
+            f"release_gate_report needs registered audits {missing} — "
+            "partial-import context (Python worker re-import); skipping module"
+        )
     canary = _SQ_REGISTRY["doc_canary_detection"].oracle
     pii = _SQ_REGISTRY["source_pii_coverage"].oracle
     kanon = _SQ_REGISTRY["doc_k_anonymity_audit"].oracle
