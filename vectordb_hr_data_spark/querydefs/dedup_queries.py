@@ -1877,7 +1877,10 @@ def neardup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame
     over the ≤8-row band table."""
     d = read_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.expr(H.spark_tokens("text")).alias("toks"))
-    sh = toks.select("doc_id", F.expr(H.spark_shingles("toks")).alias("shingles"))
+    # cache the shingle frame: it feeds the block keys AND both join
+    # sides — uncached, the shingle build re-runs three times (the
+    # jaccard_pairs discipline; this was a 4x on the first bench run)
+    sh = toks.select("doc_id", F.expr(H.spark_shingles("toks")).alias("shingles")).cache()
     keys = sh.select("doc_id", F.array_min("shingles").alias("block_key"))
     a, b = keys.alias("a"), keys.alias("b")
     cand = a.join(
@@ -1885,12 +1888,22 @@ def neardup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select(F.col("a.doc_id").alias("doc_id_1"), F.col("b.doc_id").alias("doc_id_2"))
     s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("shingles").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("shingles").alias("sh2"))
-    jac_exact = F.expr(H.jaccard_sql_spark("sh1", "sh2"))
-    pairs = (
+    # compute the array intersection ONCE per pair; both the exact floor
+    # filter and the 4-dp band derive from (inter, sizes) — the double
+    # intersection evaluation cost 2x on the widest-floor candidate set
+    inter = (
         cand.join(s1, "doc_id_1")
         .join(s2, "doc_id_2")
-        .filter(jac_exact >= SENS_FLOOR)
-        .select(F.expr(H.jaccard_round4_spark("sh1", "sh2")).alias("j"))
+        .select(
+            F.expr("size(array_intersect(sh1, sh2))").alias("ni"),
+            (F.size("sh1") + F.size("sh2")).alias("ns"),
+        )
+        .select("ni", (F.col("ns") - F.col("ni")).alias("nu"))
+    )
+    pairs = inter.filter(
+        F.col("ni").cast("double") / F.col("nu") >= SENS_FLOOR
+    ).select(
+        (F.round(F.col("ni") * 1e4 / F.col("nu")).cast("bigint") / 1e4).alias("j")
     )
     counts = pairs.select(
         F.least(F.floor(F.col("j") * 10).cast("long"), F.lit(9)).alias("band")
