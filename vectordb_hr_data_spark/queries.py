@@ -132,6 +132,7 @@ PRIORITY: list[str] = [
     "metric_agreement_topk", "orders_backlog_aging", "segment_revenue_hhi",
     "fusion_source_bias", "source_length_qq", "kmeans_lloyd3_det",
     "knn_topk_l2_normalized", "release_gate_report",
+    "events_stl_residual_anomaly", "neardup_transitivity_audit",
     # r9-window queries (fresh driver rows)
     "hr_tagged_union_projection", "hr_metadata_flatten", "doc_simhash",
     "doc_lang_id", "top_bigrams_per_lang", "neardup_embedding_cosine",

@@ -1990,3 +1990,69 @@ def neardup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# B218: near-dup transitivity audit (how clique-like are the clusters?)
+# ---------------------------------------------------------------------------
+# Keep-first dedup over CC components assumes near-duplication is
+# roughly transitive; when it isn't (chained paraphrase drift), a
+# component lumps documents that share nothing and the canonical doc
+# misrepresents its cluster. The measurable proxy is WEDGE CLOSURE over
+# the verified pair set: of all wedges a-b-c (both pairs verified), how
+# often is a-c verified too? High closure ⇒ cliques ⇒ keep-first is
+# safe; low closure ⇒ chains ⇒ prefer centroid/medoid repair (B158's
+# labels report per cluster). Wedge enumeration runs on the PAIR SET
+# (LSH-verified output, corpus-independent scale), never on documents.
+@register(
+    "neardup_transitivity_audit",
+    f"""
+WITH t AS (
+  SELECT doc_id, {H.ddb_tokens('text')} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {H.ddb_shingles('toks')} AS shingles FROM t
+), blocked AS (
+  SELECT doc_id, shingles, list_min(shingles) AS block_key FROM sh
+), p AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM blocked a JOIN blocked b
+    ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+  WHERE {H.jaccard_sql_ddb('a.shingles', 'b.shingles')} >= {JACCARD_THRESHOLD}
+), sym AS (
+  SELECT u, v FROM p UNION ALL SELECT v, u FROM p
+), wedges AS (
+  SELECT s1.u AS a, s1.v AS b, s2.v AS c
+  FROM sym s1 JOIN sym s2 ON s2.u = s1.v AND s1.u < s2.v
+), joined AS (
+  SELECT w.a, w.c, CASE WHEN p2.u IS NOT NULL THEN 1 ELSE 0 END AS closed
+  FROM wedges w LEFT JOIN p p2 ON p2.u = w.a AND p2.v = w.c
+)
+SELECT CAST(count(*) AS BIGINT) AS n_wedges,
+       CAST(sum(closed) AS BIGINT) AS n_closed,
+       CAST(sum(closed) * 1000000 // greatest(count(*), 1) AS BIGINT) AS closure_ppm
+FROM joined
+""",
+)
+def neardup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wedge-closure rate over the verified near-dup pair set (B218) —
+    high closure says keep-first-per-component is safe, low closure says
+    the clusters are chains needing medoid repair."""
+    p = neardup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_id_1").alias("u"), F.col("doc_id_2").alias("v")
+    )
+    sym = p.unionByName(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    wedges = s1.join(
+        s2, (F.col("s2.u") == F.col("s1.v")) & (F.col("s1.u") < F.col("s2.v"))
+    ).select(F.col("s1.u").alias("a"), F.col("s2.v").alias("c"))
+    p2 = p.select(F.col("u").alias("a"), F.col("v").alias("c"), F.lit(1).alias("hit"))
+    joined = wedges.join(p2, ["a", "c"], "left").select(
+        F.coalesce("hit", F.lit(0)).alias("closed")
+    )
+    return joined.agg(
+        F.count("*").cast("long").alias("n_wedges"),
+        F.sum("closed").cast("long").alias("n_closed"),
+        F.expr("sum(closed) * 1000000 div greatest(count(*), 1)")
+        .cast("long")
+        .alias("closure_ppm"),
+    )

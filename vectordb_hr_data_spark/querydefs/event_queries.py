@@ -4609,3 +4609,77 @@ def events_dup_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type", "window_sec")
     )
+
+
+# ---------------------------------------------------------------------------
+# B217: STL-residual anomaly gate (the loop B167 promised, closed)
+# ---------------------------------------------------------------------------
+# B167's docstring says the residual "is what the anomaly gates should
+# consume" — this op consumes it: hours whose |residual| exceeds 3x the
+# exact MAD of the residual series, with trend and seasonality removed
+# by algebra first, so a traffic spike during the daily peak and a dip
+# at 4am are judged against what the decomposition says those hours
+# should look like. The oracle embeds the registered B167 SQL verbatim
+# (B107 discipline); median/MAD use the exact-rank form over the
+# reduced hourly grid. Output: flagged hours only.
+def _stl_anomaly_oracle() -> str:
+    from ..queries import REGISTRY as _EQ_REGISTRY
+
+    stl = _EQ_REGISTRY["events_stl_decompose"].oracle
+    return f"""
+WITH stl AS ({stl}),
+ranked AS (
+  SELECT hour_epoch, n_events, residual25,
+         abs(residual25) AS ar,
+         row_number() OVER (ORDER BY abs(residual25), hour_epoch) AS rk,
+         count(*) OVER () AS n
+  FROM stl
+), med AS (
+  SELECT max(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT) THEN ar END) AS mad1
+  FROM ranked
+)
+SELECT r.hour_epoch, r.n_events, r.residual25,
+       CAST(med.mad1 AS BIGINT) AS resid_mad,
+       CASE WHEN r.residual25 > 0 THEN 'high' ELSE 'low' END AS side
+FROM ranked r CROSS JOIN med
+WHERE r.ar > 3 * greatest(med.mad1, 25)
+ORDER BY r.hour_epoch
+"""
+
+
+@register("events_stl_residual_anomaly", _stl_anomaly_oracle())
+def events_stl_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose |STL residual| exceeds 3x the residual MAD (B217) —
+    anomaly detection on the trend/seasonality-free signal; composes
+    the registered B167 decomposition verbatim. All windows run over
+    the reduced hourly grid (the seasonal/CUSUM family's deliberate
+    bounded single-partition sweep); the MAD floor (one c*25 count unit)
+    keeps a dead-flat series from flagging noise."""
+    stl = events_stl_decompose(spark, sf_dir)
+    wr = Window.orderBy(F.abs(F.col("residual25")), F.col("hour_epoch"))
+    wn = Window.partitionBy()
+    ranked = stl.select(
+        "hour_epoch",
+        "n_events",
+        "residual25",
+        F.abs("residual25").alias("ar"),
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wn).alias("n"),
+    )
+    med = ranked.agg(
+        F.max(
+            F.when(F.col("rk") == F.ceil(F.col("n") * 0.5).cast("long"), F.col("ar"))
+        ).alias("mad1")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(med))
+        .filter(F.col("ar") > 3 * F.greatest(F.col("mad1"), F.lit(25)))
+        .select(
+            "hour_epoch",
+            "n_events",
+            "residual25",
+            F.col("mad1").cast("long").alias("resid_mad"),
+            F.when(F.col("residual25") > 0, "high").otherwise("low").alias("side"),
+        )
+        .orderBy("hour_epoch")
+    )
