@@ -2056,3 +2056,52 @@ def neardup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("closure_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B220: cross-source copy-direction matrix (who republishes whom)
+# ---------------------------------------------------------------------------
+# B94 counts cross-source duplication symmetrically; provenance wants
+# DIRECTION: within each exact-dup group the keeper (min doc_id — the
+# ingestion-order proxy for "published first") attributes every other
+# copy to a (from_source = keeper's, to_source = copy's) edge. The
+# asymmetry of this matrix is the republishing-flow signal (a mirror
+# source shows all inbound edges, an origin all outbound). One md5
+# groupBy carrying (source, doc_id) structs, map-side edge expansion,
+# bounded |sources|^2 output.
+@register(
+    "source_copy_direction",
+    """
+WITH g AS (
+  SELECT md5(text) AS h, doc_id, source FROM documents
+), keep AS (
+  SELECT h, arg_min(source, doc_id) AS keeper_source, min(doc_id) AS keeper_id
+  FROM g GROUP BY h
+)
+SELECT k.keeper_source AS from_source, g.source AS to_source,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM g JOIN keep k ON k.h = g.h
+WHERE g.doc_id <> k.keeper_id
+GROUP BY k.keeper_source, g.source
+ORDER BY from_source, to_source
+""",
+)
+def source_copy_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed duplicate attribution between sources (B220): every
+    non-keeper copy becomes a (keeper's source -> copy's source) edge —
+    the republishing-flow matrix behind B94's symmetric counts."""
+    d = read_table(spark, sf_dir, "documents")
+    g = d.select(F.md5("text").alias("h"), "doc_id", "source")
+    keep = g.groupBy("h").agg(
+        F.min_by("source", "doc_id").alias("keeper_source"),
+        F.min("doc_id").alias("keeper_id"),
+    )
+    return (
+        g.join(keep, "h")
+        .filter(F.col("doc_id") != F.col("keeper_id"))
+        .groupBy(
+            F.col("keeper_source").alias("from_source"), F.col("source").alias("to_source")
+        )
+        .agg(F.count("*").cast("long").alias("n_copies"))
+        .orderBy("from_source", "to_source")
+    )

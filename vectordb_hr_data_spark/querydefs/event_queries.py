@@ -4683,3 +4683,98 @@ def events_stl_residual_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_epoch")
     )
+
+
+# ---------------------------------------------------------------------------
+# B219: growth accounting (new / retained / resurrected / churned)
+# ---------------------------------------------------------------------------
+# The canonical growth decomposition (the "growth accounting" identity:
+# active_w = new + retained + resurrected; churned_w = active_{w-1} −
+# retained_w): per epoch-week, users split by whether they were active
+# last week and whether this is their first week ever. Stickiness
+# (B141) gives the ratio; THIS gives the flows that move it. Shape:
+# one distinct (user, week) reduce, a self-join on (user, week−1) —
+# both uniform keys — and the per-user min-week broadcast-scale first
+# table. Output: one row per week.
+@register(
+    "events_growth_accounting",
+    """
+WITH uw AS (
+  SELECT DISTINCT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week FROM events
+), fw AS (
+  SELECT user_id, CAST(min(week) AS BIGINT) AS first_week FROM uw GROUP BY user_id
+), flags AS (
+  SELECT c.week, c.user_id,
+         CASE WHEN f.first_week = c.week THEN 1 ELSE 0 END AS is_new,
+         CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS was_active
+  FROM uw c
+  JOIN fw f ON f.user_id = c.user_id
+  LEFT JOIN uw p ON p.user_id = c.user_id AND p.week = c.week - 1
+), churn AS (
+  SELECT p.week + 1 AS week, CAST(count(*) AS BIGINT) AS n_churned
+  FROM uw p LEFT JOIN uw c ON c.user_id = p.user_id AND c.week = p.week + 1
+  WHERE c.user_id IS NULL
+  GROUP BY p.week + 1
+)
+SELECT f.week,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(f.is_new) AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN f.is_new = 0 AND f.was_active = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retained,
+       CAST(sum(CASE WHEN f.is_new = 0 AND f.was_active = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_resurrected,
+       CAST(coalesce(max(ch.n_churned), 0) AS BIGINT) AS n_churned
+FROM flags f LEFT JOIN churn ch ON ch.week = f.week
+GROUP BY f.week
+ORDER BY f.week
+""",
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly new/retained/resurrected/churned user flows (B219) — the
+    growth-accounting identity behind every DAU chart; distinct
+    (user, week) reduce + uniform-key self-joins."""
+    ev = read_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.expr("cast(floor(cast(ts as double) / 604800) as bigint)").alias("week")
+    ).distinct()
+    fw = uw.groupBy("user_id").agg(F.min("week").cast("long").alias("first_week"))
+    prev = uw.select("user_id", (F.col("week") + 1).alias("week"), F.lit(1).alias("was_active"))
+    flags = (
+        uw.join(fw, "user_id")
+        .join(prev, ["user_id", "week"], "left")
+        .select(
+            "week",
+            F.when(F.col("first_week") == F.col("week"), 1).otherwise(0).alias("is_new"),
+            F.coalesce("was_active", F.lit(0)).alias("was_active"),
+        )
+    )
+    # churned in week w = users active in w-1 with no activity in w
+    churn = (
+        uw.select("user_id", (F.col("week") + 1).alias("week"))
+        .join(uw, ["user_id", "week"], "left_anti")
+        .groupBy("week")
+        .agg(F.count("*").cast("long").alias("n_churned"))
+    )
+    return (
+        flags.groupBy("week")
+        .agg(
+            F.count("*").cast("long").alias("n_active"),
+            F.sum("is_new").cast("long").alias("n_new"),
+            F.sum(F.when((F.col("is_new") == 0) & (F.col("was_active") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("n_retained"),
+            F.sum(F.when((F.col("is_new") == 0) & (F.col("was_active") == 0), 1).otherwise(0))
+            .cast("long")
+            .alias("n_resurrected"),
+        )
+        .join(churn, "week", "left")
+        .select(
+            "week",
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        )
+        .orderBy("week")
+    )
