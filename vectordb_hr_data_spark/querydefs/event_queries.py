@@ -4778,3 +4778,104 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# ---------------------------------------------------------------------------
+# B221: experiment-gate capstone (the A/B family's release gate)
+# ---------------------------------------------------------------------------
+# B216 asks "is the corpus safe to ship?"; this asks the experiment
+# platform's version — "is this readout trustworthy and decided?" — as
+# one checked query over three REGISTERED experiment ops (their SQL
+# embedded verbatim, the B107/B216 discipline): (1) SRM — any event
+# type whose arm split fails the chi-square check invalidates
+# everything downstream; (2) the pooled conversion z-test's
+# significance; (3) delta-method CI separation on the ratio metric
+# (value per active day) — CIs that do not overlap decide the ratio
+# axis. Each row: (check, value, threshold, pass).
+def _experiment_gate_oracle() -> str:
+    from ..queries import REGISTRY as _XQ_REGISTRY
+
+    missing = [
+        n
+        for n in ("events_srm_check", "events_ab_conversion_test", "events_ratio_delta_method")
+        if n not in _XQ_REGISTRY
+    ]
+    if missing:
+        raise ImportError(
+            f"experiment_gate_report needs {missing} — partial-import context; skipping"
+        )
+    srm = _XQ_REGISTRY["events_srm_check"].oracle
+    conv = _XQ_REGISTRY["events_ab_conversion_test"].oracle
+    ratio = _XQ_REGISTRY["events_ratio_delta_method"].oracle
+    return f"""
+SELECT * FROM (
+  SELECT 'srm_flagged_types' AS check_name,
+         CAST(coalesce(sum(srm_flag), 0) AS BIGINT) AS value,
+         CAST(0 AS BIGINT) AS threshold,
+         coalesce(sum(srm_flag), 0) <= 0 AS pass
+  FROM ({srm})
+  UNION ALL
+  SELECT 'conversion_z_significant',
+         CAST(max(significant_95) AS BIGINT),
+         CAST(1 AS BIGINT),
+         max(significant_95) >= 1
+  FROM ({conv})
+  UNION ALL
+  SELECT 'ratio_ci_separated',
+         CAST(CASE WHEN min(hi_of_lower) < max(lo_of_higher) THEN 1 ELSE 0 END AS BIGINT),
+         CAST(1 AS BIGINT),
+         CASE WHEN min(hi_of_lower) < max(lo_of_higher) THEN 1 ELSE 0 END >= 1
+  FROM (
+    SELECT CASE WHEN ratio_micro = min(ratio_micro) OVER () THEN ci_hi_micro END AS hi_of_lower,
+           CASE WHEN ratio_micro = max(ratio_micro) OVER () THEN ci_lo_micro END AS lo_of_higher
+    FROM ({ratio})
+  )
+)
+ORDER BY check_name
+"""
+
+
+@register("experiment_gate_report", _experiment_gate_oracle())
+def experiment_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three registered experiment checks — SRM validity, conversion
+    significance, ratio-CI separation — as one (check, value, threshold,
+    pass) gate table (B221); composes the registered builders."""
+    srm = (
+        events_srm_check(spark, sf_dir)
+        .agg(F.coalesce(F.sum("srm_flag"), F.lit(0)).cast("long").alias("v"))
+        .select(
+            F.lit("srm_flagged_types").alias("check_name"),
+            F.col("v").alias("value"),
+            F.lit(0).cast("long").alias("threshold"),
+            (F.col("v") <= 0).alias("pass"),
+        )
+    )
+    conv = (
+        events_ab_conversion_test(spark, sf_dir)
+        .agg(F.max("significant_95").cast("long").alias("v"))
+        .select(
+            F.lit("conversion_z_significant").alias("check_name"),
+            F.col("v").alias("value"),
+            F.lit(1).cast("long").alias("threshold"),
+            (F.col("v") >= 1).alias("pass"),
+        )
+    )
+    r = events_ratio_delta_method(spark, sf_dir)
+    wall = Window.partitionBy()
+    marks = r.select(
+        F.when(F.col("ratio_micro") == F.min("ratio_micro").over(wall), F.col("ci_hi_micro")).alias(
+            "hi_of_lower"
+        ),
+        F.when(F.col("ratio_micro") == F.max("ratio_micro").over(wall), F.col("ci_lo_micro")).alias(
+            "lo_of_higher"
+        ),
+    )
+    ratio = marks.agg(
+        F.when(F.min("hi_of_lower") < F.max("lo_of_higher"), 1).otherwise(0).cast("long").alias("v")
+    ).select(
+        F.lit("ratio_ci_separated").alias("check_name"),
+        F.col("v").alias("value"),
+        F.lit(1).cast("long").alias("threshold"),
+        (F.col("v") >= 1).alias("pass"),
+    )
+    return srm.unionByName(conv).unionByName(ratio).orderBy("check_name")
