@@ -110,7 +110,7 @@ PRIORITY: list[str] = [
     "events_audience_overlap", "lang_source_independence",
     "doc_greedy_coverage_select", "events_ratio_delta_method",
     "graph_reciprocity", "doc_canary_detection", "dedup_token_impact",
-    # new r10 oracles (B177-B185) — join the never-windowed queue for r11
+    # new r10 oracles (B177-B221) — join the never-windowed queue for r11
     "source_pii_coverage", "clf_calibration_ece", "lsh_param_planner",
     "source_corpus_fingerprint", "ann_qpp_stats",
     "corpus_temperature_mix", "events_user_type_entropy",
