@@ -1637,3 +1637,122 @@ def test_stream_value_leaderboard_converges_to_batch(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, leaderboard_from_state(spark, state).collect()))
     want = sorted(map(tuple, events_value_leaderboard(spark, sf_dir).collect()))
     assert got == want and len(got) > 0
+
+
+def _time_ordered_stream_dir(spark, sf_dir, tmp_path, tag):
+    """Split events into 4 files by EVENT-TIME quartile so file-per-batch
+    delivery is event-time ordered — the watermark contract the
+    conversion-lag state op documents."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    qs = ev.approxQuantile("event_id", [0.25, 0.5, 0.75], 0.0)
+    # quartiles by ts: rank via ntile over ts is overkill; order by ts and
+    # slice with percent_rank-free boundaries from sorted timestamps
+    bounds = [r.ts for r in ev.orderBy("ts").select("ts").collect()]
+    n = len(bounds)
+    cuts = [bounds[n // 4], bounds[n // 2], bounds[3 * n // 4]]
+    parts = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter((F.col("ts") >= cuts[1]) & (F.col("ts") < cuts[2])),
+        ev.filter(F.col("ts") >= cuts[2]),
+    ]
+    src = tmp_path / f"{tag}_src"
+    src.mkdir()
+    for i, part in enumerate(parts):
+        tdir = str(tmp_path / f"{tag}_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    return str(src), ev.schema
+
+
+def test_stream_conversion_lag_converges_under_time_order(spark, sf_dir, tmp_path):
+    """stream_conversion_lag_state (B136 twin): under event-time-ordered
+    delivery (the documented watermark contract) the final per-user state
+    bucketed through conversion_lag_report_from_state must equal
+    events_conversion_lag exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from vectordb_hr_data_spark.querydefs.event_queries import events_conversion_lag
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        conversion_lag_report_from_state,
+        run_to_completion,
+        stream_conversion_lag_state,
+    )
+
+    src, schema = _time_ordered_stream_dir(spark, sf_dir, tmp_path, "clag")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    emitted = run_to_completion(
+        stream_conversion_lag_state(stream), "clag_state", output_mode="update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_ord").desc())
+    final = (
+        emitted.withColumn("batch_ord", F.monotonically_increasing_id())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "s_us", "lag_us")
+    )
+    got = sorted(map(tuple, conversion_lag_report_from_state(final).collect()))
+    want = sorted(map(tuple, events_conversion_lag(spark, sf_dir).collect()))
+    assert got == want and len(got) == 6
+
+
+def test_stream_conversion_lag_violation_diverges(spark, tmp_path):
+    """The contract's other half, demonstrated: deliver a user's PURCHASE
+    batch before the SIGNUP batch (event-time order violated beyond any
+    watermark) and the two-number state misses the conversion the batch
+    query finds — the documented reason this op is watermark-gated and
+    the unbounded-correction path stays batch."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        run_to_completion,
+        stream_conversion_lag_state,
+    )
+
+    rows_late_signup = [(1, "2024-01-01 10:00:00", 7, "signup", None, "{}")]
+    rows_purchase = [(2, "2024-01-01 12:00:00", 7, "purchase", 5.0, "{}")]
+    schema = (
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string"
+    )
+    src = tmp_path / "viol_src"
+    src.mkdir()
+    for i, rows in enumerate([rows_purchase, rows_late_signup]):  # purchase FIRST
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        tdir = str(tmp_path / f"viol_part{i}")
+        df.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    ev_schema = spark.createDataFrame([], schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).schema
+    stream = (
+        spark.readStream.schema(ev_schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    emitted = run_to_completion(
+        stream_conversion_lag_state(stream), "clag_viol", output_mode="update"
+    ).collect()
+    last = sorted(emitted, key=lambda r: (r.s_us, r.lag_us))[-1]
+    # the signup lands (s_us set) but the earlier-delivered purchase is
+    # lost: lag stays -1 even though batch semantics would find 2h
+    assert last.s_us >= 0 and last.lag_us == -1

@@ -1750,3 +1750,104 @@ def leaderboard_from_state(spark: SparkSession, state_path: str) -> DataFrame:
         )
         .orderBy("event_type", "rk")
     )
+
+
+def stream_conversion_lag_state(event_stream: DataFrame):
+    """Per-user signup→purchase conversion-lag maintenance via
+    ``applyInPandasWithState`` (B136's streaming twin, previously parked
+    — landed with its contract made explicit). State per user is two
+    numbers: the first signup instant and the minimum post-signup
+    purchase lag; each micro-batch sorts its rows by event time and
+    folds them in.
+
+    CONTRACT (the reason this is arbitrary-state, not a mergeable agg):
+    min-purchase-after-signup is NOT associative when a later batch
+    lowers the signup — a purchase discarded as pre-signup cannot be
+    recovered from two-number state. The operator is exact whenever a
+    user's signup is DELIVERED no later than any purchase that follows
+    it in event time, i.e. under event-time-ordered delivery within the
+    watermark; a signup arriving later than that bound silently loses
+    the purchases in between (the violation pytest demonstrates exactly
+    this divergence). Production deployments enforce the bound with
+    ``withWatermark`` on the source; unboundedly-late corrections need
+    the two-pass batch form (events_conversion_lag)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("s_us", T.LongType()),
+            T.StructField("lag_us", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("s_us", T.LongType()), T.StructField("lag_us", T.LongType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        s_us, lag_us = state.get if state.exists else (-1, -1)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                t_us = int(pd.Timestamp(ts).value // 1000)
+                if et == "signup" and (s_us < 0 or t_us < s_us):
+                    s_us = t_us
+                elif et == "purchase" and s_us >= 0 and t_us >= s_us:
+                    cand = t_us - s_us
+                    if lag_us < 0 or cand < lag_us:
+                        lag_us = cand
+        state.update((s_us, lag_us))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "s_us": [s_us], "lag_us": [lag_us]}
+        )
+
+    return event_stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def conversion_lag_report_from_state(per_user: DataFrame) -> DataFrame:
+    """B136's bucket histogram from the final per-user (s_us, lag_us)
+    rows — identical bucket boundaries and share arithmetic to
+    ``events_conversion_lag``."""
+    from pyspark.sql import functions as F
+
+    spark = per_user.sparkSession
+    signed = per_user.filter(F.col("s_us") >= 0)
+    lag_sec = F.expr("lag_us div 1000000")
+    bucketed = signed.select(
+        F.when(F.col("lag_us") < 0, 5)
+        .when(lag_sec < 3600, 0)
+        .when(lag_sec < 21600, 1)
+        .when(lag_sec < 86400, 2)
+        .when(lag_sec < 604800, 3)
+        .otherwise(4)
+        .alias("bucket_order")
+    )
+    counts = bucketed.groupBy("bucket_order").agg(F.count("*").cast("long").alias("n_users"))
+    tot = counts.agg(F.coalesce(F.sum("n_users"), F.lit(0)).cast("long").alias("t"))
+    grid = spark.createDataFrame([(i,) for i in range(6)], "bucket_order int")
+    labels = (
+        F.when(F.col("bucket_order") == 0, "lt_1h")
+        .when(F.col("bucket_order") == 1, "1h_6h")
+        .when(F.col("bucket_order") == 2, "6h_24h")
+        .when(F.col("bucket_order") == 3, "1d_7d")
+        .when(F.col("bucket_order") == 4, "ge_7d")
+        .otherwise("never")
+    )
+    return (
+        grid.join(counts, "bucket_order", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket_order").cast("long").alias("bucket_order"),
+            labels.alias("bucket"),
+            F.coalesce("n_users", F.lit(0)).cast("long").alias("n_users"),
+            F.expr("coalesce(n_users, 0) * 1000000 div greatest(t, 1)")
+            .cast("long")
+            .alias("share_micro"),
+        )
+        .orderBy("bucket_order")
+    )
