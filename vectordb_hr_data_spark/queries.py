@@ -134,7 +134,7 @@ PRIORITY: list[str] = [
     "knn_topk_l2_normalized", "release_gate_report",
     "events_stl_residual_anomaly", "neardup_transitivity_audit",
     "events_growth_accounting", "source_copy_direction",
-    "experiment_gate_report",
+    "experiment_gate_report", "customer_revenue_pareto",
     # r9-window queries (fresh driver rows)
     "hr_tagged_union_projection", "hr_metadata_flatten", "doc_simhash",
     "doc_lang_id", "top_bigrams_per_lang", "neardup_embedding_cosine",

@@ -1367,3 +1367,80 @@ def segment_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# B222: revenue Pareto curve (what share the top percentiles hold)
+# ---------------------------------------------------------------------------
+# HHI (B211) is one number; the planning view is the curve — the share
+# of total revenue held by the top 1% / 5% / 10% of customers. Customers
+# rank into 100 exact centile buckets by revenue; bucket sums reduce to
+# a 100-row table and the three report rows are cumulative sums over it.
+# Scale note: revenue values are near-unique, so the exact-rank
+# two-form would not compress here (its per-value count table IS the
+# customer dimension) — the frame is deliberately the bounded USER
+# dimension, and at 100 TB the same contract runs as
+# repartitionByRange(cents) + per-partition rank arithmetic (the B86
+# documented swap), never this single window over raw events.
+PARETO_PCTS = [1, 5, 10]
+
+
+@register(
+    "customer_revenue_pareto",
+    f"""
+WITH rev AS (
+  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), binned AS (
+  SELECT cents, ntile(100) OVER (ORDER BY cents DESC, o_custkey) AS centile FROM rev
+), buckets AS (
+  SELECT centile, CAST(count(*) AS BIGINT) AS n_users, CAST(sum(cents) AS BIGINT) AS cents
+  FROM binned GROUP BY centile
+), tot AS (
+  SELECT CAST(sum(n_users) AS BIGINT) AS nu, CAST(sum(cents) AS BIGINT) AS tc FROM buckets
+), grid(pct) AS (VALUES {", ".join(f"({p})" for p in PARETO_PCTS)})
+SELECT CAST(g.pct AS BIGINT) AS top_pct,
+       CAST(sum(b.n_users) AS BIGINT) AS n_users,
+       CAST(sum(b.cents) AS BIGINT) AS cents,
+       CAST(sum(b.cents) * 1000000 // max(tot.tc) AS BIGINT) AS revenue_share_ppm
+FROM grid g
+JOIN buckets b ON b.centile <= g.pct
+CROSS JOIN tot
+GROUP BY g.pct
+ORDER BY top_pct
+""",
+)
+def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue share of the top 1/5/10% of customers (B222) — the Pareto
+    concentration curve behind the HHI number; exact centiles over the
+    bounded user dimension (see the scale note above), report derived
+    from a 100-row bucket table."""
+    orders = read_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+    binned = rev.withColumn("centile", F.ntile(100).over(w))
+    buckets = binned.groupBy("centile").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("cents").cast("long").alias("b_cents"),
+    )
+    tot = buckets.agg(F.sum("b_cents").cast("long").alias("tc"))
+    grid = spark.createDataFrame([(p,) for p in PARETO_PCTS], "pct int")
+    return (
+        grid.join(buckets, F.col("centile") <= F.col("pct"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("pct")
+        .agg(
+            F.sum("n_users").cast("long").alias("n_users"),
+            F.sum("b_cents").cast("long").alias("cents"),
+            F.expr("sum(b_cents) * 1000000 div max(tc)").cast("long").alias("revenue_share_ppm"),
+        )
+        .select(
+            F.col("pct").cast("long").alias("top_pct"),
+            "n_users",
+            "cents",
+            "revenue_share_ppm",
+        )
+        .orderBy("top_pct")
+    )
