@@ -135,6 +135,7 @@ PRIORITY: list[str] = [
     "events_stl_residual_anomaly", "neardup_transitivity_audit",
     "events_growth_accounting", "source_copy_direction",
     "experiment_gate_report", "customer_revenue_pareto",
+    "chunk_dedup_rate",
     # r9-window queries (fresh driver rows)
     "hr_tagged_union_projection", "hr_metadata_flatten", "doc_simhash",
     "doc_lang_id", "top_bigrams_per_lang", "neardup_embedding_cosine",

@@ -3827,3 +3827,59 @@ def source_length_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# B223: chunk-level dedup rate (the embedding-cache economics)
+# ---------------------------------------------------------------------------
+# Document-level dedup (B1) misses what RAG pipelines actually pay for:
+# EMBEDDING COMPUTE is spent per chunk, and duplicated chunks (shared
+# boilerplate, overlap windows, templated sections) are cache hits a
+# content-addressed embedding store never recomputes. This op groups
+# the registered B16 chunk table by chunk content hash and reports, per
+# source: chunks, distinct chunks, the duplicate share, and the implied
+# embedding-compute saving in ppm. Oracle embeds the registered B16 SQL
+# verbatim (chunk identity = its chunk_md5 column — the audit and the
+# chunker cannot drift). One uniform hash groupBy over the chunk fan-out.
+def _chunk_dedup_oracle() -> str:
+    chunks = _PQ_REGISTRY["doc_chunk_fixed_tokens"].oracle
+    return f"""
+WITH chunks AS ({chunks})
+, j AS (
+  SELECT d.source, c.chunk_md5 FROM chunks c JOIN documents d ON d.doc_id = c.doc_id
+), g AS (
+  SELECT source, chunk_md5, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY source, chunk_md5
+)
+SELECT source,
+       CAST(sum(n) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(sum(n - 1) AS BIGINT) AS n_duplicate_chunks,
+       CAST(sum(n - 1) * 1000000 // sum(n) AS BIGINT) AS cache_hit_ppm
+FROM g
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("chunk_dedup_rate", _chunk_dedup_oracle())
+def chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-chunk share per source over the registered B16 chunk
+    table (B223) — the content-addressed embedding-cache hit rate; what
+    chunk-level dedup saves that document-level dedup cannot see."""
+    d = read_table(spark, sf_dir, "documents")
+    chunks = doc_chunk_fixed_tokens(spark, sf_dir).select("doc_id", "chunk_md5")
+    g = (
+        chunks.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "chunk_md5")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_chunks"),
+            F.count("*").cast("long").alias("n_distinct_chunks"),
+            F.sum(F.col("n") - 1).cast("long").alias("n_duplicate_chunks"),
+            F.expr("sum(n - 1) * 1000000 div sum(n)").cast("long").alias("cache_hit_ppm"),
+        )
+        .orderBy("source")
+    )
