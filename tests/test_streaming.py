@@ -1756,3 +1756,39 @@ def test_stream_conversion_lag_violation_diverges(spark, tmp_path):
     # the signup lands (s_us set) but the earlier-delivered purchase is
     # lost: lag stays -1 even though batch semantics would find 2h
     assert last.s_us >= 0 and last.lag_us == -1
+
+
+def test_stream_chunk_dedup_converges_to_batch(spark, sf_dir, tmp_path):
+    """stream_chunk_dedup_state (r10): chunk-hash counts folded over 4
+    micro-batches must reproduce chunk_dedup_rate exactly — the chunker
+    is deterministic and the count state is a plain associative sum."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import chunk_dedup_rate
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        chunk_dedup_from_state,
+        stream_chunk_dedup_state,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    src = tmp_path / "cdd_src"
+    src.mkdir()
+    for i in range(4):
+        part = d.filter((F.col("doc_id") % 4) == i)
+        tdir = str(tmp_path / f"cdd_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    state = str(tmp_path / "cdd_state")
+    stream_chunk_dedup_state(stream, state)
+    got = sorted(map(tuple, chunk_dedup_from_state(spark, state).collect()))
+    want = sorted(map(tuple, chunk_dedup_rate(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0

@@ -1851,3 +1851,59 @@ def conversion_lag_report_from_state(per_user: DataFrame) -> DataFrame:
         )
         .orderBy("bucket_order")
     )
+
+
+def stream_chunk_dedup_state(doc_stream: DataFrame, state_path: str) -> None:
+    """Streaming maintenance of the B223 chunk-dedup input via
+    ``stream_mergeable_agg``: documents chunk on ingest (the registered
+    B16 stride/window constants), state is (source, chunk_md5) summed
+    counts — the content-addressed embedding-cache index itself; the
+    dedup-rate report derives at read time (``chunk_dedup_from_state``).
+    A replayed document re-chunks identically (deterministic chunker),
+    so the count state is where an exactly-once sink would dedupe."""
+    from pyspark.sql import functions as F
+
+    from ..querydefs.pipeline_queries import CHUNK_STRIDE, CHUNK_TOKENS
+
+    t = doc_stream.select("source", F.split(F.col("text"), " ").alias("toks"))
+    n = t.withColumn("n", F.size("toks"))
+    n_chunks = 1 + F.ceil(
+        F.greatest(F.col("n") - CHUNK_TOKENS, F.lit(0)).cast("double") / CHUNK_STRIDE
+    ).cast("long")
+    keyed = n.select(
+        "source",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        "toks",
+    ).select(
+        "source",
+        F.md5(
+            F.expr(
+                f"array_join(slice(toks, {CHUNK_STRIDE} * chunk_idx + 1, {CHUNK_TOKENS}), ' ')"
+            )
+        ).alias("chunk_md5"),
+    )
+    stream_mergeable_agg(
+        keyed,
+        state_path,
+        ["source", "chunk_md5"],
+        [F.count("*").cast("long").alias("n")],
+        [F.sum("n").cast("long").alias("n")],
+    )
+
+
+def chunk_dedup_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B223's report from the streamed (source, chunk_md5) counts —
+    identical columns and integer arithmetic to ``chunk_dedup_rate``."""
+    from pyspark.sql import functions as F
+
+    g = spark.read.parquet(state_path)
+    return (
+        g.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_chunks"),
+            F.count("*").cast("long").alias("n_distinct_chunks"),
+            F.sum(F.col("n") - 1).cast("long").alias("n_duplicate_chunks"),
+            F.expr("sum(n - 1) * 1000000 div sum(n)").cast("long").alias("cache_hit_ppm"),
+        )
+        .orderBy("source")
+    )
