@@ -615,6 +615,16 @@ def test_zorder_and_matryoshka_plans_are_clean(spark, sf_dir):
     assert "EvalPython" not in mplan and "Exchange hashpartitioning" not in mplan
 
 
+def _has_ntile_window(plan: str) -> bool:
+    """True iff the plan carries the ntile() WINDOW FUNCTION — not the
+    substring: with_exact_ntile's in-plan cardinality guard embeds its own
+    name in the assert_true message, and approx_percentile( also contains
+    'ntile('."""
+    import re
+
+    return re.search(r"(?<![\w.])ntile\(", plan) is not None
+
+
 def _unpartitioned_windows(df):
     """Walk the executed plan; return [(node, has_aggregate_below)] for
     every WindowExec whose partitionSpec is empty (single-partition sort)."""
@@ -646,6 +656,11 @@ def _unpartitioned_windows(df):
         "doc_equidepth_bins",
         "source_curriculum_order",
         "curriculum_token_budget",
+        # r11 conversions (VERDICT r10 items 2 and 4): range-bucketed
+        # exact-rank forms — near-unique value columns, so no ntile AND
+        # nothing value-dimension-sized broadcast either
+        "customer_revenue_pareto",
+        "events_zorder_layout",
     ],
 )
 def test_exact_ntile_queries_have_no_global_window_over_base_rows(spark, sf_dir, qname):
@@ -659,9 +674,42 @@ def test_exact_ntile_queries_have_no_global_window_over_base_rows(spark, sf_dir,
 
     df = REGISTRY[qname].fn(spark, sf_dir)
     plan = _plan(df)
-    assert "ntile" not in plan, plan[:1500]
+    assert not _has_ntile_window(plan), plan[:1500]
     for cls, agg_below in _unpartitioned_windows(df):
         assert agg_below, f"{qname}: unpartitioned {cls} over non-aggregated input"
+
+
+# Registered queries whose plans carry a DOCUMENTED unpartitioned window
+# over non-aggregated input, each citing its bounded-frame contract. Empty
+# today: the r11 sweep converted the last offenders (customer_revenue_pareto,
+# events_zorder_layout). A new entry requires the query docstring to state
+# why the windowed frame is bounded at 100 TB.
+UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {}
+
+
+def test_registry_wide_no_unpartitioned_window_over_base_rows(spark, sf_dir):
+    """VERDICT r10 item 3: the per-query ntile audits only guard NAMED
+    queries — B222 reintroduced the global-window shape one round after
+    the discipline was written. This sweep walks EVERY registered query's
+    physical plan and asserts each empty-partitionSpec WindowExec sits
+    above a HashAggregate (a bounded-cardinality aggregate table — the
+    sanctioned two-form shape) or appears in the explicit allowlist with
+    its bounded-frame contract."""
+    from vectordb_hr_data_spark.queries import REGISTRY
+
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        if name in UNPARTITIONED_WINDOW_ALLOWLIST:
+            continue
+        try:
+            wins = _unpartitioned_windows(spec.fn(spark, sf_dir))
+        except Exception as e:  # pragma: no cover - surface the real error
+            offenders[name] = f"plan build failed: {e}"
+            continue
+        viol = [cls for cls, agg_below in wins if not agg_below]
+        if viol:
+            offenders[name] = viol
+    assert not offenders, offenders
 
 
 def test_rfm_streaming_read_path_shares_batch_scorer(spark, sf_dir, tmp_path):
@@ -688,7 +736,7 @@ def test_rfm_streaming_read_path_shares_batch_scorer(spark, sf_dir, tmp_path):
         .write.parquet(state)
     )
     got = rfm_from_state(spark, state, mx)
-    assert "ntile" not in _plan(got)
+    assert not _has_ntile_window(_plan(got))
     assert [tuple(r) for r in got.collect()] == [
         tuple(r) for r in events_user_rfm(spark, sf_dir).collect()
     ]
@@ -758,7 +806,7 @@ def test_r10_new_op_plans_are_clean(spark, sf_dir):
     # rank fusion: the three decile rankings carry NO ntile (exact-rank
     # two-form) and no unpartitioned window over non-aggregated input
     p = _plan(REGISTRY["quality_rank_fusion"].fn(spark, sf_dir))
-    assert "ntile" not in p
+    assert not _has_ntile_window(p)
     for cls, agg_below in _unpartitioned_windows(
         REGISTRY["quality_rank_fusion"].fn(spark, sf_dir)
     ):

@@ -1,0 +1,157 @@
+"""Batch construction of an HNSW-style layered neighbor graph.
+
+The reference ships a Chroma HNSW index (chroma_db_store header: M=16,
+efConstruction=100) built by SEQUENTIAL insertion — each new point beam-
+searches the existing graph (beam width efConstruction) for its M
+neighbors. That algorithm is inherently serial and has no faithful
+data-parallel form; what a batch engine CAN build, exactly and
+reproducibly, is the artifact a serving system loads: per-node, per-layer
+neighbor lists with HNSW's structural properties —
+
+- geometric layer assignment: P(level ≥ l) = (1/M)^l, HNSW's
+  level = floor(-ln(U) · mL) with mL = 1/ln(M). Computed as an INTEGER
+  contract (no cross-engine ln/floor hazard): the number of leading '0'
+  hex digits of md5(vec_id || ':hnswlvl') is exactly geometric with
+  ratio 1/16 = 1/M, capped at HNSW_MAX_LEVEL.
+- per-layer degree caps: M neighbors on upper layers, 2·M on layer 0
+  (HNSW's M0 = 2M convention).
+- neighbors at layer l come only from nodes that EXIST at layer l
+  (level ≥ l), ranked by quantized L2² with vec_id tie-breaks.
+
+Candidate generation replaces the beam search with the repo's blocked
+discipline: nodes pair only WITHIN their deterministic IVF cell (nearest
+of the first-K-rows centroids, 4-decimal quantization, cid tie-breaks —
+the ``ivf_cell_silhouette`` contract), so construction is never O(N²):
+per-cell work is |cell|², and cells are bounded by ROWS_PER_CELL at
+corpus scale (cell count grows with N). The price vs true HNSW is edges
+never crossing cell boundaries — upper layers lose some long-range
+links; the production mitigation (probe > 1 assignment cells per node)
+is a parameter, not a redesign. efConstruction has no batch analogue —
+the per-cell candidate set IS the (exhaustive-within-cell) beam.
+
+Reference parity artifact: vector_db.py builds its HNSW via chromadb
+defaults (hnsw:space sq-L2 — the same metric used here);
+``export_hnsw_graph`` writes the neighbor lists parquet PARTITIONED BY
+layer so a serving process can load one layer at a time, top (entry)
+layer first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+HNSW_M = 16  # reference header.bin: M=16
+HNSW_MAX_LEVEL = 4
+
+
+def hnsw_level_expr(id_col: str) -> Column:
+    """Integer-exact geometric level: leading '0' hex digits of
+    md5(id || ':hnswlvl'); P(level ≥ l) = 16^-l = (1/M)^l."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":hnswlvl")))
+    # built inside-out so the LONGEST prefix is the outermost (first-
+    # checked) branch: level 4 wins over level 1 when both match
+    expr = F.lit(0)
+    for l in range(1, HNSW_MAX_LEVEL + 1):
+        expr = F.when(F.substring(h, 1, l) == "0" * l, F.lit(l)).otherwise(expr)
+    return expr.cast("int")
+
+
+def hnsw_level_sql(id_expr: str) -> str:
+    """DuckDB twin of ``hnsw_level_expr`` (same md5 string, same prefixes)."""
+    h = f"md5(CAST({id_expr} AS VARCHAR) || ':hnswlvl')"
+    case = "CASE"
+    for l in range(HNSW_MAX_LEVEL, 0, -1):
+        case += f" WHEN substr({h}, 1, {l}) = '{'0' * l}' THEN {l}"
+    return case + " ELSE 0 END"
+
+
+def build_hnsw_graph(
+    nodes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cid",
+    m: int = HNSW_M,
+) -> DataFrame:
+    """Layered neighbor lists over cell-blocked candidates.
+
+    ``nodes`` carries (id, vector, cell); returns one row per
+    (vec_id, layer, rk): ``neighbor_id`` and the quantized squared-L2
+    distance ``d_q`` (= round(round(l2sq, 4) · 10⁴), an exact integer).
+    Scale shape: one self-join keyed on the cell id (per-cell candidate
+    volume |cell|², bounded by the IVF ROWS_PER_CELL contract), a
+    sequence-explode over the pair's shared layers (geometric levels →
+    expected factor ≈ 1 + 2/M), and one partitioned rank per (node,
+    layer). No global window, nothing corpus-sized broadcast."""
+    lvl = nodes.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.col(cell_col).alias("__c"),
+        hnsw_level_expr(id_col).alias("level"),
+    )
+    a = lvl.select(
+        F.col("__id").alias("vec_id"),
+        F.col("__v").alias("va"),
+        F.col("__c").alias("ca"),
+        F.col("level").alias("la"),
+    )
+    b = lvl.select(
+        F.col("__id").alias("neighbor_id"),
+        F.col("__v").alias("vb"),
+        F.col("__c").alias("cb"),
+        F.col("level").alias("lb"),
+    )
+    pairs = a.join(b, (F.col("ca") == F.col("cb")) & (F.col("vec_id") != F.col("neighbor_id"))).select(
+        "vec_id",
+        "neighbor_id",
+        "la",
+        "lb",
+        F.round(F.round(V.l2sq("va", "vb"), 4) * 10000)
+        .cast("long")
+        .alias("d_q"),
+    )
+    layered = pairs.select(
+        "vec_id",
+        "neighbor_id",
+        "d_q",
+        F.explode(F.sequence(F.lit(0), F.least("la", "lb"))).alias("__l"),
+    ).select("vec_id", "neighbor_id", "d_q", F.col("__l").cast("long").alias("layer"))
+    w = Window.partitionBy("vec_id", "layer").orderBy(
+        F.col("d_q").asc(), F.col("neighbor_id").asc()
+    )
+    cap = F.when(F.col("layer") == 0, F.lit(2 * m)).otherwise(F.lit(m))
+    return (
+        layered.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= cap)
+        .select("vec_id", "layer", "rk", "neighbor_id", "d_q")
+    )
+
+
+def hnsw_entry_point(graph_or_levels: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """HNSW search starts at the top layer's single entry node: the
+    max-level node, min id on ties — a 1-row aggregate."""
+    lv = graph_or_levels.select(
+        F.col(id_col).alias("__id"), hnsw_level_expr(id_col).alias("level")
+    )
+    return lv.agg(
+        F.max(F.struct(F.col("level"), (-F.col("__id")).alias("nid"))).alias("t")
+    ).select(
+        (-F.col("t.nid")).cast("long").alias("entry_vec_id"),
+        F.col("t.level").cast("long").alias("entry_level"),
+    )
+
+
+def export_hnsw_graph(graph: DataFrame, path: str) -> None:
+    """Persist the neighbor lists the way a serving process reads them:
+    parquet PARTITIONED BY layer (top layer first at search time), sorted
+    within files by (vec_id, rk) so one node's list is one contiguous
+    run."""
+    (
+        graph.repartition("layer")
+        .sortWithinPartitions("vec_id", "rk")
+        .write.mode("overwrite")
+        .partitionBy("layer")
+        .parquet(path)
+    )

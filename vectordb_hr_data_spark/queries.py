@@ -46,50 +46,17 @@ def register(name: str, oracle: str | None):
 # operator shape is also proven by a checked sibling come after — they still
 # run in bench.py and pytest, and get driver rows if the cap is ever lifted.
 PRIORITY: list[str] = [
-    # --- r10 rotation (VERDICT r9 item 1): ~93 late-r9 oracles
-    # (B82-B176 anchors) have strict-pass rows but have NEVER held a
-    # driver CORRECTNESS row. The r10 window = 50 of them, chosen for
-    # family coverage (graph / text / embedding / dedup / eval /
-    # relational / pipeline / events) and leading with the 7 queries
-    # whose implementation changed this round (ADVICE guards + the
-    # exact-ntile scale rewrites) so the driver re-proves exactly what
-    # moved. The remaining 43 never-windowed oracles sit DIRECTLY below
-    # the fold in rotation order — r11's window is a pure cut-and-paste
-    # of positions 51-93 plus the stalest r7 cohort. ---
-    # changed this round (7)
-    "doc_ngram_novelty", "events_funnel_windowed", "rec_coverage_diversity",
-    "corpus_snapshot_diff", "doc_k_anonymity_audit", "events_user_rfm",
-    "doc_equidepth_bins",
-    # graph family (6)
-    "graph_closeness_pivots", "graph_indegree_profile", "graph_node_profile",
-    "graph_betweenness_pivots", "graph_personalized_pagerank",
-    "graph_assortativity",
-    # text family (8)
-    "doc_collocations_pmi", "doc_more_like_this", "doc_vocab_coverage_curve",
-    "doc_zipf_slope", "doc_langid_confusion", "doc_textrank_terms",
-    "doc_heaps_law_fit", "doc_lm_holdout_perplexity",
-    # embedding / vector family (6)
-    "embedding_label_separation", "embedding_drift_split",
-    "embedding_variance_curve", "embedding_health_check",
-    "sq8_reconstruction_error", "knn_jl_projection_rerank",
-    # dedup family (5)
-    "neardup_sketch_fidelity", "source_duplication_matrix",
-    "doc_grouped_split", "neardup_method_agreement", "neardup_cluster_labels",
-    # retrieval-eval family (4)
-    "ann_recall_eval", "eval_retrieval_ndcg", "cross_encoder_rerank",
-    "query_expansion_search",
-    # relational family (4)
-    "erasure_cascade_audit", "lineitem_benford_audit", "part_abc_classes",
-    "basket_pair_mining",
-    # pipeline / source family (4)
-    "source_slice_profile", "source_curriculum_order",
-    "curriculum_token_budget", "source_quality_percentile_gate",
-    # events family (6)
-    "events_multitouch_attribution", "events_survival_km",
-    "events_cohort_ltv", "events_stl_decompose", "events_peak_concurrency",
-    "events_srm_check",
-    # --- position 51+: first the 43 still-never-windowed late-r9 oracles
-    # (r11's window), then queries holding r7-r9 driver rows ---
+    # --- r11 window (VERDICT r10 item 1): positions 1-50. Leads with the
+    # SIX queries whose implementation changed this round (the two
+    # global-window scale conversions via operators/quantiles
+    # .with_exact_rank_range, the rfm m-score range form, the
+    # doc_grouped_split broadcast-hint drop, and the DSIR /
+    # quality-pipeline shared-builder refactors) so the driver re-proves
+    # exactly what moved; the remaining 44 slots are the head of the
+    # never-windowed queue (strict-pass oracles that have NEVER held a
+    # driver CORRECTNESS row: 43 late-r9 + the first r10 entry). ---
+    "customer_revenue_pareto", "events_zorder_layout", "events_user_rfm",
+    "doc_grouped_split", "dsir_importance_resample", "quality_prep_pipeline",
     "events_sequence_trigrams", "events_session_intent_summary",
     "events_value_winsorized", "doc_length_gini",
     "events_sliding_distinct_users", "events_cuped_adjusted",
@@ -110,89 +77,99 @@ PRIORITY: list[str] = [
     "events_audience_overlap", "lang_source_independence",
     "doc_greedy_coverage_select", "events_ratio_delta_method",
     "graph_reciprocity", "doc_canary_detection", "dedup_token_impact",
-    # new r10 oracles (B177-B221) — join the never-windowed queue for r11
-    "source_pii_coverage", "clf_calibration_ece", "lsh_param_planner",
-    "source_corpus_fingerprint", "ann_qpp_stats",
-    "corpus_temperature_mix", "events_user_type_entropy",
+    "source_pii_coverage",
+    # --- positions 51+: first the 45 still-never-windowed r10 oracles —
+    # r12's window is a pure cut-and-paste of positions 51-95 (plus the
+    # stalest r7 cohort if slots remain) ---
+    "clf_calibration_ece", "lsh_param_planner", "source_corpus_fingerprint",
+    "ann_qpp_stats", "corpus_temperature_mix", "events_user_type_entropy",
     "events_gap_percentiles", "dedup_group_size_histogram",
-    "dsar_access_report", "chunk_stitch_audit",
-    "dedup_rate_sampled_estimate", "source_lang_mismatch",
-    "kmv_distinct_sketch", "boilerplate_shingle_hotlist",
-    "split_leakage_audit",
+    "dsar_access_report", "chunk_stitch_audit", "dedup_rate_sampled_estimate",
+    "source_lang_mismatch", "kmv_distinct_sketch",
+    "boilerplate_shingle_hotlist", "split_leakage_audit",
     "eval_stratified_fixed_k", "pack_efficiency_audit",
-    "fuzzy_entity_clusters",
-    "dedup_normalization_dividend", "clf_length_bias_audit",
-    "multimodal_payload_integrity",
+    "fuzzy_entity_clusters", "dedup_normalization_dividend",
+    "clf_length_bias_audit", "multimodal_payload_integrity",
     "orders_reconciliation_audit", "quality_rank_fusion",
     "ivf_nprobe_recall_curve", "neardup_threshold_sensitivity",
-    "neardup_cluster_size_histogram",
-    "embedding_label_outliers", "doc_code_switch_summary",
-    "session_path_mining", "events_value_leaderboard",
-    "events_dup_window_sensitivity",
+    "neardup_cluster_size_histogram", "embedding_label_outliers",
+    "doc_code_switch_summary", "session_path_mining",
+    "events_value_leaderboard", "events_dup_window_sensitivity",
     "metric_agreement_topk", "orders_backlog_aging", "segment_revenue_hhi",
     "fusion_source_bias", "source_length_qq", "kmeans_lloyd3_det",
     "knn_topk_l2_normalized", "release_gate_report",
     "events_stl_residual_anomaly", "neardup_transitivity_audit",
     "events_growth_accounting", "source_copy_direction",
-    "experiment_gate_report", "customer_revenue_pareto",
-    "chunk_dedup_rate",
-    # r9-window queries (fresh driver rows)
+    "experiment_gate_report", "chunk_dedup_rate",
+    # r11 rows-only threshold twins of the two exact-rank selection cuts
+    # (approx_percentile is engine-specific; drift-bound pytests pin them)
+    "dsir_importance_threshold", "quality_prep_threshold",
+    # r11 new oracles (B224/B225): batch HNSW-style graph construction +
+    # stats header — join the never-windowed queue for r12
+    "hnsw_graph_build", "hnsw_graph_stats",
+    # --- queries holding r7-r10 driver rows, stalest-first for later
+    # re-rotation; relative order unchanged from r10 ---
+    "doc_ngram_novelty", "events_funnel_windowed", "rec_coverage_diversity",
+    "corpus_snapshot_diff", "doc_k_anonymity_audit", "doc_equidepth_bins",
+    "graph_closeness_pivots", "graph_indegree_profile", "graph_node_profile",
+    "graph_betweenness_pivots", "graph_personalized_pagerank",
+    "graph_assortativity", "doc_collocations_pmi", "doc_more_like_this",
+    "doc_vocab_coverage_curve", "doc_zipf_slope", "doc_langid_confusion",
+    "doc_textrank_terms", "doc_heaps_law_fit", "doc_lm_holdout_perplexity",
+    "embedding_label_separation", "embedding_drift_split",
+    "embedding_variance_curve", "embedding_health_check",
+    "sq8_reconstruction_error", "knn_jl_projection_rerank",
+    "neardup_sketch_fidelity", "source_duplication_matrix",
+    "neardup_method_agreement", "neardup_cluster_labels", "ann_recall_eval",
+    "eval_retrieval_ndcg", "cross_encoder_rerank", "query_expansion_search",
+    "erasure_cascade_audit", "lineitem_benford_audit", "part_abc_classes",
+    "basket_pair_mining", "source_slice_profile", "source_curriculum_order",
+    "curriculum_token_budget", "source_quality_percentile_gate",
+    "events_multitouch_attribution", "events_survival_km", "events_cohort_ltv",
+    "events_stl_decompose", "events_peak_concurrency", "events_srm_check",
     "hr_tagged_union_projection", "hr_metadata_flatten", "doc_simhash",
     "doc_lang_id", "top_bigrams_per_lang", "neardup_embedding_cosine",
     "batch_topk_many_queries", "label_centroids", "doc_hash_split",
     "doc_decontaminate_bloom", "stratified_sample_threshold",
     "events_tumbling_1h", "events_type_counts_salted",
-    "customer_running_total", "acctbal_rollup",
-    "q8_national_market_share", "q9_product_profit_by_nation_year",
-    "q11_important_part_value", "q14_ratio_aggregate",
-    "q15_top_revenue_supplier", "q19_disjunctive_predicates",
-    "q20_part_supply_nested", "q4_order_priority_exists",
-    "knn_topk_prefiltered", "events_sessionize",
+    "customer_running_total", "acctbal_rollup", "q8_national_market_share",
+    "q9_product_profit_by_nation_year", "q11_important_part_value",
+    "q14_ratio_aggregate", "q15_top_revenue_supplier",
+    "q19_disjunctive_predicates", "q20_part_supply_nested",
+    "q4_order_priority_exists", "knn_topk_prefiltered", "events_sessionize",
     "hybrid_rrf_search", "ivf_sq8_rerank_indexed", "ivf_topk_indexed",
     "ivf_topk_prefiltered", "hr_union_freshness_counts", "hr_dept_filter_ci",
     "dedup_exact", "neardup_ngram_jaccard", "neardup_components",
     "neardup_dedup_keep", "doc_tfidf_top_terms", "doc_decontaminate",
     "doc_repetition_ratio", "semantic_dedup_clusters", "corpus_prep_pipeline",
     "knn_whitened_topk_fused", "events_markov_transitions",
-    "events_key_skew_profile", "events_hourly_burst",
-    "doc_conjunctive_search", "doc_unigram_kl_quality",
-    "doc_weighted_reservoir_sample", "doc_rake_keyphrases",
-    "graph_hits_scores", "graph_kcore_members",
-    # r7-window queries
+    "events_key_skew_profile", "events_hourly_burst", "doc_conjunctive_search",
+    "doc_unigram_kl_quality", "doc_weighted_reservoir_sample",
+    "doc_rake_keyphrases", "graph_hits_scores", "graph_kcore_members",
     "ann_text_search", "knn_matryoshka_rerank", "ivf_batch_topk_indexed",
     "ivf_pq_adc_indexed", "chunk_ann_search", "ivf_sq4_rerank_indexed",
     "knn_opq_rotated_adc", "knn_sq4_rerank", "knn_bitsketch_hamming_rerank",
-    "hr_overfetch_rerank",
-    "neardup_simhash_hamming", "doc_containment_dedup",
-    "neardup_incremental_probe", "url_normalize_dedup",
-    "dsir_importance_resample",
-    "embed_documents_poly", "multimodal_binary_metadata",
-    "doc_lm_perplexity", "doc_quality_classifier", "doc_token_count_bpe",
-    "doc_pii_scrub", "source_length_mad_outliers",
-    "doc_label_communities",
-    "quality_prep_pipeline", "corpus_weighted_mix",
-    "doc_dup_ngram_coverage", "doc_dup_span_removal",
+    "hr_overfetch_rerank", "neardup_simhash_hamming", "doc_containment_dedup",
+    "neardup_incremental_probe", "url_normalize_dedup", "embed_documents_poly",
+    "multimodal_binary_metadata", "doc_lm_perplexity",
+    "doc_quality_classifier", "doc_token_count_bpe", "doc_pii_scrub",
+    "source_length_mad_outliers", "doc_label_communities",
+    "corpus_weighted_mix", "doc_dup_ngram_coverage", "doc_dup_span_removal",
     "source_token_budget_sample", "corpus_shuffle_shards", "corpus_profile",
     "mine_hard_negatives", "doc_pagerank_centrality",
-    "events_salted_join_weighted",
-    "events_interval_bucket_join", "events_scd2_user_state",
-    "events_zorder_layout",
-    "graph_coreset_select", "term_heavy_hitters", "multimodal_frame_sample",
-    "part_name_fuzzy_pairs", "events_funnel_strict", "events_cohort_retention",
-    "knn_mmr_det",
-    "q1_incremental_maintenance",
+    "events_salted_join_weighted", "events_interval_bucket_join",
+    "events_scd2_user_state", "graph_coreset_select", "term_heavy_hitters",
+    "multimodal_frame_sample", "part_name_fuzzy_pairs", "events_funnel_strict",
+    "events_cohort_retention", "knn_mmr_det", "q1_incremental_maintenance",
     "q2_cheapest_supplier_per_part", "q10_returned_items_top_customers",
     "q12_priority_case_agg", "q18_large_volume_customers",
-    "q21_suppliers_kept_orders_waiting",
-    "q22_idle_rich_customers",
-    # r8-window queries
-    "doc_chunk_fixed_tokens",
-    "orders_pivot_status", "string_functions_showcase",
-    "knn_topk_l2sq", "knn_batch_topk_per_label", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q6_forecast_revenue", "top3_orders_per_segment",
-    "orders_by_year_month", "supplier_part_distincts", "parts_never_ordered",
-    "events_sliding_1h_30m", "events_user_daily_activity",
-    "stratified_sample_by_lang",
+    "q21_suppliers_kept_orders_waiting", "q22_idle_rich_customers",
+    "doc_chunk_fixed_tokens", "orders_pivot_status",
+    "string_functions_showcase", "knn_topk_l2sq", "knn_batch_topk_per_label",
+    "q3_shipping_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "top3_orders_per_segment", "orders_by_year_month",
+    "supplier_part_distincts", "parts_never_ordered", "events_sliding_1h_30m",
+    "events_user_daily_activity", "stratified_sample_by_lang",
     "knn_topk_cosine", "knn_overfetch_similarity", "doc_token_count",
     "doc_fingerprint", "events_json_props", "custkeys_intersect_except",
     "lineitem_cube", "q13_customer_order_distribution", "q16_suppliers_not_in",
@@ -200,35 +177,16 @@ PRIORITY: list[str] = [
     "hr_doc_text_construction", "q17_small_quantity_revenue",
     "hr_keyword_score", "hr_lang_all_match", "neardup_minhash_lsh",
     "doc_quality_score", "doc_length_percentiles", "events_asof_last_purchase",
-    "q1_pricing_summary", "q7_nation_volume",
-    "knn_topk_sq8", "knn_pq_adc_rerank", "ivf_pq_residual_det",
-    "ivf_topk_suggested", "chunk_embed_ivf_search",
-    "doc_containment_probe", "session_copair_mining",
-    "embedding_dim_stats", "doc_popularity_decayed",
-    "events_asof_attribution", "knn_whitened_topk",
-    "graph_triangle_coefficient", "doc_bm25_search",
-    # rows-only MLlib/UDF paths (pytest-pinned; no SQL oracle exists)
+    "q1_pricing_summary", "q7_nation_volume", "knn_topk_sq8",
+    "knn_pq_adc_rerank", "ivf_pq_residual_det", "ivf_topk_suggested",
+    "chunk_embed_ivf_search", "doc_containment_probe", "session_copair_mining",
+    "embedding_dim_stats", "doc_popularity_decayed", "events_asof_attribution",
+    "knn_whitened_topk", "graph_triangle_coefficient", "doc_bm25_search",
     "lsh_minhash_neardup_pairs", "tfidf_top_terms", "lsh_brp_ann_topk",
     "embed_documents_sha256", "multimodal_feature_extract",
-    # r5: learned-codebook PQ (KMeans floats — rows-only; deterministic
-    # sibling knn_pq_adc_rerank carries the hash-checked ADC oracle)
-    "knn_pq_kmeans_rerank",
-    # r6: learned-rotation OPQ (PCA/Procrustes floats — rows-only; seeded
-    # sibling knn_opq_rotated_adc carries the hash-checked rotate+ADC oracle)
-    "knn_opq_pca_rerank",
-    # r5: MMR diversity re-rank (greedy/iterative — rows-only per the
-    # driver contract; pinned by a hand-crafted unit case + invariants)
-    "knn_mmr_diversified",
-    # r6: BPE tokenizer training + encode (iterative by definition —
-    # rows-only; pinned by the python-trainer replay pytest)
+    "knn_pq_kmeans_rerank", "knn_opq_pca_rerank", "knn_mmr_diversified",
     "bpe_train_merges", "bpe_encode_token_counts",
-    # r6: sketch-threshold form of the perplexity gate (approx_percentile
-    # is engine-specific — rows-only; pytest bounds drift vs the exact cut)
-    "doc_lm_perplexity_threshold",
-    # rows-only HLL sketch path of events_sliding_distinct_users (B124)
-    "events_sliding_distinct_hll",
-    # below-the-fold siblings whose checked twin carries the oracle
-    # (previously implicit via _ordered()'s append; listed for intent)
+    "doc_lm_perplexity_threshold", "events_sliding_distinct_hll",
     "ivf_pq_residual_rerank", "hr_recommend_scale",
     "doc_length_percentiles_approx", "events_distinct_users_approx",
     "ivf_topk_kmeans",

@@ -1096,7 +1096,11 @@ ORDER BY doc_id
 def doc_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document train/valid/test assignment hashed by NEAR-DUP
     CLUSTER id (B97) — duplicate families never straddle splits, so
-    evaluation can't leak through near-copies."""
+    evaluation can't leak through near-copies. The components table is
+    deliberately NOT broadcast-hinted: it scales with the number of
+    near-dup nodes, which at corpus scale is not broadcastable — AQE
+    picks the join strategy from its actual runtime size (VERDICT r10
+    item 6)."""
     from ..operators.components import connected_components
 
     d = read_table(spark, sf_dir, "documents")
@@ -1104,7 +1108,7 @@ def doc_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = connected_components(pairs, "doc_id_1", "doc_id_2").select(
         F.col("node").alias("doc_id"), F.col("comp").alias("comp")
     )
-    assign = d.select("doc_id").join(F.broadcast(comps), "doc_id", "left").select(
+    assign = d.select("doc_id").join(comps, "doc_id", "left").select(
         "doc_id", F.coalesce("comp", "doc_id").cast("long").alias("cluster_id")
     )
     b = F.expr(

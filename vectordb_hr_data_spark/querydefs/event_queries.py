@@ -608,10 +608,14 @@ def merge_scd2(dim: DataFrame, batch: DataFrame) -> DataFrame:
 # integer scaling against the corpus extremes, interleave the bits, and
 # lay files out in zval order. All arithmetic is integer (scale-by-256
 # div range; shifts), so the oracle replays zval and the file assignment
-# bit-for-bit. The rank window here is the oracle-checkable assignment
-# documentation; the production write is repartitionByRange(zval) +
-# sortWithinPartitions + maxRecordsPerFile (no global window), which the
-# pytest exercises end-to-end and measures the file-skipping win on.
+# bit-for-bit. File ids come from the exact zval rank computed the same
+# way the production write lays files out (io.compact_clustered):
+# repartitionByRange(zval, event_id) + partition-local ranks + a
+# |partitions|-row offset merge (operators.quantiles
+# .with_exact_rank_range) — identical numbers to a global row_number,
+# with no single task ever sorting the full event corpus (VERDICT r10
+# item 4). The compaction pytest still exercises the real write path
+# end-to-end and measures the file-skipping win.
 ZORDER_ROWS_PER_FILE = 1000
 
 
@@ -658,7 +662,10 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer quantization of each key against the corpus extremes, bit
     interleave, zval-ordered file ids (B51). The extremes frame is a
     1-row broadcast; quantization and interleave are map-side integer
-    expressions in whole-stage codegen."""
+    expressions in whole-stage codegen; the file-id rank is the
+    range-bucketed exact-rank form (literal quantile boundaries on zval,
+    bucket-local ranks + offset merge — see
+    operators.quantiles.with_exact_rank_range)."""
     ev = read_table(spark, sf_dir, "events")
     ext = ev.agg(
         F.min(F.unix_micros("ts")).alias("t0"),
@@ -675,8 +682,13 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(unix_micros(ts) - t0) * 256 div (t1 - t0 + 1)").cast("long").alias("hb"),
     )
     z = keyed.select("event_id", "ub", "hb", F.expr(_ZVAL_SPARK).cast("long").alias("zval"))
-    ranked = z.withColumn(
-        "rn", F.row_number().over(Window.orderBy(F.col("zval").asc(), F.col("event_id").asc()))
+    from ..operators.quantiles import with_exact_rank_range
+
+    # zval is bounded by construction (16-bit Morton code), so the range
+    # buckets are fixed integer spans — no boundary-sketch pass, bucketing
+    # stays in codegen; 32 buckets of 2048 zvals each
+    ranked = with_exact_rank_range(
+        z, "zval", "event_id", "rn", bucket_expr=F.expr("zval div 2048")
     )
     return ranked.select(
         "event_id",
@@ -1877,17 +1889,22 @@ def rfm_quintile_scores(u: DataFrame) -> DataFrame:
     path (`streaming.stream_ops.rfm_from_state`), so batch≡stream parity
     can't drift when either side is edited.
 
-    Each score is the exact-rank two-form (`with_exact_ntile`) of
-    ``ntile(5) OVER (ORDER BY value [DESC], user_id)``: per-value counts
-    (bounded — day-counts, purchase-counts, cent totals) + a PARTITIONED
-    row_number, never a single-partition sort of the user dimension
-    (the prior shape ran three global ntile windows — 10⁸–10⁹ users
-    through one task, three times, at 100 TB of events)."""
-    from ..operators.quantiles import with_exact_ntile
+    Each score is ``ntile(5) OVER (ORDER BY value [DESC], user_id)``
+    computed exactly, never via a single-partition sort of the user
+    dimension (the prior shape ran three global ntile windows —
+    10⁸–10⁹ users through one task, three times, at 100 TB of events).
+    R and F use the broadcast two-form (``with_exact_ntile``) — recency
+    days and purchase counts have genuinely bounded distinct
+    cardinality, now ENFORCED in-plan. M uses the RANGE form
+    (``with_exact_ntile_range``): per-user revenue cents are
+    near-unique, so the per-value count table is itself user-dimension-
+    sized and must never broadcast (ADVICE r10) — literal quantile
+    boundaries bucket the cents and the rank is bucket-local."""
+    from ..operators.quantiles import with_exact_ntile, with_exact_ntile_range
 
+    u = with_exact_ntile_range(u, 5, "m_cents", "user_id", "m_score")
     u = with_exact_ntile(u, 5, "r_days", "user_id", "r_score", descending=True)
     u = with_exact_ntile(u, 5, "f_n", "user_id", "f_score")
-    u = with_exact_ntile(u, 5, "m_cents", "user_id", "m_score")
     return u.select(
         "user_id", "r_days", "f_n", "m_cents", "r_score", "f_score", "m_score"
     ).orderBy("user_id")

@@ -1138,9 +1138,7 @@ def _dsir_bucket(w1: str, w2: str, dialect: str) -> str:
     return f"({h}) % {DSIR_BUCKETS}"
 
 
-@register(
-    "dsir_importance_resample",
-    f"""
+_DSIR_SQL = f"""
 WITH toks AS (
   SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
 ), bi AS (
@@ -1178,24 +1176,16 @@ SELECT doc_id, n_bigrams, log_ratio, CAST(rnk AS BIGINT) AS rnk,
        rnk <= CAST(ceil({DSIR_KEEP_FRAC} * n_total) AS BIGINT) AS selected
 FROM ranked
 ORDER BY doc_id
-""",
-)
-def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR data selection: per-document mean hashed-bigram importance
-    log-ratio ln(p_target/p_raw), ranked, with the top 25% selected.
+"""
 
-    Determinism contract: each bucket's log-ratio is quantized once to
-    integer micro-nats, per-document scores are exact integer sums, and
-    the selection rank breaks ties on doc_id — so the kept set is
-    identical across engines and partitionings. (The rank sorts on the
-    exact ratio s/n rather than the rounded display column.)
 
-    Scale shape: bigram instances reduce map-side to per-(doc, bucket)
-    counts; the target/raw distributions are D-sized (broadcast); the
-    only corpus-wide ordering is the final rank over one row per doc —
-    at 100 TB swap row_number for the approx-quantile threshold form
-    (``stratified_sample_threshold``'s pattern) to avoid the single-key
-    window, selecting by score cutoff instead of exact rank."""
+def _dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared DSIR scoring (B36): per-(doc, bucket) hashed-bigram counts,
+    broadcast target/raw distributions, integer micro-nat log-ratio
+    weights, exact integer per-doc sums — everything UP TO the selection
+    cut, which the two registered forms make differently
+    (``dsir_importance_resample``: exact rank; ``dsir_importance_threshold``:
+    approx-quantile cutoff). Returns (doc_id, n_bigrams, s)."""
     d = read_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", "lang", F.split(F.col("text"), " ").alias("t"))
     bi = toks.select(
@@ -1228,10 +1218,29 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log(pt / pr) * 1000000.0, 0).cast("long").alias("lw"),
         )
     )
-    agg = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.sum("n").cast("long").alias("n_bigrams"),
         F.sum(F.col("n") * F.col("lw")).cast("long").alias("s"),
     )
+
+
+@register("dsir_importance_resample", _DSIR_SQL)
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: per-document mean hashed-bigram importance
+    log-ratio ln(p_target/p_raw), ranked, with the top 25% selected.
+
+    Determinism contract: each bucket's log-ratio is quantized once to
+    integer micro-nats, per-document scores are exact integer sums, and
+    the selection rank breaks ties on doc_id — so the kept set is
+    identical across engines and partitionings. (The rank sorts on the
+    exact ratio s/n rather than the rounded display column.)
+
+    Scale shape: bigram instances reduce map-side to per-(doc, bucket)
+    counts; the target/raw distributions are D-sized (broadcast); the
+    only corpus-wide ordering is the final rank over one row per doc —
+    the registered 100 TB twin ``dsir_importance_threshold`` swaps it
+    for the approx-quantile cutoff form."""
+    agg = _dsir_doc_scores(spark, sf_dir)
     w = Window.orderBy(
         (F.col("s").cast("double") / F.col("n_bigrams")).desc(), F.col("doc_id").asc()
     )
@@ -1256,6 +1265,37 @@ def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "selected"
         ),
     ).orderBy("doc_id")
+
+
+@register("dsir_importance_threshold", None)
+def dsir_importance_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of the DSIR selection (VERDICT r10 item 5): same
+    shared scoring (``_dsir_doc_scores``), but instead of the exact rank
+    (an unpartitioned window over one row per doc — still the corpus
+    dimension at scale) the cut point is ``approx_percentile`` of the
+    integer micro-nat mean score at 1-KEEP_FRAC — a sketch aggregate
+    with map-side partials — and selection is a map-only filter against
+    that broadcast scalar, the ``doc_lm_perplexity_threshold`` pattern.
+    Rows-only registry entry (approx_percentile's sketch is engine-
+    specific); the pytest bounds its disagreement with the exact rank
+    form to the cut boundary."""
+    agg = _dsir_doc_scores(spark, sf_dir)
+    scored = agg.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("s") * 1.0 / F.col("n_bigrams"), 0).cast("long").alias("score_micro"),
+    )
+    cut = scored.agg(
+        F.expr(
+            f"approx_percentile(score_micro, {1.0 - DSIR_KEEP_FRAC}, 10000)"
+        ).alias("cut")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cut))
+        .filter(F.col("score_micro") >= F.col("cut"))
+        .select("doc_id", "n_bigrams", (F.col("score_micro") / 1000000.0).alias("log_ratio"))
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1431,8 +1471,9 @@ ORDER BY doc_id
 """
 
 
-@register("quality_prep_pipeline", _qpp_oracle())
-def quality_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _quality_prep(
+    spark: SparkSession, sf_dir: str, threshold_cuts: bool = False
+) -> DataFrame:
     """The composed quality-selection pipeline (B40): five r6 stages in one
     query, sharing one tokenization —
 
@@ -1520,17 +1561,27 @@ def quality_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(F.col("n_b") * F.col("nl")) * 1.0 / F.sum("n_b"), 0).cast("long").alias("ce_micro"))
     )
-    w_lm = Window.orderBy(F.col("ce_micro").asc(), F.col("doc_id").asc())
-    lmranked = lm.select(
-        "doc_id", "ce_micro",
-        F.row_number().over(w_lm).alias("rnk"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
-    surv2 = (
-        surv1.join(
-            lmranked.filter(F.col("rnk") <= F.ceil(QPP_PPL_KEEP * F.col("n")).cast("long")),
-            "doc_id",
+    if threshold_cuts:
+        lm_cut = lm.agg(
+            F.expr(f"approx_percentile(ce_micro, {QPP_PPL_KEEP}, 10000)").alias("__cut")
         )
+        lm_keep = (
+            lm.crossJoin(F.broadcast(lm_cut))
+            .filter(F.col("ce_micro") <= F.col("__cut"))
+            .select("doc_id", "ce_micro")
+        )
+    else:
+        w_lm = Window.orderBy(F.col("ce_micro").asc(), F.col("doc_id").asc())
+        lmranked = lm.select(
+            "doc_id", "ce_micro",
+            F.row_number().over(w_lm).alias("rnk"),
+            F.count("*").over(Window.partitionBy()).alias("n"),
+        )
+        lm_keep = lmranked.filter(
+            F.col("rnk") <= F.ceil(QPP_PPL_KEEP * F.col("n")).cast("long")
+        )
+    surv2 = (
+        surv1.join(lm_keep, "doc_id")
         .select("doc_id", "source", "lang", "toks", "ce_micro")
         .localCheckpoint(eager=True)
     )
@@ -1562,16 +1613,35 @@ def quality_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("n").cast("long").alias("nb"), F.sum(F.col("n") * F.col("lw")).cast("long").alias("s"))
     )
-    w_ds = Window.orderBy((F.col("s").cast("double") / F.col("nb")).desc(), F.col("doc_id").asc())
-    dsirranked = dsir.select(
-        "doc_id", "nb", "s",
-        F.row_number().over(w_ds).alias("rnk"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    if threshold_cuts:
+        ds_scored = dsir.withColumn(
+            "__score_micro", F.round(F.col("s") * 1.0 / F.col("nb"), 0).cast("long")
+        )
+        ds_cut = ds_scored.agg(
+            F.expr(
+                f"approx_percentile(__score_micro, {1.0 - QPP_DSIR_KEEP}, 10000)"
+            ).alias("__cut")
+        )
+        ds_keep = (
+            ds_scored.crossJoin(F.broadcast(ds_cut))
+            .filter(F.col("__score_micro") >= F.col("__cut"))
+            .select("doc_id", "nb", "s")
+        )
+    else:
+        w_ds = Window.orderBy(
+            (F.col("s").cast("double") / F.col("nb")).desc(), F.col("doc_id").asc()
+        )
+        dsirranked = dsir.select(
+            "doc_id", "nb", "s",
+            F.row_number().over(w_ds).alias("rnk"),
+            F.count("*").over(Window.partitionBy()).alias("n"),
+        )
+        ds_keep = dsirranked.filter(
+            F.col("rnk") <= F.ceil(QPP_DSIR_KEEP * F.col("n")).cast("long")
+        )
+    surv3 = surv2.join(ds_keep, "doc_id").select(
+        "doc_id", "source", "lang", "toks", "ce_micro", "s", "nb"
     )
-    surv3 = surv2.join(
-        dsirranked.filter(F.col("rnk") <= F.ceil(QPP_DSIR_KEEP * F.col("n")).cast("long")),
-        "doc_id",
-    ).select("doc_id", "source", "lang", "toks", "ce_micro", "s", "nb")
     # stage 5: per-source token-budget mix
     w_b = (
         Window.partitionBy("source")
@@ -1589,7 +1659,29 @@ def quality_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
         .orderBy("doc_id")
     )
-quality_prep_pipeline.__doc__ = quality_prep_pipeline.__doc__.replace("{p}", "75").replace("{q}", "50")  # template scale constants into the (real) docstring
+_quality_prep.__doc__ = _quality_prep.__doc__.replace("{p}", "75").replace("{q}", "50")  # template scale constants into the (real) docstring
+
+
+@register("quality_prep_pipeline", _qpp_oracle())
+def quality_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed quality-selection pipeline (B40) with EXACT rank cuts
+    — full-oracle checkable; see ``_quality_prep`` for the five stages.
+    The registered 100 TB twin is ``quality_prep_threshold``."""
+    return _quality_prep(spark, sf_dir, threshold_cuts=False)
+
+
+@register("quality_prep_threshold", None)
+def quality_prep_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of the composed quality pipeline (VERDICT r10
+    item 5): the SAME five stages and arithmetic as
+    ``quality_prep_pipeline`` — same builder, one flag — but both
+    selection cuts (LM cross-entropy keep-75%, DSIR keep-50%) run as
+    ``approx_percentile`` threshold filters against broadcast scalars
+    instead of exact-rank windows over the per-doc (corpus-dimension)
+    frames. Rows-only registry entry (the sketch cut is engine-
+    specific); the pytest bounds its divergence from the exact form to
+    the cut boundaries."""
+    return _quality_prep(spark, sf_dir, threshold_cuts=True)
 
 
 # ---------------------------------------------------------------------------

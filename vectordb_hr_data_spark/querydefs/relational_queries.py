@@ -1378,10 +1378,12 @@ def segment_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a 100-row table and the three report rows are cumulative sums over it.
 # Scale note: revenue values are near-unique, so the exact-rank
 # two-form would not compress here (its per-value count table IS the
-# customer dimension) — the frame is deliberately the bounded USER
-# dimension, and at 100 TB the same contract runs as
-# repartitionByRange(cents) + per-partition rank arithmetic (the B86
-# documented swap), never this single window over raw events.
+# customer dimension). The centile therefore runs the RANGE form
+# (with_exact_ntile_range, VERDICT r10 item 2): literal quantile
+# boundaries on cents + bucket-local ranks + a |buckets|-row offset
+# merge — bit-identical to ntile(100), with no single task ever sorting
+# the 10⁸–10⁹-row customer dimension and nothing
+# customer-dimension-sized broadcast.
 PARETO_PCTS = [1, 5, 10]
 
 
@@ -1412,15 +1414,18 @@ ORDER BY top_pct
 )
 def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue share of the top 1/5/10% of customers (B222) — the Pareto
-    concentration curve behind the HHI number; exact centiles over the
-    bounded user dimension (see the scale note above), report derived
-    from a 100-row bucket table."""
+    concentration curve behind the HHI number; exact centiles via the
+    range-partitioned rank form (see the scale note above), report
+    derived from a 100-row bucket table."""
+    from ..operators.quantiles import with_exact_ntile_range
+
     orders = read_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
     )
-    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
-    binned = rev.withColumn("centile", F.ntile(100).over(w))
+    binned = with_exact_ntile_range(
+        rev, 100, "cents", "o_custkey", "centile", descending=True
+    )
     buckets = binned.groupBy("centile").agg(
         F.count("*").cast("long").alias("n_users"),
         F.sum("cents").cast("long").alias("b_cents"),
@@ -1428,7 +1433,7 @@ def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = buckets.agg(F.sum("b_cents").cast("long").alias("tc"))
     grid = spark.createDataFrame([(p,) for p in PARETO_PCTS], "pct int")
     return (
-        grid.join(buckets, F.col("centile") <= F.col("pct"))
+        F.broadcast(grid).join(buckets, F.col("centile") <= F.col("pct"))
         .crossJoin(F.broadcast(tot))
         .groupBy("pct")
         .agg(

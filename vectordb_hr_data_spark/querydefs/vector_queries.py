@@ -2848,3 +2848,194 @@ def knn_topk_l2_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# B224/B225: batch HNSW-style graph construction + stats/export header (r11)
+# ---------------------------------------------------------------------------
+# The one reference artifact with no repo analogue until now: the Chroma
+# HNSW index itself (chroma_db_store header: M=16, efConstruction=100,
+# sq-L2 space — reference vector_db.py builds it via chromadb defaults).
+# Sequential insertion has no faithful data-parallel form; what batch
+# Spark builds exactly is the artifact a serving system LOADS — layered
+# per-node neighbor lists with HNSW's structural properties (geometric
+# levels P(l)=(1/M)^l as an integer md5-prefix contract, M neighbors per
+# upper layer / 2M at layer 0, layer-l candidates restricted to nodes
+# existing at layer l), candidates blocked by the deterministic IVF cell
+# (the ivf_cell_silhouette contract) so construction is never O(N^2).
+# See operators/hnsw.py for the full design notes and the export shape.
+_HNSW_NODES_DDB = f"""
+cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16
+), celld AS (
+  SELECT e.vec_id, c.cid,
+         round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> power(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                        - CAST(c.cv[CAST(i AS INT)] AS DOUBLE), 2))), 4) AS d
+  FROM embeddings e CROSS JOIN cents c
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM celld
+  ) WHERE rn = 1
+), nodes AS (
+  SELECT e.vec_id, e.embedding, a.cid,
+         {{level_sql}} AS level
+  FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+)"""
+
+_HNSW_GRAPH_DDB = """
+pairs AS (
+  SELECT x.vec_id, y.vec_id AS neighbor_id, x.level AS la, y.level AS lb,
+         CAST(round(round(list_sum(list_transform(range(1, len(x.embedding) + 1),
+             i -> power(CAST(x.embedding[CAST(i AS INT)] AS DOUBLE)
+                        - CAST(y.embedding[CAST(i AS INT)] AS DOUBLE), 2))), 4)
+              * 10000) AS BIGINT) AS d_q
+  FROM nodes x JOIN nodes y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+), layered AS (
+  SELECT p.vec_id, p.neighbor_id, p.d_q, CAST(r.l AS BIGINT) AS layer
+  FROM pairs p, unnest(range(0, least(p.la, p.lb) + 1)) AS r(l)
+), ranked AS (
+  SELECT vec_id, layer, neighbor_id, d_q,
+         row_number() OVER (PARTITION BY vec_id, layer ORDER BY d_q, neighbor_id) AS rk
+  FROM layered
+), graph AS (
+  SELECT vec_id, layer, CAST(rk AS BIGINT) AS rk, neighbor_id, d_q
+  FROM ranked
+  WHERE rk <= CASE WHEN layer = 0 THEN {m0} ELSE {m} END
+)"""
+
+
+def _hnsw_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (vec_id, embedding, cid, level) node frame shared by
+    the two HNSW queries: first-16-rows centroids, 4-decimal quantized
+    assignment with cid tie-breaks (the silhouette contract), md5-prefix
+    geometric levels."""
+    from ..operators.hnsw import hnsw_level_expr
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    dists = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        F.round(V.l2sq(F.col("embedding"), F.col("cv")), 4).alias("d"),
+    )
+    wr = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cid").asc())
+    return (
+        dists.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid", hnsw_level_expr("vec_id").alias("level"))
+    )
+
+
+def _hnsw_graph_oracle() -> str:
+    from ..operators.hnsw import HNSW_M, hnsw_level_sql
+
+    nodes = _HNSW_NODES_DDB.format(level_sql=hnsw_level_sql("e.vec_id"))
+    graph = _HNSW_GRAPH_DDB.format(m0=2 * HNSW_M, m=HNSW_M)
+    return f"""
+WITH {nodes}, {graph}
+SELECT vec_id, layer, rk, neighbor_id, d_q FROM graph
+ORDER BY vec_id, layer, rk
+"""
+
+
+@register("hnsw_graph_build", _hnsw_graph_oracle())
+def hnsw_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch HNSW-graph construction (B224): the layered neighbor lists a
+    serving system loads — reference parity for the Chroma index header
+    M=16 (chroma_db_store/.../header.bin), rebuilt Spark-first. One
+    cell-keyed self-join (per-cell volume bounded by the IVF
+    ROWS_PER_CELL contract), a shared-layer sequence explode (geometric
+    levels make the expected factor ≈ 1 + 2/M), one partitioned rank —
+    no global window, nothing corpus-sized broadcast."""
+    from ..operators.hnsw import build_hnsw_graph
+
+    g = build_hnsw_graph(_hnsw_nodes(spark, sf_dir))
+    return g.orderBy("vec_id", "layer", "rk")
+
+
+def _hnsw_stats_oracle() -> str:
+    from ..operators.hnsw import HNSW_M, hnsw_level_sql
+
+    nodes = _HNSW_NODES_DDB.format(level_sql=hnsw_level_sql("e.vec_id"))
+    graph = _HNSW_GRAPH_DDB.format(m0=2 * HNSW_M, m=HNSW_M)
+    return f"""
+WITH {nodes}, {graph},
+lay AS (
+  SELECT unnest(range(0, (SELECT max(level) FROM nodes) + 1)) AS layer
+), ncnt AS (
+  SELECT CAST(l.layer AS BIGINT) AS layer, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM lay l JOIN nodes n ON n.level >= l.layer GROUP BY l.layer
+), ecnt AS (
+  SELECT layer, CAST(sum(deg) AS BIGINT) AS n_edges,
+         CAST(max(deg) AS BIGINT) AS max_out_degree
+  FROM (SELECT layer, vec_id, count(*) AS deg FROM graph GROUP BY layer, vec_id)
+  GROUP BY layer
+), ep AS (
+  SELECT CAST(vec_id AS BIGINT) AS entry_vec_id, CAST(level AS BIGINT) AS entry_level
+  FROM nodes ORDER BY level DESC, vec_id LIMIT 1
+)
+SELECT n.layer, n.n_nodes,
+       CAST(coalesce(e.n_edges, 0) AS BIGINT) AS n_edges,
+       CAST(coalesce(e.max_out_degree, 0) AS BIGINT) AS max_out_degree,
+       ep.entry_vec_id, ep.entry_level
+FROM ncnt n LEFT JOIN ecnt e ON e.layer = n.layer CROSS JOIN ep
+ORDER BY n.layer
+"""
+
+
+@register("hnsw_graph_stats", _hnsw_stats_oracle())
+def hnsw_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW graph header (B225): per-layer node/edge counts and max
+    out-degree plus the search entry point (max level, min vec_id) — the
+    summary a serving process checks before loading layers. Node counts
+    per layer come from the level column alone (a broadcast-layer-grid
+    non-equi join, map-side); edge stats are one groupBy over the built
+    graph; the entry point is a 1-row aggregate."""
+    from ..operators.hnsw import build_hnsw_graph, hnsw_entry_point
+
+    nodes = _hnsw_nodes(spark, sf_dir)
+    g = build_hnsw_graph(nodes)
+    maxl = nodes.agg(F.max("level").alias("ml"))
+    lay = maxl.select(
+        F.explode(F.sequence(F.lit(0), F.col("ml"))).alias("__l")
+    ).select(F.col("__l").cast("long").alias("layer"))
+    ncnt = (
+        F.broadcast(lay)
+        .join(nodes, nodes["level"] >= lay["layer"])
+        .groupBy("layer")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+    ecnt = (
+        g.groupBy("layer", "vec_id")
+        .agg(F.count("*").alias("deg"))
+        .groupBy("layer")
+        .agg(
+            F.sum("deg").cast("long").alias("n_edges"),
+            F.max("deg").cast("long").alias("max_out_degree"),
+        )
+    )
+    ep = nodes.agg(
+        F.max(F.struct(F.col("level"), (-F.col("vec_id")).alias("nid"))).alias("t")
+    ).select(
+        (-F.col("t.nid")).cast("long").alias("entry_vec_id"),
+        F.col("t.level").cast("long").alias("entry_level"),
+    )
+    return (
+        ncnt.join(ecnt, "layer", "left")
+        .crossJoin(F.broadcast(ep))
+        .select(
+            "layer",
+            "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.coalesce("max_out_degree", F.lit(0)).cast("long").alias("max_out_degree"),
+            "entry_vec_id",
+            "entry_level",
+        )
+        .orderBy("layer")
+    )

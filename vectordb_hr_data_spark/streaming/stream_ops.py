@@ -1608,7 +1608,14 @@ def stream_kmv_sketch(doc_stream: DataFrame, state_path: str) -> None:
     move the sketch off the batch answer. The estimate derives at READ
     time (``kmv_from_state``). The in-batch distinct is per micro-batch
     only; duplicate tokens ACROSS batches are absorbed by the merge's
-    re-distinct, exactly like a production KMV union."""
+    re-distinct, exactly like a production KMV union.
+
+    The state keeps K+1 (not K) smallest hashes: the batch query reports
+    the EXACT count whenever nd <= K, and a K-capped state cannot tell
+    "exactly K distinct" (exact branch) from "more than K" (estimate
+    branch) — the ADVICE r10 boundary divergence. K+1 smallest of a
+    union is equally associative/idempotent, and the read path still
+    takes h_K = element_at(ks, K)."""
     from pyspark.sql import functions as F
 
     from ..querydefs.dedup_queries import KMV_K
@@ -1623,7 +1630,7 @@ def stream_kmv_sketch(doc_stream: DataFrame, state_path: str) -> None:
             F.expr("cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)").alias("hv"),
         )
     )
-    k = KMV_K
+    k = KMV_K + 1
     stream_mergeable_agg(
         keyed,
         state_path,
@@ -1644,7 +1651,9 @@ def stream_kmv_sketch(doc_stream: DataFrame, state_path: str) -> None:
 def kmv_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     """Distinct-count estimates from the streamed KMV state — the same
     (K−1)·M/h_K arithmetic as ``kmv_distinct_sketch``; sketches holding
-    fewer than K values report their exact size."""
+    K or fewer values report their exact size (the batch ``nd <= K``
+    branch — possible to distinguish from the estimate branch because
+    the state keeps K+1 smallest, see ``stream_kmv_sketch``)."""
     from pyspark.sql import functions as F
 
     from ..querydefs.dedup_queries import KMV_K, KMV_M
@@ -1652,7 +1661,7 @@ def kmv_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     st = spark.read.parquet(state_path)
     nk = F.size("ks")
     est = (
-        F.when(nk < KMV_K, nk.cast("long"))
+        F.when(nk <= KMV_K, nk.cast("long"))
         .otherwise(F.floor((KMV_K - 1) * float(KMV_M) / F.element_at("ks", KMV_K)))
         .cast("long")
     )
@@ -1789,16 +1798,22 @@ def stream_conversion_lag_state(event_stream: DataFrame):
 
     def update(key, pdfs, state: GroupState):
         s_us, lag_us = state.get if state.exists else (-1, -1)
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts, et in zip(pdf["ts"], pdf["event_type"]):
-                t_us = int(pd.Timestamp(ts).value // 1000)
-                if et == "signup" and (s_us < 0 or t_us < s_us):
-                    s_us = t_us
-                elif et == "purchase" and s_us >= 0 and t_us >= s_us:
-                    cand = t_us - s_us
-                    if lag_us < 0 or cand < lag_us:
-                        lag_us = cand
+        # A user's micro-batch rows can arrive split across several Arrow
+        # chunks; sorting each chunk independently lets a purchase in an
+        # early chunk fold before a smaller-ts signup in a later chunk,
+        # silently dropping the conversion even though the documented
+        # ordered-delivery contract holds at micro-batch granularity
+        # (ADVICE r10). Collect ALL chunks, then fold once over the
+        # globally time-sorted batch.
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        for ts, et in zip(rows["ts"], rows["event_type"]):
+            t_us = int(pd.Timestamp(ts).value // 1000)
+            if et == "signup" and (s_us < 0 or t_us < s_us):
+                s_us = t_us
+            elif et == "purchase" and s_us >= 0 and t_us >= s_us:
+                cand = t_us - s_us
+                if lag_us < 0 or cand < lag_us:
+                    lag_us = cand
         state.update((s_us, lag_us))
         yield pd.DataFrame(
             {"user_id": [key[0]], "s_us": [s_us], "lag_us": [lag_us]}
