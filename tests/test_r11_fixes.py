@@ -352,3 +352,33 @@ def test_hnsw_export_roundtrip(spark, sf_dir, tmp_path):
         int(d.split("=")[1]) for d in os.listdir(path) if d.startswith("layer=")
     )
     assert layers and layers[0] == 0
+
+
+def test_hnsw_search_recall_floor_and_shape(spark, sf_dir):
+    """The probe-routed graph search must be a real ANN path, not a
+    degenerate one: mean recall@10 vs exact brute force stays above 0.8
+    on the synthetic corpus (measured 0.90 at nprobe=4/16), every query
+    returns a full k list of distinct non-self candidates in
+    non-decreasing distance order."""
+    from vectordb_hr_data_spark.querydefs.vector_queries import (
+        HNSW_EVAL_QUERIES,
+        HNSW_SEARCH_K,
+        hnsw_graph_search,
+        hnsw_recall_eval,
+    )
+
+    rows = hnsw_graph_search(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(HNSW_EVAL_QUERIES))
+    for qid, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, HNSW_SEARCH_K + 1)), qid
+        assert len({r.vec_id for r in rs}) == HNSW_SEARCH_K
+        assert all(r.vec_id != qid for r in rs)
+        dists = [r.d_q for r in rs]
+        assert dists == sorted(dists), qid
+
+    recalls = [r.recall_milli for r in hnsw_recall_eval(spark, sf_dir).collect()]
+    assert sum(recalls) / len(recalls) >= 800, recalls

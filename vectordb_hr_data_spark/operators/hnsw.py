@@ -155,3 +155,136 @@ def export_hnsw_graph(graph: DataFrame, path: str) -> None:
         .partitionBy("layer")
         .parquet(path)
     )
+
+
+HNSW_NPROBE = 4
+
+
+def hnsw_greedy_search(
+    graph: DataFrame,
+    nodes: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = HNSW_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cid",
+) -> DataFrame:
+    """SPANN-style search over the cell-sharded graph — the query path a
+    serving system runs against per-shard HNSW graphs, as bounded
+    declarative algebra.
+
+    The built graph's edges never cross cells (that is what bounds
+    construction), so a single global entry point cannot route a query
+    out of the entry's cell — measured recall from a pure-graph descent
+    on uniform synthetic vectors was ~0. Production systems shard graphs
+    the same way and solve routing the same way this does (SPANN / DiskANN
+    sharding): (1) the COARSE QUANTIZER picks the query's top-``nprobe``
+    cells (map-side vs the broadcast centroid table — the existing IVF
+    probe discipline, 4-decimal quantization, cid tie-breaks); (2) inside
+    each probed cell the layered graph takes over: start at the CELL's
+    entry point (max level, min id within the cell), ONE greedy hop per
+    layer from HNSW_MAX_LEVEL down to 1 (true HNSW iterates to a local
+    minimum; the single-hop form keeps the unrolled plan fixed and
+    deterministic — the recall eval prices the simplification); (3) at
+    layer 0 expand TWO hops of neighbor lists as the ef-candidate set;
+    (4) union the probed cells' candidates, exclude the query's own
+    node, exact top-k re-rank.
+
+    Scale shape: every step joins a (Q·nprobe)-row frontier (broadcast)
+    against the id-keyed graph/vector tables — per-step candidate volume
+    is Q·nprobe·(2M)², never corpus-sized; the layer loop is a FIXED
+    unroll. ``queries`` carries (query_id, qv); ``nodes`` carries
+    (id, vector, cell)."""
+    emb = nodes.select(F.col(id_col).alias("__nid"), F.col(vec_col).alias("__nv"))
+
+    def dq(vcol: str) -> Column:
+        return F.round(F.round(V.l2sq(vcol, "qv"), 4) * 10000).cast("long")
+
+    # (1) coarse routing: top-nprobe cells per query
+    wp = Window.partitionBy("query_id").orderBy(F.col("cd").asc(), F.col(cell_col).asc())
+    probe = (
+        centroids.crossJoin(F.broadcast(queries))
+        .select(
+            "query_id",
+            "qv",
+            cell_col,
+            F.round(V.l2sq("cv", "qv"), 4).alias("cd"),
+        )
+        .withColumn("__pn", F.row_number().over(wp))
+        .filter(F.col("__pn") <= nprobe)
+        .select("query_id", "qv", cell_col)
+    )
+    # (2) per-cell entry points (max level, min id within the cell)
+    cell_entry = (
+        nodes.select(
+            F.col(cell_col),
+            F.col(id_col).alias("__id"),
+            hnsw_level_expr(id_col).alias("level"),
+        )
+        .groupBy(cell_col)
+        .agg(F.max(F.struct(F.col("level"), (-F.col("__id")).alias("nid"))).alias("t"))
+        .select(cell_col, (-F.col("t.nid")).cast("long").alias("cur"))
+    )
+    cur = probe.join(F.broadcast(cell_entry), cell_col).select(
+        "query_id", "qv", cell_col, "cur"
+    )
+    for layer in range(HNSW_MAX_LEVEL, 0, -1):
+        nb = (
+            F.broadcast(cur)
+            .join(
+                graph.filter(F.col("layer") == layer).select(
+                    F.col("vec_id").alias("cur"), "neighbor_id"
+                ),
+                "cur",
+            )
+            .select("query_id", "qv", cell_col, F.col("neighbor_id").alias("cand"))
+        )
+        cands = cur.select(
+            "query_id", "qv", cell_col, F.col("cur").alias("cand")
+        ).unionByName(nb)
+        scored = (
+            cands.dropDuplicates(["query_id", cell_col, "cand"])
+            .join(emb, F.col("cand") == F.col("__nid"))
+            .select("query_id", "qv", cell_col, "cand", dq("__nv").alias("d_q"))
+        )
+        w = Window.partitionBy("query_id", cell_col).orderBy(
+            F.col("d_q").asc(), F.col("cand").asc()
+        )
+        cur = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("query_id", "qv", cell_col, F.col("cand").alias("cur"))
+        )
+    # (3) layer-0 two-hop ef expansion (graph edges stay in-cell)
+    g0 = graph.filter(F.col("layer") == 0).select(
+        F.col("vec_id").alias("src"), "neighbor_id"
+    )
+    hop1 = (
+        F.broadcast(cur)
+        .join(g0, F.col("cur") == F.col("src"))
+        .select("query_id", "qv", F.col("neighbor_id").alias("cand"))
+    )
+    hop2 = (
+        F.broadcast(hop1.dropDuplicates(["query_id", "cand"]))
+        .join(g0, F.col("cand") == F.col("src"))
+        .select("query_id", "qv", F.col("neighbor_id").alias("cand"))
+    )
+    # (4) union, exclude self, exact top-k
+    ef = (
+        cur.select("query_id", "qv", F.col("cur").alias("cand"))
+        .unionByName(hop1)
+        .unionByName(hop2)
+        .dropDuplicates(["query_id", "cand"])
+        .filter(F.col("cand") != F.col("query_id"))
+    )
+    scored = ef.join(emb, F.col("cand") == F.col("__nid")).select(
+        "query_id", F.col("cand").alias("vec_id"), dq("__nv").alias("d_q")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d_q").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "rk", "vec_id", "d_q")
+    )

@@ -104,9 +104,11 @@ PRIORITY: list[str] = [
     # r11 rows-only threshold twins of the two exact-rank selection cuts
     # (approx_percentile is engine-specific; drift-bound pytests pin them)
     "dsir_importance_threshold", "quality_prep_threshold",
-    # r11 new oracles (B224/B225): batch HNSW-style graph construction +
-    # stats header — join the never-windowed queue for r12
+    # r11 new oracles (B224-B227): batch HNSW-style graph construction,
+    # stats header, SPANN-style probe-routed search, recall gate — join
+    # the never-windowed queue for r12
     "hnsw_graph_build", "hnsw_graph_stats",
+    "hnsw_graph_search", "hnsw_recall_eval",
     # --- queries holding r7-r10 driver rows, stalest-first for later
     # re-rotation; relative order unchanged from r10 ---
     "doc_ngram_novelty", "events_funnel_windowed", "rec_coverage_diversity",

@@ -3039,3 +3039,231 @@ def hnsw_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layer")
     )
+
+
+# ---------------------------------------------------------------------------
+# B226/B227: greedy search over the built HNSW graph + its recall gate (r11)
+# ---------------------------------------------------------------------------
+# The query path completes the index story: entry point → one greedy hop
+# per upper layer → two-hop ef-expansion at layer 0 → top-k re-rank. True
+# HNSW iterates each layer to a local minimum; the single-hop-per-layer
+# form keeps the plan a FIXED unroll (bounded, deterministic, fully
+# oracle-replayable) and B227 measures what the simplification costs in
+# recall against exact brute force — the honest number, as an operator.
+HNSW_EVAL_QUERIES = 8
+HNSW_SEARCH_K = 10
+
+
+def _hnsw_l2sq_ddb(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> power(CAST({a}[CAST(i AS INT)] AS DOUBLE)"
+        f" - CAST({b}[CAST(i AS INT)] AS DOUBLE), 2)))"
+    )
+
+
+def _hnsw_search_ddb(k: int, q: int) -> str:
+    """CTE chain (assumes `nodes` and `graph` defined): coarse-probe
+    routing + per-cell fixed-unroll greedy descent, ending in a CTE
+    `res`(query_id, rk, vec_id, d_q)."""
+    from ..operators.hnsw import HNSW_MAX_LEVEL, HNSW_NPROBE
+
+    dq = (
+        "CAST(round(round("
+        + _hnsw_l2sq_ddb("e.embedding", "q.qv")
+        + ", 4) * 10000) AS BIGINT)"
+    )
+    parts = [
+        f"qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings"
+        f" WHERE vec_id < {q})",
+        f"""probe AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round({_hnsw_l2sq_ddb("c.cv", "q.qv")}, 4), c.cid) AS pn
+    FROM cents c CROSS JOIN qs q
+  ) WHERE pn <= {HNSW_NPROBE}
+)""",
+        """cellent AS (
+  SELECT cid, vec_id AS cur FROM (
+    SELECT cid, vec_id,
+           row_number() OVER (PARTITION BY cid ORDER BY level DESC, vec_id) AS rn
+    FROM nodes
+  ) WHERE rn = 1
+)""",
+        f"s{HNSW_MAX_LEVEL} AS (SELECT p.query_id, p.cid, ce.cur"
+        f" FROM probe p JOIN cellent ce ON ce.cid = p.cid)",
+    ]
+    for layer in range(HNSW_MAX_LEVEL, 0, -1):
+        parts.append(
+            f"""c{layer} AS (
+  SELECT query_id, cid, cur AS cand FROM s{layer}
+  UNION
+  SELECT s.query_id, s.cid, g.neighbor_id AS cand
+  FROM s{layer} s JOIN graph g ON g.vec_id = s.cur AND g.layer = {layer}
+)"""
+        )
+        parts.append(
+            f"""s{layer - 1} AS (
+  SELECT query_id, cid, cand AS cur FROM (
+    SELECT c.query_id, c.cid, c.cand,
+           row_number() OVER (PARTITION BY c.query_id, c.cid ORDER BY {dq}, c.cand) AS rn
+    FROM c{layer} c
+    JOIN qs q ON q.query_id = c.query_id
+    JOIN embeddings e ON e.vec_id = c.cand
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        """h1 AS (
+  SELECT s.query_id, g.neighbor_id AS cand
+  FROM s0 s JOIN graph g ON g.vec_id = s.cur AND g.layer = 0
+)"""
+    )
+    parts.append(
+        """efc AS (
+  SELECT DISTINCT query_id, cand FROM (
+    SELECT query_id, cur AS cand FROM s0
+    UNION ALL SELECT query_id, cand FROM h1
+    UNION ALL SELECT h.query_id, g2.neighbor_id AS cand
+    FROM h1 h JOIN graph g2 ON g2.vec_id = h.cand AND g2.layer = 0
+  ) WHERE cand <> query_id
+)"""
+    )
+    parts.append(
+        f"""res AS (
+  SELECT query_id, CAST(rk AS BIGINT) AS rk, cand AS vec_id, dqv AS d_q FROM (
+    SELECT c.query_id, c.cand, {dq} AS dqv,
+           row_number() OVER (PARTITION BY c.query_id ORDER BY {dq}, c.cand) AS rk
+    FROM efc c
+    JOIN qs q ON q.query_id = c.query_id
+    JOIN embeddings e ON e.vec_id = c.cand
+  ) WHERE rk <= {k}
+)"""
+    )
+    return ",\n".join(parts)
+
+
+def _hnsw_search_oracle() -> str:
+    from ..operators.hnsw import HNSW_M, hnsw_level_sql
+
+    nodes = _HNSW_NODES_DDB.format(level_sql=hnsw_level_sql("e.vec_id"))
+    graph = _HNSW_GRAPH_DDB.format(m0=2 * HNSW_M, m=HNSW_M)
+    chain = _hnsw_search_ddb(HNSW_SEARCH_K, HNSW_EVAL_QUERIES)
+    return f"""
+WITH {nodes}, {graph},
+{chain}
+SELECT query_id, rk, vec_id, d_q FROM res
+ORDER BY query_id, rk
+"""
+
+
+@register("hnsw_graph_search", _hnsw_search_oracle())
+def hnsw_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} SPANN-style search for {q} query vectors over the built
+    cell-sharded graph (B226): coarse-quantizer routing to the top-probe
+    cells, per-cell greedy layered descent from the cell entry, two-hop
+    ef-expansion at layer 0, exact re-rank; every frontier is Q·nprobe
+    rows (broadcast) against id-keyed joins — see
+    operators/hnsw.hnsw_greedy_search for why routing is the quantizer's
+    job on a sharded graph."""
+    from ..operators.hnsw import build_hnsw_graph, hnsw_greedy_search
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    nodes = _hnsw_nodes(spark, sf_dir)
+    g = build_hnsw_graph(nodes)
+    qs = emb.filter(F.col("vec_id") < HNSW_EVAL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    return hnsw_greedy_search(g, nodes, qs, cents, k=HNSW_SEARCH_K).orderBy(
+        "query_id", "rk"
+    )
+hnsw_graph_search.__doc__ = hnsw_graph_search.__doc__.replace("{k}", str(HNSW_SEARCH_K)).replace("{q}", str(HNSW_EVAL_QUERIES))  # template scale constants into the (real) docstring
+
+
+def _hnsw_recall_oracle() -> str:
+    from ..operators.hnsw import HNSW_M, hnsw_level_sql
+
+    nodes = _HNSW_NODES_DDB.format(level_sql=hnsw_level_sql("e.vec_id"))
+    graph = _HNSW_GRAPH_DDB.format(m0=2 * HNSW_M, m=HNSW_M)
+    chain = _hnsw_search_ddb(HNSW_SEARCH_K, HNSW_EVAL_QUERIES)
+    dq = (
+        "CAST(round(round("
+        + _hnsw_l2sq_ddb("e.embedding", "q.qv")
+        + ", 4) * 10000) AS BIGINT)"
+    )
+    return f"""
+WITH {nodes}, {graph},
+{chain},
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {dq}, e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN qs q
+    WHERE e.vec_id <> q.query_id
+  ) WHERE rn <= {HNSW_SEARCH_K}
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) * 1000 // {HNSW_SEARCH_K} AS BIGINT) AS recall_milli
+FROM qs q LEFT JOIN (
+  SELECT x.query_id, count(*) AS n_hits
+  FROM exact x JOIN res r ON r.query_id = x.query_id AND r.vec_id = x.vec_id
+  GROUP BY x.query_id
+) h ON h.query_id = q.query_id
+ORDER BY q.query_id
+"""
+
+
+@register("hnsw_recall_eval", _hnsw_recall_oracle())
+def hnsw_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{k} of the greedy HNSW search vs exact brute force (B227)
+    — the gate that prices the graph's two batch simplifications
+    (cell-blocked edges, single-hop descent) honestly, as one
+    oracle-checked plan; the exact side is the one-pass broadcast-queries
+    scan with per-partition top-k pre-reduce."""
+    from ..operators.knn import local_topk_per_key
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < HNSW_EVAL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    approx = hnsw_graph_search(spark, sf_dir).select("query_id", "vec_id")
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.round(V.l2sq("embedding", "qv"), 4) * 10000)
+            .cast("long")
+            .alias("d_q"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d_q").asc(), F.col("vec_id").asc())
+    exact = (
+        local_topk_per_key(
+            scored, key_col="query_id", order_cols=("d_q", "vec_id"), k=HNSW_SEARCH_K
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HNSW_SEARCH_K)
+        .select("query_id", "vec_id")
+    )
+    hits = exact.join(approx, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_hits")
+    )
+    return (
+        qs.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(f"coalesce(n_hits, 0) * 1000 div {HNSW_SEARCH_K}")
+            .cast("long")
+            .alias("recall_milli"),
+        )
+        .orderBy("query_id")
+    )
+hnsw_recall_eval.__doc__ = hnsw_recall_eval.__doc__.replace("{k}", str(HNSW_SEARCH_K))  # template scale constants into the (real) docstring
