@@ -1792,3 +1792,44 @@ def test_stream_chunk_dedup_converges_to_batch(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, chunk_dedup_from_state(spark, state).collect()))
     want = sorted(map(tuple, chunk_dedup_rate(spark, sf_dir).collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_hnsw_append_converges_to_batch_build(spark, sf_dir, tmp_path):
+    """stream_hnsw_append (B228): vectors folded over 4 micro-batches
+    must converge the per-(node, layer) neighbor-list state to EXACTLY
+    the batch-built graph — top-M of a union is associative (the KMV
+    argument), and every unordered pair is generated once its later
+    endpoint arrives."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.querydefs.vector_queries import hnsw_graph_build
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        hnsw_edges_from_state,
+        stream_hnsw_append,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src = tmp_path / "hnsw_src"
+    src.mkdir()
+    for i in range(4):
+        part = emb.filter((F.col("vec_id") % 4) == i)
+        tdir = str(tmp_path / f"hnsw_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    state = str(tmp_path / "hnsw_state")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    stream_hnsw_append(stream, state, cents)
+
+    got = sorted(map(tuple, hnsw_edges_from_state(spark, state).collect()))
+    want = sorted(map(tuple, hnsw_graph_build(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0

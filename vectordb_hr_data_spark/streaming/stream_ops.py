@@ -1922,3 +1922,141 @@ def chunk_dedup_from_state(spark: SparkSession, state_path: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def stream_hnsw_append(
+    vec_stream: DataFrame, state_dir: str, centroids: DataFrame
+) -> None:
+    """Streaming HNSW-graph ingest (B228, the index-lifecycle twin of the
+    B224 batch build): as vector batches arrive, maintain (a) the
+    append-only per-cell vector store and (b) per-(node, layer) neighbor
+    lists as MERGEABLE top-M state — "the M closest of a union is the
+    top-M of per-batch top-Ms" is the same associativity argument as the
+    KMV sketch, so batch boundaries, arrival order, and replays cannot
+    move the converged graph off the batch-built one (parity pytest).
+
+    Per batch the candidate edges are (new × current cell members) in
+    BOTH directions — every unordered pair is generated once the later
+    endpoint arrives, duplicates absorbed by the merge's distinct — so
+    per-batch cost is |batch| × |affected cells' members|, the
+    ``neardup_incremental_probe`` contract, never a rebuild. Cell and
+    level assignment reuse the batch build's deterministic contracts
+    (broadcast centroid table, 4-decimal quantized assignment with cid
+    tie-breaks, md5-prefix levels). ``centroids`` is the FIXED coarse
+    quantizer (production: the trained table the index was built with).
+    Exactly-once caveat as stream_mergeable_agg's."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions import vector as V
+    from ..operators.hnsw import HNSW_M, HNSW_MAX_LEVEL, hnsw_level_expr
+
+    vec_path = f"{state_dir.rstrip('/')}/vectors"
+    edge_path = f"{state_dir.rstrip('/')}/edges"
+    cap = f"CASE WHEN layer = 0 THEN {2 * HNSW_M} ELSE {HNSW_M} END"
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        wr = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cid").asc())
+        newv = (
+            batch_df.crossJoin(F.broadcast(centroids))
+            .select(
+                "vec_id",
+                "embedding",
+                "cid",
+                F.round(V.l2sq("embedding", "cv"), 4).alias("d"),
+            )
+            .withColumn("__rn", F.row_number().over(wr))
+            .filter(F.col("__rn") == 1)
+            .select("vec_id", "embedding", "cid", hnsw_level_expr("vec_id").alias("level"))
+        )
+        try:
+            vstate = spark.read.parquet(vec_path)
+            allv = vstate.unionByName(newv).dropDuplicates(["vec_id"])
+        except Exception:
+            allv = newv
+        allv = allv.localCheckpoint(eager=True)
+        allv.write.mode("overwrite").parquet(vec_path)
+        newv = allv.join(newv.select("vec_id"), "vec_id", "left_semi")
+
+        a = newv.select(
+            F.col("vec_id").alias("na"),
+            F.col("embedding").alias("va"),
+            F.col("cid").alias("ca"),
+            F.col("level").alias("la"),
+        )
+        b = allv.select(
+            F.col("vec_id").alias("nb"),
+            F.col("embedding").alias("vb"),
+            F.col("cid").alias("cb"),
+            F.col("level").alias("lb"),
+        )
+        raw = a.join(b, (F.col("ca") == F.col("cb")) & (F.col("na") != F.col("nb"))).select(
+            "na",
+            "nb",
+            "la",
+            "lb",
+            F.round(F.round(V.l2sq("va", "vb"), 4) * 10000).cast("long").alias("d_q"),
+        )
+        both = raw.select(
+            F.col("na").alias("vec_id"), F.col("nb").alias("neighbor_id"),
+            "la", "lb", "d_q",
+        ).unionByName(
+            raw.select(
+                F.col("nb").alias("vec_id"), F.col("na").alias("neighbor_id"),
+                F.col("lb").alias("la"), F.col("la").alias("lb"), "d_q",
+            )
+        )
+        edges = both.select(
+            "vec_id",
+            "neighbor_id",
+            "d_q",
+            F.explode(F.sequence(F.lit(0), F.least("la", "lb"))).alias("__l"),
+        ).select(
+            "vec_id", F.col("__l").cast("long").alias("layer"),
+            F.struct(F.col("d_q"), F.col("neighbor_id")).alias("e"),
+        )
+        inc = edges.groupBy("vec_id", "layer").agg(
+            F.expr(f"slice(array_sort(array_distinct(collect_list(e))), 1, {cap})").alias(
+                "top"
+            )
+        )
+        try:
+            estate = spark.read.parquet(edge_path)
+        except Exception:
+            inc.write.mode("overwrite").parquet(edge_path)
+            return
+        merged = (
+            estate.unionByName(inc)
+            .groupBy("vec_id", "layer")
+            .agg(
+                F.expr(
+                    f"slice(array_sort(array_distinct(flatten(collect_list(top)))), 1, {cap})"
+                ).alias("top")
+            )
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(edge_path)
+
+    q = vec_stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def hnsw_edges_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The streamed graph in the batch build's row shape
+    (vec_id, layer, rk, neighbor_id, d_q) — rk from the state array's
+    position (the arrays are kept (d_q, neighbor_id)-sorted)."""
+    from pyspark.sql import functions as F
+
+    st = spark.read.parquet(f"{state_dir.rstrip('/')}/edges")
+    return st.select(
+        "vec_id", "layer", F.posexplode("top").alias("__p", "e")
+    ).select(
+        "vec_id",
+        "layer",
+        (F.col("__p") + 1).cast("long").alias("rk"),
+        F.col("e.neighbor_id").alias("neighbor_id"),
+        F.col("e.d_q").alias("d_q"),
+    )
