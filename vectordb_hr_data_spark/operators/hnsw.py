@@ -241,21 +241,28 @@ def hnsw_greedy_search(
             )
             .select("query_id", "qv", cell_col, F.col("neighbor_id").alias("cand"))
         )
+        # no dedup needed in-loop (cur is never in its own neighbor list
+        # and lists are distinct); the greedy argmin is a map-side-partial
+        # aggregate on the lexicographic (d_q, cand) struct — an exchange
+        # on (query, cell) instead of a window sort
         cands = cur.select(
             "query_id", "qv", cell_col, F.col("cur").alias("cand")
         ).unionByName(nb)
-        scored = (
-            cands.dropDuplicates(["query_id", cell_col, "cand"])
-            .join(emb, F.col("cand") == F.col("__nid"))
-            .select("query_id", "qv", cell_col, "cand", dq("__nv").alias("d_q"))
+        scored = cands.join(emb, F.col("cand") == F.col("__nid")).select(
+            "query_id", "qv", cell_col, "cand", dq("__nv").alias("d_q")
         )
-        w = Window.partitionBy("query_id", cell_col).orderBy(
-            F.col("d_q").asc(), F.col("cand").asc()
-        )
+        # checkpoint the Q·nprobe-row frontier each hop: without it every
+        # later broadcast subplan re-executes ALL prior iterations
+        # (nested-broadcast lineage — measured quadratic job blowup), and
+        # a serving system keeps the frontier between hops anyway
         cur = (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("query_id", "qv", cell_col, F.col("cand").alias("cur"))
+            scored.groupBy("query_id", cell_col)
+            .agg(
+                F.min(F.struct(F.col("d_q"), F.col("cand"))).alias("__m"),
+                F.first("qv").alias("qv"),
+            )
+            .select("query_id", "qv", cell_col, F.col("__m.cand").alias("cur"))
+            .localCheckpoint(eager=True)
         )
     # (3) layer-0 two-hop ef expansion (graph edges stay in-cell)
     g0 = graph.filter(F.col("layer") == 0).select(
@@ -265,6 +272,7 @@ def hnsw_greedy_search(
         F.broadcast(cur)
         .join(g0, F.col("cur") == F.col("src"))
         .select("query_id", "qv", F.col("neighbor_id").alias("cand"))
+        .localCheckpoint(eager=True)
     )
     hop2 = (
         F.broadcast(hop1.dropDuplicates(["query_id", "cand"]))

@@ -3170,8 +3170,12 @@ def hnsw_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.hnsw import build_hnsw_graph, hnsw_greedy_search
 
     emb = read_table(spark, sf_dir, "embeddings")
-    nodes = _hnsw_nodes(spark, sf_dir)
-    g = build_hnsw_graph(nodes)
+    # a serving system searches a MATERIALIZED index (the export), never
+    # one rebuilt per frontier join — the unrolled descent references the
+    # graph/node tables ~7 times, so checkpoint both once (without this
+    # the cell-pair build recomputed per reference: measured 38 s vs ~3 s)
+    nodes = _hnsw_nodes(spark, sf_dir).localCheckpoint(eager=True)
+    g = build_hnsw_graph(nodes).localCheckpoint(eager=True)
     qs = emb.filter(F.col("vec_id") < HNSW_EVAL_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
