@@ -171,3 +171,53 @@ def test_no_docstring_eaten_by_template_chain():
                 if isinstance(r, ast.Constant) and isinstance(r.value, str):
                     offenders.append(f"{p}:{node.lineno} {node.name}")
     assert offenders == []
+
+
+def test_exact_ntile_forms_agree_on_random_frames(spark):
+    """r11 property sweep: on randomized frames (varying size, value
+    skew, tie density) the broadcast two-form, the range-bucketed form,
+    and the built-in ntile window all agree BIT-FOR-BIT, in both
+    directions — the bucketed forms additionally for several bucket
+    counts so boundary placement provably cannot move a rank."""
+    from pyspark.sql import Window
+
+    from vectordb_hr_data_spark.operators.quantiles import (
+        with_exact_ntile,
+        with_exact_ntile_range,
+        with_exact_rank_range,
+    )
+
+    rng = random.Random(1311)
+    for trial in range(4):
+        n_rows = rng.randint(2, 200)
+        spread = rng.choice([1, 3, 40, 10**8])
+        rows = [(i, rng.randint(0, spread)) for i in range(n_rows)]
+        df = spark.createDataFrame(rows, "tid long, v long")
+        n = rng.choice([3, 7, 10])
+        desc = rng.random() < 0.5
+        order = [F.col("v").desc() if desc else F.col("v").asc(), F.col("tid").asc()]
+        w = Window.orderBy(*order)
+        want = {
+            (r.tid): (r.t, r.rn)
+            for r in df.select(
+                "tid",
+                F.ntile(n).over(w).cast("long").alias("t"),
+                F.row_number().over(w).cast("long").alias("rn"),
+            ).collect()
+        }
+        got_b = {
+            r.tid: r.t
+            for r in with_exact_ntile(df, n, "v", "tid", "t", descending=desc).collect()
+        }
+        assert got_b == {k: v[0] for k, v in want.items()}, (trial, n_rows, spread)
+        for parts in (2, 5, 16):
+            got_r = {
+                r.tid: (r.t, r.rn)
+                for r in with_exact_ntile_range(
+                    with_exact_rank_range(
+                        df, "v", "tid", "rn", descending=desc, num_parts=parts
+                    ),
+                    n, "v", "tid", "t", descending=desc, num_parts=parts,
+                ).collect()
+            }
+            assert got_r == want, (trial, parts, n_rows, spread)

@@ -189,14 +189,22 @@ def with_exact_rank_range(
         bucket = bucket_expr.cast("long")
     else:
         probs = [i / n_parts for i in range(1, n_parts)]
-        bounds = sorted(set(df.stat.approxQuantile(value_col, probs, 0.001)))
-        if bounds:
-            barr = F.array(*[F.lit(float(b)) for b in bounds])
-            bucket = F.size(
-                F.filter(barr, lambda x: x <= F.col(value_col).cast("double"))
-            ).cast("long")
-        else:
-            bucket = F.lit(0).cast("long")
+        # sketch over a single-column projection: guarantees the boundary
+        # pass prunes to one column, and sidesteps a Spark stat-function
+        # resolution failure observed when the input plan already carries
+        # a bucket HOF + window stack (chained range forms)
+        bounds = sorted(
+            set(df.select(value_col).stat.approxQuantile(value_col, probs, 0.001))
+        )
+        # bucket = |{boundaries <= value}| as a plain SUM of literal
+        # comparisons — pure whole-stage codegen, and deliberately NOT a
+        # higher-order filter(): a lambda capturing the outer value
+        # column mis-binds when a later plan prunes around it (observed
+        # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on chained range forms)
+        vd = F.col(value_col).cast("double")
+        bucket = F.lit(0).cast("long")
+        for b in bounds:
+            bucket = bucket + (F.lit(float(b)) <= vd).cast("long")
     bdf = df.withColumn(bkt_c, bucket)
     cnt = bdf.groupBy(bkt_c).agg(F.count("*").cast("long").alias("__cnt"))
     b_order = F.col(bkt_c).desc() if descending else F.col(bkt_c).asc()
