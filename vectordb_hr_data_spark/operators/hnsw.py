@@ -160,6 +160,134 @@ def export_hnsw_graph(graph: DataFrame, path: str) -> None:
 HNSW_NPROBE = 4
 
 
+def hnsw_probe_candidates(
+    graph: DataFrame,
+    nodes: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = HNSW_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cid",
+) -> DataFrame:
+    """The probe-routed candidate generator behind the SPANN-style search
+    (see ``hnsw_greedy_search`` for the full design rationale): per query,
+    the top-``nprobe`` cells by centroid distance, a per-cell greedy
+    layered descent from the cell entry (fixed unroll, one hop per
+    layer), and a two-hop layer-0 ef expansion. Returns ONE row per
+    (query_id, cand): quantized distance ``d_q`` and ``pn`` = the
+    smallest probe rank whose cell produced the candidate — the tag that
+    lets the recall CURVE derive every nprobe' <= nprobe grid point from
+    this single pass (the one-pass-tagged-grid discipline).
+
+    Scale shape: every step joins a (Q·nprobe)-row frontier (broadcast,
+    checkpointed per hop — nested-broadcast lineage otherwise re-executes
+    all prior iterations) against the id-keyed graph/vector tables —
+    per-step candidate volume Q·nprobe·(2M)², never corpus-sized."""
+    emb = nodes.select(F.col(id_col).alias("__nid"), F.col(vec_col).alias("__nv"))
+
+    def dq(vcol: str) -> Column:
+        return F.round(F.round(V.l2sq(vcol, "qv"), 4) * 10000).cast("long")
+
+    # (1) coarse routing: top-nprobe cells per query, probe rank kept
+    wp = Window.partitionBy("query_id").orderBy(F.col("cd").asc(), F.col(cell_col).asc())
+    probe = (
+        centroids.crossJoin(F.broadcast(queries))
+        .select(
+            "query_id",
+            "qv",
+            cell_col,
+            F.round(V.l2sq("cv", "qv"), 4).alias("cd"),
+        )
+        .withColumn("pn", F.row_number().over(wp).cast("long"))
+        .filter(F.col("pn") <= nprobe)
+        .select("query_id", "qv", cell_col, "pn")
+    )
+    # (2) per-cell entry points (max level, min id within the cell)
+    cell_entry = (
+        nodes.select(
+            F.col(cell_col),
+            F.col(id_col).alias("__id"),
+            hnsw_level_expr(id_col).alias("level"),
+        )
+        .groupBy(cell_col)
+        .agg(F.max(F.struct(F.col("level"), (-F.col("__id")).alias("nid"))).alias("t"))
+        .select(cell_col, (-F.col("t.nid")).cast("long").alias("cur"))
+    )
+    cur = probe.join(F.broadcast(cell_entry), cell_col).select(
+        "query_id", "qv", cell_col, "pn", "cur"
+    )
+    for layer in range(HNSW_MAX_LEVEL, 0, -1):
+        nb = (
+            F.broadcast(cur)
+            .join(
+                graph.filter(F.col("layer") == layer).select(
+                    F.col("vec_id").alias("cur"), "neighbor_id"
+                ),
+                "cur",
+            )
+            .select(
+                "query_id", "qv", cell_col, "pn", F.col("neighbor_id").alias("cand")
+            )
+        )
+        # no dedup needed in-loop (cur is never in its own neighbor list
+        # and lists are distinct); the greedy argmin is a map-side-partial
+        # aggregate on the lexicographic (d_q, cand) struct — an exchange
+        # on (query, cell) instead of a window sort; pn rides along
+        # (functionally determined by the (query, cell) key)
+        cands = cur.select(
+            "query_id", "qv", cell_col, "pn", F.col("cur").alias("cand")
+        ).unionByName(nb)
+        scored = cands.join(emb, F.col("cand") == F.col("__nid")).select(
+            "query_id", "qv", cell_col, "pn", "cand", dq("__nv").alias("d_q")
+        )
+        # checkpoint the Q·nprobe-row frontier each hop: without it every
+        # later broadcast subplan re-executes ALL prior iterations
+        # (nested-broadcast lineage — measured quadratic job blowup), and
+        # a serving system keeps the frontier between hops anyway
+        cur = (
+            scored.groupBy("query_id", cell_col)
+            .agg(
+                F.min(F.struct(F.col("d_q"), F.col("cand"))).alias("__m"),
+                F.first("qv").alias("qv"),
+                F.first("pn").alias("pn"),
+            )
+            .select(
+                "query_id", "qv", cell_col, "pn", F.col("__m.cand").alias("cur")
+            )
+            .localCheckpoint(eager=True)
+        )
+    # (3) layer-0 two-hop ef expansion (graph edges stay in-cell, so a
+    # candidate's cell — hence its pn — is the frontier row's)
+    g0 = graph.filter(F.col("layer") == 0).select(
+        F.col("vec_id").alias("src"), "neighbor_id"
+    )
+    hop1 = (
+        F.broadcast(cur)
+        .join(g0, F.col("cur") == F.col("src"))
+        .select("query_id", "qv", "pn", F.col("neighbor_id").alias("cand"))
+        .localCheckpoint(eager=True)
+    )
+    hop2 = (
+        F.broadcast(hop1.dropDuplicates(["query_id", "cand"]))
+        .join(g0, F.col("cand") == F.col("src"))
+        .select("query_id", "qv", "pn", F.col("neighbor_id").alias("cand"))
+    )
+    # (4) union, exclude self, collapse to one row per (query, cand)
+    # keeping the SMALLEST probe rank that reached it
+    ef = (
+        cur.select("query_id", "qv", "pn", F.col("cur").alias("cand"))
+        .unionByName(hop1)
+        .unionByName(hop2)
+        .filter(F.col("cand") != F.col("query_id"))
+        .groupBy("query_id", "cand")
+        .agg(F.min("pn").alias("pn"), F.first("qv").alias("qv"))
+    )
+    return ef.join(emb, F.col("cand") == F.col("__nid")).select(
+        "query_id", F.col("cand").alias("vec_id"), dq("__nv").alias("d_q"), "pn"
+    )
+
+
 def hnsw_greedy_search(
     graph: DataFrame,
     nodes: DataFrame,
@@ -189,110 +317,22 @@ def hnsw_greedy_search(
     minimum; the single-hop form keeps the unrolled plan fixed and
     deterministic — the recall eval prices the simplification); (3) at
     layer 0 expand TWO hops of neighbor lists as the ef-candidate set;
-    (4) union the probed cells' candidates, exclude the query's own
-    node, exact top-k re-rank.
-
-    Scale shape: every step joins a (Q·nprobe)-row frontier (broadcast)
-    against the id-keyed graph/vector tables — per-step candidate volume
-    is Q·nprobe·(2M)², never corpus-sized; the layer loop is a FIXED
-    unroll. ``queries`` carries (query_id, qv); ``nodes`` carries
-    (id, vector, cell)."""
-    emb = nodes.select(F.col(id_col).alias("__nid"), F.col(vec_col).alias("__nv"))
-
-    def dq(vcol: str) -> Column:
-        return F.round(F.round(V.l2sq(vcol, "qv"), 4) * 10000).cast("long")
-
-    # (1) coarse routing: top-nprobe cells per query
-    wp = Window.partitionBy("query_id").orderBy(F.col("cd").asc(), F.col(cell_col).asc())
-    probe = (
-        centroids.crossJoin(F.broadcast(queries))
-        .select(
-            "query_id",
-            "qv",
-            cell_col,
-            F.round(V.l2sq("cv", "qv"), 4).alias("cd"),
-        )
-        .withColumn("__pn", F.row_number().over(wp))
-        .filter(F.col("__pn") <= nprobe)
-        .select("query_id", "qv", cell_col)
-    )
-    # (2) per-cell entry points (max level, min id within the cell)
-    cell_entry = (
-        nodes.select(
-            F.col(cell_col),
-            F.col(id_col).alias("__id"),
-            hnsw_level_expr(id_col).alias("level"),
-        )
-        .groupBy(cell_col)
-        .agg(F.max(F.struct(F.col("level"), (-F.col("__id")).alias("nid"))).alias("t"))
-        .select(cell_col, (-F.col("t.nid")).cast("long").alias("cur"))
-    )
-    cur = probe.join(F.broadcast(cell_entry), cell_col).select(
-        "query_id", "qv", cell_col, "cur"
-    )
-    for layer in range(HNSW_MAX_LEVEL, 0, -1):
-        nb = (
-            F.broadcast(cur)
-            .join(
-                graph.filter(F.col("layer") == layer).select(
-                    F.col("vec_id").alias("cur"), "neighbor_id"
-                ),
-                "cur",
-            )
-            .select("query_id", "qv", cell_col, F.col("neighbor_id").alias("cand"))
-        )
-        # no dedup needed in-loop (cur is never in its own neighbor list
-        # and lists are distinct); the greedy argmin is a map-side-partial
-        # aggregate on the lexicographic (d_q, cand) struct — an exchange
-        # on (query, cell) instead of a window sort
-        cands = cur.select(
-            "query_id", "qv", cell_col, F.col("cur").alias("cand")
-        ).unionByName(nb)
-        scored = cands.join(emb, F.col("cand") == F.col("__nid")).select(
-            "query_id", "qv", cell_col, "cand", dq("__nv").alias("d_q")
-        )
-        # checkpoint the Q·nprobe-row frontier each hop: without it every
-        # later broadcast subplan re-executes ALL prior iterations
-        # (nested-broadcast lineage — measured quadratic job blowup), and
-        # a serving system keeps the frontier between hops anyway
-        cur = (
-            scored.groupBy("query_id", cell_col)
-            .agg(
-                F.min(F.struct(F.col("d_q"), F.col("cand"))).alias("__m"),
-                F.first("qv").alias("qv"),
-            )
-            .select("query_id", "qv", cell_col, F.col("__m.cand").alias("cur"))
-            .localCheckpoint(eager=True)
-        )
-    # (3) layer-0 two-hop ef expansion (graph edges stay in-cell)
-    g0 = graph.filter(F.col("layer") == 0).select(
-        F.col("vec_id").alias("src"), "neighbor_id"
-    )
-    hop1 = (
-        F.broadcast(cur)
-        .join(g0, F.col("cur") == F.col("src"))
-        .select("query_id", "qv", F.col("neighbor_id").alias("cand"))
-        .localCheckpoint(eager=True)
-    )
-    hop2 = (
-        F.broadcast(hop1.dropDuplicates(["query_id", "cand"]))
-        .join(g0, F.col("cand") == F.col("src"))
-        .select("query_id", "qv", F.col("neighbor_id").alias("cand"))
-    )
-    # (4) union, exclude self, exact top-k
-    ef = (
-        cur.select("query_id", "qv", F.col("cur").alias("cand"))
-        .unionByName(hop1)
-        .unionByName(hop2)
-        .dropDuplicates(["query_id", "cand"])
-        .filter(F.col("cand") != F.col("query_id"))
-    )
-    scored = ef.join(emb, F.col("cand") == F.col("__nid")).select(
-        "query_id", F.col("cand").alias("vec_id"), dq("__nv").alias("d_q")
+    (4) union the probed cells\' candidates, exclude the query\'s own
+    node, exact top-k re-rank. Candidate generation is
+    ``hnsw_probe_candidates`` (shared with the recall curve)."""
+    cands = hnsw_probe_candidates(
+        graph,
+        nodes,
+        queries,
+        centroids,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        cell_col=cell_col,
     )
     w = Window.partitionBy("query_id").orderBy(F.col("d_q").asc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        cands.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
         .select("query_id", "rk", "vec_id", "d_q")
     )

@@ -104,11 +104,13 @@ PRIORITY: list[str] = [
     # r11 rows-only threshold twins of the two exact-rank selection cuts
     # (approx_percentile is engine-specific; drift-bound pytests pin them)
     "dsir_importance_threshold", "quality_prep_threshold",
-    # r11 new oracles (B224-B227): batch HNSW-style graph construction,
-    # stats header, SPANN-style probe-routed search, recall gate — join
-    # the never-windowed queue for r12
+    # r11 new oracles (B224-B231): batch HNSW-style graph construction,
+    # stats header, SPANN-style probe-routed search, recall gate, the
+    # one-pass nprobe→recall curve, l-diversity audit, per-dim embedding
+    # quantiles — join the never-windowed queue for r12
     "hnsw_graph_build", "hnsw_graph_stats",
-    "hnsw_graph_search", "hnsw_recall_eval",
+    "hnsw_graph_search", "hnsw_recall_eval", "hnsw_nprobe_recall_curve",
+    "doc_l_diversity_audit", "embedding_dim_quantiles",
     # --- queries holding r7-r10 driver rows, stalest-first for later
     # re-rotation; relative order unchanged from r10 ---
     "doc_ngram_novelty", "events_funnel_windowed", "rec_coverage_diversity",

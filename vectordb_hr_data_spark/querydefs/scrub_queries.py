@@ -520,3 +520,110 @@ def release_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leak)
         .orderBy("check_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# B229: l-diversity audit (attribute disclosure, the gate k-anonymity misses)
+# ---------------------------------------------------------------------------
+# k-anonymity (B120) bounds RE-IDENTIFICATION: every quasi-identifier
+# class has >= k rows. It says nothing about ATTRIBUTE DISCLOSURE — a
+# class of 50 rows that all share one sensitive value leaks that value
+# for every member without identifying any of them. l-diversity
+# (Machanavajjhala et al., ICDE'06) closes that: every class must carry
+# >= l distinct sensitive values, and the entropy variant requires the
+# value DISTRIBUTION to be diverse, not just its support. Same QI tuple
+# as B120 (lang, source, length decile via the exact-ntile discipline);
+# the sensitive attribute is synthesized deterministically (a topic
+# bucket from the document's leading token — the fixture carries no
+# natural sensitive column; the audit is written against any value
+# column). Entropy follows the B183 integer micro-nat contract. Scale
+# shape: one groupBy on (QI, topic) then one on QI — both bounded
+# cardinality; nothing corpus-wide but the decile assignment.
+L_DIVERSITY = 3
+TOPIC_BUCKETS = 8
+
+_TOPIC_SPARK = (
+    "cast(conv(substring(md5(concat(split(text, ' ')[0], ':topic')), 1, 8), 16, 10)"
+    f" as bigint) % {TOPIC_BUCKETS}"
+)
+_TOPIC_DDB = (
+    "CAST(('0x' || substr(md5(string_split(text, ' ')[1] || ':topic'), 1, 8)) AS BIGINT)"
+    f" % {TOPIC_BUCKETS}"
+)
+
+
+@register(
+    "doc_l_diversity_audit",
+    f"""
+WITH binned AS (
+  SELECT lang, source, {_TOPIC_DDB} AS topic,
+         ntile(10) OVER (ORDER BY n_chars, doc_id) AS len_decile
+  FROM documents
+), cells AS (
+  SELECT lang, source, CAST(len_decile AS BIGINT) AS len_decile, topic,
+         CAST(count(*) AS BIGINT) AS n
+  FROM binned GROUP BY lang, source, len_decile, topic
+), tot AS (
+  SELECT lang, source, len_decile, CAST(sum(n) AS BIGINT) AS nt
+  FROM cells GROUP BY lang, source, len_decile
+), classes AS (
+  SELECT c.lang, c.source, c.len_decile,
+         CAST(max(t.nt) AS BIGINT) AS class_size,
+         CAST(count(*) AS BIGINT) AS n_topics,
+         CAST(sum(c.n * CAST(round(-ln(c.n * 1.0 / t.nt) * 1000000) AS BIGINT))
+              // max(t.nt) AS BIGINT) AS entropy_micronat
+  FROM cells c JOIN tot t
+    ON t.lang = c.lang AND t.source = c.source AND t.len_decile = c.len_decile
+  GROUP BY c.lang, c.source, c.len_decile
+)
+SELECT lang, source, len_decile, class_size, n_topics,
+       n_topics < {L_DIVERSITY} AS below_l,
+       entropy_micronat
+FROM classes
+ORDER BY lang, source, len_decile
+""",
+)
+def doc_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the B120 quasi-identifier classes (B229):
+    per-class distinct sensitive-topic count, below-l flag, and the
+    exact integer micro-nat entropy of the topic distribution — the
+    attribute-disclosure gate beside the re-identification one."""
+    from ..operators.quantiles import with_exact_ntile
+
+    d = read_table(spark, sf_dir, "documents")
+    binned = with_exact_ntile(
+        d.select("lang", "source", "n_chars", "doc_id", F.expr(_TOPIC_SPARK).alias("topic")),
+        10,
+        "n_chars",
+        "doc_id",
+        "len_decile",
+    ).select("lang", "source", F.col("len_decile").cast("long").alias("len_decile"), "topic")
+    cells = binned.groupBy("lang", "source", "len_decile", "topic").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = cells.groupBy("lang", "source", "len_decile").agg(
+        F.sum("n").cast("long").alias("nt")
+    )
+    return (
+        cells.join(tot, ["lang", "source", "len_decile"])
+        .groupBy("lang", "source", "len_decile")
+        .agg(
+            F.max("nt").cast("long").alias("class_size"),
+            F.count("*").cast("long").alias("n_topics"),
+            F.expr(
+                "sum(n * cast(round(-ln(n * 1.0 / nt) * 1000000) as bigint)) div max(nt)"
+            )
+            .cast("long")
+            .alias("entropy_micronat"),
+        )
+        .select(
+            "lang",
+            "source",
+            "len_decile",
+            "class_size",
+            "n_topics",
+            (F.col("n_topics") < L_DIVERSITY).alias("below_l"),
+            "entropy_micronat",
+        )
+        .orderBy("lang", "source", "len_decile")
+    )

@@ -3062,11 +3062,13 @@ def _hnsw_l2sq_ddb(a: str, b: str) -> str:
     )
 
 
-def _hnsw_search_ddb(k: int, q: int) -> str:
+def _hnsw_cand_ddb(q: int, nprobe: int) -> str:
     """CTE chain (assumes `nodes` and `graph` defined): coarse-probe
-    routing + per-cell fixed-unroll greedy descent, ending in a CTE
-    `res`(query_id, rk, vec_id, d_q)."""
-    from ..operators.hnsw import HNSW_MAX_LEVEL, HNSW_NPROBE
+    routing + per-cell fixed-unroll greedy descent + two-hop layer-0 ef,
+    ending in a CTE `cand`(query_id, vec_id, d_q, pn) where pn is the
+    smallest probe rank that reached the candidate — the tag the recall
+    curve derives its whole nprobe grid from."""
+    from ..operators.hnsw import HNSW_MAX_LEVEL
 
     dq = (
         "CAST(round(round("
@@ -3077,12 +3079,12 @@ def _hnsw_search_ddb(k: int, q: int) -> str:
         f"qs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings"
         f" WHERE vec_id < {q})",
         f"""probe AS (
-  SELECT query_id, cid FROM (
+  SELECT query_id, cid, pn FROM (
     SELECT q.query_id, c.cid,
            row_number() OVER (PARTITION BY q.query_id
              ORDER BY round({_hnsw_l2sq_ddb("c.cv", "q.qv")}, 4), c.cid) AS pn
     FROM cents c CROSS JOIN qs q
-  ) WHERE pn <= {HNSW_NPROBE}
+  ) WHERE pn <= {nprobe}
 )""",
         """cellent AS (
   SELECT cid, vec_id AS cur FROM (
@@ -3091,22 +3093,22 @@ def _hnsw_search_ddb(k: int, q: int) -> str:
     FROM nodes
   ) WHERE rn = 1
 )""",
-        f"s{HNSW_MAX_LEVEL} AS (SELECT p.query_id, p.cid, ce.cur"
+        f"s{HNSW_MAX_LEVEL} AS (SELECT p.query_id, p.cid, p.pn, ce.cur"
         f" FROM probe p JOIN cellent ce ON ce.cid = p.cid)",
     ]
     for layer in range(HNSW_MAX_LEVEL, 0, -1):
         parts.append(
             f"""c{layer} AS (
-  SELECT query_id, cid, cur AS cand FROM s{layer}
+  SELECT query_id, cid, pn, cur AS cand FROM s{layer}
   UNION
-  SELECT s.query_id, s.cid, g.neighbor_id AS cand
+  SELECT s.query_id, s.cid, s.pn, g.neighbor_id AS cand
   FROM s{layer} s JOIN graph g ON g.vec_id = s.cur AND g.layer = {layer}
 )"""
         )
         parts.append(
             f"""s{layer - 1} AS (
-  SELECT query_id, cid, cand AS cur FROM (
-    SELECT c.query_id, c.cid, c.cand,
+  SELECT query_id, cid, pn, cand AS cur FROM (
+    SELECT c.query_id, c.cid, c.pn, c.cand,
            row_number() OVER (PARTITION BY c.query_id, c.cid ORDER BY {dq}, c.cand) AS rn
     FROM c{layer} c
     JOIN qs q ON q.query_id = c.query_id
@@ -3116,43 +3118,48 @@ def _hnsw_search_ddb(k: int, q: int) -> str:
         )
     parts.append(
         """h1 AS (
-  SELECT s.query_id, g.neighbor_id AS cand
+  SELECT s.query_id, s.pn, g.neighbor_id AS cand
   FROM s0 s JOIN graph g ON g.vec_id = s.cur AND g.layer = 0
 )"""
     )
     parts.append(
         """efc AS (
-  SELECT DISTINCT query_id, cand FROM (
-    SELECT query_id, cur AS cand FROM s0
-    UNION ALL SELECT query_id, cand FROM h1
-    UNION ALL SELECT h.query_id, g2.neighbor_id AS cand
+  SELECT query_id, cand, CAST(min(pn) AS BIGINT) AS pn FROM (
+    SELECT query_id, pn, cur AS cand FROM s0
+    UNION ALL SELECT query_id, pn, cand FROM h1
+    UNION ALL SELECT h.query_id, h.pn, g2.neighbor_id AS cand
     FROM h1 h JOIN graph g2 ON g2.vec_id = h.cand AND g2.layer = 0
   ) WHERE cand <> query_id
+  GROUP BY query_id, cand
 )"""
     )
     parts.append(
-        f"""res AS (
-  SELECT query_id, CAST(rk AS BIGINT) AS rk, cand AS vec_id, dqv AS d_q FROM (
-    SELECT c.query_id, c.cand, {dq} AS dqv,
-           row_number() OVER (PARTITION BY c.query_id ORDER BY {dq}, c.cand) AS rk
-    FROM efc c
-    JOIN qs q ON q.query_id = c.query_id
-    JOIN embeddings e ON e.vec_id = c.cand
-  ) WHERE rk <= {k}
+        f"""cand AS (
+  SELECT c.query_id, c.cand AS vec_id, {dq} AS d_q, c.pn
+  FROM efc c
+  JOIN qs q ON q.query_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.cand
 )"""
     )
     return ",\n".join(parts)
 
 
 def _hnsw_search_oracle() -> str:
-    from ..operators.hnsw import HNSW_M, hnsw_level_sql
+    from ..operators.hnsw import HNSW_M, HNSW_NPROBE, hnsw_level_sql
 
     nodes = _HNSW_NODES_DDB.format(level_sql=hnsw_level_sql("e.vec_id"))
     graph = _HNSW_GRAPH_DDB.format(m0=2 * HNSW_M, m=HNSW_M)
-    chain = _hnsw_search_ddb(HNSW_SEARCH_K, HNSW_EVAL_QUERIES)
+    chain = _hnsw_cand_ddb(HNSW_EVAL_QUERIES, HNSW_NPROBE)
     return f"""
 WITH {nodes}, {graph},
-{chain}
+{chain},
+res AS (
+  SELECT query_id, CAST(rk AS BIGINT) AS rk, vec_id, d_q FROM (
+    SELECT query_id, vec_id, d_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY d_q, vec_id) AS rk
+    FROM cand
+  ) WHERE rk <= {HNSW_SEARCH_K}
+)
 SELECT query_id, rk, vec_id, d_q FROM res
 ORDER BY query_id, rk
 """
@@ -3193,7 +3200,9 @@ def _hnsw_recall_oracle() -> str:
 
     nodes = _HNSW_NODES_DDB.format(level_sql=hnsw_level_sql("e.vec_id"))
     graph = _HNSW_GRAPH_DDB.format(m0=2 * HNSW_M, m=HNSW_M)
-    chain = _hnsw_search_ddb(HNSW_SEARCH_K, HNSW_EVAL_QUERIES)
+    from ..operators.hnsw import HNSW_NPROBE
+
+    chain = _hnsw_cand_ddb(HNSW_EVAL_QUERIES, HNSW_NPROBE)
     dq = (
         "CAST(round(round("
         + _hnsw_l2sq_ddb("e.embedding", "q.qv")
@@ -3202,6 +3211,13 @@ def _hnsw_recall_oracle() -> str:
     return f"""
 WITH {nodes}, {graph},
 {chain},
+res AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY d_q, vec_id) AS rk
+    FROM cand
+  ) WHERE rk <= {HNSW_SEARCH_K}
+),
 exact AS (
   SELECT query_id, vec_id FROM (
     SELECT q.query_id, e.vec_id,
@@ -3271,3 +3287,223 @@ def hnsw_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("query_id")
     )
 hnsw_recall_eval.__doc__ = hnsw_recall_eval.__doc__.replace("{k}", str(HNSW_SEARCH_K))  # template scale constants into the (real) docstring
+
+
+# ---------------------------------------------------------------------------
+# B231: HNSW nprobe→recall curve from ONE tagged candidate pass (r11)
+# ---------------------------------------------------------------------------
+# The graph search's tuning contract, priced like the IVF one (B201):
+# recall@k AND mean candidate count per nprobe in {1,2,4,8}, all derived
+# from a SINGLE candidate generation at nprobe=8 — each candidate
+# carries pn = the smallest probe rank that reached it, and per-cell
+# descents are independent, so "the candidate set at nprobe' " is
+# exactly "candidates with pn <= nprobe'" (the one-pass-tagged-grid
+# discipline). The curve is what an operator reads to pick nprobe
+# against a recall SLA: each row prices recall against candidates
+# scanned.
+HNSW_CURVE_GRID = [1, 2, 4, 8]
+
+
+def _hnsw_curve_oracle() -> str:
+    from ..operators.hnsw import HNSW_M, hnsw_level_sql
+
+    nodes = _HNSW_NODES_DDB.format(level_sql=hnsw_level_sql("e.vec_id"))
+    graph = _HNSW_GRAPH_DDB.format(m0=2 * HNSW_M, m=HNSW_M)
+    chain = _hnsw_cand_ddb(HNSW_EVAL_QUERIES, max(HNSW_CURVE_GRID))
+    dq = (
+        "CAST(round(round("
+        + _hnsw_l2sq_ddb("e.embedding", "q.qv")
+        + ", 4) * 10000) AS BIGINT)"
+    )
+    grid_vals = ", ".join(f"({g})" for g in HNSW_CURVE_GRID)
+    return f"""
+WITH {nodes}, {graph},
+{chain},
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY {dq}, e.vec_id) AS rn
+    FROM embeddings e CROSS JOIN qs q
+    WHERE e.vec_id <> q.query_id
+  ) WHERE rn <= {HNSW_SEARCH_K}
+),
+grid(np) AS (VALUES {grid_vals}),
+sel AS (
+  SELECT g.np, c.query_id, c.vec_id,
+         row_number() OVER (PARTITION BY g.np, c.query_id
+                            ORDER BY c.d_q, c.vec_id) AS rk
+  FROM grid g JOIN cand c ON c.pn <= g.np
+),
+hits AS (
+  SELECT s.np, CAST(count(*) AS BIGINT) AS total_hits
+  FROM (SELECT np, query_id, vec_id FROM sel WHERE rk <= {HNSW_SEARCH_K}) s
+  JOIN exact x ON x.query_id = s.query_id AND x.vec_id = s.vec_id
+  GROUP BY s.np
+),
+ncand AS (
+  SELECT g.np, CAST(count(DISTINCT c.query_id) AS BIGINT) AS n_queries,
+         CAST(count(*) AS BIGINT) AS total_cands
+  FROM grid g JOIN cand c ON c.pn <= g.np
+  GROUP BY g.np
+)
+SELECT CAST(n.np AS BIGINT) AS nprobe, n.n_queries,
+       CAST(coalesce(h.total_hits, 0) * 1000 // (n.n_queries * {HNSW_SEARCH_K})
+            AS BIGINT) AS mean_recall_milli,
+       CAST(n.total_cands // n.n_queries AS BIGINT) AS mean_candidates
+FROM ncand n LEFT JOIN hits h ON h.np = n.np
+ORDER BY nprobe
+"""
+
+
+@register("hnsw_nprobe_recall_curve", _hnsw_curve_oracle())
+def hnsw_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 and candidates-scanned per nprobe in {1,2,4,8} for the
+    SPANN-style graph search (B231), derived from ONE pn-tagged candidate
+    pass at the widest setting — a curve costs one search, not |grid|
+    searches."""
+    from ..operators.hnsw import build_hnsw_graph, hnsw_probe_candidates
+    from ..operators.knn import local_topk_per_key
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    nodes = _hnsw_nodes(spark, sf_dir).localCheckpoint(eager=True)
+    g = build_hnsw_graph(nodes).localCheckpoint(eager=True)
+    qs = emb.filter(F.col("vec_id") < HNSW_EVAL_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    cands = hnsw_probe_candidates(
+        g, nodes, qs, cents, nprobe=max(HNSW_CURVE_GRID)
+    ).localCheckpoint(eager=True)
+    grid = spark.createDataFrame([(g_,) for g_ in HNSW_CURVE_GRID], "np int")
+    sel = F.broadcast(grid).join(cands, F.col("pn") <= F.col("np"))
+    w = Window.partitionBy("np", "query_id").orderBy(
+        F.col("d_q").asc(), F.col("vec_id").asc()
+    )
+    topk = (
+        sel.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HNSW_SEARCH_K)
+        .select("np", "query_id", "vec_id")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.round(V.l2sq("embedding", "qv"), 4) * 10000)
+            .cast("long")
+            .alias("d_q"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("d_q").asc(), F.col("vec_id").asc())
+    exact = (
+        local_topk_per_key(
+            scored, key_col="query_id", order_cols=("d_q", "vec_id"), k=HNSW_SEARCH_K
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= HNSW_SEARCH_K)
+        .select("query_id", "vec_id")
+    )
+    hits = topk.join(exact, ["query_id", "vec_id"]).groupBy("np").agg(
+        F.count("*").cast("long").alias("total_hits")
+    )
+    ncand = sel.groupBy("np").agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("total_cands"),
+    )
+    return (
+        ncand.join(hits, "np", "left")
+        .select(
+            F.col("np").cast("long").alias("nprobe"),
+            "n_queries",
+            F.expr(
+                f"coalesce(total_hits, 0) * 1000 div (n_queries * {HNSW_SEARCH_K})"
+            )
+            .cast("long")
+            .alias("mean_recall_milli"),
+            F.expr("total_cands div n_queries").cast("long").alias("mean_candidates"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B230: exact per-dimension embedding quantiles (distribution profile) (r11)
+# ---------------------------------------------------------------------------
+# embedding_dim_stats (B64) gives moments; quantization/whitening design
+# needs the QUANTILES — and at corpus scale "exact per-dim quantile"
+# sounds like 64 corpus-wide sorts. It is not: milli-quantized elements
+# have BOUNDED distinct cardinality per dim, so the exact-rank two-form
+# applies — counts per (dim, value) reduce map-side, the only windows
+# run over that aggregated bounded table PARTITIONED BY dim, and each
+# quantile is "the smallest value whose running count reaches
+# ceil(q·N)" (the lower exact quantile, ntile-consistent). Output: one
+# row per dim with p25/p50/p75 and the IQR — the clipping/scale table a
+# quantizer reads.
+@register(
+    "embedding_dim_quantiles",
+    """
+WITH e AS (
+  SELECT CAST(i AS INT) - 1 AS dim,
+         CAST(round(embedding[CAST(i AS INT)] * 1000.0) AS BIGINT) AS vm
+  FROM embeddings,
+       unnest(range(1, len(embedding) + 1)) AS t(i)
+), cnt AS (
+  SELECT dim, vm, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY dim, vm
+), cum AS (
+  SELECT dim, vm, n,
+         CAST(sum(n) OVER (PARTITION BY dim ORDER BY vm
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c,
+         CAST(sum(n) OVER (PARTITION BY dim) AS BIGINT) AS nt
+  FROM cnt
+)
+SELECT CAST(dim AS INT) AS dim, CAST(max(nt) AS BIGINT) AS n,
+       CAST(min(CASE WHEN c >= CAST(ceil(0.25 * nt) AS BIGINT) THEN vm END) AS BIGINT) AS p25_milli,
+       CAST(min(CASE WHEN c >= CAST(ceil(0.50 * nt) AS BIGINT) THEN vm END) AS BIGINT) AS p50_milli,
+       CAST(min(CASE WHEN c >= CAST(ceil(0.75 * nt) AS BIGINT) THEN vm END) AS BIGINT) AS p75_milli,
+       CAST(min(CASE WHEN c >= CAST(ceil(0.75 * nt) AS BIGINT) THEN vm END)
+            - min(CASE WHEN c >= CAST(ceil(0.25 * nt) AS BIGINT) THEN vm END) AS BIGINT) AS iqr_milli
+FROM cum
+GROUP BY dim
+ORDER BY dim
+""",
+)
+def embedding_dim_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-dimension p25/p50/p75/IQR of milli-quantized embedding
+    elements (B230) — the two-form discipline: bounded (dim, value)
+    counts, dim-partitioned running sums over the AGGREGATED table,
+    quantiles as conditional mins. Never a corpus-wide sort."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(F.posexplode("embedding").alias("dim", "ev")).select(
+        "dim", F.round(F.col("ev").cast("double") * 1000.0, 0).cast("long").alias("vm")
+    )
+    cnt = e.groupBy("dim", "vm").agg(F.count("*").cast("long").alias("n"))
+    w_c = (
+        Window.partitionBy("dim")
+        .orderBy(F.col("vm").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cnt.select(
+        "dim",
+        "vm",
+        F.sum("n").over(w_c).cast("long").alias("c"),
+        F.sum("n").over(Window.partitionBy("dim")).cast("long").alias("nt"),
+    )
+    def q(p: float):
+        return F.min(
+            F.when(F.col("c") >= F.ceil(F.lit(p) * F.col("nt")).cast("long"), F.col("vm"))
+        ).cast("long")
+    return (
+        cum.groupBy("dim")
+        .agg(
+            F.max("nt").cast("long").alias("n"),
+            q(0.25).alias("p25_milli"),
+            q(0.50).alias("p50_milli"),
+            q(0.75).alias("p75_milli"),
+            (q(0.75) - q(0.25)).cast("long").alias("iqr_milli"),
+        )
+        .select("dim", "n", "p25_milli", "p50_milli", "p75_milli", "iqr_milli")
+        .orderBy("dim")
+    )
