@@ -1,0 +1,150 @@
+"""Regression tests for the r12 fixes: the four ADVICE r11 items
+(with_exact_rank_range's eager double-execution of the upstream plan, the
+non-integer shuffle-partitions conf, the KMV state-format version marker,
+the z-order comment drift — the last is prose-only) and the VERDICT r11
+registry-size guard (finding #2: the loader's deliberate ImportError
+swallow must never silently shrink the checked surface on the driver)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# VERDICT r11 finding #2: the registry loader swallows ImportError for UDF
+# workers; on the DRIVER a broken querydef module would silently shrink the
+# registry. This pins both the module set and the exact registry size —
+# update EXPECTED_REGISTRY_SIZE whenever queries are added.
+# ---------------------------------------------------------------------------
+
+EXPECTED_MODULES = {
+    "vector_queries",
+    "relational_queries",
+    "text_queries",
+    "dedup_queries",
+    "event_queries",
+    "hr_queries",
+    "similarity_queries",
+    "udf_queries",
+    "subquery_queries",
+    "tpch_more_queries",
+    "pipeline_queries",
+    "scrub_queries",
+    "tokenizer_queries",
+}
+EXPECTED_REGISTRY_SIZE = 316
+
+
+def test_registry_all_modules_loaded_and_full_size():
+    from vectordb_hr_data_spark import queries as q
+
+    loaded = {m.__name__.rsplit(".", 1)[-1] for m in q._MODULES}
+    assert loaded == EXPECTED_MODULES, (
+        f"querydef modules silently dropped: {EXPECTED_MODULES - loaded}"
+    )
+    assert len(q.REGISTRY) == EXPECTED_REGISTRY_SIZE, (
+        f"registry holds {len(q.REGISTRY)} queries, expected"
+        f" {EXPECTED_REGISTRY_SIZE} — a querydef import broke (the loader"
+        " tolerates ImportError for UDF workers) or a query was added"
+        " without bumping EXPECTED_REGISTRY_SIZE"
+    )
+    # every PRIORITY name resolves (the _ordered() invariant, asserted
+    # here too so a rename fails THIS test with a readable message)
+    missing = [n for n in q.PRIORITY if n not in q.REGISTRY]
+    assert not missing, f"PRIORITY names not registered: {missing}"
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r11 #1: the boundary sketch must not re-execute the upstream plan
+# — the input is persisted, so sketch + count-branch + rank-branch share
+# ONE computation.
+# ---------------------------------------------------------------------------
+
+
+def test_rank_range_sketch_single_upstream_pass(spark):
+    from pyspark.sql.functions import pandas_udf
+
+    from vectordb_hr_data_spark.operators.quantiles import with_exact_rank_range
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @pandas_udf("long")
+    def traced(s):
+        acc.add(int(len(s)))
+        return s
+
+    n = 500
+    base = spark.range(n).select(
+        traced(F.col("id")).alias("v"), F.col("id").alias("tid")
+    )
+    ranked = with_exact_rank_range(base, "v", "tid", "rn", num_parts=8)
+    got = {r.tid: r.rn for r in ranked.collect()}
+    assert got == {i: i + 1 for i in range(n)}
+    # pre-fix this was 3n: the sketch pass, the bucket-count branch, and
+    # the rank branch each re-ran the upstream plan
+    assert acc.value == n, f"upstream executed {acc.value / n:.1f}x, want 1x"
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r11 #2: a non-integer spark.sql.shuffle.partitions ("auto" under
+# some AQE managers) must fall back to defaultParallelism, not raise.
+# ---------------------------------------------------------------------------
+
+
+def test_rank_range_non_integer_shuffle_conf(spark, monkeypatch):
+    from vectordb_hr_data_spark.operators.quantiles import with_exact_rank_range
+
+    conf_obj = spark.conf
+    assert spark.conf is conf_obj  # the property is cached; patching sticks
+    orig_get = conf_obj.get
+
+    def fake_get(key, default=None):
+        if key == "spark.sql.shuffle.partitions":
+            return "auto"
+        return orig_get(key) if default is None else orig_get(key, default)
+
+    monkeypatch.setattr(conf_obj, "get", fake_get)
+    base = spark.range(100).select(F.col("id").alias("v"), F.col("id").alias("tid"))
+    ranked = with_exact_rank_range(base, "v", "tid", "rn")
+    got = {r.tid: r.rn for r in ranked.collect()}
+    assert got == {i: i + 1 for i in range(100)}
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r11 #3: KMV state format version — pre-r11 K-capped states (no
+# kmv_ver column) and any stale version must be refused with a named error,
+# never silently read as "exact count of K".
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_state_version_guard(spark, tmp_path):
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        KMV_STATE_VER,
+        kmv_from_state,
+    )
+
+    versionless = spark.createDataFrame(
+        [("s", [1, 2, 3], 3)], "source string, ks array<bigint>, n_rows long"
+    )
+    p0 = str(tmp_path / "kmv_versionless")
+    versionless.write.parquet(p0)
+    with pytest.raises(RuntimeError, match="kmv_ver"):
+        kmv_from_state(spark, p0)
+
+    stale = spark.createDataFrame(
+        [("s", [1, 2, 3], 3, KMV_STATE_VER - 1)],
+        "source string, ks array<bigint>, n_rows long, kmv_ver int",
+    )
+    p1 = str(tmp_path / "kmv_stale")
+    stale.write.parquet(p1)
+    with pytest.raises(RuntimeError, match="rebuild"):
+        kmv_from_state(spark, p1)
+
+    current = spark.createDataFrame(
+        [("s", [10, 20, 30], 3, KMV_STATE_VER)],
+        "source string, ks array<bigint>, n_rows long, kmv_ver int",
+    )
+    p2 = str(tmp_path / "kmv_current")
+    current.write.parquet(p2)
+    got = {r.source: r.n_distinct_est for r in kmv_from_state(spark, p2).collect()}
+    assert got == {"s": 3}  # nd <= K exact branch

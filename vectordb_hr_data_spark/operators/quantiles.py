@@ -181,13 +181,31 @@ def with_exact_rank_range(
     NON-DECREASING in ``value_col`` works (e.g. ``value div 2048`` for a
     key bounded by construction, like a 16-bit Morton code) — it skips
     the boundary-sketch pass and keeps bucketing in whole-stage codegen.
+
+    NOTE (ADVICE r11): without ``bucket_expr``, CONSTRUCTING the result
+    is an action — the boundary sketch runs one Spark job over the input
+    plan at build time. The input is ``persist()``-ed first so the sketch
+    pass and the rank pass share ONE computation of the upstream plan
+    (previously the upstream aggregate executed twice); plan-audit
+    callers that must stay lazy should pass ``bucket_expr``.
     """
     spark = df.sparkSession
-    n_parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if num_parts is not None:
+        n_parts = num_parts
+    else:
+        try:
+            n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except ValueError:
+            # deployments set the conf to non-integers ("auto" under some
+            # AQE managers); the bucket budget only needs a sane default
+            n_parts = spark.sparkContext.defaultParallelism
     bkt_c, off_c = f"__{out_col}_bkt", f"__{out_col}_off"
     if bucket_expr is not None:
         bucket = bucket_expr.cast("long")
     else:
+        # MEMORY_AND_DISK by default: the sketch pass below materializes
+        # the cache, the rank pass reuses it — the upstream plan runs once
+        df = df.persist()
         probs = [i / n_parts for i in range(1, n_parts)]
         # sketch over a single-column projection: guarantees the boundary
         # pass prunes to one column, and sidesteps a Spark stat-function

@@ -610,12 +610,14 @@ def merge_scd2(dim: DataFrame, batch: DataFrame) -> DataFrame:
 # div range; shifts), so the oracle replays zval and the file assignment
 # bit-for-bit. File ids come from the exact zval rank computed the same
 # way the production write lays files out (io.compact_clustered):
-# repartitionByRange(zval, event_id) + partition-local ranks + a
-# |partitions|-row offset merge (operators.quantiles
-# .with_exact_rank_range) — identical numbers to a global row_number,
-# with no single task ever sorting the full event corpus (VERDICT r10
-# item 4). The compaction pytest still exercises the real write path
-# end-to-end and measures the file-skipping win.
+# fixed `zval div 2048` range buckets (a pure value function of the
+# 16-bit Morton code, in whole-stage codegen — no boundary sketch, no
+# range exchange), bucket-local ranks + a |buckets|-row offset merge
+# (operators.quantiles.with_exact_rank_range, bucket_expr form) —
+# identical numbers to a global row_number, with no single task ever
+# sorting the full event corpus (VERDICT r10 item 4). The compaction
+# pytest still exercises the real write path end-to-end and measures the
+# file-skipping win.
 ZORDER_ROWS_PER_FILE = 1000
 
 
@@ -663,9 +665,9 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     interleave, zval-ordered file ids (B51). The extremes frame is a
     1-row broadcast; quantization and interleave are map-side integer
     expressions in whole-stage codegen; the file-id rank is the
-    range-bucketed exact-rank form (literal quantile boundaries on zval,
-    bucket-local ranks + offset merge — see
-    operators.quantiles.with_exact_rank_range)."""
+    range-bucketed exact-rank form on fixed ``zval div 2048`` buckets
+    (a pure value function — no boundary sketch; bucket-local ranks +
+    offset merge — see operators.quantiles.with_exact_rank_range)."""
     ev = read_table(spark, sf_dir, "events")
     ext = ev.agg(
         F.min(F.unix_micros("ts")).alias("t0"),

@@ -1597,6 +1597,12 @@ def source_fingerprint_from_state(spark: SparkSession, state_path: str) -> DataF
     return spark.read.parquet(state_path).orderBy("source")
 
 
+# KMV state layout version: 2 = K+1-smallest-hashes layout (the r11
+# exact/estimate boundary fix). Bump whenever the persisted shape changes
+# in a way the schema alone cannot reveal.
+KMV_STATE_VER = 2
+
+
 def stream_kmv_sketch(doc_stream: DataFrame, state_path: str) -> None:
     """Streaming maintenance of the B190 KMV distinct sketch via
     ``stream_mergeable_agg`` — the first ARRAY-valued mergeable state:
@@ -1615,7 +1621,14 @@ def stream_kmv_sketch(doc_stream: DataFrame, state_path: str) -> None:
     "exactly K distinct" (exact branch) from "more than K" (estimate
     branch) — the ADVICE r10 boundary divergence. K+1 smallest of a
     union is equally associative/idempotent, and the read path still
-    takes h_K = element_at(ks, K)."""
+    takes h_K = element_at(ks, K).
+
+    The state carries a format-version column (``kmv_ver`` =
+    ``KMV_STATE_VER``): the K→K+1 layout change is silent in the schema,
+    and a pre-r11 K-capped state read by the new exact branch would
+    report an overflowed sketch as an exact count of K (ADVICE r11).
+    ``kmv_from_state`` refuses versionless/old states with a named error
+    telling the operator to rebuild."""
     from pyspark.sql import functions as F
 
     from ..querydefs.dedup_queries import KMV_K
@@ -1638,12 +1651,14 @@ def stream_kmv_sketch(doc_stream: DataFrame, state_path: str) -> None:
         [
             F.expr(f"slice(array_sort(collect_set(hv)), 1, {k})").alias("ks"),
             F.count("*").cast("long").alias("n_rows"),
+            F.max(F.lit(KMV_STATE_VER)).cast("int").alias("kmv_ver"),
         ],
         [
             F.expr(
                 f"slice(array_sort(array_distinct(flatten(collect_list(ks)))), 1, {k})"
             ).alias("ks"),
             F.sum("n_rows").cast("long").alias("n_rows"),
+            F.min("kmv_ver").cast("int").alias("kmv_ver"),
         ],
     )
 
@@ -1653,12 +1668,28 @@ def kmv_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     (K−1)·M/h_K arithmetic as ``kmv_distinct_sketch``; sketches holding
     K or fewer values report their exact size (the batch ``nd <= K``
     branch — possible to distinguish from the estimate branch because
-    the state keeps K+1 smallest, see ``stream_kmv_sketch``)."""
+    the state keeps K+1 smallest, see ``stream_kmv_sketch``). Refuses a
+    state directory whose ``kmv_ver`` is missing or older than
+    ``KMV_STATE_VER`` (pre-r11 K-capped layouts would silently report an
+    overflowed sketch as an exact count of K — ADVICE r11)."""
     from pyspark.sql import functions as F
 
     from ..querydefs.dedup_queries import KMV_K, KMV_M
 
     st = spark.read.parquet(state_path)
+    if "kmv_ver" not in st.columns:
+        raise RuntimeError(
+            f"KMV state at {state_path} predates the K+1 layout (no kmv_ver"
+            f" column, expected kmv_ver={KMV_STATE_VER}); rebuild the state"
+            " by replaying the stream through stream_kmv_sketch"
+        )
+    min_ver = st.agg(F.min("kmv_ver")).first()[0]
+    if min_ver is None or min_ver < KMV_STATE_VER:
+        raise RuntimeError(
+            f"KMV state at {state_path} has kmv_ver={min_ver}, expected"
+            f" {KMV_STATE_VER}; rebuild the state by replaying the stream"
+            " through stream_kmv_sketch"
+        )
     nk = F.size("ks")
     est = (
         F.when(nk <= KMV_K, nk.cast("long"))
