@@ -46,41 +46,15 @@ def register(name: str, oracle: str | None):
 # operator shape is also proven by a checked sibling come after — they still
 # run in bench.py and pytest, and get driver rows if the cap is ever lifted.
 PRIORITY: list[str] = [
-    # --- r11 window (VERDICT r10 item 1): positions 1-50. Leads with the
-    # SIX queries whose implementation changed this round (the two
-    # global-window scale conversions via operators/quantiles
-    # .with_exact_rank_range, the rfm m-score range form, the
-    # doc_grouped_split broadcast-hint drop, and the DSIR /
-    # quality-pipeline shared-builder refactors) so the driver re-proves
-    # exactly what moved; the remaining 44 slots are the head of the
-    # never-windowed queue (strict-pass oracles that have NEVER held a
-    # driver CORRECTNESS row: 43 late-r9 + the first r10 entry). ---
-    "customer_revenue_pareto", "events_zorder_layout", "events_user_rfm",
-    "doc_grouped_split", "dsir_importance_resample", "quality_prep_pipeline",
-    "events_sequence_trigrams", "events_session_intent_summary",
-    "events_value_winsorized", "doc_length_gini",
-    "events_sliding_distinct_users", "events_cuped_adjusted",
-    "events_seasonal_anomaly", "term_countmin_audit", "events_label_window",
-    "events_forecast_backtest", "doc_length_median_ci",
-    "events_dp_noisy_counts", "events_scd2_pit_join",
-    "graph_betweenness_variance", "events_theilsen_trend",
-    "events_cusum_changepoint", "lang_tokenizer_fertility",
-    "source_lang_diversity", "semantic_decontaminate",
-    "term_prefix_autocomplete", "events_conversion_lag",
-    "events_daily_value_bands", "events_sequence_anomaly",
-    "source_embedding_shift", "events_user_stickiness",
-    "events_interarrival_burstiness", "events_hourly_autocorr24",
-    "doc_langid_margin", "events_slo_burn_rate", "events_retention_drivers",
-    "events_props_psi_drift", "referential_integrity_audit",
-    "events_markov_backtest", "events_ab_conversion_test",
-    "ivf_cell_silhouette", "events_dup_transaction_audit",
-    "events_audience_overlap", "lang_source_independence",
-    "doc_greedy_coverage_select", "events_ratio_delta_method",
-    "graph_reciprocity", "doc_canary_detection", "dedup_token_impact",
-    "source_pii_coverage",
-    # --- positions 51+: first the 45 still-never-windowed r10 oracles —
-    # r12's window is a pure cut-and-paste of positions 51-95 (plus the
-    # stalest r7 cohort if slots remain) ---
+    # --- r12 window (VERDICT r11 item 1): positions 1-50, ALL fifty
+    # first-time-windowed — 43 of the 45 never-windowed r10 oracles
+    # (the last two defer to the r13 head) + the 7 r11 oracles. The five
+    # HNSW entries are also the queries whose implementation changed
+    # this round (the persisted-index amortization, VERDICT r11 item 2),
+    # so the window re-proves exactly what moved. ---
+    "hnsw_graph_build", "hnsw_graph_stats", "hnsw_graph_search",
+    "hnsw_recall_eval", "hnsw_nprobe_recall_curve",
+    "doc_l_diversity_audit", "embedding_dim_quantiles",
     "clf_calibration_ece", "lsh_param_planner", "source_corpus_fingerprint",
     "ann_qpp_stats", "corpus_temperature_mix", "events_user_type_entropy",
     "events_gap_percentiles", "dedup_group_size_histogram",
@@ -100,17 +74,12 @@ PRIORITY: list[str] = [
     "knn_topk_l2_normalized", "release_gate_report",
     "events_stl_residual_anomaly", "neardup_transitivity_audit",
     "events_growth_accounting", "source_copy_direction",
+    # --- positions 51+: the r13 window head — the two r10 oracles the
+    # 50-slot cap deferred, then any oracles registered this round ---
     "experiment_gate_report", "chunk_dedup_rate",
     # r11 rows-only threshold twins of the two exact-rank selection cuts
     # (approx_percentile is engine-specific; drift-bound pytests pin them)
     "dsir_importance_threshold", "quality_prep_threshold",
-    # r11 new oracles (B224-B231): batch HNSW-style graph construction,
-    # stats header, SPANN-style probe-routed search, recall gate, the
-    # one-pass nprobe→recall curve, l-diversity audit, per-dim embedding
-    # quantiles — join the never-windowed queue for r12
-    "hnsw_graph_build", "hnsw_graph_stats",
-    "hnsw_graph_search", "hnsw_recall_eval", "hnsw_nprobe_recall_curve",
-    "doc_l_diversity_audit", "embedding_dim_quantiles",
     # --- queries holding r7-r10 driver rows, stalest-first for later
     # re-rotation; relative order unchanged from r10 ---
     "doc_ngram_novelty", "events_funnel_windowed", "rec_coverage_diversity",
@@ -194,6 +163,30 @@ PRIORITY: list[str] = [
     "ivf_pq_residual_rerank", "hr_recommend_scale",
     "doc_length_percentiles_approx", "events_distinct_users_approx",
     "ivf_topk_kmeans",
+    # --- the r11 window cohort (freshest driver rows — re-rotate last) ---
+    "customer_revenue_pareto", "events_zorder_layout", "events_user_rfm",
+    "doc_grouped_split", "dsir_importance_resample", "quality_prep_pipeline",
+    "events_sequence_trigrams", "events_session_intent_summary",
+    "events_value_winsorized", "doc_length_gini",
+    "events_sliding_distinct_users", "events_cuped_adjusted",
+    "events_seasonal_anomaly", "term_countmin_audit", "events_label_window",
+    "events_forecast_backtest", "doc_length_median_ci",
+    "events_dp_noisy_counts", "events_scd2_pit_join",
+    "graph_betweenness_variance", "events_theilsen_trend",
+    "events_cusum_changepoint", "lang_tokenizer_fertility",
+    "source_lang_diversity", "semantic_decontaminate",
+    "term_prefix_autocomplete", "events_conversion_lag",
+    "events_daily_value_bands", "events_sequence_anomaly",
+    "source_embedding_shift", "events_user_stickiness",
+    "events_interarrival_burstiness", "events_hourly_autocorr24",
+    "doc_langid_margin", "events_slo_burn_rate", "events_retention_drivers",
+    "events_props_psi_drift", "referential_integrity_audit",
+    "events_markov_backtest", "events_ab_conversion_test",
+    "ivf_cell_silhouette", "events_dup_transaction_audit",
+    "events_audience_overlap", "lang_source_independence",
+    "doc_greedy_coverage_select", "events_ratio_delta_method",
+    "graph_reciprocity", "doc_canary_detection", "dedup_token_impact",
+    "source_pii_coverage",
 ]
 
 
