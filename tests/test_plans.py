@@ -811,3 +811,36 @@ def test_r10_new_op_plans_are_clean(spark, sf_dir):
         REGISTRY["quality_rank_fusion"].fn(spark, sf_dir)
     ):
         assert agg_below, f"quality_rank_fusion: unpartitioned {cls}"
+
+
+def test_hnsw_index_memo_and_layer_pruned_search(spark, sf_dir):
+    """VERDICT r11 item 2: the HNSW query path searches the PERSISTED
+    layer-partitioned export, never a per-call rebuild — (a) the memo
+    builds once per (corpus, process) and a second ensure is a no-op,
+    (b) a single-layer read prunes to that layer's partition directory,
+    (c) the executed search plan scans the persisted index path with a
+    layer-pruned PartitionFilter (the layer-0 ef-expansion scans; upper
+    layers are consumed into the eagerly-checkpointed frontier hops)."""
+    import os
+    import re
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.querydefs.vector_queries import (
+        _ensure_hnsw_index,
+        _hnsw_index_path,
+        hnsw_graph_search,
+    )
+
+    nodes, g = _ensure_hnsw_index(spark, sf_dir)
+    plan = _plan(g.filter(F.col("layer") == 3))
+    assert re.search(r"PartitionFilters: \[[^\]]*layer#\d+ = 3", plan), plan
+
+    success = os.path.join(_hnsw_index_path(sf_dir), "graph", "_SUCCESS")
+    mt = os.path.getmtime(success)
+    _ensure_hnsw_index(spark, sf_dir)
+    assert os.path.getmtime(success) == mt  # memo hit: no rewrite
+
+    splan = _plan(hnsw_graph_search(spark, sf_dir))
+    assert "spark_graft_hnsw" in splan, "search does not read the persisted index"
+    assert re.search(r"PartitionFilters: \[[^\]]*layer#\d+ = 0", splan), splan

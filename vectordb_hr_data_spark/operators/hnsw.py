@@ -147,9 +147,12 @@ def export_hnsw_graph(graph: DataFrame, path: str) -> None:
     """Persist the neighbor lists the way a serving process reads them:
     parquet PARTITIONED BY layer (top layer first at search time), sorted
     within files by (vec_id, rk) so one node's list is one contiguous
-    run."""
+    run. The exchange keys on (layer, vec_id) — hashing on layer alone
+    would funnel the corpus-sized layer 0 through ONE write task; with
+    the node id in the key each layer directory is written by many tasks
+    and a node's list is still contiguous inside its file."""
     (
-        graph.repartition("layer")
+        graph.repartition(F.col("layer"), F.col("vec_id"))
         .sortWithinPartitions("vec_id", "rk")
         .write.mode("overwrite")
         .partitionBy("layer")
