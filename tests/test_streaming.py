@@ -1833,3 +1833,77 @@ def test_stream_hnsw_append_converges_to_batch_build(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, hnsw_edges_from_state(spark, state).collect()))
     want = sorted(map(tuple, hnsw_graph_build(spark, sf_dir).collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_hnsw_retune_fires_once_and_rebuild_passes_recall_gate(
+    spark, sf_dir, tmp_path
+):
+    """stream_hnsw_append's geometry-freshness trigger (VERDICT r11 item
+    5, the stream_ivf_sq8_append occupancy contract on the graph sink):
+    growing the streamed corpus past k * rows_per_cell * tolerance fires
+    ``on_retune`` exactly ONCE with the grown row count, and the rebuild
+    the callback schedules — a batch build over the streamed vector
+    state — passes the B227 recall gate (mean recall@10 vs exact brute
+    force >= 0.8, the hnsw_recall_eval floor)."""
+    import glob
+    import os
+    import shutil
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.operators.hnsw import (
+        build_hnsw_graph,
+        hnsw_greedy_search,
+    )
+    from vectordb_hr_data_spark.streaming.stream_ops import stream_hnsw_append
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_total = emb.count()
+    src = tmp_path / "hnsw_rt_src"
+    src.mkdir()
+    for i in range(4):
+        part = emb.filter((F.col("vec_id") % 4) == i)
+        tdir = str(tmp_path / f"hnsw_rt_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    state = str(tmp_path / "hnsw_rt_state")
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    fired: list[int] = []
+    # budget 16 cells x 10 rows x 2.0 tolerance = 320 < n_total: the
+    # trigger must fire on the batch that crosses it, then never again
+    stream_hnsw_append(stream, state, cents, on_retune=fired.append, rows_per_cell=10)
+    assert len(fired) == 1, fired
+    assert 16 * 10 * 2.0 < fired[0] <= n_total, fired
+
+    # the scheduled rebuild: batch-build over the streamed vector state
+    vstate = spark.read.parquet(f"{state}/vectors").localCheckpoint(eager=True)
+    assert vstate.count() == n_total
+    g = build_hnsw_graph(vstate).localCheckpoint(eager=True)
+    k = 10
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    res = hnsw_greedy_search(g, vstate, qs, cents, k=k)
+    got = {}
+    for r in res.collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()}
+    hits = 0
+    for qid in range(8):
+        q = vecs[qid]
+        scored = sorted(
+            (round(float(((v - q) ** 2).sum()), 4), vid)
+            for vid, v in vecs.items()
+            if vid != qid
+        )
+        exact = {vid for _, vid in scored[:k]}
+        hits += len(exact & got[qid])
+    assert hits / (8 * k) >= 0.8, hits

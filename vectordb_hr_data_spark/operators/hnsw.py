@@ -25,9 +25,13 @@ the ``ivf_cell_silhouette`` contract), so construction is never O(N²):
 per-cell work is |cell|², and cells are bounded by ROWS_PER_CELL at
 corpus scale (cell count grows with N). The price vs true HNSW is edges
 never crossing cell boundaries — upper layers lose some long-range
-links; the production mitigation (probe > 1 assignment cells per node)
-is a parameter, not a redesign. efConstruction has no batch analogue —
-the per-cell candidate set IS the (exhaustive-within-cell) beam.
+links; the production mitigation — assigning each node to its top-N
+cells so edges can span Voronoi boundaries — is the ``assign_cells``
+parameter (querydefs.vector_queries ``hnsw_multicell_graph_build`` /
+``hnsw_multicell_recall_curve`` build and price it; ``dedup_pairs``
+here drops the cross-cell duplicate pairs). efConstruction has no batch
+analogue — the per-cell candidate set IS the (exhaustive-within-cell)
+beam.
 
 Reference parity artifact: vector_db.py builds its HNSW via chromadb
 defaults (hnsw:space sq-L2 — the same metric used here);
@@ -74,6 +78,7 @@ def build_hnsw_graph(
     vec_col: str = "embedding",
     cell_col: str = "cid",
     m: int = HNSW_M,
+    dedup_pairs: bool = False,
 ) -> DataFrame:
     """Layered neighbor lists over cell-blocked candidates.
 
@@ -84,7 +89,15 @@ def build_hnsw_graph(
     volume |cell|², bounded by the IVF ROWS_PER_CELL contract), a
     sequence-explode over the pair's shared layers (geometric levels →
     expected factor ≈ 1 + 2/M), and one partitioned rank per (node,
-    layer). No global window, nothing corpus-sized broadcast."""
+    layer). No global window, nothing corpus-sized broadcast.
+
+    ``dedup_pairs=True`` is REQUIRED when ``nodes`` carries multi-cell
+    assignments (one row per (node, cell)): a pair sharing two cells
+    would otherwise appear twice and eat two rank slots. The dedup is an
+    exchange on (vec_id, neighbor_id) — the distance and levels are pure
+    functions of the pair, so dropping either duplicate is exact — and
+    is off by default because single-assigned pairs are unique by
+    construction and the extra shuffle would be waste."""
     lvl = nodes.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
@@ -112,6 +125,8 @@ def build_hnsw_graph(
         .cast("long")
         .alias("d_q"),
     )
+    if dedup_pairs:
+        pairs = pairs.dropDuplicates(["vec_id", "neighbor_id"])
     layered = pairs.select(
         "vec_id",
         "neighbor_id",
@@ -172,6 +187,7 @@ def hnsw_probe_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cell_col: str = "cid",
+    multi_assigned: bool = False,
 ) -> DataFrame:
     """The probe-routed candidate generator behind the SPANN-style search
     (see ``hnsw_greedy_search`` for the full design rationale): per query,
@@ -186,8 +202,16 @@ def hnsw_probe_candidates(
     Scale shape: every step joins a (Q·nprobe)-row frontier (broadcast,
     checkpointed per hop — nested-broadcast lineage otherwise re-executes
     all prior iterations) against the id-keyed graph/vector tables —
-    per-step candidate volume Q·nprobe·(2M)², never corpus-sized."""
+    per-step candidate volume Q·nprobe·(2M)², never corpus-sized.
+
+    ``multi_assigned=True`` declares that ``nodes`` carries one row per
+    (node, assigned cell): the id→vector lookup table is then
+    deduplicated so the final candidate join cannot emit one row per
+    assignment (the in-loop greedy argmin needs no dedup — the
+    groupBy-min absorbs duplicates)."""
     emb = nodes.select(F.col(id_col).alias("__nid"), F.col(vec_col).alias("__nv"))
+    if multi_assigned:
+        emb = emb.dropDuplicates(["__nid"])
 
     def dq(vcol: str) -> Column:
         return F.round(F.round(V.l2sq(vcol, "qv"), 4) * 10000).cast("long")
@@ -271,8 +295,16 @@ def hnsw_probe_candidates(
         .select("query_id", "qv", "pn", F.col("neighbor_id").alias("cand"))
         .localCheckpoint(eager=True)
     )
+    # dedup hop1 per (query, cand) keeping the SMALLEST pn — a plain
+    # dropDuplicates kept an arbitrary row's pn, which is only safe when
+    # edges stay in-cell (single assignment: one reaching cell per cand);
+    # multi-cell edges cross cells, so a cand reachable from two probed
+    # cells must propagate the better probe rank into its hop-2 expansion
+    hop1d = hop1.groupBy("query_id", "cand").agg(
+        F.min("pn").alias("pn"), F.first("qv").alias("qv")
+    )
     hop2 = (
-        F.broadcast(hop1.dropDuplicates(["query_id", "cand"]))
+        F.broadcast(hop1d)
         .join(g0, F.col("cand") == F.col("src"))
         .select("query_id", "qv", "pn", F.col("neighbor_id").alias("cand"))
     )

@@ -75,8 +75,11 @@ PRIORITY: list[str] = [
     "events_stl_residual_anomaly", "neardup_transitivity_audit",
     "events_growth_accounting", "source_copy_direction",
     # --- positions 51+: the r13 window head — the two r10 oracles the
-    # 50-slot cap deferred, then any oracles registered this round ---
+    # 50-slot cap deferred, then the oracles registered this round ---
     "experiment_gate_report", "chunk_dedup_rate",
+    # r12 new oracles (B232/B233): top-2-cell HNSW assignment + its
+    # priced recall curve — never windowed, queue for r13
+    "hnsw_multicell_graph_build", "hnsw_multicell_recall_curve",
     # r11 rows-only threshold twins of the two exact-rank selection cuts
     # (approx_percentile is engine-specific; drift-bound pytests pin them)
     "dsir_importance_threshold", "quality_prep_threshold",

@@ -2878,7 +2878,7 @@ cents AS (
     SELECT vec_id, cid,
            row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
     FROM celld
-  ) WHERE rn = 1
+  ) WHERE rn <= {{assign_cells}}
 ), nodes AS (
   SELECT e.vec_id, e.embedding, a.cid,
          {{level_sql}} AS level
@@ -2887,7 +2887,7 @@ cents AS (
 
 _HNSW_GRAPH_DDB = """
 pairs AS (
-  SELECT x.vec_id, y.vec_id AS neighbor_id, x.level AS la, y.level AS lb,
+  SELECT {dedup} x.vec_id, y.vec_id AS neighbor_id, x.level AS la, y.level AS lb,
          CAST(round(round(list_sum(list_transform(range(1, len(x.embedding) + 1),
              i -> power(CAST(x.embedding[CAST(i AS INT)] AS DOUBLE)
                         - CAST(y.embedding[CAST(i AS INT)] AS DOUBLE), 2))), 4)
@@ -2910,20 +2910,25 @@ pairs AS (
 _HNSW_BUILT: set[str] = set()
 
 
-def _hnsw_index_path(sf_dir: str) -> str:
-    """Per-corpus, PER-PROCESS index location — same discipline as
-    ``similarity_queries._ivf_index_path`` (the pid component keeps
-    concurrent processes from overwriting an index another is
-    mid-read on; the build-once memo amortizes within a process)."""
+def _hnsw_index_path(sf_dir: str, assign_cells: int = 1) -> str:
+    """Per-corpus, per-assignment-width, PER-PROCESS index location —
+    same discipline as ``similarity_queries._ivf_index_path`` (the pid
+    component keeps concurrent processes from overwriting an index
+    another is mid-read on; the build-once memo amortizes within a
+    process)."""
     import hashlib
     import os
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), "spark_graft_hnsw", f"emb-{tag}-{os.getpid()}")
+    return os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_hnsw",
+        f"emb-{tag}-a{assign_cells}-{os.getpid()}",
+    )
 
 
-def _ensure_hnsw_index(spark: SparkSession, sf_dir: str):
+def _ensure_hnsw_index(spark: SparkSession, sf_dir: str, assign_cells: int = 1):
     """Build-once memo for the HNSW artifacts (VERDICT r11 item 2): the
     node table and the layered neighbor lists are WRITTEN to parquet once
     per (corpus, process) — the graph via ``export_hnsw_graph``,
@@ -2934,28 +2939,39 @@ def _ensure_hnsw_index(spark: SparkSession, sf_dir: str):
     ~3.5 s build amortizes across the search / recall / curve queries).
     Returns (nodes, graph) as read-back DataFrames; ``layer`` comes back
     as the partition column (int) — only ever filtered, never output, by
-    the search path."""
+    the search path. ``assign_cells`` > 1 builds the multi-cell-assigned
+    variant (one node row per assigned cell; duplicate cross-cell pairs
+    dropped before ranking)."""
     import os
 
     from ..operators.hnsw import build_hnsw_graph, export_hnsw_graph
 
-    path = _hnsw_index_path(sf_dir)
+    path = _hnsw_index_path(sf_dir, assign_cells)
     npath, gpath = os.path.join(path, "nodes"), os.path.join(path, "graph")
     if path not in _HNSW_BUILT:
-        _hnsw_nodes(spark, sf_dir).write.mode("overwrite").parquet(npath)
+        _hnsw_nodes(spark, sf_dir, assign_cells).write.mode("overwrite").parquet(npath)
         # build from the PERSISTED node table: the builder self-joins it,
         # so reading parquet (not recomputing the cell assignment twice)
         # keeps construction one scan-based pass
-        export_hnsw_graph(build_hnsw_graph(spark.read.parquet(npath)), gpath)
+        export_hnsw_graph(
+            build_hnsw_graph(
+                spark.read.parquet(npath), dedup_pairs=assign_cells > 1
+            ),
+            gpath,
+        )
         _HNSW_BUILT.add(path)
     return spark.read.parquet(npath), spark.read.parquet(gpath)
 
 
-def _hnsw_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hnsw_nodes(spark: SparkSession, sf_dir: str, assign_cells: int = 1) -> DataFrame:
     """Deterministic (vec_id, embedding, cid, level) node frame shared by
-    the two HNSW queries: first-16-rows centroids, 4-decimal quantized
+    the HNSW queries: first-16-rows centroids, 4-decimal quantized
     assignment with cid tie-breaks (the silhouette contract), md5-prefix
-    geometric levels."""
+    geometric levels. ``assign_cells`` > 1 assigns each node to its
+    top-N nearest cells (one output row per assignment) — the documented
+    production mitigation for cross-cell recall loss (operators/hnsw.py
+    design note: "probe > 1 assignment cells per node is a parameter,
+    not a redesign")."""
     from ..operators.hnsw import hnsw_level_expr
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -2971,16 +2987,20 @@ def _hnsw_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cid").asc())
     return (
         dists.withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= assign_cells)
         .select("vec_id", "embedding", "cid", hnsw_level_expr("vec_id").alias("level"))
     )
 
 
-def _hnsw_graph_oracle() -> str:
+def _hnsw_graph_oracle(assign_cells: int = 1) -> str:
     from ..operators.hnsw import HNSW_M, hnsw_level_sql
 
-    nodes = _HNSW_NODES_DDB.format(level_sql=hnsw_level_sql("e.vec_id"))
-    graph = _HNSW_GRAPH_DDB.format(m0=2 * HNSW_M, m=HNSW_M)
+    nodes = _HNSW_NODES_DDB.format(
+        level_sql=hnsw_level_sql("e.vec_id"), assign_cells=assign_cells
+    )
+    graph = _HNSW_GRAPH_DDB.format(
+        m0=2 * HNSW_M, m=HNSW_M, dedup="DISTINCT " if assign_cells > 1 else ""
+    )
     return f"""
 WITH {nodes}, {graph}
 SELECT vec_id, layer, rk, neighbor_id, d_q FROM graph
@@ -3010,8 +3030,8 @@ def hnsw_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hnsw_stats_oracle() -> str:
     from ..operators.hnsw import HNSW_M, hnsw_level_sql
 
-    nodes = _HNSW_NODES_DDB.format(level_sql=hnsw_level_sql("e.vec_id"))
-    graph = _HNSW_GRAPH_DDB.format(m0=2 * HNSW_M, m=HNSW_M)
+    nodes = _HNSW_NODES_DDB.format(level_sql=hnsw_level_sql("e.vec_id"), assign_cells=1)
+    graph = _HNSW_GRAPH_DDB.format(m0=2 * HNSW_M, m=HNSW_M, dedup="")
     return f"""
 WITH {nodes}, {graph},
 lay AS (
@@ -3195,8 +3215,8 @@ def _hnsw_cand_ddb(q: int, nprobe: int) -> str:
 def _hnsw_search_oracle() -> str:
     from ..operators.hnsw import HNSW_M, HNSW_NPROBE, hnsw_level_sql
 
-    nodes = _HNSW_NODES_DDB.format(level_sql=hnsw_level_sql("e.vec_id"))
-    graph = _HNSW_GRAPH_DDB.format(m0=2 * HNSW_M, m=HNSW_M)
+    nodes = _HNSW_NODES_DDB.format(level_sql=hnsw_level_sql("e.vec_id"), assign_cells=1)
+    graph = _HNSW_GRAPH_DDB.format(m0=2 * HNSW_M, m=HNSW_M, dedup="")
     chain = _hnsw_cand_ddb(HNSW_EVAL_QUERIES, HNSW_NPROBE)
     return f"""
 WITH {nodes}, {graph},
@@ -3248,8 +3268,8 @@ hnsw_graph_search.__doc__ = hnsw_graph_search.__doc__.replace("{k}", str(HNSW_SE
 def _hnsw_recall_oracle() -> str:
     from ..operators.hnsw import HNSW_M, hnsw_level_sql
 
-    nodes = _HNSW_NODES_DDB.format(level_sql=hnsw_level_sql("e.vec_id"))
-    graph = _HNSW_GRAPH_DDB.format(m0=2 * HNSW_M, m=HNSW_M)
+    nodes = _HNSW_NODES_DDB.format(level_sql=hnsw_level_sql("e.vec_id"), assign_cells=1)
+    graph = _HNSW_GRAPH_DDB.format(m0=2 * HNSW_M, m=HNSW_M, dedup="")
     from ..operators.hnsw import HNSW_NPROBE
 
     chain = _hnsw_cand_ddb(HNSW_EVAL_QUERIES, HNSW_NPROBE)
@@ -3354,11 +3374,15 @@ hnsw_recall_eval.__doc__ = hnsw_recall_eval.__doc__.replace("{k}", str(HNSW_SEAR
 HNSW_CURVE_GRID = [1, 2, 4, 8]
 
 
-def _hnsw_curve_oracle() -> str:
+def _hnsw_curve_oracle(assign_cells: int = 1) -> str:
     from ..operators.hnsw import HNSW_M, hnsw_level_sql
 
-    nodes = _HNSW_NODES_DDB.format(level_sql=hnsw_level_sql("e.vec_id"))
-    graph = _HNSW_GRAPH_DDB.format(m0=2 * HNSW_M, m=HNSW_M)
+    nodes = _HNSW_NODES_DDB.format(
+        level_sql=hnsw_level_sql("e.vec_id"), assign_cells=assign_cells
+    )
+    graph = _HNSW_GRAPH_DDB.format(
+        m0=2 * HNSW_M, m=HNSW_M, dedup="DISTINCT " if assign_cells > 1 else ""
+    )
     chain = _hnsw_cand_ddb(HNSW_EVAL_QUERIES, max(HNSW_CURVE_GRID))
     dq = (
         "CAST(round(round("
@@ -3405,18 +3429,18 @@ ORDER BY nprobe
 """
 
 
-@register("hnsw_nprobe_recall_curve", _hnsw_curve_oracle())
-def hnsw_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@10 and candidates-scanned per nprobe in {1,2,4,8} for the
-    SPANN-style graph search (B231), derived from ONE pn-tagged candidate
-    pass at the widest setting — a curve costs one search, not |grid|
-    searches; the graph comes from the persisted build-once index
-    (``_ensure_hnsw_index``), never a per-call rebuild."""
+def _hnsw_recall_curve_frame(
+    spark: SparkSession, sf_dir: str, assign_cells: int = 1
+) -> DataFrame:
+    """Shared body of the single- and multi-cell nprobe→recall curves:
+    one pn-tagged candidate pass at the widest grid setting over the
+    persisted (build-once) index, exact top-k from the broadcast-queries
+    scan, per-nprobe' recall derived by filtering the tags."""
     from ..operators.hnsw import hnsw_probe_candidates
     from ..operators.knn import local_topk_per_key
 
     emb = read_table(spark, sf_dir, "embeddings")
-    nodes, g = _ensure_hnsw_index(spark, sf_dir)
+    nodes, g = _ensure_hnsw_index(spark, sf_dir, assign_cells=assign_cells)
     qs = emb.filter(F.col("vec_id") < HNSW_EVAL_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -3424,7 +3448,12 @@ def hnsw_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
     cands = hnsw_probe_candidates(
-        g, nodes, qs, cents, nprobe=max(HNSW_CURVE_GRID)
+        g,
+        nodes,
+        qs,
+        cents,
+        nprobe=max(HNSW_CURVE_GRID),
+        multi_assigned=assign_cells > 1,
     ).localCheckpoint(eager=True)
     grid = spark.createDataFrame([(g_,) for g_ in HNSW_CURVE_GRID], "np int")
     sel = F.broadcast(grid).join(cands, F.col("pn") <= F.col("np"))
@@ -3477,6 +3506,70 @@ def hnsw_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+@register("hnsw_nprobe_recall_curve", _hnsw_curve_oracle())
+def hnsw_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 and candidates-scanned per nprobe in {1,2,4,8} for the
+    SPANN-style graph search (B231), derived from ONE pn-tagged candidate
+    pass at the widest setting — a curve costs one search, not |grid|
+    searches; the graph comes from the persisted build-once index
+    (``_ensure_hnsw_index``), never a per-call rebuild."""
+    return _hnsw_recall_curve_frame(spark, sf_dir, assign_cells=1)
+
+
+# ---------------------------------------------------------------------------
+# B232/B233: multi-cell HNSW assignment — the PRICED mitigation for
+# cross-cell recall loss (r12)
+# ---------------------------------------------------------------------------
+# The batch builder's one structural concession vs true HNSW is that
+# edges never cross IVF-cell boundaries (that is what bounds construction
+# at |cell|²). The production fix, as documented in operators/hnsw.py
+# since r11, is a PARAMETER: assign each node to its top-N nearest cells
+# so its neighbor lists draw candidates from both sides of the Voronoi
+# boundary. assign_cells=2 doubles per-node pair volume (still
+# ROWS_PER_CELL-bounded per cell) and drops cross-cell duplicate pairs
+# before ranking — the same (vec_id, layer, rk) contract, better lists.
+# The curve twin prices the trade at the same nprobe grid: recall rises
+# (measured at sf0.01: 900 → 1000 milli at nprobe=4, 825 → 975 at
+# nprobe=1) for ~2× build cost and a larger candidate set (122 → 474 at
+# nprobe=4 — near-exhaustive at the 500-row test corpus where two cells
+# cover most points; at corpus scale candidates stay bounded by
+# nprobe·(2M)² per query regardless of assignment width).
+HNSW_MULTI_ASSIGN = 2
+
+
+@register(
+    "hnsw_multicell_graph_build", _hnsw_graph_oracle(assign_cells=HNSW_MULTI_ASSIGN)
+)
+def hnsw_multicell_graph_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layered neighbor lists with top-2 cell assignment (B232): each
+    node enters the candidate pools of its two nearest cells, so edges
+    can span the cell boundary that single-assignment construction never
+    crosses. Same scale shape as ``hnsw_graph_build`` — the self-join
+    keys on the cell id and per-cell volume stays ROWS_PER_CELL-bounded;
+    the one addition is an exact (vec_id, neighbor_id) dedup before the
+    per-(node, layer) rank, because a pair sharing both cells would
+    otherwise eat two rank slots. Built once per (corpus, process) via
+    the persisted-index memo; returns the export read back."""
+    _, g = _ensure_hnsw_index(spark, sf_dir, assign_cells=HNSW_MULTI_ASSIGN)
+    return g.select(
+        "vec_id", F.col("layer").cast("long").alias("layer"), "rk", "neighbor_id", "d_q"
+    ).orderBy("vec_id", "layer", "rk")
+
+
+@register(
+    "hnsw_multicell_recall_curve", _hnsw_curve_oracle(assign_cells=HNSW_MULTI_ASSIGN)
+)
+def hnsw_multicell_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe→recall curve over the top-2-assigned graph (B233) —
+    one pn-tagged candidate pass, same grid as the single-assign curve
+    (B231), so the two results read side-by-side as the priced
+    mitigation contract: at equal nprobe the multi-cell graph must buy
+    recall with its extra build work. The id→vector lookup inside the
+    candidate generator deduplicates the multi-assigned node table so
+    candidates are emitted once."""
+    return _hnsw_recall_curve_frame(spark, sf_dir, assign_cells=HNSW_MULTI_ASSIGN)
 
 
 # ---------------------------------------------------------------------------

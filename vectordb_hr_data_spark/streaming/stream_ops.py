@@ -1956,7 +1956,11 @@ def chunk_dedup_from_state(spark: SparkSession, state_path: str) -> DataFrame:
 
 
 def stream_hnsw_append(
-    vec_stream: DataFrame, state_dir: str, centroids: DataFrame
+    vec_stream: DataFrame,
+    state_dir: str,
+    centroids: DataFrame,
+    on_retune=None,
+    rows_per_cell: int | None = None,
 ) -> None:
     """Streaming HNSW-graph ingest (B228, the index-lifecycle twin of the
     B224 batch build): as vector batches arrive, maintain (a) the
@@ -1975,16 +1979,43 @@ def stream_hnsw_append(
     (broadcast centroid table, 4-decimal quantized assignment with cid
     tie-breaks, md5-prefix levels). ``centroids`` is the FIXED coarse
     quantizer (production: the trained table the index was built with).
-    Exactly-once caveat as stream_mergeable_agg's."""
+    Exactly-once caveat as stream_mergeable_agg's.
+
+    Index-geometry freshness (VERDICT r11 item 5, the
+    ``stream_ivf_sq8_append`` occupancy contract applied to the graph):
+    the cell count is frozen at build time, so a growing corpus silently
+    fattens cells — and the BUILD cost of the batch graph is |cell|², so
+    stale geometry hurts the graph quadratically where it hurt IVF probes
+    linearly. After every batch the sink checks ``ivf.needs_retune``
+    against the streamed vector-state row count and calls
+    ``on_retune(n_rows_now)`` ONCE (default: a loud warning). The
+    callback schedules the re-suggest + rebuild out-of-band — rebuilding
+    in-line would stall the stream for a full corpus pass."""
+    import warnings
+
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from ..functions import vector as V
     from ..operators.hnsw import HNSW_M, HNSW_MAX_LEVEL, hnsw_level_expr
+    from ..operators.ivf import needs_retune
 
     vec_path = f"{state_dir.rstrip('/')}/vectors"
     edge_path = f"{state_dir.rstrip('/')}/edges"
     cap = f"CASE WHEN layer = 0 THEN {2 * HNSW_M} ELSE {HNSW_M} END"
+    built_params = {"k": centroids.count()}
+    if rows_per_cell is not None:
+        built_params["rows_per_cell"] = rows_per_cell
+    retune_state = {"fired": False}
+    if on_retune is None:
+
+        def on_retune(n_now: int) -> None:
+            warnings.warn(
+                f"HNSW graph state at {state_dir} has outgrown its cell "
+                f"geometry (k={built_params['k']}, rows now {n_now}): "
+                "re-run suggest_ivf_params and rebuild the graph",
+                stacklevel=2,
+            )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -2010,6 +2041,12 @@ def stream_hnsw_append(
             allv = newv
         allv = allv.localCheckpoint(eager=True)
         allv.write.mode("overwrite").parquet(vec_path)
+        # occupancy freshness: allv is checkpointed, so the count is a
+        # cached-partition pass, not a recompute
+        n_now = allv.count()
+        if not retune_state["fired"] and needs_retune(n_now, built_params):
+            retune_state["fired"] = True
+            on_retune(n_now)
         newv = allv.join(newv.select("vec_id"), "vec_id", "left_semi")
 
         a = newv.select(
