@@ -80,6 +80,13 @@ PRIORITY: list[str] = [
     # r12 new oracles (B232/B233): top-2-cell HNSW assignment + its
     # priced recall curve — never windowed, queue for r13
     "hnsw_multicell_graph_build", "hnsw_multicell_recall_curve",
+    # r12 new oracles (B234-B238): t-closeness (disclosure-triad close),
+    # Adamic-Adar link prediction, delta-join view maintenance,
+    # compression-locality layout audit, ANN index advisor — never
+    # windowed, queue for r13 behind the multicell pair
+    "doc_t_closeness_audit", "graph_link_prediction",
+    "orders_join_delta_maintenance", "doc_layout_compression_audit",
+    "ann_index_advisor",
     # r11 rows-only threshold twins of the two exact-rank selection cuts
     # (approx_percentile is engine-specific; drift-bound pytests pin them)
     "dsir_importance_threshold", "quality_prep_threshold",

@@ -3975,3 +3975,133 @@ def chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# B237: compression-locality layout audit (r12)
+# ---------------------------------------------------------------------------
+# At 100 TB the bytes-on-disk bill is set as much by ROW ORDER as by the
+# codec: dictionary/zstd pages compress duplicated values, and a corpus
+# written in ingestion order scatters near-identical documents across
+# files. Ordering by a locality key (here: lang, then the min-shingle —
+# the same single-hash MinHash the near-dup blocker uses, so similar docs
+# sort adjacently with the MinHash collision guarantee) concentrates
+# repeated shingles into the same file. The audit prices the layout
+# WITHOUT writing it twice: assign docs to FILE_ROWS-sized files under
+# (a) the similarity order and (b) doc_id ingestion order, then per file
+# measure the duplicated-shingle share (1 − distinct/total — the direct
+# proxy for what a dictionary page deduplicates), and report per lang the
+# mean file dup-share under each layout and the gain. Pure integers:
+# dup_milli = 1000·(inst − distinct) div inst, means are sum div count.
+# Scale shape: shingle keys are 8-byte ints (B9's equality-only
+# shingling); the per-(lang, file) distinct is a keyed aggregate. The
+# per-lang row_number here is the AUDIT harness; the production layout
+# path is repartitionByRange(lang, sig) + sortWithinPartitions + write
+# (no global window), and at 100 TB the audit runs on a range-sample of
+# files, not the full corpus.
+LAYOUT_FILE_ROWS = 100
+
+
+def _layout_audit_oracle() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, {H.ddb_tokens('text')} AS toks FROM documents
+), th AS (
+  SELECT doc_id, lang, {H.ddb_hash_array('toks')} AS thash FROM t
+), sh AS (
+  SELECT doc_id, lang, {H.ddb_shingle_keys('thash', 3)} AS keys FROM th
+), sig AS (
+  SELECT doc_id, lang, keys, list_min(keys) AS sig FROM sh
+), pos AS (
+  SELECT doc_id, lang, keys,
+         row_number() OVER (PARTITION BY lang ORDER BY sig, doc_id) AS pos_sim,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS pos_id
+  FROM sig
+), ex AS (
+  SELECT lang,
+         CAST((pos_sim - 1) // {LAYOUT_FILE_ROWS} AS BIGINT) AS file_sim,
+         CAST((pos_id - 1) // {LAYOUT_FILE_ROWS} AS BIGINT) AS file_id,
+         unnest(keys) AS k
+  FROM pos
+), by_sim AS (
+  SELECT lang, file_sim,
+         1000 * (count(*) - count(DISTINCT k)) // count(*) AS dup_milli
+  FROM ex GROUP BY lang, file_sim
+), by_id AS (
+  SELECT lang, file_id,
+         1000 * (count(*) - count(DISTINCT k)) // count(*) AS dup_milli
+  FROM ex GROUP BY lang, file_id
+), s AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(dup_milli) // count(*) AS BIGINT) AS dup_sim_milli
+  FROM by_sim GROUP BY lang
+), i AS (
+  SELECT lang, CAST(sum(dup_milli) // count(*) AS BIGINT) AS dup_id_milli
+  FROM by_id GROUP BY lang
+), nd AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+)
+SELECT nd.lang, nd.n_docs, s.n_files, s.dup_sim_milli, i.dup_id_milli,
+       s.dup_sim_milli - i.dup_id_milli AS gain_milli
+FROM nd JOIN s ON s.lang = nd.lang JOIN i ON i.lang = nd.lang
+ORDER BY nd.lang
+"""
+
+
+@register("doc_layout_compression_audit", _layout_audit_oracle())
+def doc_layout_compression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-locality layout audit (B237): duplicated-shingle share
+    per FILE_ROWS-sized file under the (lang, min-shingle) similarity
+    order vs doc_id ingestion order — the measured dividend of writing
+    similar documents adjacently."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = d.select("doc_id", "lang", F.expr(H.spark_tokens("text")).alias("toks"))
+    th = toks.select("doc_id", "lang", F.expr(H.spark_hash_array("toks")).alias("thash"))
+    sh = th.select("doc_id", "lang", F.expr(H.spark_shingle_keys("thash", 3)).alias("keys"))
+    sig = sh.select("doc_id", "lang", "keys", F.array_min("keys").alias("sig"))
+    w_sim = Window.partitionBy("lang").orderBy("sig", "doc_id")
+    w_id = Window.partitionBy("lang").orderBy("doc_id")
+    pos = sig.select(
+        "lang",
+        "keys",
+        F.row_number().over(w_sim).alias("pos_sim"),
+        F.row_number().over(w_id).alias("pos_id"),
+    )
+    ex = pos.select(
+        "lang",
+        ((F.col("pos_sim") - 1) / LAYOUT_FILE_ROWS).cast("long").alias("file_sim"),
+        ((F.col("pos_id") - 1) / LAYOUT_FILE_ROWS).cast("long").alias("file_id"),
+        F.explode("keys").alias("k"),
+    ).localCheckpoint(eager=True)
+
+    def per_file(file_col: str) -> DataFrame:
+        return ex.groupBy("lang", file_col).agg(
+            (
+                (F.lit(1000) * (F.count("*") - F.countDistinct("k")))
+                / F.count("*")
+            )
+            .cast("long")
+            .alias("dup_milli")
+        )
+
+    s = per_file("file_sim").groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.expr("sum(dup_milli) div count(*)").cast("long").alias("dup_sim_milli"),
+    )
+    i = per_file("file_id").groupBy("lang").agg(
+        F.expr("sum(dup_milli) div count(*)").cast("long").alias("dup_id_milli")
+    )
+    nd = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        nd.join(s, "lang")
+        .join(i, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_files",
+            "dup_sim_milli",
+            "dup_id_milli",
+            (F.col("dup_sim_milli") - F.col("dup_id_milli")).alias("gain_milli"),
+        )
+        .orderBy("lang")
+    )

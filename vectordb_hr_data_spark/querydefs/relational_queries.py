@@ -1449,3 +1449,73 @@ def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("top_pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# B236: incremental JOIN-view maintenance — the delta-join algebra (r12)
+# ---------------------------------------------------------------------------
+# B45 maintains an AGGREGATE incrementally; real warehouses also maintain
+# JOIN views (enriched fact tables) under inserts to BOTH sides. The
+# textbook identity: for V = O ⋈ L and per-step arrivals ΔO, ΔL,
+#   ΔV = ΔO ⋈ L_old  ∪  O_old ⋈ ΔL  ∪  ΔO ⋈ ΔL
+# (equivalently ΔO ⋈ L_new ∪ O_old ⋈ ΔL) — each joined pair lands exactly
+# once, at the step where its LATER side arrives. Three deterministic
+# ingest steps split orders by o_orderkey%3 and lineitem by
+# l_linenumber%3 (deliberately DIFFERENT attributes so cross-step join
+# terms are non-empty and the algebra is actually exercised). The ORACLE
+# IS THE ONE-SHOT JOIN: the hash check proves the maintained view is
+# indistinguishable from full recomputation. Revenue partials are exact
+# decimal(18,2) products, so split/order cannot move a bit (the B45
+# contract). At 100 TB each refresh costs ΔO⋈L (key-pruned: the delta's
+# join keys bound the probe) + O⋈ΔL + ΔO⋈ΔL — never a re-scan of V, and
+# both accumulators are append-only partitioned tables.
+@register(
+    "orders_join_delta_maintenance",
+    """
+SELECT o.o_orderpriority, l.l_returnflag,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_revenue,
+       count(*) AS n_rows
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority, l.l_returnflag
+ORDER BY o.o_orderpriority, l.l_returnflag
+""",
+)
+def orders_join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-view maintenance via delta-join algebra (B236): the enriched
+    orders⋈lineitem view assembled across three ingest steps as
+    ΔO⋈L_old ∪ O_old⋈ΔL ∪ ΔO⋈ΔL, then the priority×returnflag revenue
+    report over the maintained view. Oracle = the one-shot join."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_returnflag"
+    )
+    o_acc = None
+    l_acc = None
+    view_parts = []
+    for k in range(3):
+        d_o = o.filter(F.col("o_orderkey") % 3 == k)
+        d_l = li.filter(F.col("l_linenumber") % 3 == k)
+        view_parts.append(d_o.join(d_l, d_o["o_orderkey"] == d_l["l_orderkey"]))
+        if l_acc is not None:
+            view_parts.append(d_o.join(l_acc, d_o["o_orderkey"] == l_acc["l_orderkey"]))
+        if o_acc is not None:
+            view_parts.append(o_acc.join(d_l, o_acc["o_orderkey"] == d_l["l_orderkey"]))
+        o_acc = d_o if o_acc is None else o_acc.unionByName(d_o)
+        l_acc = d_l if l_acc is None else l_acc.unionByName(d_l)
+    view = view_parts[0]
+    for p in view_parts[1:]:
+        view = view.unionByName(p)
+    return (
+        view.groupBy("o_orderpriority", "l_returnflag")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("sum_revenue"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("o_orderpriority", "l_returnflag")
+    )

@@ -627,3 +627,116 @@ def doc_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source", "len_decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# B234: t-closeness audit (r12) — the third leg of the disclosure triad
+# ---------------------------------------------------------------------------
+# k-anonymity (B120) bounds RE-IDENTIFICATION, l-diversity (B229) bounds
+# attribute disclosure by COUNT of sensitive values — but a class whose 3
+# distinct topics are split 98/1/1 still leaks. t-closeness (Li, Li &
+# Venkatasubramanian, ICDE'07) bounds the DISTANCE between each class's
+# sensitive-value distribution and the global one. For the categorical
+# topic column the distance is total variation: TVD = ½ Σ_i |p_i − q_i|.
+# Engine parity is EXACT RATIONAL arithmetic, not floats: with class
+# counts n_i (class total nt) and global counts g_i (total gt),
+#   tvd_ppm = 10⁶ · Σ_i |n_i·gt − g_i·nt| div (2·nt·gt)
+# — pure integers, one floor division at the end, identical in both
+# dialects. Scale shape: the class table is the bounded B120 QI
+# cardinality, the global topic table is TOPIC_BUCKETS rows (broadcast);
+# the grid join is |classes| × TOPIC_BUCKETS — nothing corpus-wide but
+# the shared decile assignment. The |n_i·gt| products are summed through
+# decimal(38,0)/HUGEINT (the documented 128-bit moment-sum rule) so the
+# audit survives 10¹²-document corpora where n·gt overflows 64 bits.
+T_CLOSENESS_PPM = 300_000
+
+
+@register(
+    "doc_t_closeness_audit",
+    f"""
+WITH binned AS (
+  SELECT lang, source, {_TOPIC_DDB} AS topic,
+         ntile(10) OVER (ORDER BY n_chars, doc_id) AS len_decile
+  FROM documents
+), cells AS (
+  SELECT lang, source, CAST(len_decile AS BIGINT) AS len_decile, topic,
+         CAST(count(*) AS BIGINT) AS n
+  FROM binned GROUP BY lang, source, len_decile, topic
+), tot AS (
+  SELECT lang, source, len_decile, CAST(sum(n) AS BIGINT) AS nt
+  FROM cells GROUP BY lang, source, len_decile
+), gdist AS (
+  SELECT topic, CAST(sum(n) AS BIGINT) AS g FROM cells GROUP BY topic
+), gtot AS (
+  SELECT CAST(sum(g) AS BIGINT) AS gt FROM gdist
+), grid AS (
+  SELECT t.lang, t.source, t.len_decile, t.nt, gl.topic, gl.g, gt.gt
+  FROM tot t CROSS JOIN gdist gl CROSS JOIN gtot gt
+), scored AS (
+  SELECT gr.lang, gr.source, gr.len_decile, gr.nt, gr.gt,
+         sum(abs(CAST(COALESCE(c.n, 0) AS HUGEINT) * gr.gt
+                 - CAST(gr.g AS HUGEINT) * gr.nt)) AS num
+  FROM grid gr LEFT JOIN cells c
+    ON c.lang = gr.lang AND c.source = gr.source
+   AND c.len_decile = gr.len_decile AND c.topic = gr.topic
+  GROUP BY gr.lang, gr.source, gr.len_decile, gr.nt, gr.gt
+)
+SELECT lang, source, len_decile, nt AS class_size,
+       CAST(num * 1000000 // (2 * CAST(nt AS HUGEINT) * gt) AS BIGINT) AS tvd_ppm,
+       CAST(num * 1000000 // (2 * CAST(nt AS HUGEINT) * gt) AS BIGINT)
+         > {T_CLOSENESS_PPM} AS above_t
+FROM scored
+ORDER BY lang, source, len_decile
+""",
+)
+def doc_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit over the B120 quasi-identifier classes (B234):
+    exact integer total-variation distance between each class's topic
+    distribution and the global one, in ppm, with the above-t flag.
+    Completes the disclosure triad (B120 k-anonymity, B229 l-diversity).
+    """
+    from ..operators.quantiles import with_exact_ntile
+
+    d = read_table(spark, sf_dir, "documents")
+    binned = with_exact_ntile(
+        d.select("lang", "source", "n_chars", "doc_id", F.expr(_TOPIC_SPARK).alias("topic")),
+        10,
+        "n_chars",
+        "doc_id",
+        "len_decile",
+    ).select("lang", "source", F.col("len_decile").cast("long").alias("len_decile"), "topic")
+    cells = binned.groupBy("lang", "source", "len_decile", "topic").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = cells.groupBy("lang", "source", "len_decile").agg(
+        F.sum("n").cast("long").alias("nt")
+    )
+    glob = cells.groupBy("topic").agg(F.sum("n").cast("long").alias("g"))
+    gt = glob.agg(F.sum("g").cast("long").alias("gt"))
+    grid = tot.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(gt))
+    scored = (
+        grid.join(cells, ["lang", "source", "len_decile", "topic"], "left")
+        .withColumn("n0", F.coalesce(F.col("n"), F.lit(0)).cast("long"))
+        .groupBy("lang", "source", "len_decile", "nt", "gt")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("n0").cast("decimal(38,0)") * F.col("gt")
+                    - F.col("g").cast("decimal(38,0)") * F.col("nt")
+                )
+            ).alias("num")
+        )
+    )
+    return (
+        scored.select(
+            "lang",
+            "source",
+            "len_decile",
+            F.col("nt").alias("class_size"),
+            F.expr(
+                "cast((num * 1000000) div (2 * cast(nt as decimal(38,0)) * gt) as bigint)"
+            ).alias("tvd_ppm"),
+        )
+        .withColumn("above_t", F.col("tvd_ppm") > T_CLOSENESS_PPM)
+        .orderBy("lang", "source", "len_decile")
+    )

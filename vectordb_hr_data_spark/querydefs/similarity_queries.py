@@ -4340,3 +4340,192 @@ def metric_agreement_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# B235: link prediction over the kNN graph (Adamic-Adar) (r12)
+# --------------------------------------------------------------------------
+# The similarity graph's MISSING edges are a product: "you may also like"
+# candidates, near-dup suspects below the kNN cut, weak-supervision pairs
+# for contrastive training. The classic unsupervised scores (Liben-Nowell
+# & Kleinberg, CIKM'03) rank non-adjacent pairs by their common
+# neighborhood; Adamic-Adar weights each shared neighbor w by 1/ln(deg w)
+# so promiscuous hubs certify less than selective nodes. Arithmetic
+# contract: per-term round(10⁶/ln(d+1)) then INTEGER sum — order-free,
+# bit-equal in both engines (the l-diversity ln-rounding precedent).
+# Scale shape: candidate pairs come from ONE self-join of the undirected
+# edge list on the shared middle node — volume Σ_w deg(w)², NEVER
+# all-pairs — and the hub cap bounds the per-node fan-out: a middle node
+# with deg > HUB_CAP is excluded (its AA term is the smallest by
+# construction, and in production link prediction hub exclusion is the
+# standard volume guard; both engines apply the same cap so exactness is
+# by construction). Output: top-N new pairs, deterministic total order.
+GRAPH_LINKPRED_HUB_CAP = 64
+LINKPRED_TOPN = 50
+
+
+def _linkpred_oracle() -> str:
+    return f"""
+WITH scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_COS_DDB.format(a='b.embedding', b='a.embedding')}, 4) DESC,
+                                     b.vec_id) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+), de AS (
+  SELECT src, dst FROM scored WHERE rn <= {PAGERANK_DEG}
+), und AS (
+  SELECT src, dst FROM de UNION SELECT dst, src FROM de
+), deg AS (
+  SELECT src AS w, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY src
+), cand AS (
+  SELECT a.src AS u, b.src AS v, g.d
+  FROM und a JOIN und b ON a.dst = b.dst AND a.src < b.src
+  JOIN deg g ON g.w = a.dst
+  WHERE g.d <= {GRAPH_LINKPRED_HUB_CAP}
+), pairs AS (
+  SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
+         CAST(sum(CAST(round(1000000.0 / ln(d + 1)) AS BIGINT)) AS BIGINT) AS aa_micro
+  FROM cand GROUP BY u, v
+)
+SELECT u, v, n_common, aa_micro
+FROM pairs p
+WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.src = p.u AND e.dst = p.v)
+ORDER BY aa_micro DESC, u, v
+LIMIT {LINKPRED_TOPN}
+"""
+
+
+@register("graph_link_prediction", _linkpred_oracle())
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the mutual family's directed kNN
+    edges (B235): symmetrize, self-join on the shared middle node
+    (hub-capped), integer AA score, anti-join existing edges, exact
+    top-N. Every join is keyed; the final order is a
+    TakeOrderedAndProject."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    de = _graph_dir_edges(sf_dir, emb, PAGERANK_DEG, "graph_link_prediction")
+    und = (
+        de.select("src", "dst")
+        .unionByName(de.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy(F.col("src").alias("w")).agg(F.count("*").cast("long").alias("d"))
+    a = und.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    b = und.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    cand = (
+        a.join(b, "w")
+        .filter(F.col("u") < F.col("v"))
+        .join(deg, "w")
+        .filter(F.col("d") <= GRAPH_LINKPRED_HUB_CAP)
+    )
+    pairs = cand.groupBy("u", "v").agg(
+        F.count("*").cast("long").alias("n_common"),
+        F.sum(F.round(F.lit(1000000.0) / F.log(F.col("d") + 1)).cast("long"))
+        .cast("long")
+        .alias("aa_micro"),
+    )
+    newp = pairs.join(
+        und, (pairs["u"] == und["src"]) & (pairs["v"] == und["dst"]), "left_anti"
+    )
+    return newp.orderBy(F.col("aa_micro").desc(), "u", "v").limit(LINKPRED_TOPN)
+
+
+# --------------------------------------------------------------------------
+# B238: ANN index advisor (r12) — the capstone over the tuning curves
+# --------------------------------------------------------------------------
+# The operational question the curve family (B201 IVF, B231 HNSW, B233
+# multi-cell HNSW) exists to answer: "I need recall ≥ R — which index, at
+# which probe depth?" The advisor unions the three measured curves and,
+# per recall target, picks each family's MINIMAL nprobe whose mean
+# recall@10 meets the target (families that never reach a target emit no
+# row — an honest 'cannot serve this SLA' instead of a padded one). The
+# oracle is the three registered curve oracles composed verbatim (the
+# capstone discipline: every number in the advisor is a number an
+# already-checked query produced). Scale: the inputs are |grid|-row
+# frames; the advisor itself is arithmetic on a dozen rows. The Spark
+# path reuses the builder functions — and therefore the persisted
+# build-once indexes — so advising costs three curve reads, not three
+# index builds.
+ADVISOR_TARGETS_MILLI = (800, 900, 950)
+
+
+def _index_advisor_oracle() -> str:
+    from .vector_queries import HNSW_MULTI_ASSIGN, _hnsw_curve_oracle
+
+    targets = ", ".join(f"({t})" for t in ADVISOR_TARGETS_MILLI)
+    return f"""
+WITH ivf_curve AS ({_nprobe_curve_oracle()}),
+hnsw_curve AS ({_hnsw_curve_oracle()}),
+mc_curve AS ({_hnsw_curve_oracle(assign_cells=HNSW_MULTI_ASSIGN)}),
+unioned AS (
+  SELECT 'ivf' AS family, nprobe, mean_recall_milli FROM ivf_curve
+  UNION ALL
+  SELECT 'hnsw' AS family, nprobe, mean_recall_milli FROM hnsw_curve
+  UNION ALL
+  SELECT 'hnsw_multicell' AS family, nprobe, mean_recall_milli FROM mc_curve
+),
+targets(target_milli) AS (VALUES {targets}),
+feasible AS (
+  SELECT t.target_milli, u.family, u.nprobe, u.mean_recall_milli
+  FROM targets t JOIN unioned u ON u.mean_recall_milli >= t.target_milli
+),
+best AS (
+  SELECT target_milli, family, CAST(min(nprobe) AS BIGINT) AS min_nprobe
+  FROM feasible GROUP BY target_milli, family
+)
+SELECT CAST(b.target_milli AS BIGINT) AS target_milli, b.family AS family,
+       b.min_nprobe,
+       CAST(u.mean_recall_milli AS BIGINT) AS achieved_recall_milli
+FROM best b JOIN unioned u ON u.family = b.family AND u.nprobe = b.min_nprobe
+ORDER BY target_milli, family
+"""
+
+
+@register("ann_index_advisor", _index_advisor_oracle())
+def ann_index_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index advisor (B238): per recall target, each family's minimal
+    nprobe meeting it, from the three registered tuning curves (B201 /
+    B231 / B233) — composed, not recomputed: the curve builders read
+    their persisted indexes."""
+    from .vector_queries import hnsw_multicell_recall_curve, hnsw_nprobe_recall_curve
+
+    curves = (
+        ivf_nprobe_recall_curve(spark, sf_dir)
+        .select(F.lit("ivf").alias("family"), "nprobe", "mean_recall_milli")
+        .unionByName(
+            hnsw_nprobe_recall_curve(spark, sf_dir).select(
+                F.lit("hnsw").alias("family"), "nprobe", "mean_recall_milli"
+            )
+        )
+        .unionByName(
+            hnsw_multicell_recall_curve(spark, sf_dir).select(
+                F.lit("hnsw_multicell").alias("family"), "nprobe", "mean_recall_milli"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    targets = spark.createDataFrame(
+        [(t,) for t in ADVISOR_TARGETS_MILLI], "target_milli long"
+    )
+    feasible = F.broadcast(targets).crossJoin(curves).filter(
+        F.col("mean_recall_milli") >= F.col("target_milli")
+    )
+    best = feasible.groupBy("target_milli", "family").agg(
+        F.min("nprobe").cast("long").alias("min_nprobe")
+    )
+    achieved = curves.select(
+        F.col("family").alias("ach_family"),
+        F.col("nprobe").alias("ach_nprobe"),
+        F.col("mean_recall_milli").cast("long").alias("achieved_recall_milli"),
+    )
+    return (
+        best.join(
+            achieved,
+            (best["family"] == achieved["ach_family"])
+            & (best["min_nprobe"] == achieved["ach_nprobe"]),
+        )
+        .select("target_milli", "family", "min_nprobe", "achieved_recall_milli")
+        .orderBy("target_milli", "family")
+    )
