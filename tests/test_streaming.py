@@ -1907,3 +1907,114 @@ def test_stream_hnsw_retune_fires_once_and_rebuild_passes_recall_gate(
         exact = {vid for _, vid in scored[:k]}
         hits += len(exact & got[qid])
     assert hits / (8 * k) >= 0.8, hits
+
+
+def test_stream_delta_join_converges_to_batch(spark, sf_dir, tmp_path):
+    """stream_delta_join (B236 twin): a CDC-tagged union stream of orders
+    and lineitem arrivals folded over 4 micro-batches must reproduce the
+    one-shot join report EXACTLY — every joined pair lands once, at the
+    batch where its later side arrives. Batches deliberately interleave
+    the two sides on DIFFERENT split attributes so cross-batch delta
+    terms are all non-empty."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.relational_queries import (
+        orders_join_delta_maintenance,
+    )
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        delta_join_report_from_view,
+        stream_delta_join,
+    )
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_returnflag"
+    )
+    o_cdc = o.select(
+        F.lit("O").alias("side"),
+        "o_orderkey",
+        "o_orderpriority",
+        F.lit(None).cast("long").alias("l_orderkey"),
+        F.lit(None).cast("int").alias("l_linenumber"),
+        F.lit(None).cast("double").alias("l_extendedprice"),
+        F.lit(None).cast("double").alias("l_discount"),
+        F.lit(None).cast("string").alias("l_returnflag"),
+        (F.col("o_orderkey") % 4).cast("int").alias("bk"),
+    )
+    l_cdc = li.select(
+        F.lit("L").alias("side"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_discount",
+        "l_returnflag",
+        (F.col("l_linenumber") % 4).cast("int").alias("bk"),
+    )
+    cdc = o_cdc.unionByName(l_cdc)
+    src = tmp_path / "dj_src"
+    src.mkdir()
+    for i in range(4):
+        part = cdc.filter(F.col("bk") == i).drop("bk")
+        tdir = str(tmp_path / f"dj_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    schema = cdc.drop("bk").schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    o_acc = str(tmp_path / "dj_o_acc")
+    l_acc = str(tmp_path / "dj_l_acc")
+    view = str(tmp_path / "dj_view")
+    stream_delta_join(stream, o_acc, l_acc, view)
+    got = sorted(map(tuple, delta_join_report_from_view(spark, view).collect()))
+    want = sorted(map(tuple, orders_join_delta_maintenance(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_stream_delta_join_rejects_unknown_side(spark, sf_dir, tmp_path):
+    """The inserts-only CDC contract is enforced loudly: a row tagged with
+    an unknown side ('U' — e.g. an update event) must raise, not be
+    silently dropped or treated as an insert."""
+    import glob
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.streaming.stream_ops import stream_delta_join
+
+    o = read_table(spark, sf_dir, "orders").limit(10)
+    bad = o.select(
+        F.lit("U").alias("side"),
+        "o_orderkey",
+        "o_orderpriority",
+        F.lit(None).cast("long").alias("l_orderkey"),
+        F.lit(None).cast("int").alias("l_linenumber"),
+        F.lit(None).cast("double").alias("l_extendedprice"),
+        F.lit(None).cast("double").alias("l_discount"),
+        F.lit(None).cast("string").alias("l_returnflag"),
+    )
+    src = tmp_path / "djx_src"
+    src.mkdir()
+    tdir = str(tmp_path / "djx_part")
+    bad.coalesce(1).write.parquet(tdir)
+    shutil.move(glob.glob(f"{tdir}/part-*.parquet")[0], str(src / "f0.parquet"))
+    stream = spark.readStream.schema(bad.schema).parquet(str(src))
+    with pytest.raises(Exception, match="inserts-only CDC contract"):
+        stream_delta_join(
+            stream,
+            str(tmp_path / "djx_o"),
+            str(tmp_path / "djx_l"),
+            str(tmp_path / "djx_v"),
+        )

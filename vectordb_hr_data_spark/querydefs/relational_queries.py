@@ -1506,6 +1506,15 @@ def orders_join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
     view = view_parts[0]
     for p in view_parts[1:]:
         view = view.unionByName(p)
+    return join_view_revenue_report(view)
+
+
+def join_view_revenue_report(view: DataFrame) -> DataFrame:
+    """The B236 report over a maintained orders⋈lineitem view — ONE
+    definition shared by the batch maintenance query and the streaming
+    twin's read path (`streaming/stream_ops.delta_join_report_from_view`)
+    so the two cannot drift. Decimal partials are exact; the double cast
+    happens once, after the sum."""
     return (
         view.groupBy("o_orderpriority", "l_returnflag")
         .agg(

@@ -2128,3 +2128,78 @@ def hnsw_edges_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
         F.col("e.neighbor_id").alias("neighbor_id"),
         F.col("e.d_q").alias("d_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B236 twin: streaming JOIN-view maintenance over a CDC-tagged union stream
+# ---------------------------------------------------------------------------
+def stream_delta_join(
+    cdc_stream: DataFrame,
+    o_acc_path: str,
+    l_acc_path: str,
+    view_path: str,
+) -> None:
+    """Streaming twin of ``orders_join_delta_maintenance`` (B236): the
+    input is ONE CDC-style stream whose rows are tagged arrivals for
+    either join side (``side`` ∈ {'O','L'} — the shape a Debezium/CDC
+    topic union delivers); each micro-batch applies the delta-join
+    identity against the persisted accumulators
+
+        ΔV = ΔO ⋈ L_acc  ∪  O_acc ⋈ ΔL  ∪  ΔO ⋈ ΔL
+
+    APPENDS the view increment, and only then appends the deltas to the
+    accumulators. Exactness argument: every joined pair (o, l) lands
+    exactly once — at the micro-batch where the LATER side arrives,
+    because each accumulator holds strictly PRIOR batches when the
+    increment is computed; no ordering contract is needed (inserts
+    commute). Contract enforced loudly: inserts-only (an unknown ``side``
+    tag raises — updates/deletes need a compacting MERGE sink, the
+    stream_scd2_dim discipline). Exactly-once caveat identical to
+    stream_zorder_append's: plain parquet appends are at-least-once on a
+    crash between the view write and the accumulator write; wrap all
+    three paths in a transactional table for exactly-once. At 100 TB the
+    increment cost is |ΔO|⋈L (delta join keys bound the probe) +
+    O⋈|ΔL| + |ΔO|⋈|ΔL| — never a re-scan of the view."""
+    o_cols = ["o_orderkey", "o_orderpriority"]
+    l_cols = ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_returnflag"]
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        bad = batch_df.filter(~F.col("side").isin("O", "L"))
+        if not bad.isEmpty():
+            raise ValueError(
+                "stream_delta_join: inserts-only CDC contract violated — "
+                f"unknown side tag(s): {[r['side'] for r in bad.select('side').distinct().collect()]}"
+            )
+        d_o = batch_df.filter(F.col("side") == "O").select(*o_cols).localCheckpoint(eager=True)
+        d_l = batch_df.filter(F.col("side") == "L").select(*l_cols).localCheckpoint(eager=True)
+        parts = [d_o.join(d_l, d_o["o_orderkey"] == d_l["l_orderkey"])]
+        try:
+            o_acc = spark.read.parquet(o_acc_path)
+            parts.append(o_acc.join(d_l, o_acc["o_orderkey"] == d_l["l_orderkey"]))
+        except Exception:
+            pass
+        try:
+            l_acc = spark.read.parquet(l_acc_path)
+            parts.append(d_o.join(l_acc, d_o["o_orderkey"] == l_acc["l_orderkey"]))
+        except Exception:
+            pass
+        inc = parts[0]
+        for p in parts[1:]:
+            inc = inc.unionByName(p)
+        inc.write.mode("append").parquet(view_path)
+        d_o.write.mode("append").parquet(o_acc_path)
+        d_l.write.mode("append").parquet(l_acc_path)
+
+    q = cdc_stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def delta_join_report_from_view(spark: SparkSession, view_path: str) -> DataFrame:
+    """B236's report over the streamed view — the SAME shared aggregate
+    as the batch query (`relational_queries.join_view_revenue_report`)."""
+    from ..querydefs.relational_queries import join_view_revenue_report
+
+    return join_view_revenue_report(spark.read.parquet(view_path))
