@@ -2018,3 +2018,54 @@ def test_stream_delta_join_rejects_unknown_side(spark, sf_dir, tmp_path):
             str(tmp_path / "djx_l"),
             str(tmp_path / "djx_v"),
         )
+
+
+def test_stream_value_hist_converges_to_batch_and_bounds_error(spark, sf_dir, tmp_path):
+    """stream_value_hist (B239 twin): per-(type, day, bin) counts folded
+    over 4 micro-batches must reproduce events_value_bands_hist EXACTLY
+    (bin counts are associative sums), and the histogram bands must sit
+    within one bin width of the exact B137 percentiles for every
+    (type, day) — the sketch's error bound BY CONSTRUCTION."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import (
+        VALUE_HIST_BIN_CENTS,
+        events_daily_value_bands,
+        events_value_bands_hist,
+    )
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        stream_value_hist,
+        value_bands_from_hist_state,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    src = tmp_path / "vh_src"
+    src.mkdir()
+    for i in range(4):
+        part = ev.filter((F.col("event_id") % 4) == i)
+        tdir = str(tmp_path / f"vh_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    state = str(tmp_path / "vh_state")
+    stream_value_hist(stream, state)
+    got = sorted(map(tuple, value_bands_from_hist_state(spark, state).collect()))
+    want = sorted(map(tuple, events_value_bands_hist(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0
+
+    exact = {
+        (r["event_type"], r["day_epoch_days"]): (r["p50_cents"], r["p95_cents"])
+        for r in events_daily_value_bands(spark, sf_dir).collect()
+    }
+    for event_type, day, _n, p50_bin, p95_bin in got:
+        e50, e95 = exact[(event_type, day)]
+        assert abs(p50_bin - e50) <= VALUE_HIST_BIN_CENTS
+        assert abs(p95_bin - e95) <= VALUE_HIST_BIN_CENTS

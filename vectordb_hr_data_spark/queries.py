@@ -87,6 +87,11 @@ PRIORITY: list[str] = [
     "doc_t_closeness_audit", "graph_link_prediction",
     "orders_join_delta_maintenance", "doc_layout_compression_audit",
     "ann_index_advisor",
+    # r12 second batch (B239-B241): histogram-sketch value bands (the
+    # mergeable B137 twin), LP-partition modularity gate, contrastive
+    # triplet export — never windowed, queue for r13
+    "events_value_bands_hist", "graph_community_modularity",
+    "contrastive_pair_export",
     # r11 rows-only threshold twins of the two exact-rank selection cuts
     # (approx_percentile is engine-specific; drift-bound pytests pin them)
     "dsir_importance_threshold", "quality_prep_threshold",

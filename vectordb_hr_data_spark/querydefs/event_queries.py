@@ -4898,3 +4898,120 @@ def experiment_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("v") >= 1).alias("pass"),
     )
     return srm.unionByName(conv).unionByName(ratio).orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# B239: histogram-sketch value bands — the mergeable twin of B137 (r12)
+# ---------------------------------------------------------------------------
+# B137's exact per-(type, day) percentile ribbon needs the day's raw
+# values; a streaming dashboard can't keep them. The standard trade is a
+# FIXED-BIN HISTOGRAM sketch: per (type, day, bin) counts are plain sums
+# — associative, mergeable, restart-safe (the KMV/MG argument) — and any
+# quantile reads back as "the first bin whose cumulative count reaches
+# ceil(n·q)", with error bounded by the bin width BY CONSTRUCTION. The
+# batch form here is the AUDIT twin: deterministic SQL both engines run
+# (bin = floor-div of cents — written as (cents − pmod)/BIN in Spark
+# because Spark's `div` truncates toward zero while DuckDB's `//`
+# floors; equal on nonneg cents, kept negative-safe deliberately), so
+# the hash check pins the exact arithmetic the streaming state
+# (`stream_value_hist`) converges to. Scale: state is |types|·|days|·
+# |occupied bins| rows — bounded by value range/BIN_CENTS, independent
+# of event volume; the quantile read is a per-key cumulative over ≤
+# |bins| rows.
+VALUE_HIST_BIN_CENTS = 500
+
+
+@register(
+    "events_value_bands_hist",
+    f"""
+WITH v AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT event_type, d, cents // {VALUE_HIST_BIN_CENTS} AS bin,
+         CAST(count(*) AS BIGINT) AS c
+  FROM v GROUP BY event_type, d, cents // {VALUE_HIST_BIN_CENTS}
+), cum AS (
+  SELECT event_type, d, bin, c,
+         sum(c) OVER (PARTITION BY event_type, d ORDER BY bin) AS cc,
+         sum(c) OVER (PARTITION BY event_type, d) AS n
+  FROM b
+)
+SELECT event_type, d AS day_epoch_days, CAST(max(n) AS BIGINT) AS n_values,
+       CAST(min(CASE WHEN cc >= ceil(n * 0.5) THEN bin END)
+            * {VALUE_HIST_BIN_CENTS} AS BIGINT) AS p50_bin_cents,
+       CAST(min(CASE WHEN cc >= ceil(n * 0.95) THEN bin END)
+            * {VALUE_HIST_BIN_CENTS} AS BIGINT) AS p95_bin_cents
+FROM cum
+GROUP BY event_type, d
+ORDER BY event_type, d
+""",
+)
+def events_value_bands_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch P50/P95 value bands per (event_type, day) (B239):
+    fixed-bin counts + per-key cumulative read-back — the mergeable,
+    bounded-state form of B137 whose error is at most one bin width."""
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        "event_type",
+        F.expr("cast(floor(unix_timestamp(ts) / 86400) as bigint)").alias("d"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    b = (
+        v.withColumn(
+            "bin",
+            F.expr(
+                f"(cents - pmod(cents, {VALUE_HIST_BIN_CENTS})) div {VALUE_HIST_BIN_CENTS}"
+            ),
+        )
+        .groupBy("event_type", "d", "bin")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    return value_bands_from_hist(b)
+
+
+def value_bands_from_hist(b: DataFrame) -> DataFrame:
+    """Quantile read-back over a (event_type, d, bin, c) histogram frame —
+    ONE definition shared by the batch audit twin and the streaming
+    state's read path so the two cannot drift."""
+    w_cum = (
+        Window.partitionBy("event_type", "d")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type", "d")
+    cum = b.select(
+        "event_type",
+        "d",
+        "bin",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    return (
+        cum.groupBy("event_type", "d")
+        .agg(
+            F.max("n").cast("long").alias("n_values"),
+            (
+                F.min(F.when(F.col("cc") >= F.ceil(F.col("n") * 0.5), F.col("bin")))
+                * VALUE_HIST_BIN_CENTS
+            )
+            .cast("long")
+            .alias("p50_bin_cents"),
+            (
+                F.min(F.when(F.col("cc") >= F.ceil(F.col("n") * 0.95), F.col("bin")))
+                * VALUE_HIST_BIN_CENTS
+            )
+            .cast("long")
+            .alias("p95_bin_cents"),
+        )
+        .select(
+            "event_type",
+            F.col("d").alias("day_epoch_days"),
+            "n_values",
+            "p50_bin_cents",
+            "p95_bin_cents",
+        )
+        .orderBy("event_type", "day_epoch_days")
+    )

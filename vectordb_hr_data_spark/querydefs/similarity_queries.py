@@ -4529,3 +4529,250 @@ def ann_index_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("target_milli", "family", "min_nprobe", "achieved_recall_milli")
         .orderBy("target_milli", "family")
     )
+
+
+# --------------------------------------------------------------------------
+# B240: community-quality gate — Newman modularity of the LP partition (r12)
+# --------------------------------------------------------------------------
+# B54 produces a partition; nothing yet says whether it's a GOOD one.
+# Newman-Girvan modularity Q = Σ_c [e_c/m − (d_c/2m)²] is the standard
+# gate (Q near 0 → the partition is no better than random wiring; the
+# signal that triggers a re-cluster before anyone samples "diverse"
+# batches from noise communities). Exact rational arithmetic: with
+# twice-counted intra edges e2_c, twice-total m2 = 2m and degree sums
+# d_c, Q = Σ_c (e2_c·m2 − d_c²) / m2² — one signed numerator, one floor
+# division to ppm at the end, written FLOOR-parity on both engines
+# (DuckDB // floors; Spark div truncates, so the Spark side uses the
+# (a − pmod(a, b)) div b form — Q can be negative on anti-community
+# partitions and truncation would diverge exactly there). 128-bit sums
+# (decimal(38,0)/HUGEINT) since d_c² reaches (2m)². Scale: two keyed
+# label joins over the edge list + community-sized aggregates; the LP
+# labels and the edge build are the registered B54 artifacts.
+@register(
+    "graph_community_modularity",
+    f"""
+WITH RECURSIVE scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY round({_COS_DDB.format(a='b.embedding', b='a.embedding')}, 4) DESC,
+                                     b.vec_id) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+), dir AS (
+  SELECT src, dst FROM scored WHERE rn <= {LP_DEG}
+), edges AS (
+  SELECT src, dst, 1 AS w FROM (SELECT src, dst FROM dir UNION SELECT dst, src FROM dir)
+  UNION ALL
+  SELECT vec_id, vec_id, 0 FROM embeddings
+), lp AS (
+  SELECT 0 AS iter, vec_id AS node, CAST(vec_id AS BIGINT) AS lab FROM embeddings
+  UNION ALL
+  SELECT iter1, dst, CAST({_LP_ENC - 1} - (max(enc) % {_LP_ENC}) AS BIGINT)
+  FROM (
+    SELECT p.iter + 1 AS iter1, e.dst, p.lab,
+           sum(e.w) * {_LP_ENC} + ({_LP_ENC - 1} - p.lab) AS enc
+    FROM lp p JOIN edges e ON e.src = p.node
+    WHERE p.iter < {LP_ITERS}
+    GROUP BY p.iter + 1, e.dst, p.lab
+  ) agg
+  GROUP BY iter1, dst
+), labels AS (
+  SELECT node AS vec_id, lab AS community_id FROM lp WHERE iter = {LP_ITERS}
+), und AS (
+  -- NOT a bare UNION: inside a WITH RECURSIVE list DuckDB treats a
+  -- top-level UNION CTE as a recursive iteration and skips the
+  -- cross-branch dedup (observed: 3000 rows instead of 1970)
+  SELECT DISTINCT src, dst
+  FROM (SELECT src, dst FROM dir UNION ALL SELECT dst, src FROM dir) t
+), m2t AS (
+  SELECT CAST(count(*) AS BIGINT) AS m2 FROM und
+), deg AS (
+  SELECT src AS v, CAST(count(*) AS BIGINT) AS dv FROM und GROUP BY src
+), intra AS (
+  SELECT la.community_id AS c, CAST(count(*) AS BIGINT) AS e2
+  FROM und u
+  JOIN labels la ON la.vec_id = u.src
+  JOIN labels lb ON lb.vec_id = u.dst
+  WHERE la.community_id = lb.community_id
+  GROUP BY la.community_id
+), degsum AS (
+  SELECT l.community_id AS c, CAST(sum(d.dv) AS BIGINT) AS dc
+  FROM labels l JOIN deg d ON d.v = l.vec_id
+  GROUP BY l.community_id
+), comm AS (
+  SELECT ds.c, COALESCE(i.e2, 0) AS e2, ds.dc
+  FROM degsum ds LEFT JOIN intra i ON i.c = ds.c
+), num AS (
+  SELECT CAST(sum(CAST(e2 AS HUGEINT) * m.m2 - CAST(dc AS HUGEINT) * dc) AS HUGEINT) AS n
+  FROM comm CROSS JOIN m2t m
+)
+SELECT CAST((SELECT count(*) FROM labels) AS BIGINT) AS n_nodes,
+       CAST(m.m2 // 2 AS BIGINT) AS n_edges,
+       CAST((SELECT count(DISTINCT community_id) FROM labels) AS BIGINT) AS n_communities,
+       CAST((num.n * 1000000) // (CAST(m.m2 AS HUGEINT) * m.m2) AS BIGINT) AS q_ppm
+FROM num CROSS JOIN m2t m
+""",
+)
+def graph_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the B54 label-propagation partition (B240):
+    exact integer Q in ppm over the shared edge build — the
+    partition-quality gate beside the partition itself."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    labels = doc_label_communities(spark, sf_dir).localCheckpoint(eager=True)
+    de = _graph_dir_edges(sf_dir, emb, LP_DEG, "graph_community_modularity")
+    und = (
+        de.select("src", "dst")
+        .unionByName(de.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m2 = und.count()
+    n_nodes = labels.count()
+    n_comm = labels.select("community_id").distinct().count()
+    la = labels.select(F.col("vec_id").alias("src"), F.col("community_id").alias("ca"))
+    lb = labels.select(F.col("vec_id").alias("dst"), F.col("community_id").alias("cb"))
+    intra = (
+        und.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count("*").cast("long").alias("e2"))
+    )
+    deg = und.groupBy(F.col("src").alias("v")).agg(F.count("*").cast("long").alias("dv"))
+    degsum = (
+        labels.join(deg, labels["vec_id"] == deg["v"])
+        .groupBy(F.col("community_id").alias("c"))
+        .agg(F.sum("dv").cast("long").alias("dc"))
+    )
+    comm = degsum.join(intra, "c", "left").select(
+        "c", F.coalesce(F.col("e2"), F.lit(0)).cast("long").alias("e2"), "dc"
+    )
+    num_row = comm.agg(
+        F.sum(
+            F.col("e2").cast("decimal(38,0)") * F.lit(m2)
+            - F.col("dc").cast("decimal(38,0)") * F.col("dc")
+        ).alias("n")
+    )
+    return num_row.select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(m2 // 2).cast("long").alias("n_edges"),
+        F.lit(n_comm).cast("long").alias("n_communities"),
+        F.expr(
+            f"cast((n * 1000000 - pmod(n * 1000000, cast({m2} as decimal(38,0)) * {m2}))"
+            f" div (cast({m2} as decimal(38,0)) * {m2}) as bigint)"
+        ).alias("q_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B241: contrastive training-pair export (r12) — the capstone artifact an
+# embedding trainer actually consumes
+# --------------------------------------------------------------------------
+# Contrastive fine-tuning (InfoNCE / triplet) needs (anchor, positive,
+# hard negative) triplets. The pipeline already mines both halves: the
+# positive is the anchor's nearest neighbor (the near-dup signal the
+# dedup family thresholds), the negatives are B41's hard negatives —
+# highest-cosine candidates BELOW the near-dup band, exactly the
+# "confusable but not duplicate" rows a trainer wants. The export JOINS
+# the two registered shapes per anchor and emits the triplet table with
+# integer-milli cosines and the pos-vs-neg margin (the signal that
+# flags label noise: a margin near zero means the 'positive' is barely
+# closer than a known negative — triage before training, not after).
+# Scale: both halves are the broadcast-query scored pass with local
+# top-k pre-reduce; the join is per-anchor, K_neg rows each.
+TRIPLET_N_NEG = 3
+
+
+@register(
+    "contrastive_pair_export",
+    f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {HARDNEG_N_QUERIES}
+), scored AS (
+  SELECT qs.query_id, e.vec_id,
+         round({_COS_DDB.format(a='e.embedding', b='qs.qv')}, 4) AS cosine
+  FROM embeddings e CROSS JOIN qs
+  WHERE e.vec_id != qs.query_id
+), pos AS (
+  SELECT query_id, vec_id AS positive_id, cosine AS pos_cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+), negs AS (
+  SELECT query_id, vec_id AS negative_id, cosine AS neg_cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored WHERE cosine < {HARDNEG_DUP_COSINE}
+)
+SELECT p.query_id AS anchor_id, p.positive_id, n.negative_id,
+       CAST(n.rn AS BIGINT) AS neg_rank,
+       CAST(round(p.pos_cos * 1000) AS BIGINT) AS pos_cos_milli,
+       CAST(round(n.neg_cos * 1000) AS BIGINT) AS neg_cos_milli,
+       CAST(round(p.pos_cos * 1000) - round(n.neg_cos * 1000) AS BIGINT) AS margin_milli
+FROM pos p JOIN negs n ON n.query_id = p.query_id
+WHERE p.rn = 1 AND n.rn <= {TRIPLET_N_NEG}
+ORDER BY anchor_id, neg_rank
+""",
+)
+def contrastive_pair_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet export (B241): per anchor, the top-1 neighbor
+    as positive joined with B41's top hard negatives, with integer-milli
+    cosines and the pos-neg margin — the training-pair artifact plus its
+    built-in label-noise triage column."""
+    from ..operators.knn import local_topk_per_key
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < HARDNEG_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(V.cosine_sim(F.col("embedding"), F.col("qv")), 4).alias("cosine"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    pos = (
+        local_topk_per_key(
+            scored, key_col="query_id", order_cols=("cosine", "vec_id"), k=1,
+            ascending=(False, True),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("positive_id"),
+            F.col("cosine").alias("pos_cos"),
+        )
+    )
+    negs = (
+        local_topk_per_key(
+            scored.filter(F.col("cosine") < HARDNEG_DUP_COSINE),
+            key_col="query_id", order_cols=("cosine", "vec_id"), k=TRIPLET_N_NEG,
+            ascending=(False, True),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TRIPLET_N_NEG)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("cosine").alias("neg_cos"),
+            F.col("rn").cast("long").alias("neg_rank"),
+        )
+    )
+    return (
+        pos.join(negs, "query_id")
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            "positive_id",
+            "negative_id",
+            "neg_rank",
+            F.round(F.col("pos_cos") * 1000).cast("long").alias("pos_cos_milli"),
+            F.round(F.col("neg_cos") * 1000).cast("long").alias("neg_cos_milli"),
+            (F.round(F.col("pos_cos") * 1000) - F.round(F.col("neg_cos") * 1000))
+            .cast("long")
+            .alias("margin_milli"),
+        )
+        .orderBy("anchor_id", "neg_rank")
+    )

@@ -2203,3 +2203,39 @@ def delta_join_report_from_view(spark: SparkSession, view_path: str) -> DataFram
     from ..querydefs.relational_queries import join_view_revenue_report
 
     return join_view_revenue_report(spark.read.parquet(view_path))
+
+
+# ---------------------------------------------------------------------------
+# B239 twin: streaming fixed-bin value-histogram state
+# ---------------------------------------------------------------------------
+def stream_value_hist(event_stream: DataFrame, state_path: str) -> None:
+    """Streaming maintenance of the B239 per-(event_type, day, bin) value
+    histogram via ``stream_mergeable_agg`` — bin counts are plain sums,
+    so batch boundaries, arrival order, and restarts cannot move the
+    converged state. The state is bounded by |types|·|days|·|occupied
+    bins| regardless of event volume; quantiles are computed at READ
+    time (``value_bands_from_hist_state``) because a quantile is not
+    associative — the histogram is."""
+    from ..querydefs.event_queries import VALUE_HIST_BIN_CENTS
+
+    binned = event_stream.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.expr("cast(floor(unix_timestamp(ts) / 86400) as bigint)").alias("d"),
+        F.expr(
+            "(cast(round(value * 100) as bigint)"
+            f" - pmod(cast(round(value * 100) as bigint), {VALUE_HIST_BIN_CENTS}))"
+            f" div {VALUE_HIST_BIN_CENTS}"
+        ).alias("bin"),
+    )
+    batch_agg = [F.count("*").cast("long").alias("c")]
+    merge_agg = [F.sum("c").cast("long").alias("c")]
+    stream_mergeable_agg(binned, state_path, ["event_type", "d", "bin"], batch_agg, merge_agg)
+
+
+def value_bands_from_hist_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B239's band report computed from the streamed histogram state — the
+    SAME shared read-back as the batch audit twin
+    (`event_queries.value_bands_from_hist`)."""
+    from ..querydefs.event_queries import value_bands_from_hist
+
+    return value_bands_from_hist(spark.read.parquet(state_path))
