@@ -2069,3 +2069,58 @@ def test_stream_value_hist_converges_to_batch_and_bounds_error(spark, sf_dir, tm
         e50, e95 = exact[(event_type, day)]
         assert abs(p50_bin - e50) <= VALUE_HIST_BIN_CENTS
         assert abs(p95_bin - e95) <= VALUE_HIST_BIN_CENTS
+
+
+def test_stream_late_audit_counts_exactly_what_a_watermark_drops(spark, sf_dir, tmp_path):
+    """stream_late_audit (B243): three hand-built micro-batches with known
+    late rows — batch 2 carries two events older than (batch-1 max −
+    watermark), batch 3 carries one. The ledger must report exactly
+    those counts (Spark's previous-batch-max watermark rule), a zero
+    late count for the first batch (no prior high-water mark), and the
+    corpus loss share in ppm."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        late_audit_from_state,
+        stream_late_audit,
+    )
+
+    base = 1_700_000_000  # seconds
+    wm_s = 3600
+    batches = [
+        # batch 0: ts at base+0h..+2h  -> max = base + 7200
+        [base, base + 3600, base + 7200],
+        # batch 1: wm = base+7200-3600 = base+3600; two rows BELOW it
+        [base + 100, base + 3599, base + 9000, base + 10800],
+        # batch 2: wm = base+10800-3600 = base+7200; one row below
+        [base + 7100, base + 7200, base + 14400],
+    ]
+    src = tmp_path / "la_src"
+    src.mkdir()
+    for i, tss in enumerate(batches):
+        df = spark.createDataFrame(
+            [(j, t) for j, t in enumerate(tss)], "event_id long, ts_s long"
+        ).select("event_id", F.timestamp_seconds(F.col("ts_s")).alias("ts"))
+        tdir = str(tmp_path / f"la_part{i}")
+        df.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    schema = "event_id long, ts timestamp"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    state = str(tmp_path / "la_state")
+    stream_late_audit(stream, state, watermark_s=wm_s)
+    rows = {r["epoch_id"]: r for r in late_audit_from_state(spark, state).collect()}
+    assert len(rows) == 3
+    assert rows[0]["n_late"] == 0 and rows[0]["wm_us"] is None
+    assert rows[1]["n_late"] == 2
+    assert rows[1]["wm_us"] == (base + 7200 - wm_s) * 1_000_000
+    assert rows[2]["n_late"] == 1
+    assert rows[2]["wm_us"] == (base + 10800 - wm_s) * 1_000_000
+    # 3 late of 10 total -> 300000 ppm
+    assert rows[0]["corpus_late_ppm"] == 300_000

@@ -91,7 +91,7 @@ PRIORITY: list[str] = [
     # mergeable B137 twin), LP-partition modularity gate, contrastive
     # triplet export — never windowed, queue for r13
     "events_value_bands_hist", "graph_community_modularity",
-    "contrastive_pair_export",
+    "contrastive_pair_export", "lsh_band_recall_curve",
     # r11 rows-only threshold twins of the two exact-rank selection cuts
     # (approx_percentile is engine-specific; drift-bound pytests pin them)
     "dsir_importance_threshold", "quality_prep_threshold",

@@ -2109,3 +2109,152 @@ def source_copy_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_copies"))
         .orderBy("from_source", "to_source")
     )
+
+
+# --------------------------------------------------------------------------
+# B242: measured LSH band-recall curve (r12) — the empirical twin of the
+# B179 analytic planner
+# --------------------------------------------------------------------------
+# B179 predicts candidate recall from the (b, r) s-curve; this measures
+# it ON THE CORPUS: per band budget nb ∈ {1..N_BANDS}, the share of
+# verified near-dup pairs (Jaccard ≥ threshold, full-band candidates)
+# that the FIRST nb bands already capture, plus the candidate volume
+# those bands pay for. One signature pass — each candidate pair is
+# tagged with its MINIMAL matching band index (the nprobe-curve
+# discipline: nb-band candidates = bmin < nb), so the whole curve costs
+# one banded join, not |grid| joins. Reading the two columns together
+# answers the production question the planner can only estimate: "can I
+# run 2 bands instead of 4 and keep 95% of the dupes at half the
+# shuffle?" Scale: identical candidate mechanics to B2 (banded
+# equi-join, never all-pairs); the curve adds one bounded aggregate.
+def _lsh_curve_oracle() -> str:
+    sig_exprs = H.ddb_minhash_sig("hashes")
+    sig_cols = ", ".join(f"{e} AS m{j}" for j, e in enumerate(sig_exprs))
+    band_keys = [
+        " || ':' || ".join(
+            f"CAST(m{b * H.ROWS_PER_BAND + r} AS VARCHAR)" for r in range(H.ROWS_PER_BAND)
+        )
+        for b in range(H.N_BANDS)
+    ]
+    band_cols = ", ".join(f"{k} AS band{b}" for b, k in enumerate(band_keys))
+    cand_union = "\n  UNION ALL\n  ".join(
+        f"SELECT a.doc_id AS d1, b.doc_id AS d2, {b} AS band_id"
+        f" FROM banded a JOIN banded b"
+        f" ON a.doc_id < b.doc_id AND a.band{b} = b.band{b}"
+        for b in range(H.N_BANDS)
+    )
+    grid_vals = ", ".join(f"({nb})" for nb in range(1, H.N_BANDS + 1))
+    return f"""
+WITH t AS (
+  SELECT doc_id, {H.ddb_tokens('text')} AS toks FROM documents
+), sh AS (
+  SELECT doc_id, {H.ddb_shingles('toks')} AS shingles FROM t
+), hashed AS (
+  SELECT doc_id, shingles, {H.ddb_hash_array('shingles')} AS hashes FROM sh
+), sig AS (
+  SELECT doc_id, shingles, {sig_cols} FROM hashed
+), banded AS (
+  SELECT doc_id, shingles, {band_cols} FROM sig
+), cand AS (
+  {cand_union}
+), pairs AS (
+  SELECT d1, d2, CAST(min(band_id) AS BIGINT) AS bmin FROM cand GROUP BY d1, d2
+), verified AS (
+  SELECT p.d1, p.d2, p.bmin,
+         CASE WHEN {H.jaccard_sql_ddb('a.shingles', 'b.shingles')} >= {JACCARD_THRESHOLD}
+              THEN 1 ELSE 0 END AS is_true
+  FROM pairs p
+  JOIN banded a ON a.doc_id = p.d1
+  JOIN banded b ON b.doc_id = p.d2
+), grid(nb) AS (VALUES {grid_vals}),
+tot AS (SELECT CAST(sum(is_true) AS BIGINT) AS n_true FROM verified)
+SELECT CAST(g.nb AS BIGINT) AS n_bands,
+       CAST(count(CASE WHEN v.bmin < g.nb THEN 1 END) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN v.bmin < g.nb THEN v.is_true ELSE 0 END) AS BIGINT) AS n_true_found,
+       CAST(sum(CASE WHEN v.bmin < g.nb THEN v.is_true ELSE 0 END) * 1000
+            // greatest(max(t.n_true), 1) AS BIGINT) AS recall_milli
+FROM grid g CROSS JOIN verified v CROSS JOIN tot t
+GROUP BY g.nb
+ORDER BY n_bands
+"""
+
+
+@register("lsh_band_recall_curve", _lsh_curve_oracle())
+def lsh_band_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH recall-vs-bands curve (B242): per band budget, the
+    candidate volume and the share of full-configuration verified
+    near-dup pairs captured — from ONE min-band-tagged candidate pass."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(H.spark_tokens("text")).alias("toks"))
+    sh = toks.select("doc_id", F.expr(H.spark_shingles("toks")).alias("shingles")).cache()
+    hashed = sh.withColumn("hashes", F.expr(H.spark_hash_array("shingles")))
+    sig = hashed.select(
+        "doc_id",
+        *[F.expr(e).alias(f"m{j}") for j, e in enumerate(H.spark_minhash_sig("hashes"))],
+    )
+    band_keys = [
+        F.concat_ws(
+            ":",
+            *[
+                F.col(f"m{b * H.ROWS_PER_BAND + r}").cast("string")
+                for r in range(H.ROWS_PER_BAND)
+            ],
+        )
+        for b in range(H.N_BANDS)
+    ]
+    # same Generate-materialization discipline as neardup_minhash_lsh
+    pre = sig.select("doc_id", F.array(*band_keys).alias("bk")).cache()
+    banded = pre.select("doc_id", F.posexplode("bk").alias("band_id", "band_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.band_id").alias("band_id"),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.min("band_id").cast("long").alias("bmin"))
+    )
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2"))
+    verified = (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            "bmin",
+            F.when(
+                F.expr(H.jaccard_sql_spark("sh1", "sh2")) >= JACCARD_THRESHOLD, 1
+            )
+            .otherwise(0)
+            .alias("is_true"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    grid = spark.createDataFrame([(nb,) for nb in range(1, H.N_BANDS + 1)], "nb long")
+    tot = verified.agg(F.sum("is_true").cast("long").alias("n_true"))
+    return (
+        F.broadcast(grid)
+        .crossJoin(verified)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("nb")
+        .agg(
+            F.count(F.when(F.col("bmin") < F.col("nb"), 1)).cast("long").alias("n_candidates"),
+            F.sum(F.when(F.col("bmin") < F.col("nb"), F.col("is_true")).otherwise(0))
+            .cast("long")
+            .alias("n_true_found"),
+            F.expr(
+                "cast(sum(CASE WHEN bmin < nb THEN is_true ELSE 0 END) * 1000"
+                " div greatest(max(n_true), 1) as bigint)"
+            ).alias("recall_milli"),
+        )
+        .select(F.col("nb").alias("n_bands"), "n_candidates", "n_true_found", "recall_milli")
+        .orderBy("n_bands")
+    )

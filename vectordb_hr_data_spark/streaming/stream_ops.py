@@ -2239,3 +2239,79 @@ def value_bands_from_hist_state(spark: SparkSession, state_path: str) -> DataFra
     from ..querydefs.event_queries import value_bands_from_hist
 
     return value_bands_from_hist(spark.read.parquet(state_path))
+
+
+# ---------------------------------------------------------------------------
+# B243: watermark late-data accounting — stream observability (r12)
+# ---------------------------------------------------------------------------
+def stream_late_audit(
+    event_stream: DataFrame,
+    state_path: str,
+    watermark_s: int = 3600,
+) -> None:
+    """Late-data accounting for a watermarked pipeline (B243): per
+    micro-batch, how many rows arrived LATE — event time older than
+    (max event time of all PRIOR batches − watermark) — vs admitted.
+    This is exactly the row set a watermarked stateful aggregation
+    downstream would silently drop (Spark advances the watermark from
+    the PREVIOUS batch's max event time), surfaced as an auditable
+    per-batch ledger instead of silent loss: the first number an on-call
+    engineer asks for when a streaming count diverges from the batch
+    recompute. State rows: (epoch_id, n_rows, n_late, batch_max_us,
+    wm_us) — the high-water mark is the running max over prior rows, so
+    the audit itself is restart-safe (re-reading the ledger reconstructs
+    the same watermark sequence). Scale: one count aggregate per batch;
+    the ledger grows one row per micro-batch."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            prior = spark.read.parquet(state_path)
+            hwm = prior.agg(F.max("batch_max_us").alias("m")).collect()[0]["m"]
+        except Exception:
+            hwm = None
+        wm_us = (hwm - watermark_s * 1_000_000) if hwm is not None else None
+        ts_us = F.unix_micros(F.col("ts"))
+        row = batch_df.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(
+                F.when(ts_us < F.lit(wm_us), 1).otherwise(0)
+                if wm_us is not None
+                else F.lit(0)
+            )
+            .cast("long")
+            .alias("n_late"),
+            F.max(ts_us).cast("long").alias("batch_max_us"),
+        ).select(
+            F.lit(int(epoch_id)).cast("long").alias("epoch_id"),
+            "n_rows",
+            "n_late",
+            "batch_max_us",
+            F.lit(wm_us).cast("long").alias("wm_us"),
+        )
+        row.write.mode("append").parquet(state_path)
+
+    q = event_stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def late_audit_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The per-batch late-data ledger, ordered, plus cumulative loss share
+    in ppm — the dashboard row the audit exists for."""
+    df = spark.read.parquet(state_path).orderBy("epoch_id")
+    tot = df.agg(
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.sum("n_late").cast("long").alias("total_late"),
+    )
+    return df.crossJoin(F.broadcast(tot)).select(
+        "epoch_id",
+        "n_rows",
+        "n_late",
+        "batch_max_us",
+        "wm_us",
+        F.expr("total_late * 1000000 div greatest(total_rows, 1)")
+        .cast("long")
+        .alias("corpus_late_ppm"),
+    )
