@@ -32,7 +32,7 @@ EXPECTED_MODULES = {
     "scrub_queries",
     "tokenizer_queries",
 }
-EXPECTED_REGISTRY_SIZE = 327
+EXPECTED_REGISTRY_SIZE = 328
 
 
 def test_registry_all_modules_loaded_and_full_size():
@@ -181,3 +181,45 @@ def test_hnsw_multicell_raises_recall_at_same_nprobe(spark, sf_dir):
         assert multi[np_][1] >= single[np_][1], (np_, single[np_], multi[np_])
     assert multi[4][0] > single[4][0], (single[4], multi[4])
     assert multi[4][0] >= 900, multi[4]
+
+
+# ---------------------------------------------------------------------------
+# B244: zone-map pruning audit — soundness + the layout trade it exists to
+# measure.
+# ---------------------------------------------------------------------------
+
+
+def test_zone_map_pruning_sound_and_zorder_wins_user_dim(spark, sf_dir):
+    from vectordb_hr_data_spark.querydefs.event_queries import events_zone_map_pruning
+
+    rows = {(r.pred_id, r.layout): r for r in events_zone_map_pruning(spark, sf_dir).collect()}
+    assert len(rows) == 8  # 4 predicates x 2 layouts
+    for (pred, layout), r in rows.items():
+        # zone-map pruning is SOUND: a skipped file can hold no matching
+        # row, so scanned rows always cover the matches
+        assert r.n_rows_scanned >= r.n_rows_matched, (pred, layout)
+        assert 0 <= r.n_files_scanned <= r.n_files
+    # matched counts are layout-invariant (the layout moves rows, never
+    # drops them)
+    for pred in {"p1_user_low", "p2_mid_box", "p3_recent", "p4_tight"}:
+        assert rows[(pred, "zorder")].n_rows_matched == rows[(pred, "ingest")].n_rows_matched
+
+
+def test_zone_map_pruning_zorder_wins_user_dim_multi_file(spark):
+    # sf0.001 holds a single 1000-row file (nothing prunable); the layout
+    # trade needs multiple files, so this runs at sf0.01 (10 files): the
+    # audit exists to show ingestion order is ~time order — a pure
+    # user-dimension box prunes NOTHING under it while Morton order skips
+    # files.
+    from vectordb_hr_data_spark.querydefs.event_queries import events_zone_map_pruning
+
+    rows = {
+        (r.pred_id, r.layout): r
+        for r in events_zone_map_pruning(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert rows[("p1_user_low", "ingest")].n_files > 1
+    assert rows[("p1_user_low", "ingest")].scan_save_ppm == 0
+    assert (
+        rows[("p1_user_low", "zorder")].scan_save_ppm
+        > rows[("p1_user_low", "ingest")].scan_save_ppm
+    )

@@ -5015,3 +5015,201 @@ def value_bands_from_hist(b: DataFrame) -> DataFrame:
         )
         .orderBy("event_type", "day_epoch_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# B244: zone-map (min/max) pruning audit — what the B51 layout actually buys
+# ---------------------------------------------------------------------------
+# B51 lays events out in Morton order and B237 prices row order in
+# compressed bytes; neither answers the scan-cost question a 100 TB
+# reader asks: "for THIS predicate, how many files does each layout let
+# me skip?" Parquet/Delta/Iceberg readers prune files from per-file
+# min/max column statistics (zone maps), so the audit reproduces that
+# decision exactly: per file and per layout (Morton vs ingestion id
+# order), the (user_id, event-time) min/max envelope; per predicate box,
+# a file is SCANNED iff its envelope overlaps the box. Output grain is
+# (predicate, layout): files scanned, rows scanned, true matching rows
+# (layout-invariant), and the scan saving in ppm of the corpus — the
+# number that justifies (or kills) an OPTIMIZE ZORDER run. Predicate
+# boxes are integer eighths of the corpus extremes, so every bound is
+# exact integer arithmetic both engines replay bit-for-bit. Scale: the
+# zone-map table is |files| rows (corpus div 1000) built by one
+# map-side-partial groupBy per layout; predicates are a 4-row literal
+# grid cross-joined against it — nothing here grows faster than the
+# file count, and the per-file stats are exactly what the storage layer
+# already maintains for free at 100 TB.
+_PRUNE_PREDS = [
+    # (pred_id, u_lo_8, u_hi_8, t_lo_8, t_hi_8) — half-open [lo, hi) boxes
+    # in eighths of the (user_id, event-time) extremes
+    ("p1_user_low", 0, 2, 0, 8),
+    ("p2_mid_box", 2, 4, 2, 4),
+    ("p3_recent", 0, 8, 6, 8),
+    ("p4_tight", 3, 4, 3, 4),
+]
+
+
+def _prune_pred_values_sql() -> str:
+    return ", ".join(f"('{p}', {a}, {b}, {c}, {d})" for p, a, b, c, d in _PRUNE_PREDS)
+
+
+@register(
+    "events_zone_map_pruning",
+    f"""
+WITH ext AS (
+  SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1, max(user_id) AS umax,
+         count(*) AS n_total
+  FROM events
+), keyed AS (
+  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+         CAST(e.user_id * 256 // (ext.umax + 1) AS BIGINT) AS ub,
+         CAST((epoch_us(e.ts) - ext.t0) * 256 // (ext.t1 - ext.t0 + 1) AS BIGINT) AS hb
+  FROM events e, ext
+), z AS (
+  SELECT event_id, user_id, ts_us, CAST({_ZVAL_DDB} AS BIGINT) AS zval FROM keyed
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY zval, event_id) AS rn FROM z
+), placed AS (
+  SELECT event_id, user_id, ts_us,
+         CAST((rn - 1) // {ZORDER_ROWS_PER_FILE} AS BIGINT) AS z_file,
+         CAST(event_id // {ZORDER_ROWS_PER_FILE} AS BIGINT) AS i_file
+  FROM ranked
+), zones AS (
+  SELECT 'zorder' AS layout, z_file AS file_id,
+         min(user_id) AS u_min, max(user_id) AS u_max,
+         min(ts_us) AS t_min, max(ts_us) AS t_max,
+         count(*) AS n_rows
+  FROM placed GROUP BY z_file
+  UNION ALL
+  SELECT 'ingest' AS layout, i_file AS file_id,
+         min(user_id) AS u_min, max(user_id) AS u_max,
+         min(ts_us) AS t_min, max(ts_us) AS t_max,
+         count(*) AS n_rows
+  FROM placed GROUP BY i_file
+), preds(pred_id, u_lo_8, u_hi_8, t_lo_8, t_hi_8) AS (
+  VALUES {_prune_pred_values_sql()}
+), boxes AS (
+  SELECT p.pred_id,
+         CAST(p.u_lo_8 * (ext.umax + 1) // 8 AS BIGINT) AS u_lo,
+         CAST(p.u_hi_8 * (ext.umax + 1) // 8 AS BIGINT) AS u_hi,
+         CAST(ext.t0 + p.t_lo_8 * (ext.t1 - ext.t0 + 1) // 8 AS BIGINT) AS t_lo,
+         CAST(ext.t0 + p.t_hi_8 * (ext.t1 - ext.t0 + 1) // 8 AS BIGINT) AS t_hi,
+         ext.n_total
+  FROM preds p, ext
+), matched AS (
+  SELECT b.pred_id, CAST(count(*) AS BIGINT) AS n_rows_matched
+  FROM boxes b JOIN placed r
+    ON r.user_id >= b.u_lo AND r.user_id < b.u_hi
+   AND r.ts_us >= b.t_lo AND r.ts_us < b.t_hi
+  GROUP BY b.pred_id
+), scanned AS (
+  SELECT b.pred_id, z.layout,
+         CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(CASE WHEN z.u_min < b.u_hi AND z.u_max >= b.u_lo
+                        AND z.t_min < b.t_hi AND z.t_max >= b.t_lo
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_files_scanned,
+         CAST(sum(CASE WHEN z.u_min < b.u_hi AND z.u_max >= b.u_lo
+                        AND z.t_min < b.t_hi AND z.t_max >= b.t_lo
+                       THEN z.n_rows ELSE 0 END) AS BIGINT) AS n_rows_scanned,
+         max(b.n_total) AS n_total
+  FROM boxes b CROSS JOIN zones z
+  GROUP BY b.pred_id, z.layout
+)
+SELECT s.pred_id, s.layout, s.n_files, s.n_files_scanned, s.n_rows_scanned,
+       COALESCE(m.n_rows_matched, 0) AS n_rows_matched,
+       CAST((s.n_total - s.n_rows_scanned) * 1000000 // s.n_total AS BIGINT)
+         AS scan_save_ppm
+FROM scanned s LEFT JOIN matched m ON m.pred_id = s.pred_id
+ORDER BY s.pred_id, s.layout
+""",
+)
+def events_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file-pruning audit over the B51 Morton layout vs
+    ingestion id order (B244): per (predicate box, layout) the files a
+    min/max-stats reader skips, the rows it still scans, and the saving
+    in ppm. Reuses the registered ``events_zorder_layout`` file
+    assignment; the ingestion layout is the id-range bucket
+    ``event_id div ROWS_PER_FILE`` (event ids are the ingestion-order
+    proxy throughout this repo)."""
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    layout = events_zorder_layout(spark, sf_dir).select("event_id", "file_id")
+    placed = ev.join(layout, "event_id").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("file_id").alias("z_file"),
+        F.expr(f"event_id div {ZORDER_ROWS_PER_FILE}").cast("long").alias("i_file"),
+    )
+
+    def _zones(file_col: str, tag: str) -> DataFrame:
+        return placed.groupBy(F.col(file_col).alias("file_id")).agg(
+            F.min("user_id").alias("u_min"),
+            F.max("user_id").alias("u_max"),
+            F.min("ts_us").alias("t_min"),
+            F.max("ts_us").alias("t_max"),
+            F.count("*").alias("n_rows"),
+        ).select(F.lit(tag).alias("layout"), "*")
+
+    zones = _zones("z_file", "zorder").unionByName(_zones("i_file", "ingest"))
+    ext = ev.agg(
+        F.min("ts_us").alias("t0"),
+        F.max("ts_us").alias("t1"),
+        F.max("user_id").alias("umax"),
+        F.count("*").alias("n_total"),
+    )
+    preds = spark.createDataFrame(
+        _PRUNE_PREDS, "pred_id: string, u_lo_8: long, u_hi_8: long, t_lo_8: long, t_hi_8: long"
+    )
+    boxes = preds.crossJoin(F.broadcast(ext)).select(
+        "pred_id",
+        F.expr("u_lo_8 * (umax + 1) div 8").cast("long").alias("u_lo"),
+        F.expr("u_hi_8 * (umax + 1) div 8").cast("long").alias("u_hi"),
+        F.expr("t0 + t_lo_8 * (t1 - t0 + 1) div 8").cast("long").alias("t_lo"),
+        F.expr("t0 + t_hi_8 * (t1 - t0 + 1) div 8").cast("long").alias("t_hi"),
+        "n_total",
+    )
+    matched = (
+        placed.join(
+            F.broadcast(boxes),
+            (F.col("user_id") >= F.col("u_lo"))
+            & (F.col("user_id") < F.col("u_hi"))
+            & (F.col("ts_us") >= F.col("t_lo"))
+            & (F.col("ts_us") < F.col("t_hi")),
+        )
+        .groupBy("pred_id")
+        .agg(F.count("*").cast("long").alias("n_rows_matched"))
+    )
+    overlap = (
+        (F.col("u_min") < F.col("u_hi"))
+        & (F.col("u_max") >= F.col("u_lo"))
+        & (F.col("t_min") < F.col("t_hi"))
+        & (F.col("t_max") >= F.col("t_lo"))
+    )
+    scanned = (
+        zones.crossJoin(F.broadcast(boxes))
+        .groupBy("pred_id", "layout")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum(F.when(overlap, 1).otherwise(0)).cast("long").alias("n_files_scanned"),
+            F.sum(F.when(overlap, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("n_rows_scanned"),
+            F.max("n_total").alias("n_total"),
+        )
+    )
+    return (
+        scanned.join(matched, "pred_id", "left")
+        .select(
+            "pred_id",
+            "layout",
+            "n_files",
+            "n_files_scanned",
+            "n_rows_scanned",
+            F.coalesce("n_rows_matched", F.lit(0)).cast("long").alias("n_rows_matched"),
+            F.expr("(n_total - n_rows_scanned) * 1000000 div n_total")
+            .cast("long")
+            .alias("scan_save_ppm"),
+        )
+        .orderBy("pred_id", "layout")
+    )
