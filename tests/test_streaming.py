@@ -2124,3 +2124,125 @@ def test_stream_late_audit_counts_exactly_what_a_watermark_drops(spark, sf_dir, 
     assert rows[2]["wm_us"] == (base + 10800 - wm_s) * 1_000_000
     # 3 late of 10 total -> 300000 ppm
     assert rows[0]["corpus_late_ppm"] == 300_000
+
+
+def test_stream_cdc_retraction_agg_converges_to_batch(spark, sf_dir, tmp_path):
+    """stream_cdc_retraction_agg (B245 twin): the three-step I/U/D CDC log
+    replayed as micro-batches must converge to EXACTLY the batch fold —
+    and, by the oracle identity, to the final-snapshot recompute. A second
+    scenario re-splits the SAME log into different batch boundaries
+    (deletes arriving in the same batch as unrelated inserts) to prove the
+    signed fold is boundary-invariant."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.relational_queries import (
+        orders_cdc_retraction_maintenance,
+    )
+    from vectordb_hr_data_spark.streaming.stream_ops import stream_cdc_retraction_agg
+
+    base = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    upd_cond = (F.col("k") % 5 == 0) & (F.col("k") % 3 != 2)
+    new_cents = F.expr("cents * 110 div 100")
+    log = (
+        base.filter(F.col("k") % 3 != 2)
+        .select(
+            F.lit(1).alias("step"), F.lit("I").alias("op"), "status",
+            F.lit(None).cast("long").alias("before_cents"),
+            F.col("cents").alias("after_cents"),
+        )
+        .unionByName(
+            base.filter(F.col("k") % 3 == 2).select(
+                F.lit(2).alias("step"), F.lit("I").alias("op"), "status",
+                F.lit(None).cast("long").alias("before_cents"),
+                F.col("cents").alias("after_cents"),
+            )
+        )
+        .unionByName(
+            base.filter(upd_cond).select(
+                F.lit(2).alias("step"), F.lit("U").alias("op"), "status",
+                F.col("cents").alias("before_cents"),
+                new_cents.cast("long").alias("after_cents"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("prio") == "1-URGENT").select(
+                F.lit(3).alias("step"), F.lit("D").alias("op"), "status",
+                F.when(upd_cond, new_cents).otherwise(F.col("cents"))
+                .cast("long")
+                .alias("before_cents"),
+                F.lit(None).cast("long").alias("after_cents"),
+            )
+        )
+    )
+    want = sorted(
+        map(tuple, orders_cdc_retraction_maintenance(spark, sf_dir).collect())
+    )
+
+    def run(split_col, n_batches, tag):
+        src = tmp_path / f"cdc_src_{tag}"
+        src.mkdir()
+        for i in range(n_batches):
+            part = log.filter(split_col % n_batches == i).drop("step")
+            tdir = str(tmp_path / f"cdc_part_{tag}{i}")
+            part.coalesce(1).write.parquet(tdir)
+            pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+            dst = str(src / f"f{i}.parquet")
+            shutil.move(pf, dst)
+            os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        schema = log.drop("step").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        state = str(tmp_path / f"cdc_state_{tag}")
+        stream_cdc_retraction_agg(stream, state)
+        return sorted(
+            map(tuple, spark.read.parquet(state).orderBy("o_orderstatus").collect())
+        )
+
+    # scenario 1: batches = the CDC steps (in order)
+    got_steps = run(F.col("step"), 3, "steps")
+    assert got_steps == want and len(got_steps) > 0
+    # scenario 2: the same log re-split on a hash of the status string —
+    # deletes/updates land in arbitrary batches relative to their inserts;
+    # the converged state must not move
+    got_hash = run(F.abs(F.xxhash64("status", "op", "before_cents", "after_cents")), 4, "hash")
+    assert got_hash == want
+
+
+def test_stream_cdc_retraction_agg_rejects_malformed(spark, tmp_path):
+    """An op outside I/U/D, or an update missing an image, must raise with
+    the named error — a silently-dropped retraction corrupts the rollup
+    forever."""
+    import pytest as _pytest
+
+    from vectordb_hr_data_spark.streaming.stream_ops import stream_cdc_retraction_agg
+
+    bad = spark.createDataFrame(
+        [("X", "O", None, 100)],
+        "op string, status string, before_cents long, after_cents long",
+    )
+    src = tmp_path / "cdc_bad_src"
+    src.mkdir()
+    import glob
+    import shutil
+
+    tdir = str(tmp_path / "cdc_bad_part")
+    bad.coalesce(1).write.parquet(tdir)
+    shutil.move(glob.glob(f"{tdir}/part-*.parquet")[0], str(src / "f0.parquet"))
+    stream = (
+        spark.readStream.schema(bad.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    with _pytest.raises(Exception, match="malformed CDC"):
+        stream_cdc_retraction_agg(stream, str(tmp_path / "cdc_bad_state"))

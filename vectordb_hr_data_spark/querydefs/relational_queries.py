@@ -1528,3 +1528,130 @@ def join_view_revenue_report(view: DataFrame) -> DataFrame:
         )
         .orderBy("o_orderpriority", "l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# B245: aggregate maintenance under FULL CDC — inserts, updates, deletes
+# (retraction algebra)
+# ---------------------------------------------------------------------------
+# B45 maintains an aggregate under INSERTS and B236 a join view under
+# inserts to both sides; a real CDC feed (Debezium shape: op + before +
+# after images) also carries UPDATES and DELETES. The maintenance algebra
+# is the signed fold: I contributes (+1, +after), U (0, after − before),
+# D (−1, −before) — every measure stays an associative, commutative SUM,
+# so batch boundaries, arrival order, and restarts cannot move the
+# converged state (the same theorem behind stream_mergeable_agg, now
+# with negative terms). The CDC log is synthesized deterministically from
+# orders in three steps: step 1 inserts keys k%3≠2, step 2 inserts the
+# rest AND updates step-1 keys with k%5=0 to price·110 div 100, step 3
+# deletes every 1-URGENT order (before-image = post-update price where
+# the update hit — the pre-image chain is exercised, not just keys). The
+# ORACLE IS THE FINAL-SNAPSHOT RECOMPUTE: hash equality proves the fold
+# is indistinguishable from re-aggregating the table after all CDC is
+# applied. All money is exact integer cents through decimal(18,2); the
+# update factor is integer `div`. At 100 TB each refresh costs one pass
+# over the DELTA (map-side signed partials into a keyed merge), never a
+# re-scan of the base — the property that makes hourly refresh of a
+# petabyte rollup affordable.
+@register(
+    "orders_cdc_retraction_maintenance",
+    """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status, o_orderpriority AS prio,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), snap AS (
+  SELECT status,
+         CASE WHEN k % 5 = 0 AND k % 3 <> 2 THEN cents * 110 // 100 ELSE cents END
+           AS final_cents,
+         prio
+  FROM base
+)
+SELECT b.status AS o_orderstatus,
+       CAST((SELECT count(*) FROM snap s
+             WHERE s.status = b.status AND s.prio <> '1-URGENT') AS BIGINT) AS n_orders,
+       CAST((SELECT COALESCE(sum(s.final_cents), 0) FROM snap s
+             WHERE s.status = b.status AND s.prio <> '1-URGENT') AS BIGINT)
+         AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_ins,
+       CAST(sum(CASE WHEN k % 5 = 0 AND k % 3 <> 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_upd,
+       CAST(sum(CASE WHEN prio = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_del
+FROM base b
+GROUP BY b.status
+ORDER BY o_orderstatus
+""",
+)
+def orders_cdc_retraction_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status order count + revenue maintained purely from a
+    three-step CDC log with inserts, updates, and deletes via the signed
+    retraction fold (B245). The oracle recomputes from the final
+    snapshot — hash equality proves maintenance ≡ recomputation."""
+    base = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    upd_cond = (F.col("k") % 5 == 0) & (F.col("k") % 3 != 2)
+    new_cents = F.expr("cents * 110 div 100")
+    # Debezium-shaped log rows: (step, op, status, before_cents, after_cents)
+    log = (
+        # step 1: insert k%3 != 2
+        base.filter(F.col("k") % 3 != 2).select(
+            F.lit(1).alias("step"), F.lit("I").alias("op"), "status",
+            F.lit(None).cast("long").alias("before_cents"),
+            F.col("cents").alias("after_cents"),
+        )
+        # step 2: insert the rest
+        .unionByName(
+            base.filter(F.col("k") % 3 == 2).select(
+                F.lit(2).alias("step"), F.lit("I").alias("op"), "status",
+                F.lit(None).cast("long").alias("before_cents"),
+                F.col("cents").alias("after_cents"),
+            )
+        )
+        # step 2: update step-1 keys with k%5 == 0 (before = original)
+        .unionByName(
+            base.filter(upd_cond).select(
+                F.lit(2).alias("step"), F.lit("U").alias("op"), "status",
+                F.col("cents").alias("before_cents"),
+                new_cents.cast("long").alias("after_cents"),
+            )
+        )
+        # step 3: delete 1-URGENT (before = post-update price where updated)
+        .unionByName(
+            base.filter(F.col("prio") == "1-URGENT").select(
+                F.lit(3).alias("step"), F.lit("D").alias("op"), "status",
+                F.when(upd_cond, new_cents).otherwise(F.col("cents"))
+                .cast("long")
+                .alias("before_cents"),
+                F.lit(None).cast("long").alias("after_cents"),
+            )
+        )
+    )
+    return cdc_signed_fold(log).orderBy("o_orderstatus")
+
+
+def cdc_signed_fold(log: DataFrame) -> DataFrame:
+    """The B245 retraction fold over a Debezium-shaped CDC log — ONE
+    definition shared by the batch maintenance query and the streaming
+    twin (`streaming/stream_ops.stream_cdc_retraction_agg`) so the two
+    cannot drift. Every measure is an associative signed sum:
+    I → (+1, +after), U → (0, after − before), D → (−1, −before)."""
+    return log.groupBy(F.col("status").alias("o_orderstatus")).agg(
+        F.sum(
+            F.when(F.col("op") == "I", 1).when(F.col("op") == "D", -1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_orders"),
+        F.sum(
+            F.when(F.col("op") == "I", F.col("after_cents"))
+            .when(F.col("op") == "U", F.col("after_cents") - F.col("before_cents"))
+            .otherwise(-F.col("before_cents"))
+        )
+        .cast("long")
+        .alias("revenue_cents"),
+        F.sum(F.when(F.col("op") == "I", 1).otherwise(0)).cast("long").alias("n_ins"),
+        F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).cast("long").alias("n_upd"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).cast("long").alias("n_del"),
+    )

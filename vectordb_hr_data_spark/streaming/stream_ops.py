@@ -2315,3 +2315,68 @@ def late_audit_from_state(spark: SparkSession, state_path: str) -> DataFrame:
         .cast("long")
         .alias("corpus_late_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B245 twin: streaming aggregate maintenance under FULL CDC (retractions)
+# ---------------------------------------------------------------------------
+def stream_cdc_retraction_agg(cdc_stream: DataFrame, state_path: str) -> None:
+    """Maintain the B245 per-status (n_orders, revenue_cents) rollup from
+    a Debezium-shaped CDC stream carrying INSERTS, UPDATES, AND DELETES —
+    the retraction-capable sibling of the insert-only CDC sinks. Each
+    micro-batch folds through the SAME signed algebra as the batch query
+    (`querydefs.relational_queries.cdc_signed_fold`: I → (+1, +after),
+    U → (0, after − before), D → (−1, −before)), then merges into the
+    persisted state by summing — every measure is an associative signed
+    sum, so batch boundaries, arrival order, and restarts cannot move the
+    converged state and no ordering contract is needed (deletes may even
+    arrive in an earlier micro-batch than their insert: the fold is a sum
+    either way). Malformed rows fail LOUDLY: unknown op tags, U without
+    both images, I/D without the image their sign reads — silently
+    skipping a retraction would corrupt the rollup forever.
+    """
+    from ..querydefs.relational_queries import cdc_signed_fold
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        bad = batch_df.filter(
+            ~F.col("op").isin("I", "U", "D")
+            | ((F.col("op") == "I") & F.col("after_cents").isNull())
+            | ((F.col("op") == "D") & F.col("before_cents").isNull())
+            | (
+                (F.col("op") == "U")
+                & (F.col("before_cents").isNull() | F.col("after_cents").isNull())
+            )
+        )
+        n_bad = bad.count()
+        if n_bad:
+            sample = [r.asDict() for r in bad.limit(3).collect()]
+            raise RuntimeError(
+                f"stream_cdc_retraction_agg: {n_bad} malformed CDC rows in epoch "
+                f"{epoch_id} (op outside I/U/D or missing before/after image) — "
+                f"skipping a retraction would corrupt the rollup; sample: {sample}"
+            )
+        inc = cdc_signed_fold(batch_df)
+        try:
+            state = spark.read.parquet(state_path)
+        except Exception:
+            inc.write.mode("overwrite").parquet(state_path)
+            return
+        merged = (
+            state.unionByName(inc)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.sum("n_orders").cast("long").alias("n_orders"),
+                F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+                F.sum("n_ins").cast("long").alias("n_ins"),
+                F.sum("n_upd").cast("long").alias("n_upd"),
+                F.sum("n_del").cast("long").alias("n_del"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(state_path)
+
+    q = cdc_stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
