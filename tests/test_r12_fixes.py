@@ -32,7 +32,7 @@ EXPECTED_MODULES = {
     "scrub_queries",
     "tokenizer_queries",
 }
-EXPECTED_REGISTRY_SIZE = 329
+EXPECTED_REGISTRY_SIZE = 330
 
 
 def test_registry_all_modules_loaded_and_full_size():
@@ -222,4 +222,41 @@ def test_zone_map_pruning_zorder_wins_user_dim_multi_file(spark):
     assert (
         rows[("p1_user_low", "zorder")].scan_save_ppm
         > rows[("p1_user_low", "ingest")].scan_save_ppm
+    )
+
+
+# ---------------------------------------------------------------------------
+# B246: span localization — exact answer on hand-built documents with a
+# known shared passage.
+# ---------------------------------------------------------------------------
+
+
+def test_span_localization_exact_on_known_overlap(spark):
+    from vectordb_hr_data_spark.querydefs.dedup_queries import localize_spans
+
+    # doc 1: w0..w19; doc 2: ten decoys, then w5..w12 verbatim (8 tokens =
+    # 6 shingles), then more decoys; plus a SHORTER second shared run
+    # (w0 w1 w2 -> 1 shingle) that must lose the tie.
+    d1 = " ".join(f"w{i}" for i in range(20))
+    d2 = (
+        " ".join(f"x{i}" for i in range(10))
+        + " "
+        + " ".join(f"w{i}" for i in range(5, 13))
+        + " y0 y1 w0 w1 w2 z0"
+    )
+    docs = spark.createDataFrame([(1, d1), (2, d2)], "doc_id: long, text: string")
+    pairs = spark.createDataFrame([(1, 2)], "doc_id_1: long, doc_id_2: long")
+    row = localize_spans(docs, pairs).collect()[0]
+    assert row.run_len_shingles == 6
+    assert row.run_len_tokens == 8
+    assert row.start_tok_1 == 5  # w5 at position 5 in doc 1
+    assert row.start_tok_2 == 10  # after the ten decoys in doc 2
+    # a pair with no positional match still reports (total contract)
+    lonely = spark.createDataFrame([(1, 3)], "doc_id_1: long, doc_id_2: long")
+    docs3 = docs.unionByName(
+        spark.createDataFrame([(3, "a b c d e")], "doc_id: long, text: string")
+    )
+    r3 = localize_spans(docs3, lonely).collect()[0]
+    assert (r3.run_len_shingles, r3.run_len_tokens, r3.start_tok_1, r3.start_tok_2) == (
+        0, 0, -1, -1,
     )

@@ -2258,3 +2258,141 @@ def lsh_band_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("nb").alias("n_bands"), "n_candidates", "n_true_found", "recall_milli")
         .orderBy("n_bands")
     )
+
+
+# --------------------------------------------------------------------------
+# B246: near-dup span localization — WHERE two near-duplicates overlap
+# --------------------------------------------------------------------------
+# Every dedup op above says WHICH pairs are near-duplicates; a curator
+# deciding keep/trim/split needs WHERE: the longest contiguous shared
+# passage. Classic diagonal islands over positional shingles: a match at
+# (pos1, pos2) lies on diagonal pos1−pos2, and a run of consecutive
+# positions on one diagonal is a verbatim shared token span. The
+# gaps-and-islands trick (pos1 − row_number per (pair, diagonal)) turns
+# each run into one group — SQL-exact in both engines, no iterative
+# alignment. Scale: positional shingles only ever join through a VERIFIED
+# pair (the B2-blocked, never-all-pairs set), so the match volume is
+# Σ_pairs overlap size; windows are partitioned by (pair, diagonal) —
+# nothing touches an unpartitioned corpus-wide window. Tie-break: longest
+# run, then smallest start_1, then smallest start_2 — total and
+# engine-identical.
+def _span_localization_oracle() -> str:
+    return f"""
+WITH pairs AS (
+  SELECT doc_id_1, doc_id_2 FROM ({_REGISTRY['neardup_ngram_jaccard'].oracle})
+), t AS (
+  SELECT doc_id, {H.ddb_tokens('text')} AS toks FROM documents
+), pos AS (
+  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+         toks[u.i] || ' ' || toks[u.i + 1] || ' ' || toks[u.i + 2] AS sh
+  FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 3
+), m AS (
+  SELECT p.doc_id_1, p.doc_id_2, a.pos AS pos1, b.pos AS pos2
+  FROM pairs p
+  JOIN pos a ON a.doc_id = p.doc_id_1
+  JOIN pos b ON b.doc_id = p.doc_id_2 AND b.sh = a.sh
+), runs AS (
+  SELECT doc_id_1, doc_id_2, pos1, pos2,
+         pos1 - row_number() OVER (
+           PARTITION BY doc_id_1, doc_id_2, pos1 - pos2 ORDER BY pos1
+         ) AS grp,
+         pos1 - pos2 AS diag
+  FROM m
+), agg AS (
+  SELECT doc_id_1, doc_id_2, CAST(count(*) AS BIGINT) AS run_len,
+         min(pos1) AS s1, min(pos2) AS s2
+  FROM runs GROUP BY doc_id_1, doc_id_2, diag, grp
+), best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id_1, doc_id_2 ORDER BY run_len DESC, s1, s2
+  ) AS rb
+  FROM agg
+)
+SELECT p.doc_id_1, p.doc_id_2,
+       COALESCE(b.run_len, 0) AS run_len_shingles,
+       CAST(CASE WHEN b.run_len IS NULL THEN 0 ELSE b.run_len + 2 END AS BIGINT)
+         AS run_len_tokens,
+       COALESCE(b.s1, -1) AS start_tok_1,
+       COALESCE(b.s2, -1) AS start_tok_2
+FROM pairs p
+LEFT JOIN best b
+  ON b.doc_id_1 = p.doc_id_1 AND b.doc_id_2 = p.doc_id_2 AND b.rb = 1
+ORDER BY p.doc_id_1, p.doc_id_2
+"""
+
+
+@register("neardup_span_localization", _span_localization_oracle())
+def neardup_span_localization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest verbatim shared token span per verified near-dup pair
+    (B246): diagonal gaps-and-islands over positional 3-gram shingles —
+    the keep/trim/split evidence behind the B2 pair list."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = neardup_ngram_jaccard(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    return localize_spans(d, pairs)
+
+
+def localize_spans(d: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The B246 core, parameterized by (documents, pair list) so the
+    pytest can pin exact localization on hand-built docs with a known
+    shared passage."""
+    toks = d.select("doc_id", F.expr(H.spark_tokens("text")).alias("toks"))
+    pos_sh = (
+        toks.filter(F.expr("size(toks) >= 3"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ',"
+                    " try_element_at(toks, i), try_element_at(toks, i + 1),"
+                    " try_element_at(toks, i + 2)))"
+                )
+            ).alias("pos", "sh"),
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "sh")
+    )
+    m = (
+        pairs.join(pos_sh.withColumnRenamed("doc_id", "doc_id_1"), "doc_id_1")
+        .withColumnsRenamed({"pos": "pos1"})
+        .join(
+            pos_sh.select(
+                F.col("doc_id").alias("doc_id_2"), F.col("pos").alias("pos2"), "sh"
+            ),
+            ["doc_id_2", "sh"],
+        )
+    )
+    w_diag = Window.partitionBy("doc_id_1", "doc_id_2", F.col("pos1") - F.col("pos2")).orderBy(
+        "pos1"
+    )
+    runs = m.select(
+        "doc_id_1",
+        "doc_id_2",
+        "pos1",
+        "pos2",
+        (F.col("pos1") - F.col("pos2")).alias("diag"),
+        (F.col("pos1") - F.row_number().over(w_diag)).alias("grp"),
+    )
+    agg = runs.groupBy("doc_id_1", "doc_id_2", "diag", "grp").agg(
+        F.count("*").cast("long").alias("run_len"),
+        F.min("pos1").alias("s1"),
+        F.min("pos2").alias("s2"),
+    )
+    w_best = Window.partitionBy("doc_id_1", "doc_id_2").orderBy(
+        F.col("run_len").desc(), "s1", "s2"
+    )
+    best = agg.withColumn("rb", F.row_number().over(w_best)).filter(F.col("rb") == 1)
+    return (
+        pairs.join(best, ["doc_id_1", "doc_id_2"], "left")
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.coalesce("run_len", F.lit(0)).cast("long").alias("run_len_shingles"),
+            F.when(F.col("run_len").isNull(), 0)
+            .otherwise(F.col("run_len") + 2)
+            .cast("long")
+            .alias("run_len_tokens"),
+            F.coalesce("s1", F.lit(-1)).cast("long").alias("start_tok_1"),
+            F.coalesce("s2", F.lit(-1)).cast("long").alias("start_tok_2"),
+        )
+        .orderBy("doc_id_1", "doc_id_2")
+    )
