@@ -5213,3 +5213,110 @@ def events_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pred_id", "layout")
     )
+
+
+# ---------------------------------------------------------------------------
+# B247: join-cardinality estimation audit — predict the shuffle explosion
+# BEFORE paying for it
+# ---------------------------------------------------------------------------
+# The most expensive Spark incident shape is a key-equi-join whose output
+# is quadratically larger than either input (the user_id self-join here:
+# |out| = Σ_u c_u²). B72 audits groupBy skew; this audits JOIN OUTPUT
+# size — the number an optimizer's statistics would estimate and a
+# planner should check before launching the join. Two numbers, computed
+# WITHOUT materializing a single joined row: the exact output size from
+# the per-key count aggregate (Σ c², one map-side-partial groupBy), and
+# the estimate a 1/16 deterministic KEY-sample gives (sample keys by
+# multiplicative hash, sum c² over sampled keys, scale by 16) — key
+# sampling, not row sampling, because row sampling biases c² down by p².
+# Alongside: the top-10 explosion keys with their ppm share of the
+# output, the rows an engineer actually reads when the estimate says
+# "don't run this". Integer arithmetic throughout; at 100 TB both
+# aggregates are one pass over the fact table's join column.
+_CARD_MULT = 2654435761  # Knuth multiplicative constant
+_CARD_P = 2147483647
+_CARD_RATE = 16
+
+
+@register(
+    "events_join_cardinality_audit",
+    f"""
+WITH c AS (
+  SELECT user_id, count(*) AS n_events,
+         CASE WHEN (user_id * {_CARD_MULT} % {_CARD_P}) % {_CARD_RATE} = 0
+              THEN 1 ELSE 0 END AS sampled
+  FROM events GROUP BY user_id
+), tot AS (
+  SELECT CAST(sum(n_events * n_events) AS BIGINT) AS exact_total_pairs,
+         CAST({_CARD_RATE} * sum(CASE WHEN sampled = 1
+                                      THEN n_events * n_events ELSE 0 END) AS BIGINT)
+           AS est_total_pairs,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(sampled) AS BIGINT) AS n_sampled_keys
+  FROM c
+), top AS (
+  SELECT user_id, n_events FROM c
+  ORDER BY n_events * n_events DESC, user_id
+  LIMIT 10
+)
+SELECT t.user_id, CAST(t.n_events AS BIGINT) AS n_events,
+       CAST(t.n_events * t.n_events AS BIGINT) AS pairs_contrib,
+       CAST(t.n_events * t.n_events * 1000000 // tot.exact_total_pairs AS BIGINT)
+         AS contrib_ppm,
+       tot.exact_total_pairs, tot.est_total_pairs,
+       CAST(abs(tot.est_total_pairs - tot.exact_total_pairs) * 1000000
+            // tot.exact_total_pairs AS BIGINT) AS est_err_ppm,
+       tot.n_keys, tot.n_sampled_keys
+FROM top t CROSS JOIN tot
+ORDER BY pairs_contrib DESC, user_id
+""",
+)
+def events_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vs key-sampled join-output cardinality for the user_id
+    self-join (B247), plus the top-10 explosion keys — all from one
+    per-key count aggregate, never the join itself."""
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("n_events")).select(
+        "user_id",
+        "n_events",
+        F.when(
+            (F.col("user_id") * _CARD_MULT % _CARD_P) % _CARD_RATE == 0, 1
+        ).otherwise(0).alias("sampled"),
+    )
+    tot = c.agg(
+        F.sum(F.col("n_events") * F.col("n_events")).cast("long").alias("exact_total_pairs"),
+        (
+            F.lit(_CARD_RATE)
+            * F.sum(
+                F.when(F.col("sampled") == 1, F.col("n_events") * F.col("n_events")).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("est_total_pairs"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("sampled").cast("long").alias("n_sampled_keys"),
+    )
+    top = c.orderBy(
+        (F.col("n_events") * F.col("n_events")).desc(), "user_id"
+    ).limit(10)
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            (F.col("n_events") * F.col("n_events")).cast("long").alias("pairs_contrib"),
+            F.expr("n_events * n_events * 1000000 div exact_total_pairs")
+            .cast("long")
+            .alias("contrib_ppm"),
+            "exact_total_pairs",
+            "est_total_pairs",
+            F.expr(
+                "abs(est_total_pairs - exact_total_pairs) * 1000000 div exact_total_pairs"
+            )
+            .cast("long")
+            .alias("est_err_ppm"),
+            "n_keys",
+            "n_sampled_keys",
+        )
+        .orderBy(F.col("pairs_contrib").desc(), "user_id")
+    )
