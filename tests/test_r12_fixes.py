@@ -32,7 +32,7 @@ EXPECTED_MODULES = {
     "scrub_queries",
     "tokenizer_queries",
 }
-EXPECTED_REGISTRY_SIZE = 331
+EXPECTED_REGISTRY_SIZE = 332
 
 
 def test_registry_all_modules_loaded_and_full_size():
@@ -260,3 +260,30 @@ def test_span_localization_exact_on_known_overlap(spark):
     assert (r3.run_len_shingles, r3.run_len_tokens, r3.start_tok_1, r3.start_tok_2) == (
         0, 0, -1, -1,
     )
+
+
+# ---------------------------------------------------------------------------
+# B248: Merkle range diff — the diff set is known arithmetic, not fixture
+# luck: a leaf differs iff it contains a dropped (k%1009=0) or digest-
+# shifted (k%997=0) key.
+# ---------------------------------------------------------------------------
+
+
+def test_merkle_range_diff_matches_perturbation_arithmetic(spark, sf_dir):
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.relational_queries import (
+        _MERKLE_LEAF,
+        orders_merkle_range_diff,
+    )
+
+    keys = [r.o_orderkey for r in read_table(spark, sf_dir, "orders").select("o_orderkey").collect()]
+    expected_leaves = sorted(
+        {k // _MERKLE_LEAF for k in keys if k % 1009 == 0 or k % 997 == 0}
+    )
+    got = orders_merkle_range_diff(spark, sf_dir).collect()
+    assert sorted(r.leaf for r in got) == expected_leaves
+    for r in got:
+        # each differing leaf reports a real divergence, and the ledger
+        # proves the walk checked no finer range outside differing parents
+        assert (r.n_rows_a, r.sum_digest_a) != (r.n_rows_b, r.sum_digest_b)
+        assert r.n_l1_checked <= 16 * r.n_l2_diff

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import texthash as _H
 from ..io import read_table
 from ..queries import register
 
@@ -1654,4 +1655,188 @@ def cdc_signed_fold(log: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("op") == "I", 1).otherwise(0)).cast("long").alias("n_ins"),
         F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).cast("long").alias("n_upd"),
         F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).cast("long").alias("n_del"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B248: Merkle range-checksum diff — find WHERE two replicas diverge
+# without comparing rows
+# ---------------------------------------------------------------------------
+# Cross-region replication, a backfill, and a migration all end with the
+# same question: "are these two 100 TB tables identical, and if not,
+# WHICH ranges differ?" Comparing rows costs a full shuffle-join of both
+# tables; the anti-entropy answer (Dynamo/Cassandra repair) is a Merkle
+# walk over range checksums: per key range, an ORDER-FREE checksum (sum
+# of per-row digests — associative, so it aggregates map-side and merges
+# per partition); ranges whose checksums agree are proven identical
+# WITHOUT reading finer levels, and the walk descends only into
+# disagreeing branches. Three levels here (16384 → 1024 → 64 keys); the
+# finer aggregates are computed ONLY for rows inside disagreeing parent
+# ranges (a broadcast semi-join — at scale, partition pruning on the
+# range-partitioned table). Replica B is a deterministic perturbation of
+# orders: keys ≡0 mod 1009 dropped, digests of keys ≡0 mod 997 shifted —
+# so the expected diff set is known arithmetic, not fixture luck. Row
+# digest = the portable md5-prefix hash over 'k|status|prio|cents';
+# digest sums stay far below 2^63. Output: the differing LEAF ranges
+# with both sides' counts and checksums, plus the walk's pruning ledger
+# (L2/L1 ranges checked vs differing) — the number that proves the walk
+# read log(n) of the table, not all of it.
+_MERKLE_LEAF = 64
+_MERKLE_L1 = 1024
+_MERKLE_L2 = 16384
+
+
+@register(
+    "orders_merkle_range_diff",
+    f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status, o_orderpriority AS prio,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), a AS (
+  SELECT k, {{hash_a}} AS dg FROM base
+), b AS (
+  SELECT k, {{hash_b}} AS dg
+  FROM (SELECT k, status, prio,
+               cents + CASE WHEN k % 997 = 0 THEN 1 ELSE 0 END AS cents_b
+        FROM base WHERE k % 1009 <> 0)
+), l2a AS (
+  SELECT k // {_MERKLE_L2} AS r2, count(*) AS n, sum(dg) AS s FROM a GROUP BY 1
+), l2b AS (
+  SELECT k // {_MERKLE_L2} AS r2, count(*) AS n, sum(dg) AS s FROM b GROUP BY 1
+), d2 AS (
+  SELECT COALESCE(l2a.r2, l2b.r2) AS r2
+  FROM l2a FULL OUTER JOIN l2b ON l2a.r2 = l2b.r2
+  WHERE COALESCE(l2a.n, 0) <> COALESCE(l2b.n, 0)
+     OR COALESCE(l2a.s, 0) <> COALESCE(l2b.s, 0)
+), l1a AS (
+  SELECT k // {_MERKLE_L1} AS r1, count(*) AS n, sum(dg) AS s FROM a
+  WHERE k // {_MERKLE_L2} IN (SELECT r2 FROM d2) GROUP BY 1
+), l1b AS (
+  SELECT k // {_MERKLE_L1} AS r1, count(*) AS n, sum(dg) AS s FROM b
+  WHERE k // {_MERKLE_L2} IN (SELECT r2 FROM d2) GROUP BY 1
+), d1 AS (
+  SELECT COALESCE(l1a.r1, l1b.r1) AS r1
+  FROM l1a FULL OUTER JOIN l1b ON l1a.r1 = l1b.r1
+  WHERE COALESCE(l1a.n, 0) <> COALESCE(l1b.n, 0)
+     OR COALESCE(l1a.s, 0) <> COALESCE(l1b.s, 0)
+), lfa AS (
+  SELECT k // {_MERKLE_LEAF} AS leaf, count(*) AS n, sum(dg) AS s FROM a
+  WHERE k // {_MERKLE_L1} IN (SELECT r1 FROM d1) GROUP BY 1
+), lfb AS (
+  SELECT k // {_MERKLE_LEAF} AS leaf, count(*) AS n, sum(dg) AS s FROM b
+  WHERE k // {_MERKLE_L1} IN (SELECT r1 FROM d1) GROUP BY 1
+), dleaf AS (
+  SELECT COALESCE(lfa.leaf, lfb.leaf) AS leaf,
+         COALESCE(lfa.n, 0) AS n_rows_a, COALESCE(lfb.n, 0) AS n_rows_b,
+         COALESCE(lfa.s, 0) AS sum_digest_a, COALESCE(lfb.s, 0) AS sum_digest_b
+  FROM lfa FULL OUTER JOIN lfb ON lfa.leaf = lfb.leaf
+  WHERE COALESCE(lfa.n, 0) <> COALESCE(lfb.n, 0)
+     OR COALESCE(lfa.s, 0) <> COALESCE(lfb.s, 0)
+), ledger AS (
+  SELECT (SELECT count(*) FROM (SELECT r2 FROM l2a UNION SELECT r2 FROM l2b))
+           AS n_l2_total,
+         (SELECT count(*) FROM d2) AS n_l2_diff,
+         (SELECT count(*) FROM (SELECT r1 FROM l1a UNION SELECT r1 FROM l1b))
+           AS n_l1_checked,
+         (SELECT count(*) FROM d1) AS n_l1_diff
+)
+SELECT CAST(d.leaf AS BIGINT) AS leaf,
+       CAST(d.leaf * {_MERKLE_LEAF} AS BIGINT) AS key_lo,
+       CAST(d.leaf * {_MERKLE_LEAF} + {_MERKLE_LEAF - 1} AS BIGINT) AS key_hi,
+       CAST(d.n_rows_a AS BIGINT) AS n_rows_a,
+       CAST(d.n_rows_b AS BIGINT) AS n_rows_b,
+       CAST(d.sum_digest_a AS BIGINT) AS sum_digest_a,
+       CAST(d.sum_digest_b AS BIGINT) AS sum_digest_b,
+       CAST(g.n_l2_total AS BIGINT) AS n_l2_total,
+       CAST(g.n_l2_diff AS BIGINT) AS n_l2_diff,
+       CAST(g.n_l1_checked AS BIGINT) AS n_l1_checked,
+       CAST(g.n_l1_diff AS BIGINT) AS n_l1_diff
+FROM dleaf d CROSS JOIN ledger g
+ORDER BY leaf
+""".format(
+        hash_a=_H.ddb_str_hash_fast(
+            "(CAST(k AS VARCHAR) || '|' || status || '|' || prio || '|' ||"
+            " CAST(cents AS VARCHAR))"
+        ),
+        hash_b=_H.ddb_str_hash_fast(
+            "(CAST(k AS VARCHAR) || '|' || status || '|' || prio || '|' ||"
+            " CAST(cents_b AS VARCHAR))"
+        ),
+    ),
+)
+def orders_merkle_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle range-checksum walk between orders and a deterministically
+    perturbed replica (B248): order-free digest sums at 16384/1024/64-key
+    granularity, descending only into disagreeing ranges; output = the
+    differing leaves + the pruning ledger."""
+    base = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    dg = _H.spark_str_hash_fast("concat_ws('|', k, status, prio, cents)")
+    a = base.select("k", F.expr(dg).alias("dg"))
+    b = (
+        base.filter(F.col("k") % 1009 != 0)
+        .select(
+            "k",
+            "status",
+            "prio",
+            (F.col("cents") + F.when(F.col("k") % 997 == 0, 1).otherwise(0)).alias("cents"),
+        )
+        .select("k", F.expr(dg).alias("dg"))
+    )
+
+    def level(df: DataFrame, width: int, name: str) -> DataFrame:
+        return df.groupBy(F.expr(f"k div {width}").alias(name)).agg(
+            F.count("*").alias("n"), F.sum("dg").alias("s")
+        )
+
+    def diff(la: DataFrame, lb: DataFrame, name: str) -> DataFrame:
+        return (
+            la.withColumnsRenamed({"n": "na", "s": "sa"})
+            .join(lb.withColumnsRenamed({"n": "nb", "s": "sb"}), name, "full_outer")
+            .filter(
+                (F.coalesce("na", F.lit(0)) != F.coalesce("nb", F.lit(0)))
+                | (F.coalesce("sa", F.lit(0)) != F.coalesce("sb", F.lit(0)))
+            )
+        )
+
+    l2a, l2b = level(a, _MERKLE_L2, "r2"), level(b, _MERKLE_L2, "r2")
+    d2 = diff(l2a, l2b, "r2").select("r2")
+    a1 = a.join(F.broadcast(d2), F.expr(f"k div {_MERKLE_L2}") == F.col("r2")).drop("r2")
+    b1 = b.join(F.broadcast(d2), F.expr(f"k div {_MERKLE_L2}") == F.col("r2")).drop("r2")
+    l1a, l1b = level(a1, _MERKLE_L1, "r1"), level(b1, _MERKLE_L1, "r1")
+    d1 = diff(l1a, l1b, "r1").select("r1")
+    af = a1.join(F.broadcast(d1), F.expr(f"k div {_MERKLE_L1}") == F.col("r1")).drop("r1")
+    bf = b1.join(F.broadcast(d1), F.expr(f"k div {_MERKLE_L1}") == F.col("r1")).drop("r1")
+    dleaf = diff(level(af, _MERKLE_LEAF, "leaf"), level(bf, _MERKLE_LEAF, "leaf"), "leaf")
+    ledger = (
+        l2a.select("r2").unionByName(l2b.select("r2")).distinct()
+        .agg(F.count("*").cast("long").alias("n_l2_total"))
+        .crossJoin(d2.agg(F.count("*").cast("long").alias("n_l2_diff")))
+        .crossJoin(
+            l1a.select("r1").unionByName(l1b.select("r1")).distinct()
+            .agg(F.count("*").cast("long").alias("n_l1_checked"))
+        )
+        .crossJoin(d1.agg(F.count("*").cast("long").alias("n_l1_diff")))
+    )
+    return (
+        dleaf.crossJoin(F.broadcast(ledger))
+        .select(
+            F.col("leaf").cast("long").alias("leaf"),
+            F.expr(f"leaf * {_MERKLE_LEAF}").cast("long").alias("key_lo"),
+            F.expr(f"leaf * {_MERKLE_LEAF} + {_MERKLE_LEAF - 1}").cast("long").alias("key_hi"),
+            F.coalesce("na", F.lit(0)).cast("long").alias("n_rows_a"),
+            F.coalesce("nb", F.lit(0)).cast("long").alias("n_rows_b"),
+            F.coalesce("sa", F.lit(0)).cast("long").alias("sum_digest_a"),
+            F.coalesce("sb", F.lit(0)).cast("long").alias("sum_digest_b"),
+            "n_l2_total",
+            "n_l2_diff",
+            "n_l1_checked",
+            "n_l1_diff",
+        )
+        .orderBy("leaf")
     )
