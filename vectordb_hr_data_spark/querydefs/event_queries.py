@@ -5320,3 +5320,126 @@ def events_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy(F.col("pairs_contrib").desc(), "user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# B249: small-files compaction planner — the merge plan, not just the
+# complaint
+# ---------------------------------------------------------------------------
+# Streaming ingest writes a file per (day, hour) trigger; low-traffic
+# hours leave files far below the scan-efficient size and every reader
+# pays the per-file open cost forever (the "small files problem" — the
+# second-most-common 100 TB lakehouse incident after the B247 join
+# explosion). The planner is pure algebra: per day, order the hour-files
+# and assign merge groups by RUNNING-SUM CAPACITY BINNING (group =
+# cumulative rows of PRECEDING files div target) — greedy, deterministic,
+# and order-preserving, so merged files stay time-clustered (the B244
+# zone-map win survives compaction). Output: one row per planned output
+# file with its input-file count and row count, plus the ledger (files
+# before/after, small-file share before/after in ppm). The running sum
+# is a window over the (day, hour) AGGREGATE — |days|×24 rows, never the
+# event corpus — partitioned by day.
+_COMPACT_TARGET = 5000
+
+
+@register(
+    "events_compaction_plan",
+    f"""
+WITH files AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(date_part('hour', ts) AS BIGINT) AS hour,
+         count(*) AS n_rows
+  FROM events GROUP BY 1, 2
+), binned AS (
+  SELECT day, hour, n_rows,
+         COALESCE(sum(n_rows) OVER (
+           PARTITION BY day ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) // {_COMPACT_TARGET} AS group_id
+  FROM files
+), plan AS (
+  SELECT day, group_id,
+         CAST(count(*) AS BIGINT) AS n_files_in,
+         CAST(sum(n_rows) AS BIGINT) AS rows_out,
+         CAST(min(hour) AS BIGINT) AS hour_lo,
+         CAST(max(hour) AS BIGINT) AS hour_hi
+  FROM binned GROUP BY day, group_id
+), ledger AS (
+  SELECT (SELECT count(*) FROM files) AS n_files_before,
+         (SELECT count(*) FROM plan) AS n_files_after,
+         (SELECT count(CASE WHEN n_rows < {_COMPACT_TARGET // 2} THEN 1 END) * 1000000
+            // count(*) FROM files) AS small_before_ppm,
+         (SELECT count(CASE WHEN rows_out < {_COMPACT_TARGET // 2} THEN 1 END) * 1000000
+            // count(*) FROM plan) AS small_after_ppm
+)
+SELECT p.day, CAST(p.group_id AS BIGINT) AS group_id, p.n_files_in, p.rows_out,
+       p.hour_lo, p.hour_hi,
+       CAST(g.n_files_before AS BIGINT) AS n_files_before,
+       CAST(g.n_files_after AS BIGINT) AS n_files_after,
+       CAST(g.small_before_ppm AS BIGINT) AS small_before_ppm,
+       CAST(g.small_after_ppm AS BIGINT) AS small_after_ppm
+FROM plan p CROSS JOIN ledger g
+ORDER BY p.day, group_id
+""",
+)
+def events_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy running-sum compaction plan over per-(day, hour) ingest
+    files (B249): order-preserving capacity bins toward the target file
+    size, with the before/after small-file ledger."""
+    ev = read_table(spark, sf_dir, "events")
+    files = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").cast("long").alias("day"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(F.count("*").alias("n_rows"))
+    binned = files.select(
+        "day",
+        "hour",
+        "n_rows",
+        # integer `div` (not float / + cast): the bit-for-bit oracle contract
+        F.expr(
+            f"coalesce(sum(n_rows) over (partition by day order by hour"
+            f" rows between unbounded preceding and 1 preceding), 0)"
+            f" div {_COMPACT_TARGET}"
+        ).cast("long").alias("group_id"),
+    )
+    plan = binned.groupBy("day", "group_id").agg(
+        F.count("*").cast("long").alias("n_files_in"),
+        F.sum("n_rows").cast("long").alias("rows_out"),
+        F.min("hour").cast("long").alias("hour_lo"),
+        F.max("hour").cast("long").alias("hour_hi"),
+    )
+    small = _COMPACT_TARGET // 2
+    ledger = (
+        files.agg(
+            F.count("*").cast("long").alias("n_files_before"),
+            F.expr(f"count(CASE WHEN n_rows < {small} THEN 1 END) * 1000000 div count(*)")
+            .cast("long")
+            .alias("small_before_ppm"),
+        )
+        .crossJoin(
+            plan.agg(
+                F.count("*").cast("long").alias("n_files_after"),
+                F.expr(
+                    f"count(CASE WHEN rows_out < {small} THEN 1 END) * 1000000 div count(*)"
+                )
+                .cast("long")
+                .alias("small_after_ppm"),
+            )
+        )
+    )
+    return (
+        plan.crossJoin(F.broadcast(ledger))
+        .select(
+            "day",
+            "group_id",
+            "n_files_in",
+            "rows_out",
+            "hour_lo",
+            "hour_hi",
+            "n_files_before",
+            "n_files_after",
+            "small_before_ppm",
+            "small_after_ppm",
+        )
+        .orderBy("day", "group_id")
+    )
