@@ -32,7 +32,7 @@ EXPECTED_MODULES = {
     "scrub_queries",
     "tokenizer_queries",
 }
-EXPECTED_REGISTRY_SIZE = 333
+EXPECTED_REGISTRY_SIZE = 334
 
 
 def test_registry_all_modules_loaded_and_full_size():
@@ -287,3 +287,25 @@ def test_merkle_range_diff_matches_perturbation_arithmetic(spark, sf_dir):
         # proves the walk checked no finer range outside differing parents
         assert (r.n_rows_a, r.sum_digest_a) != (r.n_rows_b, r.sum_digest_b)
         assert r.n_l1_checked <= 16 * r.n_l2_diff
+
+
+# ---------------------------------------------------------------------------
+# B250: conformal novelty — the finite-sample validity guarantee must hold
+# on the exchangeable holdout at every alpha.
+# ---------------------------------------------------------------------------
+
+
+def test_conformal_validity_on_holdout(spark, sf_dir):
+    from vectordb_hr_data_spark.querydefs.text_queries import doc_conformal_novelty_audit
+
+    rows = doc_conformal_novelty_audit(spark, sf_dir).collect()
+    assert len(rows) == 6  # 3 alphas x 2 populations
+    for r in rows:
+        if r.population == "good_holdout":
+            # split-conformal theorem: E[flag rate] <= alpha on exchangeable
+            # data; finite-sample slack 2/sqrt(n_docs) in ppm
+            slack = int(2_000_000 / (r.n_docs ** 0.5))
+            assert r.flag_rate_ppm <= r.alpha_ppm + slack, (
+                r.alpha_ppm, r.flag_rate_ppm, slack
+            )
+        assert 0 <= r.n_flagged <= r.n_docs

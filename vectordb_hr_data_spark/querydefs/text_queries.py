@@ -2691,3 +2691,156 @@ def doc_code_switch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# B250: conformal novelty detection — distribution-free anomaly gates with
+# a finite-sample guarantee
+# ---------------------------------------------------------------------------
+# Every threshold-based quality gate above picks its cutoff by eye; split
+# conformal inference picks it with a THEOREM: score a clean calibration
+# set, and flag a new doc when its conformal p-value
+#   p = (1 + #{cal nonconformity >= s}) / (n_cal + 1)
+# is <= alpha — then the false-alarm rate on exchangeable data is <= alpha
+# BY CONSTRUCTION, no distributional assumption. Nonconformity here is
+# the inverted integer-micro quality score (low quality = anomalous),
+# QUANTIZED TO MILLI so its cardinality is bounded by construction
+# (<= 1001 values — the house bounded-two-form discipline): the
+# calibration set reduces to a <= 1001-row histogram with a reverse
+# running count (window over the AGGREGATE), and every scored doc reads
+# #{cal >= s} from that broadcast — at 100 TB the calibration pass is one
+# map-side-partial groupBy and scoring is a broadcast-hash lookup, no
+# sort, no per-doc rank join. Calibration = even-id English docs; audited
+# populations: the odd-id English holdout (the VALIDITY check — flag rate
+# must respect alpha) and the non-English pool (the shift detector the
+# gate exists for). Everything integer: p-decision is
+#   (1 + cnt_ge) * 1_000_000 <= alpha_ppm * (n_cal + 1).
+_CONF_ALPHAS_PPM = [10000, 50000, 100000]  # 1%, 5%, 10%
+
+_QMICRO_SQL = (
+    "(400000 * n_distinct // n_tokens"
+    " + 300000 * least(n_tokens, 100) // 100"
+    " + 300000 * (n_tokens - n_stop) // n_tokens)"
+)
+_QMICRO_SPARK = (
+    "(400000 * n_distinct div n_tokens"
+    " + 300000 * least(n_tokens, 100) div 100"
+    " + 300000 * (n_tokens - n_stop) div n_tokens)"
+)
+
+
+@register(
+    "doc_conformal_novelty_audit",
+    f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id, lang, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         len(list_filter(toks, x -> list_contains({_STOPWORDS!r}, x))) AS n_stop
+  FROM t
+), scored AS (
+  SELECT doc_id, lang, (1000000 - {_QMICRO_SQL}) // 1000 AS s_milli FROM m
+), cal AS (
+  SELECT s_milli FROM scored WHERE lang = 'en' AND doc_id % 2 = 0
+), cal_hist AS (
+  SELECT s_milli, count(*) AS c FROM cal GROUP BY s_milli
+), cal_cum AS (
+  SELECT s_milli,
+         sum(c) OVER (ORDER BY s_milli DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_ge
+  FROM cal_hist
+), n_cal AS (
+  SELECT count(*) AS n FROM cal
+), pops AS (
+  SELECT CASE WHEN lang = 'en' THEN 'good_holdout' ELSE 'shifted' END AS population,
+         s_milli
+  FROM scored WHERE NOT (lang = 'en' AND doc_id % 2 = 0)
+), pvals AS (
+  SELECT p.population, p.s_milli,
+         1 + COALESCE((SELECT max(cnt_ge) FROM cal_cum c
+                       WHERE c.s_milli >= p.s_milli), 0) AS p_num
+  FROM pops p
+), alphas(alpha_ppm) AS (VALUES {", ".join(f"({a})" for a in _CONF_ALPHAS_PPM)})
+SELECT CAST(a.alpha_ppm AS BIGINT) AS alpha_ppm, v.population,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN v.p_num * 1000000 <= a.alpha_ppm * (n.n + 1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(sum(CASE WHEN v.p_num * 1000000 <= a.alpha_ppm * (n.n + 1)
+                     THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+         AS flag_rate_ppm,
+       CAST(max(n.n) AS BIGINT) AS n_cal
+FROM pvals v CROSS JOIN n_cal n CROSS JOIN alphas a
+GROUP BY a.alpha_ppm, v.population
+ORDER BY alpha_ppm, population
+""",
+)
+def doc_conformal_novelty_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal novelty gate (B250): exact integer conformal
+    p-values from a bounded milli-quantized nonconformity histogram;
+    per (alpha, population) the flag rate — validity on the English
+    holdout, power on the shifted pool."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    m = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    scored = m.select(
+        "doc_id",
+        "lang",
+        F.expr(f"(1000000 - {_QMICRO_SPARK}) div 1000").cast("long").alias("s_milli"),
+    )
+    cal = scored.filter((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0))
+    cal_hist = cal.groupBy("s_milli").agg(F.count("*").alias("c"))
+    w_ge = Window.orderBy(F.col("s_milli").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cal_cum = cal_hist.select("s_milli", F.sum("c").over(w_ge).alias("cnt_ge"))
+    n_cal = cal.agg(F.count("*").alias("n"))
+    pops = scored.filter(~((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0))).select(
+        F.when(F.col("lang") == "en", "good_holdout").otherwise("shifted").alias("population"),
+        "s_milli",
+    )
+    # reduce the scored pool to its own bounded (population, s_milli)
+    # histogram FIRST (so n_at counts docs, and the range join below is
+    # histogram x histogram — <= 1001 x 1001 rows, never per-doc), then
+    # read #{cal >= s} as the max reverse-cumulative count over cal
+    # levels >= s
+    pop_hist = pops.groupBy("population", "s_milli").agg(F.count("*").alias("n_at"))
+    pvals = (
+        pop_hist.join(
+            F.broadcast(cal_cum.withColumnsRenamed({"s_milli": "cal_s"})),
+            F.col("cal_s") >= F.col("s_milli"),
+            "left",
+        )
+        .groupBy("population", "s_milli", "n_at")
+        .agg((F.lit(1) + F.coalesce(F.max("cnt_ge"), F.lit(0))).alias("p_num"))
+    )
+    alphas = spark.createDataFrame([(a,) for a in _CONF_ALPHAS_PPM], "alpha_ppm: long")
+    flagged = F.when(
+        F.col("p_num") * 1000000 <= F.col("alpha_ppm") * (F.col("n") + 1), F.col("n_at")
+    ).otherwise(0)
+    return (
+        pvals.crossJoin(F.broadcast(n_cal))
+        .crossJoin(F.broadcast(alphas))
+        .groupBy("alpha_ppm", "population")
+        .agg(
+            F.sum("n_at").cast("long").alias("n_docs"),
+            F.sum(flagged).cast("long").alias("n_flagged"),
+            F.expr(
+                "sum(CASE WHEN p_num * 1000000 <= alpha_ppm * (n + 1) THEN n_at ELSE 0 END)"
+                " * 1000000 div sum(n_at)"
+            )
+            .cast("long")
+            .alias("flag_rate_ppm"),
+            F.max("n").cast("long").alias("n_cal"),
+        )
+        .orderBy("alpha_ppm", "population")
+    )
