@@ -32,7 +32,7 @@ EXPECTED_MODULES = {
     "scrub_queries",
     "tokenizer_queries",
 }
-EXPECTED_REGISTRY_SIZE = 334
+EXPECTED_REGISTRY_SIZE = 335
 
 
 def test_registry_all_modules_loaded_and_full_size():
@@ -309,3 +309,45 @@ def test_conformal_validity_on_holdout(spark, sf_dir):
                 r.alpha_ppm, r.flag_rate_ppm, slack
             )
         assert 0 <= r.n_flagged <= r.n_docs
+
+
+# ---------------------------------------------------------------------------
+# B251: skyline — no result row may dominate another, and every non-result
+# doc must be dominated by some result row (checked against the brute
+# all-pairs definition on the small fixture).
+# ---------------------------------------------------------------------------
+
+
+def test_pareto_skyline_equals_brute_force_dominance(spark, sf_dir):
+    from vectordb_hr_data_spark.querydefs.text_queries import doc_pareto_skyline
+
+    sky = {(r.doc_id, r.n_tokens, r.quality_micro) for r in doc_pareto_skyline(spark, sf_dir).collect()}
+    assert sky
+    # brute-force oracle over all docs (sf0.001: 500 docs)
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.text_queries import _QMICRO_SPARK, _STOPWORDS
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    pts = [
+        (r.doc_id, r.n_tokens, r.q)
+        for r in d.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+            F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+            .cast("long")
+            .alias("n_stop"),
+        )
+        .select("doc_id", "n_tokens", F.expr(_QMICRO_SPARK).cast("long").alias("q"))
+        .collect()
+    ]
+
+    def dominated(p, others):
+        return any(
+            o[1] >= p[1] and o[2] >= p[2] and (o[1] > p[1] or o[2] > p[2]) for o in others
+        )
+
+    brute = {p for p in pts if not dominated(p, pts)}
+    assert sky == brute

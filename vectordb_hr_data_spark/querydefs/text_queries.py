@@ -2844,3 +2844,85 @@ def doc_conformal_novelty_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("alpha_ppm", "population")
     )
+
+
+# ---------------------------------------------------------------------------
+# B251: Pareto skyline — the (length, quality) frontier as an operator
+# ---------------------------------------------------------------------------
+# "Give me the documents no other document beats on BOTH length and
+# quality" — the skyline / Pareto-frontier operator classic in multi-
+# criteria curation (pick exemplars per length budget without collapsing
+# the two axes into one weighted score, as B102's curriculum must). The
+# naive semantics is an all-pairs dominance anti-join; the 2-D
+# scale-correct form factors through the bounded token-length axis: per
+# distinct length the max quality (one map-side-partial groupBy), then a
+# running max over STRICTLY LONGER lengths on that aggregate (an
+# unpartitioned window, but over the <= |distinct lengths| aggregate —
+# the plan-rule-sanctioned shape), and a length is on the frontier iff
+# its best quality strictly beats every longer length's (ties lose to
+# the longer doc: dominance needs one strict axis, and length provides
+# it). Frontier docs = docs at a frontier length holding exactly its max
+# quality; equal (length, quality) twins are mutually non-dominating and
+# all kept. Quality is the B250 integer micro score — exact in both
+# engines.
+@register(
+    "doc_pareto_skyline",
+    f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         len(list_filter(toks, x -> list_contains({_STOPWORDS!r}, x))) AS n_stop
+  FROM t
+), q AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST({_QMICRO_SQL} AS BIGINT) AS quality_micro
+  FROM m
+), lv AS (
+  SELECT n_tokens, max(quality_micro) AS best_q FROM q GROUP BY n_tokens
+), sky AS (
+  SELECT n_tokens, best_q,
+         COALESCE(max(best_q) OVER (ORDER BY n_tokens DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS max_longer
+  FROM lv
+)
+SELECT d.doc_id, d.n_tokens, d.quality_micro
+FROM q d JOIN sky s ON s.n_tokens = d.n_tokens AND d.quality_micro = s.best_q
+WHERE s.best_q > s.max_longer
+ORDER BY d.n_tokens DESC, d.doc_id
+""",
+)
+def doc_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-frontier documents over (token length, integer quality)
+    (B251): per-length max quality + a running max over longer lengths —
+    the bounded-axis factorization of the dominance anti-join."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    m = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    q = m.select(
+        "doc_id", "n_tokens", F.expr(_QMICRO_SPARK).cast("long").alias("quality_micro")
+    )
+    lv = q.groupBy("n_tokens").agg(F.max("quality_micro").alias("best_q"))
+    w_longer = Window.orderBy(F.col("n_tokens").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky = lv.select(
+        "n_tokens",
+        "best_q",
+        F.coalesce(F.max("best_q").over(w_longer), F.lit(-1)).alias("max_longer"),
+    ).filter(F.col("best_q") > F.col("max_longer"))
+    return (
+        q.join(F.broadcast(sky), "n_tokens")
+        .filter(F.col("quality_micro") == F.col("best_q"))
+        .select("doc_id", "n_tokens", "quality_micro")
+        .orderBy(F.col("n_tokens").desc(), "doc_id")
+    )
