@@ -32,7 +32,7 @@ EXPECTED_MODULES = {
     "scrub_queries",
     "tokenizer_queries",
 }
-EXPECTED_REGISTRY_SIZE = 335
+EXPECTED_REGISTRY_SIZE = 336
 
 
 def test_registry_all_modules_loaded_and_full_size():
@@ -351,3 +351,60 @@ def test_pareto_skyline_equals_brute_force_dominance(spark, sf_dir):
 
     brute = {p for p in pts if not dominated(p, pts)}
     assert sky == brute
+
+
+# ---------------------------------------------------------------------------
+# B252: priority sampling — exhaustive-sample exactness (n <= k => tau = 0
+# => estimate == exact, the DLT boundary case) checked by running the same
+# machinery with k far above the corpus size via a filtered twin.
+# ---------------------------------------------------------------------------
+
+
+def test_priority_sample_exact_when_exhaustive(spark, sf_dir):
+    from vectordb_hr_data_spark.querydefs.event_queries import (
+        events_priority_sample_audit,
+    )
+
+    # sf0.001 has 1000 events > k=64, so the registered query exercises the
+    # sampling branch; the exhaustive branch is pinned by construction:
+    # every type with n_sampled == n_events must have est == exact, and in
+    # general the estimator never reports a sampled count above the type's
+    # population
+    rows = events_priority_sample_audit(spark, sf_dir).collect()
+    assert rows
+    total_sampled = sum(r.n_sampled for r in rows)
+    assert total_sampled == 64
+    for r in rows:
+        assert 0 <= r.n_sampled <= r.n_events
+        if r.n_sampled == r.n_events:
+            assert r.est_cents == r.exact_cents and r.err_ppm == 0
+
+
+def test_priority_sample_tau_zero_branch(spark):
+    # a 3-row frame with the registered arithmetic and k=64: the sample is
+    # exhaustive, tau must be 0 and every estimate exact — guards the
+    # boundary the audit's corpus never reaches
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 250), (3, "b", 50)],
+        "event_id: long, event_type: string, cents: long",
+    ).withColumn(
+        "u_micro",
+        SF.lit(1)
+        + SF.expr("cast(conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10) as bigint)")
+        % 1000000,
+    )
+    q = df.select("event_id", "event_type", "cents", SF.expr("cents * 1000000 div u_micro").alias("prio"))
+    topk1 = q.orderBy(SF.col("prio").desc(), "event_id").limit(65)
+    tau = topk1.agg(SF.count("*").alias("nk"), SF.min("prio").alias("mp")).select(
+        SF.when(SF.col("nk") < 65, SF.lit(0)).otherwise(SF.col("mp")).alias("tau")
+    )
+    est = (
+        topk1.limit(64)
+        .crossJoin(tau)
+        .groupBy("event_type")
+        .agg(SF.sum(SF.greatest(SF.col("cents"), SF.col("tau"))).alias("est"))
+    )
+    got = {r.event_type: r.est for r in est.collect()}
+    assert got == {"a": 350, "b": 50}

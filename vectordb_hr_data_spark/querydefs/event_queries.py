@@ -5443,3 +5443,121 @@ def events_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "group_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# B252: priority sampling — ONE tiny sample that answers EVERY subset-sum
+# question, with the estimator audited against exact
+# ---------------------------------------------------------------------------
+# B76's weighted reservoir draws a fixed-size sample for one population;
+# priority sampling (Duffield–Lund–Thorup) is the stronger contract a
+# telemetry pipeline wants: keep the k items with largest priority
+# q_i = w_i / u_i (u_i deterministic-uniform per item), remember only the
+# (k+1)-th priority τ, and then ANY subset sum Σ_{i∈S} w_i is estimated
+# unbiasedly by Σ_{i∈S∩sample} max(w_i, τ) — near-optimal variance among
+# all k-sample schemes. Integers end-to-end: u in microunits from the
+# portable md5-prefix hash of the event id, q = w·10⁶ div u_µ (exactly
+# ⌊w/u⌋ in weight units, so τ and w compare directly), w = value cents.
+# The audit estimates per-event-type revenue (a subset-sum the sample was
+# never stratified for) and reports the ppm error beside exact. Scale:
+# the sample is a global top-(k+1) — TakeOrderedAndProject's per-partition
+# pre-reduce, k+1 rows per partition to the driver merge, never a sort;
+# the exact side is one map-side-partial groupBy (at 100 TB you'd keep
+# ONLY the sample; exact here is the audit's whole point).
+_PRIO_K = 64
+
+
+@register(
+    "events_priority_sample_audit",
+    f"""
+WITH w AS (
+  SELECT event_id, event_type,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         1 + CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 1000000 AS u_micro
+  FROM events
+), q AS (
+  SELECT event_id, event_type, cents,
+         cents * 1000000 // u_micro AS prio
+  FROM w
+), topk1 AS (
+  SELECT * FROM q ORDER BY prio DESC, event_id LIMIT {_PRIO_K + 1}
+), tau AS (
+  -- n <= k means the sample is exhaustive: the DLT estimator sets tau = 0
+  -- (est = w exactly); min(prio) would overestimate
+  SELECT CASE WHEN count(*) < 65 THEN 0 ELSE min(prio) END AS tau FROM topk1
+), sample AS (
+  SELECT * FROM topk1 ORDER BY prio DESC, event_id LIMIT {_PRIO_K}
+), est AS (
+  SELECT s.event_type,
+         CAST(sum(CASE WHEN s.cents > t.tau THEN s.cents ELSE t.tau END) AS BIGINT)
+           AS est_cents,
+         CAST(count(*) AS BIGINT) AS n_sampled
+  FROM sample s CROSS JOIN tau t
+  GROUP BY s.event_type
+), exact AS (
+  SELECT event_type, CAST(sum(cents) AS BIGINT) AS exact_cents,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM w GROUP BY event_type
+)
+SELECT x.event_type, x.n_events, x.exact_cents,
+       COALESCE(e.n_sampled, 0) AS n_sampled,
+       COALESCE(e.est_cents, 0) AS est_cents,
+       CAST(abs(COALESCE(e.est_cents, 0) - x.exact_cents) * 1000000
+            // x.exact_cents AS BIGINT) AS err_ppm
+FROM exact x LEFT JOIN est e ON e.event_type = x.event_type
+ORDER BY x.event_type
+""",
+)
+def events_priority_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-sampling subset-sum estimator audited against exact
+    per-type revenue (B252): top-k by w/u priority, τ-threshold
+    estimator max(w, τ), deterministic microunit uniforms."""
+    ev = read_table(spark, sf_dir, "events")
+    w = ev.select(
+        "event_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        (
+            F.lit(1)
+            + F.expr(
+                "cast(conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10) as bigint)"
+            )
+            % 1000000
+        ).alias("u_micro"),
+    )
+    q = w.select(
+        "event_id", "event_type", "cents", F.expr("cents * 1000000 div u_micro").alias("prio")
+    )
+    topk1 = q.orderBy(F.col("prio").desc(), "event_id").limit(_PRIO_K + 1)
+    # n <= k -> exhaustive sample -> tau = 0 (estimator exact), see oracle
+    tau = topk1.agg(F.count("*").alias("nk"), F.min("prio").alias("mp")).select(
+        F.when(F.col("nk") < _PRIO_K + 1, F.lit(0)).otherwise(F.col("mp")).alias("tau")
+    )
+    sample = topk1.orderBy(F.col("prio").desc(), "event_id").limit(_PRIO_K)
+    est = (
+        sample.crossJoin(F.broadcast(tau))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.greatest(F.col("cents"), F.col("tau"))).cast("long").alias("est_cents"),
+            F.count("*").cast("long").alias("n_sampled"),
+        )
+    )
+    exact = w.groupBy("event_type").agg(
+        F.sum("cents").cast("long").alias("exact_cents"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    return (
+        exact.join(F.broadcast(est), "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            "exact_cents",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.coalesce("est_cents", F.lit(0)).cast("long").alias("est_cents"),
+            F.expr("abs(coalesce(est_cents, 0) - exact_cents) * 1000000 div exact_cents")
+            .cast("long")
+            .alias("err_ppm"),
+        )
+        .orderBy("event_type")
+    )
