@@ -32,7 +32,7 @@ EXPECTED_MODULES = {
     "scrub_queries",
     "tokenizer_queries",
 }
-EXPECTED_REGISTRY_SIZE = 336
+EXPECTED_REGISTRY_SIZE = 337
 
 
 def test_registry_all_modules_loaded_and_full_size():
@@ -408,3 +408,46 @@ def test_priority_sample_tau_zero_branch(spark):
     )
     got = {r.event_type: r.est for r in est.collect()}
     assert got == {"a": 350, "b": 50}
+
+
+# ---------------------------------------------------------------------------
+# B253: Shapley attribution — the coalition machinery must match the
+# closed form for this v (each conversion splits equally among its touched
+# channels), and credit must be conserved.
+# ---------------------------------------------------------------------------
+
+
+def test_shapley_matches_closed_form_and_conserves(spark, sf_dir):
+    from fractions import Fraction
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import (
+        events_shapley_attribution,
+    )
+
+    got = {r.channel: r for r in events_shapley_attribution(spark, sf_dir).collect()}
+    assert set(got) == {"click", "error", "signup", "view"}
+
+    # closed form: phi_i = sum over exactly-T conversions of 1/|T| for T ∋ i
+    ev = read_table(spark, sf_dir, "events")
+    rows = ev.select("user_id", "event_type", "ts").collect()
+    first_p = {}
+    for r in rows:
+        if r.event_type == "purchase":
+            if r.user_id not in first_p or r.ts < first_p[r.user_id]:
+                first_p[r.user_id] = r.ts
+    masks = {u: set() for u in first_p}
+    for r in rows:
+        if r.event_type != "purchase" and r.user_id in first_p and r.ts < first_p[r.user_id]:
+            masks[r.user_id].add(r.event_type)
+    phi = {c: Fraction(0) for c in ("click", "error", "signup", "view")}
+    for t in masks.values():
+        for c in t:
+            phi[c] += Fraction(1, len(t))
+    for c, want in phi.items():
+        assert Fraction(got[c].phi_24, 24) == want, (c, got[c].phi_24, want)
+    # conservation: total credit == touched conversions (untouched ones
+    # cancel in the marginal differences)
+    touched = sum(1 for t in masks.values() if t)
+    assert sum(r.phi_24 for r in got.values()) == 24 * touched
+    assert all(r.n_conversions == len(first_p) for r in got.values())

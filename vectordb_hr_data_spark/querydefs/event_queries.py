@@ -5561,3 +5561,150 @@ def events_priority_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# B253: Shapley-value channel attribution — the coalition game, computed
+# exactly
+# ---------------------------------------------------------------------------
+# B90 splits conversion credit by touch COUNT (linear / position rules);
+# the game-theoretic answer marketers actually cite is the Shapley value
+# of the coalition game v(S) = conversions explained by channel set S
+# (Zhao et al.'s data-driven attribution): v(S) = Σ_{T ⊆ S} c(T), where
+# c(T) counts users converting with touched-channel set EXACTLY T. With
+# 4 channels the whole game is a 16-coalition table — the corpus reduces
+# to c(T) by ONE bitmask aggregation (channel → bit, per-user bit_or,
+# groupBy mask), and every remaining step is arithmetic on ≤16 rows.
+# Exact integers throughout: φ is computed in 24ths (4! = 24, so the
+# marginal-contribution weights |S|!·(4−|S|−1)! ∈ {6,2,2,6} are integers)
+# via the full subset-sum formula — and the pytest cross-checks the known
+# closed form for THIS v (each conversion splits equally among its
+# touched channels: φ_i = Σ_{T∋i} c(T)/|T|), so the coalition machinery
+# is verified against the theorem, not itself. Untouched conversions
+# (empty T) enter every v(S) equally and cancel in the differences —
+# asserted by the pytest's conservation check. Scale: one event-table
+# pass + one |users| groupBy; the game itself never leaves 16 rows.
+_SHAP_CHANNELS = [("click", 1), ("error", 2), ("signup", 4), ("view", 8)]
+
+
+@register(
+    "events_shapley_attribution",
+    f"""
+WITH conv AS (
+  SELECT user_id, min(ts) AS first_purchase_ts
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), touch AS (
+  SELECT c.user_id,
+         COALESCE(bit_or(CASE e.event_type
+             WHEN 'click' THEN 1 WHEN 'error' THEN 2
+             WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END), 0) AS mask
+  FROM conv c
+  LEFT JOIN events e
+    ON e.user_id = c.user_id AND e.ts < c.first_purchase_ts
+   AND e.event_type <> 'purchase'
+  GROUP BY c.user_id
+), c_t AS (
+  SELECT mask, CAST(count(*) AS BIGINT) AS c FROM touch GROUP BY mask
+), coalitions AS (
+  SELECT CAST(u.s AS BIGINT) AS s FROM UNNEST(range(0, 16)) AS u(s)
+), v AS (
+  SELECT co.s, CAST(COALESCE(sum(ct.c), 0) AS BIGINT) AS v
+  FROM coalitions co LEFT JOIN c_t ct ON (ct.mask & co.s) = ct.mask
+  GROUP BY co.s
+), channels(channel, bit) AS (
+  VALUES {", ".join(f"('{ch}', {b})" for ch, b in _SHAP_CHANNELS)}
+), phi AS (
+  SELECT ch.channel,
+         CAST(sum((CASE bit_count(vs.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+                        WHEN 2 THEN 2 ELSE 6 END)
+                  * (vi.v - vs.v)) AS BIGINT) AS phi_24
+  FROM channels ch
+  JOIN v vs ON (vs.s & ch.bit) = 0
+  JOIN v vi ON vi.s = (vs.s | ch.bit)
+  GROUP BY ch.channel
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+         CAST(sum(CASE WHEN mask > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_touched_conversions
+  FROM touch
+)
+SELECT p.channel, p.phi_24,
+       CAST(p.phi_24 * 1000000 // (24 * greatest(t.n_touched_conversions, 1))
+            AS BIGINT) AS phi_share_ppm,
+       t.n_conversions, t.n_touched_conversions
+FROM phi p CROSS JOIN tot t
+ORDER BY p.channel
+""",
+)
+def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley attribution over the 4-channel coalition game
+    (B253): bitmask touch sets, the 16-row v(S) table, integer 24ths
+    marginal weights."""
+    ev = read_table(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+    )
+    # the ts predicate must live in the JOIN condition: filtering after a
+    # left join would drop converted users whose every touch fails it,
+    # instead of keeping them with an empty mask
+    te = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"), "ts", bit.alias("bit")
+    )
+    touch = (
+        conv.join(
+            te,
+            (F.col("t_user") == F.col("user_id"))
+            & (F.col("ts") < F.col("first_purchase_ts")),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg(F.coalesce(F.bit_or("bit"), F.lit(0)).alias("mask"))
+    )
+    c_t = touch.groupBy("mask").agg(F.count("*").cast("long").alias("c"))
+    coalitions = spark.range(16).select(F.col("id").cast("long").alias("s"))
+    v = (
+        coalitions.join(
+            F.broadcast(c_t), F.expr("(mask & s) = mask"), "left"
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("v"))
+    )
+    channels = spark.createDataFrame(_SHAP_CHANNELS, "channel: string, bit: long")
+    vs = v.withColumnsRenamed({"s": "s0", "v": "v0"})
+    vi = v.withColumnsRenamed({"s": "s1", "v": "v1"})
+    weight = F.expr(
+        "CASE bit_count(s0) WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END"
+    )
+    phi = (
+        channels.join(F.broadcast(vs), F.expr("(s0 & bit) = 0"))
+        .join(F.broadcast(vi), F.expr("s1 = (s0 | bit)"))
+        .groupBy("channel")
+        .agg(F.sum(weight * (F.col("v1") - F.col("v0"))).cast("long").alias("phi_24"))
+    )
+    tot = touch.agg(
+        F.count("*").cast("long").alias("n_conversions"),
+        F.sum(F.when(F.col("mask") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_touched_conversions"),
+    )
+    return (
+        phi.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "phi_24",
+            F.expr("phi_24 * 1000000 div (24 * greatest(n_touched_conversions, 1))")
+            .cast("long")
+            .alias("phi_share_ppm"),
+            "n_conversions",
+            "n_touched_conversions",
+        )
+        .orderBy("channel")
+    )
