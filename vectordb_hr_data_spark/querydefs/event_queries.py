@@ -5708,3 +5708,105 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# B254: path conformance — how far each user's journey sits from the
+# canonical one, in exact edit distance
+# ---------------------------------------------------------------------------
+# B206 mines frequent paths and B138 scores sequences under a trigram LM;
+# neither answers the UX question "how many edits away from the canonical
+# journey is each user?" — the metric that separates 'same flow, one
+# detour' from 'different product'. Per user: the first 20 events (capped
+# by a user-partitioned row_number BEFORE any collect, so a hot user
+# cannot balloon a group) as a compact letter string in (ts, event_id)
+# order; canonical = the modal path (ties to the lexicographically
+# smallest); conformance = levenshtein(path, canonical) — built-in,
+# unit-cost, and bit-identical in both engines. Output: the distance
+# histogram with per-bucket conversion counts (does straying correlate
+# with not purchasing?) and the canonical path as a pinned column.
+# Scale: one user groupBy; the distance pass compares each user against
+# ONE broadcast string — O(users · |path|²) map-side, no joins beyond
+# the 1-row canonical.
+_PATH_CAP = 20
+
+
+@register(
+    "events_path_conformance",
+    f"""
+WITH ranked AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), paths AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS path,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM ranked WHERE rn <= {_PATH_CAP}
+  GROUP BY user_id
+), canon AS (
+  SELECT path AS canonical_path FROM paths
+  GROUP BY path ORDER BY count(*) DESC, path LIMIT 1
+), dist AS (
+  SELECT p.user_id, p.converted,
+         CAST(levenshtein(p.path, c.canonical_path) AS BIGINT) AS edit_distance,
+         c.canonical_path
+  FROM paths p CROSS JOIN canon c
+), tot AS (SELECT count(*) AS n_users FROM paths)
+SELECT d.edit_distance,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(d.converted) AS BIGINT) AS n_converted,
+       CAST(count(*) * 1000000 // max(t.n_users) AS BIGINT) AS share_ppm,
+       max(d.canonical_path) AS canonical_path
+FROM dist d CROSS JOIN tot t
+GROUP BY d.edit_distance
+ORDER BY d.edit_distance
+""",
+)
+def events_path_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance histogram of user journeys vs the modal path (B254):
+    capped letter paths, broadcast canonical, per-bucket conversion
+    counts."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_type", "ts", "event_id", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= _PATH_CAP)
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("le"))
+                    )
+                ),
+                lambda x: x["le"],
+            ),
+            "",
+        ).alias("path"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted"),
+    )
+    canon = (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(1)
+        .select(F.col("path").alias("canonical_path"))
+    )
+    tot = paths.agg(F.count("*").alias("n_users"))
+    dist = paths.crossJoin(F.broadcast(canon)).select(
+        "converted",
+        F.levenshtein("path", "canonical_path").cast("long").alias("edit_distance"),
+        "canonical_path",
+    )
+    return (
+        dist.crossJoin(F.broadcast(tot))
+        .groupBy("edit_distance")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            F.expr("count(*) * 1000000 div max(n_users)").cast("long").alias("share_ppm"),
+            F.max("canonical_path").alias("canonical_path"),
+        )
+        .orderBy("edit_distance")
+    )
