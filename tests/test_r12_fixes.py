@@ -32,7 +32,7 @@ EXPECTED_MODULES = {
     "scrub_queries",
     "tokenizer_queries",
 }
-EXPECTED_REGISTRY_SIZE = 338
+EXPECTED_REGISTRY_SIZE = 339
 
 
 def test_registry_all_modules_loaded_and_full_size():
@@ -451,3 +451,36 @@ def test_shapley_matches_closed_form_and_conserves(spark, sf_dir):
     touched = sum(1 for t in masks.values() if t)
     assert sum(r.phi_24 for r in got.values()) == 24 * touched
     assert all(r.n_conversions == len(first_p) for r in got.values())
+
+
+# ---------------------------------------------------------------------------
+# B255: bitemporal as-of — the restatement semantics: later T sees the
+# corrections, wider V sees more facts, and the late/corrected key sets
+# behave exactly as synthesized.
+# ---------------------------------------------------------------------------
+
+
+def test_bitemporal_asof_restatement_semantics(spark, sf_dir):
+    from collections import defaultdict
+
+    from vectordb_hr_data_spark.querydefs.relational_queries import (
+        orders_bitemporal_asof,
+    )
+
+    got = defaultdict(dict)
+    for r in orders_bitemporal_asof(spark, sf_dir).collect():
+        got[(r.t_label, r.v_label)][r.o_orderstatus] = (r.n_orders, r.revenue_cents)
+    assert set(got) == {("T4_8", "V4_8"), ("T4_8", "V8_8"), ("T6_8", "V4_8"), ("T6_8", "V8_8")}
+
+    def tot(cell, i):
+        return sum(v[i] for v in got[cell].values())
+
+    # wider valid-time window at fixed T sees at least as many facts
+    assert tot(("T4_8", "V8_8"), 0) >= tot(("T4_8", "V4_8"), 0)
+    assert tot(("T6_8", "V8_8"), 0) >= tot(("T6_8", "V4_8"), 0)
+    # later transaction time at fixed V: same-or-more facts (late arrivals
+    # land) AND same-or-higher revenue (corrections are +500; no fact
+    # leaves)
+    for vlab in ("V4_8", "V8_8"):
+        assert tot(("T6_8", vlab), 0) >= tot(("T4_8", vlab), 0)
+        assert tot(("T6_8", vlab), 1) >= tot(("T4_8", vlab), 1)

@@ -1840,3 +1840,127 @@ def orders_merkle_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("leaf")
     )
+
+
+# ---------------------------------------------------------------------------
+# B255: bitemporal as-of — "what did we BELIEVE at time T about what was
+# true at time V?"
+# ---------------------------------------------------------------------------
+# B48/B122 model ONE time axis (validity); finance and compliance need
+# two: every fact carries valid-time (when it was true) AND
+# transaction-time (when the system learned it), and the audit question
+# is the as-of-BOTH join — reproduce last quarter's report exactly as it
+# was published, before the corrections landed. The bitemporal version
+# table is synthesized deterministically from orders: every order's v1
+# recorded on its order date (keys ≡0 mod 13 arrive 10 days LATE — the
+# CDC-lag case), and keys ≡0 mod 11 get a retroactive +500-cent
+# correction recorded 30 days after the order date (valid-time
+# unchanged — the restatement case). For each (T, V) grid cell (integer
+# eighths of the order-date span, both engines replay the bounds): take
+# versions with rec_day <= T (what was known), keys with valid_day <= V
+# (what was true), pick the LATEST known version per key (max_by on
+# rec_day — distinct by construction) and roll up per status. The grid
+# join is a 4-row broadcast; the per-key reduce is one keyed groupBy per
+# grid cell — at 100 TB exactly the partition-pruned scan a
+# transaction-time-partitioned table gives for free.
+_BITEMPORAL_GRID = [
+    ("T4_8", 4, "V4_8", 4),
+    ("T4_8", 4, "V8_8", 8),
+    ("T6_8", 6, "V4_8", 4),
+    ("T6_8", 6, "V8_8", 8),
+]
+
+
+@register(
+    "orders_bitemporal_asof",
+    f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS valid_day,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+), versions AS (
+  SELECT k, status, valid_day,
+         valid_day + CASE WHEN k % 13 = 0 THEN 10 ELSE 0 END AS rec_day,
+         cents AS cents_v
+  FROM base
+  UNION ALL
+  SELECT k, status, valid_day, valid_day + 30 AS rec_day, cents + 500 AS cents_v
+  FROM base WHERE k % 11 = 0
+), ext AS (
+  SELECT min(valid_day) AS d0, max(valid_day) AS d1 FROM base
+), grid(t_label, t8, v_label, v8) AS (
+  VALUES {", ".join(f"('{t}', {ti}, '{v}', {vi})" for t, ti, v, vi in _BITEMPORAL_GRID)}
+), bounds AS (
+  SELECT g.t_label, g.v_label,
+         e.d0 + (e.d1 - e.d0) * g.t8 // 8 AS t_day,
+         e.d0 + (e.d1 - e.d0) * g.v8 // 8 AS v_day
+  FROM grid g, ext e
+), known AS (
+  SELECT b.t_label, b.v_label, v.k, v.status,
+         arg_max(v.cents_v, v.rec_day) AS cents_known
+  FROM bounds b JOIN versions v
+    ON v.rec_day <= b.t_day AND v.valid_day <= b.v_day
+  GROUP BY b.t_label, b.v_label, v.k, v.status
+)
+SELECT t_label, v_label, status AS o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents_known) AS BIGINT) AS revenue_cents
+FROM known
+GROUP BY t_label, v_label, status
+ORDER BY t_label, v_label, o_orderstatus
+""",
+)
+def orders_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of rollup (B255): per (transaction-time T, valid-time
+    V) grid cell, the per-status revenue exactly as it was KNOWN at T for
+    facts true by V — latest recorded version per key via max_by."""
+    base = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.expr("datediff(cast(o_orderdate as date), date'1970-01-01')")
+        .cast("long")
+        .alias("valid_day"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    versions = base.select(
+        "k",
+        "status",
+        "valid_day",
+        (F.col("valid_day") + F.when(F.col("k") % 13 == 0, 10).otherwise(0)).alias("rec_day"),
+        F.col("cents").alias("cents_v"),
+    ).unionByName(
+        base.filter(F.col("k") % 11 == 0).select(
+            "k",
+            "status",
+            "valid_day",
+            (F.col("valid_day") + 30).alias("rec_day"),
+            (F.col("cents") + 500).alias("cents_v"),
+        )
+    )
+    ext = base.agg(F.min("valid_day").alias("d0"), F.max("valid_day").alias("d1"))
+    grid = spark.createDataFrame(
+        _BITEMPORAL_GRID, "t_label: string, t8: long, v_label: string, v8: long"
+    )
+    bounds = grid.crossJoin(F.broadcast(ext)).select(
+        "t_label",
+        "v_label",
+        F.expr("d0 + (d1 - d0) * t8 div 8").cast("long").alias("t_day"),
+        F.expr("d0 + (d1 - d0) * v8 div 8").cast("long").alias("v_day"),
+    )
+    known = (
+        versions.join(
+            F.broadcast(bounds),
+            (F.col("rec_day") <= F.col("t_day")) & (F.col("valid_day") <= F.col("v_day")),
+        )
+        .groupBy("t_label", "v_label", "k", "status")
+        .agg(F.max_by("cents_v", "rec_day").alias("cents_known"))
+    )
+    return (
+        known.groupBy("t_label", "v_label", F.col("status").alias("o_orderstatus"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents_known").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("t_label", "v_label", "o_orderstatus")
+    )
