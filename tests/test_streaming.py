@@ -2246,3 +2246,86 @@ def test_stream_cdc_retraction_agg_rejects_malformed(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="malformed CDC"):
         stream_cdc_retraction_agg(stream, str(tmp_path / "cdc_bad_state"))
+
+
+def test_stream_distinct_multiplicity_converges_and_naive_fold_fails(spark, sf_dir, tmp_path):
+    """stream_distinct_multiplicity (B256 twin): the I/D CDC log replayed
+    as micro-batches converges to the batch answer under two different
+    batch splits — and the NAIVE per-batch distinct fold provably gives a
+    different (wrong) answer on the same log, which is why the
+    multiplicity state exists."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import (
+        events_distinct_cdc_maintenance,
+    )
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        distinct_report_from_state,
+        stream_distinct_multiplicity,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    log = (
+        ev.filter(F.col("event_id") % 3 != 2)
+        .select(F.lit(1).alias("step"), F.lit("I").alias("op"), "user_id", "event_type")
+        .unionByName(
+            ev.filter(F.col("event_id") % 3 == 2).select(
+                F.lit(2).alias("step"), F.lit("I").alias("op"), "user_id", "event_type"
+            )
+        )
+        .unionByName(
+            ev.filter(F.col("event_id") % 7 == 0).select(
+                F.lit(3).alias("step"), F.lit("D").alias("op"), "user_id", "event_type"
+            )
+        )
+    )
+    want = sorted(map(tuple, events_distinct_cdc_maintenance(spark, sf_dir).collect()))
+
+    def run(split_col, n_batches, tag):
+        src = tmp_path / f"dm_src_{tag}"
+        src.mkdir()
+        for i in range(n_batches):
+            part = log.filter(split_col % n_batches == i).drop("step")
+            tdir = str(tmp_path / f"dm_part_{tag}{i}")
+            part.coalesce(1).write.parquet(tdir)
+            pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+            dst = str(src / f"f{i}.parquet")
+            shutil.move(pf, dst)
+            os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        schema = log.drop("step").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        state = str(tmp_path / f"dm_state_{tag}")
+        stream_distinct_multiplicity(stream, state)
+        return sorted(map(tuple, distinct_report_from_state(spark, state).collect()))
+
+    got_steps = run(F.col("step"), 3, "steps")
+    assert got_steps == want and len(got_steps) > 0
+    got_hash = run(F.abs(F.xxhash64("op", "user_id", "event_type")), 4, "hash")
+    assert got_hash == want
+
+    # the negative contract: folding per-step DISTINCT deltas as a signed
+    # sum (+distinct on I-batches, -distinct on D-batches) is WRONG on this
+    # log — a deleted event's user usually survives through other events
+    naive = None
+    for step, sign in ((1, 1), (2, 1), (3, -1)):
+        d = (
+            log.filter(F.col("step") == step)
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("nd"))
+            .collect()
+        )
+        cur = {r.event_type: sign * r.nd for r in d}
+        naive = cur if naive is None else {
+            k: naive.get(k, 0) + cur.get(k, 0) for k in set(naive) | set(cur)
+        }
+    want_map = {t: nd for t, _, nd in want}
+    assert naive != want_map, "naive signed distinct fold should be wrong on this log"

@@ -5810,3 +5810,78 @@ def events_path_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("edit_distance")
     )
+
+
+# ---------------------------------------------------------------------------
+# B256: DISTINCT-count maintenance under retraction — the measure signed
+# sums CANNOT maintain, and the auxiliary state that can
+# ---------------------------------------------------------------------------
+# B245's theorem (every associative signed sum is retraction-safe) has a
+# famous non-member: COUNT(DISTINCT user). Deleting an event does NOT
+# tell you whether its user still counts — some other event of theirs
+# may survive — so no per-group scalar fold is correct. The textbook IVM
+# fix is MULTIPLICITY (support-count) state: maintain net = Σ±1 per
+# (group, user) — itself an associative signed sum, so order/boundary/
+# restart-safe — and read distinct = #{user: net > 0}. State is bounded
+# by the number of ACTIVE (group, user) pairs, not by event volume; the
+# read-back is one filtered count over that state. The CDC log is
+# synthesized deterministically (insert ids ≡/≢2 mod 3 across two steps,
+# delete ids ≡0 mod 7 with full before-images in step 3); the ORACLE
+# recomputes from the final snapshot, proving maintenance ≡
+# recomputation. A deliberate negative contract rides the pytest: the
+# naive signed fold of per-batch distinct counts gives the WRONG answer
+# on this log — the operator exists because that shortcut fails.
+@register(
+    "events_distinct_cdc_maintenance",
+    """
+WITH snap AS (
+  SELECT event_id, user_id, event_type FROM events WHERE event_id % 7 <> 0
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+FROM snap GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_distinct_cdc_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event count + distinct users maintained from a three-step
+    I/D CDC log via multiplicity state (B256). Oracle = final-snapshot
+    recompute."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    log = (
+        ev.filter(F.col("event_id") % 3 != 2).select(
+            F.lit("I").alias("op"), "user_id", "event_type"
+        )
+        .unionByName(
+            ev.filter(F.col("event_id") % 3 == 2).select(
+                F.lit("I").alias("op"), "user_id", "event_type"
+            )
+        )
+        .unionByName(
+            ev.filter(F.col("event_id") % 7 == 0).select(
+                F.lit("D").alias("op"), "user_id", "event_type"
+            )
+        )
+    )
+    return distinct_from_multiplicity(multiplicity_fold(log)).orderBy("event_type")
+
+
+def multiplicity_fold(log: DataFrame) -> DataFrame:
+    """The B256 auxiliary state: net support count per (event_type,
+    user_id) — an associative signed sum, shared by the batch query and
+    the streaming twin so the two cannot drift."""
+    return log.groupBy("event_type", "user_id").agg(
+        F.sum(F.when(F.col("op") == "I", 1).otherwise(-1)).cast("long").alias("net")
+    )
+
+
+def distinct_from_multiplicity(state: DataFrame) -> DataFrame:
+    """Read-back over the multiplicity state: events = Σ net, distinct
+    users = #{net > 0}."""
+    return state.groupBy("event_type").agg(
+        F.sum("net").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("net") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_distinct_users"),
+    )

@@ -2380,3 +2380,56 @@ def stream_cdc_retraction_agg(cdc_stream: DataFrame, state_path: str) -> None:
 
     q = cdc_stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# B256 twin: streaming DISTINCT-count maintenance via multiplicity state
+# ---------------------------------------------------------------------------
+def stream_distinct_multiplicity(cdc_stream: DataFrame, state_path: str) -> None:
+    """Maintain per-type distinct-user counts from an I/D CDC stream via
+    the B256 multiplicity state (`querydefs.event_queries.
+    multiplicity_fold`): per micro-batch, fold the batch's ±1 support
+    deltas and MERGE BY SUM into the persisted (event_type, user_id, net)
+    state — the state itself is an associative signed sum, so batch
+    boundaries, arrival order, and restarts cannot move it; the
+    distinct-count read-back (`distinct_from_multiplicity`) is derived,
+    never stored, because COUNT DISTINCT is not signed-sum-maintainable
+    (the theorem B245 documents — its famous non-member). Unknown op tags
+    raise loudly."""
+    from ..querydefs.event_queries import multiplicity_fold
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        n_bad = batch_df.filter(~F.col("op").isin("I", "D")).count()
+        if n_bad:
+            raise RuntimeError(
+                f"stream_distinct_multiplicity: {n_bad} rows with op outside I/D in "
+                f"epoch {epoch_id} — a silently-dropped retraction corrupts the "
+                "support counts forever"
+            )
+        inc = multiplicity_fold(batch_df)
+        try:
+            state = spark.read.parquet(state_path)
+        except Exception:
+            inc.write.mode("overwrite").parquet(state_path)
+            return
+        merged = (
+            state.unionByName(inc)
+            .groupBy("event_type", "user_id")
+            .agg(F.sum("net").cast("long").alias("net"))
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(state_path)
+
+    q = cdc_stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def distinct_report_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Read-back for stream_distinct_multiplicity — the shared B256
+    derivation over the persisted multiplicity state."""
+    from ..querydefs.event_queries import distinct_from_multiplicity
+
+    return distinct_from_multiplicity(spark.read.parquet(state_path)).orderBy("event_type")
