@@ -32,7 +32,7 @@ EXPECTED_MODULES = {
     "scrub_queries",
     "tokenizer_queries",
 }
-EXPECTED_REGISTRY_SIZE = 340
+EXPECTED_REGISTRY_SIZE = 341
 
 
 def test_registry_all_modules_loaded_and_full_size():
@@ -484,3 +484,35 @@ def test_bitemporal_asof_restatement_semantics(spark, sf_dir):
     for vlab in ("V4_8", "V8_8"):
         assert tot(("T6_8", vlab), 0) >= tot(("T4_8", vlab), 0)
         assert tot(("T6_8", vlab), 1) >= tot(("T4_8", vlab), 1)
+
+
+# ---------------------------------------------------------------------------
+# B257: Neyman allocation — optimality bound, budget conservation, and the
+# exact N_h·sigma_h identity re-derived in Python.
+# ---------------------------------------------------------------------------
+
+
+def test_neyman_allocation_optimal_and_conserved(spark, sf_dir):
+    import math
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import (
+        _NEYMAN_BUDGET,
+        events_neyman_allocation_audit,
+    )
+
+    rows = events_neyman_allocation_audit(spark, sf_dir).collect()
+    assert sum(r.n_neyman for r in rows) == _NEYMAN_BUDGET
+    assert sum(r.n_prop for r in rows) == _NEYMAN_BUDGET
+    # the optimality theorem: Neyman variance <= proportional variance
+    assert all(r.neyman_vs_prop_ppm <= 1_000_000 for r in rows)
+    # the s_h identity, exact in Python integers
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value").collect()
+    moments = {}
+    for r in ev:
+        cents = int(round(float(r.value) * 100))
+        n, sx, sxx = moments.get(r.event_type, (0, 0, 0))
+        moments[r.event_type] = (n + 1, sx + cents, sxx + cents * cents)
+    for r in rows:
+        n, sx, sxx = moments[r.event_type]
+        assert r.nh_sigma == math.isqrt(n * sxx - sx * sx), r.event_type

@@ -4105,3 +4105,185 @@ def doc_layout_compression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# B257: Neyman allocation — the OPTIMAL stratified sample design, priced
+# against proportional
+# ---------------------------------------------------------------------------
+# B11/B193 draw stratified samples with FIXED designs; survey theory says
+# the variance-optimal split of a budget n across strata is Neyman
+# allocation n_h ∝ N_h·σ_h — more samples where the stratum is big AND
+# noisy. Exact integers throughout via one identity: N_h·σ_h =
+# √(N_h·Σx² − (Σx)²) =: s_h, so the weights need ONE integer sqrt per
+# stratum (float sqrt + a ±1 Newton correction makes the floor exact),
+# and the estimator variance Σ N_h²σ_h²/n_h = Σ s_h²/n_h needs no sqrt
+# at all. The moment products run in decimal(38,0)/HUGEINT — the
+# documented 128-bit moment-sum rule: (Σx)² overflows int64 already at
+# sf0.1 — and the REPORTED uncertainty is the integer-cents standard
+# error (√variance, back in int64 range at any corpus size). Budget
+# rounding is largest-remainder (deterministic, ties by stratum name);
+# the Neyman-vs-proportional variance ratio in ppm is ≤ 10⁶ BY THE
+# OPTIMALITY THEOREM, which the pytest asserts. Scale: one groupBy for
+# the moments; everything after is a |strata|-row computation.
+_NEYMAN_BUDGET = 200
+
+
+def _isqrt_correct(y: str, x: str, big: str) -> str:
+    """±1 Newton correction making floor(sqrt(double)) exact; compares in
+    the 128-bit type given by ``big`` (HUGEINT / decimal(19,0))."""
+    return (
+        f"(CASE WHEN (CAST({y} + 1 AS {big})) * ({y} + 1) <= {x} THEN {y} + 1"
+        f" WHEN (CAST({y} AS {big})) * {y} > {x} THEN {y} - 1 ELSE {y} END)"
+    )
+
+
+def _isqrt_sql(x: str, big: str) -> str:
+    y = f"CAST(floor(sqrt(CAST({x} AS DOUBLE))) AS BIGINT)"
+    return _isqrt_correct(y, x, big)
+
+
+@register(
+    "events_neyman_allocation_audit",
+    f"""
+WITH m AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n_pop,
+         sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)) AS sx,
+         sum(CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS HUGEINT)
+             * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sxx
+  FROM events GROUP BY event_type
+), s AS (
+  SELECT event_type, CAST(n_pop AS BIGINT) AS n_pop,
+         {_isqrt_sql('(n_pop * sxx - sx * sx)', 'HUGEINT')} AS s_h
+  FROM m
+), fl AS (
+  SELECT event_type, n_pop, s_h,
+         {_NEYMAN_BUDGET} * s_h // sum(s_h) OVER () AS ney_fl,
+         ({_NEYMAN_BUDGET} * s_h) % (sum(s_h) OVER ()) AS ney_rem,
+         {_NEYMAN_BUDGET} * n_pop // sum(n_pop) OVER () AS prop_fl,
+         ({_NEYMAN_BUDGET} * n_pop) % (sum(n_pop) OVER ()) AS prop_rem
+  FROM s
+), alloc AS (
+  SELECT event_type, n_pop, s_h,
+         ney_fl + CASE WHEN row_number() OVER (ORDER BY ney_rem DESC, event_type)
+                       <= {_NEYMAN_BUDGET} - sum(ney_fl) OVER () THEN 1 ELSE 0 END
+           AS n_neyman,
+         prop_fl + CASE WHEN row_number() OVER (ORDER BY prop_rem DESC, event_type)
+                        <= {_NEYMAN_BUDGET} - sum(prop_fl) OVER () THEN 1 ELSE 0 END
+           AS n_prop
+  FROM fl
+), var AS (
+  SELECT sum(CAST(s_h AS HUGEINT) * s_h // greatest(n_neyman, 1)) AS var_neyman,
+         sum(CAST(s_h AS HUGEINT) * s_h // greatest(n_prop, 1)) AS var_prop
+  FROM alloc
+)
+SELECT a.event_type, CAST(a.n_pop AS BIGINT) AS n_pop,
+       CAST(a.s_h AS BIGINT) AS nh_sigma,
+       CAST(a.n_prop AS BIGINT) AS n_prop, CAST(a.n_neyman AS BIGINT) AS n_neyman,
+       CAST({_isqrt_sql('v.var_prop', 'HUGEINT')} AS BIGINT) AS se_prop_cents,
+       CAST({_isqrt_sql('v.var_neyman', 'HUGEINT')} AS BIGINT) AS se_neyman_cents,
+       CAST(v.var_neyman * 1000000 // greatest(v.var_prop, 1) AS BIGINT)
+         AS neyman_vs_prop_ppm
+FROM alloc a CROSS JOIN var v
+ORDER BY a.event_type
+""",
+)
+def events_neyman_allocation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman vs proportional stratified allocation (B257): exact integer
+    N_h·σ_h weights (128-bit moments), largest-remainder budget rounding,
+    integer-cents standard errors and the optimality gain in ppm."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_pop"),
+        F.sum(cents.cast("decimal(19,0)")).cast("decimal(38,0)").alias("sx"),
+        F.sum((cents.cast("decimal(19,0)") * cents).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    mom = (
+        "(cast(n_pop as decimal(19,0)) * sxx - sx * sx)"
+    )
+    s = m.select(
+        "event_type",
+        F.col("n_pop").cast("long").alias("n_pop"),
+        F.expr(_isqrt_sql(mom, "decimal(19,0)")).cast("long").alias("s_h"),
+    )
+    budget = _NEYMAN_BUDGET
+    fl = s.select(
+        "event_type",
+        "n_pop",
+        "s_h",
+        F.expr(f"{budget} * s_h div (sum(s_h) over ())").alias("ney_fl"),
+        F.expr(f"({budget} * s_h) % (sum(s_h) over ())").alias("ney_rem"),
+        F.expr(f"{budget} * n_pop div (sum(n_pop) over ())").alias("prop_fl"),
+        F.expr(f"({budget} * n_pop) % (sum(n_pop) over ())").alias("prop_rem"),
+    )
+    w_all = Window.partitionBy()
+    alloc = fl.select(
+        "event_type",
+        "n_pop",
+        "s_h",
+        (
+            F.col("ney_fl")
+            + F.when(
+                F.row_number().over(Window.orderBy(F.col("ney_rem").desc(), "event_type"))
+                <= budget - F.sum("ney_fl").over(w_all),
+                1,
+            ).otherwise(0)
+        ).alias("n_neyman"),
+        (
+            F.col("prop_fl")
+            + F.when(
+                F.row_number().over(Window.orderBy(F.col("prop_rem").desc(), "event_type"))
+                <= budget - F.sum("prop_fl").over(w_all),
+                1,
+            ).otherwise(0)
+        ).alias("n_prop"),
+    )
+    # Spark's `div` coerces to LONG (overflows at sf0.1); floor(/) keeps
+    # the quotient in decimal(38,0) — exact here because the operands are
+    # integers well inside the 38-digit significand
+    var = alloc.agg(
+        F.expr(
+            "cast(sum(cast(floor((cast(s_h as decimal(19,0)) * s_h)"
+            " / greatest(n_neyman, 1)) as decimal(38,0))) as decimal(38,0))"
+        ).alias("var_neyman"),
+        F.expr(
+            "cast(sum(cast(floor((cast(s_h as decimal(19,0)) * s_h)"
+            " / greatest(n_prop, 1)) as decimal(38,0))) as decimal(38,0))"
+        ).alias("var_prop"),
+    )
+    return (
+        alloc.crossJoin(F.broadcast(var))
+        .withColumn(
+            "q0",
+            F.expr(
+                "cast(floor(var_neyman * 1000000 / greatest(var_prop, 1))"
+                " as decimal(38,0))"
+            ),
+        )
+        .select(
+            "event_type",
+            F.col("n_pop").cast("long").alias("n_pop"),
+            F.col("s_h").cast("long").alias("nh_sigma"),
+            F.col("n_prop").cast("long").alias("n_prop"),
+            F.col("n_neyman").cast("long").alias("n_neyman"),
+            F.expr(_isqrt_sql("var_prop", "decimal(19,0)"))
+            .cast("long")
+            .alias("se_prop_cents"),
+            F.expr(_isqrt_sql("var_neyman", "decimal(19,0)"))
+            .cast("long")
+            .alias("se_neyman_cents"),
+            # Spark decimal `/` rounds HALF_UP at scale 6; the ±1 remainder
+            # correction restores the exact floor the oracle's HUGEINT //
+            # computes
+            F.expr(
+                "cast((CASE WHEN q0 * greatest(var_prop, 1) > var_neyman * 1000000"
+                " THEN q0 - 1"
+                " WHEN (q0 + 1) * greatest(var_prop, 1) <= var_neyman * 1000000"
+                " THEN q0 + 1 ELSE q0 END) as bigint)"
+            ).alias("neyman_vs_prop_ppm"),
+        )
+        .orderBy("event_type")
+    )
