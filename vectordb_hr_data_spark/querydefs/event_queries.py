@@ -5885,3 +5885,145 @@ def distinct_from_multiplicity(state: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_distinct_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B258: Benjamini–Hochberg FDR gate — reading MANY experiment metrics
+# without fooling yourself
+# ---------------------------------------------------------------------------
+# B160 reads one metric; a real experiment readout tests a ladder of them
+# (per-event-type engagement here), and at m metrics the naive |z|≥1.96
+# rule false-alarms at ~1−0.95^m. The standard fix ladder: Bonferroni
+# (controls FWER, conservative) and Benjamini–Hochberg (controls FDR):
+# sort p ascending, find the largest k with p_(k) ≤ k·q/m, reject ranks
+# ≤ k. p-values never materialize — p_(k) ≤ k·q/m is equivalent to
+# |z|_(k) ≥ Φ⁻¹(1 − k·q/2m), and those thresholds are LITERAL milli
+# constants (standard normal quantiles, public math: q=0.10, m=4 →
+# 2241/1960/1780/1645; Bonferroni 2498; raw 1960). Each metric's z is
+# the B160 two-proportion statistic between the seeded arms for "user
+# touched this event type". Scale: one user-level reduce per metric from
+# the SAME pass (conditional aggregates over one groupBy), a 4-row rank
+# window over the metric AGGREGATE, literal threshold join.
+_FDR_METRICS = ["click", "error", "signup", "view"]
+_FDR_BH_THR_MILLI = [2241, 1960, 1780, 1645]  # Phi^-1(1 - k*0.0125), k=1..4
+_FDR_BONF_MILLI = 2498  # Phi^-1(1 - 0.05/8)
+_FDR_RAW_MILLI = 1960
+
+
+def _fdr_z_sql(metric: str) -> str:
+    x0 = f"sum(CASE WHEN arm = 0 THEN t_{metric} ELSE 0 END)"
+    x1 = f"sum(CASE WHEN arm = 1 THEN t_{metric} ELSE 0 END)"
+    n0 = "sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)"
+    n1 = "sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)"
+    return (
+        f"CAST(CASE WHEN {x0} + {x1} = 0 OR {x0} + {x1} = {n0} + {n1} THEN 0"
+        f" ELSE floor(({x1} * 1.0 / {n1} - {x0} * 1.0 / {n0})"
+        f" / sqrt((({x0} + {x1}) * 1.0 / ({n0} + {n1}))"
+        f" * (1.0 - ({x0} + {x1}) * 1.0 / ({n0} + {n1}))"
+        f" * (1.0 / {n0} + 1.0 / {n1})) * 1000 + 0.5) END AS BIGINT)"
+    )
+
+
+def _fdr_oracle() -> str:
+    touch_cols = ", ".join(
+        f"CAST(max(CASE WHEN event_type = '{m}' THEN 1 ELSE 0 END) AS BIGINT) AS t_{m}"
+        for m in _FDR_METRICS
+    )
+    z_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT '{m}' AS metric, {_fdr_z_sql(m)} AS z_milli FROM ua"
+        for m in _FDR_METRICS
+    )
+    thr = ", ".join(f"({k + 1}, {t})" for k, t in enumerate(_FDR_BH_THR_MILLI))
+    return f"""
+WITH ua AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5('srm:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS arm,
+         {touch_cols}
+  FROM events GROUP BY user_id
+), z AS (
+  {z_rows}
+), ranked AS (
+  SELECT metric, z_milli,
+         row_number() OVER (ORDER BY abs(z_milli) DESC, metric) AS rnk
+  FROM z
+), thr(rnk, bh_thr_milli) AS (VALUES {thr}),
+hits AS (
+  SELECT r.metric, r.z_milli, r.rnk, t.bh_thr_milli,
+         CASE WHEN abs(r.z_milli) >= t.bh_thr_milli THEN r.rnk ELSE 0 END AS hit_rnk
+  FROM ranked r JOIN thr t ON t.rnk = r.rnk
+), kstar AS (SELECT max(hit_rnk) AS k FROM hits)
+SELECT h.metric, h.z_milli, CAST(h.rnk AS BIGINT) AS rnk,
+       CAST(h.bh_thr_milli AS BIGINT) AS bh_thr_milli,
+       CAST(CASE WHEN h.rnk <= s.k THEN 1 ELSE 0 END AS BIGINT) AS rejected_bh,
+       CAST(CASE WHEN abs(h.z_milli) >= {_FDR_BONF_MILLI} THEN 1 ELSE 0 END AS BIGINT)
+         AS rejected_bonferroni,
+       CAST(CASE WHEN abs(h.z_milli) >= {_FDR_RAW_MILLI} THEN 1 ELSE 0 END AS BIGINT)
+         AS significant_raw
+FROM hits h CROSS JOIN kstar s
+ORDER BY rnk
+"""
+
+
+@register("events_fdr_gate", _fdr_oracle())
+def events_fdr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH-FDR gate over the per-event-type engagement z ladder (B258):
+    one user-level pass computes all metrics' z, literal milli normal
+    quantiles stand in for p-values, reject ranks ≤ k*."""
+    ev = read_table(spark, sf_dir, "events")
+    touch = [
+        F.max(F.when(F.col("event_type") == m, 1).otherwise(0)).cast("long").alias(f"t_{m}")
+        for m in _FDR_METRICS
+    ]
+    ua = ev.groupBy("user_id").agg(*touch).select(
+        F.expr(
+            "cast(conv(substring(md5(concat('srm:', cast(user_id as string))), 1, 8),"
+            " 16, 10) as bigint) % 2"
+        ).alias("arm"),
+        *[F.col(f"t_{m}") for m in _FDR_METRICS],
+    )
+    # ONE aggregate computes every metric's z (conditional sums share the
+    # single user-table pass); stack unpivots the 1-row result
+    zrow = ua.agg(*[F.expr(_fdr_z_sql(m)).alias(f"z_{m}") for m in _FDR_METRICS])
+    stack_args = ", ".join(f"'{m}', z_{m}" for m in _FDR_METRICS)
+    z = zrow.select(
+        F.expr(f"stack({len(_FDR_METRICS)}, {stack_args}) as (metric, z_milli)")
+    )
+    ranked = z.select(
+        "metric",
+        "z_milli",
+        F.row_number()
+        .over(Window.orderBy(F.abs(F.col("z_milli")).desc(), "metric"))
+        .alias("rnk"),
+    )
+    thr = spark.createDataFrame(
+        [(k + 1, t) for k, t in enumerate(_FDR_BH_THR_MILLI)], "rnk: long, bh_thr_milli: long"
+    )
+    hits = ranked.join(F.broadcast(thr), "rnk").select(
+        "metric",
+        "z_milli",
+        "rnk",
+        "bh_thr_milli",
+        F.when(F.abs(F.col("z_milli")) >= F.col("bh_thr_milli"), F.col("rnk"))
+        .otherwise(0)
+        .alias("hit_rnk"),
+    )
+    kstar = hits.agg(F.max("hit_rnk").alias("k"))
+    return (
+        hits.crossJoin(F.broadcast(kstar))
+        .select(
+            "metric",
+            "z_milli",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("bh_thr_milli").cast("long").alias("bh_thr_milli"),
+            F.when(F.col("rnk") <= F.col("k"), 1).otherwise(0).cast("long").alias("rejected_bh"),
+            F.when(F.abs(F.col("z_milli")) >= _FDR_BONF_MILLI, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("rejected_bonferroni"),
+            F.when(F.abs(F.col("z_milli")) >= _FDR_RAW_MILLI, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("significant_raw"),
+        )
+        .orderBy("rnk")
+    )
