@@ -32,7 +32,7 @@ EXPECTED_MODULES = {
     "scrub_queries",
     "tokenizer_queries",
 }
-EXPECTED_REGISTRY_SIZE = 342
+EXPECTED_REGISTRY_SIZE = 343
 
 
 def test_registry_all_modules_loaded_and_full_size():
@@ -516,3 +516,25 @@ def test_neyman_allocation_optimal_and_conserved(spark, sf_dir):
     for r in rows:
         n, sx, sxx = moments[r.event_type]
         assert r.nh_sigma == math.isqrt(n * sxx - sx * sx), r.event_type
+
+
+# ---------------------------------------------------------------------------
+# B259: FD contracts — the declared key FDs must hold with ZERO violations
+# on the synthetic tables, and the declared non-FDs must actually violate.
+# ---------------------------------------------------------------------------
+
+
+def test_fd_contracts_match_expectations(spark, sf_dir):
+    from vectordb_hr_data_spark.querydefs.relational_queries import (
+        _FD_CONTRACTS,
+        fd_contract_audit,
+    )
+
+    got = {r.fd_name: r for r in fd_contract_audit(spark, sf_dir).collect()}
+    assert set(got) == {c[0] for c in _FD_CONTRACTS}
+    for name, _t, _l, _r, holds in _FD_CONTRACTS:
+        if holds:
+            assert got[name].n_violating_groups == 0, name
+            assert got[name].max_distinct_rhs == 1, name
+        else:
+            assert got[name].n_violating_groups > 0, name

@@ -1964,3 +1964,66 @@ def orders_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t_label", "v_label", "o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# B259: functional-dependency contract audit — schema semantics as
+# checkable assertions
+# ---------------------------------------------------------------------------
+# Data contracts declare more than types: "o_orderkey determines
+# o_totalprice", "(l_orderkey, l_linenumber) is a key". Upstream bugs
+# break these FDs silently (a double-applied CDC update gives one order
+# two prices) and every consumer inherits the corruption. The audit
+# checks a declared FD list the way an optimizer would use it: per FD,
+# group by the LHS, count groups where the RHS takes >1 distinct value —
+# one map-side-partial distinct-count per contract, no joins. The list
+# deliberately mixes FDs that HOLD (primary keys) with ones that DON'T
+# (o_custkey→o_orderpriority: customers reorder at different priorities)
+# so the audit's both verdicts are exercised; the pytest pins the key
+# contracts at zero violations. Scale: each check is one aggregation of
+# the owning table; violation examples surface via max_distinct_rhs
+# without a second pass.
+_FD_CONTRACTS = [
+    # (fd_name, table, lhs cols, rhs col, expected_to_hold)
+    ("orders_pk_price", "orders", ["o_orderkey"], "o_totalprice", True),
+    ("orders_cust_prio", "orders", ["o_custkey"], "o_orderpriority", False),
+    ("lineitem_pk_qty", "lineitem", ["l_orderkey", "l_linenumber"], "l_quantity", False),
+    ("lineitem_order_ship", "lineitem", ["l_orderkey"], "l_shipdate", False),
+]
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for name, table, lhs, rhs, _ in _FD_CONTRACTS:
+        lhs_sql = ", ".join(lhs)
+        parts.append(f"""
+SELECT '{name}' AS fd_name,
+       CAST(count(*) AS BIGINT) AS n_lhs_groups,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+         AS violation_ppm,
+       CAST(max(nd) AS BIGINT) AS max_distinct_rhs
+FROM (SELECT {lhs_sql}, count(DISTINCT {rhs}) AS nd FROM {table} GROUP BY {lhs_sql})""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY fd_name"
+
+
+@register("fd_contract_audit", _fd_oracle())
+def fd_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-FD violation audit (B259): per contract, LHS groups whose
+    RHS takes more than one distinct value."""
+    out = None
+    for name, table, lhs, rhs, _ in _FD_CONTRACTS:
+        t = read_table(spark, sf_dir, table)
+        g = t.groupBy(*lhs).agg(F.countDistinct(rhs).alias("nd"))
+        row = g.agg(
+            F.count("*").cast("long").alias("n_lhs_groups"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_groups"),
+            F.expr("sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000 div count(*)")
+            .cast("long")
+            .alias("violation_ppm"),
+            F.max("nd").cast("long").alias("max_distinct_rhs"),
+        ).select(F.lit(name).alias("fd_name"), "*")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fd_name")
