@@ -2027,3 +2027,121 @@ def fd_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(name).alias("fd_name"), "*")
         out = row if out is None else out.unionByName(row)
     return out.orderBy("fd_name")
+
+
+# ---------------------------------------------------------------------------
+# B260: blocking-quality audit — the entity-resolution trade curve
+# (completeness vs reduction), measured
+# ---------------------------------------------------------------------------
+# B58 picked ONE blocking key (the trailing token) by judgment; the
+# record-linkage literature evaluates blocking schemes on two numbers:
+# REDUCTION RATIO (share of the N(N−1)/2 all-pairs space the blocking
+# never generates — the cost you avoid) and PAIRS COMPLETENESS (share of
+# true matches the blocking still reaches — the recall you keep). Truth
+# here is the UNION of Levenshtein-verified matches across all audited
+# schemes (the standard relative-recall protocol when exhaustive truth is
+# unaffordable — exactly the all-pairs scan blocking exists to avoid, so
+# the audit refuses to run it too). Three schemes: the B58 trailing
+# token, the leading token, and the 4-char prefix. All-pairs counts come
+# from ARITHMETIC (N(N−1)/2), never materialization. Scale: candidates
+# per scheme are equi-joins on the block key over the DISTINCT-name
+# table (entity-resolution's cardinality firewall), each bounded by
+# Σ|block|².
+_BLOCK_SCHEMES = [
+    ("tail_token", "w[-1]", "element_at(split(p_name, ' '), -1)"),
+    ("head_token", "w[1]", "element_at(split(p_name, ' '), 1)"),
+    ("prefix4", "substr(p_name, 1, 4)", "substring(p_name, 1, 4)"),
+]
+
+
+def _blocking_oracle() -> str:
+    cands = "\n  UNION ALL\n  ".join(
+        f"SELECT '{tag}' AS scheme, a.p_name AS n1, b.p_name AS n2,"
+        f" CASE WHEN levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}"
+        f" THEN 1 ELSE 0 END AS verified"
+        f" FROM nm a JOIN nm b ON {ddb_key.replace('w[', 'a.w[').replace('substr(p_name', 'substr(a.p_name')}"
+        f" = {ddb_key.replace('w[', 'b.w[').replace('substr(p_name', 'substr(b.p_name')}"
+        f" AND a.p_name < b.p_name"
+        for tag, ddb_key, _ in _BLOCK_SCHEMES
+    )
+    return f"""
+WITH d AS (
+  SELECT DISTINCT p_name FROM part
+), nm AS (
+  SELECT p_name, string_split(p_name, ' ') AS w FROM d
+), tot AS (
+  SELECT count(*) AS n_names, count(*) * (count(*) - 1) // 2 AS all_pairs FROM d
+), cand AS (
+  {cands}
+), truth AS (
+  SELECT DISTINCT n1, n2 FROM cand WHERE verified = 1
+), truth_n AS (SELECT count(*) AS n_truth FROM truth)
+SELECT c.scheme,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(c.verified) AS BIGINT) AS n_verified,
+       CAST(sum(c.verified) * 1000000 // greatest(max(tn.n_truth), 1) AS BIGINT)
+         AS completeness_ppm,
+       CAST((max(t.all_pairs) - count(*)) * 1000000 // max(t.all_pairs) AS BIGINT)
+         AS reduction_ppm,
+       CAST(max(tn.n_truth) AS BIGINT) AS n_truth
+FROM cand c CROSS JOIN tot t CROSS JOIN truth_n tn
+GROUP BY c.scheme
+ORDER BY c.scheme
+"""
+
+
+@register("entity_blocking_quality_audit", _blocking_oracle())
+def entity_blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs completeness vs reduction ratio for three blocking schemes
+    over the part-name catalog (B260); truth = the union of verified
+    matches across schemes."""
+    d = read_table(spark, sf_dir, "part").select("p_name").distinct()
+    cand = None
+    for tag, _, spark_key in _BLOCK_SCHEMES:
+        n = d.select("p_name", F.expr(spark_key).alias("bk"))
+        a, b = n.alias("a"), n.alias("b")
+        c = (
+            a.join(
+                b,
+                (F.col("a.bk") == F.col("b.bk")) & (F.col("a.p_name") < F.col("b.p_name")),
+            )
+            .select(
+                F.lit(tag).alias("scheme"),
+                F.col("a.p_name").alias("n1"),
+                F.col("b.p_name").alias("n2"),
+                F.when(
+                    F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= FUZZY_MAX_DIST, 1
+                )
+                .otherwise(0)
+                .alias("verified"),
+            )
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.localCheckpoint(eager=True)
+    tot = d.agg(
+        F.count("*").alias("n_names"),
+        F.expr("count(*) * (count(*) - 1) div 2").alias("all_pairs"),
+    )
+    truth_n = (
+        cand.filter(F.col("verified") == 1)
+        .select("n1", "n2")
+        .distinct()
+        .agg(F.count("*").alias("n_truth"))
+    )
+    return (
+        cand.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(truth_n))
+        .groupBy("scheme")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum("verified").cast("long").alias("n_verified"),
+            F.expr("sum(verified) * 1000000 div greatest(max(n_truth), 1)")
+            .cast("long")
+            .alias("completeness_ppm"),
+            F.expr("(max(all_pairs) - count(*)) * 1000000 div max(all_pairs)")
+            .cast("long")
+            .alias("reduction_ppm"),
+            F.max("n_truth").cast("long").alias("n_truth"),
+        )
+        .orderBy("scheme")
+    )
