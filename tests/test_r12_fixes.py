@@ -32,7 +32,7 @@ EXPECTED_MODULES = {
     "scrub_queries",
     "tokenizer_queries",
 }
-EXPECTED_REGISTRY_SIZE = 344
+EXPECTED_REGISTRY_SIZE = 345
 
 
 def test_registry_all_modules_loaded_and_full_size():
@@ -538,3 +538,30 @@ def test_fd_contracts_match_expectations(spark, sf_dir):
             assert got[name].max_distinct_rhs == 1, name
         else:
             assert got[name].n_violating_groups > 0, name
+
+
+# ---------------------------------------------------------------------------
+# B261: IVF compaction — plan invariants: exactly the bottom quartile
+# merges, targets are survivors — and the ledger is HONEST: on this
+# corpus the nearest-survivor policy worsens max/min occupancy (starved
+# cells pile into one survivor), which the plan must report, not hide.
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_compaction_plan_invariants(spark, sf_dir):
+    from vectordb_hr_data_spark.querydefs.vector_queries import (
+        _IVF_COMPACT_CELLS,
+        ivf_cell_compaction_plan,
+    )
+
+    rows = ivf_cell_compaction_plan(spark, sf_dir).collect()
+    assert len(rows) == _IVF_COMPACT_CELLS // 4
+    merged = {r.merged_cid for r in rows}
+    targets = {r.target_cid for r in rows}
+    assert not merged & targets, "a merged cell can never be a merge target"
+    for r in rows:
+        assert r.n_cells_after == r.n_cells_before - len(rows)
+        assert r.imbalance_before_milli >= 1000 and r.imbalance_after_milli >= 1000
+    # the measured trade on this corpus: fewer cells, WORSE spread — the
+    # ledger must carry both numbers so the maintenance job can decide
+    assert rows[0].imbalance_after_milli != rows[0].imbalance_before_milli

@@ -3650,3 +3650,187 @@ def embedding_dim_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("dim", "n", "p25_milli", "p50_milli", "p75_milli", "iqr_milli")
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# B261: IVF cell compaction plan — the index-maintenance step between
+# retune (B27) and rebuild
+# ---------------------------------------------------------------------------
+# Streaming ingest + deletes leave an IVF index with starved cells: a
+# probe that opens an underfull cell pays its seek for almost no
+# candidates (the vector-index twin of B249's small-files problem). The
+# compaction planner merges the BOTTOM-QUARTILE cells into their nearest
+# surviving centroid — the cheap O(K²) decision a maintenance job makes
+# nightly, as opposed to the full k-means rebuild the B27 retune trigger
+# reserves for geometry drift. Deterministic end-to-end on the B162
+# centroid convention (vec_id < 16): assignment = argmin of 4-dp-rounded
+# L2² (ties to cid), the quartile threshold is an exact order statistic
+# over the 16-row cell-size table, merge targets are nearest SURVIVOR
+# centroids (16×16 distance grid), and the ledger reports the max/min
+# occupancy imbalance before vs after — which the merge can WORSEN
+# (several starved cells piling into one nearest survivor): the plan
+# buys fewer seeks per probe and pays occupancy spread, and the ledger
+# states that trade instead of assuming it away (pytest pins a measured
+# worsening on the synthetic corpus). Scale: one N×K map-side
+# assignment pass (broadcast centroids), then nothing larger than K
+# rows.
+_IVF_COMPACT_CELLS = 16
+
+
+@register(
+    "ivf_cell_compaction_plan",
+    f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < {_IVF_COMPACT_CELLS}
+), dists AS (
+  SELECT e.vec_id, c.cid,
+         round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> power(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                        - CAST(c.cv[CAST(i AS INT)] AS DOUBLE), 2))), 4) AS d
+  FROM embeddings e CROSS JOIN cents c
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+), sizes AS (
+  SELECT c.cid, CAST(count(a.vec_id) AS BIGINT) AS n_vecs
+  FROM cents c LEFT JOIN assign a ON a.cid = c.cid
+  GROUP BY c.cid
+), thr AS (
+  SELECT max(n_vecs) AS p25 FROM (
+    SELECT n_vecs, row_number() OVER (ORDER BY n_vecs, cid) AS rn FROM sizes
+  ) WHERE rn <= {_IVF_COMPACT_CELLS // 4}
+), tagged AS (
+  SELECT s.cid, s.n_vecs, CASE WHEN s.n_vecs <= t.p25 THEN 1 ELSE 0 END AS merges
+  FROM sizes s CROSS JOIN thr t
+), cc AS (
+  SELECT a.cid AS src, b.cid AS dst,
+         round(list_sum(list_transform(range(1, len(a.cv) + 1),
+             i -> power(CAST(a.cv[CAST(i AS INT)] AS DOUBLE)
+                        - CAST(b.cv[CAST(i AS INT)] AS DOUBLE), 2))), 4) AS d
+  FROM cents a JOIN cents b ON a.cid <> b.cid
+), target AS (
+  SELECT m.cid, m.n_vecs, t2.dst AS target_cid, t2.d AS target_d
+  FROM tagged m
+  JOIN (
+    SELECT c.src, c.dst, c.d,
+           row_number() OVER (PARTITION BY c.src ORDER BY c.d, c.dst) AS rn
+    FROM cc c JOIN tagged tv ON tv.cid = c.dst AND tv.merges = 0
+  ) t2 ON t2.src = m.cid AND t2.rn = 1
+  WHERE m.merges = 1
+), post AS (
+  SELECT COALESCE(t.target_cid, s.cid) AS cid, sum(s.n_vecs) AS n_vecs
+  FROM sizes s LEFT JOIN target t ON t.cid = s.cid
+  WHERE s.cid NOT IN (SELECT target_cid FROM target) OR t.cid IS NULL
+  GROUP BY COALESCE(t.target_cid, s.cid)
+), post_full AS (
+  SELECT s.cid,
+         s.n_vecs + COALESCE((SELECT sum(t.n_vecs) FROM target t
+                              WHERE t.target_cid = s.cid), 0) AS n_vecs
+  FROM sizes s WHERE s.cid NOT IN (SELECT cid FROM target)
+), ledger AS (
+  SELECT (SELECT count(*) FROM sizes) AS n_cells_before,
+         (SELECT count(*) FROM post_full) AS n_cells_after,
+         (SELECT max(n_vecs) * 1000 // greatest(min(n_vecs), 1) FROM sizes)
+           AS imbalance_before_milli,
+         (SELECT max(n_vecs) * 1000 // greatest(min(n_vecs), 1) FROM post_full)
+           AS imbalance_after_milli
+)
+SELECT t.cid AS merged_cid, t.n_vecs, CAST(t.target_cid AS BIGINT) AS target_cid,
+       CAST(round(t.target_d * 10000) AS BIGINT) AS target_d_e4,
+       CAST(g.n_cells_before AS BIGINT) AS n_cells_before,
+       CAST(g.n_cells_after AS BIGINT) AS n_cells_after,
+       CAST(g.imbalance_before_milli AS BIGINT) AS imbalance_before_milli,
+       CAST(g.imbalance_after_milli AS BIGINT) AS imbalance_after_milli
+FROM target t CROSS JOIN ledger g
+ORDER BY merged_cid
+""",
+)
+def ivf_cell_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-quartile IVF cell merge plan (B261): nearest-survivor
+    targets over the 16×16 centroid grid, occupancy-imbalance ledger."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < _IVF_COMPACT_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    d4 = F.round(V.l2sq("embedding", "cv"), 4)
+    w_v = Window.partitionBy("vec_id").orderBy("d", "cid")
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", d4.alias("d"))
+        .withColumn("rn", F.row_number().over(w_v))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    sizes = (
+        cents.join(assign, "cid", "left")
+        .groupBy("cid")
+        .agg(F.count("vec_id").cast("long").alias("n_vecs"))
+    )
+    thr = (
+        sizes.withColumn("rn", F.row_number().over(Window.orderBy("n_vecs", "cid")))
+        .filter(F.col("rn") <= _IVF_COMPACT_CELLS // 4)
+        .agg(F.max("n_vecs").alias("p25"))
+    )
+    tagged = sizes.crossJoin(F.broadcast(thr)).select(
+        "cid", "n_vecs", F.when(F.col("n_vecs") <= F.col("p25"), 1).otherwise(0).alias("merges")
+    )
+    ca, cb = cents.alias("a"), cents.alias("b")
+    cc = ca.join(cb, F.col("a.cid") != F.col("b.cid")).select(
+        F.col("a.cid").alias("src"),
+        F.col("b.cid").alias("dst"),
+        F.round(V.l2sq(F.col("a.cv"), F.col("b.cv")), 4).alias("d"),
+    )
+    survivors = tagged.filter(F.col("merges") == 0).select(F.col("cid").alias("dst"))
+    w_src = Window.partitionBy("src").orderBy("d", "dst")
+    nearest = (
+        cc.join(F.broadcast(survivors), "dst")
+        .withColumn("rn", F.row_number().over(w_src))
+        .filter(F.col("rn") == 1)
+        .select("src", F.col("dst").alias("target_cid"), F.col("d").alias("target_d"))
+    )
+    target = (
+        tagged.filter(F.col("merges") == 1)
+        .join(nearest, F.col("cid") == F.col("src"))
+        .select("cid", "n_vecs", "target_cid", "target_d")
+    )
+    inflow = target.groupBy(F.col("target_cid").alias("cid")).agg(
+        F.sum("n_vecs").alias("inflow")
+    )
+    post_full = (
+        tagged.filter(F.col("merges") == 0)
+        .join(inflow, "cid", "left")
+        .select("cid", (F.col("n_vecs") + F.coalesce("inflow", F.lit(0))).alias("n_vecs"))
+    )
+    ledger = (
+        sizes.agg(
+            F.count("*").cast("long").alias("n_cells_before"),
+            F.expr("max(n_vecs) * 1000 div greatest(min(n_vecs), 1)")
+            .cast("long")
+            .alias("imbalance_before_milli"),
+        )
+        .crossJoin(
+            post_full.agg(
+                F.count("*").cast("long").alias("n_cells_after"),
+                F.expr("max(n_vecs) * 1000 div greatest(min(n_vecs), 1)")
+                .cast("long")
+                .alias("imbalance_after_milli"),
+            )
+        )
+    )
+    return (
+        target.crossJoin(F.broadcast(ledger))
+        .select(
+            F.col("cid").alias("merged_cid"),
+            "n_vecs",
+            F.col("target_cid").cast("long").alias("target_cid"),
+            F.round(F.col("target_d") * 10000).cast("long").alias("target_d_e4"),
+            "n_cells_before",
+            "n_cells_after",
+            "imbalance_before_milli",
+            "imbalance_after_milli",
+        )
+        .orderBy("merged_cid")
+    )
