@@ -32,7 +32,7 @@ EXPECTED_MODULES = {
     "scrub_queries",
     "tokenizer_queries",
 }
-EXPECTED_REGISTRY_SIZE = 345
+EXPECTED_REGISTRY_SIZE = 346
 
 
 def test_registry_all_modules_loaded_and_full_size():
@@ -565,3 +565,62 @@ def test_ivf_compaction_plan_invariants(spark, sf_dir):
     # the measured trade on this corpus: fewer cells, WORSE spread — the
     # ledger must carry both numbers so the maintenance job can decide
     assert rows[0].imbalance_after_milli != rows[0].imbalance_before_milli
+
+
+# ---------------------------------------------------------------------------
+# B262: KMV mergeability is EXACT — merged-from-leaves sketches must be
+# bit-identical to direct sketches at every level.
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_merge_equals_direct_sketch(spark, sf_dir):
+    from vectordb_hr_data_spark.io import read_table
+
+    K = 64
+    ev = read_table(spark, sf_dir, "events")
+    du = ev.selectExpr(
+        "event_type", "unix_micros(ts) div 86400000000 as day", "user_id"
+    ).distinct()
+    h = du.selectExpr(
+        "event_type",
+        "day",
+        "cast(conv(substring(md5(concat('u:', cast(user_id as string))), 1, 15),"
+        " 16, 10) as bigint) as hv",
+    )
+    leaf = h.groupBy("event_type", "day").agg(
+        F.expr(f"slice(array_sort(collect_set(hv)), 1, {K})").alias("ks")
+    )
+    merged = {
+        r.event_type: tuple(r.ks)
+        for r in leaf.groupBy("event_type")
+        .agg(
+            F.expr(
+                f"slice(array_sort(array_distinct(flatten(collect_list(ks)))), 1, {K})"
+            ).alias("ks")
+        )
+        .collect()
+    }
+    direct = {
+        r.event_type: tuple(r.ks)
+        for r in h.groupBy("event_type")
+        .agg(F.expr(f"slice(array_sort(collect_set(hv)), 1, {K})").alias("ks"))
+        .collect()
+    }
+    assert merged == direct and len(merged) > 0
+
+
+def test_kmv_estimate_branch_no_overflow():
+    # the B190 oracle's estimate branch had never executed on test data
+    # (every source holds <= 64 distinct tokens) and harbored a latent
+    # INT64 overflow: DuckDB folds (K-1) * M eagerly as integers. The
+    # reordered (K-1) * 1.0 * M must evaluate on a sketch that actually
+    # overflows K.
+    import duckdb
+
+    from vectordb_hr_data_spark.querydefs.dedup_queries import KMV_K, KMV_M
+
+    con = duckdb.connect()
+    est = con.execute(
+        f"SELECT CAST(floor(({KMV_K} - 1) * 1.0 * {KMV_M} / 1152921504606846) AS BIGINT)"
+    ).fetchone()[0]
+    assert est == 63000  # (K-1) * M / (M/1000) = 63 * 1000

@@ -1609,11 +1609,11 @@ WITH dt AS (
 SELECT source,
        CAST(max(nd) AS BIGINT) AS n_distinct_exact,
        CAST(CASE WHEN max(nd) <= {KMV_K} THEN max(nd)
-                 ELSE floor(({KMV_K} - 1) * {KMV_M} * 1.0
+                 ELSE floor(({KMV_K} - 1) * 1.0 * {KMV_M}
                             / max(CASE WHEN rk = {KMV_K} THEN hv END))
             END AS BIGINT) AS n_distinct_est,
        CAST((CASE WHEN max(nd) <= {KMV_K} THEN max(nd)
-                  ELSE floor(({KMV_K} - 1) * {KMV_M} * 1.0
+                  ELSE floor(({KMV_K} - 1) * 1.0 * {KMV_M}
                              / max(CASE WHEN rk = {KMV_K} THEN hv END)) END
              - max(nd)) * 1000000 // max(nd) AS BIGINT) AS est_error_ppm
 FROM ranked

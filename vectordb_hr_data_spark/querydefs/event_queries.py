@@ -6027,3 +6027,163 @@ def events_fdr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# B262: KMV cube rollup — ONE sketch pass, every grouping level, exact
+# mergeability
+# ---------------------------------------------------------------------------
+# The ops question "distinct users per (type, day), per type, and
+# overall" naively costs one COUNT(DISTINCT) shuffle PER LEVEL; the KMV
+# theorem makes the higher levels FREE: the k smallest hashes of a union
+# are always among each part's k smallest, so merging leaf sketches
+# (distinct-union, re-sort, keep k) yields BIT-IDENTICAL sketches to
+# direct computation — not approximately, exactly (the pytest pins array
+# equality). This audit computes the (type, day) leaf sketches once,
+# derives the type and global levels purely by merging, and prices each
+# level's estimate against the exact distinct count (B190's (K−1)·M/h_K
+# arithmetic, exact branch when nd ≤ K). At 100 TB the leaves come from
+# the B96 mergeable streaming sink (bounded state; the batch collect_set
+# here is the audit-scale form, documented) and rollups never touch the
+# fact table again.
+@register(
+    "events_kmv_cube_rollup",
+    f"""
+WITH du AS (
+  SELECT DISTINCT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, user_id
+  FROM events
+), h AS (
+  SELECT event_type, day,
+         CAST(('0x' || substr(md5('u:' || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+  FROM du
+), leaf AS (
+  SELECT event_type, day,
+         list_sort(list_distinct(list(hv)))[1:{64}] AS ks,
+         CAST(count(DISTINCT hv) AS BIGINT) AS nd_exact
+  FROM h GROUP BY event_type, day
+), tlev AS (
+  SELECT event_type, CAST(-1 AS BIGINT) AS day,
+         list_sort(list_distinct(flatten(list(ks))))[1:{64}] AS ks,
+         CAST(count(*) AS BIGINT) AS n_leaves
+  FROM leaf GROUP BY event_type
+), texact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS nd_exact
+  FROM du GROUP BY event_type
+), glev AS (
+  SELECT 'ALL' AS event_type, CAST(-1 AS BIGINT) AS day,
+         list_sort(list_distinct(flatten(list(ks))))[1:{64}] AS ks,
+         CAST(sum(n_leaves) AS BIGINT) AS n_leaves
+  FROM tlev
+), gexact AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nd_exact FROM du
+), unioned AS (
+  SELECT 'leaf' AS level, event_type, day, ks, nd_exact, CAST(1 AS BIGINT) AS n_leaves_merged
+  FROM leaf
+  UNION ALL
+  SELECT 'type', t.event_type, t.day, t.ks, x.nd_exact, t.n_leaves
+  FROM tlev t JOIN texact x ON x.event_type = t.event_type
+  UNION ALL
+  SELECT 'all', g.event_type, g.day, g.ks, x.nd_exact, g.n_leaves
+  FROM glev g CROSS JOIN gexact x
+)
+SELECT level, event_type, day,
+       CAST(CASE WHEN len(ks) < {64} THEN len(ks)
+                 ELSE CAST(floor(({64} - 1) * 1.0 * {1 << 60} / ks[{64}]) AS BIGINT)
+            END AS BIGINT) AS nd_est,
+       nd_exact,
+       CAST(abs(CASE WHEN len(ks) < {64} THEN len(ks)
+                     ELSE CAST(floor(({64} - 1) * 1.0 * {1 << 60} / ks[{64}]) AS BIGINT)
+                END - nd_exact) * 1000000 // greatest(nd_exact, 1) AS BIGINT) AS err_ppm,
+       n_leaves_merged
+FROM unioned
+ORDER BY level, event_type, day
+""",
+)
+def events_kmv_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user sketches at (type, day), rolled up to type and
+    global PURELY BY MERGING (B262); per level the estimate vs exact."""
+    K, M = 64, 1 << 60
+    ev = read_table(spark, sf_dir, "events")
+    du = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").cast("long").alias("day"),
+        "user_id",
+    ).distinct()
+    h = du.select(
+        "event_type",
+        "day",
+        F.expr(
+            "cast(conv(substring(md5(concat('u:', cast(user_id as string))), 1, 15),"
+            " 16, 10) as bigint)"
+        ).alias("hv"),
+    )
+    leaf = h.groupBy("event_type", "day").agg(
+        F.expr(f"slice(array_sort(collect_set(hv)), 1, {K})").alias("ks"),
+        F.countDistinct("hv").cast("long").alias("nd_exact"),
+    )
+    tlev = leaf.groupBy("event_type").agg(
+        F.expr(f"slice(array_sort(array_distinct(flatten(collect_list(ks)))), 1, {K})")
+        .alias("ks"),
+        F.count("*").cast("long").alias("n_leaves"),
+    )
+    texact = du.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("nd_exact")
+    )
+    glev = tlev.agg(
+        F.expr(f"slice(array_sort(array_distinct(flatten(collect_list(ks)))), 1, {K})")
+        .alias("ks"),
+        F.sum("n_leaves").cast("long").alias("n_leaves"),
+    ).select(F.lit("ALL").alias("event_type"), F.lit(-1).cast("long").alias("day"), "ks", "n_leaves")
+    gexact = du.agg(F.countDistinct("user_id").cast("long").alias("nd_exact"))
+    unioned = (
+        leaf.select(
+            F.lit("leaf").alias("level"),
+            "event_type",
+            "day",
+            "ks",
+            "nd_exact",
+            F.lit(1).cast("long").alias("n_leaves_merged"),
+        )
+        .unionByName(
+            tlev.join(texact, "event_type").select(
+                F.lit("type").alias("level"),
+                "event_type",
+                F.lit(-1).cast("long").alias("day"),
+                "ks",
+                "nd_exact",
+                F.col("n_leaves").alias("n_leaves_merged"),
+            )
+        )
+        .unionByName(
+            glev.crossJoin(F.broadcast(gexact)).select(
+                F.lit("all").alias("level"),
+                "event_type",
+                "day",
+                "ks",
+                "nd_exact",
+                F.col("n_leaves").alias("n_leaves_merged"),
+            )
+        )
+    )
+    est = F.expr(
+        f"cast(CASE WHEN size(ks) < {K} THEN size(ks)"
+        f" ELSE cast(floor(({K} - 1) * 1.0 * {M} / element_at(ks, {K})) as bigint)"
+        f" END as bigint)"
+    )
+    return (
+        unioned.select(
+            "level",
+            "event_type",
+            "day",
+            est.alias("nd_est"),
+            "nd_exact",
+            F.expr(
+                f"cast(abs(CASE WHEN size(ks) < {K} THEN size(ks)"
+                f" ELSE cast(floor(({K} - 1) * 1.0 * {M} / element_at(ks, {K})) as bigint)"
+                f" END - nd_exact) * 1000000 div greatest(nd_exact, 1) as bigint)"
+            ).alias("err_ppm"),
+            "n_leaves_merged",
+        )
+        .orderBy("level", "event_type", "day")
+    )
