@@ -32,7 +32,7 @@ EXPECTED_MODULES = {
     "scrub_queries",
     "tokenizer_queries",
 }
-EXPECTED_REGISTRY_SIZE = 346
+EXPECTED_REGISTRY_SIZE = 347
 
 
 def test_registry_all_modules_loaded_and_full_size():
@@ -624,3 +624,35 @@ def test_kmv_estimate_branch_no_overflow():
         f"SELECT CAST(floor(({KMV_K} - 1) * 1.0 * {KMV_M} / 1152921504606846) AS BIGINT)"
     ).fetchone()[0]
     assert est == 63000  # (K-1) * M / (M/1000) = 63 * 1000
+
+
+# ---------------------------------------------------------------------------
+# B263: cell suppression — the published table must leak nothing through
+# either margin: every row/column has 0 or >= 2 hidden cells.
+# ---------------------------------------------------------------------------
+
+
+def test_cell_suppression_margins_safe(spark, sf_dir):
+    from collections import defaultdict
+
+    from vectordb_hr_data_spark.querydefs.scrub_queries import (
+        customer_cell_suppression,
+    )
+
+    rows = customer_cell_suppression(spark, sf_dir).collect()
+    assert rows
+    by_seg, by_reg, n_hidden = defaultdict(int), defaultdict(int), 0
+    for r in rows:
+        hid = int(r.published_count == -1)
+        assert hid == (r.prim_sup + r.comp_row + r.comp_col > 0)
+        by_seg[r.segment] += hid
+        by_reg[r.region] += hid
+        n_hidden += hid
+    for line, cnt in {**by_seg, **by_reg}.items():
+        assert cnt == 0 or cnt >= 2, (line, cnt)
+    # the self-audit ledger agrees with the margin walk above
+    assert all(r.residual_leaks == 0 for r in rows)
+    # sf0.001 actually exercises suppression (sparse grid); larger SFs may
+    # legitimately publish everything
+    if rows[0].n_customers < 60:
+        assert n_hidden >= 2

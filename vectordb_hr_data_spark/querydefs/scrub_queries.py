@@ -740,3 +740,154 @@ def doc_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("above_t", F.col("tvd_ppm") > T_CLOSENESS_PPM)
         .orderBy("lang", "source", "len_decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# B263: complementary cell suppression — publishing a contingency table
+# without leaking through the margins
+# ---------------------------------------------------------------------------
+# k-anonymity (B120) gates ROW releases; publishing an aggregate TABLE
+# has a subtler failure: suppressing one small cell is useless when the
+# row and column margins are published too — margin minus the visible
+# cells reconstructs it exactly. Statistical disclosure control's answer
+# is COMPLEMENTARY suppression: any line (row or column) with exactly
+# one primary-suppressed cell must hide a second cell, classically the
+# smallest surviving one. Full optimal SDC is NP-hard; this implements
+# the standard one-round heuristic (rows first, then columns over the
+# row result — deterministic tie-breaks on count then name, the pass
+# order documented) over the (mktsegment × region) customer grid with
+# the conventional k = 5. One round does NOT guarantee closure (the
+# column pass can hand a clean row exactly one hidden cell), so the
+# operator is SELF-AUDITING: residual_leaks counts lines left with
+# exactly one hidden cell — 0 means the publication is margin-safe,
+# anything else tells the publisher to iterate; the pytest pins 0 on
+# this grid.
+# Scale: the corpus reduces to the |segments|×|regions| grid by one
+# groupBy; suppression logic runs on ≤ 25 rows. At larger SFs every
+# cell clears k and the flags are honestly all zero — the audit's grid,
+# margins, and verdict still publish.
+_SUPPRESS_K = 5
+
+
+@register(
+    "customer_cell_suppression",
+    f"""
+WITH grid AS (
+  SELECT c.c_mktsegment AS segment, r.r_name AS region,
+         CAST(count(*) AS BIGINT) AS n_customers
+  FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY c.c_mktsegment, r.r_name
+), prim AS (
+  SELECT *, CASE WHEN n_customers < {_SUPPRESS_K} THEN 1 ELSE 0 END AS prim_sup
+  FROM grid
+), rowstep AS (
+  SELECT *,
+         CASE WHEN sum(prim_sup) OVER (PARTITION BY segment) = 1 AND prim_sup = 0
+               AND row_number() OVER (
+                 PARTITION BY segment, prim_sup ORDER BY n_customers, region) = 1
+              THEN 1 ELSE 0 END AS comp_row
+  FROM prim
+), colstep AS (
+  SELECT *,
+         CASE WHEN sum(prim_sup + comp_row) OVER (PARTITION BY region) = 1
+               AND prim_sup = 0 AND comp_row = 0
+               AND row_number() OVER (
+                 PARTITION BY region, prim_sup + comp_row
+                 ORDER BY n_customers, segment) = 1
+              THEN 1 ELSE 0 END AS comp_col
+  FROM rowstep
+), final AS (
+  SELECT *, prim_sup + comp_row + comp_col AS hidden FROM colstep
+), leaks AS (
+  SELECT CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS residual_leaks
+  FROM (
+    SELECT sum(hidden) AS h FROM final GROUP BY segment
+    UNION ALL
+    SELECT sum(hidden) AS h FROM final GROUP BY region
+  )
+)
+SELECT f.segment, f.region, f.n_customers,
+       CAST(f.prim_sup AS BIGINT) AS prim_sup,
+       CAST(f.comp_row AS BIGINT) AS comp_row,
+       CAST(f.comp_col AS BIGINT) AS comp_col,
+       CAST(CASE WHEN f.hidden > 0 THEN -1 ELSE f.n_customers END AS BIGINT)
+         AS published_count,
+       l.residual_leaks
+FROM final f CROSS JOIN leaks l
+ORDER BY f.segment, f.region
+""",
+)
+def customer_cell_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-round complementary cell suppression over the segment×region
+    customer grid (B263): primary k<5 suppression, then row- and
+    column-complementary hides so margins cannot reconstruct a cell."""
+    from pyspark.sql import Window
+
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    grid = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"), F.col("r_name").alias("region"))
+        .agg(F.count("*").cast("long").alias("n_customers"))
+    )
+    prim = grid.withColumn(
+        "prim_sup", F.when(F.col("n_customers") < _SUPPRESS_K, 1).otherwise(0)
+    )
+    w_row_sum = Window.partitionBy("segment")
+    w_row_rank = Window.partitionBy("segment", "prim_sup").orderBy("n_customers", "region")
+    rowstep = prim.withColumn(
+        "comp_row",
+        F.when(
+            (F.sum("prim_sup").over(w_row_sum) == 1)
+            & (F.col("prim_sup") == 0)
+            & (F.row_number().over(w_row_rank) == 1),
+            1,
+        ).otherwise(0),
+    )
+    w_col_sum = Window.partitionBy("region")
+    w_col_rank = Window.partitionBy(
+        "region", (F.col("prim_sup") + F.col("comp_row"))
+    ).orderBy("n_customers", "segment")
+    colstep = rowstep.withColumn(
+        "comp_col",
+        F.when(
+            (F.sum(F.col("prim_sup") + F.col("comp_row")).over(w_col_sum) == 1)
+            & (F.col("prim_sup") == 0)
+            & (F.col("comp_row") == 0)
+            & (F.row_number().over(w_col_rank) == 1),
+            1,
+        ).otherwise(0),
+    )
+    final = colstep.withColumn(
+        "hidden", F.col("prim_sup") + F.col("comp_row") + F.col("comp_col")
+    ).localCheckpoint(eager=True)
+    leaks = (
+        final.groupBy("segment").agg(F.sum("hidden").alias("h")).select("h")
+        .unionByName(final.groupBy("region").agg(F.sum("hidden").alias("h")).select("h"))
+        .agg(
+            F.sum(F.when(F.col("h") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("residual_leaks")
+        )
+    )
+    return (
+        final.crossJoin(F.broadcast(leaks))
+        .select(
+            "segment",
+            "region",
+            "n_customers",
+            F.col("prim_sup").cast("long").alias("prim_sup"),
+            F.col("comp_row").cast("long").alias("comp_row"),
+            F.col("comp_col").cast("long").alias("comp_col"),
+            F.when(F.col("hidden") > 0, -1)
+            .otherwise(F.col("n_customers"))
+            .cast("long")
+            .alias("published_count"),
+            "residual_leaks",
+        )
+        .orderBy("segment", "region")
+    )
