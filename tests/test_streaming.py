@@ -2329,3 +2329,42 @@ def test_stream_distinct_multiplicity_converges_and_naive_fold_fails(spark, sf_d
         }
     want_map = {t: nd for t, _, nd in want}
     assert naive != want_map, "naive signed distinct fold should be wrong on this log"
+
+
+def test_stream_compaction_ledger_plan_equals_batch(spark, sf_dir, tmp_path):
+    """stream_compaction_ledger (B249 twin): the ledger folded over 4
+    micro-batches must yield EXACTLY the batch compaction plan."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import events_compaction_plan
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        compaction_plan_from_state,
+        stream_compaction_ledger,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "ts")
+    src = tmp_path / "cl_src"
+    src.mkdir()
+    for i in range(4):
+        part = ev.filter(F.col("event_id") % 4 == i).drop("event_id")
+        tdir = str(tmp_path / f"cl_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = (
+        spark.readStream.schema(ev.drop("event_id").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = str(tmp_path / "cl_state")
+    stream_compaction_ledger(stream, state)
+    got = sorted(map(tuple, compaction_plan_from_state(spark, state).collect()))
+    want = sorted(map(tuple, events_compaction_plan(spark, sf_dir).collect()))
+    assert got == want and len(got) > 0

@@ -5391,6 +5391,14 @@ def events_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(ts) div 86400000000").cast("long").alias("day"),
         F.hour("ts").cast("long").alias("hour"),
     ).agg(F.count("*").alias("n_rows"))
+    return compaction_plan_from_files(files)
+
+
+def compaction_plan_from_files(files: DataFrame) -> DataFrame:
+    """The B249 planner over a (day, hour, n_rows) file ledger — ONE
+    definition shared by the batch query and the streaming twin
+    (`streaming/stream_ops.stream_compaction_ledger`), so a plan computed
+    from streamed state cannot drift from the batch plan."""
     binned = files.select(
         "day",
         "hour",

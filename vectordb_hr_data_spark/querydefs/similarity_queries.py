@@ -1453,10 +1453,25 @@ def _graph_dir_edges(sf_dir: str, emb: DataFrame, deg: int, op_name: str) -> Dat
     up to GRAPH_EXACT_MAX rows, IVF-probe ANN candidates above — no
     size ceiling, no full-matrix broadcast."""
     n_corpus = _corpus_count_memo(sf_dir, emb)
+    # the edge TABLE is memoized per (sf_dir, deg) via operators.memo: a
+    # dozen graph queries (B46/B54/B55/B68/.../B240) share one edge build
+    # per process instead of re-running the GEMM each — safe because the
+    # edge weights are round-4-quantized by the determinism contract, so
+    # the parquet round-trip is bit-exact
+    from ..operators.memo import memo_table
+
     if n_corpus <= GRAPH_EXACT_MAX:
-        ids_all, mat, corpus_norm = _graph_state_memo(sf_dir, emb, op_name)
-        return _knn_edges_df(emb, ids_all, mat, corpus_norm, deg)
-    return _knn_edges_ann_df(emb, deg, n_corpus)
+        def _build() -> DataFrame:
+            ids_all, mat, corpus_norm = _graph_state_memo(sf_dir, emb, op_name)
+            return _knn_edges_df(emb, ids_all, mat, corpus_norm, deg)
+
+        return memo_table(emb.sparkSession, sf_dir, f"graph_edges_d{deg}", _build)
+    return memo_table(
+        emb.sparkSession,
+        sf_dir,
+        f"graph_edges_ann_d{deg}",
+        lambda: _knn_edges_ann_df(emb, deg, n_corpus),
+    )
 
 
 def _pagerank_scores_driver(out_edges: dict, iters: int) -> dict:
@@ -4148,7 +4163,16 @@ ORDER BY nprobe
 def ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 vs nprobe over the query batch (B201) — the tuning curve
     whose knee picks the probe count; one scored pass at max depth,
-    exploded over the grid, exact side shared."""
+    exploded over the grid, exact side shared. Result memoized per
+    process (operators.memo) so compositions (B238) read a table."""
+    from ..operators.memo import memo_table
+
+    return memo_table(
+        spark, sf_dir, "ivf_curve", lambda: _ivf_nprobe_curve_compute(spark, sf_dir)
+    ).orderBy("nprobe")
+
+
+def _ivf_nprobe_curve_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ivf import ivf_assign_gemm
     from ..operators.knn import local_topk_per_key
 

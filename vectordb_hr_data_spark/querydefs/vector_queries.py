@@ -3514,8 +3514,15 @@ def hnsw_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     SPANN-style graph search (B231), derived from ONE pn-tagged candidate
     pass at the widest setting — a curve costs one search, not |grid|
     searches; the graph comes from the persisted build-once index
-    (``_ensure_hnsw_index``), never a per-call rebuild."""
-    return _hnsw_recall_curve_frame(spark, sf_dir, assign_cells=1)
+    (``_ensure_hnsw_index``), never a per-call rebuild; the RESULT is
+    memoized per process too (operators.memo) so compositions like the
+    B238 advisor read a table instead of re-running the search."""
+    from ..operators.memo import memo_table
+
+    return memo_table(
+        spark, sf_dir, "hnsw_curve_a1",
+        lambda: _hnsw_recall_curve_frame(spark, sf_dir, assign_cells=1),
+    ).orderBy("nprobe")
 
 
 # ---------------------------------------------------------------------------
@@ -3568,8 +3575,14 @@ def hnsw_multicell_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     mitigation contract: at equal nprobe the multi-cell graph must buy
     recall with its extra build work. The id→vector lookup inside the
     candidate generator deduplicates the multi-assigned node table so
-    candidates are emitted once."""
-    return _hnsw_recall_curve_frame(spark, sf_dir, assign_cells=HNSW_MULTI_ASSIGN)
+    candidates are emitted once. Result memoized per process (see
+    B231's note)."""
+    from ..operators.memo import memo_table
+
+    return memo_table(
+        spark, sf_dir, f"hnsw_curve_a{HNSW_MULTI_ASSIGN}",
+        lambda: _hnsw_recall_curve_frame(spark, sf_dir, assign_cells=HNSW_MULTI_ASSIGN),
+    ).orderBy("nprobe")
 
 
 # ---------------------------------------------------------------------------

@@ -2433,3 +2433,36 @@ def distinct_report_from_state(spark: SparkSession, state_path: str) -> DataFram
     from ..querydefs.event_queries import distinct_from_multiplicity
 
     return distinct_from_multiplicity(spark.read.parquet(state_path)).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# B249 twin: streaming ingest-ledger maintenance for the compaction planner
+# ---------------------------------------------------------------------------
+def stream_compaction_ledger(event_stream: DataFrame, state_path: str) -> None:
+    """Maintain the (day, hour, n_rows) file ledger the B249 compaction
+    planner reads, from a streamed event feed: per micro-batch counts
+    merge into the persisted state BY SUM (associative — boundary/order/
+    restart-safe via the stream_mergeable_agg discipline). A maintenance
+    job then calls `querydefs.event_queries.compaction_plan_from_files`
+    on the state — the SAME planner as the batch query, so streamed and
+    batch plans are identical by construction (pytest proves it on a
+    4-batch replay)."""
+    keyed = event_stream.select(
+        F.expr("unix_micros(ts) div 86400000000").cast("long").alias("day"),
+        F.hour("ts").cast("long").alias("hour"),
+    )
+    stream_mergeable_agg(
+        keyed,
+        state_path,
+        ["day", "hour"],
+        [F.count("*").cast("long").alias("n_rows")],
+        [F.sum("n_rows").cast("long").alias("n_rows")],
+    )
+
+
+def compaction_plan_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Read-back for stream_compaction_ledger — the shared B249 planner
+    over the persisted ledger."""
+    from ..querydefs.event_queries import compaction_plan_from_files
+
+    return compaction_plan_from_files(spark.read.parquet(state_path))
