@@ -2368,3 +2368,68 @@ def test_stream_compaction_ledger_plan_equals_batch(spark, sf_dir, tmp_path):
     got = sorted(map(tuple, compaction_plan_from_state(spark, state).collect()))
     want = sorted(map(tuple, events_compaction_plan(spark, sf_dir).collect()))
     assert got == want and len(got) > 0
+
+
+def test_stream_sessionize_spans_batches_and_matches_batch(spark, sf_dir, tmp_path):
+    """stream_sessionize: events replayed in 4 time-ordered micro-batches
+    (sessions straddle the cuts) must reproduce the B7 batch sessionizer
+    row-for-row after read-back renumbering; an out-of-order replay
+    raises the named error."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import events_sessionize
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        sessionize_from_state,
+        stream_sessionize,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    # global time-quartile cuts preserve per-user order and guarantee
+    # sessions straddle batch boundaries
+    qs = ev.approxQuantile("event_id", [0.25, 0.5, 0.75], 0.0)
+    bounds = [float("-inf")] + qs + [float("inf")]
+    ordered = ev.orderBy("ts", "event_id").withColumn(
+        "rank_ts", F.col("ts").cast("double")
+    )
+    tq = ordered.approxQuantile("rank_ts", [0.25, 0.5, 0.75], 0.0)
+    tb = [float("-inf")] + tq + [float("inf")]
+    src = tmp_path / "ss_src"
+    src.mkdir()
+    for i in range(4):
+        part = ordered.filter(
+            (F.col("rank_ts") > tb[i]) & (F.col("rank_ts") <= tb[i + 1])
+        ).drop("rank_ts")
+        tdir = str(tmp_path / f"ss_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    state = str(tmp_path / "ss_state")
+    stream_sessionize(stream, state)
+    got = sorted(map(tuple, sessionize_from_state(spark, state).collect()))
+    want = sorted(map(tuple, events_sessionize(spark, sf_dir).collect()))
+    assert len(got) == len(want)
+    assert got == want
+
+    # out-of-order replay (batches reversed) must raise the named error
+    src2 = tmp_path / "ss_src_rev"
+    src2.mkdir()
+    for i in range(4):
+        shutil.copy(str(src / f"f{3 - i}.parquet"), str(src2 / f"f{i}.parquet"))
+        os.utime(str(src2 / f"f{i}.parquet"), (1_700_009_000 + i * 60, 1_700_009_000 + i * 60))
+    stream2 = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src2))
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="out-of-order|open session"):
+        stream_sessionize(stream2, str(tmp_path / "ss_state_rev"))

@@ -2466,3 +2466,181 @@ def compaction_plan_from_state(spark: SparkSession, state_path: str) -> DataFram
     from ..querydefs.event_queries import compaction_plan_from_files
 
     return compaction_plan_from_files(spark.read.parquet(state_path))
+
+
+# ---------------------------------------------------------------------------
+# B7 twin, completed: sessionization whose sessions SPAN micro-batches
+# ---------------------------------------------------------------------------
+def stream_sessionize(event_stream: DataFrame, state_dir: str) -> None:
+    """Gap-based sessionization (the B7 batch query's 30-min rule) as a
+    stateful stream: the hard case is a session STRADDLING a micro-batch
+    boundary — the open session per user is the state. Per batch: run
+    the same lag+cumsum sessionizer WITHIN the batch (user-partitioned
+    window), then stitch at the seam — if the user's open session is
+    within gap of the batch's first event, the batch's first session
+    merges into it (counts/values sum, start stays); otherwise the open
+    session closes. All but the user's last batch-session close; the
+    last becomes the new open state. Value totals are carried in exact
+    integer cents (the batch query's decimal discipline). Requires
+    per-user in-order delivery (the key-partitioned-topic contract every
+    stateful fold here documents); violations raise loudly, because a
+    late event would belong to an already-closed session.
+    ``sessionize_from_state`` re-numbers (closed ∪ open) sessions per
+    user by start time — exactly the batch numbering — so the pytest can
+    compare against ``events_sessionize`` row-for-row.
+    """
+    from pyspark.sql import Window
+
+    from ..querydefs.event_queries import SESSION_GAP_SEC
+
+    closed_path = f"{state_dir}/closed"
+    open_path = f"{state_dir}/open"
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            state = spark.read.parquet(open_path)
+            has_state = True
+        except Exception:
+            state = None
+            has_state = False
+        if has_state:
+            viol = (
+                batch_df.groupBy("user_id")
+                .agg(F.min("ts").alias("min_ts"))
+                .join(state, "user_id")
+                .filter(F.col("min_ts") < F.col("last_ts"))
+                .count()
+            )
+            if viol:
+                raise ValueError(
+                    f"stream_sessionize: {viol} user(s) in epoch {epoch_id} have "
+                    "events older than their open session's last event — "
+                    "out-of-order delivery would assign them to a closed session; "
+                    "replay the feed in per-user order"
+                )
+        order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.col("ts").cast("double") - F.col("prev_ts").cast("double")
+        sess = (
+            batch_df.withColumn("prev_ts", F.lag("ts").over(order))
+            .withColumn(
+                "is_new",
+                F.when(
+                    F.col("prev_ts").isNull() | (gap > SESSION_GAP_SEC), 1
+                ).otherwise(0),
+            )
+            .withColumn(
+                "bsid",
+                F.sum("is_new").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+            )
+            .groupBy("user_id", "bsid")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("last_ts"),
+                F.count("*").cast("long").alias("n_events"),
+                F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+                .cast("long")
+                .alias("cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        w_user = Window.partitionBy("user_id")
+        first_flag = F.col("bsid") == F.min("bsid").over(w_user)
+        last_flag = F.col("bsid") == F.max("bsid").over(w_user)
+        sess = sess.select("*", first_flag.alias("is_first"), last_flag.alias("is_last"))
+        if has_state:
+            st = state.select(
+                "user_id",
+                F.col("session_start").alias("o_start"),
+                F.col("last_ts").alias("o_last"),
+                F.col("n_events").alias("o_n"),
+                F.col("cents").alias("o_cents"),
+            )
+            sess = sess.join(st, "user_id", "left")
+            merge_first = (
+                F.col("is_first")
+                & F.col("o_last").isNotNull()
+                & (
+                    F.col("session_start").cast("double") - F.col("o_last").cast("double")
+                    <= SESSION_GAP_SEC
+                )
+            )
+            stitched = sess.select(
+                "user_id",
+                "bsid",
+                F.when(merge_first, F.col("o_start")).otherwise(F.col("session_start"))
+                .alias("session_start"),
+                "last_ts",
+                (
+                    F.col("n_events")
+                    + F.when(merge_first, F.col("o_n")).otherwise(0)
+                ).cast("long").alias("n_events"),
+                (F.col("cents") + F.when(merge_first, F.col("o_cents")).otherwise(0))
+                .cast("long")
+                .alias("cents"),
+                "is_last",
+            )
+            # open sessions NOT merged into (user absent from batch keeps
+            # its state; user present but first batch session out of gap
+            # closes the old open session)
+            closing_old = (
+                state.join(
+                    sess.filter(F.col("is_first")).select(
+                        "user_id", F.col("session_start").alias("b_start")
+                    ),
+                    "user_id",
+                )
+                .filter(
+                    F.col("b_start").cast("double") - F.col("last_ts").cast("double")
+                    > SESSION_GAP_SEC
+                )
+                .select("user_id", "session_start", "last_ts", "n_events", "cents")
+            )
+            untouched = state.join(
+                sess.select("user_id").distinct(), "user_id", "left_anti"
+            )
+        else:
+            stitched = sess.select(
+                "user_id", "bsid", "session_start", "last_ts", "n_events", "cents", "is_last"
+            )
+            closing_old = None
+            untouched = None
+        new_closed = stitched.filter(~F.col("is_last")).select(
+            "user_id", "session_start", "last_ts", "n_events", "cents"
+        )
+        if closing_old is not None:
+            new_closed = new_closed.unionByName(closing_old)
+        new_open = stitched.filter(F.col("is_last")).select(
+            "user_id", "session_start", "last_ts", "n_events", "cents"
+        )
+        if untouched is not None:
+            new_open = new_open.unionByName(untouched)
+        new_closed = new_closed.localCheckpoint(eager=True)
+        new_open = new_open.localCheckpoint(eager=True)
+        new_closed.write.mode("append").parquet(closed_path)
+        new_open.write.mode("overwrite").parquet(open_path)
+
+    q = event_stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def sessionize_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Read-back for stream_sessionize: (closed ∪ open) sessions,
+    re-numbered per user by start time — the batch query's numbering —
+    with the cents total converted to the same double the batch emits."""
+    from pyspark.sql import Window
+
+    closed = spark.read.parquet(f"{state_dir}/closed")
+    opened = spark.read.parquet(f"{state_dir}/open")
+    allp = closed.unionByName(opened)
+    w = Window.partitionBy("user_id").orderBy("session_start", "last_ts")
+    return allp.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_id"),
+        "session_start",
+        F.col("last_ts").alias("session_end"),
+        "n_events",
+        (F.col("cents").cast("decimal(18,2)") / 100).cast("double").alias("total_value"),
+    ).orderBy("user_id", "session_id")
