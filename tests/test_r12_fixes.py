@@ -32,7 +32,7 @@ EXPECTED_MODULES = {
     "scrub_queries",
     "tokenizer_queries",
 }
-EXPECTED_REGISTRY_SIZE = 347
+EXPECTED_REGISTRY_SIZE = 348
 
 
 def test_registry_all_modules_loaded_and_full_size():
@@ -656,3 +656,36 @@ def test_cell_suppression_margins_safe(spark, sf_dir):
     # legitimately publish everything
     if rows[0].n_customers < 60:
         assert n_hidden >= 2
+
+
+# ---------------------------------------------------------------------------
+# B265: KS two-sample — cross-check D against scipy-free Python ECDFs, and
+# the null case (same seeded split => no rejection expected at 95%).
+# ---------------------------------------------------------------------------
+
+
+def test_ks_two_sample_matches_python_ecdf(spark, sf_dir):
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.event_queries import events_ks_two_sample
+
+    row = events_ks_two_sample(spark, sf_dir).collect()[0]
+    ev = read_table(spark, sf_dir, "events").select("user_id", "value").collect()
+    import hashlib
+
+    arms = {0: [], 1: []}
+    for r in ev:
+        h = int(hashlib.md5(f"srm:{r.user_id}".encode()).hexdigest()[:8], 16) % 2
+        arms[h].append(round(float(r.value) * 100))
+    a0, a1 = sorted(arms[0]), sorted(arms[1])
+    n0, n1 = len(a0), len(a1)
+    values = sorted(set(a0) | set(a1))
+    import bisect
+
+    d_num = max(
+        abs(bisect.bisect_right(a0, v) * n1 - bisect.bisect_right(a1, v) * n0)
+        for v in values
+    )
+    assert (row.n_arm0, row.n_arm1) == (n0, n1)
+    assert row.d_micro == d_num * 1_000_000 // (n0 * n1)
+    # a hash split of one population is the null: the 95% gate must not fire
+    assert row.reject_95 == 0

@@ -6195,3 +6195,126 @@ def events_kmv_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level", "event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# B265: exact two-sample Kolmogorov–Smirnov — did the experiment move the
+# DISTRIBUTION, not just the mean?
+# ---------------------------------------------------------------------------
+# B160 reads a rate and B173/B101 read means; a treatment that widens the
+# spread while preserving the mean slips past all of them. The KS
+# statistic D = max_v |F0(v) − F1(v)| catches any distributional shift,
+# and the classic obstacle — it needs the full ECDFs — dissolves under
+# the house bounded-value discipline: cents values have bounded
+# cardinality, so both ECDFs live on ONE value-level aggregate (per-cents
+# conditional counts, running sums over the aggregate — the sanctioned
+# window shape) and D is an exact integer cross-product max:
+# D_num = max |r0·n1 − r1·n0|, D_micro = D_num·10⁶ div (n0·n1). The
+# α=0.05 threshold c(α)·√((n0+n1)/(n0·n1)) follows B160's milli-floor
+# float discipline. Also reported: the cents value where the gap peaks
+# (smallest such value) — where to look when the test fires.
+@register(
+    "events_ks_two_sample",
+    """
+WITH v AS (
+  SELECT CAST(('0x' || substr(md5('srm:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+           AS arm,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events
+), n AS (
+  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+  FROM v
+), g AS (
+  SELECT cents,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS c1
+  FROM v GROUP BY cents
+), cum AS (
+  SELECT cents,
+         sum(c0) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS r0,
+         sum(c1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS r1
+  FROM g
+), gap AS (
+  SELECT c.cents, abs(c.r0 * n.n1 - c.r1 * n.n0) AS d_num, n.n0, n.n1
+  FROM cum c CROSS JOIN n
+), mx AS (
+  SELECT max(d_num) AS d_max FROM gap
+)
+SELECT g.n0 AS n_arm0, g.n1 AS n_arm1,
+       CAST(m.d_max * 1000000 // (g.n0 * g.n1) AS BIGINT) AS d_micro,
+       CAST(min(CASE WHEN g.d_num = m.d_max THEN g.cents END) AS BIGINT)
+         AS argmax_cents,
+       CAST(floor(1.3581 * sqrt((g.n0 + g.n1) * 1.0 / (g.n0 * g.n1)) * 1000000 + 0.5)
+            AS BIGINT) AS thr_micro_95,
+       CAST(CASE WHEN m.d_max * 1000000 // (g.n0 * g.n1)
+                      >= floor(1.3581 * sqrt((g.n0 + g.n1) * 1.0 / (g.n0 * g.n1))
+                               * 1000000 + 0.5)
+                 THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+FROM gap g CROSS JOIN mx m
+GROUP BY g.n0, g.n1, m.d_max
+""",
+)
+def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS distance between the seeded arms (B265):
+    integer cross-product ECDF gap over the bounded cents aggregate,
+    milli-floored asymptotic 95% threshold."""
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.select(
+        (
+            F.expr(
+                "cast(conv(substring(md5(concat('srm:', cast(user_id as string))), 1, 8),"
+                " 16, 10) as bigint) % 2"
+            )
+        ).alias("arm"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    n = v.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+    )
+    g = v.groupBy("cents").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    w_cum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "cents",
+        F.sum("c0").over(w_cum).alias("r0"),
+        F.sum("c1").over(w_cum).alias("r1"),
+    )
+    gap = cum.crossJoin(F.broadcast(n)).select(
+        "cents",
+        F.abs(F.col("r0") * F.col("n1") - F.col("r1") * F.col("n0")).alias("d_num"),
+        "n0",
+        "n1",
+    )
+    mx = gap.agg(F.max("d_num").alias("d_max"))
+    return (
+        gap.crossJoin(F.broadcast(mx))
+        .groupBy("n0", "n1", "d_max")
+        .agg(
+            F.min(F.when(F.col("d_num") == F.col("d_max"), F.col("cents")))
+            .cast("long")
+            .alias("argmax_cents"),
+        )
+        .withColumn("d_micro", F.expr("d_max * 1000000 div (n0 * n1)").cast("long"))
+        .withColumn(
+            "thr_micro_95",
+            F.expr(
+                "cast(floor(1.3581 * sqrt((n0 + n1) * 1.0 / (n0 * n1)) * 1000000"
+                " + 0.5) as bigint)"
+            ),
+        )
+        .select(
+            F.col("n0").alias("n_arm0"),
+            F.col("n1").alias("n_arm1"),
+            "d_micro",
+            "argmax_cents",
+            "thr_micro_95",
+            F.when(F.col("d_micro") >= F.col("thr_micro_95"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("reject_95"),
+        )
+    )
