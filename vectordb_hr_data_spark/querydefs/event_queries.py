@@ -6318,3 +6318,120 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("reject_95"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B266: gapped sequence support — X then Y within the gap, whether or not
+# anything happened in between
+# ---------------------------------------------------------------------------
+# B87 counts CONTIGUOUS trigrams and B206 whole paths; behavioral
+# hypotheses are usually GAPPED ("an error followed by a purchase within
+# 30 minutes — whatever happened in between"). Per ordered type pair
+# (X → Y): the share of users with some X event strictly before some Y
+# event within GAP seconds, and the lift against independence. The
+# candidate generator is the B42 interval-join discipline: bucket events
+# into GAP-width buckets — a qualifying (X, Y) pair must sit in the same
+# or adjacent bucket — so the per-user join volume is bounded by
+# co-bucket occupancy, never the full c_X·c_Y cross within a user's
+# history. Exists-semantics per user (distinct user count), exact
+# integer lift: lift_milli = support·n_users·1000 div (u_X·u_Y).
+_SEQ_GAP_SEC = 1800
+
+
+@register(
+    "events_gapped_sequence_support",
+    f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+         epoch_us(ts) // {_SEQ_GAP_SEC * 1000000} AS bk
+  FROM events
+), cand AS (
+  SELECT DISTINCT a.event_type AS x_type, b.event_type AS y_type, a.user_id
+  FROM e a JOIN e b
+    ON b.user_id = a.user_id
+   AND b.bk BETWEEN a.bk AND a.bk + 1
+   AND b.ts_us > a.ts_us AND b.ts_us - a.ts_us <= {_SEQ_GAP_SEC * 1000000}
+   AND b.event_type <> a.event_type
+), sup AS (
+  SELECT x_type, y_type, CAST(count(*) AS BIGINT) AS n_users_support
+  FROM cand GROUP BY x_type, y_type
+), upt AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS u FROM e
+  GROUP BY event_type
+), tot AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM e
+)
+SELECT s.x_type, s.y_type, s.n_users_support,
+       ux.u AS u_x, uy.u AS u_y,
+       CAST(s.n_users_support * t.n_users * 1000 // (ux.u * uy.u) AS BIGINT)
+         AS lift_milli
+FROM sup s
+JOIN upt ux ON ux.event_type = s.x_type
+JOIN upt uy ON uy.event_type = s.y_type
+CROSS JOIN tot t
+ORDER BY s.x_type, s.y_type
+""",
+)
+def events_gapped_sequence_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gapped X→Y sequence support per ordered type pair (B266):
+    bucket-bounded candidate join, exists-per-user semantics, integer
+    lift vs independence."""
+    ev = read_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.expr(f"unix_micros(ts) div {_SEQ_GAP_SEC * 1000000}").alias("bk"),
+    )
+    a = e.select(
+        F.col("user_id").alias("u"),
+        F.col("event_type").alias("x_type"),
+        F.col("ts_us").alias("x_ts"),
+        F.col("bk").alias("x_bk"),
+    )
+    b = e.select(
+        F.col("user_id").alias("u2"),
+        F.col("event_type").alias("y_type"),
+        F.col("ts_us").alias("y_ts"),
+        F.col("bk").alias("y_bk"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("u") == F.col("u2"))
+            & (F.col("y_bk") >= F.col("x_bk"))
+            & (F.col("y_bk") <= F.col("x_bk") + 1)
+            & (F.col("y_ts") > F.col("x_ts"))
+            & (F.col("y_ts") - F.col("x_ts") <= _SEQ_GAP_SEC * 1000000)
+            & (F.col("y_type") != F.col("x_type")),
+        )
+        .select("x_type", "y_type", "u")
+        .distinct()
+    )
+    sup = cand.groupBy("x_type", "y_type").agg(
+        F.count("*").cast("long").alias("n_users_support")
+    )
+    upt = e.groupBy("event_type").agg(F.countDistinct("user_id").cast("long").alias("u"))
+    tot = e.agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    return (
+        sup.join(
+            F.broadcast(upt.withColumnsRenamed({"event_type": "x_type", "u": "u_x"})),
+            "x_type",
+        )
+        .join(
+            F.broadcast(upt.withColumnsRenamed({"event_type": "y_type", "u": "u_y"})),
+            "y_type",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x_type",
+            "y_type",
+            "n_users_support",
+            "u_x",
+            "u_y",
+            F.expr("n_users_support * n_users * 1000 div (u_x * u_y)")
+            .cast("long")
+            .alias("lift_milli"),
+        )
+        .orderBy("x_type", "y_type")
+    )
