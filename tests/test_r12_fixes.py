@@ -32,7 +32,7 @@ EXPECTED_MODULES = {
     "scrub_queries",
     "tokenizer_queries",
 }
-EXPECTED_REGISTRY_SIZE = 349
+EXPECTED_REGISTRY_SIZE = 350
 
 
 def test_registry_all_modules_loaded_and_full_size():
@@ -689,3 +689,28 @@ def test_ks_two_sample_matches_python_ecdf(spark, sf_dir):
     assert row.d_micro == d_num * 1_000_000 // (n0 * n1)
     # a hash split of one population is the null: the 95% gate must not fire
     assert row.reject_95 == 0
+
+
+# ---------------------------------------------------------------------------
+# B267: absorption DP — step-1 equals the raw transition probability to
+# purchase, k-monotonicity, absorbing state pinned at 1.
+# ---------------------------------------------------------------------------
+
+
+def test_markov_absorption_consistency(spark, sf_dir):
+    from vectordb_hr_data_spark.querydefs.event_queries import (
+        events_markov_absorption,
+        events_markov_transitions,
+    )
+
+    rows = {r.start_type: r for r in events_markov_absorption(spark, sf_dir).collect()}
+    t_to_purchase = {
+        r.from_type: r.prob_ppm
+        for r in events_markov_transitions(spark, sf_dir).collect()
+        if r.to_type == "purchase"
+    }
+    assert rows["purchase"].reach_1_ppm == 1_000_000
+    for s, r in rows.items():
+        if s != "purchase":
+            assert r.reach_1_ppm == t_to_purchase[s], s
+        assert r.reach_1_ppm <= r.reach_2_ppm <= r.reach_3_ppm <= r.reach_4_ppm

@@ -6435,3 +6435,97 @@ def events_gapped_sequence_support(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("x_type", "y_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# B267: Markov absorption — "how likely does this state reach purchase
+# within k steps?", exactly
+# ---------------------------------------------------------------------------
+# B71 gives one-step probabilities and B159 backtests the argmax; product
+# questions are MULTI-step ("a user sitting at an error page — what are
+# the odds they purchase within 4 clicks?"). Make 'purchase' absorbing
+# and unroll the dynamic program a_k(s) = Σ_t T(s,t)·a_{k−1}(t), k = 1..4
+# — each step is ONE join of the V²-row transition matrix (V = 5 event
+# types, the whole DP never exceeds 25 rows) against the V-row value
+# vector, in exact integer ppm: per-step sums divide by 10⁶ ONCE (the
+# same truncation on both engines, so the unrolled arithmetic is
+# bit-identical by induction). The corpus is touched exactly once — by
+# the B71 transition build this composes.
+_ABSORB_STEPS = 4
+_ABSORB_TARGET = "purchase"
+
+
+def _absorption_oracle() -> str:
+    from ..queries import REGISTRY as _R
+
+    steps = []
+    prev = "a0"
+    for k in range(1, _ABSORB_STEPS + 1):
+        steps.append(
+            f"""a{k} AS (
+  SELECT tm.from_type AS s,
+         CAST(CASE WHEN tm.from_type = '{_ABSORB_TARGET}' THEN 1000000
+                   ELSE sum(tm.prob_ppm * p.val) // 1000000 END AS BIGINT) AS val
+  FROM tm JOIN {prev} p ON p.s = tm.to_type
+  GROUP BY tm.from_type
+)"""
+        )
+        prev = f"a{k}"
+    joins = "\n".join(
+        f"JOIN a{k} ON a{k}.s = a1.s" for k in range(2, _ABSORB_STEPS + 1)
+    )
+    cols = ", ".join(f"a{k}.val AS reach_{k}_ppm" for k in range(1, _ABSORB_STEPS + 1))
+    return f"""
+WITH tm AS ({_R['events_markov_transitions'].oracle}),
+a0 AS (
+  SELECT DISTINCT from_type AS s,
+         CAST(CASE WHEN from_type = '{_ABSORB_TARGET}' THEN 1000000 ELSE 0 END AS BIGINT)
+           AS val
+  FROM tm
+),
+{', '.join(steps)}
+SELECT a1.s AS start_type, {cols}
+FROM a1
+{joins}
+ORDER BY start_type
+"""
+
+
+@register("events_markov_absorption", _absorption_oracle())
+def events_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(reach purchase within k steps | start type), k = 1..4, from the
+    B71 transition matrix with purchase absorbing (B267) — exact integer
+    ppm dynamic program over the V²-row matrix."""
+    tm = (
+        events_markov_transitions(spark, sf_dir)
+        .select("from_type", "to_type", "prob_ppm")
+        .localCheckpoint(eager=True)
+    )
+    a = tm.select(F.col("from_type").alias("s")).distinct().select(
+        "s",
+        F.when(F.col("s") == _ABSORB_TARGET, 1000000).otherwise(0).cast("long").alias("val"),
+    )
+    snaps = []
+    for _k in range(_ABSORB_STEPS):
+        a = (
+            tm.join(a.withColumnsRenamed({"s": "t"}), F.col("to_type") == F.col("t"))
+            .groupBy("from_type")
+            .agg(
+                F.when(
+                    F.col("from_type") == _ABSORB_TARGET, F.lit(1000000)
+                )
+                .otherwise(F.expr("sum(prob_ppm * val) div 1000000"))
+                .cast("long")
+                .alias("val")
+            )
+            .withColumnsRenamed({"from_type": "s"})
+            .localCheckpoint(eager=True)
+        )
+        snaps.append(a)
+    out = snaps[0].withColumnsRenamed({"val": "reach_1_ppm", "s": "start_type"})
+    for k in range(2, _ABSORB_STEPS + 1):
+        out = out.join(
+            snaps[k - 1].withColumnsRenamed({"val": f"reach_{k}_ppm", "s": "start_type"}),
+            "start_type",
+        )
+    return out.orderBy("start_type")
