@@ -32,7 +32,7 @@ EXPECTED_MODULES = {
     "scrub_queries",
     "tokenizer_queries",
 }
-EXPECTED_REGISTRY_SIZE = 350
+EXPECTED_REGISTRY_SIZE = 351
 
 
 def test_registry_all_modules_loaded_and_full_size():
@@ -714,3 +714,53 @@ def test_markov_absorption_consistency(spark, sf_dir):
         if s != "purchase":
             assert r.reach_1_ppm == t_to_purchase[s], s
         assert r.reach_1_ppm <= r.reach_2_ppm <= r.reach_3_ppm <= r.reach_4_ppm
+
+
+# ---------------------------------------------------------------------------
+# B268: consistent hashing — keys may only move TO the new shard (the
+# theorem the ring exists for), checked by a full Python re-derivation.
+# ---------------------------------------------------------------------------
+
+
+def test_ring_rebalance_moves_only_to_new_shard(spark, sf_dir):
+    import bisect
+    import hashlib
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import (
+        _RING_SPACE,
+        _RING_VNODES,
+        shard_rebalance_audit,
+    )
+
+    rows = {r.strategy: r for r in shard_rebalance_audit(spark, sf_dir).collect()}
+    assert rows["ring"].moved_ppm < rows["mod"].moved_ppm // 5
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    def ring(n):
+        pts = sorted(
+            (h48(f"shard:{s}:{v}"), s) for s in range(n) for v in range(_RING_VNODES)
+        )
+        return pts
+
+    def owner(pts, h):
+        # predecessor convention: highest pos <= h, wrap to max
+        ps = [p for p, _ in pts]
+        i = bisect.bisect_right(ps, h) - 1
+        return pts[i][1] if i >= 0 else pts[-1][1]
+
+    r16, r17 = ring(16), ring(17)
+    users = [
+        r.user_id
+        for r in read_table(spark, sf_dir, "events").select("user_id").distinct().collect()
+    ]
+    moved = 0
+    for u in users:
+        h = h48(f"key:{u}")
+        a, b = owner(r16, h), owner(r17, h)
+        if a != b:
+            moved += 1
+            assert b == 16, (u, a, b)  # only the NEW shard may gain keys
+    assert moved == rows["ring"].n_moved

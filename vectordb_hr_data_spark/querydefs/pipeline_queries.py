@@ -4287,3 +4287,216 @@ def events_neyman_allocation_audit(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# B268: consistent-hashing rebalance audit — what fraction of the corpus
+# MOVES when the cluster grows a shard?
+# ---------------------------------------------------------------------------
+# Every sharded store (the IVF cells here, a feature store, a cache
+# tier) eventually adds capacity, and the sharding function decides the
+# bill: mod-N reassigns ~(N)/(N+1) of ALL keys (a full-corpus reshuffle
+# at 100 TB), a consistent hash ring reassigns ~1/(N+1). This audit
+# measures both, exactly, for 16 → 17 shards over the user-key
+# population: 64 vnodes per shard hash onto a 48-bit ring (md5-prefix
+# positions), ownership = highest ring position ≤ key hash (predecessor
+# convention, wrap to the max node), and the key→interval lookup is the
+# B42 interval-join discipline — ring intervals exploded over fixed-width
+# hash-space buckets (bounded: |vnodes| + |buckets| rows), keys equi-join
+# their bucket, one range filter. Outputs per strategy: keys moved (ppm)
+# and the max-shard load share before/after — the balance cost the ring
+# pays for its stability. All arithmetic integer, both engines replay the
+# md5 positions bit-for-bit.
+_RING_VNODES = 64
+_RING_BUCKETS = 4096
+_RING_SPACE = 1 << 48
+
+
+def _ring_sql_ddb(n_shards: int, tag: str) -> str:
+    """DuckDB CTE body: vnode ring for n_shards as (pos, shard)."""
+    return f"""
+  SELECT CAST(('0x' || substr(md5('shard:' || CAST(s.i AS VARCHAR) || ':'
+                               || CAST(v.i AS VARCHAR)), 1, 12)) AS BIGINT) AS pos,
+         CAST(s.i AS BIGINT) AS shard
+  FROM UNNEST(range(0, {n_shards})) AS s(i)
+  CROSS JOIN UNNEST(range(0, {_RING_VNODES})) AS v(i)
+"""
+
+
+@register(
+    "shard_rebalance_audit",
+    f"""
+WITH keys AS (
+  SELECT DISTINCT user_id,
+         CAST(('0x' || substr(md5('key:' || CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT)
+           AS h
+  FROM events
+), ring16 AS ({_ring_sql_ddb(16, 'r16')}),
+ring17 AS ({_ring_sql_ddb(17, 'r17')}),
+iv16 AS (
+  SELECT pos AS lo,
+         COALESCE(lead(pos) OVER (ORDER BY pos), {_RING_SPACE}) AS hi, shard
+  FROM ring16
+), iv17 AS (
+  SELECT pos AS lo,
+         COALESCE(lead(pos) OVER (ORDER BY pos), {_RING_SPACE}) AS hi, shard
+  FROM ring17
+), wrap16 AS (
+  SELECT 0 AS lo, (SELECT min(lo) FROM iv16) AS hi,
+         (SELECT shard FROM iv16 ORDER BY lo DESC LIMIT 1) AS shard
+  UNION ALL SELECT lo, hi, shard FROM iv16
+), wrap17 AS (
+  SELECT 0 AS lo, (SELECT min(lo) FROM iv17) AS hi,
+         (SELECT shard FROM iv17 ORDER BY lo DESC LIMIT 1) AS shard
+  UNION ALL SELECT lo, hi, shard FROM iv17
+), bx16 AS (
+  SELECT w.lo, w.hi, w.shard, b.i AS bk
+  FROM wrap16 w JOIN UNNEST(range(0, {_RING_BUCKETS})) AS b(i)
+    ON b.i BETWEEN w.lo // {_RING_SPACE // _RING_BUCKETS}
+               AND (w.hi - 1) // {_RING_SPACE // _RING_BUCKETS}
+), bx17 AS (
+  SELECT w.lo, w.hi, w.shard, b.i AS bk
+  FROM wrap17 w JOIN UNNEST(range(0, {_RING_BUCKETS})) AS b(i)
+    ON b.i BETWEEN w.lo // {_RING_SPACE // _RING_BUCKETS}
+               AND (w.hi - 1) // {_RING_SPACE // _RING_BUCKETS}
+), own AS (
+  SELECT k.user_id,
+         max(CASE WHEN k.h >= b16.lo AND k.h < b16.hi THEN b16.shard END) AS ring_s16,
+         CAST(k.h % 16 AS BIGINT) AS mod_s16,
+         CAST(k.h % 17 AS BIGINT) AS mod_s17
+  FROM keys k JOIN bx16 b16 ON b16.bk = k.h // {_RING_SPACE // _RING_BUCKETS}
+  GROUP BY k.user_id, k.h
+), own2 AS (
+  SELECT o.user_id, o.ring_s16, o.mod_s16, o.mod_s17,
+         max(CASE WHEN k.h >= b17.lo AND k.h < b17.hi THEN b17.shard END) AS ring_s17
+  FROM own o JOIN keys k ON k.user_id = o.user_id
+  JOIN bx17 b17 ON b17.bk = k.h // {_RING_SPACE // _RING_BUCKETS}
+  GROUP BY o.user_id, o.ring_s16, o.mod_s16, o.mod_s17
+), stats AS (
+  SELECT 'mod' AS strategy, CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(CASE WHEN mod_s16 <> mod_s17 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+         CAST(max(c16) * 16000 // count(*) AS BIGINT) AS max_load_milli_16,
+         CAST(max(c17) * 17000 // count(*) AS BIGINT) AS max_load_milli_17
+  FROM (
+    SELECT *, count(*) OVER (PARTITION BY mod_s16) AS c16,
+           count(*) OVER (PARTITION BY mod_s17) AS c17
+    FROM own2
+  )
+  UNION ALL
+  SELECT 'ring', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN ring_s16 <> ring_s17 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(max(c16) * 16000 // count(*) AS BIGINT),
+         CAST(max(c17) * 17000 // count(*) AS BIGINT)
+  FROM (
+    SELECT *, count(*) OVER (PARTITION BY ring_s16) AS c16,
+           count(*) OVER (PARTITION BY ring_s17) AS c17
+    FROM own2
+  )
+)
+SELECT strategy, n_keys, n_moved,
+       CAST(n_moved * 1000000 // n_keys AS BIGINT) AS moved_ppm,
+       max_load_milli_16, max_load_milli_17
+FROM stats
+ORDER BY strategy
+""",
+)
+def shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mod-N vs consistent-ring reassignment cost for 16 → 17 shards over
+    the user-key population (B268): exact moved shares and max-shard load
+    (milli, normalized so 1000 = perfectly even)."""
+    ev = read_table(spark, sf_dir, "events")
+    keys = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.expr(
+                "cast(conv(substring(md5(concat('key:', cast(user_id as string))), 1, 12),"
+                " 16, 10) as bigint)"
+            ).alias("h"),
+        )
+    )
+    bw = _RING_SPACE // _RING_BUCKETS
+
+    def ring(n_shards: int) -> DataFrame:
+        shards = spark.range(n_shards).select(F.col("id").alias("s"))
+        vnodes = spark.range(_RING_VNODES).select(F.col("id").alias("v"))
+        r = shards.crossJoin(vnodes).select(
+            F.expr(
+                "cast(conv(substring(md5(concat('shard:', cast(s as string), ':',"
+                " cast(v as string))), 1, 12), 16, 10) as bigint)"
+            ).alias("pos"),
+            F.col("s").cast("long").alias("shard"),
+        )
+        w = Window.orderBy("pos")
+        iv = r.select(
+            F.col("pos").alias("lo"),
+            F.coalesce(F.lead("pos").over(w), F.lit(_RING_SPACE)).alias("hi"),
+            "shard",
+        )
+        wrap = iv.agg(
+            F.min("lo").alias("hi"), F.max_by("shard", "lo").alias("shard")
+        ).select(F.lit(0).cast("long").alias("lo"), "hi", "shard")
+        full = iv.unionByName(wrap)
+        return full.select(
+            "lo",
+            "hi",
+            "shard",
+            F.explode(
+                F.sequence(F.expr(f"lo div {bw}"), F.expr(f"(hi - 1) div {bw}"))
+            ).alias("bk"),
+        )
+
+    bx16 = F.broadcast(ring(16).withColumnsRenamed({"shard": "s16"}))
+    bx17 = F.broadcast(
+        ring(17).withColumnsRenamed({"shard": "s17", "lo": "lo7", "hi": "hi7"})
+    )
+    own = (
+        keys.withColumn("bk", F.expr(f"h div {bw}"))
+        .join(bx16, "bk")
+        .filter((F.col("h") >= F.col("lo")) & (F.col("h") < F.col("hi")))
+        .select("user_id", "h", F.col("s16").alias("ring_s16"))
+        .withColumn("bk", F.expr(f"h div {bw}"))
+        .join(bx17, "bk")
+        .filter((F.col("h") >= F.col("lo7")) & (F.col("h") < F.col("hi7")))
+        .select(
+            "user_id",
+            F.col("ring_s16"),
+            F.col("s17").alias("ring_s17"),
+            (F.col("h") % 16).cast("long").alias("mod_s16"),
+            (F.col("h") % 17).cast("long").alias("mod_s17"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def stats(tag: str, c16: str, c17: str) -> DataFrame:
+        loads16 = own.groupBy(c16).agg(F.count("*").alias("n")).agg(
+            F.max("n").alias("m16")
+        )
+        loads17 = own.groupBy(c17).agg(F.count("*").alias("n")).agg(
+            F.max("n").alias("m17")
+        )
+        return (
+            own.agg(
+                F.count("*").cast("long").alias("n_keys"),
+                F.sum(F.when(F.col(c16) != F.col(c17), 1).otherwise(0))
+                .cast("long")
+                .alias("n_moved"),
+            )
+            .crossJoin(F.broadcast(loads16))
+            .crossJoin(F.broadcast(loads17))
+            .select(
+                F.lit(tag).alias("strategy"),
+                "n_keys",
+                "n_moved",
+                F.expr("n_moved * 1000000 div n_keys").cast("long").alias("moved_ppm"),
+                F.expr("m16 * 16000 div n_keys").cast("long").alias("max_load_milli_16"),
+                F.expr("m17 * 17000 div n_keys").cast("long").alias("max_load_milli_17"),
+            )
+        )
+
+    return (
+        stats("mod", "mod_s16", "mod_s17")
+        .unionByName(stats("ring", "ring_s16", "ring_s17"))
+        .orderBy("strategy")
+    )
