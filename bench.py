@@ -120,11 +120,54 @@ def main() -> None:
             if (m := re.search(r"BENCH_r(\d+)\.json$", p))
         ]
         n_round = (max(rounds) + 1) if rounds else 1
-        with open(os.path.join(here, f"BENCH_SUMMARY_r{n_round:02d}.json"), "w") as f:
+        summary_path = os.path.join(here, f"BENCH_SUMMARY_r{n_round:02d}.json")
+        with open(summary_path, "w") as f:
             json.dump(local, f, indent=1, sort_keys=True)
     except OSError as e:
         print(f"# bench record not written: {e}", file=sys.stderr)
+        summary_path = None
     spark.stop()
+
+    # ------------------------------------------------------------------
+    # end-of-run self-check (VERDICT r12 item 7): the summary must parse
+    # and cover the whole registry, no query may fail, and no query ≥0.5 s
+    # last round may regress >2.5× without a SCALE.md note naming it
+    # (format: a line containing "BENCH-NOTE: <query_name>"). The r12 rfm
+    # regression shipped unnamed — this makes that impossible.
+    # ------------------------------------------------------------------
+    problems: list[str] = []
+    if summary_path is not None:
+        with open(summary_path) as f:
+            chk = json.load(f)
+        if chk.get("n_queries") != len(Q.REGISTRY):
+            problems.append(
+                f"summary covers {chk.get('n_queries')} queries, registry has "
+                f"{len(Q.REGISTRY)}"
+            )
+        failed = sorted(n for n, t in chk["queries"].items() if t < 0)
+        if failed:
+            problems.append(f"failed queries: {failed}")
+        prev_path = os.path.join(here, f"BENCH_SUMMARY_r{n_round - 1:02d}.json")
+        if os.path.exists(prev_path):
+            with open(prev_path) as f:
+                prev = json.load(f)["queries"]
+            try:
+                with open(os.path.join(here, "SCALE.md")) as f:
+                    noted = set(re.findall(r"BENCH-NOTE:\s*([A-Za-z0-9_]+)", f.read()))
+            except OSError:
+                noted = set()
+            regressed = sorted(
+                f"{n} {prev[n]:.2f}->{t:.2f}s"
+                for n, t in chk["queries"].items()
+                if prev.get(n, 0) >= 0.5 and t > 2.5 * prev[n] and n not in noted
+            )
+            if regressed:
+                problems.append(
+                    "unexplained >2.5x regressions (add a 'BENCH-NOTE: <name>' "
+                    f"line to SCALE.md or fix them): {regressed}"
+                )
+    if problems:
+        raise SystemExit("bench self-check FAILED: " + "; ".join(problems))
 
 
 if __name__ == "__main__":

@@ -46,64 +46,41 @@ def register(name: str, oracle: str | None):
 # operator shape is also proven by a checked sibling come after — they still
 # run in bench.py and pytest, and get driver rows if the cap is ever lifted.
 PRIORITY: list[str] = [
-    # --- r12 window (VERDICT r11 item 1): positions 1-50, ALL fifty
-    # first-time-windowed — 43 of the 45 never-windowed r10 oracles
-    # (the last two defer to the r13 head) + the 7 r11 oracles. The five
-    # HNSW entries are also the queries whose implementation changed
-    # this round (the persisted-index amortization, VERDICT r11 item 2),
-    # so the window re-proves exactly what moved. ---
-    "hnsw_graph_build", "hnsw_graph_stats", "hnsw_graph_search",
-    "hnsw_recall_eval", "hnsw_nprobe_recall_curve",
-    "doc_l_diversity_audit", "embedding_dim_quantiles",
-    "clf_calibration_ece", "lsh_param_planner", "source_corpus_fingerprint",
-    "ann_qpp_stats", "corpus_temperature_mix", "events_user_type_entropy",
-    "events_gap_percentiles", "dedup_group_size_histogram",
-    "dsar_access_report", "chunk_stitch_audit", "dedup_rate_sampled_estimate",
-    "source_lang_mismatch", "kmv_distinct_sketch",
-    "boilerplate_shingle_hotlist", "split_leakage_audit",
-    "eval_stratified_fixed_k", "pack_efficiency_audit",
-    "fuzzy_entity_clusters", "dedup_normalization_dividend",
-    "clf_length_bias_audit", "multimodal_payload_integrity",
-    "orders_reconciliation_audit", "quality_rank_fusion",
-    "ivf_nprobe_recall_curve", "neardup_threshold_sensitivity",
-    "neardup_cluster_size_histogram", "embedding_label_outliers",
-    "doc_code_switch_summary", "session_path_mining",
-    "events_value_leaderboard", "events_dup_window_sensitivity",
-    "metric_agreement_topk", "orders_backlog_aging", "segment_revenue_hhi",
-    "fusion_source_bias", "source_length_qq", "kmeans_lloyd3_det",
-    "knn_topk_l2_normalized", "release_gate_report",
-    "events_stl_residual_anomaly", "neardup_transitivity_audit",
-    "events_growth_accounting", "source_copy_direction",
-    # --- positions 51+: the r13 window head — the two r10 oracles the
-    # 50-slot cap deferred, then the oracles registered this round ---
+    # --- r13 window (VERDICT r12 item 1): positions 1-50. The 38
+    # never-windowed oracles lead (2 r10 leftovers + all 36 r12-born
+    # oracles, first driver rows for each), then 12 stalest r7-rowed
+    # queries fill the window. ---
     "experiment_gate_report", "chunk_dedup_rate",
-    # r12 new oracles (B232/B233): top-2-cell HNSW assignment + its
-    # priced recall curve — never windowed, queue for r13
     "hnsw_multicell_graph_build", "hnsw_multicell_recall_curve",
-    # r12 new oracles (B234-B238): t-closeness (disclosure-triad close),
-    # Adamic-Adar link prediction, delta-join view maintenance,
-    # compression-locality layout audit, ANN index advisor — never
-    # windowed, queue for r13 behind the multicell pair
     "doc_t_closeness_audit", "graph_link_prediction",
     "orders_join_delta_maintenance", "doc_layout_compression_audit",
-    "ann_index_advisor",
-    # r12 second batch (B239-B241): histogram-sketch value bands (the
-    # mergeable B137 twin), LP-partition modularity gate, contrastive
-    # triplet export — never windowed, queue for r13
-    "events_value_bands_hist", "graph_community_modularity",
-    "contrastive_pair_export", "lsh_band_recall_curve",
-    # r11 rows-only threshold twins of the two exact-rank selection cuts
-    # (approx_percentile is engine-specific; drift-bound pytests pin them)
-    "dsir_importance_threshold", "quality_prep_threshold",
-    # --- queries holding r7-r10 driver rows, stalest-first for later
-    # re-rotation; relative order unchanged from r10 ---
-    "doc_ngram_novelty", "events_funnel_windowed", "rec_coverage_diversity",
+    "ann_index_advisor", "events_value_bands_hist",
+    "graph_community_modularity", "contrastive_pair_export",
+    "lsh_band_recall_curve", "ivf_cell_compaction_plan",
+    "orders_cdc_retraction_maintenance", "orders_merkle_range_diff",
+    "orders_bitemporal_asof", "fd_contract_audit",
+    "entity_blocking_quality_audit", "orders_cow_vs_mor_audit",
+    "doc_conformal_novelty_audit", "doc_pareto_skyline",
+    "neardup_span_localization", "events_zone_map_pruning",
+    "events_join_cardinality_audit", "events_compaction_plan",
+    "events_priority_sample_audit", "events_shapley_attribution",
+    "events_path_conformance", "events_distinct_cdc_maintenance",
+    "events_fdr_gate", "events_kmv_cube_rollup", "events_ks_two_sample",
+    "events_gapped_sequence_support", "events_markov_absorption",
+    "events_neyman_allocation_audit", "shard_rebalance_audit",
+    "customer_cell_suppression", "doc_ngram_novelty",
+    "events_funnel_windowed", "rec_coverage_diversity",
     "corpus_snapshot_diff", "doc_k_anonymity_audit", "doc_equidepth_bins",
     "graph_closeness_pivots", "graph_indegree_profile", "graph_node_profile",
     "graph_betweenness_pivots", "graph_personalized_pagerank",
-    "graph_assortativity", "doc_collocations_pmi", "doc_more_like_this",
-    "doc_vocab_coverage_curve", "doc_zipf_slope", "doc_langid_confusion",
-    "doc_textrank_terms", "doc_heaps_law_fit", "doc_lm_holdout_perplexity",
+    "graph_assortativity",
+    # r11 rows-only threshold twins (no oracle rows; pytest-pinned)
+    "dsir_importance_threshold", "quality_prep_threshold",
+    # --- queries holding r7-r11 driver rows, stalest-first for later
+    # re-rotation; relative order unchanged ---
+    "doc_collocations_pmi", "doc_more_like_this", "doc_vocab_coverage_curve",
+    "doc_zipf_slope", "doc_langid_confusion", "doc_textrank_terms",
+    "doc_heaps_law_fit", "doc_lm_holdout_perplexity",
     "embedding_label_separation", "embedding_drift_split",
     "embedding_variance_curve", "embedding_health_check",
     "sq8_reconstruction_error", "knn_jl_projection_rerank",
@@ -113,33 +90,35 @@ PRIORITY: list[str] = [
     "erasure_cascade_audit", "lineitem_benford_audit", "part_abc_classes",
     "basket_pair_mining", "source_slice_profile", "source_curriculum_order",
     "curriculum_token_budget", "source_quality_percentile_gate",
-    "events_multitouch_attribution", "events_survival_km", "events_cohort_ltv",
-    "events_stl_decompose", "events_peak_concurrency", "events_srm_check",
-    "hr_tagged_union_projection", "hr_metadata_flatten", "doc_simhash",
-    "doc_lang_id", "top_bigrams_per_lang", "neardup_embedding_cosine",
-    "batch_topk_many_queries", "label_centroids", "doc_hash_split",
-    "doc_decontaminate_bloom", "stratified_sample_threshold",
-    "events_tumbling_1h", "events_type_counts_salted",
-    "customer_running_total", "acctbal_rollup", "q8_national_market_share",
-    "q9_product_profit_by_nation_year", "q11_important_part_value",
-    "q14_ratio_aggregate", "q15_top_revenue_supplier",
-    "q19_disjunctive_predicates", "q20_part_supply_nested",
-    "q4_order_priority_exists", "knn_topk_prefiltered", "events_sessionize",
-    "hybrid_rrf_search", "ivf_sq8_rerank_indexed", "ivf_topk_indexed",
-    "ivf_topk_prefiltered", "hr_union_freshness_counts", "hr_dept_filter_ci",
-    "dedup_exact", "neardup_ngram_jaccard", "neardup_components",
-    "neardup_dedup_keep", "doc_tfidf_top_terms", "doc_decontaminate",
-    "doc_repetition_ratio", "semantic_dedup_clusters", "corpus_prep_pipeline",
+    "events_multitouch_attribution", "events_survival_km",
+    "events_cohort_ltv", "events_stl_decompose", "events_peak_concurrency",
+    "events_srm_check", "hr_tagged_union_projection", "hr_metadata_flatten",
+    "doc_simhash", "doc_lang_id", "top_bigrams_per_lang",
+    "neardup_embedding_cosine", "batch_topk_many_queries", "label_centroids",
+    "doc_hash_split", "doc_decontaminate_bloom",
+    "stratified_sample_threshold", "events_tumbling_1h",
+    "events_type_counts_salted", "customer_running_total", "acctbal_rollup",
+    "q8_national_market_share", "q9_product_profit_by_nation_year",
+    "q11_important_part_value", "q14_ratio_aggregate",
+    "q15_top_revenue_supplier", "q19_disjunctive_predicates",
+    "q20_part_supply_nested", "q4_order_priority_exists",
+    "knn_topk_prefiltered", "events_sessionize", "hybrid_rrf_search",
+    "ivf_sq8_rerank_indexed", "ivf_topk_indexed", "ivf_topk_prefiltered",
+    "hr_union_freshness_counts", "hr_dept_filter_ci", "dedup_exact",
+    "neardup_ngram_jaccard", "neardup_components", "neardup_dedup_keep",
+    "doc_tfidf_top_terms", "doc_decontaminate", "doc_repetition_ratio",
+    "semantic_dedup_clusters", "corpus_prep_pipeline",
     "knn_whitened_topk_fused", "events_markov_transitions",
-    "events_key_skew_profile", "events_hourly_burst", "doc_conjunctive_search",
-    "doc_unigram_kl_quality", "doc_weighted_reservoir_sample",
-    "doc_rake_keyphrases", "graph_hits_scores", "graph_kcore_members",
-    "ann_text_search", "knn_matryoshka_rerank", "ivf_batch_topk_indexed",
-    "ivf_pq_adc_indexed", "chunk_ann_search", "ivf_sq4_rerank_indexed",
-    "knn_opq_rotated_adc", "knn_sq4_rerank", "knn_bitsketch_hamming_rerank",
-    "hr_overfetch_rerank", "neardup_simhash_hamming", "doc_containment_dedup",
-    "neardup_incremental_probe", "url_normalize_dedup", "embed_documents_poly",
-    "multimodal_binary_metadata", "doc_lm_perplexity",
+    "events_key_skew_profile", "events_hourly_burst",
+    "doc_conjunctive_search", "doc_unigram_kl_quality",
+    "doc_weighted_reservoir_sample", "doc_rake_keyphrases",
+    "graph_hits_scores", "graph_kcore_members", "ann_text_search",
+    "knn_matryoshka_rerank", "ivf_batch_topk_indexed", "ivf_pq_adc_indexed",
+    "chunk_ann_search", "ivf_sq4_rerank_indexed", "knn_opq_rotated_adc",
+    "knn_sq4_rerank", "knn_bitsketch_hamming_rerank", "hr_overfetch_rerank",
+    "neardup_simhash_hamming", "doc_containment_dedup",
+    "neardup_incremental_probe", "url_normalize_dedup",
+    "embed_documents_poly", "multimodal_binary_metadata", "doc_lm_perplexity",
     "doc_quality_classifier", "doc_token_count_bpe", "doc_pii_scrub",
     "source_length_mad_outliers", "doc_label_communities",
     "corpus_weighted_mix", "doc_dup_ngram_coverage", "doc_dup_span_removal",
@@ -147,29 +126,31 @@ PRIORITY: list[str] = [
     "mine_hard_negatives", "doc_pagerank_centrality",
     "events_salted_join_weighted", "events_interval_bucket_join",
     "events_scd2_user_state", "graph_coreset_select", "term_heavy_hitters",
-    "multimodal_frame_sample", "part_name_fuzzy_pairs", "events_funnel_strict",
-    "events_cohort_retention", "knn_mmr_det", "q1_incremental_maintenance",
-    "q2_cheapest_supplier_per_part", "q10_returned_items_top_customers",
-    "q12_priority_case_agg", "q18_large_volume_customers",
-    "q21_suppliers_kept_orders_waiting", "q22_idle_rich_customers",
-    "doc_chunk_fixed_tokens", "orders_pivot_status",
-    "string_functions_showcase", "knn_topk_l2sq", "knn_batch_topk_per_label",
-    "q3_shipping_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "multimodal_frame_sample", "part_name_fuzzy_pairs",
+    "events_funnel_strict", "events_cohort_retention", "knn_mmr_det",
+    "q1_incremental_maintenance", "q2_cheapest_supplier_per_part",
+    "q10_returned_items_top_customers", "q12_priority_case_agg",
+    "q18_large_volume_customers", "q21_suppliers_kept_orders_waiting",
+    "q22_idle_rich_customers", "doc_chunk_fixed_tokens",
+    "orders_pivot_status", "string_functions_showcase", "knn_topk_l2sq",
+    "knn_batch_topk_per_label", "q3_shipping_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
     "top3_orders_per_segment", "orders_by_year_month",
     "supplier_part_distincts", "parts_never_ordered", "events_sliding_1h_30m",
     "events_user_daily_activity", "stratified_sample_by_lang",
     "knn_topk_cosine", "knn_overfetch_similarity", "doc_token_count",
     "doc_fingerprint", "events_json_props", "custkeys_intersect_except",
-    "lineitem_cube", "q13_customer_order_distribution", "q16_suppliers_not_in",
-    "knn_sq8_rerank", "ivf_topk_l2sq", "pack_sequences",
-    "hr_doc_text_construction", "q17_small_quantity_revenue",
-    "hr_keyword_score", "hr_lang_all_match", "neardup_minhash_lsh",
-    "doc_quality_score", "doc_length_percentiles", "events_asof_last_purchase",
-    "q1_pricing_summary", "q7_nation_volume", "knn_topk_sq8",
-    "knn_pq_adc_rerank", "ivf_pq_residual_det", "ivf_topk_suggested",
-    "chunk_embed_ivf_search", "doc_containment_probe", "session_copair_mining",
-    "embedding_dim_stats", "doc_popularity_decayed", "events_asof_attribution",
-    "knn_whitened_topk", "graph_triangle_coefficient", "doc_bm25_search",
+    "lineitem_cube", "q13_customer_order_distribution",
+    "q16_suppliers_not_in", "knn_sq8_rerank", "ivf_topk_l2sq",
+    "pack_sequences", "hr_doc_text_construction",
+    "q17_small_quantity_revenue", "hr_keyword_score", "hr_lang_all_match",
+    "neardup_minhash_lsh", "doc_quality_score", "doc_length_percentiles",
+    "events_asof_last_purchase", "q1_pricing_summary", "q7_nation_volume",
+    "knn_topk_sq8", "knn_pq_adc_rerank", "ivf_pq_residual_det",
+    "ivf_topk_suggested", "chunk_embed_ivf_search", "doc_containment_probe",
+    "session_copair_mining", "embedding_dim_stats", "doc_popularity_decayed",
+    "events_asof_attribution", "knn_whitened_topk",
+    "graph_triangle_coefficient", "doc_bm25_search",
     "lsh_minhash_neardup_pairs", "tfidf_top_terms", "lsh_brp_ann_topk",
     "embed_documents_sha256", "multimodal_feature_extract",
     "knn_pq_kmeans_rerank", "knn_opq_pca_rerank", "knn_mmr_diversified",
@@ -178,7 +159,7 @@ PRIORITY: list[str] = [
     "ivf_pq_residual_rerank", "hr_recommend_scale",
     "doc_length_percentiles_approx", "events_distinct_users_approx",
     "ivf_topk_kmeans",
-    # --- the r11 window cohort (freshest driver rows — re-rotate last) ---
+    # --- the r11 window cohort ---
     "customer_revenue_pareto", "events_zorder_layout", "events_user_rfm",
     "doc_grouped_split", "dsir_importance_resample", "quality_prep_pipeline",
     "events_sequence_trigrams", "events_session_intent_summary",
@@ -202,6 +183,28 @@ PRIORITY: list[str] = [
     "doc_greedy_coverage_select", "events_ratio_delta_method",
     "graph_reciprocity", "doc_canary_detection", "dedup_token_impact",
     "source_pii_coverage",
+    # --- the r12 window cohort (freshest driver rows — re-rotate last) ---
+    "hnsw_graph_build", "hnsw_graph_stats", "hnsw_graph_search",
+    "hnsw_recall_eval", "hnsw_nprobe_recall_curve", "doc_l_diversity_audit",
+    "embedding_dim_quantiles", "clf_calibration_ece", "lsh_param_planner",
+    "source_corpus_fingerprint", "ann_qpp_stats", "corpus_temperature_mix",
+    "events_user_type_entropy", "events_gap_percentiles",
+    "dedup_group_size_histogram", "dsar_access_report", "chunk_stitch_audit",
+    "dedup_rate_sampled_estimate", "source_lang_mismatch",
+    "kmv_distinct_sketch", "boilerplate_shingle_hotlist",
+    "split_leakage_audit", "eval_stratified_fixed_k", "pack_efficiency_audit",
+    "fuzzy_entity_clusters", "dedup_normalization_dividend",
+    "clf_length_bias_audit", "multimodal_payload_integrity",
+    "orders_reconciliation_audit", "quality_rank_fusion",
+    "ivf_nprobe_recall_curve", "neardup_threshold_sensitivity",
+    "neardup_cluster_size_histogram", "embedding_label_outliers",
+    "doc_code_switch_summary", "session_path_mining",
+    "events_value_leaderboard", "events_dup_window_sensitivity",
+    "metric_agreement_topk", "orders_backlog_aging", "segment_revenue_hhi",
+    "fusion_source_bias", "source_length_qq", "kmeans_lloyd3_det",
+    "knn_topk_l2_normalized", "release_gate_report",
+    "events_stl_residual_anomaly", "neardup_transitivity_audit",
+    "events_growth_accounting", "source_copy_direction",
 ]
 
 

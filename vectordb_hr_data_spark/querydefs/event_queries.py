@@ -1901,12 +1901,29 @@ def rfm_quintile_scores(u: DataFrame) -> DataFrame:
     (``with_exact_ntile_range``): per-user revenue cents are
     near-unique, so the per-value count table is itself user-dimension-
     sized and must never broadcast (ADVICE r10) — literal quantile
-    boundaries bucket the cents and the rank is bucket-local."""
-    from ..operators.quantiles import with_exact_ntile, with_exact_ntile_range
+    boundaries bucket the cents and the rank is bucket-local.
 
-    u = with_exact_ntile_range(u, 5, "m_cents", "user_id", "m_score")
-    u = with_exact_ntile(u, 5, "r_days", "user_id", "r_score", descending=True)
-    u = with_exact_ntile(u, 5, "f_n", "user_id", "f_score")
+    Pass-count discipline (VERDICT r12 #1): the user aggregate is
+    spilled ONCE to a scratch parquet (``materialize_scratch`` — no
+    cached frame left behind) and every branch re-roots there: the M
+    form skips its internal spill (``pre_materialized``), and the
+    chained R/F count tables are computed from the SPILL, not from each
+    other's window stacks (``stats_df`` — the scores are row-preserving,
+    so the value multisets are identical by construction)."""
+    from ..operators.quantiles import (
+        materialize_scratch,
+        with_exact_ntile,
+        with_exact_ntile_range,
+    )
+
+    base = materialize_scratch(u, "rfm_users")
+    u = with_exact_ntile_range(
+        base, 5, "m_cents", "user_id", "m_score", pre_materialized=True
+    )
+    u = with_exact_ntile(
+        u, 5, "r_days", "user_id", "r_score", descending=True, stats_df=base
+    )
+    u = with_exact_ntile(u, 5, "f_n", "user_id", "f_score", stats_df=base)
     return u.select(
         "user_id", "r_days", "f_n", "m_cents", "r_score", "f_score", "m_score"
     ).orderBy("user_id")
@@ -6236,18 +6253,21 @@ WITH v AS (
          sum(c1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS r1
   FROM g
 ), gap AS (
-  SELECT c.cents, abs(c.r0 * n.n1 - c.r1 * n.n0) AS d_num, n.n0, n.n1
+  -- 128-bit throughout (ADVICE r12 #4): r·n products pass int64 only up
+  -- to ~3e9 rows/arm, and d_max·10⁶ overflows already at ~3M rows/arm
+  SELECT c.cents, abs(CAST(c.r0 AS HUGEINT) * n.n1 - CAST(c.r1 AS HUGEINT) * n.n0) AS d_num,
+         n.n0, n.n1
   FROM cum c CROSS JOIN n
 ), mx AS (
   SELECT max(d_num) AS d_max FROM gap
 )
 SELECT g.n0 AS n_arm0, g.n1 AS n_arm1,
-       CAST(m.d_max * 1000000 // (g.n0 * g.n1) AS BIGINT) AS d_micro,
+       CAST(m.d_max * 1000000 // (CAST(g.n0 AS HUGEINT) * g.n1) AS BIGINT) AS d_micro,
        CAST(min(CASE WHEN g.d_num = m.d_max THEN g.cents END) AS BIGINT)
          AS argmax_cents,
        CAST(floor(1.3581 * sqrt((g.n0 + g.n1) * 1.0 / (g.n0 * g.n1)) * 1000000 + 0.5)
             AS BIGINT) AS thr_micro_95,
-       CAST(CASE WHEN m.d_max * 1000000 // (g.n0 * g.n1)
+       CAST(CASE WHEN m.d_max * 1000000 // (CAST(g.n0 AS HUGEINT) * g.n1)
                       >= floor(1.3581 * sqrt((g.n0 + g.n1) * 1.0 / (g.n0 * g.n1))
                                * 1000000 + 0.5)
                  THEN 1 ELSE 0 END AS BIGINT) AS reject_95
@@ -6283,9 +6303,14 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c0").over(w_cum).alias("r0"),
         F.sum("c1").over(w_cum).alias("r1"),
     )
+    # 128-bit fold sites (ADVICE r12 #4): the rank·count cross-products
+    # and d_max·10⁶ run in decimal(38,0) — HUGEINT on the oracle side
+    dec = "decimal(38,0)"
     gap = cum.crossJoin(F.broadcast(n)).select(
         "cents",
-        F.abs(F.col("r0") * F.col("n1") - F.col("r1") * F.col("n0")).alias("d_num"),
+        F.abs(
+            F.col("r0").cast(dec) * F.col("n1") - F.col("r1").cast(dec) * F.col("n0")
+        ).alias("d_num"),
         "n0",
         "n1",
     )
@@ -6298,7 +6323,12 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("argmax_cents"),
         )
-        .withColumn("d_micro", F.expr("d_max * 1000000 div (n0 * n1)").cast("long"))
+        .withColumn(
+            "d_micro",
+            F.expr(
+                "cast((d_max * 1000000) div (cast(n0 as decimal(38,0)) * n1) as bigint)"
+            ),
+        )
         .withColumn(
             "thr_micro_95",
             F.expr(

@@ -1424,18 +1424,30 @@ def customer_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("cents")
     )
+    # bucket_expr keeps the whole plan LAZY (no sketch pass, no spill):
+    # revenue cents are ≥ 0 by construction, so floor(log1p(cents)·8) is
+    # monotone non-decreasing — ordered disjoint buckets, which is ALL
+    # exactness needs (boundary placement only affects balance, and
+    # revenue spreads over decades: ±13% value band per bucket). The
+    # upstream orders-aggregate runs in the count and rank branches; at
+    # 100 TB that is two map-side-combined scans, cheaper than
+    # materializing the customer dimension (r13 perf note, SCALE.md)
     binned = with_exact_ntile_range(
-        rev, 100, "cents", "o_custkey", "centile", descending=True
+        rev, 100, "cents", "o_custkey", "centile", descending=True,
+        bucket_expr=F.floor(F.log1p(F.col("cents").cast("double")) * 8),
     )
+    # the grand total rides a window over the 100-row bucket AGGREGATE
+    # (sweep-compliant — never over base rows) instead of a second
+    # aggregate branch: the binned window stack executes ONCE, where the
+    # crossJoin(broadcast(tot)) form re-ran it for the total (r13 perf)
+    w_all = Window.partitionBy()
     buckets = binned.groupBy("centile").agg(
         F.count("*").cast("long").alias("n_users"),
         F.sum("cents").cast("long").alias("b_cents"),
-    )
-    tot = buckets.agg(F.sum("b_cents").cast("long").alias("tc"))
+    ).withColumn("tc", F.sum("b_cents").over(w_all).cast("long"))
     grid = spark.createDataFrame([(p,) for p in PARETO_PCTS], "pct int")
     return (
         F.broadcast(grid).join(buckets, F.col("centile") <= F.col("pct"))
-        .crossJoin(F.broadcast(tot))
         .groupBy("pct")
         .agg(
             F.sum("n_users").cast("long").alias("n_users"),

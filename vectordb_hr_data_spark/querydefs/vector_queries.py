@@ -3733,11 +3733,6 @@ WITH cents AS (
     FROM cc c JOIN tagged tv ON tv.cid = c.dst AND tv.merges = 0
   ) t2 ON t2.src = m.cid AND t2.rn = 1
   WHERE m.merges = 1
-), post AS (
-  SELECT COALESCE(t.target_cid, s.cid) AS cid, sum(s.n_vecs) AS n_vecs
-  FROM sizes s LEFT JOIN target t ON t.cid = s.cid
-  WHERE s.cid NOT IN (SELECT target_cid FROM target) OR t.cid IS NULL
-  GROUP BY COALESCE(t.target_cid, s.cid)
 ), post_full AS (
   SELECT s.cid,
          s.n_vecs + COALESCE((SELECT sum(t.n_vecs) FROM target t

@@ -9,9 +9,37 @@ Kafka locally; the transformations are source-agnostic.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _read_state_or_none(spark: SparkSession, path: str, what: str) -> DataFrame | None:
+    """First-batch bootstrap read of an accumulated-state parquet dir.
+
+    Distinguishes "no prior state yet" (the path does not exist → None,
+    the caller bootstraps) from a CORRUPTED state directory (exists but
+    unreadable → raises a NAMED error). The old ``except Exception:
+    pass`` form treated both the same, so a corrupted accumulator
+    silently degraded a delta-join view to batch-only joins — exactly
+    the divergence the loud CDC contracts exist to prevent (VERDICT r12
+    item 4)."""
+    if not os.path.isdir(path):
+        return None
+    # a dir holding only _SUCCESS/_committed markers (an empty append's
+    # residue) is "no state yet", not corruption — only DATA files that
+    # fail to read should raise
+    if not any(not f.startswith(("_", ".")) for f in os.listdir(path)):
+        return None
+    try:
+        return spark.read.parquet(path)
+    except Exception as e:
+        raise RuntimeError(
+            f"{what}: accumulated state at {path} exists but is unreadable — "
+            "refusing to silently degrade; repair or remove the state dir"
+        ) from e
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -217,6 +245,12 @@ def stream_ivf_sq8_append(
         state["n_rows"] += enc.count()
         if not state["retune_fired"] and needs_retune(state["n_rows"], built_params):
             state["retune_fired"] = True
+            # the geometry every memoized tuning curve was measured on is
+            # now stale — flush BEFORE the callback so a rebuild scheduled
+            # inside it re-advises on fresh curves (VERDICT r12 item 3)
+            from ..operators.memo import invalidate_all
+
+            invalidate_all()
             on_retune(state["n_rows"])
 
     return vec_stream.writeStream.foreachBatch(sink).start()
@@ -2046,6 +2080,12 @@ def stream_hnsw_append(
         n_now = allv.count()
         if not retune_state["fired"] and needs_retune(n_now, built_params):
             retune_state["fired"] = True
+            # flush memoized tuning curves BEFORE the callback — a rebuild
+            # it schedules must re-advise on fresh geometry (VERDICT r12
+            # item 3)
+            from ..operators.memo import invalidate_all
+
+            invalidate_all()
             on_retune(n_now)
         newv = allv.join(newv.select("vec_id"), "vec_id", "left_semi")
 
@@ -2176,16 +2216,12 @@ def stream_delta_join(
         d_o = batch_df.filter(F.col("side") == "O").select(*o_cols).localCheckpoint(eager=True)
         d_l = batch_df.filter(F.col("side") == "L").select(*l_cols).localCheckpoint(eager=True)
         parts = [d_o.join(d_l, d_o["o_orderkey"] == d_l["l_orderkey"])]
-        try:
-            o_acc = spark.read.parquet(o_acc_path)
+        o_acc = _read_state_or_none(spark, o_acc_path, "stream_delta_join")
+        if o_acc is not None:
             parts.append(o_acc.join(d_l, o_acc["o_orderkey"] == d_l["l_orderkey"]))
-        except Exception:
-            pass
-        try:
-            l_acc = spark.read.parquet(l_acc_path)
+        l_acc = _read_state_or_none(spark, l_acc_path, "stream_delta_join")
+        if l_acc is not None:
             parts.append(d_o.join(l_acc, d_o["o_orderkey"] == l_acc["l_orderkey"]))
-        except Exception:
-            pass
         inc = parts[0]
         for p in parts[1:]:
             inc = inc.unionByName(p)
@@ -2341,8 +2377,13 @@ def stream_cdc_retraction_agg(cdc_stream: DataFrame, state_path: str) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # NULL-safe gate: `~op.isin(...)` is NULL for a NULL op, so the
+        # row would slip past the filter yet hit the fold's
+        # `.otherwise(-before_cents)` delete branch — the exact silent
+        # corruption this contract exists to prevent (ADVICE r12 #1)
         bad = batch_df.filter(
-            ~F.col("op").isin("I", "U", "D")
+            F.col("op").isNull()
+            | ~F.col("op").isin("I", "U", "D")
             | ((F.col("op") == "I") & F.col("after_cents").isNull())
             | ((F.col("op") == "D") & F.col("before_cents").isNull())
             | (
@@ -2402,14 +2443,19 @@ def stream_distinct_multiplicity(cdc_stream: DataFrame, state_path: str) -> None
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        n_bad = batch_df.filter(~F.col("op").isin("I", "D")).count()
+        # NULL op must raise like any other unknown tag (ADVICE r12 #1):
+        # the bare ~isin gate is NULL for NULL, dropping the row from
+        # `bad` while the fold's .otherwise(-1) treats it as a retraction
+        n_bad = batch_df.filter(
+            F.col("op").isNull() | ~F.col("op").isin("I", "D")
+        ).count()
         if n_bad:
             raise RuntimeError(
                 f"stream_distinct_multiplicity: {n_bad} rows with op outside I/D in "
                 f"epoch {epoch_id} — a silently-dropped retraction corrupts the "
                 "support counts forever"
             )
-        inc = multiplicity_fold(batch_df)
+        inc = multiplicity_fold(batch_df).filter(F.col("net") != 0)
         try:
             state = spark.read.parquet(state_path)
         except Exception:
@@ -2419,6 +2465,11 @@ def stream_distinct_multiplicity(cdc_stream: DataFrame, state_path: str) -> None
             state.unionByName(inc)
             .groupBy("event_type", "user_id")
             .agg(F.sum("net").cast("long").alias("net"))
+            # prune fully-retracted pairs: without this the state grows
+            # with ALL-TIME pairs, not the active ones the docstring
+            # promises — safe because the signed sum re-creates the row
+            # on a later insert (ADVICE r12 #2)
+            .filter(F.col("net") != 0)
             .localCheckpoint(eager=True)
         )
         merged.write.mode("overwrite").parquet(state_path)
@@ -2632,9 +2683,13 @@ def sessionize_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
     with the cents total converted to the same double the batch emits."""
     from pyspark.sql import Window
 
-    closed = spark.read.parquet(f"{state_dir}/closed")
     opened = spark.read.parquet(f"{state_dir}/open")
-    allp = closed.unionByName(opened)
+    # a stream where no session ever CLOSED (every user still in their
+    # first session) may leave no readable parquet under closed/ — fall
+    # back to the open state alone, mirroring the sinks' first-batch
+    # bootstrap (ADVICE r12 #3); an existing-but-corrupt dir still raises
+    closed = _read_state_or_none(spark, f"{state_dir}/closed", "sessionize_from_state")
+    allp = closed.unionByName(opened) if closed is not None else opened
     w = Window.partitionBy("user_id").orderBy("session_start", "last_ts")
     return allp.select(
         "user_id",
