@@ -1,0 +1,214 @@
+"""Property tests for the r13 operators (B270-B276): the laws the
+value-hash oracle cannot express — the PAV theorem behind the isotonic
+fit, the Bloom no-false-negative theorem, sequential-test monotonicity,
+IPS estimator identities, and the leakage-freedom constructions.
+
+These run against the DuckDB oracle results (the strict checker already
+proves Spark ≡ oracle per cell, so a law proven on the oracle side is
+proven for the Spark plan too — and the tests stay Spark-session-free
+and fast)."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from vectordb_hr_data_spark import queries as Q
+
+
+def _oracle_rows(ddb, name):
+    res = ddb.execute(Q.REGISTRY[name].oracle)
+    cols = [d[0] for d in res.description]
+    return [dict(zip(cols, r)) for r in res.fetchall()]
+
+
+# ---------------------------------------------------------------------------
+# B273 isotonic: the minimax closed form must equal the classical
+# pool-adjacent-violators fit, exactly (floored), plus the PAV laws.
+# ---------------------------------------------------------------------------
+
+
+def test_isotonic_equals_exact_pav_and_laws(ddb):
+    from vectordb_hr_data_spark.querydefs.text_queries import _iso_scored_ddb, ISO_BINS
+
+    bins = ddb.execute(
+        f"WITH tf AS ({_iso_scored_ddb()}) "
+        f"SELECT least(smicro * {ISO_BINS} // 1000000, {ISO_BINS - 1}) AS bin,"
+        f" count(*) AS n, sum(y) AS pos FROM scored GROUP BY bin ORDER BY bin"
+    ).fetchall()
+    assert len(bins) >= 3
+    # classical PAV (non-decreasing constraint), exact rationals
+    stack: list[list] = []  # [w, s, n_bins]
+    for _, n, pos in bins:
+        stack.append([n, pos, 1])
+        while len(stack) >= 2 and Fraction(stack[-2][1], stack[-2][0]) >= Fraction(
+            stack[-1][1], stack[-1][0]
+        ):
+            w2, s2, c2 = stack.pop()
+            stack[-1][0] += w2
+            stack[-1][1] += s2
+            stack[-1][2] += c2
+    fit = []
+    for w, s, c in stack:
+        fit.extend([Fraction(s, w)] * c)
+
+    got = _oracle_rows(ddb, "clf_isotonic_calibration")
+    assert len(got) == len(bins)
+    for row, f, (_, n, pos) in zip(got, fit, bins):
+        # the micro-floored minimax IS floor(exact PAV): floor is monotone,
+        # so it commutes with min and max over finite sets
+        assert row["iso_fit_micro"] == (f * 1_000_000).__floor__(), row
+    # law 1: the fit is monotone non-decreasing
+    fits = [r["iso_fit_micro"] for r in got]
+    assert fits == sorted(fits)
+    # law 2: the exact fit preserves the weighted total (Σ n·fit = Σ pos)
+    tot = sum(Fraction(n) * f for (_, n, _), f in zip(bins, fit))
+    assert tot == sum(pos for _, _, pos in bins)
+    # law 3: the fit actually pooled something on this corpus (the raw
+    # reliability curve is not already monotone — otherwise the op tests
+    # nothing); if this ever fails the fixture changed, not the math
+    raw = [Fraction(pos, n) for _, n, pos in bins]
+    assert raw != sorted(raw), "fixture degenerate: raw rates already isotonic"
+
+
+# ---------------------------------------------------------------------------
+# B274 bloom: no false negatives — every member key passes the filter.
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_has_no_false_negatives(ddb):
+    from vectordb_hr_data_spark.querydefs.relational_queries import (
+        _BLOOM_K,
+        _bloom_pos_ddb,
+    )
+
+    n_missed = ddb.execute(
+        f"""
+WITH members AS (
+  SELECT DISTINCT o_orderkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+), seeds AS (SELECT unnest(ARRAY[0,1,2,3]) AS i),
+mpos AS (
+  SELECT DISTINCT {_bloom_pos_ddb('s.i', 'm.key')} AS pos
+  FROM members m CROSS JOIN seeds s
+), hit AS (
+  SELECT m.key, count(*) AS nhit
+  FROM (SELECT m2.key, {_bloom_pos_ddb('s.i', 'm2.key')} AS pos
+        FROM members m2 CROSS JOIN seeds s) m
+  JOIN mpos ON mpos.pos = m.pos GROUP BY m.key
+)
+SELECT count(*) FROM hit WHERE nhit < {_BLOOM_K}
+"""
+    ).fetchone()[0]
+    assert n_missed == 0
+    row = _oracle_rows(ddb, "orders_bloom_join_prune")[0]
+    # every true member passes => pass count bounds from below; and the
+    # filter must actually prune something at this occupancy
+    assert row["n_pass"] >= row["n_true_members"]
+    assert row["n_false_pos"] == row["n_pass"] - row["n_true_members"]
+    assert 0 < row["occupancy_ppm"] < 1_000_000
+    assert row["prune_ratio_ppm"] > 0
+
+
+# ---------------------------------------------------------------------------
+# B271 OBF: boundaries decrease, cumulative looks are monotone, and the
+# final look sees the full horizon.
+# ---------------------------------------------------------------------------
+
+
+def test_obf_sequential_monotonicity(ddb):
+    rows = _oracle_rows(ddb, "events_obf_sequential_test")
+    assert [r["look"] for r in rows] == [1, 2, 3, 4]
+    bounds = [r["obf_bound_milli"] for r in rows]
+    assert bounds == sorted(bounds, reverse=True) and bounds[-1] == 2024
+    for c in ("users_arm0", "users_arm1", "conv_arm0", "conv_arm1"):
+        vals = [r[c] for r in rows]
+        assert vals == sorted(vals), f"{c} not cumulative: {vals}"
+    total_users = ddb.execute("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert rows[-1]["users_arm0"] + rows[-1]["users_arm1"] == total_users
+
+
+# ---------------------------------------------------------------------------
+# B272 IPS: estimator sanity — matched mass bounds, ESS bounds, and the
+# value policy cannot (materially) underperform the modal policy on its
+# own self-normalized estimate.
+# ---------------------------------------------------------------------------
+
+
+def test_ips_policy_eval_identities(ddb):
+    rows = {r["policy"]: r for r in _oracle_rows(ddb, "events_ips_policy_eval")}
+    assert set(rows) == {"mode", "value"}
+    n_events = ddb.execute("SELECT count(*) FROM events").fetchone()[0]
+    for r in rows.values():
+        assert r["n_events"] == n_events
+        assert 0 < r["n_matched"] <= n_events
+        # ESS of a weighted estimate never exceeds the raw sample size
+        assert 0 < r["ess_milli"] <= 1000 * n_events
+        assert r["ips_value_micro"] <= r["snips_value_micro"] or r["n_matched"] == n_events
+    # SNIPS is the n_seg-weighted mean of matched per-segment mean rewards;
+    # 'value' argmaxes that per segment, so it dominates 'mode' up to the
+    # per-group micro-floor (≤1 micro per cohort, 4 cohorts)
+    assert rows["value"]["snips_value_micro"] >= rows["mode"]["snips_value_micro"] - 4
+
+
+# ---------------------------------------------------------------------------
+# B275 group k-fold: the leakage-freedom construction — a content hash
+# group can never straddle folds — and fold shares partition each fold.
+# ---------------------------------------------------------------------------
+
+
+def test_group_kfold_leakage_free(ddb):
+    from vectordb_hr_data_spark.querydefs.pipeline_queries import KFOLD_K
+
+    straddlers = ddb.execute(
+        f"""
+SELECT count(*) FROM (
+  SELECT md5(text) AS chash,
+         count(DISTINCT CAST(('0x' || substr(md5('kf:' || md5(text)), 1, 8)) AS BIGINT)
+                        % {KFOLD_K}) AS nf
+  FROM documents GROUP BY md5(text)
+) WHERE nf > 1
+"""
+    ).fetchone()[0]
+    assert straddlers == 0
+    rows = _oracle_rows(ddb, "doc_group_kfold")
+    n_total = ddb.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n_total
+    by_fold: dict[int, int] = {}
+    for r in rows:
+        by_fold[r["fold"]] = by_fold.get(r["fold"], 0) + r["n_docs"]
+    assert len(by_fold) == KFOLD_K and all(v > 0 for v in by_fold.values())
+
+
+# ---------------------------------------------------------------------------
+# B276 CV folds: the leakage witness holds, windows expand, validation
+# slices are non-empty.
+# ---------------------------------------------------------------------------
+
+
+def test_timeseries_cv_folds_leakage_witness(ddb):
+    rows = _oracle_rows(ddb, "events_timeseries_cv_folds")
+    assert [r["fold"] for r in rows] == [1, 2, 3, 4]
+    for r in rows:
+        assert r["train_max_us"] <= r["cut_us"], r
+        assert r["val_events"] > 0 and r["train_events"] > 0
+        assert 0 <= r["cold_users"] <= r["val_users"]
+        assert 0 <= r["cold_user_ppm"] <= 1_000_000
+    te = [r["train_events"] for r in rows]
+    tu = [r["train_users"] for r in rows]
+    assert te == sorted(te) and tu == sorted(tu)
+
+
+# ---------------------------------------------------------------------------
+# B270 uplift: segments partition the user dimension; per-segment 2x2s
+# are internally consistent.
+# ---------------------------------------------------------------------------
+
+
+def test_uplift_segments_partition_users(ddb):
+    rows = _oracle_rows(ddb, "events_uplift_by_segment")
+    assert {r["segment"] for r in rows} <= {"low", "mid", "high"}
+    n_users = ddb.execute("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert sum(r["users_arm0"] + r["users_arm1"] for r in rows) == n_users
+    for r in rows:
+        assert 0 <= r["conv_arm0"] <= r["users_arm0"]
+        assert 0 <= r["conv_arm1"] <= r["users_arm1"]
+        assert r["significant_95"] in (0, 1)

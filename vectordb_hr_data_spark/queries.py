@@ -74,6 +74,12 @@ PRIORITY: list[str] = [
     "graph_closeness_pivots", "graph_indegree_profile", "graph_node_profile",
     "graph_betweenness_pivots", "graph_personalized_pagerank",
     "graph_assortativity",
+    # --- positions 51+: the r14 window head — oracles registered in r13,
+    # never driver-windowed (B270-B276) ---
+    "events_uplift_by_segment", "events_obf_sequential_test",
+    "events_ips_policy_eval", "clf_isotonic_calibration",
+    "orders_bloom_join_prune", "doc_group_kfold",
+    "events_timeseries_cv_folds",
     # r11 rows-only threshold twins (no oracle rows; pytest-pinned)
     "dsir_importance_threshold", "quality_prep_threshold",
     # --- queries holding r7-r11 driver rows, stalest-first for later

@@ -6559,3 +6559,484 @@ def events_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
             "start_type",
         )
     return out.orderBy("start_type")
+
+
+# ---------------------------------------------------------------------------
+# B270: heterogeneous treatment effect — uplift by behavioral segment (r13)
+# ---------------------------------------------------------------------------
+# B160 reads ONE pooled conversion delta; real experiment readouts ask
+# WHERE the effect lives — an overall null can hide a positive segment
+# canceling a negative one (Simpson). Per activity tier (fixed per-user
+# event-count thresholds, so the segmentation is a pure map — never a
+# quantile pass): the two-proportion z of "≥14 purchases" between the
+# seeded md5 arms, per-segment uplift in ppm, and the 1.960 flag. All
+# counts exact integers; z is the one float, milli-floored at the single
+# fold site (the B160 discipline). Scale: one user-keyed groupBy, then a
+# ≤3-row segment aggregate — map-side all the way.
+_UPLIFT_CONV_MIN = 14
+
+
+@register(
+    "events_uplift_by_segment",
+    f"""
+WITH ua AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5('srm:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS arm,
+         CASE WHEN count(*) <= 60 THEN 'low' WHEN count(*) <= 72 THEN 'mid' ELSE 'high' END AS segment,
+         CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        >= {_UPLIFT_CONV_MIN} THEN 1 ELSE 0 END AS BIGINT) AS converted
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT segment,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS x0,
+         CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS x1
+  FROM ua GROUP BY segment
+)
+SELECT segment, n0 AS users_arm0, n1 AS users_arm1, x0 AS conv_arm0, x1 AS conv_arm1,
+       CAST(x1 * 1000000 // greatest(n1, 1) - x0 * 1000000 // greatest(n0, 1) AS BIGINT)
+         AS uplift_ppm,
+       CAST(CASE WHEN n0 = 0 OR n1 = 0 OR x0 + x1 = 0 OR x0 + x1 = n0 + n1 THEN 0
+                 ELSE floor((x1 * 1.0 / n1 - x0 * 1.0 / n0)
+                            / sqrt(((x0 + x1) * 1.0 / (n0 + n1)) * (1.0 - (x0 + x1) * 1.0 / (n0 + n1))
+                                   * (1.0 / n0 + 1.0 / n1)) * 1000 + 0.5) END AS BIGINT) AS z_milli,
+       CAST(CASE WHEN n0 = 0 OR n1 = 0 OR x0 + x1 = 0 OR x0 + x1 = n0 + n1 THEN 0
+                 WHEN abs(floor((x1 * 1.0 / n1 - x0 * 1.0 / n0)
+                            / sqrt(((x0 + x1) * 1.0 / (n0 + n1)) * (1.0 - (x0 + x1) * 1.0 / (n0 + n1))
+                                   * (1.0 / n0 + 1.0 / n1)) * 1000 + 0.5)) >= 1960 THEN 1
+                 ELSE 0 END AS BIGINT) AS significant_95
+FROM s
+ORDER BY segment
+""",
+)
+def events_uplift_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment conversion uplift between the seeded arms (B270):
+    fixed-threshold activity tiers, exact per-segment 2×2 counts, one
+    milli-floored z per segment."""
+    ev = read_table(spark, sf_dir, "events")
+    ua = ev.groupBy("user_id").agg(
+        F.expr(
+            "cast(conv(substring(md5(concat('srm:', cast(user_id as string))), 1, 8), 16, 10)"
+            " as bigint) % 2"
+        ).alias("arm"),
+        F.when(F.count("*") <= 60, "low")
+        .when(F.count("*") <= 72, "mid")
+        .otherwise("high")
+        .alias("segment"),
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= _UPLIFT_CONV_MIN
+        )
+        .cast("long")
+        .alias("converted"),
+    )
+    s = ua.groupBy("segment").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("x1"),
+    )
+    p_pool = (F.col("x0") + F.col("x1")) * 1.0 / (F.col("n0") + F.col("n1"))
+    z = F.floor(
+        (F.col("x1") * 1.0 / F.col("n1") - F.col("x0") * 1.0 / F.col("n0"))
+        / F.sqrt(p_pool * (1.0 - p_pool) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+        * 1000
+        + 0.5
+    )
+    degenerate = (
+        (F.col("n0") == 0)
+        | (F.col("n1") == 0)
+        | (F.col("x0") + F.col("x1") == 0)
+        | (F.col("x0") + F.col("x1") == F.col("n0") + F.col("n1"))
+    )
+    return s.select(
+        "segment",
+        F.col("n0").alias("users_arm0"),
+        F.col("n1").alias("users_arm1"),
+        F.col("x0").alias("conv_arm0"),
+        F.col("x1").alias("conv_arm1"),
+        (
+            F.expr("x1 * 1000000 div greatest(n1, 1)")
+            - F.expr("x0 * 1000000 div greatest(n0, 1)")
+        )
+        .cast("long")
+        .alias("uplift_ppm"),
+        F.when(degenerate, F.lit(0)).otherwise(z).cast("long").alias("z_milli"),
+        F.when(degenerate, F.lit(0))
+        .otherwise(F.when(F.abs(z) >= 1960, 1).otherwise(0))
+        .cast("long")
+        .alias("significant_95"),
+    ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# B271: group-sequential A/B readout — O'Brien–Fleming boundaries (r13)
+# ---------------------------------------------------------------------------
+# B160/B270 read the experiment ONCE at the end; production dashboards
+# peek continuously, and naive repeated 1.96 tests inflate false
+# positives severalfold. The classical guard is the group-sequential
+# design: K=4 interim looks at calendar quartiles of the logged span,
+# each cumulative z compared against the O'Brien–Fleming two-sided
+# α=0.05 boundary (4.049, 2.863, 2.337, 2.024 — Jennison & Turnbull's
+# standard table; early looks need overwhelming evidence, the final look
+# spends almost the full α). Conversion is the B270 outcome (≥14
+# purchases), timed at the user's 14TH purchase — a user converts at the
+# look where that event lands, so each look's 2×2 is exactly what a
+# reader AT THAT TIME would have seen. Scale: one user-keyed groupBy +
+# one user-partitioned rank for the conversion instant, then a ×4
+# bounded blowup against the literal look table — never a re-scan per
+# look.
+_OBF_BOUNDS_MILLI = (4049, 2863, 2337, 2024)
+
+
+@register(
+    "events_obf_sequential_test",
+    f"""
+WITH span AS (
+  SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events
+), ua AS (
+  SELECT user_id,
+         CAST(('0x' || substr(md5('srm:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS arm,
+         min(epoch_us(ts)) AS first_us
+  FROM events GROUP BY user_id
+), conv AS (
+  SELECT user_id, min(pus) AS conv_us FROM (
+    SELECT user_id, epoch_us(ts) AS pus,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rn = {_UPLIFT_CONV_MIN} GROUP BY user_id
+), looks AS (
+  SELECT k, s.t0 + (s.t1 - s.t0) * k // 4 AS cut_us,
+         CASE k {' '.join(f"WHEN {i + 1} THEN {b}" for i, b in enumerate(_OBF_BOUNDS_MILLI))} END AS bound_milli
+  FROM (SELECT unnest(ARRAY[1, 2, 3, 4]) AS k) CROSS JOIN span s
+), s AS (
+  SELECT l.k, l.bound_milli,
+         CAST(sum(CASE WHEN u.arm = 0 AND u.first_us <= l.cut_us THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN u.arm = 1 AND u.first_us <= l.cut_us THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN u.arm = 0 AND c.conv_us <= l.cut_us THEN 1 ELSE 0 END) AS BIGINT) AS x0,
+         CAST(sum(CASE WHEN u.arm = 1 AND c.conv_us <= l.cut_us THEN 1 ELSE 0 END) AS BIGINT) AS x1
+  FROM ua u LEFT JOIN conv c ON c.user_id = u.user_id CROSS JOIN looks l
+  GROUP BY l.k, l.bound_milli
+)
+SELECT CAST(k AS BIGINT) AS look, n0 AS users_arm0, n1 AS users_arm1,
+       x0 AS conv_arm0, x1 AS conv_arm1,
+       CAST(bound_milli AS BIGINT) AS obf_bound_milli,
+       CAST(CASE WHEN n0 = 0 OR n1 = 0 OR x0 + x1 = 0 OR x0 + x1 = n0 + n1 THEN 0
+                 ELSE floor((x1 * 1.0 / n1 - x0 * 1.0 / n0)
+                            / sqrt(((x0 + x1) * 1.0 / (n0 + n1)) * (1.0 - (x0 + x1) * 1.0 / (n0 + n1))
+                                   * (1.0 / n0 + 1.0 / n1)) * 1000 + 0.5) END AS BIGINT) AS z_milli,
+       CAST(CASE WHEN n0 = 0 OR n1 = 0 OR x0 + x1 = 0 OR x0 + x1 = n0 + n1 THEN 0
+                 WHEN abs(floor((x1 * 1.0 / n1 - x0 * 1.0 / n0)
+                            / sqrt(((x0 + x1) * 1.0 / (n0 + n1)) * (1.0 - (x0 + x1) * 1.0 / (n0 + n1))
+                                   * (1.0 / n0 + 1.0 / n1)) * 1000 + 0.5)) >= bound_milli THEN 1
+                 ELSE 0 END AS BIGINT) AS crossed
+FROM s
+ORDER BY look
+""",
+)
+def events_obf_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=4 group-sequential conversion test with O'Brien–Fleming
+    boundaries (B271): cumulative per-look 2×2s from one user aggregate
+    ×4 literal looks, milli-floored z vs the literal boundary."""
+    ev = read_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"), F.max(F.unix_micros("ts")).alias("t1")
+    )
+    ua = ev.groupBy("user_id").agg(
+        F.expr(
+            "cast(conv(substring(md5(concat('srm:', cast(user_id as string))), 1, 8), 16, 10)"
+            " as bigint) % 2"
+        ).alias("arm"),
+        F.min(F.unix_micros("ts")).alias("first_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("pus"), F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == _UPLIFT_CONV_MIN)
+        .groupBy("user_id")
+        .agg(F.min("pus").alias("conv_us"))
+    )
+    ks = spark.createDataFrame([(k, b) for k, b in enumerate(_OBF_BOUNDS_MILLI, 1)], "k int, bound_milli int")
+    looks = (
+        F.broadcast(ks)
+        .crossJoin(F.broadcast(span))
+        .select("k", "bound_milli", F.expr("t0 + (t1 - t0) * k div 4").alias("cut_us"))
+    )
+    s = (
+        ua.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(looks))
+        .groupBy("k", "bound_milli")
+        .agg(
+            F.sum(F.when((F.col("arm") == 0) & (F.col("first_us") <= F.col("cut_us")), 1).otherwise(0)).cast("long").alias("n0"),
+            F.sum(F.when((F.col("arm") == 1) & (F.col("first_us") <= F.col("cut_us")), 1).otherwise(0)).cast("long").alias("n1"),
+            F.sum(F.when((F.col("arm") == 0) & (F.col("conv_us") <= F.col("cut_us")), 1).otherwise(0)).cast("long").alias("x0"),
+            F.sum(F.when((F.col("arm") == 1) & (F.col("conv_us") <= F.col("cut_us")), 1).otherwise(0)).cast("long").alias("x1"),
+        )
+    )
+    p_pool = (F.col("x0") + F.col("x1")) * 1.0 / (F.col("n0") + F.col("n1"))
+    z = F.floor(
+        (F.col("x1") * 1.0 / F.col("n1") - F.col("x0") * 1.0 / F.col("n0"))
+        / F.sqrt(p_pool * (1.0 - p_pool) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+        * 1000
+        + 0.5
+    )
+    degenerate = (
+        (F.col("n0") == 0)
+        | (F.col("n1") == 0)
+        | (F.col("x0") + F.col("x1") == 0)
+        | (F.col("x0") + F.col("x1") == F.col("n0") + F.col("n1"))
+    )
+    return s.select(
+        F.col("k").cast("long").alias("look"),
+        F.col("n0").alias("users_arm0"),
+        F.col("n1").alias("users_arm1"),
+        F.col("x0").alias("conv_arm0"),
+        F.col("x1").alias("conv_arm1"),
+        F.col("bound_milli").cast("long").alias("obf_bound_milli"),
+        F.when(degenerate, F.lit(0)).otherwise(z).cast("long").alias("z_milli"),
+        F.when(degenerate, F.lit(0))
+        .otherwise(F.when(F.abs(z) >= F.col("bound_milli"), 1).otherwise(0))
+        .cast("long")
+        .alias("crossed"),
+    ).orderBy("look")
+
+
+# ---------------------------------------------------------------------------
+# B272: offline policy evaluation — IPS / SNIPS with effective sample size
+# ---------------------------------------------------------------------------
+# The counterfactual question every recommender change asks BEFORE an
+# A/B: "what would policy π have earned on the logged traffic?" The
+# inverse-propensity estimator reweights logged (context, action,
+# reward) rows where the policy AGREES with the log by 1/p̂(a|x) — here
+# the context is a deterministic user cohort (user_id % 4), the logged
+# action is the event type, the reward its cents value, and p̂ the
+# empirical in-cohort action share. Two candidate policies are priced:
+# the cohort's modal action and its max-mean-value action (both argmax
+# over the bounded (cohort, action) aggregate with smallest-action tie
+# breaks). Reported per policy: the IPS value per logged event, the
+# self-normalized SNIPS value (bias-variance tradeoff twin), and the
+# effective sample size (Σw)²/Σw² — the honesty number that exposes a
+# high-variance estimate riding on a few heavily-weighted rows. All
+# arithmetic exact-integer: weights enter as the rational n_seg/c folded
+# group-wise with ONE floor per (cohort, action) group (documented
+# determinism over last-bit float drift), 128-bit on both engines.
+# Scale: one (cohort, action) aggregate — ≤ |cohorts|·|actions| rows —
+# then arithmetic; never a per-event reweighting pass.
+@register(
+    "events_ips_policy_eval",
+    """
+WITH e AS (
+  SELECT user_id % 4 AS seg, event_type AS act,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), g AS (
+  SELECT seg, act, CAST(count(*) AS BIGINT) AS c, CAST(sum(cents) AS BIGINT) AS r
+  FROM e GROUP BY seg, act
+), nseg AS (
+  SELECT seg, CAST(sum(c) AS BIGINT) AS n_seg FROM g GROUP BY seg
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_total FROM g
+), pol AS (
+  SELECT 'mode' AS policy, seg, act FROM (
+    SELECT seg, act, row_number() OVER (PARTITION BY seg ORDER BY c DESC, act) AS rn
+    FROM g) WHERE rn = 1
+  UNION ALL
+  SELECT 'value' AS policy, seg, act FROM (
+    SELECT seg, act,
+           row_number() OVER (PARTITION BY seg ORDER BY CAST(r AS HUGEINT) * 1000000 // c DESC, act) AS rn
+    FROM g) WHERE rn = 1
+), m AS (
+  SELECT p.policy,
+         CAST(sum(g.c) AS BIGINT) AS n_matched,
+         CAST(sum(ns.n_seg) AS BIGINT) AS sum_w,
+         sum(CAST(g.r AS HUGEINT) * ns.n_seg * 1000000 // g.c) AS ips_num_micro,
+         sum(CAST(ns.n_seg AS HUGEINT) * ns.n_seg * 1000000 // g.c) AS w2_micro
+  FROM pol p
+  JOIN g ON g.seg = p.seg AND g.act = p.act
+  JOIN nseg ns ON ns.seg = p.seg
+  GROUP BY p.policy
+)
+SELECT m.policy, t.n_total AS n_events, m.n_matched,
+       CAST(m.ips_num_micro // t.n_total AS BIGINT) AS ips_value_micro,
+       CAST(m.ips_num_micro // m.sum_w AS BIGINT) AS snips_value_micro,
+       CAST(CAST(m.sum_w AS HUGEINT) * m.sum_w * 1000000000 // m.w2_micro AS BIGINT) AS ess_milli
+FROM m CROSS JOIN tot t
+ORDER BY policy
+""",
+)
+def events_ips_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPS / SNIPS offline evaluation of two argmax policies over the
+    logged event stream (B272), with the (Σw)²/Σw² effective sample
+    size; group-wise floored exact-integer folds, 128-bit."""
+    ev = read_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    e = ev.select(
+        (F.col("user_id") % 4).alias("seg"),
+        F.col("event_type").alias("act"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    g = e.groupBy("seg", "act").agg(
+        F.count("*").cast("long").alias("c"), F.sum("cents").cast("long").alias("r")
+    )
+    nseg = g.groupBy("seg").agg(F.sum("c").cast("long").alias("n_seg"))
+    tot = g.agg(F.sum("c").cast("long").alias("n_total"))
+    w_mode = Window.partitionBy("seg").orderBy(F.col("c").desc(), "act")
+    w_val = Window.partitionBy("seg").orderBy(
+        F.expr("(cast(r as decimal(38,0)) * 1000000) div c").desc(), "act"
+    )
+    pol = (
+        g.withColumn("rn", F.row_number().over(w_mode))
+        .filter(F.col("rn") == 1)
+        .select(F.lit("mode").alias("policy"), "seg", "act")
+        .unionByName(
+            g.withColumn("rn", F.row_number().over(w_val))
+            .filter(F.col("rn") == 1)
+            .select(F.lit("value").alias("policy"), "seg", "act")
+        )
+    )
+    m = (
+        pol.join(g, ["seg", "act"])
+        .join(F.broadcast(nseg), "seg")
+        .groupBy("policy")
+        .agg(
+            F.sum("c").cast("long").alias("n_matched"),
+            F.sum("n_seg").cast("long").alias("sum_w"),
+            F.sum(
+                F.expr(
+                    "(cast(r as decimal(38,0)) * n_seg * 1000000) div c"
+                ).cast(dec)
+            ).alias("ips_num_micro"),
+            F.sum(
+                F.expr(
+                    "(cast(n_seg as decimal(38,0)) * n_seg * 1000000) div c"
+                ).cast(dec)
+            ).alias("w2_micro"),
+        )
+    )
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            "policy",
+            F.col("n_total").alias("n_events"),
+            "n_matched",
+            F.expr("cast(ips_num_micro div n_total as bigint)").alias("ips_value_micro"),
+            F.expr("cast(ips_num_micro div sum_w as bigint)").alias("snips_value_micro"),
+            F.expr(
+                "cast((cast(sum_w as decimal(38,0)) * sum_w * 1000000000) div w2_micro as bigint)"
+            ).alias("ess_milli"),
+        )
+        .orderBy("policy")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B276: expanding-window time-series CV folds with a cold-start audit (r13)
+# ---------------------------------------------------------------------------
+# Random k-fold on temporal data leaks the future into training; the
+# standard evaluation for forecasting/recommendation is the expanding
+# window: fold k trains on everything up to calendar cut k and validates
+# on the next slice. This op materializes the K=4 fold LEDGER —
+# train/val event volumes, distinct users on each side, and the
+# cold-start rate (share of validation users never seen in training),
+# the number that tells you whether a fold's metric is dominated by
+# users the model cannot know. Leakage-freedom is by construction
+# (train and val windows partition the time axis) and AUDITED: the max
+# train event instant is reported per fold so a reader can verify
+# train_max_us <= cut_us without trusting the builder. Scale: the ×4
+# literal-fold blowup over events plus one user-keyed first-seen
+# aggregate — the B271 look discipline.
+@register(
+    "events_timeseries_cv_folds",
+    """
+WITH span AS (
+  SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1 FROM events
+), folds AS (
+  SELECT k, s.t0 + (s.t1 - s.t0) * k // 5 AS cut_us,
+         s.t0 + (s.t1 - s.t0) * (k + 1) // 5 AS cut_next_us
+  FROM (SELECT unnest(ARRAY[1, 2, 3, 4]) AS k) CROSS JOIN span s
+), ufirst AS (
+  SELECT user_id, min(epoch_us(ts)) AS first_us FROM events GROUP BY user_id
+), e AS (
+  SELECT f.k, f.cut_us, f.cut_next_us, epoch_us(ev.ts) AS us, ev.user_id, u.first_us
+  FROM events ev CROSS JOIN folds f
+  JOIN ufirst u ON u.user_id = ev.user_id
+)
+SELECT CAST(k AS BIGINT) AS fold,
+       CAST(sum(CASE WHEN us <= cut_us THEN 1 ELSE 0 END) AS BIGINT) AS train_events,
+       CAST(sum(CASE WHEN us > cut_us AND us <= cut_next_us THEN 1 ELSE 0 END) AS BIGINT)
+         AS val_events,
+       CAST(max(CASE WHEN us <= cut_us THEN us END) AS BIGINT) AS train_max_us,
+       CAST(max(cut_us) AS BIGINT) AS cut_us,
+       CAST(count(DISTINCT CASE WHEN us <= cut_us THEN user_id END) AS BIGINT) AS train_users,
+       CAST(count(DISTINCT CASE WHEN us > cut_us AND us <= cut_next_us THEN user_id END) AS BIGINT)
+         AS val_users,
+       CAST(count(DISTINCT CASE WHEN us > cut_us AND us <= cut_next_us AND first_us > cut_us
+                                THEN user_id END) AS BIGINT) AS cold_users,
+       CAST(count(DISTINCT CASE WHEN us > cut_us AND us <= cut_next_us AND first_us > cut_us
+                                THEN user_id END) * 1000000
+            // greatest(count(DISTINCT CASE WHEN us > cut_us AND us <= cut_next_us
+                                            THEN user_id END), 1) AS BIGINT) AS cold_user_ppm
+FROM e
+GROUP BY k
+ORDER BY fold
+""",
+)
+def events_timeseries_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=4 expanding-window CV fold ledger (B276): per-fold train/val
+    volumes, distinct users, cold-start rate, and the train-max-instant
+    leakage witness."""
+    ev = read_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"), F.max(F.unix_micros("ts")).alias("t1")
+    )
+    ks = spark.range(1, 5).select(F.col("id").cast("int").alias("k"))
+    folds = (
+        F.broadcast(ks)
+        .crossJoin(F.broadcast(span))
+        .select(
+            "k",
+            F.expr("t0 + (t1 - t0) * k div 5").alias("cut_us"),
+            F.expr("t0 + (t1 - t0) * (k + 1) div 5").alias("cut_next_us"),
+        )
+    )
+    ufirst = ev.groupBy("user_id").agg(F.min(F.unix_micros("ts")).alias("first_us"))
+    e = (
+        ev.select("user_id", F.unix_micros("ts").alias("us"))
+        .join(ufirst, "user_id")
+        .crossJoin(F.broadcast(folds))
+    )
+    in_train = F.col("us") <= F.col("cut_us")
+    in_val = (F.col("us") > F.col("cut_us")) & (F.col("us") <= F.col("cut_next_us"))
+    cold = in_val & (F.col("first_us") > F.col("cut_us"))
+    return (
+        e.groupBy("k")
+        .agg(
+            F.sum(in_train.cast("int")).cast("long").alias("train_events"),
+            F.sum(in_val.cast("int")).cast("long").alias("val_events"),
+            F.max(F.when(in_train, F.col("us"))).cast("long").alias("train_max_us"),
+            F.max("cut_us").cast("long").alias("cut_us"),
+            F.countDistinct(F.when(in_train, F.col("user_id"))).cast("long").alias("train_users"),
+            F.countDistinct(F.when(in_val, F.col("user_id"))).cast("long").alias("val_users"),
+            F.countDistinct(F.when(cold, F.col("user_id"))).cast("long").alias("cold_users"),
+        )
+        .select(
+            F.col("k").cast("long").alias("fold"),
+            "train_events",
+            "val_events",
+            "train_max_us",
+            "cut_us",
+            "train_users",
+            "val_users",
+            "cold_users",
+            F.expr("cold_users * 1000000 div greatest(val_users, 1)")
+            .cast("long")
+            .alias("cold_user_ppm"),
+        )
+        .orderBy("fold")
+    )

@@ -4500,3 +4500,95 @@ def shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stats("ring", "ring_s16", "ring_s17"))
         .orderBy("strategy")
     )
+
+
+# ---------------------------------------------------------------------------
+# B275: leakage-safe group k-fold with a stratification-balance audit (r13)
+# ---------------------------------------------------------------------------
+# Cross-validation on a deduplicated-but-not-perfectly corpus leaks:
+# byte-identical duplicates split across folds let the model grade
+# itself on memorized training rows (the B97 grouped-split finding,
+# k-fold form). The fix is structural — the fold is a function of the
+# CONTENT hash, not the doc id, so every member of an exact-dup group
+# lands in the SAME fold by construction (no cluster table, no join: a
+# pure map). The audit half reports what hashing costs you: per
+# (fold, lang) doc share vs the corpus share — max deviation tells you
+# whether stratification survived the group constraint, BEFORE a skewed
+# fold quietly biases a validation metric. Scale: one map-side fold
+# assignment + two bounded aggregates (5 folds × |langs|).
+KFOLD_K = 5
+
+
+@register(
+    "doc_group_kfold",
+    f"""
+WITH f AS (
+  SELECT CAST(('0x' || substr(md5('kf:' || md5(text)), 1, 8)) AS BIGINT) % {KFOLD_K} AS fold,
+         lang, doc_id, md5(text) AS chash
+  FROM documents
+), corpus AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang,
+         CAST(sum(count(*)) OVER () AS BIGINT) AS n_all
+  FROM f GROUP BY lang
+), folds AS (
+  SELECT fold, lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT chash) AS BIGINT) AS n_groups,
+         CAST(sum(count(*)) OVER (PARTITION BY fold) AS BIGINT) AS n_fold
+  FROM f GROUP BY fold, lang
+)
+SELECT fo.fold, fo.lang, fo.n_docs, fo.n_groups,
+       CAST(fo.n_docs * 1000000 // fo.n_fold AS BIGINT) AS fold_share_ppm,
+       CAST(c.n_lang * 1000000 // c.n_all AS BIGINT) AS corpus_share_ppm,
+       CAST(abs(fo.n_docs * 1000000 // fo.n_fold - c.n_lang * 1000000 // c.n_all)
+            AS BIGINT) AS dev_ppm
+FROM folds fo JOIN corpus c ON c.lang = fo.lang
+ORDER BY fo.fold, fo.lang
+""",
+)
+def doc_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group k-fold assignment keyed on the content hash (B275) — exact
+    duplicates cannot straddle folds — with the per-(fold, lang)
+    stratification-deviation audit."""
+    d = read_table(spark, sf_dir, "documents")
+    f = d.select(
+        F.expr(
+            f"cast(conv(substring(md5(concat('kf:', md5(text))), 1, 8), 16, 10) as bigint)"
+            f" % {KFOLD_K}"
+        ).alias("fold"),
+        "lang",
+        "doc_id",
+        F.md5("text").alias("chash"),
+    )
+    w_all = Window.partitionBy()
+    corpus = (
+        f.groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_lang"))
+        .withColumn("n_all", F.sum("n_lang").over(w_all).cast("long"))
+    )
+    w_fold = Window.partitionBy("fold")
+    folds = (
+        f.groupBy("fold", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("chash").cast("long").alias("n_groups"),
+        )
+        .withColumn("n_fold", F.sum("n_docs").over(w_fold).cast("long"))
+    )
+    return (
+        folds.join(F.broadcast(corpus), "lang")
+        .select(
+            "fold",
+            "lang",
+            "n_docs",
+            "n_groups",
+            F.expr("n_docs * 1000000 div n_fold").cast("long").alias("fold_share_ppm"),
+            F.expr("n_lang * 1000000 div n_all").cast("long").alias("corpus_share_ppm"),
+            F.expr(
+                "abs(n_docs * 1000000 div n_fold - n_lang * 1000000 div n_all)"
+            )
+            .cast("long")
+            .alias("dev_ppm"),
+        )
+        .orderBy("fold", "lang")
+    )

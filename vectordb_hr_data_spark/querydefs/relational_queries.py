@@ -2262,3 +2262,130 @@ def orders_cow_vs_mor_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("read_amp_milli"),
     )
     return cow.unionByName(mor).orderBy("strategy")
+
+
+# ---------------------------------------------------------------------------
+# B274: Bloom-filter semi-join pruning with a MEASURED false-positive audit
+# ---------------------------------------------------------------------------
+# The 100 TB join killer is shuffling the big side against a filter only
+# the small side knows. The standard fix (Spark's own runtime row-group
+# filter, Iceberg bloom columns) is a Bloom filter on the small side's
+# keys shipped to the scan — but a filter you haven't MEASURED is a
+# guess: an over-occupied filter passes everything and you shuffle the
+# full table anyway. This op builds the filter as data (m = 2^17 bit
+# positions, k = 4 md5-seeded hashes — the distinct set-position table
+# is at most m rows, broadcastable by construction), probes every
+# distinct lineitem key, and audits: bit occupancy, measured FPP against
+# the EXACT semi-join truth (no false negatives is a theorem — every
+# member position is set; pytest pins it), and the prune ratio the scan
+# would enjoy. Scale: distinct-key aggregates + an equi-join against the
+# ≤m-row broadcast position table; the ×4 seed expansion is the only
+# blowup. Parameters follow m/n ≈ 14 bits/key at this selectivity →
+# theoretical FPP (1-e^{-kn/m})^k ≈ 0.4%; the measured number is the
+# point of the op.
+_BLOOM_M = 131072
+_BLOOM_K = 4
+
+
+def _bloom_pos_ddb(i_sql: str, key_sql: str) -> str:
+    return (
+        _H.ddb_str_hash_fast(f"'bf' || CAST({i_sql} AS VARCHAR) || ':' || CAST({key_sql} AS VARCHAR)")
+        + f" % {_BLOOM_M}"
+    )
+
+
+@register(
+    "orders_bloom_join_prune",
+    f"""
+WITH members AS (
+  SELECT DISTINCT o_orderkey AS key FROM orders WHERE o_orderpriority = '1-URGENT'
+), seeds AS (
+  SELECT unnest(ARRAY[0, 1, 2, 3]) AS i
+), mpos AS (
+  SELECT DISTINCT {_bloom_pos_ddb('s.i', 'm.key')} AS pos
+  FROM members m CROSS JOIN seeds s
+), probe AS (
+  SELECT DISTINCT l_orderkey AS key FROM lineitem
+), ppos AS (
+  SELECT p.key, {_bloom_pos_ddb('s.i', 'p.key')} AS pos
+  FROM probe p CROSS JOIN seeds s
+), hit AS (
+  SELECT pp.key, CAST(count(*) AS BIGINT) AS nhit
+  FROM ppos pp JOIN mpos mp ON mp.pos = pp.pos
+  GROUP BY pp.key
+), truth AS (
+  SELECT p.key, CASE WHEN m.key IS NOT NULL THEN 1 ELSE 0 END AS is_member
+  FROM probe p LEFT JOIN members m ON m.key = p.key
+), agg AS (
+  SELECT CAST((SELECT count(*) FROM members) AS BIGINT) AS n_members,
+         CAST((SELECT count(*) FROM mpos) AS BIGINT) AS bits_set,
+         CAST((SELECT count(*) FROM probe) AS BIGINT) AS n_probe_keys,
+         CAST((SELECT sum(is_member) FROM truth) AS BIGINT) AS n_true_members,
+         CAST((SELECT count(*) FROM hit WHERE nhit = {_BLOOM_K}) AS BIGINT) AS n_pass
+)
+SELECT n_members, bits_set,
+       CAST(bits_set * 1000000 // {_BLOOM_M} AS BIGINT) AS occupancy_ppm,
+       n_probe_keys, n_true_members, n_pass,
+       n_pass - n_true_members AS n_false_pos,
+       CAST((n_pass - n_true_members) * 1000000
+            // greatest(n_probe_keys - n_true_members, 1) AS BIGINT) AS measured_fpp_ppm,
+       CAST((n_probe_keys - n_pass) * 1000000 // n_probe_keys AS BIGINT) AS prune_ratio_ppm
+FROM agg
+""",
+)
+def orders_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join pruning audit (B274): k=4/m=2^17 filter over the
+    urgent-order keys as a broadcastable position table, measured FPP and
+    prune ratio against the exact semi-join truth."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    seeds = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("i"))
+    pos_expr = F.expr(
+        _H.spark_str_hash_fast("concat('bf', cast(i as string), ':', cast(key as string))")
+        + f" % {_BLOOM_M}"
+    )
+    members = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("key"))
+        .distinct()
+    )
+    mpos = members.crossJoin(F.broadcast(seeds)).select(pos_expr.alias("pos")).distinct()
+    probe = li.select(F.col("l_orderkey").alias("key")).distinct()
+    ppos = probe.crossJoin(F.broadcast(seeds)).select("key", pos_expr.alias("pos"))
+    hit = (
+        ppos.join(F.broadcast(mpos), "pos")
+        .groupBy("key")
+        .agg(F.count("*").cast("long").alias("nhit"))
+    )
+    n_pass = hit.filter(F.col("nhit") == _BLOOM_K).agg(
+        F.count("*").cast("long").alias("n_pass")
+    )
+    truth = probe.join(members.withColumn("is_m", F.lit(1)), "key", "left")
+    stats = truth.agg(
+        F.count("*").cast("long").alias("n_probe_keys"),
+        F.sum(F.coalesce(F.col("is_m"), F.lit(0))).cast("long").alias("n_true_members"),
+    )
+    return (
+        members.agg(F.count("*").cast("long").alias("n_members"))
+        .crossJoin(F.broadcast(mpos.agg(F.count("*").cast("long").alias("bits_set"))))
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(n_pass))
+        .select(
+            "n_members",
+            "bits_set",
+            F.expr(f"bits_set * 1000000 div {_BLOOM_M}").cast("long").alias("occupancy_ppm"),
+            "n_probe_keys",
+            "n_true_members",
+            "n_pass",
+            (F.col("n_pass") - F.col("n_true_members")).alias("n_false_pos"),
+            F.expr(
+                "(n_pass - n_true_members) * 1000000"
+                " div greatest(n_probe_keys - n_true_members, 1)"
+            )
+            .cast("long")
+            .alias("measured_fpp_ppm"),
+            F.expr("(n_probe_keys - n_pass) * 1000000 div n_probe_keys")
+            .cast("long")
+            .alias("prune_ratio_ppm"),
+        )
+    )

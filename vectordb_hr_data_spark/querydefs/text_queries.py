@@ -2926,3 +2926,164 @@ def doc_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "quality_micro")
         .orderBy(F.col("n_tokens").desc(), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# B273: isotonic recalibration of the quality classifier (PAV) (r13)
+# ---------------------------------------------------------------------------
+# B178 MEASURES miscalibration (ECE); this op FIXES it: the standard
+# remedy is isotonic regression — the monotone step function closest in
+# weighted L2 to the per-bin empirical rates (Zadrozny & Elkan, KDD'02),
+# classically fit with the sequential pool-adjacent-violators pass.
+# Sequential is fine: PAV runs on the ≤20-row BIN AGGREGATE, never the
+# corpus — but a sequential stack is awkward to replay in SQL, so both
+# engines use the closed-form minimax identity instead:
+#
+#   fitted[k] = max_{i<=k} min_{j>=k} weightedMean(bins i..j)
+#
+# (Robertson-Wright-Dykstra, "Order Restricted Statistical Inference").
+# All (i, j) interval means come from one cumulative pass over the bin
+# table (<=210 pairs at 20 bins); the micro-FLOORED minimax equals
+# floor(exact PAV) because floor is monotone and so commutes with both
+# min and max over finite sets — the integer result is bit-exact on
+# both engines AND provably the floored real PAV fit (pytest pins this
+# against an exact-Fraction pool-adjacent-violators replay, plus the
+# monotonicity and weighted-mean-preservation laws). Scale: one doc
+# aggregate -> 20-bin table -> O(bins³) driver-free arithmetic on
+# broadcast frames.
+ISO_BINS = 20
+
+
+def _iso_scored_ddb() -> str:
+    return f"""
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), dtf AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS n FROM tf GROUP BY doc_id, t
+), wt AS (
+  SELECT doc_id, n,
+         {_clf_weight_ddb(H.ddb_str_hash_fast('t') + f" % {CLF_BUCKETS}")} AS wi
+  FROM dtf
+), agg AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens, CAST(sum(n * wi) AS BIGINT) AS s
+  FROM wt GROUP BY doc_id
+), scored AS (
+  SELECT a.doc_id,
+         CAST(round(1000000.0 / (1.0 + exp(-(a.s / {CLF_W_SCALE}.0 / a.n_tokens)))) AS BIGINT)
+           AS smicro,
+         CASE WHEN d.n_chars >= {CAL_LABEL_MIN_CHARS} THEN 1 ELSE 0 END AS y
+  FROM agg a JOIN documents d ON d.doc_id = a.doc_id
+"""
+
+
+@register(
+    "clf_isotonic_calibration",
+    f"""
+WITH tf AS ({_iso_scored_ddb()}), bins AS (
+  SELECT least(smicro * {ISO_BINS} // 1000000, {ISO_BINS - 1}) AS bin,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(smicro) // count(*) AS BIGINT) AS mean_conf_micro,
+         CAST(sum(y) AS BIGINT) AS pos
+  FROM scored GROUP BY bin
+), cum AS (
+  SELECT bin, n_docs, mean_conf_micro, pos,
+         sum(n_docs) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+         sum(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cp
+  FROM bins
+), pairs AS (
+  SELECT i.bin AS bi, j.bin AS bj,
+         (j.cp - (i.cp - i.pos)) * 1000000 // (j.cn - (i.cn - i.n_docs)) AS mean_micro
+  FROM cum i JOIN cum j ON i.bin <= j.bin
+), mk AS (
+  SELECT k.bin AS bin, p.bi, min(p.mean_micro) AS mn
+  FROM cum k JOIN pairs p ON p.bi <= k.bin AND p.bj >= k.bin
+  GROUP BY k.bin, p.bi
+), fit AS (
+  SELECT bin, CAST(max(mn) AS BIGINT) AS iso_fit_micro FROM mk GROUP BY bin
+)
+SELECT CAST(b.bin AS BIGINT) AS bin, b.n_docs, b.mean_conf_micro,
+       CAST(b.pos * 1000000 // b.n_docs AS BIGINT) AS emp_pos_micro,
+       f.iso_fit_micro
+FROM bins b JOIN fit f ON f.bin = b.bin
+ORDER BY b.bin
+""",
+)
+def clf_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) recalibration map for the B35 classifier (B273):
+    minimax closed form over the 20-bin reliability aggregate; the
+    floored fit is exactly floor(real PAV) by monotonicity of floor."""
+    d = read_table(spark, sf_dir, "documents")
+    dtf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wt = dtf.select(
+        "doc_id",
+        "n",
+        F.expr(_clf_weight_spark(H.spark_str_hash_fast("t") + f" % {CLF_BUCKETS}")).alias("wi"),
+    )
+    agg = wt.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum(F.col("n") * F.col("wi")).cast("long").alias("s"),
+    )
+    scored = agg.join(d.select("doc_id", "n_chars"), "doc_id").select(
+        F.round(
+            1000000.0 / (1.0 + F.exp(-(F.col("s") / float(CLF_W_SCALE) / F.col("n_tokens"))))
+        )
+        .cast("long")
+        .alias("smicro"),
+        F.when(F.col("n_chars") >= CAL_LABEL_MIN_CHARS, 1).otherwise(0).alias("y"),
+    )
+    bins = scored.groupBy(
+        F.least(F.expr(f"smicro * {ISO_BINS} div 1000000"), F.lit(ISO_BINS - 1))
+        .cast("long")
+        .alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("sum(smicro) div count(*)").cast("long").alias("mean_conf_micro"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin",
+        "n_docs",
+        "mean_conf_micro",
+        "pos",
+        F.sum("n_docs").over(w_cum).alias("cn"),
+        F.sum("pos").over(w_cum).alias("cp"),
+    )
+    ci = cum.select(
+        F.col("bin").alias("bi"),
+        (F.col("cp") - F.col("pos")).alias("cp0"),
+        (F.col("cn") - F.col("n_docs")).alias("cn0"),
+    )
+    pairs = (
+        F.broadcast(ci)
+        .join(F.broadcast(cum.select(F.col("bin").alias("bj"), F.col("cp").alias("cpj"), F.col("cn").alias("cnj"))), F.col("bi") <= F.col("bj"))
+        .select(
+            "bi",
+            "bj",
+            F.expr("(cpj - cp0) * 1000000 div (cnj - cn0)").alias("mean_micro"),
+        )
+    )
+    mk = (
+        F.broadcast(cum.select(F.col("bin")))
+        .join(
+            F.broadcast(pairs),
+            (F.col("bi") <= F.col("bin")) & (F.col("bj") >= F.col("bin")),
+        )
+        .groupBy("bin", "bi")
+        .agg(F.min("mean_micro").alias("mn"))
+    )
+    fit = mk.groupBy("bin").agg(F.max("mn").cast("long").alias("iso_fit_micro"))
+    return (
+        bins.join(F.broadcast(fit), "bin")
+        .select(
+            "bin",
+            "n_docs",
+            "mean_conf_micro",
+            F.expr("pos * 1000000 div n_docs").cast("long").alias("emp_pos_micro"),
+            "iso_fit_micro",
+        )
+        .orderBy("bin")
+    )
