@@ -212,3 +212,173 @@ def test_uplift_segments_partition_users(ddb):
         assert 0 <= r["conv_arm0"] <= r["users_arm0"]
         assert 0 <= r["conv_arm1"] <= r["users_arm1"]
         assert r["significant_95"] in (0, 1)
+
+
+# ---------------------------------------------------------------------------
+# B277 streaming bloom: replayed, duplicated, arbitrarily-batched key
+# deliveries converge to the batch-built position table EXACTLY (set
+# union absorbs even at-least-once redelivery).
+# ---------------------------------------------------------------------------
+
+
+def test_stream_bloom_append_converges_and_absorbs_redelivery(spark, sf_dir, tmp_path):
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.relational_queries import _BLOOM_K, _BLOOM_M
+    from vectordb_hr_data_spark.functions import texthash as _H
+    from vectordb_hr_data_spark.streaming.stream_ops import stream_bloom_append
+
+    orders = read_table(spark, sf_dir, "orders")
+    members = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("key"))
+        .distinct()
+    )
+    src = tmp_path / "bloom_src"
+    src.mkdir()
+    # three batches by key residue, plus batch 0 DELIVERED TWICE — the
+    # idempotence leg counting sinks cannot pass
+    splits = [0, 1, 2, 0]
+    for seq, residue in enumerate(splits):
+        part = members.filter(F.col("key") % 3 == residue)
+        tdir = str(tmp_path / f"bloom_part{seq}")
+        part.coalesce(1).write.parquet(tdir)
+        dst = str(src / f"f{seq}.parquet")
+        shutil.move(glob.glob(f"{tdir}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + seq * 60, 1_700_000_000 + seq * 60))
+    stream = (
+        spark.readStream.schema(members.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    )
+    state = str(tmp_path / "bloom_state")
+    stream_bloom_append(stream, state)
+
+    seeds = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("i"))
+    batch_pos = sorted(
+        r.pos
+        for r in members.crossJoin(F.broadcast(seeds))
+        .select(
+            F.expr(
+                _H.spark_str_hash_fast(
+                    "concat('bf', cast(i as string), ':', cast(key as string))"
+                )
+                + f" % {_BLOOM_M}"
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    streamed_pos = sorted(r.pos for r in spark.read.parquet(state).collect())
+    assert streamed_pos == batch_pos and len(streamed_pos) > 0
+
+
+# ---------------------------------------------------------------------------
+# B278 isotropy: the sum-vector identity must equal the brute-force mean
+# pairwise cosine it replaces (numpy replay over the quantized vectors).
+# ---------------------------------------------------------------------------
+
+
+def test_isotropy_identity_matches_bruteforce(ddb):
+    import numpy as np
+
+    rows = ddb.execute(
+        "SELECT list_transform(embedding, x -> CAST(round(x * 1000.0) AS BIGINT))"
+        " FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    n = len(X)
+    C = X - X.mean(axis=0)
+    U = np.round(C / np.linalg.norm(C, axis=1, keepdims=True) * 1_000_000)
+    G = U @ U.T
+    offdiag = (G.sum() - np.trace(G)) / (n * (n - 1))
+    want = int(np.floor(offdiag / 1_000_000))
+    got = _oracle_rows(ddb, "embedding_isotropy_audit")[0]
+    assert got["n_vectors"] == n
+    assert got["mean_offdiag_cos_micro"] == want
+    # unit-norm sanity: mean self-dot ~ 1e6 micro (quantization slack)
+    assert abs(got["mean_self_dot_micro"] - 1_000_000) < 1_000
+    # centered vectors sum to ~0, so the mean off-diagonal cosine must be
+    # (slightly) negative — the identity's signature
+    assert got["mean_offdiag_cos_micro"] < 0
+
+
+# ---------------------------------------------------------------------------
+# B279 audio framing: frame-count law + python RMS replay on sample docs.
+# ---------------------------------------------------------------------------
+
+
+def test_audio_frame_rms_laws(ddb):
+    import math
+
+    from vectordb_hr_data_spark.querydefs.similarity_queries import (
+        _FRAME_HOP,
+        _FRAME_MAX,
+        _FRAME_W,
+    )
+
+    rows = _oracle_rows(ddb, "multimodal_audio_frame_rms")
+    by_doc: dict[int, list[dict]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    texts = dict(ddb.execute("SELECT doc_id, text FROM documents").fetchall())
+    assert set(by_doc) == set(texts)
+    for doc_id in list(texts)[:20]:
+        text = texts[doc_id]
+        want_frames = min(max((len(text) - _FRAME_W) // _FRAME_HOP + 1, 1), _FRAME_MAX)
+        frames = sorted(by_doc[doc_id], key=lambda r: r["frame_idx"])
+        assert len(frames) == want_frames, (doc_id, len(frames), want_frames)
+        for fr in frames:
+            seg = text[fr["frame_idx"] * _FRAME_HOP : fr["frame_idx"] * _FRAME_HOP + _FRAME_W]
+            codes = [ord(ch) for ch in seg]
+            # ascii() stand-in decode: non-ASCII chars map per engine ascii()
+            if all(c < 128 for c in codes):
+                assert fr["n_samples"] == len(codes)
+                want_rms = math.floor(
+                    math.sqrt(sum(c * c for c in codes) / len(codes)) * 1_000_000 + 0.5
+                )
+                assert fr["rms_micro"] == want_rms, (doc_id, fr)
+                assert fr["peak_code"] == max(codes)
+
+
+# ---------------------------------------------------------------------------
+# B280 char entropy: Jensen bound H <= ln(n_distinct), zero for
+# single-char frames, and the gate threshold applied consistently.
+# ---------------------------------------------------------------------------
+
+
+def test_char_entropy_bounds(ddb):
+    import math
+
+    from vectordb_hr_data_spark.querydefs.text_queries import _ENTROPY_GATE_MICRONAT
+
+    rows = _oracle_rows(ddb, "doc_char_entropy_gate")
+    assert rows
+    for r in rows:
+        # weighted mean of once-rounded terms: ±1 micronat slack on the bound
+        assert 0 <= r["entropy_micronat"] <= round(math.log(r["n_distinct_chars"]) * 1e6) + 1
+        assert r["low_entropy_flag"] == (1 if r["entropy_micronat"] < _ENTROPY_GATE_MICRONAT else 0)
+    # natural-language fixture: the typical doc sits in the 2-4.5 nat band
+    med = sorted(r["entropy_micronat"] for r in rows)[len(rows) // 2]
+    assert 2_000_000 < med < 4_500_000
+
+
+# ---------------------------------------------------------------------------
+# B281 pack advisor: one advised config, token totals invariant across
+# budgets, bin count monotone non-increasing in budget.
+# ---------------------------------------------------------------------------
+
+
+def test_pack_config_advisor_laws(ddb):
+    rows = _oracle_rows(ddb, "pack_config_advisor")
+    assert [r["budget"] for r in rows] == [1024, 2048, 4096, 8192]
+    assert sum(r["advised"] for r in rows) == 1
+    assert len({r["total_tokens"] for r in rows}) == 1
+    nb = [r["n_bins"] for r in rows]
+    assert nb == sorted(nb, reverse=True)
+    for r in rows:
+        assert 0 <= r["overflow_tokens"] <= r["total_tokens"]
+        assert r["n_overflow_bins"] <= r["n_bins"]

@@ -4592,3 +4592,120 @@ def doc_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# B281: context-length packing advisor (the B12 algebra priced on a grid)
+# ---------------------------------------------------------------------------
+# Choosing a training context length is a measured decision, not a
+# default: at 1k the long docs overflow every bin, at 8k short-doc
+# corpora train on padding. This op replays the EXACT B12 packing
+# algebra (shard → prefix-sum → bin = floor((cum−n)/B)) across the
+# budget grid {1024, 2048, 4096, 8192} from ONE cumulative pass — the
+# running total is budget-independent, so the grid is a 4× explode of
+# the already-cumsum'd frame, never four corpus passes. Per budget:
+# bins, mean utilization, overflow bins/tokens (the boundary-doc spill
+# B12 documents), and the advised flag on the budget whose mean
+# utilization lands closest to 1.0 (tie → smaller context, cheaper
+# attention). The B238 advisor discipline: compose measured curves,
+# recommend mechanically. Scale: one windowed cumsum per shard + a
+# 4-budget bounded aggregate.
+PACK_ADVISOR_BUDGETS = (1024, 2048, 4096, 8192)
+
+
+@register(
+    "pack_config_advisor",
+    f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT shard, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+), grid AS (
+  SELECT unnest(ARRAY[{", ".join(str(b) for b in PACK_ADVISOR_BUDGETS)}]) AS b
+), bins AS (
+  SELECT g.b, c.shard,
+         CAST(floor(CAST(c.cum - c.n_tokens AS DOUBLE) / g.b) AS BIGINT) AS bin,
+         CAST(sum(c.n_tokens) AS BIGINT) AS sum_tokens
+  FROM c CROSS JOIN grid g
+  GROUP BY g.b, c.shard, bin
+), per AS (
+  SELECT b,
+         CAST(count(*) AS BIGINT) AS n_bins,
+         CAST(sum(sum_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(CASE WHEN sum_tokens > b THEN 1 ELSE 0 END) AS BIGINT) AS n_overflow_bins,
+         CAST(sum(CASE WHEN sum_tokens > b THEN sum_tokens - b ELSE 0 END) AS BIGINT)
+           AS overflow_tokens,
+         CAST(sum(sum_tokens) * 1000000 // (count(*) * b) AS BIGINT) AS mean_util_micro
+  FROM bins GROUP BY b
+)
+SELECT CAST(b AS BIGINT) AS budget, n_bins, total_tokens, n_overflow_bins, overflow_tokens,
+       mean_util_micro,
+       CAST(CASE WHEN row_number() OVER (ORDER BY abs(mean_util_micro - 1000000), b) = 1
+                 THEN 1 ELSE 0 END AS BIGINT) AS advised
+FROM per
+ORDER BY budget
+""",
+)
+def pack_config_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency curve over the context-length grid (B281) from
+    one budget-independent cumsum; advises the budget closest to full
+    utilization."""
+    d = read_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    grid = spark.createDataFrame([(b,) for b in PACK_ADVISOR_BUDGETS], "b int")
+    bins = (
+        c.crossJoin(F.broadcast(grid))
+        .groupBy(
+            "b",
+            "shard",
+            F.floor((F.col("cum") - F.col("n_tokens")).cast("double") / F.col("b"))
+            .cast("long")
+            .alias("bin"),
+        )
+        .agg(F.sum("n_tokens").cast("long").alias("sum_tokens"))
+    )
+    per = bins.groupBy("b").agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum("sum_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("sum_tokens") > F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_overflow_bins"),
+        F.sum(
+            F.when(F.col("sum_tokens") > F.col("b"), F.col("sum_tokens") - F.col("b")).otherwise(0)
+        )
+        .cast("long")
+        .alias("overflow_tokens"),
+        F.expr("sum(sum_tokens) * 1000000 div (count(*) * b)")
+        .cast("long")
+        .alias("mean_util_micro"),
+    )
+    w_adv = Window.orderBy(F.abs(F.col("mean_util_micro") - 1000000), "b")
+    return (
+        per.withColumn(
+            "advised",
+            F.when(F.row_number().over(w_adv) == 1, 1).otherwise(0).cast("long"),
+        )
+        .select(
+            F.col("b").cast("long").alias("budget"),
+            "n_bins",
+            "total_tokens",
+            "n_overflow_bins",
+            "overflow_tokens",
+            "mean_util_micro",
+            "advised",
+        )
+        .orderBy("budget")
+    )

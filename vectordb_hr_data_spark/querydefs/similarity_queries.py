@@ -4800,3 +4800,94 @@ def contrastive_pair_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id", "neg_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# B279: audio-style frame/hop windowing over an opaque sample stream (r13)
+# ---------------------------------------------------------------------------
+# The multimodal family (B8/B57/B198) treats payloads as opaque binary +
+# typed metadata; the missing DSP primitive is FRAMING — the w-sample
+# window sliding by hop samples that every audio feature (RMS energy,
+# MFCC, VAD) starts from. The Spark-side shape is the real contract
+# (per-doc bounded frame explode + a within-doc range join, never a
+# corpus-wide window); the sample decode is the documented deterministic
+# stand-in (code points of the text payload — the multimodal_* decode
+# seam, since audio codecs aren't in this container). Per frame: sample
+# count, integer-exact micro RMS (sqrt of the exact Σcode² mean), and
+# peak — the loudness ladder a silence-trim or VAD gate reads. Frames
+# per doc are capped (first 8) so the output is a bounded per-doc
+# ledger, the B57 frame-sample discipline. Scale: explode ≤ 288
+# positions + ≤ 8 frames per doc, join keyed on doc_id — co-partitioned,
+# no shuffle wider than the doc key.
+_FRAME_W = 64
+_FRAME_HOP = 32
+_FRAME_MAX = 8
+
+
+@register(
+    "multimodal_audio_frame_rms",
+    f"""
+WITH pos AS (
+  SELECT doc_id, CAST(i AS INT) AS p,
+         CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS code
+  FROM documents, unnest(range(1, least(length(text), {_FRAME_W + (_FRAME_MAX - 1) * _FRAME_HOP}) + 1)) AS t(i)
+), fr AS (
+  SELECT doc_id, CAST(f AS INT) AS frame_idx
+  FROM documents,
+       unnest(range(0, least(greatest((length(text) - {_FRAME_W}) // {_FRAME_HOP} + 1, 1), {_FRAME_MAX}))) AS t(f)
+)
+SELECT fr.doc_id, CAST(fr.frame_idx AS BIGINT) AS frame_idx,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(floor(sqrt(sum(pos.code * pos.code) * 1.0 / count(*)) * 1000000 + 0.5) AS BIGINT)
+         AS rms_micro,
+       CAST(max(pos.code) AS BIGINT) AS peak_code
+FROM fr JOIN pos ON pos.doc_id = fr.doc_id
+          AND pos.p >= fr.frame_idx * {_FRAME_HOP} + 1
+          AND pos.p <= fr.frame_idx * {_FRAME_HOP} + {_FRAME_W}
+GROUP BY fr.doc_id, fr.frame_idx
+ORDER BY fr.doc_id, frame_idx
+""",
+)
+def multimodal_audio_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/hop windowed RMS + peak over the deterministic sample
+    stand-in (B279) — the bounded per-doc framing explode every audio
+    feature extractor starts from."""
+    d = read_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(1, least(length(text), {_FRAME_W + (_FRAME_MAX - 1) * _FRAME_HOP}))")
+        ).alias("p"),
+        "text",
+    ).select(
+        "doc_id", "p", F.expr("cast(ascii(substring(text, p, 1)) as bigint)").alias("code")
+    )
+    fr = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"sequence(0, least(greatest((length(text) - {_FRAME_W}) div {_FRAME_HOP} + 1, 1),"
+                f" {_FRAME_MAX}) - 1)"
+            )
+        ).alias("frame_idx"),
+    )
+    return (
+        fr.join(
+            pos,
+            (fr["doc_id"] == pos["doc_id"])
+            & (F.col("p") >= F.col("frame_idx") * _FRAME_HOP + 1)
+            & (F.col("p") <= F.col("frame_idx") * _FRAME_HOP + _FRAME_W),
+        )
+        .groupBy(fr["doc_id"].alias("doc_id"), "frame_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_samples"),
+            F.expr("cast(floor(sqrt(sum(code * code) * 1.0 / count(*)) * 1000000 + 0.5) as bigint)")
+            .alias("rms_micro"),
+            F.max("code").cast("long").alias("peak_code"),
+        )
+        .select(
+            "doc_id", F.col("frame_idx").cast("long").alias("frame_idx"),
+            "n_samples", "rms_micro", "peak_code",
+        )
+        .orderBy("doc_id", "frame_idx")
+    )

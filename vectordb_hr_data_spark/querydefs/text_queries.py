@@ -3087,3 +3087,79 @@ def clf_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# B280: character-entropy quality gate (r13)
+# ---------------------------------------------------------------------------
+# The cheapest junk detector there is: keyboard-mash, base64 blobs, and
+# single-character padding all sit at the character-distribution
+# extremes that token-level gates (B10 repetition, B33 perplexity) are
+# too coarse to see. Shannon entropy of the per-doc character histogram
+# over the first 2000 chars (quality gates read prefixes — the corpus
+# profiling sampling discipline), in the exact B183 integer contract:
+# each char's −ln(p) rounds ONCE to micro-nats, the doc entropy is the
+# count-weighted integer mean, so both engines replay it bit-for-bit.
+# Gate: < 2.0 nats flags pathologically-concentrated text (natural
+# language sits ~3-4.3 nats/char). Scale: a bounded per-doc char
+# explode + two uniform groupBys — map-side, output |docs| rows.
+_ENTROPY_PREFIX_CHARS = 2000
+_ENTROPY_GATE_MICRONAT = 2_000_000
+
+
+@register(
+    "doc_char_entropy_gate",
+    f"""
+WITH ch AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS c
+  FROM documents, unnest(range(1, least(length(text), {_ENTROPY_PREFIX_CHARS}) + 1)) AS t(i)
+), dc AS (
+  SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY doc_id, c
+), tot AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS nt, CAST(count(*) AS BIGINT) AS n_distinct
+  FROM dc GROUP BY doc_id
+)
+SELECT d.doc_id, t.nt AS n_chars_counted, t.n_distinct AS n_distinct_chars,
+       CAST(sum(d.n * CAST(round(-ln(d.n * 1.0 / t.nt) * 1000000) AS BIGINT)) // t.nt
+            AS BIGINT) AS entropy_micronat,
+       CAST(CASE WHEN sum(d.n * CAST(round(-ln(d.n * 1.0 / t.nt) * 1000000) AS BIGINT)) // t.nt
+                      < {_ENTROPY_GATE_MICRONAT} THEN 1 ELSE 0 END AS BIGINT) AS low_entropy_flag
+FROM dc d JOIN tot t ON t.doc_id = d.doc_id
+GROUP BY d.doc_id, t.nt, t.n_distinct
+ORDER BY d.doc_id
+""",
+)
+def doc_char_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-distribution Shannon entropy in exact integer
+    micro-nats with the < 2-nat junk gate (B280)."""
+    d = read_table(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(1, least(length(text), {_ENTROPY_PREFIX_CHARS}))")
+        ).alias("i"),
+        "text",
+    ).select("doc_id", F.expr("substring(text, i, 1)").alias("c"))
+    dc = ch.groupBy("doc_id", "c").agg(F.count("*").cast("long").alias("n"))
+    tot = dc.groupBy("doc_id").agg(
+        F.sum("n").cast("long").alias("nt"), F.count("*").cast("long").alias("n_distinct")
+    )
+    ent = F.expr(
+        "sum(n * cast(round(-ln(n * 1.0 / nt) * 1000000) as bigint)) div nt"
+    ).cast("long")
+    return (
+        dc.join(tot, "doc_id")
+        .groupBy("doc_id", "nt", "n_distinct")
+        .agg(
+            ent.alias("entropy_micronat"),
+            F.when(ent < _ENTROPY_GATE_MICRONAT, 1).otherwise(0).cast("long").alias("low_entropy_flag"),
+        )
+        .select(
+            "doc_id",
+            F.col("nt").alias("n_chars_counted"),
+            F.col("n_distinct").alias("n_distinct_chars"),
+            "entropy_micronat",
+            "low_entropy_flag",
+        )
+        .orderBy("doc_id")
+    )

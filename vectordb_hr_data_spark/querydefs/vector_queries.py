@@ -3842,3 +3842,131 @@ def ivf_cell_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("merged_cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# B278: embedding isotropy audit — mean pairwise cosine WITHOUT pairs (r13)
+# ---------------------------------------------------------------------------
+# Anisotropic embedding spaces (everything crammed into a narrow cone —
+# the documented pathology of contextual encoders, Ethayarajh 2019)
+# break cosine retrieval: all similarities saturate high and ranking
+# collapses. The honest metric is the mean pairwise cosine of CENTERED,
+# normalized vectors — naively an n² join, which is exactly the shape
+# this repo bans. The identity Σ_{i≠j} ûᵢ·ûⱼ = ‖Σû‖² − Σ‖û‖² computes
+# it from ONE per-dimension sum: center on the exact milli-quantized
+# mean, normalize, micro-quantize (round — the house jaccard_round4
+# determinism discipline), then every term is exact integer arithmetic,
+# 128-bit where squares of per-dim sums live. Negative numerators make
+# truncating `div` diverge from DuckDB's flooring `//`, so both engines
+# use the portable floor form (a − ((a % b + b) % b)) / b. Also
+# reported: ‖μ‖ (the common-direction magnitude — the other anisotropy
+# number) and the mean self-dot (≈ 1e12 — the quantization sanity
+# check). Scale: two exploded passes + a |dim|-row aggregate; no pair
+# is ever materialized.
+@register(
+    "embedding_isotropy_audit",
+    """
+WITH e AS (
+  SELECT vec_id, CAST(i AS INT) - 1 AS dim,
+         CAST(round(embedding[CAST(i AS INT)] * 1000.0) AS BIGINT) AS e_milli
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), mu AS (
+  SELECT dim, CAST(sum(e_milli) AS BIGINT) AS sm, CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY dim
+), c AS (
+  SELECT e.vec_id, e.dim, e.e_milli * 1.0 - mu.sm * 1.0 / mu.n AS cd
+  FROM e JOIN mu ON mu.dim = e.dim
+), nrm AS (
+  SELECT vec_id, sum(cd * cd) AS norm2 FROM c GROUP BY vec_id
+), q AS (
+  SELECT c.vec_id, c.dim,
+         CASE WHEN nrm.norm2 = 0 THEN 0
+              ELSE CAST(round(c.cd / sqrt(nrm.norm2) * 1000000.0) AS BIGINT) END AS qd
+  FROM c JOIN nrm ON nrm.vec_id = c.vec_id
+), s AS (
+  SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n,
+         CAST(max(dim) + 1 AS BIGINT) AS d,
+         sum(CAST(qd AS HUGEINT) * qd) AS sqq
+  FROM q
+), sd AS (
+  SELECT CAST(sum(CAST(t.sd2 AS HUGEINT)) AS HUGEINT) AS ssd
+  FROM (SELECT dim, CAST(sum(qd) AS HUGEINT) * CAST(sum(qd) AS HUGEINT) AS sd2
+        FROM q GROUP BY dim) t
+), mun AS (
+  SELECT CAST(round(sqrt(sum((sm * 1.0 / n) * (sm * 1.0 / n))) * 1000.0) AS BIGINT)
+    AS mu_norm_micro
+  FROM mu
+)
+SELECT s.n AS n_vectors, s.d AS dim, mun.mu_norm_micro,
+       CAST((sd.ssd - s.sqq
+             - ((((sd.ssd - s.sqq) % (s.n * (s.n - 1) * 1000000))
+                 + s.n * (s.n - 1) * 1000000) % (s.n * (s.n - 1) * 1000000)))
+            / (s.n * (s.n - 1) * 1000000) AS BIGINT) AS mean_offdiag_cos_micro,
+       CAST(s.sqq / (s.n * 1000000) AS BIGINT) AS mean_self_dot_micro
+FROM s CROSS JOIN sd CROSS JOIN mun
+""",
+)
+def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean pairwise cosine of centered unit vectors via the sum-vector
+    identity (B278) — one per-dim pass, exact integers, portable floor
+    division for the (negative) off-diagonal numerator."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    dec = "decimal(38,0)"
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "ev")
+    ).select(
+        "vec_id", "dim", F.round(F.col("ev").cast("double") * 1000.0, 0).cast("long").alias("e_milli")
+    )
+    mu = e.groupBy("dim").agg(
+        F.sum("e_milli").cast("long").alias("sm"), F.count("*").cast("long").alias("n")
+    )
+    c = e.join(F.broadcast(mu), "dim").select(
+        "vec_id", "dim", (F.col("e_milli") * 1.0 - F.col("sm") * 1.0 / F.col("n")).alias("cd")
+    )
+    nrm = c.groupBy("vec_id").agg(F.sum(F.col("cd") * F.col("cd")).alias("norm2"))
+    q = c.join(nrm, "vec_id").select(
+        "vec_id",
+        "dim",
+        F.when(F.col("norm2") == 0, F.lit(0))
+        .otherwise(F.round(F.col("cd") / F.sqrt("norm2") * 1000000.0, 0))
+        .cast("long")
+        .alias("qd"),
+    )
+    s = q.agg(
+        F.countDistinct("vec_id").cast("long").alias("n"),
+        (F.max("dim") + 1).cast("long").alias("d"),
+        F.sum(F.expr("cast(qd as decimal(38,0)) * qd")).cast(dec).alias("sqq"),
+    )
+    sd = (
+        q.groupBy("dim")
+        .agg(F.sum("qd").cast("long").alias("sdm"))
+        .agg(F.sum(F.expr("cast(sdm as decimal(38,0)) * sdm")).cast(dec).alias("ssd"))
+    )
+    mun = mu.agg(
+        F.round(
+            F.sqrt(F.sum((F.col("sm") * 1.0 / F.col("n")) * (F.col("sm") * 1.0 / F.col("n"))))
+            * 1000.0,
+            0,
+        )
+        .cast("long")
+        .alias("mu_norm_micro")
+    )
+    return (
+        s.crossJoin(F.broadcast(sd))
+        .crossJoin(F.broadcast(mun))
+        .select(
+            F.col("n").alias("n_vectors"),
+            F.col("d").alias("dim"),
+            "mu_norm_micro",
+            F.expr(
+                "cast((ssd - sqq"
+                " - ((((ssd - sqq) % (cast(n as decimal(38,0)) * (n - 1) * 1000000))"
+                "     + cast(n as decimal(38,0)) * (n - 1) * 1000000)"
+                "    % (cast(n as decimal(38,0)) * (n - 1) * 1000000)))"
+                " / (cast(n as decimal(38,0)) * (n - 1) * 1000000) as bigint)"
+            ).alias("mean_offdiag_cos_micro"),
+            F.expr("cast(sqq div (cast(n as decimal(38,0)) * 1000000) as bigint)").alias(
+                "mean_self_dot_micro"
+            ),
+        )
+    )

@@ -2699,3 +2699,49 @@ def sessionize_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
         "n_events",
         (F.col("cents").cast("decimal(18,2)") / 100).cast("double").alias("total_value"),
     ).orderBy("user_id", "session_id")
+
+
+# ---------------------------------------------------------------------------
+# B277: streaming Bloom-filter maintenance (the B274 twin)
+# ---------------------------------------------------------------------------
+def stream_bloom_append(key_stream: DataFrame, state_path: str, key_col: str = "key") -> None:
+    """Streaming maintenance of the B274 Bloom position table: per
+    micro-batch the new keys' k seed positions merge into the persisted
+    distinct-position state. Set union is the textbook associative-
+    commutative-idempotent merge (a Bloom filter is an OR-fold), so
+    batch boundaries, arrival order, replays, and duplicate deliveries
+    cannot move the converged filter off the batch-built one — the
+    strongest of the mergeable-state guarantees (even at-least-once
+    redelivery is absorbed, where counting states need exactly-once).
+    Deletion is deliberately unsupported: a plain Bloom cannot retract
+    (that is the counting-filter variant's job); the filter only ever
+    grows toward more permissive, never incorrect. Scale: per batch
+    |batch|×k positions, distinct-merged into a ≤m-row state."""
+    from ..querydefs.relational_queries import _BLOOM_K, _BLOOM_M
+
+    from ..functions import texthash as _H
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        seeds = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("i"))
+        pos = (
+            batch_df.select(F.col(key_col).alias("key"))
+            .crossJoin(F.broadcast(seeds))
+            .select(
+                F.expr(
+                    _H.spark_str_hash_fast(
+                        "concat('bf', cast(i as string), ':', cast(key as string))"
+                    )
+                    + f" % {_BLOOM_M}"
+                ).alias("pos")
+            )
+            .distinct()
+        )
+        state = _read_state_or_none(spark, state_path, "stream_bloom_append")
+        merged = pos if state is None else state.unionByName(pos).distinct()
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+
+    q = key_stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
