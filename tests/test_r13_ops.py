@@ -382,3 +382,31 @@ def test_pack_config_advisor_laws(ddb):
     for r in rows:
         assert 0 <= r["overflow_tokens"] <= r["total_tokens"]
         assert r["n_overflow_bins"] <= r["n_bins"]
+
+
+# ---------------------------------------------------------------------------
+# B282 FK inference: the true TPC-H edges are accepted, the planted
+# non-edges rejected, and containment is consistent with the overlap.
+# ---------------------------------------------------------------------------
+
+
+def test_fk_inference_separates_edges_from_non_edges(ddb):
+    rows = {(r["child_col"], r["parent_col"]): r for r in _oracle_rows(ddb, "schema_fk_inference")}
+    true_edges = [
+        ("lineitem.l_orderkey", "orders.o_orderkey"),
+        ("orders.o_custkey", "customer.c_custkey"),
+        ("customer.c_nationkey", "nation.n_nationkey"),
+        ("supplier.s_nationkey", "nation.n_nationkey"),
+    ]
+    non_edges = [
+        ("orders.o_orderkey", "customer.c_custkey"),
+        ("part.p_size", "nation.n_nationkey"),
+    ]
+    for e in true_edges:
+        assert rows[e]["inferred_fk"] == 1, (e, rows[e])
+        assert rows[e]["fwd_containment_ppm"] == 1_000_000
+    for e in non_edges:
+        assert rows[e]["inferred_fk"] == 0, (e, rows[e])
+    for r in rows.values():
+        assert r["n_overlap"] <= min(r["n_child_distinct"], r["n_parent_distinct"])
+        assert 0 <= r["fwd_containment_ppm"] <= 1_000_000

@@ -82,7 +82,7 @@ PRIORITY: list[str] = [
     "events_timeseries_cv_folds",
     # r13 second batch (B278-B281), never driver-windowed
     "embedding_isotropy_audit", "multimodal_audio_frame_rms",
-    "doc_char_entropy_gate", "pack_config_advisor",
+    "doc_char_entropy_gate", "pack_config_advisor", "schema_fk_inference",
     # r11 rows-only threshold twins (no oracle rows; pytest-pinned)
     "dsir_importance_threshold", "quality_prep_threshold",
     # --- queries holding r7-r11 driver rows, stalest-first for later

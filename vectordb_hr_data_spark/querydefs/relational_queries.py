@@ -2389,3 +2389,95 @@ def orders_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("prune_ratio_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B282: inclusion-dependency inference — discovering the FK graph (r13)
+# ---------------------------------------------------------------------------
+# B259 AUDITS declared contracts; data discovery runs the other way —
+# on an undocumented lake you INFER which column pairs are join edges.
+# The classical signal is the inclusion coefficient |πA(R) ∩ πB(S)| /
+# |πA(R)|: ≈1 means A's values live inside B (an FK candidate), and
+# the asymmetry with the reverse direction separates parent from child.
+# This op measures a declared candidate grid over the TPC-H columns —
+# the true edges (lineitem→orders, orders→customer, customer→nation)
+# AND deliberate non-edges (supplier keys vs customer keys, sizes vs
+# keys) so the inferred flag has something to reject. Per pair:
+# distinct counts both sides, overlap, containment ppm both directions,
+# and the FK verdict (forward containment ≥ 99% AND the candidate
+# parent is the LESS numerous side's superset). Scale: per pair two
+# distinct-aggregates + one distinct-key join — map-side combines, no
+# pair touches more than its two columns.
+_IND_CANDIDATES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    # the REVERSE of a true edge — the asymmetry that separates parent
+    # from child (orderkeys are a strict superset of custkeys)
+    ("orders", "o_orderkey", "customer", "c_custkey"),
+    ("part", "p_size", "nation", "n_nationkey"),
+)
+_IND_THRESHOLD_PPM = 990_000
+
+
+def _ind_pair_ddb(ct, cc, pt, pc) -> str:
+    return f"""
+  SELECT '{ct}.{cc}' AS child_col, '{pt}.{pc}' AS parent_col,
+         CAST((SELECT count(DISTINCT {cc}) FROM {ct}) AS BIGINT) AS n_child_distinct,
+         CAST((SELECT count(DISTINCT {pc}) FROM {pt}) AS BIGINT) AS n_parent_distinct,
+         CAST((SELECT count(*) FROM (SELECT DISTINCT {cc} AS v FROM {ct}) c
+               JOIN (SELECT DISTINCT {pc} AS v FROM {pt}) p ON p.v = c.v) AS BIGINT) AS n_overlap
+"""
+
+
+@register(
+    "schema_fk_inference",
+    "SELECT child_col, parent_col, n_child_distinct, n_parent_distinct, n_overlap,\n"
+    "       CAST(n_overlap * 1000000 // n_child_distinct AS BIGINT) AS fwd_containment_ppm,\n"
+    "       CAST(n_overlap * 1000000 // n_parent_distinct AS BIGINT) AS rev_containment_ppm,\n"
+    f"       CAST(CASE WHEN n_overlap * 1000000 // n_child_distinct >= {_IND_THRESHOLD_PPM}\n"
+    "                 THEN 1 ELSE 0 END AS BIGINT) AS inferred_fk\n"
+    "FROM (\n"
+    + "\n  UNION ALL\n".join(_ind_pair_ddb(*cand) for cand in _IND_CANDIDATES)
+    + ")\nORDER BY child_col, parent_col",
+)
+def schema_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-coefficient FK discovery over the declared candidate
+    grid (B282): distinct-set containment both directions + the ≥99%
+    verdict; true TPC-H edges accepted, planted non-edges rejected
+    (pytest pins both)."""
+    out = None
+    for ct, cc, pt, pc in _IND_CANDIDATES:
+        child = read_table(spark, sf_dir, ct).select(F.col(cc).alias("v")).distinct()
+        parent = read_table(spark, sf_dir, pt).select(F.col(pc).alias("v")).distinct()
+        row = (
+            child.agg(F.count("*").cast("long").alias("n_child_distinct"))
+            .crossJoin(parent.agg(F.count("*").cast("long").alias("n_parent_distinct")))
+            .crossJoin(
+                child.join(parent, "v").agg(F.count("*").cast("long").alias("n_overlap"))
+            )
+            .select(
+                F.lit(f"{ct}.{cc}").alias("child_col"),
+                F.lit(f"{pt}.{pc}").alias("parent_col"),
+                "n_child_distinct",
+                "n_parent_distinct",
+                "n_overlap",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "child_col",
+        "parent_col",
+        "n_child_distinct",
+        "n_parent_distinct",
+        "n_overlap",
+        F.expr("n_overlap * 1000000 div n_child_distinct").cast("long").alias("fwd_containment_ppm"),
+        F.expr("n_overlap * 1000000 div n_parent_distinct").cast("long").alias("rev_containment_ppm"),
+        F.when(
+            F.expr("n_overlap * 1000000 div n_child_distinct") >= _IND_THRESHOLD_PPM, 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("inferred_fk"),
+    ).orderBy("child_col", "parent_col")
