@@ -410,3 +410,23 @@ def test_fk_inference_separates_edges_from_non_edges(ddb):
     for r in rows.values():
         assert r["n_overlap"] <= min(r["n_child_distinct"], r["n_parent_distinct"])
         assert 0 <= r["fwd_containment_ppm"] <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# B283 counting bloom: deletion cannot create false negatives among
+# SURVIVORS (a member's increments are only removed by its own delete),
+# and the estimator relations hold.
+# ---------------------------------------------------------------------------
+
+
+def test_counting_bloom_survivors_all_pass(ddb):
+    row = _oracle_rows(ddb, "orders_counting_bloom_delete")[0]
+    assert row["n_remaining_pass"] == row["n_remaining"], row
+    assert row["n_members"] == row["n_deleted"] + row["n_remaining"]
+    assert 0 <= row["n_deleted_pass"] <= row["n_deleted"]
+    assert 0 <= row["deleted_persistence_ppm"] <= 1_000_000
+    assert 0 <= row["measured_fpp_ppm"] <= 1_000_000
+    # deletions actually removed bits: net occupancy below the B274
+    # insert-only filter's occupancy
+    ins_only = _oracle_rows(ddb, "orders_bloom_join_prune")[0]
+    assert row["bits_net_set"] < ins_only["bits_set"]

@@ -2481,3 +2481,154 @@ def schema_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("inferred_fk"),
     ).orderBy("child_col", "parent_col")
+
+
+# ---------------------------------------------------------------------------
+# B283: counting Bloom filter — the deletion the plain filter can't do
+# ---------------------------------------------------------------------------
+# B274's filter only grows (B277 documents why: OR-state cannot
+# retract); real pruning filters track a CHURNING key set — the
+# counting variant stores per-position counters so a delete is a signed
+# decrement, the same retraction algebra as the B245 CDC folds. Built
+# here over the urgent-order keys with the fulfilled ('F') subset then
+# DELETED: (a) every REMAINING member still passes — the no-false-
+# negative theorem survives deletion because a member's own increments
+# can only be removed by its own delete (pytest); (b) deleted keys may
+# STILL pass when all their positions are shared with survivors —
+# false persistence, the counting filter's honest failure mode,
+# measured; (c) FPP vs true non-members, measured. State is a ≤m-row
+# (position, net) table — broadcastable, and net = ins − del is an
+# associative signed fold, so the filter is maintainable by the B245
+# streaming discipline. Scale: the B274 shapes plus one signed
+# aggregate.
+@register(
+    "orders_counting_bloom_delete",
+    f"""
+WITH members AS (
+  SELECT DISTINCT o_orderkey AS key, max(o_orderstatus) AS st
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_orderkey
+), seeds AS (
+  SELECT unnest(ARRAY[0, 1, 2, 3]) AS i
+), counters AS (
+  SELECT {_bloom_pos_ddb('s.i', 'm.key')} AS pos,
+         CAST(sum(1) AS BIGINT) AS cnt_ins,
+         CAST(sum(CASE WHEN m.st = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_del
+  FROM members m CROSS JOIN seeds s
+  GROUP BY pos
+), net AS (
+  SELECT pos FROM counters WHERE cnt_ins - cnt_del >= 1
+), probe AS (
+  SELECT DISTINCT l_orderkey AS key FROM lineitem
+), ppos AS (
+  SELECT p.key, {_bloom_pos_ddb('s.i', 'p.key')} AS pos
+  FROM probe p CROSS JOIN seeds s
+), hit AS (
+  SELECT pp.key, CAST(count(*) AS BIGINT) AS nhit
+  FROM ppos pp JOIN net ON net.pos = pp.pos
+  GROUP BY pp.key
+), truth AS (
+  SELECT p.key,
+         CASE WHEN m.st IS NULL THEN 'non' WHEN m.st = 'F' THEN 'del' ELSE 'rem' END AS cls,
+         CASE WHEN h.nhit = 4 THEN 1 ELSE 0 END AS pass
+  FROM probe p
+  LEFT JOIN members m ON m.key = p.key
+  LEFT JOIN hit h ON h.key = p.key
+), agg AS (
+  SELECT CAST(sum(CASE WHEN cls <> 'non' THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+         CAST(sum(CASE WHEN cls = 'del' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+         CAST(sum(CASE WHEN cls = 'rem' THEN 1 ELSE 0 END) AS BIGINT) AS n_remaining,
+         CAST((SELECT count(*) FROM net) AS BIGINT) AS bits_net_set,
+         CAST(sum(CASE WHEN cls = 'rem' THEN pass ELSE 0 END) AS BIGINT) AS n_remaining_pass,
+         CAST(sum(CASE WHEN cls = 'del' THEN pass ELSE 0 END) AS BIGINT) AS n_deleted_pass,
+         CAST(sum(CASE WHEN cls = 'non' THEN 1 ELSE 0 END) AS BIGINT) AS n_non_members,
+         CAST(sum(CASE WHEN cls = 'non' THEN pass ELSE 0 END) AS BIGINT) AS n_non_pass
+  FROM truth
+)
+SELECT n_members, n_deleted, n_remaining, bits_net_set,
+       n_remaining_pass, n_deleted_pass,
+       CAST(n_deleted_pass * 1000000 // greatest(n_deleted, 1) AS BIGINT)
+         AS deleted_persistence_ppm,
+       n_non_members,
+       CAST(n_non_pass * 1000000 // greatest(n_non_members, 1) AS BIGINT)
+         AS measured_fpp_ppm
+FROM agg
+""",
+)
+def orders_counting_bloom_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counting Bloom filter with the fulfilled subset deleted (B283):
+    signed per-position counters, remaining members all pass (theorem),
+    deleted-key false persistence and non-member FPP both measured."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    seeds = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("i"))
+    pos_expr = F.expr(
+        _H.spark_str_hash_fast("concat('bf', cast(i as string), ':', cast(key as string))")
+        + f" % {_BLOOM_M}"
+    )
+    members = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_orderkey").alias("key"))
+        .agg(F.max("o_orderstatus").alias("st"))
+    )
+    net = (
+        members.crossJoin(F.broadcast(seeds))
+        .groupBy(pos_expr.alias("pos"))
+        .agg(
+            F.count("*").cast("long").alias("cnt_ins"),
+            F.sum(F.when(F.col("st") == "F", 1).otherwise(0)).cast("long").alias("cnt_del"),
+        )
+        .filter(F.col("cnt_ins") - F.col("cnt_del") >= 1)
+        .select("pos")
+    )
+    probe = li.select(F.col("l_orderkey").alias("key")).distinct()
+    hit = (
+        probe.crossJoin(F.broadcast(seeds))
+        .select("key", pos_expr.alias("pos"))
+        .join(F.broadcast(net), "pos")
+        .groupBy("key")
+        .agg(F.count("*").cast("long").alias("nhit"))
+    )
+    truth = (
+        probe.join(members, "key", "left")
+        .join(hit, "key", "left")
+        .select(
+            F.when(F.col("st").isNull(), "non")
+            .when(F.col("st") == "F", "del")
+            .otherwise("rem")
+            .alias("cls"),
+            F.when(F.col("nhit") == _BLOOM_K, 1).otherwise(0).alias("pass"),
+        )
+    )
+    return (
+        truth.agg(
+            F.sum(F.when(F.col("cls") != "non", 1).otherwise(0)).cast("long").alias("n_members"),
+            F.sum(F.when(F.col("cls") == "del", 1).otherwise(0)).cast("long").alias("n_deleted"),
+            F.sum(F.when(F.col("cls") == "rem", 1).otherwise(0)).cast("long").alias("n_remaining"),
+            F.sum(F.when(F.col("cls") == "rem", F.col("pass")).otherwise(0))
+            .cast("long")
+            .alias("n_remaining_pass"),
+            F.sum(F.when(F.col("cls") == "del", F.col("pass")).otherwise(0))
+            .cast("long")
+            .alias("n_deleted_pass"),
+            F.sum(F.when(F.col("cls") == "non", 1).otherwise(0)).cast("long").alias("n_non_members"),
+            F.sum(F.when(F.col("cls") == "non", F.col("pass")).otherwise(0))
+            .cast("long")
+            .alias("n_non_pass"),
+        )
+        .crossJoin(F.broadcast(net.agg(F.count("*").cast("long").alias("bits_net_set"))))
+        .select(
+            "n_members",
+            "n_deleted",
+            "n_remaining",
+            "bits_net_set",
+            "n_remaining_pass",
+            "n_deleted_pass",
+            F.expr("n_deleted_pass * 1000000 div greatest(n_deleted, 1)")
+            .cast("long")
+            .alias("deleted_persistence_ppm"),
+            "n_non_members",
+            F.expr("n_non_pass * 1000000 div greatest(n_non_members, 1)")
+            .cast("long")
+            .alias("measured_fpp_ppm"),
+        )
+    )
