@@ -430,3 +430,77 @@ def test_counting_bloom_survivors_all_pass(ddb):
     # insert-only filter's occupancy
     ins_only = _oracle_rows(ddb, "orders_bloom_join_prune")[0]
     assert row["bits_net_set"] < ins_only["bits_set"]
+
+
+# ---------------------------------------------------------------------------
+# B283 streaming twin: the I/D key CDC replayed over batches converges
+# to the batch-built net counters; survivors pass, NULL op raises.
+# ---------------------------------------------------------------------------
+
+
+def test_stream_counting_bloom_converges_to_batch(spark, sf_dir, tmp_path):
+    import glob
+    import os
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.querydefs.relational_queries import _BLOOM_K, _BLOOM_M
+    from vectordb_hr_data_spark.functions import texthash as _H
+    from vectordb_hr_data_spark.streaming.stream_ops import stream_counting_bloom
+
+    orders = read_table(spark, sf_dir, "orders")
+    members = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_orderkey").alias("key"))
+        .agg(F.max("o_orderstatus").alias("st"))
+    )
+    # CDC log: insert every member, then delete the fulfilled subset
+    cdc = members.select(F.lit("I").alias("op"), "key").unionByName(
+        members.filter(F.col("st") == "F").select(F.lit("D").alias("op"), "key")
+    )
+    src = tmp_path / "cbf_src"
+    src.mkdir()
+    # batches split so some deletes arrive in earlier files than their
+    # inserts' siblings — order must not matter (signed sum)
+    for seq, residue in enumerate([0, 1, 2]):
+        part = cdc.filter(F.col("key") % 3 == residue)
+        tdir = str(tmp_path / f"cbf_part{seq}")
+        part.coalesce(1).write.parquet(tdir)
+        dst = str(src / f"f{seq}.parquet")
+        shutil.move(glob.glob(f"{tdir}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_700_000_000 + seq * 60, 1_700_000_000 + seq * 60))
+    stream = spark.readStream.schema(cdc.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    state = str(tmp_path / "cbf_state")
+    stream_counting_bloom(stream, state)
+
+    pos_expr = F.expr(
+        _H.spark_str_hash_fast("concat('bf', cast(i as string), ':', cast(key as string))")
+        + f" % {_BLOOM_M}"
+    )
+    seeds = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("i"))
+    batch_net = {
+        r.pos: r.net
+        for r in members.crossJoin(F.broadcast(seeds))
+        .groupBy(pos_expr.alias("pos"))
+        .agg(
+            F.sum(F.when(F.col("st") == "F", 0).otherwise(1)).cast("long").alias("net")
+        )
+        .filter(F.col("net") != 0)
+        .collect()
+    }
+    streamed_net = {r.pos: r.net for r in spark.read.parquet(state).collect()}
+    assert streamed_net == batch_net and len(streamed_net) > 0
+
+    # NULL op raises loudly
+    bad = spark.createDataFrame([(None, 7)], "op string, key long")
+    bsrc = tmp_path / "cbf_bad_src"
+    bsrc.mkdir()
+    tdir = str(tmp_path / "cbf_bad_part")
+    bad.coalesce(1).write.parquet(tdir)
+    shutil.move(glob.glob(f"{tdir}/part-*.parquet")[0], str(bsrc / "f0.parquet"))
+    bstream = spark.readStream.schema(bad.schema).option("maxFilesPerTrigger", 1).parquet(str(bsrc))
+    with _pytest.raises(Exception, match="op outside I/D"):
+        stream_counting_bloom(bstream, str(tmp_path / "cbf_bad_state"))

@@ -2745,3 +2745,65 @@ def stream_bloom_append(key_stream: DataFrame, state_path: str, key_col: str = "
 
     q = key_stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# B283 twin: streaming counting-Bloom maintenance over a churning key CDC
+# ---------------------------------------------------------------------------
+def stream_counting_bloom(cdc_stream: DataFrame, state_path: str) -> None:
+    """Streaming maintenance of the B283 counting filter from an I/D-
+    tagged key stream: per batch each key's k seed positions fold into
+    (pos, net) state BY SIGNED SUM — associative and commutative, so
+    batch boundaries, arrival order, and restarts cannot move the
+    converged counters (the stream_distinct_multiplicity discipline on
+    hash positions instead of pairs). Unknown or NULL op tags raise
+    loudly; net=0 rows are pruned (state bounded by LIVE positions, ≤m
+    rows). Unlike the plain-Bloom twin (B277) this one is NOT
+    redelivery-idempotent — a replayed insert double-counts — which is
+    exactly the counting filter's documented exactly-once requirement;
+    the plain filter trades deletion away to buy that idempotence."""
+    from ..querydefs.relational_queries import _BLOOM_K, _BLOOM_M
+
+    from ..functions import texthash as _H
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        n_bad = batch_df.filter(
+            F.col("op").isNull() | ~F.col("op").isin("I", "D")
+        ).count()
+        if n_bad:
+            raise RuntimeError(
+                f"stream_counting_bloom: {n_bad} rows with op outside I/D in epoch "
+                f"{epoch_id} — a dropped retraction corrupts the counters forever"
+            )
+        seeds = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("i"))
+        inc = (
+            batch_df.crossJoin(F.broadcast(seeds))
+            .groupBy(
+                F.expr(
+                    _H.spark_str_hash_fast(
+                        "concat('bf', cast(i as string), ':', cast(key as string))"
+                    )
+                    + f" % {_BLOOM_M}"
+                ).alias("pos")
+            )
+            .agg(
+                F.sum(F.when(F.col("op") == "I", 1).otherwise(-1))
+                .cast("long")
+                .alias("net")
+            )
+            .filter(F.col("net") != 0)
+        )
+        state = _read_state_or_none(spark, state_path, "stream_counting_bloom")
+        merged = inc if state is None else (
+            state.unionByName(inc)
+            .groupBy("pos")
+            .agg(F.sum("net").cast("long").alias("net"))
+            .filter(F.col("net") != 0)
+        )
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+
+    q = cdc_stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
