@@ -842,8 +842,24 @@ def test_new_op_plan_hygiene(spark, sf_dir):
     assert "TakeOrderedAndProject" in p1
     sched = p1.split("ReadSchema:")[1].splitlines()[0]
     assert "text" in sched and "n_chars" not in sched  # column pruning holds
+    # r13: rfm spills its user aggregate ONCE to a scratch parquet (the
+    # rank-range lifecycle fix), so the RETURNED plan re-roots at the
+    # spill — assert that re-root, and verify the purchase/value filter
+    # pushdown on the UPSTREAM plan that produces the spill instead
     p2 = events_user_rfm(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    assert "EqualTo(event_type,purchase)" in p2 and "IsNotNull(value)" in p2
+    assert "scratch-mat_rfm_users" in p2, "rfm no longer reads its one-shot spill"
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    up = (
+        ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("m_cents"))
+    )
+    p3 = up._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(event_type,purchase)" in p3 and "IsNotNull(value)" in p3
 
 
 def test_sliding_hll_tracks_exact(spark, sf_dir):
