@@ -504,3 +504,35 @@ def test_stream_counting_bloom_converges_to_batch(spark, sf_dir, tmp_path):
     bstream = spark.readStream.schema(bad.schema).option("maxFilesPerTrigger", 1).parquet(str(bsrc))
     with _pytest.raises(Exception, match="op outside I/D"):
         stream_counting_bloom(bstream, str(tmp_path / "cbf_bad_state"))
+
+
+# ---------------------------------------------------------------------------
+# B284 repeat spans: python sliding-window replay on sample docs, the
+# 2x bracketing law (dup at L implies dup at every shorter L), and the
+# window-count arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def test_repeat_span_profile_laws(ddb):
+    from vectordb_hr_data_spark.querydefs.text_queries import _REPEAT_LS, _REPEAT_PREFIX
+
+    rows = _oracle_rows(ddb, "doc_repeat_span_profile")
+    by_doc: dict[int, dict[int, dict]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["win_len"]] = r
+    texts = dict(ddb.execute("SELECT doc_id, text FROM documents").fetchall())
+    for doc_id, prof in list(by_doc.items())[:15]:
+        text = texts[doc_id][:_REPEAT_PREFIX]
+        for L, r in prof.items():
+            want_windows = max(min(len(texts[doc_id]), _REPEAT_PREFIX) - L + 1, 0)
+            assert r["n_windows"] == want_windows, (doc_id, L, r)
+            wins = [text[i : i + L] for i in range(want_windows)]
+            from collections import Counter
+
+            cnt = Counter(wins)
+            assert r["n_distinct"] == len(cnt)
+            assert r["n_dup_windows"] == sum(n for n in cnt.values() if n > 1)
+        # a duplicate at length L contains duplicates at every L' < L:
+        # dup flags are monotone non-increasing in window length
+        flags = [1 if prof[L]["n_dup_windows"] > 0 else 0 for L in sorted(prof)]
+        assert flags == sorted(flags, reverse=True), (doc_id, flags)

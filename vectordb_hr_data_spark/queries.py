@@ -83,7 +83,7 @@ PRIORITY: list[str] = [
     # r13 second batch (B278-B281), never driver-windowed
     "embedding_isotropy_audit", "multimodal_audio_frame_rms",
     "doc_char_entropy_gate", "pack_config_advisor", "schema_fk_inference",
-    "orders_counting_bloom_delete",
+    "orders_counting_bloom_delete", "doc_repeat_span_profile",
     # r11 rows-only threshold twins (no oracle rows; pytest-pinned)
     "dsir_importance_threshold", "quality_prep_threshold",
     # --- queries holding r7-r11 driver rows, stalest-first for later

@@ -3163,3 +3163,88 @@ def doc_char_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# B284: repeated-substring profile — rolling-hash window dedup per doc
+# ---------------------------------------------------------------------------
+# B10 counts repeated LINES and B34 repeated token n-grams; copy-paste
+# and templating artifacts live at the CHARACTER level and at many
+# lengths at once. The suffix-array answer (THE longest repeated
+# substring) is inherently sequential, but its decision version is not:
+# "does the doc repeat any window of length L?" is a hash-groupBy over
+# the doc's L-windows — so a FIXED GRID of L ∈ {8,16,32,64,128} over
+# the 2000-char prefix gives the repetition-by-scale profile (the
+# binary-search levels, evaluated together), and max L with a duplicate
+# brackets the true longest repeat within 2×. Window identity is the
+# md5 of the window text (the house content-hash discipline — exact,
+# collision-odds negligible at 2000 windows/doc). Per (doc, L):
+# windows, distinct windows, duplicated-window share. Scale: bounded
+# per-doc explode (≤5·2000 windows), map-side groupBy — the corpus is
+# touched once.
+_REPEAT_LS = (8, 16, 32, 64, 128)
+_REPEAT_PREFIX = 2000
+
+
+@register(
+    "doc_repeat_span_profile",
+    f"""
+WITH ls AS (
+  SELECT unnest(ARRAY[{", ".join(str(x) for x in _REPEAT_LS)}]) AS l
+), w AS (
+  SELECT d.doc_id, ls.l, md5(substr(d.text, CAST(i AS INT), ls.l)) AS wh
+  FROM documents d
+  CROSS JOIN ls
+  CROSS JOIN unnest(range(1, greatest(least(length(d.text), {_REPEAT_PREFIX}) - ls.l + 1, 0) + 1)) AS t(i)
+  WHERE length(d.text) >= ls.l
+), g AS (
+  SELECT doc_id, l, wh, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY doc_id, l, wh
+)
+SELECT doc_id, CAST(l AS BIGINT) AS win_len,
+       CAST(sum(n) AS BIGINT) AS n_windows,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) * 1000000 // sum(n) AS BIGINT)
+         AS dup_share_ppm
+FROM g
+GROUP BY doc_id, l
+ORDER BY doc_id, win_len
+""",
+)
+def doc_repeat_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-window repetition profile per doc across the length
+    grid (B284) — the decision version of longest-repeated-substring as
+    one bounded hash-groupBy; max duplicated L brackets the true
+    longest repeat within 2×."""
+    d = read_table(spark, sf_dir, "documents")
+    ls = spark.createDataFrame([(x,) for x in _REPEAT_LS], "l int")
+    w = (
+        d.crossJoin(F.broadcast(ls))
+        .filter(F.length("text") >= F.col("l"))
+        .select(
+            "doc_id",
+            "l",
+            F.explode(
+                F.expr(
+                    f"sequence(1, greatest(least(length(text), {_REPEAT_PREFIX}) - l + 1, 0))"
+                )
+            ).alias("i"),
+            "text",
+        )
+        .select("doc_id", "l", F.expr("md5(substring(text, i, l))").alias("wh"))
+    )
+    g = w.groupBy("doc_id", "l", "wh").agg(F.count("*").cast("long").alias("n"))
+    return (
+        g.groupBy("doc_id", F.col("l").cast("long").alias("win_len"))
+        .agg(
+            F.sum("n").cast("long").alias("n_windows"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+            F.expr("sum(CASE WHEN n > 1 THEN n ELSE 0 END) * 1000000 div sum(n)")
+            .cast("long")
+            .alias("dup_share_ppm"),
+        )
+        .orderBy("doc_id", "win_len")
+    )
