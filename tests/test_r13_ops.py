@@ -536,3 +536,89 @@ def test_repeat_span_profile_laws(ddb):
         # dup flags are monotone non-increasing in window length
         flags = [1 if prof[L]["n_dup_windows"] > 0 else 0 for L in sorted(prof)]
         assert flags == sorted(flags, reverse=True), (doc_id, flags)
+
+
+# ---------------------------------------------------------------------------
+# B287 Procrustes: R is orthogonal, recovers the PLANTED rotation, and
+# collapses the alignment error to the ripple floor.
+# ---------------------------------------------------------------------------
+
+
+def test_procrustes_recovers_planted_rotation(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.operators.opq import seeded_rotation
+    from vectordb_hr_data_spark.querydefs.vector_queries import embedding_procrustes_align
+
+    row = embedding_procrustes_align(spark, sf_dir).collect()[0]
+    assert row.err_after_micro < row.err_before_micro / 100, row
+    # the planted per-dim ripple is U{-3..3}/1000 per element: its mean
+    # square is (1/7)Σk²/10⁶·dim = 4·64/10⁶ = 256 micro — the floor the
+    # aligned error must sit near (alignment cannot beat the noise)
+    assert 100 <= row.err_after_micro <= 600, row
+
+    # independent numpy replay: the Procrustes solution recovers the
+    # planted rotation up to the noise
+    emb = read_table(spark, sf_dir, "embeddings")
+    X = np.array(
+        [r.e for r in emb.select(F.col("embedding").cast("array<double>").alias("e"))
+         .orderBy("vec_id").collect()]
+    )
+    dim = X.shape[1]
+    Rt = np.array(seeded_rotation(dim, seed=11))  # rows = output dims
+    Y = X @ Rt.T
+    M = X.T @ Y
+    u, _, vt = np.linalg.svd(M)
+    R = u @ vt
+    assert np.allclose(R.T @ R, np.eye(dim), atol=1e-9)
+    assert np.abs(R - Rt.T).max() < 1e-6, "Procrustes did not recover the planted rotation"
+
+
+# ---------------------------------------------------------------------------
+# B285 Apriori: the pruning ledger is consistent (candidates shrink at
+# every stage) and every reported triple's pairs are frequent.
+# ---------------------------------------------------------------------------
+
+
+def test_basket_triples_apriori_ledger(ddb):
+    rows = _oracle_rows(ddb, "basket_triple_mining")
+    assert rows
+    g = rows[0]
+    assert g["n_prefix_candidates"] >= g["n_face_pruned_candidates"] >= g["n_frequent_triples"]
+    assert g["n_frequent_triples"] >= len(rows) or len(rows) <= 10
+    for r in rows:
+        assert r["p1"] < r["p2"] < r["p3"]
+        assert 0 < r["conf_vs_pair_ppm"] <= 1_000_000
+    sups = [r["support"] for r in rows]
+    assert sups == sorted(sups, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# B286 sampling table: contiguous exact ranges, order by count, weights
+# equal round(c^0.75) via the sqrt(sqrt(c^3)) identity.
+# ---------------------------------------------------------------------------
+
+
+def test_negative_sampling_table_ranges(ddb):
+    import math
+
+    rows = _oracle_rows(ddb, "doc_negative_sampling_table")
+    n_vocab = ddb.execute(
+        "SELECT count(DISTINCT t) FROM (SELECT unnest(string_split(text, ' ')) t"
+        " FROM documents) WHERE t <> ''"
+    ).fetchone()[0]
+    assert len(rows) == min(200, n_vocab)
+    cum = 0
+    for r in rows:
+        assert r["cum_lo"] == cum and r["cum_hi"] == cum + r["w75"]
+        cum = r["cum_hi"]
+        assert r["w75"] == round(math.sqrt(math.sqrt(float(r["cnt"]) ** 3)))
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    # smoothing law: weight share is flatter than count share (the head
+    # is down-weighted relative to raw frequency)
+    tot_c = sum(cnts)
+    head = rows[0]
+    assert head["w75"] / cum < head["cnt"] / tot_c

@@ -84,6 +84,8 @@ PRIORITY: list[str] = [
     "embedding_isotropy_audit", "multimodal_audio_frame_rms",
     "doc_char_entropy_gate", "pack_config_advisor", "schema_fk_inference",
     "orders_counting_bloom_delete", "doc_repeat_span_profile",
+    "basket_triple_mining", "doc_negative_sampling_table",
+    "embedding_procrustes_align",
     # r11 rows-only threshold twins (no oracle rows; pytest-pinned)
     "dsir_importance_threshold", "quality_prep_threshold",
     # --- queries holding r7-r11 driver rows, stalest-first for later

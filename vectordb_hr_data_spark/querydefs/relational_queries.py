@@ -2632,3 +2632,122 @@ def orders_counting_bloom_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("measured_fpp_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B285: frequent-triple mining with the Apriori anti-monotone prune (r13)
+# ---------------------------------------------------------------------------
+# B164 mines pairs; the level-3 step is where naive mining dies at
+# scale — all triples from a 10⁶-item catalog is 10¹⁸ candidates. The
+# Apriori insight (anti-monotonicity: every subset of a frequent set is
+# frequent) generates candidates ONLY by joining frequent pairs sharing
+# a prefix, then pruning candidates whose third face pair is infrequent
+# — the candidate count is bounded by the frequent-pair structure, not
+# the catalog. The op REPORTS the pruning ledger (frequent pairs,
+# prefix-join candidates, face-pruned survivors) alongside the verified
+# top triples, so the scale claim is a measured number. Verification
+# joins lines three times ON THE CANDIDATE SET — the candidate table,
+# not the corpus, bounds the explode. Confidence is vs the (p1,p2)
+# antecedent pair.
+BASKET3_TOPN = 10
+
+
+@register(
+    "basket_triple_mining",
+    f"""
+WITH lines AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+), pairs AS (
+  SELECT a.pkey AS p1, b.pkey AS p2, CAST(count(*) AS BIGINT) AS support
+  FROM lines a JOIN lines b ON b.okey = a.okey AND b.pkey > a.pkey
+  GROUP BY a.pkey, b.pkey HAVING count(*) >= {BASKET_MIN_SUPPORT}
+), cand AS (
+  SELECT x.p1, x.p2, y.p2 AS p3, x.support AS s12
+  FROM pairs x JOIN pairs y ON y.p1 = x.p1 AND y.p2 > x.p2
+), pruned AS (
+  SELECT c.p1, c.p2, c.p3, c.s12
+  FROM cand c JOIN pairs f ON f.p1 = c.p2 AND f.p2 = c.p3
+), verified AS (
+  SELECT pr.p1, pr.p2, pr.p3, pr.s12, CAST(count(*) AS BIGINT) AS support
+  FROM pruned pr
+  JOIN lines l1 ON l1.pkey = pr.p1
+  JOIN lines l2 ON l2.okey = l1.okey AND l2.pkey = pr.p2
+  JOIN lines l3 ON l3.okey = l1.okey AND l3.pkey = pr.p3
+  GROUP BY pr.p1, pr.p2, pr.p3, pr.s12
+  HAVING count(*) >= {BASKET_MIN_SUPPORT}
+), ledger AS (
+  SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_frequent_pairs,
+         CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_prefix_candidates,
+         CAST((SELECT count(*) FROM pruned) AS BIGINT) AS n_face_pruned_candidates,
+         CAST((SELECT count(*) FROM verified) AS BIGINT) AS n_frequent_triples
+)
+SELECT v.p1, v.p2, v.p3, v.support,
+       CAST(v.support * 1000000 // v.s12 AS BIGINT) AS conf_vs_pair_ppm,
+       CAST(row_number() OVER (ORDER BY v.support DESC, v.p1, v.p2, v.p3) AS BIGINT) AS rnk,
+       g.n_frequent_pairs, g.n_prefix_candidates, g.n_face_pruned_candidates,
+       g.n_frequent_triples
+FROM verified v CROSS JOIN ledger g
+ORDER BY rnk LIMIT {BASKET3_TOPN}
+""",
+)
+def basket_triple_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori level-3: frequent triples via prefix-join candidate
+    generation + face-pair pruning, with the measured pruning ledger
+    (B285); verification bounded by the candidate set."""
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    lines = lineitem.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    ).distinct()
+    a, b = lines.alias("a"), lines.alias("b")
+    pairs = (
+        a.join(b, (F.col("b.okey") == F.col("a.okey")) & (F.col("b.pkey") > F.col("a.pkey")))
+        .groupBy(F.col("a.pkey").alias("p1"), F.col("b.pkey").alias("p2"))
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+    x = pairs.select(F.col("p1"), F.col("p2"), F.col("support").alias("s12"))
+    y = pairs.select(F.col("p1").alias("yp1"), F.col("p2").alias("p3"))
+    cand = x.join(y, (F.col("yp1") == F.col("p1")) & (F.col("p3") > F.col("p2"))).drop("yp1")
+    faces = pairs.select(F.col("p1").alias("fp1"), F.col("p2").alias("fp2"))
+    pruned = cand.join(
+        faces, (F.col("fp1") == F.col("p2")) & (F.col("fp2") == F.col("p3")), "left_semi"
+    )
+    l1 = lines.select(F.col("okey"), F.col("pkey").alias("k1"))
+    l2 = lines.select(F.col("okey").alias("o2"), F.col("pkey").alias("k2"))
+    l3 = lines.select(F.col("okey").alias("o3"), F.col("pkey").alias("k3"))
+    verified = (
+        pruned.join(l1, F.col("k1") == F.col("p1"))
+        .join(l2, (F.col("o2") == F.col("okey")) & (F.col("k2") == F.col("p2")))
+        .join(l3, (F.col("o3") == F.col("okey")) & (F.col("k3") == F.col("p3")))
+        .groupBy("p1", "p2", "p3", "s12")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+    ledger = (
+        pairs.agg(F.count("*").cast("long").alias("n_frequent_pairs"))
+        .crossJoin(F.broadcast(cand.agg(F.count("*").cast("long").alias("n_prefix_candidates"))))
+        .crossJoin(
+            F.broadcast(pruned.agg(F.count("*").cast("long").alias("n_face_pruned_candidates")))
+        )
+        .crossJoin(
+            F.broadcast(verified.agg(F.count("*").cast("long").alias("n_frequent_triples")))
+        )
+    )
+    w = Window.orderBy(F.col("support").desc(), "p1", "p2", "p3")
+    return (
+        verified.crossJoin(F.broadcast(ledger))
+        .select(
+            "p1",
+            "p2",
+            "p3",
+            "support",
+            F.expr("support * 1000000 div s12").cast("long").alias("conf_vs_pair_ppm"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+            "n_frequent_pairs",
+            "n_prefix_candidates",
+            "n_face_pruned_candidates",
+            "n_frequent_triples",
+        )
+        .orderBy("rnk")
+        .limit(BASKET3_TOPN)
+    )

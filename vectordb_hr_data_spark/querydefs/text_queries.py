@@ -3248,3 +3248,92 @@ def doc_repeat_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "win_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# B286: negative-sampling table (unigram^0.75) with integer sampling ranges
+# ---------------------------------------------------------------------------
+# Contrastive training (word2vec negatives, hard-negative mixing,
+# retrieval pre-training) samples from the smoothed unigram U(w)^0.75 —
+# the classical temper that up-weights the tail without letting the
+# head dominate. This op materializes the sampling TABLE: top-200
+# vocabulary with the smoothed weight, its ppm share, and CUMULATIVE
+# integer ranges [cum_lo, cum_hi) so a sampler draws one uniform
+# integer and binary-searches a 200-row broadcast table — no float RNG
+# in the hot path, reproducible by construction. Determinism across
+# engines: c^0.75 = sqrt(sqrt(c³)) using only IEEE-correctly-rounded
+# ops (sqrt is exact-rounded by the standard; pow/exp are NOT), rounded
+# ONCE. Scale: one token count, one top-k, windows over the 200-row
+# aggregate.
+NEG_SAMPLE_VOCAB = 200
+
+
+@register(
+    "doc_negative_sampling_table",
+    f"""
+WITH tf AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+), cnt AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c FROM tf WHERE t <> '' GROUP BY t
+), top AS (
+  SELECT t, c FROM (
+    SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS rn FROM cnt
+  ) WHERE rn <= {NEG_SAMPLE_VOCAB}
+), w AS (
+  SELECT t, c,
+         CAST(round(sqrt(sqrt(CAST(c AS DOUBLE) * c * c))) AS BIGINT) AS w75
+  FROM top
+), s AS (
+  SELECT t, c, w75,
+         CAST(sum(w75) OVER () AS BIGINT) AS tot,
+         CAST(coalesce(sum(w75) OVER (ORDER BY c DESC, t
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_lo
+  FROM w
+)
+SELECT t AS token, c AS cnt, w75,
+       CAST(w75 * 1000000 // tot AS BIGINT) AS weight_ppm,
+       cum_lo, CAST(cum_lo + w75 AS BIGINT) AS cum_hi
+FROM s
+ORDER BY cnt DESC, token
+""",
+)
+def doc_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram^0.75 negative-sampling table with exact integer
+    cumulative ranges (B286) — sqrt(sqrt(c³)) keeps the smoothing
+    engine-deterministic where pow() is not."""
+    d = read_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    w_top = Window.orderBy(F.col("c").desc(), "t")
+    top = cnt.withColumn("rn", F.row_number().over(w_top)).filter(
+        F.col("rn") <= NEG_SAMPLE_VOCAB
+    )
+    w = top.select(
+        "t",
+        "c",
+        F.round(F.sqrt(F.sqrt(F.col("c").cast("double") * F.col("c") * F.col("c"))))
+        .cast("long")
+        .alias("w75"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy(F.col("c").desc(), "t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        w.withColumn("tot", F.sum("w75").over(w_all).cast("long"))
+        .withColumn("cum_lo", F.coalesce(F.sum("w75").over(w_cum), F.lit(0)).cast("long"))
+        .select(
+            F.col("t").alias("token"),
+            F.col("c").alias("cnt"),
+            "w75",
+            F.expr("w75 * 1000000 div tot").cast("long").alias("weight_ppm"),
+            "cum_lo",
+            (F.col("cum_lo") + F.col("w75")).cast("long").alias("cum_hi"),
+        )
+        .orderBy(F.col("cnt").desc(), "token")
+    )

@@ -3970,3 +3970,80 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B287: orthogonal Procrustes alignment of two embedding spaces (r13)
+# ---------------------------------------------------------------------------
+# The cross-encoder/model-migration staple (and the MUSE cross-lingual
+# trick): given the SAME items embedded by two models, the best
+# rotation mapping space A onto space B is the orthogonal Procrustes
+# solution R = UVᵀ from the SVD of the d×d cross-covariance XᵀY —
+# computable at any corpus size because the ONLY driver-side object is
+# that bounded d×d matrix (one map-side aggregate over (dim_a, dim_b)
+# pairs; the corpus is touched twice: the aggregate and the error
+# passes). Space B here is the house seeded rotation of space A plus a
+# deterministic per-dim ripple — a known ground truth, so the pytest
+# can assert R recovers the planted rotation, not just that error
+# fell. Alignment error is the mean squared residual ‖XR − Y‖²/n,
+# micro-rounded, before vs after. SVD is not SQL-expressible →
+# rows-only + pytest (orthogonality, error collapse, planted-rotation
+# recovery), the B38/B26 discipline.
+@register("embedding_procrustes_align", None)
+def embedding_procrustes_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.opq import rotate_fold_arrow, seeded_rotation
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    r_true = seeded_rotation(dim, seed=11)
+    # space A = the corpus; space B = planted rotation + deterministic
+    # per-dim ripple (vec_id-seeded, milli-scale) so recovery is non-trivial
+    x = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("xv"))
+    y = x.select(
+        "vec_id",
+        rotate_fold_arrow("xv", r_true).alias("yv0"),
+    ).select(
+        "vec_id",
+        F.expr(
+            "transform(yv0, (e, i) -> e + cast(pmod(vec_id * 31 + i, 7) - 3 as double) / 1000.0)"
+        ).alias("yv"),
+    )
+    pairs = x.join(y, "vec_id").select("vec_id", "xv", "yv")
+    # d×d cross-covariance: explode both sides once, aggregate map-side
+    m = (
+        pairs.select(
+            F.posexplode("xv").alias("di", "xe"), F.col("yv")
+        )
+        .select("di", "xe", F.posexplode("yv").alias("dj", "ye"))
+        .groupBy("di", "dj")
+        .agg(F.sum(F.col("xe") * F.col("ye")).alias("m"))
+    )
+    M = np.zeros((dim, dim))
+    for r in m.collect():
+        M[r.di][r.dj] = r.m
+    u, _, vt = np.linalg.svd(M)
+    R = (u @ vt).tolist()  # (dim, dim): maps x -> y, applied as rotate(x, R^T rows)
+    rot_rows = [[float(R[i][j]) for i in range(dim)] for j in range(dim)]  # row k = output k
+    aligned = pairs.select("vec_id", rotate_fold_arrow("xv", rot_rows).alias("xr"), "yv", "xv")
+    err = aligned.select(
+        F.expr(
+            "aggregate(zip_with(xr, yv, (a, b) -> (a - b) * (a - b)), cast(0.0 as double),"
+            " (acc, e) -> acc + e)"
+        ).alias("e_after"),
+        F.expr(
+            "aggregate(zip_with(xv, yv, (a, b) -> (a - b) * (a - b)), cast(0.0 as double),"
+            " (acc, e) -> acc + e)"
+        ).alias("e_before"),
+    ).agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.round(F.avg("e_before") * 1000000).cast("long").alias("err_before_micro"),
+        F.round(F.avg("e_after") * 1000000).cast("long").alias("err_after_micro"),
+    )
+    return err.select(
+        "n_vectors",
+        F.lit(dim).cast("long").alias("dim"),
+        "err_before_micro",
+        "err_after_micro",
+    )
