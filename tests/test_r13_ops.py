@@ -136,17 +136,30 @@ def test_obf_sequential_monotonicity(ddb):
 def test_ips_policy_eval_identities(ddb):
     rows = {r["policy"]: r for r in _oracle_rows(ddb, "events_ips_policy_eval")}
     assert set(rows) == {"mode", "value"}
-    n_events = ddb.execute("SELECT count(*) FROM events").fetchone()[0]
+    # propensities come from the full log; the estimator folds over the
+    # deterministic even-event_id eval half (ADVICE r13 de-degeneration)
+    n_eval = ddb.execute(
+        "SELECT count(*) FROM events WHERE event_id % 2 = 0"
+    ).fetchone()[0]
     for r in rows.values():
-        assert r["n_events"] == n_events
-        assert 0 < r["n_matched"] <= n_events
-        # ESS of a weighted estimate never exceeds the raw sample size
-        assert 0 < r["ess_milli"] <= 1000 * n_events
-        assert r["ips_value_micro"] <= r["snips_value_micro"] or r["n_matched"] == n_events
-    # SNIPS is the n_seg-weighted mean of matched per-segment mean rewards;
-    # 'value' argmaxes that per segment, so it dominates 'mode' up to the
-    # per-group micro-floor (≤1 micro per cohort, 4 cohorts)
-    assert rows["value"]["snips_value_micro"] >= rows["mode"]["snips_value_micro"] - 4
+        assert r["n_events"] == n_eval
+        assert 0 < r["n_matched"] <= n_eval
+        # Cauchy-Schwarz: ESS = (Σw)²/Σw² never exceeds the count of
+        # non-zero-weight rows (the matched eval rows)
+        assert 0 < r["ess_milli"] <= 1000 * r["n_matched"]
+        # SNIPS and IPS estimate the same quantity; the realized weight
+        # mass fluctuates O(1/√n) around n_eval, so they track within 15%
+        hi = max(r["ips_value_micro"], r["snips_value_micro"])
+        assert abs(r["ips_value_micro"] - r["snips_value_micro"]) <= 0.15 * hi
+        # the de-degeneration witness: under the half-log fold Σw ≠ n_eval,
+        # so SNIPS carries information IPS does not (pre-fix they were equal
+        # by construction for every policy)
+    assert any(
+        r["ips_value_micro"] != r["snips_value_micro"] for r in rows.values()
+    )
+    # on this corpus the full-log value-argmax still wins on the half-log
+    # estimate (empirical pin, no longer a per-construction theorem)
+    assert rows["value"]["snips_value_micro"] >= rows["mode"]["snips_value_micro"]
 
 
 # ---------------------------------------------------------------------------
@@ -299,8 +312,10 @@ def test_isotropy_identity_matches_bruteforce(ddb):
     got = _oracle_rows(ddb, "embedding_isotropy_audit")[0]
     assert got["n_vectors"] == n
     assert got["mean_offdiag_cos_micro"] == want
-    # unit-norm sanity: mean self-dot ~ 1e6 micro (quantization slack)
-    assert abs(got["mean_self_dot_micro"] - 1_000_000) < 1_000
+    # unit-norm sanity gate: |sqq − n·1e12| ≤ n·1e7 — the raw micro mean
+    # sits exactly on the 1e6 grain boundary, so the drift-tolerant gate
+    # replaced it (ADVICE r14)
+    assert got["self_dot_ok"] == 1
     # centered vectors sum to ~0, so the mean off-diagonal cosine must be
     # (slightly) negative — the identity's signature
     assert got["mean_offdiag_cos_micro"] < 0

@@ -848,16 +848,12 @@ def test_new_op_plan_hygiene(spark, sf_dir):
     # pushdown on the UPSTREAM plan that produces the spill instead
     p2 = events_user_rfm(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "scratch-mat_rfm_users" in p2, "rfm no longer reads its one-shot spill"
-    from pyspark.sql import functions as F
+    # audit the ACTUAL spill-producing plan, not a hand-rebuilt equivalent
+    # (ADVICE r13): rfm_user_features IS the frame events_user_rfm hands to
+    # materialize_scratch
+    from vectordb_hr_data_spark.querydefs.event_queries import rfm_user_features
 
-    from vectordb_hr_data_spark.io import read_table
-
-    ev = read_table(spark, sf_dir, "events")
-    up = (
-        ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
-        .groupBy("user_id")
-        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("m_cents"))
-    )
+    up = rfm_user_features(spark, sf_dir)
     p3 = up._jdf.queryExecution().executedPlan().toString()
     assert "EqualTo(event_type,purchase)" in p3 and "IsNotNull(value)" in p3
 

@@ -1942,6 +1942,27 @@ def rfm_quintile_scores(u: DataFrame) -> DataFrame:
 # engines; higher = better, so recency orders DESC). Scale shape: one
 # user-keyed groupBy; the three quintiles run the exact-rank two-form
 # (rfm_quintile_scores -> with_exact_ntile), never a global window.
+def rfm_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-spill (user_id, r_days, f_n, m_cents) aggregate
+    ``events_user_rfm`` writes to its one-shot scratch parquet — exposed
+    so the pushdown plan test audits the ACTUAL spill-producing plan
+    rather than a hand-reconstructed equivalent (ADVICE r13)."""
+    ev = read_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("t1"))
+    return (
+        ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.expr("(max(t1) - max(unix_micros(ts))) div 86400000000")
+            .cast("long")
+            .alias("r_days"),
+            F.count("*").cast("long").alias("f_n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("m_cents"),
+        )
+    )
+
+
 @register(
     "events_user_rfm",
     """
@@ -1967,21 +1988,7 @@ def events_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user RFM features + quintile scores over valued purchases
     (B113) — exact integer recency/frequency/monetary, deterministic
     quintiles via the exact-rank two-form (no corpus-global window)."""
-    ev = read_table(spark, sf_dir, "events")
-    mx = ev.agg(F.max(F.unix_micros("ts")).alias("t1"))
-    u = (
-        ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
-        .crossJoin(F.broadcast(mx))
-        .groupBy("user_id")
-        .agg(
-            F.expr("(max(t1) - max(unix_micros(ts))) div 86400000000")
-            .cast("long")
-            .alias("r_days"),
-            F.count("*").cast("long").alias("f_n"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("m_cents"),
-        )
-    )
-    return rfm_quintile_scores(u)
+    return rfm_quintile_scores(rfm_user_features(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -6819,29 +6826,38 @@ def events_obf_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # empirical in-cohort action share. Two candidate policies are priced:
 # the cohort's modal action and its max-mean-value action (both argmax
 # over the bounded (cohort, action) aggregate with smallest-action tie
-# breaks). Reported per policy: the IPS value per logged event, the
-# self-normalized SNIPS value (bias-variance tradeoff twin), and the
-# effective sample size (Σw)²/Σw² — the honesty number that exposes a
-# high-variance estimate riding on a few heavily-weighted rows. All
-# arithmetic exact-integer: weights enter as the rational n_seg/c folded
-# group-wise with ONE floor per (cohort, action) group (documented
-# determinism over last-bit float drift), 128-bit on both engines.
-# Scale: one (cohort, action) aggregate — ≤ |cohorts|·|actions| rows —
-# then arithmetic; never a per-event reweighting pass.
+# breaks). Propensities and policies are learned on the FULL log; the
+# estimator folds over the EVEN-event_id eval half only (a deterministic
+# 1/2 Bernoulli thinning), so the realized weight mass Σw fluctuates
+# around n_eval instead of telescoping to it — under a deterministic
+# argmax policy evaluated on the full log, every segment's matched mass
+# is exactly n_seg and SNIPS degenerates to IPS by construction (ADVICE
+# r13); the half-log split is what makes the self-normalized SNIPS and
+# the (Σw)²/Σw² effective sample size carry information. All arithmetic
+# exact-integer: weights enter as the rational n_seg/c folded group-wise
+# with ONE floor per (cohort, action) group (documented determinism over
+# last-bit float drift), 128-bit on both engines. Scale: two bounded
+# (cohort, action) aggregates — ≤ |cohorts|·|actions| rows each — then
+# arithmetic; never a per-event reweighting pass.
 @register(
     "events_ips_policy_eval",
     """
 WITH e AS (
-  SELECT user_id % 4 AS seg, event_type AS act,
+  SELECT event_id, user_id % 4 AS seg, event_type AS act,
          CAST(round(value * 100) AS BIGINT) AS cents
   FROM events
 ), g AS (
-  SELECT seg, act, CAST(count(*) AS BIGINT) AS c, CAST(sum(cents) AS BIGINT) AS r
+  SELECT seg, act, CAST(count(*) AS BIGINT) AS c,
+         CAST(coalesce(sum(cents), 0) AS BIGINT) AS r
   FROM e GROUP BY seg, act
+), h AS (
+  SELECT seg, act, CAST(count(*) AS BIGINT) AS ch,
+         CAST(coalesce(sum(cents), 0) AS BIGINT) AS rh
+  FROM e WHERE event_id % 2 = 0 GROUP BY seg, act
 ), nseg AS (
   SELECT seg, CAST(sum(c) AS BIGINT) AS n_seg FROM g GROUP BY seg
 ), tot AS (
-  SELECT CAST(sum(c) AS BIGINT) AS n_total FROM g
+  SELECT CAST(count(*) AS BIGINT) AS n_eval FROM e WHERE event_id % 2 = 0
 ), pol AS (
   SELECT 'mode' AS policy, seg, act FROM (
     SELECT seg, act, row_number() OVER (PARTITION BY seg ORDER BY c DESC, act) AS rn
@@ -6853,39 +6869,52 @@ WITH e AS (
     FROM g) WHERE rn = 1
 ), m AS (
   SELECT p.policy,
-         CAST(sum(g.c) AS BIGINT) AS n_matched,
-         CAST(sum(ns.n_seg) AS BIGINT) AS sum_w,
-         sum(CAST(g.r AS HUGEINT) * ns.n_seg * 1000000 // g.c) AS ips_num_micro,
-         sum(CAST(ns.n_seg AS HUGEINT) * ns.n_seg * 1000000 // g.c) AS w2_micro
+         CAST(sum(h.ch) AS BIGINT) AS n_matched,
+         sum(CAST(h.ch AS HUGEINT) * ns.n_seg * 1000000 // g.c) AS sum_w_micro,
+         sum(CAST(h.rh AS HUGEINT) * ns.n_seg * 1000000 // g.c) AS ips_num_micro,
+         sum(CAST(h.ch AS HUGEINT) * ns.n_seg * ns.n_seg * 1000000
+             // (CAST(g.c AS HUGEINT) * g.c)) AS w2_micro
   FROM pol p
   JOIN g ON g.seg = p.seg AND g.act = p.act
+  JOIN h ON h.seg = p.seg AND h.act = p.act
   JOIN nseg ns ON ns.seg = p.seg
   GROUP BY p.policy
 )
-SELECT m.policy, t.n_total AS n_events, m.n_matched,
-       CAST(m.ips_num_micro // t.n_total AS BIGINT) AS ips_value_micro,
-       CAST(m.ips_num_micro // m.sum_w AS BIGINT) AS snips_value_micro,
-       CAST(CAST(m.sum_w AS HUGEINT) * m.sum_w * 1000000000 // m.w2_micro AS BIGINT) AS ess_milli
+SELECT m.policy, t.n_eval AS n_events, m.n_matched,
+       CAST(m.ips_num_micro // t.n_eval AS BIGINT) AS ips_value_micro,
+       CAST(m.ips_num_micro * 1000000 // m.sum_w_micro AS BIGINT) AS snips_value_micro,
+       CAST(CAST(m.sum_w_micro AS HUGEINT) * m.sum_w_micro * 1000
+            // (m.w2_micro * 1000000) AS BIGINT) AS ess_milli
 FROM m CROSS JOIN tot t
 ORDER BY policy
 """,
 )
 def events_ips_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IPS / SNIPS offline evaluation of two argmax policies over the
-    logged event stream (B272), with the (Σw)²/Σw² effective sample
-    size; group-wise floored exact-integer folds, 128-bit."""
+    logged event stream (B272): propensities from the full log, the
+    estimator folded over the even-event_id eval half (so Σw ≠ n_eval
+    and SNIPS self-normalizes — ADVICE r13), with the (Σw)²/Σw²
+    effective sample size; group-wise floored exact-integer folds,
+    128-bit."""
     ev = read_table(spark, sf_dir, "events")
     dec = "decimal(38,0)"
     e = ev.select(
+        "event_id",
         (F.col("user_id") % 4).alias("seg"),
         F.col("event_type").alias("act"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     g = e.groupBy("seg", "act").agg(
-        F.count("*").cast("long").alias("c"), F.sum("cents").cast("long").alias("r")
+        F.count("*").cast("long").alias("c"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("r"),
+    )
+    half = e.filter(F.col("event_id") % 2 == 0)
+    h = half.groupBy("seg", "act").agg(
+        F.count("*").cast("long").alias("ch"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("rh"),
     )
     nseg = g.groupBy("seg").agg(F.sum("c").cast("long").alias("n_seg"))
-    tot = g.agg(F.sum("c").cast("long").alias("n_total"))
+    tot = half.agg(F.count("*").cast("long").alias("n_eval"))
     w_mode = Window.partitionBy("seg").orderBy(F.col("c").desc(), "act")
     w_val = Window.partitionBy("seg").orderBy(
         F.expr("(cast(r as decimal(38,0)) * 1000000) div c").desc(), "act"
@@ -6902,19 +6931,21 @@ def events_ips_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = (
         pol.join(g, ["seg", "act"])
+        .join(h, ["seg", "act"])
         .join(F.broadcast(nseg), "seg")
         .groupBy("policy")
         .agg(
-            F.sum("c").cast("long").alias("n_matched"),
-            F.sum("n_seg").cast("long").alias("sum_w"),
+            F.sum("ch").cast("long").alias("n_matched"),
             F.sum(
-                F.expr(
-                    "(cast(r as decimal(38,0)) * n_seg * 1000000) div c"
-                ).cast(dec)
+                F.expr("(cast(ch as decimal(38,0)) * n_seg * 1000000) div c").cast(dec)
+            ).alias("sum_w_micro"),
+            F.sum(
+                F.expr("(cast(rh as decimal(38,0)) * n_seg * 1000000) div c").cast(dec)
             ).alias("ips_num_micro"),
             F.sum(
                 F.expr(
-                    "(cast(n_seg as decimal(38,0)) * n_seg * 1000000) div c"
+                    "(cast(ch as decimal(38,0)) * n_seg * n_seg * 1000000)"
+                    " div (cast(c as decimal(38,0)) * c)"
                 ).cast(dec)
             ).alias("w2_micro"),
         )
@@ -6923,12 +6954,15 @@ def events_ips_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.crossJoin(F.broadcast(tot))
         .select(
             "policy",
-            F.col("n_total").alias("n_events"),
+            F.col("n_eval").alias("n_events"),
             "n_matched",
-            F.expr("cast(ips_num_micro div n_total as bigint)").alias("ips_value_micro"),
-            F.expr("cast(ips_num_micro div sum_w as bigint)").alias("snips_value_micro"),
+            F.expr("cast(ips_num_micro div n_eval as bigint)").alias("ips_value_micro"),
             F.expr(
-                "cast((cast(sum_w as decimal(38,0)) * sum_w * 1000000000) div w2_micro as bigint)"
+                "cast((ips_num_micro * 1000000) div sum_w_micro as bigint)"
+            ).alias("snips_value_micro"),
+            F.expr(
+                "cast((cast(sum_w_micro as decimal(38,0)) * sum_w_micro * 1000)"
+                " div (w2_micro * 1000000) as bigint)"
             ).alias("ess_milli"),
         )
         .orderBy("policy")

@@ -4831,10 +4831,12 @@ WITH pos AS (
   SELECT doc_id, CAST(i AS INT) AS p,
          CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS code
   FROM documents, unnest(range(1, least(length(text), {_FRAME_W + (_FRAME_MAX - 1) * _FRAME_HOP}) + 1)) AS t(i)
+  WHERE length(text) > 0
 ), fr AS (
   SELECT doc_id, CAST(f AS INT) AS frame_idx
   FROM documents,
        unnest(range(0, least(greatest((length(text) - {_FRAME_W}) // {_FRAME_HOP} + 1, 1), {_FRAME_MAX}))) AS t(f)
+  WHERE length(text) > 0
 )
 SELECT fr.doc_id, CAST(fr.frame_idx AS BIGINT) AS frame_idx,
        CAST(count(*) AS BIGINT) AS n_samples,
@@ -4852,7 +4854,10 @@ def multimodal_audio_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame/hop windowed RMS + peak over the deterministic sample
     stand-in (B279) — the bounded per-doc framing explode every audio
     feature extractor starts from."""
-    d = read_table(spark, sf_dir, "documents")
+    # empty text guard: Spark sequence(1, 0) yields a DESCENDING [1, 0]
+    # (default step -1) where the DuckDB range() is empty — filter both
+    # engines so empty docs emit no frames (ADVICE r13)
+    d = read_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     pos = d.select(
         "doc_id",
         F.explode(

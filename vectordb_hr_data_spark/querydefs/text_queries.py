@@ -3113,6 +3113,7 @@ _ENTROPY_GATE_MICRONAT = 2_000_000
 WITH ch AS (
   SELECT doc_id, substr(text, CAST(i AS INT), 1) AS c
   FROM documents, unnest(range(1, least(length(text), {_ENTROPY_PREFIX_CHARS}) + 1)) AS t(i)
+  WHERE length(text) > 0
 ), dc AS (
   SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY doc_id, c
 ), tot AS (
@@ -3133,13 +3134,19 @@ def doc_char_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc character-distribution Shannon entropy in exact integer
     micro-nats with the < 2-nat junk gate (B280)."""
     d = read_table(spark, sf_dir, "documents")
-    ch = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(f"sequence(1, least(length(text), {_ENTROPY_PREFIX_CHARS}))")
-        ).alias("i"),
-        "text",
-    ).select("doc_id", F.expr("substring(text, i, 1)").alias("c"))
+    # empty text guard: Spark sequence(1, 0) defaults to step=-1 and yields
+    # [1, 0] while the DuckDB range() is empty — filter on both engines
+    ch = (
+        d.where(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(1, least(length(text), {_ENTROPY_PREFIX_CHARS}))")
+            ).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr("substring(text, i, 1)").alias("c"))
+    )
     dc = ch.groupBy("doc_id", "c").agg(F.count("*").cast("long").alias("n"))
     tot = dc.groupBy("doc_id").agg(
         F.sum("n").cast("long").alias("nt"), F.count("*").cast("long").alias("n_distinct")

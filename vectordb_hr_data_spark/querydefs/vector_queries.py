@@ -3860,9 +3860,15 @@ def ivf_cell_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # truncating `div` diverge from DuckDB's flooring `//`, so both engines
 # use the portable floor form (a − ((a % b + b) % b)) / b. Also
 # reported: ‖μ‖ (the common-direction magnitude — the other anisotropy
-# number) and the mean self-dot (≈ 1e12 — the quantization sanity
-# check). Scale: two exploded passes + a |dim|-row aggregate; no pair
-# is ever materialized.
+# number) and the self-dot sanity check as a TOLERANCE GATE
+# (|sqq − n·1e12| ≤ n·1e7, all-integer): the raw mean self-dot of unit
+# vectors sits EXACTLY on the 1e6 micro-grain boundary by construction,
+# and the engines' qd sums drift ~4e-9 relative (double summation order
+# in norm2), so any floor/round of the quotient flips between 999999
+# and 1000000 non-deterministically across engines (ADVICE r14 root
+# cause) — the gate's 10-ppm slack is ~2500× the measured drift. Scale:
+# two exploded passes + a |dim|-row aggregate; no pair is ever
+# materialized.
 @register(
     "embedding_isotropy_audit",
     """
@@ -3902,7 +3908,8 @@ SELECT s.n AS n_vectors, s.d AS dim, mun.mu_norm_micro,
              - ((((sd.ssd - s.sqq) % (s.n * (s.n - 1) * 1000000))
                  + s.n * (s.n - 1) * 1000000) % (s.n * (s.n - 1) * 1000000)))
             / (s.n * (s.n - 1) * 1000000) AS BIGINT) AS mean_offdiag_cos_micro,
-       CAST(s.sqq / (s.n * 1000000) AS BIGINT) AS mean_self_dot_micro
+       CAST(CASE WHEN abs(s.sqq - s.n * 1000000000000) <= s.n * 10000000
+                 THEN 1 ELSE 0 END AS BIGINT) AS self_dot_ok
 FROM s CROSS JOIN sd CROSS JOIN mun
 """,
 )
@@ -3965,9 +3972,10 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "    % (cast(n as decimal(38,0)) * (n - 1) * 1000000)))"
                 " / (cast(n as decimal(38,0)) * (n - 1) * 1000000) as bigint)"
             ).alias("mean_offdiag_cos_micro"),
-            F.expr("cast(sqq div (cast(n as decimal(38,0)) * 1000000) as bigint)").alias(
-                "mean_self_dot_micro"
-            ),
+            F.expr(
+                "cast(case when abs(sqq - cast(n as decimal(38,0)) * 1000000000000)"
+                " <= cast(n as decimal(38,0)) * 10000000 then 1 else 0 end as bigint)"
+            ).alias("self_dot_ok"),
         )
     )
 
