@@ -650,9 +650,8 @@ def stream_scd2_dim(event_stream: DataFrame, target_path: str) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        try:
-            dim = spark.read.parquet(target_path)
-        except Exception:
+        dim = _read_state_or_none(spark, target_path, "stream_scd2_dim")
+        if dim is None:
             out = _with_last_ts(scd2_build(batch_df), batch_df, None)
             out.write.mode("overwrite").parquet(target_path)
             return
@@ -803,9 +802,8 @@ def stream_burst_state(event_stream: DataFrame, state_path: str) -> None:
         inc = batch_df.groupBy(
             "user_id", F.date_trunc("hour", "ts").alias("hour_ts")
         ).agg(F.count("*").cast("long").alias("c"))
-        try:
-            state = spark.read.parquet(state_path)
-        except Exception:
+        state = _read_state_or_none(spark, state_path, "stream_burst_state")
+        if state is None:
             inc.write.mode("overwrite").parquet(state_path)
             return
         merged = (
@@ -903,11 +901,8 @@ def stream_markov_state(event_stream: DataFrame, state_path: str) -> None:
             .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
             .agg(F.count("*").cast("long").alias("c"))
         )
-        try:
-            carry = spark.read.parquet(carry_path)
-            have_state = True
-        except Exception:
-            have_state = False
+        carry = _read_state_or_none(spark, carry_path, "stream_markov_state(carry)")
+        have_state = carry is not None
         if have_state:
             first = seq.filter(F.col("rn") == 1).select(
                 "user_id", F.col("event_type").alias("first_type"), F.col("ts").alias("first_ts")
@@ -934,14 +929,14 @@ def stream_markov_state(event_stream: DataFrame, state_path: str) -> None:
         else:
             inc = internal
         inc = inc.groupBy("from_type", "to_type").agg(F.sum("c").cast("long").alias("c"))
-        try:
-            counts = spark.read.parquet(counts_path)
+        counts = _read_state_or_none(spark, counts_path, "stream_markov_state(counts)")
+        if counts is not None:
             merged = (
                 counts.unionByName(inc)
                 .groupBy("from_type", "to_type")
                 .agg(F.sum("c").cast("long").alias("c"))
             )
-        except Exception:
+        else:
             merged = inc
         merged = merged.localCheckpoint(eager=True)
         merged.write.mode("overwrite").parquet(counts_path)
@@ -1028,9 +1023,8 @@ def stream_mergeable_agg(
             return
         spark = batch_df.sparkSession
         inc = batch_df.groupBy(*key_cols).agg(*batch_agg)
-        try:
-            state = spark.read.parquet(state_path)
-        except Exception:
+        state = _read_state_or_none(spark, state_path, "stream_mergeable_agg")
+        if state is None:
             inc.write.mode("overwrite").parquet(state_path)
             return
         merged = (
@@ -1164,10 +1158,7 @@ def stream_heavy_hitter_state(
             .groupBy("term")
             .agg(F.count("*").cast("long").alias("c"))
         )
-        try:
-            state = spark.read.parquet(state_path)
-        except Exception:
-            state = None
+        state = _read_state_or_none(spark, state_path, "stream_heavy_hitter_state")
         merged = inc if state is None else (
             state.unionByName(inc).groupBy("term").agg(F.sum("c").cast("long").alias("c"))
         )
@@ -2068,11 +2059,12 @@ def stream_hnsw_append(
             .filter(F.col("__rn") == 1)
             .select("vec_id", "embedding", "cid", hnsw_level_expr("vec_id").alias("level"))
         )
-        try:
-            vstate = spark.read.parquet(vec_path)
-            allv = vstate.unionByName(newv).dropDuplicates(["vec_id"])
-        except Exception:
-            allv = newv
+        vstate = _read_state_or_none(spark, vec_path, "stream_hnsw_append(vec)")
+        allv = (
+            vstate.unionByName(newv).dropDuplicates(["vec_id"])
+            if vstate is not None
+            else newv
+        )
         allv = allv.localCheckpoint(eager=True)
         allv.write.mode("overwrite").parquet(vec_path)
         # occupancy freshness: allv is checkpointed, so the count is a
@@ -2131,9 +2123,8 @@ def stream_hnsw_append(
                 "top"
             )
         )
-        try:
-            estate = spark.read.parquet(edge_path)
-        except Exception:
+        estate = _read_state_or_none(spark, edge_path, "stream_hnsw_append(edges)")
+        if estate is None:
             inc.write.mode("overwrite").parquet(edge_path)
             return
         merged = (
@@ -2303,11 +2294,12 @@ def stream_late_audit(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        try:
-            prior = spark.read.parquet(state_path)
-            hwm = prior.agg(F.max("batch_max_us").alias("m")).collect()[0]["m"]
-        except Exception:
-            hwm = None
+        prior = _read_state_or_none(spark, state_path, "stream_late_audit")
+        hwm = (
+            prior.agg(F.max("batch_max_us").alias("m")).collect()[0]["m"]
+            if prior is not None
+            else None
+        )
         wm_us = (hwm - watermark_s * 1_000_000) if hwm is not None else None
         ts_us = F.unix_micros(F.col("ts"))
         row = batch_df.agg(
@@ -2400,9 +2392,8 @@ def stream_cdc_retraction_agg(cdc_stream: DataFrame, state_path: str) -> None:
                 f"skipping a retraction would corrupt the rollup; sample: {sample}"
             )
         inc = cdc_signed_fold(batch_df)
-        try:
-            state = spark.read.parquet(state_path)
-        except Exception:
+        state = _read_state_or_none(spark, state_path, "stream_cdc_retraction_agg")
+        if state is None:
             inc.write.mode("overwrite").parquet(state_path)
             return
         merged = (
@@ -2456,9 +2447,8 @@ def stream_distinct_multiplicity(cdc_stream: DataFrame, state_path: str) -> None
                 "support counts forever"
             )
         inc = multiplicity_fold(batch_df).filter(F.col("net") != 0)
-        try:
-            state = spark.read.parquet(state_path)
-        except Exception:
+        state = _read_state_or_none(spark, state_path, "stream_distinct_multiplicity")
+        if state is None:
             inc.write.mode("overwrite").parquet(state_path)
             return
         merged = (
@@ -2551,12 +2541,8 @@ def stream_sessionize(event_stream: DataFrame, state_dir: str) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        try:
-            state = spark.read.parquet(open_path)
-            has_state = True
-        except Exception:
-            state = None
-            has_state = False
+        state = _read_state_or_none(spark, open_path, "stream_sessionize(open)")
+        has_state = state is not None
         if has_state:
             viol = (
                 batch_df.groupBy("user_id")
