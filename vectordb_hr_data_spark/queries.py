@@ -46,50 +46,43 @@ def register(name: str, oracle: str | None):
 # operator shape is also proven by a checked sibling come after — they still
 # run in bench.py and pytest, and get driver rows if the cap is ever lifted.
 PRIORITY: list[str] = [
-    # --- r13 window (VERDICT r12 item 1): positions 1-50. The 38
-    # never-windowed oracles lead (2 r10 leftovers + all 36 r12-born
-    # oracles, first driver rows for each), then 12 stalest r7-rowed
-    # queries fill the window. ---
-    "experiment_gate_report", "chunk_dedup_rate",
-    "hnsw_multicell_graph_build", "hnsw_multicell_recall_curve",
-    "doc_t_closeness_audit", "graph_link_prediction",
-    "orders_join_delta_maintenance", "doc_layout_compression_audit",
-    "ann_index_advisor", "events_value_bands_hist",
-    "graph_community_modularity", "contrastive_pair_export",
-    "lsh_band_recall_curve", "ivf_cell_compaction_plan",
-    "orders_cdc_retraction_maintenance", "orders_merkle_range_diff",
-    "orders_bitemporal_asof", "fd_contract_audit",
-    "entity_blocking_quality_audit", "orders_cow_vs_mor_audit",
-    "doc_conformal_novelty_audit", "doc_pareto_skyline",
-    "neardup_span_localization", "events_zone_map_pruning",
-    "events_join_cardinality_audit", "events_compaction_plan",
-    "events_priority_sample_audit", "events_shapley_attribution",
-    "events_path_conformance", "events_distinct_cdc_maintenance",
-    "events_fdr_gate", "events_kmv_cube_rollup", "events_ks_two_sample",
-    "events_gapped_sequence_support", "events_markov_absorption",
-    "events_neyman_allocation_audit", "shard_rebalance_audit",
-    "customer_cell_suppression", "doc_ngram_novelty",
-    "events_funnel_windowed", "rec_coverage_diversity",
-    "corpus_snapshot_diff", "doc_k_anonymity_audit", "doc_equidepth_bins",
-    "graph_closeness_pivots", "graph_indegree_profile", "graph_node_profile",
-    "graph_betweenness_pivots", "graph_personalized_pagerank",
-    "graph_assortativity",
-    # --- positions 51+: the r14 window head — oracles registered in r13,
-    # never driver-windowed (B270-B276) ---
+    # --- r14 window (VERDICT r13 item 2): positions 1-50. The 17 r13-born
+    # entries lead (16 first-time oracles + the rows-only Procrustes), then
+    # 33 of the 47 oracles whose newest driver row is r7 — the stalest
+    # cohort — fill the window (standing staleness test: K=7). ---
     "events_uplift_by_segment", "events_obf_sequential_test",
     "events_ips_policy_eval", "clf_isotonic_calibration",
     "orders_bloom_join_prune", "doc_group_kfold",
-    "events_timeseries_cv_folds",
-    # r13 second batch (B278-B281), never driver-windowed
-    "embedding_isotropy_audit", "multimodal_audio_frame_rms",
-    "doc_char_entropy_gate", "pack_config_advisor", "schema_fk_inference",
+    "events_timeseries_cv_folds", "embedding_isotropy_audit",
+    "multimodal_audio_frame_rms", "doc_char_entropy_gate",
+    "pack_config_advisor", "schema_fk_inference",
     "orders_counting_bloom_delete", "doc_repeat_span_profile",
     "basket_triple_mining", "doc_negative_sampling_table",
-    "embedding_procrustes_align",
-    # r11 rows-only threshold twins (no oracle rows; pytest-pinned)
+    "embedding_procrustes_align", "ann_text_search", "knn_matryoshka_rerank",
+    "ivf_batch_topk_indexed", "ivf_pq_adc_indexed", "chunk_ann_search",
+    "ivf_sq4_rerank_indexed", "knn_opq_rotated_adc", "knn_sq4_rerank",
+    "knn_bitsketch_hamming_rerank", "hr_overfetch_rerank",
+    "neardup_simhash_hamming", "doc_containment_dedup",
+    "neardup_incremental_probe", "url_normalize_dedup",
+    "embed_documents_poly", "multimodal_binary_metadata",
+    "doc_lm_perplexity", "doc_quality_classifier", "doc_token_count_bpe",
+    "doc_pii_scrub", "source_length_mad_outliers", "doc_label_communities",
+    "corpus_weighted_mix", "doc_dup_ngram_coverage", "doc_dup_span_removal",
+    "source_token_budget_sample", "corpus_shuffle_shards", "corpus_profile",
+    "mine_hard_negatives", "doc_pagerank_centrality",
+    "events_salted_join_weighted", "events_interval_bucket_join",
+    "events_scd2_user_state",
+    # --- positions 51+: the r15 queue head — the 14 remaining r7-rowed
+    # oracles (their newest row turns K-stale at r15; rotate them first) ---
+    "graph_coreset_select", "term_heavy_hitters", "multimodal_frame_sample",
+    "part_name_fuzzy_pairs", "events_funnel_strict",
+    "events_cohort_retention", "knn_mmr_det", "q1_incremental_maintenance",
+    "q2_cheapest_supplier_per_part", "q10_returned_items_top_customers",
+    "q12_priority_case_agg", "q18_large_volume_customers",
+    "q21_suppliers_kept_orders_waiting", "q22_idle_rich_customers",
+    # --- remaining queries in rotation order (r8-r12 driver rows,
+    # stalest-first; relative order unchanged) ---
     "dsir_importance_threshold", "quality_prep_threshold",
-    # --- queries holding r7-r11 driver rows, stalest-first for later
-    # re-rotation; relative order unchanged ---
     "doc_collocations_pmi", "doc_more_like_this", "doc_vocab_coverage_curve",
     "doc_zipf_slope", "doc_langid_confusion", "doc_textrank_terms",
     "doc_heaps_law_fit", "doc_lm_holdout_perplexity",
@@ -124,39 +117,21 @@ PRIORITY: list[str] = [
     "events_key_skew_profile", "events_hourly_burst",
     "doc_conjunctive_search", "doc_unigram_kl_quality",
     "doc_weighted_reservoir_sample", "doc_rake_keyphrases",
-    "graph_hits_scores", "graph_kcore_members", "ann_text_search",
-    "knn_matryoshka_rerank", "ivf_batch_topk_indexed", "ivf_pq_adc_indexed",
-    "chunk_ann_search", "ivf_sq4_rerank_indexed", "knn_opq_rotated_adc",
-    "knn_sq4_rerank", "knn_bitsketch_hamming_rerank", "hr_overfetch_rerank",
-    "neardup_simhash_hamming", "doc_containment_dedup",
-    "neardup_incremental_probe", "url_normalize_dedup",
-    "embed_documents_poly", "multimodal_binary_metadata", "doc_lm_perplexity",
-    "doc_quality_classifier", "doc_token_count_bpe", "doc_pii_scrub",
-    "source_length_mad_outliers", "doc_label_communities",
-    "corpus_weighted_mix", "doc_dup_ngram_coverage", "doc_dup_span_removal",
-    "source_token_budget_sample", "corpus_shuffle_shards", "corpus_profile",
-    "mine_hard_negatives", "doc_pagerank_centrality",
-    "events_salted_join_weighted", "events_interval_bucket_join",
-    "events_scd2_user_state", "graph_coreset_select", "term_heavy_hitters",
-    "multimodal_frame_sample", "part_name_fuzzy_pairs",
-    "events_funnel_strict", "events_cohort_retention", "knn_mmr_det",
-    "q1_incremental_maintenance", "q2_cheapest_supplier_per_part",
-    "q10_returned_items_top_customers", "q12_priority_case_agg",
-    "q18_large_volume_customers", "q21_suppliers_kept_orders_waiting",
-    "q22_idle_rich_customers", "doc_chunk_fixed_tokens",
+    "graph_hits_scores", "graph_kcore_members", "doc_chunk_fixed_tokens",
     "orders_pivot_status", "string_functions_showcase", "knn_topk_l2sq",
     "knn_batch_topk_per_label", "q3_shipping_priority",
     "q5_local_supplier_volume", "q6_forecast_revenue",
     "top3_orders_per_segment", "orders_by_year_month",
-    "supplier_part_distincts", "parts_never_ordered", "events_sliding_1h_30m",
-    "events_user_daily_activity", "stratified_sample_by_lang",
-    "knn_topk_cosine", "knn_overfetch_similarity", "doc_token_count",
-    "doc_fingerprint", "events_json_props", "custkeys_intersect_except",
-    "lineitem_cube", "q13_customer_order_distribution",
-    "q16_suppliers_not_in", "knn_sq8_rerank", "ivf_topk_l2sq",
-    "pack_sequences", "hr_doc_text_construction",
-    "q17_small_quantity_revenue", "hr_keyword_score", "hr_lang_all_match",
-    "neardup_minhash_lsh", "doc_quality_score", "doc_length_percentiles",
+    "supplier_part_distincts", "parts_never_ordered",
+    "events_sliding_1h_30m", "events_user_daily_activity",
+    "stratified_sample_by_lang", "knn_topk_cosine",
+    "knn_overfetch_similarity", "doc_token_count", "doc_fingerprint",
+    "events_json_props", "custkeys_intersect_except", "lineitem_cube",
+    "q13_customer_order_distribution", "q16_suppliers_not_in",
+    "knn_sq8_rerank", "ivf_topk_l2sq", "pack_sequences",
+    "hr_doc_text_construction", "q17_small_quantity_revenue",
+    "hr_keyword_score", "hr_lang_all_match", "neardup_minhash_lsh",
+    "doc_quality_score", "doc_length_percentiles",
     "events_asof_last_purchase", "q1_pricing_summary", "q7_nation_volume",
     "knn_topk_sq8", "knn_pq_adc_rerank", "ivf_pq_residual_det",
     "ivf_topk_suggested", "chunk_embed_ivf_search", "doc_containment_probe",
@@ -170,16 +145,14 @@ PRIORITY: list[str] = [
     "doc_lm_perplexity_threshold", "events_sliding_distinct_hll",
     "ivf_pq_residual_rerank", "hr_recommend_scale",
     "doc_length_percentiles_approx", "events_distinct_users_approx",
-    "ivf_topk_kmeans",
-    # --- the r11 window cohort ---
-    "customer_revenue_pareto", "events_zorder_layout", "events_user_rfm",
-    "doc_grouped_split", "dsir_importance_resample", "quality_prep_pipeline",
-    "events_sequence_trigrams", "events_session_intent_summary",
-    "events_value_winsorized", "doc_length_gini",
-    "events_sliding_distinct_users", "events_cuped_adjusted",
-    "events_seasonal_anomaly", "term_countmin_audit", "events_label_window",
-    "events_forecast_backtest", "doc_length_median_ci",
-    "events_dp_noisy_counts", "events_scd2_pit_join",
+    "ivf_topk_kmeans", "customer_revenue_pareto", "events_zorder_layout",
+    "events_user_rfm", "doc_grouped_split", "dsir_importance_resample",
+    "quality_prep_pipeline", "events_sequence_trigrams",
+    "events_session_intent_summary", "events_value_winsorized",
+    "doc_length_gini", "events_sliding_distinct_users",
+    "events_cuped_adjusted", "events_seasonal_anomaly",
+    "term_countmin_audit", "events_label_window", "events_forecast_backtest",
+    "doc_length_median_ci", "events_dp_noisy_counts", "events_scd2_pit_join",
     "graph_betweenness_variance", "events_theilsen_trend",
     "events_cusum_changepoint", "lang_tokenizer_fertility",
     "source_lang_diversity", "semantic_decontaminate",
@@ -194,29 +167,54 @@ PRIORITY: list[str] = [
     "events_audience_overlap", "lang_source_independence",
     "doc_greedy_coverage_select", "events_ratio_delta_method",
     "graph_reciprocity", "doc_canary_detection", "dedup_token_impact",
-    "source_pii_coverage",
-    # --- the r12 window cohort (freshest driver rows — re-rotate last) ---
-    "hnsw_graph_build", "hnsw_graph_stats", "hnsw_graph_search",
-    "hnsw_recall_eval", "hnsw_nprobe_recall_curve", "doc_l_diversity_audit",
-    "embedding_dim_quantiles", "clf_calibration_ece", "lsh_param_planner",
-    "source_corpus_fingerprint", "ann_qpp_stats", "corpus_temperature_mix",
-    "events_user_type_entropy", "events_gap_percentiles",
-    "dedup_group_size_histogram", "dsar_access_report", "chunk_stitch_audit",
+    "source_pii_coverage", "hnsw_graph_build", "hnsw_graph_stats",
+    "hnsw_graph_search", "hnsw_recall_eval", "hnsw_nprobe_recall_curve",
+    "doc_l_diversity_audit", "embedding_dim_quantiles",
+    "clf_calibration_ece", "lsh_param_planner", "source_corpus_fingerprint",
+    "ann_qpp_stats", "corpus_temperature_mix", "events_user_type_entropy",
+    "events_gap_percentiles", "dedup_group_size_histogram",
+    "dsar_access_report", "chunk_stitch_audit",
     "dedup_rate_sampled_estimate", "source_lang_mismatch",
     "kmv_distinct_sketch", "boilerplate_shingle_hotlist",
-    "split_leakage_audit", "eval_stratified_fixed_k", "pack_efficiency_audit",
-    "fuzzy_entity_clusters", "dedup_normalization_dividend",
-    "clf_length_bias_audit", "multimodal_payload_integrity",
-    "orders_reconciliation_audit", "quality_rank_fusion",
-    "ivf_nprobe_recall_curve", "neardup_threshold_sensitivity",
-    "neardup_cluster_size_histogram", "embedding_label_outliers",
-    "doc_code_switch_summary", "session_path_mining",
-    "events_value_leaderboard", "events_dup_window_sensitivity",
-    "metric_agreement_topk", "orders_backlog_aging", "segment_revenue_hhi",
-    "fusion_source_bias", "source_length_qq", "kmeans_lloyd3_det",
-    "knn_topk_l2_normalized", "release_gate_report",
-    "events_stl_residual_anomaly", "neardup_transitivity_audit",
-    "events_growth_accounting", "source_copy_direction",
+    "split_leakage_audit", "eval_stratified_fixed_k",
+    "pack_efficiency_audit", "fuzzy_entity_clusters",
+    "dedup_normalization_dividend", "clf_length_bias_audit",
+    "multimodal_payload_integrity", "orders_reconciliation_audit",
+    "quality_rank_fusion", "ivf_nprobe_recall_curve",
+    "neardup_threshold_sensitivity", "neardup_cluster_size_histogram",
+    "embedding_label_outliers", "doc_code_switch_summary",
+    "session_path_mining", "events_value_leaderboard",
+    "events_dup_window_sensitivity", "metric_agreement_topk",
+    "orders_backlog_aging", "segment_revenue_hhi", "fusion_source_bias",
+    "source_length_qq", "kmeans_lloyd3_det", "knn_topk_l2_normalized",
+    "release_gate_report", "events_stl_residual_anomaly",
+    "neardup_transitivity_audit", "events_growth_accounting",
+    "source_copy_direction",
+    # --- the r13 window cohort (freshest driver rows — re-rotate last) ---
+    "experiment_gate_report", "chunk_dedup_rate",
+    "hnsw_multicell_graph_build", "hnsw_multicell_recall_curve",
+    "doc_t_closeness_audit", "graph_link_prediction",
+    "orders_join_delta_maintenance", "doc_layout_compression_audit",
+    "ann_index_advisor", "events_value_bands_hist",
+    "graph_community_modularity", "contrastive_pair_export",
+    "lsh_band_recall_curve", "ivf_cell_compaction_plan",
+    "orders_cdc_retraction_maintenance", "orders_merkle_range_diff",
+    "orders_bitemporal_asof", "fd_contract_audit",
+    "entity_blocking_quality_audit", "orders_cow_vs_mor_audit",
+    "doc_conformal_novelty_audit", "doc_pareto_skyline",
+    "neardup_span_localization", "events_zone_map_pruning",
+    "events_join_cardinality_audit", "events_compaction_plan",
+    "events_priority_sample_audit", "events_shapley_attribution",
+    "events_path_conformance", "events_distinct_cdc_maintenance",
+    "events_fdr_gate", "events_kmv_cube_rollup", "events_ks_two_sample",
+    "events_gapped_sequence_support", "events_markov_absorption",
+    "events_neyman_allocation_audit", "shard_rebalance_audit",
+    "customer_cell_suppression", "doc_ngram_novelty",
+    "events_funnel_windowed", "rec_coverage_diversity",
+    "corpus_snapshot_diff", "doc_k_anonymity_audit", "doc_equidepth_bins",
+    "graph_closeness_pivots", "graph_indegree_profile", "graph_node_profile",
+    "graph_betweenness_pivots", "graph_personalized_pagerank",
+    "graph_assortativity",
 ]
 
 
