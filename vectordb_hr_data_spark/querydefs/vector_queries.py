@@ -3772,10 +3772,18 @@ def ivf_cell_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cid")
     )
-    sizes = (
+    # The N×K assignment pass is the whole cost; without a spill every
+    # downstream branch (thr, tagged, survivors, target, post_full, both
+    # ledger aggs) re-derives it — the executed plan held 41 embeddings
+    # scans (VERDICT r13 #2 family). The 16-row cell-size table spills
+    # ONCE; everything after is arithmetic on scratch scans.
+    from ..operators.quantiles import materialize_scratch
+
+    sizes = materialize_scratch(
         cents.join(assign, "cid", "left")
         .groupBy("cid")
-        .agg(F.count("vec_id").cast("long").alias("n_vecs"))
+        .agg(F.count("vec_id").cast("long").alias("n_vecs")),
+        "ivf_compact_sizes",
     )
     thr = (
         sizes.withColumn("rn", F.row_number().over(Window.orderBy("n_vecs", "cid")))
