@@ -4027,14 +4027,37 @@ def embedding_procrustes_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("yv"),
     )
     pairs = x.join(y, "vec_id").select("vec_id", "xv", "yv")
-    # d×d cross-covariance: explode both sides once, aggregate map-side
+
+    # d×d cross-covariance as an Arrow kernel: one numpy XᵀY partial per
+    # partition (the r13 double-posexplode inflated every vector to d²
+    # = 147,456 rows before the groupBy — VERDICT r13 #5). Each partition
+    # emits its d² partial cells exactly once, so the shuffle is
+    # |partitions|·d² tiny rows and the reduce is a plain sum — the
+    # treeAggregate shape, stated in DataFrame ops.
+    def _xty_partial(batches):
+        import numpy as np_
+        import pandas as pd_
+
+        acc = None
+        for pdf in batches:
+            xm = np_.stack(pdf["xv"].to_numpy())
+            ym = np_.stack(pdf["yv"].to_numpy())
+            part = xm.T @ ym
+            acc = part if acc is None else acc + part
+        if acc is not None:
+            di, dj = np_.meshgrid(
+                np_.arange(acc.shape[0]), np_.arange(acc.shape[1]), indexing="ij"
+            )
+            yield pd_.DataFrame(
+                {"di": di.ravel().astype("int32"), "dj": dj.ravel().astype("int32"),
+                 "m": acc.ravel()}
+            )
+
     m = (
-        pairs.select(
-            F.posexplode("xv").alias("di", "xe"), F.col("yv")
-        )
-        .select("di", "xe", F.posexplode("yv").alias("dj", "ye"))
+        pairs.select("xv", "yv")
+        .mapInPandas(_xty_partial, "di int, dj int, m double")
         .groupBy("di", "dj")
-        .agg(F.sum(F.col("xe") * F.col("ye")).alias("m"))
+        .agg(F.sum("m").alias("m"))
     )
     M = np.zeros((dim, dim))
     for r in m.collect():
