@@ -1,0 +1,288 @@
+"""Property tests for the r14 operators (B288-B292): independent python
+replays of each deterministic algorithm plus the laws the value-hash
+oracle cannot express — Page-Hinkley alarm semantics on a PLANTED level
+shift, exact order-statistic identities for the watermark-lag ledger,
+the survivorship rule set replayed field-by-field, brute-force longest
+repeated substring, and the span-corruption budget laws.
+
+Replays read the same sf0.001 parquet through DuckDB and recompute the
+answer with plain python (fractions/sets — no SQL), so a bug shared by
+the Spark plan and its oracle SQL still gets caught."""
+
+from __future__ import annotations
+
+import hashlib
+
+from vectordb_hr_data_spark import queries as Q
+
+
+def _oracle_rows(ddb, name):
+    res = ddb.execute(Q.REGISTRY[name].oracle)
+    cols = [d[0] for d in res.description]
+    return [dict(zip(cols, r)) for r in res.fetchall()]
+
+
+def _fast_hash(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+# ---------------------------------------------------------------------------
+# B288 Page-Hinkley: python replay of the quantized statistic + alarm laws
+# ---------------------------------------------------------------------------
+
+
+def test_page_hinkley_replay_and_laws(ddb):
+    from vectordb_hr_data_spark.querydefs.event_queries import (
+        _PH_DELTA_MICRO,
+        _PH_LAMBDA_MICRO,
+    )
+
+    daily = ddb.execute(
+        "SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,"
+        " CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1 ORDER BY d"
+    ).fetchall()
+    assert len(daily) >= 3
+    s = 0
+    m = 0
+    mn = 0
+    expect = []
+    for rn, (d, c) in enumerate(daily, start=1):
+        s += c
+        q = (s * 1_000_000) // rn
+        m += c * 1_000_000 - q - _PH_DELTA_MICRO
+        mn = min(mn, m)
+        expect.append((d, c, m, m - mn, 1 if m - mn > _PH_LAMBDA_MICRO else 0))
+
+    got = _oracle_rows(ddb, "events_page_hinkley_drift")
+    assert len(got) == len(expect)
+    first_alarm_days = [r["day_epoch_days"] for r in got if r["is_first_alarm"] == 1]
+    alarm_days = [r["day_epoch_days"] for r in got if r["is_alarm"] == 1]
+    for row, (d, c, m_e, ph_e, al_e) in zip(got, expect):
+        assert row["day_epoch_days"] == d
+        assert row["n_events"] == c
+        assert row["m_micro"] == m_e
+        assert row["ph_micro"] == ph_e
+        assert row["is_alarm"] == al_e
+        # law: PH is a drawup — never negative
+        assert row["ph_micro"] >= 0
+    # law: first alarm is exactly the earliest alarm day (or absent)
+    if alarm_days:
+        assert first_alarm_days == [min(alarm_days)]
+    else:
+        assert first_alarm_days == []
+
+
+def test_page_hinkley_planted_shift(spark, tmp_path):
+    """A planted level shift must alarm AFTER the shift and never before:
+    30 quiet days at 40 events/day, then 10 days at 200/day."""
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    for day in range(40):
+        n = 40 if day < 30 else 200
+        for j in range(n):
+            rows.append(
+                (
+                    eid,
+                    pd.Timestamp("2024-01-01")
+                    + pd.Timedelta(days=day, seconds=j * 7 % 86000),
+                    j % 50,
+                    "view",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = str(tmp_path / "planted")
+    (tmp_path / "planted").mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "planted" / "events.parquet"))
+    out = Q.REGISTRY["events_page_hinkley_drift"].fn(spark, sf).collect()
+    assert len(out) == 40
+    shift_day = out[30]["day_epoch_days"]
+    alarms = [r["day_epoch_days"] for r in out if r["is_alarm"] == 1]
+    assert alarms, "a 5x level shift must trip the lambda threshold"
+    assert min(alarms) >= shift_day, "no alarm before the planted shift"
+    firsts = [r for r in out if r["is_first_alarm"] == 1]
+    assert len(firsts) == 1 and firsts[0]["day_epoch_days"] == min(alarms)
+
+
+# ---------------------------------------------------------------------------
+# B290 watermark lag: python replay of the exact order statistics
+# ---------------------------------------------------------------------------
+
+
+def test_watermark_lag_replay_and_laws(ddb):
+    ev = ddb.execute("SELECT event_id, user_id FROM events").fetchall()
+    by_src: dict[int, list[int]] = {}
+    for eid, uid in ev:
+        lag = _fast_hash(str(eid)) % 1800 + (3600 if eid % 97 == 0 else 0)
+        by_src.setdefault(uid % 8, []).append(lag)
+
+    got = {r["source"]: r for r in _oracle_rows(ddb, "events_ingest_watermark_lag")}
+    assert set(got) == set(by_src)
+    for src, lags in by_src.items():
+        lags.sort()
+        n = len(lags)
+        row = got[src]
+        assert row["n_events"] == n
+        assert row["p50_lag_s"] == lags[(n + 1) // 2 - 1]
+        assert row["p95_lag_s"] == lags[(n * 95 + 99) // 100 - 1]
+        assert row["p99_lag_s"] == lags[(n * 99 + 99) // 100 - 1]
+        assert row["n_late_60s"] == sum(1 for v in lags if v > 60)
+        assert row["n_late_300s"] == sum(1 for v in lags if v > 300)
+        assert row["n_late_900s"] == sum(1 for v in lags if v > 900)
+        # laws: percentiles ordered, late counts anti-monotone in the delay
+        assert row["p50_lag_s"] <= row["p95_lag_s"] <= row["p99_lag_s"]
+        assert row["n_late_60s"] >= row["n_late_300s"] >= row["n_late_900s"]
+
+
+# ---------------------------------------------------------------------------
+# B289 golden record: field-by-field python replay of the survivorship rules
+# ---------------------------------------------------------------------------
+
+
+def test_golden_record_rules_replay(ddb):
+    cust = ddb.execute(
+        "SELECT c_custkey, c_name,"
+        " CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT), c_mktsegment"
+        " FROM customer"
+    ).fetchall()
+    SRC_ORD = {"app": 2, "crm": 0, "web": 1}  # lexicographic asc = app<crm<web
+    tally = {
+        "name": {"crm": 0, "web": 0, "app": 0},
+        "bal": {"crm": 0, "web": 0, "app": 0},
+    }
+    seg_ties = 0
+    name_len_sum = 0
+    bal_sum = 0
+    n_mobile = 0
+    for k, name, cents, seg in cust:
+        vs = [
+            ("crm", 10 + k % 5, name, cents, seg),
+            (
+                "web",
+                20 + k % 3,
+                None if k % 3 == 0 else name.upper(),
+                None if k % 5 == 0 else cents + k % 11 - 5,
+                None if k % 2 == 0 else seg,
+            ),
+            (
+                "app",
+                15,
+                name + "-verified" if k % 7 == 0 else name[: max(len(name) - 2, 1)],
+                None if k % 4 == 0 else cents - 7,
+                "MOBILE" if k % 13 == 0 else seg,
+            ),
+        ]
+        named = [(s, rd, nm) for s, rd, nm, _, _ in vs if nm is not None]
+        named.sort(key=lambda t: (-len(t[2]), -t[1], t[0]))
+        tally["name"][named[0][0]] += 1
+        name_len_sum += len(named[0][2])
+        bald = [(s, rd, b) for s, rd, _, b, _ in vs if b is not None]
+        bald.sort(key=lambda t: (-t[1], t[0]))
+        tally["bal"][bald[0][0]] += 1
+        bal_sum += bald[0][2]
+        segs = [sg for _, _, _, _, sg in vs if sg is not None]
+        cnt: dict[str, int] = {}
+        for sg in segs:
+            cnt[sg] = cnt.get(sg, 0) + 1
+        mc = max(cnt.values())
+        at_max = sorted(s for s, c in cnt.items() if c == mc)
+        if len(at_max) > 1:
+            seg_ties += 1
+        if at_max[0] == "MOBILE":
+            n_mobile += 1
+
+    (row,) = _oracle_rows(ddb, "customer_golden_record")
+    assert row["n_customers"] == len(cust)
+    for src in ("crm", "web", "app"):
+        assert row[f"name_wins_{src}"] == tally["name"][src], src
+        assert row[f"bal_wins_{src}"] == tally["bal"][src], src
+    assert row["seg_tie_breaks"] == seg_ties
+    assert row["golden_name_len_sum"] == name_len_sum
+    assert row["golden_bal_cents_sum"] == bal_sum
+    assert row["n_seg_mobile"] == n_mobile
+    # law: every customer yields exactly one winner per exclusive field
+    assert sum(tally["name"].values()) == len(cust)
+    assert sum(tally["bal"].values()) == len(cust)
+
+
+# ---------------------------------------------------------------------------
+# B291 longest repeat: brute force over every doc prefix
+# ---------------------------------------------------------------------------
+
+
+def test_longest_repeat_bruteforce(ddb):
+    docs = ddb.execute("SELECT doc_id, substr(text, 1, 256) FROM documents").fetchall()
+
+    def lrs(s: str) -> int:
+        best = 0
+        for ln in range(1, len(s)):
+            seen = set()
+            hit = False
+            for i in range(len(s) - ln + 1):
+                w = s[i : i + ln]
+                if w in seen:
+                    hit = True
+                    break
+                seen.add(w)
+            if hit:
+                best = ln
+            else:
+                break  # monotone: no dup at ln => none at any longer ln
+        return best
+
+    per = {d: lrs(s) for d, s in docs}
+    ml = max(per.values()) if per else 0
+    (row,) = _oracle_rows(ddb, "doc_longest_repeat_exact")
+    assert row["max_repeat_len"] == ml
+    if ml == 0:
+        assert row["n_docs_at_max"] == 0 and row["min_doc_id"] == -1
+    else:
+        at_max = [d for d, v in per.items() if v == ml]
+        assert row["n_docs_at_max"] == len(at_max)
+        assert row["min_doc_id"] == min(at_max)
+
+
+# ---------------------------------------------------------------------------
+# B292 span corruption: layout replay + budget laws
+# ---------------------------------------------------------------------------
+
+
+def test_span_corruption_replay_and_budget(ddb):
+    docs = ddb.execute("SELECT doc_id, text FROM documents").fetchall()
+    got = {r["doc_id"]: r for r in _oracle_rows(ddb, "doc_span_corruption_plan")}
+    assert set(got) == {d for d, _ in docs}
+    for doc_id, text in docs:
+        nt = len(text.split(" "))
+        full = nt // 20
+        tail = nt % 20
+        starts = []
+        for b in range(full + (1 if tail >= 3 else 0)):
+            bs = 20 if b < full else tail
+            mod = 18 if bs >= 20 else bs - 2
+            st = b * 20 + _fast_hash(f"sc:{doc_id}:{b}") % mod
+            # law: every span fits inside its own block
+            assert st + 3 <= b * 20 + bs
+            starts.append(st)
+        row = got[doc_id]
+        assert row["n_tokens"] == nt
+        assert row["n_spans"] == len(starts)
+        assert row["n_masked"] == 3 * len(starts)
+        assert row["mask_rate_ppm"] == (3 * len(starts) * 1_000_000) // nt
+        assert row["span_start_sum"] == sum(starts)
+        # budget laws: exactly 15% when blocks divide evenly; a 1-2 token
+        # tail undershoots (no room for a span); a 3..19 token tail
+        # OVERSHOOTS (a full 3-token span over a short block) — the
+        # realized-rate column exists precisely to expose both
+        if tail == 0 and nt > 0:
+            assert row["mask_rate_ppm"] == 150_000
+        elif tail < 3:
+            assert row["mask_rate_ppm"] < 150_000
+        else:
+            assert row["mask_rate_ppm"] > 150_000
+            assert row["mask_rate_ppm"] <= (3 * (full + 1) * 1_000_000) // (20 * full + 3)

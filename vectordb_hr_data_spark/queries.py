@@ -80,6 +80,11 @@ PRIORITY: list[str] = [
     "q2_cheapest_supplier_per_part", "q10_returned_items_top_customers",
     "q12_priority_case_agg", "q18_large_volume_customers",
     "q21_suppliers_kept_orders_waiting", "q22_idle_rich_customers",
+    # --- the r14-born oracles (B288-B292, never driver-windowed):
+    # immediately behind the r7 remainder so the r15 window takes all 19 ---
+    "events_page_hinkley_drift", "customer_golden_record",
+    "events_ingest_watermark_lag", "doc_longest_repeat_exact",
+    "doc_span_corruption_plan",
     # --- remaining queries in rotation order (r8-r12 driver rows,
     # stalest-first; relative order unchanged) ---
     "dsir_importance_threshold", "quality_prep_threshold",

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import texthash as _H
 from ..io import read_table
 from ..queries import register
 
@@ -7083,4 +7084,210 @@ def events_timeseries_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cold_user_ppm"),
         )
         .orderBy("fold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B288: Page-Hinkley drift detection on the daily count series (r14)
+# ---------------------------------------------------------------------------
+# The ONLINE twin of the offline CUSUM scan (B128): CUSUM knows the whole
+# series and splits at the global residual peak; Page-Hinkley is the rule
+# a monitor actually runs — accumulate deviations from the RUNNING mean
+# minus a tolerance δ, alarm when the accumulator climbs λ above its own
+# running minimum (Page 1954's one-sided sequential test; the standard
+# drift detector in the streaming-ML literature, e.g. MOA/river). Exact
+# cross-engine arithmetic: the running mean S_t/t is the one division, so
+# it is micro-quantized with explicit FLOOR division — q_t = (S_t·10⁶)
+# div t, both operands positive so Spark `div` and DuckDB `//` agree —
+# and every later step (cumulative sum, running min, threshold compare)
+# is exact BIGINT. This makes the statistic a deterministically QUANTIZED
+# Page-Hinkley: both engines implement the identical integer algorithm,
+# no float summation order anywhere. Scale: one day groupBy (the minimal
+# daily-rollup pass) + windows over the ≤|days|-row reduced table — the
+# same deliberate single-partition shape as B128.
+_PH_DELTA_MICRO = 250_000  # δ: 0.25 daily-count units of tolerance
+_PH_LAMBDA_MICRO = 20_000_000  # λ: alarm at 20 count-units of drift
+
+
+@register(
+    "events_page_hinkley_drift",
+    f"""
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY CAST(floor(epoch(ts) / 86400) AS BIGINT)
+), seq AS (
+  SELECT d, c,
+         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn,
+         CAST(sum(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+  FROM daily
+), dev AS (
+  SELECT d, c, c * 1000000 - (s * 1000000) // rn - {_PH_DELTA_MICRO} AS term
+  FROM seq
+), acc AS (
+  SELECT d, c,
+         CAST(sum(term) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS m_micro
+  FROM dev
+), st AS (
+  SELECT d, c, m_micro,
+         m_micro - CAST(min(m_micro) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS ph_micro
+  FROM acc
+), fa AS (
+  SELECT min(d) AS fd FROM st WHERE ph_micro > {_PH_LAMBDA_MICRO}
+)
+SELECT st.d AS day_epoch_days, st.c AS n_events, st.m_micro, st.ph_micro,
+       CAST(CASE WHEN st.ph_micro > {_PH_LAMBDA_MICRO} THEN 1 ELSE 0 END AS BIGINT) AS is_alarm,
+       CAST(CASE WHEN st.d = fa.fd THEN 1 ELSE 0 END AS BIGINT) AS is_first_alarm
+FROM st CROSS JOIN fa
+ORDER BY day_epoch_days
+""",
+)
+def events_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized Page-Hinkley sequential drift test over daily event
+    counts (B288) — running mean micro-floored to exact integers, alarm
+    when the deviation accumulator exceeds its running min by λ."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("d")
+    ).agg(F.count("*").cast("long").alias("c"))
+    # windows over the reduced ≤|days|-row table: deliberate, not a scale bug
+    wseq = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = daily.select(
+        "d",
+        "c",
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("rn"),
+        F.sum("c").over(wseq).cast("long").alias("s"),
+    )
+    dev = seq.select(
+        "d",
+        "c",
+        F.expr(f"c * 1000000 - (s * 1000000) div rn - {_PH_DELTA_MICRO}").alias("term"),
+    )
+    acc = dev.select("d", "c", F.sum("term").over(wseq).cast("long").alias("m_micro"))
+    st = acc.select(
+        "d",
+        "c",
+        "m_micro",
+        (F.col("m_micro") - F.min("m_micro").over(wseq).cast("long")).alias("ph_micro"),
+    )
+    fa = st.filter(F.col("ph_micro") > _PH_LAMBDA_MICRO).agg(F.min("d").alias("fd"))
+    return (
+        st.crossJoin(F.broadcast(fa))
+        .select(
+            F.col("d").alias("day_epoch_days"),
+            F.col("c").alias("n_events"),
+            "m_micro",
+            "ph_micro",
+            F.when(F.col("ph_micro") > _PH_LAMBDA_MICRO, 1).otherwise(0).cast("long").alias(
+                "is_alarm"
+            ),
+            F.when(F.col("d") == F.col("fd"), 1).otherwise(0).cast("long").alias(
+                "is_first_alarm"
+            ),
+        )
+        .orderBy("day_epoch_days")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B290: per-source ingest watermark-lag ledger (r14)
+# ---------------------------------------------------------------------------
+# The number a streaming operator's watermark is actually tuned FROM: the
+# event-time → arrival-time lag distribution per ingest source. Arrival
+# time is synthesized deterministically (md5-hash delay of 0–1800 s, plus
+# a +3600 s heavy tail on every 97th event — the stuck-partition case),
+# sources are the user_id mod 8 ingest shards. Percentiles are EXACT
+# integer order statistics computed scale-safely: lag seconds have
+# bounded cardinality (≤ 5400 distinct values), so the per-(source, lag)
+# count table is the only aggregate over corpus-sized data and the
+# cumulative walk runs over ≤ 5400 rows per source — never a corpus
+# sort. k-th definitions: p50 = (n+1) div 2 (lower median), p95/p99 =
+# ceil(n·p) via (n·p + 99) div 100; the percentile is the smallest lag
+# whose cumulative count reaches k. Late-row counts at the 60/300/900 s
+# watermark candidates land beside them — the table a pipeline owner
+# reads to pick withWatermark().
+_LAG_PREDS = (60, 300, 900)
+
+
+@register(
+    "events_ingest_watermark_lag",
+    f"""
+WITH lagd AS (
+  SELECT CAST(user_id % 8 AS BIGINT) AS source,
+         CAST({_H.ddb_str_hash_fast("CAST(event_id AS VARCHAR)")} % 1800
+              + CASE WHEN event_id % 97 = 0 THEN 3600 ELSE 0 END AS BIGINT) AS lag_s
+  FROM events
+), cnt AS (
+  SELECT source, lag_s, CAST(count(*) AS BIGINT) AS c
+  FROM lagd GROUP BY source, lag_s
+), cum AS (
+  SELECT source, lag_s, c,
+         CAST(sum(c) OVER (PARTITION BY source ORDER BY lag_s
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc,
+         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM cnt
+)
+SELECT source,
+       CAST(max(n) AS BIGINT) AS n_events,
+       CAST(min(CASE WHEN cc >= (n + 1) // 2 THEN lag_s END) AS BIGINT) AS p50_lag_s,
+       CAST(min(CASE WHEN cc >= (n * 95 + 99) // 100 THEN lag_s END) AS BIGINT) AS p95_lag_s,
+       CAST(min(CASE WHEN cc >= (n * 99 + 99) // 100 THEN lag_s END) AS BIGINT) AS p99_lag_s,
+       CAST(sum(CASE WHEN lag_s > {_LAG_PREDS[0]} THEN c ELSE 0 END) AS BIGINT) AS n_late_60s,
+       CAST(sum(CASE WHEN lag_s > {_LAG_PREDS[1]} THEN c ELSE 0 END) AS BIGINT) AS n_late_300s,
+       CAST(sum(CASE WHEN lag_s > {_LAG_PREDS[2]} THEN c ELSE 0 END) AS BIGINT) AS n_late_900s
+FROM cum
+GROUP BY source
+ORDER BY source
+""",
+)
+def events_ingest_watermark_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingest-shard arrival-lag ledger (B290): exact integer order
+    statistics from the bounded (source, lag) count table, late-row
+    counts at the candidate watermark delays."""
+    ev = read_table(spark, sf_dir, "events")
+    lagd = ev.select(
+        F.expr("CAST(user_id % 8 AS BIGINT)").alias("source"),
+        F.expr(
+            f"CAST({_H.spark_str_hash_fast('CAST(event_id AS STRING)')} % 1800"
+            " + CASE WHEN event_id % 97 = 0 THEN 3600 ELSE 0 END AS BIGINT)"
+        ).alias("lag_s"),
+    )
+    cnt = lagd.groupBy("source", "lag_s").agg(F.count("*").cast("long").alias("c"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("lag_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cnt.select(
+        "source",
+        "lag_s",
+        "c",
+        F.sum("c").over(w_cum).cast("long").alias("cc"),
+        F.sum("c").over(Window.partitionBy("source")).cast("long").alias("n"),
+    )
+    return (
+        cum.groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.min(F.when(F.expr("cc >= (n + 1) div 2"), F.col("lag_s")))
+            .cast("long")
+            .alias("p50_lag_s"),
+            F.min(F.when(F.expr("cc >= (n * 95 + 99) div 100"), F.col("lag_s")))
+            .cast("long")
+            .alias("p95_lag_s"),
+            F.min(F.when(F.expr("cc >= (n * 99 + 99) div 100"), F.col("lag_s")))
+            .cast("long")
+            .alias("p99_lag_s"),
+            F.sum(F.when(F.col("lag_s") > _LAG_PREDS[0], F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_late_60s"),
+            F.sum(F.when(F.col("lag_s") > _LAG_PREDS[1], F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_late_300s"),
+            F.sum(F.when(F.col("lag_s") > _LAG_PREDS[2], F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_late_900s"),
+        )
+        .orderBy("source")
     )

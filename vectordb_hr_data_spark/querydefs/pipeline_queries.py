@@ -4709,3 +4709,114 @@ def pack_config_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("budget")
     )
+
+
+# ---------------------------------------------------------------------------
+# B292: span-corruption masking plan (T5-style pretraining prep) (r14)
+# ---------------------------------------------------------------------------
+# Span-corruption pretraining (Raffel et al. 2020) masks contiguous token
+# spans at a fixed corruption budget; the PLAN — which spans, what
+# realized mask rate — must be deterministic so a re-run regenerates the
+# identical dataset. Deterministic block layout: token stream cut into
+# 20-token blocks, each full block masks ONE 3-token span (exactly 15%)
+# whose offset is the md5 hash of (doc_id, block) mod 18; the tail block
+# masks a span only when it can hold one (≥3 tokens), at offset mod
+# (tail−2). Per doc: token/span/mask counts, the REALIZED mask-rate ppm
+# — tails round the budget BOTH ways (a 1-2 token tail undershoots
+# 150 000; a 3-19 token tail overshoots, since it takes a full 3-token
+# span; pytest pins both directions) — and the span-start-index
+# checksum that pins the exact layout cross-engine. Scale: one bounded explode (n_tokens/20 rows per
+# doc), map-side groupBy, no windows.
+_SPAN_BLOCK = 20
+_SPAN_LEN = 3
+
+
+@register(
+    "doc_span_corruption_plan",
+    f"""
+WITH tok AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents
+), blk AS (
+  SELECT t.doc_id, t.nt, CAST(b AS BIGINT) AS b,
+         CASE WHEN b < t.nt // {_SPAN_BLOCK} THEN {_SPAN_BLOCK} ELSE t.nt % {_SPAN_BLOCK} END AS bs
+  FROM tok t, unnest(range(0, t.nt // {_SPAN_BLOCK}
+       + CASE WHEN t.nt % {_SPAN_BLOCK} >= {_SPAN_LEN} THEN 1 ELSE 0 END)) AS u(b)
+), sp AS (
+  SELECT doc_id, b * {_SPAN_BLOCK}
+         + {{h}} % (CASE WHEN bs >= {_SPAN_BLOCK} THEN {_SPAN_BLOCK - _SPAN_LEN + 1}
+                         ELSE bs - {_SPAN_LEN - 1} END) AS st
+  FROM blk
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, CAST(sum(st) AS BIGINT) AS st_sum
+  FROM sp GROUP BY doc_id
+)
+SELECT t.doc_id, t.nt AS n_tokens,
+       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(a.n_spans, 0) * {_SPAN_LEN} AS BIGINT) AS n_masked,
+       CAST(coalesce(a.n_spans, 0) * {_SPAN_LEN} * 1000000 // t.nt AS BIGINT) AS mask_rate_ppm,
+       CAST(coalesce(a.st_sum, 0) AS BIGINT) AS span_start_sum
+FROM tok t LEFT JOIN agg a ON a.doc_id = t.doc_id
+ORDER BY t.doc_id
+""".replace(
+        "{h}",
+        __import__("vectordb_hr_data_spark.functions.texthash", fromlist=["x"]).ddb_str_hash_fast(
+            "'sc:' || CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)"
+        ),
+    ),
+)
+def doc_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic T5-style span-corruption layout (B292): one hashed
+    3-token span per 20-token block, realized mask-rate ppm and the
+    span-start checksum per doc."""
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.expr("cast(size(split(text, ' ')) as bigint)").alias("nt")
+    )
+    nb = (
+        f"nt div {_SPAN_BLOCK}"
+        f" + (case when nt % {_SPAN_BLOCK} >= {_SPAN_LEN} then 1 else 0 end)"
+    )
+    # guard the sequence: zero blocks would make sequence(0, -1) DESCEND
+    # (the ADVICE r13 doc_char_entropy_gate hazard) — emit an empty array
+    blk = tok.select(
+        "doc_id",
+        "nt",
+        F.explode(
+            F.expr(
+                f"case when {nb} >= 1 then sequence(0, {nb} - 1)"
+                " else array() end"
+            )
+        ).alias("b0"),
+    ).withColumn("b", F.col("b0").cast("long")).withColumn(
+        "bs",
+        F.expr(
+            f"case when b < nt div {_SPAN_BLOCK} then {_SPAN_BLOCK}"
+            f" else nt % {_SPAN_BLOCK} end"
+        ),
+    )
+    h = H.spark_str_hash_fast("concat('sc:', cast(doc_id as string), ':', cast(b as string))")
+    sp = blk.select(
+        "doc_id",
+        F.expr(
+            f"b * {_SPAN_BLOCK} + {h} % (case when bs >= {_SPAN_BLOCK}"
+            f" then {_SPAN_BLOCK - _SPAN_LEN + 1} else bs - {_SPAN_LEN - 1} end)"
+        ).alias("st"),
+    )
+    agg = sp.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum("st").cast("long").alias("st_sum"),
+    )
+    return (
+        tok.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("nt").alias("n_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            (F.coalesce("n_spans", F.lit(0)) * _SPAN_LEN).cast("long").alias("n_masked"),
+            F.expr(f"coalesce(n_spans, 0) * {_SPAN_LEN} * 1000000 div nt")
+            .cast("long")
+            .alias("mask_rate_ppm"),
+            F.coalesce("st_sum", F.lit(0)).cast("long").alias("span_start_sum"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2781,3 +2781,172 @@ def basket_triple_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rnk")
         .limit(BASKET3_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# B289: survivorship golden-record merge (r14)
+# ---------------------------------------------------------------------------
+# The last step of entity resolution: after matching says "these records
+# are the same customer", SURVIVORSHIP decides which field value wins.
+# Three deterministic source variants per customer (CRM = complete but
+# stale, WEB = freshest but gappy, APP = truncated names / flaky balance
+# / segment mutations) are synthesized from the customer table with
+# k-mod rules, then merged field-by-field under the standard rule set:
+# name = longest non-null (tie → freshest rec_day → source asc), balance
+# = freshest non-null, segment = mode across sources (tie → lexicographic
+# min — the deterministic stand-in for a steward queue). The output is
+# the one-row merge LEDGER (per-source field wins, segment tie-breaks)
+# plus checksums of the golden table (Σ name length, Σ balance cents,
+# MOBILE-segment count) so the oracle verifies the merged VALUES, not
+# just the winner tallies. Scale: every window is PARTITION BY custkey
+# over exactly 3 rows — embarrassingly parallel; the final one-row agg is
+# map-side partial all the way down.
+@register(
+    "customer_golden_record",
+    """
+WITH v AS (
+  SELECT c_custkey AS k, 'crm' AS src, 10 + c_custkey % 5 AS rec_day,
+         c_name AS name,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal,
+         c_mktsegment AS seg
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'web', 20 + c_custkey % 3,
+         CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE upper(c_name) END,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL
+              ELSE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   + c_custkey % 11 - 5 END,
+         CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_mktsegment END
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'app', 15,
+         CASE WHEN c_custkey % 7 = 0 THEN c_name || '-verified'
+              ELSE substr(c_name, 1, CAST(greatest(length(c_name) - 2, 1) AS INT)) END,
+         CASE WHEN c_custkey % 4 = 0 THEN NULL
+              ELSE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) - 7 END,
+         CASE WHEN c_custkey % 13 = 0 THEN 'MOBILE' ELSE c_mktsegment END
+  FROM customer
+), name_pick AS (
+  SELECT k, src, name FROM (
+    SELECT k, src, name,
+           row_number() OVER (PARTITION BY k
+                              ORDER BY length(name) DESC, rec_day DESC, src) AS rn
+    FROM v WHERE name IS NOT NULL
+  ) WHERE rn = 1
+), bal_pick AS (
+  SELECT k, src, bal FROM (
+    SELECT k, src, bal,
+           row_number() OVER (PARTITION BY k ORDER BY rec_day DESC, src) AS rn
+    FROM v WHERE bal IS NOT NULL
+  ) WHERE rn = 1
+), seg_cnt AS (
+  SELECT k, seg, CAST(count(*) AS BIGINT) AS c
+  FROM v WHERE seg IS NOT NULL GROUP BY k, seg
+), seg_pick AS (
+  SELECT k, seg,
+         CAST(CASE WHEN nmax > 1 THEN 1 ELSE 0 END AS BIGINT) AS tied
+  FROM (
+    SELECT k, seg, c,
+           row_number() OVER (PARTITION BY k ORDER BY c DESC, seg) AS rn,
+           CAST(count(*) FILTER (WHERE c = cm) OVER (PARTITION BY k) AS BIGINT) AS nmax
+    FROM (SELECT k, seg, c, max(c) OVER (PARTITION BY k) AS cm FROM seg_cnt)
+  ) WHERE rn = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN n.src = 'crm' THEN 1 ELSE 0 END) AS BIGINT) AS name_wins_crm,
+       CAST(sum(CASE WHEN n.src = 'web' THEN 1 ELSE 0 END) AS BIGINT) AS name_wins_web,
+       CAST(sum(CASE WHEN n.src = 'app' THEN 1 ELSE 0 END) AS BIGINT) AS name_wins_app,
+       CAST(sum(CASE WHEN b.src = 'crm' THEN 1 ELSE 0 END) AS BIGINT) AS bal_wins_crm,
+       CAST(sum(CASE WHEN b.src = 'web' THEN 1 ELSE 0 END) AS BIGINT) AS bal_wins_web,
+       CAST(sum(CASE WHEN b.src = 'app' THEN 1 ELSE 0 END) AS BIGINT) AS bal_wins_app,
+       CAST(sum(s.tied) AS BIGINT) AS seg_tie_breaks,
+       CAST(sum(length(n.name)) AS BIGINT) AS golden_name_len_sum,
+       CAST(sum(b.bal) AS BIGINT) AS golden_bal_cents_sum,
+       CAST(sum(CASE WHEN s.seg = 'MOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS n_seg_mobile
+FROM name_pick n JOIN bal_pick b ON b.k = n.k JOIN seg_pick s ON s.k = n.k
+""",
+)
+def customer_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge over three synthesized source variants (B289):
+    longest-name / freshest-balance / segment-mode rules with
+    deterministic tie-breaks; one-row ledger + golden-value checksums."""
+    cust = read_table(spark, sf_dir, "customer")
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    k = F.col("c_custkey")
+    crm = cust.select(
+        k.alias("k"),
+        F.lit("crm").alias("src"),
+        (F.lit(10) + k % 5).alias("rec_day"),
+        F.col("c_name").alias("name"),
+        cents.alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    web = cust.select(
+        k.alias("k"),
+        F.lit("web").alias("src"),
+        (F.lit(20) + k % 3).alias("rec_day"),
+        F.when(k % 3 == 0, F.lit(None)).otherwise(F.upper("c_name")).alias("name"),
+        F.when(k % 5 == 0, F.lit(None).cast("long"))
+        .otherwise(cents + k % 11 - 5)
+        .alias("bal"),
+        F.when(k % 2 == 0, F.lit(None)).otherwise(F.col("c_mktsegment")).alias("seg"),
+    )
+    app = cust.select(
+        k.alias("k"),
+        F.lit("app").alias("src"),
+        F.lit(15).alias("rec_day"),
+        F.when(k % 7 == 0, F.concat(F.col("c_name"), F.lit("-verified")))
+        .otherwise(F.expr("substr(c_name, 1, greatest(length(c_name) - 2, 1))"))
+        .alias("name"),
+        F.when(k % 4 == 0, F.lit(None).cast("long")).otherwise(cents - 7).alias("bal"),
+        F.when(k % 13 == 0, F.lit("MOBILE")).otherwise(F.col("c_mktsegment")).alias("seg"),
+    )
+    v = crm.unionByName(web).unionByName(app)
+    w_name = Window.partitionBy("k").orderBy(
+        F.length("name").desc(), F.col("rec_day").desc(), "src"
+    )
+    name_pick = (
+        v.filter(F.col("name").isNotNull())
+        .withColumn("rn", F.row_number().over(w_name))
+        .filter(F.col("rn") == 1)
+        .select("k", F.col("src").alias("n_src"), "name")
+    )
+    w_bal = Window.partitionBy("k").orderBy(F.col("rec_day").desc(), "src")
+    bal_pick = (
+        v.filter(F.col("bal").isNotNull())
+        .withColumn("rn", F.row_number().over(w_bal))
+        .filter(F.col("rn") == 1)
+        .select("k", F.col("src").alias("b_src"), "bal")
+    )
+    seg_cnt = (
+        v.filter(F.col("seg").isNotNull())
+        .groupBy("k", "seg")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wk = Window.partitionBy("k")
+    seg_pick = (
+        seg_cnt.withColumn("cm", F.max("c").over(wk))
+        .withColumn(
+            "nmax", F.sum(F.when(F.col("c") == F.col("cm"), 1).otherwise(0)).over(wk).cast("long")
+        )
+        .withColumn("rn", F.row_number().over(Window.partitionBy("k").orderBy(F.col("c").desc(), "seg")))
+        .filter(F.col("rn") == 1)
+        .select("k", "seg", F.when(F.col("nmax") > 1, 1).otherwise(0).cast("long").alias("tied"))
+    )
+    return (
+        name_pick.join(bal_pick, "k")
+        .join(seg_pick, "k")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum(F.when(F.col("n_src") == "crm", 1).otherwise(0)).cast("long").alias("name_wins_crm"),
+            F.sum(F.when(F.col("n_src") == "web", 1).otherwise(0)).cast("long").alias("name_wins_web"),
+            F.sum(F.when(F.col("n_src") == "app", 1).otherwise(0)).cast("long").alias("name_wins_app"),
+            F.sum(F.when(F.col("b_src") == "crm", 1).otherwise(0)).cast("long").alias("bal_wins_crm"),
+            F.sum(F.when(F.col("b_src") == "web", 1).otherwise(0)).cast("long").alias("bal_wins_web"),
+            F.sum(F.when(F.col("b_src") == "app", 1).otherwise(0)).cast("long").alias("bal_wins_app"),
+            F.sum("tied").cast("long").alias("seg_tie_breaks"),
+            F.sum(F.length("name")).cast("long").alias("golden_name_len_sum"),
+            F.sum("bal").cast("long").alias("golden_bal_cents_sum"),
+            F.sum(F.when(F.col("seg") == "MOBILE", 1).otherwise(0)).cast("long").alias("n_seg_mobile"),
+        )
+    )

@@ -3344,3 +3344,107 @@ def doc_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cnt").desc(), "token")
     )
+
+# ---------------------------------------------------------------------------
+# B291: exact longest repeated substring via rolling binary search (r14)
+# ---------------------------------------------------------------------------
+# B284 brackets the longest repeat within 2× on a fixed L-grid; this op
+# REFINES the bracket to the exact maximum with the classic rolling-hash
+# + binary-search construction (Karp–Rabin): "∃ a doc whose prefix
+# repeats some L-window" is MONOTONE in L (equal length-L windows at
+# distinct positions imply equal length-(L−1) prefixes at those same
+# positions), so ⌈log₂ 256⌉ = 8 hash-groupBy decision jobs pin the true
+# max over the 256-char prefix. Driver state is two integers (lo/hi) —
+# the documented bounded-driver-loop shape (the hnsw/kmeans discipline);
+# every decision job is one distributed explode + groupBy, never a
+# collect of rows. Window identity is the md5 of the window text (the
+# B284 house discipline). The DuckDB oracle cannot replay a data-
+# dependent search path, so it pays the FULL L-grid (Σ_L windows ≈
+# len²/2 per doc — fine at oracle scale, exactly the cost the binary
+# search exists to avoid at corpus scale) and reads off the same max.
+_LRS_PREFIX = 256
+
+
+@register(
+    "doc_longest_repeat_exact",
+    f"""
+WITH w AS (
+  SELECT d.doc_id, CAST(t2.l AS BIGINT) AS l,
+         md5(substr(d.text, CAST(i AS INT), CAST(t2.l AS INT))) AS wh
+  FROM documents d
+  CROSS JOIN unnest(range(1, {_LRS_PREFIX})) AS t2(l)
+  CROSS JOIN unnest(range(1, greatest(least(length(d.text), {_LRS_PREFIX}) - t2.l + 1, 0) + 1)) AS t(i)
+), dup AS (
+  SELECT doc_id, l FROM w GROUP BY doc_id, l, wh HAVING count(*) > 1
+), byl AS (
+  SELECT l, doc_id FROM dup GROUP BY l, doc_id
+), mx AS (
+  SELECT coalesce(max(l), 0) AS ml FROM byl
+)
+SELECT CAST(mx.ml AS BIGINT) AS max_repeat_len,
+       CAST(coalesce((SELECT count(*) FROM byl WHERE byl.l = mx.ml), 0) AS BIGINT)
+         AS n_docs_at_max,
+       CAST(coalesce((SELECT min(b.doc_id) FROM byl b WHERE b.l = mx.ml), -1) AS BIGINT)
+         AS min_doc_id
+FROM mx
+""",
+)
+def doc_longest_repeat_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-max repeated-window length over 256-char prefixes
+    (B291): per-doc binary search on the monotone dup-at-L decision,
+    run INSIDE one Arrow kernel (a per-record sequential algorithm is
+    exactly the mapInPandas case — the r14 first cut ran the search as
+    8 driver-coordinated whole-corpus jobs and paid ~2.5 s of fixed
+    job overhead per round); one corpus pass + a 1-row agg. Ties
+    resolved to the smallest doc_id; exact substring comparison, no
+    hash in the decision at all."""
+    # few-file corpus at test scale → spread the python workers; the
+    # kernel is consumed by two passes (corpus max, then stats at the
+    # max), so 32-way parallelism is what bounds the wall clock
+    d = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(f"substring(text, 1, {_LRS_PREFIX})").alias("p"))
+        .repartition(32)
+    )
+
+    def _lrs_kernel(batches):
+        import pandas as pd_
+
+        for pdf in batches:
+            out = []
+            for doc_id, s in zip(pdf["doc_id"], pdf["p"]):
+                n = len(s)
+
+                def has_dup(ln: int) -> bool:
+                    seen = set()
+                    for i in range(n - ln + 1):
+                        w = s[i : i + ln]
+                        if w in seen:
+                            return True
+                        seen.add(w)
+                    return False
+
+                # invariant: dup at lo (L=0 sentinel), none at hi
+                # (a single full-length window cannot repeat)
+                lo, hi = 0, n
+                while hi - lo > 1:
+                    mid = (lo + hi) // 2
+                    if has_dup(mid):
+                        lo = mid
+                    else:
+                        hi = mid
+                out.append((doc_id, lo))
+            yield pd_.DataFrame(out, columns=["doc_id", "lrs"])
+
+    per = d.mapInPandas(_lrs_kernel, "doc_id long, lrs long")
+    mx = per.agg(F.max("lrs").alias("ml"))
+    stats = (
+        per.crossJoin(F.broadcast(mx))
+        .filter((F.col("lrs") == F.col("ml")) & (F.col("ml") > 0))
+        .agg(F.count("*").cast("long").alias("nd"), F.min("doc_id").alias("md"))
+    )
+    return mx.crossJoin(F.broadcast(stats)).select(
+        F.col("ml").cast("long").alias("max_repeat_len"),
+        F.coalesce("nd", F.lit(0)).cast("long").alias("n_docs_at_max"),
+        F.coalesce("md", F.lit(-1)).cast("long").alias("min_doc_id"),
+    )
