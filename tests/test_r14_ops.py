@@ -286,3 +286,126 @@ def test_span_corruption_replay_and_budget(ddb):
         else:
             assert row["mask_rate_ppm"] > 150_000
             assert row["mask_rate_ppm"] <= (3 * (full + 1) * 1_000_000) // (20 * full + 3)
+
+
+# ---------------------------------------------------------------------------
+# B288 streaming twin: mergeable day-count state ≡ batch Page-Hinkley
+# ---------------------------------------------------------------------------
+
+
+def test_stream_page_hinkley_converges_to_batch(spark, sf_dir, tmp_path):
+    """stream_page_hinkley: after 4 unordered micro-batches (events split
+    by event_id mod 4, so every day's count is assembled across batches)
+    the from-state PH output must equal the one-shot batch query — the
+    sequential statistic is confined to the reduced day table, so only
+    the associative count fold has to survive the batch boundaries."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        page_hinkley_from_state,
+        stream_page_hinkley,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    src = tmp_path / "ph_src"
+    src.mkdir()
+    for i in range(4):
+        part = ev.filter((F.col("event_id") % 4) == i)
+        tdir = str(tmp_path / f"ph_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    state = str(tmp_path / "ph_state")
+    stream_page_hinkley(stream, state)
+    got = sorted(map(tuple, page_hinkley_from_state(spark, state).collect()))
+    want = sorted(
+        map(tuple, Q.REGISTRY["events_page_hinkley_drift"].fn(spark, sf_dir).collect())
+    )
+    assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# B294 Mann-Whitney: python replay + the U-sum identity
+# ---------------------------------------------------------------------------
+
+
+def test_mannwhitney_replay_and_laws(ddb):
+    vals = ddb.execute(
+        "SELECT CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,"
+        " CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " FROM events WHERE event_type IN ('click','view') AND value IS NOT NULL"
+    ).fetchall()
+    a = sorted(c for g, c in vals if g == 0)
+    b = sorted(c for g, c in vals if g == 1)
+    # exact 2×U via the direct definition: 2U1 = Σ_{i,j} 2·[a_i > b_j] + [a_i = b_j]
+    import bisect
+
+    u1_x2 = 0
+    for x in a:
+        lt = bisect.bisect_left(b, x)
+        eq = bisect.bisect_right(b, x) - lt
+        u1_x2 += 2 * lt + eq
+
+    (row,) = _oracle_rows(ddb, "events_mannwhitney_test")
+    n1, n2 = len(a), len(b)
+    assert row["n_click"] == n1 and row["n_view"] == n2
+    assert row["u_click_x2"] == u1_x2
+    # law: U1 + U2 = n1·n2 (×2 scale)
+    assert row["u_click_x2"] + row["u_view_x2"] == 2 * n1 * n2
+    assert row["auc_ppm"] == u1_x2 * 1_000_000 // (2 * n1 * n2)
+    assert 0 <= row["auc_ppm"] <= 1_000_000
+    # law: z sign agrees with the dominance direction
+    if row["u_click_x2"] > n1 * n2:
+        assert row["z_milli"] >= 0
+    elif row["u_click_x2"] < n1 * n2:
+        assert row["z_milli"] <= 0
+    # tie term replay
+    from collections import Counter
+
+    ties = Counter(a) + Counter(b)
+    assert row["tie_cubes"] == sum(t**3 - t for t in ties.values())
+
+
+# ---------------------------------------------------------------------------
+# B295 apportionment: Hamilton replay + the quota property
+# ---------------------------------------------------------------------------
+
+
+def test_apportionment_replay_and_quota_property(ddb):
+    strata = ddb.execute(
+        "SELECT lang, source, CAST(count(*) AS BIGINT) FROM documents"
+        " GROUP BY lang, source ORDER BY lang, source"
+    ).fetchall()
+    tot = sum(n for _, _, n in strata)
+    budget = tot // 10
+    base = {(l, s): budget * n // tot for l, s, n in strata}
+    rem = sorted(
+        ((-(budget * n % tot), l, s) for l, s, n in strata)
+    )  # largest remainder first, tie lang/source asc
+    leftover = budget - sum(base.values())
+    extra = {(l, s) for _, l, s in rem[:leftover]}
+
+    got = {(r["lang"], r["source"]): r for r in _oracle_rows(ddb, "sample_apportionment_plan")}
+    assert set(got) == set(base)
+    total_alloc = 0
+    for (l, s, n) in strata:
+        row = got[(l, s)]
+        want = base[(l, s)] + (1 if (l, s) in extra else 0)
+        assert row["final_alloc"] == want, (l, s)
+        assert row["base_alloc"] == base[(l, s)]
+        total_alloc += row["final_alloc"]
+        # quota property: within one seat of the exact quota, never above
+        # the stratum size (budget is 10% of the corpus)
+        q = budget * n / tot
+        assert q - 1 < row["final_alloc"] < q + 1
+        assert row["final_alloc"] <= n
+    # the Hamilton guarantee: the budget is hit EXACTLY
+    assert total_alloc == budget

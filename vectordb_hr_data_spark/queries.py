@@ -84,7 +84,8 @@ PRIORITY: list[str] = [
     # immediately behind the r7 remainder so the r15 window takes all 19 ---
     "events_page_hinkley_drift", "customer_golden_record",
     "events_ingest_watermark_lag", "doc_longest_repeat_exact",
-    "doc_span_corruption_plan",
+    "doc_span_corruption_plan", "events_mannwhitney_test",
+    "sample_apportionment_plan",
     # --- remaining queries in rotation order (r8-r12 driver rows,
     # stalest-first; relative order unchanged) ---
     "dsir_importance_threshold", "quality_prep_threshold",

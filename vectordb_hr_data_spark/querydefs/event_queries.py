@@ -7109,9 +7109,7 @@ _PH_DELTA_MICRO = 250_000  # δ: 0.25 daily-count units of tolerance
 _PH_LAMBDA_MICRO = 20_000_000  # λ: alarm at 20 count-units of drift
 
 
-@register(
-    "events_page_hinkley_drift",
-    f"""
+_PH_ORACLE = f"""
 WITH daily AS (
   SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
          CAST(count(*) AS BIGINT) AS c
@@ -7141,16 +7139,14 @@ SELECT st.d AS day_epoch_days, st.c AS n_events, st.m_micro, st.ph_micro,
        CAST(CASE WHEN st.d = fa.fd THEN 1 ELSE 0 END AS BIGINT) AS is_first_alarm
 FROM st CROSS JOIN fa
 ORDER BY day_epoch_days
-""",
-)
-def events_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantized Page-Hinkley sequential drift test over daily event
-    counts (B288) — running mean micro-floored to exact integers, alarm
-    when the deviation accumulator exceeds its running min by λ."""
-    ev = read_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("d")
-    ).agg(F.count("*").cast("long").alias("c"))
+"""
+
+
+def page_hinkley_over_daily(daily: DataFrame) -> DataFrame:
+    """The quantized Page-Hinkley statistic over a (d, c) day-count table
+    — shared by the batch query and the streaming twin
+    (``streaming.stream_ops.page_hinkley_from_state``), so the streamed
+    state converges to the batch output exactly."""
     # windows over the reduced ≤|days|-row table: deliberate, not a scale bug
     wseq = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     seq = daily.select(
@@ -7188,6 +7184,18 @@ def events_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_epoch_days")
     )
+
+
+@register("events_page_hinkley_drift", _PH_ORACLE)
+def events_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized Page-Hinkley sequential drift test over daily event
+    counts (B288) — running mean micro-floored to exact integers, alarm
+    when the deviation accumulator exceeds its running min by λ."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("d")
+    ).agg(F.count("*").cast("long").alias("c"))
+    return page_hinkley_over_daily(daily)
 
 
 # ---------------------------------------------------------------------------
@@ -7290,4 +7298,128 @@ def events_ingest_watermark_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_late_900s"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B294: exact Mann-Whitney U rank test — click vs view values (r14)
+# ---------------------------------------------------------------------------
+# The rank-based two-sample companion to the KS distance (B265): KS asks
+# "are the distributions different anywhere?", Mann-Whitney asks the
+# ordinal question "does one arm stochastically dominate?" — and its
+# U/(n₁n₂) IS the AUC, the effect size a ranking evaluation reports.
+# Exactness discipline: midranks enter only as 2×rank (2B_v + t_v + 1 —
+# always an integer), so 2R₁, 2U₁, the tie term Σ(t³−t) and the AUC ppm
+# are exact integers end-to-end; the only float is the final
+# normal-approximation z (the KS thr_micro precedent: identical bounded
+# float expression over identical exact integers, IEEE sqrt correctly
+# rounded, floor+0.5). 128-bit products throughout — r·n passes int64
+# only to ~3e9 rows/arm. Scale: one groupBy on quantized cents (the
+# bounded-cardinality contract of the KS/equi-depth family), windows
+# over the distinct-cents table only.
+@register(
+    "events_mannwhitney_test",
+    """
+WITH v AS (
+  SELECT CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS grp,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+), n AS (
+  SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n1,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n2
+  FROM v
+), g AS (
+  SELECT cents,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS c1,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS c2
+  FROM v GROUP BY cents
+), cum AS (
+  SELECT cents, c1, c2,
+         CAST(coalesce(sum(c1 + c2) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT) AS b
+  FROM g
+), s AS (
+  SELECT CAST(sum(c1 * (2 * b + c1 + c2 + 1)) AS HUGEINT) AS r1_x2,
+         CAST(sum((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)) AS HUGEINT) AS tie_cubes
+  FROM cum
+)
+SELECT CAST(n.n1 AS BIGINT) AS n_click, CAST(n.n2 AS BIGINT) AS n_view,
+       CAST(s.r1_x2 - n.n1 * (n.n1 + 1) AS BIGINT) AS u_click_x2,
+       CAST(2 * n.n1 * n.n2 - (s.r1_x2 - n.n1 * (n.n1 + 1)) AS BIGINT) AS u_view_x2,
+       CAST(s.tie_cubes AS BIGINT) AS tie_cubes,
+       CAST((s.r1_x2 - n.n1 * (n.n1 + 1)) * 1000000 // (2 * n.n1 * n.n2) AS BIGINT)
+         AS auc_ppm,
+       CAST(floor(((s.r1_x2 - n.n1 * (n.n1 + 1)) - n.n1 * n.n2) * 1.0
+            / (2.0 * sqrt(CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE) / 12.0
+               * ((CAST(n.n1 + n.n2 AS DOUBLE) + 1.0)
+                  - CAST(s.tie_cubes AS DOUBLE)
+                    / (CAST(n.n1 + n.n2 AS DOUBLE)
+                       * (CAST(n.n1 + n.n2 AS DOUBLE) - 1.0)))))
+            * 1000 + 0.5) AS BIGINT) AS z_milli,
+       CAST(CASE WHEN abs(floor(((s.r1_x2 - n.n1 * (n.n1 + 1)) - n.n1 * n.n2) * 1.0
+            / (2.0 * sqrt(CAST(n.n1 AS DOUBLE) * CAST(n.n2 AS DOUBLE) / 12.0
+               * ((CAST(n.n1 + n.n2 AS DOUBLE) + 1.0)
+                  - CAST(s.tie_cubes AS DOUBLE)
+                    / (CAST(n.n1 + n.n2 AS DOUBLE)
+                       * (CAST(n.n1 + n.n2 AS DOUBLE) - 1.0)))))
+            * 1000 + 0.5)) >= 1960 THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+FROM s CROSS JOIN n
+""",
+)
+def events_mannwhitney_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U via 2×midranks from the quantized-cents count
+    table (B294): integer U's, tie term and AUC ppm; float only in the
+    final tie-corrected normal z (the KS threshold precedent)."""
+    ev = read_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    v = ev.filter(
+        F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
+    ).select(
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("grp"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    n = v.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast(dec).alias("n1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast(dec).alias("n2"),
+    )
+    g = v.groupBy("cents").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast(dec).alias("c1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast(dec).alias("c2"),
+    )
+    # window over the distinct-cents table only (bounded-cardinality
+    # contract of the KS/equi-depth family)
+    wb = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = g.select(
+        "cents",
+        "c1",
+        "c2",
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(wb), F.lit(0)).cast(dec).alias("b"),
+    )
+    s = cum.agg(
+        F.sum(F.expr("c1 * (2 * b + c1 + c2 + 1)")).cast(dec).alias("r1_x2"),
+        F.sum(F.expr("(c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)"))
+        .cast(dec)
+        .alias("tie_cubes"),
+    )
+    zf = (
+        "floor((cast(r1_x2 - n1 * (n1 + 1) as double) - cast(n1 * n2 as double))"
+        " / (2.0 * sqrt(cast(n1 as double) * cast(n2 as double) / 12.0"
+        "    * ((cast(n1 + n2 as double) + 1.0)"
+        "       - cast(tie_cubes as double)"
+        "         / (cast(n1 + n2 as double) * (cast(n1 + n2 as double) - 1.0)))))"
+        " * 1000 + 0.5)"
+    )
+    return s.crossJoin(F.broadcast(n)).select(
+        F.col("n1").cast("long").alias("n_click"),
+        F.col("n2").cast("long").alias("n_view"),
+        F.expr("r1_x2 - n1 * (n1 + 1)").cast("long").alias("u_click_x2"),
+        F.expr("2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1))").cast("long").alias("u_view_x2"),
+        F.col("tie_cubes").cast("long").alias("tie_cubes"),
+        F.expr("(r1_x2 - n1 * (n1 + 1)) * 1000000 div (2 * n1 * n2)")
+        .cast("long")
+        .alias("auc_ppm"),
+        F.expr(zf).cast("long").alias("z_milli"),
+        F.expr(f"case when abs({zf}) >= 1960 then 1 else 0 end").cast("long").alias(
+            "reject_95"
+        ),
     )

@@ -4820,3 +4820,88 @@ def doc_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# B295: largest-remainder sample apportionment (Hamilton method) (r14)
+# ---------------------------------------------------------------------------
+# The exact-seats counterpart of the rate-based samplers (B11/B17): when
+# a sampling job must hit an EXACT total budget (eval-set assembly,
+# labeling quotas), per-stratum rates round away from it. Hamilton's
+# method fixes that deterministically: floor the proportional quota per
+# (lang, source) stratum, then grant the leftover seats to the largest
+# remainders (tie → stratum key asc). Guarantees (pytest): Σ final_alloc
+# = budget exactly, and every allocation is within one seat of its exact
+# quota (the quota property). Budget = 10% of the corpus, data-derived,
+# so every stratum allocation ≤ its stratum size. Scale: one stratum
+# groupBy; windows run over the bounded strata table only.
+@register(
+    "sample_apportionment_plan",
+    """
+WITH s AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang, source
+), t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tot, CAST(sum(n) // 10 AS BIGINT) AS budget FROM s
+), q AS (
+  SELECT s.lang, s.source, s.n, t.tot, t.budget,
+         (t.budget * s.n) // t.tot AS base,
+         (t.budget * s.n) % t.tot AS rem
+  FROM s CROSS JOIN t
+), r AS (
+  SELECT lang, source, n, tot, budget, base, rem,
+         CAST(row_number() OVER (ORDER BY rem DESC, lang, source) AS BIGINT) AS rr,
+         CAST(budget - sum(base) OVER () AS BIGINT) AS leftover
+  FROM q
+)
+SELECT lang, source, n AS n_docs,
+       CAST((budget * n * 1000000) // tot AS BIGINT) AS quota_microseats,
+       CAST(base AS BIGINT) AS base_alloc,
+       CAST(CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra_seat,
+       CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS final_alloc
+FROM r
+ORDER BY lang, source
+""",
+)
+def sample_apportionment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment of a 10% sample budget
+    across (lang, source) strata (B295): exact-total integer seats,
+    remainder ranking with deterministic tie-breaks."""
+    d = read_table(spark, sf_dir, "documents")
+    s = d.groupBy("lang", "source").agg(F.count("*").cast("long").alias("n"))
+    t = s.agg(
+        F.sum("n").cast("long").alias("tot"),
+        F.expr("sum(n) div 10").cast("long").alias("budget"),
+    )
+    q = s.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "source",
+        "n",
+        "tot",
+        "budget",
+        F.expr("(budget * n) div tot").alias("base"),
+        F.expr("(budget * n) % tot").alias("rem"),
+    )
+    # windows over the bounded strata table only
+    r = q.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), "lang", "source"))
+        .cast("long")
+        .alias("rr"),
+        (F.col("budget") - F.sum("base").over(Window.partitionBy())).cast("long").alias(
+            "leftover"
+        ),
+    )
+    return r.select(
+        "lang",
+        "source",
+        F.col("n").alias("n_docs"),
+        F.expr("(budget * n * 1000000) div tot").cast("long").alias("quota_microseats"),
+        F.col("base").cast("long").alias("base_alloc"),
+        F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0).cast("long").alias(
+            "extra_seat"
+        ),
+        (F.col("base") + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0))
+        .cast("long")
+        .alias("final_alloc"),
+    ).orderBy("lang", "source")

@@ -2793,3 +2793,39 @@ def stream_counting_bloom(cdc_stream: DataFrame, state_path: str) -> None:
 
     q = cdc_stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination()
+
+
+def stream_page_hinkley(event_stream: DataFrame, state_path: str) -> None:
+    """Streaming maintenance of the B288 Page-Hinkley input state: the
+    day-count table folds by integer addition (counts are associative —
+    batch boundaries, arrival order, and a day split across micro-batches
+    cannot change the converged state), via the generic mergeable sink.
+    The PH statistic itself is inherently SEQUENTIAL (running mean,
+    running min), so it is NOT maintained incrementally: it recomputes
+    over the ≤|days|-row state at read time (``page_hinkley_from_state``)
+    — the same state/statistic split as stream_burst_state, with the
+    sequential part confined to the bounded reduced table."""
+    from pyspark.sql import functions as F
+
+    stream_mergeable_agg(
+        event_stream.select(
+            F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("d")
+        ),
+        state_path,
+        ["d"],
+        [F.count("*").cast("long").alias("c")],
+        [F.sum("c").cast("long").alias("c")],
+    )
+
+
+def page_hinkley_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B288's quantized Page-Hinkley columns computed from the streamed
+    day-count state — identical arithmetic to ``events_page_hinkley_drift``
+    (shared ``page_hinkley_over_daily`` builder), so the streamed state
+    converges to the batch query exactly."""
+    from ..querydefs.event_queries import page_hinkley_over_daily
+
+    state = _read_state_or_none(spark, state_path, "page_hinkley_from_state")
+    if state is None:
+        raise FileNotFoundError(f"no page-hinkley state at {state_path}")
+    return page_hinkley_over_daily(state)
