@@ -409,3 +409,89 @@ def test_apportionment_replay_and_quota_property(ddb):
         assert row["final_alloc"] <= n
     # the Hamilton guarantee: the budget is hit EXACTLY
     assert total_alloc == budget
+
+
+# ---------------------------------------------------------------------------
+# B296 salting advisor: replay + the ceil-division guarantee
+# ---------------------------------------------------------------------------
+
+
+def test_salting_advisor_replay_and_guarantee(ddb):
+    from vectordb_hr_data_spark.querydefs.event_queries import _SALT_TASKS
+
+    counts = dict(
+        ddb.execute("SELECT user_id, CAST(count(*) AS BIGINT) FROM events GROUP BY 1").fetchall()
+    )
+    total = sum(counts.values())
+    target = max(total // _SALT_TASKS, 1)
+    sf = {k: (c + target - 1) // target if c > target else 1 for k, c in counts.items()}
+    rows = _oracle_rows(ddb, "events_salting_advisor")
+    assert 1 <= len(rows) <= 10
+    led = rows[0]
+    assert led["target_rows_per_task"] == target
+    assert led["max_before"] == max(counts.values())
+    assert led["n_keys"] == len(counts)
+    assert led["n_hot_keys"] == sum(1 for f in sf.values() if f > 1)
+    assert led["extra_partitions"] == sum(f - 1 for f in sf.values())
+    want_after = max((c + sf[k] - 1) // sf[k] for k, c in counts.items())
+    assert led["max_after"] == want_after
+    # the ceil-division guarantee: no salted slice exceeds the target
+    assert led["max_after"] <= target
+    # top rows are the largest keys, count-desc with key tie-break
+    ordered = sorted(counts.items(), key=lambda t: (-t[1], t[0]))
+    for r, (k, c) in zip(rows, ordered):
+        assert (r["key"], r["n_rows"], r["salt_factor"]) == (k, c, sf[k])
+        assert r["rows_per_salt"] == (c + sf[k] - 1) // sf[k]
+
+
+# ---------------------------------------------------------------------------
+# B297 v-optimal: full-enumeration replay — the argmin is truly optimal
+# ---------------------------------------------------------------------------
+
+
+def test_voptimal_full_enumeration_replay(ddb):
+    daily = ddb.execute(
+        "SELECT CAST(floor(epoch(ts)/86400) AS BIGINT), CAST(count(*) AS BIGINT)"
+        " FROM events GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    days = [d for d, _ in daily]
+    cs = [c for _, c in daily]
+    D = len(cs)
+    assert D >= 4
+    p1 = [0]
+    p2 = [0]
+    for c in cs:
+        p1.append(p1[-1] + c)
+        p2.append(p2[-1] + c * c)
+
+    def cost(a, b):
+        s = p1[b] - p1[a]
+        return (p2[b] - p2[a]) - (s * s) // (b - a)
+
+    best = None
+    for i in range(1, D - 2):
+        for j in range(i + 1, D - 1):
+            for k in range(j + 1, D):
+                t = cost(0, i) + cost(i, j) + cost(j, k) + cost(k, D)
+                cand = (t, i, j, k)
+                if best is None or cand < best:
+                    best = cand
+    t, i, j, k = best
+
+    rows = _oracle_rows(ddb, "events_voptimal_histogram")
+    assert len(rows) == 4
+    bounds = [(0, i), (i, j), (j, k), (k, D)]
+    for row, (a, b) in zip(rows, bounds):
+        assert row["day_lo"] == days[a]
+        assert row["day_hi"] == days[b - 1]
+        assert row["n_days"] == b - a
+        assert row["seg_events"] == p1[b] - p1[a]
+        assert row["seg_sse"] == cost(a, b)
+        assert row["seg_sse"] >= 0
+        assert row["total_sse"] == t
+    # consistency: the four segment SSEs sum to the reported optimum
+    assert sum(r["seg_sse"] for r in rows) == t
+    # optimality sanity vs a naive equal-width split
+    q = D // 4
+    naive = cost(0, q) + cost(q, 2 * q) + cost(2 * q, 3 * q) + cost(3 * q, D)
+    assert t <= naive

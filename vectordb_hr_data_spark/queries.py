@@ -85,7 +85,8 @@ PRIORITY: list[str] = [
     "events_page_hinkley_drift", "customer_golden_record",
     "events_ingest_watermark_lag", "doc_longest_repeat_exact",
     "doc_span_corruption_plan", "events_mannwhitney_test",
-    "sample_apportionment_plan",
+    "sample_apportionment_plan", "events_salting_advisor",
+    "events_voptimal_histogram",
     # --- remaining queries in rotation order (r8-r12 driver rows,
     # stalest-first; relative order unchanged) ---
     "dsir_importance_threshold", "quality_prep_threshold",

@@ -7423,3 +7423,244 @@ def events_mannwhitney_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reject_95"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# B296: skew-salting advisor — the fix B72 diagnoses, planned as numbers (r14)
+# ---------------------------------------------------------------------------
+# B72 profiles join-key skew; this op emits the PLAN a skew-aware join
+# actually needs: per hot key, the salt factor f = ceil(c / target) that
+# splits its rows into under-target slices (target = the per-task budget
+# a 256-task stage gives the key column, floor total/256, min 1). The
+# ledger quantifies the payoff BEFORE the shuffle runs: max task rows
+# before (the straggler) vs after (max over keys of ceil(c/f) — provably
+# ≤ target + the sub-target keys' own sizes), hot-key count, and the
+# extra partitions salting costs (Σf − n_hot). Pure integer arithmetic;
+# one keyed count + aggregates over it; top-10 hot keys by count for the
+# human reading the plan.
+_SALT_TASKS = 256
+
+
+@register(
+    "events_salting_advisor",
+    f"""
+WITH c AS (
+  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY user_id
+), t AS (
+  SELECT CAST(greatest(sum(c) // {_SALT_TASKS}, 1) AS BIGINT) AS target,
+         CAST(max(c) AS BIGINT) AS max_before,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM c
+), f AS (
+  SELECT c.k, c.c, t.target, t.max_before, t.n_keys,
+         CASE WHEN c.c > t.target THEN (c.c + t.target - 1) // t.target ELSE 1 END AS sf
+  FROM c CROSS JOIN t
+), led AS (
+  SELECT max(target) AS target, max(max_before) AS max_before, max(n_keys) AS n_keys,
+         CAST(sum(CASE WHEN sf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_keys,
+         CAST(max((c + sf - 1) // sf) AS BIGINT) AS max_after,
+         CAST(sum(sf) - count(*) AS BIGINT) AS extra_partitions
+  FROM f
+), top AS (
+  SELECT k, c, sf, (c + sf - 1) // sf AS rows_per_salt,
+         row_number() OVER (ORDER BY c DESC, k) AS rnk
+  FROM f
+)
+SELECT CAST(top.k AS BIGINT) AS key, top.c AS n_rows,
+       CAST(top.sf AS BIGINT) AS salt_factor,
+       CAST(top.rows_per_salt AS BIGINT) AS rows_per_salt,
+       CAST(top.rnk AS BIGINT) AS rnk,
+       led.target AS target_rows_per_task, led.max_before, led.max_after,
+       led.n_keys, led.n_hot_keys, led.extra_partitions
+FROM top CROSS JOIN led
+WHERE top.rnk <= 10
+ORDER BY top.rnk
+""",
+)
+def events_salting_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salting plan over the user_id join-key histogram (B296):
+    per-hot-key ceil-division salt factors, before/after straggler rows,
+    and the partition overhead — the numbers a skew join is tuned by."""
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.groupBy(F.col("user_id").alias("k")).agg(F.count("*").cast("long").alias("c"))
+    t = c.agg(
+        F.expr(f"cast(greatest(sum(c) div {_SALT_TASKS}, 1) as bigint)").alias("target"),
+        F.max("c").cast("long").alias("max_before"),
+        F.count("*").cast("long").alias("n_keys"),
+    )
+    f = c.crossJoin(F.broadcast(t)).select(
+        "k",
+        "c",
+        "target",
+        "max_before",
+        "n_keys",
+        F.expr(
+            "case when c > target then (c + target - 1) div target else 1 end"
+        ).alias("sf"),
+    )
+    led = f.agg(
+        F.max("target").alias("target"),
+        F.max("max_before").alias("max_before"),
+        F.max("n_keys").alias("n_keys"),
+        F.sum(F.when(F.col("sf") > 1, 1).otherwise(0)).cast("long").alias("n_hot_keys"),
+        F.max(F.expr("(c + sf - 1) div sf")).cast("long").alias("max_after"),
+        (F.sum("sf") - F.count("*")).cast("long").alias("extra_partitions"),
+    )
+    w = Window.orderBy(F.col("c").desc(), "k")
+    top = f.select(
+        "k", "c", "sf", F.expr("(c + sf - 1) div sf").alias("rows_per_salt")
+    ).withColumn("rnk", F.row_number().over(w))
+    return (
+        top.filter(F.col("rnk") <= 10)
+        .crossJoin(F.broadcast(led))
+        .select(
+            F.col("k").cast("long").alias("key"),
+            F.col("c").alias("n_rows"),
+            F.col("sf").cast("long").alias("salt_factor"),
+            F.col("rows_per_salt").cast("long").alias("rows_per_salt"),
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("target").alias("target_rows_per_task"),
+            "max_before",
+            "max_after",
+            "n_keys",
+            "n_hot_keys",
+            "extra_partitions",
+        )
+        .orderBy("rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B297: v-optimal histogram — the optimizer-statistics construction (r14)
+# ---------------------------------------------------------------------------
+# Equi-depth bins (B94) choose boundaries by mass; a V-OPTIMAL histogram
+# (Jagadish et al., VLDB 1998 — the construction behind real optimizer
+# column stats) chooses them to minimize total within-bucket variance,
+# so selectivity estimates degrade the least. K=4 buckets over the daily
+# count series: instead of the classical sequential DP, the bounded
+# split space C(D−1,3) is ENUMERATED declaratively (three self-joins of
+# the prefix table + one argmin — 8M rows even for a decade of days:
+# Catalyst distributes the search; no driver loop, no recursion).
+# Exactness: per-segment SSE via the prefix identity Σc²−S²/len, with
+# the division floored once per segment (cost = Q − S² div len, a
+# nonneg integer on both engines); argmin tie-breaks on (i,j,k) asc.
+# 128-bit accumulators — S² passes int64 only to ~3e9 total rows.
+@register(
+    "events_voptimal_histogram",
+    """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY CAST(floor(epoch(ts) / 86400) AS BIGINT)
+), pre AS (
+  SELECT d, c, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn,
+         CAST(sum(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS p1,
+         CAST(sum(c * c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS p2
+  FROM daily
+), tot AS (
+  SELECT rn AS dn, p1 AS q1, p2 AS q2 FROM pre ORDER BY rn DESC LIMIT 1
+), spl AS (
+  SELECT a.rn AS i, b.rn AS j, c2.rn AS k, t.dn,
+         (a.p2 - (a.p1 * a.p1) // a.rn)
+       + ((b.p2 - a.p2) - ((b.p1 - a.p1) * (b.p1 - a.p1)) // (b.rn - a.rn))
+       + ((c2.p2 - b.p2) - ((c2.p1 - b.p1) * (c2.p1 - b.p1)) // (c2.rn - b.rn))
+       + ((t.q2 - c2.p2) - ((t.q1 - c2.p1) * (t.q1 - c2.p1)) // (t.dn - c2.rn))
+         AS total
+  FROM pre a JOIN pre b ON b.rn > a.rn JOIN pre c2 ON c2.rn > b.rn
+  CROSS JOIN tot t
+  WHERE c2.rn < t.dn
+), best AS (
+  SELECT i, j, k, dn, total FROM spl ORDER BY total, i, j, k LIMIT 1
+), segb AS (
+  SELECT 1 AS seg_id, CAST(0 AS BIGINT) AS a, i AS b, total FROM best
+  UNION ALL SELECT 2, i, j, total FROM best
+  UNION ALL SELECT 3, j, k, total FROM best
+  UNION ALL SELECT 4, k, dn, total FROM best
+)
+SELECT CAST(s.seg_id AS BIGINT) AS seg_id,
+       CAST((SELECT d FROM pre WHERE rn = s.a + 1) AS BIGINT) AS day_lo,
+       CAST((SELECT d FROM pre WHERE rn = s.b) AS BIGINT) AS day_hi,
+       CAST(s.b - s.a AS BIGINT) AS n_days,
+       CAST(pb.p1 - coalesce(pa.p1, 0) AS BIGINT) AS seg_events,
+       CAST((pb.p2 - coalesce(pa.p2, 0))
+            - ((pb.p1 - coalesce(pa.p1, 0)) * (pb.p1 - coalesce(pa.p1, 0)))
+              // (s.b - s.a) AS BIGINT) AS seg_sse,
+       CAST(s.total AS BIGINT) AS total_sse
+FROM segb s JOIN pre pb ON pb.rn = s.b LEFT JOIN pre pa ON pa.rn = s.a
+ORDER BY seg_id
+""",
+)
+def events_voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-optimal 4-bucket histogram of the daily count series (B297):
+    the split space enumerated as three prefix-table self-joins + one
+    argmin — distributed search, exact integer SSE, (i,j,k) tie-break."""
+    ev = read_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    daily = ev.groupBy(
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("d")
+    ).agg(F.count("*").cast("long").alias("c"))
+    wseq = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pre = daily.select(
+        "d",
+        "c",
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("rn"),
+        F.sum("c").over(wseq).cast(dec).alias("p1"),
+        F.sum(F.expr("cast(c as decimal(38,0)) * c")).over(wseq).cast(dec).alias("p2"),
+    )
+    tot = pre.orderBy(F.col("rn").desc()).limit(1).select(
+        F.col("rn").alias("dn"), F.col("p1").alias("q1"), F.col("p2").alias("q2")
+    )
+    a = pre.select(F.col("rn").alias("i"), F.col("p1").alias("a1"), F.col("p2").alias("a2"))
+    b = pre.select(F.col("rn").alias("j"), F.col("p1").alias("b1"), F.col("p2").alias("b2"))
+    c2 = pre.select(F.col("rn").alias("k"), F.col("p1").alias("c1"), F.col("p2").alias("c2"))
+    spl = (
+        a.join(b, F.col("j") > F.col("i"))
+        .join(c2, F.col("k") > F.col("j"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("k") < F.col("dn"))
+        .select(
+            "i",
+            "j",
+            "k",
+            "dn",
+            F.expr(
+                "(a2 - (a1 * a1) div i)"
+                " + ((b2 - a2) - ((b1 - a1) * (b1 - a1)) div (j - i))"
+                " + ((c2 - b2) - ((c1 - b1) * (c1 - b1)) div (k - j))"
+                " + ((q2 - c2) - ((q1 - c1) * (q1 - c1)) div (dn - k))"
+            ).alias("total"),
+        )
+    )
+    best = spl.orderBy("total", "i", "j", "k").limit(1)
+    segb = (
+        best.selectExpr("1 as seg_id", "cast(0 as bigint) as a", "i as b", "total")
+        .unionByName(best.selectExpr("2 as seg_id", "i as a", "j as b", "total"))
+        .unionByName(best.selectExpr("3 as seg_id", "j as a", "k as b", "total"))
+        .unionByName(best.selectExpr("4 as seg_id", "k as a", "dn as b", "total"))
+    )
+    plo = pre.select((F.col("rn") - 1).alias("a"), F.col("d").alias("day_lo"))
+    phi = pre.select(
+        F.col("rn").alias("b"),
+        F.col("d").alias("day_hi"),
+        F.col("p1").alias("h1"),
+        F.col("p2").alias("h2"),
+    )
+    pa = pre.select(F.col("rn").alias("a"), F.col("p1").alias("l1"), F.col("p2").alias("l2"))
+    return (
+        segb.join(F.broadcast(plo), "a")
+        .join(F.broadcast(phi), "b")
+        .join(F.broadcast(pa), "a", "left")
+        .select(
+            F.col("seg_id").cast("long").alias("seg_id"),
+            F.col("day_lo").cast("long").alias("day_lo"),
+            F.col("day_hi").cast("long").alias("day_hi"),
+            (F.col("b") - F.col("a")).cast("long").alias("n_days"),
+            F.expr("cast(h1 - coalesce(l1, 0) as bigint)").alias("seg_events"),
+            F.expr(
+                "cast((h2 - coalesce(l2, 0))"
+                " - ((h1 - coalesce(l1, 0)) * (h1 - coalesce(l1, 0))) div (b - a) as bigint)"
+            ).alias("seg_sse"),
+            F.col("total").cast("long").alias("total_sse"),
+        )
+        .orderBy("seg_id")
+    )
