@@ -495,3 +495,81 @@ def test_voptimal_full_enumeration_replay(ddb):
     q = D // 4
     naive = cost(0, q) + cost(q, 2 * q) + cost(2 * q, 3 * q) + cost(3 * q, D)
     assert t <= naive
+
+
+# ---------------------------------------------------------------------------
+# B298 streaming twin: mergeable (source, lag) state ≡ batch lag ledger
+# ---------------------------------------------------------------------------
+
+
+def test_stream_watermark_lag_converges_to_batch(spark, sf_dir, tmp_path):
+    """stream_watermark_lag: 4 unordered micro-batches of the events feed
+    must converge to the one-shot events_ingest_watermark_lag — exact
+    order statistics assembled from counts that were split across
+    batches."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        stream_watermark_lag,
+        watermark_lag_from_state,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    src = tmp_path / "wl_src"
+    src.mkdir()
+    for i in range(4):
+        part = ev.filter((F.col("event_id") % 4) == i)
+        tdir = str(tmp_path / f"wl_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    state = str(tmp_path / "wl_state")
+    stream_watermark_lag(stream, state)
+    got = sorted(map(tuple, watermark_lag_from_state(spark, state).collect()))
+    want = sorted(
+        map(tuple, Q.REGISTRY["events_ingest_watermark_lag"].fn(spark, sf_dir).collect())
+    )
+    assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# B299 patch plan: replay + the patch-budget theorem
+# ---------------------------------------------------------------------------
+
+
+def test_patch_plan_replay_and_budget(ddb):
+    doc_ids = [d for (d,) in ddb.execute("SELECT doc_id FROM documents").fetchall()]
+    got = {r["doc_id"]: r for r in _oracle_rows(ddb, "multimodal_patch_plan")}
+    assert set(got) == set(doc_ids)
+    P, MX = 14, 896
+    budget = ((MX + P - 1) // P) ** 2
+    for doc_id in doc_ids:
+        w = 320 + _fast_hash(f"w:{doc_id}") % 1600
+        h = 240 + _fast_hash(f"h:{doc_id}") % 1080
+        m = max(w, h)
+        tw = (w * MX) // m if m > MX else w
+        th = (h * MX) // m if m > MX else h
+        px = (tw + P - 1) // P
+        py = (th + P - 1) // P
+        row = got[doc_id]
+        assert (row["width"], row["height"]) == (w, h)
+        assert (row["target_w"], row["target_h"]) == (tw, th)
+        assert (row["patches_x"], row["patches_y"]) == (px, py)
+        assert row["n_patches"] == px * py
+        pad_area = px * P * py * P
+        assert row["pad_waste_ppm"] == (pad_area - tw * th) * 1_000_000 // pad_area
+        # laws: the resize never upscales, stays within the long-side cap,
+        # and the plan never exceeds the token budget
+        assert tw <= w and th <= h
+        assert max(tw, th) <= MX
+        assert row["n_patches"] <= budget
+        # padding rounds UP: padded area always covers the target
+        assert pad_area >= tw * th

@@ -86,7 +86,7 @@ PRIORITY: list[str] = [
     "events_ingest_watermark_lag", "doc_longest_repeat_exact",
     "doc_span_corruption_plan", "events_mannwhitney_test",
     "sample_apportionment_plan", "events_salting_advisor",
-    "events_voptimal_histogram",
+    "events_voptimal_histogram", "multimodal_patch_plan",
     # --- remaining queries in rotation order (r8-r12 driver rows,
     # stalest-first; relative order unchanged) ---
     "dsir_importance_threshold", "quality_prep_threshold",

@@ -7261,7 +7261,16 @@ def events_ingest_watermark_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + CASE WHEN event_id % 97 = 0 THEN 3600 ELSE 0 END AS BIGINT)"
         ).alias("lag_s"),
     )
-    cnt = lagd.groupBy("source", "lag_s").agg(F.count("*").cast("long").alias("c"))
+    return watermark_lag_over_counts(
+        lagd.groupBy("source", "lag_s").agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def watermark_lag_over_counts(cnt: DataFrame) -> DataFrame:
+    """The B290 ledger from a (source, lag_s, c) count table — shared by
+    the batch query and the streaming twin
+    (``streaming.stream_ops.watermark_lag_from_state``), so the streamed
+    state converges to the batch output exactly."""
     w_cum = (
         Window.partitionBy("source")
         .orderBy("lag_s")

@@ -4896,3 +4896,108 @@ def multimodal_audio_frame_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "frame_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# B299: ViT patch-grid plan over image metadata (r14)
+# --------------------------------------------------------------------------
+# The image twin of the span-corruption plan (B292) and the audio frame
+# grid (B280): before a vision encoder sees a byte, the PLAN — resize,
+# pad-to-patch-multiple, token count — is pure integer arithmetic over
+# typed metadata, and it decides the GPU bill. Per image (dims
+# synthesized deterministically from doc_id — the B8 opaque-payload
+# discipline; real decoders stay stubbed per environment): scale the
+# long side to ≤ 896 px (integer floor division, aspect preserved),
+# round each side UP to the 14-px patch grid, report the patch counts,
+# the token count, and the padding waste ppm the round-up costs. The
+# budget theorem (pytest): the plan never exceeds ⌈896/14⌉² = 4096
+# patches. Scale: map-only — one projection, no shuffle at all.
+_PATCH_PX = 14
+_PATCH_MAX_SIDE = 896
+
+
+@register(
+    "multimodal_patch_plan",
+    f"""
+WITH dims AS (
+  SELECT doc_id,
+         CAST(320 + {H.ddb_str_hash_fast("'w:' || CAST(doc_id AS VARCHAR)")} % 1600 AS BIGINT)
+           AS width,
+         CAST(240 + {H.ddb_str_hash_fast("'h:' || CAST(doc_id AS VARCHAR)")} % 1080 AS BIGINT)
+           AS height
+  FROM documents
+), t AS (
+  SELECT doc_id, width, height,
+         CASE WHEN greatest(width, height) > {_PATCH_MAX_SIDE}
+              THEN (width * {_PATCH_MAX_SIDE}) // greatest(width, height)
+              ELSE width END AS tw,
+         CASE WHEN greatest(width, height) > {_PATCH_MAX_SIDE}
+              THEN (height * {_PATCH_MAX_SIDE}) // greatest(width, height)
+              ELSE height END AS th
+  FROM dims
+), g AS (
+  SELECT doc_id, width, height, tw, th,
+         (tw + {_PATCH_PX - 1}) // {_PATCH_PX} AS px,
+         (th + {_PATCH_PX - 1}) // {_PATCH_PX} AS py
+  FROM t
+)
+SELECT doc_id, width, height,
+       CAST(tw AS BIGINT) AS target_w, CAST(th AS BIGINT) AS target_h,
+       CAST(px AS BIGINT) AS patches_x, CAST(py AS BIGINT) AS patches_y,
+       CAST(px * py AS BIGINT) AS n_patches,
+       CAST((px * {_PATCH_PX} * py * {_PATCH_PX} - tw * th) * 1000000
+            // (px * {_PATCH_PX} * py * {_PATCH_PX}) AS BIGINT) AS pad_waste_ppm
+FROM g
+ORDER BY doc_id
+""",
+)
+def multimodal_patch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch-grid plan (B299): aspect-preserving integer resize
+    to the 896-px long side, pad-up to the 14-px grid, token count and
+    padding-waste ppm — map-only over typed image metadata."""
+    d = read_table(spark, sf_dir, "documents")
+    wh = d.select(
+        "doc_id",
+        F.expr(
+            f"CAST(320 + {H.spark_str_hash_fast(chr(39) + 'w:' + chr(39) + ' || CAST(doc_id AS STRING)')} % 1600 AS BIGINT)"
+        ).alias("width"),
+        F.expr(
+            f"CAST(240 + {H.spark_str_hash_fast(chr(39) + 'h:' + chr(39) + ' || CAST(doc_id AS STRING)')} % 1080 AS BIGINT)"
+        ).alias("height"),
+    )
+    t = wh.select(
+        "doc_id",
+        "width",
+        "height",
+        F.expr(
+            f"CASE WHEN greatest(width, height) > {_PATCH_MAX_SIDE}"
+            f" THEN (width * {_PATCH_MAX_SIDE}) div greatest(width, height)"
+            " ELSE width END"
+        ).alias("tw"),
+        F.expr(
+            f"CASE WHEN greatest(width, height) > {_PATCH_MAX_SIDE}"
+            f" THEN (height * {_PATCH_MAX_SIDE}) div greatest(width, height)"
+            " ELSE height END"
+        ).alias("th"),
+    )
+    g = t.select(
+        "*",
+        F.expr(f"(tw + {_PATCH_PX - 1}) div {_PATCH_PX}").alias("px"),
+        F.expr(f"(th + {_PATCH_PX - 1}) div {_PATCH_PX}").alias("py"),
+    )
+    return g.select(
+        "doc_id",
+        "width",
+        "height",
+        F.col("tw").cast("long").alias("target_w"),
+        F.col("th").cast("long").alias("target_h"),
+        F.col("px").cast("long").alias("patches_x"),
+        F.col("py").cast("long").alias("patches_y"),
+        F.expr("px * py").cast("long").alias("n_patches"),
+        F.expr(
+            f"(px * {_PATCH_PX} * py * {_PATCH_PX} - tw * th) * 1000000"
+            f" div (px * {_PATCH_PX} * py * {_PATCH_PX})"
+        )
+        .cast("long")
+        .alias("pad_waste_ppm"),
+    ).orderBy("doc_id")

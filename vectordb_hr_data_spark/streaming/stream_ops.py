@@ -2829,3 +2829,42 @@ def page_hinkley_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     if state is None:
         raise FileNotFoundError(f"no page-hinkley state at {state_path}")
     return page_hinkley_over_daily(state)
+
+
+def stream_watermark_lag(event_stream: DataFrame, state_path: str) -> None:
+    """Streaming maintenance of the B290 ingest-lag state: the (source,
+    lag-second) count table folds by integer addition through the generic
+    mergeable sink — the exact shape the op was designed around (bounded
+    lag cardinality ⇒ bounded state), so the per-batch work is
+    O(|batch| distinct lags) and the ledger recomputes over the bounded
+    state at read time (``watermark_lag_from_state``)."""
+    from pyspark.sql import functions as F
+
+    from ..functions import texthash as _H
+
+    lagd = event_stream.select(
+        F.expr("CAST(user_id % 8 AS BIGINT)").alias("source"),
+        F.expr(
+            f"CAST({_H.spark_str_hash_fast('CAST(event_id AS STRING)')} % 1800"
+            " + CASE WHEN event_id % 97 = 0 THEN 3600 ELSE 0 END AS BIGINT)"
+        ).alias("lag_s"),
+    )
+    stream_mergeable_agg(
+        lagd,
+        state_path,
+        ["source", "lag_s"],
+        [F.count("*").cast("long").alias("c")],
+        [F.sum("c").cast("long").alias("c")],
+    )
+
+
+def watermark_lag_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B290's per-source lag ledger computed from the streamed count
+    state — identical arithmetic to ``events_ingest_watermark_lag``
+    (shared ``watermark_lag_over_counts`` builder)."""
+    from ..querydefs.event_queries import watermark_lag_over_counts
+
+    state = _read_state_or_none(spark, state_path, "watermark_lag_from_state")
+    if state is None:
+        raise FileNotFoundError(f"no watermark-lag state at {state_path}")
+    return watermark_lag_over_counts(state)
