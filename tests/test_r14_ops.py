@@ -573,3 +573,90 @@ def test_patch_plan_replay_and_budget(ddb):
         assert row["n_patches"] <= budget
         # padding rounds UP: padded area always covers the target
         assert pad_area >= tw * th
+
+
+# ---------------------------------------------------------------------------
+# B300 power planner: replay + monotonicity laws
+# ---------------------------------------------------------------------------
+
+
+def test_ab_power_planner_replay_and_laws(ddb):
+    import math
+
+    users = ddb.execute(
+        "SELECT user_id, CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))"
+        " AS BIGINT) FROM events WHERE value IS NOT NULL GROUP BY user_id"
+    ).fetchall()
+    cents = [c for _, c in users]
+    n = len(cents)
+    s1 = sum(cents)
+    s2 = sum(c * c for c in cents)
+    var = s2 / n - (s1 / n) ** 2
+    mean = s1 / n
+
+    rows = _oracle_rows(ddb, "events_ab_power_planner")
+    assert [r["mde_pct"] for r in rows] == [1, 2, 5, 10]
+    prev80 = None
+    for r in rows:
+        assert r["n_users_measured"] == n
+        assert r["mean_cents"] == s1 // n
+        assert r["var_cents2"] == s2 // n - (s1 // n) ** 2
+        delta = r["mde_pct"] / 100.0 * mean
+        want80 = math.ceil(2.0 * var * (1.959964 + 0.841621) ** 2 / (delta * delta))
+        want90 = math.ceil(2.0 * var * (1.959964 + 1.281552) ** 2 / (delta * delta))
+        assert r["n_per_arm_power80"] == want80
+        assert r["n_per_arm_power90"] == want90
+        # laws: more power costs more users; smaller MDE costs more users
+        assert r["n_per_arm_power90"] > r["n_per_arm_power80"]
+        if prev80 is not None:
+            assert r["n_per_arm_power80"] <= prev80
+        prev80 = r["n_per_arm_power80"]
+
+
+# ---------------------------------------------------------------------------
+# B301 shot boundaries: replay + the no-false-boundary theorem
+# ---------------------------------------------------------------------------
+
+
+def test_shot_boundaries_replay_and_theorem(ddb):
+    doc_ids = [d for (d,) in ddb.execute("SELECT doc_id FROM documents").fetchall()]
+    got = {r["doc_id"]: r for r in _oracle_rows(ddb, "multimodal_shot_boundaries")}
+    assert set(got) == set(doc_ids)
+    total_planted = 0
+    total_detected = 0
+    for doc_id in doc_ids:
+        nf = 24 + _fast_hash(f"nf:{doc_id}") % 96
+        cuts = [
+            f for f in range(1, nf) if _fast_hash(f"b:{doc_id}:{f}") % 8 == 0
+        ]
+        shot = []
+        s = 0
+        ci = set(cuts)
+        for f in range(nf):
+            if f in ci:
+                s += 1
+            shot.append(s)
+        sig = {
+            s_: (_fast_hash(f"s1:{doc_id}:{s_}"), _fast_hash(f"s2:{doc_id}:{s_}"))
+            for s_ in set(shot)
+        }
+        det = []
+        for f in range(1, nf):
+            a, b = sig[shot[f - 1]], sig[shot[f]]
+            dist = bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+            if dist >= 16:
+                det.append(f)
+        # theorem: within a shot the distance is exactly 0 → no false cuts
+        assert set(det) <= set(cuts)
+        total_planted += len(cuts)
+        total_detected += len(det)
+        row = got[doc_id]
+        n_shots = len(det) + 1
+        assert row["n_frames"] == nf
+        assert row["n_shots"] == n_shots
+        assert row["mean_shot_len_milli"] == nf * 1000 // n_shots
+        bounds = [0] + det + [nf]
+        assert row["max_shot_len"] == max(b - a for a, b in zip(bounds, bounds[1:]))
+        assert row["first_cut_frame"] == (det[0] if det else -1)
+    # a miss needs a ≤16-of-64-bit hash collision: essentially never
+    assert total_detected >= int(0.99 * total_planted)

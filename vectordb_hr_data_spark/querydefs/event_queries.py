@@ -7673,3 +7673,95 @@ def events_voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# B300: A/B sample-size / power planner (r14)
+# ---------------------------------------------------------------------------
+# The experiment-family ops (B159/B160 SRM + z-test, B270 uplift, B271
+# OBF, B101 CUPED) all ANALYZE a finished experiment; this op answers
+# the question asked BEFORE one starts: how many users per arm to detect
+# a given lift? Classical two-sample normal power: n/arm = 2σ²(z_{α/2}
+# + z_β)² / δ², with σ² measured from the live metric (per-user value
+# sum — the unit a user-randomized test actually averages) and δ swept
+# over a relative-MDE grid {1,2,5,10}% of the mean. Variance is computed
+# from exact integer Σx/Σx² in cents (float enters only in the final
+# closed form — the KS-threshold precedent: identical bounded float expr
+# over identical exact integers on both engines); z constants pinned at
+# the textbook 1.959964/0.841621 (80%) and 1.281552 (90%). Scale: one
+# per-user groupBy + one 1-row aggregate; the MDE grid is a literal.
+_POWER_MDES_PCT = (1, 2, 5, 10)
+
+
+@register(
+    "events_ab_power_planner",
+    f"""
+WITH u AS (
+  SELECT user_id, CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS HUGEINT) AS s1,
+         CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS s2
+  FROM u
+), m AS (
+  SELECT unnest(ARRAY[{", ".join(str(x) for x in _POWER_MDES_PCT)}]) AS mde_pct
+)
+SELECT CAST(m.mde_pct AS BIGINT) AS mde_pct,
+       s.n AS n_users_measured,
+       CAST(s.s1 // s.n AS BIGINT) AS mean_cents,
+       CAST(s.s2 // s.n - (s.s1 // s.n) * (s.s1 // s.n) AS BIGINT) AS var_cents2,
+       CAST(ceil(2.0 * (CAST(s.s2 AS DOUBLE) / s.n
+                        - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n))
+                 * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+                 / ((CAST(m.mde_pct AS DOUBLE) / 100.0 * CAST(s.s1 AS DOUBLE) / s.n)
+                    * (CAST(m.mde_pct AS DOUBLE) / 100.0 * CAST(s.s1 AS DOUBLE) / s.n)))
+            AS BIGINT) AS n_per_arm_power80,
+       CAST(ceil(2.0 * (CAST(s.s2 AS DOUBLE) / s.n
+                        - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n))
+                 * (1.959964 + 1.281552) * (1.959964 + 1.281552)
+                 / ((CAST(m.mde_pct AS DOUBLE) / 100.0 * CAST(s.s1 AS DOUBLE) / s.n)
+                    * (CAST(m.mde_pct AS DOUBLE) / 100.0 * CAST(s.s1 AS DOUBLE) / s.n)))
+            AS BIGINT) AS n_per_arm_power90
+FROM m CROSS JOIN s
+ORDER BY mde_pct
+""",
+)
+def events_ab_power_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample normal sample-size planner over the measured per-user
+    value distribution (B300): exact integer moments, float only in the
+    closed-form n = 2σ²(z_α+z_β)²/δ² over the relative-MDE grid."""
+    ev = read_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    u = ev.filter(F.col("value").isNotNull()).groupBy("user_id").agg(
+        F.sum((F.col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    s = u.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast(dec).alias("s1"),
+        F.sum(F.expr("cast(cents as decimal(38,0)) * cents")).cast(dec).alias("s2"),
+    )
+    m = spark.createDataFrame([(x,) for x in _POWER_MDES_PCT], "mde_pct int")
+    var_d = (
+        "(cast(s2 as double) / n - (cast(s1 as double) / n) * (cast(s1 as double) / n))"
+    )
+    delta = "(cast(mde_pct as double) / 100.0 * cast(s1 as double) / n)"
+
+    def n_arm(zsum: str) -> str:
+        return f"ceil(2.0 * {var_d} * {zsum} * {zsum} / ({delta} * {delta}))"
+
+    return (
+        m.crossJoin(F.broadcast(s))
+        .select(
+            F.col("mde_pct").cast("long").alias("mde_pct"),
+            F.col("n").alias("n_users_measured"),
+            F.expr("s1 div n").cast("long").alias("mean_cents"),
+            F.expr("s2 div n - (s1 div n) * (s1 div n)").cast("long").alias("var_cents2"),
+            F.expr(n_arm("(1.959964 + 0.841621)")).cast("long").alias("n_per_arm_power80"),
+            F.expr(n_arm("(1.959964 + 1.281552)")).cast("long").alias("n_per_arm_power90"),
+        )
+        .orderBy("mde_pct")
+    )

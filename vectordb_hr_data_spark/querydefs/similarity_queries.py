@@ -5001,3 +5001,158 @@ def multimodal_patch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pad_waste_ppm"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# B301: shot-boundary detection over frame signatures (r14)
+# --------------------------------------------------------------------------
+# The video twin of the audio frame grid (B280) and the patch plan
+# (B299): real pipelines cut videos into SHOTS before sampling frames
+# for captioning/embedding, and the standard cheap detector is a
+# hamming-distance threshold between consecutive frame signatures
+# (perceptual hashes). Frames are synthesized with PLANTED shot
+# structure (every 8th frame hash starts a new shot; each shot carries a
+# deterministic 64-bit signature split over two 32-bit hash columns), so
+# two theorems hold and the pytest pins both: within a shot consecutive
+# distances are exactly 0 (⇒ NO false boundaries, ever), and distinct
+# shots differ by ~32 of 64 bits (⇒ a miss needs a ≤16-bit hash
+# collision, odds ~1e-5 per cut). Per video: detected shot count, mean/
+# max shot length, first cut. Scale: bounded per-video frame explode
+# (≤120), windows PARTITION BY video only.
+_SHOT_THR = 16
+
+
+@register(
+    "multimodal_shot_boundaries",
+    f"""
+WITH vids AS (
+  SELECT doc_id,
+         CAST(24 + {H.ddb_str_hash_fast("'nf:' || CAST(doc_id AS VARCHAR)")} % 96 AS BIGINT)
+           AS n_frames
+  FROM documents
+), fr AS (
+  SELECT v.doc_id, v.n_frames, CAST(f AS BIGINT) AS f,
+         CASE WHEN f > 0 AND {H.ddb_str_hash_fast("'b:' || CAST(v.doc_id AS VARCHAR) || ':' || CAST(f AS VARCHAR)")} % 8 = 0
+              THEN 1 ELSE 0 END AS cut
+  FROM vids v, unnest(range(0, v.n_frames)) AS t(f)
+), sh AS (
+  SELECT doc_id, n_frames, f,
+         CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY f
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS shot
+  FROM fr
+), sg AS (
+  SELECT doc_id, n_frames, f,
+         {H.ddb_str_hash_fast("'s1:' || CAST(doc_id AS VARCHAR) || ':' || CAST(shot AS VARCHAR)")} AS g1,
+         {H.ddb_str_hash_fast("'s2:' || CAST(doc_id AS VARCHAR) || ':' || CAST(shot AS VARCHAR)")} AS g2
+  FROM sh
+), d AS (
+  SELECT doc_id, n_frames, f,
+         CASE WHEN f = 0 THEN 0
+              WHEN bit_count(xor(g1, lag(g1) OVER (PARTITION BY doc_id ORDER BY f)))
+                 + bit_count(xor(g2, lag(g2) OVER (PARTITION BY doc_id ORDER BY f)))
+                 >= {_SHOT_THR} THEN 1 ELSE 0 END AS det
+  FROM sg
+), seg AS (
+  SELECT doc_id, n_frames, f, det,
+         CAST(sum(det) OVER (PARTITION BY doc_id ORDER BY f
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS dseg
+  FROM d
+), lens AS (
+  SELECT doc_id, n_frames, dseg, CAST(count(*) AS BIGINT) AS seg_len
+  FROM seg GROUP BY doc_id, n_frames, dseg
+)
+SELECT l.doc_id, l.n_frames,
+       CAST(count(*) AS BIGINT) AS n_shots,
+       CAST(l.n_frames * 1000 // count(*) AS BIGINT) AS mean_shot_len_milli,
+       CAST(max(l.seg_len) AS BIGINT) AS max_shot_len,
+       CAST(coalesce(fb.first_cut, -1) AS BIGINT) AS first_cut_frame
+FROM lens l
+LEFT JOIN (SELECT doc_id, min(f) AS first_cut FROM d WHERE det = 1 GROUP BY doc_id) fb
+  ON fb.doc_id = l.doc_id
+GROUP BY l.doc_id, l.n_frames, fb.first_cut
+ORDER BY l.doc_id
+""",
+)
+def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-threshold shot-boundary detection over planted 64-bit
+    frame signatures (B301): per video the detected shot count, mean/max
+    shot length and first cut; windows partition by video only."""
+    docs = read_table(spark, sf_dir, "documents")
+    h = H.spark_str_hash_fast
+    vids = docs.select(
+        "doc_id",
+        F.expr(
+            f"CAST(24 + {h(chr(39) + 'nf:' + chr(39) + ' || CAST(doc_id AS STRING)')} % 96 AS BIGINT)"
+        ).alias("n_frames"),
+    )
+    fr = vids.select(
+        "doc_id",
+        "n_frames",
+        F.explode(F.expr("sequence(0, n_frames - 1)")).alias("f0"),
+    ).select(
+        "doc_id",
+        "n_frames",
+        F.col("f0").cast("long").alias("f"),
+        F.expr(
+            "CASE WHEN f0 > 0 AND "
+            + h("'b:' || CAST(doc_id AS STRING) || ':' || CAST(f0 AS STRING)")
+            + " % 8 = 0 THEN 1 ELSE 0 END"
+        ).alias("cut"),
+    )
+    wseq = (
+        Window.partitionBy("doc_id")
+        .orderBy("f")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sh = fr.select(
+        "doc_id", "n_frames", "f", F.sum("cut").over(wseq).cast("long").alias("shot")
+    )
+    sg = sh.select(
+        "doc_id",
+        "n_frames",
+        "f",
+        F.expr(h("'s1:' || CAST(doc_id AS STRING) || ':' || CAST(shot AS STRING)")).alias("g1"),
+        F.expr(h("'s2:' || CAST(doc_id AS STRING) || ':' || CAST(shot AS STRING)")).alias("g2"),
+    )
+    wlag = Window.partitionBy("doc_id").orderBy("f")
+    d = sg.select(
+        "doc_id",
+        "n_frames",
+        "f",
+        F.when(F.col("f") == 0, 0)
+        .when(
+            F.bit_count(F.expr("g1").bitwiseXOR(F.lag("g1").over(wlag)))
+            + F.bit_count(F.expr("g2").bitwiseXOR(F.lag("g2").over(wlag)))
+            >= _SHOT_THR,
+            1,
+        )
+        .otherwise(0)
+        .alias("det"),
+    )
+    seg = d.select(
+        "doc_id", "n_frames", "f", "det", F.sum("det").over(wseq).cast("long").alias("dseg")
+    )
+    lens = seg.groupBy("doc_id", "n_frames", "dseg").agg(
+        F.count("*").cast("long").alias("seg_len")
+    )
+    fb = d.filter(F.col("det") == 1).groupBy("doc_id").agg(F.min("f").alias("first_cut"))
+    return (
+        lens.groupBy("doc_id", "n_frames")
+        .agg(
+            F.count("*").cast("long").alias("n_shots"),
+            F.expr("max(n_frames) * 1000 div count(*)").cast("long").alias(
+                "mean_shot_len_milli"
+            ),
+            F.max("seg_len").cast("long").alias("max_shot_len"),
+        )
+        .join(fb, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_frames",
+            "n_shots",
+            "mean_shot_len_milli",
+            "max_shot_len",
+            F.coalesce("first_cut", F.lit(-1)).cast("long").alias("first_cut_frame"),
+        )
+        .orderBy("doc_id")
+    )
