@@ -660,3 +660,88 @@ def test_shot_boundaries_replay_and_theorem(ddb):
         assert row["first_cut_frame"] == (det[0] if det else -1)
     # a miss needs a ≤16-of-64-bit hash collision: essentially never
     assert total_detected >= int(0.99 * total_planted)
+
+
+# ---------------------------------------------------------------------------
+# B302 generalization ladder: replay + the lattice monotonicity theorem
+# ---------------------------------------------------------------------------
+
+
+def test_generalization_ladder_replay_and_monotonicity(ddb):
+    cust = ddb.execute(
+        "SELECT c_nationkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " FROM customer"
+    ).fetchall()
+
+    def tdiv(x, d):
+        # both engines truncate integer division toward zero (Spark div,
+        # DuckDB // on integers); python // floors — replay must truncate
+        return int(x / d) if x < 0 else x // d
+
+    def qkey(nat, cents, a, g):
+        qa = {0: str(cents), 1: str(tdiv(cents, 10000)), 2: str(tdiv(cents, 100000)), 3: "*"}[a]
+        qg = {0: str(nat), 1: str(nat // 5), 2: "*"}[g]
+        return (qa, qg)
+
+    got = {(r["acctbal_level"], r["geo_level"]): r for r in _oracle_rows(ddb, "customer_generalization_ladder")}
+    assert set(got) == {(a, g) for a in range(4) for g in range(3)}
+    minsz = {}
+    for a in range(4):
+        for g in range(3):
+            from collections import Counter
+
+            sizes = Counter(qkey(n, c, a, g) for n, c in cust)
+            row = got[(a, g)]
+            assert row["min_class_size"] == min(sizes.values())
+            assert row["n_classes"] == len(sizes)
+            assert row["n_violating"] == sum(1 for v in sizes.values() if v < 5)
+            assert row["satisfies_k"] == (1 if min(sizes.values()) >= 5 else 0)
+            minsz[(a, g)] = min(sizes.values())
+    # theorem: coarsening a dimension never shrinks the min class size
+    for a in range(3):
+        for g in range(3):
+            assert minsz[(a + 1, g)] >= minsz[(a, g)]
+    for a in range(4):
+        for g in range(2):
+            assert minsz[(a, g + 1)] >= minsz[(a, g)]
+    # chosen = minimal distortion among satisfying nodes, unique
+    sat = [(r["distortion_ppm"], k) for k, r in got.items() if r["satisfies_k"] == 1]
+    chosen = [k for k, r in got.items() if r["chosen"] == 1]
+    if sat:
+        assert len(chosen) == 1 and chosen[0] == min(sat)[1]
+    else:
+        assert chosen == []
+
+
+# ---------------------------------------------------------------------------
+# B303 posting plan: replay + ledger consistency
+# ---------------------------------------------------------------------------
+
+
+def test_posting_plan_replay_and_ledger(ddb):
+    docs = ddb.execute("SELECT doc_id, text FROM documents").fetchall()
+    from collections import Counter
+
+    df = Counter()
+    for _, text in docs:
+        for t in set(text.split(" ")):
+            if t:
+                df[t] += 1
+    n_docs = len(docs)
+    rows = _oracle_rows(ddb, "term_posting_plan")
+    assert len(rows) == 15
+    led = rows[0]
+    assert led["n_docs"] == n_docs
+    assert led["n_terms"] == len(df)
+    assert led["total_postings"] == sum(df.values())
+    assert led["total_bytes"] == 8 * sum(df.values())
+    stop = {t for t, c in df.items() if c * 5 > n_docs}
+    assert led["n_stopwords"] == len(stop)
+    assert led["postings_cut"] == sum(df[t] for t in stop)
+    assert led["bytes_cut"] == 8 * sum(df[t] for t in stop)
+    ordered = sorted(df.items(), key=lambda t: (-t[1], t[0]))[:15]
+    for r, (t, c) in zip(rows, ordered):
+        assert (r["term"], r["df"]) == (t, c)
+        assert r["posting_bytes"] == 8 * c
+        assert r["skip_blocks"] == (c + 127) // 128
+        assert r["is_stopword"] == (1 if c * 5 > n_docs else 0)

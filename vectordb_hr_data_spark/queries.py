@@ -88,6 +88,7 @@ PRIORITY: list[str] = [
     "sample_apportionment_plan", "events_salting_advisor",
     "events_voptimal_histogram", "multimodal_patch_plan",
     "events_ab_power_planner", "multimodal_shot_boundaries",
+    "customer_generalization_ladder", "term_posting_plan",
     # --- remaining queries in rotation order (r8-r12 driver rows,
     # stalest-first; relative order unchanged) ---
     "dsir_importance_threshold", "quality_prep_threshold",

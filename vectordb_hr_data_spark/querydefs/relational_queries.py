@@ -2950,3 +2950,137 @@ def customer_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("seg") == "MOBILE", 1).otherwise(0)).cast("long").alias("n_seg_mobile"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B302: k-anonymity generalization ladder (r14)
+# ---------------------------------------------------------------------------
+# B263 suppresses cells that violate k; the standard alternative
+# GENERALIZES quasi-identifiers until every equivalence class reaches k
+# (Samarati/Sweeney's lattice). The ladder here is the bounded 4×3
+# lattice over (acctbal precision: exact cents → 100-unit bands →
+# 1000-unit bands → suppressed) × (geography: nation → region →
+# suppressed): for every lattice node, ONE pass computes the minimum
+# class size, the violating-class count, and the information loss
+# (distortion ppm = level-weighted column coverage lost); the chosen
+# node is the minimal-distortion one meeting k ≥ 5 (tie → lexicographic
+# level order). Declarative lattice search — 12 nodes × one groupBy
+# each, unioned; no iteration, no driver loop. The monotonicity theorem
+# (coarser ⇒ min class size never shrinks along lattice edges) is the
+# pytest law.
+_GEN_K = 5
+
+
+@register(
+    "customer_generalization_ladder",
+    f"""
+WITH base AS (
+  SELECT c_custkey AS k, c_nationkey AS nat, c_nationkey // 5 AS region,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+), lat AS (
+  SELECT a.lvl AS a_lvl, g.lvl AS g_lvl,
+         a.lvl * 250000 + g.lvl * 250000 AS distortion_ppm
+  FROM (SELECT unnest(ARRAY[0, 1, 2, 3]) AS lvl) a
+  CROSS JOIN (SELECT unnest(ARRAY[0, 1, 2]) AS lvl) g
+), keyed AS (
+  SELECT l.a_lvl, l.g_lvl, l.distortion_ppm,
+         CASE l.a_lvl WHEN 0 THEN CAST(b.cents AS VARCHAR)
+                      WHEN 1 THEN CAST(b.cents // 10000 AS VARCHAR)
+                      WHEN 2 THEN CAST(b.cents // 100000 AS VARCHAR)
+                      ELSE '*' END AS qa,
+         CASE l.g_lvl WHEN 0 THEN CAST(b.nat AS VARCHAR)
+                      WHEN 1 THEN CAST(b.region AS VARCHAR)
+                      ELSE '*' END AS qg
+  FROM base b CROSS JOIN lat l
+), cls AS (
+  SELECT a_lvl, g_lvl, distortion_ppm, qa, qg, CAST(count(*) AS BIGINT) AS sz
+  FROM keyed GROUP BY a_lvl, g_lvl, distortion_ppm, qa, qg
+), node AS (
+  SELECT a_lvl, g_lvl, distortion_ppm,
+         CAST(min(sz) AS BIGINT) AS min_class_size,
+         CAST(count(*) AS BIGINT) AS n_classes,
+         CAST(sum(CASE WHEN sz < {_GEN_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+  FROM cls GROUP BY a_lvl, g_lvl, distortion_ppm
+), chosen AS (
+  SELECT a_lvl AS c_a, g_lvl AS c_g FROM node
+  WHERE min_class_size >= {_GEN_K}
+  ORDER BY distortion_ppm, a_lvl, g_lvl LIMIT 1
+)
+SELECT CAST(n.a_lvl AS BIGINT) AS acctbal_level,
+       CAST(n.g_lvl AS BIGINT) AS geo_level,
+       CAST(n.distortion_ppm AS BIGINT) AS distortion_ppm,
+       n.min_class_size, n.n_classes, n.n_violating,
+       CAST(CASE WHEN n.min_class_size >= {_GEN_K} THEN 1 ELSE 0 END AS BIGINT)
+         AS satisfies_k,
+       CAST(CASE WHEN n.a_lvl = c.c_a AND n.g_lvl = c.c_g THEN 1 ELSE 0 END AS BIGINT)
+         AS chosen
+FROM node n LEFT JOIN chosen c ON true
+ORDER BY acctbal_level, geo_level
+""",
+)
+def customer_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization lattice over (acctbal precision ×
+    geography) (B302): per node the min class size, violations and
+    distortion; chosen = minimal distortion meeting k ≥ 5."""
+    cust = read_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_nationkey").alias("nat"),
+        F.expr("c_nationkey div 5").alias("region"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    lat = spark.createDataFrame(
+        [(a, g, a * 250000 + g * 250000) for a in range(4) for g in range(3)],
+        "a_lvl int, g_lvl int, distortion_ppm long",
+    )
+    keyed = base.crossJoin(F.broadcast(lat)).select(
+        "a_lvl",
+        "g_lvl",
+        "distortion_ppm",
+        F.expr(
+            "CASE a_lvl WHEN 0 THEN CAST(cents AS STRING)"
+            " WHEN 1 THEN CAST(cents div 10000 AS STRING)"
+            " WHEN 2 THEN CAST(cents div 100000 AS STRING)"
+            " ELSE '*' END"
+        ).alias("qa"),
+        F.expr(
+            "CASE g_lvl WHEN 0 THEN CAST(nat AS STRING)"
+            " WHEN 1 THEN CAST(region AS STRING)"
+            " ELSE '*' END"
+        ).alias("qg"),
+    )
+    cls = keyed.groupBy("a_lvl", "g_lvl", "distortion_ppm", "qa", "qg").agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    node = cls.groupBy("a_lvl", "g_lvl", "distortion_ppm").agg(
+        F.min("sz").cast("long").alias("min_class_size"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum(F.when(F.col("sz") < _GEN_K, 1).otherwise(0)).cast("long").alias("n_violating"),
+    )
+    chosen = (
+        node.filter(F.col("min_class_size") >= _GEN_K)
+        .orderBy("distortion_ppm", "a_lvl", "g_lvl")
+        .limit(1)
+        .select(F.col("a_lvl").alias("c_a"), F.col("g_lvl").alias("c_g"))
+    )
+    return (
+        node.join(F.broadcast(chosen), F.lit(True), "left")
+        .select(
+            F.col("a_lvl").cast("long").alias("acctbal_level"),
+            F.col("g_lvl").cast("long").alias("geo_level"),
+            F.col("distortion_ppm").cast("long").alias("distortion_ppm"),
+            "min_class_size",
+            "n_classes",
+            "n_violating",
+            F.when(F.col("min_class_size") >= _GEN_K, 1).otherwise(0).cast("long").alias(
+                "satisfies_k"
+            ),
+            F.when(
+                (F.col("a_lvl") == F.col("c_a")) & (F.col("g_lvl") == F.col("c_g")), 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("chosen"),
+        )
+        .orderBy("acctbal_level", "geo_level")
+    )

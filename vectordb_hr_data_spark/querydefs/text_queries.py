@@ -3448,3 +3448,108 @@ def doc_longest_repeat_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("nd", F.lit(0)).cast("long").alias("n_docs_at_max"),
         F.coalesce("md", F.lit(-1)).cast("long").alias("min_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B303: inverted-index posting-list planner (r14)
+# ---------------------------------------------------------------------------
+# The BM25 family (B29 search, B15 TF-IDF) assumes an inverted index
+# exists; this op PLANS it — the sizing pass a search-index build runs
+# first. Per distinct term: document frequency, posting bytes (df × 8 —
+# docid+freq pairs), skip-block count at the classical 128-entry block
+# size. The ledger states the stopword decision as measured numbers:
+# terms with df > 20% of the corpus are cut, and the rows report how
+# many postings/bytes the cut saves vs how many terms it costs — the
+# trade every index config makes blind. Top-15 terms by df (the cut
+# candidates) + ledger columns on every row. One token-explode +
+# groupBy; windows over the distinct-term table only.
+_POST_BLOCK = 128
+
+
+@register(
+    "term_posting_plan",
+    f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), df AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS df FROM toks WHERE t <> '' GROUP BY t
+), nd AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents
+), led AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(df.df) AS BIGINT) AS total_postings,
+         CAST(sum(df.df * 8) AS BIGINT) AS total_bytes,
+         CAST(sum(CASE WHEN df.df * 5 > n.n_docs THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_stopwords,
+         CAST(sum(CASE WHEN df.df * 5 > n.n_docs THEN df.df ELSE 0 END) AS BIGINT)
+           AS postings_cut,
+         CAST(sum(CASE WHEN df.df * 5 > n.n_docs THEN df.df * 8 ELSE 0 END) AS BIGINT)
+           AS bytes_cut
+  FROM df CROSS JOIN nd n
+), top AS (
+  SELECT t, df, row_number() OVER (ORDER BY df DESC, t) AS rnk FROM df
+)
+SELECT top.t AS term, top.df,
+       CAST(top.df * 8 AS BIGINT) AS posting_bytes,
+       CAST((top.df + {_POST_BLOCK - 1}) // {_POST_BLOCK} AS BIGINT) AS skip_blocks,
+       CAST(CASE WHEN top.df * 5 > n.n_docs THEN 1 ELSE 0 END AS BIGINT) AS is_stopword,
+       CAST(top.rnk AS BIGINT) AS rnk,
+       n.n_docs, led.n_terms, led.total_postings, led.total_bytes,
+       led.n_stopwords, led.postings_cut, led.bytes_cut
+FROM top CROSS JOIN nd n CROSS JOIN led
+WHERE top.rnk <= 15
+ORDER BY rnk
+""",
+)
+def term_posting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index sizing plan (B303): per-term df/bytes/skip-blocks,
+    the 20%-df stopword cut as measured savings, top-15 cut candidates."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .distinct()
+    )
+    df = toks.groupBy("t").agg(F.count("*").cast("long").alias("df"))
+    nd = d.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    led = df.crossJoin(F.broadcast(nd)).agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("df").cast("long").alias("total_postings"),
+        F.sum(F.col("df") * 8).cast("long").alias("total_bytes"),
+        F.sum(F.when(F.col("df") * 5 > F.col("n_docs"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_stopwords"),
+        F.sum(F.when(F.col("df") * 5 > F.col("n_docs"), F.col("df")).otherwise(0))
+        .cast("long")
+        .alias("postings_cut"),
+        F.sum(F.when(F.col("df") * 5 > F.col("n_docs"), F.col("df") * 8).otherwise(0))
+        .cast("long")
+        .alias("bytes_cut"),
+    )
+    top = df.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("df").desc(), "t"))
+    ).filter(F.col("rnk") <= 15)
+    return (
+        top.crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(led))
+        .select(
+            F.col("t").alias("term"),
+            "df",
+            (F.col("df") * 8).cast("long").alias("posting_bytes"),
+            F.expr(f"(df + {_POST_BLOCK - 1}) div {_POST_BLOCK}").cast("long").alias(
+                "skip_blocks"
+            ),
+            F.when(F.col("df") * 5 > F.col("n_docs"), 1).otherwise(0).cast("long").alias(
+                "is_stopword"
+            ),
+            F.col("rnk").cast("long").alias("rnk"),
+            "n_docs",
+            "n_terms",
+            "total_postings",
+            "total_bytes",
+            "n_stopwords",
+            "postings_cut",
+            "bytes_cut",
+        )
+        .orderBy("rnk")
+    )
