@@ -745,3 +745,90 @@ def test_posting_plan_replay_and_ledger(ddb):
         assert r["posting_bytes"] == 8 * c
         assert r["skip_blocks"] == (c + 127) // 128
         assert r["is_stopword"] == (1 if c * 5 > n_docs else 0)
+
+
+# ---------------------------------------------------------------------------
+# B304 QTE: exact order-statistic replay + monotone quantile law
+# ---------------------------------------------------------------------------
+
+
+def test_qte_replay_and_laws(ddb):
+    vals = ddb.execute(
+        "SELECT CAST(('0x' || substr(md5('srm:' || CAST(user_id AS VARCHAR)), 1, 8))"
+        " AS BIGINT) % 2,"
+        " CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " FROM events WHERE value IS NOT NULL"
+    ).fetchall()
+    arms = {0: sorted(c for a, c in vals if a == 0), 1: sorted(c for a, c in vals if a == 1)}
+    rows = _oracle_rows(ddb, "events_quantile_treatment_effect")
+    assert [r["decile"] for r in rows] == list(range(1, 10))
+    prev0 = prev1 = None
+    for r in rows:
+        d = r["decile"]
+        for arm, col in ((0, "q_arm0_cents"), (1, "q_arm1_cents")):
+            n = len(arms[arm])
+            k = (n * d + 9) // 10
+            assert r[col] == arms[arm][k - 1], (d, arm)
+        assert r["qte_cents"] == r["q_arm1_cents"] - r["q_arm0_cents"]
+        # law: quantiles are non-decreasing in the decile
+        if prev0 is not None:
+            assert r["q_arm0_cents"] >= prev0 and r["q_arm1_cents"] >= prev1
+        prev0, prev1 = r["q_arm0_cents"], r["q_arm1_cents"]
+
+
+# ---------------------------------------------------------------------------
+# B305 capture–recapture: replay + estimator laws
+# ---------------------------------------------------------------------------
+
+
+def test_capture_recapture_replay_and_laws(ddb):
+    ev = ddb.execute("SELECT user_id, CAST(epoch(ts) AS BIGINT) FROM events").fetchall()
+    t0 = min(t for _, t in ev)
+    t1 = max(t for _, t in ev)
+    w1 = {u for u, t in ev if t * 2 < t0 + t1}
+    w2 = {u for u, t in ev if t * 2 >= t0 + t1}
+    n1, n2, m = len(w1), len(w2), len(w1 & w2)
+    observed = len(w1 | w2)
+    (row,) = _oracle_rows(ddb, "events_capture_recapture")
+    assert (row["n_window1"], row["n_window2"], row["n_both"]) == (n1, n2, m)
+    assert row["n_observed"] == observed
+    if m > 0:
+        lp = n1 * n2 // m
+        assert row["lp_estimate"] == lp
+        assert row["coverage_ppm"] == observed * 1_000_000 // lp
+        # laws: the estimate can never be below what was directly observed
+        # (integer-floor slack of at most 1), and Chapman ≤ LP
+        assert row["lp_estimate"] >= observed - 1
+        assert row["chapman_estimate"] <= row["lp_estimate"] + 1
+    assert row["chapman_estimate"] == (n1 + 1) * (n2 + 1) // (m + 1) - 1
+
+
+# ---------------------------------------------------------------------------
+# B306 Good-Turing: frequency-of-frequencies replay + mass law
+# ---------------------------------------------------------------------------
+
+
+def test_good_turing_replay_and_laws(ddb):
+    from collections import Counter
+
+    docs = ddb.execute("SELECT text FROM documents").fetchall()
+    tf = Counter()
+    for (text,) in docs:
+        for t in text.split(" "):
+            if t:
+                tf[t] += 1
+    ff = Counter(tf.values())
+    n_tokens = sum(tf.values())
+    n1, n2 = ff.get(1, 0), ff.get(2, 0)
+    rows = _oracle_rows(ddb, "doc_good_turing_unseen")
+    assert [r["r"] for r in rows] == [1, 2, 3, 4, 5]
+    for r in rows:
+        assert r["n_r"] == ff.get(r["r"], 0)
+        assert r["n_tokens"] == n_tokens
+        assert r["n_types"] == len(tf)
+        assert (r["n1"], r["n2"]) == (n1, n2)
+        assert r["unseen_mass_ppm"] == n1 * 1_000_000 // n_tokens
+        # law: the unseen mass is a probability share
+        assert 0 <= r["unseen_mass_ppm"] <= 1_000_000
+        if n1 > 0:
+            assert r["r1_star_milli"] == 2 * n2 * 1000 // n1

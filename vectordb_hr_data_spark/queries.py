@@ -89,6 +89,8 @@ PRIORITY: list[str] = [
     "events_voptimal_histogram", "multimodal_patch_plan",
     "events_ab_power_planner", "multimodal_shot_boundaries",
     "customer_generalization_ladder", "term_posting_plan",
+    "events_quantile_treatment_effect", "events_capture_recapture",
+    "doc_good_turing_unseen",
     # --- remaining queries in rotation order (r8-r12 driver rows,
     # stalest-first; relative order unchanged) ---
     "dsir_importance_threshold", "quality_prep_threshold",

@@ -7765,3 +7765,184 @@ def events_ab_power_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mde_pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# B304: quantile treatment effect — deciles, not means (r14)
+# ---------------------------------------------------------------------------
+# Every experiment op so far compares MEANS (B160 z, B101 CUPED, B98
+# winsorized, B270 uplift); heavy-tailed revenue metrics move in the
+# tail long before the mean shifts. The QTE is the per-decile difference
+# of arm quantiles — exact integer order statistics from the bounded
+# (arm, cents) count table, the same scale-safe machinery as B290 (no
+# corpus sort; the cumulative walk runs over distinct cents only). Arms
+# are the house seeded SRM split. k-th definition: smallest cents whose
+# cumulative count reaches ceil(n·d/10) (d = 1..9). Output per decile:
+# both arm quantiles and the cent difference.
+@register(
+    "events_quantile_treatment_effect",
+    """
+WITH v AS (
+  SELECT CAST(('0x' || substr(md5('srm:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+           AS arm,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), g AS (
+  SELECT arm, cents, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY arm, cents
+), cum AS (
+  SELECT arm, cents, c,
+         CAST(sum(c) OVER (PARTITION BY arm ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc,
+         CAST(sum(c) OVER (PARTITION BY arm) AS BIGINT) AS n
+  FROM g
+), d AS (
+  SELECT unnest(ARRAY[1, 2, 3, 4, 5, 6, 7, 8, 9]) AS dec
+), q AS (
+  SELECT d.dec, cum.arm,
+         CAST(min(CASE WHEN cum.cc >= (cum.n * d.dec + 9) // 10 THEN cum.cents END)
+              AS BIGINT) AS qv
+  FROM cum CROSS JOIN d
+  GROUP BY d.dec, cum.arm
+)
+SELECT CAST(a.dec AS BIGINT) AS decile,
+       a.qv AS q_arm0_cents, b.qv AS q_arm1_cents,
+       CAST(b.qv - a.qv AS BIGINT) AS qte_cents
+FROM q a JOIN q b ON b.dec = a.dec AND b.arm = 1
+WHERE a.arm = 0
+ORDER BY decile
+""",
+)
+def events_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile quantile treatment effect between the seeded arms
+    (B304): exact integer order statistics from the bounded (arm, cents)
+    count table — the tail-sensitive experiment readout."""
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("value").isNotNull()).select(
+        F.expr(
+            "CAST(conv(substring(md5(concat('srm:', CAST(user_id AS STRING))), 1, 8), 16, 10)"
+            " AS BIGINT) % 2"
+        ).alias("arm"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    g = v.groupBy("arm", "cents").agg(F.count("*").cast("long").alias("c"))
+    w_cum = (
+        Window.partitionBy("arm")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = g.select(
+        "arm",
+        "cents",
+        "c",
+        F.sum("c").over(w_cum).cast("long").alias("cc"),
+        F.sum("c").over(Window.partitionBy("arm")).cast("long").alias("n"),
+    )
+    d = spark.createDataFrame([(x,) for x in range(1, 10)], "dec int")
+    q = (
+        cum.crossJoin(F.broadcast(d))
+        .groupBy("dec", "arm")
+        .agg(
+            F.min(
+                F.when(F.expr("cc >= (n * dec + 9) div 10"), F.col("cents"))
+            )
+            .cast("long")
+            .alias("qv")
+        )
+    )
+    a = q.filter(F.col("arm") == 0).select(F.col("dec").alias("decile"), F.col("qv").alias("q_arm0_cents"))
+    b = q.filter(F.col("arm") == 1).select(F.col("dec").alias("decile"), F.col("qv").alias("q_arm1_cents"))
+    return (
+        a.join(b, "decile")
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "q_arm0_cents",
+            "q_arm1_cents",
+            (F.col("q_arm1_cents") - F.col("q_arm0_cents")).cast("long").alias("qte_cents"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B305: capture–recapture population estimate (r14)
+# ---------------------------------------------------------------------------
+# The data-quality question no distinct-count answers: how many users
+# exist that the log HASN'T seen? Lincoln–Petersen capture–recapture
+# treats two observation windows as independent samples: N̂ = n₁n₂/m
+# (m = users seen in both), with Chapman's bias-corrected
+# (n₁+1)(n₂+1)/(m+1) − 1 — the estimator ecology and census QA actually
+# use. Windows = first half vs second half of the event-time range
+# (integer epoch midpoint). Exact integer arithmetic with floored
+# division; the coverage ratio observed/N̂ in ppm says how complete the
+# log is. Guard: m = 0 → estimates -1 (disjoint samples, no estimate).
+@register(
+    "events_capture_recapture",
+    """
+WITH bounds AS (
+  SELECT CAST(min(epoch(ts)) AS BIGINT) AS t0, CAST(max(epoch(ts)) AS BIGINT) AS t1
+  FROM events
+), tagged AS (
+  SELECT e.user_id,
+         CASE WHEN CAST(epoch(e.ts) AS BIGINT) * 2 < b.t0 + b.t1 THEN 0 ELSE 1 END AS w
+  FROM events e CROSS JOIN bounds b
+), pres AS (
+  SELECT user_id,
+         max(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS in1,
+         max(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS in2
+  FROM tagged GROUP BY user_id
+), s AS (
+  SELECT CAST(sum(in1) AS BIGINT) AS n1, CAST(sum(in2) AS BIGINT) AS n2,
+         CAST(sum(in1 * in2) AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS observed
+  FROM pres
+)
+SELECT n1 AS n_window1, n2 AS n_window2, m AS n_both, observed AS n_observed,
+       CAST(CASE WHEN m > 0 THEN (n1 * n2) // m ELSE -1 END AS BIGINT) AS lp_estimate,
+       CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS chapman_estimate,
+       CAST(CASE WHEN m > 0 THEN observed * 1000000 // ((n1 * n2) // m) ELSE -1 END
+            AS BIGINT) AS coverage_ppm
+FROM s
+""",
+)
+def events_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln–Petersen / Chapman population estimate from two halves of
+    the event-time range (B305): how many users the log has NOT seen,
+    and the implied coverage ppm."""
+    ev = read_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("double")).cast("long").alias("t0"),
+        F.max(F.col("ts").cast("double")).cast("long").alias("t1"),
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        # truncate to whole seconds BEFORE doubling — the oracle's
+        # CAST(epoch(ts) AS BIGINT) does; comparing fractional seconds
+        # would flip events that land within 0.5 s of the midpoint
+        F.expr(
+            "CASE WHEN CAST(CAST(ts AS DOUBLE) AS BIGINT) * 2 < t0 + t1 THEN 0 ELSE 1 END"
+        ).alias("w"),
+    )
+    pres = tagged.groupBy("user_id").agg(
+        F.max(F.when(F.col("w") == 0, 1).otherwise(0)).alias("in1"),
+        F.max(F.when(F.col("w") == 1, 1).otherwise(0)).alias("in2"),
+    )
+    s = pres.agg(
+        F.sum("in1").cast("long").alias("n1"),
+        F.sum("in2").cast("long").alias("n2"),
+        F.sum(F.col("in1") * F.col("in2")).cast("long").alias("m"),
+        F.count("*").cast("long").alias("observed"),
+    )
+    return s.select(
+        F.col("n1").alias("n_window1"),
+        F.col("n2").alias("n_window2"),
+        F.col("m").alias("n_both"),
+        F.col("observed").alias("n_observed"),
+        F.expr("CASE WHEN m > 0 THEN (n1 * n2) div m ELSE -1 END").cast("long").alias(
+            "lp_estimate"
+        ),
+        F.expr("(n1 + 1) * (n2 + 1) div (m + 1) - 1").cast("long").alias("chapman_estimate"),
+        F.expr(
+            "CASE WHEN m > 0 THEN observed * 1000000 div ((n1 * n2) div m) ELSE -1 END"
+        )
+        .cast("long")
+        .alias("coverage_ppm"),
+    )

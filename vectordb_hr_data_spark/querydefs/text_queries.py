@@ -3553,3 +3553,86 @@ def term_posting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# B306: Good-Turing unseen-vocabulary mass (r14)
+# ---------------------------------------------------------------------------
+# Heaps' law (B131) fits how vocabulary GROWS; Good-Turing answers the
+# sharper question a tokenizer/coverage decision needs: how much
+# probability mass belongs to types the corpus has NEVER seen? The
+# estimator is frequency-of-frequencies arithmetic — P(unseen) = N₁/N
+# (singleton share), adjusted frequency-1 count r* = 2N₂/N₁ — all exact
+# integers/ppm from two groupBys (token counts, then count-of-counts;
+# the second table is tiny: distinct frequencies). Also reported: the
+# head of the frequency-of-frequencies table (r = 1..5) — the smoothing
+# input any SGT implementation starts from.
+@register(
+    "doc_good_turing_unseen",
+    """
+WITH tf AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(string_split(text, ' ')) AS t FROM documents
+  ) WHERE t <> '' GROUP BY t
+), ff AS (
+  SELECT c AS r, CAST(count(*) AS BIGINT) AS nr FROM tf GROUP BY c
+), s AS (
+  SELECT CAST(sum(r * nr) AS BIGINT) AS n_tokens,
+         CAST(sum(nr) AS BIGINT) AS n_types,
+         CAST(coalesce(max(CASE WHEN r = 1 THEN nr END), 0) AS BIGINT) AS n1,
+         CAST(coalesce(max(CASE WHEN r = 2 THEN nr END), 0) AS BIGINT) AS n2
+  FROM ff
+), grid AS (
+  SELECT unnest(ARRAY[1, 2, 3, 4, 5]) AS r
+)
+SELECT CAST(g.r AS BIGINT) AS r,
+       CAST(coalesce(f.nr, 0) AS BIGINT) AS n_r,
+       s.n_tokens, s.n_types, s.n1, s.n2,
+       CAST(s.n1 * 1000000 // s.n_tokens AS BIGINT) AS unseen_mass_ppm,
+       CAST(CASE WHEN s.n1 > 0 THEN 2 * s.n2 * 1000 // s.n1 ELSE -1 END AS BIGINT)
+         AS r1_star_milli
+FROM grid g LEFT JOIN ff f ON f.r = g.r CROSS JOIN s
+ORDER BY r
+""",
+)
+def doc_good_turing_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-mass estimate from the frequency-of-frequencies
+    table (B306): P(unseen) = N₁/N ppm, adjusted r*=2N₂/N₁, and the
+    r = 1..5 smoothing head."""
+    d = read_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ff = tf.groupBy(F.col("c").alias("r")).agg(F.count("*").cast("long").alias("nr"))
+    s = ff.agg(
+        F.sum(F.col("r") * F.col("nr")).cast("long").alias("n_tokens"),
+        F.sum("nr").cast("long").alias("n_types"),
+        F.coalesce(F.max(F.when(F.col("r") == 1, F.col("nr"))), F.lit(0))
+        .cast("long")
+        .alias("n1"),
+        F.coalesce(F.max(F.when(F.col("r") == 2, F.col("nr"))), F.lit(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    grid = spark.createDataFrame([(x,) for x in range(1, 6)], "r int")
+    return (
+        grid.join(F.broadcast(ff), grid.r == ff.r, "left")
+        .select(grid.r.cast("long").alias("r"), F.coalesce("nr", F.lit(0)).cast("long").alias("n_r"))
+        .crossJoin(F.broadcast(s))
+        .select(
+            "r",
+            "n_r",
+            "n_tokens",
+            "n_types",
+            "n1",
+            "n2",
+            F.expr("n1 * 1000000 div n_tokens").cast("long").alias("unseen_mass_ppm"),
+            F.expr("CASE WHEN n1 > 0 THEN 2 * n2 * 1000 div n1 ELSE -1 END")
+            .cast("long")
+            .alias("r1_star_milli"),
+        )
+        .orderBy("r")
+    )
