@@ -832,3 +832,77 @@ def test_good_turing_replay_and_laws(ddb):
         assert 0 <= r["unseen_mass_ppm"] <= 1_000_000
         if n1 > 0:
             assert r["r1_star_milli"] == 2 * n2 * 1000 // n1
+
+
+# ---------------------------------------------------------------------------
+# B307 streaming twin: mergeable rank state ≡ batch Mann-Whitney
+# ---------------------------------------------------------------------------
+
+
+def test_stream_mannwhitney_converges_to_batch(spark, sf_dir, tmp_path):
+    """stream_mannwhitney: 4 unordered micro-batches must converge to the
+    one-shot events_mannwhitney_test — the sorted cumulative rank walk is
+    confined to the bounded count state, so only the associative count
+    fold has to survive batch boundaries."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        mannwhitney_from_state,
+        stream_mannwhitney,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    src = tmp_path / "mw_src"
+    src.mkdir()
+    for i in range(4):
+        part = ev.filter((F.col("event_id") % 4) == i)
+        tdir = str(tmp_path / f"mw_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    state = str(tmp_path / "mw_state")
+    stream_mannwhitney(stream, state)
+    got = sorted(map(tuple, mannwhitney_from_state(spark, state).collect()))
+    want = sorted(
+        map(tuple, Q.REGISTRY["events_mannwhitney_test"].fn(spark, sf_dir).collect())
+    )
+    assert got == want and len(got) == 1
+
+
+# ---------------------------------------------------------------------------
+# B308 readability: python replay + bucket consistency
+# ---------------------------------------------------------------------------
+
+
+def test_readability_replay_and_buckets(ddb):
+    import re
+
+    docs = ddb.execute("SELECT doc_id, text FROM documents").fetchall()
+    got = {r["doc_id"]: r for r in _oracle_rows(ddb, "doc_readability_score")}
+    assert set(got) == {d for d, _ in docs}
+    for doc_id, text in docs:
+        w = len([x for x in text.split(" ") if x])
+        s = max(len(re.findall(r"[.!?]+", text)), 1)
+        v = len(re.findall(r"[aeiouy]+", text.lower()))
+        fl = 206835 - (1015 * w) // s - (84600 * v) // w
+        row = got[doc_id]
+        assert (row["n_words"], row["n_sentences"], row["n_vowel_groups"]) == (w, s, v)
+        assert row["flesch_milli"] == fl
+        want = (
+            "very_easy"
+            if fl >= 90000
+            else "standard"
+            if fl >= 60000
+            else "difficult"
+            if fl >= 30000
+            else "very_difficult"
+        )
+        assert row["grade"] == want

@@ -90,7 +90,7 @@ PRIORITY: list[str] = [
     "events_ab_power_planner", "multimodal_shot_boundaries",
     "customer_generalization_ladder", "term_posting_plan",
     "events_quantile_treatment_effect", "events_capture_recapture",
-    "doc_good_turing_unseen",
+    "doc_good_turing_unseen", "doc_readability_score",
     # --- remaining queries in rotation order (r8-r12 driver rows,
     # stalest-first; relative order unchanged) ---
     "dsir_importance_threshold", "quality_prep_threshold",

@@ -7387,14 +7387,24 @@ def events_mannwhitney_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "click", 0).otherwise(1).alias("grp"),
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
     )
-    n = v.agg(
-        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast(dec).alias("n1"),
-        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast(dec).alias("n2"),
+    return mannwhitney_over_counts(
+        v.groupBy("cents").agg(
+            F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("c1"),
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("c2"),
+        )
     )
-    g = v.groupBy("cents").agg(
-        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast(dec).alias("c1"),
-        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast(dec).alias("c2"),
+
+
+def mannwhitney_over_counts(g0: DataFrame) -> DataFrame:
+    """The B294 ledger from a (cents, c1, c2) count table — shared by the
+    batch query and the streaming twin
+    (``streaming.stream_ops.mannwhitney_from_state``), so the streamed
+    state converges to the batch output exactly."""
+    dec = "decimal(38,0)"
+    g = g0.select(
+        "cents", F.col("c1").cast(dec).alias("c1"), F.col("c2").cast(dec).alias("c2")
     )
+    n = g.agg(F.sum("c1").cast(dec).alias("n1"), F.sum("c2").cast(dec).alias("n2"))
     # window over the distinct-cents table only (bounded-cardinality
     # contract of the KS/equi-depth family)
     wb = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)

@@ -3636,3 +3636,67 @@ def doc_good_turing_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r")
     )
+
+
+# ---------------------------------------------------------------------------
+# B308: Flesch readability gate (r14)
+# ---------------------------------------------------------------------------
+# The oldest quality score still in every text-prep stack: Flesch
+# reading ease = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+# word). The classic cheap syllable proxy is VOWEL-GROUP counting
+# ('[aeiouy]+' runs — spaces break runs, so one regexp over the whole
+# text equals the per-word sum), sentences are '[.!?]+' runs (min 1).
+# Exact integer milli quantization: each term floors ONCE —
+# 206835 − (1015·W) div S − (84600·V) div W — so both engines compute
+# the identical BIGINT, and the grade bucket is a CASE over it. The
+# corpus-quality use: a milli-scored gate column a filter pipeline can
+# threshold without floats. Map-only + two regexp counts per doc.
+@register(
+    "doc_readability_score",
+    """
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS w,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS v
+  FROM documents
+)
+SELECT doc_id, w AS n_words, s AS n_sentences, v AS n_vowel_groups,
+       CAST(206835 - (1015 * w) // s - (84600 * v) // w AS BIGINT) AS flesch_milli,
+       CASE WHEN 206835 - (1015 * w) // s - (84600 * v) // w >= 90000 THEN 'very_easy'
+            WHEN 206835 - (1015 * w) // s - (84600 * v) // w >= 60000 THEN 'standard'
+            WHEN 206835 - (1015 * w) // s - (84600 * v) // w >= 30000 THEN 'difficult'
+            ELSE 'very_difficult' END AS grade
+FROM m
+ORDER BY doc_id
+""",
+)
+def doc_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease in exact integer milli (B308): vowel-group
+    syllable proxy, sentence-run counting, one floored division per
+    term — a float-free quality gate column."""
+    d = read_table(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        F.expr("CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)").alias("w"),
+        F.expr(
+            "CAST(greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1) AS BIGINT)"
+        ).alias("s"),
+        F.expr(
+            "CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT)"
+        ).alias("v"),
+    )
+    fl = "206835 - (1015 * w) div s - (84600 * v) div w"
+    return m.select(
+        "doc_id",
+        F.col("w").alias("n_words"),
+        F.col("s").alias("n_sentences"),
+        F.col("v").alias("n_vowel_groups"),
+        F.expr(f"CAST({fl} AS BIGINT)").alias("flesch_milli"),
+        F.expr(
+            f"CASE WHEN {fl} >= 90000 THEN 'very_easy'"
+            f" WHEN {fl} >= 60000 THEN 'standard'"
+            f" WHEN {fl} >= 30000 THEN 'difficult'"
+            " ELSE 'very_difficult' END"
+        ).alias("grade"),
+    ).orderBy("doc_id")

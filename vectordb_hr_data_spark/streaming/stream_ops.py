@@ -2868,3 +2868,45 @@ def watermark_lag_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     if state is None:
         raise FileNotFoundError(f"no watermark-lag state at {state_path}")
     return watermark_lag_over_counts(state)
+
+
+def stream_mannwhitney(event_stream: DataFrame, state_path: str) -> None:
+    """Streaming maintenance of the B294 rank-test state: the (cents,
+    per-arm count) table folds by integer addition through the generic
+    mergeable sink (bounded cents cardinality ⇒ bounded state — the same
+    contract as stream_watermark_lag); the rank arithmetic, inherently a
+    sorted cumulative walk, recomputes over the bounded state at read
+    time (``mannwhitney_from_state``)."""
+    from pyspark.sql import functions as F
+
+    v = event_stream.filter(
+        F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
+    ).select(
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("grp"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    stream_mergeable_agg(
+        v,
+        state_path,
+        ["cents"],
+        [
+            F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("c1"),
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("c2"),
+        ],
+        [
+            F.sum("c1").cast("long").alias("c1"),
+            F.sum("c2").cast("long").alias("c2"),
+        ],
+    )
+
+
+def mannwhitney_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B294's exact U/AUC ledger computed from the streamed count state —
+    identical arithmetic to ``events_mannwhitney_test`` (shared
+    ``mannwhitney_over_counts`` builder)."""
+    from ..querydefs.event_queries import mannwhitney_over_counts
+
+    state = _read_state_or_none(spark, state_path, "mannwhitney_from_state")
+    if state is None:
+        raise FileNotFoundError(f"no mann-whitney state at {state_path}")
+    return mannwhitney_over_counts(state)
