@@ -1,0 +1,356 @@
+"""Property tests for the r14 second-half operators (B309+): independent
+python replays of each deterministic algorithm plus the laws the
+value-hash oracle cannot express — the Little's-law full-horizon identity,
+Mattson stack-distance monotonicity, Levenshtein DP replay against a
+from-scratch python implementation, and the BH step-up guarantees.
+
+Replays read the same sf0.001 parquet through DuckDB and recompute the
+answer with plain python (sets/loops — no SQL), so a bug shared by the
+Spark plan and its oracle SQL still gets caught."""
+
+from __future__ import annotations
+
+from vectordb_hr_data_spark import queries as Q
+
+
+def _oracle_rows(ddb, name):
+    res = ddb.execute(Q.REGISTRY[name].oracle)
+    cols = [d[0] for d in res.description]
+    return [dict(zip(cols, r)) for r in res.fetchall()]
+
+
+# ---------------------------------------------------------------------------
+# B309 Little's law: python replay + the full-horizon identity
+# ---------------------------------------------------------------------------
+
+
+def test_littles_law_replay_and_identity(ddb):
+    iv = ddb.execute(
+        "SELECT date_diff('day', DATE '1995-01-01', CAST(o.o_orderdate AS DATE)),"
+        " max(date_diff('day', DATE '1995-01-01', CAST(l.l_shipdate AS DATE)))"
+        " FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+        " GROUP BY o.o_orderkey, o.o_orderdate"
+    ).fetchall()
+    n = len(iv)
+    t_lo = min(o for o, _ in iv)
+    t_hi = max(c for _, c in iv)
+    sum_dur = sum(c - o for o, c in iv)
+    rows = _oracle_rows(ddb, "orders_littles_law_audit")
+    assert [r["probe_idx"] for r in rows] == list(range(1, 10))
+    l_avg_milli = sum_dur * 1000 // (t_hi - t_lo)
+    for r in rows:
+        k = r["probe_idx"]
+        probe = t_lo + (t_hi - t_lo) * k // 10
+        assert r["probe_day"] == probe
+        l_obs = sum(1 for o, c in iv if o <= probe < c)
+        assert r["l_observed"] == l_obs
+        assert r["l_timeavg_milli"] == l_avg_milli
+        assert r["lambda_ppm_per_day"] == n * 1_000_000 // (t_hi - t_lo)
+        assert r["w_milli_days"] == sum_dur * 1000 // n
+        assert r["deviation_milli"] == l_obs * 1000 - l_avg_milli
+    # Little's-law identity: λ·W == time-average L exactly (before floor),
+    # so the two integer floors agree within the floor slack
+    lam_w_milli = (n * sum_dur * 1000) // ((t_hi - t_lo) * n)
+    assert abs(lam_w_milli - l_avg_milli) <= 1
+    # truncation bias: the mean probe L cannot exceed the time-average by
+    # more than the per-probe deviation spread (edges are depressed — at
+    # minimum the first/last probes see ≤ the max deviation)
+    obs = [r["l_observed"] * 1000 for r in rows]
+    assert min(obs) <= l_avg_milli + 1000  # some probe sits at/below average
+
+
+# ---------------------------------------------------------------------------
+# B310 LRU hit curve: brute-force stack-distance replay + monotonicity
+# ---------------------------------------------------------------------------
+
+
+def test_lru_hit_curve_replay_and_monotonicity(ddb):
+    ev = ddb.execute(
+        "SELECT user_id,"
+        " coalesce(CAST(nullif(regexp_extract(props, '[0-9]+'), '') AS BIGINT) % 16, -1),"
+        " ts, event_id FROM events ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    by_user: dict = {}
+    for u, k, _, _ in ev:
+        by_user.setdefault(u, []).append(k)
+    n_acc = sum(len(v) for v in by_user.values())
+    dists = []  # reuse distance per repeat access
+    n_cold = 0
+    for seq in by_user.values():
+        last: dict = {}
+        for i, k in enumerate(seq):
+            if k in last:
+                dists.append(len(set(seq[last[k] + 1 : i])))
+            else:
+                n_cold += 1
+            last[k] = i
+    rows = _oracle_rows(ddb, "events_lru_hit_curve")
+    assert [r["cache_size"] for r in rows] == [1, 2, 4, 8, 16]
+    prev_hits = -1
+    for r in rows:
+        c = r["cache_size"]
+        hits = sum(1 for d in dists if d <= c - 1)
+        assert r["n_accesses"] == n_acc
+        assert r["n_cold_misses"] == n_cold
+        assert r["n_repeat_accesses"] == n_acc - n_cold
+        assert r["n_hits"] == hits
+        assert r["hit_ratio_ppm"] == hits * 1_000_000 // n_acc
+        # LRU inclusion property: hit count is monotone in capacity
+        assert hits >= prev_hits
+        prev_hits = hits
+    # with the 16-slot keyspace, capacity 16 serves every repeat access
+    assert rows[-1]["n_hits"] == len(dists)
+
+
+# ---------------------------------------------------------------------------
+# B311 edit-distance gate: from-scratch Levenshtein DP replay
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_edit_distance_gate_replay(ddb):
+    docs = dict(
+        ddb.execute("SELECT doc_id, substr(text, 1, 200) FROM documents").fetchall()
+    )
+    blocks = ddb.execute(
+        "SELECT doc_id, md5(substr(text, 1, 40)) FROM documents"
+    ).fetchall()
+    by_blk: dict = {}
+    for d, b in blocks:
+        by_blk.setdefault(b, []).append(d)
+    expect = {}
+    for ids in by_blk.values():
+        ids.sort()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = docs[ids[i]], docs[ids[j]]
+                dist = _lev(a, b)
+                cap = max(len(a), len(b))
+                expect[(ids[i], ids[j])] = (dist, cap)
+    rows = _oracle_rows(ddb, "doc_edit_distance_gate")
+    assert len(rows) == len(expect)
+    for r in rows:
+        dist, cap = expect[(r["doc_id_a"], r["doc_id_b"])]
+        assert r["edit_distance"] == dist
+        assert r["cap_len"] == cap
+        assert r["norm_milli"] == dist * 1000 // cap
+        assert r["is_dup"] == (1 if dist * 1000 // cap <= 150 else 0)
+        # distance never exceeds the longer capped side ⇒ norm ≤ 1000
+        assert 0 <= r["norm_milli"] <= 1000
+    assert len(rows) > 0  # the blocking actually yields candidates
+
+
+# ---------------------------------------------------------------------------
+# B312 BH-FDR: step-up replay + the procedure's structural guarantees
+# ---------------------------------------------------------------------------
+
+
+def test_bh_fdr_replay_and_laws(ddb):
+    seg = ddb.execute(
+        "SELECT event_type, CAST(date_part('dow', ts) AS BIGINT),"
+        " count(*), sum(CASE WHEN CAST(round(value*100) AS BIGINT) >= 5000"
+        " THEN 1 ELSE 0 END) FROM events GROUP BY 1, 2"
+    ).fetchall()
+    nn = sum(r[2] for r in seg)
+    ss = sum(r[3] for r in seg)
+    m = len(seg)
+    ps = []
+    for et, dow, n, s in seg:
+        d = s * nn - n * ss
+        z2 = d * d * 1_000_000 // (n * ss * (nn - ss))
+        p = min(1_000_000, 1_000_000_000_000 // max(z2, 1))
+        ps.append((p, et, dow, n, s, z2))
+    ps.sort(key=lambda t: (t[0], t[1], t[2]))
+    raw = [p * m // (i + 1) for i, (p, *_) in enumerate(ps)]
+    adj = raw[:]
+    for i in range(m - 2, -1, -1):
+        adj[i] = min(adj[i], adj[i + 1])
+    adj = [min(1_000_000, a) for a in adj]
+    rows = _oracle_rows(ddb, "events_bh_fdr_gate")
+    assert len(rows) == m
+    prev_adj = 0
+    for i, r in enumerate(rows):
+        p, et, dow, n, s, z2 = ps[i]
+        assert (r["event_type"], r["dow"], r["n"], r["s"]) == (et, dow, n, s)
+        assert r["z2_micro"] == z2
+        assert r["p_micro"] == p
+        assert r["bh_rank"] == i + 1
+        assert r["adj_p_micro"] == adj[i]
+        assert r["is_discovery"] == (1 if adj[i] <= 50_000 else 0)
+        # step-up structure: adjusted p is monotone non-decreasing in rank
+        # and never below the raw p
+        assert r["adj_p_micro"] >= prev_adj
+        assert r["adj_p_micro"] >= r["p_micro"]
+        prev_adj = r["adj_p_micro"]
+    # discoveries form a prefix of the rank order (step-up property)
+    flags = [r["is_discovery"] for r in rows]
+    assert flags == sorted(flags, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# B313 ring rebalance: python replay + the consistent-hashing theorem
+# ---------------------------------------------------------------------------
+
+
+def test_ring_rebalance_replay_and_no_reshuffle_theorem(ddb):
+    import hashlib
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    ring = [
+        (srv, vn, h32(f"ring:{srv}:{vn}")) for srv in range(9) for vn in range(16)
+    ]
+    doc_ids = [r[0] for r in ddb.execute("SELECT doc_id FROM documents").fetchall()]
+
+    def assign(h, n_srv):
+        best = min(
+            ((pos - h) % 4294967296, srv, vn)
+            for srv, vn, pos in ring
+            if srv < n_srv
+        )
+        return best[1]
+
+    moved = 0
+    before: dict = {}
+    after: dict = {}
+    inbound: dict = {}
+    for d in doc_ids:
+        h = h32(f"doc:{d}")
+        a, b = assign(h, 8), assign(h, 9)
+        before[a] = before.get(a, 0) + 1
+        after[b] = after.get(b, 0) + 1
+        if a != b:
+            moved += 1
+            inbound[b] = inbound.get(b, 0) + 1
+            # the consistent-hashing no-reshuffle theorem: a doc only
+            # moves TO the new server, never between old servers
+            assert b == 8, f"doc {d} reshuffled {a}→{b} between OLD servers"
+    rows = _oracle_rows(ddb, "doc_ring_rebalance_audit")
+    assert [r["server"] for r in rows] == list(range(9))
+    for r in rows:
+        s = r["server"]
+        assert r["n_docs_before"] == before.get(s, 0)
+        assert r["n_docs_after"] == after.get(s, 0)
+        assert r["n_inbound"] == inbound.get(s, 0)
+        assert r["total_moved"] == moved
+        assert r["moved_ppm"] == moved * 1_000_000 // len(doc_ids)
+        if s < 8:
+            assert r["n_inbound"] == 0  # the theorem, as seen by the query
+    assert rows[8]["n_docs_before"] == 0
+
+
+# ---------------------------------------------------------------------------
+# B314 HLL: python replay of registers + estimator bracketing
+# ---------------------------------------------------------------------------
+
+
+def test_hll_register_audit_replay(ddb):
+    import hashlib
+
+    users = [
+        r[0] for r in ddb.execute("SELECT DISTINCT user_id FROM events").fetchall()
+    ]
+    regs = [0] * 64
+    for u in users:
+        hv = int(hashlib.md5(f"hll:{u}".encode()).hexdigest()[:12], 16)
+        j, w = hv >> 42, hv & ((1 << 42) - 1)
+        rank = 43 if w == 0 else 43 - w.bit_length()
+        regs[j] = max(regs[j], rank)
+    import math
+
+    harmonic = sum(1 << (43 - m) for m in regs)
+    est = 709340 * 64 * 64 * (1 << 43) // harmonic // 1_000_000
+    v = sum(1 for m in regs if m == 0)
+    lc = 64 * round(math.log(64 / v) * 1_000_000) // 1_000_000 if v else 0
+    applied = lc if (est * 2 <= 5 * 64 and v > 0) else est
+    (row,) = _oracle_rows(ddb, "events_hll_register_audit")
+    assert row["n_registers"] == 64
+    assert row["n_zero_registers"] == v
+    assert row["harmonic_scaled"] == harmonic
+    assert row["hll_estimate"] == est
+    assert row["lc_estimate"] == lc
+    assert row["applied_estimate"] == applied
+    assert row["exact_distinct"] == len(users)
+    assert row["err_ppm"] == abs(applied - len(users)) * 1_000_000 // len(users)
+    # with the published small-range correction applied, the estimate is
+    # within ±50% at any n (raw-only failed this badly at tiny n)
+    assert row["err_ppm"] < 500_000
+
+
+# ---------------------------------------------------------------------------
+# B315 GK gamma: brute-force pair counting over the binned users
+# ---------------------------------------------------------------------------
+
+
+def test_gk_gamma_replay(ddb):
+    per_user = ddb.execute(
+        "SELECT count(*), sum(CAST(round(value*100) AS BIGINT))"
+        " FROM events GROUP BY user_id"
+    ).fetchall()
+    binned = [(min(f, 10), min(m // 100000, 9)) for f, m in per_user]
+    c = d = 0
+    for i in range(len(binned)):
+        for j in range(i + 1, len(binned)):
+            (f1, m1), (f2, m2) = binned[i], binned[j]
+            if (f1 - f2) * (m1 - m2) > 0:
+                c += 1
+            elif (f1 - f2) * (m1 - m2) < 0 and f1 != f2 and m1 != m2:
+                d += 1
+    (row,) = _oracle_rows(ddb, "events_gk_gamma_association")
+    assert row["n_users"] == len(binned)
+    assert row["n_concordant"] == c
+    assert row["n_discordant"] == d
+    if c + d:
+        mag = (abs(c - d) * 1000) // (c + d)
+        assert row["gamma_milli"] == (mag if c >= d else -mag)
+        assert -1000 <= row["gamma_milli"] <= 1000
+    else:
+        assert row["gamma_milli"] == 0
+
+
+# ---------------------------------------------------------------------------
+# B316 newsvendor: replay + the discrete optimality condition
+# ---------------------------------------------------------------------------
+
+
+def test_newsvendor_replay_and_optimality(ddb):
+    demand = [
+        r[0]
+        for r in ddb.execute(
+            "SELECT count(*) FROM orders GROUP BY"
+            " date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))"
+        ).fetchall()
+    ]
+    demand.sort()
+    n = len(demand)
+
+    def cost(s, cu, co):
+        return sum(cu * max(q - s, 0) + co * max(s - q, 0) for q in demand)
+
+    rows = _oracle_rows(ddb, "orders_newsvendor_policy")
+    assert len(rows) == 3
+    for r in rows:
+        cu, co = r["cost_underage"], r["cost_overage"]
+        q_ppm = cu * 1_000_000 // (cu + co)
+        assert r["fractile_ppm"] == q_ppm
+        k = (q_ppm * n + 999_999) // 1_000_000
+        s_star = demand[k - 1]
+        assert r["n_days"] == n
+        assert r["stock_level"] == s_star
+        assert r["total_cost"] == cost(s_star, cu, co)
+        assert r["n_underage_days"] == sum(1 for q in demand if q > s_star)
+        assert r["n_overage_days"] == sum(1 for q in demand if q < s_star)
+        # discrete newsvendor optimality: the critical-fractile order
+        # statistic beats both integer neighbors on empirical cost
+        assert cost(s_star, cu, co) <= cost(s_star + 1, cu, co)
+        assert cost(s_star, cu, co) <= cost(max(s_star - 1, 0), cu, co)

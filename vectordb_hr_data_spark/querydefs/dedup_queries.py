@@ -2396,3 +2396,73 @@ def localize_spans(d: DataFrame, pairs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id_1", "doc_id_2")
     )
+
+
+# --------------------------------------------------------------------------
+# B311: exact edit-distance near-dup gate over blocked candidate pairs.
+#
+# The fidelity tier above shingle/MinHash evidence: for candidate pairs that
+# share a 40-char prefix block, compute the EXACT character-level
+# Levenshtein distance (both engines ship a codepoint-exact builtin) on a
+# 200-char cap and gate at ≤150 edits-per-thousand-chars. The cap bounds
+# the per-pair DP at 200×200 regardless of document length, and the prefix
+# block bounds the pair count — the classic blocked-comparison shape, so
+# the work is (pairs in block) × O(1), never corpus².
+#
+# The distance lands in the output (not just the gate) so the value-hash
+# pins the exact DP, and the normalization divides by the LONGER capped
+# side (distance ≤ max length ⇒ norm ≤ 1000 always).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_edit_distance_gate",
+    """
+WITH d AS (
+  SELECT doc_id, substr(text, 1, 200) AS t200,
+         md5(substr(text, 1, 40)) AS blk
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         CAST(levenshtein(a.t200, b.t200) AS BIGINT) AS edit_distance,
+         CAST(greatest(length(a.t200), length(b.t200)) AS BIGINT) AS cap_len
+  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, edit_distance, cap_len,
+       CAST(edit_distance * 1000 // cap_len AS BIGINT) AS norm_milli,
+       CAST(CASE WHEN edit_distance * 1000 // cap_len <= 150 THEN 1 ELSE 0 END
+            AS BIGINT) AS is_dup
+FROM pairs
+ORDER BY doc_id_a, doc_id_b
+""",
+)
+def doc_edit_distance_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact-Levenshtein near-dup gate (B311): 40-char-prefix
+    blocking, 200-char DP cap, distance + per-mille normalization + gate."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 200).alias("t200"),
+        F.md5(F.substring("text", 1, 40)).alias("blk"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("t200").alias("ta"), F.col("blk").alias("blk")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("t200").alias("tb"), F.col("blk").alias("blk2")
+    )
+    pairs = a.join(b, (F.col("blk") == F.col("blk2")) & (F.col("doc_id_a") < F.col("doc_id_b"))).select(
+        "doc_id_a",
+        "doc_id_b",
+        F.levenshtein("ta", "tb").cast("long").alias("edit_distance"),
+        F.greatest(F.length("ta"), F.length("tb")).cast("long").alias("cap_len"),
+    )
+    return pairs.select(
+        "doc_id_a",
+        "doc_id_b",
+        "edit_distance",
+        "cap_len",
+        F.expr("edit_distance * 1000 div cap_len").cast("long").alias("norm_milli"),
+        F.expr("case when edit_distance * 1000 div cap_len <= 150 then 1 else 0 end")
+        .cast("long")
+        .alias("is_dup"),
+    ).orderBy("doc_id_a", "doc_id_b")

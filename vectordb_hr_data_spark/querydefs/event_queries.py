@@ -15,6 +15,8 @@ minute/hour intervals used here.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -7955,4 +7957,522 @@ def events_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("coverage_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B310: LRU reuse-distance hit-ratio curve (cache-planning audit).
+#
+# Classic storage/feature-cache capacity planning (Mattson stack analysis):
+# for every repeat access to a key, the LRU stack distance is the number of
+# DISTINCT keys touched since that key's previous access, +1; an LRU cache
+# of capacity C serves the access from cache iff that distance ≤ C. The
+# query replays each user's access stream (key = the numeric payload of
+# props folded to a 16-slot keyspace), computes exact reuse distances, and
+# emits the hit-ratio curve for C ∈ {1,2,4,8,16} — the curve a cache-sizing
+# decision reads directly.
+#
+# Scale: everything is keyed by user_id — the window, the gap join, and the
+# distinct-count all co-partition on the same key, and per-user streams are
+# bounded (sessionized workloads), so the gap join is Σ-gap-lengths work
+# per user, linear across users with no global shuffle beyond the user key.
+# The 5-row capacity grid is a broadcast literal.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_lru_hit_curve",
+    """
+WITH acc AS (
+  SELECT user_id,
+         coalesce(CAST(nullif(regexp_extract(props, '[0-9]+'), '') AS BIGINT) % 16, -1)
+           AS k,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), rep AS (
+  SELECT user_id, k, rn,
+         lag(rn) OVER (PARTITION BY user_id, k ORDER BY rn) AS prn
+  FROM acc
+), gaps AS (
+  SELECT r.user_id, r.rn, CAST(count(DISTINCT a.k) AS BIGINT) AS d
+  FROM (SELECT * FROM rep WHERE prn IS NOT NULL) r
+  LEFT JOIN acc a ON a.user_id = r.user_id AND a.rn > r.prn AND a.rn < r.rn
+  GROUP BY r.user_id, r.rn
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_acc,
+         CAST(sum(CASE WHEN prn IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cold
+  FROM rep
+), curve AS (
+  SELECT CAST(c AS BIGINT) AS cache_size FROM (VALUES (1),(2),(4),(8),(16)) v(c)
+), sel AS (
+  SELECT c.cache_size,
+         CAST(sum(CASE WHEN g.d <= c.cache_size - 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits
+  FROM curve c, gaps g
+  GROUP BY c.cache_size
+)
+SELECT s.cache_size,
+       t.n_acc AS n_accesses,
+       t.n_cold AS n_cold_misses,
+       t.n_acc - t.n_cold AS n_repeat_accesses,
+       s.n_hits,
+       CAST(s.n_hits * 1000000 // t.n_acc AS BIGINT) AS hit_ratio_ppm
+FROM sel s, tot t
+ORDER BY s.cache_size
+""",
+)
+def events_lru_hit_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mattson reuse-distance replay + LRU hit-ratio curve for
+    capacity ∈ {1,2,4,8,16} (B310). Co-partitioned on user_id throughout;
+    per-user streams bounded, capacity grid broadcast."""
+    ev = read_table(spark, sf_dir, "events")
+    acc = ev.select(
+        "user_id",
+        F.expr(
+            "coalesce(cast(nullif(regexp_extract(props, '[0-9]+', 0), '') as bigint) % 16, -1)"
+        ).alias("k"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    rep = acc.select(
+        "user_id",
+        "k",
+        "rn",
+        F.lag("rn").over(Window.partitionBy("user_id", "k").orderBy("rn")).alias("prn"),
+    )
+    repn = rep.filter(F.col("prn").isNotNull()).select("user_id", "prn", "rn")
+    a2 = acc.select(F.col("user_id").alias("u2"), F.col("k").alias("k2"), F.col("rn").alias("rn2"))
+    gaps = (
+        repn.join(
+            a2,
+            (F.col("u2") == F.col("user_id"))
+            & (F.col("rn2") > F.col("prn"))
+            & (F.col("rn2") < F.col("rn")),
+            "left",
+        )
+        .groupBy("user_id", "rn")
+        .agg(F.countDistinct("k2").cast("long").alias("d"))
+    )
+    tot = rep.agg(
+        F.count("*").cast("long").alias("n_acc"),
+        F.sum(F.when(F.col("prn").isNull(), 1).otherwise(0)).cast("long").alias("n_cold"),
+    )
+    curve = spark.range(5).select(
+        F.expr("cast(shiftleft(1, cast(id as int)) as long)").alias("cache_size")
+    )
+    sel = (
+        F.broadcast(curve)
+        .crossJoin(gaps)
+        .groupBy("cache_size")
+        .agg(
+            F.sum(F.when(F.col("d") <= F.col("cache_size") - 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits")
+        )
+    )
+    return (
+        sel.crossJoin(F.broadcast(tot))
+        .select(
+            "cache_size",
+            F.col("n_acc").alias("n_accesses"),
+            F.col("n_cold").alias("n_cold_misses"),
+            (F.col("n_acc") - F.col("n_cold")).cast("long").alias("n_repeat_accesses"),
+            "n_hits",
+            F.expr("n_hits * 1000000 div n_acc").cast("long").alias("hit_ratio_ppm"),
+        )
+        .orderBy("cache_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# B312: Benjamini-Hochberg FDR gate over a segment scan (multiple testing).
+#
+# The standard guard against p-hacking a segment drill-down: test every
+# (event_type × day-of-week) segment's high-value rate against the global
+# rate, then control the FALSE DISCOVERY RATE at 5% with the
+# Benjamini-Hochberg step-up rule instead of gating each segment at raw
+# p<0.05. Distribution-free and float-free: the per-segment statistic is
+# the exact binomial z² in micro-units (128-bit cross-engine arithmetic —
+# (sN−nS)² needs ~1e20), converted to a CONSERVATIVE p-value via the
+# Chebyshev bound p ≤ 1/z² (documented: a distribution-free bound, looser
+# than the normal tail, so discoveries here survive ANY distributional
+# assumption). BH adjustment = reverse running-min of p·m/rank over the
+# deterministically ranked p's — one window over a ≤35-row aggregate.
+#
+# Scale: one groupBy over events (partial-agg friendly), a broadcast 1-row
+# global join, and windows over a bounded segment table.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_bh_fdr_gate",
+    """
+WITH seg AS (
+  SELECT event_type,
+         CAST(date_part('dow', ts) AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT) >= 5000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS s
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss,
+         CAST(count(*) AS BIGINT) AS m
+  FROM seg
+), z AS (
+  SELECT seg.event_type, seg.dow, seg.n, seg.s,
+         CAST((CAST(seg.s AS HUGEINT) * g.nn - CAST(seg.n AS HUGEINT) * g.ss)
+              * (CAST(seg.s AS HUGEINT) * g.nn - CAST(seg.n AS HUGEINT) * g.ss)
+              * 1000000
+              // (CAST(seg.n AS HUGEINT) * g.ss * (g.nn - g.ss)) AS BIGINT)
+           AS z2_micro,
+         g.m
+  FROM seg, g
+), p AS (
+  SELECT event_type, dow, n, s, z2_micro, m,
+         CAST(least(1000000, 1000000000000 // greatest(z2_micro, 1)) AS BIGINT)
+           AS p_micro
+  FROM z
+), rk AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY p_micro, event_type, dow) AS BIGINT)
+              AS bh_rank
+  FROM p
+)
+SELECT event_type, dow, n, s, z2_micro, p_micro, bh_rank,
+       CAST(least(1000000,
+                  min(p_micro * m // bh_rank)
+                    OVER (ORDER BY bh_rank ROWS BETWEEN CURRENT ROW
+                          AND UNBOUNDED FOLLOWING)) AS BIGINT) AS adj_p_micro,
+       CAST(CASE WHEN least(1000000,
+                            min(p_micro * m // bh_rank)
+                              OVER (ORDER BY bh_rank ROWS BETWEEN CURRENT ROW
+                                    AND UNBOUNDED FOLLOWING)) <= 50000
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_discovery
+FROM rk
+ORDER BY bh_rank
+""",
+)
+def events_bh_fdr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH step-up FDR control at 5% over (event_type × dow) high-value-rate
+    segments (B312): exact 128-bit binomial z², Chebyshev p ≤ 1/z², reverse
+    running-min adjustment, deterministic tie-broken ranks."""
+    ev = read_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    seg = ev.groupBy(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when(F.round(F.col("value") * 100).cast("long") >= 5000, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    g = seg.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("ss"),
+        F.count("*").cast("long").alias("m"),
+    )
+    z = seg.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "dow",
+        "n",
+        "s",
+        "m",
+        F.expr(
+            f"cast((cast(s as {dec}) * nn - cast(n as {dec}) * ss)"
+            f" * (cast(s as {dec}) * nn - cast(n as {dec}) * ss)"
+            f" * 1000000 div (cast(n as {dec}) * ss * (nn - ss)) as long)"
+        ).alias("z2_micro"),
+    )
+    p = z.withColumn(
+        "p_micro",
+        F.expr("cast(least(1000000, 1000000000000 div greatest(z2_micro, 1)) as long)"),
+    )
+    w_rank = Window.orderBy("p_micro", "event_type", "dow")
+    rk = p.withColumn("bh_rank", F.row_number().over(w_rank).cast("long"))
+    w_tail = Window.orderBy("bh_rank").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    adj = F.least(
+        F.lit(1000000).cast("long"),
+        F.min(F.expr("p_micro * m div bh_rank")).over(w_tail),
+    ).cast("long")
+    return rk.select(
+        "event_type",
+        "dow",
+        "n",
+        "s",
+        "z2_micro",
+        "p_micro",
+        "bh_rank",
+        adj.alias("adj_p_micro"),
+        F.when(adj <= 50000, 1).otherwise(0).cast("long").alias("is_discovery"),
+    ).orderBy("bh_rank")
+
+
+# --------------------------------------------------------------------------
+# B314: HyperLogLog register audit — the sketch, exactly, in integers.
+#
+# events_sliding_distinct_hll (B-earlier) runs a real HLL rows-only; this
+# op pins the ENTIRE sketch pipeline under the strict oracle by computing
+# it float-free: md5-derived 48-bit hashes, m=64 registers (6-bit index,
+# 42-bit payload), rank = leading zeros + 1 via length(bin(w)) (both
+# engines print binary without leading zeros), and the raw HLL estimator
+# α·m²/Σ2^(−M_j) evaluated EXACTLY by scaling the harmonic sum to 2^43
+# (so Σ 2^(43−M_j) is an integer ≤ 2^49) and α to ppm
+# (α₆₄ = 0.7213/(1+1.079/64) → 709340 ppm, the published constant,
+# floored once identically on both engines; the numerator needs 128-bit).
+# The published small-range (linear-counting) correction is applied when
+# raw ≤ 5m/2 and zero registers remain — float-free because V has only 64
+# possible values, so ln(m/V) is a fixed-point table literal shared by
+# both engines. The output carries raw, corrected, and applied estimates
+# plus the exact distinct, so the error is measured, not assumed.
+#
+# Scale: one groupBy user_id-hash → 64-row register table (map-side
+# partial max), a 64-row grid join for empty registers, one 1-row reduce.
+# --------------------------------------------------------------------------
+
+_HLL_M = 64
+_HLL_ALPHA_PPM = 709340  # floor(0.7213 / (1 + 1.079/64) * 1e6)
+# Small-range (linear-counting) correction: when the raw estimate sits at or
+# below 5m/2 and some register is still zero, the published estimator is
+# m·ln(m/V). V (the zero-register count) has only 64 possible values, so the
+# logarithm is a 64-entry FIXED-POINT table — float-free and identical on
+# both engines by construction (same python-generated literal).
+_HLL_LN_MICRO = {v: round(math.log(_HLL_M / v) * 1_000_000) for v in range(1, _HLL_M + 1)}
+_HLL_LN_CASE = (
+    "CASE n_zero "
+    + " ".join(f"WHEN {v} THEN {mu}" for v, mu in _HLL_LN_MICRO.items())
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "events_hll_register_audit",
+    f"""
+WITH h AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 12))
+              AS BIGINT) AS hv
+  FROM events
+), reg AS (
+  SELECT hv // 4398046511104 AS j,  -- top 6 bits of 48
+         hv % 4398046511104 AS w    -- low 42 bits
+  FROM h
+), mj AS (
+  SELECT j, CAST(max(CASE WHEN w = 0 THEN 43
+                          ELSE 43 - length(bin(w)) END) AS BIGINT) AS m_j
+  FROM reg GROUP BY j
+), full_reg AS (
+  SELECT CAST(g.j AS BIGINT) AS j, coalesce(mj.m_j, 0) AS m_j
+  FROM unnest(range({_HLL_M})) AS g(j) LEFT JOIN mj ON mj.j = g.j
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         CAST(sum(CAST(2 AS BIGINT) ** (43 - m_j)) AS BIGINT) AS harmonic_scaled
+  FROM full_reg
+), x AS (
+  SELECT s.m, s.n_zero, s.harmonic_scaled,
+         CAST(CAST({_HLL_ALPHA_PPM} AS HUGEINT) * s.m * s.m * 8796093022208
+              // s.harmonic_scaled // 1000000 AS BIGINT) AS hll_estimate,
+         (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+           AS exact_distinct
+  FROM s
+), y AS (
+  SELECT *, CAST(m * ({_HLL_LN_CASE}) // 1000000 AS BIGINT) AS lc_estimate
+  FROM x
+)
+SELECT m AS n_registers, n_zero AS n_zero_registers, harmonic_scaled,
+       hll_estimate, lc_estimate,
+       CAST(CASE WHEN hll_estimate * 2 <= 5 * m AND n_zero > 0
+                 THEN lc_estimate ELSE hll_estimate END AS BIGINT)
+         AS applied_estimate,
+       exact_distinct,
+       CAST(abs(CASE WHEN hll_estimate * 2 <= 5 * m AND n_zero > 0
+                     THEN lc_estimate ELSE hll_estimate END
+                - exact_distinct) * 1000000 // exact_distinct AS BIGINT)
+         AS err_ppm
+FROM y
+""",
+)
+def events_hll_register_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float-free HLL (m=64) over distinct users (B314): exact integer
+    registers, 2^43-scaled harmonic sum, ppm-scaled α, raw + linear-counting
+    small-range correction, vs the exact distinct with the realized error."""
+    ev = read_table(spark, sf_dir, "events")
+    h = ev.select(
+        F.expr(
+            "cast(conv(substring(md5(concat('hll:', cast(user_id as string))), 1, 12),"
+            " 16, 10) as bigint)"
+        ).alias("hv")
+    ).distinct()
+    reg = h.select(
+        F.expr("hv div 4398046511104").alias("j"),
+        F.expr("hv % 4398046511104").alias("w"),
+    )
+    mj = reg.groupBy("j").agg(
+        F.max(
+            F.when(F.col("w") == 0, 43).otherwise(F.lit(43) - F.length(F.bin(F.col("w"))))
+        )
+        .cast("long")
+        .alias("m_j")
+    )
+    grid = spark.range(_HLL_M).select(F.col("id").cast("long").alias("j"))
+    full_reg = grid.join(F.broadcast(mj), "j", "left").select(
+        "j", F.coalesce(F.col("m_j"), F.lit(0)).cast("long").alias("m_j")
+    )
+    s = full_reg.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(F.when(F.col("m_j") == 0, 1).otherwise(0)).cast("long").alias("n_zero"),
+        F.sum(F.expr("cast(shiftleft(cast(1 as bigint), cast(43 - m_j as int)) as bigint)"))
+        .cast("long")
+        .alias("harmonic_scaled"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    dec = "decimal(38,0)"
+    ln_case = _HLL_LN_CASE.replace("CASE n_zero", "case n_zero")
+    return (
+        s.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("m").alias("n_registers"),
+            F.col("n_zero").alias("n_zero_registers"),
+            F.col("n_zero"),
+            F.col("m"),
+            "harmonic_scaled",
+            F.expr(
+                f"cast(cast({_HLL_ALPHA_PPM} as {dec}) * m * m * 8796093022208"
+                " div harmonic_scaled div 1000000 as long)"
+            ).alias("hll_estimate"),
+            "exact_distinct",
+        )
+        .withColumn("lc_estimate", F.expr(f"cast(m * ({ln_case}) div 1000000 as long)"))
+        .withColumn(
+            "applied_estimate",
+            F.expr(
+                "cast(case when hll_estimate * 2 <= 5 * m and n_zero > 0"
+                " then lc_estimate else hll_estimate end as long)"
+            ),
+        )
+        .select(
+            "n_registers",
+            "n_zero_registers",
+            "harmonic_scaled",
+            "hll_estimate",
+            "lc_estimate",
+            "applied_estimate",
+            "exact_distinct",
+            F.expr("abs(applied_estimate - exact_distinct) * 1000000 div exact_distinct")
+            .cast("long")
+            .alias("err_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# B315: Goodman-Kruskal gamma — ordinal association without square roots.
+#
+# The engagement question "do users who come more often also spend more?"
+# needs an ORDINAL association measure (spend is heavy-tailed; Pearson is
+# dominated by outliers). Kendall tau-b needs a square root for its tie
+# correction; Goodman-Kruskal gamma = (C−D)/(C+D) is the tie-robust
+# sibling that stays in exact integer arithmetic. Frequency is folded to
+# {1..10} (count capped), monetary to 10 fixed-width cent buckets, and the
+# concordant/discordant pair counts come from the ≤100-cell contingency
+# table: C = Σ n_ij · Σ_{i'>i,j'>j} n_i'j' over ordered cell pairs — each
+# unordered user pair counted exactly once. The signed division floors
+# the MAGNITUDE only (explicit CASE), the cross-engine discipline for
+# possibly-negative numerators.
+#
+# Scale: one groupBy user → one groupBy cell (≤100 rows) → a bounded
+# 100×100 broadcast self-join. Nothing after the first agg scales with N.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_gk_gamma_association",
+    """
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mcents
+  FROM events GROUP BY user_id
+), cells AS (
+  SELECT least(f, 10) AS fb,
+         least(mcents // 100000, 9) AS mb,
+         CAST(count(*) AS BIGINT) AS n
+  FROM per_user GROUP BY 1, 2
+), pairs AS (
+  SELECT CAST(sum(CASE WHEN b.fb > a.fb AND b.mb > a.mb
+                       THEN a.n * b.n ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN b.fb > a.fb AND b.mb < a.mb
+                       THEN a.n * b.n ELSE 0 END) AS BIGINT) AS d
+  FROM cells a, cells b
+), u AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(count(DISTINCT least(f, 10)) AS BIGINT) AS n_f_levels,
+         CAST(count(DISTINCT least(mcents // 100000, 9)) AS BIGINT) AS n_m_levels
+  FROM per_user
+)
+SELECT u.n_users, u.n_f_levels, u.n_m_levels,
+       p.c AS n_concordant, p.d AS n_discordant,
+       CAST(CASE WHEN p.c + p.d = 0 THEN 0
+                 WHEN p.c >= p.d THEN (p.c - p.d) * 1000 // (p.c + p.d)
+                 ELSE -((p.d - p.c) * 1000 // (p.c + p.d)) END AS BIGINT)
+         AS gamma_milli
+FROM pairs p, u
+""",
+)
+def events_gk_gamma_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal gamma between per-user visit frequency and spend
+    (B315): exact contingency-cell pair counting, sign-explicit milli
+    division — ordinal association with zero floats."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("f"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("mcents"),
+    )
+    cells = per_user.groupBy(
+        F.least(F.col("f"), F.lit(10)).alias("fb"),
+        F.least(F.expr("mcents div 100000"), F.lit(9)).cast("long").alias("mb"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    a = cells.select(F.col("fb").alias("fa"), F.col("mb").alias("ma"), F.col("n").alias("na"))
+    b = cells.select(F.col("fb").alias("fb2"), F.col("mb").alias("mb2"), F.col("n").alias("nb"))
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("fb2") > F.col("fa")) & (F.col("mb2") > F.col("ma")),
+                    F.col("na") * F.col("nb"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("c"),
+            F.sum(
+                F.when(
+                    (F.col("fb2") > F.col("fa")) & (F.col("mb2") < F.col("ma")),
+                    F.col("na") * F.col("nb"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("d"),
+        )
+    )
+    u = per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.countDistinct(F.least(F.col("f"), F.lit(10))).cast("long").alias("n_f_levels"),
+        F.countDistinct(F.least(F.expr("mcents div 100000"), F.lit(9)))
+        .cast("long")
+        .alias("n_m_levels"),
+    )
+    return pairs.crossJoin(F.broadcast(u)).select(
+        "n_users",
+        "n_f_levels",
+        "n_m_levels",
+        F.col("c").alias("n_concordant"),
+        F.col("d").alias("n_discordant"),
+        F.expr(
+            "cast(case when c + d = 0 then 0"
+            " when c >= d then (c - d) * 1000 div (c + d)"
+            " else -((d - c) * 1000 div (c + d)) end as long)"
+        ).alias("gamma_milli"),
     )

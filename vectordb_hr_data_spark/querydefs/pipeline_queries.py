@@ -4905,3 +4905,159 @@ def sample_apportionment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("final_alloc"),
     ).orderBy("lang", "source")
+
+
+# --------------------------------------------------------------------------
+# B313: consistent-hash ring rebalance audit (placement planning).
+#
+# The placement question every sharded serving tier asks before scaling
+# out: if the corpus is placed on an N-server consistent-hash ring (16
+# virtual nodes per server, 32-bit md5 positions), how much data moves
+# when server N+1 joins? Consistent hashing's contract is that adding a
+# server only STEALS keys for the newcomer — no doc may move between two
+# old servers (the pytest theorem) — and the stolen share concentrates
+# near 1/(N+1). The query assigns every document under both the 8-server
+# and 9-server rings and emits the per-server before/after/inbound counts
+# plus the global moved fraction.
+#
+# Scale: the ring is a ≤144-row broadcast literal; assignment is one
+# crossJoin + per-doc argmin (window partitioned BY doc_id), so the work
+# is rows × 144 with no shuffle beyond the doc key — linear in documents.
+# --------------------------------------------------------------------------
+
+_RING_VNODES = 16
+_RING_N_A = 8  # before
+_RING_N_B = 9  # after (adds server s8)
+
+
+@register(
+    "doc_ring_rebalance_audit",
+    f"""
+WITH ring AS (
+  SELECT CAST(s AS BIGINT) AS srv, CAST(v AS BIGINT) AS vn,
+         CAST(('0x' || substr(md5('ring:' || CAST(s AS VARCHAR) || ':'
+                                  || CAST(v AS VARCHAR)), 1, 8)) AS BIGINT) AS pos
+  FROM unnest(range({_RING_N_B})) AS rs(s), unnest(range({_RING_VNODES})) AS rv(v)
+), d AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM documents
+), asg AS (
+  SELECT n_srv, doc_id, srv FROM (
+    SELECT cfg.n_srv, d.doc_id, r.srv,
+           row_number() OVER (
+             PARTITION BY cfg.n_srv, d.doc_id
+             ORDER BY (r.pos - d.h + 4294967296) % 4294967296, r.srv, r.vn
+           ) AS rn
+    FROM (VALUES ({_RING_N_A}), ({_RING_N_B})) cfg(n_srv)
+    CROSS JOIN d
+    JOIN ring r ON r.srv < cfg.n_srv
+  ) t WHERE rn = 1
+), moved AS (
+  SELECT a.doc_id, a.srv AS srv_a, b.srv AS srv_b
+  FROM (SELECT doc_id, srv FROM asg WHERE n_srv = {_RING_N_A}) a
+  JOIN (SELECT doc_id, srv FROM asg WHERE n_srv = {_RING_N_B}) b USING (doc_id)
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN srv_a <> srv_b THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+  FROM moved
+)
+SELECT CAST(s AS BIGINT) AS server,
+       CAST(count(CASE WHEN m.srv_a = s THEN 1 END) AS BIGINT) AS n_docs_before,
+       CAST(count(CASE WHEN m.srv_b = s THEN 1 END) AS BIGINT) AS n_docs_after,
+       CAST(count(CASE WHEN m.srv_b = s AND m.srv_a <> s THEN 1 END) AS BIGINT)
+         AS n_inbound,
+       t.n_moved AS total_moved,
+       CAST(t.n_moved * 1000000 // t.n_docs AS BIGINT) AS moved_ppm
+FROM unnest(range({_RING_N_B})) AS g(s), moved m, tot t
+GROUP BY s, t.n_moved, t.n_docs
+ORDER BY server
+""",
+)
+def doc_ring_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash placement under the 8- and 9-server rings (B313):
+    per-server before/after/inbound counts + global moved fraction. The
+    no-reshuffle theorem (old→old moves = 0) is the pytest law."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "cast(conv(substring(md5(concat('doc:', cast(doc_id as string))), 1, 8), 16, 10)"
+            " as bigint)"
+        ).alias("h"),
+    )
+    ring = (
+        spark.range(_RING_N_B)
+        .select(F.col("id").cast("long").alias("srv"))
+        .crossJoin(spark.range(_RING_VNODES).select(F.col("id").cast("long").alias("vn")))
+        .select(
+            "srv",
+            "vn",
+            F.expr(
+                "cast(conv(substring(md5(concat('ring:', cast(srv as string), ':',"
+                " cast(vn as string))), 1, 8), 16, 10) as bigint)"
+            ).alias("pos"),
+        )
+    )
+    cfg = spark.createDataFrame([(_RING_N_A,), (_RING_N_B,)], "n_srv long")
+    cand = (
+        docs.crossJoin(F.broadcast(cfg))
+        .join(F.broadcast(ring), F.col("srv") < F.col("n_srv"))
+        .select(
+            "n_srv",
+            "doc_id",
+            "srv",
+            "vn",
+            F.expr("(pos - h + 4294967296) % 4294967296").alias("rd"),
+        )
+    )
+    asg = (
+        cand.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("n_srv", "doc_id").orderBy("rd", "srv", "vn")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("n_srv", "doc_id", "srv")
+    )
+    a = asg.filter(F.col("n_srv") == _RING_N_A).select("doc_id", F.col("srv").alias("srv_a"))
+    b = asg.filter(F.col("n_srv") == _RING_N_B).select("doc_id", F.col("srv").alias("srv_b"))
+    moved = a.join(b, "doc_id")
+    tot = moved.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("srv_a") != F.col("srv_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_moved"),
+    )
+    grid = spark.range(_RING_N_B).select(F.col("id").cast("long").alias("server"))
+    return (
+        F.broadcast(grid)
+        .crossJoin(moved)
+        .groupBy("server")
+        .agg(
+            F.sum(F.when(F.col("srv_a") == F.col("server"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_before"),
+            F.sum(F.when(F.col("srv_b") == F.col("server"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_after"),
+            F.sum(
+                F.when(
+                    (F.col("srv_b") == F.col("server")) & (F.col("srv_a") != F.col("server")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_inbound"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "server",
+            "n_docs_before",
+            "n_docs_after",
+            "n_inbound",
+            F.col("n_moved").alias("total_moved"),
+            F.expr("n_moved * 1000000 div n_docs").cast("long").alias("moved_ppm"),
+        )
+        .orderBy("server")
+    )

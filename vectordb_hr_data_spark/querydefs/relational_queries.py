@@ -3084,3 +3084,261 @@ def customer_generalization_ladder(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("acctbal_level", "geo_level")
     )
+
+
+# --------------------------------------------------------------------------
+# B309: Little's-law truncation-bias audit (queueing audit over open orders).
+#
+# Treat each order as a job that enters the system at o_orderdate and leaves
+# at its last lineitem shipdate. Little's law says the time-average number
+# of open orders L equals arrival rate λ times mean time-in-system W — and
+# over the FULL horizon that identity is exact by construction
+# (L = Σdur/H = (N/H)·(Σdur/N) = λ·W), so the interesting question is the
+# instantaneous audit: at interior probe instants the observed L should sit
+# near the time-average, while probes near the horizon edges are depressed
+# because the open-interval population is truncated (jobs that would span
+# the edge don't exist in the log). The query emits the identity terms and
+# the per-decile deviation so the bias is visible, not assumed.
+#
+# Scale: one orders⋈lineitem co-partitioned join on the key, one global
+# aggregate, then a 9-row broadcast probe grid against the per-order
+# interval table — linear in lineitem, no shuffle beyond the keyed join.
+# All arithmetic integer days / milli / ppm (floor div on non-negative
+# operands only, the cross-engine discipline).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_littles_law_audit",
+    """
+WITH iv AS (
+  SELECT o.o_orderkey,
+         CAST(date_diff('day', DATE '1995-01-01', CAST(o.o_orderdate AS DATE)) AS BIGINT) AS open_d,
+         CAST(max(date_diff('day', DATE '1995-01-01', CAST(l.l_shipdate AS DATE))) AS BIGINT) AS close_d
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(min(open_d) AS BIGINT) AS t_lo,
+         CAST(max(close_d) AS BIGINT) AS t_hi,
+         CAST(sum(close_d - open_d) AS BIGINT) AS sum_dur
+  FROM iv
+), probes AS (
+  SELECT CAST(k AS BIGINT) AS probe_idx,
+         g.t_lo + (g.t_hi - g.t_lo) * CAST(k AS BIGINT) // 10 AS probe_day,
+         g.n, g.t_lo, g.t_hi, g.sum_dur
+  FROM g, unnest(range(1, 10)) AS r(k)
+)
+SELECT p.probe_idx,
+       p.probe_day,
+       CAST(count(CASE WHEN iv.open_d <= p.probe_day
+                        AND p.probe_day < iv.close_d THEN 1 END) AS BIGINT)
+         AS l_observed,
+       CAST(p.sum_dur * 1000 // (p.t_hi - p.t_lo) AS BIGINT) AS l_timeavg_milli,
+       CAST(p.n * 1000000 // (p.t_hi - p.t_lo) AS BIGINT) AS lambda_ppm_per_day,
+       CAST(p.sum_dur * 1000 // p.n AS BIGINT) AS w_milli_days,
+       CAST(count(CASE WHEN iv.open_d <= p.probe_day
+                        AND p.probe_day < iv.close_d THEN 1 END) * 1000
+            - p.sum_dur * 1000 // (p.t_hi - p.t_lo) AS BIGINT)
+         AS deviation_milli
+FROM probes p CROSS JOIN iv
+GROUP BY p.probe_idx, p.probe_day, p.n, p.t_lo, p.t_hi, p.sum_dur
+ORDER BY p.probe_idx
+""",
+)
+def orders_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's-law L = λ·W audit with a 9-decile instantaneous probe grid
+    (B309): the full-horizon identity terms plus the per-probe deviation
+    that exposes horizon-truncation bias at the edges."""
+    orders = read_table(spark, sf_dir, "orders")
+    line = read_table(spark, sf_dir, "lineitem")
+    iv = (
+        orders.join(line, line.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.max(
+                F.datediff(F.col("l_shipdate").cast("date"), F.to_date(F.lit("1995-01-01")))
+            )
+            .cast("long")
+            .alias("close_d")
+        )
+        .select(
+            F.datediff(F.col("o_orderdate").cast("date"), F.to_date(F.lit("1995-01-01")))
+            .cast("long")
+            .alias("open_d"),
+            "close_d",
+        )
+    )
+    g = iv.agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("open_d").alias("t_lo"),
+        F.max("close_d").alias("t_hi"),
+        F.sum(F.col("close_d") - F.col("open_d")).cast("long").alias("sum_dur"),
+    )
+    probes = (
+        spark.range(1, 10)
+        .select(F.col("id").cast("long").alias("probe_idx"))
+        .crossJoin(F.broadcast(g))
+        .select(
+            "probe_idx",
+            F.expr("t_lo + (t_hi - t_lo) * probe_idx div 10").alias("probe_day"),
+            "n",
+            "t_lo",
+            "t_hi",
+            "sum_dur",
+        )
+    )
+    joined = iv.crossJoin(F.broadcast(probes))
+    out = (
+        joined.groupBy("probe_idx", "probe_day", "n", "t_lo", "t_hi", "sum_dur")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("open_d") <= F.col("probe_day"))
+                    & (F.col("probe_day") < F.col("close_d")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("l_observed")
+        )
+        .select(
+            "probe_idx",
+            "probe_day",
+            "l_observed",
+            F.expr("sum_dur * 1000 div (t_hi - t_lo)").cast("long").alias("l_timeavg_milli"),
+            F.expr("n * 1000000 div (t_hi - t_lo)").cast("long").alias("lambda_ppm_per_day"),
+            F.expr("sum_dur * 1000 div n").cast("long").alias("w_milli_days"),
+            F.expr("l_observed * 1000 - sum_dur * 1000 div (t_hi - t_lo)")
+            .cast("long")
+            .alias("deviation_milli"),
+        )
+        .orderBy("probe_idx")
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# B316: newsvendor critical-fractile stocking policy (empirical quantile).
+#
+# The canonical inventory decision under demand uncertainty: stock the
+# q-th demand quantile where q = cu/(cu+co) (underage vs overage cost).
+# Demand = orders per observed day; the empirical-CDF optimum is the
+# ceil(q·n)-th order statistic of the daily demands (exact integer rank —
+# no interpolation), evaluated for three cost scenarios on a broadcast
+# literal grid, with the realized empirical cost Σ cu·(d−s)⁺ + co·(s−d)⁺
+# alongside so the choice is priced, not just named. The pytest law checks
+# s* beats both neighbors s*±1 on empirical cost — the discrete
+# newsvendor optimality condition.
+#
+# Scale: one groupBy day (partial-agg), one rank window over days (days ≪
+# rows), a 3-row broadcast scenario grid, one reduce per scenario.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_newsvendor_policy",
+    """
+WITH demand AS (
+  SELECT CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS qty
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT qty, CAST(row_number() OVER (ORDER BY qty, d) AS BIGINT) AS rk,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM demand
+), scen AS (
+  SELECT CAST(cu AS BIGINT) AS cu, CAST(co AS BIGINT) AS co
+  FROM (VALUES (9, 1), (1, 1), (1, 9)) v(cu, co)
+), stock AS (
+  SELECT s.cu, s.co,
+         CAST(s.cu * 1000000 // (s.cu + s.co) AS BIGINT) AS fractile_ppm,
+         max(r.n) AS n_days,
+         max(CASE WHEN r.rk = (s.cu * 1000000 // (s.cu + s.co) * max_n.n
+                               + 999999) // 1000000
+                  THEN r.qty END) AS stock_level
+  FROM scen s
+  CROSS JOIN (SELECT max(n) AS n FROM ranked) max_n
+  CROSS JOIN ranked r
+  GROUP BY s.cu, s.co, max_n.n
+)
+SELECT st.cu AS cost_underage, st.co AS cost_overage, st.fractile_ppm,
+       st.n_days, st.stock_level,
+       CAST(sum(CASE WHEN dm.qty > st.stock_level THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_underage_days,
+       CAST(sum(CASE WHEN dm.qty < st.stock_level THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overage_days,
+       CAST(sum(st.cu * greatest(dm.qty - st.stock_level, 0)
+                + st.co * greatest(st.stock_level - dm.qty, 0)) AS BIGINT)
+         AS total_cost
+FROM stock st CROSS JOIN demand dm
+GROUP BY st.cu, st.co, st.fractile_ppm, st.n_days, st.stock_level
+ORDER BY st.cu DESC
+""",
+)
+def orders_newsvendor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical newsvendor stocking policy for three cost ratios (B316):
+    critical-fractile order statistic over daily demand + realized cost."""
+    orders = read_table(spark, sf_dir, "orders")
+    demand = orders.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.to_date(F.lit("1995-01-01")))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count("*").cast("long").alias("qty"))
+    w = Window.orderBy("qty", "d")
+    ranked = demand.select("qty", F.row_number().over(w).cast("long").alias("rk"))
+    scen = spark.createDataFrame([(9, 1), (1, 1), (1, 9)], "cu long, co long")
+    nrow = ranked.agg(F.max("rk").cast("long").alias("n"))
+    stock = (
+        F.broadcast(scen)
+        .crossJoin(F.broadcast(nrow))
+        .crossJoin(ranked)
+        .groupBy("cu", "co", "n")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rk")
+                    == F.expr("(cu * 1000000 div (cu + co) * n + 999999) div 1000000"),
+                    F.col("qty"),
+                )
+            ).alias("stock_level"),
+        )
+        .select(
+            "cu",
+            "co",
+            F.expr("cu * 1000000 div (cu + co)").cast("long").alias("fractile_ppm"),
+            F.col("n").alias("n_days"),
+            "stock_level",
+        )
+    )
+    return (
+        F.broadcast(stock)
+        .crossJoin(demand)
+        .groupBy("cu", "co", "fractile_ppm", "n_days", "stock_level")
+        .agg(
+            F.sum(F.when(F.col("qty") > F.col("stock_level"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_underage_days"),
+            F.sum(F.when(F.col("qty") < F.col("stock_level"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_overage_days"),
+            F.sum(
+                F.col("cu") * F.greatest(F.col("qty") - F.col("stock_level"), F.lit(0))
+                + F.col("co") * F.greatest(F.col("stock_level") - F.col("qty"), F.lit(0))
+            )
+            .cast("long")
+            .alias("total_cost"),
+        )
+        .select(
+            F.col("cu").alias("cost_underage"),
+            F.col("co").alias("cost_overage"),
+            "fractile_ppm",
+            "n_days",
+            "stock_level",
+            "n_underage_days",
+            "n_overage_days",
+            "total_cost",
+        )
+        .orderBy(F.col("cost_underage").desc())
+    )
