@@ -354,3 +354,164 @@ def test_newsvendor_replay_and_optimality(ddb):
         # statistic beats both integer neighbors on empirical cost
         assert cost(s_star, cu, co) <= cost(s_star + 1, cu, co)
         assert cost(s_star, cu, co) <= cost(max(s_star - 1, 0), cu, co)
+
+
+# ---------------------------------------------------------------------------
+# B317 streaming HLL: 4 unordered micro-batches ≡ the one-shot batch audit
+# ---------------------------------------------------------------------------
+
+
+def test_stream_hll_converges_to_batch(spark, sf_dir, tmp_path):
+    """stream_hll: register max-merge is associative and idempotent, so
+    any micro-batch split (here 4 unordered slices with overlapping
+    users) must converge to the batch estimator columns exactly."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.streaming.stream_ops import hll_from_state, stream_hll
+
+    ev = read_table(spark, sf_dir, "events")
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    for i in range(4):
+        part = ev.filter((F.col("event_id") % 4) == i)
+        tdir = str(tmp_path / f"hll_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    state = str(tmp_path / "hll_state")
+    stream_hll(stream, state)
+    got = sorted(map(tuple, hll_from_state(spark, state).collect()))
+    batch = Q.REGISTRY["events_hll_register_audit"].fn(spark, sf_dir)
+    want = sorted(
+        map(
+            tuple,
+            batch.select(
+                "n_registers",
+                "n_zero_registers",
+                "harmonic_scaled",
+                "hll_estimate",
+                "lc_estimate",
+                "applied_estimate",
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 1
+
+
+# ---------------------------------------------------------------------------
+# B318 CvM: python replay + the family cross-check laws
+# ---------------------------------------------------------------------------
+
+
+def test_cvm_replay_and_laws(ddb):
+    vals = ddb.execute(
+        "SELECT CASE WHEN event_type='click' THEN 0 ELSE 1 END,"
+        " CAST(round(value*100) AS BIGINT) FROM events"
+        " WHERE event_type IN ('click','view') AND value IS NOT NULL"
+    ).fetchall()
+    from collections import Counter
+
+    c1 = Counter(c for g, c in vals if g == 0)
+    c2 = Counter(c for g, c in vals if g == 1)
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    a = b = 0
+    num = 0
+    for cents in sorted(set(c1) | set(c2)):
+        a += c1.get(cents, 0)
+        b += c2.get(cents, 0)
+        w = c1.get(cents, 0) + c2.get(cents, 0)
+        num += w * (a * n2 - b * n1) ** 2
+    t_micro = num * 1_000_000 // ((n1 + n2) * (n1 + n2) * n1 * n2)
+    (row,) = _oracle_rows(ddb, "events_cvm_two_sample")
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert row["n_distinct_values"] == len(set(c1) | set(c2))
+    assert row["t_micro"] == t_micro
+    assert row["is_reject"] == (1 if t_micro > 461_000 else 0)
+    # law: T is non-negative, and identical samples would give exactly 0
+    assert t_micro >= 0
+    # self-check: swapping the groups leaves T invariant (symmetry)
+    a = b = 0
+    num_sw = 0
+    for cents in sorted(set(c1) | set(c2)):
+        a += c2.get(cents, 0)
+        b += c1.get(cents, 0)
+        w = c1.get(cents, 0) + c2.get(cents, 0)
+        num_sw += w * (a * n1 - b * n2) ** 2
+    assert num_sw == num
+
+
+# ---------------------------------------------------------------------------
+# B319 TTL curve: python replay + monotonicity in T
+# ---------------------------------------------------------------------------
+
+
+def test_ttl_cache_curve_replay(ddb):
+    ev = ddb.execute(
+        "SELECT user_id,"
+        " coalesce(CAST(nullif(regexp_extract(props, '[0-9]+'), '') AS BIGINT) % 16, -1),"
+        " CAST(floor(epoch(ts)) AS BIGINT), event_id"
+        " FROM events ORDER BY user_id, 3, event_id"
+    ).fetchall()
+    last: dict = {}
+    gaps = []
+    n_acc = 0
+    for u, k, t, _ in ev:
+        n_acc += 1
+        if (u, k) in last:
+            gaps.append(t - last[(u, k)])
+        last[(u, k)] = t
+    rows = _oracle_rows(ddb, "events_ttl_cache_curve")
+    assert [r["ttl_s"] for r in rows] == [60, 300, 1800, 7200, 86400]
+    prev = -1
+    for r in rows:
+        T = r["ttl_s"]
+        hits = [g for g in gaps if g <= T]
+        assert r["n_accesses"] == n_acc
+        assert r["n_repeat_accesses"] == len(gaps)
+        assert r["n_hits"] == len(hits)
+        assert r["hit_ratio_ppm"] == len(hits) * 1_000_000 // n_acc
+        assert r["mean_served_age_s"] == (sum(hits) // len(hits) if hits else 0)
+        assert r["n_hits"] >= prev  # longer TTL never loses hits
+        prev = r["n_hits"]
+
+
+# ---------------------------------------------------------------------------
+# B320 DiD: python replay + the placebo/structure laws
+# ---------------------------------------------------------------------------
+
+
+def test_diff_in_diff_replay_and_laws(ddb):
+    ev = ddb.execute(
+        "SELECT CAST(('0x' || substr(md5('did:' || CAST(user_id AS VARCHAR)), 1, 8))"
+        " AS BIGINT) % 2, CAST(floor(epoch(ts)) AS BIGINT),"
+        " CAST(round(value*100) AS BIGINT) FROM events"
+    ).fetchall()
+    t0 = min(t for _, t, _ in ev)
+    t1 = max(t for _, t, _ in ev)
+    cells: dict = {}
+    for g, t, c in ev:
+        p = 0 if t * 2 < t0 + t1 else 1
+        n, s = cells.get((g, p), (0, 0))
+        cells[(g, p)] = (n + 1, s + c)
+    mean = {k: s * 1_000_000 // n for k, (n, s) in cells.items()}
+    (row,) = _oracle_rows(ddb, "events_diff_in_diff")
+    for (g, p), (n, _) in cells.items():
+        tag = ("c" if g == 0 else "t") + ("_pre" if p == 0 else "_post")
+        assert row[f"n_{tag}"] == n
+        assert row[f"mean_{tag}"] == mean[(g, p)]
+    assert row["pre_gap_micro"] == mean[(1, 0)] - mean[(0, 0)]
+    did = (mean[(1, 1)] - mean[(1, 0)]) - (mean[(0, 1)] - mean[(0, 0)])
+    assert row["did_micro"] == did
+    # structure law: DiD is antisymmetric under swapping the group labels
+    did_swapped = (mean[(0, 1)] - mean[(0, 0)]) - (mean[(1, 1)] - mean[(1, 0)])
+    assert did_swapped == -did
+    # all four cells must be populated for the estimator to be defined
+    assert len(cells) == 4

@@ -8300,23 +8300,54 @@ def events_hll_register_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     registers, 2^43-scaled harmonic sum, ppm-scaled α, raw + linear-counting
     small-range correction, vs the exact distinct with the realized error."""
     ev = read_table(spark, sf_dir, "events")
-    h = ev.select(
+    mj = hll_registers(ev.select("user_id"))
+    est = hll_estimate_over_registers(mj)
+    exact = ev.agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_registers",
+        "n_zero_registers",
+        "harmonic_scaled",
+        "hll_estimate",
+        "lc_estimate",
+        "applied_estimate",
+        "exact_distinct",
+        F.expr("abs(applied_estimate - exact_distinct) * 1000000 div exact_distinct")
+        .cast("long")
+        .alias("err_ppm"),
+    )
+
+
+def hll_registers(users: DataFrame) -> DataFrame:
+    """(j, m_j) register table for a `user_id` column — the max-mergeable
+    HLL state shared by the batch audit (B314) and the streaming twin
+    (``streaming.stream_ops.stream_hll``): max() is associative AND
+    idempotent, so duplicate users across micro-batches fold away exactly
+    like the batch DISTINCT."""
+    h = users.select(
         F.expr(
             "cast(conv(substring(md5(concat('hll:', cast(user_id as string))), 1, 12),"
             " 16, 10) as bigint)"
         ).alias("hv")
-    ).distinct()
+    )
     reg = h.select(
         F.expr("hv div 4398046511104").alias("j"),
         F.expr("hv % 4398046511104").alias("w"),
     )
-    mj = reg.groupBy("j").agg(
+    return reg.groupBy("j").agg(
         F.max(
             F.when(F.col("w") == 0, 43).otherwise(F.lit(43) - F.length(F.bin(F.col("w"))))
         )
         .cast("long")
         .alias("m_j")
     )
+
+
+def hll_estimate_over_registers(mj: DataFrame) -> DataFrame:
+    """Estimator columns from a (j, m_j) register table (shared builder —
+    identical arithmetic batch and from streamed state): 64-grid fill,
+    2^43-scaled harmonic sum, ppm α with a 128-bit numerator, and the
+    linear-counting small-range correction."""
+    spark = mj.sparkSession
     grid = spark.range(_HLL_M).select(F.col("id").cast("long").alias("j"))
     full_reg = grid.join(F.broadcast(mj), "j", "left").select(
         "j", F.coalesce(F.col("m_j"), F.lit(0)).cast("long").alias("m_j")
@@ -8328,12 +8359,10 @@ def events_hll_register_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("harmonic_scaled"),
     )
-    exact = ev.agg(F.countDistinct("user_id").cast("long").alias("exact_distinct"))
     dec = "decimal(38,0)"
     ln_case = _HLL_LN_CASE.replace("CASE n_zero", "case n_zero")
     return (
-        s.crossJoin(F.broadcast(exact))
-        .select(
+        s.select(
             F.col("m").alias("n_registers"),
             F.col("n_zero").alias("n_zero_registers"),
             F.col("n_zero"),
@@ -8343,7 +8372,6 @@ def events_hll_register_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"cast(cast({_HLL_ALPHA_PPM} as {dec}) * m * m * 8796093022208"
                 " div harmonic_scaled div 1000000 as long)"
             ).alias("hll_estimate"),
-            "exact_distinct",
         )
         .withColumn("lc_estimate", F.expr(f"cast(m * ({ln_case}) div 1000000 as long)"))
         .withColumn(
@@ -8360,10 +8388,6 @@ def events_hll_register_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hll_estimate",
             "lc_estimate",
             "applied_estimate",
-            "exact_distinct",
-            F.expr("abs(applied_estimate - exact_distinct) * 1000000 div exact_distinct")
-            .cast("long")
-            .alias("err_ppm"),
         )
     )
 
@@ -8475,4 +8499,366 @@ def events_gk_gamma_association(spark: SparkSession, sf_dir: str) -> DataFrame:
             " when c >= d then (c - d) * 1000 div (c + d)"
             " else -((d - c) * 1000 div (c + d)) end as long)"
         ).alias("gamma_milli"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B318: Cramér-von Mises two-sample test — the INTEGRATED ECDF distance.
+#
+# Completes the two-sample family: KS (B-earlier) is the sup of the ECDF
+# gap, Mann-Whitney (B294) the rank shift; Cramér-von Mises integrates the
+# SQUARED gap over the pooled sample, catching spread/shape differences a
+# location test misses. Over the quantized-cents count table the statistic
+# is exact rational: T = Σ_k w_k·(a_k·m − b_k·n)² / (N²·n·m) with a/b the
+# cumulative group counts at each distinct value and w its pooled
+# multiplicity — ties handled by construction (all tied points share one
+# ECDF step). The numerator reaches ~1e25 ⇒ 128-bit on both engines; the
+# micro-scaled T compares against the published large-sample 5% critical
+# value 0.461.
+#
+# Scale: one groupBy cents (bounded quantized domain), one ordered window
+# over that aggregated table, one reduce.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_cvm_two_sample",
+    """
+WITH v AS (
+  SELECT CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS grp,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+), g AS (
+  SELECT cents,
+         CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM v GROUP BY cents
+), cum AS (
+  SELECT cents, c1, c2,
+         CAST(sum(c1) OVER (ORDER BY cents) AS BIGINT) AS a,
+         CAST(sum(c2) OVER (ORDER BY cents) AS BIGINT) AS b
+  FROM g
+), tot AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2,
+         CAST(count(*) AS BIGINT) AS k
+  FROM g
+), s AS (
+  SELECT CAST(sum((c.c1 + c.c2)
+                  * (CAST(c.a AS HUGEINT) * t.n2 - CAST(c.b AS HUGEINT) * t.n1)
+                  * (CAST(c.a AS HUGEINT) * t.n2 - CAST(c.b AS HUGEINT) * t.n1))
+              AS HUGEINT) AS num
+  FROM cum c, tot t
+)
+SELECT t.n1, t.n2, t.k AS n_distinct_values,
+       CAST(s.num * 1000000
+            // (CAST(t.n1 + t.n2 AS HUGEINT) * (t.n1 + t.n2) * t.n1 * t.n2)
+            AS BIGINT) AS t_micro,
+       CAST(461000 AS BIGINT) AS crit_micro_5pct,
+       CAST(CASE WHEN s.num * 1000000
+                      // (CAST(t.n1 + t.n2 AS HUGEINT) * (t.n1 + t.n2) * t.n1 * t.n2)
+                      > 461000
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_reject
+FROM s, tot t
+""",
+)
+def events_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Cramér-von Mises over quantized cents (B318):
+    integrated squared ECDF gap in 128-bit integers, micro-scaled vs the
+    0.461 large-sample 5% critical value."""
+    ev = read_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    v = ev.filter(
+        F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
+    ).select(
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("grp"),
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    g = v.groupBy("cents").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = g.select(
+        "cents",
+        "c1",
+        "c2",
+        F.sum("c1").over(w).cast("long").alias("a"),
+        F.sum("c2").over(w).cast("long").alias("b"),
+    )
+    tot = g.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.count("*").cast("long").alias("k"),
+    )
+    s = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "n1",
+            "n2",
+            "k",
+            F.expr(
+                f"(c1 + c2) * (cast(a as {dec}) * n2 - cast(b as {dec}) * n1)"
+                f" * (cast(a as {dec}) * n2 - cast(b as {dec}) * n1)"
+            ).alias("term"),
+        )
+        .groupBy("n1", "n2", "k")
+        .agg(F.sum("term").alias("num"))
+    )
+    t_micro = F.expr(
+        f"cast(num * 1000000 div (cast(n1 + n2 as {dec}) * (n1 + n2) * n1 * n2) as long)"
+    )
+    return s.select(
+        "n1",
+        "n2",
+        F.col("k").alias("n_distinct_values"),
+        t_micro.alias("t_micro"),
+        F.lit(461000).cast("long").alias("crit_micro_5pct"),
+        F.when(t_micro > 461000, 1).otherwise(0).cast("long").alias("is_reject"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B319: TTL cache hit-ratio curve — the time-based twin of the LRU curve.
+#
+# Feature stores and CDN edges mostly run TTL caches, not LRU: an entry
+# serves hits for T seconds after (re)fetch regardless of working-set
+# size. For a TTL policy evaluated on the access log, a repeat access to
+# (user, key) is a hit iff the time since that key's PREVIOUS access is
+# ≤ T — one lag() per key stream, no gap join at all (the structural
+# contrast with B310: TTL needs only the per-key inter-access time,
+# LRU needs the cross-key distinct count). Whole seconds via the
+# truncate-before-compare discipline (the capture-recapture precedent).
+# Curve over T ∈ {60, 300, 1800, 7200, 86400} on a broadcast grid,
+# emitting hit ratio AND the freshness price: hits on entries whose age
+# exceeds the TTL under a LONGER policy would be stale — so the curve is
+# read jointly with staleness tolerance, documented per row as the mean
+# served age in seconds (floor).
+#
+# Scale: one window per (user, key) — co-partitioned on user — then one
+# bounded-grid conditional aggregate. Linear, one shuffle.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_ttl_cache_curve",
+    """
+WITH acc AS (
+  SELECT user_id,
+         coalesce(CAST(nullif(regexp_extract(props, '[0-9]+'), '') AS BIGINT) % 16, -1)
+           AS k,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t_s,
+         event_id
+  FROM events
+), gaps AS (
+  SELECT user_id, k, t_s,
+         t_s - lag(t_s) OVER (PARTITION BY user_id, k ORDER BY t_s, event_id)
+           AS gap_s
+  FROM acc
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_acc,
+         CAST(count(gap_s) AS BIGINT) AS n_repeat
+  FROM gaps
+), curve AS (
+  SELECT CAST(t AS BIGINT) AS ttl_s
+  FROM (VALUES (60), (300), (1800), (7200), (86400)) v(t)
+), sel AS (
+  SELECT c.ttl_s,
+         CAST(sum(CASE WHEN g.gap_s IS NOT NULL AND g.gap_s <= c.ttl_s
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         CAST(coalesce(sum(CASE WHEN g.gap_s IS NOT NULL AND g.gap_s <= c.ttl_s
+                                THEN g.gap_s END), 0) AS BIGINT) AS sum_served_age_s
+  FROM curve c, gaps g
+  GROUP BY c.ttl_s
+)
+SELECT s.ttl_s, t.n_acc AS n_accesses, t.n_repeat AS n_repeat_accesses,
+       s.n_hits,
+       CAST(s.n_hits * 1000000 // t.n_acc AS BIGINT) AS hit_ratio_ppm,
+       CAST(CASE WHEN s.n_hits > 0 THEN s.sum_served_age_s // s.n_hits
+                 ELSE 0 END AS BIGINT) AS mean_served_age_s
+FROM sel s, tot t
+ORDER BY s.ttl_s
+""",
+)
+def events_ttl_cache_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL cache policy curve for T ∈ {60..86400} s (B319): per-key lag
+    gaps, hit ratio + mean served age per TTL — the freshness/hit-rate
+    trade a cache-sizing decision reads jointly."""
+    ev = read_table(spark, sf_dir, "events")
+    acc = ev.select(
+        "user_id",
+        F.expr(
+            "coalesce(cast(nullif(regexp_extract(props, '[0-9]+', 0), '') as bigint) % 16, -1)"
+        ).alias("k"),
+        F.expr("cast(cast(ts as double) as bigint)").alias("t_s"),
+        "event_id",
+    )
+    gaps = acc.select(
+        (
+            F.col("t_s")
+            - F.lag("t_s").over(Window.partitionBy("user_id", "k").orderBy("t_s", "event_id"))
+        ).alias("gap_s")
+    )
+    tot = gaps.agg(
+        F.count("*").cast("long").alias("n_acc"),
+        F.count("gap_s").cast("long").alias("n_repeat"),
+    )
+    curve = spark.createDataFrame(
+        [(60,), (300,), (1800,), (7200,), (86400,)], "ttl_s long"
+    )
+    sel = (
+        F.broadcast(curve)
+        .crossJoin(gaps)
+        .groupBy("ttl_s")
+        .agg(
+            F.sum(
+                F.when(F.col("gap_s").isNotNull() & (F.col("gap_s") <= F.col("ttl_s")), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_hits"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("gap_s").isNotNull() & (F.col("gap_s") <= F.col("ttl_s")),
+                        F.col("gap_s"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("sum_served_age_s"),
+        )
+    )
+    return (
+        sel.crossJoin(F.broadcast(tot))
+        .select(
+            "ttl_s",
+            F.col("n_acc").alias("n_accesses"),
+            F.col("n_repeat").alias("n_repeat_accesses"),
+            "n_hits",
+            F.expr("n_hits * 1000000 div n_acc").cast("long").alias("hit_ratio_ppm"),
+            F.expr("case when n_hits > 0 then sum_served_age_s div n_hits else 0 end")
+            .cast("long")
+            .alias("mean_served_age_s"),
+        )
+        .orderBy("ttl_s")
+    )
+
+
+# --------------------------------------------------------------------------
+# B320: difference-in-differences — the panel-data causal estimator.
+#
+# Completes the causal-inference shelf (uplift B270, CUPED B101, QTE
+# B304): DiD removes BOTH the stable group difference and the common time
+# trend by double-differencing the 2×2 (group × period) cell means. Group
+# = salted md5 user hash (the SRM-audit discipline — deterministic,
+# balanced); period = event-time halves (the capture-recapture midpoint
+# discipline, whole-second truncation). Each cell mean is floored ONCE to
+# micro-cents; the three differences are then exact integer subtractions
+# of already-floored means — the sign-safe order of operations (floor
+# before subtract), documented rather than floored-after-subtraction
+# where the two engines' negative-division conventions diverge. The
+# parallel-trends caveat is carried as the pre-period gap column.
+#
+# Scale: one groupBy over events into 4 cells; everything after is a
+# broadcast of a 4-row table.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_diff_in_diff",
+    """
+WITH span AS (
+  SELECT CAST(min(floor(epoch(ts))) AS BIGINT) AS t0,
+         CAST(max(floor(epoch(ts))) AS BIGINT) AS t1
+  FROM events
+), tagged AS (
+  SELECT CAST(('0x' || substr(md5('did:' || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2 AS grp,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) * 2 < s.t0 + s.t1
+              THEN 0 ELSE 1 END AS period,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events, span s
+), cells AS (
+  SELECT grp, period, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS sum_cents,
+         CAST(sum(cents) * 1000000 // count(*) AS BIGINT) AS mean_micro
+  FROM tagged GROUP BY grp, period
+), wide AS (
+  SELECT max(CASE WHEN grp = 0 AND period = 0 THEN n END) AS n_c_pre,
+         max(CASE WHEN grp = 0 AND period = 1 THEN n END) AS n_c_post,
+         max(CASE WHEN grp = 1 AND period = 0 THEN n END) AS n_t_pre,
+         max(CASE WHEN grp = 1 AND period = 1 THEN n END) AS n_t_post,
+         max(CASE WHEN grp = 0 AND period = 0 THEN mean_micro END) AS mean_c_pre,
+         max(CASE WHEN grp = 0 AND period = 1 THEN mean_micro END) AS mean_c_post,
+         max(CASE WHEN grp = 1 AND period = 0 THEN mean_micro END) AS mean_t_pre,
+         max(CASE WHEN grp = 1 AND period = 1 THEN mean_micro END) AS mean_t_post
+  FROM cells
+)
+SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+       mean_c_pre, mean_c_post, mean_t_pre, mean_t_post,
+       CAST(mean_t_pre - mean_c_pre AS BIGINT) AS pre_gap_micro,
+       CAST((mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre) AS BIGINT)
+         AS did_micro
+FROM wide
+""",
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 difference-in-differences over hashed arms and time halves
+    (B320): floored cell means in micro-cents, exact double difference,
+    pre-period gap as the parallel-trends caveat."""
+    ev = read_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.expr("cast(floor(cast(ts as double)) as bigint)")).alias("t0"),
+        F.max(F.expr("cast(floor(cast(ts as double)) as bigint)")).alias("t1"),
+    )
+    tagged = ev.crossJoin(F.broadcast(span)).select(
+        F.expr(
+            "cast(conv(substring(md5(concat('did:', cast(user_id as string))), 1, 8),"
+            " 16, 10) as bigint) % 2"
+        ).alias("grp"),
+        F.expr(
+            "case when cast(floor(cast(ts as double)) as bigint) * 2 < t0 + t1"
+            " then 0 else 1 end"
+        ).alias("period"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cells = tagged.groupBy("grp", "period").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.expr("cast(sum(cents) * 1000000 div count(*) as bigint)").alias("mean_micro"),
+    )
+
+    def cell(g, p, col):
+        return F.max(
+            F.when((F.col("grp") == g) & (F.col("period") == p), F.col(col))
+        )
+
+    wide = cells.agg(
+        cell(0, 0, "n").alias("n_c_pre"),
+        cell(0, 1, "n").alias("n_c_post"),
+        cell(1, 0, "n").alias("n_t_pre"),
+        cell(1, 1, "n").alias("n_t_post"),
+        cell(0, 0, "mean_micro").alias("mean_c_pre"),
+        cell(0, 1, "mean_micro").alias("mean_c_post"),
+        cell(1, 0, "mean_micro").alias("mean_t_pre"),
+        cell(1, 1, "mean_micro").alias("mean_t_post"),
+    )
+    return wide.select(
+        "n_c_pre",
+        "n_c_post",
+        "n_t_pre",
+        "n_t_post",
+        "mean_c_pre",
+        "mean_c_post",
+        "mean_t_pre",
+        "mean_t_post",
+        (F.col("mean_t_pre") - F.col("mean_c_pre")).cast("long").alias("pre_gap_micro"),
+        (
+            (F.col("mean_t_post") - F.col("mean_t_pre"))
+            - (F.col("mean_c_post") - F.col("mean_c_pre"))
+        )
+        .cast("long")
+        .alias("did_micro"),
     )

@@ -2910,3 +2910,50 @@ def mannwhitney_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     if state is None:
         raise FileNotFoundError(f"no mann-whitney state at {state_path}")
     return mannwhitney_over_counts(state)
+
+
+def stream_hll(event_stream: DataFrame, state_path: str) -> None:
+    """Streaming maintenance of the B314 HLL register state (B317): the
+    (j, m_j) table folds by MAX through the generic mergeable sink. max()
+    is associative AND idempotent, so replayed or duplicated users across
+    micro-batches converge to exactly the batch registers — the classic
+    sketch-union property, inherited rather than re-proven. State is ≤64
+    rows by construction; the estimator recomputes over it at read time
+    (``hll_from_state``)."""
+    from pyspark.sql import functions as F
+
+    h = event_stream.select(
+        F.expr(
+            "cast(conv(substring(md5(concat('hll:', cast(user_id as string))), 1, 12),"
+            " 16, 10) as bigint)"
+        ).alias("hv")
+    ).select(
+        F.expr("hv div 4398046511104").alias("j"),
+        F.expr("hv % 4398046511104").alias("w"),
+    )
+    ranks = h.select(
+        "j",
+        F.when(F.col("w") == 0, 43)
+        .otherwise(F.lit(43) - F.length(F.bin(F.col("w"))))
+        .cast("long")
+        .alias("m_j"),
+    )
+    stream_mergeable_agg(
+        ranks,
+        state_path,
+        ["j"],
+        [F.max("m_j").cast("long").alias("m_j")],
+        [F.max("m_j").cast("long").alias("m_j")],
+    )
+
+
+def hll_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B314's estimator computed from the streamed register state —
+    identical arithmetic to ``events_hll_register_audit``'s estimate
+    columns (shared ``hll_estimate_over_registers`` builder)."""
+    from ..querydefs.event_queries import hll_estimate_over_registers
+
+    state = _read_state_or_none(spark, state_path, "hll_from_state")
+    if state is None:
+        raise FileNotFoundError(f"no hll state at {state_path}")
+    return hll_estimate_over_registers(state.select("j", "m_j"))
