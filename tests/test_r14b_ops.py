@@ -515,3 +515,156 @@ def test_diff_in_diff_replay_and_laws(ddb):
     assert did_swapped == -did
     # all four cells must be populated for the estimator to be defined
     assert len(cells) == 4
+
+
+# ---------------------------------------------------------------------------
+# B321 Kaplan-Meier: python replay + survival laws
+# ---------------------------------------------------------------------------
+
+
+def test_kaplan_meier_replay_and_laws(ddb):
+    pu = ddb.execute(
+        "SELECT min(floor(epoch(ts)/86400)), max(floor(epoch(ts)/86400))"
+        " FROM events GROUP BY user_id"
+    ).fetchall()
+    h_end = max(int(b) for _, b in pu)
+    life = [
+        (int(b) - int(a), 0 if h_end - int(b) < 14 else 1) for a, b in pu
+    ]
+    from collections import Counter
+
+    deaths = Counter(lt for lt, e in life if e)
+    cens = Counter(lt for lt, e in life if not e)
+    lts = sorted(set(lt for lt, _ in life))
+    rows = _oracle_rows(ddb, "events_kaplan_meier_retention")
+    assert [r["lifetime_days"] for r in rows] == lts
+    s = 1_000_000
+    at_risk = len(life)
+    prev_s = 1_000_001
+    for r, lt in zip(rows, lts):
+        d = deaths.get(lt, 0)
+        c = cens.get(lt, 0)
+        assert r["n_at_risk"] == at_risk
+        assert r["n_deaths"] == d
+        assert r["n_censored"] == c
+        assert r["hazard_micro"] == d * 1_000_000 // at_risk
+        s = s * (at_risk - d) // at_risk
+        assert r["survival_micro"] == s
+        # survival is monotone non-increasing and in [0, 1e6]
+        assert 0 <= r["survival_micro"] < prev_s + 1
+        prev_s = r["survival_micro"]
+        at_risk -= d + c
+    assert at_risk == 0  # the life table exhausts the cohort
+
+
+# ---------------------------------------------------------------------------
+# B322 SPRT: python replay + walk linearity
+# ---------------------------------------------------------------------------
+
+
+def test_sprt_replay_and_laws(ddb):
+    daily = ddb.execute(
+        "SELECT CAST(floor(epoch(ts)/86400) AS BIGINT), count(*),"
+        " sum(CASE WHEN CAST(round(value*100) AS BIGINT) >= 5000 THEN 1 ELSE 0 END)"
+        " FROM events GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    rows = _oracle_rows(ddb, "events_sprt_daily")
+    assert len(rows) == len(daily)
+    cs = cf = 0
+    first_cross = None
+    for r, (d, n, s) in zip(rows, daily):
+        cs += s
+        cf += n - s
+        llr = cs * 117783 + cf * (-87011)
+        assert (r["day_epoch_days"], r["n_trials"], r["n_successes"]) == (d, n, s)
+        assert r["llr_micro"] == llr
+        state = 1 if llr >= 2944439 else (-1 if llr <= -2944439 else 0)
+        assert r["boundary_state"] == state
+        if state != 0 and first_cross is None:
+            first_cross = d
+    for r in rows:
+        assert r["is_first_decision"] == (
+            1 if first_cross is not None and r["day_epoch_days"] == first_cross else 0
+        )
+    # at most one first decision
+    assert sum(r["is_first_decision"] for r in rows) <= 1
+
+
+# ---------------------------------------------------------------------------
+# B323 EB shrinkage: replay + the between-ness and monotonicity laws
+# ---------------------------------------------------------------------------
+
+
+def test_eb_shrinkage_replay_and_laws(ddb):
+    seg = ddb.execute(
+        "SELECT event_type, CAST(date_part('dow', ts) AS BIGINT), count(*),"
+        " sum(CASE WHEN CAST(round(value*100) AS BIGINT) >= 5000 THEN 1 ELSE 0 END)"
+        " FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    nn = sum(r[2] for r in seg)
+    m = len(seg)
+    rbar = sum(r[3] for r in seg) * 1_000_000 // nn
+    var = (
+        sum(n * (s * 1_000_000 // n - rbar) ** 2 for _, _, n, s in seg) // nn
+    )
+    tau2 = max(var - rbar * (1_000_000 - rbar) // (nn // m), 1)
+    k = rbar * (1_000_000 - rbar) // tau2
+    rows = _oracle_rows(ddb, "events_eb_rate_shrinkage")
+    assert len(rows) == m
+    for r, (et, dow, n, s) in zip(rows, seg):
+        raw = s * 1_000_000 // n
+        shrunk = (s * 1_000_000 + k * rbar) // (n + k)
+        assert (r["event_type"], r["dow"], r["n"], r["s"]) == (et, dow, n, s)
+        assert r["raw_micro"] == raw
+        assert r["shrunk_micro"] == shrunk
+        assert r["shrink_weight_ppm"] == n * 1_000_000 // (n + k)
+        assert r["prior_k"] == k
+        # between-ness: shrunk lies between raw and the global rate
+        lo, hi = min(raw, rbar), max(raw, rbar)
+        assert lo - 1 <= shrunk <= hi + 1
+    # monotone shrink weight in n
+    by_n = sorted(rows, key=lambda r: r["n"])
+    ws = [r["shrink_weight_ppm"] for r in by_n]
+    assert ws == sorted(ws)
+
+
+# ---------------------------------------------------------------------------
+# B324 CvM-from-state: the shared count state serves both rank tests
+# ---------------------------------------------------------------------------
+
+
+def test_cvm_from_mannwhitney_state(spark, sf_dir, tmp_path):
+    """cvm_from_state over the state stream_mannwhitney wrote must equal
+    the one-shot events_cvm_two_sample — one mergeable count table, two
+    rank tests at read time."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        cvm_from_state,
+        stream_mannwhitney,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    src = tmp_path / "cvm_src"
+    src.mkdir()
+    for i in range(4):
+        part = ev.filter((F.col("event_id") % 4) == i)
+        tdir = str(tmp_path / f"cvm_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    state = str(tmp_path / "cvm_state")
+    stream_mannwhitney(stream, state)
+    got = sorted(map(tuple, cvm_from_state(spark, state).collect()))
+    want = sorted(
+        map(tuple, Q.REGISTRY["events_cvm_two_sample"].fn(spark, sf_dir).collect())
+    )
+    assert got == want and len(got) == 1

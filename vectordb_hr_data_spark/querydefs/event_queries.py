@@ -8574,10 +8574,21 @@ def events_cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "click", 0).otherwise(1).alias("grp"),
         (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
     )
-    g = v.groupBy("cents").agg(
-        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("c1"),
-        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("c2"),
+    return cvm_over_counts(
+        v.groupBy("cents").agg(
+            F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("c1"),
+            F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("c2"),
+        )
     )
+
+
+def cvm_over_counts(g0: DataFrame) -> DataFrame:
+    """CvM T from a (cents, c1, c2) count table — the SAME state shape the
+    streamed Mann-Whitney maintains, so the streaming read-view
+    (``streaming.stream_ops.cvm_from_state``) reuses B307's state verbatim:
+    one mergeable count table, two rank tests at read time."""
+    dec = "decimal(38,0)"
+    g = g0
     w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = g.select(
         "cents",
@@ -8861,4 +8872,360 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("did_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B321: Kaplan-Meier retention curve with right-censoring (survival).
+#
+# The retention question product teams actually ask — "what fraction of
+# users survive to day t?" — needs right-censoring: users still active
+# near the horizon end have not churned, they are censored, and naive
+# "fraction with lifetime ≥ t" is biased low. Kaplan-Meier's product-
+# limit estimator S(t) = Π_{death times ≤ t} (1 − d_i/n_i) handles this,
+# but it is an inherently SEQUENTIAL product. The engine discipline:
+# the LIFE TABLE (distinct lifetime days × at-risk/death/censor counts)
+# is bounded by the HORIZON (≤ a few thousand days), not by the data, so
+# the distributed work is the per-user lifetime aggregate + the life-
+# table aggregate; the floored micro product then runs over the bounded
+# table (driver-side python on collected ≤horizon rows — the Procrustes
+# bounded-state precedent; the oracle runs the identical recurrence as a
+# recursive CTE). Per-step floor: s_k = s_{k−1}·(n_k−d_k) div n_k,
+# identical on both engines; hazard d·1e6 div n rides along.
+#
+# Scale: two keyed aggregates (user, then lifetime-day) shrink 100 TB of
+# events to ≤ horizon-days rows before anything sequential happens.
+# --------------------------------------------------------------------------
+
+_KM_CENSOR_WINDOW_DAYS = 14
+
+
+@register(
+    "events_kaplan_meier_retention",
+    f"""
+WITH RECURSIVE per_user AS (
+  SELECT user_id,
+         CAST(min(floor(epoch(ts) / 86400)) AS BIGINT) AS first_d,
+         CAST(max(floor(epoch(ts) / 86400)) AS BIGINT) AS last_d
+  FROM events GROUP BY user_id
+), horizon AS (
+  SELECT CAST(max(last_d) AS BIGINT) AS h_end FROM per_user
+), life AS (
+  SELECT p.last_d - p.first_d AS lt,
+         CASE WHEN h.h_end - p.last_d < {_KM_CENSOR_WINDOW_DAYS} THEN 0 ELSE 1 END
+           AS is_event
+  FROM per_user p, horizon h
+), lt_table AS (
+  SELECT lt, CAST(sum(is_event) AS BIGINT) AS d,
+         CAST(sum(1 - is_event) AS BIGINT) AS c,
+         CAST(sum(count(*)) OVER (ORDER BY lt DESC) AS BIGINT) AS n_at_risk,
+         CAST(row_number() OVER (ORDER BY lt) AS BIGINT) AS rn
+  FROM life GROUP BY lt
+), km AS (
+  SELECT rn, lt, d, c, n_at_risk,
+         CAST(1000000 * (n_at_risk - d) // n_at_risk AS BIGINT) AS s_micro
+  FROM lt_table WHERE rn = 1
+  UNION ALL
+  SELECT t.rn, t.lt, t.d, t.c, t.n_at_risk,
+         CAST(k.s_micro * (t.n_at_risk - t.d) // t.n_at_risk AS BIGINT)
+  FROM lt_table t JOIN km k ON t.rn = k.rn + 1
+)
+SELECT lt AS lifetime_days, n_at_risk, d AS n_deaths, c AS n_censored,
+       CAST(d * 1000000 // n_at_risk AS BIGINT) AS hazard_micro,
+       s_micro AS survival_micro
+FROM km
+ORDER BY lifetime_days
+""",
+)
+def events_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-limit retention curve with a 14-day censoring window
+    (B321, _KM_CENSOR_WINDOW_DAYS): distributed life-table aggregation,
+    bounded sequential floored product, hazard alongside."""
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.expr("cast(floor(cast(ts as double)/86400) as bigint)")).alias("first_d"),
+        F.max(F.expr("cast(floor(cast(ts as double)/86400) as bigint)")).alias("last_d"),
+    )
+    horizon = per_user.agg(F.max("last_d").alias("h_end"))
+    life = per_user.crossJoin(F.broadcast(horizon)).select(
+        (F.col("last_d") - F.col("first_d")).alias("lt"),
+        F.when(
+            F.col("h_end") - F.col("last_d") < _KM_CENSOR_WINDOW_DAYS, 0
+        )
+        .otherwise(1)
+        .alias("is_event"),
+    )
+    lt_table = (
+        life.groupBy("lt")
+        .agg(
+            F.sum("is_event").cast("long").alias("d"),
+            F.sum(F.lit(1) - F.col("is_event")).cast("long").alias("c"),
+            F.count("*").cast("long").alias("w"),
+        )
+        .withColumn(
+            "n_at_risk",
+            F.sum("w")
+            .over(Window.orderBy(F.col("lt").desc()).rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+    )
+    # The life table is bounded by the horizon in DAYS (not by |events|):
+    # the sequential floored product runs driver-side over those ≤few-
+    # thousand rows (the bounded-state discipline; oracle = recursive CTE).
+    rows = sorted(
+        lt_table.select("lt", "d", "c", "n_at_risk").collect(), key=lambda r: r["lt"]
+    )
+    out = []
+    s = 1_000_000
+    for r in rows:
+        s = s * (r["n_at_risk"] - r["d"]) // r["n_at_risk"]
+        out.append(
+            (
+                r["lt"],
+                r["n_at_risk"],
+                r["d"],
+                r["c"],
+                r["d"] * 1_000_000 // r["n_at_risk"],
+                s,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "lifetime_days long, n_at_risk long, n_deaths long, n_censored long,"
+        " hazard_micro long, survival_micro long",
+    ).orderBy("lifetime_days")
+
+
+# --------------------------------------------------------------------------
+# B322: Wald SPRT — sequential testing at daily monitoring cadence.
+#
+# Completes the experimentation shelf's third testing regime: fixed-n
+# (B294 Mann-Whitney), group-sequential (B271 O'Brien-Fleming), and now
+# the fully-sequential SPRT, the optimal (Wald-Wolfowitz) test for a
+# simple-vs-simple rate hypothesis. Float-free: the log-likelihood-ratio
+# increments for success/failure are FIXED micro literals (ln(p1/p0),
+# ln(q1/q0) for p0=0.40 vs p1=0.45, computed once, same literal both
+# engines), so the cumulative LLR is exact integer multiply-add —
+# no per-step floor at all. Monitoring is at DAILY cadence: events fold
+# to per-day (trials, successes) counts first, which (a) matches how
+# experiments are actually monitored and (b) keeps the cumulative walk
+# on an aggregated, horizon-bounded table (the unpartitioned-window
+# discipline). Boundaries ±ln((1−β)/α) at α=β=0.05.
+#
+# Scale: one groupBy day, then windows over ≤horizon-days rows.
+# --------------------------------------------------------------------------
+
+_SPRT_LS_MICRO = 117783  # round(ln(0.45/0.40) * 1e6)
+_SPRT_LF_MICRO = -87011  # round(ln(0.55/0.60) * 1e6)
+_SPRT_BOUND_MICRO = 2944439  # round(ln(0.95/0.05) * 1e6)
+
+
+@register(
+    "events_sprt_daily",
+    f"""
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT) >= 5000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS s
+  FROM events GROUP BY 1
+), walk AS (
+  SELECT d, n, s,
+         CAST(sum(s) OVER (ORDER BY d) AS BIGINT) AS cs,
+         CAST(sum(n - s) OVER (ORDER BY d) AS BIGINT) AS cf
+  FROM daily
+), llr AS (
+  SELECT d, n, s, cs, cf,
+         CAST(cs * {_SPRT_LS_MICRO} + cf * ({_SPRT_LF_MICRO}) AS BIGINT)
+           AS llr_micro
+  FROM walk
+)
+SELECT d AS day_epoch_days, n AS n_trials, s AS n_successes,
+       llr_micro,
+       CAST(CASE WHEN llr_micro >= {_SPRT_BOUND_MICRO} THEN 1
+                 WHEN llr_micro <= -{_SPRT_BOUND_MICRO} THEN -1
+                 ELSE 0 END AS BIGINT) AS boundary_state,
+       CAST(CASE WHEN min(CASE WHEN abs(llr_micro) >= {_SPRT_BOUND_MICRO}
+                               THEN d END) OVER () = d
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_first_decision
+FROM llr
+ORDER BY day_epoch_days
+""",
+)
+def events_sprt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT walk at daily cadence for p0=0.40 vs p1=0.45 (B322):
+    exact integer LLR from micro-literal increments, ±ln(19) boundaries,
+    first decision day flagged."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("cast(floor(cast(ts as double)/86400) as bigint)").alias("d")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.round(F.col("value") * 100).cast("long") >= 5000, 1).otherwise(0))
+        .cast("long")
+        .alias("s"),
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    walk = daily.select(
+        "d",
+        "n",
+        "s",
+        F.sum("s").over(w).cast("long").alias("cs"),
+        F.sum(F.col("n") - F.col("s")).over(w).cast("long").alias("cf"),
+    )
+    llr = walk.withColumn(
+        "llr_micro",
+        (
+            F.col("cs") * F.lit(_SPRT_LS_MICRO) + F.col("cf") * F.lit(_SPRT_LF_MICRO)
+        ).cast("long"),
+    )
+    wall = Window.partitionBy()
+    return llr.select(
+        F.col("d").alias("day_epoch_days"),
+        F.col("n").alias("n_trials"),
+        F.col("s").alias("n_successes"),
+        "llr_micro",
+        F.when(F.col("llr_micro") >= _SPRT_BOUND_MICRO, 1)
+        .when(F.col("llr_micro") <= -_SPRT_BOUND_MICRO, -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("boundary_state"),
+        F.when(
+            F.min(
+                F.when(F.abs(F.col("llr_micro")) >= _SPRT_BOUND_MICRO, F.col("d"))
+            ).over(wall)
+            == F.col("d"),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("is_first_decision"),
+    ).orderBy("day_epoch_days")
+
+
+# --------------------------------------------------------------------------
+# B323: empirical-Bayes rate shrinkage (beta-binomial, method of moments).
+#
+# The standard cure for small-segment rate estimates (CTR smoothing,
+# per-source quality rates): shrink each segment's raw rate toward the
+# global rate with a strength the DATA chooses. Method of moments in
+# exact integer micro-units: between-segment variance (count-weighted,
+# 128-bit), minus the average binomial sampling noise at the mean
+# segment size (the documented MoM approximation), floored at 1 → prior
+# pseudo-count k = r̄(1−r̄)/τ²; shrunk_i = (s_i + k·r̄)/(n_i + k)
+# evaluated as (s_i·1e6 + k·r̄_micro) div (n_i + k) — one floor, all
+# operands non-negative. The pytest laws: every shrunk rate lies between
+# its raw rate and the global rate (within floor slack), and the shrink
+# weight n/(n+k) is monotone in n.
+#
+# Scale: one groupBy over events; everything downstream operates on the
+# bounded segment table against broadcast 1-row globals.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_eb_rate_shrinkage",
+    """
+WITH seg AS (
+  SELECT event_type,
+         CAST(date_part('dow', ts) AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT) >= 5000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS s
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss,
+         CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(s) * 1000000 // sum(n) AS BIGINT) AS rbar
+  FROM seg
+), v AS (
+  SELECT g.nn, g.ss, g.m, g.rbar,
+         CAST(sum(seg.n * (CAST(seg.s * 1000000 // seg.n - g.rbar AS HUGEINT))
+                        * (seg.s * 1000000 // seg.n - g.rbar)) // g.nn AS BIGINT)
+           AS var_micro2
+  FROM seg, g
+  GROUP BY g.nn, g.ss, g.m, g.rbar
+), k AS (
+  SELECT nn, ss, m, rbar, var_micro2,
+         CAST(rbar * (1000000 - rbar)
+              // greatest(var_micro2
+                          - rbar * (1000000 - rbar) // (nn // m), 1) AS BIGINT)
+           AS prior_k
+  FROM v
+)
+SELECT seg.event_type, seg.dow, seg.n, seg.s,
+       CAST(seg.s * 1000000 // seg.n AS BIGINT) AS raw_micro,
+       CAST((seg.s * 1000000 + k.prior_k * k.rbar) // (seg.n + k.prior_k)
+            AS BIGINT) AS shrunk_micro,
+       CAST(seg.n * 1000000 // (seg.n + k.prior_k) AS BIGINT) AS shrink_weight_ppm,
+       k.rbar AS global_micro, k.prior_k
+FROM seg, k
+ORDER BY seg.event_type, seg.dow
+""",
+)
+def events_eb_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of (event_type × dow) high-value rates
+    toward the global rate (B323): integer MoM prior strength, one-floor
+    shrunk rates, shrink weights."""
+    ev = read_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    seg = ev.groupBy(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.round(F.col("value") * 100).cast("long") >= 5000, 1).otherwise(0))
+        .cast("long")
+        .alias("s"),
+    )
+    g = seg.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("long").alias("ss"),
+        F.count("*").cast("long").alias("m"),
+        F.expr("cast(sum(s) * 1000000 div sum(n) as bigint)").alias("rbar"),
+    )
+    v = (
+        seg.crossJoin(F.broadcast(g))
+        .select(
+            "nn",
+            "ss",
+            "m",
+            "rbar",
+            F.expr(
+                f"n * cast(s * 1000000 div n - rbar as {dec})"
+                f" * cast(s * 1000000 div n - rbar as {dec})"
+            ).alias("term"),
+        )
+        .groupBy("nn", "ss", "m", "rbar")
+        .agg(F.expr("cast(sum(term) div max(nn) as bigint)").alias("var_micro2"))
+    )
+    k = v.select(
+        "nn",
+        "m",
+        "rbar",
+        "var_micro2",
+        F.expr(
+            "cast(rbar * (1000000 - rbar)"
+            " div greatest(var_micro2 - rbar * (1000000 - rbar) div (nn div m), 1)"
+            " as bigint)"
+        ).alias("prior_k"),
+    )
+    return (
+        seg.crossJoin(F.broadcast(k))
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            "s",
+            F.expr("cast(s * 1000000 div n as bigint)").alias("raw_micro"),
+            F.expr(
+                "cast((s * 1000000 + prior_k * rbar) div (n + prior_k) as bigint)"
+            ).alias("shrunk_micro"),
+            F.expr("cast(n * 1000000 div (n + prior_k) as bigint)").alias(
+                "shrink_weight_ppm"
+            ),
+            F.col("rbar").alias("global_micro"),
+            "prior_k",
+        )
+        .orderBy("event_type", "dow")
     )

@@ -2957,3 +2957,17 @@ def hll_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     if state is None:
         raise FileNotFoundError(f"no hll state at {state_path}")
     return hll_estimate_over_registers(state.select("j", "m_j"))
+
+
+def cvm_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B318's Cramér-von Mises T computed from the streamed Mann-Whitney
+    count state (B324): the (cents, c1, c2) table stream_mannwhitney
+    maintains is sufficient for BOTH rank tests, so a second read-time
+    view is free — no second sink, no second state (shared
+    ``cvm_over_counts`` builder)."""
+    from ..querydefs.event_queries import cvm_over_counts
+
+    state = _read_state_or_none(spark, state_path, "cvm_from_state")
+    if state is None:
+        raise FileNotFoundError(f"no mann-whitney state at {state_path}")
+    return cvm_over_counts(state.select("cents", "c1", "c2"))
