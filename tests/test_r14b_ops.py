@@ -668,3 +668,132 @@ def test_cvm_from_mannwhitney_state(spark, sf_dir, tmp_path):
         map(tuple, Q.REGISTRY["events_cvm_two_sample"].fn(spark, sf_dir).collect())
     )
     assert got == want and len(got) == 1
+
+
+# ---------------------------------------------------------------------------
+# B325 l-diversity: python replay + triad consistency
+# ---------------------------------------------------------------------------
+
+
+def test_l_diversity_replay(ddb):
+    rows_raw = ddb.execute(
+        "SELECT c_nationkey,"
+        " CASE WHEN c_acctbal < 0 THEN -1"
+        " ELSE least(CAST(floor(c_acctbal/2000) AS BIGINT), 4) END,"
+        " c_mktsegment FROM customer"
+    ).fetchall()
+    cls: dict = {}
+    for nk, band, seg in rows_raw:
+        cls.setdefault((nk, band), []).append(seg)
+    got = _oracle_rows(ddb, "customer_l_diversity_audit")
+    assert len(got) == len(cls)
+    for r in got:
+        members = cls[(r["nationkey"], r["bal_band"])]
+        assert r["class_size"] == len(members)
+        assert r["n_distinct_sensitive"] == len(set(members))
+        assert r["satisfies_l"] == (1 if len(set(members)) >= 3 else 0)
+        # l-diversity implies l-anonymity: a class with ≥l distinct
+        # sensitive values has ≥l members
+        if r["satisfies_l"]:
+            assert r["class_size"] >= 3
+
+
+# ---------------------------------------------------------------------------
+# B326 gains/lift: python replay + the ranking-eval laws
+# ---------------------------------------------------------------------------
+
+
+def test_gains_lift_replay_and_laws(ddb):
+    # reuse the registered B35 oracle's integer dot for the score replay
+    clf = {
+        r["doc_id"]: r["dot_milli"]
+        for r in _oracle_rows(ddb, "doc_quality_classifier")
+    }
+    chars = dict(ddb.execute("SELECT doc_id, n_chars FROM documents").fetchall())
+    med = sorted(chars.values())[(len(chars) - 1) // 2]
+    # exact low median: smallest v with cum*2 >= tot
+    vals = sorted(chars.values())
+    tot = len(vals)
+    cum = 0
+    from collections import Counter
+
+    cnt = Counter(vals)
+    for v in sorted(cnt):
+        cum += cnt[v]
+        if cum * 2 >= tot:
+            med = v
+            break
+    labeled = [(clf[d], 1 if chars[d] >= med else 0) for d in clf]
+    support: dict = {}
+    for s, p in labeled:
+        c, np_ = support.get(s, (0, 0))
+        support[s] = (c + 1, np_ + p)
+    tot_n = sum(c for c, _ in support.values())
+    tot_p = sum(p for _, p in support.values())
+    per: dict = {}
+    cum_before = 0
+    for s in sorted(support, reverse=True):
+        c, p = support[s]
+        dec = min(cum_before * 10 // tot_n, 9)
+        n0, p0 = per.get(dec, (0, 0))
+        per[dec] = (n0 + c, p0 + p)
+        cum_before += c
+    rows = _oracle_rows(ddb, "doc_gains_lift_table")
+    assert [r["decile"] for r in rows] == sorted(per)
+    cn = cp = 0
+    prev_gain = -1
+    for r in rows:
+        n, p = per[r["decile"]]
+        cn += n
+        cp += p
+        assert (r["n"], r["n_pos"]) == (n, p)
+        assert (r["cum_n"], r["cum_pos"]) == (cn, cp)
+        assert r["gains_ppm"] == cp * 1_000_000 // tot_p
+        assert r["lift_ppm"] == cp * tot_n * 1_000_000 // (cn * tot_p)
+        assert r["gains_ppm"] >= prev_gain  # gains curve is monotone
+        prev_gain = r["gains_ppm"]
+    assert cn == tot_n and cp == tot_p
+    assert rows[-1]["gains_ppm"] == 1_000_000  # the full corpus captures all
+
+
+# ---------------------------------------------------------------------------
+# B327 seasonal decomposition: python replay + reconstruction identity
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_decomposition_replay(ddb):
+    daily = ddb.execute(
+        "SELECT CAST(floor(epoch(ts)/86400) AS BIGINT), count(*)"
+        " FROM events GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    days = [d for d, _ in daily]
+    ys = {d: y for d, y in daily}
+    sum7 = {}
+    for i, d in enumerate(days):
+        win = days[max(0, i - 3) : i + 4]
+        if len(win) == 7 and i >= 3 and i + 3 < len(days):
+            sum7[d] = sum(ys[x] for x in win)
+    det7 = {d: 7 * ys[d] - sum7[d] for d in sum7}
+    by_dow: dict = {}
+    for d, v in det7.items():
+        by_dow.setdefault(d % 7, []).append((v, d))
+    seasonal = {}
+    for dow, vs in by_dow.items():
+        vs.sort()
+        seasonal[dow] = vs[(len(vs) - 1) // 2][0]
+    rows = _oracle_rows(ddb, "events_seasonal_decomposition")
+    assert [r["day_epoch_days"] for r in rows] == days
+    for r in rows:
+        d = r["day_epoch_days"]
+        assert r["n_events"] == ys[d]
+        assert r["dow"] == d % 7
+        assert r["seasonal7"] == seasonal[d % 7]
+        if d in sum7:
+            assert r["is_edge"] == 0
+            assert r["sum7"] == sum7[d]
+            assert r["det7"] == det7[d]
+            # reconstruction identity: 7y = sum7 + seasonal + residual
+            assert 7 * ys[d] == r["sum7"] + r["seasonal7"] + r["resid7"]
+        else:
+            assert r["is_edge"] == 1
+            assert r["sum7"] == -1

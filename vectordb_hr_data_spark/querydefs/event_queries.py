@@ -9229,3 +9229,114 @@ def events_eb_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+# --------------------------------------------------------------------------
+# B327: additive seasonal decomposition (trend / day-of-week / residual).
+#
+# The classical-decomposition core of every ops dashboard, float-free:
+# trend = centered 7-day moving SUM (kept ×7-scaled so no division at
+# all — det7 = 7·y − sum7 is exact), day-of-week seasonal = the exact
+# LOW MEDIAN of each dow's detrended values (rank threshold over the
+# bounded daily table, the deterministic-median discipline), residual =
+# det7 − seasonal7. Edge days without a full 7-day window carry trend
+# NULL→(-1 flag) and are excluded from the seasonal medians — the
+# documented classical-decomposition edge rule. Anomaly gates (B108
+# hour-of-day) subtract a seasonal BASELINE; this op produces the full
+# decomposition those baselines come from.
+#
+# Scale: one groupBy day; every window runs over the horizon-bounded
+# daily table.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_seasonal_decomposition",
+    """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), tr AS (
+  SELECT d, y, CAST(d % 7 AS BIGINT) AS dow,
+         CASE WHEN count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) = 7
+              THEN CAST(sum(y) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                        AS BIGINT) END AS sum7
+  FROM daily
+), det AS (
+  SELECT d, y, dow, sum7,
+         CASE WHEN sum7 IS NOT NULL THEN 7 * y - sum7 END AS det7
+  FROM tr
+), med AS (
+  SELECT dow, min(det7) AS seasonal7 FROM (
+    SELECT dow, det7,
+           row_number() OVER (PARTITION BY dow ORDER BY det7, d) AS rk,
+           count(*) OVER (PARTITION BY dow) AS nd
+    FROM det WHERE det7 IS NOT NULL
+  ) WHERE rk * 2 >= nd
+  GROUP BY dow
+)
+SELECT det.d AS day_epoch_days, det.y AS n_events, det.dow,
+       coalesce(det.sum7, -1) AS sum7,
+       CAST(CASE WHEN det.sum7 IS NOT NULL THEN det.det7 ELSE -9999999 END AS BIGINT)
+         AS det7,
+       CAST(m.seasonal7 AS BIGINT) AS seasonal7,
+       CAST(CASE WHEN det.sum7 IS NOT NULL THEN det.det7 - m.seasonal7
+                 ELSE -9999999 END AS BIGINT) AS resid7,
+       CAST(CASE WHEN det.sum7 IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_edge
+FROM det JOIN med m ON m.dow = det.dow
+ORDER BY day_epoch_days
+""",
+)
+def events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of daily event counts (B327):
+    ×7-scaled centered trend, exact low-median dow seasonal, residual;
+    edge days flagged, all integers."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("cast(floor(cast(ts as double)/86400) as bigint)").alias("d")
+    ).agg(F.count("*").cast("long").alias("y"))
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "y",
+        (F.col("d") % 7).cast("long").alias("dow"),
+        F.when(F.count("*").over(w7) == 7, F.sum("y").over(w7).cast("long")).alias("sum7"),
+    )
+    det = tr.withColumn(
+        "det7", F.when(F.col("sum7").isNotNull(), 7 * F.col("y") - F.col("sum7"))
+    )
+    wd = Window.partitionBy("dow").orderBy("det7", "d")
+    wn = Window.partitionBy("dow")
+    med = (
+        det.filter(F.col("det7").isNotNull())
+        .select(
+            "dow",
+            "det7",
+            F.row_number().over(wd).alias("rk"),
+            F.count("*").over(wn).alias("nd"),
+        )
+        .filter(F.col("rk") * 2 >= F.col("nd"))
+        .groupBy("dow")
+        .agg(F.min("det7").cast("long").alias("seasonal7"))
+    )
+    return (
+        det.join(F.broadcast(med), "dow")
+        .select(
+            F.col("d").alias("day_epoch_days"),
+            F.col("y").alias("n_events"),
+            "dow",
+            F.coalesce(F.col("sum7"), F.lit(-1)).cast("long").alias("sum7"),
+            F.when(F.col("sum7").isNotNull(), F.col("det7"))
+            .otherwise(-9999999)
+            .cast("long")
+            .alias("det7"),
+            F.col("seasonal7").cast("long"),
+            F.when(F.col("sum7").isNotNull(), F.col("det7") - F.col("seasonal7"))
+            .otherwise(-9999999)
+            .cast("long")
+            .alias("resid7"),
+            F.when(F.col("sum7").isNull(), 1).otherwise(0).cast("long").alias("is_edge"),
+        )
+        .orderBy("day_epoch_days")
+    )

@@ -3342,3 +3342,75 @@ def orders_newsvendor_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cost_underage").desc())
     )
+
+
+# --------------------------------------------------------------------------
+# B325: distinct-l-diversity audit — the third leg of the privacy triad.
+#
+# k-anonymity (B302) bounds re-identification, t-closeness (r13) bounds
+# distribution skew; l-diversity sits between them: every equivalence
+# class over the quasi-identifiers must contain at least l DISTINCT
+# sensitive values, or a homogeneity attack reads the sensitive attribute
+# straight off class membership. Quasi-identifiers here are the B302
+# lattice's shape (nation × signed acctbal band); the sensitive attribute
+# is the market segment; l = 3. Per-class rows carry size, distinct
+# count, and the violation flag; the recursion-free definition keeps it
+# one groupBy + countDistinct.
+#
+# Scale: a single aggregate over customer on bounded class keys.
+# --------------------------------------------------------------------------
+
+_LDIV_L = 3
+
+
+@register(
+    "customer_l_diversity_audit",
+    f"""
+WITH cls AS (
+  SELECT c_nationkey,
+         CAST(CASE WHEN c_acctbal < 0 THEN -1
+                   ELSE least(CAST(floor(c_acctbal / 2000) AS BIGINT), 4) END
+              AS BIGINT) AS bal_band,
+         c_mktsegment
+  FROM customer
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey, bal_band,
+       CAST(count(*) AS BIGINT) AS class_size,
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_distinct_sensitive,
+       CAST(CASE WHEN count(DISTINCT c_mktsegment) >= {_LDIV_L}
+                 THEN 1 ELSE 0 END AS BIGINT) AS satisfies_l
+FROM cls
+GROUP BY c_nationkey, bal_band
+ORDER BY nationkey, bal_band
+""",
+)
+def customer_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity (l=3) over (nation × acctbal band) classes
+    with market segment as the sensitive attribute (B325)."""
+    c = read_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            F.expr(
+                "cast(case when c_acctbal < 0 then -1"
+                " else least(cast(floor(c_acctbal / 2000) as bigint), 4) end as bigint)"
+            ).alias("bal_band"),
+            "c_mktsegment",
+        )
+        .groupBy("nationkey", "bal_band")
+        .agg(
+            F.count("*").cast("long").alias("class_size"),
+            F.countDistinct("c_mktsegment").cast("long").alias("n_distinct_sensitive"),
+        )
+        .select(
+            "nationkey",
+            "bal_band",
+            "class_size",
+            "n_distinct_sensitive",
+            F.when(F.col("n_distinct_sensitive") >= _LDIV_L, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("satisfies_l"),
+        )
+        .orderBy("nationkey", "bal_band")
+    )

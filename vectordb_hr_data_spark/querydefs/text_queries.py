@@ -3700,3 +3700,165 @@ def doc_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 'very_difficult' END"
         ).alias("grade"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# B326: cumulative-gains / lift table — the ranking-model readout.
+#
+# The eval every targeting/triage model ships with: rank the corpus by
+# model score, cut into deciles, and read how concentrated the positives
+# are at the top (gains) and how much better than random each prefix is
+# (lift). Score = the B35 hashed classifier's exact integer dot product;
+# positive = "long document" (n_chars ≥ the exact low median — itself a
+# count-threshold scan, no global sort). The sweep-safe decile assignment:
+# group BY DISTINCT SCORE first (aggregated, bounded by score support),
+# cumulative-walk that table descending, and assign each whole tie-group
+# to decile floor(10·cum_before/N) — ties never straddle a decile
+# boundary (documented; decile sizes are approximate under ties, the
+# price of determinism). Lift in ppm via 128-bit cross-multiplication.
+#
+# Scale: explode→two keyed aggs (the B35 shape), then windows strictly
+# over aggregated score-support rows.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_gains_lift_table",
+    f"""
+WITH tf AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), dtf AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS n FROM tf GROUP BY doc_id, t
+), wt AS (
+  SELECT doc_id, n,
+         {_clf_weight_ddb(H.ddb_str_hash_fast('t') + f" % {CLF_BUCKETS}")} AS wi
+  FROM dtf
+), sc AS (
+  SELECT doc_id, CAST(sum(n * wi) AS BIGINT) AS s FROM wt GROUP BY doc_id
+), med AS (
+  SELECT min(n_chars) AS m FROM (
+    SELECT n_chars,
+           CAST(sum(count(*)) OVER (ORDER BY n_chars) AS BIGINT) AS cum,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents) AS tot
+    FROM documents GROUP BY n_chars
+  ) WHERE cum * 2 >= tot
+), lab AS (
+  SELECT sc.s, CASE WHEN d.n_chars >= m.m THEN 1 ELSE 0 END AS pos
+  FROM sc JOIN documents d USING (doc_id), med m
+), support AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(pos) AS BIGINT) AS np
+  FROM lab GROUP BY s
+), walk AS (
+  SELECT s, cnt, np,
+         CAST(sum(cnt) OVER (ORDER BY s DESC) - cnt AS BIGINT) AS cum_before,
+         CAST(sum(cnt) OVER () AS BIGINT) AS tot_n,
+         CAST(sum(np) OVER () AS BIGINT) AS tot_p
+  FROM support
+), dec AS (
+  SELECT CAST(least(cum_before * 10 // tot_n, 9) AS BIGINT) AS decile,
+         cnt, np, tot_n, tot_p
+  FROM walk
+), per AS (
+  SELECT decile, CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(np) AS BIGINT) AS n_pos,
+         max(tot_n) AS tot_n, max(tot_p) AS tot_p
+  FROM dec GROUP BY decile
+)
+SELECT decile, n, n_pos,
+       CAST(sum(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+       CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+       CAST(sum(n_pos) OVER (ORDER BY decile) * 1000000 // tot_p AS BIGINT)
+         AS gains_ppm,
+       CAST(CAST(sum(n_pos) OVER (ORDER BY decile) AS HUGEINT) * tot_n * 1000000
+            // (sum(n) OVER (ORDER BY decile) * tot_p) AS BIGINT) AS lift_ppm
+FROM per
+ORDER BY decile
+""",
+)
+def doc_gains_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table for the hashed classifier score against the
+    long-document label (B326): tie-safe aggregated-support deciles, exact
+    integer gains and 128-bit lift ppm."""
+    d = read_table(spark, sf_dir, "documents")
+    dec128 = "decimal(38,0)"
+    dtf = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("n"))
+    )
+    bucket = f"({H.spark_str_hash_fast('t')}) % {CLF_BUCKETS}"
+    sc = (
+        dtf.select("doc_id", "n", F.expr(_clf_weight_spark(bucket)).alias("wi"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("wi")).cast("long").alias("s"))
+    )
+    tot = d.agg(F.count("*").cast("long").alias("tot"))
+    chars = (
+        d.groupBy("n_chars")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "cum",
+            F.sum("c")
+            .over(Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") * 2 >= F.col("tot"))
+        .agg(F.min("n_chars").alias("m"))
+    )
+    lab = (
+        sc.join(d.select("doc_id", "n_chars"), "doc_id")
+        .crossJoin(F.broadcast(chars))
+        .select(
+            "s",
+            F.when(F.col("n_chars") >= F.col("m"), 1).otherwise(0).alias("pos"),
+        )
+    )
+    support = lab.groupBy("s").agg(
+        F.count("*").cast("long").alias("cnt"), F.sum("pos").cast("long").alias("np")
+    )
+    w_desc = Window.orderBy(F.col("s").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    walk = support.select(
+        "s",
+        "cnt",
+        "np",
+        (F.sum("cnt").over(w_desc) - F.col("cnt")).cast("long").alias("cum_before"),
+        F.sum("cnt").over(w_all).cast("long").alias("tot_n"),
+        F.sum("np").over(w_all).cast("long").alias("tot_p"),
+    )
+    per = (
+        walk.select(
+            F.least(F.expr("cum_before * 10 div tot_n"), F.lit(9))
+            .cast("long")
+            .alias("decile"),
+            "cnt",
+            "np",
+            "tot_n",
+            "tot_p",
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum("np").cast("long").alias("n_pos"),
+            F.max("tot_n").alias("tot_n"),
+            F.max("tot_p").alias("tot_p"),
+        )
+    )
+    w_dec = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n").over(w_dec).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(w_dec).cast("long").alias("cum_pos"),
+        F.expr(
+            "cast(sum(n_pos) over (order by decile rows between unbounded preceding"
+            " and current row) * 1000000 div tot_p as bigint)"
+        ).alias("gains_ppm"),
+        F.expr(
+            f"cast(cast(sum(n_pos) over (order by decile rows between unbounded"
+            f" preceding and current row) as {dec128}) * tot_n * 1000000"
+            " div (sum(n) over (order by decile rows between unbounded preceding"
+            " and current row) * tot_p) as bigint)"
+        ).alias("lift_ppm"),
+    ).orderBy("decile")
