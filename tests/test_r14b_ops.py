@@ -797,3 +797,140 @@ def test_seasonal_decomposition_replay(ddb):
         else:
             assert r["is_edge"] == 1
             assert r["sum7"] == -1
+
+
+# ---------------------------------------------------------------------------
+# B328 runs test: python replay over B327's replayed residuals
+# ---------------------------------------------------------------------------
+
+
+def test_residual_runs_replay(ddb):
+    rows = _oracle_rows(ddb, "events_seasonal_decomposition")
+    resid = [
+        r["resid7"] for r in rows if r["is_edge"] == 0 and r["resid7"] != 0
+    ]
+    signs = [1 if x > 0 else 0 for x in resid]
+    n1 = sum(signs)
+    n2 = len(signs) - n1
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    n = n1 + n2
+    e = 1_000_000 + 2 * n1 * n2 * 1_000_000 // n
+    var = 2 * n1 * n2 * (2 * n1 * n2 - n) * 10**12 // (n * n * (n - 1))
+    z2 = (runs * 1_000_000 - e) ** 2 // max(var, 1)
+    (row,) = _oracle_rows(ddb, "events_residual_runs_test")
+    assert (row["n_positive"], row["n_negative"], row["n_runs"]) == (n1, n2, runs)
+    assert row["expected_runs_micro"] == e
+    assert row["var_runs_micro2"] == var
+    assert row["z2_micro"] == z2
+    assert row["is_nonrandom"] == (1 if z2 > 20_000_000 else 0)
+    # structural bounds: 1 ≤ R ≤ n, and E[R] ≤ (n/2 + 1) in micro
+    assert 1 <= runs <= n
+    assert e <= (n * 1_000_000) // 2 + 1_000_001
+
+
+# ---------------------------------------------------------------------------
+# B329 bandit replay: python replay + the regret structure laws
+# ---------------------------------------------------------------------------
+
+
+def test_bandit_replay_and_laws(ddb):
+    da = ddb.execute(
+        "WITH arms AS (SELECT event_type,"
+        " dense_rank() OVER (ORDER BY event_type) - 1 AS idx"
+        " FROM (SELECT DISTINCT event_type FROM events))"
+        " SELECT CAST(floor(epoch(e.ts)/86400) AS BIGINT), a.idx, count(*),"
+        " sum(CASE WHEN CAST(round(e.value*100) AS BIGINT) >= 5000 THEN 1 ELSE 0 END)"
+        " FROM events e JOIN arms a USING (event_type) GROUP BY 1, 2"
+    ).fetchall()
+    days: dict = {}
+    for d, i, n, s in da:
+        days.setdefault(d, {})[i] = (n, s)
+    k = 5
+    totals = {i: [0, 0] for i in range(k)}
+    for cells in days.values():
+        for i, (n, s) in cells.items():
+            totals[i][0] += n
+            totals[i][1] += s
+    best = max(
+        range(k),
+        key=lambda i: (totals[i][1] * 10**6 // totals[i][0] if totals[i][0] else 0, -i),
+    )
+    cs, cn = [0] * k, [0] * k
+    cum = 0
+    expect = []
+    for t, d in enumerate(sorted(days), start=1):
+        cells = days[d]
+        if t <= k:
+            a = t - 1
+        else:
+            rates = [cs[i] * 10**6 // cn[i] if cn[i] else 0 for i in range(k)]
+            a = max(range(k), key=lambda i: (rates[i], -i))
+        n_a, s_a = cells.get(a, (0, 0))
+        cr = s_a * 10**6 // n_a if n_a else 0
+        nb, sb = cells.get(best, (0, 0))
+        br = sb * 10**6 // nb if nb else 0
+        cs[a] += s_a
+        cn[a] += n_a
+        cum += br - cr
+        expect.append((t, d, a, cr, best, br - cr, cum))
+    rows = _oracle_rows(ddb, "events_bandit_replay_regret")
+    got = [
+        (
+            r["day_idx"],
+            r["day_epoch_days"],
+            r["chosen_arm"],
+            r["chosen_rate_micro"],
+            r["best_fixed_arm"],
+            r["regret_micro"],
+            r["cum_regret_micro"],
+        )
+        for r in rows
+    ]
+    assert got == expect
+    # the first k days explore each arm exactly once, in index order
+    assert [r["chosen_arm"] for r in rows[:k]] == list(range(k))
+    # choosing the hindsight-best arm every day would give cum regret 0
+    assert all(r["regret_micro"] == 0 for r in rows if r["chosen_arm"] == best)
+
+
+# ---------------------------------------------------------------------------
+# B330 Markov stationary: python replay + distribution laws
+# ---------------------------------------------------------------------------
+
+
+def test_markov_stationary_replay_and_laws(ddb):
+    pairs = ddb.execute(
+        "WITH arms AS (SELECT event_type,"
+        " dense_rank() OVER (ORDER BY event_type) - 1 AS idx"
+        " FROM (SELECT DISTINCT event_type FROM events)),"
+        " seq AS (SELECT a.idx AS i, lead(a.idx) OVER"
+        " (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS j"
+        " FROM events e JOIN arms a USING (event_type))"
+        " SELECT i, j, count(*) FROM seq WHERE j IS NOT NULL GROUP BY i, j"
+    ).fetchall()
+    k = 5
+    counts = [[0] * k for _ in range(k)]
+    for i, j, c in pairs:
+        counts[i][j] = c
+    p = []
+    for i in range(k):
+        tot = sum(counts[i])
+        if tot == 0:
+            p.append([1_000_000 if i == j else 0 for j in range(k)])
+        else:
+            p.append([counts[i][j] * 1_000_000 // tot for j in range(k)])
+    v = [1_000_000 // k] * k
+    for _ in range(24):
+        v = [sum(v[i] * p[i][j] for i in range(k)) // 1_000_000 for j in range(k)]
+    w = [sum(v[i] * p[i][j] for i in range(k)) // 1_000_000 for j in range(k)]
+    rows = _oracle_rows(ddb, "events_markov_stationary")
+    assert [r["state"] for r in rows] == list(range(k))
+    for r in rows:
+        assert r["stationary_micro"] == v[r["state"]]
+        assert r["invariance_gap_micro"] == abs(v[r["state"]] - w[r["state"]])
+        # converged: one more application moves no state by more than 0.1%
+        assert r["invariance_gap_micro"] <= 1000
+    # π is a (floored) probability vector: each round loses ≤ k micro to
+    # the π floors plus ≤ k−1 micro per row to the p-normalization floors
+    # (rows sum to ≤ 1e6), so 24 rounds keep the mass within 24·(2k−1)
+    assert 1_000_000 - 24 * (2 * k - 1) <= sum(v) <= 1_000_000

@@ -9340,3 +9340,431 @@ def events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("day_epoch_days")
     )
+
+
+# --------------------------------------------------------------------------
+# B328: Wald-Wolfowitz runs test on the decomposition residuals.
+#
+# The adequacy audit FOR B327: if the trend+seasonal model captured the
+# structure, the residual SIGNS should be patternless — long same-sign
+# runs mean leftover trend, alternation means over-differencing. The
+# runs test is exactly distribution-free and integer-exact: R = 1 + sign
+# changes along the day-ordered residuals (zeros dropped, documented),
+# E[R] = 1 + 2n₁n₂/n and Var[R] = 2n₁n₂(2n₁n₂−n)/(n²(n−1)) evaluated in
+# micro/128-bit, z² via one floor, Chebyshev p ≤ 1/z² (the B312
+# discipline — distribution-free end to end). Composition: the Spark
+# side CALLS the registered B327 query and audits its output — operators
+# as building blocks, not copy-paste.
+#
+# Scale: everything runs over B327's horizon-bounded daily output.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_residual_runs_test",
+    """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), tr AS (
+  SELECT d, y, CAST(d % 7 AS BIGINT) AS dow,
+         CASE WHEN count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) = 7
+              THEN CAST(sum(y) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                        AS BIGINT) END AS sum7
+  FROM daily
+), det AS (
+  SELECT d, dow, CASE WHEN sum7 IS NOT NULL THEN 7 * y - sum7 END AS det7
+  FROM tr
+), med AS (
+  SELECT dow, min(det7) AS seasonal7 FROM (
+    SELECT dow, det7,
+           row_number() OVER (PARTITION BY dow ORDER BY det7, d) AS rk,
+           count(*) OVER (PARTITION BY dow) AS nd
+    FROM det WHERE det7 IS NOT NULL
+  ) WHERE rk * 2 >= nd
+  GROUP BY dow
+), resid AS (
+  SELECT det.d, det.det7 - m.seasonal7 AS r
+  FROM det JOIN med m ON m.dow = det.dow
+  WHERE det.det7 IS NOT NULL AND det.det7 - m.seasonal7 <> 0
+), signs AS (
+  SELECT d, CASE WHEN r > 0 THEN 1 ELSE 0 END AS sg,
+         lag(CASE WHEN r > 0 THEN 1 ELSE 0 END) OVER (ORDER BY d) AS psg
+  FROM resid
+), agg AS (
+  SELECT CAST(sum(sg) AS BIGINT) AS n1,
+         CAST(sum(1 - sg) AS BIGINT) AS n2,
+         CAST(1 + sum(CASE WHEN psg IS NOT NULL AND sg <> psg THEN 1 ELSE 0 END)
+              AS BIGINT) AS runs
+  FROM signs
+)
+SELECT n1 AS n_positive, n2 AS n_negative, runs AS n_runs,
+       CAST(1000000 + 2 * n1 * n2 * 1000000 // (n1 + n2) AS BIGINT)
+         AS expected_runs_micro,
+       CAST(2 * CAST(n1 AS HUGEINT) * n2 * (2 * n1 * n2 - n1 - n2) * 1000000000000
+            // (CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * (n1 + n2 - 1)) AS BIGINT)
+         AS var_runs_micro2,
+       CAST(CAST(runs * 1000000 - (1000000 + 2 * n1 * n2 * 1000000 // (n1 + n2))
+                 AS HUGEINT)
+            * (runs * 1000000 - (1000000 + 2 * n1 * n2 * 1000000 // (n1 + n2)))
+            // greatest(2 * CAST(n1 AS HUGEINT) * n2 * (2 * n1 * n2 - n1 - n2)
+                        * 1000000000000
+                        // (CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * (n1 + n2 - 1)), 1)
+            AS BIGINT) AS z2_micro,
+       CAST(CASE WHEN CAST(runs * 1000000
+                           - (1000000 + 2 * n1 * n2 * 1000000 // (n1 + n2))
+                           AS HUGEINT)
+                      * (runs * 1000000
+                         - (1000000 + 2 * n1 * n2 * 1000000 // (n1 + n2)))
+                      // greatest(2 * CAST(n1 AS HUGEINT) * n2
+                                  * (2 * n1 * n2 - n1 - n2) * 1000000000000
+                                  // (CAST(n1 + n2 AS HUGEINT) * (n1 + n2)
+                                      * (n1 + n2 - 1)), 1)
+                      > 20000000
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_nonrandom
+FROM agg
+""",
+)
+def events_residual_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs test for randomness of B327's residual signs (B328): exact
+    R/E/Var in micro + 128-bit, Chebyshev gate at 5% (z² > 20)."""
+    dec = "decimal(38,0)"
+    resid = (
+        events_seasonal_decomposition(spark, sf_dir)
+        .filter((F.col("is_edge") == 0) & (F.col("resid7") != 0))
+        .select("day_epoch_days", F.col("resid7"))
+    )
+    signs = resid.select(
+        F.when(F.col("resid7") > 0, 1).otherwise(0).alias("sg"),
+        F.lag(F.when(F.col("resid7") > 0, 1).otherwise(0))
+        .over(Window.orderBy("day_epoch_days"))
+        .alias("psg"),
+    )
+    agg = signs.agg(
+        F.sum("sg").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("sg")).cast("long").alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(F.col("psg").isNotNull() & (F.col("sg") != F.col("psg")), 1).otherwise(
+                    0
+                )
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    e_micro = "(1000000 + 2 * n1 * n2 * 1000000 div (n1 + n2))"
+    var_micro2 = (
+        f"(2 * cast(n1 as {dec}) * n2 * (2 * n1 * n2 - n1 - n2) * 1000000000000"
+        f" div (cast(n1 + n2 as {dec}) * (n1 + n2) * (n1 + n2 - 1)))"
+    )
+    z2 = (
+        f"(cast(runs * 1000000 - {e_micro} as {dec})"
+        f" * (runs * 1000000 - {e_micro})"
+        f" div greatest({var_micro2}, 1))"
+    )
+    return agg.select(
+        F.col("n1").alias("n_positive"),
+        F.col("n2").alias("n_negative"),
+        F.col("runs").alias("n_runs"),
+        F.expr(f"cast({e_micro} as long)").alias("expected_runs_micro"),
+        F.expr(f"cast({var_micro2} as long)").alias("var_runs_micro2"),
+        F.expr(f"cast({z2} as long)").alias("z2_micro"),
+        F.expr(f"cast(case when {z2} > 20000000 then 1 else 0 end as long)").alias(
+            "is_nonrandom"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# B329: explore-then-greedy bandit replay with hindsight regret.
+#
+# The offline policy-VALUE estimators (IPS/SNIPS B272) price a fixed
+# policy; this op REPLAYS a learning policy against the logged daily
+# per-arm outcomes (the Li et al. replay method): arms = event types,
+# reward = the day's high-value rate; days 1..5 explore each arm once,
+# then strict greedy on the accumulated rate (ties → lowest arm index).
+# Emitted per day: the chosen arm, its realized rate, and cumulative
+# regret vs the best FIXED arm in hindsight — the curve that shows
+# greedy lock-in when exploration was too short. Sequential by nature:
+# the walk runs over the horizon-bounded daily-arm table (wide recursive
+# CTE carrying the 2×5 accumulator oracle-side; bounded driver loop
+# batch-side — the B321 discipline). Arm indices are dense ranks of the
+# alphabetical event types; absent (arm, day) cells replay as rate 0,
+# documented.
+#
+# Scale: one groupBy (day × arm); nothing sequential touches raw rows.
+# --------------------------------------------------------------------------
+
+_BANDIT_K = 5
+
+
+def _bandit_oracle_sql() -> str:
+    k = _BANDIT_K
+    armcols = ", ".join(
+        f"coalesce(max(CASE WHEN idx = {i} THEN n END), 0) AS n{i},"
+        f" coalesce(max(CASE WHEN idx = {i} THEN s END), 0) AS s{i}"
+        for i in range(k)
+    )
+    zero_acc = ", ".join(f"CAST(0 AS BIGINT) AS cs{i}, CAST(0 AS BIGINT) AS cn{i}" for i in range(k))
+    rate = lambda i: f"(CASE WHEN r.cn{i} > 0 THEN r.cs{i} * 1000000 // r.cn{i} ELSE 0 END)"
+    # greedy argmax with lowest-index tie-break, as a CASE cascade
+    conds = []
+    for i in range(k):
+        ge = " AND ".join(f"{rate(i)} >= {rate(j)}" for j in range(k) if j != i)
+        conds.append(f"WHEN {ge} THEN {i}")
+    greedy = "CASE " + " ".join(conds) + " END"
+    chosen = f"CASE WHEN w.t <= {k} THEN w.t - 1 ELSE {greedy} END"
+    day_rate = lambda a, i: f"WHEN {a} = {i} THEN CASE WHEN w.n{i} > 0 THEN w.s{i} * 1000000 // w.n{i} ELSE 0 END"
+    chosen_rate = "CASE " + " ".join(day_rate("ch.a", i) for i in range(k)) + " END"
+    acc_next = ", ".join(
+        f"r.cs{i} + CASE WHEN ch.a = {i} THEN w.s{i} ELSE 0 END,"
+        f" r.cn{i} + CASE WHEN ch.a = {i} THEN w.n{i} ELSE 0 END"
+        for i in range(k)
+    )
+    best_day_rate = "CASE " + " ".join(day_rate("b.best", i) for i in range(k)) + " END"
+    return f"""
+WITH RECURSIVE arms AS (
+  SELECT event_type, CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS idx
+  FROM (SELECT DISTINCT event_type FROM events)
+), da AS (
+  SELECT CAST(floor(epoch(e.ts) / 86400) AS BIGINT) AS d, a.idx,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN CAST(round(e.value * 100) AS BIGINT) >= 5000
+                       THEN 1 ELSE 0 END) AS BIGINT) AS s
+  FROM events e JOIN arms a ON a.event_type = e.event_type
+  GROUP BY 1, 2
+), wide AS (
+  SELECT d, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, {armcols}
+  FROM da GROUP BY d
+), best AS (
+  SELECT CAST(idx AS BIGINT) AS best FROM (
+    SELECT idx, sum(s) * 1000000 // sum(n) AS rate
+    FROM da GROUP BY idx
+    ORDER BY rate DESC, idx LIMIT 1
+  )
+), rec AS (
+  SELECT CAST(0 AS BIGINT) AS t, {zero_acc},
+         CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS chosen_rate,
+         CAST(0 AS BIGINT) AS regret, CAST(0 AS BIGINT) AS cum_regret
+  UNION ALL
+  SELECT w.t, {acc_next}, ch.a, CAST({chosen_rate} AS BIGINT),
+         CAST({best_day_rate} - {chosen_rate} AS BIGINT),
+         CAST(r.cum_regret + {best_day_rate} - {chosen_rate} AS BIGINT)
+  FROM rec r
+  JOIN wide w ON w.t = r.t + 1
+  CROSS JOIN best b
+  CROSS JOIN LATERAL (SELECT CAST({chosen} AS BIGINT) AS a) ch
+)
+SELECT r.t AS day_idx, w.d AS day_epoch_days, r.a AS chosen_arm,
+       r.chosen_rate AS chosen_rate_micro, b.best AS best_fixed_arm,
+       r.regret AS regret_micro, r.cum_regret AS cum_regret_micro
+FROM rec r JOIN wide w ON w.t = r.t, best b
+WHERE r.t >= 1
+ORDER BY day_idx
+"""
+
+
+@register("events_bandit_replay_regret", _bandit_oracle_sql())
+def events_bandit_replay_regret(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explore-first(5)-then-greedy bandit replayed over logged daily
+    per-arm rates (B329): chosen arm, realized rate, cumulative regret vs
+    the hindsight-best fixed arm. Bounded sequential walk (B321 style)."""
+    k = _BANDIT_K
+    ev = read_table(spark, sf_dir, "events")
+    arms = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (F.dense_rank().over(Window.orderBy("event_type")) - 1)
+            .cast("long")
+            .alias("idx"),
+        )
+    )
+    da = (
+        ev.join(F.broadcast(arms), "event_type")
+        .groupBy(
+            F.expr("cast(floor(cast(ts as double)/86400) as bigint)").alias("d"), "idx"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.when(F.round(F.col("value") * 100).cast("long") >= 5000, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    rows = da.collect()  # bounded: horizon days × arm count
+    days: dict = {}
+    for r in rows:
+        days.setdefault(r["d"], {})[r["idx"]] = (r["n"], r["s"])
+    totals = {i: [0, 0] for i in range(k)}
+    for cells in days.values():
+        for i, (n, s) in cells.items():
+            totals[i][0] += n
+            totals[i][1] += s
+    best = max(
+        range(k),
+        key=lambda i: (
+            totals[i][1] * 1_000_000 // totals[i][0] if totals[i][0] else 0,
+            -i,
+        ),
+    )
+    cs = [0] * k
+    cn = [0] * k
+    out = []
+    cum = 0
+    for t, d in enumerate(sorted(days), start=1):
+        cells = days[d]
+        if t <= k:
+            a = t - 1
+        else:
+            rates = [cs[i] * 1_000_000 // cn[i] if cn[i] else 0 for i in range(k)]
+            a = max(range(k), key=lambda i: (rates[i], -i))
+        n_a, s_a = cells.get(a, (0, 0))
+        chosen_rate = s_a * 1_000_000 // n_a if n_a else 0
+        nb, sb = cells.get(best, (0, 0))
+        best_rate = sb * 1_000_000 // nb if nb else 0
+        cs[a] += s_a
+        cn[a] += n_a
+        cum += best_rate - chosen_rate
+        out.append((t, d, a, chosen_rate, best, best_rate - chosen_rate, cum))
+    return spark.createDataFrame(
+        out,
+        "day_idx long, day_epoch_days long, chosen_arm long, chosen_rate_micro long,"
+        " best_fixed_arm long, regret_micro long, cum_regret_micro long",
+    ).orderBy("day_idx")
+
+
+# --------------------------------------------------------------------------
+# B330: Markov stationary distribution — bounded power iteration.
+#
+# Completes the Markov shelf: B71 estimates the transition matrix, the
+# absorption op prices terminal states; this op answers "where does the
+# session process SPEND its time" — the stationary distribution, by 24
+# rounds of power iteration in exact micro arithmetic (π'_j =
+# Σ_i π_i·p_ij div 1e6, ONE floor per (round, state) — deterministic on
+# both engines). The transition matrix is a k×k bounded aggregate
+# (row-normalized counts of consecutive same-user event-type pairs);
+# the walk carries k values through a wide recursive CTE oracle-side and
+# a bounded driver loop batch-side (the B321/B329 discipline). The
+# invariance gap |π − πP| per state is emitted as the convergence
+# certificate — measured, not assumed.
+#
+# Scale: one window+groupBy produce the k² matrix; the iteration never
+# touches raw rows.
+# --------------------------------------------------------------------------
+
+_MSD_K = 5
+_MSD_ITERS = 24
+
+
+def _msd_oracle_sql() -> str:
+    k, iters = _MSD_K, _MSD_ITERS
+    pcols = ", ".join(
+        f"coalesce(max(CASE WHEN i = {i} AND j = {j} THEN p END), "
+        f"{'1000000' if i == j else '0'}) AS p{i}{j}"
+        for i in range(k)
+        for j in range(k)
+    )
+    init = ", ".join(f"CAST({1_000_000 // k} AS BIGINT) AS v{i}" for i in range(k))
+    step = ", ".join(
+        "CAST(("
+        + " + ".join(f"r.v{i} * m.p{i}{j}" for i in range(k))
+        + ") // 1000000 AS BIGINT)"
+        for j in range(k)
+    )
+    nxt = ", ".join(
+        "CAST(("
+        + " + ".join(f"r.v{i} * m.p{i}{j}" for i in range(k))
+        + f") // 1000000 AS BIGINT) AS w{j}"
+        for j in range(k)
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS state, v{i} AS pi, w{i} AS pin FROM fin"
+        for i in range(k)
+    )
+    return f"""
+WITH RECURSIVE arms AS (
+  SELECT event_type, CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT) AS idx
+  FROM (SELECT DISTINCT event_type FROM events)
+), seq AS (
+  SELECT a.idx AS i,
+         lead(a.idx) OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS j
+  FROM events e JOIN arms a ON a.event_type = e.event_type
+), cnt AS (
+  SELECT i, j, CAST(count(*) AS BIGINT) AS c FROM seq WHERE j IS NOT NULL GROUP BY i, j
+), norm AS (
+  SELECT i, j, CAST(c * 1000000 // sum(c) OVER (PARTITION BY i) AS BIGINT) AS p
+  FROM cnt
+), mat AS (
+  SELECT {pcols} FROM norm
+), rec AS (
+  SELECT CAST(0 AS BIGINT) AS it, {init}
+  UNION ALL
+  SELECT r.it + 1, {step}
+  FROM rec r CROSS JOIN mat m WHERE r.it < {iters}
+), fin AS (
+  SELECT r.*, {nxt}
+  FROM rec r CROSS JOIN mat m WHERE r.it = {iters}
+), pivoted AS (
+  {unpivot}
+)
+SELECT p.state, a.event_type, p.pi AS stationary_micro,
+       CAST(abs(p.pi - p.pin) AS BIGINT) AS invariance_gap_micro
+FROM pivoted p JOIN arms a ON a.idx = p.state
+ORDER BY p.state
+"""
+
+
+@register("events_markov_stationary", _msd_oracle_sql())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type chain by 24 exact-micro
+    power-iteration rounds (B330), with the per-state invariance gap as
+    the convergence certificate."""
+    k, iters = _MSD_K, _MSD_ITERS
+    ev = read_table(spark, sf_dir, "events")
+    arms = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (F.dense_rank().over(Window.orderBy("event_type")) - 1)
+            .cast("long")
+            .alias("idx"),
+        )
+    )
+    seq = ev.join(F.broadcast(arms), "event_type").select(
+        F.col("idx").alias("i"),
+        F.lead("idx")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("j"),
+    )
+    cnt = seq.filter(F.col("j").isNotNull()).groupBy("i", "j").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    norm = cnt.withColumn(
+        "p",
+        F.expr("c * 1000000 div sum(c) over (partition by i)").cast("long"),
+    )
+    # bounded k×k collect (the B329 discipline), python power iteration
+    p = [[1_000_000 if i == j else 0 for j in range(k)] for i in range(k)]
+    seen = set()
+    for r in norm.collect():
+        if r["i"] not in seen:
+            p[r["i"]] = [0] * k
+            seen.add(r["i"])
+        p[r["i"]][r["j"]] = r["p"]
+    v = [1_000_000 // k] * k
+    for _ in range(iters):
+        v = [sum(v[i] * p[i][j] for i in range(k)) // 1_000_000 for j in range(k)]
+    w = [sum(v[i] * p[i][j] for i in range(k)) // 1_000_000 for j in range(k)]
+    names = {r["idx"]: r["event_type"] for r in arms.collect()}
+    out = [(i, names[i], v[i], abs(v[i] - w[i])) for i in range(k)]
+    return spark.createDataFrame(
+        out, "state long, event_type string, stationary_micro long, invariance_gap_micro long"
+    ).orderBy("state")
