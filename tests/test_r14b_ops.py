@@ -934,3 +934,181 @@ def test_markov_stationary_replay_and_laws(ddb):
     # the π floors plus ≤ k−1 micro per row to the p-normalization floors
     # (rows sum to ≤ 1e6), so 24 rounds keep the mass within 24·(2k−1)
     assert 1_000_000 - 24 * (2 * k - 1) <= sum(v) <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# B331 Kruskal-Wallis: python replay + invariance laws
+# ---------------------------------------------------------------------------
+
+
+def test_kruskal_wallis_replay(ddb):
+    vals = ddb.execute(
+        "SELECT event_type, CAST(round(value*100) AS BIGINT) FROM events"
+        " WHERE value IS NOT NULL"
+    ).fetchall()
+    from collections import Counter
+
+    wv = Counter(c for _, c in vals)
+    r2 = {}
+    cum = 0
+    for c in sorted(wv):
+        r2[c] = 2 * cum + wv[c] + 1
+        cum += wv[c]
+    groups: dict = {}
+    for g, c in vals:
+        n, rr = groups.get(g, (0, 0))
+        groups[g] = (n + 1, rr + r2[c])
+    nn = sum(n for n, _ in groups.values())
+    k = len(groups)
+    s = sum(rr * rr // n for n, rr in groups.values())
+    h = 3 * s * 1_000_000 // (nn * (nn + 1)) - 3 * (nn + 1) * 1_000_000
+    tw = sum(w**3 - w for w in wv.values())
+    n3n = nn**3 - nn
+    adj = (
+        h * n3n // (n3n - tw) if h >= 0 else -((-h) * n3n // (n3n - tw))
+    )
+    (row,) = _oracle_rows(ddb, "events_kruskal_wallis")
+    assert (row["n_total"], row["n_groups"]) == (nn, k)
+    assert row["h_micro"] == h
+    assert row["h_tie_adj_micro"] == adj
+    assert row["is_reject"] == (1 if adj > 9_488_000 else 0)
+    # tie correction can only inflate |H| (n3n/(n3n−tw) ≥ 1)
+    assert abs(adj) >= abs(h)
+
+
+# ---------------------------------------------------------------------------
+# B332 post-stratification: replay + the bias-correction law
+# ---------------------------------------------------------------------------
+
+
+def test_poststratified_mean_replay_and_law(ddb):
+    ev = ddb.execute(
+        "SELECT event_type, user_id, CAST(round(value*100) AS BIGINT) FROM events"
+    ).fetchall()
+    pop: dict = {}
+    samp: dict = {}
+    for et, u, c in ev:
+        n, s = pop.get(et, (0, 0))
+        pop[et] = (n + 1, s + c)
+        if u % 2 == 1 or et == "click":
+            n, s = samp.get(et, (0, 0))
+            samp[et] = (n + 1, s + c)
+    nn = sum(n for n, _ in pop.values())
+    ss = sum(s for _, s in pop.values())
+    sn = sum(n for n, _ in samp.values())
+    ss2 = sum(s for _, s in samp.values())
+    post = (
+        sum(pop[et][0] * (samp[et][1] * 10**6 // samp[et][0]) for et in samp) // nn
+    )
+    naive = ss2 * 10**6 // sn
+    true = ss * 10**6 // nn
+    rows = _oracle_rows(ddb, "events_poststratified_mean")
+    assert len(rows) == len(samp)
+    for r in rows:
+        et = r["event_type"]
+        assert (r["pop_n"], r["samp_n"]) == (pop[et][0], samp[et][0])
+        assert r["samp_mean_micro"] == samp[et][1] * 10**6 // samp[et][0]
+        assert r["pop_share_ppm"] == pop[et][0] * 10**6 // nn
+        assert r["samp_share_ppm"] == samp[et][0] * 10**6 // sn
+        assert (r["naive_micro"], r["post_micro"], r["true_micro"]) == (
+            naive,
+            post,
+            true,
+        )
+    # the skew is real: the click stratum is overrepresented in the sample
+    click = next(r for r in rows if r["event_type"] == "click")
+    assert click["samp_share_ppm"] > click["pop_share_ppm"]
+    # decomposition identity: naive is the SAMPLE-share-weighted stratum
+    # means and post the POPULATION-share-weighted ones — their gap is
+    # exactly the composition term (within k micro of floor slack each)
+    k = len(samp)
+    naive_decomp = sum(
+        samp[et][0] * (samp[et][1] * 10**6 // samp[et][0]) for et in samp
+    ) // sn
+    assert abs(naive - naive_decomp) <= k
+    # post equals true when within-stratum sample means equal population
+    # means; here the residual is pure within-stratum sampling noise,
+    # bounded well inside 1% of the mean on this corpus
+    assert abs(post - true) * 100 <= true
+
+
+# ---------------------------------------------------------------------------
+# B333 A/A sweep: replay + the calibration law
+# ---------------------------------------------------------------------------
+
+
+def test_aa_calibration_replay_and_law(ddb):
+    import hashlib
+
+    ev = ddb.execute(
+        "SELECT user_id, CASE WHEN CAST(round(value*100) AS BIGINT) >= 5000"
+        " THEN 1 ELSE 0 END FROM events"
+    ).fetchall()
+    rows = _oracle_rows(ddb, "events_aa_calibration_sweep")
+    assert [r["seed"] for r in rows] == list(range(16))
+    rejects = 0
+    for r in rows:
+        seed = r["seed"]
+        n0 = s0 = n1 = s1 = 0
+        for u, x in ev:
+            arm = int(hashlib.md5(f"aa{seed}:{u}".encode()).hexdigest()[:8], 16) % 2
+            if arm == 0:
+                n0 += 1
+                s0 += x
+            else:
+                n1 += 1
+                s1 += x
+        assert (r["n0"], r["s0"], r["n1"], r["s1"]) == (n0, s0, n1, s1)
+        d = s0 * n1 - s1 * n0
+        z2 = d * d * (n0 + n1) * 10**6 // (n0 * n1 * (s0 + s1) * (n0 + n1 - s0 - s1))
+        assert r["z2_micro"] == z2
+        p = min(10**6, 10**12 // max(z2, 1))
+        assert r["p_micro"] == p
+        assert r["is_reject"] == (1 if p <= 50_000 else 0)
+        rejects += r["is_reject"]
+    assert all(r["n_rejects_total"] == rejects for r in rows)
+    # calibration: the Chebyshev bound is conservative at nominal 5%, so
+    # 16 placebo splits should essentially never reject — allow ≤ 2
+    assert rejects <= 2
+
+
+# ---------------------------------------------------------------------------
+# Module-constant collision sweep (the B313/_RING_VNODES lesson): a
+# querydef module assigns each top-level UPPER_CASE constant exactly once.
+# Oracle SQL strings are baked at decoration time but Spark bodies read
+# module globals at CALL time, so a later redefinition silently
+# desynchronizes the two sides — the exact bug this sweep now pins.
+# ---------------------------------------------------------------------------
+
+
+def test_no_duplicate_module_constants():
+    import ast
+    import glob
+    import os
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "vectordb_hr_data_spark",
+        "querydefs",
+    )
+    offenders = []
+    for path in sorted(glob.glob(os.path.join(base, "*.py"))):
+        tree = ast.parse(open(path).read())
+        seen: dict = {}
+        for node in tree.body:
+            targets = []
+            if isinstance(node, ast.Assign):
+                targets = [t.id for t in node.targets if isinstance(t, ast.Name)]
+            elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+                targets = [node.target.id]
+            for name in targets:
+                # constants: ALL_CAPS with optional leading underscore(s)
+                core = name.lstrip("_")
+                if core and core == core.upper() and any(c.isalpha() for c in core):
+                    if name in seen:
+                        offenders.append(f"{os.path.basename(path)}:{name}")
+                    seen[name] = node.lineno
+    assert not offenders, (
+        "module-level constant reassigned (bakes stale oracle SQL vs live"
+        f" Spark body): {offenders}"
+    )

@@ -9768,3 +9768,338 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "state long, event_type string, stationary_micro long, invariance_gap_micro long"
     ).orderBy("state")
+
+
+# --------------------------------------------------------------------------
+# B331: Kruskal-Wallis k-sample rank test (tie-corrected, exact integers).
+#
+# The k-group generalization of Mann-Whitney (B294) — "do the five event
+# types draw value from the same distribution?" — in the same doubled-
+# midrank discipline: over the (cents, per-type count) table, r2 =
+# 2·cum_before + w + 1 is TWICE the midrank (integer, tie-exact), group
+# rank sums R2_i fold from counts, and since 12·R² = 3·R2², H =
+# 3·Σ(R2_i²/n_i)/(N(N+1)) − 3(N+1) — per-group floor documented, 128-bit
+# squares. The tie correction divides by 1 − Σ(w³−w)/(N³−N), evaluated
+# as one 128-bit cross-multiplication with the sign-explicit CASE (floor
+# slack can leave H a hair negative under the null). Decision vs the
+# χ²(4) 5% critical value 9.488 as a micro literal.
+#
+# Scale: one groupBy cents (bounded quantized domain), windows over that
+# aggregated table, a k-row reduce.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_kruskal_wallis",
+    """
+WITH v AS (
+  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), counts AS (
+  SELECT cents, g, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY cents, g
+), wv AS (
+  SELECT cents, CAST(sum(c) AS BIGINT) AS w FROM counts GROUP BY cents
+), ranked AS (
+  SELECT cents, w,
+         CAST(2 * (sum(w) OVER (ORDER BY cents) - w) + w + 1 AS BIGINT) AS r2
+  FROM wv
+), grp AS (
+  SELECT c.g, CAST(sum(c.c) AS BIGINT) AS n,
+         CAST(sum(c.c * r.r2) AS BIGINT) AS rr2
+  FROM counts c JOIN ranked r USING (cents)
+  GROUP BY c.g
+), agg AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(CAST(rr2 AS HUGEINT) * rr2 // n) AS HUGEINT) AS s
+  FROM grp
+), ties AS (
+  SELECT CAST(sum(CAST(w AS HUGEINT) * w * w - w) AS HUGEINT) AS tw FROM wv
+), h AS (
+  SELECT a.nn, a.k,
+         CAST(3 * a.s * 1000000 // (CAST(a.nn AS HUGEINT) * (a.nn + 1))
+              - 3 * (a.nn + 1) * 1000000 AS BIGINT) AS h_micro,
+         t.tw,
+         CAST(CAST(a.nn AS HUGEINT) * a.nn * a.nn - a.nn AS HUGEINT) AS n3n
+  FROM agg a, ties t
+)
+SELECT nn AS n_total, k AS n_groups, h_micro,
+       CAST(CASE WHEN h_micro >= 0
+                 THEN CAST(h_micro AS HUGEINT) * n3n // (n3n - tw)
+                 ELSE -(CAST(-h_micro AS HUGEINT) * n3n // (n3n - tw)) END
+            AS BIGINT) AS h_tie_adj_micro,
+       CAST(9488000 AS BIGINT) AS crit_micro_5pct,
+       CAST(CASE WHEN (CASE WHEN h_micro >= 0
+                            THEN CAST(h_micro AS HUGEINT) * n3n // (n3n - tw)
+                            ELSE -(CAST(-h_micro AS HUGEINT) * n3n // (n3n - tw)) END)
+                      > 9488000
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_reject
+FROM h
+""",
+)
+def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Kruskal-Wallis H over event-type value distributions
+    (B331): doubled midranks from the count table, 128-bit arithmetic,
+    χ²(4) 5% literal gate."""
+    ev = read_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    v = ev.filter(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    counts = v.groupBy("cents", "g").agg(F.count("*").cast("long").alias("c"))
+    wv = counts.groupBy("cents").agg(F.sum("c").cast("long").alias("w"))
+    wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = wv.select(
+        "cents",
+        "w",
+        (2 * (F.sum("w").over(wcum) - F.col("w")) + F.col("w") + 1)
+        .cast("long")
+        .alias("r2"),
+    )
+    grp = (
+        counts.join(ranked.select("cents", "r2"), "cents")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.col("c") * F.col("r2")).cast("long").alias("rr2"),
+        )
+    )
+    agg = grp.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.expr(f"cast(rr2 as {dec}) * rr2 div n")).alias("s"),
+    )
+    ties = wv.agg(F.sum(F.expr(f"cast(w as {dec}) * w * w - w")).alias("tw"))
+    h = agg.crossJoin(F.broadcast(ties)).select(
+        "nn",
+        "k",
+        F.expr(
+            f"cast(3 * cast(s as {dec}) * 1000000 div (cast(nn as {dec}) * (nn + 1))"
+            " - 3 * (nn + 1) * 1000000 as long)"
+        ).alias("h_micro"),
+        "tw",
+        F.expr(f"cast(cast(nn as {dec}) * nn * nn - nn as {dec})").alias("n3n"),
+    )
+    adj = (
+        f"case when h_micro >= 0 then cast(h_micro as {dec}) * n3n div (n3n - tw)"
+        f" else -(cast(-h_micro as {dec}) * n3n div (n3n - tw)) end"
+    )
+    return h.select(
+        F.col("nn").alias("n_total"),
+        F.col("k").alias("n_groups"),
+        "h_micro",
+        F.expr(f"cast({adj} as long)").alias("h_tie_adj_micro"),
+        F.lit(9488000).cast("long").alias("crit_micro_5pct"),
+        F.expr(f"cast(case when ({adj}) > 9488000 then 1 else 0 end as long)").alias(
+            "is_reject"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# B332: post-stratification — correcting a composition-biased sample.
+#
+# The survey-statistics workhorse the corpus-sampling shelf (B11, B36)
+# implies but never audits: when a subsample's STRATUM MIX differs from
+# the population's, the naive sample mean is biased; reweighting each
+# stratum mean by the POPULATION share removes exactly the composition
+# bias. The sample here is deliberately type-skewed (odd users ∪ all
+# 'click' events, documented), strata = event type. Exact integers:
+# stratum means floored once to micro-cents, post-stratified estimate =
+# Σ N_h·mean_h div N. Per-stratum rows carry both share columns so the
+# skew is visible; the naive/post/true means ride along for the bias
+# readout, and the pytest law checks post-stratification lands at least
+# as close to the truth as the naive mean on this construction.
+#
+# Scale: two groupBys over events (population + sample), a k-row reduce.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_poststratified_mean",
+    """
+WITH pop AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS pop_n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS pop_s
+  FROM events GROUP BY event_type
+), samp AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS samp_n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS samp_s
+  FROM events
+  WHERE user_id % 2 = 1 OR event_type = 'click'
+  GROUP BY event_type
+), tot AS (
+  SELECT CAST(sum(p.pop_n) AS BIGINT) AS nn,
+         CAST(sum(p.pop_s) AS BIGINT) AS ss,
+         CAST(sum(s.samp_n) AS BIGINT) AS sn,
+         CAST(sum(s.samp_s) AS BIGINT) AS ss2,
+         CAST(sum(p.pop_n * (s.samp_s * 1000000 // s.samp_n))
+              // sum(p.pop_n) AS BIGINT) AS post_micro
+  FROM pop p JOIN samp s USING (event_type)
+)
+SELECT p.event_type,
+       p.pop_n, s.samp_n,
+       CAST(s.samp_s * 1000000 // s.samp_n AS BIGINT) AS samp_mean_micro,
+       CAST(p.pop_n * 1000000 // t.nn AS BIGINT) AS pop_share_ppm,
+       CAST(s.samp_n * 1000000 // t.sn AS BIGINT) AS samp_share_ppm,
+       CAST(t.ss2 * 1000000 // t.sn AS BIGINT) AS naive_micro,
+       t.post_micro,
+       CAST(t.ss * 1000000 // t.nn AS BIGINT) AS true_micro
+FROM pop p JOIN samp s USING (event_type), tot t
+ORDER BY p.event_type
+""",
+)
+def events_poststratified_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified mean of a deliberately type-skewed subsample
+    (B332): per-stratum shares + floored means, naive vs post-stratified
+    vs true — the composition-bias correction, exactly."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    pop = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("pop_n"),
+        F.sum(cents).cast("long").alias("pop_s"),
+    )
+    samp = (
+        ev.filter((F.col("user_id") % 2 == 1) | (F.col("event_type") == "click"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("samp_n"),
+            F.sum(cents).cast("long").alias("samp_s"),
+        )
+    )
+    joined = pop.join(samp, "event_type")
+    tot = joined.agg(
+        F.sum("pop_n").cast("long").alias("nn"),
+        F.sum("pop_s").cast("long").alias("ss"),
+        F.sum("samp_n").cast("long").alias("sn"),
+        F.sum("samp_s").cast("long").alias("ss2"),
+        F.expr(
+            "cast(sum(pop_n * (samp_s * 1000000 div samp_n)) div sum(pop_n) as bigint)"
+        ).alias("post_micro"),
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "pop_n",
+            "samp_n",
+            F.expr("cast(samp_s * 1000000 div samp_n as bigint)").alias("samp_mean_micro"),
+            F.expr("cast(pop_n * 1000000 div nn as bigint)").alias("pop_share_ppm"),
+            F.expr("cast(samp_n * 1000000 div sn as bigint)").alias("samp_share_ppm"),
+            F.expr("cast(ss2 * 1000000 div sn as bigint)").alias("naive_micro"),
+            "post_micro",
+            F.expr("cast(ss * 1000000 div nn as bigint)").alias("true_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# B333: A/A calibration sweep — the experimentation stack's type-I audit.
+#
+# Before trusting any A/B readout, run the SAME test on 16 placebo
+# splits: salted-hash arms carry no real effect, so every rejection is a
+# false positive, and the realized rejection count calibrates the
+# stack's actual type-I error against its nominal 5%. Each seed runs the
+# B312-style exact two-proportion z² (128-bit) with the Chebyshev
+# p ≤ 1/z² — conservative by construction, so the sweep should reject
+# ~0/16 (the pytest law bounds it ≤ 2). The seed grid is a bounded
+# literal; arms are md5('aa'||seed||':'||user) % 2 — 16 independent
+# deterministic re-randomizations of the same users.
+#
+# Scale: one groupBy (seed × arm) after a 16-row broadcast grid — 16
+# passes of partial aggregation fused into one shuffle.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_aa_calibration_sweep",
+    """
+WITH seeds AS (
+  SELECT CAST(s AS BIGINT) AS seed FROM unnest(range(16)) AS r(s)
+), tagged AS (
+  SELECT sd.seed,
+         CAST(('0x' || substr(md5('aa' || CAST(sd.seed AS VARCHAR) || ':'
+                                  || CAST(e.user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2 AS arm,
+         CASE WHEN CAST(round(e.value * 100) AS BIGINT) >= 5000 THEN 1 ELSE 0 END
+           AS x
+  FROM events e CROSS JOIN seeds sd
+), cell AS (
+  SELECT seed,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS s0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS s1
+  FROM tagged GROUP BY seed
+), z AS (
+  SELECT seed, n0, s0, n1, s1,
+         CAST((CAST(s0 AS HUGEINT) * n1 - CAST(s1 AS HUGEINT) * n0)
+              * (CAST(s0 AS HUGEINT) * n1 - CAST(s1 AS HUGEINT) * n0)
+              * (n0 + n1) * 1000000
+              // (CAST(n0 AS HUGEINT) * n1 * (s0 + s1)
+                  * (n0 + n1 - s0 - s1)) AS BIGINT) AS z2_micro
+  FROM cell
+), p AS (
+  SELECT *, CAST(least(1000000, 1000000000000 // greatest(z2_micro, 1)) AS BIGINT)
+              AS p_micro
+  FROM z
+)
+SELECT seed, n0, s0, n1, s1, z2_micro, p_micro,
+       CAST(CASE WHEN p_micro <= 50000 THEN 1 ELSE 0 END AS BIGINT) AS is_reject,
+       CAST(sum(CASE WHEN p_micro <= 50000 THEN 1 ELSE 0 END) OVER () AS BIGINT)
+         AS n_rejects_total
+FROM p
+ORDER BY seed
+""",
+)
+def events_aa_calibration_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-seed A/A placebo sweep of the exact two-proportion test (B333):
+    per-seed 128-bit z², Chebyshev p, realized false-positive count."""
+    ev = read_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    seeds = spark.range(16).select(F.col("id").cast("long").alias("seed"))
+    tagged = ev.crossJoin(F.broadcast(seeds)).select(
+        "seed",
+        F.expr(
+            "cast(conv(substring(md5(concat('aa', cast(seed as string), ':',"
+            " cast(user_id as string))), 1, 8), 16, 10) as bigint) % 2"
+        ).alias("arm"),
+        F.when(F.round(F.col("value") * 100).cast("long") >= 5000, 1)
+        .otherwise(0)
+        .alias("x"),
+    )
+    cell = tagged.groupBy("seed").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0)).cast("long").alias("s0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0)).cast("long").alias("s1"),
+    )
+    z = cell.withColumn(
+        "z2_micro",
+        F.expr(
+            f"cast((cast(s0 as {dec}) * n1 - cast(s1 as {dec}) * n0)"
+            f" * (cast(s0 as {dec}) * n1 - cast(s1 as {dec}) * n0)"
+            f" * (n0 + n1) * 1000000"
+            f" div (cast(n0 as {dec}) * n1 * (s0 + s1) * (n0 + n1 - s0 - s1)) as long)"
+        ),
+    )
+    p = z.withColumn(
+        "p_micro",
+        F.expr("cast(least(1000000, 1000000000000 div greatest(z2_micro, 1)) as long)"),
+    )
+    return p.select(
+        "seed",
+        "n0",
+        "s0",
+        "n1",
+        "s1",
+        "z2_micro",
+        "p_micro",
+        F.when(F.col("p_micro") <= 50000, 1).otherwise(0).cast("long").alias("is_reject"),
+        F.sum(F.when(F.col("p_micro") <= 50000, 1).otherwise(0))
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("n_rejects_total"),
+    ).orderBy("seed")

@@ -4925,9 +4925,9 @@ def sample_apportionment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is rows × 144 with no shuffle beyond the doc key — linear in documents.
 # --------------------------------------------------------------------------
 
-_RING_VNODES = 16
-_RING_N_A = 8  # before
-_RING_N_B = 9  # after (adds server s8)
+_B313_VNODES = 16
+_B313_N_A = 8  # before
+_B313_N_B = 9  # after (adds server s8)
 
 
 @register(
@@ -4937,7 +4937,7 @@ WITH ring AS (
   SELECT CAST(s AS BIGINT) AS srv, CAST(v AS BIGINT) AS vn,
          CAST(('0x' || substr(md5('ring:' || CAST(s AS VARCHAR) || ':'
                                   || CAST(v AS VARCHAR)), 1, 8)) AS BIGINT) AS pos
-  FROM unnest(range({_RING_N_B})) AS rs(s), unnest(range({_RING_VNODES})) AS rv(v)
+  FROM unnest(range({_B313_N_B})) AS rs(s), unnest(range({_B313_VNODES})) AS rv(v)
 ), d AS (
   SELECT doc_id,
          CAST(('0x' || substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 8))
@@ -4950,14 +4950,14 @@ WITH ring AS (
              PARTITION BY cfg.n_srv, d.doc_id
              ORDER BY (r.pos - d.h + 4294967296) % 4294967296, r.srv, r.vn
            ) AS rn
-    FROM (VALUES ({_RING_N_A}), ({_RING_N_B})) cfg(n_srv)
+    FROM (VALUES ({_B313_N_A}), ({_B313_N_B})) cfg(n_srv)
     CROSS JOIN d
     JOIN ring r ON r.srv < cfg.n_srv
   ) t WHERE rn = 1
 ), moved AS (
   SELECT a.doc_id, a.srv AS srv_a, b.srv AS srv_b
-  FROM (SELECT doc_id, srv FROM asg WHERE n_srv = {_RING_N_A}) a
-  JOIN (SELECT doc_id, srv FROM asg WHERE n_srv = {_RING_N_B}) b USING (doc_id)
+  FROM (SELECT doc_id, srv FROM asg WHERE n_srv = {_B313_N_A}) a
+  JOIN (SELECT doc_id, srv FROM asg WHERE n_srv = {_B313_N_B}) b USING (doc_id)
 ), tot AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(CASE WHEN srv_a <> srv_b THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
@@ -4970,7 +4970,7 @@ SELECT CAST(s AS BIGINT) AS server,
          AS n_inbound,
        t.n_moved AS total_moved,
        CAST(t.n_moved * 1000000 // t.n_docs AS BIGINT) AS moved_ppm
-FROM unnest(range({_RING_N_B})) AS g(s), moved m, tot t
+FROM unnest(range({_B313_N_B})) AS g(s), moved m, tot t
 GROUP BY s, t.n_moved, t.n_docs
 ORDER BY server
 """,
@@ -4987,9 +4987,9 @@ def doc_ring_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     )
     ring = (
-        spark.range(_RING_N_B)
+        spark.range(_B313_N_B)
         .select(F.col("id").cast("long").alias("srv"))
-        .crossJoin(spark.range(_RING_VNODES).select(F.col("id").cast("long").alias("vn")))
+        .crossJoin(spark.range(_B313_VNODES).select(F.col("id").cast("long").alias("vn")))
         .select(
             "srv",
             "vn",
@@ -4999,7 +4999,7 @@ def doc_ring_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pos"),
         )
     )
-    cfg = spark.createDataFrame([(_RING_N_A,), (_RING_N_B,)], "n_srv long")
+    cfg = spark.createDataFrame([(_B313_N_A,), (_B313_N_B,)], "n_srv long")
     cand = (
         docs.crossJoin(F.broadcast(cfg))
         .join(F.broadcast(ring), F.col("srv") < F.col("n_srv"))
@@ -5021,8 +5021,8 @@ def doc_ring_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("n_srv", "doc_id", "srv")
     )
-    a = asg.filter(F.col("n_srv") == _RING_N_A).select("doc_id", F.col("srv").alias("srv_a"))
-    b = asg.filter(F.col("n_srv") == _RING_N_B).select("doc_id", F.col("srv").alias("srv_b"))
+    a = asg.filter(F.col("n_srv") == _B313_N_A).select("doc_id", F.col("srv").alias("srv_a"))
+    b = asg.filter(F.col("n_srv") == _B313_N_B).select("doc_id", F.col("srv").alias("srv_b"))
     moved = a.join(b, "doc_id")
     tot = moved.agg(
         F.count("*").cast("long").alias("n_docs"),
@@ -5030,7 +5030,7 @@ def doc_ring_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_moved"),
     )
-    grid = spark.range(_RING_N_B).select(F.col("id").cast("long").alias("server"))
+    grid = spark.range(_B313_N_B).select(F.col("id").cast("long").alias("server"))
     return (
         F.broadcast(grid)
         .crossJoin(moved)
