@@ -1112,3 +1112,141 @@ def test_no_duplicate_module_constants():
         "module-level constant reassigned (bakes stale oracle SQL vs live"
         f" Spark body): {offenders}"
     )
+
+
+# ---------------------------------------------------------------------------
+# B334 ABC/XYZ: python replay + classification laws
+# ---------------------------------------------------------------------------
+
+
+def test_abc_xyz_replay_and_laws(ddb):
+    pd_rows = ddb.execute(
+        "SELECT l_partkey,"
+        " date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)),"
+        " sum(CAST(l_quantity AS BIGINT)),"
+        " sum(CAST(round(l_extendedprice*100) AS BIGINT))"
+        " FROM lineitem GROUP BY 1, 2"
+    ).fetchall()
+    parts: dict = {}
+    for pk, _, q, rev in pd_rows:
+        n, sq, sqq, r = parts.get(pk, (0, 0, 0, 0))
+        parts[pk] = (n + 1, sq + q, sqq + q * q, r + rev)
+    order = sorted(parts, key=lambda pk: (-parts[pk][3], pk))
+    tot_rev = sum(v[3] for v in parts.values())
+    cum = 0
+    expect = {}
+    for pk in order:
+        n, sq, sqq, rev = parts[pk]
+        cum += rev
+        abc = "A" if cum * 100 <= tot_rev * 80 else ("B" if cum * 100 <= tot_rev * 95 else "C")
+        cv2 = n * sqq * 1_000_000 // (sq * sq) - 1_000_000 if sq > 0 else 0
+        xyz = "X" if cv2 < 62_500 else ("Y" if cv2 < 250_000 else "Z")
+        expect[pk] = (n, rev, cum * 1_000_000 // tot_rev, abc, cv2, xyz)
+    rows = _oracle_rows(ddb, "part_abc_xyz_classification")
+    assert len(rows) == len(parts)
+    for r in rows:
+        n, rev, cum_ppm, abc, cv2, xyz = expect[r["partkey"]]
+        assert (r["n_days"], r["revenue_cents"]) == (n, rev)
+        assert r["cum_rev_ppm"] == cum_ppm
+        assert (r["abc_class"], r["xyz_class"]) == (abc, xyz)
+        assert r["cv2_ppm"] == cv2
+        assert r["cv2_ppm"] >= 0  # CV² is non-negative by Cauchy-Schwarz
+    # the Pareto property: A-class parts are a minority holding ≥80% share
+    a = [r for r in rows if r["abc_class"] == "A"]
+    assert 0 < len(a) < len(rows)
+
+
+# ---------------------------------------------------------------------------
+# B335 lag profile: python replay + percentile ordering law
+# ---------------------------------------------------------------------------
+
+
+def test_fulfillment_lag_replay(ddb):
+    lag_rows = ddb.execute(
+        "SELECT o.o_orderpriority,"
+        " min(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)))"
+        " FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+        " GROUP BY o.o_orderkey, o.o_orderpriority"
+    ).fetchall()
+    by_prio: dict = {}
+    backdated: dict = {}
+    for p, d in lag_rows:
+        by_prio.setdefault(p, []).append(max(d, 0))
+        backdated[p] = backdated.get(p, 0) + (1 if d < 0 else 0)
+    rows = _oracle_rows(ddb, "orders_fulfillment_lag_profile")
+    assert len(rows) == len(by_prio)
+    for r in rows:
+        lags = sorted(by_prio[r["order_priority"]])
+        n = len(lags)
+
+        def pct(p):
+            # smallest lag whose cumulative count reaches ceil(p·n/100)
+            k = -(-p * n // 100)
+            return lags[k - 1]
+
+        assert r["n_orders"] == n
+        assert r["n_backdated"] == backdated[r["order_priority"]]
+        assert r["mean_lag_milli_days"] == sum(lags) * 1000 // n
+        assert r["p50_days"] == pct(50)
+        assert r["p90_days"] == pct(90)
+        assert r["p99_days"] == pct(99)
+        assert r["max_days"] == lags[-1]
+        # order statistics are monotone in p
+        assert r["p50_days"] <= r["p90_days"] <= r["p99_days"] <= r["max_days"]
+
+
+# ---------------------------------------------------------------------------
+# B336 Youden: python replay + argmax/tie-break laws
+# ---------------------------------------------------------------------------
+
+
+def test_youden_threshold_replay(ddb):
+    clf = {
+        r["doc_id"]: r["dot_milli"] for r in _oracle_rows(ddb, "doc_quality_classifier")
+    }
+    chars = dict(ddb.execute("SELECT doc_id, n_chars FROM documents").fetchall())
+    from collections import Counter
+
+    cnt = Counter(chars.values())
+    tot = len(chars)
+    cum = 0
+    for v in sorted(cnt):
+        cum += cnt[v]
+        if cum * 2 >= tot:
+            med = v
+            break
+    labeled = [(clf[d], 1 if chars[d] >= med else 0) for d in clf]
+    support: dict = {}
+    for s, p in labeled:
+        c, np_ = support.get(s, (0, 0))
+        support[s] = (c + 1, np_ + p)
+    p_tot = sum(p for _, p in support.values())
+    n_tot = sum(c - p for c, p in support.values())
+    expect = []
+    tp = fp = 0
+    for s in sorted(support, reverse=True):
+        c, p = support[s]
+        tp += p
+        fp += c - p
+        tpr = tp * 10**6 // p_tot
+        fpr = fp * 10**6 // n_tot
+        expect.append((s, tp, fp, tpr, fpr, tpr - fpr))
+    jmax = max(e[5] for e in expect)
+    cbest = min(e[0] for e in expect if e[5] == jmax)
+    rows = _oracle_rows(ddb, "doc_youden_threshold")
+    assert len(rows) == len(expect)
+    for r, e in zip(rows, expect):
+        assert (
+            r["cut_milli"],
+            r["tp"],
+            r["fp"],
+            r["tpr_ppm"],
+            r["fpr_ppm"],
+            r["j_micro"],
+        ) == e
+        assert r["is_best"] == (1 if (e[5], e[0]) == (jmax, cbest) else 0)
+    assert sum(r["is_best"] for r in rows) == 1
+    # the most permissive cut classifies everything positive: TPR = FPR = 1
+    last = rows[-1]
+    assert last["tpr_ppm"] == 1_000_000 and last["fpr_ppm"] == 1_000_000
+    assert last["j_micro"] == 0

@@ -3414,3 +3414,249 @@ def customer_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey", "bal_band")
     )
+
+
+# --------------------------------------------------------------------------
+# B334: ABC/XYZ inventory classification — Pareto value × demand stability.
+#
+# The inventory-planning matrix: ABC slices parts by cumulative revenue
+# share (A ≤ 80%, B ≤ 95%, C rest — the Pareto discipline of
+# customer_revenue_pareto, reapplied per part), XYZ slices by demand
+# VARIABILITY — classically the coefficient of variation, which needs a
+# square root; the float-free twin is CV² = n·Σx²/(Σx)² − 1 in ppm
+# (monotone in CV, so the class thresholds translate exactly: X < 0.25²,
+# Y < 0.5², Z rest). Demand series = per-part order-DAY quantities.
+# Cumulative shares run over the AGGREGATED per-part table (128-bit
+# cross-multiplication), never raw lineitem.
+#
+# Scale: lineitem folds to per-(part, day) then per-part in two keyed
+# aggregates; the Pareto walk is a window over parts.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "part_abc_xyz_classification",
+    """
+WITH pd AS (
+  SELECT l_partkey,
+         CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)
+           AS d,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+  FROM lineitem GROUP BY 1, 2
+), per_part AS (
+  SELECT l_partkey,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(q) AS BIGINT) AS sq,
+         CAST(sum(q * q) AS BIGINT) AS sqq,
+         CAST(sum(rev) AS BIGINT) AS revenue_cents
+  FROM pd GROUP BY 1
+), ranked AS (
+  SELECT *,
+         CAST(sum(revenue_cents) OVER (ORDER BY revenue_cents DESC, l_partkey)
+              AS BIGINT) AS cum_rev,
+         CAST(sum(revenue_cents) OVER () AS BIGINT) AS tot_rev
+  FROM per_part
+)
+SELECT l_partkey AS partkey, n_days, revenue_cents,
+       CAST(cum_rev * 1000000 // tot_rev AS BIGINT) AS cum_rev_ppm,
+       CASE WHEN cum_rev * 100 <= tot_rev * 80 THEN 'A'
+            WHEN cum_rev * 100 <= tot_rev * 95 THEN 'B' ELSE 'C' END AS abc_class,
+       CAST(CASE WHEN n_days > 0 AND sq > 0
+                 THEN CAST(n_days AS HUGEINT) * sqq * 1000000
+                      // (CAST(sq AS HUGEINT) * sq) - 1000000
+                 ELSE 0 END AS BIGINT) AS cv2_ppm,
+       CASE WHEN n_days > 0 AND sq > 0
+                 AND CAST(n_days AS HUGEINT) * sqq * 1000000
+                     // (CAST(sq AS HUGEINT) * sq) - 1000000 < 62500 THEN 'X'
+            WHEN n_days > 0 AND sq > 0
+                 AND CAST(n_days AS HUGEINT) * sqq * 1000000
+                     // (CAST(sq AS HUGEINT) * sq) - 1000000 < 250000 THEN 'Y'
+            ELSE 'Z' END AS xyz_class
+FROM ranked
+ORDER BY partkey
+""",
+)
+def part_abc_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (cumulative revenue Pareto) × XYZ (CV² demand-variability ppm)
+    classification per part (B334) — float-free inventory planning."""
+    line = read_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    pd_ = line.groupBy(
+        "l_partkey",
+        F.datediff(F.col("l_shipdate").cast("date"), F.to_date(F.lit("1995-01-01")))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("rev"),
+    )
+    per_part = pd_.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+        F.sum("rev").cast("long").alias("revenue_cents"),
+    )
+    w_cum = Window.orderBy(F.col("revenue_cents").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    ranked = per_part.select(
+        "*",
+        F.sum("revenue_cents").over(w_cum).cast("long").alias("cum_rev"),
+        F.sum("revenue_cents").over(w_all).cast("long").alias("tot_rev"),
+    )
+    cv2 = (
+        f"case when n_days > 0 and sq > 0"
+        f" then cast(n_days as {dec}) * sqq * 1000000 div (cast(sq as {dec}) * sq)"
+        " - 1000000 else 0 end"
+    )
+    return ranked.select(
+        F.col("l_partkey").alias("partkey"),
+        "n_days",
+        "revenue_cents",
+        F.expr("cast(cum_rev * 1000000 div tot_rev as bigint)").alias("cum_rev_ppm"),
+        F.expr(
+            "case when cum_rev * 100 <= tot_rev * 80 then 'A'"
+            " when cum_rev * 100 <= tot_rev * 95 then 'B' else 'C' end"
+        ).alias("abc_class"),
+        F.expr(f"cast({cv2} as bigint)").alias("cv2_ppm"),
+        F.expr(
+            f"case when ({cv2}) < 62500 and n_days > 0 and sq > 0 then 'X'"
+            f" when ({cv2}) < 250000 and n_days > 0 and sq > 0 then 'Y'"
+            " else 'Z' end"
+        ).alias("xyz_class"),
+    ).orderBy("partkey")
+
+
+# --------------------------------------------------------------------------
+# B335: fulfillment-lag percentile profile — the SLO readout by priority.
+#
+# Order-to-first-shipment lag in days, summarized as exact p50/p90/p99
+# per order priority — the latency-SLO shape (B148 burn rate) applied to
+# the fulfillment pipeline. Percentiles are exact ceil-rank order
+# statistics computed WITHOUT a global sort: lags fold to a (priority,
+# lag, count) table, the cumulative walk runs per priority over that
+# aggregated support, and the p-th percentile is the smallest lag whose
+# cumulative count reaches ceil(p·n) (the corpus-percentile discipline).
+# Mean in milli-days rides along for the mean-vs-tail contrast every SLO
+# discussion needs. Data-quality guard: this corpus contains orders whose
+# first shipment PRECEDES the order date (no causal generator); such lags
+# clamp to 0 and are COUNTED in n_backdated rather than poisoning the
+# stats — which also keeps every division on non-negative operands (the
+# cross-engine floor-vs-truncate hazard).
+#
+# Scale: orders⋈lineitem keyed join, two keyed aggregates, per-priority
+# windows over bounded lag support.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "orders_fulfillment_lag_profile",
+    """
+WITH lag0 AS (
+  SELECT o.o_orderpriority AS prio,
+         CAST(min(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE))) AS BIGINT) AS raw_d
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderpriority
+), lag AS (
+  SELECT prio, greatest(raw_d, 0) AS lag_d,
+         CASE WHEN raw_d < 0 THEN 1 ELSE 0 END AS bk
+  FROM lag0
+), sup AS (
+  SELECT prio, lag_d, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(bk) AS BIGINT) AS nbk
+  FROM lag GROUP BY prio, lag_d
+), walk AS (
+  SELECT prio, lag_d, c,
+         CAST(sum(c) OVER (PARTITION BY prio ORDER BY lag_d) AS BIGINT) AS cum,
+         CAST(sum(c) OVER (PARTITION BY prio) AS BIGINT) AS n,
+         CAST(sum(lag_d * c) OVER (PARTITION BY prio) AS BIGINT) AS sum_lag,
+         CAST(sum(nbk) OVER (PARTITION BY prio) AS BIGINT) AS n_backdated
+  FROM sup
+)
+SELECT prio AS order_priority,
+       max(n) AS n_orders,
+       max(n_backdated) AS n_backdated,
+       CAST(max(sum_lag) * 1000 // max(n) AS BIGINT) AS mean_lag_milli_days,
+       CAST(min(CASE WHEN cum * 100 >= n * 50 THEN lag_d END) AS BIGINT) AS p50_days,
+       CAST(min(CASE WHEN cum * 100 >= n * 90 THEN lag_d END) AS BIGINT) AS p90_days,
+       CAST(min(CASE WHEN cum * 100 >= n * 99 THEN lag_d END) AS BIGINT) AS p99_days,
+       CAST(max(lag_d) AS BIGINT) AS max_days
+FROM walk
+GROUP BY prio
+ORDER BY order_priority
+""",
+)
+def orders_fulfillment_lag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 order-to-first-ship lag per priority (B335):
+    ceil-rank order statistics over aggregated lag support, no global
+    sort; mean milli-days alongside."""
+    orders = read_table(spark, sf_dir, "orders")
+    line = read_table(spark, sf_dir, "lineitem")
+    lag = (
+        orders.join(line, line.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.min(
+                F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+            )
+            .cast("long")
+            .alias("raw_d")
+        )
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            F.greatest(F.col("raw_d"), F.lit(0)).cast("long").alias("lag_d"),
+            F.when(F.col("raw_d") < 0, 1).otherwise(0).alias("bk"),
+        )
+    )
+    sup = lag.groupBy("prio", "lag_d").agg(
+        F.count("*").cast("long").alias("c"), F.sum("bk").cast("long").alias("nbk")
+    )
+    w_cum = Window.partitionBy("prio").orderBy("lag_d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_p = Window.partitionBy("prio")
+    walk = sup.select(
+        "prio",
+        "lag_d",
+        "c",
+        F.sum("c").over(w_cum).cast("long").alias("cum"),
+        F.sum("c").over(w_p).cast("long").alias("n"),
+        F.sum(F.col("lag_d") * F.col("c")).over(w_p).cast("long").alias("sum_lag"),
+        F.sum("nbk").over(w_p).cast("long").alias("n_backdated"),
+    )
+    return (
+        walk.groupBy("prio")
+        .agg(
+            F.max("n").alias("n_orders"),
+            F.max("n_backdated").alias("n_backdated"),
+            F.expr("cast(max(sum_lag) * 1000 div max(n) as bigint)").alias(
+                "mean_lag_milli_days"
+            ),
+            F.min(F.when(F.col("cum") * 100 >= F.col("n") * 50, F.col("lag_d")))
+            .cast("long")
+            .alias("p50_days"),
+            F.min(F.when(F.col("cum") * 100 >= F.col("n") * 90, F.col("lag_d")))
+            .cast("long")
+            .alias("p90_days"),
+            F.min(F.when(F.col("cum") * 100 >= F.col("n") * 99, F.col("lag_d")))
+            .cast("long")
+            .alias("p99_days"),
+            F.max("lag_d").cast("long").alias("max_days"),
+        )
+        .select(
+            F.col("prio").alias("order_priority"),
+            "n_orders",
+            "n_backdated",
+            "mean_lag_milli_days",
+            "p50_days",
+            "p90_days",
+            "p99_days",
+            "max_days",
+        )
+        .orderBy("order_priority")
+    )

@@ -3862,3 +3862,152 @@ def doc_gains_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             " and current row) * tot_p) as bigint)"
         ).alias("lift_ppm"),
     ).orderBy("decile")
+
+
+# --------------------------------------------------------------------------
+# B336: Youden-J optimal threshold — turning a score into a decision.
+#
+# B326 reads the ranking (gains/lift); this op picks the OPERATING POINT:
+# for every distinct classifier score as a candidate cut (predict
+# positive iff score ≥ cut), exact TP/FP from one descending cumulative
+# walk over the aggregated score support, TPR/FPR in ppm (floored once
+# each), and Youden's J = TPR − FPR — the balanced-accuracy criterion
+# that is threshold-free of class priors. The argmax row is flagged with
+# the deterministic tie-break (highest J, then LOWEST cut = the more
+# permissive threshold). The full ROC support table is emitted, so the
+# consumer can re-gate at any other criterion without re-scanning.
+#
+# Scale: the B35 score aggregates + windows strictly over score support.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_youden_threshold",
+    f"""
+WITH tf AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), dtf AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS n FROM tf GROUP BY doc_id, t
+), wt AS (
+  SELECT doc_id, n,
+         {_clf_weight_ddb(H.ddb_str_hash_fast('t') + f" % {CLF_BUCKETS}")} AS wi
+  FROM dtf
+), sc AS (
+  SELECT doc_id, CAST(sum(n * wi) AS BIGINT) AS s FROM wt GROUP BY doc_id
+), med AS (
+  SELECT min(n_chars) AS m FROM (
+    SELECT n_chars,
+           CAST(sum(count(*)) OVER (ORDER BY n_chars) AS BIGINT) AS cum,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents) AS tot
+    FROM documents GROUP BY n_chars
+  ) WHERE cum * 2 >= tot
+), lab AS (
+  SELECT sc.s, CASE WHEN d.n_chars >= m.m THEN 1 ELSE 0 END AS pos
+  FROM sc JOIN documents d USING (doc_id), med m
+), support AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(pos) AS BIGINT) AS np
+  FROM lab GROUP BY s
+), walk AS (
+  SELECT s, cnt, np,
+         CAST(sum(np) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+         CAST(sum(cnt - np) OVER (ORDER BY s DESC) AS BIGINT) AS fp,
+         CAST(sum(np) OVER () AS BIGINT) AS p,
+         CAST(sum(cnt - np) OVER () AS BIGINT) AS neg
+  FROM support
+), j AS (
+  SELECT s AS cut_milli, tp, fp,
+         CAST(tp * 1000000 // p AS BIGINT) AS tpr_ppm,
+         CAST(fp * 1000000 // neg AS BIGINT) AS fpr_ppm,
+         CAST(tp * 1000000 // p - fp * 1000000 // neg AS BIGINT) AS j_micro
+  FROM walk
+)
+SELECT cut_milli, tp, fp, tpr_ppm, fpr_ppm, j_micro,
+       CAST(CASE WHEN (j_micro, -cut_milli) = (SELECT (max(j_micro),
+                       -min(CASE WHEN j_micro = (SELECT max(j_micro) FROM j)
+                                 THEN cut_milli END)) FROM j)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_best
+FROM j
+ORDER BY cut_milli DESC
+""",
+)
+def doc_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC support table + Youden-J argmax threshold for the B35 score vs
+    the long-doc label (B336): exact TP/FP cumulative walk, deterministic
+    tie-break (max J, then lowest cut)."""
+    d = read_table(spark, sf_dir, "documents")
+    dtf = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("n"))
+    )
+    bucket = f"({H.spark_str_hash_fast('t')}) % {CLF_BUCKETS}"
+    sc = (
+        dtf.select("doc_id", "n", F.expr(_clf_weight_spark(bucket)).alias("wi"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * F.col("wi")).cast("long").alias("s"))
+    )
+    tot = d.agg(F.count("*").cast("long").alias("tot"))
+    med = (
+        d.groupBy("n_chars")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "cum",
+            F.sum("c")
+            .over(Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") * 2 >= F.col("tot"))
+        .agg(F.min("n_chars").alias("m"))
+    )
+    lab = (
+        sc.join(d.select("doc_id", "n_chars"), "doc_id")
+        .crossJoin(F.broadcast(med))
+        .select("s", F.when(F.col("n_chars") >= F.col("m"), 1).otherwise(0).alias("pos"))
+    )
+    support = lab.groupBy("s").agg(
+        F.count("*").cast("long").alias("cnt"), F.sum("pos").cast("long").alias("np")
+    )
+    w_desc = Window.orderBy(F.col("s").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    walk = support.select(
+        "s",
+        F.sum("np").over(w_desc).cast("long").alias("tp"),
+        F.sum(F.col("cnt") - F.col("np")).over(w_desc).cast("long").alias("fp"),
+        F.sum("np").over(w_all).cast("long").alias("p"),
+        F.sum(F.col("cnt") - F.col("np")).over(w_all).cast("long").alias("neg"),
+    )
+    j = walk.select(
+        F.col("s").alias("cut_milli"),
+        "tp",
+        "fp",
+        F.expr("cast(tp * 1000000 div p as bigint)").alias("tpr_ppm"),
+        F.expr("cast(fp * 1000000 div neg as bigint)").alias("fpr_ppm"),
+        F.expr("cast(tp * 1000000 div p - fp * 1000000 div neg as bigint)").alias(
+            "j_micro"
+        ),
+    )
+    w_best = Window.partitionBy()
+    best = j.select(
+        "*",
+        F.max("j_micro").over(w_best).alias("_jmax"),
+    ).select(
+        "*",
+        F.min(F.when(F.col("j_micro") == F.col("_jmax"), F.col("cut_milli"))).over(
+            w_best
+        ).alias("_cbest"),
+    )
+    return best.select(
+        "cut_milli",
+        "tp",
+        "fp",
+        "tpr_ppm",
+        "fpr_ppm",
+        "j_micro",
+        F.when(
+            (F.col("j_micro") == F.col("_jmax")) & (F.col("cut_milli") == F.col("_cbest")), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("is_best"),
+    ).orderBy(F.col("cut_milli").desc())
