@@ -1250,3 +1250,83 @@ def test_youden_threshold_replay(ddb):
     last = rows[-1]
     assert last["tpr_ppm"] == 1_000_000 and last["fpr_ppm"] == 1_000_000
     assert last["j_micro"] == 0
+
+
+# ---------------------------------------------------------------------------
+# B337 streamed segment counts: one state, two read views ≡ their batches
+# ---------------------------------------------------------------------------
+
+
+def test_segment_count_state_serves_both_views(spark, sf_dir, tmp_path):
+    """stream_segment_counts: 4 unordered micro-batches; bh_fdr_from_state
+    and eb_from_state over that ONE state must equal the one-shot B312 and
+    B323 queries exactly."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        bh_fdr_from_state,
+        eb_from_state,
+        stream_segment_counts,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    src = tmp_path / "segc_src"
+    src.mkdir()
+    for i in range(4):
+        part = ev.filter((F.col("event_id") % 4) == i)
+        tdir = str(tmp_path / f"segc_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    state = str(tmp_path / "segc_state")
+    stream_segment_counts(stream, state)
+    for view, batch_name in [
+        (bh_fdr_from_state, "events_bh_fdr_gate"),
+        (eb_from_state, "events_eb_rate_shrinkage"),
+    ]:
+        got = sorted(map(tuple, view(spark, state).collect()))
+        want = sorted(map(tuple, Q.REGISTRY[batch_name].fn(spark, sf_dir).collect()))
+        assert got == want and len(got) > 0, batch_name
+
+
+# ---------------------------------------------------------------------------
+# B338 Simpson diversity: python replay + Hill-number bounds
+# ---------------------------------------------------------------------------
+
+
+def test_simpson_diversity_replay_and_bounds(ddb):
+    from collections import Counter
+
+    docs = ddb.execute("SELECT source, text FROM documents").fetchall()
+    by_src: dict = {}
+    for src, text in docs:
+        cnt = by_src.setdefault(src, Counter())
+        for t in text.split(" "):
+            if t:
+                cnt[t] += 1
+    rows = _oracle_rows(ddb, "doc_source_simpson_diversity")
+    assert len(rows) == len(by_src)
+    for r in rows:
+        cnt = by_src[r["source"]]
+        n = sum(cnt.values())
+        v = len(cnt)
+        coll = sum(c * (c - 1) for c in cnt.values())
+        assert (r["n_tokens"], r["n_vocab"]) == (n, v)
+        assert r["simpson_repeat_ppm"] == coll * 10**6 // (n * (n - 1))
+        eff = n * (n - 1) * 1000 // coll if coll else v * 1000
+        assert r["effective_vocab_milli"] == eff
+        # provable bounds for the UNBIASED estimator: ≥ 1, ≤ n−1 (it may
+        # legitimately exceed the raw vocab on near-uniform counts — the
+        # without-replacement correction — so v is NOT an upper bound)
+        assert 1000 <= eff <= (n - 1) * 1000
+        # and the biased (with-replacement) version IS capped by v:
+        sq = sum(c * c for c in cnt.values())
+        assert sq * v >= n * n  # Σp² ≥ 1/v  ⇔  biased eff ≤ v

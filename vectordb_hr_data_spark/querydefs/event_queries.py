@@ -8157,8 +8157,15 @@ def events_bh_fdr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     segments (B312): exact 128-bit binomial z², Chebyshev p ≤ 1/z², reverse
     running-min adjustment, deterministic tie-broken ranks."""
     ev = read_table(spark, sf_dir, "events")
-    dec = "decimal(38,0)"
-    seg = ev.groupBy(
+    return bh_fdr_over_counts(segment_counts(ev))
+
+
+def segment_counts(ev: DataFrame) -> DataFrame:
+    """(event_type, dow, n, s) high-value segment counts — the SHARED,
+    sum-mergeable state behind the BH-FDR gate (B312), the EB shrinkage
+    (B323), and the streaming sink (``stream_ops.stream_segment_counts``,
+    B337): one count table, many read-time views."""
+    return ev.groupBy(
         "event_type",
         (F.dayofweek("ts") - 1).cast("long").alias("dow"),
     ).agg(
@@ -8169,6 +8176,12 @@ def events_bh_fdr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("s"),
     )
+
+
+def bh_fdr_over_counts(seg: DataFrame) -> DataFrame:
+    """BH step-up over a (event_type, dow, n, s) table — identical
+    arithmetic batch and from streamed state."""
+    dec = "decimal(38,0)"
     g = seg.agg(
         F.sum("n").cast("long").alias("nn"),
         F.sum("s").cast("long").alias("ss"),
@@ -9168,16 +9181,13 @@ def events_eb_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     toward the global rate (B323): integer MoM prior strength, one-floor
     shrunk rates, shrink weights."""
     ev = read_table(spark, sf_dir, "events")
+    return eb_shrinkage_over_counts(segment_counts(ev))
+
+
+def eb_shrinkage_over_counts(seg: DataFrame) -> DataFrame:
+    """EB shrinkage over a (event_type, dow, n, s) table — identical
+    arithmetic batch and from streamed state (shared with B312's state)."""
     dec = "decimal(38,0)"
-    seg = ev.groupBy(
-        "event_type",
-        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
-    ).agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum(F.when(F.round(F.col("value") * 100).cast("long") >= 5000, 1).otherwise(0))
-        .cast("long")
-        .alias("s"),
-    )
     g = seg.agg(
         F.sum("n").cast("long").alias("nn"),
         F.sum("s").cast("long").alias("ss"),

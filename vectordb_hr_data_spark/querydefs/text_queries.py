@@ -4011,3 +4011,77 @@ def doc_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_best"),
     ).orderBy(F.col("cut_milli").desc())
+
+
+# --------------------------------------------------------------------------
+# B338: Simpson diversity / effective vocabulary per source.
+#
+# The order-2 Hill number — "how many tokens does this source EFFECTIVELY
+# use?" — is the diversity readout that, unlike Shannon entropy, needs no
+# logarithm: the unbiased Simpson repeat-rate is Σc(c−1)/(N(N−1)) (the
+# probability two draws without replacement collide), and its inverse is
+# the effective vocabulary. Exact integers end to end: repeat ppm floored
+# once, effective vocab as the reciprocal cross-division in milli (128-bit
+# numerator, N(N−1)·1000 ~ 1e13·… at corpus scale). Emitted per source
+# beside the raw vocab so head-heaviness (eff ≪ vocab) is read directly —
+# the mixing-weight signal the B17 corpus mixer consumes.
+#
+# Scale: explode → two keyed aggregates (token counts, then per-source
+# moments) — the TF shape, all map-side combinable.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_source_simpson_diversity",
+    """
+WITH tf AS (
+  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+), tc AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS c
+  FROM tf WHERE t <> '' GROUP BY source, t
+), mo AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_vocab,
+         CAST(sum(c * (c - 1)) AS BIGINT) AS coll
+  FROM tc GROUP BY source
+)
+SELECT source, n_tokens, n_vocab,
+       CAST(coll * 1000000 // (n_tokens * (n_tokens - 1)) AS BIGINT)
+         AS simpson_repeat_ppm,
+       CAST(CASE WHEN coll > 0
+                 THEN CAST(n_tokens AS HUGEINT) * (n_tokens - 1) * 1000 // coll
+                 ELSE n_vocab * 1000 END AS BIGINT) AS effective_vocab_milli
+FROM mo
+ORDER BY source
+""",
+)
+def doc_source_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased Simpson repeat-rate + inverse-Simpson effective vocabulary
+    per source (B338) — the log-free diversity readout."""
+    d = read_table(spark, sf_dir, "documents")
+    dec = "decimal(38,0)"
+    tc = (
+        d.select("source", F.explode(F.split(F.col("text"), " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("source", "t")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    mo = tc.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_vocab"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("coll"),
+    )
+    return mo.select(
+        "source",
+        "n_tokens",
+        "n_vocab",
+        F.expr("cast(coll * 1000000 div (n_tokens * (n_tokens - 1)) as bigint)").alias(
+            "simpson_repeat_ppm"
+        ),
+        F.expr(
+            f"cast(case when coll > 0"
+            f" then cast(n_tokens as {dec}) * (n_tokens - 1) * 1000 div coll"
+            " else n_vocab * 1000 end as bigint)"
+        ).alias("effective_vocab_milli"),
+    ).orderBy("source")

@@ -2971,3 +2971,57 @@ def cvm_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     if state is None:
         raise FileNotFoundError(f"no mann-whitney state at {state_path}")
     return cvm_over_counts(state.select("cents", "c1", "c2"))
+
+
+def stream_segment_counts(event_stream: DataFrame, state_path: str) -> None:
+    """Streaming maintenance of the (event_type, dow, n, s) segment-count
+    state (B337): plain integer-sum folding through the generic mergeable
+    sink (bounded: event types × 7 dows). ONE state feeds TWO read-time
+    views — the BH-FDR multiple-testing gate (``bh_fdr_from_state``) and
+    the EB rate shrinkage (``eb_from_state``) — the one-state-many-views
+    discipline B324 established for the rank tests, applied to the
+    segment-rate shelf."""
+    from pyspark.sql import functions as F
+
+    seg = event_stream.select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.when(F.round(F.col("value") * 100).cast("long") >= 5000, 1)
+        .otherwise(0)
+        .alias("x"),
+    )
+    stream_mergeable_agg(
+        seg,
+        state_path,
+        ["event_type", "dow"],
+        [
+            F.count("*").cast("long").alias("n"),
+            F.sum("x").cast("long").alias("s"),
+        ],
+        [
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s").cast("long").alias("s"),
+        ],
+    )
+
+
+def bh_fdr_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B312's BH step-up computed from the streamed segment counts
+    (shared ``bh_fdr_over_counts`` builder)."""
+    from ..querydefs.event_queries import bh_fdr_over_counts
+
+    state = _read_state_or_none(spark, state_path, "bh_fdr_from_state")
+    if state is None:
+        raise FileNotFoundError(f"no segment-count state at {state_path}")
+    return bh_fdr_over_counts(state.select("event_type", "dow", "n", "s"))
+
+
+def eb_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B323's EB shrinkage computed from the streamed segment counts
+    (shared ``eb_shrinkage_over_counts`` builder)."""
+    from ..querydefs.event_queries import eb_shrinkage_over_counts
+
+    state = _read_state_or_none(spark, state_path, "eb_from_state")
+    if state is None:
+        raise FileNotFoundError(f"no segment-count state at {state_path}")
+    return eb_shrinkage_over_counts(state.select("event_type", "dow", "n", "s"))
