@@ -1330,3 +1330,85 @@ def test_simpson_diversity_replay_and_bounds(ddb):
         # and the biased (with-replacement) version IS capped by v:
         sq = sum(c * c for c in cnt.values())
         assert sq * v >= n * n  # Σp² ≥ 1/v  ⇔  biased eff ≤ v
+
+
+# ---------------------------------------------------------------------------
+# B339 streamed score support: one state, gains AND Youden views ≡ batch
+# ---------------------------------------------------------------------------
+
+
+def test_score_support_state_serves_both_views(spark, sf_dir, tmp_path):
+    """stream_score_support: 4 unordered document micro-batches; the
+    gains and Youden read views over that ONE state must equal the
+    one-shot B326/B336 queries — including the label median, which
+    re-derives over the streamed char marginal at read time."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        gains_from_state,
+        stream_score_support,
+        youden_from_state,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    src = tmp_path / "score_src"
+    src.mkdir()
+    for i in range(4):
+        part = docs.filter((F.col("doc_id") % 4) == i)
+        tdir = str(tmp_path / f"score_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", 1).parquet(
+        str(src)
+    )
+    state = str(tmp_path / "score_state")
+    stream_score_support(stream, state)
+    for view, batch_name in [
+        (gains_from_state, "doc_gains_lift_table"),
+        (youden_from_state, "doc_youden_threshold"),
+    ]:
+        got = sorted(map(tuple, view(spark, state).collect()))
+        want = sorted(map(tuple, Q.REGISTRY[batch_name].fn(spark, sf_dir).collect()))
+        assert got == want and len(got) > 0, batch_name
+
+
+# ---------------------------------------------------------------------------
+# B340 HHI: python replay + concentration laws
+# ---------------------------------------------------------------------------
+
+
+def test_supplier_hhi_replay_and_laws(ddb):
+    sr = ddb.execute(
+        "SELECT s.s_nationkey, l.l_suppkey,"
+        " sum(CAST(round(l.l_extendedprice*100) AS BIGINT))"
+        " FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey"
+        " GROUP BY 1, 2"
+    ).fetchall()
+    by_nat: dict = {}
+    for nk, _, r in sr:
+        by_nat.setdefault(nk, []).append(r)
+    rows = _oracle_rows(ddb, "supplier_revenue_hhi")
+    assert len(rows) == len(by_nat)
+    for r in rows:
+        revs = by_nat[r["nationkey"]]
+        tot = sum(revs)
+        r2 = sum(x * x for x in revs)
+        hhi = r2 * 10**6 // (tot * tot)
+        assert r["n_suppliers"] == len(revs)
+        assert r["total_revenue_cents"] == tot
+        assert r["hhi_ppm"] == hhi
+        assert r["effective_suppliers_milli"] == tot * tot * 1000 // r2
+        want = "high" if hhi >= 250_000 else ("moderate" if hhi >= 150_000 else "low")
+        assert r["concentration"] == want
+        # bounds: 1/n ≤ HHI ≤ 1, and effective count ≤ raw count
+        n = len(revs)
+        assert 10**6 // n - 1 <= hhi <= 10**6
+        assert r["effective_suppliers_milli"] <= n * 1000 + 1000

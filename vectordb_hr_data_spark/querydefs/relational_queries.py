@@ -3660,3 +3660,88 @@ def orders_fulfillment_lag_profile(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("order_priority")
     )
+
+
+# --------------------------------------------------------------------------
+# B340: Herfindahl-Hirschman concentration of supplier revenue.
+#
+# The market-concentration reading of the B338 Hill-number family, on
+# revenue MASS instead of token counts: per nation, HHI = Σ share_i² of
+# supplier revenue in ppm — computed as Σr_i²·1e6 div (Σr)² (ONE floor,
+# 128-bit squares of cent sums) — plus the inverse-HHI "effective
+# supplier count" in milli, and the DOJ-threshold classification
+# (un/moderately/highly concentrated at 1500/2500 points = 150000/250000
+# ppm). The supply-chain risk readout: a nation whose parts flow through
+# 1.2 effective suppliers is a single point of failure regardless of its
+# raw supplier count.
+#
+# Scale: lineitem⋈supplier keyed join, two keyed aggregates, per-nation
+# reduce — Σr² folds map-side like any moment.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "supplier_revenue_hhi",
+    """
+WITH sr AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS r
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey
+), nat AS (
+  SELECT s_nationkey,
+         CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(r) AS BIGINT) AS tot_r,
+         CAST(sum(CAST(r AS HUGEINT) * r) AS HUGEINT) AS sum_r2
+  FROM sr GROUP BY s_nationkey
+)
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey, n_suppliers,
+       tot_r AS total_revenue_cents,
+       CAST(sum_r2 * 1000000 // (CAST(tot_r AS HUGEINT) * tot_r) AS BIGINT)
+         AS hhi_ppm,
+       CAST(CAST(tot_r AS HUGEINT) * tot_r * 1000 // sum_r2 AS BIGINT)
+         AS effective_suppliers_milli,
+       CASE WHEN sum_r2 * 1000000 // (CAST(tot_r AS HUGEINT) * tot_r) >= 250000
+              THEN 'high'
+            WHEN sum_r2 * 1000000 // (CAST(tot_r AS HUGEINT) * tot_r) >= 150000
+              THEN 'moderate'
+            ELSE 'low' END AS concentration
+FROM nat
+ORDER BY nationkey
+""",
+)
+def supplier_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation HHI of supplier revenue shares + inverse-HHI effective
+    supplier count + DOJ-threshold class (B340) — float-free."""
+    line = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    dec = "decimal(38,0)"
+    sr = (
+        line.join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+                  line.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("r")
+        )
+    )
+    nat = sr.groupBy("s_nationkey").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.sum("r").cast("long").alias("tot_r"),
+        F.sum(F.expr(f"cast(r as {dec}) * r")).alias("sum_r2"),
+    )
+    hhi = f"sum_r2 * 1000000 div (cast(tot_r as {dec}) * tot_r)"
+    return nat.select(
+        F.col("s_nationkey").cast("long").alias("nationkey"),
+        "n_suppliers",
+        F.col("tot_r").alias("total_revenue_cents"),
+        F.expr(f"cast({hhi} as long)").alias("hhi_ppm"),
+        F.expr(f"cast(cast(tot_r as {dec}) * tot_r * 1000 div sum_r2 as long)").alias(
+            "effective_suppliers_milli"
+        ),
+        F.expr(
+            f"case when ({hhi}) >= 250000 then 'high'"
+            f" when ({hhi}) >= 150000 then 'moderate' else 'low' end"
+        ).alias("concentration"),
+    ).orderBy("nationkey")

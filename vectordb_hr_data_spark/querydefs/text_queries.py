@@ -3778,21 +3778,54 @@ def doc_gains_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile gains/lift table for the hashed classifier score against the
     long-document label (B326): tie-safe aggregated-support deciles, exact
     integer gains and 128-bit lift ppm."""
-    d = read_table(spark, sf_dir, "documents")
-    dec128 = "decimal(38,0)"
+    support = score_label_support(read_table(spark, sf_dir, "documents"))
+    return gains_over_support(support)
+
+
+def score_label_support(d: DataFrame) -> DataFrame:
+    """(score, cnt, np) support table for the B35 classifier score vs the
+    long-doc label — the sum-mergeable state shared by the gains table
+    (B326), the Youden threshold (B336), and the streaming sink
+    (``stream_ops.stream_score_support``, B339). Documents arrive whole,
+    so per-doc scores are batch-local; the streamed state keeps the
+    (score, n_chars) count table — one row per distinct pair, the
+    per-entity-state shape of the SCD2 precedent — so the label median
+    re-derives at read time over ALL streamed docs, exactly like batch
+    (``support_from_pairs``)."""
+    sc = _clf_scores(d)
+    med = _low_median_chars(d)
+    lab = (
+        sc.join(d.select("doc_id", "n_chars"), "doc_id")
+        .crossJoin(F.broadcast(med))
+        .select(
+            "s",
+            F.when(F.col("n_chars") >= F.col("m"), 1).otherwise(0).alias("pos"),
+        )
+    )
+    return lab.groupBy("s").agg(
+        F.count("*").cast("long").alias("cnt"), F.sum("pos").cast("long").alias("np")
+    )
+
+
+def _clf_scores(d: DataFrame) -> DataFrame:
+    """Per-doc exact integer classifier dot product (the B35 arithmetic)."""
     dtf = (
         d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
         .groupBy("doc_id", "t")
         .agg(F.count("*").alias("n"))
     )
     bucket = f"({H.spark_str_hash_fast('t')}) % {CLF_BUCKETS}"
-    sc = (
+    return (
         dtf.select("doc_id", "n", F.expr(_clf_weight_spark(bucket)).alias("wi"))
         .groupBy("doc_id")
         .agg(F.sum(F.col("n") * F.col("wi")).cast("long").alias("s"))
     )
+
+
+def _low_median_chars(d: DataFrame) -> DataFrame:
+    """Exact low median of n_chars via the count-threshold scan."""
     tot = d.agg(F.count("*").cast("long").alias("tot"))
-    chars = (
+    return (
         d.groupBy("n_chars")
         .agg(F.count("*").alias("c"))
         .withColumn(
@@ -3805,17 +3838,12 @@ def doc_gains_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum") * 2 >= F.col("tot"))
         .agg(F.min("n_chars").alias("m"))
     )
-    lab = (
-        sc.join(d.select("doc_id", "n_chars"), "doc_id")
-        .crossJoin(F.broadcast(chars))
-        .select(
-            "s",
-            F.when(F.col("n_chars") >= F.col("m"), 1).otherwise(0).alias("pos"),
-        )
-    )
-    support = lab.groupBy("s").agg(
-        F.count("*").cast("long").alias("cnt"), F.sum("pos").cast("long").alias("np")
-    )
+
+
+def gains_over_support(support: DataFrame) -> DataFrame:
+    """Gains/lift deciles from a (s, cnt, np) support table — identical
+    arithmetic batch and from streamed state."""
+    dec128 = "decimal(38,0)"
     w_desc = Window.orderBy(F.col("s").desc()).rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.partitionBy()
     walk = support.select(
@@ -3934,40 +3962,13 @@ def doc_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROC support table + Youden-J argmax threshold for the B35 score vs
     the long-doc label (B336): exact TP/FP cumulative walk, deterministic
     tie-break (max J, then lowest cut)."""
-    d = read_table(spark, sf_dir, "documents")
-    dtf = (
-        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
-        .groupBy("doc_id", "t")
-        .agg(F.count("*").alias("n"))
-    )
-    bucket = f"({H.spark_str_hash_fast('t')}) % {CLF_BUCKETS}"
-    sc = (
-        dtf.select("doc_id", "n", F.expr(_clf_weight_spark(bucket)).alias("wi"))
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("n") * F.col("wi")).cast("long").alias("s"))
-    )
-    tot = d.agg(F.count("*").cast("long").alias("tot"))
-    med = (
-        d.groupBy("n_chars")
-        .agg(F.count("*").alias("c"))
-        .withColumn(
-            "cum",
-            F.sum("c")
-            .over(Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0))
-            .cast("long"),
-        )
-        .crossJoin(F.broadcast(tot))
-        .filter(F.col("cum") * 2 >= F.col("tot"))
-        .agg(F.min("n_chars").alias("m"))
-    )
-    lab = (
-        sc.join(d.select("doc_id", "n_chars"), "doc_id")
-        .crossJoin(F.broadcast(med))
-        .select("s", F.when(F.col("n_chars") >= F.col("m"), 1).otherwise(0).alias("pos"))
-    )
-    support = lab.groupBy("s").agg(
-        F.count("*").cast("long").alias("cnt"), F.sum("pos").cast("long").alias("np")
-    )
+    support = score_label_support(read_table(spark, sf_dir, "documents"))
+    return youden_over_support(support)
+
+
+def youden_over_support(support: DataFrame) -> DataFrame:
+    """ROC walk + Youden argmax from a (s, cnt, np) support table —
+    identical arithmetic batch and from streamed state."""
     w_desc = Window.orderBy(F.col("s").desc()).rowsBetween(Window.unboundedPreceding, 0)
     w_all = Window.partitionBy()
     walk = support.select(
@@ -4085,3 +4086,33 @@ def doc_source_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " else n_vocab * 1000 end as bigint)"
         ).alias("effective_vocab_milli"),
     ).orderBy("source")
+
+
+def support_from_pairs(pairs: DataFrame) -> DataFrame:
+    """(s, cnt, np) support from a streamed (s, n_chars, c) count state
+    (B339): re-derive the low median over the streamed char marginal,
+    label, and fold — byte-identical to the batch ``score_label_support``
+    because both run the same arithmetic over the same totals."""
+    marg = pairs.groupBy("n_chars").agg(F.sum("c").cast("long").alias("c"))
+    tot = marg.agg(F.sum("c").cast("long").alias("tot"))
+    med = (
+        marg.withColumn(
+            "cum",
+            F.sum("c")
+            .over(Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") * 2 >= F.col("tot"))
+        .agg(F.min("n_chars").alias("m"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(med))
+        .groupBy("s")
+        .agg(
+            F.sum("c").cast("long").alias("cnt"),
+            F.sum(F.when(F.col("n_chars") >= F.col("m"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("np"),
+        )
+    )

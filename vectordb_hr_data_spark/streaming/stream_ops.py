@@ -1005,6 +1005,7 @@ def stream_mergeable_agg(
     key_cols: list[str],
     batch_agg,
     merge_agg,
+    pre=None,
 ) -> None:
     """Generic associative-merge streaming sink (the shape behind
     stream_burst_state, generalized): per micro-batch, reduce the batch
@@ -1022,6 +1023,11 @@ def stream_mergeable_agg(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        if pre is not None:
+            # per-batch BATCH-LOCAL reshaping (e.g. per-doc scoring) —
+            # runs inside foreachBatch, so joins/groupBys here are plain
+            # batch plans, never cross-batch streaming state
+            batch_df = pre(batch_df)
         inc = batch_df.groupBy(*key_cols).agg(*batch_agg)
         state = _read_state_or_none(spark, state_path, "stream_mergeable_agg")
         if state is None:
@@ -3025,3 +3031,53 @@ def eb_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     if state is None:
         raise FileNotFoundError(f"no segment-count state at {state_path}")
     return eb_shrinkage_over_counts(state.select("event_type", "dow", "n", "s"))
+
+
+def stream_score_support(doc_stream: DataFrame, state_path: str) -> None:
+    """Streaming maintenance of the B326/B336 score-label state (B339):
+    documents arrive whole, so the per-doc B35 classifier score is
+    batch-local, and the (score, n_chars) count table folds by plain sum
+    through the generic mergeable sink (per-entity-state shape, the SCD2
+    precedent). The label median is NOT frozen at sink time — it
+    re-derives at read time over the streamed char marginal, so the two
+    read views (``gains_from_state``, ``youden_from_state``) equal their
+    one-shot batches exactly at any prefix of the stream."""
+    from pyspark.sql import functions as F
+
+    from ..querydefs.text_queries import _clf_scores
+
+    def make_pairs(df: DataFrame) -> DataFrame:
+        # per-batch, BATCH-LOCAL: score each whole doc, pair with n_chars
+        sc = _clf_scores(df)
+        return sc.join(df.select("doc_id", "n_chars"), "doc_id").select("s", "n_chars")
+
+    stream_mergeable_agg(
+        doc_stream,
+        state_path,
+        ["s", "n_chars"],
+        [F.count("*").cast("long").alias("c")],
+        [F.sum("c").cast("long").alias("c")],
+        pre=make_pairs,
+    )
+
+
+def gains_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B326's gains/lift deciles from the streamed (s, n_chars) state
+    (shared ``gains_over_support`` + ``support_from_pairs`` builders)."""
+    from ..querydefs.text_queries import gains_over_support, support_from_pairs
+
+    state = _read_state_or_none(spark, state_path, "gains_from_state")
+    if state is None:
+        raise FileNotFoundError(f"no score-support state at {state_path}")
+    return gains_over_support(support_from_pairs(state.select("s", "n_chars", "c")))
+
+
+def youden_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B336's ROC/Youden table from the streamed (s, n_chars) state
+    (shared ``youden_over_support`` + ``support_from_pairs`` builders)."""
+    from ..querydefs.text_queries import support_from_pairs, youden_over_support
+
+    state = _read_state_or_none(spark, state_path, "youden_from_state")
+    if state is None:
+        raise FileNotFoundError(f"no score-support state at {state_path}")
+    return youden_over_support(support_from_pairs(state.select("s", "n_chars", "c")))
