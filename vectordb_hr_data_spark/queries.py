@@ -72,14 +72,10 @@ PRIORITY: list[str] = [
     "mine_hard_negatives", "doc_pagerank_centrality",
     "events_salted_join_weighted", "events_interval_bucket_join",
     "events_scd2_user_state",
-    # --- positions 51+: the r15 queue head — the 14 remaining r7-rowed
-    # oracles (their newest row turns K-stale at r15; rotate them first) ---
-    "graph_coreset_select", "term_heavy_hitters", "multimodal_frame_sample",
-    "part_name_fuzzy_pairs", "events_funnel_strict",
-    "events_cohort_retention", "knn_mmr_det", "q1_incremental_maintenance",
-    "q2_cheapest_supplier_per_part", "q10_returned_items_top_customers",
-    "q12_priority_case_agg", "q18_large_volume_customers",
-    "q21_suppliers_kept_orders_waiting", "q22_idle_rich_customers",
+    # --- positions 51+: the r15 queue. The 47 never-windowed r14-born
+    # oracles lead (the standing test requires them inside the first two
+    # windows); the 14 r7-rowed names follow — still inside the K=8
+    # staleness bound at r15, rotate them right after. ---
     # --- the r14-born oracles (B288-B292, never driver-windowed):
     # immediately behind the r7 remainder so the r15 window takes all 19 ---
     "events_page_hinkley_drift", "customer_golden_record",
@@ -91,6 +87,31 @@ PRIORITY: list[str] = [
     "customer_generalization_ladder", "term_posting_plan",
     "events_quantile_treatment_effect", "events_capture_recapture",
     "doc_good_turing_unseen", "doc_readability_score",
+    # --- the late-r14 cohort (B309-B340 oracles, never driver-windowed):
+    # behind the early-r14 block; the r15 window takes the head of this
+    # queue after the 14 r7-rowed + 19 early-r14 entries, r16 the rest ---
+    "orders_littles_law_audit", "events_lru_hit_curve",
+    "doc_edit_distance_gate", "events_bh_fdr_gate",
+    "doc_ring_rebalance_audit", "events_hll_register_audit",
+    "events_gk_gamma_association", "orders_newsvendor_policy",
+    "events_cvm_two_sample", "events_ttl_cache_curve",
+    "events_diff_in_diff", "events_kaplan_meier_retention",
+    "events_sprt_daily", "events_eb_rate_shrinkage",
+    "customer_l_diversity_audit", "doc_gains_lift_table",
+    "events_seasonal_decomposition", "events_residual_runs_test",
+    "events_bandit_replay_regret", "events_markov_stationary",
+    "events_kruskal_wallis", "events_poststratified_mean",
+    "events_aa_calibration_sweep", "part_abc_xyz_classification",
+    "orders_fulfillment_lag_profile", "doc_youden_threshold",
+    "doc_source_simpson_diversity", "supplier_revenue_hhi",
+    # --- the 14 r7-rowed oracles (newest row r7; K-stale at r16 —
+    # rotate within the r15/r16 windows) ---
+    "graph_coreset_select", "term_heavy_hitters", "multimodal_frame_sample",
+    "part_name_fuzzy_pairs", "events_funnel_strict",
+    "events_cohort_retention", "knn_mmr_det", "q1_incremental_maintenance",
+    "q2_cheapest_supplier_per_part", "q10_returned_items_top_customers",
+    "q12_priority_case_agg", "q18_large_volume_customers",
+    "q21_suppliers_kept_orders_waiting", "q22_idle_rich_customers",
     # --- remaining queries in rotation order (r8-r12 driver rows,
     # stalest-first; relative order unchanged) ---
     "dsir_importance_threshold", "quality_prep_threshold",
