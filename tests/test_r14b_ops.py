@@ -1412,3 +1412,131 @@ def test_supplier_hhi_replay_and_laws(ddb):
         n = len(revs)
         assert 10**6 // n - 1 <= hhi <= 10**6
         assert r["effective_suppliers_milli"] <= n * 1000 + 1000
+
+
+# ---------------------------------------------------------------------------
+# B341 streamed daily counts: ONE state, THREE sequential-statistic views
+# ---------------------------------------------------------------------------
+
+
+def test_daily_count_state_serves_three_views(spark, sf_dir, tmp_path):
+    """stream_daily_counts: 4 unordered micro-batches; the seasonal
+    decomposition, the residual runs test, and the SPRT walk over that
+    ONE state must equal their one-shot batch queries — the sequential
+    statistics live entirely in the read-time views."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.io import read_table
+    from vectordb_hr_data_spark.streaming.stream_ops import (
+        runs_from_state,
+        seasonal_from_state,
+        sprt_from_state,
+        stream_daily_counts,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    src = tmp_path / "daily_src"
+    src.mkdir()
+    for i in range(4):
+        part = ev.filter((F.col("event_id") % 4) == i)
+        tdir = str(tmp_path / f"daily_part{i}")
+        part.coalesce(1).write.parquet(tdir)
+        pf = glob.glob(f"{tdir}/part-*.parquet")[0]
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(str(src))
+    state = str(tmp_path / "daily_state")
+    stream_daily_counts(stream, state)
+    for view, batch_name in [
+        (seasonal_from_state, "events_seasonal_decomposition"),
+        (runs_from_state, "events_residual_runs_test"),
+        (sprt_from_state, "events_sprt_daily"),
+    ]:
+        got = sorted(map(tuple, view(spark, state).collect()))
+        want = sorted(map(tuple, Q.REGISTRY[batch_name].fn(spark, sf_dir).collect()))
+        assert got == want and len(got) > 0, batch_name
+
+
+# ---------------------------------------------------------------------------
+# B342 doubly-robust OPE: python replay + the DR structure laws
+# ---------------------------------------------------------------------------
+
+
+def test_dr_policy_eval_replay_and_laws(ddb):
+    ev = ddb.execute(
+        "SELECT event_id, CAST(user_id % 4 AS BIGINT), event_type,"
+        " CAST(round(value*100) AS BIGINT) FROM events"
+    ).fetchall()
+    from collections import defaultdict
+
+    g = defaultdict(lambda: [0, 0])
+    qtr = defaultdict(lambda: [0, 0])
+    h = defaultdict(lambda: [0, 0])
+    n_eval = 0
+    for eid, seg, act, cents in ev:
+        g[(seg, act)][0] += 1
+        g[(seg, act)][1] += cents
+        if eid % 2 == 1:
+            qtr[(seg, act)][0] += 1
+            qtr[(seg, act)][1] += cents
+        else:
+            h[(seg, act)][0] += 1
+            h[(seg, act)][1] += cents
+            n_eval += 1
+    n_seg = defaultdict(int)
+    for (seg, _), (c, _) in g.items():
+        n_seg[seg] += c
+    q = {k: r * 10**6 // c for k, (c, r) in qtr.items()}
+    segs = sorted(n_seg)
+    pols = {}
+    pols["mode"] = {
+        s: min((a for (s2, a) in g if s2 == s), key=lambda a: (-g[(s, a)][0], a))
+        for s in segs
+    }
+    pols["value"] = {
+        s: min(
+            (a for (s2, a) in g if s2 == s),
+            key=lambda a: (-(g[(s, a)][1] * 10**6 // g[(s, a)][0]), a),
+        )
+        for s in segs
+    }
+    nh = defaultdict(int)
+    for (seg, _), (ch, _) in h.items():
+        nh[seg] += ch
+    rows = {r["policy"]: r for r in _oracle_rows(ddb, "events_dr_policy_eval")}
+    assert set(rows) == {"mode", "value"}
+    for pname, pi in pols.items():
+        dm_num = sum(nh[s] * q.get((s, pi[s]), 0) for s in segs)
+        corr_num = 0
+        ips_num = 0
+        for s in segs:
+            a = pi[s]
+            if (s, a) not in h:
+                continue
+            ch, rh = h[(s, a)]
+            c = g[(s, a)][0]
+            qv = q.get((s, a), 0)
+            num = rh * 10**6 - ch * qv
+            t = (num * n_seg[s]) // c if num >= 0 else -(((-num) * n_seg[s]) // c)
+            corr_num += t
+            ips_num += rh * 10**6 * n_seg[s] // c
+        r = rows[pname]
+        dm_v = dm_num // n_eval
+        corr_v = corr_num // n_eval if corr_num >= 0 else -((-corr_num) // n_eval)
+        assert r["n_eval"] == n_eval
+        assert r["dm_value_micro"] == dm_v
+        assert r["correction_micro"] == corr_v
+        assert r["dr_value_micro"] == dm_v + corr_v
+        assert r["ips_value_micro"] == ips_num // n_eval
+        # structure: DR = DM + correction, where the correction pulls
+        # toward the observed rewards; it need not sit inside [DM, IPS]
+        # in general, but it cannot land FARTHER from IPS than DM does
+        # beyond the floor/propensity-mismatch scale
+        assert abs(r["dr_value_micro"] - r["ips_value_micro"]) <= abs(
+            r["dm_value_micro"] - r["ips_value_micro"]
+        ) + 10**6

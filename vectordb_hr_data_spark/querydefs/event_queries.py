@@ -9078,6 +9078,12 @@ def events_sprt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("s"),
     )
+    return sprt_over_daily(daily)
+
+
+def sprt_over_daily(daily: DataFrame) -> DataFrame:
+    """B322's SPRT walk from a (d, n, s) daily-count table — identical
+    arithmetic batch and from streamed state (shared with B341's sink)."""
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     walk = daily.select(
         "d",
@@ -9306,6 +9312,13 @@ def events_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
     daily = ev.groupBy(
         F.expr("cast(floor(cast(ts as double)/86400) as bigint)").alias("d")
     ).agg(F.count("*").cast("long").alias("y"))
+    return seasonal_over_daily(daily)
+
+
+def seasonal_over_daily(daily: DataFrame) -> DataFrame:
+    """B327's decomposition from a (d, y) daily-count table — identical
+    arithmetic batch and from streamed state (the sum-mergeable daily
+    counts are the state; ``stream_ops.stream_daily_counts``, B341)."""
     w7 = Window.orderBy("d").rowsBetween(-3, 3)
     tr = daily.select(
         "d",
@@ -9439,11 +9452,15 @@ FROM agg
 def events_residual_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs test for randomness of B327's residual signs (B328): exact
     R/E/Var in micro + 128-bit, Chebyshev gate at 5% (z² > 20)."""
+    return runs_over_decomposition(events_seasonal_decomposition(spark, sf_dir))
+
+
+def runs_over_decomposition(decomp: DataFrame) -> DataFrame:
+    """B328's runs test from a B327-shaped decomposition frame — identical
+    arithmetic batch and from streamed state."""
     dec = "decimal(38,0)"
-    resid = (
-        events_seasonal_decomposition(spark, sf_dir)
-        .filter((F.col("is_edge") == 0) & (F.col("resid7") != 0))
-        .select("day_epoch_days", F.col("resid7"))
+    resid = decomp.filter((F.col("is_edge") == 0) & (F.col("resid7") != 0)).select(
+        "day_epoch_days", F.col("resid7")
     )
     signs = resid.select(
         F.when(F.col("resid7") > 0, 1).otherwise(0).alias("sg"),
@@ -10113,3 +10130,198 @@ def events_aa_calibration_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_rejects_total"),
     ).orderBy("seed")
+
+
+# --------------------------------------------------------------------------
+# B342: doubly-robust off-policy value — completing the OPE shelf.
+#
+# IPS (B272) is unbiased but high-variance; a direct-method (DM) reward
+# model is low-variance but biased. The doubly-robust estimator keeps
+# the best of both: V_DR = E[q̂(x, π(x))] + E[1{a=π}/p · (r − q̂(x,a))]
+# — consistent if EITHER the propensities OR the reward model is right.
+# Honest split: the reward model q̂ is fit on the ODD event half
+# (per-(seg, act) floored mean), policies and propensities come from
+# the full log (the B272 convention), and the estimator folds over the
+# EVEN half — so q̂ genuinely differs from the eval means and the
+# correction term is non-trivial. All integer micro: one floor per q̂
+# cell, sign-explicit division for the signed correction (the gamma
+# discipline), 128-bit products. IPS on the same half rides along so
+# the DR-vs-IPS variance trade is read directly.
+#
+# Scale: three keyed aggregates over events + bounded (seg × act)
+# tables; nothing after the first shuffles scales with N.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_dr_policy_eval",
+    """
+WITH e AS (
+  SELECT event_id, CAST(user_id % 4 AS BIGINT) AS seg, event_type AS act,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), g AS (
+  SELECT seg, act, CAST(count(*) AS BIGINT) AS c,
+         CAST(coalesce(sum(cents), 0) AS BIGINT) AS r
+  FROM e GROUP BY seg, act
+), nseg AS (
+  SELECT seg, CAST(sum(c) AS BIGINT) AS n_seg FROM g GROUP BY seg
+), qhat AS (
+  SELECT seg, act,
+         CAST(coalesce(sum(cents), 0) * 1000000 // count(*) AS BIGINT) AS q
+  FROM e WHERE event_id % 2 = 1 GROUP BY seg, act
+), h AS (
+  SELECT seg, act, CAST(count(*) AS BIGINT) AS ch,
+         CAST(coalesce(sum(cents), 0) AS BIGINT) AS rh
+  FROM e WHERE event_id % 2 = 0 GROUP BY seg, act
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_eval FROM e WHERE event_id % 2 = 0
+), pol AS (
+  SELECT 'mode' AS policy, seg, act FROM (
+    SELECT seg, act, row_number() OVER (PARTITION BY seg
+             ORDER BY c DESC, act) AS rn FROM g) WHERE rn = 1
+  UNION ALL
+  SELECT 'value', seg, act FROM (
+    SELECT seg, act, row_number() OVER (PARTITION BY seg
+             ORDER BY (CAST(r AS HUGEINT) * 1000000) // c DESC, act) AS rn
+    FROM g) WHERE rn = 1
+), heval AS (
+  SELECT seg, CAST(sum(ch) AS BIGINT) AS nh FROM h GROUP BY seg
+), dm AS (
+  SELECT p.policy,
+         CAST(sum(he.nh * coalesce(q.q, 0)) AS HUGEINT) AS dm_num
+  FROM pol p
+  JOIN heval he USING (seg)
+  LEFT JOIN qhat q ON q.seg = p.seg AND q.act = p.act
+  GROUP BY p.policy
+), corr AS (
+  SELECT p.policy,
+         CAST(sum(CASE WHEN h.rh * 1000000 - h.ch * coalesce(q.q, 0) >= 0
+                       THEN (CAST(h.rh AS HUGEINT) * 1000000
+                             - h.ch * coalesce(q.q, 0)) * ns.n_seg // g.c
+                       ELSE -((CAST(h.ch AS HUGEINT) * coalesce(q.q, 0)
+                               - h.rh * 1000000) * ns.n_seg // g.c) END)
+              AS HUGEINT) AS corr_num,
+         CAST(sum((CAST(h.rh AS HUGEINT) * 1000000) * ns.n_seg // g.c)
+              AS HUGEINT) AS ips_num
+  FROM pol p
+  JOIN h ON h.seg = p.seg AND h.act = p.act
+  JOIN g ON g.seg = p.seg AND g.act = p.act
+  JOIN nseg ns ON ns.seg = p.seg
+  LEFT JOIN qhat q ON q.seg = p.seg AND q.act = p.act
+  GROUP BY p.policy
+)
+SELECT d.policy, t.n_eval,
+       CAST(d.dm_num // t.n_eval AS BIGINT) AS dm_value_micro,
+       CAST(CASE WHEN c.corr_num >= 0 THEN c.corr_num // t.n_eval
+                 ELSE -((-c.corr_num) // t.n_eval) END AS BIGINT)
+         AS correction_micro,
+       CAST(d.dm_num // t.n_eval
+            + CASE WHEN c.corr_num >= 0 THEN c.corr_num // t.n_eval
+                   ELSE -((-c.corr_num) // t.n_eval) END AS BIGINT)
+         AS dr_value_micro,
+       CAST(c.ips_num // t.n_eval AS BIGINT) AS ips_value_micro
+FROM dm d JOIN corr c USING (policy), tot t
+ORDER BY d.policy
+""",
+)
+def events_dr_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust off-policy value for the two B272 argmax policies
+    (B342): odd-half reward model, full-log propensities, even-half
+    estimator, sign-explicit integer folds; IPS alongside."""
+    ev = read_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    e = ev.select(
+        "event_id",
+        (F.col("user_id") % 4).cast("long").alias("seg"),
+        F.col("event_type").alias("act"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    g = e.groupBy("seg", "act").agg(
+        F.count("*").cast("long").alias("c"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("r"),
+    )
+    nseg = g.groupBy("seg").agg(F.sum("c").cast("long").alias("n_seg"))
+    qhat = (
+        e.filter(F.col("event_id") % 2 == 1)
+        .groupBy("seg", "act")
+        .agg(
+            F.expr(
+                "cast(coalesce(sum(cents), 0) * 1000000 div count(*) as bigint)"
+            ).alias("q")
+        )
+    )
+    h = (
+        e.filter(F.col("event_id") % 2 == 0)
+        .groupBy("seg", "act")
+        .agg(
+            F.count("*").cast("long").alias("ch"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("rh"),
+        )
+    )
+    tot = e.filter(F.col("event_id") % 2 == 0).agg(
+        F.count("*").cast("long").alias("n_eval")
+    )
+    w_mode = Window.partitionBy("seg").orderBy(F.col("c").desc(), "act")
+    w_val = Window.partitionBy("seg").orderBy(
+        F.expr(f"(cast(r as {dec}) * 1000000) div c").desc(), "act"
+    )
+    pol = (
+        g.withColumn("rn", F.row_number().over(w_mode))
+        .filter(F.col("rn") == 1)
+        .select(F.lit("mode").alias("policy"), "seg", "act")
+        .unionByName(
+            g.withColumn("rn", F.row_number().over(w_val))
+            .filter(F.col("rn") == 1)
+            .select(F.lit("value").alias("policy"), "seg", "act")
+        )
+    )
+    heval = h.groupBy("seg").agg(F.sum("ch").cast("long").alias("nh"))
+    dm = (
+        pol.join(heval, "seg")
+        .join(qhat, ["seg", "act"], "left")
+        .groupBy("policy")
+        .agg(
+            F.sum(F.expr(f"cast(nh as {dec}) * coalesce(q, 0)")).alias("dm_num")
+        )
+    )
+    corr = (
+        pol.join(h, ["seg", "act"])
+        .join(g, ["seg", "act"])
+        .join(nseg, "seg")
+        .join(qhat, ["seg", "act"], "left")
+        .groupBy("policy")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"case when rh * 1000000 - ch * coalesce(q, 0) >= 0"
+                    f" then (cast(rh as {dec}) * 1000000 - ch * coalesce(q, 0))"
+                    f" * n_seg div c"
+                    f" else -((cast(ch as {dec}) * coalesce(q, 0) - rh * 1000000)"
+                    f" * n_seg div c) end"
+                )
+            ).alias("corr_num"),
+            F.sum(
+                F.expr(f"(cast(rh as {dec}) * 1000000) * n_seg div c")
+            ).alias("ips_num"),
+        )
+    )
+    signed = (
+        "case when corr_num >= 0 then corr_num div n_eval"
+        " else -((-corr_num) div n_eval) end"
+    )
+    return (
+        dm.join(corr, "policy")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "policy",
+            "n_eval",
+            F.expr("cast(dm_num div n_eval as bigint)").alias("dm_value_micro"),
+            F.expr(f"cast({signed} as bigint)").alias("correction_micro"),
+            F.expr(f"cast(dm_num div n_eval + ({signed}) as bigint)").alias(
+                "dr_value_micro"
+            ),
+            F.expr("cast(ips_num div n_eval as bigint)").alias("ips_value_micro"),
+        )
+        .orderBy("policy")
+    )

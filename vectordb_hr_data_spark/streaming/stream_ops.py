@@ -3081,3 +3081,73 @@ def youden_from_state(spark: SparkSession, state_path: str) -> DataFrame:
     if state is None:
         raise FileNotFoundError(f"no score-support state at {state_path}")
     return youden_over_support(support_from_pairs(state.select("s", "n_chars", "c")))
+
+
+def stream_daily_counts(event_stream: DataFrame, state_path: str) -> None:
+    """Streaming maintenance of the (day, n, s) daily-count state (B341):
+    plain sum-folding through the generic mergeable sink, state bounded
+    by the HORIZON in days. ONE state feeds THREE read-time views — the
+    seasonal decomposition (``seasonal_from_state``), the residual runs
+    test (``runs_from_state``), and the SPRT walk (``sprt_from_state``) —
+    the widest application yet of the one-state-many-views discipline:
+    every ordered/sequential statistic recomputes over the bounded state
+    at read time, so only the trivially-associative count fold has to
+    survive batch boundaries."""
+    from pyspark.sql import functions as F
+
+    daily = event_stream.select(
+        F.expr("cast(floor(cast(ts as double)/86400) as bigint)").alias("d"),
+        F.when(F.round(F.col("value") * 100).cast("long") >= 5000, 1)
+        .otherwise(0)
+        .alias("x"),
+    )
+    stream_mergeable_agg(
+        daily,
+        state_path,
+        ["d"],
+        [F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s")],
+        [F.sum("n").cast("long").alias("n"), F.sum("s").cast("long").alias("s")],
+    )
+
+
+def _daily_state(spark: SparkSession, state_path: str, caller: str) -> DataFrame:
+    state = _read_state_or_none(spark, state_path, caller)
+    if state is None:
+        raise FileNotFoundError(f"no daily-count state at {state_path}")
+    return state
+
+
+def seasonal_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B327's decomposition from the streamed daily counts (shared
+    ``seasonal_over_daily`` builder; y = n)."""
+    from pyspark.sql import functions as F
+
+    from ..querydefs.event_queries import seasonal_over_daily
+
+    state = _daily_state(spark, state_path, "seasonal_from_state")
+    return seasonal_over_daily(state.select("d", F.col("n").alias("y")))
+
+
+def runs_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B328's runs test from the streamed daily counts (shared
+    ``seasonal_over_daily`` + ``runs_over_decomposition`` builders)."""
+    from pyspark.sql import functions as F
+
+    from ..querydefs.event_queries import (
+        runs_over_decomposition,
+        seasonal_over_daily,
+    )
+
+    state = _daily_state(spark, state_path, "runs_from_state")
+    return runs_over_decomposition(
+        seasonal_over_daily(state.select("d", F.col("n").alias("y")))
+    )
+
+
+def sprt_from_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """B322's SPRT walk from the streamed daily counts (shared
+    ``sprt_over_daily`` builder)."""
+    from ..querydefs.event_queries import sprt_over_daily
+
+    state = _daily_state(spark, state_path, "sprt_from_state")
+    return sprt_over_daily(state.select("d", "n", "s"))
