@@ -32,7 +32,7 @@ EXPECTED_MODULES = {
     "scrub_queries",
     "tokenizer_queries",
 }
-EXPECTED_REGISTRY_SIZE = 416
+EXPECTED_REGISTRY_SIZE = 419
 
 
 def test_registry_all_modules_loaded_and_full_size():

@@ -1540,3 +1540,127 @@ def test_dr_policy_eval_replay_and_laws(ddb):
         assert abs(r["dr_value_micro"] - r["ips_value_micro"]) <= abs(
             r["dm_value_micro"] - r["ips_value_micro"]
         ) + 10**6
+
+
+# ---------------------------------------------------------------------------
+# B343 Mann-Kendall: python replay + antisymmetry law
+# ---------------------------------------------------------------------------
+
+
+def test_mann_kendall_replay_and_laws(ddb):
+    daily = ddb.execute(
+        "SELECT CAST(floor(epoch(ts)/86400) AS BIGINT), count(*)"
+        " FROM events GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    ys = [y for _, y in daily]
+    n = len(ys)
+    s = sum(
+        (1 if ys[j] > ys[i] else (-1 if ys[j] < ys[i] else 0))
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = Counter(ys)
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1)
+    var_s = (n * (n - 1) * (2 * n + 5) - tie_term) // 18
+    z2 = 0 if abs(s) <= 1 or var_s == 0 else (abs(s) - 1) ** 2 * 10**6 // var_s
+    (row,) = _oracle_rows(ddb, "events_mann_kendall_trend")
+    assert (row["mk_s"], row["n_days"]) == (s, n)
+    assert row["n_pairs"] == n * (n - 1) // 2
+    assert row["var_s"] == var_s
+    assert row["z2_micro"] == z2
+    assert row["trend_sign"] == (1 if s > 0 else (-1 if s < 0 else 0))
+    assert row["is_trend"] == (1 if z2 > 20_000_000 else 0)
+    # bounds: |S| ≤ n_pairs, and reversing time flips the sign exactly
+    assert abs(s) <= row["n_pairs"]
+    s_rev = sum(
+        (1 if ys[::-1][j] > ys[::-1][i] else (-1 if ys[::-1][j] < ys[::-1][i] else 0))
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    assert s_rev == -s
+
+
+# ---------------------------------------------------------------------------
+# B344 changepoint: python replay + argmax optimality
+# ---------------------------------------------------------------------------
+
+
+def test_single_changepoint_replay(ddb):
+    daily = ddb.execute(
+        "SELECT CAST(floor(epoch(ts)/86400) AS BIGINT), count(*)"
+        " FROM events GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    n = len(daily)
+    sn = sum(y for _, y in daily)
+    st = 0
+    best = None
+    for t, (d, y) in enumerate(daily, start=1):
+        st += y
+        if t >= n:
+            break
+        dv = abs(st * n - t * sn)
+        if best is None or dv > best[0] or (dv == best[0] and d < best[1]):
+            best = (dv, d, t, st)
+    dv, d_star, t_star, st_star = best
+    (row,) = _oracle_rows(ddb, "events_single_changepoint")
+    assert (row["split_day"], row["split_pos"], row["n_days"]) == (d_star, t_star, n)
+    assert row["deviation_scaled"] == dv // n
+    assert row["left_mean_micro"] == st_star * 10**6 // t_star
+    assert row["right_mean_micro"] == (sn - st_star) * 10**6 // (n - t_star)
+    assert row["shift_micro"] == row["right_mean_micro"] - row["left_mean_micro"]
+    # optimality: no other split has a strictly larger deviation
+    st = 0
+    for t, (d, y) in enumerate(daily, start=1):
+        st += y
+        if t < n:
+            assert abs(st * n - t * sn) <= dv
+
+
+# ---------------------------------------------------------------------------
+# B345 Borda fusion: python replay + positional-rule laws
+# ---------------------------------------------------------------------------
+
+
+def test_borda_fusion_replay(ddb):
+    clf = {
+        r["doc_id"]: r["dot_milli"] for r in _oracle_rows(ddb, "doc_quality_classifier")
+    }
+    chars = dict(ddb.execute("SELECT doc_id, n_chars FROM documents").fetchall())
+    n = len(chars)
+    from collections import Counter
+
+    def midranks_desc(vals):
+        cnt = Counter(vals)
+        r2 = {}
+        cum = 0
+        for v in sorted(cnt, reverse=True):
+            r2[v] = 2 * cum + cnt[v] + 1
+            cum += cnt[v]
+        return r2
+
+    ra = midranks_desc(list(clf.values()))
+    rb = midranks_desc(list(chars.values()))
+    fused = sorted(
+        (
+            (4 * (n + 1) - ra[clf[d]] - rb[chars[d]], -d)
+            for d in clf
+        ),
+        reverse=True,
+    )[:20]
+    expect = {(-md, b2) for b2, md in fused}
+    rows = _oracle_rows(ddb, "doc_borda_fusion")
+    assert len(rows) == 20
+    for r in rows:
+        d = r["doc_id"]
+        assert r["dot_milli"] == clf[d]
+        assert r["n_chars"] == chars[d]
+        assert r["r2_score"] == ra[clf[d]]
+        assert r["r2_length"] == rb[chars[d]]
+        assert r["borda2"] == 4 * (n + 1) - ra[clf[d]] - rb[chars[d]]
+        assert (d, r["borda2"]) in expect
+        # doubled midranks live in [3, 2n+...]: each r2 ∈ [w+1, 2n−w+1]
+        assert 3 <= r["r2_score"] <= 2 * n
+        # Borda points bounded by the two best-possible positions
+        assert r["borda2"] <= 4 * (n + 1) - 6

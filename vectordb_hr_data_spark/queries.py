@@ -104,7 +104,8 @@ PRIORITY: list[str] = [
     "events_aa_calibration_sweep", "part_abc_xyz_classification",
     "orders_fulfillment_lag_profile", "doc_youden_threshold",
     "doc_source_simpson_diversity", "supplier_revenue_hhi",
-    "events_dr_policy_eval",
+    "events_dr_policy_eval", "events_mann_kendall_trend",
+    "events_single_changepoint", "doc_borda_fusion",
     # --- the 14 r7-rowed oracles (newest row r7; K-stale at r16 —
     # rotate within the r15/r16 windows) ---
     "graph_coreset_select", "term_heavy_hitters", "multimodal_frame_sample",

@@ -10325,3 +10325,220 @@ def events_dr_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("policy")
     )
+
+
+# --------------------------------------------------------------------------
+# B343: Mann-Kendall trend test — monotone drift, distribution-free.
+#
+# Completes the sequential-monitoring shelf's OFFLINE diagnosis: runs
+# (B328) asks "is it random?", Page-Hinkley/CUSUM fire online; Mann-
+# Kendall asks the retrospective "is there a monotone trend?" with no
+# distributional or linearity assumption: S = Σ_{i<j} sign(y_j − y_i)
+# over the day-ordered counts, Var[S] = n(n−1)(2n+5)/18 minus the tie
+# term Σt(t−1)(2t+5)/18, z² via the continuity-corrected (|S|−1)² in
+# micro/128-bit, Chebyshev gate (the house distribution-free
+# discipline). The pairwise sum is O(days²) on the HORIZON-bounded
+# daily table — never on raw rows.
+#
+# Scale: one groupBy day; the self-join runs on ≤horizon-days rows.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_mann_kendall_trend",
+    """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), s AS (
+  SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END)
+              AS BIGINT) AS mk_s,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM daily a JOIN daily b ON b.d > a.d
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM daily
+), ties AS (
+  SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY y HAVING count(*) > 1)
+), v AS (
+  SELECT s.mk_s, s.n_pairs, nn.n,
+         CAST((CAST(nn.n AS HUGEINT) * (nn.n - 1) * (2 * nn.n + 5) - t.tie_term)
+              // 18 AS BIGINT) AS var_s
+  FROM s, nn, ties t
+)
+SELECT mk_s, n_pairs, n AS n_days, var_s,
+       CAST(CASE WHEN abs(mk_s) <= 1 OR var_s = 0 THEN 0
+                 ELSE (CAST(abs(mk_s) - 1 AS HUGEINT) * (abs(mk_s) - 1) * 1000000)
+                      // var_s END AS BIGINT) AS z2_micro,
+       CAST(CASE WHEN mk_s > 0 THEN 1 WHEN mk_s < 0 THEN -1 ELSE 0 END AS BIGINT)
+         AS trend_sign,
+       CAST(CASE WHEN abs(mk_s) > 1 AND var_s > 0
+                  AND (CAST(abs(mk_s) - 1 AS HUGEINT) * (abs(mk_s) - 1) * 1000000)
+                      // var_s > 20000000
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_trend
+FROM v
+""",
+)
+def events_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall S over daily counts with tie-corrected variance and
+    the continuity-corrected Chebyshev gate (B343)."""
+    ev = read_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    daily = ev.groupBy(
+        F.expr("cast(floor(cast(ts as double)/86400) as bigint)").alias("d")
+    ).agg(F.count("*").cast("long").alias("y"))
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    s = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("mk_s"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    nn = daily.agg(F.count("*").cast("long").alias("n"))
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count("*").cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("t * (t - 1) * (2 * t + 5)")), F.lit(0)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    v = (
+        s.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "mk_s",
+            "n_pairs",
+            "n",
+            F.expr(
+                f"cast((cast(n as {dec}) * (n - 1) * (2 * n + 5) - tie_term)"
+                " div 18 as bigint)"
+            ).alias("var_s"),
+        )
+    )
+    z2 = (
+        f"case when abs(mk_s) <= 1 or var_s = 0 then 0"
+        f" else (cast(abs(mk_s) - 1 as {dec}) * (abs(mk_s) - 1) * 1000000)"
+        " div var_s end"
+    )
+    return v.select(
+        "mk_s",
+        "n_pairs",
+        F.col("n").alias("n_days"),
+        "var_s",
+        F.expr(f"cast({z2} as bigint)").alias("z2_micro"),
+        F.expr(
+            "cast(case when mk_s > 0 then 1 when mk_s < 0 then -1 else 0 end as bigint)"
+        ).alias("trend_sign"),
+        F.expr(
+            f"cast(case when abs(mk_s) > 1 and var_s > 0 and ({z2}) > 20000000"
+            " then 1 else 0 end as bigint)"
+        ).alias("is_trend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# B344: single-changepoint locator — max-CUSUM binary segmentation.
+#
+# Page-Hinkley/CUSUM fire ONLINE; Mann-Kendall (B343) says "a trend
+# exists"; this op answers the retrospective "WHERE did the level
+# shift?" — the first step of binary segmentation: the split t*
+# maximizing the scaled CUSUM deviation |S_t·n − t·S_n| (cross-
+# multiplied, so no division enters the argmax at all — exactly the
+# quantity whose max is the standard changepoint statistic, in exact
+# integers). Deterministic tie-break (largest deviation, then earliest
+# day); the output row carries the split day, both segment means
+# (floored once each), and the shift size — the inputs a root-cause
+# review needs.
+#
+# Scale: one groupBy day, windows over the horizon-bounded daily table.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "events_single_changepoint",
+    """
+WITH daily AS (
+  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), walk AS (
+  SELECT d, y,
+         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+         CAST(sum(y) OVER (ORDER BY d) AS BIGINT) AS st,
+         CAST(sum(y) OVER () AS BIGINT) AS sn,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM daily
+), dev AS (
+  SELECT d, t, st, sn, n,
+         CAST(abs(CAST(st AS HUGEINT) * n - CAST(t AS HUGEINT) * sn) AS HUGEINT)
+           AS dv
+  FROM walk WHERE t < n
+), best AS (
+  SELECT d, t, st, sn, n, dv,
+         row_number() OVER (ORDER BY dv DESC, d) AS rn
+  FROM dev
+)
+SELECT d AS split_day, t AS split_pos, n AS n_days,
+       CAST(dv // n AS BIGINT) AS deviation_scaled,
+       CAST(st * 1000000 // t AS BIGINT) AS left_mean_micro,
+       CAST((sn - st) * 1000000 // (n - t) AS BIGINT) AS right_mean_micro,
+       CAST((sn - st) * 1000000 // (n - t) - st * 1000000 // t AS BIGINT)
+         AS shift_micro
+FROM best WHERE rn = 1
+""",
+)
+def events_single_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-CUSUM-deviation single changepoint over daily counts (B344):
+    division-free argmax, earliest-day tie-break, both segment means."""
+    ev = read_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    daily = ev.groupBy(
+        F.expr("cast(floor(cast(ts as double)/86400) as bigint)").alias("d")
+    ).agg(F.count("*").cast("long").alias("y"))
+    w_ord = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    walk = daily.select(
+        "d",
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("t"),
+        F.sum("y").over(w_ord).cast("long").alias("st"),
+        F.sum("y").over(w_all).cast("long").alias("sn"),
+        F.count("*").over(w_all).cast("long").alias("n"),
+    )
+    dev = walk.filter(F.col("t") < F.col("n")).select(
+        "d",
+        "t",
+        "st",
+        "sn",
+        "n",
+        F.expr(f"abs(cast(st as {dec}) * n - cast(t as {dec}) * sn)").alias("dv"),
+    )
+    best = dev.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("dv").desc(), "d"))
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        F.col("d").alias("split_day"),
+        F.col("t").alias("split_pos"),
+        F.col("n").alias("n_days"),
+        F.expr("cast(dv div n as bigint)").alias("deviation_scaled"),
+        F.expr("cast(st * 1000000 div t as bigint)").alias("left_mean_micro"),
+        F.expr("cast((sn - st) * 1000000 div (n - t) as bigint)").alias(
+            "right_mean_micro"
+        ),
+        F.expr(
+            "cast((sn - st) * 1000000 div (n - t) - st * 1000000 div t as bigint)"
+        ).alias("shift_micro"),
+    )

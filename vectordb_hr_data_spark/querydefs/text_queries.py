@@ -4116,3 +4116,102 @@ def support_from_pairs(pairs: DataFrame) -> DataFrame:
             .alias("np"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# B345: Borda-count rank fusion — the voting-theory sibling of RRF.
+#
+# B24 fuses rankings with reciprocal-rank (nonlinear, top-heavy); Borda
+# is the linear positional rule — each list awards (N − rank) points —
+# and is the right fusion when mid-list positions still carry signal.
+# Tie handling follows the Mann-Whitney doubled-midrank discipline: both
+# rankings (B35 classifier score; document length) derive DOUBLED
+# midranks from their aggregated score-support tables (integer-exact
+# under ties, no per-doc window over base rows), and the fused score is
+# the doubled Borda sum 4(N+1) − r2_A − r2_B. Top-20 via orderBy+limit
+# (TakeOrderedAndProject — the knn discipline, no global sort).
+#
+# Scale: two support aggregates + broadcast joins back on score value.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "doc_borda_fusion",
+    f"""
+WITH tf AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), dtf AS (
+  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS n FROM tf GROUP BY doc_id, t
+), wt AS (
+  SELECT doc_id, n,
+         {_clf_weight_ddb(H.ddb_str_hash_fast('t') + f" % {CLF_BUCKETS}")} AS wi
+  FROM dtf
+), sc AS (
+  SELECT doc_id, CAST(sum(n * wi) AS BIGINT) AS s FROM wt GROUP BY doc_id
+), sup_a AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS w FROM sc GROUP BY s
+), r_a AS (
+  SELECT s, CAST(2 * (sum(w) OVER (ORDER BY s DESC) - w) + w + 1 AS BIGINT) AS r2
+  FROM sup_a
+), sup_b AS (
+  SELECT n_chars, CAST(count(*) AS BIGINT) AS w FROM documents GROUP BY n_chars
+), r_b AS (
+  SELECT n_chars, CAST(2 * (sum(w) OVER (ORDER BY n_chars DESC) - w) + w + 1
+                       AS BIGINT) AS r2
+  FROM sup_b
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+)
+SELECT d.doc_id, sc.s AS dot_milli, d.n_chars,
+       ra.r2 AS r2_score, rb.r2 AS r2_length,
+       CAST(4 * (nn.n + 1) - ra.r2 - rb.r2 AS BIGINT) AS borda2
+FROM documents d
+JOIN sc USING (doc_id)
+JOIN r_a ra ON ra.s = sc.s
+JOIN r_b rb ON rb.n_chars = d.n_chars
+CROSS JOIN nn
+ORDER BY borda2 DESC, d.doc_id
+LIMIT 20
+""",
+)
+def doc_borda_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubled-midrank Borda fusion of the classifier and length rankings
+    (B345): tie-exact positional points, top-20 via orderBy+limit."""
+    d = read_table(spark, sf_dir, "documents")
+    sc = _clf_scores(d)
+    sup_a = sc.groupBy("s").agg(F.count("*").cast("long").alias("w"))
+    w_a = Window.orderBy(F.col("s").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    r_a = sup_a.select(
+        "s",
+        (2 * (F.sum("w").over(w_a) - F.col("w")) + F.col("w") + 1)
+        .cast("long")
+        .alias("r2_score"),
+    )
+    sup_b = d.groupBy("n_chars").agg(F.count("*").cast("long").alias("w"))
+    w_b = Window.orderBy(F.col("n_chars").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r_b = sup_b.select(
+        "n_chars",
+        (2 * (F.sum("w").over(w_b) - F.col("w")) + F.col("w") + 1)
+        .cast("long")
+        .alias("r2_length"),
+    )
+    nn = d.agg(F.count("*").cast("long").alias("n"))
+    return (
+        d.select("doc_id", "n_chars")
+        .join(sc, "doc_id")
+        .join(F.broadcast(r_a), "s")
+        .join(F.broadcast(r_b), "n_chars")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            F.col("s").alias("dot_milli"),
+            "n_chars",
+            "r2_score",
+            "r2_length",
+            F.expr("cast(4 * (n + 1) - r2_score - r2_length as bigint)").alias("borda2"),
+        )
+        .orderBy(F.col("borda2").desc(), "doc_id")
+        .limit(20)
+    )
