@@ -67,6 +67,27 @@ def materialize_scratch(df: DataFrame, tag: str) -> DataFrame:
     return df.sparkSession.read.parquet(path)
 
 
+def sign_safe_log_bucket(col: str, scale: int = 8) -> Column:
+    """A LAZY monotone non-decreasing integer bucket over the FULL signed
+    int64 range, for ``with_exact_rank_range(..., bucket_expr=...)`` on
+    near-unique numeric columns: ``floor(log1p(v)·scale)`` for v ≥ 0 and
+    its mirrored negative twin ``-1 − floor(log1p(−v)·scale)`` below
+    zero. Monotone in v (within each half by log monotonicity; across
+    zero because every negative bucket < 0 ≤ every non-negative bucket),
+    and bounded: ≤ ~``scale``·44 buckets per sign at int64 extremes —
+    always broadcastable, so the rank form needs neither a boundary
+    sketch action nor a scratch spill. Boundary placement only affects
+    balance, never exactness (the rank-range contract); log spacing
+    keeps buckets within a ±1/scale relative value band, which is
+    balanced for value distributions spread over decades."""
+    v = F.col(col).cast("double")
+    return (
+        F.when(v >= 0, F.floor(F.log1p(v) * scale))
+        .otherwise(F.lit(-1) - F.floor(F.log1p(-v) * scale))
+        .cast("long")
+    )
+
+
 def _tile_expr(rank_c: str, n_c: str, n: int) -> Column:
     """ntile-equivalent bucket from an exact 1-based global rank: integer
     `div` throughout — float division would mis-floor at extreme rank

@@ -778,29 +778,42 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation")
     events = read_table(spark, sf_dir, "events")
 
+    # ONE plan, one action (r14 opt): the previous form ran EIGHT serial
+    # driver-side actions (3 anti-join counts + 5 .count()s) at
+    # DataFrame-construction time — each a full job with its own
+    # scheduling overhead, and a driver loop in a query path (guide §5).
+    # Each FK check is now a left join against the distinct parent keys
+    # (child cardinality preserved) aggregated to (rows, violations) in
+    # one pass; null checks are one conditional aggregate; the five
+    # 1-row frames union into a single job whose branches overlap.
     def fk(name, child, key, parent, pkey):
-        viol = child.join(
-            parent.select(pkey), child[key] == parent[pkey], "left_anti"
-        ).count()
-        return (name, child.count(), viol)
+        pk = parent.select(F.col(pkey).alias("__pk")).distinct()
+        return (
+            child.select(F.col(key).alias("__k"))
+            .join(pk, F.col("__k") == F.col("__pk"), "left")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_violations"),
+            )
+            .select(F.lit(name).alias("constraint_name"), "n_rows", "n_violations")
+        )
 
-    rows = [
-        fk("lineitem.l_orderkey -> orders", lineitem, "l_orderkey", orders, "o_orderkey"),
-        fk("orders.o_custkey -> customer", orders, "o_custkey", customer, "c_custkey"),
-        fk("customer.c_nationkey -> nation", customer, "c_nationkey", nation, "n_nationkey"),
-        (
-            "orders.o_totalprice NOT NULL",
-            orders.count(),
-            orders.filter(F.col("o_totalprice").isNull()).count(),
-        ),
-        (
-            "events.value NOT NULL",
-            events.count(),
-            events.filter(F.col("value").isNull()).count(),
-        ),
-    ]
-    out = spark.createDataFrame(
-        rows, "constraint_name string, n_rows long, n_violations long"
+    def nn(name, tbl, col):
+        return tbl.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
+        ).select(F.lit(name).alias("constraint_name"), "n_rows", "n_violations")
+
+    out = (
+        fk("lineitem.l_orderkey -> orders", lineitem, "l_orderkey", orders, "o_orderkey")
+        .unionByName(fk("orders.o_custkey -> customer", orders, "o_custkey", customer, "c_custkey"))
+        .unionByName(fk("customer.c_nationkey -> nation", customer, "c_nationkey", nation, "n_nationkey"))
+        .unionByName(nn("orders.o_totalprice NOT NULL", orders, "o_totalprice"))
+        .unionByName(nn("events.value NOT NULL", events, "value"))
     )
     return out.select(
         "constraint_name",
@@ -856,29 +869,46 @@ def basket_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 bought-together part pairs with support/confidence/lift
     (B164) — pair explode bounded by per-order line count; the retail
     twin of session co-pair mining."""
+    # ONE basket aggregation + in-row pair fanout (r14 opt): the previous
+    # form ran a SEPARATE driver action for n_orders (a full distinct of
+    # lineitem) and mined pairs via a self-join of the distinct line
+    # table on okey — two more shuffles of it. collect_set per order
+    # dedupes (okey, pkey) and bounds the pair fanout by the order's own
+    # line count (the same bound the self-join relied on, avg ~4 / max
+    # ~13 lines); marginals and the order total are branches of the same
+    # basket table, and n_orders folds into the plan as a broadcast.
     lineitem = read_table(spark, sf_dir, "lineitem")
-    lines = lineitem.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
-    ).distinct()
-    n_orders = lines.select("okey").distinct().count()
-    supp1 = lines.groupBy("pkey").agg(F.count("*").cast("long").alias("s"))
-    a = lines.alias("a")
-    b = lines.alias("b")
+    g = lineitem.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    n = g.agg(F.count("*").cast("long").alias("n_orders"))
+    supp1 = (
+        g.select(F.explode("items").alias("pkey"))
+        .groupBy("pkey")
+        .agg(F.count("*").cast("long").alias("s"))
+    )
+    combos = F.expr(
+        "flatten(transform(items, (x, i) ->"
+        " transform(slice(items, i + 2, size(items)), y ->"
+        " struct(x AS p1, y AS p2))))"
+    )
     pairs = (
-        a.join(b, (F.col("b.okey") == F.col("a.okey")) & (F.col("b.pkey") > F.col("a.pkey")))
-        .groupBy(F.col("a.pkey").alias("p1"), F.col("b.pkey").alias("p2"))
+        g.select(F.explode(combos).alias("pr"))
+        .select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
         .agg(F.count("*").cast("long").alias("support"))
         .filter(F.col("support") >= BASKET_MIN_SUPPORT)
     )
     joined = (
         pairs.join(supp1.withColumnRenamed("pkey", "p1").withColumnRenamed("s", "s1"), "p1")
         .join(supp1.withColumnRenamed("pkey", "p2").withColumnRenamed("s", "s2"), "p2")
+        .crossJoin(F.broadcast(n))
         .select(
             "p1",
             "p2",
             "support",
             F.expr("support * 1000000 div s1").cast("long").alias("confidence_ppm"),
-            F.expr(f"(support * {n_orders} * 1000000) div (s1 * s2)")
+            F.expr("(support * n_orders * 1000000) div (s1 * s2)")
             .cast("long")
             .alias("lift_micro"),
         )
@@ -2464,13 +2494,26 @@ def schema_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pytest pins both)."""
     out = None
     for ct, cc, pt, pc in _IND_CANDIDATES:
+        # ONE pass per pair (r14 opt): a full-outer join of the two
+        # distinct key sets yields all three counts from a single
+        # aggregate — the previous three-subtree form (child count ×
+        # parent count × overlap join, crossJoined) scanned the child
+        # side twice and planned 3 aggregates per pair (48 scans / 84
+        # exchanges across the 6-pair union). The distinct exchanges
+        # already partition both sides by v, so the join adds no
+        # exchange; NULL keys behave identically (never equi-join →
+        # unmatched, counted on their own side — same as before).
         child = read_table(spark, sf_dir, ct).select(F.col(cc).alias("v")).distinct()
         parent = read_table(spark, sf_dir, pt).select(F.col(pc).alias("v")).distinct()
         row = (
-            child.agg(F.count("*").cast("long").alias("n_child_distinct"))
-            .crossJoin(parent.agg(F.count("*").cast("long").alias("n_parent_distinct")))
-            .crossJoin(
-                child.join(parent, "v").agg(F.count("*").cast("long").alias("n_overlap"))
+            child.select("v", F.lit(1).alias("c"))
+            .join(parent.select("v", F.lit(1).alias("p")), "v", "full_outer")
+            .agg(
+                F.count("c").cast("long").alias("n_child_distinct"),
+                F.count("p").cast("long").alias("n_parent_distinct"),
+                F.sum(F.when(F.col("c").isNotNull() & F.col("p").isNotNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_overlap"),
             )
             .select(
                 F.lit(f"{ct}.{cc}").alias("child_col"),
@@ -2723,14 +2766,24 @@ def basket_triple_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     consume, let ReuseExchange handle duplication within one job."""
     from ..operators.quantiles import materialize_scratch
 
+    # Pair generation rides the basket-array form (r14 opt, same change
+    # as basket_pair_mining): one groupBy(okey) + bounded in-row combo
+    # explode replaces the distinct + self-join — the spilled pair table
+    # is byte-identical, so candidates/faces/ledger below are untouched.
     lineitem = read_table(spark, sf_dir, "lineitem")
-    lines = lineitem.select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
-    ).distinct()
-    a, b = lines.alias("a"), lines.alias("b")
+    g = lineitem.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    combos = F.expr(
+        "flatten(transform(items, (x, i) ->"
+        " transform(slice(items, i + 2, size(items)), y ->"
+        " struct(x AS p1, y AS p2))))"
+    )
+    lines = g.select("okey", F.explode("items").alias("pkey"))
     pairs = materialize_scratch(
-        a.join(b, (F.col("b.okey") == F.col("a.okey")) & (F.col("b.pkey") > F.col("a.pkey")))
-        .groupBy(F.col("a.pkey").alias("p1"), F.col("b.pkey").alias("p2"))
+        g.select(F.explode(combos).alias("pr"))
+        .select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
         .agg(F.count("*").cast("long").alias("support"))
         .filter(F.col("support") >= BASKET_MIN_SUPPORT),
         "basket3_pairs",
