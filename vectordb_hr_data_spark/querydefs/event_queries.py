@@ -3741,14 +3741,24 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     wsweep = Window.orderBy(F.col("t_us").asc(), F.col("delta").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    swept = bounds.select("t_us", F.sum("delta").over(wsweep).alias("live"))
-    n_sessions = intervals.count()
-    peak_row = swept.agg(F.max("live").alias("p")).collect()[0]
-    peak = int(peak_row.p)
-    first = swept.filter(F.col("live") == peak).agg(F.min("t_us").alias("t")).collect()[0]
-    return spark.createDataFrame(
-        [(n_sessions, peak, int(first.t))],
-        "n_sessions long, peak_concurrency long, peak_start_us long",
+    swept = bounds.select("t_us", "delta", F.sum("delta").over(wsweep).alias("live"))
+    # ONE aggregate, ZERO driver actions (r14 opt): the previous form
+    # collected three scalars in three separate jobs, re-executing the
+    # sessionize + sweep chain each time. n_sessions = the +1 boundary
+    # count; the earliest peak instant rides a lexicographic max over
+    # struct(live, -t_us) — maximize live, then minimize t_us — so the
+    # whole report is a single pass over the swept frame.
+    return swept.agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sessions"),
+        F.max(F.struct(F.col("live").alias("live"), (-F.col("t_us")).alias("nt"))).alias(
+            "__m"
+        ),
+    ).select(
+        "n_sessions",
+        F.col("__m.live").cast("long").alias("peak_concurrency"),
+        (-F.col("__m.nt")).cast("long").alias("peak_start_us"),
     )
 
 
@@ -7645,13 +7655,17 @@ def events_voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("d")
     ).agg(F.count("*").cast("long").alias("c"))
     wseq = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # pre (|days| rows) feeds SEVEN consumers (tot, the three split
+    # sides, and the three boundary lookups) — checkpoint it once so the
+    # events scan + daily window pay once, not per branch (the r14-before
+    # plan held 76 exchanges / 38 scans from this fan-out; r14 opt).
     pre = daily.select(
         "d",
         "c",
         F.row_number().over(Window.orderBy("d")).cast("long").alias("rn"),
         F.sum("c").over(wseq).cast(dec).alias("p1"),
         F.sum(F.expr("cast(c as decimal(38,0)) * c")).over(wseq).cast(dec).alias("p2"),
-    )
+    ).localCheckpoint(eager=True)
     tot = pre.orderBy(F.col("rn").desc()).limit(1).select(
         F.col("rn").alias("dn"), F.col("p1").alias("q1"), F.col("p2").alias("q2")
     )
@@ -7677,12 +7691,21 @@ def events_voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     best = spl.orderBy("total", "i", "j", "k").limit(1)
-    segb = (
-        best.selectExpr("1 as seg_id", "cast(0 as bigint) as a", "i as b", "total")
-        .unionByName(best.selectExpr("2 as seg_id", "i as a", "j as b", "total"))
-        .unionByName(best.selectExpr("3 as seg_id", "j as a", "k as b", "total"))
-        .unionByName(best.selectExpr("4 as seg_id", "k as a", "dn as b", "total"))
-    )
+    # the four segment rows come from ONE in-row explode of the single
+    # best row — the previous 4-way union of best re-executed the cubic
+    # split enumeration once per segment (column pruning differs per
+    # branch, so no exchange reuse; r14 opt)
+    segb = best.select(
+        F.explode(
+            F.expr(
+                "array(struct(1L AS seg_id, cast(0 as bigint) AS a, i AS b),"
+                " struct(2L AS seg_id, i AS a, j AS b),"
+                " struct(3L AS seg_id, j AS a, k AS b),"
+                " struct(4L AS seg_id, k AS a, dn AS b))"
+            )
+        ).alias("sg"),
+        "total",
+    ).select(F.col("sg.seg_id").alias("seg_id"), F.col("sg.a").alias("a"), F.col("sg.b").alias("b"), "total")
     plo = pre.select((F.col("rn") - 1).alias("a"), F.col("d").alias("day_lo"))
     phi = pre.select(
         F.col("rn").alias("b"),

@@ -875,23 +875,41 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ENTIRE upstream chain once per branch — measured 205 s vs ~8 s at
     # sf0.1 — so each boundary localCheckpoints (eager, like the CC edge
     # list): same per-stage plans as the standalone queries, paid once.
-    # stage 1: exact dedup — keep the min doc_id of each content-hash group
-    keep1 = d.groupBy(F.md5(F.col("text"))).agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-    d1 = d.join(keep1, "doc_id", "left_semi").localCheckpoint(eager=True)
-    # stage 2: near-dup keep-canonical over the exact-dedup survivors
-    pairs = jaccard_pairs(d1).select("doc_id_1", "doc_id_2")
-    d2 = dedup_keep_canonical(d1, pairs, id_col="doc_id")
-    # stage 3: decontamination — test shingles come from the FULL corpus
-    # (the eval split exists regardless of what dedup kept)
+    # stage 1+2 (dedup chain) and stage 3's shingle table are INDEPENDENT
+    # subgraphs that were serialized by their eager materializations; the
+    # r14 optimization overlaps them (guide §2.6): two driver threads
+    # submit both chains, the scheduler back-fills the tail of either
+    # with the other's tasks (~1 s at sf0.1; the win grows with the
+    # straggler tail at scale). Frames produced are identical.
     ft = d.select(
         "doc_id",
         F.expr(H.spark_tokens("text")).alias("toks"),
         F.expr(_BUCKET_SPARK).alias("bucket"),
     )
-    fh = ft.select("doc_id", "bucket", F.expr(H.spark_hash_array("toks")).alias("th"))
-    fs = fh.select(
-        "doc_id", "bucket", F.expr(H.spark_shingle_keys("th", DECON_N)).alias("sk")
-    ).localCheckpoint(eager=True)  # expensive HOF under a Generate, 2 consumers
+
+    def _dedup_chain() -> DataFrame:
+        # stage 1: exact dedup — keep the min doc_id per content-hash group
+        keep1 = (
+            d.groupBy(F.md5(F.col("text"))).agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+        )
+        d1 = d.join(keep1, "doc_id", "left_semi").localCheckpoint(eager=True)
+        # stage 2: near-dup keep-canonical over the exact-dedup survivors
+        pairs = jaccard_pairs(d1).select("doc_id_1", "doc_id_2")
+        return dedup_keep_canonical(d1, pairs, id_col="doc_id")
+
+    def _shingle_chain() -> DataFrame:
+        # stage 3 input: test shingles come from the FULL corpus (the
+        # eval split exists regardless of what dedup kept)
+        fh = ft.select("doc_id", "bucket", F.expr(H.spark_hash_array("toks")).alias("th"))
+        return fh.select(
+            "doc_id", "bucket", F.expr(H.spark_shingle_keys("th", DECON_N)).alias("sk")
+        ).localCheckpoint(eager=True)  # expensive HOF under a Generate, 2 consumers
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_d2, fut_fs = pool.submit(_dedup_chain), pool.submit(_shingle_chain)
+        d2, fs = fut_d2.result(), fut_fs.result()
     fex = fs.select("doc_id", "bucket", F.explode("sk").alias("k"))
     test_sh = fex.filter(F.col("bucket") >= 90).select("k").distinct()
     contaminated = (
@@ -1200,7 +1218,17 @@ def _dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     ).select("doc_id", "lang", F.expr(_dsir_bucket("g.w1", "g.w2", "spark")).alias("b"))
-    db = bi.groupBy("doc_id", "lang", "b").agg(F.count("*").alias("n"))
+    # db feeds FOUR consumers (tgt, raw, their totals, the scored join);
+    # per-branch column pruning defeats exchange reuse, so without a cut
+    # the corpus bigram explode re-executes per branch (52 exchanges /
+    # 20 scans in the r14-before plan). One eager localCheckpoint of the
+    # per-(doc, bucket) count table — the same boundary _quality_prep
+    # already cuts — pays the explode once (r14 opt).
+    db = (
+        bi.groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     tgt = db.filter(F.col("lang") == "en").groupBy("b").agg(F.sum("n").alias("ct"))
     raw = db.groupBy("b").agg(F.sum("n").alias("cr"))
     tot = tgt.agg(F.sum("ct").alias("nt")).crossJoin(raw.agg(F.sum("cr").alias("nr")))
@@ -5018,15 +5046,16 @@ def doc_ring_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(pos - h + 4294967296) % 4294967296").alias("rd"),
         )
     )
+    # argmin by (rd, srv, vn) as a MIN over a struct (lexicographic
+    # struct comparison == the previous window's ORDER BY) — a map-side-
+    # combinable aggregate, so the docs × servers × vnodes candidate
+    # fan-out (≈22M rows at sf0.1) partial-reduces in the scan stage
+    # instead of shuffling through a row_number sort (r14 opt; guide
+    # §2.3 "aggregate before you shuffle").
     asg = (
-        cand.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("n_srv", "doc_id").orderBy("rd", "srv", "vn")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .select("n_srv", "doc_id", "srv")
+        cand.groupBy("n_srv", "doc_id")
+        .agg(F.min(F.struct("rd", "srv", "vn")).alias("__m"))
+        .select("n_srv", "doc_id", F.col("__m.srv").alias("srv"))
     )
     a = asg.filter(F.col("n_srv") == _B313_N_A).select("doc_id", F.col("srv").alias("srv_a"))
     b = asg.filter(F.col("n_srv") == _B313_N_B).select("doc_id", F.col("srv").alias("srv_b"))

@@ -2396,25 +2396,34 @@ def orders_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mpos = members.crossJoin(F.broadcast(seeds)).select(pos_expr.alias("pos")).distinct()
     probe = li.select(F.col("l_orderkey").alias("key")).distinct()
-    ppos = probe.crossJoin(F.broadcast(seeds)).select("key", pos_expr.alias("pos"))
+    # ONE pass over the probe keys (r14 opt): the previous form ran the
+    # expensive lineitem distinct TWICE — once through the bloom-hit
+    # chain, once through the membership-truth join (column pruning
+    # differs, so no exchange reuse). Carrying the member flag through
+    # the seed explode and LEFT-joining the broadcast position table
+    # yields nhit AND is_member per key in one chain, and n_probe /
+    # n_true / n_pass fall out of a single aggregate.
+    t = probe.join(members.withColumn("is_m", F.lit(1)), "key", "left")
+    tp = t.crossJoin(F.broadcast(seeds)).select("key", "is_m", pos_expr.alias("pos"))
     hit = (
-        ppos.join(F.broadcast(mpos), "pos")
+        tp.join(F.broadcast(mpos.withColumn("__hit", F.lit(1))), "pos", "left")
         .groupBy("key")
-        .agg(F.count("*").cast("long").alias("nhit"))
+        .agg(
+            F.count("__hit").cast("long").alias("nhit"),
+            F.max(F.coalesce(F.col("is_m"), F.lit(0))).alias("is_m"),
+        )
     )
-    n_pass = hit.filter(F.col("nhit") == _BLOOM_K).agg(
-        F.count("*").cast("long").alias("n_pass")
-    )
-    truth = probe.join(members.withColumn("is_m", F.lit(1)), "key", "left")
-    stats = truth.agg(
+    stats = hit.agg(
         F.count("*").cast("long").alias("n_probe_keys"),
-        F.sum(F.coalesce(F.col("is_m"), F.lit(0))).cast("long").alias("n_true_members"),
+        F.sum("is_m").cast("long").alias("n_true_members"),
+        F.sum(F.when(F.col("nhit") == _BLOOM_K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass"),
     )
     return (
         members.agg(F.count("*").cast("long").alias("n_members"))
         .crossJoin(F.broadcast(mpos.agg(F.count("*").cast("long").alias("bits_set"))))
         .crossJoin(F.broadcast(stats))
-        .crossJoin(F.broadcast(n_pass))
         .select(
             "n_members",
             "bits_set",

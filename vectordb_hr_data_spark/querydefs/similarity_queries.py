@@ -3698,6 +3698,15 @@ def rec_coverage_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= REC_EVAL_K)
         .select("query_id", "vec_id", "embedding")
     )
+    # the Q·k rec lists feed BOTH the coverage counts and the ILD pair
+    # join — checkpoint the (tiny, Q·k-row) frame so the broadcast NN
+    # scoring pass runs once, and fold every scalar into ONE final plan
+    # (r14 opt: the previous form ran FOUR driver actions — recs.count,
+    # distinct count, emb.count, ild collect — re-executing the scored
+    # pass each time; 2.2 -> ~0.9 s at sf0.1). A degenerate catalog
+    # (no intra-list pairs) yields SQL NULL mean_ild_micro from the
+    # empty aggregate — same as the oracle's scalar subquery.
+    recs = recs.localCheckpoint(eager=True)
     a = recs.alias("a")
     b = recs.alias("b")
     ild = (
@@ -3713,27 +3722,27 @@ def rec_coverage_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.round(F.avg("pd") * 1000000.0).cast("long").alias("ild_micro"))
     )
-    n_total = recs.count()
-    n_distinct = recs.select("vec_id").distinct().count()
-    catalog = emb.count()
-    ild_stats = ild.agg(F.expr("sum(ild_micro) div count(*)").cast("long").alias("m")).collect()[0]
-    # Degenerate catalog (<2 non-query vectors → no intra-list pairs): the
-    # aggregate collects m=None and the oracle's scalar subquery returns
-    # NULL — emit None to match, instead of int(None) raising TypeError.
-    mean_ild = int(ild_stats.m) if ild_stats.m is not None else None
-    return spark.createDataFrame(
-        [
-            (
-                REC_EVAL_QUERIES,
-                n_total,
-                n_distinct,
-                catalog,
-                n_distinct * 1_000_000 // catalog,
-                mean_ild,
-            )
-        ],
-        "n_queries long, n_recs_total long, n_distinct_items long, catalog_size long,"
-        " coverage_ppm long, mean_ild_micro long",
+    rstats = recs.agg(
+        F.count("*").cast("long").alias("n_recs_total"),
+        F.countDistinct("vec_id").cast("long").alias("n_distinct_items"),
+    )
+    cat = emb.agg(F.count("*").cast("long").alias("catalog_size"))
+    ild_m = ild.agg(
+        F.expr("sum(ild_micro) div count(*)").cast("long").alias("mean_ild_micro")
+    )
+    return (
+        rstats.crossJoin(F.broadcast(cat))
+        .crossJoin(F.broadcast(ild_m))
+        .select(
+            F.lit(REC_EVAL_QUERIES).cast("long").alias("n_queries"),
+            "n_recs_total",
+            "n_distinct_items",
+            "catalog_size",
+            F.expr("n_distinct_items * 1000000 div catalog_size")
+            .cast("long")
+            .alias("coverage_ppm"),
+            "mean_ild_micro",
+        )
     )
 
 

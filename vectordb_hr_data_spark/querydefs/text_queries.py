@@ -476,6 +476,12 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
+    # db feeds THREE consumers (c2, c1, the scored join); an eager
+    # localCheckpoint here was MEASURED SLOWER at sf0.1 (1.47 -> 2.05 s:
+    # the per-(doc, bigram) table is corpus-sized, so materializing it
+    # costs more than the duplicated explode) — unlike the dsir twin,
+    # whose per-(doc, BUCKET) table is 4096-bounded per doc and does
+    # benefit. Left uncut deliberately (r14 opt note).
     db = bi.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n_b"))
     c2 = db.groupBy("w1", "w2").agg(F.sum("n_b").alias("c2"))
     c1 = db.groupBy("w1").agg(F.sum("n_b").alias("c1"))
