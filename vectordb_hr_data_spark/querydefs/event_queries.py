@@ -1804,6 +1804,12 @@ def densify_hourly_grid(hourly: DataFrame) -> DataFrame:
     itself (identical to deriving from raw events: the groupBy drops no
     key). Bounded output: |types| x |days| x 24."""
     spark = hourly.sparkSession
+    # hourly feeds THREE consumers (types, days, the grid join) and the
+    # report built on top fans out further — checkpoint the bounded
+    # (type, day, hod, n) table once so the raw-events groupBy behind it
+    # never re-executes per branch (r14 opt; benefits B108/B116 and the
+    # streaming read twins alike).
+    hourly = hourly.localCheckpoint(eager=True)
     types = hourly.select("event_type").distinct()
     days = hourly.select("day").distinct()
     hours = spark.range(24).select(F.col("id").cast("int").alias("hod"))
@@ -2270,20 +2276,20 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dur"),
             F.col("tp").isNotNull().alias("is_event"),
         )
-        .localCheckpoint(eager=True)  # two consumers: total + byday
     )
-    total = durs.count()
     byday = durs.groupBy(F.col("dur").alias("day")).agg(
         F.count("*").cast("long").alias("n_leaving"),
         F.sum(F.when(F.col("is_event"), 1).otherwise(0)).cast("long").alias("n_events"),
     )
-    wprev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    # n_at_risk = total − Σ(earlier leavers) ≡ the REVERSE cumulative sum
+    # over [day, end] — so the separate driver count() action (and the
+    # checkpoint it forced) disappears; one window over the |days|-row
+    # aggregate computes it in-plan (r14 opt).
+    wfrom = Window.orderBy("day").rowsBetween(Window.currentRow, Window.unboundedFollowing)
     risk = byday.select(
         "day",
         "n_events",
-        (F.lit(total) - F.coalesce(F.sum("n_leaving").over(wprev), F.lit(0)))
-        .cast("long")
-        .alias("n_at_risk"),
+        F.sum("n_leaving").over(wfrom).cast("long").alias("n_at_risk"),
     )
     steps = risk.filter(F.col("n_events") > 0).select(
         "day",
@@ -4105,6 +4111,11 @@ def stl_report_from_counts(counts: DataFrame) -> DataFrame:
     (`stream_ops.stl_from_state`): the hourly counts are the only state a
     stream needs (plain summed counts, trivially mergeable); trend /
     seasonal / residual are read-time algebra over the reduced grid."""
+    # counts (≤ |hours| rows) feeds bounds AND the grid join, and the
+    # decomposition fans out twice more above — checkpoint once so the
+    # raw-events groupBy behind it never re-executes per branch (r14
+    # opt; 16 scans in events_stl_residual_anomaly's before-plan).
+    counts = counts.localCheckpoint(eager=True)
     bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     grid = bounds.select(F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"))
     series = grid.join(counts, "h", "left").select(
@@ -5747,7 +5758,14 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.coalesce(F.bit_or("bit"), F.lit(0)).alias("mask"))
     )
-    c_t = touch.groupBy("mask").agg(F.count("*").cast("long").alias("c"))
+    # 16-row mask histogram, checkpointed: it feeds BOTH the coalition
+    # v(S) table and the totals row, and without the cut each branch
+    # re-executes the events join + per-user groupBy behind it (r14 opt)
+    c_t = (
+        touch.groupBy("mask")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     coalitions = spark.range(16).select(F.col("id").cast("long").alias("s"))
     v = (
         coalitions.join(
@@ -5768,9 +5786,13 @@ def events_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("channel")
         .agg(F.sum(weight * (F.col("v1") - F.col("v0"))).cast("long").alias("phi_24"))
     )
-    tot = touch.agg(
-        F.count("*").cast("long").alias("n_conversions"),
-        F.sum(F.when(F.col("mask") > 0, 1).otherwise(0))
+    # the totals derive EXACTLY from the 16-row mask histogram — reading
+    # them from c_t instead of touch removes the second execution of the
+    # events join + per-user groupBy (r14 opt: touch had two consumers,
+    # and per-branch pruning defeats exchange reuse)
+    tot = c_t.agg(
+        F.sum("c").cast("long").alias("n_conversions"),
+        F.sum(F.when(F.col("mask") > 0, F.col("c")).otherwise(0))
         .cast("long")
         .alias("n_touched_conversions"),
     )
@@ -6580,39 +6602,51 @@ def events_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P(reach purchase within k steps | start type), k = 1..4, from the
     B71 transition matrix with purchase absorbing (B267) — exact integer
     ppm dynamic program over the V²-row matrix."""
-    tm = (
+    # The DP runs over the BOUNDED V²-row type-transition matrix (V =
+    # event-type vocabulary), so it is legitimate driver state — the
+    # same bounded-state argument as the k-means centroids and the CC
+    # union-find. The previous form ran the 4 matrix-vector steps as 4
+    # eager checkpoint jobs plus 3 join jobs over ≤|V|-row frames
+    # (~2.0 s of pure job overhead at sf0.1); ONE collect of the matrix
+    # and an exact-integer Python replay of the same algebra (inner-join
+    # key semantics included) is ~4× cheaper and bit-identical (r14
+    # opt). prob_ppm and the reach values are non-negative, so Python
+    # // equals SQL div here.
+    rows = (
         events_markov_transitions(spark, sf_dir)
         .select("from_type", "to_type", "prob_ppm")
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    a = tm.select(F.col("from_type").alias("s")).distinct().select(
-        "s",
-        F.when(F.col("s") == _ABSORB_TARGET, 1000000).otherwise(0).cast("long").alias("val"),
-    )
+    out_edges: dict = {}
+    for r in rows:
+        out_edges.setdefault(r.from_type, []).append((r.to_type, int(r.prob_ppm)))
+    vals = {
+        s: (1_000_000 if s == _ABSORB_TARGET else 0) for s in out_edges
+    }
     snaps = []
     for _k in range(_ABSORB_STEPS):
-        a = (
-            tm.join(a.withColumnsRenamed({"s": "t"}), F.col("to_type") == F.col("t"))
-            .groupBy("from_type")
-            .agg(
-                F.when(
-                    F.col("from_type") == _ABSORB_TARGET, F.lit(1000000)
-                )
-                .otherwise(F.expr("sum(prob_ppm * val) div 1000000"))
-                .cast("long")
-                .alias("val")
-            )
-            .withColumnsRenamed({"from_type": "s"})
-            .localCheckpoint(eager=True)
-        )
-        snaps.append(a)
-    out = snaps[0].withColumnsRenamed({"val": "reach_1_ppm", "s": "start_type"})
-    for k in range(2, _ABSORB_STEPS + 1):
-        out = out.join(
-            snaps[k - 1].withColumnsRenamed({"val": f"reach_{k}_ppm", "s": "start_type"}),
-            "start_type",
-        )
-    return out.orderBy("start_type")
+        new_vals = {}
+        for s, edges in out_edges.items():
+            # inner-join semantics: only to_types present in the current
+            # vector contribute, and a from_type with NO contributing
+            # edge drops out of the vector entirely
+            contrib = [(p, vals[t]) for t, p in edges if t in vals]
+            if not contrib:
+                continue
+            if s == _ABSORB_TARGET:
+                new_vals[s] = 1_000_000
+            else:
+                new_vals[s] = sum(p * v for p, v in contrib) // 1_000_000
+        vals = new_vals
+        snaps.append(dict(vals))
+    keys = sorted(set(snaps[0]).intersection(*snaps[1:]))
+    data = [
+        tuple([s] + [snaps[k][s] for k in range(_ABSORB_STEPS)]) for s in keys
+    ]
+    schema = "start_type string, " + ", ".join(
+        f"reach_{k}_ppm long" for k in range(1, _ABSORB_STEPS + 1)
+    )
+    return spark.createDataFrame(data, schema).orderBy("start_type")
 
 
 # ---------------------------------------------------------------------------
@@ -8770,40 +8804,35 @@ def events_ttl_cache_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lag("t_s").over(Window.partitionBy("user_id", "k").orderBy("t_s", "event_id"))
         ).alias("gap_s")
     )
-    tot = gaps.agg(
+    # ONE pass over the gap table (r14 opt): the TTL grid is literal, so
+    # the per-TTL hit counts/served ages are 10 conditional aggregates of
+    # a single global agg (with the access totals folded in), unpivoted
+    # to the 5 curve rows by an in-row explode — the previous form
+    # crossJoined the grid into the gap rows (5× fan-out, one groupBy)
+    # AND re-ran the lag window for the totals branch.
+    ttls = [60, 300, 1800, 7200, 86400]
+    aggs = [
         F.count("*").cast("long").alias("n_acc"),
         F.count("gap_s").cast("long").alias("n_repeat"),
-    )
-    curve = spark.createDataFrame(
-        [(60,), (300,), (1800,), (7200,), (86400,)], "ttl_s long"
-    )
-    sel = (
-        F.broadcast(curve)
-        .crossJoin(gaps)
-        .groupBy("ttl_s")
-        .agg(
-            F.sum(
-                F.when(F.col("gap_s").isNotNull() & (F.col("gap_s") <= F.col("ttl_s")), 1)
-                .otherwise(0)
-            )
+    ]
+    for t in ttls:
+        hitc = F.col("gap_s").isNotNull() & (F.col("gap_s") <= F.lit(t))
+        aggs.append(F.sum(F.when(hitc, 1).otherwise(0)).cast("long").alias(f"h{t}"))
+        aggs.append(
+            F.coalesce(F.sum(F.when(hitc, F.col("gap_s"))), F.lit(0))
             .cast("long")
-            .alias("n_hits"),
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("gap_s").isNotNull() & (F.col("gap_s") <= F.col("ttl_s")),
-                        F.col("gap_s"),
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("sum_served_age_s"),
+            .alias(f"a{t}")
         )
+    one = gaps.agg(*aggs)
+    rows = ", ".join(
+        f"struct(cast({t} as bigint) as ttl_s, h{t} as n_hits, a{t} as sum_served_age_s)"
+        for t in ttls
     )
+    sel = one.select(
+        "n_acc", "n_repeat", F.explode(F.expr(f"array({rows})")).alias("r")
+    ).select("n_acc", "n_repeat", "r.ttl_s", "r.n_hits", "r.sum_served_age_s")
     return (
-        sel.crossJoin(F.broadcast(tot))
-        .select(
+        sel.select(
             "ttl_s",
             F.col("n_acc").alias("n_accesses"),
             F.col("n_repeat").alias("n_repeat_accesses"),
