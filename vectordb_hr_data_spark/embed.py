@@ -21,7 +21,7 @@ of the reference's hand-rolled 5000-row slicing.
 from __future__ import annotations
 
 import hashlib
-import struct
+
 
 import pandas as pd
 
@@ -34,12 +34,15 @@ def _hash_vec(text: str, dim: int) -> list[float]:
     scaled to [-1, 1]. Pure function of the text — rebuilding the index is
     idempotent (the property the reference's freshness check approximates,
     reference ``vector_db.py:85-103``)."""
-    out = []
-    for i in range(dim):
-        h = hashlib.sha256(f"{text}:{i}".encode("utf-8")).digest()
-        (u,) = struct.unpack(">I", h[:4])
-        out.append((u / 2147483647.5) - 1.0)
-    return out
+    # hot loop (dim sha256 calls per ROW): encode the text once, format
+    # the suffix as bytes, slice-to-int without struct — byte-identical
+    # digests, ~2× less Python overhead (r14 opt; guide §4.2)
+    sha = hashlib.sha256
+    tb = text.encode("utf-8")
+    return [
+        (int.from_bytes(sha(tb + b":%d" % i).digest()[:4], "big") / 2147483647.5) - 1.0
+        for i in range(dim)
+    ]
 
 
 def deterministic_embedder(dim: int = 64):
