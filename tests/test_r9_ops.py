@@ -842,20 +842,17 @@ def test_new_op_plan_hygiene(spark, sf_dir):
     assert "TakeOrderedAndProject" in p1
     sched = p1.split("ReadSchema:")[1].splitlines()[0]
     assert "text" in sched and "n_chars" not in sched  # column pruning holds
-    # r13: rfm spills its user aggregate ONCE to a scratch parquet (the
-    # rank-range lifecycle fix), so the RETURNED plan re-roots at the
-    # spill — assert that re-root, and verify the purchase/value filter
-    # pushdown on the UPSTREAM plan that produces the spill instead
-    p2 = events_user_rfm(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    assert "scratch-mat_rfm_users" in p2, "rfm no longer reads its one-shot spill"
-    # audit the ACTUAL spill-producing plan, not a hand-rebuilt equivalent
-    # (ADVICE r13): rfm_user_features IS the frame events_user_rfm hands to
-    # materialize_scratch
-    from vectordb_hr_data_spark.querydefs.event_queries import rfm_user_features
-
-    up = rfm_user_features(spark, sf_dir)
-    p3 = up._jdf.queryExecution().executedPlan().toString()
-    assert "EqualTo(event_type,purchase)" in p3 and "IsNotNull(value)" in p3
+    # r14 optimization: the m-quintile rides a LAZY sign-safe log bucket
+    # (quantiles.sign_safe_log_bucket), so rfm needs NEITHER the scratch
+    # spill nor a boundary-sketch action — the whole triple score is one
+    # lazy plan rooted at the events scan. Assert the new discipline:
+    # no scratch read, no cached RDDs, and the purchase/value filters
+    # pushed into the events scan of the FINAL plan itself.
+    rfm = events_user_rfm(spark, sf_dir)
+    p2 = rfm._jdf.queryExecution().executedPlan().toString()
+    assert "scratch-" not in p2, "rfm regained a scratch spill"
+    assert "EqualTo(event_type,purchase)" in p2 and "IsNotNull(value)" in p2
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
 
 
 def test_sliding_hll_tracks_exact(spark, sf_dir):

@@ -2064,8 +2064,13 @@ def neardup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wedge-closure rate over the verified near-dup pair set (B218) —
     high closure says keep-first-per-component is safe, low closure says
     the clusters are chains needing medoid repair."""
-    p = neardup_ngram_jaccard(spark, sf_dir).select(
-        F.col("doc_id_1").alias("u"), F.col("doc_id_2").alias("v")
+    # the verified pair set (small) feeds both union sides AND the
+    # closure probe — checkpoint it so the shingle/verify pipeline runs
+    # once, not three times (18 exchanges / 21 scans before; r14 opt)
+    p = (
+        neardup_ngram_jaccard(spark, sf_dir)
+        .select(F.col("doc_id_1").alias("u"), F.col("doc_id_2").alias("v"))
+        .localCheckpoint(eager=True)
     )
     sym = p.unionByName(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
     s1, s2 = sym.alias("s1"), sym.alias("s2")

@@ -1829,15 +1829,14 @@ def query_expansion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     with original terms at weight 2, expansions at weight 1."""
     d = read_table(spark, sf_dir, "documents")
     qterms = list(BM25_QUERY_TERMS)
-    # inc feeds the df counts, the query-incidence probe, the PMI pair
-    # join AND the final BM25 scoring job (TWO actions) — checkpoint the
-    # distinct (doc, token) table once so the explode+distinct runs once
-    # per call, not once per consumer (r14 opt).
+    # inc feeds several consumers across two actions; checkpointing it
+    # was MEASURED SLOWER at sf0.1 (2.0 -> 2.8 s — the (doc, token)
+    # incidence table is corpus-sized, the doc_lm_perplexity lesson), so
+    # it stays lazy deliberately (r14 opt note).
     inc = (
         d.filter(F.col("text") != "")
         .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n_docs = d.count()
     cu = inc.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
@@ -3053,7 +3052,11 @@ def clf_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.expr("sum(smicro) div count(*)").cast("long").alias("mean_conf_micro"),
         F.sum("y").cast("long").alias("pos"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ the 20-row reliability table feeds the cumulative view, the PAV
+    # pair grid, and the final join — without the cut each branch
+    # re-executes the corpus classifier chain behind it (30 exchanges /
+    # 16 scans in the r14-before plan; r14 opt)
     w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = bins.select(
         "bin",
