@@ -630,7 +630,13 @@ def doc_lm_perplexity_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         # it, and a bare long cast truncates toward zero — round first so
         # the reconstruction is exact (ADVICE r6)
         F.round(F.col("cross_entropy") * 1000000.0, 0).cast("long").alias("ce_micro"),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ the PER-DOC score table (|docs| rows of two ints) feeds both the
+    # cut aggregate and the gate filter — without the cut the entire
+    # bigram-LM chain (corpus explode + three count branches) executed
+    # twice (38 exchanges / 16 scans in the r14-before plan). Unlike the
+    # per-(doc, bigram) table (measured slower to checkpoint), this one
+    # is reduced-dimension — the profitable boundary (r14 opt).
     cut = lm.agg(
         F.expr("approx_percentile(ce_micro, 0.75, 10000)").alias("cut")
     )
