@@ -94,10 +94,15 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(record))
+    # The ONE-LINE JSON contract requires this line to be the LAST thing the
+    # process emits (r13's driver parse failed because a self-check recheck
+    # line landed after it in the combined capture — VERDICT r14 item 7), so
+    # the dump is deferred to _emit_record() at the very end of main(); all
+    # progress/self-check chatter above goes to stderr BEFORE it.
     if only:
         # subset runs are for iteration — don't clobber the full record
         spark.stop()
+        _emit_record(record)
         return
     # durable full record (stdout may be truncated by the harness)
     try:
@@ -191,7 +196,23 @@ def main() -> None:
                     )
     spark.stop()
     if problems:
-        raise SystemExit("bench self-check FAILED: " + "; ".join(problems))
+        # rc != 0 signals the failure; the record still goes out last so a
+        # tolerant caller can read the numbers that produced it
+        print("bench self-check FAILED: " + "; ".join(problems), file=sys.stderr)
+        _emit_record(record)
+        raise SystemExit(3)
+    _emit_record(record)
+
+
+def _emit_record(record: dict) -> None:
+    """Print the one-line JSON as the process's FINAL output and flush.
+
+    Everything else (progress, rechecks, self-check verdicts) writes to
+    stderr strictly before this call, so a combined stdout+stderr capture
+    always ends with a parseable JSON line (VERDICT r14 item 7; a unit
+    test pins last-line-parses on a subset run)."""
+    sys.stderr.flush()
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,134 @@
+"""Round-15 cache-lifecycle guards (VERDICT r14 what's-wrong #2 / next #2).
+
+The dedup/LSH/decontamination builders ``.cache()`` intermediates that the
+returned lazy plan consumes several times; before r15 nothing ever
+unpersisted them, so a long-lived session accumulated one MEMORY_AND_DISK
+block set per query call — a guide-§5 memory hazard at scale. r15 gives
+every registry query a GENERATIONAL cache lifecycle
+(``operators.cachescope``): intermediates registered via ``scope_caches``
+stay persisted while their query (or anything derived from its result) can
+still run, and are unpersisted when the NEXT top-level query begins — or
+immediately via ``release_query_caches()``. These tests pin the
+discipline:
+
+- unit: a scoped cache survives its own query's action, is released by the
+  next query boundary, and ``release_query_caches`` is idempotent;
+- registry-wide: running EVERY registered query start-to-finish leaves no
+  `.cache()`-style persistent RDDs once the generation is released.
+  (Eager localCheckpoint RDDs are GC-bounded — ContextCleaner reclaims
+  them once the JVM collects the dropped plan — so the sweep drains those
+  with a polled System.gc() rather than asserting an instant zero.)
+"""
+
+from __future__ import annotations
+
+import gc
+import time
+
+
+def _persistent_ids(spark) -> set[int]:
+    # py4j auto-converts java.lang.Integer keys to Python ints
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(str(k)) for k in jmap.keySet().toArray()}
+
+
+def _drain(spark, baseline: set[int], timeout: float = 30.0) -> set[int]:
+    """Poll until persistent RDDs return to ``baseline`` (or timeout).
+
+    release_query_caches residue vanishes synchronously; eager
+    localCheckpoint residue needs the JVM to collect the dropped Dataset
+    and ContextCleaner to process the weak-ref queue, hence the polled
+    System.gc(). Returns whatever is still left over."""
+    deadline = time.time() + timeout
+    while True:
+        gc.collect()
+        leftover = _persistent_ids(spark) - baseline
+        if not leftover or time.time() >= deadline:
+            return leftover
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.25)
+
+
+def test_scoped_cache_survives_action_then_releases(spark):
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.operators.cachescope import (
+        query_boundary,
+        release_query_caches,
+        scope_caches,
+    )
+
+    release_query_caches()  # clean slate
+    before = _persistent_ids(spark)
+
+    @query_boundary
+    def q(spark, sf_dir):
+        inter = spark.range(1000).select((F.col("id") % 7).alias("k")).cache()
+        return scope_caches(
+            inter.groupBy("k").count().join(inter.select("k").distinct(), "k"), inter
+        )
+
+    result = q(spark, None)
+    # the action happens AFTER the builder returns — the cache must still
+    # be alive here (this is exactly where the bench/oracle consume it)
+    assert result.count() == 7
+    assert _persistent_ids(spark) - before, "cache never materialized — test is vacuous"
+    # a DERIVED frame keeps working even after release (recompute, never wrong)
+    derived = result.select("k")
+    assert release_query_caches() == 1
+    assert _persistent_ids(spark) - before == set(), "release left the cache behind"
+    assert derived.count() == 7
+    assert release_query_caches() == 0  # idempotent
+
+
+def test_next_query_boundary_sweeps_previous_generation(spark):
+    from pyspark.sql import functions as F
+
+    from vectordb_hr_data_spark.operators.cachescope import (
+        query_boundary,
+        release_query_caches,
+        scope_caches,
+    )
+
+    release_query_caches()
+    before = _persistent_ids(spark)
+
+    @query_boundary
+    def q1(spark, sf_dir):
+        inter = spark.range(100).select((F.col("id") % 3).alias("k")).cache()
+        return scope_caches(inter.join(inter.select("k").distinct(), "k"), inter)
+
+    @query_boundary
+    def q2(spark, sf_dir):
+        return spark.range(5).select("id")
+
+    q1(spark, None).count()
+    assert _persistent_ids(spark) - before, "q1 cache never materialized"
+    assert q2(spark, None).count() == 5  # entering q2 sweeps q1's generation
+    assert _persistent_ids(spark) - before == set(), "q2's entry did not sweep q1"
+
+
+def test_registry_cache_sweep(spark, sf_dir):
+    """Run every registered query end-to-end (the bench's .count() action)
+    and assert the session's persistent-RDD set returns to its pre-query
+    state once the query's cache generation is released — no query may
+    leak storage into a long-lived session (VERDICT r14 next item 2)."""
+    from vectordb_hr_data_spark.operators.cachescope import release_query_caches
+    from vectordb_hr_data_spark.queries import REGISTRY
+
+    release_query_caches()
+    baseline = _persistent_ids(spark)
+    leaks: dict[str, list[int]] = {}
+    for name in sorted(REGISTRY):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.count()
+        del df
+        release_query_caches()
+        gc.collect()
+        new = _persistent_ids(spark) - baseline
+        if new:
+            leftover = _drain(spark, baseline)
+            if leftover:
+                leaks[name] = sorted(leftover)
+                baseline |= leftover  # attribute later leaks to their own query
+    assert not leaks, f"queries leaked persistent RDDs: {leaks}"

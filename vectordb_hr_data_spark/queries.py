@@ -32,7 +32,16 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None):
     def deco(fn):
-        REGISTRY[name] = QuerySpec(fn, oracle)
+        # query_boundary gives every registry invocation the generational
+        # cache lifecycle (operators/cachescope.py): entering a top-level
+        # query releases the caches scoped by previous queries, so storage
+        # residue is bounded by one query instead of the session lifetime
+        # (VERDICT r14 what's-wrong #2). The ORIGINAL fn is returned so
+        # direct composition calls (query building inside another query)
+        # stay inside the outer query's generation.
+        from .operators.cachescope import query_boundary
+
+        REGISTRY[name] = QuerySpec(query_boundary(fn), oracle)
         return fn
 
     return deco

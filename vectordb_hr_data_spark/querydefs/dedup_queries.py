@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..functions import texthash as H
 from ..functions import vector as V
 from ..io import read_table
+from ..operators.cachescope import scope_caches
 from ..queries import register
 
 JACCARD_THRESHOLD = 0.5
@@ -99,13 +100,14 @@ def jaccard_pairs(d: DataFrame) -> DataFrame:
     s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("shingles").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("shingles").alias("sh2"))
     jac = F.expr(H.jaccard_sql_spark("sh1", "sh2"))
-    return (
+    out = (
         cand.join(s1, "doc_id_1")
         .join(s2, "doc_id_2")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_id_1", "doc_id_2", F.expr(H.jaccard_round4_spark("sh1", "sh2")).alias("jaccard"))
         .orderBy("doc_id_1", "doc_id_2")
     )
+    return scope_caches(out, sh)
 
 
 # --------------------------------------------------------------------------
@@ -182,13 +184,14 @@ def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("shingles").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("shingles").alias("sh2"))
     jac = F.expr(H.jaccard_sql_spark("sh1", "sh2"))
-    return (
+    out = (
         cand.join(s1, "doc_id_1")
         .join(s2, "doc_id_2")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_id_1", "doc_id_2", F.expr(H.jaccard_round4_spark("sh1", "sh2")).alias("jaccard"))
         .orderBy("doc_id_1", "doc_id_2")
     )
+    return scope_caches(out, sh, pre)
 
 
 # --------------------------------------------------------------------------
@@ -475,13 +478,14 @@ def neardup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = shin0.select(F.col("doc_id").alias("doc_id_1"), F.col("shingles").alias("sh1"))
     s2 = shin0.select(F.col("doc_id").alias("doc_id_2"), F.col("shingles").alias("sh2"))
     jac = F.expr(H.jaccard_sql_spark("sh1", "sh2"))
-    return (
+    out = (
         cand.join(s1, "doc_id_1")
         .join(s2, "doc_id_2")
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_id_1", "doc_id_2", "hamming", F.expr(H.jaccard_round4_spark("sh1", "sh2")).alias("jaccard"))
         .orderBy("doc_id_1", "doc_id_2")
     )
+    return scope_caches(out, shin0, sim)
 
 
 # --------------------------------------------------------------------------
@@ -562,7 +566,7 @@ def doc_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = sh.select(F.col("doc_id").alias("doc_id"), F.col("shingles").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("container_doc_id"), F.col("shingles").alias("sh2"))
     inter = F.size(F.array_intersect(F.col("sh1"), F.col("sh2")))
-    return (
+    out = (
         cand.join(s1, "doc_id")
         .join(s2, "container_doc_id")
         .filter(inter * CONTAIN_DEN >= CONTAIN_NUM * F.size("sh1"))
@@ -574,6 +578,7 @@ def doc_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "container_doc_id")
     )
+    return scope_caches(out, sh)
 
 
 # --------------------------------------------------------------------------
@@ -701,7 +706,7 @@ def neardup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     batch_docs = sh.filter(~F.col("in_corpus")).select("doc_id")
-    return (
+    out = (
         batch_docs.join(resolved, "doc_id", "left")
         .select(
             "doc_id",
@@ -711,6 +716,7 @@ def neardup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+    return scope_caches(out, sh, pre)
 
 
 # --------------------------------------------------------------------------
@@ -849,7 +855,7 @@ def doc_containment_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_containers"),
         )
     )
-    return (
+    out = (
         batch.select("doc_id")
         .join(resolved, "doc_id", "left")
         .select(
@@ -860,6 +866,7 @@ def doc_containment_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+    return scope_caches(out, batch)
 
 
 _CPROBE_BUILT: set[str] = set()
@@ -977,7 +984,7 @@ def neardup_sketch_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s2, "d2")
         .select(est.alias("est_e4"), exact.alias("exact_e4"))
     )
-    return (
+    out = (
         pairs.select(
             F.expr("abs(est_e4 - exact_e4) div 500").cast("long").alias("err_bucket"),
             "est_e4",
@@ -991,6 +998,7 @@ def neardup_sketch_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("err_bucket")
     )
+    return scope_caches(out, sh, sig, pre)
 
 
 # --------------------------------------------------------------------------
@@ -1199,19 +1207,22 @@ def neardup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of as one serialized union checkpoint: each generator's
     # narrow stage chain leaves most cores idle, so overlapping them
     # recovers the tail (4.2 -> ~2.5 s at sf0.1; frames identical).
-    from concurrent.futures import ThreadPoolExecutor
+    from ..operators.concurrency import materialize_concurrently
 
-    def _gen(tag: str, qname: str) -> DataFrame:
-        return (
-            _REGISTRY[qname]
-            .fn(spark, sf_dir)
-            .select(F.lit(tag).alias("m"), "doc_id_1", "doc_id_2")
-            .localCheckpoint(eager=True)
-        )
+    def _gen(tag: str, qname: str):
+        def build() -> DataFrame:
+            return (
+                _REGISTRY[qname]
+                .fn(spark, sf_dir)
+                .select(F.lit(tag).alias("m"), "doc_id_1", "doc_id_2")
+                .localCheckpoint(eager=True)
+            )
 
-    with ThreadPoolExecutor(max_workers=len(_AGREE_METHODS)) as pool:
-        futs = [pool.submit(_gen, tag, qname) for tag, qname in _AGREE_METHODS]
-        parts = [f.result() for f in futs]
+        return build
+
+    parts = materialize_concurrently(
+        spark, *[_gen(tag, qname) for tag, qname in _AGREE_METHODS]
+    )
     tagged = parts[0]
     for p in parts[1:]:
         tagged = tagged.unionByName(p)
@@ -1320,7 +1331,7 @@ def neardup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # overlap them on driver threads (guide §2.6) instead of serializing
     # the CC materialization before the vocab pass (r14 opt; the n_docs
     # scalar rides the third thread). Frames identical.
-    from concurrent.futures import ThreadPoolExecutor
+    from ..operators.concurrency import materialize_concurrently
 
     def _dfc() -> DataFrame:
         return (
@@ -1332,11 +1343,9 @@ def neardup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_comp = pool.submit(_REGISTRY["neardup_components"].fn, spark, sf_dir)
-        f_dfc = pool.submit(_dfc)
-        f_n = pool.submit(d.count)
-        comp, dfc, n_docs = f_comp.result(), f_dfc.result(), f_n.result()
+    comp, dfc, n_docs = materialize_concurrently(
+        spark, lambda: _REGISTRY["neardup_components"].fn(spark, sf_dir), _dfc, d.count
+    )
     sized = (
         comp.groupBy("component_id")
         .agg(F.count("*").cast("long").alias("n_docs"))
@@ -1936,7 +1945,7 @@ def neardup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame
         F.least(F.floor(F.col("j") * 10).cast("long"), F.lit(9)).alias("band")
     ).groupBy("band").agg(F.count("*").cast("long").alias("n_pairs"))
     wcum = Window.orderBy(F.col("band").desc()).rowsBetween(Window.unboundedPreceding, 0)
-    return (
+    out = (
         counts.select(
             "band",
             F.round(F.col("band") / 10.0, 1).alias("band_lo"),
@@ -1945,6 +1954,7 @@ def neardup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("band")
     )
+    return scope_caches(out, sh)
 
 
 # ---------------------------------------------------------------------------
@@ -2266,6 +2276,10 @@ def lsh_band_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    # the eager checkpoint above is the LAST consumer of the cached shingle
+    # and band-key frames — release their storage now, not at session end
+    sh.unpersist()
+    pre.unpersist()
     grid = spark.createDataFrame([(nb,) for nb in range(1, H.N_BANDS + 1)], "nb long")
     tot = verified.agg(F.sum("is_true").cast("long").alias("n_true"))
     return (

@@ -2020,8 +2020,20 @@ ORDER BY user_id
 def events_user_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user RFM features + quintile scores over valued purchases
     (B113) — exact integer recency/frequency/monetary, deterministic
-    quintiles via the exact-rank two-form (no corpus-global window)."""
-    return rfm_quintile_scores(rfm_user_features(spark, sf_dir))
+    quintiles via the exact-rank two-form (no corpus-global window).
+
+    The user aggregate is eagerly checkpointed before scoring (r15,
+    VERDICT r14 item 5): the r14 all-lazy form LOOKED like one events
+    exchange reused 3×, but the EXECUTED adaptive plan (plans/r15/
+    events_user_rfm_executed_before.txt) scans events 20 times with only
+    5 ReusedExchange — AQE does not collapse the differently-pruned
+    scans, and at 100 TB that is 20 corpus reads. The checkpoint is
+    |users|-bounded (the frame every branch actually consumes — NOT the
+    corpus-sized spills that measured slower in r14), so events is read
+    once and the three ntile branches re-root at the in-memory user
+    table."""
+    u = rfm_user_features(spark, sf_dir).localCheckpoint(eager=True)
+    return rfm_quintile_scores(u)
 
 
 # --------------------------------------------------------------------------

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions import texthash as H
 from ..io import read_table
+from ..operators.cachescope import scope_caches
 from ..queries import register
 
 # ---------------------------------------------------------------------------
@@ -95,10 +96,9 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_BUCKET_SPARK).alias("bucket"),
     )
     h = t.select("doc_id", "bucket", F.expr(H.spark_hash_array("toks")).alias("th"))
-    # two consumers (explode stream + per-doc sizes); CALLERS OWN THE CACHE
-    # LIFETIME — release via result.shingle_cache.unpersist() after
-    # materializing (ADVICE r02: repeated calls in a long-lived session
-    # otherwise accumulate storage memory)
+    # two consumers (explode stream + per-doc sizes); the cache is scoped to
+    # the result frame's lifetime (scope_caches below) so repeated calls in
+    # a long-lived session no longer accumulate storage memory (ADVICE r02)
     s = h.select(
         "doc_id", "bucket", F.expr(H.spark_shingle_keys("th", DECON_N)).alias("sk")
     ).cache()
@@ -123,8 +123,8 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
-    out.shingle_cache = s  # see cache-lifetime note above
-    return out
+    out.shingle_cache = s  # back-compat handle for callers that sweep early
+    return scope_caches(out, s)
 
 
 def _decon_oracle() -> str:
@@ -259,8 +259,8 @@ def doc_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
-    out.shingle_cache = s
-    return out
+    out.shingle_cache = s  # back-compat handle for callers that sweep early
+    return scope_caches(out, s)
 
 
 @register("doc_length_percentiles_approx", None)
@@ -905,11 +905,9 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "bucket", F.expr(H.spark_shingle_keys("th", DECON_N)).alias("sk")
         ).localCheckpoint(eager=True)  # expensive HOF under a Generate, 2 consumers
 
-    from concurrent.futures import ThreadPoolExecutor
+    from ..operators.concurrency import materialize_concurrently
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        fut_d2, fut_fs = pool.submit(_dedup_chain), pool.submit(_shingle_chain)
-        d2, fs = fut_d2.result(), fut_fs.result()
+    d2, fs = materialize_concurrently(spark, _dedup_chain, _shingle_chain)
     fex = fs.select("doc_id", "bucket", F.explode("sk").alias("k"))
     test_sh = fex.filter(F.col("bucket") >= 90).select("k").distinct()
     contaminated = (
@@ -1524,7 +1522,13 @@ def _quality_prep(
 
     d = read_table(spark, sf_dir, "documents")
     base = d.select("doc_id", "source", "lang", F.split(F.col("text"), " ").alias("toks"))
-    # stage 1: repetition signals (map-only + one uniform groupBy)
+    # stage 1: repetition signals (map-only + one uniform groupBy).
+    # r15 negative result (kept deliberately): folding ALL of stage 1+2
+    # in-row (sorted-run dupf/topbg + an aggregate-HOF classifier fold, the
+    # doc_char_entropy_gate trick) was measured 3.4-4.0 s vs 1.2-1.6 s for
+    # this exploded form at sf0.1 — the interpreted per-element md5 inside
+    # the HOF costs more than the shuffles it removes (the simhash lesson:
+    # hash in codegen'd exploded form, not interpreted lambdas).
     stats = base.select(
         "doc_id",
         (1.0 - F.size(F.array_distinct("toks")).cast("double") / F.size("toks")).alias("dupf"),
@@ -1613,21 +1617,20 @@ def _quality_prep(
         .select("doc_id", "source", "lang", "toks", "ce_micro")
         .localCheckpoint(eager=True)
     )
-    # stage 4: DSIR selection on the LM survivors
-    bib = surv2.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(toks) >= 2 THEN"
-                " transform(sequence(1, size(toks) - 1),"
-                " i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
-                " ELSE array() END"
-            )
-        ).alias("g"),
-    ).select("doc_id", "lang", F.expr(_dsir_bucket("g.w1", "g.w2", "spark")).alias("b"))
-    dbb = bib.groupBy("doc_id", "lang", "b").agg(F.count("*").alias("n")).localCheckpoint(
-        eager=True
+    # stage 4: DSIR selection on the LM survivors. The per-(doc, bucket)
+    # counts are a pure rollup of stage 3's per-(doc, bigram-type) table —
+    # Σ_{(w1,w2)→b} n_b — so derive dbb from the already-checkpointed db
+    # (restricted to LM survivors) instead of re-exploding every bigram
+    # POSITION of surv2 a second time (r15 opt, guide §2.3: aggregate the
+    # compact proxy you already paid for, don't rescan the payload).
+    dbb = (
+        db.join(surv2.select("doc_id"), "doc_id", "left_semi")
+        .select(
+            "doc_id", "lang", F.expr(_dsir_bucket("w1", "w2", "spark")).alias("b"), "n_b"
+        )
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.sum("n_b").alias("n"))
+        .localCheckpoint(eager=True)
     )
     tgt = dbb.filter(F.col("lang") == "en").groupBy("b").agg(F.sum("n").alias("ct"))
     raw = dbb.groupBy("b").agg(F.sum("n").alias("cr"))

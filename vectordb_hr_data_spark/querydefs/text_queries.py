@@ -1835,22 +1835,33 @@ def query_expansion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     with original terms at weight 2, expansions at weight 1."""
     d = read_table(spark, sf_dir, "documents")
     qterms = list(BM25_QUERY_TERMS)
-    # inc feeds several consumers across two actions; checkpointing it
-    # was MEASURED SLOWER at sf0.1 (2.0 -> 2.8 s — the (doc, token)
-    # incidence table is corpus-sized, the doc_lm_perplexity lesson), so
-    # it stays lazy deliberately (r14 opt note).
-    inc = (
-        d.filter(F.col("text") != "")
-        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
-        .distinct()
+    # r15 (guide §2.3/§2.4; supersedes the r14 checkpoint-was-slower note):
+    # the old form built a corpus-wide DISTINCT (doc, token) incidence
+    # table and consumed it three times inside one action — three
+    # explode+distinct shuffles — plus a doc_id SELF-JOIN to pair query
+    # terms with co-occurring tokens. Doc-level co-occurrence is a pure
+    # function of each doc's DISTINCT-TOKEN ARRAY, so pair generation now
+    # happens IN-ROW (explode q × v from the array, query-doc rows only),
+    # and the only remaining shuffles are the vocabulary count and the
+    # small (q, v) aggregate. Same (q, v, c_uv) multiset, same cu counts.
+    qarr = F.array(*[F.lit(t) for t in qterms])
+    dt = d.filter(F.col("text") != "").select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("dtoks")
     )
     n_docs = d.count()
-    cu = inc.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
-    qinc = inc.filter(F.col("tok").isin(qterms)).select("doc_id", F.col("tok").alias("q"))
+    cu = (
+        dt.select(F.explode("dtoks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
     pairs = (
-        qinc.join(inc, "doc_id")
-        .filter((F.col("tok") != F.col("q")) & (~F.col("tok").isin(qterms)))
-        .groupBy("q", F.col("tok").alias("v"))
+        dt.filter(F.arrays_overlap("dtoks", qarr))
+        .select(
+            F.explode(F.array_intersect("dtoks", qarr)).alias("q"),
+            F.filter(F.col("dtoks"), lambda x: ~F.array_contains(qarr, x)).alias("vs"),
+        )
+        .select("q", F.explode("vs").alias("v"))
+        .groupBy("q", "v")
         .agg(F.count("*").cast("long").alias("c_uv"))
         .filter(F.col("c_uv") >= 2)
     )

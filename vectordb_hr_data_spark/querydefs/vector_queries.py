@@ -3321,7 +3321,6 @@ def hnsw_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id") < HNSW_EVAL_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    approx = hnsw_graph_search(spark, sf_dir).select("query_id", "vec_id")
     scored = (
         emb.crossJoin(F.broadcast(qs))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -3334,14 +3333,34 @@ def hnsw_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("d_q").asc(), F.col("vec_id").asc())
-    exact = (
-        local_topk_per_key(
-            scored, key_col="query_id", order_cols=("d_q", "vec_id"), k=HNSW_SEARCH_K
+
+    # The greedy-descent chain and the exact brute-force side are
+    # INDEPENDENT subgraphs that were executed serially inside the final
+    # join; overlap them on driver threads (guide §2.6 — the
+    # neardup_method_agreement pattern; r15 opt, VERDICT r14 item 10).
+    # Both checkpoints are Q·k-row tables, so the eager materialization
+    # is bounded. Frames identical.
+    from ..operators.concurrency import materialize_concurrently
+
+    def _approx() -> DataFrame:
+        return (
+            hnsw_graph_search(spark, sf_dir)
+            .select("query_id", "vec_id")
+            .localCheckpoint(eager=True)
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= HNSW_SEARCH_K)
-        .select("query_id", "vec_id")
-    )
+
+    def _exact() -> DataFrame:
+        return (
+            local_topk_per_key(
+                scored, key_col="query_id", order_cols=("d_q", "vec_id"), k=HNSW_SEARCH_K
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= HNSW_SEARCH_K)
+            .select("query_id", "vec_id")
+            .localCheckpoint(eager=True)
+        )
+
+    approx, exact = materialize_concurrently(spark, _approx, _exact)
     hits = exact.join(approx, ["query_id", "vec_id"]).groupBy("query_id").agg(
         F.count("*").cast("long").alias("n_hits")
     )
