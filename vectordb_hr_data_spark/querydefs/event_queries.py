@@ -10175,21 +10175,34 @@ def events_aa_calibration_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     dec = "decimal(38,0)"
     seeds = spark.range(16).select(F.col("id").cast("long").alias("seed"))
-    tagged = ev.crossJoin(F.broadcast(seeds)).select(
+    # r15 (guide §2.3 — decide with small rows): the arm hash depends only
+    # on (seed, user_id), so aggregate events per USER once (one map-side
+    # combinable pass) and fan the 16-seed grid out over the |users|-row
+    # table: 16 md5 evaluations per USER instead of per EVENT (~400× fewer
+    # hashes at sf0.1, and the seed fan-out never touches the corpus).
+    # Identical cell sums: n_a = Σ_{arm(u)=a} n_ev(u), s_a = Σ sx(u).
+    usr = ev.select(
+        "user_id",
+        F.when(F.round(F.col("value") * 100).cast("long") >= 5000, 1)
+        .otherwise(0)
+        .alias("x"),
+    ).groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_ev"), F.sum("x").cast("long").alias("sx")
+    )
+    tagged = usr.crossJoin(F.broadcast(seeds)).select(
         "seed",
         F.expr(
             "cast(conv(substring(md5(concat('aa', cast(seed as string), ':',"
             " cast(user_id as string))), 1, 8), 16, 10) as bigint) % 2"
         ).alias("arm"),
-        F.when(F.round(F.col("value") * 100).cast("long") >= 5000, 1)
-        .otherwise(0)
-        .alias("x"),
+        "n_ev",
+        "sx",
     )
     cell = tagged.groupBy("seed").agg(
-        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n0"),
-        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0)).cast("long").alias("s0"),
-        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n1"),
-        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0)).cast("long").alias("s1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("n_ev")).otherwise(0)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("sx")).otherwise(0)).cast("long").alias("s0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_ev")).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("sx")).otherwise(0)).cast("long").alias("s1"),
     )
     z = cell.withColumn(
         "z2_micro",
